@@ -1,10 +1,12 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+`entry(spark)` smoke-runs the flagship query at sf0.001;
+`queries()` exposes every implemented operator (SURVEY.md §2 +
+training-data extensions) as (spark, sf_dir) -> DataFrame;
+`oracle_sql()` gives the DuckDB-runnable differential oracle for each
+SQL-expressible query (FIXTURES.md §3 documents the determinism
+choices: sorted collect_set, total-ordered top-k, decimal money sums,
+md5-based hashing shared by both engines).
 """
 
 from __future__ import annotations
@@ -13,26 +15,154 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+from stream_processing_system_spark.plans import analytics, reference
+
+SMOKE_SF_DIR = "/root/testdata/sf0.001"
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: TPC-H Q1-style pricing summary on sf0.001 lineitem."""
+    return analytics.pricing_summary(spark, SMOKE_SF_DIR)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        # --- reference parity (SURVEY.md §2.12) ---
+        "q1_wordcount": reference.q1_wordcount,
+        "q2_top_users": reference.q2_top_users,
+        "q3_host_report": reference.q3_host_report,
+        # --- extended analytics (joins / windows / sessions / JSON) ---
+        "pricing_summary": analytics.pricing_summary,
+        "revenue_by_nation": analytics.revenue_by_nation,
+        "top_unshipped_orders": analytics.top_unshipped_orders,
+        "order_priority_counts": analytics.order_priority_counts,
+        "supplier_rank_in_nation": analytics.supplier_rank_in_nation,
+        "sessionize_events": analytics.sessionize_events,
+        "json_props_stats": analytics.json_props_stats,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "q1_wordcount": """
+            WITH clean AS (
+                SELECT text AS line FROM documents
+                WHERE NOT (length(string_split(text, ' ')[1]) > 8
+                           AND substr(string_split(text, ' ')[1], 1, 4) IN ('http', '2008'))
+            ), words AS (
+                SELECT unnest(string_split(line, ' ')) AS word FROM clean
+            )
+            SELECT word, count(*) AS cnt FROM words WHERE word <> ''
+            GROUP BY word
+        """,
+        "q2_top_users": """
+            SELECT user_id, count(*) AS posts
+            FROM events WHERE value >= 0
+            GROUP BY user_id
+            ORDER BY posts DESC, user_id ASC
+            LIMIT 50
+        """,
+        "q3_host_report": """
+            SELECT user_id, count(*) AS hits,
+                   array_to_string(
+                       list_sort(list(DISTINCT (user_id::VARCHAR || ':' || props))),
+                       ',') AS routes
+            FROM events WHERE event_type = 'click'
+            GROUP BY user_id
+        """,
+        "pricing_summary": """
+            SELECT l_returnflag, l_linestatus,
+                   CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+                   CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+                   CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS sum_disc_price,
+                   CAST(SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(18,6))) AS DOUBLE) AS sum_charge,
+                   ROUND(AVG(l_quantity), 6) AS avg_qty,
+                   ROUND(AVG(l_discount), 6) AS avg_disc,
+                   count(*) AS count_order
+            FROM lineitem
+            WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+            GROUP BY l_returnflag, l_linestatus
+            ORDER BY l_returnflag, l_linestatus
+        """,
+        "revenue_by_nation": """
+            SELECT n_name,
+                   CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+            FROM customer, orders, lineitem, supplier, nation, region
+            WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+              AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+              AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+              AND r_name = 'ASIA'
+              AND o_orderdate >= TIMESTAMP '1996-01-01'
+              AND o_orderdate < TIMESTAMP '1997-01-01'
+            GROUP BY n_name
+            ORDER BY revenue DESC, n_name ASC
+        """,
+        "top_unshipped_orders": """
+            SELECT l_orderkey,
+                   CAST(CAST(o_orderdate AS DATE) AS VARCHAR) AS o_orderdate,
+                   o_orderpriority,
+                   CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+            FROM customer, orders, lineitem
+            WHERE c_mktsegment = 'BUILDING'
+              AND c_custkey = o_custkey AND l_orderkey = o_orderkey
+              AND o_orderdate < TIMESTAMP '1997-01-01'
+              AND l_shipdate > TIMESTAMP '1997-01-01'
+            GROUP BY l_orderkey, o_orderdate, o_orderpriority
+            ORDER BY revenue DESC, l_orderkey ASC
+            LIMIT 10
+        """,
+        "order_priority_counts": """
+            SELECT o_orderpriority, count(*) AS order_count
+            FROM orders o
+            WHERE o_orderdate >= TIMESTAMP '1996-07-01'
+              AND o_orderdate < TIMESTAMP '1996-10-01'
+              AND EXISTS (
+                  SELECT 1 FROM lineitem l
+                  WHERE l.l_orderkey = o.o_orderkey
+                    AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+              )
+            GROUP BY o_orderpriority
+            ORDER BY o_orderpriority
+        """,
+        "supplier_rank_in_nation": """
+            SELECT n_name, s_suppkey, s_name, s_acctbal, rnk FROM (
+                SELECT n_name, s_suppkey, s_name, s_acctbal,
+                       rank() OVER (PARTITION BY n_name
+                                    ORDER BY s_acctbal DESC, s_suppkey ASC) AS rnk
+                FROM supplier JOIN nation ON s_nationkey = n_nationkey
+            )
+            WHERE rnk <= 3
+            ORDER BY n_name, rnk, s_suppkey
+        """,
+        "sessionize_events": """
+            WITH gaps AS (
+                SELECT user_id, event_id, ts,
+                       CASE WHEN floor(epoch(ts)) - lag(floor(epoch(ts)))
+                                 OVER (PARTITION BY user_id ORDER BY ts, event_id) > 1800
+                            THEN 1 ELSE 0 END AS new_session
+                FROM events
+            ), sess AS (
+                SELECT user_id,
+                       sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                              ROWS UNBOUNDED PRECEDING) AS session_id
+                FROM gaps
+            ), per_session AS (
+                SELECT user_id, session_id, count(*) AS n_events
+                FROM sess GROUP BY user_id, session_id
+            )
+            SELECT user_id, count(*) AS n_sessions,
+                   ROUND(AVG(n_events), 6) AS avg_events_per_session
+            FROM per_session
+            GROUP BY user_id
+            ORDER BY user_id
+        """,
+        "json_props_stats": """
+            SELECT event_type, count(*) AS n,
+                   CAST(SUM(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS BIGINT) AS sum_k,
+                   CAST(MIN(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS BIGINT) AS min_k,
+                   CAST(MAX(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS BIGINT) AS max_k
+            FROM events
+            GROUP BY event_type
+            ORDER BY event_type
+        """,
+    }

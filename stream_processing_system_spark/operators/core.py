@@ -1,0 +1,74 @@
+"""Relational core operators (SURVEY.md §2.2, §2.4, §2.6).
+
+Thin, composable wrappers over DataFrame ops. Each one is a
+*declarative* plan fragment — Catalyst supplies the physical
+behaviors the reference hand-codes:
+
+- partial (map-side) aggregation before the shuffle
+  (reference: `bolt/bolt.go:544-564` hand-rolled combiner;
+  Spark: partial/final HashAggregateExec, automatic),
+- predicate pushdown / column pruning (reference: filters placed in
+  boltc before the network hop, `bolt/bolt.go:222-232`; Spark:
+  optimizer rules),
+- true top-k (reference: full sort + break at k,
+  `bolt/bolt.go:408-430`; Spark: TakeOrderedAndProject — per
+  partition heap of k, no full sort).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def flatmap_tokens(
+    df: DataFrame,
+    col: str = "line",
+    out: str = "word",
+    sep: str = " ",
+    drop_empty: bool = True,
+) -> DataFrame:
+    """A7: tokenize-then-flatten (`bolt/bolt.go:547-555` splits each
+    line and iterates tokens). `explode(split(...))` — generates rows
+    inside codegen, no Python."""
+    toks = F.split(F.col(col), sep)
+    if drop_empty:
+        toks = F.filter(toks, lambda t: t != "")
+    return df.select(F.explode(toks).alias(out))
+
+
+def agg_count(df: DataFrame, keys: list[str], out: str = "cnt") -> DataFrame:
+    """A3/A4: COUNT(*) GROUP BY keys (`bolt/bolt.go:585-594,609-613`
+    are mutex-guarded `map[string]int` increments on one node; here
+    the shuffle hash-partitions by key so the final aggregate is
+    parallel and lock-free)."""
+    return df.groupBy(*keys).agg(F.count(F.lit(1)).alias(out))
+
+
+def agg_sum(df: DataFrame, keys: list[str], value: str, out: str = "total") -> DataFrame:
+    """A2: SUM(value) GROUP BY keys (`bolt/bolt.go:566-583`)."""
+    return df.groupBy(*keys).agg(F.sum(value).alias(out))
+
+
+def agg_collect_set_sorted(df: DataFrame, keys: list[str], value: str, out: str = "items") -> DataFrame:
+    """A5: COLLECT_SET(value) GROUP BY keys, sorted for determinism.
+
+    The reference appends to a per-key list after an O(n) membership
+    scan (`bolt/bolt.go:615-624`); `collect_set` is the hash-set
+    equivalent. `array_sort` pins the nondeterministic set order so
+    results are hash-comparable (FIXTURES.md §3). Scale note: per-key
+    set size must be bounded by the domain (here: routes per host);
+    collect_set of an unbounded value space would OOM the reference
+    too — it is the operator's contract, not an implementation limit.
+    """
+    return df.groupBy(*keys).agg(F.array_sort(F.collect_set(value)).alias(out))
+
+
+def topk(df: DataFrame, order: list[Column], k: int) -> DataFrame:
+    """O1+O2: ORDER BY ... LIMIT k (`bolt/bolt.go:398-440` full sort +
+    break at 50). Spark plans this as TakeOrderedAndProject: each
+    partition keeps a k-heap, the driver merges — O(n log k), no full
+    shuffle-sort even at 100 TB. Callers must include a deterministic
+    tie-break column (the reference's tie order is Go-map-random,
+    SURVEY.md §2.6)."""
+    return df.orderBy(*order).limit(k)

@@ -1,0 +1,64 @@
+"""Catalog of the driver-generated parquet tables.
+
+The reference registers datasets in a hard-coded name→path map
+(`client.go:21-24`). The Spark-native equivalent is a tiny catalog
+over parquet — schema travels with the file, scans are columnar and
+benefit from predicate pushdown / column pruning, and the same
+loader works identically against an object store at 100 TB.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TABLES = [
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+]
+
+# Small dimension tables: always broadcast-join these against facts.
+# On a real cluster these stay far below any broadcast threshold
+# (region=5 rows, nation=25 even at sf=100k).
+BROADCAST_DIMS = {"region", "nation", "supplier", "part", "customer"}
+
+
+def table_path(sf_dir: str, name: str) -> str:
+    return os.path.join(sf_dir, f"{name}.parquet")
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one catalog table. Columnar parquet scan; Catalyst prunes
+    columns and pushes filters into the scan automatically."""
+    if name not in TABLES:
+        raise KeyError(f"unknown table {name!r}; known: {TABLES}")
+    if name == "events":
+        # events.parquet stores TIMESTAMP(NANOS), which vanilla Spark
+        # rejects (PARQUET_TYPE_ILLEGAL). Read nanos as long, then
+        # convert to a real timestamp at microsecond precision using
+        # integer division (a double division would lose precision at
+        # ~1.7e18 nanos).
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(table_path(sf_dir, name))
+        if dict(df.dtypes).get("ts") == "bigint":
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+        return df
+    return spark.read.parquet(table_path(sf_dir, name))
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register every table as a temp view so plans can use spark.sql."""
+    for name in TABLES:
+        path = table_path(sf_dir, name)
+        if os.path.exists(path):
+            load_table(spark, sf_dir, name).createOrReplaceTempView(name)

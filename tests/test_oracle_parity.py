@@ -1,0 +1,34 @@
+"""Differential test of every registered query against the DuckDB
+oracle at sf0.001 (the driver runs the same comparison at sf0.01)."""
+
+from __future__ import annotations
+
+import pytest
+
+import __spark_entry__ as contract
+from tests.oracle import assert_matches_oracle
+
+QUERIES = contract.queries()
+ORACLES = contract.oracle_sql()
+
+
+def test_every_oracle_key_has_a_query():
+    assert set(ORACLES) <= set(QUERIES)
+
+
+@pytest.mark.parametrize("name", sorted(ORACLES))
+def test_matches_oracle(spark, sf_dir, name):
+    assert_matches_oracle(QUERIES[name](spark, sf_dir), sf_dir, ORACLES[name])
+
+
+@pytest.mark.parametrize("name", sorted(set(QUERIES) - set(ORACLES)))
+def test_rows_only_queries_run(spark, sf_dir, name):
+    df = QUERIES[name](spark, sf_dir)
+    assert df.count() >= 0
+    assert df.schema is not None
+
+
+def test_entry_smoke(spark):
+    df = contract.entry(spark)
+    rows = df.collect()
+    assert len(rows) > 0
