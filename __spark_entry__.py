@@ -15,7 +15,7 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from stream_processing_system_spark.plans import analytics, reference
+from stream_processing_system_spark.plans import analytics, pipeline, reference
 
 SMOKE_SF_DIR = "/root/testdata/sf0.001"
 
@@ -39,6 +39,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "supplier_rank_in_nation": analytics.supplier_rank_in_nation,
         "sessionize_events": analytics.sessionize_events,
         "json_props_stats": analytics.json_props_stats,
+        # --- dedup (exact + near-dup family) ---
+        "dedup_exact": pipeline.dedup_exact_docs,
+        "minhash_signatures": pipeline.minhash_signatures_docs,
+        "jaccard_pairs": pipeline.jaccard_pairs_docs,
+        "simhash": pipeline.simhash_docs,
+        "dedup_minhash_lsh": pipeline.dedup_minhash_docs,
+        "simhash_neardup_pairs": pipeline.simhash_neardup_docs,
+        # --- similarity search over embeddings ---
+        "cosine_topk": pipeline.cosine_topk_embeddings,
+        "lsh_topk": pipeline.lsh_topk_embeddings,
+        "ivf_topk": pipeline.ivf_topk_embeddings,
+        "embedding_neardup_pairs": pipeline.embedding_neardup_pairs,
+        # --- text analysis ---
+        "doc_stats": pipeline.doc_stats,
+        "doc_quality": pipeline.doc_quality,
+        "doc_lang_id": pipeline.doc_lang_id,
+        "doc_fingerprint": pipeline.doc_fingerprint,
+        "doc_winnow": pipeline.doc_winnow,
     }
 
 
@@ -164,5 +182,142 @@ def oracle_sql() -> dict[str, str]:
             FROM events
             GROUP BY event_type
             ORDER BY event_type
+        """,
+        # --- dedup / text pipeline oracles (md5 is byte-identical in
+        # Spark and DuckDB, so even hash-based signatures diff-test) ---
+        "dedup_exact": """
+            SELECT min(doc_id) AS doc_id
+            FROM documents
+            GROUP BY md5(lower(trim(text)))
+        """,
+        "minhash_signatures": """
+            WITH toks AS (
+                SELECT DISTINCT doc_id, tok FROM (
+                    SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+                    FROM documents
+                ) WHERE tok <> ''
+            )
+            SELECT doc_id,
+                   MIN(('0x' || substr(md5('0|' || tok), 1, 8))::BIGINT) AS h0,
+                   MIN(('0x' || substr(md5('1|' || tok), 1, 8))::BIGINT) AS h1,
+                   MIN(('0x' || substr(md5('2|' || tok), 1, 8))::BIGINT) AS h2,
+                   MIN(('0x' || substr(md5('3|' || tok), 1, 8))::BIGINT) AS h3,
+                   MIN(('0x' || substr(md5('4|' || tok), 1, 8))::BIGINT) AS h4,
+                   MIN(('0x' || substr(md5('5|' || tok), 1, 8))::BIGINT) AS h5,
+                   MIN(('0x' || substr(md5('6|' || tok), 1, 8))::BIGINT) AS h6,
+                   MIN(('0x' || substr(md5('7|' || tok), 1, 8))::BIGINT) AS h7
+            FROM toks GROUP BY doc_id
+        """,
+        "jaccard_pairs": """
+            WITH t AS (
+                SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS l
+                FROM documents
+            ), sh AS (
+                SELECT DISTINCT doc_id, l[i] || ' ' || l[i+1] || ' ' || l[i+2] AS shingle
+                FROM t, UNNEST(range(1, len(l) - 1)) AS u(i)
+                WHERE len(l) >= 3
+            ), sizes AS (
+                SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id
+            ), inter AS (
+                SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS common
+                FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+                GROUP BY a.doc_id, b.doc_id
+            )
+            SELECT * FROM (
+                SELECT id_a, id_b,
+                       ROUND(common::DOUBLE / (sa.n_sh + sb.n_sh - common), 6) AS jaccard
+                FROM inter
+                JOIN sizes sa ON sa.doc_id = id_a
+                JOIN sizes sb ON sb.doc_id = id_b
+            ) WHERE jaccard >= 0.1
+        """,
+        "cosine_topk": """
+            WITH q AS (SELECT embedding FROM embeddings WHERE vec_id = 0)
+            SELECT e.vec_id,
+                   ROUND(list_cosine_similarity(e.embedding::DOUBLE[],
+                                                q.embedding::DOUBLE[]), 6) AS sim
+            FROM embeddings e, q
+            ORDER BY sim DESC, vec_id ASC
+            LIMIT 10
+        """,
+        "doc_stats": """
+            WITH t AS (
+                SELECT doc_id, length(text) AS n_chars,
+                       list_filter(string_split(text, ' '), x -> x <> '') AS toks
+                FROM documents
+            )
+            SELECT doc_id,
+                   CAST(n_chars AS BIGINT) AS n_chars,
+                   CAST(len(toks) AS BIGINT) AS n_tokens,
+                   ROUND(list_sum(list_transform(toks, x -> length(x)))::DOUBLE
+                         / len(toks), 6) AS avg_token_len,
+                   ROUND(len(list_filter(toks, x -> list_contains(
+                         ['the','a','of','and','is','in','to','it'], x)))::DOUBLE
+                         / len(toks), 6) AS stopword_ratio
+            FROM t
+        """,
+        "doc_quality": """
+            WITH t AS (
+                SELECT doc_id,
+                       list_filter(string_split(text, ' '), x -> x <> '') AS toks
+                FROM documents
+            ), s AS (
+                SELECT doc_id,
+                       CAST(len(toks) AS DOUBLE) AS n_tokens,
+                       list_sum(list_transform(toks, x -> length(x)))
+                           / CAST(len(toks) AS DOUBLE) AS avg_len,
+                       len(list_filter(toks, x -> list_contains(
+                           ['the','a','of','and','is','in','to','it'], x)))
+                           / CAST(len(toks) AS DOUBLE) AS stop_ratio
+                FROM t
+            )
+            SELECT doc_id,
+                   ROUND(0.4 * least(n_tokens / 100.0, 1.0)
+                       + 0.3 * least(avg_len / 8.0, 1.0)
+                       + 0.3 * least(stop_ratio * 5.0, 1.0), 6) AS quality
+            FROM s
+        """,
+        "doc_lang_id": """
+            WITH t AS (
+                SELECT doc_id,
+                       list_filter(string_split(text, ' '), x -> x <> '') AS toks
+                FROM documents
+            ), s AS (
+                SELECT doc_id,
+                       len(list_filter(toks, x -> list_contains(['the','a','of','and','is'], x))) AS s_en,
+                       len(list_filter(toks, x -> list_contains(['el','la','de','y','es'], x))) AS s_es,
+                       len(list_filter(toks, x -> list_contains(['le','la','de','et','est'], x))) AS s_fr,
+                       len(list_filter(toks, x -> list_contains(['der','die','das','und','ist'], x))) AS s_de,
+                       len(list_filter(toks, x -> list_contains(['的','是','了','在','我'], x))) AS s_zh
+                FROM t
+            )
+            SELECT doc_id,
+                   CASE WHEN greatest(s_en, s_es, s_fr, s_de, s_zh) = 0 THEN 'unknown'
+                        WHEN s_en >= greatest(s_es, s_fr, s_de, s_zh) THEN 'en'
+                        WHEN s_es >= greatest(s_fr, s_de, s_zh) THEN 'es'
+                        WHEN s_fr >= greatest(s_de, s_zh) THEN 'fr'
+                        WHEN s_de >= s_zh THEN 'de'
+                        ELSE 'zh' END AS lang_pred
+            FROM s
+        """,
+        "doc_fingerprint": """
+            SELECT doc_id, md5(lower(trim(text))) AS fp FROM documents
+        """,
+        "doc_winnow": """
+            WITH t AS (
+                SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS l
+                FROM documents
+            ), g AS (
+                SELECT doc_id, i - 1 AS pos,
+                       ('0x' || substr(md5(l[i] || ' ' || l[i+1] || ' ' || l[i+2]), 1, 8))::BIGINT AS h
+                FROM t, UNNEST(range(1, len(l) - 1)) AS u(i)
+                WHERE len(l) >= 3
+            ), w AS (
+                SELECT doc_id,
+                       MIN(h) OVER (PARTITION BY doc_id ORDER BY pos
+                                    ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS fp_hash
+                FROM g
+            )
+            SELECT DISTINCT doc_id, fp_hash FROM w
         """,
     }

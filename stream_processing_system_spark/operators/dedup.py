@@ -1,0 +1,301 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+The reference has no dedup (its only distinct-shaped op is the
+per-key collect_set, `bolt/bolt.go:615-624`); these are the
+north-star extensions (SURVEY.md §7.2 step 6). All hashing is built
+on md5 (`functions.md5_prefix_long`) because DuckDB's md5 is
+byte-identical — every signature here is differentially testable in
+pure SQL.
+
+Scale design:
+- exact dedup: one hash-shuffle on a 128-bit digest; never ships the
+  full text twice (group on the digest, keep min id).
+- MinHash: tokens explode → ONE groupBy(doc) computing all K mins
+  (single shuffle); signatures are K longs per doc, tiny vs text.
+- LSH banding: candidate generation is a self-join on (band_idx,
+  band_hash) — the classic sub-quadratic path. The full O(n²) pair
+  comparison never happens; only same-bucket pairs are verified.
+- token/shingle self-join (`jaccard_pairs`) is the *exact* path for
+  validation at small scale; at 100 TB you run minhash_lsh_pairs
+  instead. Hot shingles are the skew hazard — `max_shingle_freq`
+  drops shingles occurring in more than that many docs (stop-shingle
+  cutoff), which bounds the join fan-out.
+"""
+
+from __future__ import annotations
+
+import functools
+import operator
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from stream_processing_system_spark.functions import md5_prefix_long
+
+
+def normalized_text(col, lowercase: bool = True):
+    c = F.trim(col)
+    return F.lower(c) if lowercase else c
+
+
+def dedup_exact(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Exact dedup: keep the smallest id per md5(lower(trim(text))).
+
+    Group on the digest, not the text: the shuffle moves 16-byte keys
+    instead of documents. Deterministic keeper (min id) so the result
+    is hash-comparable."""
+    digest = F.md5(normalized_text(F.col(text_col)))
+    return (
+        df.select(digest.alias("_digest"), F.col(id_col))
+        .groupBy("_digest")
+        .agg(F.min(id_col).alias(id_col))
+        .select(id_col)
+    )
+
+
+def tokens_per_doc(df: DataFrame, id_col: str, text_col: str, sep: str = " ") -> DataFrame:
+    """Distinct (id, token) pairs — the input relation for MinHash and
+    Jaccard. dropDuplicates before any join/agg keeps cardinality at
+    O(vocab per doc), not O(words per doc)."""
+    toks = F.filter(F.split(F.col(text_col), sep), lambda t: t != "")
+    return (
+        df.select(F.col(id_col), F.explode(toks).alias("token"))
+        .dropDuplicates([id_col, "token"])
+    )
+
+
+def shingles_per_doc(
+    df: DataFrame, id_col: str, text_col: str, n: int = 3
+) -> DataFrame:
+    """Distinct word n-gram shingles per doc (documents shorter than n
+    words produce no shingles — same convention as the SQL oracle)."""
+    parts = " ,".join(f"l[i+{j}]" for j in range(n)).split(",")
+    expr = (
+        f"transform(sequence(0, size(l)-{n}), i -> concat_ws(' ', {', '.join(parts)}))"
+    )
+    toks = F.filter(F.split(F.col(text_col), " "), lambda t: t != "")
+    return (
+        df.select(F.col(id_col), toks.alias("l"))
+        .where(F.size("l") >= n)
+        .select(F.col(id_col), F.explode(F.expr(expr)).alias("shingle"))
+        .dropDuplicates([id_col, "shingle"])
+    )
+
+
+def minhash_signatures(
+    df: DataFrame, id_col: str, text_col: str, num_hashes: int = 8
+) -> DataFrame:
+    """MinHash signature per doc: h_j = min over tokens of
+    md5_prefix_long('j|' + token). One explode + one groupBy — all K
+    hash mins computed in a single shuffle (columns h0..h{K-1})."""
+    toks = tokens_per_doc(df, id_col, text_col)
+    aggs = [
+        F.min(md5_prefix_long(F.col("token"), salt=f"{j}|")).alias(f"h{j}")
+        for j in range(num_hashes)
+    ]
+    return toks.groupBy(id_col).agg(*aggs)
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame, id_col: str, num_hashes: int = 8, bands: int = 4
+) -> DataFrame:
+    """LSH banding over MinHash signatures: docs agreeing on ALL rows
+    of at least one band become candidate pairs. Output: (id_a, id_b)
+    with id_a < id_b, distinct.
+
+    The band join is the scale path: cost is
+    O(sum over buckets of bucket²) instead of O(n²); bucket keys are
+    (band_idx, md5 of the band's hash values)."""
+    rows_per_band = num_hashes // bands
+    if rows_per_band * bands != num_hashes:
+        raise ValueError("bands must divide num_hashes")
+    band_cols = []
+    for b in range(bands):
+        members = [F.col(f"h{b * rows_per_band + r}") for r in range(rows_per_band)]
+        band_cols.append(
+            F.struct(
+                F.lit(b).alias("band"),
+                F.md5(F.concat_ws("_", *members)).alias("bucket"),
+            )
+        )
+    buckets = signatures.select(
+        F.col(id_col), F.explode(F.array(*band_cols)).alias("bk")
+    ).select(id_col, "bk.band", "bk.bucket")
+    a = buckets.alias("a")
+    b = buckets.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+
+
+def jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float = 0.5,
+    n: int = 3,
+    max_shingle_freq: int | None = None,
+) -> DataFrame:
+    """Exact n-gram Jaccard similarity pairs via inverted-index
+    self-join: join docs on shared shingles, count the intersection,
+    union = |A| + |B| - |A∩B|. Output (id_a, id_b, jaccard) for
+    jaccard >= threshold, rounded to 6 dp for cross-engine equality.
+
+    `max_shingle_freq` is the skew guard for scale: a shingle present
+    in f docs contributes f² join rows; dropping ultra-common
+    shingles bounds the blow-up (slightly under-counts similarity of
+    pairs that share only stop-shingles — acceptable for dedup)."""
+    sh = shingles_per_doc(df, id_col, text_col, n=n)
+    if max_shingle_freq is not None:
+        rare = (
+            sh.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("_f"))
+            .where(F.col("_f") <= max_shingle_freq)
+            .select("shingle")
+        )
+        sh = sh.join(rare, "shingle")
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .groupBy(
+            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+        )
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("na"))
+    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("nb"))
+    jac = F.round(
+        F.col("common").cast("double")
+        / (F.col("na") + F.col("nb") - F.col("common")),
+        6,
+    )
+    return (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select("id_a", "id_b", jac.alias("jaccard"))
+        .where(F.col("jaccard") >= threshold)
+    )
+
+
+def simhash64(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """64-bit SimHash per doc: for each bit position, sum +1/-1 votes
+    from each distinct token's md5-derived bits; bit = 1 when the vote
+    is positive. Pure built-in expressions: two 32-bit halves from the
+    md5 hex, bit-tested with shiftright/&.
+
+    Output: (id, simhash) with simhash as bigint. Near-dup detection
+    then compares hamming distance (see `simhash_neardup_pairs`)."""
+    toks = tokens_per_doc(df, id_col, text_col)
+    hi = md5_prefix_long(F.col("token"), salt="hi|")
+    lo = md5_prefix_long(F.col("token"), salt="lo|")
+    toks = toks.withColumn("_hi", hi).withColumn("_lo", lo)
+    votes = [
+        F.sum(
+            F.when(F.shiftright(F.col("_hi" if i < 32 else "_lo"), i % 32).bitwiseAND(1) == 1, 1).otherwise(-1)
+        ).alias(f"v{i}")
+        for i in range(64)
+    ]
+    voted = toks.groupBy(id_col).agg(*votes)
+    bits = [
+        F.when(F.col(f"v{i}") > 0, F.lit(1).cast("long") * (2**i) if i < 63 else F.lit(-(2**63))).otherwise(0)
+        for i in range(64)
+    ]
+    simhash = functools.reduce(operator.add, bits).alias("simhash")
+    return voted.select(F.col(id_col), simhash)
+
+
+def simhash_neardup_pairs(
+    df: DataFrame, id_col: str, text_col: str, max_hamming: int = 3
+) -> DataFrame:
+    """SimHash near-dup pairs: block on 16-bit quarters of the
+    signature (a pair within hamming distance 3 must agree on at
+    least one of 4 quarters — pigeonhole), then verify the exact
+    hamming distance with bit_count(xor). The blocking join is the
+    scale path; no O(n²) comparison."""
+    sigs = simhash64(df, id_col, text_col)
+    quarters = F.array(
+        *[
+            F.struct(
+                F.lit(q).alias("q"),
+                F.shiftrightunsigned(F.col("simhash"), q * 16)
+                .bitwiseAND(F.lit(0xFFFF))
+                .alias("key"),
+            )
+            for q in range(4)
+        ]
+    )
+    blocked = sigs.select(
+        F.col(id_col), F.col("simhash"), F.explode(quarters).alias("bk")
+    ).select(id_col, "simhash", "bk.q", "bk.key")
+    a, b = blocked.alias("a"), blocked.alias("b")
+    hamming = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
+    return (
+        a.join(
+            b,
+            (F.col("a.q") == F.col("b.q"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            hamming.alias("hamming"),
+        )
+        .where(F.col("hamming") <= max_hamming)
+        .dropDuplicates(["id_a", "id_b"])
+    )
+
+
+def dedup_minhash_lsh(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 8,
+    bands: int = 4,
+    threshold: float = 0.7,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Near-dedup, end to end: MinHash-LSH candidates → exact Jaccard
+    verification on candidates only → drop every doc that has a
+    verified near-dup with a smaller id. Returns kept ids.
+
+    This is the 100 TB path: LSH bounds candidate generation, the
+    expensive exact check runs only on candidates, and the "keep min
+    id" rule needs one more small join instead of connected
+    components (transitive closures are deliberately NOT chased —
+    same choice as most production dedup pipelines)."""
+    sigs = minhash_signatures(df, id_col, text_col, num_hashes=num_hashes)
+    cands = lsh_candidate_pairs(sigs, id_col, num_hashes=num_hashes, bands=bands)
+    sh = shingles_per_doc(df, id_col, text_col, n=shingle_n)
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
+    a = sh.select(F.col(id_col).alias("id_a"), "shingle")
+    b = sh.select(F.col(id_col).alias("id_b"), "shingle")
+    inter = (
+        cands.join(a, "id_a").join(b, ["id_b", "shingle"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    verified = (
+        inter.join(sizes.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("na")), "id_a")
+        .join(sizes.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("nb")), "id_b")
+        .where(
+            F.col("common") / (F.col("na") + F.col("nb") - F.col("common"))
+            >= threshold
+        )
+    )
+    dupes = verified.select(F.col("id_b").alias(id_col)).dropDuplicates()
+    return df.select(id_col).join(dupes, id_col, "left_anti")

@@ -1,0 +1,200 @@
+"""Similarity search over embedding columns (array<float>).
+
+North-star extension (SURVEY.md §7.2 step 6); the reference has no
+vector operations. Two paths:
+
+- `cosine_topk`: brute-force scan — the correctness baseline. The
+  whole computation is `zip_with`+`aggregate` built-ins inside one
+  codegen'd map stage plus a TakeOrderedAndProject top-k: at 100 TB
+  this is a single pass with no shuffle (the top-k merge moves k rows
+  per partition to the driver).
+- `lsh_topk`: random-hyperplane LSH — the sub-linear scale path.
+  Vectors are bucketed by sign-bit signature; the exact cosine runs
+  only inside the query's bucket (probing multi-bucket neighborhoods
+  for recall). Hyperplanes are seeded-deterministic so results are
+  reproducible run to run.
+
+`ivf_topk` gives the IVF (inverted-file) variant: k-means-style
+coarse centroids (sampled deterministically), each vector assigned to
+its nearest centroid at index time; queries probe the nearest
+`n_probe` centroids. Same recall/speed trade as FAISS-IVF, expressed
+relationally.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from stream_processing_system_spark.functions import cosine_similarity
+
+
+def attach_query_vector(
+    df: DataFrame, query_df: DataFrame, vec_col: str = "embedding"
+) -> DataFrame:
+    """Cross-join a single-row query-vector frame (broadcast — adds
+    one column to every row, no shuffle, no driver collect)."""
+    q = query_df.select(F.col(vec_col).alias("_qvec"))
+    return df.crossJoin(F.broadcast(q))
+
+
+def cosine_topk(
+    df: DataFrame,
+    query_df: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Brute-force cosine top-k against a 1-row query DataFrame.
+    Output (id, sim) with sim rounded to 6dp and ties broken by id."""
+    with_q = attach_query_vector(df, query_df, vec_col)
+    sim = F.round(cosine_similarity(F.col(vec_col), F.col("_qvec")), 6)
+    return (
+        with_q.select(F.col(id_col), sim.alias("sim"))
+        .orderBy(F.col("sim").desc(), F.col(id_col).asc())
+        .limit(k)
+    )
+
+
+def _hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
+    """Deterministic random hyperplanes (driver-side constants, not
+    data — broadcast as literals into the plan)."""
+    rng = np.random.RandomState(seed)
+    return rng.standard_normal((n_planes, dim)).tolist()
+
+
+def lsh_signature(vec_col, planes: list[list[float]]):
+    """Sign-bit signature: bit_j = 1 if <v, plane_j> >= 0, packed into
+    a bigint. Built-in expressions only (aggregate over zip_with)."""
+    bits = []
+    for j, plane in enumerate(planes):
+        lit_plane = F.array(*[F.lit(float(x)) for x in plane])
+        dot = F.aggregate(
+            F.zip_with(vec_col, lit_plane, lambda a, b: a.cast("double") * b),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        bits.append(F.when(dot >= 0, F.lit(2**j).cast("long")).otherwise(F.lit(0)))
+    out = bits[0]
+    for b in bits[1:]:
+        out = out + b
+    return out
+
+
+def lsh_topk(
+    df: DataFrame,
+    query_df: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = 8,
+    dim: int = 64,
+    seed: int = 42,
+) -> DataFrame:
+    """ANN top-k: restrict the exact cosine scan to vectors whose LSH
+    bucket is within hamming distance 1 of the query's bucket, then
+    brute-force inside that slice. Recall is tunable via n_planes
+    (fewer planes → bigger buckets → higher recall, more compute)."""
+    planes = _hyperplanes(dim, n_planes, seed)
+    sig = lsh_signature(F.col(vec_col), planes)
+    tagged = df.withColumn("_sig", sig)
+    q = query_df.select(
+        F.col(vec_col).alias("_qvec"), lsh_signature(F.col(vec_col), planes).alias("_qsig")
+    )
+    joined = tagged.crossJoin(F.broadcast(q))
+    near_bucket = F.bit_count(F.col("_sig").bitwiseXOR(F.col("_qsig"))) <= 1
+    sim = F.round(cosine_similarity(F.col(vec_col), F.col("_qvec")), 6)
+    return (
+        joined.where(near_bucket)
+        .select(F.col(id_col), sim.alias("sim"))
+        .orderBy(F.col("sim").desc(), F.col(id_col).asc())
+        .limit(k)
+    )
+
+
+def ivf_topk(
+    df: DataFrame,
+    query_df: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_centroids: int = 16,
+    n_probe: int = 4,
+) -> DataFrame:
+    """IVF ANN: use `n_centroids` deterministic sample vectors as
+    coarse centroids, assign every vector to its best centroid
+    (argmax cosine — one broadcast of a tiny centroid array), probe
+    the query's best `n_probe` centroids. All relational: the index
+    is just an extra int column; at scale you'd persist it
+    partitioned by centroid for partition pruning."""
+    centroids = df.orderBy(F.col(id_col).asc()).limit(n_centroids).select(
+        F.col(id_col).alias("_cid"), F.col(vec_col).alias("_cvec")
+    )
+    sims = df.crossJoin(F.broadcast(centroids)).select(
+        F.col(id_col),
+        F.col(vec_col),
+        F.col("_cid"),
+        cosine_similarity(F.col(vec_col), F.col("_cvec")).alias("_csim"),
+    )
+    best = sims.withColumn(
+        "_rk",
+        F.row_number().over(
+            Window.partitionBy(id_col).orderBy(
+                F.col("_csim").desc(), F.col("_cid").asc()
+            )
+        ),
+    ).where(F.col("_rk") == 1)
+    assigned = best.select(id_col, vec_col, F.col("_cid").alias("_centroid"))
+
+    qsims = query_df.crossJoin(F.broadcast(centroids)).select(
+        F.col("_cid"),
+        cosine_similarity(F.col(vec_col), F.col("_cvec")).alias("_csim"),
+    )
+    probe = qsims.orderBy(F.col("_csim").desc(), F.col("_cid").asc()).limit(n_probe)
+    probe_ids = F.broadcast(probe.select(F.col("_cid").alias("_centroid")))
+
+    candidates = assigned.join(probe_ids, "_centroid")
+    q = query_df.select(F.col(vec_col).alias("_qvec"))
+    sim = F.round(cosine_similarity(F.col(vec_col), F.col("_qvec")), 6)
+    return (
+        candidates.crossJoin(F.broadcast(q))
+        .select(F.col(id_col), sim.alias("sim"))
+        .orderBy(F.col("sim").desc(), F.col(id_col).asc())
+        .limit(k)
+    )
+
+
+def embedding_neardup_pairs(
+    df: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = 8,
+    dim: int = 64,
+    seed: int = 42,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs via LSH blocking: only
+    same-bucket pairs get the exact cosine check. Output
+    (id_a, id_b, sim) above threshold, 6dp."""
+    planes = _hyperplanes(dim, n_planes, seed)
+    tagged = df.select(
+        F.col(id_col), F.col(vec_col), lsh_signature(F.col(vec_col), planes).alias("_sig")
+    )
+    a, b = tagged.alias("a"), tagged.alias("b")
+    sim = F.round(
+        cosine_similarity(F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}")), 6
+    )
+    return (
+        a.join(
+            b,
+            (F.col("a._sig") == F.col("b._sig"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            sim.alias("sim"),
+        )
+        .where(F.col("sim") >= threshold)
+    )

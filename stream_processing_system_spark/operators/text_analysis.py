@@ -1,0 +1,155 @@
+"""Text-analysis operators over the documents table.
+
+North-star extensions (SURVEY.md §7.2 step 6): language-ID, quality
+scoring, token statistics, document fingerprinting. All built-in
+expressions — a 100 TB corpus pass is one codegen'd map stage per
+operator (plus a window shuffle for winnowing).
+"""
+
+from __future__ import annotations
+
+import functools
+import operator
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from stream_processing_system_spark.functions import md5_prefix_long
+
+#: Tiny per-language marker vocabularies for the heuristic
+#: language-ID (stopword-hit counting). Order = tie-break priority.
+LANG_MARKERS: list[tuple[str, list[str]]] = [
+    ("en", ["the", "a", "of", "and", "is"]),
+    ("es", ["el", "la", "de", "y", "es"]),
+    ("fr", ["le", "la", "de", "et", "est"]),
+    ("de", ["der", "die", "das", "und", "ist"]),
+    ("zh", ["的", "是", "了", "在", "我"]),
+]
+
+STOPWORDS = ["the", "a", "of", "and", "is", "in", "to", "it"]
+
+
+def _toks(text_col):
+    return F.filter(F.split(text_col, " "), lambda t: t != "")
+
+
+def doc_stats(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Per-document token statistics: n_chars, n_tokens,
+    avg_token_len (6dp), stopword_ratio (6dp)."""
+    toks = _toks(F.col(text_col))
+    n_tokens = F.size(toks)
+    total_tok_chars = F.aggregate(
+        toks, F.lit(0).cast("long"), lambda acc, t: acc + F.length(t)
+    )
+    stop_hits = F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS)))
+    return df.select(
+        F.col(id_col),
+        F.length(text_col).cast("long").alias("n_chars"),
+        n_tokens.cast("long").alias("n_tokens"),
+        F.round(total_tok_chars / n_tokens, 6).alias("avg_token_len"),
+        F.round(stop_hits / n_tokens, 6).alias("stopword_ratio"),
+    )
+
+
+def quality_score(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Heuristic quality score in [0,1] from length, token shape, and
+    stopword presence — the standard cheap pre-filter before
+    expensive model-based scoring in a training-data pipeline:
+
+      0.4 * min(n_tokens/100, 1)           (enough content)
+    + 0.3 * min(avg_token_len/8, 1)        (not all tiny tokens)
+    + 0.3 * min(stopword_ratio*5, 1)       (natural-language-like)
+
+    Deterministic, oracle-checkable (6dp).
+    """
+    toks = _toks(F.col(text_col))
+    n_tokens = F.size(toks).cast("double")
+    total_tok_chars = F.aggregate(
+        toks, F.lit(0).cast("long"), lambda acc, t: acc + F.length(t)
+    )
+    avg_len = total_tok_chars / n_tokens
+    stop_ratio = F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS))) / n_tokens
+    score = (
+        0.4 * F.least(n_tokens / 100.0, F.lit(1.0))
+        + 0.3 * F.least(avg_len / 8.0, F.lit(1.0))
+        + 0.3 * F.least(stop_ratio * 5.0, F.lit(1.0))
+    )
+    return df.select(F.col(id_col), F.round(score, 6).alias("quality"))
+
+
+def lang_id(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Heuristic language ID: count marker-stopword hits per language,
+    pick the max (ties broken by LANG_MARKERS order; zero hits →
+    'unknown'). A real pipeline swaps in fastText/CLD3 via pandas_udf
+    — the relational shape (one map stage) stays identical."""
+    toks = _toks(F.col(text_col))
+
+    def marker_hits(markers: list[str]):
+        return F.size(F.filter(toks, lambda t: t.isin(*markers)))
+
+    scores = {lang: marker_hits(markers) for lang, markers in LANG_MARKERS}
+    best = functools.reduce(F.greatest, scores.values())
+    pred = F.lit("unknown")
+    for lang, _ in reversed(LANG_MARKERS):
+        pred = F.when(scores[lang] == best, F.lit(lang)).otherwise(pred)
+    pred = F.when(best > 0, pred).otherwise(F.lit("unknown"))
+    return df.select(F.col(id_col), pred.alias("lang_pred"))
+
+
+def fingerprint(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Whole-document fingerprint: md5 of lower(trim(text)). The
+    cheapest dedup key; shared md5 keeps it oracle-checkable."""
+    return df.select(
+        F.col(id_col), F.md5(F.lower(F.trim(F.col(text_col)))).alias("fp")
+    )
+
+
+def winnow_fingerprints(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    window: int = 4,
+) -> DataFrame:
+    """Winnowing (Schleimer/Wilkerson/Aiken, SIGMOD'03) document
+    fingerprints: hash every k-gram of words, slide a window of
+    `window` hashes, keep each window's minimum → the classic
+    near-dup/plagiarism sketch. Output: distinct (id, fp_hash) rows.
+
+    Relational formulation: posexplode the k-grams, windowed MIN over
+    (doc, position), distinct. One shuffle on doc_id."""
+    toks = _toks(F.col(text_col))
+    parts = [f"l[i+{j}]" for j in range(k)]
+    grams = F.expr(
+        f"transform(sequence(0, size(l)-{k}), i -> concat_ws(' ', {', '.join(parts)}))"
+    )
+    hashed = (
+        df.select(F.col(id_col), toks.alias("l"))
+        .where(F.size("l") >= k)
+        .select(F.col(id_col), F.posexplode(grams).alias("pos", "gram"))
+        .select(F.col(id_col), F.col("pos"), md5_prefix_long(F.col("gram")).alias("h"))
+    )
+    w = (
+        Window.partitionBy(id_col)
+        .orderBy("pos")
+        .rowsBetween(-(window - 1), 0)
+    )
+    return (
+        hashed.select(F.col(id_col), F.min("h").over(w).alias("fp_hash"))
+        .dropDuplicates([id_col, "fp_hash"])
+    )
+
+
+def token_frequencies(
+    df: DataFrame, text_col: str = "text", min_count: int = 1
+) -> DataFrame:
+    """Corpus token frequency table (the wordcount operator applied as
+    a vocabulary builder). Partial aggregation makes this a near-free
+    pass even at corpus scale."""
+    toks = _toks(F.col(text_col))
+    return (
+        df.select(F.explode(toks).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .where(F.col("freq") >= min_count)
+    )

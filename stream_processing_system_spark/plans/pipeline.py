@@ -1,0 +1,102 @@
+"""Training-data-pipeline queries over documents/embeddings —
+(spark, sf_dir) wrappers around operators/{dedup,similarity,
+text_analysis} for the driver contract."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from stream_processing_system_spark.operators import dedup, similarity, text_analysis
+from stream_processing_system_spark.sources.tables import load_table
+
+
+def _docs(spark, sf_dir):
+    return load_table(spark, sf_dir, "documents")
+
+
+def _embs(spark, sf_dir):
+    return load_table(spark, sf_dir, "embeddings")
+
+
+def _query_vec(spark, sf_dir) -> DataFrame:
+    """The standard 1-row query frame: embedding of vec_id 0."""
+    return _embs(spark, sf_dir).where(F.col("vec_id") == 0).select("embedding")
+
+
+# --- dedup ---
+
+def dedup_exact_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.dedup_exact(_docs(spark, sf_dir), "doc_id", "text")
+
+
+def minhash_signatures_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.minhash_signatures(_docs(spark, sf_dir), "doc_id", "text", num_hashes=8)
+
+
+def jaccard_pairs_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.jaccard_pairs(
+        _docs(spark, sf_dir), "doc_id", "text", threshold=0.1, n=3
+    )
+
+
+def simhash_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.simhash64(_docs(spark, sf_dir), "doc_id", "text")
+
+
+def dedup_minhash_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.dedup_minhash_lsh(
+        _docs(spark, sf_dir), "doc_id", "text", num_hashes=8, bands=4, threshold=0.7
+    )
+
+
+def simhash_neardup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.simhash_neardup_pairs(
+        _docs(spark, sf_dir), "doc_id", "text", max_hamming=3
+    )
+
+
+# --- similarity search ---
+
+def cosine_topk_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return similarity.cosine_topk(
+        _embs(spark, sf_dir), _query_vec(spark, sf_dir), k=10
+    )
+
+
+def lsh_topk_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return similarity.lsh_topk(
+        _embs(spark, sf_dir), _query_vec(spark, sf_dir), k=10
+    )
+
+
+def ivf_topk_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return similarity.ivf_topk(
+        _embs(spark, sf_dir), _query_vec(spark, sf_dir), k=10
+    )
+
+
+def embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return similarity.embedding_neardup_pairs(_embs(spark, sf_dir), threshold=0.9)
+
+
+# --- text analysis ---
+
+def doc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text_analysis.doc_stats(_docs(spark, sf_dir))
+
+
+def doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text_analysis.quality_score(_docs(spark, sf_dir))
+
+
+def doc_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text_analysis.lang_id(_docs(spark, sf_dir))
+
+
+def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text_analysis.fingerprint(_docs(spark, sf_dir))
+
+
+def doc_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text_analysis.winnow_fingerprints(_docs(spark, sf_dir), k=3, window=4)

@@ -1,0 +1,111 @@
+"""Dedup operator tests: exact dedup keeps one copy, MinHash-LSH
+finds planted near-duplicates, SimHash matches a pure-Python
+reference implementation (the oracle for non-SQL-expressible ops)."""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import functions as F
+
+from stream_processing_system_spark.operators import dedup
+
+BASE = (
+    "the quick brown fox jumps over the lazy dog while the cat watches "
+    "from a warm sunny window sill and dreams of chasing birds all day"
+)
+
+
+def _docs_with_neardups(spark):
+    """4 unique docs + near-dup of doc 0 (one word changed) + exact
+    dup of doc 1."""
+    rows = [
+        (0, BASE),
+        (1, "completely different content about database engines and query plans"),
+        (2, "a third document with its own words entirely unrelated to others"),
+        (3, "yet another unique piece of text talking about distributed systems"),
+        (10, BASE.replace("sunny", "rainy")),  # near-dup of 0
+        (11, "completely different content about database engines and query plans"),  # exact dup of 1
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def test_dedup_exact_keeps_min_id(spark):
+    df = _docs_with_neardups(spark)
+    kept = {r["doc_id"] for r in dedup.dedup_exact(df, "doc_id", "text").collect()}
+    assert 1 in kept and 11 not in kept  # exact dup dropped, keeper = min id
+    assert kept == {0, 1, 2, 3, 10}  # near-dup is NOT exact → survives
+
+
+def test_minhash_lsh_finds_planted_neardup(spark):
+    df = _docs_with_neardups(spark)
+    pairs = dedup.lsh_candidate_pairs(
+        dedup.minhash_signatures(df, "doc_id", "text", num_hashes=8),
+        "doc_id",
+        num_hashes=8,
+        bands=4,
+    ).collect()
+    cand = {(r["id_a"], r["id_b"]) for r in pairs}
+    assert (0, 10) in cand  # planted near-dup must be a candidate
+    assert (1, 11) in cand  # exact dup certainly agrees on all bands
+
+
+def test_dedup_minhash_lsh_end_to_end(spark):
+    df = _docs_with_neardups(spark)
+    kept = {
+        r["doc_id"]
+        for r in dedup.dedup_minhash_lsh(
+            df, "doc_id", "text", num_hashes=8, bands=4, threshold=0.5
+        ).collect()
+    }
+    assert 0 in kept and 10 not in kept  # near-dup dropped, min id kept
+    assert 1 in kept and 11 not in kept  # exact dup dropped
+    assert {2, 3} <= kept
+
+
+def test_jaccard_pairs_exact_value(spark):
+    # doc A: tokens {a b c d}, shingle-3: {a b c, b c d} ; doc B shares 1 of its 2
+    df = spark.createDataFrame(
+        [(1, "a b c d"), (2, "a b c x")], ["doc_id", "text"]
+    )
+    rows = dedup.jaccard_pairs(df, "doc_id", "text", threshold=0.0, n=3).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    # shingles: {abc, bcd} vs {abc, bcx} → common=1, union=3 → 1/3
+    assert (r["id_a"], r["id_b"]) == (1, 2)
+    assert abs(r["jaccard"] - round(1 / 3, 6)) < 1e-9
+
+
+def _py_simhash(text: str) -> int:
+    """Independent pure-Python SimHash using the same md5 scheme."""
+    tokens = {t for t in text.split(" ") if t}
+    votes = [0] * 64
+    for tok in tokens:
+        hi = int(hashlib.md5(f"hi|{tok}".encode()).hexdigest()[:8], 16)
+        lo = int(hashlib.md5(f"lo|{tok}".encode()).hexdigest()[:8], 16)
+        for i in range(64):
+            word = hi if i < 32 else lo
+            votes[i] += 1 if (word >> (i % 32)) & 1 else -1
+    out = 0
+    for i in range(64):
+        if votes[i] > 0:
+            out |= 1 << i
+    # interpret as signed 64-bit (Spark long)
+    return out - (1 << 64) if out >= (1 << 63) else out
+
+
+def test_simhash_matches_python_reference(spark):
+    df = _docs_with_neardups(spark)
+    got = {r["doc_id"]: r["simhash"] for r in dedup.simhash64(df, "doc_id", "text").collect()}
+    want = {r["doc_id"]: _py_simhash(r["text"]) for r in df.collect()}
+    assert got == want
+
+
+def test_simhash_neardup_blocking(spark):
+    df = _docs_with_neardups(spark)
+    pairs = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in dedup.simhash_neardup_pairs(df, "doc_id", "text", max_hamming=8).collect()
+    }
+    assert pairs.get((1, 11)) == 0  # exact dup: distance 0
+    assert (0, 10) in pairs  # one-word change: small distance

@@ -1,0 +1,65 @@
+"""Text-analysis operator tests on crafted inputs."""
+
+from __future__ import annotations
+
+from stream_processing_system_spark.operators import text_analysis
+
+
+def test_doc_stats_basic(spark):
+    df = spark.createDataFrame([(1, "the cat  sat")], ["doc_id", "text"])
+    r = text_analysis.doc_stats(df).collect()[0]
+    assert r["n_chars"] == len("the cat  sat")
+    assert r["n_tokens"] == 3  # doubled space → empty token dropped
+    assert abs(r["avg_token_len"] - round((3 + 3 + 3) / 3, 6)) < 1e-9
+    assert abs(r["stopword_ratio"] - round(1 / 3, 6)) < 1e-9
+
+
+def test_lang_id_markers_and_unknown(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "the cat is of the house and it is"),
+            (2, "el la de y es el la"),
+            (3, "zz qq ww"),
+        ],
+        ["doc_id", "text"],
+    )
+    got = {r["doc_id"]: r["lang_pred"] for r in text_analysis.lang_id(df).collect()}
+    assert got == {1: "en", 2: "es", 3: "unknown"}
+
+
+def test_lang_id_tiebreak_priority(spark):
+    # 'la de' scores 2 for both es and fr → priority order picks es
+    df = spark.createDataFrame([(1, "la de")], ["doc_id", "text"])
+    assert text_analysis.lang_id(df).collect()[0]["lang_pred"] == "es"
+
+
+def test_quality_score_bounds(spark):
+    df = spark.createDataFrame(
+        [(1, "x"), (2, " ".join(["the", "wonderful", "engine"] * 50))],
+        ["doc_id", "text"],
+    )
+    got = {r["doc_id"]: r["quality"] for r in text_analysis.quality_score(df).collect()}
+    assert 0.0 <= got[1] < got[2] <= 1.0
+
+
+def test_fingerprint_normalizes(spark):
+    df = spark.createDataFrame(
+        [(1, "  Hello World "), (2, "hello world")], ["doc_id", "text"]
+    )
+    fps = [r["fp"] for r in text_analysis.fingerprint(df).collect()]
+    assert fps[0] == fps[1]
+
+
+def test_winnow_is_subset_of_kgram_hashes_and_overlaps_for_neardups(spark):
+    a = "one two three four five six seven eight nine ten"
+    b = "one two three four five six seven eight nine zzz"
+    df = spark.createDataFrame([(1, a), (2, b)], ["doc_id", "text"])
+    rows = text_analysis.winnow_fingerprints(df, k=3, window=4).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], set()).add(r["fp_hash"])
+    # near-identical docs share most fingerprints
+    inter = by_doc[1] & by_doc[2]
+    assert len(inter) >= 1
+    # winnowing compresses: fewer fingerprints than k-grams (8 grams per doc)
+    assert len(by_doc[1]) <= 8
