@@ -191,22 +191,24 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY md5(lower(trim(text)))
         """,
         "minhash_signatures": """
-            WITH toks AS (
-                SELECT DISTINCT doc_id, tok FROM (
-                    SELECT doc_id, unnest(string_split(text, ' ')) AS tok
-                    FROM documents
-                ) WHERE tok <> ''
+            WITH t AS (
+                SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS l
+                FROM documents
+            ), sh AS (
+                SELECT DISTINCT doc_id, l[i] || ' ' || l[i+1] || ' ' || l[i+2] AS shingle
+                FROM t, UNNEST(range(1, len(l) - 1)) AS u(i)
+                WHERE len(l) >= 3
             )
             SELECT doc_id,
-                   MIN(('0x' || substr(md5('0|' || tok), 1, 8))::BIGINT) AS h0,
-                   MIN(('0x' || substr(md5('1|' || tok), 1, 8))::BIGINT) AS h1,
-                   MIN(('0x' || substr(md5('2|' || tok), 1, 8))::BIGINT) AS h2,
-                   MIN(('0x' || substr(md5('3|' || tok), 1, 8))::BIGINT) AS h3,
-                   MIN(('0x' || substr(md5('4|' || tok), 1, 8))::BIGINT) AS h4,
-                   MIN(('0x' || substr(md5('5|' || tok), 1, 8))::BIGINT) AS h5,
-                   MIN(('0x' || substr(md5('6|' || tok), 1, 8))::BIGINT) AS h6,
-                   MIN(('0x' || substr(md5('7|' || tok), 1, 8))::BIGINT) AS h7
-            FROM toks GROUP BY doc_id
+                   MIN(('0x' || substr(md5('0|' || shingle), 1, 8))::BIGINT) AS h0,
+                   MIN(('0x' || substr(md5('1|' || shingle), 1, 8))::BIGINT) AS h1,
+                   MIN(('0x' || substr(md5('2|' || shingle), 1, 8))::BIGINT) AS h2,
+                   MIN(('0x' || substr(md5('3|' || shingle), 1, 8))::BIGINT) AS h3,
+                   MIN(('0x' || substr(md5('4|' || shingle), 1, 8))::BIGINT) AS h4,
+                   MIN(('0x' || substr(md5('5|' || shingle), 1, 8))::BIGINT) AS h5,
+                   MIN(('0x' || substr(md5('6|' || shingle), 1, 8))::BIGINT) AS h6,
+                   MIN(('0x' || substr(md5('7|' || shingle), 1, 8))::BIGINT) AS h7
+            FROM sh GROUP BY doc_id
         """,
         "jaccard_pairs": """
             WITH t AS (

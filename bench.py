@@ -1,0 +1,79 @@
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints
+ONE JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Execution is forced with a noop-format write (full pipeline runs,
+nothing materializes driver-side), after a warm-up query that absorbs
+JVM/codegen startup so numbers measure the plans, not the JIT."""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+import __spark_entry__ as contract
+from stream_processing_system_spark.session import get_spark
+
+#: Headline set: reference parity + the heaviest analytics + one of
+#: each pipeline family (dedup / similarity / text).
+HEADLINE = [
+    "q1_wordcount",
+    "q2_top_users",
+    "q3_host_report",
+    "pricing_summary",
+    "revenue_by_nation",
+    "top_unshipped_orders",
+    "order_priority_counts",
+    "supplier_rank_in_nation",
+    "sessionize_events",
+    "json_props_stats",
+    "dedup_exact",
+    "minhash_signatures",
+    "dedup_minhash_lsh",
+    "simhash",
+    "cosine_topk",
+    "lsh_topk",
+    "doc_stats",
+    "doc_winnow",
+]
+
+
+def force(df) -> None:
+    df.write.format("noop").mode("overwrite").save()
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "0")) or (os.cpu_count() or 4)
+    spark = get_spark(app_name="bench", cpus=cpus)
+    spark.sparkContext.setLogLevel("ERROR")
+    queries = contract.queries()
+
+    names = sys.argv[1:] or HEADLINE
+    force(queries["pricing_summary"](spark, sf_dir))  # warm-up
+
+    timings: dict[str, float] = {}
+    for name in names:
+        t0 = time.perf_counter()
+        force(queries[name](spark, sf_dir))
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_wall_time",
+                "value": round(sum(timings.values()), 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -83,17 +83,30 @@ def shingles_per_doc(
 
 
 def minhash_signatures(
-    df: DataFrame, id_col: str, text_col: str, num_hashes: int = 8
+    df: DataFrame, id_col: str, text_col: str, num_hashes: int = 8,
+    shingle_n: int = 3,
 ) -> DataFrame:
-    """MinHash signature per doc: h_j = min over tokens of
-    md5_prefix_long('j|' + token). One explode + one groupBy — all K
-    hash mins computed in a single shuffle (columns h0..h{K-1})."""
-    toks = tokens_per_doc(df, id_col, text_col)
+    """MinHash signature per doc over word n-gram shingles:
+    h_j = min over shingles of md5_prefix_long('j|' + shingle). One
+    explode + one groupBy — all K hash mins in a single shuffle
+    (columns h0..h{K-1}).
+
+    Shingles, not unigrams, on purpose: signatures must estimate the
+    same Jaccard space the verification step measures, and unigram
+    sets are near-identical across natural-language docs (small
+    shared vocabulary → all docs collide into one LSH bucket → the
+    candidate join degenerates to O(n²)). `shingle_n=1` still gives
+    token-level MinHash when wanted."""
+    units = (
+        tokens_per_doc(df, id_col, text_col).withColumnRenamed("token", "shingle")
+        if shingle_n == 1
+        else shingles_per_doc(df, id_col, text_col, n=shingle_n)
+    )
     aggs = [
-        F.min(md5_prefix_long(F.col("token"), salt=f"{j}|")).alias(f"h{j}")
+        F.min(md5_prefix_long(F.col("shingle"), salt=f"{j}|")).alias(f"h{j}")
         for j in range(num_hashes)
     ]
-    return toks.groupBy(id_col).agg(*aggs)
+    return units.groupBy(id_col).agg(*aggs)
 
 
 def lsh_candidate_pairs(

@@ -1,0 +1,180 @@
+"""Multimodal (image/audio/video) column plumbing.
+
+Media are opaque `binary` payloads with typed metadata; all
+per-payload compute is Arrow-batched Python (`mapInPandas`) because
+codecs are Python/native libraries. The Spark-side contract — schema,
+batch shape, partition sizing — is real and tested; the codec calls
+themselves are STUBBED (this container ships no image/audio libs):
+`decode_media(..., decoder=None)` uses a deterministic fake, and
+`PILLOW_DECODER_DOC` documents the real drop-in.
+
+Scale notes:
+- payloads never pass through Python except inside the mapInPandas
+  stage that needs them; metadata-only queries prune the binary
+  column at the parquet scan (columnar layout keeps blobs unread).
+- `spark.sql.files.maxPartitionBytes` governs blob-scan task sizing;
+  with large media rows, lower it (or repartition on a key) so a
+  task's Arrow batch fits executor memory.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import zlib
+from collections.abc import Callable, Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    BinaryType,
+    LongType,
+    MapType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+MEDIA_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("media_type", StringType()),  # image | audio | video
+        StructField("payload", BinaryType()),
+        StructField("meta", MapType(StringType(), StringType())),
+    ]
+)
+
+DECODED_SCHEMA = (
+    "media_id long, media_type string, n_bytes long, checksum long, "
+    "width int, height int, duration_ms int"
+)
+
+PILLOW_DECODER_DOC = """Real decoder drop-in (requires pillow):
+    from PIL import Image; import io
+    def pillow_decode(media_id, media_type, payload):
+        img = Image.open(io.BytesIO(payload))
+        return dict(width=img.width, height=img.height, duration_ms=0)
+Pass as decode_media(df, decoder=pillow_decode)."""
+
+
+def fake_media_from_documents(spark: SparkSession, docs: DataFrame) -> DataFrame:
+    """Deterministic fake media table derived from documents: payload
+    = utf-8 bytes of the text. Lets every pipeline stage run and be
+    asserted on without codecs."""
+    return docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.when(F.col("doc_id") % 3 == 0, "image")
+        .when(F.col("doc_id") % 3 == 1, "audio")
+        .otherwise("video")
+        .alias("media_type"),
+        F.encode("text", "utf-8").alias("payload"),
+        F.create_map(F.lit("source"), F.col("source")).alias("meta"),
+    )
+
+
+def _fake_decode(media_id: int, media_type: str, payload: bytes) -> dict:
+    """Deterministic stand-in for a codec: derives plausible
+    dimensions from the payload hash. Replace with a real decoder
+    (PILLOW_DECODER_DOC) in production."""
+    h = int(hashlib.md5(payload).hexdigest()[:8], 16)
+    if media_type == "image":
+        return dict(width=64 + h % 1024, height=64 + (h >> 4) % 1024, duration_ms=0)
+    if media_type == "audio":
+        return dict(width=0, height=0, duration_ms=1000 + h % 600_000)
+    return dict(width=320 + h % 1280, height=240 + (h >> 4) % 720,
+                duration_ms=1000 + h % 7_200_000)
+
+
+def decode_media(
+    df: DataFrame,
+    decoder: Callable[[int, str, bytes], dict] | None = None,
+) -> DataFrame:
+    """Decode/inspect payloads via mapInPandas (Arrow batches of
+    binary). Output adds n_bytes, crc32 checksum, and decoder fields.
+    `decoder=None` → deterministic fake (documented stub)."""
+    dec = decoder or _fake_decode
+
+    def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            meta = [
+                dec(mid, mtype, bytes(payload))
+                for mid, mtype, payload in zip(
+                    pdf["media_id"], pdf["media_type"], pdf["payload"]
+                )
+            ]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "media_type": pdf["media_type"],
+                    "n_bytes": [len(bytes(p)) for p in pdf["payload"]],
+                    "checksum": [zlib.crc32(bytes(p)) for p in pdf["payload"]],
+                    "width": [m["width"] for m in meta],
+                    "height": [m["height"] for m in meta],
+                    "duration_ms": [m["duration_ms"] for m in meta],
+                }
+            )
+
+    return df.mapInPandas(_decode, schema=DECODED_SCHEMA)
+
+
+def resize_images(df: DataFrame, max_side: int = 256) -> DataFrame:
+    """Image resize stage: STUB — real implementation needs pillow
+    (see PILLOW_DECODER_DOC). The Spark plumbing (filter to images,
+    mapInPandas over payloads, binary-out schema) is the tested part;
+    the fake 'resize' truncates payload bytes deterministically."""
+
+    def _resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "payload": [bytes(p)[: max_side * max_side // 64] for p in pdf["payload"]],
+                }
+            )
+
+    return df.where(F.col("media_type") == "image").mapInPandas(
+        _resize, schema="media_id long, payload binary"
+    )
+
+
+def sample_frames(df: DataFrame, every_ms: int = 1000) -> DataFrame:
+    """Video frame sampling: 1-in/N-out (one row per sampled frame).
+    STUB decode; real implementation swaps in pyav/ffmpeg. Frame
+    count derives from the fake duration, capped to keep output
+    bounded."""
+
+    def _sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"media_id": [], "frame_idx": [], "ts_ms": []}
+            for mid, mtype, payload in zip(
+                pdf["media_id"], pdf["media_type"], pdf["payload"]
+            ):
+                d = _fake_decode(mid, mtype, bytes(payload))
+                n = min(d["duration_ms"] // every_ms, 16)
+                for i in range(n):
+                    out["media_id"].append(mid)
+                    out["frame_idx"].append(i)
+                    out["ts_ms"].append(i * every_ms)
+            yield pd.DataFrame(out)
+
+    return df.where(F.col("media_type") == "video").mapInPandas(
+        _sample, schema="media_id long, frame_idx int, ts_ms int"
+    )
+
+
+def media_features(df: DataFrame, dim: int = 16) -> DataFrame:
+    """Feature extraction stub: deterministic pseudo-embedding from
+    the payload hash (real path: a model via pandas_udf on GPU
+    executors; identical plan shape)."""
+
+    def _feat(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = []
+            for payload in pdf["payload"]:
+                digest = hashlib.sha256(bytes(payload)).digest()
+                feats.append(
+                    [((digest[i % 32] / 255.0) * 2 - 1) for i in range(dim)]
+                )
+            yield pd.DataFrame({"media_id": pdf["media_id"], "embedding": feats})
+
+    return df.mapInPandas(_feat, schema="media_id long, embedding array<double>")

@@ -1,0 +1,159 @@
+"""Streaming jobs (SURVEY.md §2.9, §7.2 step 4).
+
+The reference's streaming model is tuple-at-a-time over TCP with an
+`END` marker to signal end-of-stream (`spout/spout.go:205-210`,
+`bolt/bolt.go:209-215`); the boltl polls until every upstream sent
+END, then writes the sink once (`bolt/bolt.go:286-310`). The
+idiomatic Spark twin is `trigger(availableNow=True)`: drain all
+available input, then stop — identical completion semantics with
+checkpointing (exactly-once to idempotent sinks, strictly stronger
+than the reference's drop-and-restart at-most-once,
+`spout/spout.go:120-150`, `Nimbus.go:280-297`).
+
+Every job here reuses the SAME plan function as its batch twin —
+parity between batch and streaming results on static input is a
+tested property (FIXTURES.md §3)."""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+from stream_processing_system_spark.plans.reference import nasalog_report, wordcount
+from stream_processing_system_spark.sources.text import (
+    read_reddit_csv,
+    read_text_lines,
+)
+
+
+def _drain_to_table(
+    result: DataFrame, query_name: str, checkpoint_dir: str, output_mode: str = "complete"
+) -> DataFrame:
+    """Run an aggregated streaming DataFrame to completion
+    (availableNow = the END-marker drain) into an in-memory table and
+    return it as a batch DataFrame. For production sinks swap the
+    memory format for parquet/kafka/foreachBatch — the plan is
+    unchanged."""
+    q = (
+        result.writeStream.outputMode(output_mode)
+        .format("memory")
+        .queryName(query_name)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return result.sparkSession.table(query_name)
+
+
+def stream_wordcount(
+    spark: SparkSession, input_dir: str, checkpoint_dir: str, name: str = "wc_stream"
+) -> DataFrame:
+    """Q1 as a stream: file-drop directory → same wordcount plan →
+    drain-and-stop. State (the word counts) lives in the streaming
+    state store — the managed equivalent of the reference's unbounded
+    `WordCountMap` + mutex (`bolt/bolt.go:28-34,566-583`)."""
+    lines = read_text_lines(spark, input_dir, streaming=True)
+    return _drain_to_table(wordcount(lines), name, checkpoint_dir)
+
+
+def stream_reddit_top_users(
+    spark: SparkSession, input_dir: str, checkpoint_dir: str, k: int = 50,
+    name: str = "reddit_stream",
+) -> DataFrame:
+    """Q2 as a stream. Sorting/limit are not allowed in streaming
+    aggregations, so the stream maintains the counts (the stateful
+    part) and the top-k is applied to the drained result — the same
+    split as the reference, where ranking happens once at END
+    (`bolt/bolt.go:286-294` poll loop → `:398-419` rank+write)."""
+    df = read_reddit_csv(spark, input_dir, streaming=True)
+    filtered = df.where(F.coalesce(F.col("score").try_cast("int"), F.lit(0)) >= 0)
+    counts = filtered.groupBy("username").agg(F.count(F.lit(1)).alias("posts"))
+    drained = _drain_to_table(counts, name, checkpoint_dir)
+    return drained.orderBy(F.col("posts").desc(), F.col("username").asc()).limit(k)
+
+
+def stream_nasalog_report(
+    spark: SparkSession, input_dir: str, checkpoint_dir: str, name: str = "nasa_stream"
+) -> DataFrame:
+    """Q3 as a stream: the full parse → filter → grouped
+    count+collect_set plan runs incrementally."""
+    lines = read_text_lines(spark, input_dir, streaming=True)
+    return _drain_to_table(nasalog_report(lines), name, checkpoint_dir)
+
+
+def stream_session_windows(
+    spark: SparkSession,
+    events: DataFrame,
+    checkpoint_dir: str,
+    gap: str = "30 minutes",
+    watermark: str = "1 hour",
+    name: str = "sessions_stream",
+) -> DataFrame:
+    """Streaming sessionization with `session_window` + watermark —
+    the streaming twin of plans.analytics.sessionize_events. Late
+    data beyond the watermark is dropped (the reference has no
+    event-time semantics at all, SURVEY.md §2.9 — this is capability
+    beyond parity). `events` must be a streaming DataFrame with
+    (ts timestamp, user_id)."""
+    sessions = (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap), F.col("user_id"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("session_window.start").alias("session_start"),
+            "n_events",
+        )
+    )
+    return _drain_to_table(sessions, name, checkpoint_dir, output_mode="complete")
+
+
+# ---------------------------------------------------------------------------
+# Custom stateful operator surface (§2.11 stateful bolt contract →
+# applyInPandasWithState)
+# ---------------------------------------------------------------------------
+
+def _running_count_fn(key, pdf_iter, state: GroupState):
+    """Per-key running count; state = the reference's per-key
+    `map[string]int` entry (`bolt/bolt.go:28`), but partitioned,
+    checkpointed, and lock-free."""
+    n = state.get[0] if state.exists else 0
+    for pdf in pdf_iter:
+        n += len(pdf)
+    state.update((n,))
+    yield pd.DataFrame({"key": [key[0]], "cnt": [n]})
+
+
+def stream_running_counts(
+    spark: SparkSession,
+    input_dir: str,
+    checkpoint_dir: str,
+    name: str = "running_counts",
+) -> DataFrame:
+    """Custom stateful streaming operator via applyInPandasWithState:
+    maintains an exact running count per key over a text-line stream
+    (one key per line). Demonstrates the §2.11 'stateful bolt'
+    extension point with managed, fault-tolerant state."""
+    lines = read_text_lines(spark, input_dir, streaming=True).select(
+        F.col("line").alias("key")
+    )
+    counts = lines.groupBy("key").applyInPandasWithState(
+        _running_count_fn,
+        outputStructType="key string, cnt long",
+        stateStructType="cnt long",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    q = (
+        counts.writeStream.outputMode("update")
+        .format("memory")
+        .queryName(name)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
