@@ -25,6 +25,19 @@ def entry(spark: SparkSession) -> DataFrame:
     return analytics.pricing_summary(spark, SMOKE_SF_DIR)
 
 
+def _top_users_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q2 recomputed through the two-phase salted aggregation
+    (operators/skew.py) — same oracle proves exact equivalence."""
+    from pyspark.sql import functions as F
+
+    from stream_processing_system_spark.operators.skew import salted_count
+    from stream_processing_system_spark.sources.tables import load_table
+
+    events = load_table(spark, sf_dir, "events").where(F.col("value") >= 0)
+    counted = salted_count(events, ["user_id"], out="posts")
+    return counted.orderBy(F.col("posts").desc(), F.col("user_id").asc()).limit(50)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- reference parity (SURVEY.md §2.12) ---
@@ -39,6 +52,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "supplier_rank_in_nation": analytics.supplier_rank_in_nation,
         "sessionize_events": analytics.sessionize_events,
         "json_props_stats": analytics.json_props_stats,
+        "forecast_revenue": analytics.forecast_revenue,
+        "sales_rollup": analytics.sales_rollup,
+        "engaged_purchasers": analytics.engaged_purchasers,
+        "distinct_users_by_type": analytics.distinct_users_by_type,
+        "approx_distinct_users": analytics.approx_distinct_users,
+        "top_users_salted": _top_users_salted,
         # --- dedup (exact + near-dup family) ---
         "dedup_exact": pipeline.dedup_exact_docs,
         "minhash_signatures": pipeline.minhash_signatures_docs,
@@ -182,6 +201,45 @@ def oracle_sql() -> dict[str, str]:
             FROM events
             GROUP BY event_type
             ORDER BY event_type
+        """,
+        "forecast_revenue": """
+            SELECT CAST(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(18,4)))
+                        AS DOUBLE) AS revenue
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+              AND l_shipdate < TIMESTAMP '1997-01-01'
+              AND l_discount >= 0.05 AND l_discount <= 0.07
+              AND l_quantity < 24
+        """,
+        "sales_rollup": """
+            SELECT coalesce(l_returnflag, 'ALL') AS l_returnflag,
+                   coalesce(l_linestatus, 'ALL') AS l_linestatus,
+                   count(*) AS n,
+                   CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+            FROM lineitem
+            GROUP BY ROLLUP (l_returnflag, l_linestatus)
+            ORDER BY l_returnflag, l_linestatus
+        """,
+        "engaged_purchasers": """
+            SELECT user_id FROM events WHERE event_type = 'purchase' AND value >= 100.0
+            INTERSECT
+            SELECT user_id FROM events WHERE event_type = 'click' AND value >= 100.0
+            EXCEPT
+            SELECT user_id FROM events WHERE event_type = 'error' AND value >= 200.0
+            ORDER BY user_id
+        """,
+        "distinct_users_by_type": """
+            SELECT event_type, count(DISTINCT user_id) AS n_users
+            FROM events
+            GROUP BY event_type
+            ORDER BY event_type
+        """,
+        "top_users_salted": """
+            SELECT user_id, count(*) AS posts
+            FROM events WHERE value >= 0
+            GROUP BY user_id
+            ORDER BY posts DESC, user_id ASC
+            LIMIT 50
         """,
         # --- dedup / text pipeline oracles (md5 is byte-identical in
         # Spark and DuckDB, so even hash-based signatures diff-test) ---

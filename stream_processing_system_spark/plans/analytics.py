@@ -62,11 +62,13 @@ def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 def revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q5-style: revenue per nation for one region and year.
 
-    customer ⋈ orders ⋈ lineitem ⋈ supplier ⋈ nation ⋈ region, with
-    every dimension broadcast: the only shuffle left is
-    orders ⋈ lineitem on orderkey (AQE picks the strategy at the
-    actual size). Date filter on orders is pushed into the parquet
-    scan (verify with .explain → PushedFilters).
+    customer ⋈ orders ⋈ lineitem ⋈ supplier ⋈ nation ⋈ region.
+    Broadcast policy: only the FIXED-size dims (nation=25, region=5
+    rows at any SF) are hard-broadcast; customer/supplier scale with
+    SF (customer ≈ 15B rows at 100 TB), so their join strategy is
+    left to AQE — broadcast when they fit, shuffle-hash otherwise.
+    Date filter on orders is pushed into the parquet scan (verify
+    with .explain → PushedFilters).
     """
     li = load_table(spark, sf_dir, "lineitem")
     orders = load_table(spark, sf_dir, "orders").where(
@@ -84,8 +86,8 @@ def revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
-        .join(F.broadcast(supplier), li.l_suppkey == supplier.s_suppkey)
+        .join(customer, orders.o_custkey == customer.c_custkey)
+        .join(supplier, li.l_suppkey == supplier.s_suppkey)
         .join(
             nations_in_region,
             (supplier.s_nationkey == F.col("n_nationkey"))
@@ -99,9 +101,11 @@ def revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def top_unshipped_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q3-style: top-10 open orders by pending revenue for one
-    market segment. Broadcast customer-segment filter; the
-    orders ⋈ lineitem shuffle join is the only wide exchange;
-    top-10 via TakeOrderedAndProject (no global sort)."""
+    market segment. The orders ⋈ lineitem shuffle join is the only
+    unavoidable wide exchange; the segment-filtered customer join is
+    AQE's call (broadcast when small — it scales with SF, so no
+    hard-coded hint); top-10 via TakeOrderedAndProject (no global
+    sort)."""
     li = load_table(spark, sf_dir, "lineitem").where(
         F.col("l_shipdate") > F.lit("1997-01-01")
     )
@@ -114,7 +118,7 @@ def top_unshipped_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .join(customer, orders.o_custkey == customer.c_custkey)
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
         .agg(_dec_sum(revenue, "revenue", scale=4))
         .orderBy(F.col("revenue").desc(), F.col("l_orderkey").asc())
@@ -167,6 +171,90 @@ def supplier_rank_in_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rnk") <= 3)
         .select("n_name", "s_suppkey", "s_name", "s_acctbal", "rnk")
         .orderBy("n_name", "rnk", "s_suppkey")
+    )
+
+
+def forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6-style: pure filter + global sum — the pushdown
+    showcase. All three predicates reach the parquet scan; the
+    aggregate is a single partial/final sum with a 1-row result."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.where(
+            (F.col("l_shipdate") >= F.lit("1996-01-01"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01"))
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(_dec_sum(F.col("l_extendedprice") * F.col("l_discount"), "revenue", scale=4))
+    )
+
+
+def sales_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouping-sets surface (reference has none, SURVEY.md §2.4):
+    ROLLUP over (returnflag, linestatus) — subtotals and grand total
+    in one pass. Rolled-up levels are labeled 'ALL' instead of NULL
+    so cross-engine row comparison is null-free."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            _dec_sum(F.col("l_quantity"), "sum_qty"),
+        )
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("l_returnflag"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("l_linestatus"),
+            "n",
+            "sum_qty",
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+def engaged_purchasers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set operations (§2.7 — absent in the reference): users with a
+    high-value purchase AND a high-value click but no big error:
+    INTERSECT then EXCEPT, all distinct semantics. (Value thresholds
+    make each leg selective so the result is non-trivial on the
+    synthetic data — every user has events of every type.)"""
+    events = load_table(spark, sf_dir, "events")
+
+    def users(etype: str, min_value: float) -> DataFrame:
+        return events.where(
+            (F.col("event_type") == etype) & (F.col("value") >= min_value)
+        ).select("user_id")
+
+    return (
+        users("purchase", 100.0)
+        .intersect(users("click", 100.0))
+        .subtract(users("error", 200.0))
+        .orderBy("user_id")
+    )
+
+
+def distinct_users_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact COUNT(DISTINCT) per group — planned by Spark as a
+    two-level aggregate (expand + partial), no driver-side dedup."""
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n_users"))
+        .orderBy("event_type")
+    )
+
+
+def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog++ approximate distinct (rows-only check: sketch
+    internals differ across engines by design). At 100 TB this is the
+    default distinct-count path — fixed-size sketch state instead of
+    a shuffle of every distinct pair."""
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.groupBy("event_type")
+        .agg(F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"))
+        .orderBy("event_type")
     )
 
 

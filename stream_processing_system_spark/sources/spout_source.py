@@ -1,0 +1,73 @@
+"""Custom PySpark data source reproducing the reference's pluggable
+spout contract (SURVEY.md §2.1 S7, §2.11).
+
+The reference's spout API is `Init(path) / Open() / NextTuple() →
+map[string]string` (`Apps/WordCountSpout.go:18-44`), emitting
+`{linenumber, line}` tuples (`spout/spout.go:235-237`). This module
+implements it as a real Spark `DataSource` ("crane_spout"), so
+`spark.read.format("crane_spout").option("path", p)` yields exactly
+those tuples — including the 1-based `linenumber` the plain
+`spark.read.text` path deliberately drops (see sources/text.py).
+
+Scale note: line numbers force sequential semantics *per file*, so
+each file is one partition (parallelism = #files). That is the honest
+cost of the reference's contract — for numbered lines at 100 TB you
+shard the input into many files, which is how such corpora ship
+anyway. The unnumbered text path stays byte-range-splittable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.types import StructType
+
+
+class _FilePartition(InputPartition):
+    def __init__(self, path: str) -> None:
+        self.path = path
+
+
+class CraneSpoutDataSource(DataSource):
+    """`format("crane_spout")`, options: path (file or directory)."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "crane_spout"
+
+    def schema(self) -> str:
+        return "linenumber bigint, line string"
+
+    def reader(self, schema: StructType) -> DataSourceReader:
+        return CraneSpoutReader(self.options)
+
+
+class CraneSpoutReader(DataSourceReader):
+    def __init__(self, options) -> None:
+        path = options.get("path")
+        if not path:
+            raise ValueError("crane_spout requires option 'path'")
+        self.path = path
+
+    def partitions(self):
+        import os
+
+        if os.path.isdir(self.path):
+            files = sorted(
+                os.path.join(self.path, f)
+                for f in os.listdir(self.path)
+                if not f.startswith((".", "_"))
+            )
+        else:
+            files = [self.path]
+        return [_FilePartition(f) for f in files]
+
+    def read(self, partition: _FilePartition):
+        # NextTuple() loop (`Apps/WordCountSpout.go:31-44`): one tuple
+        # per line with its 1-based number.
+        with open(partition.path, encoding="utf-8", errors="replace") as fh:
+            for i, raw in enumerate(fh, start=1):
+                yield (i, raw.rstrip("\n"))
+
+
+def register(spark) -> None:
+    spark.dataSource.register(CraneSpoutDataSource)

@@ -27,10 +27,11 @@ TABLES = [
     "embeddings",
 ]
 
-# Small dimension tables: always broadcast-join these against facts.
-# On a real cluster these stay far below any broadcast threshold
-# (region=5 rows, nation=25 even at sf=100k).
-BROADCAST_DIMS = {"region", "nation", "supplier", "part", "customer"}
+# Constant-size dimension tables: safe to hard-broadcast at ANY
+# scale factor (region=5 rows, nation=25 always). customer/supplier/
+# part scale with SF — their join strategy belongs to AQE, never a
+# hard-coded broadcast hint.
+BROADCAST_DIMS = {"region", "nation"}
 
 
 def table_path(sf_dir: str, name: str) -> str:

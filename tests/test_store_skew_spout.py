@@ -1,0 +1,81 @@
+"""Tests: versioned store (K4 semantics), salted aggregation
+equivalence, and the crane_spout custom data source (S7)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from stream_processing_system_spark.operators.skew import salted_agg, salted_count
+from stream_processing_system_spark.sources.spout_source import register
+from stream_processing_system_spark.sources.tables import load_table
+from stream_processing_system_spark.sources.versioned_store import VersionedStore
+
+
+def test_versioned_store_put_get_versions_ls_delete(spark, tmp_path):
+    store = VersionedStore(str(tmp_path / "store"))
+    df1 = spark.createDataFrame([(1, "a")], ["id", "v"])
+    df2 = spark.createDataFrame([(2, "b")], ["id", "v"])
+
+    assert store.put(df1, "ds") == 1
+    assert store.put(df2, "ds") == 2
+    assert store.versions("ds") == [1, 2]
+    assert store.ls() == ["ds"]
+
+    latest = store.get(spark, "ds").collect()
+    assert [(r["id"], r["v"]) for r in latest] == [(2, "b")]
+    v1 = store.get(spark, "ds", version=1).collect()
+    assert [(r["id"], r["v"]) for r in v1] == [(1, "a")]
+
+    with pytest.raises(FileNotFoundError):
+        store.get(spark, "ds", version=99)
+    store.delete("ds")
+    assert store.ls() == []
+    with pytest.raises(FileNotFoundError):
+        store.get(spark, "ds")
+
+
+def test_salted_count_equals_plain_count(spark, sf_dir):
+    events = load_table(spark, sf_dir, "events")
+    plain = {
+        (r["user_id"], r["cnt"])
+        for r in events.groupBy("user_id").agg(F.count(F.lit(1)).alias("cnt")).collect()
+    }
+    salted = {
+        (r["user_id"], r["cnt"])
+        for r in salted_count(events, ["user_id"]).collect()
+    }
+    assert salted == plain
+
+
+def test_salted_agg_sum_min_max(spark):
+    df = spark.createDataFrame(
+        [("k", float(i)) for i in range(100)] + [("j", 5.0)], ["k", "v"]
+    ).repartition(8)
+    got = {
+        r["k"]: (r["total"], r["lo"], r["hi"])
+        for r in salted_agg(
+            df,
+            ["k"],
+            {
+                "total": ("sum", F.sum("v")),
+                "lo": ("min", F.min("v")),
+                "hi": ("max", F.max("v")),
+            },
+        ).collect()
+    }
+    assert got["k"] == (sum(range(100)), 0.0, 99.0)
+    assert got["j"] == (5.0, 5.0, 5.0)
+
+
+def test_crane_spout_source_linenumbers(spark, tmp_path):
+    d = tmp_path / "spout_in"
+    d.mkdir()
+    (d / "a.txt").write_text("first line\nsecond line\n")
+    (d / "b.txt").write_text("other file\n")
+    register(spark)
+    df = spark.read.format("crane_spout").option("path", str(d)).load()
+    rows = {(r["linenumber"], r["line"]) for r in df.collect()}
+    # per-file 1-based numbering (spout/spout.go:235-237 semantics)
+    assert rows == {(1, "first line"), (2, "second line"), (1, "other file")}
+    assert df.rdd.getNumPartitions() == 2  # one partition per file
