@@ -53,6 +53,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessionize_events": analytics.sessionize_events,
         "json_props_stats": analytics.json_props_stats,
         "forecast_revenue": analytics.forecast_revenue,
+        "customers_without_orders": analytics.customers_without_orders,
+        "above_avg_balance_customers": analytics.above_avg_balance_customers,
+        "brand_part_stats": analytics.brand_part_stats,
         "sales_rollup": analytics.sales_rollup,
         "engaged_purchasers": analytics.engaged_purchasers,
         "distinct_users_by_type": analytics.distinct_users_by_type,
@@ -210,6 +213,30 @@ def oracle_sql() -> dict[str, str]:
               AND l_shipdate < TIMESTAMP '1997-01-01'
               AND l_discount >= 0.05 AND l_discount <= 0.07
               AND l_quantity < 24
+        """,
+        "customers_without_orders": """
+            SELECT c_mktsegment, count(*) AS n_customers
+            FROM customer c
+            WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+            GROUP BY c_mktsegment
+            ORDER BY c_mktsegment
+        """,
+        "above_avg_balance_customers": """
+            SELECT n_name, count(*) AS n_rich,
+                   CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_bal
+            FROM customer JOIN nation ON c_nationkey = n_nationkey
+            WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer)
+            GROUP BY n_name
+            ORDER BY n_name
+        """,
+        "brand_part_stats": """
+            SELECT p_brand, count(*) AS n_parts,
+                   min(p_size) AS min_size, max(p_size) AS max_size,
+                   ROUND(avg(p_retailprice), 4) AS avg_price
+            FROM part
+            GROUP BY p_brand
+            HAVING count(*) >= 40
+            ORDER BY p_brand
         """,
         "sales_rollup": """
             SELECT coalesce(l_returnflag, 'ALL') AS l_returnflag,

@@ -174,6 +174,62 @@ def supplier_rank_in_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NOT EXISTS as a left-anti join (Spark's native anti join —
+    no distinct, no row duplication): customers with no orders at
+    all, counted per market segment."""
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        customer.join(
+            orders.select("o_custkey"),
+            customer.c_custkey == F.col("o_custkey"),
+            "left_anti",
+        )
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+        .orderBy("c_mktsegment")
+    )
+
+
+def above_avg_balance_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar-subquery pattern: customers whose balance exceeds the
+    global average, per nation. The scalar aggregate is a broadcast
+    1-row cross join — no recompute per row, no driver round-trip."""
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    avg_bal = customer.agg(F.avg("c_acctbal").alias("_avg"))
+    return (
+        customer.crossJoin(F.broadcast(avg_bal))
+        .where(F.col("c_acctbal") > F.col("_avg"))
+        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_rich"),
+            _dec_sum(F.col("c_acctbal"), "total_bal"),
+        )
+        .orderBy("n_name")
+    )
+
+
+def brand_part_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP BY + HAVING over part: brands with at least 40 parts,
+    with size spread and average retail price (HAVING is just a
+    post-aggregation filter in the same plan — no second pass)."""
+    part = load_table(spark, sf_dir, "part")
+    return (
+        part.groupBy("p_brand")
+        .agg(
+            F.count(F.lit(1)).alias("n_parts"),
+            F.min("p_size").alias("min_size"),
+            F.max("p_size").alias("max_size"),
+            F.round(F.avg("p_retailprice"), 4).alias("avg_price"),
+        )
+        .where(F.col("n_parts") >= 40)
+        .orderBy("p_brand")
+    )
+
+
 def forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q6-style: pure filter + global sum — the pushdown
     showcase. All three predicates reach the parquet scan; the
