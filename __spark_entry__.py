@@ -15,7 +15,12 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from stream_processing_system_spark.plans import analytics, pipeline, reference
+from stream_processing_system_spark.plans import (
+    analytics,
+    pipeline,
+    reference,
+    streaming_parity,
+)
 
 SMOKE_SF_DIR = "/root/testdata/sf0.001"
 
@@ -79,6 +84,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_lang_id": pipeline.doc_lang_id,
         "doc_fingerprint": pipeline.doc_fingerprint,
         "doc_winnow": pipeline.doc_winnow,
+        # --- multimodal plumbing (mapInPandas decode, oracle-checked) ---
+        "media_decode_stats": pipeline.media_decode_stats,
+        # --- streaming twin, same oracle as q1 (batch == streaming) ---
+        "stream_wordcount": streaming_parity.stream_wordcount_docs,
     }
 
 
@@ -389,6 +398,31 @@ def oracle_sql() -> dict[str, str]:
         """,
         "doc_fingerprint": """
             SELECT doc_id, md5(lower(trim(text))) AS fp FROM documents
+        """,
+        "media_decode_stats": """
+            WITH m AS (
+                SELECT CASE WHEN doc_id % 3 = 0 THEN 'image'
+                            WHEN doc_id % 3 = 1 THEN 'audio'
+                            ELSE 'video' END AS media_type,
+                       octet_length(CAST(text AS BLOB)) AS n_bytes
+                FROM documents
+            )
+            SELECT media_type, count(*) AS n,
+                   CAST(SUM(n_bytes) AS BIGINT) AS total_bytes,
+                   CAST(MIN(n_bytes) AS BIGINT) AS min_bytes,
+                   CAST(MAX(n_bytes) AS BIGINT) AS max_bytes
+            FROM m GROUP BY media_type ORDER BY media_type
+        """,
+        "stream_wordcount": """
+            WITH clean AS (
+                SELECT text AS line FROM documents
+                WHERE NOT (length(string_split(text, ' ')[1]) > 8
+                           AND substr(string_split(text, ' ')[1], 1, 4) IN ('http', '2008'))
+            ), words AS (
+                SELECT unnest(string_split(line, ' ')) AS word FROM clean
+            )
+            SELECT word, count(*) AS cnt FROM words WHERE word <> ''
+            GROUP BY word
         """,
         "doc_winnow": """
             WITH t AS (

@@ -7,7 +7,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from stream_processing_system_spark.operators import dedup, similarity, text_analysis
+from stream_processing_system_spark.operators import (
+    dedup,
+    multimodal,
+    similarity,
+    text_analysis,
+)
 from stream_processing_system_spark.sources.tables import load_table
 
 
@@ -100,3 +105,25 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def doc_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text_analysis.winnow_fingerprints(_docs(spark, sf_dir), k=3, window=4)
+
+
+# --- multimodal ---
+
+def media_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end multimodal pipeline check: build the fake media
+    table from documents, run the mapInPandas decode stage, aggregate
+    byte stats per media type. n_bytes is payload truth (len of the
+    utf-8 payload), so the whole Arrow round-trip is oracle-checkable
+    in SQL via octet_length."""
+    media = multimodal.fake_media_from_documents(spark, _docs(spark, sf_dir))
+    decoded = multimodal.decode_media(media)
+    return (
+        decoded.groupBy("media_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("n_bytes").cast("long").alias("total_bytes"),
+            F.min("n_bytes").cast("long").alias("min_bytes"),
+            F.max("n_bytes").cast("long").alias("max_bytes"),
+        )
+        .orderBy("media_type")
+    )

@@ -111,6 +111,38 @@ def stream_session_windows(
     return _drain_to_table(sessions, name, checkpoint_dir, output_mode="complete")
 
 
+def stream_wordcount_to_files(
+    spark: SparkSession,
+    input_dir: str,
+    checkpoint_dir: str,
+    output_dir: str,
+    name: str = "wc_file_sink",
+) -> None:
+    """Q1 streaming with the reference's K1 file sink via
+    foreachBatch: each drain rewrites `word:cnt` lines
+    (`bolt/bolt.go:296-310` format). foreachBatch is the general
+    production sink adapter — any batch writer (parquet, JDBC, the
+    K1-K3 formatters) becomes a streaming sink with exactly-once on
+    idempotent overwrite."""
+    from stream_processing_system_spark.sources.sinks import write_kv_lines
+
+    lines = read_text_lines(spark, input_dir, streaming=True)
+    counts = wordcount(lines)
+
+    def _sink(batch_df: DataFrame, epoch_id: int) -> None:
+        write_kv_lines(batch_df, output_dir, key="word", value="cnt")
+
+    q = (
+        counts.writeStream.outputMode("complete")
+        .foreachBatch(_sink)
+        .queryName(name)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
 # ---------------------------------------------------------------------------
 # Custom stateful operator surface (§2.11 stateful bolt contract →
 # applyInPandasWithState)

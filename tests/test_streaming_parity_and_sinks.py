@@ -1,0 +1,30 @@
+"""Contract-level streaming parity + foreachBatch file sink."""
+
+from __future__ import annotations
+
+import glob
+
+from stream_processing_system_spark.plans import streaming_parity
+from stream_processing_system_spark.streaming import jobs
+from tests.oracle import assert_matches_oracle
+
+
+def test_stream_wordcount_docs_matches_batch_oracle(spark, sf_dir):
+    import __spark_entry__ as contract
+
+    df = streaming_parity.stream_wordcount_docs(spark, sf_dir)
+    assert_matches_oracle(df, sf_dir, contract.oracle_sql()["stream_wordcount"])
+
+
+def test_stream_wordcount_to_files_foreachbatch(spark, tmp_path):
+    d = tmp_path / "in"
+    d.mkdir()
+    (d / "a.txt").write_text("x y x\n")
+    out = str(tmp_path / "out")
+    jobs.stream_wordcount_to_files(
+        spark, str(d), str(tmp_path / "ckpt"), out, name="wc_fb_t"
+    )
+    lines = []
+    for f in sorted(glob.glob(out + "/part-*")):
+        lines += open(f).read().splitlines()
+    assert sorted(lines) == ["x:2", "y:1"]
