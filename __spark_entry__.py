@@ -57,6 +57,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "supplier_rank_in_nation": analytics.supplier_rank_in_nation,
         "sessionize_events": analytics.sessionize_events,
         "json_props_stats": analytics.json_props_stats,
+        "events_per_hour": analytics.events_per_hour,
+        "user_event_pivot": analytics.user_event_pivot,
+        "profile_events": analytics.profile_events,
+        "doc_token_counts": pipeline.doc_token_counts,
         "forecast_revenue": analytics.forecast_revenue,
         "customers_without_orders": analytics.customers_without_orders,
         "above_avg_balance_customers": analytics.above_avg_balance_customers,
@@ -213,6 +217,42 @@ def oracle_sql() -> dict[str, str]:
             FROM events
             GROUP BY event_type
             ORDER BY event_type
+        """,
+        "events_per_hour": """
+            SELECT CAST(epoch(time_bucket(INTERVAL 1 HOUR, ts)) AS BIGINT) AS hour_start,
+                   count(*) AS n,
+                   ROUND(SUM(value), 4) AS sum_value
+            FROM events
+            GROUP BY hour_start
+            ORDER BY hour_start
+        """,
+        "user_event_pivot": """
+            SELECT user_id,
+                   CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS n_click,
+                   CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS n_view,
+                   CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purchase,
+                   CAST(SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS n_signup,
+                   CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_error
+            FROM events
+            GROUP BY user_id
+            ORDER BY user_id
+        """,
+        "profile_events": """
+            SELECT count(*) AS n_rows,
+                   count(DISTINCT user_id) AS n_users,
+                   count(DISTINCT event_type) AS n_event_types,
+                   CAST(SUM(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_values,
+                   ROUND(MIN(value), 4) AS min_value,
+                   ROUND(MAX(value), 4) AS max_value,
+                   CAST(floor(epoch(MIN(ts))) AS BIGINT) AS first_ts,
+                   CAST(floor(epoch(MAX(ts))) AS BIGINT) AS last_ts
+            FROM events
+        """,
+        "doc_token_counts": """
+            SELECT doc_id,
+                   CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS BIGINT) AS ws_tokens,
+                   CAST(len(regexp_extract_all(text, '\\w+|[^\\w\\s]')) AS BIGINT) AS re_tokens
+            FROM documents
         """,
         "forecast_revenue": """
             SELECT CAST(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(18,4)))

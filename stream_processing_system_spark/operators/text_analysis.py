@@ -140,6 +140,21 @@ def winnow_fingerprints(
     )
 
 
+def token_counts(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Token counting two ways: whitespace tokens and a BPE-ish
+    regex segmentation (word runs + individual punctuation, the
+    pre-tokenizer most BPE vocabularies assume). Both are single
+    codegen'd expressions — the cheap "how many tokens will this
+    cost" estimator a training pipeline runs over every document."""
+    ws = F.size(_toks(F.col(text_col)))
+    bpe_ish = F.size(F.regexp_extract_all(F.col(text_col), F.lit(r"\w+|[^\w\s]"), 0))
+    return df.select(
+        F.col(id_col),
+        ws.cast("long").alias("ws_tokens"),
+        bpe_ish.cast("long").alias("re_tokens"),
+    )
+
+
 def token_frequencies(
     df: DataFrame, text_col: str = "text", min_count: int = 1
 ) -> DataFrame:

@@ -349,6 +349,63 @@ def sessionize_events(spark: SparkSession, sf_dir: str, gap_minutes: int = 30) -
     )
 
 
+def events_per_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling event-time window in batch (`F.window`): events and
+    value sum per 1-hour bucket. The same expression works under
+    readStream + watermark — the batch result is the streaming
+    query's converged state."""
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").cast("long").alias("hour_start"),  # epoch sec: tz-proof
+            "n",
+            "sum_value",
+        )
+        .orderBy("hour_start")
+    )
+
+
+def user_event_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot: per-user counts of each event type as columns
+    (conditional aggregation — one pass, one shuffle; Spark's
+    .pivot() plans the same thing given explicit values; explicit
+    `when` keeps the column set static for the contract schema)."""
+    events = load_table(spark, sf_dir, "events")
+
+    def n_of(t: str):
+        return F.sum(F.when(F.col("event_type") == t, 1).otherwise(0)).cast(
+            "long"
+        ).alias(f"n_{t}")
+
+    return (
+        events.groupBy("user_id")
+        .agg(n_of("click"), n_of("view"), n_of("purchase"), n_of("signup"), n_of("error"))
+        .orderBy("user_id")
+    )
+
+
+def profile_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-profiling pass (what a pipeline runs before trusting a
+    new drop): row count, key cardinalities, null counts, value
+    range — one scan, one row out."""
+    events = load_table(spark, sf_dir, "events")
+    return events.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.countDistinct("user_id").alias("n_users"),
+        F.countDistinct("event_type").alias("n_event_types"),
+        F.sum(F.col("value").isNull().cast("long")).alias("null_values"),
+        F.round(F.min("value"), 4).alias("min_value"),
+        F.round(F.max("value"), 4).alias("max_value"),
+        F.min("ts").cast("long").alias("first_ts"),  # epoch sec: tz-proof
+        F.max("ts").cast("long").alias("last_ts"),
+    )
+
+
 def json_props_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Semi-structured extraction (X6 analog — the reference JSON-
     decodes every tuple on every hop, `bolt/bolt.go:220-221`; here

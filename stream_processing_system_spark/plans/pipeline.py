@@ -107,6 +107,10 @@ def doc_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text_analysis.winnow_fingerprints(_docs(spark, sf_dir), k=3, window=4)
 
 
+def doc_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text_analysis.token_counts(_docs(spark, sf_dir))
+
+
 # --- multimodal ---
 
 def media_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
