@@ -63,6 +63,23 @@ def md5_prefix_long(col: Column, salt: str = "") -> Column:
     return F.conv(F.substring(F.md5(salted), 1, 8), 16, 10).cast("long")
 
 
+def encode_tuple_json(*cols: str) -> Column:
+    """X6 (encode side): the reference JSON-serializes every tuple for
+    the wire (`spout/spout.go:111-117`). Spark never needs that
+    internally (Tungsten rows), but for external I/O parity:
+    `to_json(struct(...))` emits the same flat JSON object."""
+    return F.to_json(F.struct(*[F.col(c) for c in cols]))
+
+
+def decode_tuple_json(col: Column | str) -> Column:
+    """X6 (decode side): `from_json` into map<string,string> — the
+    reference's `map[string]string` tuple (`bolt/bolt.go:220-221`),
+    parsed once per value in a codegen'd expression instead of on
+    every operator hop."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.from_json(c, "map<string,string>")
+
+
 def cosine_similarity(a: Column, b: Column) -> Column:
     """Cosine similarity of two array<numeric> columns, computed with
     `zip_with` + `aggregate` — stays in the JVM (no Python UDF), so a

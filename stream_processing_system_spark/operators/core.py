@@ -64,6 +64,15 @@ def agg_collect_set_sorted(df: DataFrame, keys: list[str], value: str, out: str 
     return df.groupBy(*keys).agg(F.array_sort(F.collect_set(value)).alias(out))
 
 
+def round_robin(df: DataFrame, n: int) -> DataFrame:
+    """S4: the reference's spout→boltc round-robin partitioning
+    (`spout/spout.go:198-204` index rotation). `repartition(n)`
+    without columns IS round-robin distribution; normally leave
+    partitioning to Catalyst/AQE — this exists for explicit load
+    balancing before a skew-prone stage."""
+    return df.repartition(n)
+
+
 def topk(df: DataFrame, order: list[Column], k: int) -> DataFrame:
     """O1+O2: ORDER BY ... LIMIT k (`bolt/bolt.go:398-440` full sort +
     break at 50). Spark plans this as TakeOrderedAndProject: each

@@ -1,0 +1,43 @@
+"""Scalar-function layer tests (X-series coverage)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from stream_processing_system_spark.functions.scalar import (
+    decode_tuple_json,
+    encode_tuple_json,
+    md5_prefix_long,
+    tokenize,
+)
+from stream_processing_system_spark.operators.core import round_robin
+
+
+def test_tuple_json_roundtrip(spark):
+    df = spark.createDataFrame([("h1", "/a", "200")], ["host", "url", "status"])
+    encoded = df.select(encode_tuple_json("host", "url", "status").alias("j"))
+    j = encoded.collect()[0]["j"]
+    assert j == '{"host":"h1","url":"/a","status":"200"}'
+    decoded = encoded.select(decode_tuple_json("j").alias("m")).collect()[0]["m"]
+    assert decoded == {"host": "h1", "url": "/a", "status": "200"}
+
+
+def test_md5_prefix_long_matches_python(spark):
+    import hashlib
+
+    df = spark.createDataFrame([("hello",)], ["s"])
+    got = df.select(md5_prefix_long(F.col("s"), salt="x|")).collect()[0][0]
+    assert got == int(hashlib.md5(b"x|hello").hexdigest()[:8], 16)
+
+
+def test_tokenize_drops_empty_by_default(spark):
+    df = spark.createDataFrame([("a  b ",)], ["t"])
+    kept = df.select(tokenize("t").alias("x")).collect()[0]["x"]
+    assert kept == ["a", "b"]
+    raw = df.select(tokenize("t", drop_empty=False).alias("x")).collect()[0]["x"]
+    assert raw == ["a", "", "b", ""]
+
+
+def test_round_robin_partition_count(spark):
+    df = spark.range(100)
+    assert round_robin(df, 7).rdd.getNumPartitions() == 7
