@@ -57,6 +57,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "supplier_rank_in_nation": analytics.supplier_rank_in_nation,
         "sessionize_events": analytics.sessionize_events,
         "json_props_stats": analytics.json_props_stats,
+        "value_percentiles": analytics.value_percentiles,
+        "part_name_search": analytics.part_name_search,
         "events_per_hour": analytics.events_per_hour,
         "user_event_pivot": analytics.user_event_pivot,
         "profile_events": analytics.profile_events,
@@ -82,6 +84,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lsh_topk": pipeline.lsh_topk_embeddings,
         "ivf_topk": pipeline.ivf_topk_embeddings,
         "embedding_neardup_pairs": pipeline.embedding_neardup_pairs,
+        "knn_join_exact": pipeline.knn_join_exact,
+        "knn_join_lsh": pipeline.knn_join_lsh,
         # --- text analysis ---
         "doc_stats": pipeline.doc_stats,
         "doc_quality": pipeline.doc_quality,
@@ -217,6 +221,41 @@ def oracle_sql() -> dict[str, str]:
             FROM events
             GROUP BY event_type
             ORDER BY event_type
+        """,
+        "value_percentiles": """
+            SELECT event_type,
+                   ROUND(quantile_cont(value, 0.5), 6) AS p50,
+                   ROUND(quantile_cont(value, 0.9), 6) AS p90,
+                   ROUND(quantile_cont(value, 0.99), 6) AS p99
+            FROM events
+            GROUP BY event_type
+            ORDER BY event_type
+        """,
+        "part_name_search": """
+            SELECT regexp_extract(p_name, '^(\\w+)', 1) AS adjective,
+                   count(*) AS n,
+                   ROUND(avg(p_retailprice), 4) AS avg_price
+            FROM part
+            WHERE p_type LIKE '%ECONOMY%'
+              AND regexp_matches(regexp_extract(p_name, '^(\\w+)', 1),
+                                 '^(red|blue|hot|cold)$')
+            GROUP BY adjective
+            ORDER BY adjective
+        """,
+        "knn_join_exact": """
+            WITH j AS (
+                SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+                       ROUND(list_cosine_similarity(a.embedding::DOUBLE[],
+                                                    b.embedding::DOUBLE[]), 6) AS sim
+                FROM embeddings a, embeddings b
+            ), r AS (
+                SELECT query_id, neighbor_id, sim,
+                       row_number() OVER (PARTITION BY query_id
+                                          ORDER BY sim DESC, neighbor_id ASC) AS rnk
+                FROM j
+            )
+            SELECT query_id, neighbor_id, sim, CAST(rnk AS BIGINT) AS rnk
+            FROM r WHERE rnk <= 3
         """,
         "events_per_hour": """
             SELECT CAST(epoch(time_bucket(INTERVAL 1 HOUR, ts)) AS BIGINT) AS hour_start,

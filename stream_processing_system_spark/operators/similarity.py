@@ -165,6 +165,58 @@ def ivf_topk(
     )
 
 
+def knn_join(
+    queries_df: DataFrame,
+    corpus_df: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = 4,
+    dim: int = 64,
+    seed: int = 42,
+    exact: bool = False,
+) -> DataFrame:
+    """Batch KNN similarity join: top-k corpus neighbors for EVERY
+    query row. Output (query_id, neighbor_id, sim, rnk).
+
+    exact=True: full cross join — O(|Q|·|C|), the correctness
+    baseline. exact=False (default): LSH-blocked — queries only meet
+    corpus vectors in the same hyperplane bucket, then a windowed
+    row_number keeps k per query. This is the 100 TB shape: the
+    bucket equi-join is a plain shuffle join on the signature, cost
+    ~ sum over buckets of |Q_b|·|C_b|; recall is tuned by n_planes
+    (fewer planes → bigger buckets → higher recall/cost).
+
+    Note: with LSH blocking a query may return fewer than k rows
+    (bucket smaller than k) — the standard ANN trade; use
+    multi-probe (lsh_topk) or fewer planes when coverage matters."""
+    q = queries_df.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv")
+    )
+    c = corpus_df.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cv")
+    )
+    if exact:
+        joined = q.crossJoin(c)
+    else:
+        planes = _hyperplanes(dim, n_planes, seed)
+        q = q.withColumn("_sig", lsh_signature(F.col("_qv"), planes))
+        c = c.withColumn("_sig", lsh_signature(F.col("_cv"), planes))
+        joined = q.join(c, "_sig")
+    sim = F.round(cosine_similarity(F.col("_qv"), F.col("_cv")), 6)
+    ranked = joined.select("query_id", "neighbor_id", sim.alias("sim")).withColumn(
+        "rnk",
+        F.row_number()
+        .over(
+            Window.partitionBy("query_id").orderBy(
+                F.col("sim").desc(), F.col("neighbor_id").asc()
+            )
+        )
+        .cast("long"),
+    )
+    return ranked.where(F.col("rnk") <= k)
+
+
 def embedding_neardup_pairs(
     df: DataFrame,
     threshold: float = 0.95,

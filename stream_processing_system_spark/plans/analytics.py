@@ -406,6 +406,46 @@ def profile_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles (p50/p90/p99) of event value
+    per type. Exact `percentile` (not approx) so the DuckDB
+    quantile_cont oracle matches bit-for-bit after rounding; the
+    approximate production variant at 100 TB is
+    `percentile_approx`/t-digest (see approx_distinct_users for the
+    sketch-op pattern)."""
+    events = load_table(spark, sf_dir, "events")
+
+    def pct(p: float, name: str):
+        return F.round(F.expr(f"percentile(value, {p})"), 6).alias(name)
+
+    return (
+        events.groupBy("event_type")
+        .agg(pct(0.5, "p50"), pct(0.9, "p90"), pct(0.99, "p99"))
+        .orderBy("event_type")
+    )
+
+
+def part_name_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String-matching surface: LIKE filter + regex extraction.
+    Counts ECONOMY parts per leading adjective of p_name ('red
+    widget' → 'red'), keeping only color-ish adjectives via a second
+    regex predicate. Equality/prefix predicates are
+    pushdown-eligible; the regex runs codegen'd post-scan."""
+    part = load_table(spark, sf_dir, "part")
+    adjective = F.regexp_extract("p_name", r"^(\w+)", 1)
+    return (
+        part.where(F.col("p_type").like("%ECONOMY%"))
+        .withColumn("adjective", adjective)
+        .where(F.col("adjective").rlike("^(red|blue|hot|cold)$"))
+        .groupBy("adjective")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.avg("p_retailprice"), 4).alias("avg_price"),
+        )
+        .orderBy("adjective")
+    )
+
+
 def json_props_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Semi-structured extraction (X6 analog — the reference JSON-
     decodes every tuple on every hop, `bolt/bolt.go:220-221`; here

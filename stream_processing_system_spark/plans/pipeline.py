@@ -85,6 +85,18 @@ def embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.embedding_neardup_pairs(_embs(spark, sf_dir), threshold=0.9)
 
 
+def knn_join_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 3-NN for every vector (correctness baseline; the LSH
+    variant below is the scale path)."""
+    embs = _embs(spark, sf_dir)
+    return similarity.knn_join(embs, embs, k=3, exact=True)
+
+
+def knn_join_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    embs = _embs(spark, sf_dir)
+    return similarity.knn_join(embs, embs, k=3, exact=False)
+
+
 # --- text analysis ---
 
 def doc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -69,6 +69,28 @@ def test_lsh_topk_recalls_planted_neighbors(spark, sf_dir):
     assert len(found) >= 4, f"planted neighbors missed: {found}"
 
 
+def test_knn_join_exact_matches_numpy(spark):
+    df, vecs = _vectors_df(spark)
+    got = similarity.knn_join(df, df, k=2, exact=True).collect()
+    v = vecs.astype("float64")
+    sims = v @ v.T / (
+        np.linalg.norm(v, axis=1)[:, None] * np.linalg.norm(v, axis=1)[None, :]
+    )
+    for r in got:
+        order = sorted(range(50), key=lambda j: (-round(sims[r["query_id"], j], 6), j))
+        assert r["neighbor_id"] == order[r["rnk"] - 1]
+    assert len(got) == 50 * 2
+
+
+def test_knn_join_lsh_is_bucket_consistent(spark):
+    df, _ = _vectors_df(spark)
+    got = similarity.knn_join(df, df, k=3, exact=False, dim=8).collect()
+    # every query finds at least itself (same bucket, sim 1.0, rank 1)
+    self_hits = {r["query_id"] for r in got if r["neighbor_id"] == r["query_id"]}
+    assert self_hits == set(range(50))
+    assert all(1 <= r["rnk"] <= 3 for r in got)
+
+
 def test_embedding_neardup_finds_planted_duplicate(spark):
     df, vecs = _vectors_df(spark)
     # plant a near-duplicate of vector 3 (tiny perturbation)
