@@ -78,6 +78,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "jaccard_pairs": pipeline.jaccard_pairs_docs,
         "simhash": pipeline.simhash_docs,
         "dedup_minhash_lsh": pipeline.dedup_minhash_docs,
+        "dedup_transitive": pipeline.dedup_transitive_docs,
         "simhash_neardup_pairs": pipeline.simhash_neardup_docs,
         # --- similarity search over embeddings ---
         "cosine_topk": pipeline.cosine_topk_embeddings,

@@ -273,6 +273,98 @@ def simhash_neardup_pairs(
     )
 
 
+def connected_component_labels(
+    pairs: DataFrame, nodes: DataFrame, id_col: str, max_iters: int = 20
+) -> DataFrame:
+    """Connected components over a pair list by iterative min-label
+    propagation: every node starts labeled with itself; each round,
+    a node adopts the smallest label among itself and its neighbors;
+    stop at fixpoint (or max_iters). Converges in O(component
+    diameter) rounds — near-dup graphs are shallow (dup clusters are
+    dense), so a handful of rounds suffices.
+
+    Output: (id, component) where component = min id reachable.
+    Driver involvement per round is ONE aggregated convergence count
+    — no per-row collection; lineage is cut with localCheckpoint so
+    the plan doesn't grow unboundedly across iterations."""
+    edges = (
+        pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+        .union(pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
+        .dropDuplicates()
+        .localCheckpoint()
+    )
+    labels = nodes.select(
+        F.col(id_col).alias("node"), F.col(id_col).alias("component")
+    ).localCheckpoint()
+
+    for _ in range(max_iters):
+        neighbor_min = (
+            edges.join(labels, edges.dst == labels.node)
+            .groupBy("src")
+            .agg(F.min("component").alias("n_min"))
+        )
+        updated = (
+            labels.join(neighbor_min, labels.node == neighbor_min.src, "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("component"), F.coalesce(F.col("n_min"), F.col("component"))
+                ).alias("component"),
+                (F.coalesce(F.col("n_min"), F.col("component")) < F.col("component"))
+                .cast("int")
+                .alias("_changed"),
+            )
+        ).localCheckpoint()
+        changed = updated.agg(F.sum("_changed")).collect()[0][0] or 0
+        labels = updated.drop("_changed")
+        if changed == 0:
+            break
+    return labels.select(F.col("node").alias(id_col), "component")
+
+
+def dedup_transitive(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 8,
+    bands: int = 4,
+    threshold: float = 0.7,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Near-dedup with TRANSITIVE closure: where dedup_minhash_lsh
+    keeps B when A~B and B~C but A!~C (pairwise rule),
+    this collapses the whole chain to min(A,B,C) via connected
+    components over the verified-pair graph. Returns kept ids
+    (one per component)."""
+    sigs = minhash_signatures(df, id_col, text_col, num_hashes=num_hashes)
+    cands = lsh_candidate_pairs(sigs, id_col, num_hashes=num_hashes, bands=bands)
+    sh = shingles_per_doc(df, id_col, text_col, n=shingle_n)
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
+    a = sh.select(F.col(id_col).alias("id_a"), "shingle")
+    b = sh.select(F.col(id_col).alias("id_b"), "shingle")
+    inter = (
+        cands.join(a, "id_a").join(b, ["id_b", "shingle"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    verified = (
+        inter.join(
+            sizes.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("na")), "id_a"
+        )
+        .join(sizes.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("nb")), "id_b")
+        .where(
+            F.col("common") / (F.col("na") + F.col("nb") - F.col("common")) >= threshold
+        )
+        .select("id_a", "id_b")
+    )
+    comps = connected_component_labels(verified, df.select(id_col), id_col)
+    return (
+        comps.groupBy("component")
+        .agg(F.min(id_col).alias(id_col))
+        .select(id_col)
+    )
+
+
 def dedup_minhash_lsh(
     df: DataFrame,
     id_col: str,

@@ -55,6 +55,15 @@ def dedup_minhash_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def dedup_transitive_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transitive near-dedup via connected components over the
+    verified LSH pair graph (iterative — no SQL oracle; correctness
+    covered by chain-collapse unit tests)."""
+    return dedup.dedup_transitive(
+        _docs(spark, sf_dir), "doc_id", "text", num_hashes=8, bands=4, threshold=0.7
+    )
+
+
 def simhash_neardup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.simhash_neardup_pairs(
         _docs(spark, sf_dir), "doc_id", "text", max_hamming=3
