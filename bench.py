@@ -36,6 +36,9 @@ HEADLINE = [
     "simhash",
     "cosine_topk",
     "lsh_topk",
+    "knn_join_lsh",
+    "dedup_transitive",
+    "media_decode_stats",
     "doc_stats",
     "doc_winnow",
 ]

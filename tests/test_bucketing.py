@@ -1,0 +1,35 @@
+"""Bucketing removes the join shuffle — asserted at the plan level."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from stream_processing_system_spark.sources.bucketing import bucketed_join, write_bucketed
+from stream_processing_system_spark.sources.tables import load_table
+
+
+def _physical_plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_bucketed_join_has_no_shuffle(spark, sf_dir, tmp_path):
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")  # force non-broadcast
+    try:
+        orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+        li = load_table(spark, sf_dir, "lineitem").select(
+            F.col("l_orderkey").alias("o_orderkey"), "l_quantity"
+        )
+        write_bucketed(orders, "orders_b", "o_orderkey", n_buckets=4)
+        write_bucketed(li, "lineitem_b", "o_orderkey", n_buckets=4)
+
+        joined = bucketed_join(spark, "orders_b", "lineitem_b", "o_orderkey")
+        plan = _physical_plan(joined)
+        assert "Exchange" not in plan, f"bucketed join still shuffles:\n{plan}"
+
+        # and the result is correct vs the plain join
+        plain = orders.join(li, "o_orderkey")
+        assert joined.count() == plain.count()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        spark.sql("DROP TABLE IF EXISTS orders_b")
+        spark.sql("DROP TABLE IF EXISTS lineitem_b")
