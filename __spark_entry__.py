@@ -30,6 +30,42 @@ def entry(spark: SparkSession) -> DataFrame:
     return analytics.pricing_summary(spark, SMOKE_SF_DIR)
 
 
+def _simhash_oracle_sql() -> str:
+    """SimHash64 in pure SQL (DuckDB): same md5-derived per-token
+    bits as operators/dedup.py:simhash64, 64 vote sums, bit 63 as the
+    sign bit of a signed bigint. Generated programmatically — the
+    structure is mechanical."""
+    votes = ",\n                   ".join(
+        f"SUM(CASE WHEN (({'hi' if i < 32 else 'lo'} >> {i % 32}) & 1) = 1 "
+        f"THEN 1 ELSE -1 END) AS v{i}"
+        for i in range(64)
+    )
+    bits = "\n                 + ".join(
+        f"(CASE WHEN v{i} > 0 THEN CAST({2**i if i < 63 else -(2**63)} AS BIGINT) "
+        f"ELSE CAST(0 AS BIGINT) END)"
+        for i in range(64)
+    )
+    return f"""
+        WITH toks AS (
+            SELECT DISTINCT doc_id, tok FROM (
+                SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+            ) WHERE tok <> ''
+        ), h AS (
+            SELECT doc_id,
+                   ('0x' || substr(md5('hi|' || tok), 1, 8))::BIGINT AS hi,
+                   ('0x' || substr(md5('lo|' || tok), 1, 8))::BIGINT AS lo
+            FROM toks
+        ), v AS (
+            SELECT doc_id,
+                   {votes}
+            FROM h GROUP BY doc_id
+        )
+        SELECT doc_id,
+               {bits} AS simhash
+        FROM v
+    """
+
+
 def _top_users_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
     """q2 recomputed through the two-phase salted aggregation
     (operators/skew.py) — same oracle proves exact equivalence."""
@@ -134,8 +170,8 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
                    CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS sum_disc_price,
                    CAST(SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(18,6))) AS DOUBLE) AS sum_charge,
-                   ROUND(AVG(l_quantity), 6) AS avg_qty,
-                   ROUND(AVG(l_discount), 6) AS avg_disc,
+                   floor((AVG(l_quantity)) * 1000000.0 + 0.5) / 1000000.0 AS avg_qty,
+                   floor((AVG(l_discount)) * 1000000.0 + 0.5) / 1000000.0 AS avg_disc,
                    count(*) AS count_order
             FROM lineitem
             WHERE l_shipdate <= TIMESTAMP '1998-09-02'
@@ -209,7 +245,7 @@ def oracle_sql() -> dict[str, str]:
                 FROM sess GROUP BY user_id, session_id
             )
             SELECT user_id, count(*) AS n_sessions,
-                   ROUND(AVG(n_events), 6) AS avg_events_per_session
+                   floor((AVG(n_events)) * 1000000.0 + 0.5) / 1000000.0 AS avg_events_per_session
             FROM per_session
             GROUP BY user_id
             ORDER BY user_id
@@ -235,7 +271,7 @@ def oracle_sql() -> dict[str, str]:
         "part_name_search": """
             SELECT regexp_extract(p_name, '^(\\w+)', 1) AS adjective,
                    count(*) AS n,
-                   ROUND(avg(p_retailprice), 4) AS avg_price
+                   floor((avg(p_retailprice)) * 10000.0 + 0.5) / 10000.0 AS avg_price
             FROM part
             WHERE p_type LIKE '%ECONOMY%'
               AND regexp_matches(regexp_extract(p_name, '^(\\w+)', 1),
@@ -321,7 +357,7 @@ def oracle_sql() -> dict[str, str]:
         "brand_part_stats": """
             SELECT p_brand, count(*) AS n_parts,
                    min(p_size) AS min_size, max(p_size) AS max_size,
-                   ROUND(avg(p_retailprice), 4) AS avg_price
+                   floor((avg(p_retailprice)) * 10000.0 + 0.5) / 10000.0 AS avg_price
             FROM part
             GROUP BY p_brand
             HAVING count(*) >= 40
@@ -407,6 +443,7 @@ def oracle_sql() -> dict[str, str]:
                 JOIN sizes sb ON sb.doc_id = id_b
             ) WHERE jaccard >= 0.1
         """,
+        "simhash": _simhash_oracle_sql(),
         "cosine_topk": """
             WITH q AS (SELECT embedding FROM embeddings WHERE vec_id = 0)
             SELECT e.vec_id,
@@ -425,11 +462,11 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id,
                    CAST(n_chars AS BIGINT) AS n_chars,
                    CAST(len(toks) AS BIGINT) AS n_tokens,
-                   ROUND(list_sum(list_transform(toks, x -> length(x)))::DOUBLE
-                         / len(toks), 6) AS avg_token_len,
-                   ROUND(len(list_filter(toks, x -> list_contains(
+                   floor((list_sum(list_transform(toks, x -> length(x)))::DOUBLE
+                         / len(toks)) * 1000000.0 + 0.5) / 1000000.0 AS avg_token_len,
+                   floor((len(list_filter(toks, x -> list_contains(
                          ['the','a','of','and','is','in','to','it'], x)))::DOUBLE
-                         / len(toks), 6) AS stopword_ratio
+                         / len(toks)) * 1000000.0 + 0.5) / 1000000.0 AS stopword_ratio
             FROM t
         """,
         "doc_quality": """
@@ -448,9 +485,9 @@ def oracle_sql() -> dict[str, str]:
                 FROM t
             )
             SELECT doc_id,
-                   ROUND(0.4 * least(n_tokens / 100.0, 1.0)
+                   floor((0.4 * least(n_tokens / 100.0, 1.0)
                        + 0.3 * least(avg_len / 8.0, 1.0)
-                       + 0.3 * least(stop_ratio * 5.0, 1.0), 6) AS quality
+                       + 0.3 * least(stop_ratio * 5.0, 1.0)) * 1000000.0 + 0.5) / 1000000.0 AS quality
             FROM s
         """,
         "doc_lang_id": """

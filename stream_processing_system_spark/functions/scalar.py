@@ -80,6 +80,20 @@ def decode_tuple_json(col: Column | str) -> Column:
     return F.from_json(c, "map<string,string>")
 
 
+def det_round(col: Column, digits: int = 6) -> Column:
+    """Deterministic cross-engine rounding: floor(x*10^d + 0.5)/10^d.
+
+    Engine ROUND() disagrees on exact half-boundaries (Spark rounds
+    the shortest decimal repr HALF_UP; DuckDB rounds the binary
+    double), and ratio-valued columns (averages of exact decimals)
+    DO land on halves — found at sf0.1 where quality=0.5123125
+    rounded differently. floor/*/+ are exact IEEE ops, so both
+    engines see identical doubles end-to-end. SQL twin:
+    `floor(x * 1e6 + 0.5) / 1e6`."""
+    s = float(10**digits)
+    return F.floor(col * s + F.lit(0.5)) / F.lit(s)
+
+
 def cosine_similarity(a: Column, b: Column) -> Column:
     """Cosine similarity of two array<numeric> columns, computed with
     `zip_with` + `aggregate` — stays in the JVM (no Python UDF), so a

@@ -137,15 +137,14 @@ def ivf_topk(
         F.col("_cid"),
         cosine_similarity(F.col(vec_col), F.col("_cvec")).alias("_csim"),
     )
-    best = sims.withColumn(
-        "_rk",
-        F.row_number().over(
-            Window.partitionBy(id_col).orderBy(
-                F.col("_csim").desc(), F.col("_cid").asc()
-            )
+    # argmax via max_by on a (sim, -cid) struct: one hash aggregate,
+    # no per-vector sort — cheaper than a window at corpus scale.
+    assigned = sims.groupBy(id_col).agg(
+        F.first(vec_col).alias(vec_col),
+        F.max_by("_cid", F.struct(F.col("_csim"), (-F.col("_cid")).alias("_nc"))).alias(
+            "_centroid"
         ),
-    ).where(F.col("_rk") == 1)
-    assigned = best.select(id_col, vec_col, F.col("_cid").alias("_centroid"))
+    )
 
     qsims = query_df.crossJoin(F.broadcast(centroids)).select(
         F.col("_cid"),

@@ -9,12 +9,12 @@ operator (plus a window shuffle for winnowing).
 from __future__ import annotations
 
 import functools
-import operator
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from stream_processing_system_spark.functions import md5_prefix_long
+from stream_processing_system_spark.functions.scalar import det_round
 
 #: Tiny per-language marker vocabularies for the heuristic
 #: language-ID (stopword-hit counting). Order = tie-break priority.
@@ -46,8 +46,8 @@ def doc_stats(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> 
         F.col(id_col),
         F.length(text_col).cast("long").alias("n_chars"),
         n_tokens.cast("long").alias("n_tokens"),
-        F.round(total_tok_chars / n_tokens, 6).alias("avg_token_len"),
-        F.round(stop_hits / n_tokens, 6).alias("stopword_ratio"),
+        det_round(total_tok_chars / n_tokens).alias("avg_token_len"),
+        det_round(stop_hits / n_tokens).alias("stopword_ratio"),
     )
 
 
@@ -74,7 +74,7 @@ def quality_score(df: DataFrame, id_col: str = "doc_id", text_col: str = "text")
         + 0.3 * F.least(avg_len / 8.0, F.lit(1.0))
         + 0.3 * F.least(stop_ratio * 5.0, F.lit(1.0))
     )
-    return df.select(F.col(id_col), F.round(score, 6).alias("quality"))
+    return df.select(F.col(id_col), det_round(score).alias("quality"))
 
 
 def lang_id(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:

@@ -20,6 +20,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from stream_processing_system_spark.functions.scalar import det_round
 from stream_processing_system_spark.sources.tables import load_table
 
 
@@ -51,8 +52,8 @@ def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
             _dec_sum(F.col("l_extendedprice"), "sum_base_price"),
             _dec_sum(disc_price, "sum_disc_price", scale=4),
             _dec_sum(charge, "sum_charge", scale=6),
-            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
-            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            det_round(F.avg("l_quantity")).alias("avg_qty"),
+            det_round(F.avg("l_discount")).alias("avg_disc"),
             F.count(F.lit(1)).alias("count_order"),
         )
         .orderBy("l_returnflag", "l_linestatus")
@@ -223,7 +224,7 @@ def brand_part_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_parts"),
             F.min("p_size").alias("min_size"),
             F.max("p_size").alias("max_size"),
-            F.round(F.avg("p_retailprice"), 4).alias("avg_price"),
+            det_round(F.avg("p_retailprice"), 4).alias("avg_price"),
         )
         .where(F.col("n_parts") >= 40)
         .orderBy("p_brand")
@@ -343,7 +344,7 @@ def sessionize_events(spark: SparkSession, sf_dir: str, gap_minutes: int = 30) -
         per_session.groupBy("user_id")
         .agg(
             F.count(F.lit(1)).alias("n_sessions"),
-            F.round(F.avg("n_events"), 6).alias("avg_events_per_session"),
+            det_round(F.avg("n_events")).alias("avg_events_per_session"),
         )
         .orderBy("user_id")
     )
@@ -440,7 +441,7 @@ def part_name_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("adjective")
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.round(F.avg("p_retailprice"), 4).alias("avg_price"),
+            det_round(F.avg("p_retailprice"), 4).alias("avg_price"),
         )
         .orderBy("adjective")
     )

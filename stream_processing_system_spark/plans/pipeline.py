@@ -91,7 +91,12 @@ def ivf_topk_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return similarity.embedding_neardup_pairs(_embs(spark, sf_dir), threshold=0.9)
+    """Threshold 0.4: the synthetic embeddings are near-orthogonal
+    random vectors (no true dups), so a production-style 0.95 cutoff
+    returns nothing at any SF; 0.4 keeps the query's output
+    non-trivial while the planted-duplicate unit test covers the
+    high-threshold path."""
+    return similarity.embedding_neardup_pairs(_embs(spark, sf_dir), threshold=0.4)
 
 
 def knn_join_exact(spark: SparkSession, sf_dir: str) -> DataFrame:

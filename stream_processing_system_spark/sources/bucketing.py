@@ -33,6 +33,17 @@ def write_bucketed(
     writer.saveAsTable(table)
 
 
+def write_partitioned(df: DataFrame, path: str, partition_cols: list[str]) -> None:
+    """Hive-style partitioned layout (`path/col=value/...`): queries
+    filtering on partition columns prune whole directories before any
+    I/O (PartitionFilters in the scan node — distinct from
+    PushedFilters, which still reads row groups). The standard layout
+    for time/type-partitioned 100 TB fact tables. Keep partition
+    cardinality moderate (≤ ~10k dirs); high-cardinality keys belong
+    in bucketing, not partitioning."""
+    df.write.mode("overwrite").partitionBy(*partition_cols).parquet(path)
+
+
 def bucketed_join(
     spark: SparkSession, left_table: str, right_table: str, on: list[str] | str
 ) -> DataFrame:

@@ -12,6 +12,20 @@ def _physical_plan(df) -> str:
     return df._jdf.queryExecution().executedPlan().toString()
 
 
+def test_partitioned_write_prunes(spark, sf_dir, tmp_path):
+    from stream_processing_system_spark.sources.bucketing import write_partitioned
+
+    events = load_table(spark, sf_dir, "events")
+    out = str(tmp_path / "events_part")
+    write_partitioned(events, out, ["event_type"])
+
+    back = spark.read.parquet(out).where(F.col("event_type") == "click")
+    plan = back._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan and "event_type" in plan.split("PartitionFilters")[1][:120]
+    n_click = events.where(F.col("event_type") == "click").count()
+    assert back.count() == n_click
+
+
 def test_bucketed_join_has_no_shuffle(spark, sf_dir, tmp_path):
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")  # force non-broadcast
     try:
