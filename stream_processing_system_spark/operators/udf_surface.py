@@ -62,6 +62,35 @@ def flatmap_bolt(
     return df.mapInPandas(_gen, schema=schema)
 
 
+def grouped_agg_bolt(
+    fn: Callable[[pd.Series], object], return_type: str = "double"
+):
+    """UDAF surface: a grouped-aggregate pandas_udf — `fn` reduces a
+    pandas Series (one group's values, Arrow-delivered) to a scalar.
+    Usable in groupBy().agg() and as a window function.
+
+    >>> iqr = grouped_agg_bolt(lambda s: s.quantile(.75) - s.quantile(.25))
+    >>> df.groupBy("k").agg(iqr("v"))
+    """
+    return F.pandas_udf(fn, returnType=return_type, functionType=F.PandasUDFType.GROUPED_AGG)
+
+
+def table_bolt(cls, return_schema: str):
+    """UDTF surface (Spark 3.5+ Python user-defined table function):
+    the closest modern analog of the reference's `NextTuple()` spout
+    contract — a class whose `eval(...)` yields rows. Registered per
+    call site:
+
+    >>> @F.udtf(returnType="word: string")
+    ... class Split:
+    ...     def eval(self, line: str):
+    ...         for w in line.split(): yield (w,)
+
+    This wrapper just applies the decorator, keeping the engine's
+    extension surface in one module."""
+    return F.udtf(cls, returnType=return_schema)
+
+
 def stateful_bolt(
     df: DataFrame,
     keys: list[str],

@@ -111,6 +111,47 @@ def stream_session_windows(
     return _drain_to_table(sessions, name, checkpoint_dir, output_mode="complete")
 
 
+def stream_stream_join(
+    spark: SparkSession,
+    left: DataFrame,
+    right: DataFrame,
+    checkpoint_dir: str,
+    join_key: str = "user_id",
+    ts_col: str = "ts",
+    within: str = "1 hour",
+    watermark: str = "2 hours",
+    name: str = "ss_join",
+) -> DataFrame:
+    """Stream-stream inner join with event-time bounds (capability
+    beyond the reference, which has no joins at all — SURVEY.md §2.3):
+    both sides watermarked, rows match when keys are equal AND the
+    right event lands within `within` after the left event. Watermarks
+    bound the join state the engine must retain — the difference
+    between a streaming join that runs forever and one that OOMs."""
+    l = left.withWatermark(ts_col, watermark).select(
+        F.col(join_key).alias("l_key"), F.col(ts_col).alias("l_ts")
+    )
+    r = right.withWatermark(ts_col, watermark).select(
+        F.col(join_key).alias("r_key"), F.col(ts_col).alias("r_ts")
+    )
+    joined = l.join(
+        r,
+        F.expr(
+            f"l_key = r_key AND r_ts >= l_ts AND r_ts <= l_ts + interval {within}"
+        ),
+    )
+    q = (
+        joined.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
+
+
 def stream_wordcount_to_files(
     spark: SparkSession,
     input_dir: str,
