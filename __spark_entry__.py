@@ -52,8 +52,8 @@ def _simhash_oracle_sql() -> str:
             ) WHERE tok <> ''
         ), h AS (
             SELECT doc_id,
-                   ('0x' || substr(md5('hi|' || tok), 1, 8))::BIGINT AS hi,
-                   ('0x' || substr(md5('lo|' || tok), 1, 8))::BIGINT AS lo
+                   ('0x' || substr(md5('sh|' || tok), 1, 8))::BIGINT AS hi,
+                   ('0x' || substr(md5('sh|' || tok), 9, 8))::BIGINT AS lo
             FROM toks
         ), v AS (
             SELECT doc_id,

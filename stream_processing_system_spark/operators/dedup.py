@@ -213,8 +213,11 @@ def simhash64(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     Output: (id, simhash) with simhash as bigint. Near-dup detection
     then compares hamming distance (see `simhash_neardup_pairs`)."""
     toks = tokens_per_doc(df, id_col, text_col)
-    hi = md5_prefix_long(F.col("token"), salt="hi|")
-    lo = md5_prefix_long(F.col("token"), salt="lo|")
+    # one md5 yields 128 bits: hex chars 1-8 → hi word, 9-16 → lo word
+    # (half the hashing cost of two salted digests).
+    digest = F.md5(F.concat(F.lit("sh|"), F.col("token")))
+    hi = F.conv(F.substring(digest, 1, 8), 16, 10).cast("long")
+    lo = F.conv(F.substring(digest, 9, 8), 16, 10).cast("long")
     toks = toks.withColumn("_hi", hi).withColumn("_lo", lo)
     votes = [
         F.sum(

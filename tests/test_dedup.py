@@ -81,8 +81,8 @@ def _py_simhash(text: str) -> int:
     tokens = {t for t in text.split(" ") if t}
     votes = [0] * 64
     for tok in tokens:
-        hi = int(hashlib.md5(f"hi|{tok}".encode()).hexdigest()[:8], 16)
-        lo = int(hashlib.md5(f"lo|{tok}".encode()).hexdigest()[:8], 16)
+        digest = hashlib.md5(f"sh|{tok}".encode()).hexdigest()
+        hi, lo = int(digest[:8], 16), int(digest[8:16], 16)
         for i in range(64):
             word = hi if i < 32 else lo
             votes[i] += 1 if (word >> (i % 32)) & 1 else -1
