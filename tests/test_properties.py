@@ -1,0 +1,96 @@
+"""Property-based tests (hypothesis): algebraic invariants of the
+core operators on arbitrary inputs — the test-strategy upgrade over
+the reference, which has no tests at all (SURVEY.md §5)."""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from stream_processing_system_spark.operators import dedup
+from stream_processing_system_spark.plans.reference import top_users, wordcount
+
+# words over a small alphabet, no spaces
+word = st.text(alphabet="abcxyz", min_size=1, max_size=6)
+line = st.lists(word, min_size=0, max_size=8).map(" ".join)
+corpus = st.lists(line, min_size=1, max_size=12)
+
+SET = settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+
+@given(lines=corpus)
+@SET
+def test_wordcount_total_equals_kept_token_count(spark, lines):
+    df = spark.createDataFrame([(ln,) for ln in lines], ["line"])
+    result = wordcount(df).collect()
+    total = sum(r["cnt"] for r in result)
+    kept = [
+        w
+        for ln in lines
+        if not (
+            len(ln.split(" ")[0]) > 8 and ln.split(" ")[0][:4] in ("http", "2008")
+        )
+        for w in ln.split(" ")
+        if w
+    ]
+    assert total == len(kept)
+    assert all(r["cnt"] >= 1 for r in result)
+
+
+@given(lines=st.lists(line, min_size=1, max_size=10))
+@SET
+def test_dedup_exact_idempotent_and_keeps_distinct_texts(spark, lines):
+    df = spark.createDataFrame(list(enumerate(lines)), ["doc_id", "text"])
+    kept1 = {r["doc_id"] for r in dedup.dedup_exact(df, "doc_id", "text").collect()}
+    # one keeper per distinct normalized text
+    assert len(kept1) == len({ln.strip().lower() for ln in lines})
+    # idempotent: dedup of the deduped set keeps everything
+    sub = df.join(
+        spark.createDataFrame([(i,) for i in kept1], ["doc_id"]), "doc_id"
+    )
+    kept2 = {r["doc_id"] for r in dedup.dedup_exact(sub, "doc_id", "text").collect()}
+    assert kept2 == kept1
+
+
+@given(
+    scores=st.lists(
+        st.tuples(st.sampled_from(["u1", "u2", "u3", "u4"]), st.integers(-5, 5)),
+        min_size=1,
+        max_size=20,
+    ),
+    k=st.integers(1, 4),
+)
+@SET
+def test_top_users_is_prefix_of_larger_k(spark, scores, k):
+    df = spark.createDataFrame(scores, ["username", "score"])
+    small = top_users(df, "username", F.col("score") >= 0, k=k).collect()
+    big = top_users(df, "username", F.col("score") >= 0, k=k + 3).collect()
+    assert [tuple(r) for r in small] == [tuple(r) for r in big][: len(small)]
+
+
+@given(lines=st.lists(line.filter(lambda s: len(s.split()) >= 3), min_size=2, max_size=8))
+@SET
+def test_jaccard_pairs_bounded_and_symmetric_ids(spark, lines):
+    df = spark.createDataFrame(list(enumerate(lines)), ["doc_id", "text"])
+    rows = dedup.jaccard_pairs(df, "doc_id", "text", threshold=0.0, n=2).collect()
+    for r in rows:
+        assert 0.0 <= r["jaccard"] <= 1.0
+        assert r["id_a"] < r["id_b"]  # canonical pair orientation, no dupes
+
+
+@given(lines=st.lists(line, min_size=1, max_size=8))
+@SET
+def test_simhash_identical_docs_identical_signatures(spark, lines):
+    rows = [(i, ln) for i, ln in enumerate(lines)] + [
+        (100 + i, ln) for i, ln in enumerate(lines)  # exact copies
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    sigs = {r["doc_id"]: r["simhash"] for r in dedup.simhash64(df, "doc_id", "text").collect()}
+    for i in range(len(lines)):
+        if lines[i].strip():
+            assert sigs.get(i) == sigs.get(100 + i)
