@@ -131,8 +131,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_winnow": pipeline.doc_winnow,
         # --- multimodal plumbing (mapInPandas decode, oracle-checked) ---
         "media_decode_stats": pipeline.media_decode_stats,
-        # --- streaming twin, same oracle as q1 (batch == streaming) ---
+        # --- streaming twins, same oracles as batch (batch == streaming) ---
         "stream_wordcount": streaming_parity.stream_wordcount_docs,
+        "stream_host_report": streaming_parity.stream_host_report_events,
     }
 
 
@@ -540,6 +541,14 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT word, count(*) AS cnt FROM words WHERE word <> ''
             GROUP BY word
+        """,
+        "stream_host_report": """
+            SELECT user_id, count(*) AS hits,
+                   array_to_string(
+                       list_sort(list(DISTINCT (user_id::VARCHAR || ':' || props))),
+                       ',') AS routes
+            FROM events WHERE event_type = 'click'
+            GROUP BY user_id
         """,
         "doc_winnow": """
             WITH t AS (

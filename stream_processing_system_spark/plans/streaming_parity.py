@@ -20,14 +20,48 @@ from stream_processing_system_spark.sources.tables import load_table
 from stream_processing_system_spark.streaming import jobs
 
 
+def _scratch(prefix: str) -> tuple[str, str, str]:
+    run = uuid.uuid4().hex[:8]
+    base = os.path.join(tempfile.gettempdir(), f"spark_graft_{prefix}_{run}")
+    return os.path.join(base, "in"), os.path.join(base, "ckpt"), run
+
+
 def stream_wordcount_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """q1_wordcount, but executed as a Structured Streaming job over
     a file-drop copy of documents.text. Same oracle as q1_wordcount."""
-    run = uuid.uuid4().hex[:8]
-    base = os.path.join(tempfile.gettempdir(), f"spark_graft_stream_{run}")
-    input_dir = os.path.join(base, "in")
-    ckpt = os.path.join(base, "ckpt")
+    input_dir, ckpt, run = _scratch("wc")
     docs = load_table(spark, sf_dir, "documents").select(F.col("text"))
     docs.write.mode("overwrite").text(input_dir)
     result = jobs.stream_wordcount(spark, input_dir, ckpt, name=f"wc_{run}")
     return result.select(F.col("word"), F.col("cnt"))
+
+
+def stream_host_report_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q3_host_report as a streaming job: events re-laid as a parquet
+    drop directory, then the same grouped count + sorted collect_set
+    plan runs incrementally (streaming collect_set state). Same
+    oracle as q3_host_report — a second batch==streaming differential
+    check, this one over a stateful multi-aggregate."""
+    from stream_processing_system_spark.plans.reference import host_report
+
+    input_dir, ckpt, run = _scratch("q3")
+    events = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "props"
+    )
+    events.write.mode("overwrite").parquet(input_dir)
+    stream = spark.readStream.schema(
+        "event_id long, user_id long, event_type string, props string"
+    ).parquet(input_dir)
+    kept = stream.where(F.col("event_type") == "click")
+    route = F.concat(F.col("user_id").cast("string"), F.lit(":"), F.col("props"))
+    result = host_report(kept.withColumn("route", route), "user_id", F.col("route"))
+    q = (
+        result.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(f"q3_{run}")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(f"q3_{run}")
