@@ -93,6 +93,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "supplier_rank_in_nation": analytics.supplier_rank_in_nation,
         "sessionize_events": analytics.sessionize_events,
         "json_props_stats": analytics.json_props_stats,
+        "purchase_last_click_asof": analytics.purchase_last_click_asof,
+        "clicks_before_purchase": analytics.clicks_before_purchase,
         "value_percentiles": analytics.value_percentiles,
         "part_name_search": analytics.part_name_search,
         "events_per_hour": analytics.events_per_hour,
@@ -259,6 +261,26 @@ def oracle_sql() -> dict[str, str]:
             FROM events
             GROUP BY event_type
             ORDER BY event_type
+        """,
+        "purchase_last_click_asof": """
+            SELECT p.event_id, p.user_id,
+                   CAST(floor(epoch(p.ts)) AS BIGINT) AS ts_s,
+                   CAST(floor(epoch(c.ts)) AS BIGINT) AS click_ts_s
+            FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase') p
+            ASOF JOIN (SELECT user_id, ts FROM events WHERE event_type = 'click') c
+              ON p.user_id = c.user_id AND p.ts >= c.ts
+            ORDER BY p.event_id
+        """,
+        "clicks_before_purchase": """
+            SELECT p.event_id, p.user_id,
+                   CAST(count(c.ts) AS BIGINT) AS n_clicks_1h
+            FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase') p
+            LEFT JOIN (SELECT user_id, ts FROM events WHERE event_type = 'click') c
+              ON p.user_id = c.user_id
+             AND floor(epoch(c.ts)) >= floor(epoch(p.ts)) - 3600
+             AND floor(epoch(c.ts)) < floor(epoch(p.ts))
+            GROUP BY p.event_id, p.user_id
+            ORDER BY p.event_id
         """,
         "value_percentiles": """
             SELECT event_type,

@@ -1,0 +1,122 @@
+"""Temporal join operators Spark lacks as built-ins: AS-OF join and
+binned interval (range) join.
+
+Both are expressed as compositions of existing DataFrame ops
+(SURVEY.md §7.3 strategy (a)) — no UDF, no driver loop:
+
+- `asof_join`: the union-sort formulation. Tag both sides, union,
+  sort per key by (ts, side), carry the last right-side value forward
+  with last_value(ignorenulls) over an unbounded-preceding window,
+  keep left rows. ONE shuffle on the key — same cost shape as a
+  sort-merge join, no point-in-time loop. Matches DuckDB's native
+  ASOF JOIN semantics (latest right.ts <= left.ts, inclusive), which
+  is the differential oracle.
+- `interval_count_join`: count right-side events in [left.ts - w,
+  left.ts) per key. A naive inequality join is a broadcast
+  nested-loop (quadratic); instead both sides are binned to
+  ceil(w)-sized buckets and equi-joined on (key, bucket) for bucket
+  and bucket+1, then the exact predicate filters — the classic
+  bounded-range join at scale: fan-out is exactly 2 buckets per row
+  regardless of data size.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    right_cols: list[str] | None = None,
+    prefix: str = "r_",
+) -> DataFrame:
+    """For every left row, attach the most recent right row with
+    right.ts <= left.ts (same key). Inner semantics: left rows with
+    no prior right row are dropped. Output: all left columns +
+    prefix-renamed right value columns + `{prefix}ts`."""
+    right_cols = right_cols or []
+    l = left.select(
+        F.col(key).alias("_k"),
+        F.col(left_ts).alias("_ts"),
+        F.lit(1).alias("_is_left"),
+        F.struct(*left.columns).alias("_lrow"),
+        *[F.lit(None).cast(right.schema[c].dataType).alias(f"_rv_{c}") for c in right_cols],
+        F.lit(None).cast(right.schema[right_ts].dataType).alias("_rts"),
+    )
+    r = right.select(
+        F.col(key).alias("_k"),
+        F.col(right_ts).alias("_ts"),
+        F.lit(0).alias("_is_left"),
+        F.lit(None).cast(l.schema["_lrow"].dataType).alias("_lrow"),
+        *[F.col(c).alias(f"_rv_{c}") for c in right_cols],
+        F.col(right_ts).alias("_rts"),
+    )
+    # right rows sort before left rows at equal ts → "<=" semantics
+    w = (
+        Window.partitionBy("_k")
+        .orderBy(F.col("_ts").asc(), F.col("_is_left").asc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    carried = r.unionByName(l).select(
+        "_is_left",
+        "_lrow",
+        F.last("_rts", ignorenulls=True).over(w).alias(f"{prefix}ts"),
+        *[
+            F.last(f"_rv_{c}", ignorenulls=True).over(w).alias(f"{prefix}{c}")
+            for c in right_cols
+        ],
+    )
+    matched = carried.where(
+        (F.col("_is_left") == 1) & F.col(f"{prefix}ts").isNotNull()
+    )
+    out_cols = [F.col(f"_lrow.{c}").alias(c) for c in left.columns]
+    out_cols += [F.col(f"{prefix}ts")] + [F.col(f"{prefix}{c}") for c in right_cols]
+    return matched.select(*out_cols)
+
+
+def interval_count_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    window_seconds: int,
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    out: str = "n_in_window",
+) -> DataFrame:
+    """Per left row: count right rows with the same key in
+    [left.ts - window_seconds, left.ts). Bucketed equi-join; exact
+    predicate applied post-join. Output: left columns + `out`."""
+    bucket_l = (F.col(left_ts).cast("long") / window_seconds).cast("long")
+    bucket_r = (F.col(right_ts).cast("long") / window_seconds).cast("long")
+    l = left.select(
+        F.struct(*left.columns).alias("_lrow"),
+        F.col(key).alias("_lk"),
+        F.col(left_ts).cast("long").alias("_lt"),
+        F.explode(F.array(bucket_l, bucket_l - 1)).alias("_lb"),
+    )
+    r = right.select(
+        F.col(key).alias("_rk"),
+        F.col(right_ts).cast("long").alias("_rt"),
+        bucket_r.alias("_rb"),
+    )
+    # The window predicate is part of the JOIN condition — a post-join
+    # filter on a left join silently drops left rows whose candidates
+    # all miss the window (they'd count 0, not disappear).
+    cond = (
+        (F.col("_lk") == F.col("_rk"))
+        & (F.col("_lb") == F.col("_rb"))
+        & (F.col("_rt") >= F.col("_lt") - window_seconds)
+        & (F.col("_rt") < F.col("_lt"))
+    )
+    hits = (
+        l.join(r, cond, "left")
+        .groupBy("_lrow", "_lt")
+        .agg(F.sum(F.when(F.col("_rt").isNotNull(), 1).otherwise(0)).alias(out))
+    )
+    out_cols = [F.col(f"_lrow.{c}").alias(c) for c in left.columns] + [F.col(out)]
+    return hits.select(*out_cols)

@@ -447,6 +447,47 @@ def part_name_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def purchase_last_click_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AS-OF join: for each purchase event, the most recent click by
+    the same user at or before the purchase (inner — purchases with
+    no prior click drop out). Oracle: DuckDB's native ASOF JOIN.
+    Timestamps emitted as epoch seconds (tz-proof)."""
+    from stream_processing_system_spark.operators.temporal import asof_join
+
+    events = load_table(spark, sf_dir, "events")
+    purchases = events.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = events.where(F.col("event_type") == "click").select("user_id", "ts")
+    joined = asof_join(purchases, clicks, key="user_id")
+    return joined.select(
+        "event_id",
+        "user_id",
+        F.col("ts").cast("long").alias("ts_s"),
+        F.col("r_ts").cast("long").alias("click_ts_s"),
+    ).orderBy("event_id")
+
+
+def clicks_before_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded interval (range) join: clicks by the same user in the
+    hour before each purchase, counted — executed as a bucketed
+    equi-join (2 buckets/row fan-out), not a nested-loop inequality
+    join."""
+    from stream_processing_system_spark.operators.temporal import interval_count_join
+
+    events = load_table(spark, sf_dir, "events")
+    purchases = events.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = events.where(F.col("event_type") == "click").select("user_id", "ts")
+    joined = interval_count_join(
+        purchases, clicks, key="user_id", window_seconds=3600
+    )
+    return joined.select(
+        "event_id", "user_id", F.col("n_in_window").cast("long").alias("n_clicks_1h")
+    ).orderBy("event_id")
+
+
 def json_props_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Semi-structured extraction (X6 analog — the reference JSON-
     decodes every tuple on every hop, `bolt/bolt.go:220-221`; here

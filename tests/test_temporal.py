@@ -1,0 +1,57 @@
+"""AS-OF and interval join semantics on crafted timelines."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from stream_processing_system_spark.operators.temporal import (
+    asof_join,
+    interval_count_join,
+)
+
+T0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+
+
+def _m(minutes: float) -> dt.datetime:
+    return T0 + dt.timedelta(minutes=minutes)
+
+
+def test_asof_join_picks_latest_at_or_before(spark):
+    left = spark.createDataFrame(
+        [(1, "u", _m(10)), (2, "u", _m(30)), (3, "v", _m(5)), (4, "w", _m(1))],
+        ["event_id", "user_id", "ts"],
+    )
+    right = spark.createDataFrame(
+        [("u", _m(0)), ("u", _m(10)), ("u", _m(29)), ("v", _m(6))],
+        ["user_id", "ts"],
+    )
+    got = {
+        r["event_id"]: r["r_ts"]
+        for r in asof_join(left, right, key="user_id").collect()
+    }
+    assert got[1] == _m(10)  # equal ts counts ("at or before")
+    assert got[2] == _m(29)  # latest of the three priors
+    assert 3 not in got      # v's only click is AFTER the purchase
+    assert 4 not in got      # w has no clicks at all (inner semantics)
+
+
+def test_interval_count_join_window_edges(spark):
+    left = spark.createDataFrame(
+        [(1, "u", _m(60)), (2, "v", _m(60))], ["event_id", "user_id", "ts"]
+    )
+    right = spark.createDataFrame(
+        [
+            ("u", _m(0)),      # exactly ts-60min → included (>= lower)
+            ("u", _m(59)),     # inside
+            ("u", _m(60)),     # equal to ts → excluded (< upper)
+            ("u", _m(-1)),     # before window
+        ],
+        ["user_id", "ts"],
+    )
+    got = {
+        r["event_id"]: r["n_in_window"]
+        for r in interval_count_join(
+            left, right, key="user_id", window_seconds=3600
+        ).collect()
+    }
+    assert got == {1: 2, 2: 0}  # v has no clicks → 0, row kept
