@@ -131,6 +131,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_lang_id": pipeline.doc_lang_id,
         "doc_fingerprint": pipeline.doc_fingerprint,
         "doc_winnow": pipeline.doc_winnow,
+        "doc_top_terms": pipeline.doc_top_terms,
         # --- multimodal plumbing (mapInPandas decode, oracle-checked) ---
         "media_decode_stats": pipeline.media_decode_stats,
         # --- streaming twins, same oracles as batch (batch == streaming) ---
@@ -538,6 +539,32 @@ def oracle_sql() -> dict[str, str]:
         """,
         "doc_fingerprint": """
             SELECT doc_id, md5(lower(trim(text))) AS fp FROM documents
+        """,
+        "doc_top_terms": """
+            WITH toks AS (
+                SELECT doc_id, unnest(list_filter(string_split(text, ' '),
+                                                  x -> x <> '')) AS term
+                FROM documents
+            ), tf AS (
+                SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term
+            ), dfreq AS (
+                SELECT term, count(*) AS df FROM tf GROUP BY term
+            ), n AS (
+                SELECT count(*) AS n_docs FROM documents
+            ), scored AS (
+                SELECT tf.doc_id, tf.term,
+                       tf.tf * (n.n_docs + 1) / (dfreq.df + 1) AS score
+                FROM tf JOIN dfreq USING (term), n
+            ), ranked AS (
+                SELECT doc_id, term, score,
+                       row_number() OVER (PARTITION BY doc_id
+                                          ORDER BY score DESC, term ASC) AS rnk
+                FROM scored
+            )
+            SELECT doc_id, term,
+                   floor(score * 1000000.0 + 0.5) / 1000000.0 AS score,
+                   CAST(rnk AS BIGINT) AS rnk
+            FROM ranked WHERE rnk <= 2
         """,
         "media_decode_stats": """
             WITH m AS (

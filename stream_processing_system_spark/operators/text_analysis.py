@@ -155,6 +155,48 @@ def token_counts(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") 
     )
 
 
+def top_terms_tfidf(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", k: int = 1
+) -> DataFrame:
+    """Top-k most characteristic terms per document by TF-IDF.
+
+    IDF is the *rational* form (N+1)/(df+1) rather than its log:
+    integer-ratio doubles are correctly rounded and identical across
+    engines, while `ln` differs in the last ulp between libm and the
+    JVM — which would make scores (and near-tie rankings)
+    hash-unstable. Monotonicity in df is the same, so per-doc term
+    ranking is unaffected by dropping the log.
+
+    Plan shape: explode → (doc,term) count → term df → broadcast N →
+    windowed top-k. Two shuffles (tf, df) — corpus-scale friendly."""
+    toks = _toks(F.col(text_col))
+    exploded = df.select(F.col(id_col), F.explode(toks).alias("term"))
+    tf = exploded.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = df.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(dfreq, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "score",
+            F.col("tf") * (F.col("n_docs") + 1) / (F.col("df") + 1),
+        )
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("score").desc(), F.col("term").asc()
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .where(F.col("rnk") <= k)
+        .select(
+            F.col(id_col),
+            F.col("term"),
+            det_round(F.col("score")).alias("score"),
+            "rnk",
+        )
+    )
+
+
 def token_frequencies(
     df: DataFrame, text_col: str = "text", min_count: int = 1
 ) -> DataFrame:

@@ -137,6 +137,10 @@ def doc_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text_analysis.token_counts(_docs(spark, sf_dir))
 
 
+def doc_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text_analysis.top_terms_tfidf(_docs(spark, sf_dir), k=2)
+
+
 # --- multimodal ---
 
 def media_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
