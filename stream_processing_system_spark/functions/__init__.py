@@ -7,11 +7,13 @@ whole-stage codegen, no Python in the hot path.
 
 from stream_processing_system_spark.functions.scalar import (
     cosine_similarity,
+    dot_product,
     first_token,
     is_noise_line,
     lenient_int,
     md5_prefix_long,
     tokenize,
+    vector_norm,
 )
 
 __all__ = [
@@ -21,4 +23,6 @@ __all__ = [
     "lenient_int",
     "md5_prefix_long",
     "cosine_similarity",
+    "dot_product",
+    "vector_norm",
 ]

@@ -94,16 +94,30 @@ def det_round(col: Column, digits: int = 6) -> Column:
     return F.floor(col * s + F.lit(0.5)) / F.lit(s)
 
 
+def dot_product(a: Column, b: Column) -> Column:
+    """Dot product of two array<numeric> columns via `zip_with` +
+    `aggregate` — JVM-side, no Python UDF."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def vector_norm(a: Column) -> Column:
+    """L2 norm of an array<numeric> column. Exactly the norm
+    expression `cosine_similarity` uses, exposed so pairwise joins
+    can precompute it ONCE per row: a blocked similarity join then
+    pays one dot product per pair instead of three array passes
+    (dot + both norms), with bit-identical results."""
+    return F.sqrt(
+        F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v.cast("double") * v.cast("double"))
+    )
+
+
 def cosine_similarity(a: Column, b: Column) -> Column:
     """Cosine similarity of two array<numeric> columns, computed with
     `zip_with` + `aggregate` — stays in the JVM (no Python UDF), so a
     brute-force scan over 100 TB of embeddings is a single codegen'd
     map stage with no data movement."""
-    dot = F.aggregate(
-        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
-        F.lit(0.0),
-        lambda acc, v: acc + v,
-    )
-    norm_a = F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v.cast("double") * v.cast("double")))
-    norm_b = F.sqrt(F.aggregate(b, F.lit(0.0), lambda acc, v: acc + v.cast("double") * v.cast("double")))
-    return dot / (norm_a * norm_b)
+    return dot_product(a, b) / (vector_norm(a) * vector_norm(b))

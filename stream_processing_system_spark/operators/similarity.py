@@ -27,7 +27,11 @@ import numpy as np
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from stream_processing_system_spark.functions import cosine_similarity
+from stream_processing_system_spark.functions import (
+    cosine_similarity,
+    dot_product,
+    vector_norm,
+)
 
 
 def attach_query_vector(
@@ -189,11 +193,19 @@ def knn_join(
     Note: with LSH blocking a query may return fewer than k rows
     (bucket smaller than k) — the standard ANN trade; use
     multi-probe (lsh_topk) or fewer planes when coverage matters."""
+    # Norms are precomputed per ROW before the join: each of the
+    # O(|Q|·|C|) (or per-bucket) pairs then costs one dot product
+    # instead of three array passes. Same doubles as
+    # cosine_similarity (vector_norm is its exact norm expression).
     q = queries_df.select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv")
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("_qv"),
+        vector_norm(F.col(vec_col)).alias("_qn"),
     )
     c = corpus_df.select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cv")
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("_cv"),
+        vector_norm(F.col(vec_col)).alias("_cn"),
     )
     if exact:
         joined = q.crossJoin(c)
@@ -202,7 +214,9 @@ def knn_join(
         q = q.withColumn("_sig", lsh_signature(F.col("_qv"), planes))
         c = c.withColumn("_sig", lsh_signature(F.col("_cv"), planes))
         joined = q.join(c, "_sig")
-    sim = F.round(cosine_similarity(F.col("_qv"), F.col("_cv")), 6)
+    sim = F.round(
+        dot_product(F.col("_qv"), F.col("_cv")) / (F.col("_qn") * F.col("_cn")), 6
+    )
     ranked = joined.select("query_id", "neighbor_id", sim.alias("sim")).withColumn(
         "rnk",
         F.row_number()
@@ -230,11 +244,16 @@ def embedding_neardup_pairs(
     (id_a, id_b, sim) above threshold, 6dp."""
     planes = _hyperplanes(dim, n_planes, seed)
     tagged = df.select(
-        F.col(id_col), F.col(vec_col), lsh_signature(F.col(vec_col), planes).alias("_sig")
+        F.col(id_col),
+        F.col(vec_col),
+        lsh_signature(F.col(vec_col), planes).alias("_sig"),
+        vector_norm(F.col(vec_col)).alias("_n"),
     )
     a, b = tagged.alias("a"), tagged.alias("b")
     sim = F.round(
-        cosine_similarity(F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}")), 6
+        dot_product(F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}"))
+        / (F.col("a._n") * F.col("b._n")),
+        6,
     )
     return (
         a.join(

@@ -47,8 +47,11 @@ def main() -> None:
     from stream_processing_system_spark.session import get_spark
 
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])  # optional query names for a targeted re-check
     spark = get_spark(app_name="oracle-check")
     queries = contract.queries()
+    if only:
+        queries = {n: f for n, f in queries.items() if n in only}
     oracles = contract.oracle_sql()
     failed = []
     for name, fn in queries.items():
