@@ -314,16 +314,27 @@ def connected_component_labels(
     Output: (id, component) where component = min id reachable.
     Driver involvement per round is ONE aggregated convergence count
     — no per-row collection; lineage is cut with localCheckpoint so
-    the plan doesn't grow unboundedly across iterations."""
+    the plan doesn't grow unboundedly across iterations.
+
+    Only nodes that appear in an edge are iterated: an isolated node
+    (no near-dup pair — the overwhelming majority of a deduped
+    corpus) is its own component by definition and is unioned back
+    in at the end. The fixpoint loop therefore runs over the dup
+    GRAPH, not the corpus — at 100 TB that's the difference between
+    re-shuffling a few million pair-nodes per round and re-shuffling
+    every document."""
     edges = (
         pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
         .union(pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
         .dropDuplicates()
         .localCheckpoint()
     )
-    labels = nodes.select(
-        F.col(id_col).alias("node"), F.col(id_col).alias("component")
-    ).localCheckpoint()
+    labels = (
+        edges.select(F.col("src").alias("node"))
+        .dropDuplicates()
+        .withColumn("component", F.col("node"))
+        .localCheckpoint()
+    )
 
     for _ in range(max_iters):
         neighbor_min = (
@@ -347,7 +358,14 @@ def connected_component_labels(
         labels = updated.drop("_changed")
         if changed == 0:
             break
-    return labels.select(F.col("node").alias(id_col), "component")
+    isolated = (
+        nodes.select(F.col(id_col).alias("node"))
+        .join(labels.select("node"), "node", "left_anti")
+        .withColumn("component", F.col("node"))
+    )
+    return labels.unionByName(isolated).select(
+        F.col("node").alias(id_col), "component"
+    )
 
 
 def _verify_jaccard_pairs(
