@@ -434,14 +434,16 @@ def oracle_sql() -> dict[str, str]:
                 WHERE len(l) >= 3
             )
             SELECT doc_id,
-                   MIN(('0x' || substr(md5('0|' || shingle), 1, 8))::BIGINT) AS h0,
-                   MIN(('0x' || substr(md5('1|' || shingle), 1, 8))::BIGINT) AS h1,
-                   MIN(('0x' || substr(md5('2|' || shingle), 1, 8))::BIGINT) AS h2,
-                   MIN(('0x' || substr(md5('3|' || shingle), 1, 8))::BIGINT) AS h3,
-                   MIN(('0x' || substr(md5('4|' || shingle), 1, 8))::BIGINT) AS h4,
-                   MIN(('0x' || substr(md5('5|' || shingle), 1, 8))::BIGINT) AS h5,
-                   MIN(('0x' || substr(md5('6|' || shingle), 1, 8))::BIGINT) AS h6,
-                   MIN(('0x' || substr(md5('7|' || shingle), 1, 8))::BIGINT) AS h7
+                   -- 4 independent 32-bit hash words per md5 digest
+                   -- (matches operators/dedup.py minhash_signatures)
+                   MIN(('0x' || substr(md5('0|' || shingle),  1, 8))::BIGINT) AS h0,
+                   MIN(('0x' || substr(md5('0|' || shingle),  9, 8))::BIGINT) AS h1,
+                   MIN(('0x' || substr(md5('0|' || shingle), 17, 8))::BIGINT) AS h2,
+                   MIN(('0x' || substr(md5('0|' || shingle), 25, 8))::BIGINT) AS h3,
+                   MIN(('0x' || substr(md5('1|' || shingle),  1, 8))::BIGINT) AS h4,
+                   MIN(('0x' || substr(md5('1|' || shingle),  9, 8))::BIGINT) AS h5,
+                   MIN(('0x' || substr(md5('1|' || shingle), 17, 8))::BIGINT) AS h6,
+                   MIN(('0x' || substr(md5('1|' || shingle), 25, 8))::BIGINT) AS h7
             FROM sh GROUP BY doc_id
         """,
         "jaccard_pairs": """

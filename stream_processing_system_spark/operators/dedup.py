@@ -121,14 +121,28 @@ def minhash_signatures(
     codegen. (A map-only `array_min(transform(...))` variant was
     benchmarked and lost ~25%: higher-order-function eval is
     interpreted per element, while explode + hash-aggregate is
-    codegen'd end to end.)"""
+    codegen'd end to end.)
+
+    Hashing cost: each md5 digest is 128 bits = FOUR independent
+    32-bit hash words, so K hash functions need only ceil(K/4) md5
+    evaluations per shingle — h_{4d+w} is hex chars [8w+1, 8w+8] of
+    md5('<d>|' + shingle). Same fold as simhash64; the SQL oracle
+    mirrors it with substr offsets."""
     units = (
         tokens_per_doc(df, id_col, text_col).withColumnRenamed("token", "shingle")
         if shingle_n == 1
         else shingles_per_doc(df, id_col, text_col, n=shingle_n)
     )
+    digests = [
+        F.md5(F.concat(F.lit(f"{d}|"), F.col("shingle")))
+        for d in range((num_hashes + 3) // 4)
+    ]
     aggs = [
-        F.min(md5_prefix_long(F.col("shingle"), salt=f"{j}|")).alias(f"h{j}")
+        F.min(
+            F.conv(F.substring(digests[j // 4], 8 * (j % 4) + 1, 8), 16, 10).cast(
+                "long"
+            )
+        ).alias(f"h{j}")
         for j in range(num_hashes)
     ]
     return units.groupBy(id_col).agg(*aggs)
