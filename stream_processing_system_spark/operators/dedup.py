@@ -137,15 +137,20 @@ def minhash_signatures(
         F.md5(F.concat(F.lit(f"{d}|"), F.col("shingle")))
         for d in range((num_hashes + 3) // 4)
     ]
+    # min over the fixed-width lowercase-hex words: lexicographic ==
+    # numeric order, so the base-16 parse runs once per DOC after the
+    # aggregate instead of once per shingle
     aggs = [
-        F.min(
-            F.conv(F.substring(digests[j // 4], 8 * (j % 4) + 1, 8), 16, 10).cast(
-                "long"
-            )
-        ).alias(f"h{j}")
+        F.min(F.substring(digests[j // 4], 8 * (j % 4) + 1, 8)).alias(f"_hx{j}")
         for j in range(num_hashes)
     ]
-    return units.groupBy(id_col).agg(*aggs)
+    return units.groupBy(id_col).agg(*aggs).select(
+        F.col(id_col),
+        *[
+            F.conv(F.col(f"_hx{j}"), 16, 10).cast("long").alias(f"h{j}")
+            for j in range(num_hashes)
+        ],
+    )
 
 
 def lsh_candidate_pairs(
@@ -251,7 +256,17 @@ def simhash64(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 
     Output: (id, simhash) with simhash as bigint. Near-dup detection
     then compares hamming distance (see `simhash_neardup_pairs`)."""
-    toks = tokens_per_doc(df, id_col, text_col)
+    # distinct tokens via array_distinct in the MAP stage, then
+    # explode: one shuffle (the vote groupBy) instead of two
+    # (tokens_per_doc's dropDuplicates would shuffle first)
+    toks = df.select(
+        F.col(id_col),
+        F.explode(
+            F.array_distinct(
+                F.filter(F.split(F.col(text_col), " "), lambda t: t != "")
+            )
+        ).alias("token"),
+    )
     # one md5 yields 128 bits: hex chars 1-8 → hi word, 9-16 → lo word
     # (half the hashing cost of two salted digests).
     digest = F.md5(F.concat(F.lit("sh|"), F.col("token")))
