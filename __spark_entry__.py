@@ -137,6 +137,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- streaming twins, same oracles as batch (batch == streaming) ---
         "stream_wordcount": streaming_parity.stream_wordcount_docs,
         "stream_host_report": streaming_parity.stream_host_report_events,
+        "stream_dedup_exact": streaming_parity.stream_dedup_exact_docs,
     }
 
 
@@ -600,6 +601,11 @@ def oracle_sql() -> dict[str, str]:
                        ',') AS routes
             FROM events WHERE event_type = 'click'
             GROUP BY user_id
+        """,
+        "stream_dedup_exact": """
+            SELECT min(doc_id) AS doc_id
+            FROM documents
+            GROUP BY md5(lower(trim(text)))
         """,
         "doc_winnow": """
             WITH t AS (

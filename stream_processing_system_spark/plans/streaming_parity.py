@@ -36,6 +36,38 @@ def stream_wordcount_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return result.select(F.col("word"), F.col("cnt"))
 
 
+def stream_dedup_exact_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup as a streaming job: documents re-laid as a parquet
+    drop directory, then the digest groupBy + min-id keeper runs
+    incrementally (state = one row per distinct digest). Same oracle
+    as batch dedup_exact — a third batch==streaming differential
+    check. At scale this is the incremental-ingest dedup shape: new
+    files drop in, only new digests extend the state store, and
+    `update` mode emits just the changed keepers per batch."""
+    from stream_processing_system_spark.operators.dedup import normalized_text
+
+    input_dir, ckpt, run = _scratch("dd")
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    docs.write.mode("overwrite").parquet(input_dir)
+    stream = spark.readStream.schema("doc_id long, text string").parquet(input_dir)
+    keepers = (
+        stream.select(F.md5(normalized_text(F.col("text"))).alias("_digest"), "doc_id")
+        .groupBy("_digest")
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
+    q = (
+        keepers.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(f"dd_{run}")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(f"dd_{run}")
+
+
 def stream_host_report_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """q3_host_report as a streaming job: events re-laid as a parquet
     drop directory, then the same grouped count + sorted collect_set
