@@ -154,7 +154,11 @@ def minhash_signatures(
 
 
 def lsh_candidate_pairs(
-    signatures: DataFrame, id_col: str, num_hashes: int = 8, bands: int = 4
+    signatures: DataFrame,
+    id_col: str,
+    num_hashes: int = 8,
+    bands: int = 4,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """LSH banding over MinHash signatures: docs agreeing on ALL rows
     of at least one band become candidate pairs. Output: (id_a, id_b)
@@ -162,7 +166,14 @@ def lsh_candidate_pairs(
 
     The band join is the scale path: cost is
     O(sum over buckets of bucket²) instead of O(n²); bucket keys are
-    (band_idx, md5 of the band's hash values)."""
+    (band_idx, md5 of the band's hash values).
+
+    `max_bucket_size` is the 100 TB safety valve: a degenerate
+    bucket (boilerplate/empty docs all sharing one band hash) makes
+    its bucket² term quadratic in corpus size. Setting a cap drops
+    buckets above it before the self-join — the standard
+    production-LSH trade (those docs can still pair via their other
+    bands). None (default) keeps exact banding semantics."""
     rows_per_band = num_hashes // bands
     if rows_per_band * bands != num_hashes:
         raise ValueError("bands must divide num_hashes")
@@ -178,6 +189,14 @@ def lsh_candidate_pairs(
     buckets = signatures.select(
         F.col(id_col), F.explode(F.array(*band_cols)).alias("bk")
     ).select(id_col, "bk.band", "bk.bucket")
+    if max_bucket_size is not None:
+        small = (
+            buckets.groupBy("band", "bucket")
+            .agg(F.count(F.lit(1)).alias("_bn"))
+            .where(F.col("_bn") <= max_bucket_size)
+            .select("band", "bucket")
+        )
+        buckets = buckets.join(small, ["band", "bucket"])
     a = buckets.alias("a")
     b = buckets.alias("b")
     return (

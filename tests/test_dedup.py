@@ -50,6 +50,27 @@ def test_minhash_lsh_finds_planted_neardup(spark):
     assert (1, 11) in cand  # exact dup certainly agrees on all bands
 
 
+def test_lsh_max_bucket_size_drops_hot_buckets(spark):
+    # 5 identical docs share every band bucket (bucket size 5); two
+    # distinct docs form their own buckets. Capping at 4 must drop
+    # all pairs among the clones but keep exact banding otherwise.
+    rows = [(i, BASE) for i in range(5)] + [
+        (20, "totally different words about compilers and type systems"),
+        (21, "totally different words about compilers and type systems"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    sigs = dedup.minhash_signatures(df, "doc_id", "text", num_hashes=8)
+    capped = dedup.lsh_candidate_pairs(
+        sigs, "doc_id", num_hashes=8, bands=4, max_bucket_size=4
+    ).collect()
+    got = {(r["id_a"], r["id_b"]) for r in capped}
+    assert got == {(20, 21)}  # clone bucket (size 5) dropped entirely
+    uncapped = dedup.lsh_candidate_pairs(
+        sigs, "doc_id", num_hashes=8, bands=4
+    ).collect()
+    assert {(r["id_a"], r["id_b"]) for r in uncapped} > got
+
+
 def test_dedup_minhash_lsh_end_to_end(spark):
     df = _docs_with_neardups(spark)
     kept = {
