@@ -122,6 +122,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cosine_topk": pipeline.cosine_topk_embeddings,
         "lsh_topk": pipeline.lsh_topk_embeddings,
         "ivf_topk": pipeline.ivf_topk_embeddings,
+        "ivf_index_topk": pipeline.ivf_index_topk_embeddings,
         "embedding_neardup_pairs": pipeline.embedding_neardup_pairs,
         "knn_join_exact": pipeline.knn_join_exact,
         "knn_join_lsh": pipeline.knn_join_lsh,

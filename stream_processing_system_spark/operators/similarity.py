@@ -168,6 +168,83 @@ def ivf_topk(
     )
 
 
+def build_ivf_index(
+    df: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_centroids: int = 16,
+) -> None:
+    """Persist an IVF index: every vector assigned to its nearest
+    coarse centroid (same deterministic centroids as `ivf_topk`),
+    written as parquet PARTITIONED BY centroid, plus the tiny
+    centroid table alongside. This is the 100 TB ANN shape: the
+    O(n·centroids) assignment runs once at index-build; each query
+    then reads only its probed centroid partitions — the scan cost
+    is corpus_size × n_probe / n_centroids, enforced by partition
+    pruning rather than a runtime filter."""
+    centroids = df.orderBy(F.col(id_col).asc()).limit(n_centroids).select(
+        F.col(id_col).alias("_cid"), F.col(vec_col).alias("_cvec")
+    )
+    sims = df.crossJoin(F.broadcast(centroids)).select(
+        F.col(id_col),
+        F.col(vec_col),
+        F.col("_cid"),
+        cosine_similarity(F.col(vec_col), F.col("_cvec")).alias("_csim"),
+    )
+    assigned = sims.groupBy(id_col).agg(
+        F.first(vec_col).alias(vec_col),
+        F.max_by("_cid", F.struct(F.col("_csim"), (-F.col("_cid")).alias("_nc"))).alias(
+            "_centroid"
+        ),
+    )
+    assigned.write.mode("overwrite").partitionBy("_centroid").parquet(
+        f"{path}/vectors"
+    )
+    centroids.write.mode("overwrite").parquet(f"{path}/centroids")
+
+
+def ivf_index_topk(
+    spark,
+    path: str,
+    query_df: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_probe: int = 4,
+) -> DataFrame:
+    """Query a `build_ivf_index` index: pick the query's best
+    `n_probe` centroids, then scan ONLY those partitions.
+
+    The probe list is collected to the driver — that's `n_probe`
+    ints (a constant, not data-sized), and inlining them as literals
+    is what turns centroid selection into static PartitionFilters on
+    the parquet scan (visible in `.explain`), so unprobed partitions
+    are never opened."""
+    centroids = spark.read.parquet(f"{path}/centroids")
+    q = query_df.select(F.col(vec_col).alias("_qvec"))
+    qsims = q.crossJoin(F.broadcast(centroids)).select(
+        F.col("_cid"),
+        cosine_similarity(F.col("_cvec"), F.col("_qvec")).alias("_csim"),
+    )
+    probe = [
+        r["_cid"]
+        for r in qsims.orderBy(F.col("_csim").desc(), F.col("_cid").asc())
+        .limit(n_probe)
+        .collect()
+    ]
+    vectors = spark.read.parquet(f"{path}/vectors").where(
+        F.col("_centroid").isin(probe)
+    )
+    sim = F.round(cosine_similarity(F.col(vec_col), F.col("_qvec")), 6)
+    return (
+        vectors.crossJoin(F.broadcast(q))
+        .select(F.col(id_col), sim.alias("sim"))
+        .orderBy(F.col("sim").desc(), F.col(id_col).asc())
+        .limit(k)
+    )
+
+
 def knn_join(
     queries_df: DataFrame,
     corpus_df: DataFrame,

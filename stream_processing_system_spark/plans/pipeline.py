@@ -90,6 +90,24 @@ def ivf_topk_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def ivf_index_topk_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Persisted-index IVF: build the centroid-partitioned index to a
+    scratch dir, then answer the query via partition pruning. Same
+    result as ivf_topk (rows-only contract check; equality with the
+    inline variant is unit-tested)."""
+    import os
+    import tempfile
+    import uuid
+
+    path = os.path.join(
+        tempfile.gettempdir(), f"spark_graft_ivf_{uuid.uuid4().hex[:8]}"
+    )
+    similarity.build_ivf_index(_embs(spark, sf_dir), path)
+    return similarity.ivf_index_topk(
+        spark, path, _query_vec(spark, sf_dir), k=10
+    )
+
+
 def embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Threshold 0.4: the synthetic embeddings are near-orthogonal
     random vectors (no true dups), so a production-style 0.95 cutoff

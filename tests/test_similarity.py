@@ -104,3 +104,18 @@ def test_embedding_neardup_finds_planted_duplicate(spark):
         ).collect()
     }
     assert (3, 999) in pairs
+
+
+def test_ivf_persisted_index_matches_inline_and_prunes(spark, sf_dir, tmp_path):
+    embs = load_table(spark, sf_dir, "embeddings")
+    q = embs.where(F.col("vec_id") == 0).select("embedding")
+    path = str(tmp_path / "ivf")
+    similarity.build_ivf_index(embs, path)
+    got = similarity.ivf_index_topk(spark, path, q, k=10)
+    want = similarity.ivf_topk(embs, q, k=10).collect()
+    assert [(r["vec_id"], r["sim"]) for r in got.collect()] == [
+        (r["vec_id"], r["sim"]) for r in want
+    ]
+    # probed centroids must reach the scan as PartitionFilters
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "_centroid" in plan
