@@ -153,6 +153,28 @@ def minhash_signatures(
     )
 
 
+def _band_buckets(
+    signatures: DataFrame, id_col: str, num_hashes: int, bands: int
+) -> DataFrame:
+    """(id, band, bucket) rows: one bucket key per LSH band, bucket =
+    md5 over the band's hash values."""
+    rows_per_band = num_hashes // bands
+    if rows_per_band * bands != num_hashes:
+        raise ValueError("bands must divide num_hashes")
+    band_cols = []
+    for b in range(bands):
+        members = [F.col(f"h{b * rows_per_band + r}") for r in range(rows_per_band)]
+        band_cols.append(
+            F.struct(
+                F.lit(b).alias("band"),
+                F.md5(F.concat_ws("_", *members)).alias("bucket"),
+            )
+        )
+    return signatures.select(
+        F.col(id_col), F.explode(F.array(*band_cols)).alias("bk")
+    ).select(id_col, "bk.band", "bk.bucket")
+
+
 def lsh_candidate_pairs(
     signatures: DataFrame,
     id_col: str,
@@ -174,21 +196,7 @@ def lsh_candidate_pairs(
     buckets above it before the self-join — the standard
     production-LSH trade (those docs can still pair via their other
     bands). None (default) keeps exact banding semantics."""
-    rows_per_band = num_hashes // bands
-    if rows_per_band * bands != num_hashes:
-        raise ValueError("bands must divide num_hashes")
-    band_cols = []
-    for b in range(bands):
-        members = [F.col(f"h{b * rows_per_band + r}") for r in range(rows_per_band)]
-        band_cols.append(
-            F.struct(
-                F.lit(b).alias("band"),
-                F.md5(F.concat_ws("_", *members)).alias("bucket"),
-            )
-        )
-    buckets = signatures.select(
-        F.col(id_col), F.explode(F.array(*band_cols)).alias("bk")
-    ).select(id_col, "bk.band", "bk.bucket")
+    buckets = _band_buckets(signatures, id_col, num_hashes, bands)
     if max_bucket_size is not None:
         small = (
             buckets.groupBy("band", "bucket")
@@ -423,11 +431,14 @@ def _verify_jaccard_pairs(
     text_col: str,
     threshold: float,
     shingle_n: int,
+    df_b: DataFrame | None = None,
 ) -> DataFrame:
     """Exact-Jaccard check on LSH candidate pairs via per-doc
     shingle-set arrays: `size(array_intersect(sa, sb))` per pair.
+    `df_b` selects the id_b side's documents (defaults to `df` for
+    self-join dedup; pass the corpus table for incremental dedup).
 
-    Scale shape: the corpus is scanned ONCE (map-only
+    Scale shape: each input is scanned ONCE (map-only
     `shingle_sets`), then the small candidate relation makes two
     equi-joins against the compact (id, shingles) table — versus the
     old formulation's three shingle explosions plus a
@@ -435,8 +446,13 @@ def _verify_jaccard_pairs(
     intersection counts over distinct arrays are integer-identical
     to the exploded join-count, so oracles are unaffected."""
     sets = shingle_sets(df, id_col, text_col, n=shingle_n)
+    sets_b = (
+        sets
+        if df_b is None
+        else shingle_sets(df_b, id_col, text_col, n=shingle_n)
+    )
     a = sets.select(F.col(id_col).alias("id_a"), F.col("shingles").alias("_sa"))
-    b = sets.select(F.col(id_col).alias("id_b"), F.col("shingles").alias("_sb"))
+    b = sets_b.select(F.col(id_col).alias("id_b"), F.col("shingles").alias("_sb"))
     return (
         cands.join(a, "id_a")
         .join(b, "id_b")
@@ -503,3 +519,57 @@ def dedup_minhash_lsh(
     )
     dupes = verified.select(F.col("id_b").alias(id_col)).dropDuplicates()
     return df.select(id_col).join(dupes, id_col, "left_anti")
+
+
+def dedup_against_corpus(
+    new_df: DataFrame,
+    corpus_df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 8,
+    bands: int = 4,
+    threshold: float = 0.7,
+    shingle_n: int = 3,
+    max_bucket_size: int | None = None,
+) -> DataFrame:
+    """Incremental ingest dedup: keep only new-batch docs that are
+    NOT near-dups of any EXISTING corpus doc. Candidates come from a
+    band-bucket equi-join between the batch's signatures and the
+    corpus's (not a self-join); only those pairs get the exact
+    Jaccard check; kept = new ids with no verified corpus match.
+
+    This is the steady-state shape of a training-data pipeline: the
+    corpus signatures are computed once per doc ever (persist the
+    `minhash_signatures` output and this function's corpus side
+    becomes a parquet scan), so each ingest costs
+    O(batch) + O(matching buckets) regardless of corpus size.
+    Within-batch duplicates are a separate `dedup_minhash_lsh` pass."""
+    sigs_new = minhash_signatures(
+        new_df, id_col, text_col, num_hashes=num_hashes, shingle_n=shingle_n
+    )
+    sigs_corp = minhash_signatures(
+        corpus_df, id_col, text_col, num_hashes=num_hashes, shingle_n=shingle_n
+    )
+    bn = _band_buckets(sigs_new, id_col, num_hashes, bands).select(
+        F.col(id_col).alias("id_a"), "band", "bucket"
+    )
+    bc = _band_buckets(sigs_corp, id_col, num_hashes, bands)
+    if max_bucket_size is not None:
+        small = (
+            bc.groupBy("band", "bucket")
+            .agg(F.count(F.lit(1)).alias("_bn"))
+            .where(F.col("_bn") <= max_bucket_size)
+            .select("band", "bucket")
+        )
+        bc = bc.join(small, ["band", "bucket"])
+    cands = (
+        bn.join(bc.select(F.col(id_col).alias("id_b"), "band", "bucket"),
+                ["band", "bucket"])
+        .select("id_a", "id_b")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    verified = _verify_jaccard_pairs(
+        cands, new_df, id_col, text_col, threshold, shingle_n, df_b=corpus_df
+    )
+    dupes = verified.select(F.col("id_a").alias(id_col)).dropDuplicates()
+    return new_df.select(id_col).join(dupes, id_col, "left_anti")

@@ -55,6 +55,20 @@ def dedup_minhash_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def dedup_incremental_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental ingest dedup: odd doc_ids are the incoming batch,
+    even doc_ids the existing corpus; keep batch docs with no
+    verified (Jaccard >= 0.7) corpus near-dup. Fully SQL-expressible
+    (banding + exact Jaccard), so this one is value-hash
+    oracle-checked, unlike the rows-only self-join dedups."""
+    docs = _docs(spark, sf_dir)
+    batch = docs.where(F.col("doc_id") % 2 == 1)
+    corpus = docs.where(F.col("doc_id") % 2 == 0)
+    return dedup.dedup_against_corpus(
+        batch, corpus, "doc_id", "text", num_hashes=8, bands=4, threshold=0.7
+    )
+
+
 def dedup_transitive_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Transitive near-dedup via connected components over the
     verified LSH pair graph (iterative — no SQL oracle; correctness

@@ -130,3 +130,28 @@ def test_simhash_neardup_blocking(spark):
     }
     assert pairs.get((1, 11)) == 0  # exact dup: distance 0
     assert (0, 10) in pairs  # one-word change: small distance
+
+
+def test_dedup_against_corpus_incremental(spark):
+    corpus = spark.createDataFrame(
+        [
+            (0, BASE),
+            (2, "corpus doc about streaming joins and watermark semantics today"),
+        ],
+        ["doc_id", "text"],
+    )
+    batch = spark.createDataFrame(
+        [
+            (100, BASE.replace("sunny", "rainy")),  # near-dup of corpus 0
+            (101, "a genuinely new document discussing vector indexes and recall"),
+            (102, BASE),  # exact dup of corpus 0
+        ],
+        ["doc_id", "text"],
+    )
+    kept = {
+        r["doc_id"]
+        for r in dedup.dedup_against_corpus(
+            batch, corpus, "doc_id", "text", threshold=0.5
+        ).collect()
+    }
+    assert kept == {101}  # both the near-dup and exact dup are dropped
