@@ -66,6 +66,131 @@ def _simhash_oracle_sql() -> str:
     """
 
 
+def _simhash_neardup_oracle_sql(max_hamming: int = 3) -> str:
+    """Exact all-pairs hamming filter over the SQL simhash. Valid as
+    the oracle for the BLOCKED Spark operator because quarter-blocking
+    is lossless at max_hamming<=3 (pigeonhole over 4 disjoint 16-bit
+    blocks) and the operator re-checks the exact distance."""
+    return f"""
+        WITH s AS ({_simhash_oracle_sql()})
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               bit_count(xor(a.simhash, b.simhash)) AS hamming
+        FROM s a JOIN s b ON a.doc_id < b.doc_id
+        WHERE bit_count(xor(a.simhash, b.simhash)) <= {max_hamming}
+    """
+
+
+def _lsh_sig_sql(vec_expr: str, n_planes: int) -> str:
+    """Sign-bit LSH signature in SQL with the SAME seeded hyperplanes
+    the engine inlines as literals (operators/similarity.py
+    `_hyperplanes`, seed 42). Float repr round-trips exactly, and a
+    sign disagreement between DuckDB's list_dot_product and Spark's
+    sequential aggregate would need |dot| < ~1e-13 — vanishingly
+    unlikely for random planes over real embeddings, and caught by
+    the differential gate if it ever happens."""
+    import numpy as np
+
+    planes = np.random.RandomState(42).standard_normal((n_planes, 64))
+    terms = []
+    for j, plane in enumerate(planes):
+        lit = "[" + ", ".join(repr(float(x)) for x in plane) + "]"
+        terms.append(
+            f"(CASE WHEN list_dot_product({vec_expr}::DOUBLE[], {lit}::DOUBLE[])"
+            f" >= 0 THEN {2**j} ELSE 0 END)"
+        )
+    return "(" + "\n               + ".join(terms) + ")"
+
+
+def _lsh_topk_oracle_sql() -> str:
+    sig = _lsh_sig_sql("embedding", 8)
+    return f"""
+        WITH tagged AS (
+            SELECT vec_id, embedding, {sig} AS sig FROM embeddings
+        ), q AS (
+            SELECT embedding AS qvec, sig AS qsig FROM tagged WHERE vec_id = 0
+        )
+        SELECT t.vec_id,
+               ROUND(list_cosine_similarity(t.embedding::DOUBLE[],
+                                            q.qvec::DOUBLE[]), 6) AS sim
+        FROM tagged t, q
+        WHERE bit_count(xor(t.sig, q.qsig)) <= 1
+        ORDER BY sim DESC, vec_id ASC
+        LIMIT 10
+    """
+
+
+def _knn_join_lsh_oracle_sql() -> str:
+    sig = _lsh_sig_sql("embedding", 4)
+    return f"""
+        WITH tagged AS (
+            SELECT vec_id, embedding, {sig} AS sig FROM embeddings
+        ), pairs AS (
+            SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+                   ROUND(list_cosine_similarity(a.embedding::DOUBLE[],
+                                                b.embedding::DOUBLE[]), 6) AS sim
+            FROM tagged a JOIN tagged b ON a.sig = b.sig
+        ), ranked AS (
+            SELECT query_id, neighbor_id, sim,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY sim DESC, neighbor_id ASC) AS rnk
+            FROM pairs
+        )
+        SELECT query_id, neighbor_id, sim, rnk FROM ranked WHERE rnk <= 3
+    """
+
+
+def _embedding_neardup_oracle_sql(threshold: float = 0.4) -> str:
+    sig = _lsh_sig_sql("embedding", 8)
+    return f"""
+        WITH tagged AS (
+            SELECT vec_id, embedding, {sig} AS sig FROM embeddings
+        )
+        SELECT * FROM (
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                   ROUND(list_cosine_similarity(a.embedding::DOUBLE[],
+                                                b.embedding::DOUBLE[]), 6) AS sim
+            FROM tagged a
+            JOIN tagged b ON a.sig = b.sig AND a.vec_id < b.vec_id
+        ) WHERE sim >= {threshold}
+    """
+
+
+def _ivf_topk_oracle_sql(n_centroids: int = 16, n_probe: int = 4, k: int = 10) -> str:
+    """IVF in SQL: same deterministic centroids (first n by vec_id),
+    argmax assignment with the engine's (sim, -cid) tie-break, probe
+    the query's best centroids, exact cosine inside."""
+    return f"""
+        WITH c AS (
+            SELECT vec_id AS cid, embedding AS cvec FROM embeddings
+            ORDER BY vec_id ASC LIMIT {n_centroids}
+        ), assigned AS (
+            SELECT vec_id, embedding, cid AS centroid FROM (
+                SELECT e.vec_id, e.embedding, c.cid,
+                       row_number() OVER (
+                           PARTITION BY e.vec_id
+                           ORDER BY list_cosine_similarity(
+                               e.embedding::DOUBLE[], c.cvec::DOUBLE[]) DESC,
+                           c.cid ASC) AS rn
+                FROM embeddings e CROSS JOIN c
+            ) WHERE rn = 1
+        ), q AS (
+            SELECT embedding AS qvec FROM embeddings WHERE vec_id = 0
+        ), probe AS (
+            SELECT c.cid AS centroid
+            FROM c, q
+            ORDER BY list_cosine_similarity(q.qvec::DOUBLE[],
+                                            c.cvec::DOUBLE[]) DESC, c.cid ASC
+            LIMIT {n_probe}
+        )
+        SELECT a.vec_id,
+               ROUND(list_cosine_similarity(a.embedding::DOUBLE[],
+                                            q.qvec::DOUBLE[]), 6) AS sim
+        FROM assigned a JOIN probe p ON a.centroid = p.centroid, q
+        ORDER BY sim DESC, vec_id ASC
+        LIMIT {k}
+    """
+
+
 def _top_users_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
     """q2 recomputed through the two-phase salted aggregation
     (operators/skew.py) — same oracle proves exact equivalence."""
@@ -632,6 +757,12 @@ def oracle_sql() -> dict[str, str]:
             ) WHERE jaccard >= 0.1
         """,
         "simhash": _simhash_oracle_sql(),
+        "simhash_neardup_pairs": _simhash_neardup_oracle_sql(3),
+        "lsh_topk": _lsh_topk_oracle_sql(),
+        "knn_join_lsh": _knn_join_lsh_oracle_sql(),
+        "embedding_neardup_pairs": _embedding_neardup_oracle_sql(0.4),
+        "ivf_topk": _ivf_topk_oracle_sql(),
+        "ivf_index_topk": _ivf_topk_oracle_sql(),
         "cosine_topk": """
             WITH q AS (SELECT embedding FROM embeddings WHERE vec_id = 0)
             SELECT e.vec_id,
