@@ -38,6 +38,8 @@ HEADLINE = [
     "lsh_topk",
     "knn_join_lsh",
     "dedup_transitive",
+    "dedup_incremental",
+    "ivf_index_topk",
     "media_decode_stats",
     "doc_stats",
     "doc_winnow",
