@@ -265,6 +265,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_wordcount": streaming_parity.stream_wordcount_docs,
         "stream_host_report": streaming_parity.stream_host_report_events,
         "stream_dedup_exact": streaming_parity.stream_dedup_exact_docs,
+        "stream_events_per_hour": streaming_parity.stream_events_per_hour,
     }
 
 
@@ -898,6 +899,14 @@ def oracle_sql() -> dict[str, str]:
             SELECT min(doc_id) AS doc_id
             FROM documents
             GROUP BY md5(lower(trim(text)))
+        """,
+        "stream_events_per_hour": """
+            SELECT CAST(epoch(time_bucket(INTERVAL 1 HOUR, ts)) AS BIGINT) AS hour_start,
+                   count(*) AS n,
+                   ROUND(SUM(value), 4) AS sum_value
+            FROM events
+            GROUP BY hour_start
+            ORDER BY hour_start
         """,
         "doc_winnow": """
             WITH t AS (

@@ -68,6 +68,41 @@ def stream_dedup_exact_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(f"dd_{run}")
 
 
+def stream_events_per_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour event-time window with a watermark, drained
+    with availableNow — the streaming twin of events_per_hour (same
+    oracle). Complete output mode here because the drain must emit
+    every window including the last open one; the watermark is what
+    bounds state when the same plan runs on an unbounded stream."""
+    input_dir, ckpt, run = _scratch("eph")
+    events = load_table(spark, sf_dir, "events").select("ts", "value")
+    events.write.mode("overwrite").parquet(input_dir)
+    stream = spark.readStream.schema("ts timestamp, value double").parquet(input_dir)
+    result = (
+        stream.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").cast("long").alias("hour_start"),
+            "n",
+            "sum_value",
+        )
+    )
+    q = (
+        result.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(f"eph_{run}")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(f"eph_{run}").orderBy("hour_start")
+
+
 def stream_host_report_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """q3_host_report as a streaming job: events re-laid as a parquet
     drop directory, then the same grouped count + sorted collect_set
