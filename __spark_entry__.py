@@ -266,6 +266,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_host_report": streaming_parity.stream_host_report_events,
         "stream_dedup_exact": streaming_parity.stream_dedup_exact_docs,
         "stream_events_per_hour": streaming_parity.stream_events_per_hour,
+        "stream_running_counts": streaming_parity.stream_running_counts_docs,
     }
 
 
@@ -907,6 +908,10 @@ def oracle_sql() -> dict[str, str]:
             FROM events
             GROUP BY hour_start
             ORDER BY hour_start
+        """,
+        "stream_running_counts": """
+            SELECT text AS key, count(*) AS cnt
+            FROM documents GROUP BY text
         """,
         "doc_winnow": """
             WITH t AS (

@@ -103,6 +103,20 @@ def stream_events_per_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(f"eph_{run}").orderBy("hour_start")
 
 
+def stream_running_counts_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The custom stateful operator (applyInPandasWithState running
+    count per line, §2.11 stateful-bolt surface) drained over a
+    file-drop copy of documents.text. Running counts are monotone, so
+    max(cnt) per key after the drain is the converged total — checked
+    against a plain GROUP BY oracle, which makes the custom-state
+    path value-hash verifiable, not just smoke-tested."""
+    input_dir, ckpt, run = _scratch("rc")
+    docs = load_table(spark, sf_dir, "documents").select(F.col("text"))
+    docs.write.mode("overwrite").text(input_dir)
+    tbl = jobs.stream_running_counts(spark, input_dir, ckpt, name=f"rc_{run}")
+    return tbl.groupBy("key").agg(F.max("cnt").alias("cnt"))
+
+
 def stream_host_report_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """q3_host_report as a streaming job: events re-laid as a parquet
     drop directory, then the same grouped count + sorted collect_set

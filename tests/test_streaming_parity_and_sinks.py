@@ -37,6 +37,13 @@ def test_stream_events_per_hour_matches_batch_oracle(spark, sf_dir):
     assert_matches_oracle(df, sf_dir, contract.oracle_sql()["stream_events_per_hour"])
 
 
+def test_stream_running_counts_matches_batch_oracle(spark, sf_dir):
+    import __spark_entry__ as contract
+
+    df = streaming_parity.stream_running_counts_docs(spark, sf_dir)
+    assert_matches_oracle(df, sf_dir, contract.oracle_sql()["stream_running_counts"])
+
+
 def test_stream_wordcount_to_files_foreachbatch(spark, tmp_path):
     d = tmp_path / "in"
     d.mkdir()
