@@ -1,0 +1,81 @@
+"""Storage-layout operators: range-clustered writes and small-file
+compaction.
+
+Beyond-reference surface (the reference's only storage layer is the
+whole-file SDFS blob store, `daemon/daemon.go:136-166`); at 100 TB
+the dominant scan costs are (a) files whose min/max stats can't
+prune and (b) metadata overhead from millions of tiny files. These
+two operators are the standard lakehouse answers, expressed as plain
+Spark writes:
+
+- `write_range_clustered`: `repartitionByRange` + `sortWithinPartitions`
+  before the parquet write. Every output file then covers a disjoint
+  range of the cluster columns, so parquet footer min/max stats let a
+  range predicate skip whole files (and row groups within them) —
+  the poor man's Z-order, exact for single-column clustering.
+- `compact_parquet`: rewrite a directory of small files into
+  ~target-sized ones. File count is computed from actual input bytes,
+  not guessed.
+"""
+
+from __future__ import annotations
+
+import math
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def write_range_clustered(
+    df: DataFrame,
+    path: str,
+    cluster_cols: list[str],
+    num_files: int = 8,
+    mode: str = "overwrite",
+) -> None:
+    """Write `df` as parquet clustered on `cluster_cols`: range
+    repartition (one disjoint key range per output file) + sort
+    within each partition (monotone pages → tight row-group stats).
+
+    A subsequent `spark.read.parquet(path).where(col BETWEEN a AND b)`
+    pushes the predicate into the reader, and because each file's
+    row groups cover a tight disjoint range, the footer min/max
+    stats eliminate every non-matching row group — data pages
+    outside [a, b] are never decoded. (File-level elimination needs
+    partition columns; `build_ivf_index` shows that variant.)"""
+    (
+        df.repartitionByRange(num_files, *cluster_cols)
+        .sortWithinPartitions(*cluster_cols)
+        .write.mode(mode)
+        .parquet(path)
+    )
+
+
+def _local_input_bytes(df: DataFrame) -> int:
+    """Total bytes of the df's parquet input files (local paths).
+
+    Local-filesystem implementation for this repo's tests; on a real
+    cluster, list sizes via the Hadoop FileSystem API instead — the
+    compaction math is identical."""
+    total = 0
+    for f in df.inputFiles():
+        p = f.removeprefix("file:")
+        if os.path.exists(p):
+            total += os.path.getsize(p)
+    return total
+
+
+def compact_parquet(
+    spark: SparkSession,
+    input_path: str,
+    output_path: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+) -> int:
+    """Small-files compaction: rewrite `input_path` into
+    ceil(input_bytes / target_file_bytes) files at `output_path`.
+    Returns the output file count. Uses coalesce (no shuffle) — the
+    rewrite is a pure read+write pass."""
+    df = spark.read.parquet(input_path)
+    n = max(1, math.ceil(_local_input_bytes(df) / target_file_bytes))
+    df.coalesce(n).write.mode("overwrite").parquet(output_path)
+    return n
