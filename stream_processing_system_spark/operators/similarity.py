@@ -307,6 +307,70 @@ def knn_join(
     return ranked.where(F.col("rnk") <= k)
 
 
+def knn_join_lsh_gemm(
+    df: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = 4,
+    dim: int = 64,
+    seed: int = 42,
+) -> DataFrame:
+    """Self KNN join, LSH-blocked, with the per-bucket work done as a
+    numpy gram matrix inside applyInPandas.
+
+    Same candidate semantics as `knn_join(exact=False)` but a
+    different cost model: instead of one interpreted
+    zip_with/aggregate dot per PAIR (O(bucket²) higher-order-function
+    evals), each bucket's vectors cross the Arrow boundary ONCE and
+    BLAS computes the whole bucket² similarity block. Rounding
+    emulates Spark/DuckDB ROUND (half away from zero) so results
+    value-hash match the same SQL oracle as the expression-based
+    variant.
+
+    Scale note: one task per bucket — parallelism = 2^n_planes and
+    peak memory ~ bucket_size × dim; raise n_planes (or pre-split hot
+    buckets) so a bucket fits an executor. The expression-based
+    `knn_join` remains the choice when buckets are huge and streaming
+    through pairs matters more than arithmetic throughput."""
+    import numpy as np
+    import pandas as pd
+
+    planes = _hyperplanes(dim, n_planes, seed)
+    tagged = df.select(
+        F.col(id_col), F.col(vec_col), lsh_signature(F.col(vec_col), planes).alias("_sig")
+    )
+
+    def per_bucket(pdf: pd.DataFrame) -> pd.DataFrame:
+        vecs = np.asarray(pdf[vec_col].tolist(), dtype=np.float64)
+        ids = pdf[id_col].to_numpy()
+        order = np.argsort(ids)
+        ids, vecs = ids[order], vecs[order]
+        norms = np.linalg.norm(vecs, axis=1)
+        sims = (vecs @ vecs.T) / np.outer(norms, norms)
+        # ROUND half away from zero, matching Spark/DuckDB ROUND(x, 6)
+        sims = np.sign(sims) * np.floor(np.abs(sims) * 1e6 + 0.5) / 1e6
+        n = len(ids)
+        kk = min(k, n)
+        out_q, out_n, out_s, out_r = [], [], [], []
+        for i in range(n):
+            row = sims[i]
+            # top-k by (sim desc, neighbor_id asc); ids pre-sorted so
+            # stable mergesort on -sim preserves the id tie-break
+            top = np.argsort(-row, kind="stable")[:kk]
+            out_q.extend([ids[i]] * kk)
+            out_n.extend(ids[top])
+            out_s.extend(row[top])
+            out_r.extend(range(1, kk + 1))
+        return pd.DataFrame(
+            {"query_id": out_q, "neighbor_id": out_n, "sim": out_s, "rnk": out_r}
+        )
+
+    return tagged.groupBy("_sig").applyInPandas(
+        per_bucket, schema="query_id long, neighbor_id long, sim double, rnk long"
+    )
+
+
 def embedding_neardup_pairs(
     df: DataFrame,
     threshold: float = 0.95,
