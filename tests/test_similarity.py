@@ -119,3 +119,24 @@ def test_ivf_persisted_index_matches_inline_and_prunes(spark, sf_dir, tmp_path):
     # probed centroids must reach the scan as PartitionFilters
     plan = got._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters" in plan and "_centroid" in plan
+
+
+def test_lsh_signature_udf_matches_expression(spark, sf_dir):
+    from stream_processing_system_spark.operators.similarity import (
+        _hyperplanes,
+        lsh_signature,
+        lsh_signature_udf,
+    )
+
+    embs = load_table(spark, sf_dir, "embeddings")
+    planes = _hyperplanes(64, 8, 42)
+    expr_sig = embs.select("vec_id", lsh_signature(F.col("embedding"), planes).alias("s"))
+    udf_sig = embs.select(
+        "vec_id", lsh_signature_udf(planes)(F.col("embedding")).alias("s")
+    )
+    diff = (
+        expr_sig.alias("a")
+        .join(udf_sig.alias("b"), "vec_id")
+        .where(F.col("a.s") != F.col("b.s"))
+    )
+    assert diff.count() == 0
