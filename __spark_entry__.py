@@ -221,6 +221,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "purchase_last_click_asof": analytics.purchase_last_click_asof,
         "clicks_before_purchase": analytics.clicks_before_purchase,
         "value_percentiles": analytics.value_percentiles,
+        "monthly_revenue_trend": analytics.monthly_revenue_trend,
+        "customer_value_deciles": analytics.customer_value_deciles,
         "part_name_search": analytics.part_name_search,
         "events_per_hour": analytics.events_per_hour,
         "user_event_pivot": analytics.user_event_pivot,
@@ -412,6 +414,36 @@ def oracle_sql() -> dict[str, str]:
              AND floor(epoch(c.ts)) < floor(epoch(p.ts))
             GROUP BY p.event_id, p.user_id
             ORDER BY p.event_id
+        """,
+        "monthly_revenue_trend": """
+            WITH m AS (
+                SELECT (year(o_orderdate) * 100 + month(o_orderdate)) AS ym,
+                       SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+                FROM orders GROUP BY ym
+            )
+            SELECT ym,
+                   CAST(rev AS DOUBLE) AS rev,
+                   CAST(SUM(rev) OVER (ORDER BY ym
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                        AS DOUBLE) AS cum_rev,
+                   CAST(rev - COALESCE(LAG(rev) OVER (ORDER BY ym),
+                                       CAST(0 AS DECIMAL(18,2)))
+                        AS DOUBLE) AS delta_rev
+            FROM m ORDER BY ym
+        """,
+        "customer_value_deciles": """
+            WITH spend AS (
+                SELECT o_custkey,
+                       SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS s
+                FROM orders GROUP BY o_custkey
+            ), tiled AS (
+                SELECT o_custkey, s,
+                       NTILE(10) OVER (ORDER BY s DESC, o_custkey ASC) AS decile
+                FROM spend
+            )
+            SELECT decile, count(*) AS n_customers,
+                   CAST(SUM(s) AS DOUBLE) AS decile_rev
+            FROM tiled GROUP BY decile ORDER BY decile
         """,
         "value_percentiles": """
             SELECT event_type,

@@ -407,6 +407,54 @@ def profile_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def monthly_revenue_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running-frame + lag window surface: monthly revenue, its
+    cumulative sum (ROWS UNBOUNDED PRECEDING frame), and
+    month-over-month delta (lag). Sums and the delta stay in exact
+    DECIMAL until the final double cast (the money-sum rule). The
+    unpartitioned window runs on the ~tens-of-rows monthly rollup,
+    AFTER aggregation — not on the raw fact table — so the
+    single-partition window is never a scale hazard."""
+    orders = load_table(spark, sf_dir, "orders")
+    monthly = orders.groupBy(
+        (F.year("o_orderdate") * 100 + F.month("o_orderdate"))
+        .cast("long")
+        .alias("ym")
+    ).agg(F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("_rev"))
+    w = Window.orderBy("ym")
+    run = Window.orderBy("ym").rowsBetween(Window.unboundedPreceding, 0)
+    zero = F.lit(0).cast("decimal(18,2)")
+    return monthly.select(
+        "ym",
+        F.col("_rev").cast("double").alias("rev"),
+        F.sum("_rev").over(run).cast("double").alias("cum_rev"),
+        (F.col("_rev") - F.coalesce(F.lag("_rev", 1).over(w), zero))
+        .cast("double")
+        .alias("delta_rev"),
+    ).orderBy("ym")
+
+
+def customer_value_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ntile window surface: customers bucketed into spend deciles
+    (total order value, deterministic total order via the custkey
+    tie-break), summarized per decile. The ntile runs on the per-key
+    aggregate, not the fact table."""
+    orders = load_table(spark, sf_dir, "orders")
+    spend = orders.groupBy("o_custkey").agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("_spend")
+    )
+    w = Window.orderBy(F.col("_spend").desc(), F.col("o_custkey").asc())
+    return (
+        spend.withColumn("decile", F.ntile(10).over(w).cast("long"))
+        .groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.sum("_spend").cast("double").alias("decile_rev"),
+        )
+        .orderBy("decile")
+    )
+
+
 def value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact interpolated percentiles (p50/p90/p99) of event value
     per type. Exact `percentile` (not approx) so the DuckDB
