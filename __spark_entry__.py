@@ -222,6 +222,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "clicks_before_purchase": analytics.clicks_before_purchase,
         "value_percentiles": analytics.value_percentiles,
         "monthly_revenue_trend": analytics.monthly_revenue_trend,
+        "small_quantity_revenue": analytics.small_quantity_revenue,
         "customer_value_deciles": analytics.customer_value_deciles,
         "part_name_search": analytics.part_name_search,
         "events_per_hour": analytics.events_per_hour,
@@ -414,6 +415,16 @@ def oracle_sql() -> dict[str, str]:
              AND floor(epoch(c.ts)) < floor(epoch(p.ts))
             GROUP BY p.event_id, p.user_id
             ORDER BY p.event_id
+        """,
+        "small_quantity_revenue": """
+            SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / 7.0
+                       AS avg_yearly
+            FROM lineitem
+            JOIN part ON p_partkey = l_partkey AND p_brand = 'Brand#4'
+            WHERE l_quantity < (
+                SELECT 0.2 * avg(l_quantity) FROM lineitem li2
+                WHERE li2.l_partkey = lineitem.l_partkey
+            )
         """,
         "monthly_revenue_trend": """
             WITH m AS (

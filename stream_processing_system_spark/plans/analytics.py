@@ -407,6 +407,32 @@ def profile_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17-style correlated aggregate: revenue from lineitems
+    whose quantity is below 20% of their part's average quantity,
+    for one brand. The correlated scalar subquery decorrelates into
+    a per-part aggregate joined back to the facts — one extra
+    shuffle on partkey, no per-row subquery execution. The avg
+    threshold is IEEE-deterministic (exact integer-valued sums /
+    count), so the boundary comparison agrees across engines."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").where(F.col("p_brand") == "Brand#4")
+    thr = li.groupBy("l_partkey").agg(
+        (F.avg("l_quantity") * 0.2).alias("_thr")
+    )
+    return (
+        li.join(F.broadcast(part.select("p_partkey")), li.l_partkey == part.p_partkey)
+        .join(thr, "l_partkey")
+        .where(F.col("l_quantity") < F.col("_thr"))
+        .agg(
+            (
+                F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).cast("double")
+                / F.lit(7.0)
+            ).alias("avg_yearly")
+        )
+    )
+
+
 def monthly_revenue_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Running-frame + lag window surface: monthly revenue, its
     cumulative sum (ROWS UNBOUNDED PRECEDING frame), and
