@@ -47,6 +47,7 @@ def asof_join(
         F.struct(*left.columns).alias("_lrow"),
         *[F.lit(None).cast(right.schema[c].dataType).alias(f"_rv_{c}") for c in right_cols],
         F.lit(None).cast(right.schema[right_ts].dataType).alias("_rts"),
+        F.lit(None).cast("long").alias("_tie"),
     )
     r = right.select(
         F.col(key).alias("_k"),
@@ -55,11 +56,16 @@ def asof_join(
         F.lit(None).cast(l.schema["_lrow"].dataType).alias("_lrow"),
         *[F.col(c).alias(f"_rv_{c}") for c in right_cols],
         F.col(right_ts).alias("_rts"),
+        # value-deterministic tie-break: when several right rows share
+        # (key, ts), last() must carry the SAME one every run — order
+        # ties by a hash of the whole right row, not partition luck
+        F.xxhash64(F.struct(*right.columns)).alias("_tie"),
     )
-    # right rows sort before left rows at equal ts → "<=" semantics
+    # right rows sort before left rows at equal ts → "<=" semantics;
+    # nulls_first on _tie keeps left rows after all equal-ts right rows
     w = (
         Window.partitionBy("_k")
-        .orderBy(F.col("_ts").asc(), F.col("_is_left").asc())
+        .orderBy(F.col("_ts").asc(), F.col("_is_left").asc(), F.col("_tie").asc_nulls_last())
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     carried = r.unionByName(l).select(

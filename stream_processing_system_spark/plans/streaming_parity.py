@@ -9,7 +9,9 @@ driver-checked differential test, not just a unit test."""
 
 from __future__ import annotations
 
+import contextlib
 import os
+import shutil
 import tempfile
 import uuid
 
@@ -21,9 +23,20 @@ from stream_processing_system_spark.streaming import jobs
 
 
 def _scratch(prefix: str) -> tuple[str, str, str]:
+    """Per-run scratch (input drop dir + checkpoint). The run id keeps
+    the memory-sink query name unique within a session (bench runs
+    each query twice); `_cleanup` removes the whole base dir as soon
+    as the drain finishes — the memory sink has materialized the
+    result by then, so nothing on disk is needed afterwards."""
     run = uuid.uuid4().hex[:8]
     base = os.path.join(tempfile.gettempdir(), f"spark_graft_{prefix}_{run}")
     return os.path.join(base, "in"), os.path.join(base, "ckpt"), run
+
+
+def _cleanup(input_dir: str) -> None:
+    base = os.path.dirname(input_dir.rstrip("/"))
+    with contextlib.suppress(OSError):
+        shutil.rmtree(base, ignore_errors=True)
 
 
 def stream_wordcount_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -33,6 +46,7 @@ def stream_wordcount_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").select(F.col("text"))
     docs.write.mode("overwrite").text(input_dir)
     result = jobs.stream_wordcount(spark, input_dir, ckpt, name=f"wc_{run}")
+    _cleanup(input_dir)
     return result.select(F.col("word"), F.col("cnt"))
 
 
@@ -65,6 +79,7 @@ def stream_dedup_exact_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .start()
     )
     q.awaitTermination()
+    _cleanup(input_dir)
     return spark.table(f"dd_{run}")
 
 
@@ -100,6 +115,7 @@ def stream_events_per_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
         .start()
     )
     q.awaitTermination()
+    _cleanup(input_dir)
     return spark.table(f"eph_{run}").orderBy("hour_start")
 
 
@@ -114,7 +130,52 @@ def stream_running_counts_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").select(F.col("text"))
     docs.write.mode("overwrite").text(input_dir)
     tbl = jobs.stream_running_counts(spark, input_dir, ckpt, name=f"rc_{run}")
+    _cleanup(input_dir)
     return tbl.groupBy("key").agg(F.max("cnt").alias("cnt"))
+
+
+def stream_reddit_top_users_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q2_top_users as a streaming job through the REAL reference
+    ingest path: events re-laid as the reference's headerless 13-col
+    reddit CSV (`spout/spout.go:279-286`; col 10 = score, col 12 =
+    username), then jobs.stream_reddit_top_users runs the lenient-int
+    filter + stateful count. Same oracle as q2_top_users — completes
+    streaming parity coverage of all three reference apps
+    (`Nimbus.go:628-648`). The job ranks usernames as strings, so the
+    wrapper re-ranks numerically after the cast back to long (string
+    order '10'<'2' would pick a different tie-break at the top-k
+    boundary)."""
+    input_dir, ckpt, run = _scratch("rd")
+    # null scores: batch `value >= 0` drops them, but an empty CSV cell
+    # parses leniently to 0 and would be kept — filter before re-laying
+    events = (
+        load_table(spark, sf_dir, "events")
+        .select("user_id", "value")
+        .where(F.col("value").isNotNull())
+    )
+    cells = [F.lit(f"c{i}") for i in range(13)]
+    # floor, not cast-truncate: value in (-1,0) must still parse as a
+    # NEGATIVE score so the job's lenient-int >= 0 filter matches the
+    # batch predicate `value >= 0` exactly
+    cells[10] = F.floor(F.col("value")).cast("long").cast("string")
+    cells[12] = F.col("user_id").cast("string")
+    events.select(F.concat_ws(",", *cells).alias("value")).write.mode(
+        "overwrite"
+    ).text(input_dir)
+    # k > distinct users at every SF (so nothing is cut before the
+    # numeric re-rank) but small enough that the job's top-k priority
+    # queue stays O(k) memory
+    drained = jobs.stream_reddit_top_users(
+        spark, input_dir, ckpt, k=1_000_000, name=f"rd_{run}"
+    )
+    _cleanup(input_dir)
+    return (
+        drained.select(
+            F.col("username").cast("long").alias("user_id"), F.col("posts")
+        )
+        .orderBy(F.col("posts").desc(), F.col("user_id").asc())
+        .limit(50)
+    )
 
 
 def stream_host_report_events(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -145,4 +206,5 @@ def stream_host_report_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         .start()
     )
     q.awaitTermination()
+    _cleanup(input_dir)
     return spark.table(f"q3_{run}")

@@ -9,6 +9,9 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+# bolt/bolt.go:535 writes a 43-character '=' rule between host blocks.
+K3_SEPARATOR = "=" * 43
+
 
 def write_kv_lines(
     df: DataFrame, path: str, key: str, value: str, single_file: bool = False
@@ -34,14 +37,14 @@ def write_host_report(
     single_file: bool = False,
 ) -> None:
     """K3: per-host block — `host:count`, one route per line, then a
-    `====` separator (`bolt/bolt.go:522-541`). The whole block is
-    built as one string column per host, so the writer stays
-    parallel."""
+    `====` separator (`bolt/bolt.go:522-541`; the reference emits a
+    43-char rule, bolt.go:535). The whole block is built as one
+    string column per host, so the writer stays parallel."""
     block = F.concat_ws(
         "\n",
         F.concat_ws(":", F.col(host).cast("string"), F.col(hits).cast("string")),
         F.array_join(F.col(routes_arr), "\n"),
-        F.lit("=" * 20),
+        F.lit(K3_SEPARATOR),
     )
     out = df.select(block.alias("value"))
     if single_file:

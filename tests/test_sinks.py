@@ -31,4 +31,4 @@ def test_host_report_sink(spark, tmp_path):
     )
     out = str(tmp_path / "hosts_out")
     write_host_report(df, out, single_file=True)
-    assert _read_text_parts(out) == ["h1:2", "h1/a", "h1/b", "=" * 20]
+    assert _read_text_parts(out) == ["h1:2", "h1/a", "h1/b", "=" * 43]
