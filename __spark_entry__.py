@@ -155,15 +155,59 @@ def _embedding_neardup_oracle_sql(threshold: float = 0.4) -> str:
     """
 
 
+def _ivf_trained_cte(n_centroids: int = 16, iters: int = 2, dim: int = 64) -> tuple[str, str]:
+    """Unrolled Lloyd's k-means as DuckDB CTEs, mirroring
+    `similarity.train_ivf_centroids` exactly: init = embeddings of
+    the K smallest vec_ids (cid = rank 0..K-1), each round assigns by
+    argmax cosine (ties → lower cid) then takes per-dimension means
+    quantized with the det_round formula floor(x*1e6+0.5)/1e6 — the
+    quantization is what makes double summation order across engines
+    irrelevant, so both engines derive the IDENTICAL codebook. Empty
+    cells keep their previous centroid (LEFT JOIN + COALESCE).
+    Returns (cte_text, final_centroid_cte_name)."""
+    parts = [
+        f"""c0 AS (
+            SELECT row_number() OVER (ORDER BY vec_id ASC) - 1 AS cid,
+                   embedding::DOUBLE[] AS cvec
+            FROM (SELECT vec_id, embedding FROM embeddings
+                  ORDER BY vec_id ASC LIMIT {n_centroids})
+        )"""
+    ]
+    for t in range(iters):
+        prev = f"c{t}"
+        parts.append(f"""a{t} AS (
+            SELECT vec_id, embedding, cid FROM (
+                SELECT e.vec_id, e.embedding, c.cid,
+                       row_number() OVER (PARTITION BY e.vec_id
+                           ORDER BY list_cosine_similarity(
+                               e.embedding::DOUBLE[], c.cvec) DESC,
+                           c.cid ASC) AS rn
+                FROM embeddings e CROSS JOIN {prev} c
+            ) WHERE rn = 1
+        ), m{t} AS (
+            SELECT cid, i,
+                   floor(avg(embedding[i]::DOUBLE) * 1e6 + 0.5) / 1e6 AS mv
+            FROM a{t}, UNNEST(range(1, {dim + 1})) AS u(i)
+            GROUP BY cid, i
+        ), l{t} AS (
+            SELECT cid, list(mv ORDER BY i) AS cvec FROM m{t} GROUP BY cid
+        ), c{t + 1} AS (
+            SELECT p.cid, COALESCE(l.cvec, p.cvec) AS cvec
+            FROM {prev} p LEFT JOIN l{t} l ON p.cid = l.cid
+        )""")
+    return ",\n        ".join(parts), f"c{iters}"
+
+
 def _ivf_topk_oracle_sql(n_centroids: int = 16, n_probe: int = 4, k: int = 10) -> str:
-    """IVF in SQL: same deterministic centroids (first n by vec_id),
-    argmax assignment with the engine's (sim, -cid) tie-break, probe
-    the query's best centroids, exact cosine inside."""
+    """IVF in SQL: the SAME trained codebook as the engine
+    (`_ivf_trained_cte`), argmax assignment with the engine's
+    (sim, -cid) tie-break, probe the query's best centroids, exact
+    cosine inside."""
+    cte, final = _ivf_trained_cte()
     return f"""
-        WITH c AS (
-            SELECT vec_id AS cid, embedding AS cvec FROM embeddings
-            ORDER BY vec_id ASC LIMIT {n_centroids}
-        ), assigned AS (
+        WITH {cte},
+        c AS (SELECT cid, cvec FROM {final}),
+        assigned AS (
             SELECT vec_id, embedding, cid AS centroid FROM (
                 SELECT e.vec_id, e.embedding, c.cid,
                        row_number() OVER (
@@ -222,6 +266,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_events_per_hour": streaming_parity.stream_events_per_hour,
         "stream_running_counts": streaming_parity.stream_running_counts_docs,
         "stream_reddit_top_users": streaming_parity.stream_reddit_top_users_events,
+        "knn_join_lsh_split": pipeline.knn_join_lsh_split,
         "doc_top_terms": pipeline.doc_top_terms,
         "media_decode_stats": pipeline.media_decode_stats,
         # --- reference parity (SURVEY.md §2.12) ---
@@ -819,6 +864,7 @@ def oracle_sql() -> dict[str, str]:
         "embedding_neardup_pairs": _embedding_neardup_oracle_sql(0.4),
         "ivf_topk": _ivf_topk_oracle_sql(),
         "ivf_index_topk": _ivf_topk_oracle_sql(),
+        "knn_join_lsh_split": _knn_join_lsh_oracle_sql(),
         "cosine_topk": """
             WITH q AS (SELECT embedding FROM embeddings WHERE vec_id = 0)
             SELECT e.vec_id,

@@ -139,6 +139,92 @@ def lsh_topk(
     )
 
 
+def train_ivf_centroids(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_centroids: int = 16,
+    iters: int = 2,
+    sample_mod: int = 1,
+) -> list[list[float]]:
+    """Deterministic Lloyd's k-means for the IVF coarse codebook.
+
+    Init = the embeddings of the `n_centroids` smallest ids (a
+    reproducible seed choice); then `iters` rounds of assign (argmax
+    cosine, ties to the lower centroid id) + per-dimension mean.
+    Each new centroid coordinate is quantized to the 1e-6 grid with
+    the det_round formula (`floor(x*1e6+0.5)/1e6`), which makes the
+    whole training reproducible ACROSS ENGINES: the DuckDB oracle
+    re-derives the identical codebook in SQL (unrolled CTEs, see
+    `__spark_entry__._ivf_trained_cte`), so trained-IVF results stay
+    value-hash checkable. Cells that lose every member keep their
+    previous centroid. `iters=0` degrades to the seeded-sample
+    fallback (the round-1 behavior).
+
+    Scale shape: each round is one broadcast crossJoin assignment +
+    one posexplode per-dim mean — two shuffles of (K·dim) cells, and
+    only K×dim rounded floats (constants, not data) reach the driver
+    per round. At 100 TB train on a deterministic hash-mod sample
+    (`sample_mod=m` keeps id % m == 0): k-means needs a sample, not
+    the corpus; the full corpus is assigned once, at index build."""
+    import math
+
+    spark = df.sparkSession
+    train = df.where(F.col(id_col) % sample_mod == 0) if sample_mod > 1 else df
+    rows = (
+        train.orderBy(F.col(id_col).asc())
+        .limit(n_centroids)
+        .select(vec_col)
+        .collect()
+    )
+    cents = [[float(x) for x in r[0]] for r in rows]
+    dim = len(cents[0])
+    for _ in range(iters):
+        cent_df = spark.createDataFrame(
+            list(enumerate(cents)), "cid int, cvec array<double>"
+        )
+        assigned = (
+            train.crossJoin(F.broadcast(cent_df))
+            .select(
+                F.col(id_col),
+                F.col(vec_col),
+                F.col("cid"),
+                cosine_similarity(F.col(vec_col), F.col("cvec")).alias("_csim"),
+            )
+            .groupBy(id_col)
+            .agg(
+                F.first(vec_col).alias(vec_col),
+                F.max_by(
+                    "cid", F.struct(F.col("_csim"), (-F.col("cid")).alias("_nc"))
+                ).alias("_c"),
+            )
+        )
+        means = (
+            assigned.select("_c", F.posexplode(F.col(vec_col)).alias("pos", "v"))
+            .groupBy("_c", "pos")
+            .agg(F.avg(F.col("v").cast("double")).alias("mv"))
+            .collect()
+        )
+        by_cid: dict[int, dict[int, float]] = {}
+        for r in means:
+            by_cid.setdefault(r["_c"], {})[r["pos"]] = (
+                math.floor(r["mv"] * 1e6 + 0.5) / 1e6
+            )
+        cents = [
+            [by_cid[i][p] for p in range(dim)] if i in by_cid else cents[i]
+            for i in range(len(cents))
+        ]
+    return cents
+
+
+def _centroid_frame(spark, cents: list[list[float]]) -> DataFrame:
+    """(cid 0..K-1, cvec) frame from a trained codebook — K×dim
+    constants, always broadcast."""
+    return spark.createDataFrame(
+        list(enumerate(cents)), "_cid int, _cvec array<double>"
+    )
+
+
 def ivf_topk(
     df: DataFrame,
     query_df: DataFrame,
@@ -147,16 +233,20 @@ def ivf_topk(
     vec_col: str = "embedding",
     n_centroids: int = 16,
     n_probe: int = 4,
+    iters: int = 2,
+    sample_mod: int = 1,
 ) -> DataFrame:
-    """IVF ANN: use `n_centroids` deterministic sample vectors as
-    coarse centroids, assign every vector to its best centroid
-    (argmax cosine — one broadcast of a tiny centroid array), probe
-    the query's best `n_probe` centroids. All relational: the index
-    is just an extra int column; at scale you'd persist it
-    partitioned by centroid for partition pruning."""
-    centroids = df.orderBy(F.col(id_col).asc()).limit(n_centroids).select(
-        F.col(id_col).alias("_cid"), F.col(vec_col).alias("_cvec")
+    """IVF ANN with a TRAINED coarse codebook (`train_ivf_centroids`
+    — deterministic Lloyd's, cross-engine reproducible), assign every
+    vector to its best centroid (argmax cosine — one broadcast of a
+    tiny centroid array), probe the query's best `n_probe` centroids.
+    All relational: the index is just an extra int column; at scale
+    you'd persist it partitioned by centroid for partition pruning
+    (`build_ivf_index`)."""
+    cents = train_ivf_centroids(
+        df, id_col, vec_col, n_centroids, iters=iters, sample_mod=sample_mod
     )
+    centroids = _centroid_frame(df.sparkSession, cents)
     sims = df.crossJoin(F.broadcast(centroids)).select(
         F.col(id_col),
         F.col(vec_col),
@@ -196,18 +286,22 @@ def build_ivf_index(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     n_centroids: int = 16,
+    iters: int = 2,
+    sample_mod: int = 1,
 ) -> None:
     """Persist an IVF index: every vector assigned to its nearest
-    coarse centroid (same deterministic centroids as `ivf_topk`),
-    written as parquet PARTITIONED BY centroid, plus the tiny
-    centroid table alongside. This is the 100 TB ANN shape: the
-    O(n·centroids) assignment runs once at index-build; each query
-    then reads only its probed centroid partitions — the scan cost
-    is corpus_size × n_probe / n_centroids, enforced by partition
-    pruning rather than a runtime filter."""
-    centroids = df.orderBy(F.col(id_col).asc()).limit(n_centroids).select(
-        F.col(id_col).alias("_cid"), F.col(vec_col).alias("_cvec")
+    TRAINED coarse centroid (same deterministic Lloyd's codebook as
+    `ivf_topk`), written as parquet PARTITIONED BY centroid, plus the
+    tiny centroid table alongside. This is the 100 TB ANN shape: the
+    training runs on a sample, the O(n·centroids) assignment runs
+    once at index-build; each query then reads only its probed
+    centroid partitions — the scan cost is corpus_size × n_probe /
+    n_centroids, enforced by partition pruning rather than a runtime
+    filter."""
+    cents = train_ivf_centroids(
+        df, id_col, vec_col, n_centroids, iters=iters, sample_mod=sample_mod
     )
+    centroids = _centroid_frame(df.sparkSession, cents)
     sims = df.crossJoin(F.broadcast(centroids)).select(
         F.col(id_col),
         F.col(vec_col),
@@ -337,6 +431,7 @@ def knn_join_lsh_gemm(
     n_planes: int = 4,
     dim: int = 64,
     seed: int = 42,
+    max_bucket_size: int | None = 65536,
 ) -> DataFrame:
     """Self KNN join, LSH-blocked, with the per-bucket work done as a
     numpy gram matrix inside applyInPandas.
@@ -350,11 +445,16 @@ def knn_join_lsh_gemm(
     value-hash match the same SQL oracle as the expression-based
     variant.
 
-    Scale note: one task per bucket — parallelism = 2^n_planes and
-    peak memory ~ bucket_size × dim; raise n_planes (or pre-split hot
-    buckets) so a bucket fits an executor. The expression-based
-    `knn_join` remains the choice when buckets are huge and streaming
-    through pairs matters more than arithmetic throughput."""
+    Hot buckets degrade AUTOMATICALLY: one cheap signature count
+    first (a 2^n_planes-row aggregate); if any bucket exceeds
+    `max_bucket_size`, the corpus side of each oversized bucket is
+    salted into ceil(n/max) sub-buckets (queries replicated to every
+    sub-bucket) and per-query local top-ks are merged by a global
+    window — value-hash IDENTICAL output (top-k of per-partition
+    top-ks), but parallelism becomes sum(ceil(n_b/max)) tasks and
+    peak task memory is capped at ~max_bucket_size × dim doubles
+    instead of the whole bucket. Pass max_bucket_size=None to skip
+    the pre-count when bucket sizes are known-small."""
     import numpy as np
     import pandas as pd
 
@@ -362,6 +462,19 @@ def knn_join_lsh_gemm(
     tagged = df.select(
         F.col(id_col), F.col(vec_col), lsh_signature(F.col(vec_col), planes).alias("_sig")
     )
+    if max_bucket_size is not None:
+        # one scalar to the driver (max over ≤ 2^n_planes group counts)
+        biggest = (
+            tagged.groupBy("_sig")
+            .agg(F.count(F.lit(1)).alias("_n"))
+            .agg(F.max("_n"))
+            .collect()[0][0]
+            or 0
+        )
+        if biggest > max_bucket_size:
+            return _knn_join_lsh_gemm_split(
+                tagged, k, id_col, vec_col, max_bucket_size
+            )
 
     def per_bucket(pdf: pd.DataFrame) -> pd.DataFrame:
         vecs = np.asarray(pdf[vec_col].tolist(), dtype=np.float64)
@@ -390,6 +503,89 @@ def knn_join_lsh_gemm(
 
     return tagged.groupBy("_sig").applyInPandas(
         per_bucket, schema="query_id long, neighbor_id long, sim double, rnk long"
+    )
+
+
+def _knn_join_lsh_gemm_split(
+    tagged: DataFrame,
+    k: int,
+    id_col: str,
+    vec_col: str,
+    max_bucket_size: int,
+) -> DataFrame:
+    """Hot-bucket path for `knn_join_lsh_gemm`: salt each oversized
+    bucket's CORPUS rows into ceil(n/max) sub-buckets (deterministic
+    id-hash salt), replicate each QUERY row to every sub-bucket of
+    its bucket, gram-matrix a local top-k per (bucket, salt) group,
+    then merge with one global per-query window. Top-k of a union is
+    the top-k of per-partition top-ks, and ties break on
+    (sim desc, neighbor_id asc) everywhere, so the output is
+    value-hash identical to the unsplit path — only the task
+    granularity changes."""
+    import numpy as np
+    import pandas as pd
+
+    splits = (
+        tagged.groupBy("_sig")
+        .agg(
+            F.ceil(F.count(F.lit(1)) / F.lit(max_bucket_size))
+            .cast("int")
+            .alias("_ns")
+        )
+    )
+    t = tagged.join(F.broadcast(splits), "_sig")
+    corpus = t.select(
+        F.col(id_col),
+        F.col(vec_col),
+        F.col("_sig"),
+        F.pmod(F.xxhash64(F.col(id_col)), F.col("_ns")).cast("int").alias("_salt"),
+        F.lit(False).alias("_isq"),
+    )
+    queries = t.select(
+        F.col(id_col),
+        F.col(vec_col),
+        F.col("_sig"),
+        F.explode(F.sequence(F.lit(0), F.col("_ns") - 1)).alias("_salt"),
+        F.lit(True).alias("_isq"),
+    )
+    both = corpus.unionByName(queries)
+
+    def per_subbucket(pdf: pd.DataFrame) -> pd.DataFrame:
+        c = pdf[~pdf["_isq"]]
+        q = pdf[pdf["_isq"]]
+        if c.empty or q.empty:
+            return pd.DataFrame(
+                {"query_id": [], "neighbor_id": [], "sim": []}
+            ).astype({"query_id": "int64", "neighbor_id": "int64", "sim": "float64"})
+        cv = np.asarray(c[vec_col].tolist(), dtype=np.float64)
+        cids = c[id_col].to_numpy()
+        order = np.argsort(cids)
+        cids, cv = cids[order], cv[order]
+        qv = np.asarray(q[vec_col].tolist(), dtype=np.float64)
+        qids = q[id_col].to_numpy()
+        sims = (qv @ cv.T) / np.outer(
+            np.linalg.norm(qv, axis=1), np.linalg.norm(cv, axis=1)
+        )
+        sims = np.sign(sims) * np.floor(np.abs(sims) * 1e6 + 0.5) / 1e6
+        kk = min(k, len(cids))
+        out_q, out_n, out_s = [], [], []
+        for i in range(len(qids)):
+            row = sims[i]
+            top = np.argsort(-row, kind="stable")[:kk]
+            out_q.extend([qids[i]] * kk)
+            out_n.extend(cids[top])
+            out_s.extend(row[top])
+        return pd.DataFrame({"query_id": out_q, "neighbor_id": out_n, "sim": out_s})
+
+    local = both.groupBy("_sig", "_salt").applyInPandas(
+        per_subbucket, schema="query_id long, neighbor_id long, sim double"
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        local.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .where(F.col("rnk") <= k)
     )
 
 

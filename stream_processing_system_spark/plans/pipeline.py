@@ -159,6 +159,17 @@ def knn_join_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.knn_join_lsh_gemm(_embs(spark, sf_dir), k=3)
 
 
+def knn_join_lsh_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SAME join forced down the hot-bucket path
+    (max_bucket_size=16 < every bucket at the test SFs): salted
+    corpus sub-buckets, replicated queries, global top-k merge.
+    Shares knn_join_lsh's oracle — the driver hash-match proves the
+    split path is value-identical to the unsplit one."""
+    return similarity.knn_join_lsh_gemm(
+        _embs(spark, sf_dir), k=3, max_bucket_size=16
+    )
+
+
 # --- text analysis ---
 
 def doc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -121,6 +121,103 @@ def test_ivf_persisted_index_matches_inline_and_prunes(spark, sf_dir, tmp_path):
     assert "PartitionFilters" in plan and "_centroid" in plan
 
 
+def _clustered_df(spark, n_clusters=8, per=40, dim=64, noise=0.01):
+    # noise is per-coordinate: the perturbation NORM is noise*sqrt(dim)
+    # (~0.08), i.e. intra-cluster angles ~0.11 rad — the near-dup
+    # regime sign-LSH is built for (bit-flip prob ~angle/pi per plane)
+    """Planted-cluster corpus with ADVERSARIAL id order: ids 0..per-1
+    are all cluster 0, so the untrained first-K-ids codebook draws
+    every centroid from one corner of the distribution — exactly the
+    ingest-order pathology trained centroids exist to fix."""
+    rng = np.random.RandomState(11)
+    means = rng.standard_normal((n_clusters, dim))
+    means /= np.linalg.norm(means, axis=1, keepdims=True)
+    rows, vid = [], 0
+    for ci in range(n_clusters):
+        for _ in range(per):
+            v = means[ci] + noise * rng.standard_normal(dim)
+            rows.append((vid, [float(x) for x in v]))
+            vid += 1
+    return spark.createDataFrame(rows, ["vec_id", "embedding"])
+
+
+def _assign_np(vecs: np.ndarray, cents: list[list[float]]) -> np.ndarray:
+    c = np.asarray(cents, dtype="float64")
+    v = np.asarray(vecs, dtype="float64")
+    sims = (v @ c.T) / (
+        np.linalg.norm(v, axis=1, keepdims=True) * np.linalg.norm(c, axis=1)
+    )
+    return sims.argmax(axis=1), sims.max(axis=1)
+
+
+def test_trained_centroids_fix_ingest_order_pathology(spark):
+    df = _clustered_df(spark)
+    vecs = np.array(
+        [r["embedding"] for r in df.orderBy("vec_id").collect()], dtype="float64"
+    )
+    untrained = similarity.train_ivf_centroids(df, iters=0)
+    trained = similarity.train_ivf_centroids(df, iters=3)
+    _, sim_u = _assign_np(vecs, untrained)
+    cells_t, sim_t = _assign_np(vecs, trained)
+    # Lloyd's must tighten cells: mean cosine-to-centroid improves
+    # decisively once centroids escape cluster 0
+    assert sim_t.mean() > sim_u.mean() + 0.2, (sim_t.mean(), sim_u.mean())
+    # and the trained cells are balanced: no cell hoards the corpus,
+    # at least half the codebook is in use
+    counts = np.bincount(cells_t, minlength=16)
+    assert counts.max() <= 0.3 * len(vecs), counts
+    assert (counts > 0).sum() >= 8, counts
+
+
+def test_ann_recall_floor_clustered(spark):
+    """recall@k floors for the ANN family on clustered data (the
+    realistic corpus shape — near-duplicate/topic structure). The
+    uniform-random embeddings table is the documented worst case
+    (cosine ~N(0, 1/8): nothing is 'near'); see PERFORMANCE.md."""
+    df = _clustered_df(spark)
+    q = df.where(F.col("vec_id") == 200).select("embedding")  # cluster 5
+    brute = {r["vec_id"] for r in similarity.cosine_topk(df, q, k=10).collect()}
+    lsh = {r["vec_id"] for r in similarity.lsh_topk(df, q, k=10).collect()}
+    ivf = {r["vec_id"] for r in similarity.ivf_topk(df, q, k=10).collect()}
+    assert len(brute & lsh) / 10 >= 0.8, brute & lsh
+    assert len(brute & ivf) / 10 >= 0.8, brute & ivf
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in similarity.knn_join(df, df, k=3, exact=True).collect()
+    }
+    lshj = {
+        (r["query_id"], r["neighbor_id"])
+        for r in similarity.knn_join_lsh_gemm(df, k=3).collect()
+    }
+    assert len(exact & lshj) / len(exact) >= 0.8, len(exact & lshj) / len(exact)
+
+
+def test_ivf_recall_floor_random(spark, sf_dir):
+    """Trained-IVF floor on the worst-case random table: mean
+    recall@10 over 5 queries >= 0.7 (measured ~0.84; per-query can
+    dip to 0.5 when a query sits between cells)."""
+    embs = load_table(spark, sf_dir, "embeddings")
+    recalls = []
+    for qid in [0, 1, 7, 13, 29]:
+        q = embs.where(F.col("vec_id") == qid).select("embedding")
+        brute = {r["vec_id"] for r in similarity.cosine_topk(embs, q, k=10).collect()}
+        ann = {r["vec_id"] for r in similarity.ivf_topk(embs, q, k=10).collect()}
+        recalls.append(len(brute & ann) / 10)
+    assert sum(recalls) / len(recalls) >= 0.7, recalls
+
+
+def test_knn_join_split_path_identical_to_unsplit(spark, sf_dir):
+    embs = load_table(spark, sf_dir, "embeddings")
+    whole = similarity.knn_join_lsh_gemm(embs, k=3).collect()
+    split = similarity.knn_join_lsh_gemm(embs, k=3, max_bucket_size=16).collect()
+    key = lambda r: (r["query_id"], r["rnk"])
+    assert sorted(
+        [(r["query_id"], r["neighbor_id"], r["sim"], r["rnk"]) for r in whole]
+    ) == sorted(
+        [(r["query_id"], r["neighbor_id"], r["sim"], r["rnk"]) for r in split]
+    )
+
+
 def test_lsh_signature_udf_matches_expression(spark, sf_dir):
     from stream_processing_system_spark.operators.similarity import (
         _hyperplanes,
