@@ -300,17 +300,42 @@ def simhash64(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     hi = F.conv(F.substring(digest, 1, 8), 16, 10).cast("long")
     lo = F.conv(F.substring(digest, 9, 8), 16, 10).cast("long")
     toks = toks.withColumn("_hi", hi).withColumn("_lo", lo)
-    votes = [
+    # Packed voting: vote_i = 2*set_count_i - n_tokens, so only the
+    # SET-bit counts are aggregated — four 16-bit counters per long
+    # (bit positions i, i+16, i+32, i+48 share aggregate p{i}) plus
+    # one token count: 17 accumulators instead of 64. Counters hold
+    # docs up to 65,535 distinct tokens (~300 KB of text) without
+    # slot overflow; bigger docs should be truncated upstream — the
+    # standard SimHash practice — or hashed with the unpacked form.
+    packed = [
         F.sum(
-            F.when(F.shiftright(F.col("_hi" if i < 32 else "_lo"), i % 32).bitwiseAND(1) == 1, 1).otherwise(-1)
-        ).alias(f"v{i}")
-        for i in range(64)
+            functools.reduce(
+                operator.add,
+                [
+                    F.shiftleft(
+                        F.shiftright(
+                            F.col("_hi" if pos < 32 else "_lo"), pos % 32
+                        ).bitwiseAND(1),
+                        16 * slot,
+                    )
+                    for slot, pos in enumerate(range(i, 64, 16))
+                ],
+            )
+        ).alias(f"p{i}")
+        for i in range(16)
     ]
-    voted = toks.groupBy(id_col).agg(*votes)
-    bits = [
-        F.when(F.col(f"v{i}") > 0, F.lit(1).cast("long") * (2**i) if i < 63 else F.lit(-(2**63))).otherwise(0)
-        for i in range(64)
-    ]
+    voted = toks.groupBy(id_col).agg(F.count(F.lit(1)).alias("_n"), *packed)
+    bits = []
+    for i in range(16):
+        for slot, pos in enumerate(range(i, 64, 16)):
+            set_cnt = F.shiftright(F.col(f"p{i}"), 16 * slot).bitwiseAND(0xFFFF)
+            positive = (set_cnt * 2 - F.col("_n")) > 0
+            bits.append(
+                F.when(
+                    positive,
+                    F.lit(-(2**63)) if pos == 63 else F.lit(2**pos).cast("long"),
+                ).otherwise(0)
+            )
     simhash = functools.reduce(operator.add, bits).alias("simhash")
     return voted.select(F.col(id_col), simhash)
 
@@ -358,14 +383,21 @@ def simhash_neardup_pairs(
 
 
 def connected_component_labels(
-    pairs: DataFrame, nodes: DataFrame, id_col: str, max_iters: int = 20
+    pairs: DataFrame, nodes: DataFrame, id_col: str, max_iters: int = 25
 ) -> DataFrame:
     """Connected components over a pair list by iterative min-label
-    propagation: every node starts labeled with itself; each round,
-    a node adopts the smallest label among itself and its neighbors;
-    stop at fixpoint (or max_iters). Converges in O(component
-    diameter) rounds — near-dup graphs are shallow (dup clusters are
-    dense), so a handful of rounds suffices.
+    propagation WITH pointer jumping: every node starts labeled with
+    itself; each round, a node adopts the smallest label among itself
+    and its neighbors (one hop), then adopts its label's label (the
+    pointer jump — labels only ever decrease, so the jump is always
+    valid). The jump is what turns convergence from O(diameter)
+    rounds into O(log diameter): label chains halve every round, so
+    even a pathological path-shaped dup component converges in ~log2
+    rounds, and the default max_iters=25 covers any component up to
+    ~2^25 in diameter. If the loop still exits unconverged a
+    RuntimeWarning is raised rather than silently returning partial
+    labels (the transitive-closure contract of dedup_transitive
+    depends on full convergence).
 
     Output: (id, component) where component = min id reachable.
     Driver involvement per round is ONE aggregated convergence count
@@ -392,28 +424,55 @@ def connected_component_labels(
         .localCheckpoint()
     )
 
+    converged = False
     for _ in range(max_iters):
         neighbor_min = (
             edges.join(labels, edges.dst == labels.node)
             .groupBy("src")
             .agg(F.min("component").alias("n_min"))
         )
+        hopped = labels.join(
+            neighbor_min, labels.node == neighbor_min.src, "left"
+        ).select(
+            "node",
+            F.least(
+                F.col("component"), F.coalesce(F.col("n_min"), F.col("component"))
+            ).alias("component"),
+            (F.coalesce(F.col("n_min"), F.col("component")) < F.col("component"))
+            .cast("int")
+            .alias("_changed"),
+        )
+        # pointer jump: component <- component's component (labels
+        # are monotone decreasing, so the jump only improves)
+        parents = hopped.select(
+            F.col("node").alias("_pn"), F.col("component").alias("_pc")
+        )
         updated = (
-            labels.join(neighbor_min, labels.node == neighbor_min.src, "left")
+            hopped.join(parents, hopped.component == parents._pn, "left")
             .select(
                 "node",
-                F.least(
-                    F.col("component"), F.coalesce(F.col("n_min"), F.col("component"))
-                ).alias("component"),
-                (F.coalesce(F.col("n_min"), F.col("component")) < F.col("component"))
-                .cast("int")
-                .alias("_changed"),
+                F.coalesce(F.col("_pc"), F.col("component")).alias("component"),
+                (
+                    F.col("_changed")
+                    + (F.coalesce(F.col("_pc"), F.col("component"))
+                       < F.col("component")).cast("int")
+                ).alias("_changed"),
             )
         ).localCheckpoint()
         changed = updated.agg(F.sum("_changed")).collect()[0][0] or 0
         labels = updated.drop("_changed")
         if changed == 0:
+            converged = True
             break
+    if not converged:
+        import warnings
+
+        warnings.warn(
+            f"connected_component_labels: no fixpoint after {max_iters} "
+            "rounds; labels may span partial components",
+            RuntimeWarning,
+            stacklevel=2,
+        )
     isolated = (
         nodes.select(F.col(id_col).alias("node"))
         .join(labels.select("node"), "node", "left_anti")

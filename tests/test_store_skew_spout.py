@@ -48,6 +48,28 @@ def test_salted_count_equals_plain_count(spark, sf_dir):
     assert salted == plain
 
 
+def test_salted_count_on_zipf_skew(spark):
+    """The condition skew.py exists for: one viral key holding half
+    the rows. Exact equality with the plain aggregate on the skewed
+    fixture, plus a plan assertion that phase 1 shuffles on
+    (key, _salt) — the hot key is spread over many reducers instead
+    of pinning one."""
+    from pyspark.sql import functions as F
+
+    n = 100_000
+    df = spark.range(n).select(
+        F.when(F.col("id") % 2 == 0, F.lit(0))  # 50% of rows hit key 0
+        .otherwise(F.pmod(F.xxhash64("id"), F.lit(1000)))
+        .alias("key")
+    )
+    got = salted_count(df, ["key"], out="cnt")
+    want = df.groupBy("key").agg(F.count(F.lit(1)).alias("cnt"))
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    # phase-1 exchange must hash on (key, _salt), not key alone
+    assert "_salt" in plan and "hashpartitioning(key" in plan, plan
+
+
 def test_salted_agg_sum_min_max(spark):
     df = spark.createDataFrame(
         [("k", float(i)) for i in range(100)] + [("j", 5.0)], ["k", "v"]
