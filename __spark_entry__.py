@@ -235,6 +235,25 @@ def _ivf_topk_oracle_sql(n_centroids: int = 16, n_probe: int = 4, k: int = 10) -
     """
 
 
+def _pii_scrub_oracle_sql() -> str:
+    """Built from the SAME pattern list the engine uses
+    (quality_filters.PII_PATTERNS — Java-regex/RE2 shared syntax), so
+    engine and oracle can never drift on the regexes."""
+    from stream_processing_system_spark.operators.quality_filters import PII_PATTERNS
+
+    scrub = "text"
+    counts = []
+    for name, pat, repl in PII_PATTERNS:
+        p = pat.replace("'", "''")
+        counts.append(f"len(regexp_extract_all(text, '{p}'))::BIGINT AS n_{name}")
+        scrub = f"regexp_replace({scrub}, '{p}', '{repl}', 'g')"
+    return f"""
+        SELECT doc_id, md5({scrub}) AS scrub_md5,
+               {', '.join(counts)}
+        FROM documents
+    """
+
+
 def _top_users_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
     """q2 recomputed through the two-phase salted aggregation
     (operators/skew.py) — same oracle proves exact equivalence."""
@@ -269,6 +288,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_join_lsh_split": pipeline.knn_join_lsh_split,
         "doc_top_terms": pipeline.doc_top_terms,
         "media_decode_stats": pipeline.media_decode_stats,
+        "doc_repetition": pipeline.doc_repetition,
+        "doc_pii_scrub": pipeline.doc_pii_scrub,
+        "doc_passage_dedup": pipeline.doc_passage_dedup,
+        "doc_pack_sequences": pipeline.doc_pack_sequences,
         # --- reference parity (SURVEY.md §2.12) ---
         "q1_wordcount": reference.q1_wordcount,
         "q2_top_users": reference.q2_top_users,
@@ -1019,6 +1042,59 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY user_id
             ORDER BY posts DESC, user_id ASC
             LIMIT 50
+        """,
+        "doc_repetition": """
+            WITH t AS (
+                SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS l
+                FROM documents
+            ), b AS (
+                SELECT doc_id,
+                       len(list_filter(range(1, len(l)), i -> l[i] = l[i+1]))::BIGINT AS adj,
+                       list_transform(range(1, len(l)), i -> l[i] || ' ' || l[i+1]) AS g
+                FROM t WHERE len(l) >= 2
+            ), tf AS (
+                SELECT doc_id, u.gram, count(*) AS c, first(adj) AS adj
+                FROM b, UNNEST(b.g) AS u(gram)
+                GROUP BY doc_id, u.gram
+            )
+            SELECT doc_id,
+                   floor(max(c)::DOUBLE / sum(c) * 1e6 + 0.5) / 1e6 AS top_2gram_frac,
+                   floor((sum(c) - count(*))::DOUBLE / sum(c) * 1e6 + 0.5) / 1e6 AS dup_2gram_frac,
+                   first(adj) AS n_adjacent_repeats
+            FROM tf GROUP BY doc_id
+        """,
+        "doc_pii_scrub": _pii_scrub_oracle_sql(),
+        "doc_passage_dedup": """
+            WITH t AS (
+                SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS l
+                FROM documents
+            ), e AS (
+                SELECT doc_id, i AS pos,
+                       array_to_string(l[(i*16+1):(i*16+16)], ' ') AS chunk
+                FROM t, UNNEST(range(0, (len(l)-1)//16 + 1)) AS u(i)
+                WHERE len(l) >= 1
+            ), k AS (
+                SELECT doc_id, pos, chunk,
+                       row_number() OVER (PARTITION BY md5(chunk)
+                                          ORDER BY doc_id ASC, pos ASC) AS rn
+                FROM e
+            )
+            SELECT doc_id, md5(string_agg(chunk, ' ' ORDER BY pos)) AS clean_md5
+            FROM k WHERE rn = 1 GROUP BY doc_id
+        """,
+        "doc_pack_sequences": """
+            WITH t AS (
+                SELECT doc_id,
+                       len(list_filter(string_split(text, ' '), x -> x <> ''))::BIGINT AS n_tokens
+                FROM documents
+            ), s AS (
+                SELECT doc_id, n_tokens,
+                       SUM(n_tokens) OVER (ORDER BY doc_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       - n_tokens AS strt
+                FROM t
+            )
+            SELECT doc_id, n_tokens, (strt // 1024)::BIGINT AS shard FROM s
         """,
         "doc_winnow": """
             WITH t AS (

@@ -10,6 +10,7 @@ from pyspark.sql import functions as F
 from stream_processing_system_spark.operators import (
     dedup,
     multimodal,
+    quality_filters,
     similarity,
     text_analysis,
 )
@@ -198,6 +199,40 @@ def doc_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def doc_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text_analysis.top_terms_tfidf(_docs(spark, sf_dir), k=2)
+
+
+# --- quality filters / corpus hygiene ---
+
+def doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return quality_filters.repetition_stats(_docs(spark, sf_dir))
+
+
+def doc_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scrub + count; the contract row carries md5(text_scrubbed) so
+    the whole rewritten text is value-hash checked without shipping
+    300-char strings through the compare."""
+    scrubbed = quality_filters.pii_scrub(_docs(spark, sf_dir))
+    return scrubbed.select(
+        "doc_id",
+        F.md5("text_scrubbed").alias("scrub_md5"),
+        "n_emails",
+        "n_ips",
+        "n_phones",
+    )
+
+
+def doc_passage_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cleaned = quality_filters.passage_dedup(_docs(spark, sf_dir))
+    return cleaned.select("doc_id", F.md5("text_clean").alias("clean_md5"))
+
+
+def doc_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """budget 1024 tokens, 200-id range chunks: at sf0.01 that's 3
+    chunks, so the two-level prefix sum (not the degenerate single
+    chunk) is what the oracle hash-checks."""
+    return quality_filters.pack_sequences(
+        _docs(spark, sf_dir), budget_tokens=1024, chunk_size=200
+    )
 
 
 # --- multimodal ---
