@@ -254,6 +254,33 @@ def _pii_scrub_oracle_sql() -> str:
     """
 
 
+#: Shared by sessionize_events (batch lag+cumsum) and
+#: stream_sessionize_events (session_window + watermark): one oracle,
+#: two formulations — the hash-match proves them equivalent.
+_SESSIONIZE_ORACLE_SQL = """
+    WITH gaps AS (
+        SELECT user_id, event_id, ts,
+               CASE WHEN floor(epoch(ts)) - lag(floor(epoch(ts)))
+                         OVER (PARTITION BY user_id ORDER BY ts, event_id) > 1800
+                    THEN 1 ELSE 0 END AS new_session
+        FROM events
+    ), sess AS (
+        SELECT user_id,
+               sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                      ROWS UNBOUNDED PRECEDING) AS session_id
+        FROM gaps
+    ), per_session AS (
+        SELECT user_id, session_id, count(*) AS n_events
+        FROM sess GROUP BY user_id, session_id
+    )
+    SELECT user_id, count(*) AS n_sessions,
+           floor((AVG(n_events)) * 1000000.0 + 0.5) / 1000000.0 AS avg_events_per_session
+    FROM per_session
+    GROUP BY user_id
+    ORDER BY user_id
+"""
+
+
 def _top_users_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
     """q2 recomputed through the two-phase salted aggregation
     (operators/skew.py) — same oracle proves exact equivalence."""
@@ -292,6 +319,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_pii_scrub": pipeline.doc_pii_scrub,
         "doc_passage_dedup": pipeline.doc_passage_dedup,
         "doc_pack_sequences": pipeline.doc_pack_sequences,
+        "stream_sessionize_events": streaming_parity.stream_sessionize_events,
+        "promo_revenue_ratio": analytics.promo_revenue_ratio,
+        "bracket_revenue": analytics.bracket_revenue,
         # --- reference parity (SURVEY.md §2.12) ---
         "q1_wordcount": reference.q1_wordcount,
         "q2_top_users": reference.q2_top_users,
@@ -444,27 +474,34 @@ def oracle_sql() -> dict[str, str]:
             WHERE rnk <= 3
             ORDER BY n_name, rnk, s_suppkey
         """,
-        "sessionize_events": """
-            WITH gaps AS (
-                SELECT user_id, event_id, ts,
-                       CASE WHEN floor(epoch(ts)) - lag(floor(epoch(ts)))
-                                 OVER (PARTITION BY user_id ORDER BY ts, event_id) > 1800
-                            THEN 1 ELSE 0 END AS new_session
-                FROM events
-            ), sess AS (
-                SELECT user_id,
-                       sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                                              ROWS UNBOUNDED PRECEDING) AS session_id
-                FROM gaps
-            ), per_session AS (
-                SELECT user_id, session_id, count(*) AS n_events
-                FROM sess GROUP BY user_id, session_id
+        "sessionize_events": _SESSIONIZE_ORACLE_SQL,
+        "stream_sessionize_events": _SESSIONIZE_ORACLE_SQL,
+        "promo_revenue_ratio": """
+            WITH j AS (
+                SELECT CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4)) AS disc,
+                       CASE WHEN p_type LIKE 'PROMO%'
+                            THEN CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))
+                            ELSE CAST(0 AS DECIMAL(18,4)) END AS promo
+                FROM lineitem JOIN part ON l_partkey = p_partkey
+                WHERE l_shipdate >= '1996-09-01' AND l_shipdate < '1996-10-01'
             )
-            SELECT user_id, count(*) AS n_sessions,
-                   floor((AVG(n_events)) * 1000000.0 + 0.5) / 1000000.0 AS avg_events_per_session
-            FROM per_session
-            GROUP BY user_id
-            ORDER BY user_id
+            SELECT SUM(promo)::DOUBLE AS promo_revenue,
+                   SUM(disc)::DOUBLE AS total_revenue,
+                   floor(100.0 * SUM(promo)::DOUBLE / SUM(disc)::DOUBLE * 1e6 + 0.5) / 1e6
+                       AS promo_ratio_pct
+            FROM j
+        """,
+        "bracket_revenue": """
+            SELECT SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4)))::DOUBLE
+                       AS revenue,
+                   COUNT(*) AS n_lineitems
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            WHERE (p_brand = 'Brand#1'  AND p_size BETWEEN 1 AND 5
+                   AND l_quantity BETWEEN 1 AND 11)
+               OR (p_brand = 'Brand#13' AND p_size BETWEEN 1 AND 10
+                   AND l_quantity BETWEEN 10 AND 20)
+               OR (p_brand = 'Brand#20' AND p_size BETWEEN 1 AND 15
+                   AND l_quantity BETWEEN 20 AND 30)
         """,
         "json_props_stats": """
             SELECT event_type, count(*) AS n,

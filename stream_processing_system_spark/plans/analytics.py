@@ -350,6 +350,64 @@ def sessionize_events(spark: SparkSession, sf_dir: str, gap_minutes: int = 30) -
     )
 
 
+def promo_revenue_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14-style: promotional share of one month's revenue.
+    lineitem (one month, filter pushed to the scan) ⋈ part on
+    partkey; revenue sums follow the DECIMAL(18,4) money rule, the
+    final percentage is a double with det_round. part scales with SF
+    so its join strategy is AQE's call (broadcast while it fits)."""
+    li = load_table(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1996-09-01"))
+        & (F.col("l_shipdate") < F.lit("1996-10-01"))
+    )
+    part = load_table(spark, sf_dir, "part")
+    disc = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+        "decimal(18,4)"
+    )
+    promo = F.when(F.col("p_type").startswith("PROMO"), disc).otherwise(
+        F.lit(0).cast("decimal(18,4)")
+    )
+    joined = li.join(part, li.l_partkey == part.p_partkey)
+    return joined.agg(
+        F.sum(promo).cast("double").alias("promo_revenue"),
+        F.sum(disc).cast("double").alias("total_revenue"),
+        det_round(
+            F.lit(100.0) * F.sum(promo).cast("double") / F.sum(disc).cast("double")
+        ).alias("promo_ratio_pct"),
+    )
+
+
+def bracket_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19-style: revenue from an OR of three
+    (brand, size-range, quantity-range) brackets — the classic
+    multi-predicate join where the part filter (3 brands) prunes the
+    build side to a sliver before the join; the bracket predicate
+    rides the join so no lineitem row survives unmatched."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").where(
+        F.col("p_brand").isin("Brand#1", "Brand#13", "Brand#20")
+    )
+    q = F.col("l_quantity")
+    brackets = (
+        ((F.col("p_brand") == "Brand#1") & F.col("p_size").between(1, 5)
+         & q.between(1, 11))
+        | ((F.col("p_brand") == "Brand#13") & F.col("p_size").between(1, 10)
+           & q.between(10, 20))
+        | ((F.col("p_brand") == "Brand#20") & F.col("p_size").between(1, 15)
+           & q.between(20, 30))
+    )
+    disc = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+        "decimal(18,4)"
+    )
+    return (
+        li.join(part, (li.l_partkey == part.p_partkey) & brackets)
+        .agg(
+            F.sum(disc).cast("double").alias("revenue"),
+            F.count(F.lit(1)).alias("n_lineitems"),
+        )
+    )
+
+
 def events_per_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tumbling event-time window in batch (`F.window`): events and
     value sum per 1-hour bucket. The same expression works under

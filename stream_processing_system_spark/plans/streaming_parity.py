@@ -178,6 +178,37 @@ def stream_reddit_top_users_events(spark: SparkSession, sf_dir: str) -> DataFram
     )
 
 
+def stream_sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """sessionize_events as a streaming job: the 30-minute-gap
+    sessions come from `session_window()` + watermark
+    (jobs.stream_session_windows) instead of the batch lag+cumsum
+    pattern, drained with availableNow and rolled up to the same
+    (user_id, n_sessions, avg_events_per_session) shape — SAME oracle
+    as the batch query, so the two formulations' session semantics
+    are proven equivalent on static input. (Boundary note: an
+    exactly-30:00 silence closes a session_window but not the batch
+    lag>gap test; nanosecond event times make an exact tie
+    measure-zero, and the hash-match would catch one.)"""
+    from stream_processing_system_spark.functions.scalar import det_round
+
+    input_dir, ckpt, run = _scratch("ss")
+    events = load_table(spark, sf_dir, "events").select("ts", "user_id")
+    events.write.mode("overwrite").parquet(input_dir)
+    stream = spark.readStream.schema("ts timestamp, user_id long").parquet(input_dir)
+    per_session = jobs.stream_session_windows(
+        spark, stream, ckpt, gap="30 minutes", watermark="1 hour", name=f"ss_{run}"
+    )
+    _cleanup(input_dir)
+    return (
+        per_session.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_sessions"),
+            det_round(F.avg("n_events")).alias("avg_events_per_session"),
+        )
+        .orderBy("user_id")
+    )
+
+
 def stream_host_report_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """q3_host_report as a streaming job: events re-laid as a parquet
     drop directory, then the same grouped count + sorted collect_set
