@@ -51,6 +51,77 @@ def write_range_clustered(
     )
 
 
+def zorder_value(
+    cols: list[str],
+    mins: list[float],
+    maxs: list[float],
+    bits: int = 10,
+):
+    """Z-order (Morton) key as a pure built-in expression: each
+    column is bucketized to 2^bits uniform cells between its observed
+    min/max (constants, one cheap agg — swap in approx-quantile
+    boundaries for skewed data), then the cells' bits are interleaved.
+    Nearby (x, y, ...) tuples get nearby z-values, so range-clustering
+    on z gives MULTI-column file/row-group skipping where plain range
+    clustering only serves its leading column."""
+    import functools
+    import operator
+
+    from pyspark.sql import functions as F
+
+    ncols = len(cols)
+    terms = []
+    for k, c in enumerate(cols):
+        cell = (
+            F.width_bucket(
+                F.col(c).cast("double"),
+                F.lit(float(mins[k])),
+                F.lit(float(maxs[k])),
+                F.lit(2**bits),
+            )
+            - 1
+        ).cast("long")
+        cell = F.least(F.greatest(cell, F.lit(0)), F.lit(2**bits - 1))
+        for j in range(bits):
+            terms.append(
+                F.shiftleft(F.shiftright(cell, j).bitwiseAND(1), j * ncols + k)
+            )
+    return functools.reduce(operator.add, terms)
+
+
+def write_zorder_clustered(
+    df: DataFrame,
+    path: str,
+    cluster_cols: list[str],
+    num_files: int = 8,
+    bits: int = 10,
+    mode: str = "overwrite",
+) -> None:
+    """Write `df` as parquet clustered on the Z-order key of
+    `cluster_cols`: every output file covers a compact hyper-rectangle
+    neighborhood of the key space, so a box predicate over the
+    clustered columns skips most files via footer min/max stats —
+    the standard lakehouse multi-dimensional clustering (Delta/Iceberg
+    OPTIMIZE ZORDER), as one range-repartitioned write."""
+    from pyspark.sql import functions as F
+
+    stats = df.agg(
+        *[F.min(F.col(c).cast("double")).alias(f"lo_{i}") for i, c in enumerate(cluster_cols)],
+        *[F.max(F.col(c).cast("double")).alias(f"hi_{i}") for i, c in enumerate(cluster_cols)],
+    ).collect()[0]
+    mins = [stats[f"lo_{i}"] for i in range(len(cluster_cols))]
+    maxs = [stats[f"hi_{i}"] for i in range(len(cluster_cols))]
+    z = zorder_value(cluster_cols, mins, maxs, bits)
+    (
+        df.withColumn("_z", z)
+        .repartitionByRange(num_files, "_z")
+        .sortWithinPartitions("_z")
+        .drop("_z")
+        .write.mode(mode)
+        .parquet(path)
+    )
+
+
 def _local_input_bytes(df: DataFrame) -> int:
     """Total bytes of the df's parquet input files (local paths).
 

@@ -55,6 +55,18 @@ class VersionedStore:
         )
         return version
 
+    def put_idempotent(self, df: DataFrame, name: str, version: int) -> int:
+        """Write an EXPLICIT version with overwrite — the foreachBatch
+        adapter: keyed by streaming epoch_id, a replayed micro-batch
+        rewrites its own version instead of minting a duplicate, which
+        is what turns checkpoint-replay at-least-once into
+        exactly-once versions (see streaming/jobs.py
+        stream_wordcount_to_versioned_store)."""
+        df.write.mode("overwrite").parquet(
+            os.path.join(self._name_dir(name), f"v={version}")
+        )
+        return version
+
     def get(self, spark: SparkSession, name: str, version: int | None = None) -> DataFrame:
         """SDFS get (`daemon/daemon.go:341-393`): latest version by
         default, or an explicit one."""

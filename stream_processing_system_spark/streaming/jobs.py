@@ -184,6 +184,44 @@ def stream_wordcount_to_files(
     q.awaitTermination()
 
 
+def stream_wordcount_to_versioned_store(
+    spark: SparkSession,
+    input_dir: str,
+    checkpoint_dir: str,
+    store_root: str,
+    name: str = "wc_versions",
+    query_name: str = "wc_store_sink",
+) -> None:
+    """Q1 streaming into the K4 versioned store: each micro-batch's
+    converged counts become dataset version epoch_id+1 via
+    foreachBatch + `put_idempotent`. Checkpointed epoch ids make the
+    sink exactly-once across restarts — a replayed epoch REWRITES its
+    own version rather than appending a duplicate one, the
+    idempotent-overwrite pattern every production Spark sink uses
+    (strictly stronger than the reference's at-most-once
+    drop-and-restart, `Nimbus.go:280-297`)."""
+    from stream_processing_system_spark.sources.versioned_store import (
+        VersionedStore,
+    )
+
+    store = VersionedStore(store_root)
+    lines = read_text_lines(spark, input_dir, streaming=True)
+    counts = wordcount(lines)
+
+    def _sink(batch_df: DataFrame, epoch_id: int) -> None:
+        store.put_idempotent(batch_df, name, int(epoch_id) + 1)
+
+    q = (
+        counts.writeStream.outputMode("complete")
+        .foreachBatch(_sink)
+        .queryName(query_name)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
 # ---------------------------------------------------------------------------
 # Custom stateful operator surface (§2.11 stateful bolt contract →
 # applyInPandasWithState)

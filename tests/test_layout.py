@@ -34,6 +34,38 @@ def test_write_range_clustered_files_are_disjoint(spark, tmp_path):
     assert spark.read.parquet(out).count() == 10_000
 
 
+def test_write_zorder_clustered_prunes_boxes(spark, tmp_path):
+    """The property multi-dim skipping relies on: each file's
+    (x, y) bounding box is compact, so a box predicate intersects few
+    files. With x-only range clustering every file spans the full y
+    range — a y-selective box would touch ALL files; z-order must do
+    strictly better on the same query."""
+    df = spark.range(0, 40_000).select(
+        (F.pmod(F.xxhash64("id"), 1000)).alias("x"),
+        (F.pmod(F.xxhash64(F.col("id") + 1), 1000)).alias("y"),
+    )
+    out = str(tmp_path / "zorder")
+    layout.write_zorder_clustered(df, out, ["x", "y"], num_files=16)
+
+    files = sorted(glob.glob(out + "/part-*.parquet"))
+    assert len(files) == 16
+
+    def touches(f, x_lo, x_hi, y_lo, y_hi):
+        r = (
+            spark.read.parquet(f)
+            .agg(F.min("x"), F.max("x"), F.min("y"), F.max("y"))
+            .collect()[0]
+        )
+        return not (r[1] < x_lo or r[0] > x_hi or r[3] < y_lo or r[2] > y_hi)
+
+    # quarter-space box in BOTH dimensions
+    touched = sum(touches(f, 0, 249, 0, 249) for f in files)
+    assert touched <= 8, f"z-order box touched {touched}/16 files"
+
+    # round-trip: clustering must not lose or duplicate rows
+    assert spark.read.parquet(out).count() == 40_000
+
+
 def test_compact_parquet_reduces_file_count(spark, tmp_path):
     src = str(tmp_path / "small_files")
     spark.range(0, 5_000).repartition(40).write.parquet(src)
