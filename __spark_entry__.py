@@ -155,6 +155,36 @@ def _embedding_neardup_oracle_sql(threshold: float = 0.4) -> str:
     """
 
 
+def _rp_topk_oracle_sql(out_dim: int = 16, dim: int = 64, seed: int = 7, k: int = 10) -> str:
+    """Random-projection top-k with the SAME seeded JL matrix the
+    engine inlines (similarity.projection_matrix) and the det_round
+    coordinate quantization that makes projected vectors identical
+    across engines."""
+    import numpy as np
+
+    mat = np.random.RandomState(seed).standard_normal((out_dim, dim)) / np.sqrt(out_dim)
+    coords = []
+    for row in mat:
+        lit = "[" + ", ".join(repr(float(x)) for x in row) + "]"
+        coords.append(
+            f"floor(list_dot_product(embedding::DOUBLE[], {lit}::DOUBLE[])"
+            " * 1e6 + 0.5) / 1e6"
+        )
+    rp = "[" + ",\n                   ".join(coords) + "]"
+    return f"""
+        WITH p AS (
+            SELECT vec_id,
+                   {rp} AS rp
+            FROM embeddings
+        ), q AS (SELECT rp AS qrp FROM p WHERE vec_id = 0)
+        SELECT vec_id,
+               ROUND(list_cosine_similarity(p.rp, q.qrp), 6) AS sim
+        FROM p, q
+        ORDER BY sim DESC, vec_id ASC
+        LIMIT {k}
+    """
+
+
 def _ivf_trained_cte(n_centroids: int = 16, iters: int = 2, dim: int = 64) -> tuple[str, str]:
     """Unrolled Lloyd's k-means as DuckDB CTEs, mirroring
     `similarity.train_ivf_centroids` exactly: init = embeddings of
@@ -322,6 +352,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_sessionize_events": streaming_parity.stream_sessionize_events,
         "promo_revenue_ratio": analytics.promo_revenue_ratio,
         "bracket_revenue": analytics.bracket_revenue,
+        "rp_topk": pipeline.rp_topk_embeddings,
+        "doc_hash_embeddings": pipeline.doc_hash_embeddings,
         # --- reference parity (SURVEY.md §2.12) ---
         "q1_wordcount": reference.q1_wordcount,
         "q2_top_users": reference.q2_top_users,
@@ -925,6 +957,18 @@ def oracle_sql() -> dict[str, str]:
         "ivf_topk": _ivf_topk_oracle_sql(),
         "ivf_index_topk": _ivf_topk_oracle_sql(),
         "knn_join_lsh_split": _knn_join_lsh_oracle_sql(),
+        "rp_topk": _rp_topk_oracle_sql(),
+        "doc_hash_embeddings": """
+            WITH t AS (
+                SELECT doc_id,
+                       unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS token
+                FROM documents
+            )
+            SELECT doc_id,
+                   ('0x' || substr(md5(token), 1, 8))::BIGINT % 64 AS bucket,
+                   count(*) AS weight
+            FROM t GROUP BY doc_id, bucket
+        """,
         "cosine_topk": """
             WITH q AS (SELECT embedding FROM embeddings WHERE vec_id = 0)
             SELECT e.vec_id,

@@ -33,6 +33,7 @@ from stream_processing_system_spark.functions import (
     dot_product,
     vector_norm,
 )
+from stream_processing_system_spark.functions.scalar import det_round
 
 
 def attach_query_vector(
@@ -133,6 +134,69 @@ def lsh_topk(
     sim = F.round(cosine_similarity(F.col(vec_col), F.col("_qvec")), 6)
     return (
         joined.where(near_bucket)
+        .select(F.col(id_col), sim.alias("sim"))
+        .orderBy(F.col("sim").desc(), F.col(id_col).asc())
+        .limit(k)
+    )
+
+
+def projection_matrix(out_dim: int, dim: int, seed: int = 7) -> list[list[float]]:
+    """Seeded Johnson–Lindenstrauss projection rows, scaled by
+    1/sqrt(out_dim) (driver-side constants, inlined as literals —
+    same contract as `_hyperplanes`)."""
+    rng = np.random.RandomState(seed)
+    return (rng.standard_normal((out_dim, dim)) / np.sqrt(out_dim)).tolist()
+
+
+def project_expr(vec_col, mat: list[list[float]]):
+    """Random-projection expression: out_dim codegen'd dot products,
+    each coordinate det-rounded to 6dp so the projected vectors are
+    bit-identical across engines AND across partition orderings."""
+    coords = []
+    for row in mat:
+        lit = F.array(*[F.lit(float(x)) for x in row])
+        coords.append(det_round(dot_product(vec_col, lit)))
+    return F.array(*coords)
+
+
+def random_projection(
+    df: DataFrame,
+    out_dim: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    seed: int = 7,
+    out_col: str = "rp",
+) -> DataFrame:
+    """JL random projection dim→out_dim: the standard pre-ANN
+    shrink (store/scan 4× fewer floats; JL preserves pairwise
+    distances within ~1/sqrt(out_dim)). One codegen'd map stage, no
+    shuffle, no Python — at 100 TB this runs at scan speed."""
+    mat = projection_matrix(out_dim, dim, seed)
+    return df.select(F.col(id_col), project_expr(F.col(vec_col), mat).alias(out_col))
+
+
+def rp_topk(
+    df: DataFrame,
+    query_df: DataFrame,
+    k: int = 10,
+    out_dim: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    seed: int = 7,
+) -> DataFrame:
+    """Brute-force cosine top-k in the PROJECTED space: the
+    reduced-dimension variant of cosine_topk — 4× less arithmetic
+    and I/O per candidate at the cost of JL distortion (recall vs
+    full-dim measured in tests). Same single-map-pass +
+    TakeOrderedAndProject shape."""
+    mat = projection_matrix(out_dim, dim, seed)
+    tagged = df.select(F.col(id_col), project_expr(F.col(vec_col), mat).alias("_rp"))
+    q = query_df.select(project_expr(F.col(vec_col), mat).alias("_qrp"))
+    sim = F.round(cosine_similarity(F.col("_rp"), F.col("_qrp")), 6)
+    return (
+        tagged.crossJoin(F.broadcast(q))
         .select(F.col(id_col), sim.alias("sim"))
         .orderBy(F.col("sim").desc(), F.col(id_col).asc())
         .limit(k)

@@ -197,6 +197,28 @@ def top_terms_tfidf(
     )
 
 
+def hash_embeddings(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = 64,
+) -> DataFrame:
+    """Feature-hashing (hashing-trick) bag-of-words vectors in long
+    format: token → md5-derived bucket, weight = occurrence count.
+    The classic fixed-width featurizer for near-dup/classifier
+    pre-passes — no vocabulary pass, no driver state, one explode +
+    one hash aggregate at any corpus size. Long (doc_id, bucket,
+    weight) output keeps the contract hashable; pivot to a dense
+    array with collect_list when a model needs it."""
+    toks = _toks(F.col(text_col))
+    exploded = df.select(F.col(id_col), F.explode(toks).alias("token"))
+    bucket = F.pmod(md5_prefix_long(F.col("token")), F.lit(n_buckets))
+    return (
+        exploded.groupBy(id_col, bucket.alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("weight"))
+    )
+
+
 def token_frequencies(
     df: DataFrame, text_col: str = "text", min_count: int = 1
 ) -> DataFrame:

@@ -201,6 +201,16 @@ def doc_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text_analysis.top_terms_tfidf(_docs(spark, sf_dir), k=2)
 
 
+def rp_topk_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return similarity.rp_topk(
+        _embs(spark, sf_dir), _query_vec(spark, sf_dir), k=10
+    )
+
+
+def doc_hash_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text_analysis.hash_embeddings(_docs(spark, sf_dir))
+
+
 # --- quality filters / corpus hygiene ---
 
 def doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:

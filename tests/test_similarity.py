@@ -206,6 +206,21 @@ def test_ivf_recall_floor_random(spark, sf_dir):
     assert sum(recalls) / len(recalls) >= 0.7, recalls
 
 
+def test_rp_topk_preserves_cluster_structure(spark):
+    """JL distortion (~1/sqrt(out_dim) = 0.25 at 64→16) swamps the
+    ~1e-4 sim gaps BETWEEN same-cluster points, so exact top-10
+    membership among near-ties is not the contract — cluster
+    separation is: every projected top-10 neighbor must come from
+    the query's cluster (inter-cluster sims ~0 stay far below
+    intra-cluster ~1 after projection), with the query ranked
+    first."""
+    df = _clustered_df(spark)
+    q = df.where(F.col("vec_id") == 200).select("embedding")  # cluster 5
+    rp = [r["vec_id"] for r in similarity.rp_topk(df, q, k=10).collect()]
+    assert rp[0] == 200
+    assert all(200 <= v < 240 for v in rp), rp
+
+
 def test_knn_join_split_path_identical_to_unsplit(spark, sf_dir):
     embs = load_table(spark, sf_dir, "embeddings")
     whole = similarity.knn_join_lsh_gemm(embs, k=3).collect()
