@@ -354,6 +354,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bracket_revenue": analytics.bracket_revenue,
         "rp_topk": pipeline.rp_topk_embeddings,
         "doc_hash_embeddings": pipeline.doc_hash_embeddings,
+        "doc_decontaminate": pipeline.doc_decontaminate,
+        "doc_split_counts": pipeline.doc_split_counts,
+        "doc_stratified_sample": pipeline.doc_stratified_sample,
+        "corpus_mixture_weights": pipeline.corpus_mixture_weights,
+        "doc_bm25_search": pipeline.doc_bm25_search,
         # --- reference parity (SURVEY.md §2.12) ---
         "q1_wordcount": reference.q1_wordcount,
         "q2_top_users": reference.q2_top_users,
@@ -508,6 +513,101 @@ def oracle_sql() -> dict[str, str]:
         """,
         "sessionize_events": _SESSIONIZE_ORACLE_SQL,
         "stream_sessionize_events": _SESSIONIZE_ORACLE_SQL,
+        "doc_decontaminate": """
+            WITH toks AS (
+                SELECT doc_id,
+                       list_filter(string_split(text, ' '), t -> t <> '') AS ts
+                FROM documents
+            ), cg AS (
+                SELECT DISTINCT doc_id,
+                       md5(array_to_string(ts[i:i+7], ' ')) AS gh
+                FROM toks, UNNEST(range(1, len(ts) - 6)) AS u(i)
+                WHERE len(ts) >= 8 AND doc_id % 11 <> 0
+            ), eg AS (
+                SELECT DISTINCT md5(array_to_string(ts[i:i+7], ' ')) AS gh
+                FROM toks, UNNEST(range(1, len(ts) - 6)) AS u(i)
+                WHERE len(ts) >= 8 AND doc_id % 11 = 0
+            )
+            SELECT doc_id, count(*) AS n_hit_ngrams
+            FROM cg JOIN eg USING (gh)
+            GROUP BY doc_id
+            ORDER BY doc_id
+        """,
+        "doc_split_counts": """
+            WITH a AS (
+                SELECT lang, n_chars,
+                       CASE WHEN b < 80 THEN 'train'
+                            WHEN b < 90 THEN 'val'
+                            ELSE 'test' END AS split
+                FROM (SELECT *, ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT
+                                    % 100 AS b
+                      FROM documents)
+            )
+            SELECT split, lang, count(*) AS n_docs,
+                   sum(n_chars)::BIGINT AS sum_chars
+            FROM a GROUP BY split, lang ORDER BY split, lang
+        """,
+        "doc_stratified_sample": """
+            WITH s AS (
+                SELECT * FROM (
+                    SELECT *, ('0x' || substr(md5(doc_id::VARCHAR), 9, 8))::BIGINT
+                                  % 1000000 AS h
+                    FROM documents)
+                WHERE h < CASE WHEN lang = 'en' THEN 200000 ELSE 600000 END
+            )
+            SELECT lang, count(*) AS n_docs, sum(n_chars)::BIGINT AS sum_chars
+            FROM s GROUP BY lang ORDER BY lang
+        """,
+        "corpus_mixture_weights": """
+            WITH per AS (
+                SELECT lang, source, count(*) AS n_docs,
+                       sum(len(list_filter(string_split(text, ' '),
+                                           t -> t <> '')))::BIGINT AS n_tokens
+                FROM documents GROUP BY lang, source
+            ), tot AS (
+                SELECT sum(n_tokens)::DOUBLE AS all_tokens,
+                       count(DISTINCT lang) AS n_langs
+                FROM per
+            ), ls AS (
+                SELECT lang, sum(n_tokens)::DOUBLE AS lang_tokens
+                FROM per GROUP BY lang
+            )
+            SELECT per.lang, source, n_docs, n_tokens,
+                   floor((lang_tokens / all_tokens) * 1e6 + 0.5) / 1e6
+                       AS stratum_token_share,
+                   floor(((1.0 / n_langs) / (lang_tokens / all_tokens)) * 1e6 + 0.5)
+                       / 1e6 AS mixture_weight
+            FROM per JOIN ls ON per.lang = ls.lang CROSS JOIN tot
+            ORDER BY per.lang, source
+        """,
+        "doc_bm25_search": """
+            WITH base AS (
+                SELECT doc_id,
+                       len(list_filter(string_split(text, ' '), t -> t <> ''))
+                           AS dl,
+                       list_filter(string_split(text, ' '),
+                                   t -> t IN ('spark', 'hash', 'join')) AS hits
+                FROM documents
+            ), stats AS (
+                SELECT count(*) AS n, avg(dl::DOUBLE) AS avgdl FROM base
+            ), tf AS (
+                SELECT doc_id, dl, t, count(*) AS tf
+                FROM (SELECT doc_id, dl, unnest(hits) AS t FROM base)
+                GROUP BY doc_id, dl, t
+            ), dfreq AS (
+                SELECT t, count(DISTINCT doc_id) AS df FROM tf GROUP BY t
+            )
+            SELECT doc_id,
+                   sum(floor((ln(1 + (n - df + 0.5) / (df + 0.5))
+                              * (tf * (1.2 + 1))
+                              / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl)))
+                             * 1000000.0 + 0.5)::BIGINT)::DOUBLE / 1000000.0
+                       AS bm25
+            FROM tf JOIN dfreq USING (t) CROSS JOIN stats
+            GROUP BY doc_id
+            ORDER BY bm25 DESC, doc_id ASC
+            LIMIT 20
+        """,
         "promo_revenue_ratio": """
             WITH j AS (
                 SELECT CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4)) AS disc,

@@ -1,0 +1,227 @@
+"""Corpus-curation operators for training-data pipelines:
+benchmark decontamination (n-gram overlap against an eval set),
+deterministic train/val/test splitting, hash-threshold stratified
+sampling, data-mixture weight computation, and BM25 keyword search.
+Capability beyond the reference (whose surface ends at
+wordcount-class aggregation — SURVEY.md §2); these are the passes a
+100 TB pretraining corpus actually runs before and after dedup.
+
+Scale posture, per operator:
+- decontaminate: the eval set is always tiny relative to the corpus
+  (thousands of benchmark docs vs billions of corpus docs), so its
+  distinct n-gram set is BROADCAST and the corpus side never
+  shuffles raw text — one codegen'd map stage to md5 the grams, a
+  broadcast semi-ish join, and a single hash aggregate keyed by
+  doc_id.
+- split_assign / hash_sample: pure map-side — the split/keep
+  decision is a hash of the id, no shuffle, no global state, and
+  adding corpus shards never reassigns existing docs (the property
+  that makes the split reproducible across ingests).
+- mixture_weights: one hash aggregate over (stratum, source); the
+  per-group result is thousands of rows at any corpus size.
+- bm25_search: the query term list is a constant; tf is one
+  explode-filter + hash aggregate over matched tokens ONLY (the
+  filter is pushed inside the explode via array_intersect, so
+  non-matching tokens never leave the map stage); df/avgdl are
+  1-row frames joined by broadcast.
+
+All pure built-in expressions — zero Python UDFs anywhere.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from stream_processing_system_spark.functions.scalar import det_round
+
+
+def _toks(text_col):
+    return F.filter(F.split(text_col, " "), lambda t: t != "")
+
+
+def ngram_set(text_col, n: int):
+    """Distinct word n-grams of a text column as array<string>.
+    Empty array when the doc has fewer than n tokens (guards the
+    descending-sequence pitfall of sequence(1, size-n+1))."""
+    toks = _toks(text_col)
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+        lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+    )
+    return F.when(F.size(toks) >= n, F.array_distinct(grams)).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def decontaminate(
+    corpus: DataFrame,
+    eval_set: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 8,
+) -> DataFrame:
+    """Benchmark decontamination: flag corpus docs sharing any word
+    n-gram with the eval set (the standard contamination test used
+    before pretraining — an 8-gram hit means the benchmark text is
+    in the training data). Returns one row per contaminated doc:
+    (id, n_hit_ngrams = how many distinct eval n-grams it contains).
+
+    Grams travel as md5 digests, not text, so the broadcast and the
+    shuffle carry 32 hex chars per gram regardless of n.
+    """
+    eval_grams = (
+        eval_set.select(F.explode(ngram_set(F.col(text_col), n)).alias("_g"))
+        .select(F.md5("_g").alias("_gh"))
+        .distinct()
+    )
+    corpus_grams = corpus.select(
+        F.col(id_col), F.explode(ngram_set(F.col(text_col), n)).alias("_g")
+    ).select(id_col, F.md5("_g").alias("_gh"))
+    hits = corpus_grams.join(F.broadcast(eval_grams), "_gh")
+    return (
+        hits.groupBy(id_col)
+        .agg(F.count_distinct("_gh").alias("n_hit_ngrams"))
+        .orderBy(id_col)
+    )
+
+
+def split_assign(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    train_pct: int = 80,
+    val_pct: int = 10,
+) -> DataFrame:
+    """Deterministic train/val/test assignment: bucket =
+    md5(id) mod 100, mapped to 'train' (< train_pct), 'val'
+    (< train_pct+val_pct), else 'test'. Map-only; a doc's split
+    never changes when the corpus grows — the invariant that keeps
+    eval sets stable across ingests. Adds a `split` column."""
+    bucket = F.pmod(
+        F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 8), 16, 10).cast(
+            "long"
+        ),
+        F.lit(100),
+    )
+    return df.withColumn(
+        "split",
+        F.when(bucket < train_pct, F.lit("train"))
+        .when(bucket < train_pct + val_pct, F.lit("val"))
+        .otherwise(F.lit("test")),
+    )
+
+
+def hash_sample(
+    df: DataFrame,
+    fracs: dict[str, float],
+    stratum_col: str = "lang",
+    id_col: str = "doc_id",
+    default_frac: float = 0.0,
+) -> DataFrame:
+    """Stratified sampling by hash threshold: keep a row iff
+    md5(id) mod 1e6 < frac(stratum) * 1e6. Map-only (no window, no
+    per-stratum count pass), deterministic, and stable under corpus
+    growth — the scale-correct alternative to row_number-per-stratum
+    sampling, whose per-stratum windows melt down when one stratum
+    holds 90% of a 100 TB corpus. Achieved rates concentrate around
+    the requested fracs (binomial, not exact counts)."""
+    h = F.pmod(
+        F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 9, 8), 16, 10).cast(
+            "long"
+        ),
+        F.lit(1_000_000),
+    )
+    thresh = F.lit(int(default_frac * 1_000_000))
+    for stratum, frac in sorted(fracs.items()):
+        thresh = F.when(
+            F.col(stratum_col) == stratum, F.lit(int(frac * 1_000_000))
+        ).otherwise(thresh)
+    return df.where(h < thresh)
+
+
+def mixture_weights(
+    df: DataFrame,
+    stratum_col: str = "lang",
+    source_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Data-mixture computation: per (stratum, source), token counts
+    and the per-row sampling weight that rebalances the corpus to a
+    UNIFORM token budget across strata (the upsample/downsample
+    factor a mixture-aware loader applies). weight =
+    target_stratum_share / actual_stratum_share; rows in
+    over-represented strata get weight < 1."""
+    per_group = df.groupBy(stratum_col, source_col).agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.size(_toks(F.col(text_col)))).alias("n_tokens"),
+    )
+    w_all = Window.partitionBy()
+    w_stratum = Window.partitionBy(stratum_col)
+    stratum_share = F.sum("n_tokens").over(w_stratum) / F.sum("n_tokens").over(w_all)
+    n_strata = F.size(F.collect_set(stratum_col).over(w_all))
+    return per_group.select(
+        stratum_col,
+        source_col,
+        "n_docs",
+        "n_tokens",
+        det_round(stratum_share).alias("stratum_token_share"),
+        det_round((F.lit(1.0) / n_strata) / stratum_share).alias("mixture_weight"),
+    ).orderBy(stratum_col, source_col)
+
+
+def bm25_search(
+    df: DataFrame,
+    query_terms: list[str],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k1: float = 1.2,
+    b: float = 0.75,
+    limit: int = 20,
+) -> DataFrame:
+    """BM25 keyword search over the corpus for a constant term list:
+    the retrieval half of a dedup-then-search data pipeline, and the
+    textbook inverted-index scorer expressed as two hash aggregates.
+
+    score(d) = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1-b+b·dl/avgdl)),
+    idf(t) = ln(1 + (N-df+0.5)/(df+0.5)).
+
+    Shape: corpus stats (N, avgdl) and per-term df are tiny frames
+    joined by broadcast; only tokens ∈ query_terms survive the map
+    stage (the filter runs before explode), so the tf aggregate
+    shuffles O(matching tokens), not O(corpus tokens). Per-term
+    contributions are floored to integer MICRO-UNITS before the
+    per-doc sum, making the score independent of fp addition order —
+    both across Spark partitionings and vs the SQL oracle."""
+    terms = F.array(*[F.lit(t) for t in query_terms])
+    toks = _toks(F.col(text_col))
+    base = df.select(
+        F.col(id_col),
+        F.size(toks).alias("_dl"),
+        F.filter(toks, lambda t: F.array_contains(terms, t)).alias("_hits"),
+    )
+    stats = base.agg(
+        F.count("*").alias("_n"), F.avg("_dl").alias("_avgdl")
+    )
+    tf = (
+        base.select(id_col, "_dl", F.explode("_hits").alias("_t"))
+        .groupBy(id_col, "_dl", "_t")
+        .agg(F.count("*").alias("_tf"))
+    )
+    dfreq = tf.groupBy("_t").agg(F.count_distinct(id_col).alias("_df"))
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("_n") - F.col("_df") + 0.5) / (F.col("_df") + 0.5)
+    )
+    contrib = idf * (
+        F.col("_tf")
+        * (k1 + 1)
+        / (F.col("_tf") + k1 * (1 - b + b * F.col("_dl") / F.col("_avgdl")))
+    )
+    contrib_u = F.floor(contrib * 1_000_000.0 + 0.5).cast("long")
+    scored = (
+        tf.join(F.broadcast(dfreq), "_t")
+        .crossJoin(F.broadcast(stats))
+        .groupBy(id_col)
+        .agg((F.sum(contrib_u) / 1_000_000.0).alias("bm25"))
+    )
+    return scored.orderBy(F.col("bm25").desc(), F.col(id_col).asc()).limit(limit)

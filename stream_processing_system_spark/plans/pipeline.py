@@ -8,6 +8,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from stream_processing_system_spark.operators import (
+    curation,
     dedup,
     multimodal,
     quality_filters,
@@ -242,6 +243,53 @@ def doc_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     chunk) is what the oracle hash-checks."""
     return quality_filters.pack_sequences(
         _docs(spark, sf_dir), budget_tokens=1024, chunk_size=200
+    )
+
+
+# --- corpus curation (decontamination / splits / mixtures / search) ---
+
+def doc_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: docs with doc_id % 11 == 0 stand in
+    for the eval set; everything else is the training corpus. An
+    8-gram hit is the standard contamination criterion."""
+    docs = _docs(spark, sf_dir)
+    eval_set = docs.where(F.col("doc_id") % 11 == 0)
+    corpus = docs.where(F.col("doc_id") % 11 != 0)
+    return curation.decontaminate(corpus, eval_set, "doc_id", "text", n=8)
+
+
+def doc_split_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test split, summarized per (split,
+    lang): doc and char counts prove the md5-bucket assignment
+    end-to-end without shipping every row through the compare."""
+    assigned = curation.split_assign(_docs(spark, sf_dir))
+    return (
+        assigned.groupBy("split", "lang")
+        .agg(F.count("*").alias("n_docs"), F.sum("n_chars").alias("sum_chars"))
+        .orderBy("split", "lang")
+    )
+
+
+def doc_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-threshold stratified sample — downsample dominant 'en'
+    to 20%, keep 60% of the rest — summarized per lang."""
+    sampled = curation.hash_sample(
+        _docs(spark, sf_dir), fracs={"en": 0.2}, default_frac=0.6
+    )
+    return (
+        sampled.groupBy("lang")
+        .agg(F.count("*").alias("n_docs"), F.sum("n_chars").alias("sum_chars"))
+        .orderBy("lang")
+    )
+
+
+def corpus_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return curation.mixture_weights(_docs(spark, sf_dir))
+
+
+def doc_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return curation.bm25_search(
+        _docs(spark, sf_dir), query_terms=["spark", "hash", "join"], limit=20
     )
 
 

@@ -1,0 +1,104 @@
+"""Semantic tests for corpus-curation operators (planted fixtures —
+the sf* contract queries cover cross-engine value parity)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from stream_processing_system_spark.operators import curation
+
+
+def test_decontaminate_flags_planted_overlap(spark):
+    # doc 1 contains the eval doc's exact 8-gram; doc 2 shares only
+    # 7 consecutive tokens; doc 3 is unrelated.
+    eight = "one two three four five six seven eight"
+    corpus = spark.createDataFrame(
+        [
+            (1, f"prefix {eight} suffix"),
+            (2, "one two three four five six seven DIFFERENT"),
+            (3, "totally unrelated text with many other words here"),
+        ],
+        ["doc_id", "text"],
+    )
+    eval_set = spark.createDataFrame([(100, eight)], ["doc_id", "text"])
+    rows = curation.decontaminate(corpus, eval_set, n=8).collect()
+    assert [(r["doc_id"], r["n_hit_ngrams"]) for r in rows] == [(1, 1)]
+
+
+def test_decontaminate_counts_distinct_hits(spark):
+    eval_set = spark.createDataFrame(
+        [(100, "a b c d e f g h i")], ["doc_id", "text"]  # two 8-grams
+    )
+    corpus = spark.createDataFrame(
+        [(1, "a b c d e f g h i j")], ["doc_id", "text"]  # contains both
+    )
+    rows = curation.decontaminate(corpus, eval_set, n=8).collect()
+    assert rows[0]["n_hit_ngrams"] == 2
+
+
+def test_split_assign_stable_under_corpus_growth(spark):
+    small = spark.range(0, 500).withColumnRenamed("id", "doc_id")
+    big = spark.range(0, 5000).withColumnRenamed("id", "doc_id")
+    a = {r["doc_id"]: r["split"] for r in curation.split_assign(small, "doc_id").collect()}
+    b = {r["doc_id"]: r["split"] for r in curation.split_assign(big, "doc_id").collect()}
+    assert all(b[k] == v for k, v in a.items())  # growth never reassigns
+    # all three splits materialize, roughly 80/10/10
+    from collections import Counter
+
+    c = Counter(b.values())
+    assert c["train"] > c["val"] > 0 and c["test"] > 0
+    assert 0.7 < c["train"] / 5000 < 0.9
+
+
+def test_hash_sample_is_subset_and_stratified(spark):
+    df = spark.range(0, 4000).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") % 2 == 0, "en").otherwise("de").alias("lang"),
+    )
+    kept = curation.hash_sample(df, fracs={"en": 0.1}, default_frac=0.8)
+    rates = {
+        r["lang"]: r["n"]
+        for r in kept.groupBy("lang").agg(F.count("*").alias("n")).collect()
+    }
+    assert 0.05 < rates["en"] / 2000 < 0.16
+    assert 0.7 < rates["de"] / 2000 < 0.9
+    # determinism: same call → same rows
+    ids1 = sorted(r["doc_id"] for r in kept.collect())
+    ids2 = sorted(r["doc_id"] for r in kept.collect())
+    assert ids1 == ids2
+
+
+def test_mixture_weights_rebalance_to_uniform(spark):
+    # en has 3× the tokens of de → weight(en) < 1 < weight(de),
+    # and weight * share == 1/n_strata exactly (up to rounding).
+    df = spark.createDataFrame(
+        [
+            (1, "en", "s0", "w w w w w w"),
+            (2, "en", "s0", "w w w w w w"),
+            (3, "de", "s0", "w w w w"),
+        ],
+        ["doc_id", "lang", "source", "text"],
+    )
+    rows = {r["lang"]: r for r in curation.mixture_weights(df).collect()}
+    assert rows["en"]["n_tokens"] == 12 and rows["de"]["n_tokens"] == 4
+    assert abs(rows["en"]["stratum_token_share"] - 0.75) < 1e-6
+    assert abs(rows["en"]["mixture_weight"] - (0.5 / 0.75)) < 1e-6
+    assert abs(rows["de"]["mixture_weight"] - (0.5 / 0.25)) < 1e-6
+
+
+def test_bm25_ranks_full_match_above_partial(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "spark hash join spark hash join"),  # all terms, twice
+            (2, "spark filler filler filler filler filler"),  # one term
+            (3, "no relevant terms at all here whatsoever"),
+            (4, "spark hash join"),  # all terms, shorter doc
+        ],
+        ["doc_id", "text"],
+    )
+    rows = curation.bm25_search(df, ["spark", "hash", "join"], limit=10).collect()
+    ids = [r["doc_id"] for r in rows]
+    assert 3 not in ids  # no matching term → no score
+    assert ids.index(1) < ids.index(2)  # full match beats single term
+    scores = {r["doc_id"]: r["bm25"] for r in rows}
+    assert scores[4] > scores[2]  # 3 rare terms beat 1 common term
