@@ -352,6 +352,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_sessionize_events": streaming_parity.stream_sessionize_events,
         "promo_revenue_ratio": analytics.promo_revenue_ratio,
         "bracket_revenue": analytics.bracket_revenue,
+        "volume_shipping": analytics.volume_shipping,
+        "market_share": analytics.market_share,
+        "customer_order_distribution": analytics.customer_order_distribution,
+        "top_supplier": analytics.top_supplier,
+        "large_volume_customers": analytics.large_volume_customers,
+        "late_supplier_orders": analytics.late_supplier_orders,
         "rp_topk": pipeline.rp_topk_embeddings,
         "doc_hash_embeddings": pipeline.doc_hash_embeddings,
         "doc_decontaminate": pipeline.doc_decontaminate,
@@ -606,6 +612,111 @@ def oracle_sql() -> dict[str, str]:
             FROM tf JOIN dfreq USING (t) CROSS JOIN stats
             GROUP BY doc_id
             ORDER BY bm25 DESC, doc_id ASC
+            LIMIT 20
+        """,
+        "volume_shipping": """
+            SELECT supp_nation, cust_nation, l_year,
+                   SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4)))::DOUBLE
+                       AS revenue
+            FROM (
+                SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+                       year(l_shipdate)::BIGINT AS l_year,
+                       l_extendedprice, l_discount
+                FROM supplier, lineitem, orders, customer, nation n1, nation n2
+                WHERE s_suppkey = l_suppkey AND o_orderkey = l_orderkey
+                  AND c_custkey = o_custkey
+                  AND s_nationkey = n1.n_nationkey AND c_nationkey = n2.n_nationkey
+                  AND ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+                       OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+                  AND l_shipdate >= TIMESTAMP '1996-01-01'
+                  AND l_shipdate <= TIMESTAMP '1997-12-31'
+            )
+            GROUP BY supp_nation, cust_nation, l_year
+            ORDER BY supp_nation, cust_nation, l_year
+        """,
+        "market_share": """
+            WITH j AS (
+                SELECT year(o_orderdate)::BIGINT AS o_year,
+                       CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4)) AS volume,
+                       n2.n_name AS supp_nation
+                FROM lineitem
+                JOIN part ON l_partkey = p_partkey AND p_type = 'ECONOMY'
+                JOIN orders ON l_orderkey = o_orderkey
+                JOIN customer ON o_custkey = c_custkey
+                JOIN nation n1 ON c_nationkey = n1.n_nationkey
+                JOIN region ON n1.n_regionkey = r_regionkey AND r_name = 'EUROPE'
+                JOIN supplier ON l_suppkey = s_suppkey
+                JOIN nation n2 ON s_nationkey = n2.n_nationkey
+                WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+                  AND o_orderdate <= TIMESTAMP '1997-12-31'
+            )
+            SELECT o_year,
+                   floor((SUM(CASE WHEN supp_nation = 'NATION_3' THEN volume
+                                   ELSE CAST(0 AS DECIMAL(18,4)) END)::DOUBLE
+                          / SUM(volume)::DOUBLE) * 1000000.0 + 0.5) / 1000000.0
+                       AS mkt_share
+            FROM j GROUP BY o_year ORDER BY o_year
+        """,
+        "customer_order_distribution": """
+            SELECT c_count, count(*) AS custdist FROM (
+                SELECT c_custkey, count(o_orderkey) AS c_count
+                FROM customer LEFT JOIN orders
+                  ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+                GROUP BY c_custkey
+            )
+            GROUP BY c_count
+            ORDER BY custdist DESC, c_count DESC
+        """,
+        "top_supplier": """
+            WITH rev AS (
+                SELECT l_suppkey,
+                       SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4)))::DOUBLE
+                           AS total_rev
+                FROM lineitem
+                WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+                  AND l_shipdate < TIMESTAMP '1996-04-01'
+                GROUP BY l_suppkey
+            )
+            SELECT s_suppkey, s_name, total_rev
+            FROM supplier JOIN rev ON s_suppkey = l_suppkey
+            WHERE total_rev = (SELECT max(total_rev) FROM rev)
+            ORDER BY s_suppkey
+        """,
+        "large_volume_customers": """
+            WITH big AS (
+                SELECT l_orderkey,
+                       SUM(CAST(l_quantity AS DECIMAL(18,2)))::DOUBLE AS total_qty
+                FROM lineitem GROUP BY l_orderkey
+                HAVING total_qty > 250
+            )
+            SELECT c_name, c_custkey, o_orderkey,
+                   CAST(CAST(o_orderdate AS DATE) AS VARCHAR) AS o_orderdate,
+                   o_totalprice, total_qty
+            FROM big
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            ORDER BY o_totalprice DESC, o_orderkey ASC
+            LIMIT 100
+        """,
+        "late_supplier_orders": """
+            WITH lines AS (
+                SELECT l_orderkey, l_suppkey,
+                       (l_shipdate > o_orderdate + INTERVAL 90 DAY) AS late
+                FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+                WHERE o_orderstatus = 'F'
+            ), l1 AS (
+                SELECT l_orderkey, l_suppkey FROM lines WHERE late
+            )
+            SELECT s_name, count(*) AS numwait
+            FROM l1 JOIN supplier ON l1.l_suppkey = s_suppkey
+            WHERE EXISTS (SELECT 1 FROM lines o
+                          WHERE o.l_orderkey = l1.l_orderkey
+                            AND o.l_suppkey <> l1.l_suppkey)
+              AND NOT EXISTS (SELECT 1 FROM lines o
+                              WHERE o.l_orderkey = l1.l_orderkey
+                                AND o.l_suppkey <> l1.l_suppkey AND o.late)
+            GROUP BY s_name
+            ORDER BY numwait DESC, s_name ASC
             LIMIT 20
         """,
         "promo_revenue_ratio": """

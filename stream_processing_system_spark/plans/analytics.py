@@ -638,3 +638,224 @@ def json_props_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+def volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7-style: shipped revenue between two nations by supplier
+    nation, customer nation, and ship year.
+
+    The two nation dims are fixed-size (25 rows) → hard broadcast on
+    both sides of the fact chain; the nation-pair predicate is applied
+    right after the broadcasts so the orders ⋈ lineitem shuffle only
+    carries the ~2/25² of rows that survive. Year extraction is a
+    codegen'd expression, never a UDF.
+    """
+    li = load_table(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1996-01-01"))
+        & (F.col("l_shipdate") <= F.lit("1997-12-31"))
+    )
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    supplier = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    n1 = F.broadcast(nation.select(F.col("n_nationkey").alias("s_nk"),
+                                   F.col("n_name").alias("supp_nation")))
+    n2 = F.broadcast(nation.select(F.col("n_nationkey").alias("c_nk"),
+                                   F.col("n_name").alias("cust_nation")))
+    pair = (
+        (F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2")
+    ) | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
+    volume = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(F.broadcast(supplier), li.l_suppkey == supplier.s_suppkey)
+        .join(n1, F.col("s_nationkey") == F.col("s_nk"))
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(customer, orders.o_custkey == customer.c_custkey)
+        .join(n2, F.col("c_nationkey") == F.col("c_nk"))
+        .where(pair)
+        .withColumn("l_year", F.year("l_shipdate").cast("long"))
+        .groupBy("supp_nation", "cust_nation", "l_year")
+        .agg(_dec_sum(volume, "revenue", scale=4))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+def market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8-style: NATION_3's share of ECONOMY-part revenue sold
+    into EUROPE, by order year.
+
+    Share = conditional sum / total sum in ONE aggregation pass (no
+    second scan, no self-join): both numerator and denominator are
+    decimal sums so the ratio is order-independent, then det_round
+    makes the division cross-engine stable.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01"))
+        & (F.col("o_orderdate") <= F.lit("1997-12-31"))
+    )
+    customer = load_table(spark, sf_dir, "customer")
+    supplier = load_table(spark, sf_dir, "supplier")
+    part = load_table(spark, sf_dir, "part").where(F.col("p_type") == "ECONOMY")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region").where(F.col("r_name") == "EUROPE")
+
+    cust_nations = F.broadcast(
+        nation.join(region, nation.n_regionkey == region.r_regionkey).select(
+            F.col("n_nationkey").alias("c_nk")
+        )
+    )
+    supp_nation = F.broadcast(
+        nation.select(F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation"))
+    )
+    volume = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+        "decimal(18,4)"
+    )
+    target = F.when(F.col("supp_nation") == "NATION_3", volume).otherwise(
+        F.lit(0).cast("decimal(18,4)")
+    )
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(customer, orders.o_custkey == customer.c_custkey)
+        .join(cust_nations, F.col("c_nationkey") == F.col("c_nk"))
+        .join(F.broadcast(supplier), li.l_suppkey == supplier.s_suppkey)
+        .join(supp_nation, F.col("s_nationkey") == F.col("s_nk"))
+        .withColumn("o_year", F.year("o_orderdate").cast("long"))
+        .groupBy("o_year")
+        .agg(
+            F.sum(target).alias("_num"),
+            F.sum(volume).alias("_den"),
+        )
+        .select(
+            "o_year",
+            det_round(F.col("_num").cast("double") / F.col("_den").cast("double")).alias(
+                "mkt_share"
+            ),
+        )
+        .orderBy("o_year")
+    )
+
+
+def customer_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13-style: how many customers placed exactly N qualifying
+    orders (non-urgent), INCLUDING the zero-order customers.
+
+    Left outer join with the filter on the RIGHT side (orders), then
+    count(o_orderkey) so unmatched customers count 0 — the classic
+    histogram-of-activity shape. Two shuffles total: the outer join
+    and the tiny histogram aggregation.
+    """
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").where(
+        F.col("o_orderpriority") != "1-URGENT"
+    )
+    per_cust = (
+        customer.join(orders, customer.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+        .orderBy(F.col("custdist").desc(), F.col("c_count").desc())
+    )
+
+
+def top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15-style: the supplier(s) with maximum revenue over one
+    quarter. The scalar max is computed with a window over the tiny
+    per-supplier aggregate (100–1M rows at any SF) — no second scan of
+    lineitem, no driver round-trip."""
+    li = load_table(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1996-01-01"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01"))
+    )
+    supplier = load_table(spark, sf_dir, "supplier")
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    per_supp = li.groupBy("l_suppkey").agg(_dec_sum(revenue, "total_rev", scale=4))
+    w = Window.partitionBy()
+    best = per_supp.withColumn("_max", F.max("total_rev").over(w)).where(
+        F.col("total_rev") == F.col("_max")
+    )
+    return (
+        best.join(F.broadcast(supplier), best.l_suppkey == supplier.s_suppkey)
+        .select("s_suppkey", "s_name", "total_rev")
+        .orderBy("s_suppkey")
+    )
+
+
+def large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18-style: orders whose total quantity exceeds 250, with
+    their customer. The HAVING subquery is the same aggregate reused
+    (self-semi-join eliminated): aggregate once, filter, then join the
+    two dims back. orders ⋈ agg is keyed on l_orderkey — co-partitioned
+    with the aggregation output, so AQE plans it without a second
+    shuffle of the big side."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(_dec_sum(F.col("l_quantity"), "total_qty"))
+        .where(F.col("total_qty") > 250)
+    )
+    return (
+        big.join(orders, big.l_orderkey == orders.o_orderkey)
+        .join(customer, orders.o_custkey == customer.c_custkey)
+        .select(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            F.col("o_orderdate").cast("date").cast("string").alias("o_orderdate"),
+            "o_totalprice",
+            "total_qty",
+        )
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+        .limit(100)
+    )
+
+
+def late_supplier_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21-style: suppliers who were the ONLY late shipper on a
+    finished multi-supplier order ("late" = shipped >90 days after the
+    order date; the snapshot has no commit/receipt dates —
+    FIXTURES.md documents the substitution).
+
+    EXISTS → left-semi join, NOT EXISTS → left-anti join, both on
+    l_orderkey with a non-equi supplier clause — Spark executes them
+    as shuffled semi/anti hash joins, no row explosion, no distinct.
+    """
+    orders = load_table(spark, sf_dir, "orders").where(F.col("o_orderstatus") == "F")
+    li = load_table(spark, sf_dir, "lineitem")
+    supplier = load_table(spark, sf_dir, "supplier")
+    lines = li.join(orders, li.l_orderkey == orders.o_orderkey).select(
+        "l_orderkey",
+        "l_suppkey",
+        (F.col("l_shipdate") > F.date_add(F.col("o_orderdate"), 90)).alias("late"),
+    )
+    l1 = lines.where(F.col("late")).select("l_orderkey", "l_suppkey")
+    other = lines.select(
+        F.col("l_orderkey").alias("o_ok"), F.col("l_suppkey").alias("o_sk"), "late"
+    )
+    sole_late = (
+        l1.join(
+            other,
+            (F.col("l_orderkey") == F.col("o_ok"))
+            & (F.col("l_suppkey") != F.col("o_sk")),
+            "left_semi",
+        )
+        .join(
+            other.where(F.col("late")),
+            (F.col("l_orderkey") == F.col("o_ok"))
+            & (F.col("l_suppkey") != F.col("o_sk")),
+            "left_anti",
+        )
+    )
+    return (
+        sole_late.join(F.broadcast(supplier), sole_late.l_suppkey == supplier.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.col("numwait").desc(), F.col("s_name").asc())
+        .limit(20)
+    )
