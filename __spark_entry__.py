@@ -265,6 +265,87 @@ def _ivf_topk_oracle_sql(n_centroids: int = 16, n_probe: int = 4, k: int = 10) -
     """
 
 
+def _pq_topk_oracle_sql(
+    n_sub: int = 8,
+    n_codes: int = 16,
+    dim: int = 64,
+    k: int = 10,
+    rerank: int = 100,
+) -> str:
+    """Product quantization in SQL: per-subspace Lloyd's (1 round,
+    det_round-quantized means — identical codebooks to
+    `similarity.train_pq_codebooks`), argmin-L2 encoding (squared
+    distance via the same per-index fold as the engine), ADC scoring
+    on the 1e-6 integer grid so the sum is order-independent, then
+    exact-dot re-ranking of the top-`rerank` shortlist."""
+    width = dim // n_sub
+    ctes, encs, qts = [], [], []
+    for s in range(n_sub):
+        lo, hi = s * width + 1, (s + 1) * width
+        d2 = (
+            "list_sum(list_transform(range(1, {w}), i -> "
+            "(v.svec[i] - c.cvec[i]) * (v.svec[i] - c.cvec[i])))"
+        ).format(w=width + 1)
+        ctes.append(f"""b{s}0 AS (
+            SELECT row_number() OVER (ORDER BY vec_id ASC) - 1 AS cid,
+                   embedding[{lo}:{hi}]::DOUBLE[] AS cvec
+            FROM (SELECT vec_id, embedding FROM embeddings
+                  ORDER BY vec_id ASC LIMIT {n_codes})
+        ), sv{s} AS (
+            SELECT vec_id, embedding[{lo}:{hi}]::DOUBLE[] AS svec FROM embeddings
+        ), a{s} AS (
+            SELECT vec_id, svec, cid FROM (
+                SELECT v.vec_id, v.svec, c.cid,
+                       row_number() OVER (PARTITION BY v.vec_id
+                           ORDER BY {d2} ASC, c.cid ASC) AS rn
+                FROM sv{s} v CROSS JOIN b{s}0 c
+            ) WHERE rn = 1
+        ), m{s} AS (
+            SELECT cid, i, floor(avg(svec[i]) * 1e6 + 0.5) / 1e6 AS mv
+            FROM a{s}, UNNEST(range(1, {width + 1})) AS u(i)
+            GROUP BY cid, i
+        ), l{s} AS (
+            SELECT cid, list(mv ORDER BY i) AS cvec FROM m{s} GROUP BY cid
+        ), b{s}1 AS (
+            SELECT p.cid, COALESCE(l.cvec, p.cvec) AS cvec
+            FROM b{s}0 p LEFT JOIN l{s} l ON p.cid = l.cid
+        ), enc{s} AS (
+            SELECT vec_id, cid AS c{s} FROM (
+                SELECT v.vec_id, c.cid,
+                       row_number() OVER (PARTITION BY v.vec_id
+                           ORDER BY {d2} ASC, c.cid ASC) AS rn
+                FROM sv{s} v CROSS JOIN b{s}1 c
+            ) WHERE rn = 1
+        ), qt{s} AS (
+            SELECT c.cid AS c{s},
+                   floor(list_dot_product(
+                       (SELECT embedding[{lo}:{hi}]::DOUBLE[]
+                        FROM embeddings WHERE vec_id = 0), c.cvec)
+                       * 1e6 + 0.5)::BIGINT AS contrib{s}
+            FROM b{s}1 c
+        )""")
+        encs.append(f"enc{s}")
+        qts.append(f"JOIN qt{s} USING (c{s})")
+    enc_join = encs[0] + "".join(f" JOIN {e} USING (vec_id)" for e in encs[1:])
+    score = " + ".join(f"contrib{s}" for s in range(n_sub))
+    return f"""
+        WITH {','.join(ctes)},
+        adc AS (
+            SELECT vec_id, (({score})::DOUBLE / 1000000.0) AS score
+            FROM {enc_join} {' '.join(qts)}
+            ORDER BY score DESC, vec_id ASC
+            LIMIT {rerank}
+        )
+        SELECT e.vec_id,
+               floor(list_dot_product(e.embedding::DOUBLE[],
+                   (SELECT embedding::DOUBLE[] FROM embeddings WHERE vec_id = 0))
+                   * 1e6 + 0.5) / 1e6 AS score
+        FROM embeddings e JOIN adc USING (vec_id)
+        ORDER BY score DESC, e.vec_id ASC
+        LIMIT {k}
+    """
+
+
 def _pii_scrub_oracle_sql() -> str:
     """Built from the SAME pattern list the engine uses
     (quality_filters.PII_PATTERNS — Java-regex/RE2 shared syntax), so
@@ -359,6 +440,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "large_volume_customers": analytics.large_volume_customers,
         "late_supplier_orders": analytics.late_supplier_orders,
         "rp_topk": pipeline.rp_topk_embeddings,
+        "pq_topk": pipeline.pq_topk_embeddings,
         "doc_hash_embeddings": pipeline.doc_hash_embeddings,
         "doc_decontaminate": pipeline.doc_decontaminate,
         "doc_split_counts": pipeline.doc_split_counts,
@@ -1169,6 +1251,7 @@ def oracle_sql() -> dict[str, str]:
         "ivf_index_topk": _ivf_topk_oracle_sql(),
         "knn_join_lsh_split": _knn_join_lsh_oracle_sql(),
         "rp_topk": _rp_topk_oracle_sql(),
+        "pq_topk": _pq_topk_oracle_sql(),
         "doc_hash_embeddings": """
             WITH t AS (
                 SELECT doc_id,

@@ -691,3 +691,234 @@ def embedding_neardup_pairs(
         )
         .where(F.col("sim") >= threshold)
     )
+
+
+def _l2_sq(a, b):
+    """Squared L2 distance between two array<double> columns, as a
+    sequential left-fold (same summation order as DuckDB's
+    list_distance, so cross-engine argmin agrees)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def train_pq_codebooks(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_sub: int = 4,
+    n_codes: int = 8,
+    iters: int = 1,
+    dim: int = 64,
+    sample_mod: int = 1,
+) -> list[list[list[float]]]:
+    """Deterministic product-quantization codebooks: the vector is cut
+    into `n_sub` contiguous subspaces; each gets its own `n_codes`-entry
+    codebook trained with Lloyd's over squared-L2 (classic PQ,
+    Jégou et al. 2011).
+
+    Same cross-engine reproducibility contract as
+    `train_ivf_centroids`: init = the subvectors of the `n_codes`
+    smallest ids, assignment = argmin L2 with ties to the lower code,
+    means quantized to the 1e-6 grid (det_round formula) each round —
+    so the DuckDB oracle re-derives the IDENTICAL codebooks from
+    unrolled SQL CTEs and the PQ query stays value-hash checkable.
+
+    Scale shape: all subspaces train in ONE distributed pass per
+    round — a single broadcast join against the (n_sub·n_codes)-row
+    codebook frame, one (id,sub) argmin aggregate, one per-dimension
+    mean. Driver traffic is n_sub·n_codes·(dim/n_sub) rounded floats
+    per round — constants, not data. At 100 TB, train on a
+    deterministic id-mod sample (`sample_mod`) exactly like IVF.
+    """
+    import math
+
+    spark = df.sparkSession
+    train = df.where(F.col(id_col) % sample_mod == 0) if sample_mod > 1 else df
+    width = dim // n_sub
+    seed_rows = (
+        train.orderBy(F.col(id_col).asc())
+        .limit(n_codes)
+        .select(vec_col)
+        .collect()
+    )
+    books = [
+        [[float(x) for x in r[0][s * width : (s + 1) * width]] for r in seed_rows]
+        for s in range(n_sub)
+    ]
+    for _ in range(iters):
+        book_df = spark.createDataFrame(
+            [
+                (s, c, books[s][c])
+                for s in range(n_sub)
+                for c in range(n_codes)
+            ],
+            "sub int, cid int, cvec array<double>",
+        )
+        subs = train.select(
+            F.col(id_col),
+            F.posexplode(
+                F.array(
+                    *[
+                        F.slice(F.col(vec_col), s * width + 1, width).cast(
+                            "array<double>"
+                        )
+                        for s in range(n_sub)
+                    ]
+                )
+            ).alias("sub", "svec"),
+        )
+        assigned = (
+            subs.join(F.broadcast(book_df), "sub")
+            .select(
+                id_col,
+                "sub",
+                "svec",
+                "cid",
+                _l2_sq(F.col("svec"), F.col("cvec")).alias("_d"),
+            )
+            .groupBy(id_col, "sub")
+            .agg(
+                F.first("svec").alias("svec"),
+                F.min_by("cid", F.struct("_d", "cid")).alias("_c"),
+            )
+        )
+        means = (
+            assigned.select("sub", "_c", F.posexplode("svec").alias("pos", "v"))
+            .groupBy("sub", "_c", "pos")
+            .agg(F.avg("v").alias("mv"))
+            .collect()
+        )
+        got: dict[tuple[int, int], dict[int, float]] = {}
+        for r in means:
+            got.setdefault((r["sub"], r["_c"]), {})[r["pos"]] = (
+                math.floor(r["mv"] * 1e6 + 0.5) / 1e6
+            )
+        books = [
+            [
+                [got[(s, c)][p] for p in range(width)]
+                if (s, c) in got
+                else books[s][c]
+                for c in range(n_codes)
+            ]
+            for s in range(n_sub)
+        ]
+    return books
+
+
+def pq_topk(
+    df: DataFrame,
+    query_df: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_sub: int = 4,
+    n_codes: int = 8,
+    iters: int = 1,
+    dim: int = 64,
+    sample_mod: int = 1,
+    rerank: int = 0,
+) -> DataFrame:
+    """PQ approximate top-k by inner product with asymmetric distance
+    computation (ADC): encode every corpus vector as `n_sub` small
+    codes (argmin-L2 per subspace), precompute the query's dot product
+    against every codebook entry, and score a vector as the SUM of the
+    `n_sub` table lookups — the corpus vectors themselves are never
+    touched at query time.
+
+    Memory story at 100 TB: a 64-dim float vector is 256 bytes; its PQ
+    code is `n_sub` bytes (32× smaller at the defaults) — the entire
+    encoded corpus fits where 3% of the raw vectors would, and the
+    scan is a broadcast-join + integer adds inside codegen.
+
+    Determinism: each lookup-table entry is quantized to the 1e-6 grid
+    AS AN INTEGER (floor(dot·1e6+0.5) as BIGINT) and scores sum those
+    integers — integer addition is order-independent, so the score is
+    bit-identical across partitionings and engines (same trick as the
+    BM25 oracle). Output (vec_id, score) ranked score DESC, id ASC.
+
+    `rerank=R` adds the standard two-stage retrieval: ADC shortlists
+    the top R candidates, then ONLY those R rows are re-scored with
+    the exact dot product (score = det_round(q·v)). This is how PQ is
+    deployed in practice (FAISS's IndexRefine): the compressed scan
+    bounds I/O, the exact pass restores ranking quality, and at 100 TB
+    the re-rank join touches R raw vectors — a broadcast of R ids
+    against the corpus, one semi-join, no second full scan ordering.
+    """
+    books = train_pq_codebooks(
+        df, id_col, vec_col, n_sub, n_codes, iters, dim, sample_mod
+    )
+    spark = df.sparkSession
+    width = dim // n_sub
+    book_df = spark.createDataFrame(
+        [(s, c, books[s][c]) for s in range(n_sub) for c in range(n_codes)],
+        "sub int, cid int, cvec array<double>",
+    )
+
+    # Encode: one pass, (id, sub) -> code.
+    subs = df.select(
+        F.col(id_col),
+        F.posexplode(
+            F.array(
+                *[
+                    F.slice(F.col(vec_col), s * width + 1, width).cast("array<double>")
+                    for s in range(n_sub)
+                ]
+            )
+        ).alias("sub", "svec"),
+    )
+    encoded = (
+        subs.join(F.broadcast(book_df), "sub")
+        .select(
+            id_col, "sub", "cid", _l2_sq(F.col("svec"), F.col("cvec")).alias("_d")
+        )
+        .groupBy(id_col, "sub")
+        .agg(F.min_by("cid", F.struct("_d", "cid")).alias("code"))
+    )
+
+    # ADC lookup table: query dot each codebook entry, on the 1e-6
+    # integer grid. n_sub×n_codes rows — broadcast.
+    qsubs = query_df.select(
+        F.posexplode(
+            F.array(
+                *[
+                    F.slice(F.col(vec_col), s * width + 1, width).cast("array<double>")
+                    for s in range(n_sub)
+                ]
+            )
+        ).alias("sub", "qvec")
+    )
+    qtable = (
+        qsubs.join(book_df, "sub")
+        .select(
+            "sub",
+            F.col("cid").alias("code"),
+            F.floor(dot_product(F.col("qvec"), F.col("cvec")) * 1e6 + 0.5)
+            .cast("long")
+            .alias("contrib"),
+        )
+    )
+    adc = (
+        encoded.join(F.broadcast(qtable), ["sub", "code"])
+        .groupBy(id_col)
+        .agg((F.sum("contrib").cast("double") / F.lit(1e6)).alias("score"))
+    )
+    if not rerank:
+        return adc.orderBy(F.col("score").desc(), F.col(id_col).asc()).limit(k)
+
+    shortlist = (
+        adc.orderBy(F.col("score").desc(), F.col(id_col).asc())
+        .limit(rerank)
+        .select(id_col)
+    )
+    q = query_df.select(F.col(vec_col).alias("_qvec"))
+    exact = det_round(dot_product(F.col(vec_col), F.col("_qvec")))
+    return (
+        df.join(F.broadcast(shortlist), id_col)
+        .crossJoin(F.broadcast(q))
+        .select(F.col(id_col), exact.alias("score"))
+        .orderBy(F.col("score").desc(), F.col(id_col).asc())
+        .limit(k)
+    )
