@@ -346,6 +346,72 @@ def _pq_topk_oracle_sql(
     """
 
 
+#: Shared graph-derivation CTEs: the co-purchase edge list (same-day,
+#: same props.k cell, <=64-user cells, distinct src<dst pairs).
+_COPURCHASE_EDGES_CTE = """
+    cells AS (
+        SELECT DISTINCT user_id, time_bucket(INTERVAL 1 DAY, ts) AS hb,
+               json_extract_string(props, '$.k') AS k
+        FROM events WHERE event_type = 'purchase'
+    ), ok_cells AS (
+        SELECT hb, k FROM cells GROUP BY hb, k HAVING count(*) <= 64
+    ), bounded AS (
+        SELECT c.user_id, c.hb, c.k FROM cells c JOIN ok_cells USING (hb, k)
+    ), e AS (
+        SELECT DISTINCT a.user_id AS src, b.user_id AS dst
+        FROM bounded a
+        JOIN bounded b ON a.hb = b.hb AND a.k = b.k AND a.user_id < b.user_id
+    )"""
+
+
+def _pagerank_oracle_sql(iters: int = 3, damping: float = 0.85) -> str:
+    """Unrolled power iterations mirroring `graph.pagerank`: BIGINT
+    mass on the 1e-9 grid, float factors written with repr() so both
+    engines parse the IDENTICAL doubles (1-0.85 is 0.15000000000000002
+    in binary — writing '0.15' would be a different constant)."""
+    d, base = repr(damping), repr(1.0 - damping)
+    parts = [f"""und AS (
+        SELECT src, dst FROM e UNION ALL SELECT dst, src FROM e
+    ), deg AS (
+        SELECT src, count(*) AS deg FROM und GROUP BY src
+    ), nn AS (SELECT count(*) AS n FROM deg),
+    p0 AS (
+        SELECT src AS node, floor(1e9 / n + 0.5)::BIGINT AS pr FROM deg, nn
+    )"""]
+    for t in range(iters):
+        parts.append(f"""p{t + 1} AS (
+        SELECT u.dst AS node,
+               (SELECT floor({base} * 1e9 / n + 0.5)::BIGINT FROM nn)
+               + SUM(floor({d} * p.pr / dg.deg + 0.5)::BIGINT) AS pr
+        FROM und u
+        JOIN p{t} p ON u.src = p.node
+        JOIN deg dg ON u.src = dg.src
+        GROUP BY u.dst
+    )""")
+    return f"""
+        WITH {_COPURCHASE_EDGES_CTE},
+        {','.join(parts)}
+        SELECT node AS user_id, pr::DOUBLE / 1e9 AS pagerank
+        FROM p{iters} ORDER BY user_id
+    """
+
+
+_TRIANGLES_ORACLE_SQL = f"""
+    WITH {_COPURCHASE_EDGES_CTE},
+    tri AS (
+        SELECT e1.src AS a, e1.dst AS b, e2.dst AS c
+        FROM e e1
+        JOIN e e2 ON e1.dst = e2.src
+        JOIN e e3 ON e3.src = e1.src AND e3.dst = e2.dst
+    )
+    SELECT node AS user_id, count(*) AS n_triangles FROM (
+        SELECT a AS node FROM tri
+        UNION ALL SELECT b FROM tri
+        UNION ALL SELECT c FROM tri
+    ) GROUP BY node ORDER BY node
+"""
+
+
 def _pii_scrub_oracle_sql() -> str:
     """Built from the SAME pattern list the engine uses
     (quality_filters.PII_PATTERNS — Java-regex/RE2 shared syntax), so
@@ -441,6 +507,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "late_supplier_orders": analytics.late_supplier_orders,
         "rp_topk": pipeline.rp_topk_embeddings,
         "pq_topk": pipeline.pq_topk_embeddings,
+        "copurchase_pagerank": analytics.copurchase_pagerank,
+        "copurchase_triangles": analytics.copurchase_triangles,
         "doc_hash_embeddings": pipeline.doc_hash_embeddings,
         "doc_decontaminate": pipeline.doc_decontaminate,
         "doc_split_counts": pipeline.doc_split_counts,
@@ -1252,6 +1320,8 @@ def oracle_sql() -> dict[str, str]:
         "knn_join_lsh_split": _knn_join_lsh_oracle_sql(),
         "rp_topk": _rp_topk_oracle_sql(),
         "pq_topk": _pq_topk_oracle_sql(),
+        "copurchase_pagerank": _pagerank_oracle_sql(),
+        "copurchase_triangles": _TRIANGLES_ORACLE_SQL,
         "doc_hash_embeddings": """
             WITH t AS (
                 SELECT doc_id,

@@ -1,0 +1,166 @@
+"""Graph operators over relational edge lists — PageRank and triangle
+counting, expressed as joins + integer-grid arithmetic so results are
+deterministic across partitionings AND engines (DuckDB oracles
+re-derive them with unrolled CTEs).
+
+The reference has no graph surface; these extend the engine the same
+way the dedup family does — an edge list is just a DataFrame, and the
+iterative/structural algorithms a training-data pipeline needs on one
+(influence scoring, community shape, dup-cluster topology) are
+shuffles on (src, dst) keys.
+
+Scale notes:
+- Co-occurrence edge derivation is the same sub-quadratic shape as
+  LSH banding: group into (bucket, key) cells, pair WITHIN cells
+  only, with a hot-cell valve (`max_cell`) so one viral cell can't
+  produce a quadratic blow-up — same reasoning as
+  dedup.py's `max_bucket_size`.
+- PageRank is `iters` rounds of (join on src) + (groupBy dst): two
+  shuffles per round over the EDGE list, never a node×node product.
+  Contributions are summed as BIGINTs on a 1e-9 grid — integer
+  addition commutes, so 32 or 32,000 partitions give bit-identical
+  ranks. At 100 TB the edge list would be bucketed by src so the
+  per-round join is co-partitioned (no re-shuffle of the big side).
+- Triangle counting is the classic ordered two-path + closing-edge
+  semi-join (src<dst ordering halves the edge list and kills
+  double-counting): three shuffles total, each keyed on an edge
+  endpoint.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+#: 1e-9 fixed-point grid for PageRank mass (BIGINT-summable).
+_GRID = 1e9
+
+
+def cooccurrence_edges(
+    events: DataFrame,
+    event_type: str = "purchase",
+    bucket: str = "1 day",
+    key_expr: str = "get_json_object(props, '$.k')",
+    user_col: str = "user_id",
+    max_cell: int = 64,
+) -> DataFrame:
+    """Distinct undirected co-occurrence pairs (src < dst): two users
+    share an edge when they both have an `event_type` event in the
+    same (time-bucket, key) cell. Cells larger than `max_cell` are
+    dropped (hot-cell valve — a cell of size c yields c² pairs, and
+    one pathological cell would dominate the graph AND the shuffle).
+    """
+    cells = (
+        events.where(F.col("event_type") == event_type)
+        .select(
+            F.col(user_col),
+            F.window("ts", bucket).start.alias("_hb"),
+            F.expr(key_expr).alias("_k"),
+        )
+        .distinct()
+    )
+    cell_sizes = cells.groupBy("_hb", "_k").agg(F.count(F.lit(1)).alias("_n"))
+    bounded = cells.join(
+        cell_sizes.where(F.col("_n") <= max_cell).select("_hb", "_k"), ["_hb", "_k"]
+    )
+    a = bounded.select(F.col("_hb"), F.col("_k"), F.col(user_col).alias("src"))
+    b = bounded.select(F.col("_hb"), F.col("_k"), F.col(user_col).alias("dst"))
+    return (
+        a.join(b, ["_hb", "_k"])
+        .where(F.col("src") < F.col("dst"))
+        .select("src", "dst")
+        .distinct()
+    )
+
+
+def _undirect(edges: DataFrame) -> DataFrame:
+    """Both directions of an src<dst edge list."""
+    return edges.select("src", "dst").union(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+
+
+def pagerank(
+    edges: DataFrame, iters: int = 3, damping: float = 0.85
+) -> DataFrame:
+    """PageRank over an undirected edge list (src < dst rows), fixed
+    `iters` power iterations, output (node, pagerank) for every node
+    in the graph.
+
+    Determinism contract (shared with the DuckDB oracle, see
+    `__spark_entry__._pagerank_oracle_sql`): rank mass lives on a
+    1e-9 integer grid. Each contribution is
+    floor(damping · pr/deg + 0.5) of the scaled BIGINT rank — the
+    float product/divide is identical IEEE double math in both
+    engines — and per-node accumulation sums BIGINTs, which is
+    order-independent, so the result is bit-stable at any
+    parallelism. The fixed iteration count keeps the oracle an
+    unrolled CTE chain (no data-dependent convergence test).
+    """
+    und = _undirect(edges)
+    deg = und.groupBy("src").agg(F.count(F.lit(1)).alias("_deg"))
+    n_nodes = deg.agg(F.count(F.lit(1)).alias("_n"))
+
+    # pr0 = 1/N on the integer grid; base = (1-d)/N per iteration.
+    pr = deg.crossJoin(F.broadcast(n_nodes)).select(
+        F.col("src").alias("node"),
+        F.floor(F.lit(_GRID) / F.col("_n") + 0.5).cast("long").alias("_pr"),
+        F.col("_n"),
+    )
+    for _ in range(iters):
+        contrib = (
+            und.join(pr, und.src == pr.node)
+            .join(deg, "src")
+            .select(
+                F.col("dst").alias("node"),
+                F.floor(
+                    F.lit(damping) * F.col("_pr") / F.col("_deg") + 0.5
+                )
+                .cast("long")
+                .alias("_c"),
+                F.col("_n"),
+            )
+        )
+        pr = (
+            contrib.groupBy("node", "_n")
+            .agg(F.sum("_c").alias("_s"))
+            .select(
+                "node",
+                (
+                    F.floor(
+                        F.lit(1 - damping) * F.lit(_GRID) / F.col("_n") + 0.5
+                    ).cast("long")
+                    + F.col("_s")
+                ).alias("_pr"),
+                "_n",
+            )
+        )
+    return pr.select(
+        "node", (F.col("_pr").cast("double") / F.lit(_GRID)).alias("pagerank")
+    )
+
+
+def triangle_counts(edges: DataFrame) -> DataFrame:
+    """Per-node triangle participation over an src<dst edge list.
+
+    Ordered-wedge formulation: for edges (a,b) and (b,c) with a<b<c,
+    the wedge closes iff (a,c) is an edge — one self-join to build
+    wedges, one semi-ish inner join to close them, then each triangle
+    credits all three corners. Every join is an equi-join on an
+    endpoint; nothing quadratic materializes beyond the wedge list
+    (bounded by Σ deg² within the src<dst orientation, the standard
+    bound for distributed triangle enumeration)."""
+    e1 = edges.select(F.col("src").alias("a"), F.col("dst").alias("b"))
+    e2 = edges.select(F.col("src").alias("b"), F.col("dst").alias("c"))
+    closing = edges.select(F.col("src").alias("a"), F.col("dst").alias("c"))
+    tris = (
+        e1.join(e2, "b")
+        .join(closing, ["a", "c"])
+        .select("a", "b", "c")
+    )
+    corners = (
+        tris.select(F.col("a").alias("node"))
+        .union(tris.select(F.col("b").alias("node")))
+        .union(tris.select(F.col("c").alias("node")))
+    )
+    return corners.groupBy("node").agg(F.count(F.lit(1)).alias("n_triangles"))

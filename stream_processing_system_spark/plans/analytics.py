@@ -859,3 +859,39 @@ def late_supplier_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("numwait").desc(), F.col("s_name").asc())
         .limit(20)
     )
+
+
+def copurchase_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the user co-purchase graph (same-day, same
+    props.k cell ⇒ edge). 3 power iterations on a 1e-9 integer grid —
+    bit-stable at any parallelism (operators/graph.py docstring has
+    the full determinism contract)."""
+    from stream_processing_system_spark.operators.graph import (
+        cooccurrence_edges,
+        pagerank,
+    )
+
+    events = load_table(spark, sf_dir, "events")
+    edges = cooccurrence_edges(events)
+    return (
+        pagerank(edges, iters=3, damping=0.85)
+        .select(F.col("node").alias("user_id"), "pagerank")
+        .orderBy("user_id")
+    )
+
+
+def copurchase_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user triangle counts over the co-purchase graph — the
+    ordered-wedge join (operators/graph.py:triangle_counts)."""
+    from stream_processing_system_spark.operators.graph import (
+        cooccurrence_edges,
+        triangle_counts,
+    )
+
+    events = load_table(spark, sf_dir, "events")
+    edges = cooccurrence_edges(events)
+    return (
+        triangle_counts(edges)
+        .select(F.col("node").alias("user_id"), "n_triangles")
+        .orderBy("user_id")
+    )

@@ -1,0 +1,58 @@
+"""Graph operators: PageRank + triangle counting on a known small
+graph, plus the determinism contract (bit-identical across
+partitionings) that makes them oracle-checkable."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from stream_processing_system_spark.operators.graph import (
+    cooccurrence_edges,
+    pagerank,
+    triangle_counts,
+)
+
+
+def _edges(spark, pairs):
+    return spark.createDataFrame(pairs, "src long, dst long")
+
+
+def test_triangle_counts_known_graph(spark):
+    # triangle 1-2-3 plus pendant 3-4: corners get 1 each, 4 gets none
+    e = _edges(spark, [(1, 2), (2, 3), (1, 3), (3, 4)])
+    got = {r["node"]: r["n_triangles"] for r in triangle_counts(e).collect()}
+    assert got == {1: 1, 2: 1, 3: 1}
+    # two overlapping triangles: shared edge's endpoints count both
+    e2 = _edges(spark, [(1, 2), (2, 3), (1, 3), (2, 4), (3, 4)])
+    got2 = {r["node"]: r["n_triangles"] for r in triangle_counts(e2).collect()}
+    assert got2 == {1: 1, 2: 2, 3: 2, 4: 1}
+
+
+def test_pagerank_mass_and_ranking(spark):
+    # star: 1 at the center of 2,3,4 — center must rank highest and
+    # total mass stays ~1 (integer-grid rounding loses <1e-6)
+    e = _edges(spark, [(1, 2), (1, 3), (1, 4)])
+    rows = pagerank(e, iters=3).collect()
+    pr = {r["node"]: r["pagerank"] for r in rows}
+    assert set(pr) == {1, 2, 3, 4}
+    assert pr[1] > pr[2] == pr[3] == pr[4]
+    assert abs(sum(pr.values()) - 1.0) < 1e-5
+
+
+def test_pagerank_partitioning_invariance(spark):
+    e = _edges(spark, [(i, j) for i in range(1, 8) for j in range(i + 1, 8)])
+    one = {r["node"]: r["pagerank"] for r in pagerank(e.coalesce(1)).collect()}
+    many = {r["node"]: r["pagerank"] for r in pagerank(e.repartition(16)).collect()}
+    assert one == many
+
+
+def test_cooccurrence_edges_hot_cell_valve(spark, sf_dir):
+    from stream_processing_system_spark.sources.tables import load_table
+
+    events = load_table(spark, sf_dir, "events")
+    capped = cooccurrence_edges(events, max_cell=2)
+    uncapped = cooccurrence_edges(events, max_cell=10**6)
+    assert capped.count() <= uncapped.count()
+    # src<dst orientation: no self-loops, no reversed duplicates
+    bad = uncapped.where(F.col("src") >= F.col("dst")).count()
+    assert bad == 0
