@@ -509,6 +509,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pq_topk": pipeline.pq_topk_embeddings,
         "copurchase_pagerank": analytics.copurchase_pagerank,
         "copurchase_triangles": analytics.copurchase_triangles,
+        "doc_bpe_pair_counts": pipeline.doc_bpe_pair_counts,
+        "doc_bpe_merges": pipeline.doc_bpe_merges,
         "doc_hash_embeddings": pipeline.doc_hash_embeddings,
         "doc_decontaminate": pipeline.doc_decontaminate,
         "doc_split_counts": pipeline.doc_split_counts,
@@ -1322,6 +1324,26 @@ def oracle_sql() -> dict[str, str]:
         "pq_topk": _pq_topk_oracle_sql(),
         "copurchase_pagerank": _pagerank_oracle_sql(),
         "copurchase_triangles": _TRIANGLES_ORACLE_SQL,
+        # doc_bpe_merges: iterative (each round's rewrite depends on the
+        # previous argmax) — rows-only here; tests/test_bpe.py proves the
+        # merge table against a pure-Python BPE reference.
+        "doc_bpe_pair_counts": """
+            WITH words AS (
+                SELECT unnest(list_filter(string_split(text, ' '),
+                                          x -> x <> '')) AS word
+                FROM documents
+            ), wf AS (
+                SELECT word, count(*) AS cnt FROM words GROUP BY word
+            ), pairs AS (
+                SELECT substr(word, i, 2) AS pair, cnt
+                FROM wf, UNNEST(range(1, length(word))) AS u(i)
+                WHERE length(word) >= 2
+            )
+            SELECT pair, sum(cnt)::BIGINT AS cnt
+            FROM pairs GROUP BY pair
+            ORDER BY cnt DESC, pair ASC
+            LIMIT 50
+        """,
         "doc_hash_embeddings": """
             WITH t AS (
                 SELECT doc_id,

@@ -330,3 +330,20 @@ def pq_topk_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_codes=16,
         rerank=100,
     )
+
+
+def doc_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE candidate table: adjacent char-pair counts weighted by word
+    frequency (operators/bpe.py), top 50."""
+    from stream_processing_system_spark.operators.bpe import bpe_pair_counts
+
+    return bpe_pair_counts(_docs(spark, sf_dir), top_n=50)
+
+
+def doc_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full BPE training, 20 merges — iterative (argmax each round),
+    so no SQL oracle; tests/test_bpe.py proves the merge table against
+    a pure-Python BPE reference."""
+    from stream_processing_system_spark.operators.bpe import bpe_train
+
+    return bpe_train(_docs(spark, sf_dir), n_merges=20)
