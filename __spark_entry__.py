@@ -497,6 +497,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_passage_dedup": pipeline.doc_passage_dedup,
         "doc_pack_sequences": pipeline.doc_pack_sequences,
         "stream_sessionize_events": streaming_parity.stream_sessionize_events,
+        "stream_purchase_click_join": streaming_parity.stream_purchase_click_join,
         "promo_revenue_ratio": analytics.promo_revenue_ratio,
         "bracket_revenue": analytics.bracket_revenue,
         "volume_shipping": analytics.volume_shipping,
@@ -1509,6 +1510,16 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY user_id
             ORDER BY posts DESC, user_id ASC
             LIMIT 50
+        """,
+        "stream_purchase_click_join": """
+            SELECT p.user_id,
+                   CAST(floor(epoch(p.ts)) AS BIGINT) AS purchase_ts_s,
+                   CAST(floor(epoch(c.ts)) AS BIGINT) AS click_ts_s
+            FROM (SELECT user_id, ts FROM events WHERE event_type = 'purchase') p
+            JOIN (SELECT user_id, ts FROM events WHERE event_type = 'click') c
+              ON p.user_id = c.user_id
+             AND c.ts >= p.ts AND c.ts <= p.ts + INTERVAL 1 HOUR
+            ORDER BY p.user_id, purchase_ts_s, click_ts_s
         """,
         "doc_repetition": """
             WITH t AS (

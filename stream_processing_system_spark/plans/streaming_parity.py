@@ -239,3 +239,34 @@ def stream_host_report_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     q.awaitTermination()
     _cleanup(input_dir)
     return spark.table(f"q3_{run}")
+
+
+def stream_purchase_click_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream inner join (jobs.stream_stream_join) as a
+    driver-checked query: purchases and clicks arrive as two separate
+    file-drop streams, watermarked, joined on user_id with clicks
+    within 1 hour AFTER the purchase. The oracle is the equivalent
+    batch interval join — proving the streaming join's event-time
+    bounds against plain SQL. Output one row per (purchase, click)
+    pair with epoch-second timestamps."""
+    input_dir, ckpt, run = _scratch("ssj")
+    events = load_table(spark, sf_dir, "events").select("user_id", "ts", "event_type")
+    p_dir, c_dir = os.path.join(input_dir, "p"), os.path.join(input_dir, "c")
+    events.where(F.col("event_type") == "purchase").select("user_id", "ts").write.mode(
+        "overwrite"
+    ).parquet(p_dir)
+    events.where(F.col("event_type") == "click").select("user_id", "ts").write.mode(
+        "overwrite"
+    ).parquet(c_dir)
+    schema = "user_id long, ts timestamp"
+    purchases = spark.readStream.schema(schema).parquet(p_dir)
+    clicks = spark.readStream.schema(schema).parquet(c_dir)
+    joined = jobs.stream_stream_join(
+        spark, purchases, clicks, ckpt, within="1 hour", name=f"ssj_{run}"
+    )
+    _cleanup(input_dir)
+    return joined.select(
+        F.col("l_key").alias("user_id"),
+        F.col("l_ts").cast("long").alias("purchase_ts_s"),
+        F.col("r_ts").cast("long").alias("click_ts_s"),
+    ).orderBy("user_id", "purchase_ts_s", "click_ts_s")
