@@ -512,6 +512,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "copurchase_triangles": analytics.copurchase_triangles,
         "doc_bpe_pair_counts": pipeline.doc_bpe_pair_counts,
         "doc_bpe_merges": pipeline.doc_bpe_merges,
+        "conversion_funnel": analytics.conversion_funnel,
+        "weekly_retention": analytics.weekly_retention,
         "doc_hash_embeddings": pipeline.doc_hash_embeddings,
         "doc_decontaminate": pipeline.doc_decontaminate,
         "doc_split_counts": pipeline.doc_split_counts,
@@ -1510,6 +1512,41 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY user_id
             ORDER BY posts DESC, user_id ASC
             LIMIT 50
+        """,
+        "conversion_funnel": """
+            WITH pu AS (
+                SELECT user_id,
+                       MIN(CASE WHEN event_type = 'view' THEN ts END) AS v
+                FROM events GROUP BY user_id
+            ), cav AS (
+                SELECT e.user_id, MIN(e.ts) AS click_after_view
+                FROM events e JOIN pu ON e.user_id = pu.user_id
+                WHERE e.event_type = 'click' AND pu.v IS NOT NULL AND e.ts >= pu.v
+                GROUP BY e.user_id
+            ), pac AS (
+                SELECT DISTINCT e.user_id
+                FROM events e JOIN cav ON e.user_id = cav.user_id
+                WHERE e.event_type = 'purchase' AND e.ts >= cav.click_after_view
+            )
+            SELECT (SELECT count(*) FROM pu WHERE v IS NOT NULL) AS n_users_view,
+                   (SELECT count(*) FROM cav) AS n_users_click_after_view,
+                   (SELECT count(*) FROM pac) AS n_users_purchase_after_click
+        """,
+        "weekly_retention": """
+            WITH w AS (
+                SELECT user_id,
+                       (floor(epoch(ts))::BIGINT // 604800) AS event_week
+                FROM events
+            ), cohorts AS (
+                SELECT user_id, MIN(event_week) AS cohort_week FROM w GROUP BY user_id
+            ), active AS (
+                SELECT DISTINCT user_id, event_week FROM w
+            )
+            SELECT cohort_week, (event_week - cohort_week) AS week_offset,
+                   count(*) AS n_users
+            FROM active JOIN cohorts USING (user_id)
+            GROUP BY cohort_week, week_offset
+            ORDER BY cohort_week, week_offset
         """,
         "stream_purchase_click_join": """
             SELECT p.user_id,

@@ -895,3 +895,72 @@ def copurchase_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("node").alias("user_id"), "n_triangles")
         .orderBy("user_id")
     )
+
+
+def conversion_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered-event funnel: users with a view, then a click AFTER
+    their first view, then a purchase AFTER that click. One
+    per-(user, stage) min-timestamp aggregate, then two broadcast-free
+    equi-joins on user_id — the sequential "happened after" conditions
+    are plain column comparisons on the 1-row-per-user aggregates, so
+    no window function and no event-pair explosion. Output one row of
+    stage counts."""
+    events = load_table(spark, sf_dir, "events")
+    per_user = (
+        events.where(F.col("event_type").isin("view", "click", "purchase"))
+        .groupBy("user_id")
+        .pivot("event_type", ["view", "click", "purchase"])
+        .agg(F.min("ts"))
+    )
+    first_click_after_view = (
+        events.where(F.col("event_type") == "click")
+        .join(
+            per_user.where(F.col("view").isNotNull()).select("user_id", "view"),
+            "user_id",
+        )
+        .where(F.col("ts") >= F.col("view"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("click_after_view"))
+    )
+    purchase_after_click = (
+        events.where(F.col("event_type") == "purchase")
+        .join(first_click_after_view, "user_id")
+        .where(F.col("ts") >= F.col("click_after_view"))
+        .select("user_id")
+        .distinct()
+    )
+    n_view = per_user.where(F.col("view").isNotNull()).agg(
+        F.count(F.lit(1)).alias("n_users_view")
+    )
+    n_click = first_click_after_view.agg(
+        F.count(F.lit(1)).alias("n_users_click_after_view")
+    )
+    n_purchase = purchase_after_click.agg(
+        F.count(F.lit(1)).alias("n_users_purchase_after_click")
+    )
+    # three 1-row aggregates — broadcast crossJoins, no driver actions
+    return n_view.crossJoin(F.broadcast(n_click)).crossJoin(F.broadcast(n_purchase))
+
+
+def weekly_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention: users bucketed by first-active week (epoch
+    weeks — floor(epoch/604800), calendar-free so both engines bucket
+    identically), counted as active per (cohort_week, week_offset).
+    Two shuffles: the per-user min aggregate and the cohort-cell
+    count; the user->cohort join is keyed on user_id (co-partitioned
+    with the aggregate that produced it)."""
+    events = load_table(spark, sf_dir, "events")
+    # integer DIV, not double division: a double quotient can round
+    # up across the week boundary and disagree with floor-div oracles
+    week = F.expr("CAST(CAST(ts AS LONG) DIV 604800 AS LONG)")
+    cohorts = events.groupBy("user_id").agg(F.min(week).alias("cohort_week"))
+    active = events.select("user_id", week.alias("event_week")).distinct()
+    return (
+        active.join(cohorts, "user_id")
+        .groupBy(
+            "cohort_week",
+            (F.col("event_week") - F.col("cohort_week")).alias("week_offset"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_users"))
+        .orderBy("cohort_week", "week_offset")
+    )
