@@ -514,6 +514,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_bpe_merges": pipeline.doc_bpe_merges,
         "conversion_funnel": analytics.conversion_funnel,
         "weekly_retention": analytics.weekly_retention,
+        "events_sliding_window": analytics.events_sliding_window,
         "doc_hash_embeddings": pipeline.doc_hash_embeddings,
         "doc_decontaminate": pipeline.doc_decontaminate,
         "doc_split_counts": pipeline.doc_split_counts,
@@ -1512,6 +1513,22 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY user_id
             ORDER BY posts DESC, user_id ASC
             LIMIT 50
+        """,
+        "events_sliding_window": """
+            WITH h AS (
+                SELECT (floor(epoch(ts))::BIGINT // 3600) * 3600 AS hb, value
+                FROM events
+            ), expanded AS (
+                -- 2h window sliding 1h: each event belongs to the
+                -- window starting at its hour and the one before
+                SELECT hb - off AS window_start, value
+                FROM h, UNNEST([0, 3600]) AS u(off)
+            )
+            SELECT window_start, count(*) AS n,
+                   ROUND(SUM(value), 4) AS sum_value
+            FROM expanded
+            GROUP BY window_start
+            ORDER BY window_start
         """,
         "conversion_funnel": """
             WITH pu AS (

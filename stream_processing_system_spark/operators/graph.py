@@ -97,7 +97,11 @@ def pagerank(
     parallelism. The fixed iteration count keeps the oracle an
     unrolled CTE chain (no data-dependent convergence test).
     """
-    und = _undirect(edges)
+    # Materialize the edge list ONCE: every iteration references it
+    # twice (contribution join + degree join), so without the
+    # lineage cut the physical plan re-derives the co-occurrence
+    # self-join ~2·iters times (an 860-node plan at iters=3).
+    und = _undirect(edges).localCheckpoint(eager=True)
     deg = und.groupBy("src").agg(F.count(F.lit(1)).alias("_deg"))
     n_nodes = deg.agg(F.count(F.lit(1)).alias("_n"))
 
@@ -150,6 +154,7 @@ def triangle_counts(edges: DataFrame) -> DataFrame:
     endpoint; nothing quadratic materializes beyond the wedge list
     (bounded by Σ deg² within the src<dst orientation, the standard
     bound for distributed triangle enumeration)."""
+    edges = edges.select("src", "dst").localCheckpoint(eager=True)
     e1 = edges.select(F.col("src").alias("a"), F.col("dst").alias("b"))
     e2 = edges.select(F.col("src").alias("b"), F.col("dst").alias("c"))
     closing = edges.select(F.col("src").alias("a"), F.col("dst").alias("c"))

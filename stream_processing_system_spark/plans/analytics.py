@@ -964,3 +964,28 @@ def weekly_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_users"))
         .orderBy("cohort_week", "week_offset")
     )
+
+
+def events_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hopping (sliding) window aggregate: 2-hour windows advancing
+    every hour — each event lands in exactly two windows. Spark emits
+    this natively from `window(ts, '2 hours', '1 hour')`; the oracle
+    unnests the two candidate window starts per event. Complements
+    the tumbling (events_per_hour) and session (sessionize_events)
+    window coverage."""
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.groupBy(
+            F.window("ts", "2 hours", "1 hour").alias("w")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").cast("long").alias("window_start"),
+            "n",
+            "sum_value",
+        )
+        .orderBy("window_start")
+    )
