@@ -512,9 +512,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "copurchase_triangles": analytics.copurchase_triangles,
         "doc_bpe_pair_counts": pipeline.doc_bpe_pair_counts,
         "doc_bpe_merges": pipeline.doc_bpe_merges,
+        "doc_bpe_tokenize": pipeline.doc_bpe_tokenize,
         "conversion_funnel": analytics.conversion_funnel,
         "weekly_retention": analytics.weekly_retention,
         "events_sliding_window": analytics.events_sliding_window,
+        "fuzzy_part_matches": analytics.fuzzy_part_matches,
         "doc_hash_embeddings": pipeline.doc_hash_embeddings,
         "doc_decontaminate": pipeline.doc_decontaminate,
         "doc_split_counts": pipeline.doc_split_counts,
@@ -1513,6 +1515,20 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY user_id
             ORDER BY posts DESC, user_id ASC
             LIMIT 50
+        """,
+        "fuzzy_part_matches": """
+            WITH named AS (
+                SELECT p_partkey, p_name,
+                       string_split(p_name, ' ')[1] AS blk
+                FROM part
+            )
+            SELECT a.p_partkey AS key_a, b.p_partkey AS key_b,
+                   levenshtein(a.p_name, b.p_name)::BIGINT AS edit_dist
+            FROM named a JOIN named b
+              ON a.blk = b.blk AND a.p_partkey < b.p_partkey
+            WHERE a.p_name <> b.p_name
+              AND levenshtein(a.p_name, b.p_name) <= 2
+            ORDER BY key_a, key_b
         """,
         "events_sliding_window": """
             WITH h AS (

@@ -139,3 +139,39 @@ def bpe_train(
     return spark.createDataFrame(
         merges, "merge_rank long, left string, right string, pair_count long"
     )
+
+
+def bpe_apply(
+    docs: DataFrame,
+    merges: list[tuple[str, str]],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Encode the corpus with a learned merge list: per document, the
+    BPE token count after applying `merges` in rank order (the
+    training-data bookkeeping number — tokens-per-doc under the real
+    tokenizer, not the whitespace proxy).
+
+    Merge work runs on the DISTINCT-WORD table (vocabulary-sized),
+    as one projection chaining `len(merges)` regexp_replaces inside a
+    single codegen stage; per-word subtoken counts then join back to
+    the corpus on the word key and sum per document. The corpus is
+    touched twice (tokenize, final sum), the merge chain never sees
+    it."""
+    words = (
+        docs.select(F.col(id_col), F.explode(tokenize(F.col(text_col))).alias("word"))
+        .where(F.col("word") != "")
+    )
+    sym = F.concat_ws(" ", F.split(F.col("word"), ""))
+    for left, right in merges:
+        replacement = (left + right).replace("\\", "\\\\").replace("$", "\\$")
+        sym = F.regexp_replace(sym, _pair_pattern(left + " " + right), replacement)
+    vocab = words.select("word").distinct().select(
+        "word", F.size(F.split(sym, " ")).cast("long").alias("_n_sub")
+    )
+    return (
+        words.join(vocab, "word")
+        .groupBy(id_col)
+        .agg(F.sum("_n_sub").alias("n_bpe_tokens"))
+        .orderBy(id_col)
+    )

@@ -989,3 +989,43 @@ def events_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("window_start")
     )
+
+
+def fuzzy_part_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity-resolution-style fuzzy self-join: part names within
+    edit distance 2, BLOCKED on the name's first token so the
+    quadratic levenshtein only runs inside blocks (the same
+    sub-quadratic shape as LSH banding — at 100 TB the block key
+    bounds the self-join fan-out; a production pipeline would add a
+    length-band to the block key).
+
+    levenshtein() is a built-in with identical semantics in Spark and
+    DuckDB, so the whole operator is value-hash oracle-checkable."""
+    part = load_table(spark, sf_dir, "part")
+    named = part.select(
+        "p_partkey",
+        "p_name",
+        F.split(F.col("p_name"), " ").getItem(0).alias("_blk"),
+    )
+    a = named.select(
+        F.col("_blk"),
+        F.col("p_partkey").alias("key_a"),
+        F.col("p_name").alias("name_a"),
+    )
+    b = named.select(
+        F.col("_blk"),
+        F.col("p_partkey").alias("key_b"),
+        F.col("p_name").alias("name_b"),
+    )
+    return (
+        a.join(b, "_blk")
+        .where(F.col("key_a") < F.col("key_b"))
+        .where(F.col("name_a") != F.col("name_b"))
+        .select(
+            "key_a",
+            "key_b",
+            F.levenshtein("name_a", "name_b").cast("long").alias("edit_dist"),
+        )
+        .where(F.col("edit_dist") <= 2)
+        .orderBy("key_a", "key_b")
+    )

@@ -347,3 +347,18 @@ def doc_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     from stream_processing_system_spark.operators.bpe import bpe_train
 
     return bpe_train(_docs(spark, sf_dir), n_merges=20)
+
+
+def doc_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train 20 BPE merges on the corpus, then encode it: per-doc BPE
+    token counts (operators/bpe.py:bpe_apply). Iterative training →
+    rows-only in the driver gate; tests/test_bpe.py checks the
+    end-to-end counts against the pure-Python reference."""
+    from stream_processing_system_spark.operators.bpe import bpe_apply, bpe_train
+
+    docs = _docs(spark, sf_dir)
+    merges = [
+        (r["left"], r["right"])
+        for r in bpe_train(docs, n_merges=20).orderBy("merge_rank").collect()
+    ]
+    return bpe_apply(docs, merges)

@@ -76,3 +76,40 @@ def test_bpe_pair_counts_consecutive_overlap(spark):
     docs = spark.createDataFrame([(1, "aaa aaa ab")], "doc_id long, text string")
     got = {r["pair"]: r["cnt"] for r in bpe_pair_counts(docs).collect()}
     assert got == {"aa": 4, "ab": 1}
+
+
+def test_bpe_apply_matches_python_reference(spark):
+    texts = ["the cat sat on the mat", "the bat and the cat", "mat mat mat"]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    merges = _python_bpe(texts, 6)
+    got = {
+        r["doc_id"]: r["n_bpe_tokens"]
+        for r in __import__(
+            "stream_processing_system_spark.operators.bpe", fromlist=["bpe_apply"]
+        ).bpe_apply(docs, [(m[1], m[2]) for m in merges]).collect()
+    }
+
+    # independent apply: fold the merges over each word
+    import re
+
+    def count_tokens(text):
+        n = 0
+        for w in text.split():
+            if not w:
+                continue
+            sym = " ".join(w)
+            for _, left, right, _ in merges:
+                pat = re.compile(
+                    r"(?<!\S)" + re.escape(left + " " + right) + r"(?!\S)"
+                )
+                merged = left + right
+                sym = pat.sub(lambda _: merged, sym)
+            n += len(sym.split(" "))
+        return n
+
+    want = {i: count_tokens(t) for i, t in enumerate(texts)}
+    assert got == want
+    # merges actually compress: fewer BPE tokens than characters
+    assert all(got[i] < len(t.replace(" ", "")) for i, t in enumerate(texts))
