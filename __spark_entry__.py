@@ -517,6 +517,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "weekly_retention": analytics.weekly_retention,
         "events_sliding_window": analytics.events_sliding_window,
         "fuzzy_part_matches": analytics.fuzzy_part_matches,
+        "returned_item_losses": analytics.returned_item_losses,
+        "stream_sliding_window": streaming_parity.stream_sliding_window,
         "doc_hash_embeddings": pipeline.doc_hash_embeddings,
         "doc_decontaminate": pipeline.doc_decontaminate,
         "doc_split_counts": pipeline.doc_split_counts,
@@ -1516,6 +1518,21 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY posts DESC, user_id ASC
             LIMIT 50
         """,
+        "returned_item_losses": """
+            SELECT c_custkey, c_name, c_acctbal, n_name, c_mktsegment,
+                   SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4)))::DOUBLE
+                       AS revenue
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation ON c_nationkey = n_nationkey
+            WHERE l_returnflag = 'R'
+              AND o_orderdate >= TIMESTAMP '1996-10-01'
+              AND o_orderdate < TIMESTAMP '1997-01-01'
+            GROUP BY c_custkey, c_name, c_acctbal, n_name, c_mktsegment
+            ORDER BY revenue DESC, c_custkey ASC
+            LIMIT 20
+        """,
         "fuzzy_part_matches": """
             WITH named AS (
                 SELECT p_partkey, p_name,
@@ -1529,6 +1546,20 @@ def oracle_sql() -> dict[str, str]:
             WHERE a.p_name <> b.p_name
               AND levenshtein(a.p_name, b.p_name) <= 2
             ORDER BY key_a, key_b
+        """,
+        "stream_sliding_window": """
+            WITH h AS (
+                SELECT (floor(epoch(ts))::BIGINT // 3600) * 3600 AS hb, value
+                FROM events
+            ), expanded AS (
+                SELECT hb - off AS window_start, value
+                FROM h, UNNEST([0, 3600]) AS u(off)
+            )
+            SELECT window_start, count(*) AS n,
+                   ROUND(SUM(value), 4) AS sum_value
+            FROM expanded
+            GROUP BY window_start
+            ORDER BY window_start
         """,
         "events_sliding_window": """
             WITH h AS (

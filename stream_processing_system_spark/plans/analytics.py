@@ -1029,3 +1029,27 @@ def fuzzy_part_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("edit_dist") <= 2)
         .orderBy("key_a", "key_b")
     )
+
+
+def returned_item_losses(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10-style: top-20 customers by revenue lost to returned
+    items in one quarter. lineitem's returnflag filter is pushed to
+    the scan; customer ⋈ nation is a broadcast; the orders ⋈ lineitem
+    shuffle carries only the quarter's orders."""
+    li = load_table(spark, sf_dir, "lineitem").where(F.col("l_returnflag") == "R")
+    orders = load_table(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1996-10-01"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01"))
+    )
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(customer, orders.o_custkey == customer.c_custkey)
+        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name", "c_mktsegment")
+        .agg(_dec_sum(revenue, "revenue", scale=4))
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey").asc())
+        .limit(20)
+    )

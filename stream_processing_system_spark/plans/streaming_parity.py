@@ -270,3 +270,37 @@ def stream_purchase_click_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_ts").cast("long").alias("purchase_ts_s"),
         F.col("r_ts").cast("long").alias("click_ts_s"),
     ).orderBy("user_id", "purchase_ts_s", "click_ts_s")
+
+
+def stream_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events_sliding_window as a streaming job: hopping 2h/1h windows
+    with a watermark, drained with availableNow — same oracle as the
+    batch query, proving the hopping-window semantics match."""
+    input_dir, ckpt, run = _scratch("slw")
+    events = load_table(spark, sf_dir, "events").select("ts", "value")
+    events.write.mode("overwrite").parquet(input_dir)
+    stream = spark.readStream.schema("ts timestamp, value double").parquet(input_dir)
+    result = (
+        stream.withWatermark("ts", "2 hours")
+        .groupBy(F.window("ts", "2 hours", "1 hour").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").cast("long").alias("window_start"),
+            "n",
+            "sum_value",
+        )
+    )
+    q = (
+        result.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(f"slw_{run}")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    _cleanup(input_dir)
+    return spark.table(f"slw_{run}").orderBy("window_start")
