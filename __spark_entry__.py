@@ -518,6 +518,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_sliding_window": analytics.events_sliding_window,
         "fuzzy_part_matches": analytics.fuzzy_part_matches,
         "returned_item_losses": analytics.returned_item_losses,
+        "corpus_curation_pipeline": pipeline.corpus_curation_pipeline,
         "stream_sliding_window": streaming_parity.stream_sliding_window,
         "doc_hash_embeddings": pipeline.doc_hash_embeddings,
         "doc_decontaminate": pipeline.doc_decontaminate,
@@ -1517,6 +1518,47 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY user_id
             ORDER BY posts DESC, user_id ASC
             LIMIT 50
+        """,
+        "corpus_curation_pipeline": """
+            WITH t AS (
+                SELECT doc_id, text,
+                       list_filter(string_split(text, ' '), x -> x <> '') AS toks
+                FROM documents
+            ), s AS (
+                SELECT doc_id, text,
+                       CAST(len(toks) AS DOUBLE) AS n_tokens,
+                       list_sum(list_transform(toks, x -> length(x)))
+                           / CAST(len(toks) AS DOUBLE) AS avg_len,
+                       len(list_filter(toks, x -> list_contains(
+                           ['the','a','of','and','is','in','to','it'], x)))
+                           / CAST(len(toks) AS DOUBLE) AS stop_ratio
+                FROM t
+            ), scored AS (
+                SELECT doc_id, text,
+                       floor((0.4 * least(n_tokens / 100.0, 1.0)
+                           + 0.3 * least(avg_len / 8.0, 1.0)
+                           + 0.3 * least(stop_ratio * 5.0, 1.0)) * 1000000.0 + 0.5)
+                           / 1000000.0 AS quality
+                FROM s
+            ), good AS (
+                SELECT doc_id, text FROM scored WHERE quality >= 0.5
+            ), keepers AS (
+                SELECT min(doc_id) AS doc_id
+                FROM good GROUP BY md5(lower(trim(text)))
+            ), surviving AS (
+                SELECT g.doc_id,
+                       len(list_filter(string_split(g.text, ' '),
+                                       x -> x <> ''))::BIGINT AS n_tokens
+                FROM good g JOIN keepers USING (doc_id)
+            ), packed AS (
+                SELECT doc_id, n_tokens,
+                       (SUM(n_tokens) OVER (ORDER BY doc_id
+                            ROWS UNBOUNDED PRECEDING) - n_tokens) AS strt
+                FROM surviving
+            )
+            SELECT (strt // 1024)::BIGINT AS shard, count(*) AS n_docs,
+                   sum(n_tokens)::BIGINT AS sum_tokens
+            FROM packed GROUP BY shard ORDER BY shard
         """,
         "returned_item_losses": """
             SELECT c_custkey, c_name, c_acctbal, n_name, c_mktsegment,

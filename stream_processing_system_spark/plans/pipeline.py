@@ -362,3 +362,33 @@ def doc_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
         for r in bpe_train(docs, n_merges=20).orderBy("merge_rank").collect()
     ]
     return bpe_apply(docs, merges)
+
+
+def corpus_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end curation composition — the \"whole engine in one
+    plan\" query: quality-filter (score >= 0.5) -> exact dedup among
+    survivors -> token-budget sequence packing -> per-shard stats.
+    Each stage is the SAME operator the standalone queries use
+    (text_analysis.quality_score, dedup.dedup_exact,
+    quality_filters.pack_sequences), so the value-hash oracle also
+    proves the stages compose without interference."""
+    from stream_processing_system_spark.operators import dedup as dedup_ops
+
+    docs = _docs(spark, sf_dir)
+    good_ids = (
+        text_analysis.quality_score(docs)
+        .where(F.col("quality") >= 0.5)
+        .select("doc_id")
+    )
+    good = docs.join(good_ids, "doc_id", "left_semi")
+    keepers = dedup_ops.dedup_exact(good, "doc_id", "text").select("doc_id")
+    surviving = good.join(keepers, "doc_id", "left_semi")
+    packed = quality_filters.pack_sequences(surviving, budget_tokens=1024)
+    return (
+        packed.groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("sum_tokens"),
+        )
+        .orderBy("shard")
+    )
