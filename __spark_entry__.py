@@ -519,6 +519,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fuzzy_part_matches": analytics.fuzzy_part_matches,
         "returned_item_losses": analytics.returned_item_losses,
         "corpus_curation_pipeline": pipeline.corpus_curation_pipeline,
+        "doc_bigram_lm": pipeline.doc_bigram_lm,
+        "events_value_histogram": analytics.events_value_histogram,
         "stream_sliding_window": streaming_parity.stream_sliding_window,
         "doc_hash_embeddings": pipeline.doc_hash_embeddings,
         "doc_decontaminate": pipeline.doc_decontaminate,
@@ -1518,6 +1520,39 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY user_id
             ORDER BY posts DESC, user_id ASC
             LIMIT 50
+        """,
+        "doc_bigram_lm": """
+            WITH toks AS (
+                SELECT doc_id, i AS pos, ws[i] AS w
+                FROM (
+                    SELECT doc_id,
+                           list_filter(string_split(text, ' '), x -> x <> '') AS ws
+                    FROM documents
+                ), UNNEST(range(1, len(ws) + 1)) AS u(i)
+            ), bi AS (
+                SELECT a.w AS w1, b.w AS w2, count(*) AS n_bigram
+                FROM toks a JOIN toks b
+                  ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+                GROUP BY a.w, b.w
+            ), uni AS (
+                SELECT w AS w1, count(*) AS n_unigram FROM toks GROUP BY w
+            ), v AS (
+                SELECT count(DISTINCT w) AS vs FROM toks
+            )
+            SELECT w1, w2, n_bigram,
+                   floor(((n_bigram + 1)::DOUBLE / (n_unigram + vs)::DOUBLE)
+                         * 1000000.0 + 0.5) / 1000000.0 AS p_smoothed
+            FROM bi JOIN uni USING (w1) CROSS JOIN v
+            ORDER BY n_bigram DESC, w1 ASC, w2 ASC
+            LIMIT 50
+        """,
+        "events_value_histogram": """
+            SELECT event_type, floor(value / 50)::BIGINT AS bin,
+                   count(*) AS n
+            FROM events
+            WHERE value IS NOT NULL
+            GROUP BY event_type, bin
+            ORDER BY event_type, bin
         """,
         "corpus_curation_pipeline": """
             WITH t AS (

@@ -1053,3 +1053,21 @@ def returned_item_losses(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("revenue").desc(), F.col("c_custkey").asc())
         .limit(20)
     )
+
+
+def events_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-bin histogram profiler: event values bucketed into
+    width-50 bins per event_type. Bin = floor(value/50) as IDENTICAL
+    double math in both engines (integer DIV truncates toward zero in
+    Spark but floors in DuckDB, so it would disagree on negative
+    values; double divide-then-floor agrees everywhere). The
+    data-profiling primitive: one map + one small aggregate, bin
+    domain bounded by value range / width."""
+    events = load_table(spark, sf_dir, "events")
+    bin_col = F.floor(F.col("value") / 50).cast("long")
+    return (
+        events.where(F.col("value").isNotNull())
+        .groupBy("event_type", bin_col.alias("bin"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("event_type", "bin")
+    )

@@ -392,3 +392,44 @@ def corpus_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("shard")
     )
+
+
+def doc_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram language model with add-1 smoothing: P(w2 | w1) for the
+    50 most frequent bigrams. Two corpus aggregates (bigram counts,
+    unigram counts) + a vocabulary-size scalar — the n-gram-LM
+    counting shape (KenLM's hot loop) as two shuffles with map-side
+    combine. Probabilities live on the det_round 1e-6 grid."""
+    from stream_processing_system_spark.functions.scalar import det_round, tokenize
+
+    docs = _docs(spark, sf_dir)
+    toks = docs.select(
+        F.col("doc_id"), F.posexplode(tokenize(F.col("text"))).alias("pos", "w")
+    ).where(F.col("w") != "")
+    nxt = toks.select(
+        "doc_id", (F.col("pos") - 1).alias("pos"), F.col("w").alias("w2")
+    )
+    bigrams = (
+        toks.join(nxt, ["doc_id", "pos"])
+        .groupBy(F.col("w").alias("w1"), "w2")
+        .agg(F.count(F.lit(1)).alias("n_bigram"))
+    )
+    unigrams = toks.groupBy(F.col("w").alias("w1")).agg(
+        F.count(F.lit(1)).alias("n_unigram")
+    )
+    vocab = toks.agg(F.countDistinct("w").alias("_v"))
+    return (
+        bigrams.join(unigrams, "w1")
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            "w1",
+            "w2",
+            "n_bigram",
+            det_round(
+                (F.col("n_bigram") + 1)
+                / (F.col("n_unigram") + F.col("_v")).cast("double")
+            ).alias("p_smoothed"),
+        )
+        .orderBy(F.col("n_bigram").desc(), F.col("w1").asc(), F.col("w2").asc())
+        .limit(50)
+    )
