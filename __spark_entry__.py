@@ -521,6 +521,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_curation_pipeline": pipeline.corpus_curation_pipeline,
         "doc_bigram_lm": pipeline.doc_bigram_lm,
         "events_value_histogram": analytics.events_value_histogram,
+        "orders_table_profile": analytics.orders_table_profile,
         "stream_sliding_window": streaming_parity.stream_sliding_window,
         "doc_hash_embeddings": pipeline.doc_hash_embeddings,
         "doc_decontaminate": pipeline.doc_decontaminate,
@@ -1545,6 +1546,43 @@ def oracle_sql() -> dict[str, str]:
             FROM bi JOIN uni USING (w1) CROSS JOIN v
             ORDER BY n_bigram DESC, w1 ASC, w2 ASC
             LIMIT 50
+        """,
+        "orders_table_profile": """
+            SELECT 'o_orderkey' AS col_name,
+                   count(*) - count(o_orderkey) AS n_nulls,
+                   count(DISTINCT o_orderkey) AS n_distinct,
+                   min(o_orderkey)::DOUBLE AS min_num,
+                   max(o_orderkey)::DOUBLE AS max_num,
+                   NULL::VARCHAR AS min_str, NULL::VARCHAR AS max_str
+            FROM orders
+            UNION ALL
+            SELECT 'o_custkey', count(*) - count(o_custkey),
+                   count(DISTINCT o_custkey),
+                   min(o_custkey)::DOUBLE, max(o_custkey)::DOUBLE,
+                   NULL, NULL
+            FROM orders
+            UNION ALL
+            SELECT 'o_totalprice', count(*) - count(o_totalprice),
+                   count(DISTINCT o_totalprice),
+                   min(o_totalprice), max(o_totalprice), NULL, NULL
+            FROM orders
+            UNION ALL
+            SELECT 'o_orderstatus', count(*) - count(o_orderstatus),
+                   count(DISTINCT o_orderstatus), NULL, NULL,
+                   min(o_orderstatus), max(o_orderstatus)
+            FROM orders
+            UNION ALL
+            SELECT 'o_orderpriority', count(*) - count(o_orderpriority),
+                   count(DISTINCT o_orderpriority), NULL, NULL,
+                   min(o_orderpriority), max(o_orderpriority)
+            FROM orders
+            UNION ALL
+            SELECT 'o_orderdate', count(*) - count(o_orderdate),
+                   count(DISTINCT o_orderdate),
+                   floor(epoch(min(o_orderdate))), floor(epoch(max(o_orderdate))),
+                   NULL, NULL
+            FROM orders
+            ORDER BY col_name
         """,
         "events_value_histogram": """
             SELECT event_type, floor(value / 50)::BIGINT AS bin,

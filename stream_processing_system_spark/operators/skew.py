@@ -60,3 +60,37 @@ def salted_agg(
 def salted_count(df: DataFrame, keys: list[str], out: str = "cnt") -> DataFrame:
     """COUNT(*) GROUP BY keys, skew-resistant."""
     return salted_agg(df, keys, {out: ("count", F.count(F.lit(1)))})
+
+
+def salted_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    salt_buckets: int = 8,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-resistant equi-join: the LEFT (big, skewed) side gets a
+    random-uniform salt in [0, salt_buckets); the RIGHT side is
+    replicated `salt_buckets` times (explode over the salt domain) so
+    every (key, salt) cell finds its match. A hot left key spreads
+    over `salt_buckets` reducers instead of pinning one.
+
+    Equivalent to `left.join(right, key, how)` for 'inner' and 'left'
+    joins when `right` has unique keys (the usual fact⋈dim shape —
+    replication would duplicate matches under non-unique right keys).
+    Cost: right side shuffles salt_buckets× its size — cheap when
+    right is the small side, which is exactly the skewed-join case
+    this exists for. AQE's skew-join handles most cases at runtime;
+    explicit salting is the deterministic fallback for when the skew
+    is known ahead (one viral key) or AQE's post-shuffle split can't
+    help (e.g. a downstream window keyed the same way).
+    """
+    if how not in ("inner", "left"):
+        raise ValueError("salted_join supports inner/left joins")
+    salted_left = left.withColumn(
+        "_salt", (F.rand(seed=0) * salt_buckets).cast("int")
+    )
+    replicated_right = right.withColumn(
+        "_salt", F.explode(F.sequence(F.lit(0), F.lit(salt_buckets - 1)))
+    )
+    return salted_left.join(replicated_right, [key, "_salt"], how).drop("_salt")

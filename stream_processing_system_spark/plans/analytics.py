@@ -1071,3 +1071,54 @@ def events_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n"))
         .orderBy("event_type", "bin")
     )
+
+
+def orders_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANALYZE-style per-column profile of orders (nulls, exact NDV,
+    min/max) in ONE aggregation pass — all 6 columns' stats are
+    computed in a single .agg() (24 expressions, one shuffle of one
+    row), then unpivoted into per-column rows with a struct-array
+    explode. The table-profiling primitive a pipeline runs before
+    choosing partition/bucket columns."""
+    orders = load_table(spark, sf_dir, "orders")
+    numeric = ["o_orderkey", "o_custkey", "o_totalprice"]
+    strings = ["o_orderstatus", "o_orderpriority"]
+    stamps = ["o_orderdate"]
+    aggs = []
+    for c in numeric + strings + stamps:
+        aggs.append((F.count(F.lit(1)) - F.count(c)).cast("long").alias(f"{c}__nulls"))
+        aggs.append(F.countDistinct(c).cast("long").alias(f"{c}__nd"))
+    for c in numeric:
+        aggs.append(F.min(c).cast("double").alias(f"{c}__min"))
+        aggs.append(F.max(c).cast("double").alias(f"{c}__max"))
+    for c in stamps:
+        # TIMESTAMP_NTZ has no direct long cast; via TIMESTAMP (session
+        # tz is UTC, matching DuckDB's epoch() on naive timestamps)
+        epoch = F.col(c).cast("timestamp").cast("long")
+        aggs.append(F.min(epoch).cast("double").alias(f"{c}__min"))
+        aggs.append(F.max(epoch).cast("double").alias(f"{c}__max"))
+    for c in strings:
+        aggs.append(F.min(c).alias(f"{c}__smin"))
+        aggs.append(F.max(c).alias(f"{c}__smax"))
+    row = orders.agg(*aggs)
+    null_d = F.lit(None).cast("double")
+    null_s = F.lit(None).cast("string")
+    entries = []
+    for c in numeric + strings + stamps:
+        has_num = c not in strings
+        entries.append(
+            F.struct(
+                F.lit(c).alias("col_name"),
+                F.col(f"{c}__nulls").alias("n_nulls"),
+                F.col(f"{c}__nd").alias("n_distinct"),
+                (F.col(f"{c}__min") if has_num else null_d).alias("min_num"),
+                (F.col(f"{c}__max") if has_num else null_d).alias("max_num"),
+                (F.col(f"{c}__smin") if c in strings else null_s).alias("min_str"),
+                (F.col(f"{c}__smax") if c in strings else null_s).alias("max_str"),
+            )
+        )
+    return (
+        row.select(F.explode(F.array(*entries)).alias("s"))
+        .select("s.*")
+        .orderBy("col_name")
+    )

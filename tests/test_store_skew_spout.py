@@ -101,3 +101,25 @@ def test_crane_spout_source_linenumbers(spark, tmp_path):
     # per-file 1-based numbering (spout/spout.go:235-237 semantics)
     assert rows == {(1, "first line"), (2, "second line"), (1, "other file")}
     assert df.rdd.getNumPartitions() == 2  # one partition per file
+
+def test_salted_join_equals_plain_join_on_zipf(spark):
+    """Salted join == plain join on a Zipf-skewed fact side (hot key
+    = 50% of rows) joined to a unique-key dim."""
+    import random
+
+    from stream_processing_system_spark.operators.skew import salted_join
+
+    rng = random.Random(7)
+    facts = spark.createDataFrame(
+        [(1 if rng.random() < 0.5 else rng.randint(2, 50), i) for i in range(5000)],
+        "k long, v long",
+    )
+    dim = spark.createDataFrame([(k, f"d{k}") for k in range(1, 51)], "k long, name string")
+    plain = facts.join(dim, "k").groupBy("k", "name").count()
+    salted = salted_join(facts, dim, "k").groupBy("k", "name").count()
+    assert sorted(map(tuple, plain.collect())) == sorted(map(tuple, salted.collect()))
+    # left join keeps unmatched rows too
+    dim_partial = dim.where(F.col("k") <= 10)
+    plain_l = facts.join(dim_partial, "k", "left").groupBy("k", "name").count()
+    salted_l = salted_join(facts, dim_partial, "k", how="left").groupBy("k", "name").count()
+    assert sorted(map(tuple, plain_l.collect())) == sorted(map(tuple, salted_l.collect()))
