@@ -1659,7 +1659,7 @@ def oracle_sql() -> dict[str, str]:
             FROM named a JOIN named b
               ON a.blk = b.blk AND a.p_partkey < b.p_partkey
             WHERE a.p_name <> b.p_name
-              AND levenshtein(a.p_name, b.p_name) <= 2
+              AND levenshtein(a.p_name, b.p_name) <= 3
             ORDER BY key_a, key_b
         """,
         "stream_sliding_window": """

@@ -993,7 +993,7 @@ def events_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def fuzzy_part_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Entity-resolution-style fuzzy self-join: part names within
-    edit distance 2, BLOCKED on the name's first token so the
+    edit distance 3, BLOCKED on the name's first token so the
     quadratic levenshtein only runs inside blocks (the same
     sub-quadratic shape as LSH banding — at 100 TB the block key
     bounds the self-join fan-out; a production pipeline would add a
@@ -1026,7 +1026,7 @@ def fuzzy_part_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
             "key_b",
             F.levenshtein("name_a", "name_b").cast("long").alias("edit_dist"),
         )
-        .where(F.col("edit_dist") <= 2)
+        .where(F.col("edit_dist") <= 3)
         .orderBy("key_a", "key_b")
     )
 
