@@ -535,6 +535,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q3_host_report": reference.q3_host_report,
         # --- extended analytics (joins / windows / sessions / JSON) ---
         "pricing_summary": analytics.pricing_summary,
+        # --- new this round AFTER the 50-slot driver window filled:
+        #     local-oracle + pytest checked now, rotate into the
+        #     driver head next round ---
+        "sales_cube": analytics.sales_cube,
+        "events_anomaly_zscore": analytics.events_anomaly_zscore,
+        "events_gapfill_decay": analytics.events_gapfill_decay,
+        "order_snapshot_diff": analytics.order_snapshot_diff,
+        "lineitem_numeric_corr": analytics.lineitem_numeric_corr,
+        "embedding_quantize_int8": pipeline.embedding_quantize_int8,
+        "dedup_sorted_neighborhood": pipeline.dedup_sorted_neighborhood_docs,
         "revenue_by_nation": analytics.revenue_by_nation,
         "top_unshipped_orders": analytics.top_unshipped_orders,
         "order_priority_counts": analytics.order_priority_counts,
@@ -938,6 +948,170 @@ def oracle_sql() -> dict[str, str]:
              AND floor(epoch(c.ts)) < floor(epoch(p.ts))
             GROUP BY p.event_id, p.user_id
             ORDER BY p.event_id
+        """,
+        "sales_cube": """
+            SELECT coalesce(o_orderstatus, 'ALL') AS o_orderstatus,
+                   coalesce(o_orderpriority, 'ALL') AS o_orderpriority,
+                   count(*) AS n,
+                   CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+            FROM orders
+            GROUP BY CUBE (o_orderstatus, o_orderpriority)
+            ORDER BY o_orderstatus, o_orderpriority
+        """,
+        "events_anomaly_zscore": """
+            WITH hourly AS (
+                SELECT event_type,
+                       CAST(floor(epoch(ts) / 3600) AS BIGINT) AS hour_idx,
+                       count(*) AS n
+                FROM events GROUP BY event_type, hour_idx
+            ), z AS (
+                SELECT event_type, hour_idx, n,
+                       (n - AVG(n) OVER w) / stddev_pop(n) OVER w AS zraw
+                FROM hourly
+                WINDOW w AS (PARTITION BY event_type)
+            )
+            SELECT event_type, hour_idx, n,
+                   floor(zraw * 1000000.0 + 0.5) / 1000000.0 AS zscore
+            FROM z WHERE abs(zraw) > 2.0
+            ORDER BY event_type, hour_idx
+        """,
+        "events_gapfill_decay": """
+            WITH hourly AS (
+                SELECT event_type,
+                       CAST(floor(epoch(ts) / 3600) AS BIGINT) AS hour_idx,
+                       ROUND(SUM(value), 4) AS val
+                FROM events GROUP BY event_type, hour_idx
+            ), bounds AS (
+                SELECT event_type, min(hour_idx) AS lo, max(hour_idx) AS hi
+                FROM hourly GROUP BY event_type
+            ), spine AS (
+                SELECT event_type, unnest(range(lo, hi + 1)) AS hour_idx
+                FROM bounds
+            ), filled AS (
+                SELECT s.event_type, s.hour_idx, coalesce(h.val, 0.0) AS val
+                FROM spine s
+                LEFT JOIN hourly h
+                  ON s.event_type = h.event_type AND s.hour_idx = h.hour_idx
+            ), d AS (
+                SELECT event_type, hour_idx, val,
+                       val * 1.0
+                       + coalesce(lag(val, 1) OVER w, 0.0) * 0.5
+                       + coalesce(lag(val, 2) OVER w, 0.0) * 0.25
+                       + coalesce(lag(val, 3) OVER w, 0.0) * 0.125
+                       + coalesce(lag(val, 4) OVER w, 0.0) * 0.0625
+                       + coalesce(lag(val, 5) OVER w, 0.0) * 0.03125
+                       + coalesce(lag(val, 6) OVER w, 0.0) * 0.015625 AS draw
+                FROM filled
+                WINDOW w AS (PARTITION BY event_type ORDER BY hour_idx)
+            )
+            SELECT event_type, hour_idx, val,
+                   floor(draw * 1000000.0 + 0.5) / 1000000.0 AS decayed
+            FROM d
+            ORDER BY event_type, hour_idx
+        """,
+        "order_snapshot_diff": """
+            WITH oldsnap AS (
+                SELECT o_custkey, count(*) AS n_old,
+                       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_old
+                FROM orders WHERE o_orderdate < TIMESTAMP '1998-01-01'
+                GROUP BY o_custkey
+            ), newsnap AS (
+                SELECT o_custkey, count(*) AS n_new,
+                       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_new
+                FROM orders GROUP BY o_custkey
+            ), diff AS (
+                SELECT coalesce(o.o_custkey, n.o_custkey) AS o_custkey,
+                       CASE WHEN o.o_custkey IS NULL THEN 'insert'
+                            WHEN n.n_new <> o.n_old THEN 'update'
+                            ELSE 'unchanged' END AS change_type,
+                       coalesce(o.n_old, 0) AS n_old, n.n_new,
+                       coalesce(o.total_old, 0.0) AS total_old, n.total_new
+                FROM oldsnap o FULL OUTER JOIN newsnap n ON o.o_custkey = n.o_custkey
+            )
+            SELECT * FROM diff WHERE change_type <> 'unchanged'
+            ORDER BY o_custkey
+        """,
+        "lineitem_numeric_corr": """
+            WITH a AS (
+                SELECT corr(l_quantity, l_extendedprice) AS c1,
+                       corr(l_quantity, l_discount) AS c2,
+                       corr(l_quantity, l_tax) AS c3,
+                       corr(l_extendedprice, l_discount) AS c4,
+                       corr(l_extendedprice, l_tax) AS c5,
+                       corr(l_discount, l_tax) AS c6
+                FROM lineitem
+            ), u AS (
+                SELECT 'l_quantity' AS col_a, 'l_extendedprice' AS col_b, c1 AS c FROM a
+                UNION ALL SELECT 'l_quantity', 'l_discount', c2 FROM a
+                UNION ALL SELECT 'l_quantity', 'l_tax', c3 FROM a
+                UNION ALL SELECT 'l_extendedprice', 'l_discount', c4 FROM a
+                UNION ALL SELECT 'l_extendedprice', 'l_tax', c5 FROM a
+                UNION ALL SELECT 'l_discount', 'l_tax', c6 FROM a
+            )
+            SELECT col_a, col_b,
+                   floor(c * 1000000.0 + 0.5) / 1000000.0 AS corr
+            FROM u ORDER BY col_a, col_b
+        """,
+        "embedding_quantize_int8": """
+            WITH flat AS (
+                SELECT vec_id, i, embedding[i]::DOUBLE AS x
+                FROM embeddings, UNNEST(range(1, 65)) AS u(i)
+            ), stats AS (
+                SELECT i, min(x) AS mn, max(x) AS mx FROM flat GROUP BY i
+            ), scaled AS (
+                SELECT f.vec_id, f.x, s.mn,
+                       CASE WHEN s.mx = s.mn THEN 1.0
+                            ELSE (s.mx - s.mn) / 255.0 END AS sc
+                FROM flat f JOIN stats s ON f.i = s.i
+            ), coded AS (
+                SELECT vec_id, mn, sc, x,
+                       LEAST(255, GREATEST(0,
+                           CAST(floor((x - mn) / sc + 0.5) AS BIGINT))) AS code
+                FROM scaled
+            )
+            SELECT vec_id,
+                   SUM(code) AS q_sum,
+                   floor(MAX(abs(x - (mn + code::DOUBLE * sc))) * 1000000.0 + 0.5)
+                       / 1000000.0 AS max_abs_err
+            FROM coded GROUP BY vec_id ORDER BY vec_id
+        """,
+        "dedup_sorted_neighborhood": """
+            WITH ranked AS (
+                SELECT doc_id,
+                       row_number() OVER (ORDER BY
+                           substr(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), 1, 32) ASC,
+                           doc_id ASC) AS rn
+                FROM documents
+            ), cand AS (
+                SELECT LEAST(a.doc_id, b.doc_id) AS id_a,
+                       GREATEST(a.doc_id, b.doc_id) AS id_b
+                FROM ranked a JOIN ranked b
+                  ON b.rn > a.rn AND b.rn <= a.rn + 3
+            ), t AS (
+                SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS l
+                FROM documents
+            ), sh AS (
+                SELECT DISTINCT doc_id, l[i] || ' ' || l[i+1] || ' ' || l[i+2] AS shingle
+                FROM t, UNNEST(range(1, len(l) - 1)) AS u(i)
+                WHERE len(l) >= 3
+            ), sizes AS (
+                SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id
+            ), inter AS (
+                SELECT c.id_a, c.id_b, count(*) AS common
+                FROM cand c
+                JOIN sh sa ON sa.doc_id = c.id_a
+                JOIN sh sb ON sb.doc_id = c.id_b AND sb.shingle = sa.shingle
+                GROUP BY c.id_a, c.id_b
+            )
+            SELECT * FROM (
+                SELECT i.id_a, i.id_b,
+                       ROUND(i.common::DOUBLE
+                             / (sa.n_sh + sb.n_sh - i.common), 6) AS jaccard
+                FROM inter i
+                JOIN sizes sa ON sa.doc_id = i.id_a
+                JOIN sizes sb ON sb.doc_id = i.id_b
+            ) WHERE jaccard >= 0.1
+            ORDER BY id_a, id_b
         """,
         "small_quantity_revenue": """
             SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / 7.0

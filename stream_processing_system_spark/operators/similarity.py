@@ -922,3 +922,64 @@ def pq_topk(
         .orderBy(F.col("score").desc(), F.col(id_col).asc())
         .limit(k)
     )
+
+
+def quantize_int8(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+) -> DataFrame:
+    """Scalar (per-dimension min/max) int8 quantization of an
+    embedding column — the storage/bandwidth path every vector store
+    ships (4× smaller vectors, ~1% recall cost). Returns per vector:
+    the code checksum `q_sum` (bigint — proves the engine's codes are
+    integer-identical to the oracle's, not merely close) and the max
+    absolute reconstruction error.
+
+    Scale shape: ONE tiny aggregate computes all 128 per-dimension
+    min/max stats with map-side combine (output: a single row of two
+    64-wide arrays), broadcast back, then a single codegen'd map pass
+    quantizes every vector with array higher-order functions — no
+    Python, no second shuffle. All arithmetic is double IEEE with
+    identical operand order in both engines, so codes (an integer
+    floor) are exactly reproducible."""
+    v = F.col(vec_col)
+    stats = df.agg(
+        F.array(*[F.min(v[i].cast("double")) for i in range(dim)]).alias("_mins"),
+        F.array(*[F.max(v[i].cast("double")) for i in range(dim)]).alias("_maxs"),
+    ).select(
+        "_mins",
+        F.zip_with(
+            "_maxs",
+            "_mins",
+            lambda mx, mn: F.when(mx == mn, F.lit(1.0)).otherwise(
+                (mx - mn) / F.lit(255.0)
+            ),
+        ).alias("_scales"),
+    )
+
+    def _code(x, i):
+        mn = F.element_at(F.col("_mins"), i + 1)
+        sc = F.element_at(F.col("_scales"), i + 1)
+        raw = F.floor((x.cast("double") - mn) / sc + F.lit(0.5))
+        return F.least(F.lit(255).cast("long"), F.greatest(F.lit(0).cast("long"), raw))
+
+    def _err(x, i):
+        mn = F.element_at(F.col("_mins"), i + 1)
+        sc = F.element_at(F.col("_scales"), i + 1)
+        return F.abs(x.cast("double") - (mn + _code(x, i).cast("double") * sc))
+
+    return (
+        df.crossJoin(F.broadcast(stats))
+        .select(
+            F.col(id_col),
+            F.aggregate(
+                F.transform(v, _code),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + x,
+            ).alias("q_sum"),
+            det_round(F.array_max(F.transform(v, _err))).alias("max_abs_err"),
+        )
+        .orderBy(id_col)
+    )

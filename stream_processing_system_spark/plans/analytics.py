@@ -1122,3 +1122,170 @@ def orders_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("s.*")
         .orderBy("col_name")
     )
+
+
+def sales_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full CUBE over (o_orderstatus, o_orderpriority): every
+    grouping-set combination — (both), (status), (priority), () — in
+    one pass (completes the grouping-sets surface next to
+    `sales_rollup`'s ROLLUP). Spark plans CUBE as a single Expand +
+    hash aggregate: each input row fans out to 4 grouping rows
+    map-side, then one shuffle on a key domain of ~24 rows — the
+    shuffle cost is the same as a plain GROUP BY, independent of
+    input size, so it scales like pricing_summary."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            _dec_sum(F.col("o_totalprice"), "sum_price"),
+        )
+        .select(
+            F.coalesce("o_orderstatus", F.lit("ALL")).alias("o_orderstatus"),
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias("o_orderpriority"),
+            "n",
+            "sum_price",
+        )
+        .orderBy("o_orderstatus", "o_orderpriority")
+    )
+
+
+def events_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anomaly detection over the event stream: hourly event counts
+    per type, flagged where the count deviates from that type's mean
+    by more than 2 population standard deviations. Two aggregations:
+    (type, hour) counts — the only data-sized shuffle — then a
+    per-type window over ~720 hourly rows (tiny). At 100 TB the
+    hourly rollup is the map-side-combinable first stage; the z-score
+    pass runs on the aggregate, never the raw events."""
+    events = load_table(spark, sf_dir, "events")
+    hourly = (
+        events.groupBy(
+            "event_type",
+            F.floor(F.col("ts").cast("long") / 3600).cast("long").alias("hour_idx"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = Window.partitionBy("event_type")
+    z = (F.col("n") - F.avg("n").over(w)) / F.stddev_pop("n").over(w)
+    return (
+        hourly.withColumn("zscore", z)
+        .where(F.abs(F.col("zscore")) > 2.0)
+        .select("event_type", "hour_idx", "n", det_round(F.col("zscore")).alias("zscore"))
+        .orderBy("event_type", "hour_idx")
+    )
+
+
+def events_gapfill_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series gap-fill + exponential smoothing: per event type,
+    the hourly value sum with MISSING HOURS materialized as zeros
+    (sequence(min,max) explode against the observed hours), then an
+    exp-decayed rolling signal sum_{k=0..6} x[t-k] * 0.5^k — a 7-tap
+    impulse response written as explicit lag taps so both engines
+    evaluate the identical IEEE expression (0.5^k is an exact power
+    of two, so products and the fixed-order sum are bit-stable).
+    Scale: the raw-event shuffle is the hourly rollup (map-side
+    combined); the gap-fill sequence and lag window run on
+    hours×types rows — ~9k rows per year per type, driver-free."""
+    events = load_table(spark, sf_dir, "events")
+    hourly = (
+        events.groupBy(
+            "event_type",
+            F.floor(F.col("ts").cast("long") / 3600).cast("long").alias("hour_idx"),
+        )
+        .agg(F.round(F.sum("value"), 4).alias("val"))
+    )
+    spine = (
+        hourly.groupBy("event_type")
+        .agg(F.min("hour_idx").alias("lo"), F.max("hour_idx").alias("hi"))
+        .select("event_type", F.explode(F.sequence("lo", "hi")).alias("hour_idx"))
+    )
+    filled = (
+        spine.join(hourly, ["event_type", "hour_idx"], "left")
+        .select("event_type", "hour_idx", F.coalesce("val", F.lit(0.0)).alias("val"))
+    )
+    w = Window.partitionBy("event_type").orderBy("hour_idx")
+    decayed = sum(
+        F.coalesce(F.lag("val", k).over(w), F.lit(0.0)) * F.lit(0.5**k)
+        for k in range(7)
+    )
+    return (
+        filled.select(
+            "event_type",
+            "hour_idx",
+            "val",
+            det_round(decayed).alias("decayed"),
+        )
+        .orderBy("event_type", "hour_idx")
+    )
+
+
+def order_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC-style snapshot diff (the SCD/merge primitive): compare the
+    per-customer order state as of 1998-01-01 against today's, and
+    emit one change record per customer whose state changed —
+    `insert` (customer appears only now) or `update` (totals moved);
+    unchanged customers are dropped. A full outer join of two
+    aggregates of the same fact table: one scan, two map-side-combined
+    rollups, one join on the (already shuffled) customer key. This is
+    the shape of an incremental warehouse merge at 100 TB — state
+    carried as aggregates, never a row-by-row diff."""
+    orders = load_table(spark, sf_dir, "orders")
+
+    def snap(df: DataFrame, n: str, t: str) -> DataFrame:
+        return df.groupBy("o_custkey").agg(
+            F.count(F.lit(1)).alias(n), _dec_sum(F.col("o_totalprice"), t)
+        )
+
+    old = snap(
+        orders.where(F.col("o_orderdate") < F.lit("1998-01-01")), "n_old", "total_old"
+    )
+    new = snap(orders, "n_new", "total_new")
+    j = old.join(new, "o_custkey", "full_outer")
+    change = (
+        F.when(F.col("n_old").isNull(), F.lit("insert"))
+        .when(F.col("n_new") != F.col("n_old"), F.lit("update"))
+        .otherwise(F.lit("unchanged"))
+    )
+    return (
+        j.withColumn("change_type", change)
+        .where(F.col("change_type") != "unchanged")
+        .select(
+            "o_custkey",
+            "change_type",
+            F.coalesce("n_old", F.lit(0)).alias("n_old"),
+            "n_new",
+            F.coalesce("total_old", F.lit(0.0)).alias("total_old"),
+            "total_new",
+        )
+        .orderBy("o_custkey")
+    )
+
+
+def lineitem_numeric_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson correlation matrix over lineitem's numeric columns —
+    the feature-screening primitive. All 6 pairwise correlations are
+    computed in ONE aggregation pass (each corr is a co-moment
+    aggregate; Spark fuses them into a single partial+final hash
+    aggregate over one scan), then unpivoted to (col_a, col_b, corr)
+    rows. Rounded to 6 digits: the co-moment merge order differs
+    between engines in the ~1e-15 tail."""
+    li = load_table(spark, sf_dir, "lineitem")
+    cols = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+    pairs = [(a, b) for i, a in enumerate(cols) for b in cols[i + 1 :]]
+    row = li.agg(
+        *[det_round(F.corr(a, b)).alias(f"{a}|{b}") for a, b in pairs]
+    )
+    entries = [
+        F.struct(
+            F.lit(a).alias("col_a"),
+            F.lit(b).alias("col_b"),
+            F.col(f"`{a}|{b}`").alias("corr"),
+        )
+        for a, b in pairs
+    ]
+    return (
+        row.select(F.explode(F.array(*entries)).alias("s"))
+        .select("s.*")
+        .orderBy("col_a", "col_b")
+    )

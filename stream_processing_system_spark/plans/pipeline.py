@@ -433,3 +433,13 @@ def doc_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n_bigram").desc(), F.col("w1").asc(), F.col("w2").asc())
         .limit(50)
     )
+
+
+def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return similarity.quantize_int8(_embs(spark, sf_dir))
+
+
+def dedup_sorted_neighborhood_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.dedup_sorted_neighborhood(
+        _docs(spark, sf_dir), "doc_id", "text", window=3, threshold=0.1, shingle_n=3
+    )

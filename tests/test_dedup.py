@@ -155,3 +155,28 @@ def test_dedup_against_corpus_incremental(spark):
         ).collect()
     }
     assert kept == {101}  # both the near-dup and exact dup are dropped
+
+
+def test_sorted_neighborhood_pairs_are_true_jaccard_pairs(spark, sf_dir):
+    """Every sorted-neighborhood pair is a genuine Jaccard pair: the
+    exact all-pairs jaccard_pairs at the same threshold must be a
+    superset (sorted-neighborhood only narrows the candidate set —
+    its verify step is the same exact Jaccard)."""
+    from stream_processing_system_spark.operators.dedup import (
+        dedup_sorted_neighborhood,
+        jaccard_pairs,
+    )
+    from stream_processing_system_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    sn = {
+        (r.id_a, r.id_b)
+        for r in dedup_sorted_neighborhood(
+            docs, "doc_id", "text", window=3, threshold=0.1
+        ).collect()
+    }
+    exact = {
+        (min(r.id_a, r.id_b), max(r.id_a, r.id_b))
+        for r in jaccard_pairs(docs, "doc_id", "text", threshold=0.1).collect()
+    }
+    assert sn <= exact

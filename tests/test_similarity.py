@@ -296,3 +296,22 @@ def test_pq_codebooks_deterministic_and_used(spark, sf_dir):
     assert b1 == b2
     assert len(b1) == 4 and all(len(b) == 8 for b in b1)
     assert all(len(c) == 16 for b in b1 for c in b)
+
+
+def test_quantize_int8_error_bounded_by_half_step(spark, sf_dir):
+    """Reconstruction error of scalar min/max int8 quantization is
+    bounded by half a quantization step of the WIDEST dimension."""
+    from stream_processing_system_spark.operators.similarity import quantize_int8
+    from stream_processing_system_spark.sources.tables import load_table
+    from pyspark.sql import functions as F
+
+    embs = load_table(spark, sf_dir, "embeddings")
+    out = quantize_int8(embs)
+    spans = embs.select(
+        *[F.max(F.col("embedding")[i]) - F.min(F.col("embedding")[i]) for i in range(64)]
+    ).first()
+    half_step = max(spans) / 255.0 / 2.0
+    worst = out.agg(F.max("max_abs_err")).first()[0]
+    assert worst <= half_step + 1e-9
+    # codes are non-degenerate: not every vector collapses to one sum
+    assert out.select("q_sum").distinct().count() > 1
