@@ -543,6 +543,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_gapfill_decay": analytics.events_gapfill_decay,
         "order_snapshot_diff": analytics.order_snapshot_diff,
         "lineitem_numeric_corr": analytics.lineitem_numeric_corr,
+        "events_heavy_hitters": analytics.events_heavy_hitters,
         "embedding_quantize_int8": pipeline.embedding_quantize_int8,
         "dedup_sorted_neighborhood": pipeline.dedup_sorted_neighborhood_docs,
         "revenue_by_nation": analytics.revenue_by_nation,
@@ -1051,6 +1052,28 @@ def oracle_sql() -> dict[str, str]:
             SELECT col_a, col_b,
                    floor(c * 1000000.0 + 0.5) / 1000000.0 AS corr
             FROM u ORDER BY col_a, col_b
+        """,
+        "events_heavy_hitters": """
+            WITH cells AS (
+                SELECT j,
+                       ('0x' || substr(md5(j::VARCHAR || '|' || user_id::VARCHAR), 1, 8))::BIGINT % 256 AS b,
+                       count(*) AS n
+                FROM events, UNNEST(range(4)) AS u(j)
+                GROUP BY j, b
+            ), keys AS (
+                SELECT DISTINCT user_id FROM events
+            ), probes AS (
+                SELECT k.user_id, j,
+                       ('0x' || substr(md5(j::VARCHAR || '|' || k.user_id::VARCHAR), 1, 8))::BIGINT % 256 AS b
+                FROM keys k, UNNEST(range(4)) AS u(j)
+            ), est AS (
+                SELECT p.user_id, MIN(coalesce(c.n, 0)) AS est
+                FROM probes p LEFT JOIN cells c ON c.j = p.j AND c.b = p.b
+                GROUP BY p.user_id
+            )
+            SELECT user_id, est FROM est
+            ORDER BY est DESC, user_id ASC
+            LIMIT 20
         """,
         "embedding_quantize_int8": """
             WITH flat AS (

@@ -81,3 +81,80 @@ def topk(df: DataFrame, order: list[Column], k: int) -> DataFrame:
     tie-break column (the reference's tie order is Go-map-random,
     SURVEY.md §2.6)."""
     return df.orderBy(*order).limit(k)
+
+
+def cms_heavy_hitters(
+    df,
+    key_col: str,
+    depth: int = 4,
+    width: int = 256,
+    k: int = 20,
+):
+    """Count-min-sketch heavy hitters: estimate per-key frequencies
+    from a fixed-size depth×width counter array and return the top-k
+    keys by ESTIMATE (estimates over-count on collisions, never
+    under-count). The deterministic md5 bucket hashes make this the
+    oracle-checkable member of the sketch family (approx_distinct's
+    HLL is engine-internal and only property-testable).
+
+    Scale shape: the sketch build explodes each row to `depth` (row,
+    bucket) cells, but the groupBy partial-aggregates map-side to at
+    most depth×width (=1024 here) rows per task — the shuffle is
+    CONSTANT-size no matter the input, the whole point of a sketch.
+    The candidate side reuses the keys' distinct shuffle, probes the
+    broadcast sketch `depth` times (array lookup, no join), and
+    top-k's via TakeOrderedAndProject. At 100 TB the sketch would be
+    built once per partition-batch and merged by cell-wise sum —
+    the build here IS that merge expressed as one aggregation."""
+    from pyspark.sql import functions as F
+
+    from stream_processing_system_spark.functions.scalar import md5_prefix_long
+
+    key = F.col(key_col).cast("string")
+
+    def bucket(j):
+        return F.pmod(
+            md5_prefix_long(F.concat(F.lit(f"{j}|"), key)), F.lit(width)
+        )
+
+    cells = (
+        df.select(
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(j).alias("j"), bucket(j).alias("b")
+                        )
+                        for j in range(depth)
+                    ]
+                )
+            ).alias("c")
+        )
+        .groupBy("c.j", "c.b")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    # sketch as one broadcast row: depth arrays of width counters
+    # (missing cells are 0 via a dense spine built from sequence())
+    sketch = (
+        cells.groupBy("j")
+        .agg(F.map_from_arrays(F.collect_list("b"), F.collect_list("n")).alias("m"))
+        .groupBy()
+        .agg(F.map_from_arrays(F.collect_list("j"), F.collect_list("m")).alias("mm"))
+    )
+    # probe with the ORIGINAL key column (hash on its string form) so
+    # the output keeps the key's type and ordering semantics
+    probes = df.select(key_col).distinct().crossJoin(F.broadcast(sketch))
+    est = F.least(
+        *[
+            F.coalesce(
+                F.element_at(F.element_at(F.col("mm"), F.lit(j)), bucket(j)),
+                F.lit(0),
+            )
+            for j in range(depth)
+        ]
+    )
+    return (
+        probes.select(F.col(key_col), est.cast("long").alias("est"))
+        .orderBy(F.col("est").desc(), F.col(key_col).asc())
+        .limit(k)
+    )

@@ -1225,38 +1225,35 @@ def order_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-customer order state as of 1998-01-01 against today's, and
     emit one change record per customer whose state changed —
     `insert` (customer appears only now) or `update` (totals moved);
-    unchanged customers are dropped. A full outer join of two
-    aggregates of the same fact table: one scan, two map-side-combined
-    rollups, one join on the (already shuffled) customer key. This is
-    the shape of an incremental warehouse merge at 100 TB — state
-    carried as aggregates, never a row-by-row diff."""
+    unchanged customers are dropped. Because the old snapshot is a
+    predicate over the same fact table, BOTH snapshots fold into ONE
+    conditional aggregation: one scan, one map-side-combined shuffle,
+    no join at all (a naive formulation full-outer-joins two
+    aggregates — twice the scan and an avoidable sort-merge join;
+    `.explain` confirmed the fold removes both). This is the shape of
+    an incremental warehouse merge at 100 TB — state carried as
+    aggregates, never a row-by-row diff."""
     orders = load_table(spark, sf_dir, "orders")
-
-    def snap(df: DataFrame, n: str, t: str) -> DataFrame:
-        return df.groupBy("o_custkey").agg(
-            F.count(F.lit(1)).alias(n), _dec_sum(F.col("o_totalprice"), t)
-        )
-
-    old = snap(
-        orders.where(F.col("o_orderdate") < F.lit("1998-01-01")), "n_old", "total_old"
+    is_old = F.col("o_orderdate") < F.lit("1998-01-01")
+    price_dec = F.col("o_totalprice").cast("decimal(18,2)")
+    agg = orders.groupBy("o_custkey").agg(
+        F.count(F.when(is_old, 1)).alias("n_old"),
+        F.count(F.lit(1)).alias("n_new"),
+        F.coalesce(
+            F.sum(F.when(is_old, price_dec)).cast("double"), F.lit(0.0)
+        ).alias("total_old"),
+        F.sum(price_dec).cast("double").alias("total_new"),
     )
-    new = snap(orders, "n_new", "total_new")
-    j = old.join(new, "o_custkey", "full_outer")
     change = (
-        F.when(F.col("n_old").isNull(), F.lit("insert"))
+        F.when(F.col("n_old") == 0, F.lit("insert"))
         .when(F.col("n_new") != F.col("n_old"), F.lit("update"))
         .otherwise(F.lit("unchanged"))
     )
     return (
-        j.withColumn("change_type", change)
+        agg.withColumn("change_type", change)
         .where(F.col("change_type") != "unchanged")
         .select(
-            "o_custkey",
-            "change_type",
-            F.coalesce("n_old", F.lit(0)).alias("n_old"),
-            "n_new",
-            F.coalesce("total_old", F.lit(0.0)).alias("total_old"),
-            "total_new",
+            "o_custkey", "change_type", "n_old", "n_new", "total_old", "total_new"
         )
         .orderBy("o_custkey")
     )
@@ -1289,3 +1286,15 @@ def lineitem_numeric_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("s.*")
         .orderBy("col_a", "col_b")
     )
+
+
+def events_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 users by count-min-sketch ESTIMATE (depth 4 × width 256
+    counters) — the mergeable fixed-size sketch answer to "who are
+    the heavy hitters" that never shuffles more than depth×width
+    cells regardless of input size (operators/core.py
+    cms_heavy_hitters has the scale analysis)."""
+    from stream_processing_system_spark.operators.core import cms_heavy_hitters
+
+    events = load_table(spark, sf_dir, "events")
+    return cms_heavy_hitters(events, "user_id", depth=4, width=256, k=20)

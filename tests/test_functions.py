@@ -41,3 +41,20 @@ def test_tokenize_drops_empty_by_default(spark):
 def test_round_robin_partition_count(spark):
     df = spark.range(100)
     assert round_robin(df, 7).rdd.getNumPartitions() == 7
+
+def test_cms_estimate_never_undercounts(spark, sf_dir):
+    """Count-min property: estimate >= exact count for every key, and
+    equals the exact count when no collision occurred."""
+    from pyspark.sql import functions as F
+
+    from stream_processing_system_spark.operators.core import cms_heavy_hitters
+    from stream_processing_system_spark.sources.tables import load_table
+
+    events = load_table(spark, sf_dir, "events")
+    est = cms_heavy_hitters(events, "user_id", k=1000).toPandas()
+    exact = (
+        events.groupBy("user_id").agg(F.count(F.lit(1)).alias("n")).toPandas()
+    ).set_index("user_id")["n"]
+    assert len(est) > 0
+    for r in est.itertuples():
+        assert r.est >= exact[r.user_id]
