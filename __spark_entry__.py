@@ -546,6 +546,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_heavy_hitters": analytics.events_heavy_hitters,
         "embedding_quantize_int8": pipeline.embedding_quantize_int8,
         "dedup_sorted_neighborhood": pipeline.dedup_sorted_neighborhood_docs,
+        "doc_containment_pairs": pipeline.doc_containment_pairs,
+        "doc_shingle_novelty": pipeline.doc_shingle_novelty,
         "revenue_by_nation": analytics.revenue_by_nation,
         "top_unshipped_orders": analytics.top_unshipped_orders,
         "order_priority_counts": analytics.order_priority_counts,
@@ -1052,6 +1054,49 @@ def oracle_sql() -> dict[str, str]:
             SELECT col_a, col_b,
                    floor(c * 1000000.0 + 0.5) / 1000000.0 AS corr
             FROM u ORDER BY col_a, col_b
+        """,
+        "doc_containment_pairs": """
+            WITH t AS (
+                SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS l
+                FROM documents
+            ), sh AS (
+                SELECT DISTINCT doc_id, l[i] || ' ' || l[i+1] || ' ' || l[i+2] AS shingle
+                FROM t, UNNEST(range(1, len(l) - 1)) AS u(i)
+                WHERE len(l) >= 3
+            ), sizes AS (
+                SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id
+            ), inter AS (
+                SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS common
+                FROM sh a JOIN sh b
+                  ON a.shingle = b.shingle AND a.doc_id <> b.doc_id
+                GROUP BY id_a, id_b
+            )
+            SELECT i.id_a, i.id_b, sa.n_sh
+            FROM inter i JOIN sizes sa ON sa.doc_id = i.id_a
+            WHERE i.common = sa.n_sh
+            ORDER BY i.id_a, i.id_b
+        """,
+        "doc_shingle_novelty": """
+            WITH t AS (
+                SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS l
+                FROM documents
+            ), sh AS (
+                SELECT DISTINCT doc_id, l[i] || ' ' || l[i+1] || ' ' || l[i+2] AS shingle
+                FROM t, UNNEST(range(1, len(l) - 1)) AS u(i)
+                WHERE len(l) >= 3
+            ), owner AS (
+                SELECT shingle, min(doc_id) AS first_doc FROM sh GROUP BY shingle
+            ), per_doc AS (
+                SELECT s.doc_id,
+                       count(*) AS n_shingles,
+                       SUM(CASE WHEN o.first_doc = s.doc_id THEN 1 ELSE 0 END) AS n_novel
+                FROM sh s JOIN owner o ON o.shingle = s.shingle
+                GROUP BY s.doc_id
+            )
+            SELECT doc_id, n_shingles, n_novel,
+                   floor((n_novel::DOUBLE / n_shingles) * 1000000.0 + 0.5)
+                       / 1000000.0 AS novelty
+            FROM per_doc ORDER BY doc_id
         """,
         "events_heavy_hitters": """
             WITH cells AS (

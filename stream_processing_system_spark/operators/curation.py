@@ -225,3 +225,37 @@ def bm25_search(
         .agg((F.sum(contrib_u) / 1_000_000.0).alias("bm25"))
     )
     return scored.orderBy(F.col("bm25").desc(), F.col(id_col).asc()).limit(limit)
+
+
+def shingle_novelty(
+    df: DataFrame, id_col: str, text_col: str, n: int = 3
+) -> DataFrame:
+    """Greedy-dedup contribution scoring: for each doc, the fraction
+    of its shingles whose FIRST owner (minimum id) is this doc — what
+    the doc adds to the corpus if docs are admitted in id order. The
+    canonical use is data valuation: novelty ~0 means the doc is
+    assembled from already-seen text and a greedy curator would drop
+    it.
+
+    Scale shape: one shingle explode feeding two map-side-combined
+    aggregations — min-owner per shingle, then counts per doc — and
+    an equi-join between them on the shingle key. All counts are
+    integers; the ratio is the only float (rounded 6dp)."""
+    from stream_processing_system_spark.operators.dedup import shingles_per_doc
+
+    sh = shingles_per_doc(df, id_col, text_col, n=n)
+    owner = sh.groupBy("shingle").agg(F.min(id_col).alias("_first"))
+    per_doc = (
+        sh.join(owner, "shingle")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.count(F.when(F.col("_first") == F.col(id_col), 1)).alias("n_novel"),
+        )
+    )
+    return per_doc.select(
+        F.col(id_col),
+        F.col("n_shingles").cast("long").alias("n_shingles"),
+        F.col("n_novel").cast("long").alias("n_novel"),
+        det_round(F.col("n_novel") / F.col("n_shingles")).alias("novelty"),
+    ).orderBy(id_col)

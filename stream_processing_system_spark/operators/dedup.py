@@ -697,3 +697,51 @@ def dedup_sorted_neighborhood(
         .where(F.col("jaccard") >= threshold)
         .orderBy("id_a", "id_b")
     )
+
+
+def containment_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    shingle_n: int = 3,
+    max_shingle_freq: int | None = None,
+) -> DataFrame:
+    """Asymmetric containment detection: (id_a, id_b) pairs where
+    EVERY shingle of a also appears in b (a ⊆ b, a ≠ b) — catches
+    subset-duplicates (a paragraph lifted into a longer doc) that
+    symmetric Jaccard under-scores when |b| >> |a|. Output includes
+    a's shingle count as the evidence size.
+
+    Scale shape: same sub-quadratic inverted-index self-join as
+    jaccard_pairs — docs meet only through shared shingles, and
+    containment needs just the intersection count compared to |a|
+    (one groupBy, no second pass). `max_shingle_freq` is the same
+    hot-shingle skew valve."""
+    sh = shingles_per_doc(df, id_col, text_col, n=shingle_n)
+    if max_shingle_freq is not None:
+        rare = (
+            sh.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("_f"))
+            .where(F.col("_f") <= max_shingle_freq)
+            .select("shingle")
+        )
+        sh = sh.join(rare, "shingle")
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col(f"a.shingle") == F.col(f"b.shingle"))
+            & (F.col(f"a.{id_col}") != F.col(f"b.{id_col}")),
+        )
+        .groupBy(
+            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+        )
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    return (
+        inter.join(sizes.withColumnRenamed(id_col, "id_a"), "id_a")
+        .where(F.col("common") == F.col("n_sh"))
+        .select("id_a", "id_b", F.col("n_sh").cast("long").alias("n_sh"))
+        .orderBy("id_a", "id_b")
+    )

@@ -443,3 +443,11 @@ def dedup_sorted_neighborhood_docs(spark: SparkSession, sf_dir: str) -> DataFram
     return dedup.dedup_sorted_neighborhood(
         _docs(spark, sf_dir), "doc_id", "text", window=3, threshold=0.1, shingle_n=3
     )
+
+
+def doc_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.containment_pairs(_docs(spark, sf_dir), "doc_id", "text")
+
+
+def doc_shingle_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return curation.shingle_novelty(_docs(spark, sf_dir), "doc_id", "text")
