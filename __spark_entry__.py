@@ -434,6 +434,30 @@ def _pii_scrub_oracle_sql() -> str:
 #: Shared by sessionize_events (batch lag+cumsum) and
 #: stream_sessionize_events (session_window + watermark): one oracle,
 #: two formulations — the hash-match proves them equivalent.
+_CMS_HH_ORACLE_SQL = """
+            WITH cells AS (
+                SELECT j,
+                       ('0x' || substr(md5(j::VARCHAR || '|' || user_id::VARCHAR), 1, 8))::BIGINT % 256 AS b,
+                       count(*) AS n
+                FROM events, UNNEST(range(4)) AS u(j)
+                GROUP BY j, b
+            ), keys AS (
+                SELECT DISTINCT user_id FROM events
+            ), probes AS (
+                SELECT k.user_id, j,
+                       ('0x' || substr(md5(j::VARCHAR || '|' || k.user_id::VARCHAR), 1, 8))::BIGINT % 256 AS b
+                FROM keys k, UNNEST(range(4)) AS u(j)
+            ), est AS (
+                SELECT p.user_id, MIN(coalesce(c.n, 0)) AS est
+                FROM probes p LEFT JOIN cells c ON c.j = p.j AND c.b = p.b
+                GROUP BY p.user_id
+            )
+            SELECT user_id, est FROM est
+            ORDER BY est DESC, user_id ASC
+            LIMIT 20
+"""
+
+
 _SESSIONIZE_ORACLE_SQL = """
     WITH gaps AS (
         SELECT user_id, event_id, ts,
@@ -547,6 +571,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_quantize_int8": pipeline.embedding_quantize_int8,
         "dedup_sorted_neighborhood": pipeline.dedup_sorted_neighborhood_docs,
         "doc_containment_pairs": pipeline.doc_containment_pairs,
+        "stream_heavy_hitters": streaming_parity.stream_heavy_hitters_events,
         "doc_shingle_novelty": pipeline.doc_shingle_novelty,
         "revenue_by_nation": analytics.revenue_by_nation,
         "top_unshipped_orders": analytics.top_unshipped_orders,
@@ -1098,28 +1123,10 @@ def oracle_sql() -> dict[str, str]:
                        / 1000000.0 AS novelty
             FROM per_doc ORDER BY doc_id
         """,
-        "events_heavy_hitters": """
-            WITH cells AS (
-                SELECT j,
-                       ('0x' || substr(md5(j::VARCHAR || '|' || user_id::VARCHAR), 1, 8))::BIGINT % 256 AS b,
-                       count(*) AS n
-                FROM events, UNNEST(range(4)) AS u(j)
-                GROUP BY j, b
-            ), keys AS (
-                SELECT DISTINCT user_id FROM events
-            ), probes AS (
-                SELECT k.user_id, j,
-                       ('0x' || substr(md5(j::VARCHAR || '|' || k.user_id::VARCHAR), 1, 8))::BIGINT % 256 AS b
-                FROM keys k, UNNEST(range(4)) AS u(j)
-            ), est AS (
-                SELECT p.user_id, MIN(coalesce(c.n, 0)) AS est
-                FROM probes p LEFT JOIN cells c ON c.j = p.j AND c.b = p.b
-                GROUP BY p.user_id
-            )
-            SELECT user_id, est FROM est
-            ORDER BY est DESC, user_id ASC
-            LIMIT 20
-        """,
+        "events_heavy_hitters": _CMS_HH_ORACLE_SQL,
+        # streaming twin: cell-wise counts are mergeable, so the
+        # micro-batched sketch converges to the batch sketch exactly
+        "stream_heavy_hitters": _CMS_HH_ORACLE_SQL,
         "embedding_quantize_int8": """
             WITH flat AS (
                 SELECT vec_id, i, embedding[i]::DOUBLE AS x

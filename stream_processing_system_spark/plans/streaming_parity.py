@@ -304,3 +304,83 @@ def stream_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     q.awaitTermination()
     _cleanup(input_dir)
     return spark.table(f"slw_{run}").orderBy("window_start")
+
+
+def stream_heavy_hitters_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min-sketch heavy hitters with the SKETCH maintained by a
+    streaming aggregation: the depth×width cell counters are the
+    streaming state (groupBy (row, bucket) in complete mode, drained
+    with availableNow), and the top-k probe runs as a batch query
+    over the drained cell snapshot — the standard sketch serving
+    split (the stream maintains the sketch, queries probe a
+    snapshot). Cell-wise counts are mergeable, so micro-batched
+    maintenance converges to the batch sketch exactly: same oracle as
+    events_heavy_hitters."""
+    from stream_processing_system_spark.functions.scalar import md5_prefix_long
+
+    depth, width, k = 4, 256, 20
+    input_dir, ckpt, run = _scratch("hh")
+    events = load_table(spark, sf_dir, "events").select(
+        F.col("user_id"), F.col("user_id").cast("string").alias("_k")
+    )
+    events.write.mode("overwrite").parquet(input_dir)
+
+    def bucket(j, key):
+        return F.pmod(md5_prefix_long(F.concat(F.lit(f"{j}|"), key)), F.lit(width))
+
+    stream = spark.readStream.schema("user_id bigint, _k string").parquet(input_dir)
+    cells = (
+        stream.select(
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(j).alias("j"),
+                            bucket(j, F.col("_k")).alias("b"),
+                        )
+                        for j in range(depth)
+                    ]
+                )
+            ).alias("c")
+        )
+        .groupBy("c.j", "c.b")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    q = (
+        cells.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(f"hh_{run}")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    _cleanup(input_dir)
+    cell_tbl = spark.table(f"hh_{run}")
+    probes = (
+        load_table(spark, sf_dir, "events")
+        .select("user_id")
+        .distinct()
+        .select(
+            "user_id",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(j).alias("j"),
+                            bucket(j, F.col("user_id").cast("string")).alias("b"),
+                        )
+                        for j in range(depth)
+                    ]
+                )
+            ).alias("p"),
+        )
+        .select("user_id", "p.j", "p.b")
+    )
+    return (
+        probes.join(F.broadcast(cell_tbl), ["j", "b"], "left")
+        .groupBy("user_id")
+        .agg(F.min(F.coalesce("n", F.lit(0))).cast("long").alias("est"))
+        .orderBy(F.col("est").desc(), F.col("user_id").asc())
+        .limit(k)
+    )
