@@ -572,6 +572,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_sorted_neighborhood": pipeline.dedup_sorted_neighborhood_docs,
         "doc_containment_pairs": pipeline.doc_containment_pairs,
         "stream_heavy_hitters": streaming_parity.stream_heavy_hitters_events,
+        "media_frame_samples": pipeline.media_frame_samples,
         "doc_shingle_novelty": pipeline.doc_shingle_novelty,
         "revenue_by_nation": analytics.revenue_by_nation,
         "top_unshipped_orders": analytics.top_unshipped_orders,
@@ -1122,6 +1123,22 @@ def oracle_sql() -> dict[str, str]:
                    floor((n_novel::DOUBLE / n_shingles) * 1000000.0 + 0.5)
                        / 1000000.0 AS novelty
             FROM per_doc ORDER BY doc_id
+        """,
+        "media_frame_samples": """
+            WITH vids AS (
+                SELECT doc_id AS media_id,
+                       ('0x' || substr(md5(text), 1, 8))::BIGINT AS h
+                FROM documents WHERE doc_id % 3 = 2
+            ), meta AS (
+                SELECT media_id,
+                       LEAST((1000 + h % 7200000) // 1000, 16) AS n_frames
+                FROM vids
+            )
+            SELECT media_id,
+                   unnest(range(n_frames)) AS frame_idx,
+                   unnest(range(n_frames)) * 1000 AS ts_ms
+            FROM meta
+            ORDER BY media_id, frame_idx
         """,
         "events_heavy_hitters": _CMS_HH_ORACLE_SQL,
         # streaming twin: cell-wise counts are mergeable, so the

@@ -451,3 +451,20 @@ def doc_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def doc_shingle_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     return curation.shingle_novelty(_docs(spark, sf_dir), "doc_id", "text")
+
+
+def media_frame_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame-sampling plumbing end-to-end: fake media table →
+    mapInPandas frame sampler (1 frame/sec, capped at 16) → one row
+    per sampled frame. The decode is the documented deterministic
+    stub (operators/multimodal.py:_fake_decode derives duration from
+    the payload md5), which makes this Arrow-batched Python stage
+    value-hash checkable in SQL — the plumbing is verified even
+    though the codec is a stand-in."""
+    media = multimodal.fake_media_from_documents(spark, _docs(spark, sf_dir))
+    frames = multimodal.sample_frames(media, every_ms=1000)
+    return frames.select(
+        F.col("media_id"),
+        F.col("frame_idx").cast("long").alias("frame_idx"),
+        F.col("ts_ms").cast("long").alias("ts_ms"),
+    ).orderBy("media_id", "frame_idx")
