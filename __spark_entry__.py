@@ -563,6 +563,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #     local-oracle + pytest checked now, rotate into the
         #     driver head next round ---
         "sales_cube": analytics.sales_cube,
+        "status_priority_grouping_sets": analytics.status_priority_grouping_sets,
         "events_anomaly_zscore": analytics.events_anomaly_zscore,
         "events_gapfill_decay": analytics.events_gapfill_decay,
         "order_snapshot_diff": analytics.order_snapshot_diff,
@@ -985,6 +986,15 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
             FROM orders
             GROUP BY CUBE (o_orderstatus, o_orderpriority)
+            ORDER BY o_orderstatus, o_orderpriority
+        """,
+        "status_priority_grouping_sets": """
+            SELECT coalesce(o_orderstatus, 'ALL') AS o_orderstatus,
+                   coalesce(o_orderpriority, 'ALL') AS o_orderpriority,
+                   count(*) AS n,
+                   CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+            FROM orders
+            GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
             ORDER BY o_orderstatus, o_orderpriority
         """,
         "events_anomaly_zscore": """
