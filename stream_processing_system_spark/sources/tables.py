@@ -43,12 +43,19 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     columns and pushes filters into the scan automatically."""
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; known: {TABLES}")
+    # Naive parquet timestamps (isAdjustedToUTC=false) must read as
+    # TIMESTAMP, not TIMESTAMP_NTZ: the plans treat ts as epoch-based
+    # (cast("long"), window(), unix_timestamp), NTZ forbids the long
+    # cast, and DuckDB's epoch() oracle reads the same stored micros.
+    # With session tz UTC the stored value IS the epoch either way.
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     if name == "events":
-        # events.parquet stores TIMESTAMP(NANOS), which vanilla Spark
-        # rejects (PARQUET_TYPE_ILLEGAL). Read nanos as long, then
-        # convert to a real timestamp at microsecond precision using
-        # integer division (a double division would lose precision at
-        # ~1.7e18 nanos).
+        # events.parquet has stored TIMESTAMP(NANOS) in some driver
+        # generations, which vanilla Spark rejects
+        # (PARQUET_TYPE_ILLEGAL). Read nanos as long, then convert to
+        # a real timestamp at microsecond precision using integer
+        # division (a double division would lose precision at ~1.7e18
+        # nanos).
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(table_path(sf_dir, name))
         if dict(df.dtypes).get("ts") == "bigint":
