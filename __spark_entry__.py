@@ -575,6 +575,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_heavy_hitters": streaming_parity.stream_heavy_hitters_events,
         "media_frame_samples": pipeline.media_frame_samples,
         "doc_shingle_novelty": pipeline.doc_shingle_novelty,
+        "doc_lm_score": pipeline.doc_lm_score,
         "revenue_by_nation": analytics.revenue_by_nation,
         "top_unshipped_orders": analytics.top_unshipped_orders,
         "order_priority_counts": analytics.order_priority_counts,
@@ -1822,6 +1823,37 @@ def oracle_sql() -> dict[str, str]:
             FROM bi JOIN uni USING (w1) CROSS JOIN v
             ORDER BY n_bigram DESC, w1 ASC, w2 ASC
             LIMIT 50
+        """,
+        "doc_lm_score": """
+            WITH toks AS (
+                SELECT doc_id, i AS pos, ws[i] AS w
+                FROM (
+                    SELECT doc_id,
+                           list_filter(string_split(text, ' '), x -> x <> '') AS ws
+                    FROM documents
+                ), UNNEST(range(1, len(ws) + 1)) AS u(i)
+            ), doc_bi AS (
+                SELECT a.doc_id, a.w AS w1, b.w AS w2, count(*) AS tf
+                FROM toks a JOIN toks b
+                  ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+                GROUP BY a.doc_id, a.w, b.w
+            ), lm AS (
+                SELECT w1, w2, sum(tf) AS n_bigram FROM doc_bi GROUP BY w1, w2
+            ), uni AS (
+                SELECT w AS w1, count(*) AS n_uni FROM toks GROUP BY w
+            ), v AS (
+                SELECT count(DISTINCT w) AS vs FROM toks
+            )
+            SELECT doc_id,
+                   sum(tf)::BIGINT AS n_bigrams,
+                   floor((sum(tf * floor(log2((n_bigram + 1)::DOUBLE
+                                              / (n_uni + vs)::DOUBLE)
+                                         * 1000000.0 + 0.5))::DOUBLE
+                          / (sum(tf) * 1000000.0))
+                         * 1000000.0 + 0.5) / 1000000.0 AS avg_logp
+            FROM doc_bi JOIN lm USING (w1, w2) JOIN uni USING (w1) CROSS JOIN v
+            GROUP BY doc_id
+            ORDER BY doc_id
         """,
         "orders_table_profile": """
             SELECT 'o_orderkey' AS col_name,

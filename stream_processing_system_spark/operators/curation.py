@@ -227,6 +227,61 @@ def bm25_search(
     return scored.orderBy(F.col("bm25").desc(), F.col(id_col).asc()).limit(limit)
 
 
+def bigram_lm_score(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Model-based quality scoring (the CCNet/KenLM filter shape):
+    train an add-1-smoothed bigram LM on the corpus itself, then score
+    every document by its mean log2 P(w2|w1) under that LM. Text built
+    from common corpus phrasing scores high (near 0), garbled or
+    out-of-distribution text scores low (strongly negative) — the
+    standard signal for perplexity-bucketing pretraining data.
+
+    Scale shape: token explode → per-doc bigram tf aggregate
+    (map-side combined); the LM itself is a second aggregate OVER the
+    doc-level tfs (never a second pass over raw tokens), and scoring
+    is one equi-join on (w1, w2) — O(distinct bigrams) join keys, not
+    O(corpus tokens). Per-bigram log-probs are floored to integer
+    micro-units BEFORE the tf-weighted per-doc sum, so the score is
+    independent of fp addition order across partitionings and vs the
+    SQL oracle (same device as `bm25_search`). Docs with < 2 tokens
+    have no bigrams and drop out (inner join), mirroring the oracle."""
+    toks = df.select(
+        F.col(id_col), F.posexplode(_toks(F.col(text_col))).alias("_pos", "_w")
+    )
+    nxt = toks.select(
+        id_col, (F.col("_pos") - 1).alias("_pos"), F.col("_w").alias("_w2")
+    )
+    doc_bi = (
+        toks.join(nxt, [id_col, "_pos"])
+        .groupBy(F.col(id_col), F.col("_w").alias("_w1"), F.col("_w2"))
+        .agg(F.count(F.lit(1)).alias("_tf"))
+    )
+    lm = doc_bi.groupBy("_w1", "_w2").agg(F.sum("_tf").alias("_n_bigram"))
+    uni = toks.groupBy(F.col("_w").alias("_w1")).agg(
+        F.count(F.lit(1)).alias("_n_uni")
+    )
+    vocab = toks.agg(F.count_distinct("_w").alias("_vs"))
+    p = (F.col("_n_bigram") + 1) / (F.col("_n_uni") + F.col("_vs")).cast("double")
+    logp_u = F.floor(F.log2(p) * 1_000_000.0 + 0.5).cast("long")
+    return (
+        doc_bi.join(lm, ["_w1", "_w2"])
+        .join(uni, "_w1")
+        .crossJoin(F.broadcast(vocab))
+        .groupBy(id_col)
+        .agg(
+            F.sum("_tf").cast("long").alias("n_bigrams"),
+            F.sum(F.col("_tf") * logp_u).alias("_s"),
+        )
+        .select(
+            F.col(id_col),
+            F.col("n_bigrams"),
+            det_round(
+                F.col("_s") / (F.col("n_bigrams") * F.lit(1_000_000.0))
+            ).alias("avg_logp"),
+        )
+        .orderBy(id_col)
+    )
+
+
 def shingle_novelty(
     df: DataFrame, id_col: str, text_col: str, n: int = 3
 ) -> DataFrame:

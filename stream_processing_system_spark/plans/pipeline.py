@@ -435,6 +435,13 @@ def doc_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def doc_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perplexity-style quality filter: every document scored by its
+    mean log2 bigram probability under an add-1-smoothed LM trained on
+    the corpus itself (`operators/curation.bigram_lm_score`)."""
+    return curation.bigram_lm_score(_docs(spark, sf_dir), "doc_id", "text")
+
+
 def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.quantize_int8(_embs(spark, sf_dir))
 

@@ -102,3 +102,27 @@ def test_bm25_ranks_full_match_above_partial(spark):
     assert ids.index(1) < ids.index(2)  # full match beats single term
     scores = {r["doc_id"]: r["bm25"] for r in rows}
     assert scores[4] > scores[2]  # 3 rare terms beat 1 common term
+
+
+def test_bigram_lm_score_prefers_predictable_text(spark):
+    # docs 1-3 repeat the same phrasing → their bigrams dominate the
+    # corpus LM and score near the top; doc 4 is one-off gibberish
+    # whose bigrams are all singletons → far more surprising under
+    # the same LM. doc 5 (one token) has no bigrams and drops out.
+    df = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "the quick brown fox jumps over the lazy dog"),
+            (3, "the quick brown fox jumps over the lazy dog"),
+            (4, "zxq vbnm qwerty plomp frizzle wub snark glomp blurt"),
+            (5, "solo"),
+        ],
+        ["doc_id", "text"],
+    )
+    rows = curation.bigram_lm_score(df, "doc_id", "text").collect()
+    scores = {r["doc_id"]: r["avg_logp"] for r in rows}
+    assert set(scores) == {1, 2, 3, 4}
+    assert scores[1] == scores[2] == scores[3]  # identical text, identical score
+    assert scores[1] > scores[4]  # predictable text beats gibberish
+    n = {r["doc_id"]: r["n_bigrams"] for r in rows}
+    assert n[1] == 8 and n[4] == 8
