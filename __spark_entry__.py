@@ -576,6 +576,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_frame_samples": pipeline.media_frame_samples,
         "doc_shingle_novelty": pipeline.doc_shingle_novelty,
         "doc_lm_score": pipeline.doc_lm_score,
+        "stream_dedup_watermark": streaming_parity.stream_dedup_watermark_docs,
         "revenue_by_nation": analytics.revenue_by_nation,
         "top_unshipped_orders": analytics.top_unshipped_orders,
         "order_priority_counts": analytics.order_priority_counts,
@@ -1823,6 +1824,11 @@ def oracle_sql() -> dict[str, str]:
             FROM bi JOIN uni USING (w1) CROSS JOIN v
             ORDER BY n_bigram DESC, w1 ASC, w2 ASC
             LIMIT 50
+        """,
+        "stream_dedup_watermark": """
+            SELECT DISTINCT md5(lower(trim(text))) AS digest
+            FROM documents
+            ORDER BY digest
         """,
         "doc_lm_score": """
             WITH toks AS (

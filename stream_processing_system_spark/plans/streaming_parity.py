@@ -83,6 +83,48 @@ def stream_dedup_exact_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(f"dd_{run}")
 
 
+def stream_dedup_watermark_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded-state streaming dedup: `dropDuplicatesWithinWatermark`
+    holds a digest in the state store only while it is inside the
+    watermark horizon, then retires it — the unbounded-key-universe
+    answer to `stream_dedup_exact_docs`, whose one-row-per-distinct-
+    digest state grows forever. At 100 TB/day the full digest set
+    never fits in state, but a horizon's worth does, and near-dup
+    ingest bursts (re-crawls, retries) land inside the horizon.
+
+    Static parity: every replayed row carries the same event time, so
+    one horizon covers the entire drop and the drained result equals
+    global DISTINCT digests — the exact batch oracle. The emitted row
+    per digest is whichever arrived first, so only the digest column
+    (deterministic) is returned."""
+    from stream_processing_system_spark.operators.dedup import normalized_text
+
+    input_dir, ckpt, run = _scratch("ddwm")
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    docs.write.mode("overwrite").parquet(input_dir)
+    stream = spark.readStream.schema("doc_id long, text string").parquet(input_dir)
+    deduped = (
+        stream.select(
+            F.md5(normalized_text(F.col("text"))).alias("digest"),
+            F.lit("2024-01-01 00:00:00").cast("timestamp").alias("_ts"),
+        )
+        .withWatermark("_ts", "1 hour")
+        .dropDuplicatesWithinWatermark(["digest"])
+        .select("digest")
+    )
+    q = (
+        deduped.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(f"ddwm_{run}")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    _cleanup(input_dir)
+    return spark.table(f"ddwm_{run}").orderBy("digest")
+
+
 def stream_events_per_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tumbling 1-hour event-time window with a watermark, drained
     with availableNow — the streaming twin of events_per_hour (same
