@@ -820,6 +820,7 @@ def pq_topk(
     dim: int = 64,
     sample_mod: int = 1,
     rerank: int = 0,
+    books: list[list[list[float]]] | None = None,
 ) -> DataFrame:
     """PQ approximate top-k by inner product with asymmetric distance
     computation (ADC): encode every corpus vector as `n_sub` small
@@ -847,9 +848,15 @@ def pq_topk(
     the re-rank join touches R raw vectors — a broadcast of R ids
     against the corpus, one semi-join, no second full scan ordering.
     """
-    books = train_pq_codebooks(
-        df, id_col, vec_col, n_sub, n_codes, iters, dim, sample_mod
-    )
+    # Codebook training (two driver round-trips per Lloyd's round) is
+    # the BUILD half of PQ — callers that query repeatedly pass
+    # pre-trained `books` and pay it once (plans/pipeline.py caches
+    # per process, the vector-DB-load analogue, same split as the
+    # persisted IVF index).
+    if books is None:
+        books = train_pq_codebooks(
+            df, id_col, vec_col, n_sub, n_codes, iters, dim, sample_mod
+        )
     spark = df.sparkSession
     width = dim // n_sub
     book_df = spark.createDataFrame(
