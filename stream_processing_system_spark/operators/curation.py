@@ -244,22 +244,36 @@ def bigram_lm_score(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     independent of fp addition order across partitionings and vs the
     SQL oracle (same device as `bm25_search`). Docs with < 2 tokens
     have no bigrams and drop out (inner join), mirroring the oracle."""
-    toks = df.select(
-        F.col(id_col), F.posexplode(_toks(F.col(text_col))).alias("_pos", "_w")
-    )
-    nxt = toks.select(
-        id_col, (F.col("_pos") - 1).alias("_pos"), F.col("_w").alias("_w2")
-    )
+    # Bigrams built MAP-SIDE (zip_with of the token array against its
+    # own 1-shifted slice) — one Generate per scan, no token self-join;
+    # the tf relation is materialized once (localCheckpoint) because
+    # both the LM aggregate and the scoring join consume it.
+    toks_arr = _toks(F.col(text_col))
+    n = F.size(toks_arr)
+    bigr = F.when(
+        n >= 2,
+        F.zip_with(
+            F.slice(toks_arr, 1, n - 1),
+            F.slice(toks_arr, 2, n - 1),
+            lambda x, y: F.struct(x.alias("_w1"), y.alias("_w2")),
+        ),
+    ).otherwise(F.array().cast("array<struct<_w1:string,_w2:string>>"))
     doc_bi = (
-        toks.join(nxt, [id_col, "_pos"])
-        .groupBy(F.col(id_col), F.col("_w").alias("_w1"), F.col("_w2"))
+        df.select(F.col(id_col), F.explode(bigr).alias("_p"))
+        .select(id_col, F.col("_p._w1").alias("_w1"), F.col("_p._w2").alias("_w2"))
+        .groupBy(id_col, "_w1", "_w2")
         .agg(F.count(F.lit(1)).alias("_tf"))
+        .localCheckpoint()
     )
     lm = doc_bi.groupBy("_w1", "_w2").agg(F.sum("_tf").alias("_n_bigram"))
-    uni = toks.groupBy(F.col("_w").alias("_w1")).agg(
-        F.count(F.lit(1)).alias("_n_uni")
+    uni = (
+        df.select(F.explode(toks_arr).alias("_w"))
+        .groupBy(F.col("_w").alias("_w1"))
+        .agg(F.count(F.lit(1)).alias("_n_uni"))
     )
-    vocab = toks.agg(F.count_distinct("_w").alias("_vs"))
+    # |vocab| == the unigram relation's row count — derived, not a
+    # third pass over corpus tokens
+    vocab = uni.agg(F.count(F.lit(1)).alias("_vs"))
     p = (F.col("_n_bigram") + 1) / (F.col("_n_uni") + F.col("_vs")).cast("double")
     logp_u = F.floor(F.log2(p) * 1_000_000.0 + 0.5).cast("long")
     return (
