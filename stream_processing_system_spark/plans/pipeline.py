@@ -418,21 +418,29 @@ def doc_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
     from stream_processing_system_spark.functions.scalar import det_round, tokenize
 
     docs = _docs(spark, sf_dir)
-    toks = docs.select(
-        F.col("doc_id"), F.posexplode(tokenize(F.col("text"))).alias("pos", "w")
-    ).where(F.col("w") != "")
-    nxt = toks.select(
-        "doc_id", (F.col("pos") - 1).alias("pos"), F.col("w").alias("w2")
-    )
+    # bigrams map-side: zip_with of the token array against its own
+    # 1-shifted slice — one Generate, no token self-join (same shape
+    # as operators/curation.bigram_lm_score)
+    toks_arr = tokenize(F.col("text"))
+    n = F.size(toks_arr)
+    pair_arr = F.when(
+        n >= 2,
+        F.zip_with(
+            F.slice(toks_arr, 1, n - 1),
+            F.slice(toks_arr, 2, n - 1),
+            lambda x, y: F.struct(x.alias("w1"), y.alias("w2")),
+        ),
+    ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
     bigrams = (
-        toks.join(nxt, ["doc_id", "pos"])
-        .groupBy(F.col("w").alias("w1"), "w2")
+        docs.select(F.explode(pair_arr).alias("p"))
+        .groupBy(F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
         .agg(F.count(F.lit(1)).alias("n_bigram"))
     )
+    toks = docs.select(F.explode(toks_arr).alias("w"))
     unigrams = toks.groupBy(F.col("w").alias("w1")).agg(
         F.count(F.lit(1)).alias("n_unigram")
     )
-    vocab = toks.agg(F.countDistinct("w").alias("_v"))
+    vocab = unigrams.agg(F.count(F.lit(1)).alias("_v"))
     return (
         bigrams.join(unigrams, "w1")
         .crossJoin(F.broadcast(vocab))
