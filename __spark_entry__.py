@@ -577,6 +577,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_shingle_novelty": pipeline.doc_shingle_novelty,
         "doc_lm_score": pipeline.doc_lm_score,
         "stream_dedup_watermark": streaming_parity.stream_dedup_watermark_docs,
+        "stream_user_stats": streaming_parity.stream_user_stats_events,
+        "stream_enriched_revenue": streaming_parity.stream_enriched_revenue_events,
         "revenue_by_nation": analytics.revenue_by_nation,
         "top_unshipped_orders": analytics.top_unshipped_orders,
         "order_priority_counts": analytics.order_priority_counts,
@@ -1829,6 +1831,27 @@ def oracle_sql() -> dict[str, str]:
             SELECT DISTINCT md5(lower(trim(text))) AS digest
             FROM documents
             ORDER BY digest
+        """,
+        "stream_user_stats": """
+            SELECT user_id,
+                   count(*) AS n_events,
+                   sum(coalesce(CAST(floor(value * 10000 + 0.5) AS BIGINT), 0))
+                       / 10000.0 AS sum_value
+            FROM events
+            GROUP BY user_id
+            ORDER BY user_id
+        """,
+        "stream_enriched_revenue": """
+            SELECT n_name,
+                   count(*) AS n_purchases,
+                   sum(CAST(floor(value * 10000 + 0.5) AS BIGINT)) / 10000.0
+                       AS revenue
+            FROM events
+            JOIN customer ON user_id = c_custkey
+            JOIN nation ON c_nationkey = n_nationkey
+            WHERE event_type = 'purchase' AND value IS NOT NULL
+            GROUP BY n_name
+            ORDER BY n_name
         """,
         "doc_lm_score": """
             WITH toks AS (

@@ -176,6 +176,93 @@ def stream_running_counts_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tbl.groupBy("key").agg(F.max("cnt").alias("cnt"))
 
 
+def stream_user_stats_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arbitrary-state parity: per-user running
+    (n_events, sum value) maintained in custom streaming state
+    (transformWithState where the runtime has the TWS runner's
+    protobuf dependency, applyInPandasWithState otherwise — see
+    jobs.stream_user_stats) over an events file-drop. Values are quantized to integer micro-units
+    JVM-SIDE before the Python stage (order-independent integer sums
+    through arbitrary micro-batching), and the drained `update`
+    output rolls up with max per key (totals are monotone). Checked
+    against a plain GROUP BY oracle — the arbitrary-state path is
+    value-hash verified, same standard as every built-in operator."""
+    input_dir, ckpt, run = _scratch("tws")
+    events = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        F.coalesce(
+            F.floor(F.col("value") * 10000 + 0.5).cast("long"), F.lit(0)
+        ).alias("value_u"),
+    )
+    events.write.mode("overwrite").parquet(input_dir)
+    stream = spark.readStream.schema("user_id bigint, value_u bigint").parquet(
+        input_dir
+    )
+    drained = jobs.stream_user_stats(spark, stream, ckpt, name=f"tws_{run}")
+    _cleanup(input_dir)
+    return (
+        drained.groupBy("user_id")
+        .agg(F.max("n_events").alias("n_events"), F.max("sum_u").alias("_s"))
+        .select(
+            "user_id",
+            "n_events",
+            (F.col("_s") / F.lit(10000.0)).alias("sum_value"),
+        )
+        .orderBy("user_id")
+    )
+
+
+def stream_enriched_revenue_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static enrichment join: the purchase stream joins the
+    STATIC customer and nation dimensions (broadcast into every
+    micro-batch — no state, no watermark needed for the join itself)
+    and aggregates revenue per nation. This is the canonical
+    fact-stream × dimension-table shape; at scale the dimensions
+    broadcast once per executor and the only stateful operator is the
+    25-key aggregate. Revenue sums integer micro-units, so the total
+    is independent of micro-batch boundaries and partition order."""
+    input_dir, ckpt, run = _scratch("ser")
+    events = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", "value"
+    )
+    events.write.mode("overwrite").parquet(input_dir)
+    stream = spark.readStream.schema(
+        "user_id bigint, event_type string, value double"
+    ).parquet(input_dir)
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_nationkey"
+    )
+    nation = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("c_nationkey"), "n_name"
+    )
+    result = (
+        stream.where(
+            (F.col("event_type") == "purchase") & F.col("value").isNotNull()
+        )
+        .join(F.broadcast(cust), "user_id")
+        .join(F.broadcast(nation), "c_nationkey")
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_purchases"),
+            F.sum(F.floor(F.col("value") * 10000 + 0.5).cast("long")).alias("_s"),
+        )
+        .select(
+            "n_name", "n_purchases", (F.col("_s") / F.lit(10000.0)).alias("revenue")
+        )
+    )
+    q = (
+        result.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(f"ser_{run}")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    _cleanup(input_dir)
+    return spark.table(f"ser_{run}").orderBy("n_name")
+
+
 def stream_reddit_top_users_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """q2_top_users as a streaming job through the REAL reference
     ingest path: events re-laid as the reference's headerless 13-col
