@@ -579,6 +579,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_dedup_watermark": streaming_parity.stream_dedup_watermark_docs,
         "stream_user_stats": streaming_parity.stream_user_stats_events,
         "stream_enriched_revenue": streaming_parity.stream_enriched_revenue_events,
+        "approx_value_percentiles": analytics.approx_value_percentiles,
         "revenue_by_nation": analytics.revenue_by_nation,
         "top_unshipped_orders": analytics.top_unshipped_orders,
         "order_priority_counts": analytics.order_priority_counts,

@@ -315,6 +315,30 @@ def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def approx_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable approximate quantiles (`percentile_approx`,
+    Greenwald-Khanna summaries): p50/p90/p99 of value per event_type.
+    Rows-only contract check — the sketch is engine-specific, so the
+    accuracy bound is property-tested against the exact percentiles
+    instead (tests/test_sketches.py). At 100 TB this replaces
+    value_percentiles' exact sort-based path: per-partition summaries
+    of bounded size merge associatively, one map-side-combined
+    aggregate, no global sort."""
+    events = load_table(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    pcts = F.percentile_approx("value", [0.5, 0.9, 0.99], 10000)
+    return (
+        events.groupBy("event_type")
+        .agg(pcts.alias("_p"))
+        .select(
+            "event_type",
+            F.col("_p")[0].alias("p50"),
+            F.col("_p")[1].alias("p90"),
+            F.col("_p")[2].alias("p99"),
+        )
+        .orderBy("event_type")
+    )
+
+
 def sessionize_events(spark: SparkSession, sf_dir: str, gap_minutes: int = 30) -> DataFrame:
     """Sessionization over the events stream table: a new session
     starts after a >gap_minutes silence per user (classic

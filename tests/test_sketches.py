@@ -1,0 +1,60 @@
+"""Accuracy property tests for the engine-specific sketch queries.
+
+`approx_distinct_users` (HyperLogLog++) and
+`approx_value_percentiles` (Greenwald-Khanna summaries) are
+registered rows-only — their sketch internals differ across engines
+by design, so no SQL oracle can value-hash them. These tests pin the
+error bounds instead, which is the property a user of the sketches
+actually relies on.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from stream_processing_system_spark.plans.analytics import (
+    approx_distinct_users,
+    approx_value_percentiles,
+)
+from stream_processing_system_spark.sources.tables import load_table
+
+SF = "/root/testdata/sf0.01"
+
+
+def test_approx_distinct_users_relative_error(spark):
+    exact = {
+        r["event_type"]: r["n"]
+        for r in load_table(spark, SF, "events")
+        .groupBy("event_type")
+        .agg(F.count_distinct("user_id").alias("n"))
+        .collect()
+    }
+    approx = {
+        r["event_type"]: r["approx_users"]
+        for r in approx_distinct_users(spark, SF).collect()
+    }
+    assert set(approx) == set(exact)
+    for et, n in exact.items():
+        # rsd=0.02 is the sketch's standard deviation; 5 sigma is a
+        # deterministic-comfortably-true bound for a fixed dataset
+        assert abs(approx[et] - n) <= max(1, 0.10 * n), (et, approx[et], n)
+
+
+def test_approx_value_percentiles_rank_error(spark):
+    """Each estimate must sit within a ±2-point rank window of its
+    target percentile (GK guarantees rank error ≤ n/accuracy, which
+    is far tighter at accuracy=10000 — the window only exists to keep
+    the test robust to interpolation differences)."""
+    events = load_table(spark, SF, "events").where(F.col("value").isNotNull())
+    bounds = events.groupBy("event_type").agg(
+        *[
+            F.expr(f"percentile(value, {p})").alias(f"q{int(p * 1000)}")
+            for p in (0.48, 0.52, 0.88, 0.92, 0.97, 1.0)
+        ]
+    )
+    rows = {r["event_type"]: r for r in bounds.collect()}
+    for r in approx_value_percentiles(spark, SF).collect():
+        b = rows[r["event_type"]]
+        assert b["q480"] <= r["p50"] <= b["q520"]
+        assert b["q880"] <= r["p90"] <= b["q920"]
+        assert b["q970"] <= r["p99"] <= b["q1000"]
