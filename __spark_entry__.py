@@ -580,6 +580,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_user_stats": streaming_parity.stream_user_stats_events,
         "stream_enriched_revenue": streaming_parity.stream_enriched_revenue_events,
         "approx_value_percentiles": analytics.approx_value_percentiles,
+        "zorder_events_scan": pipeline.zorder_events_scan,
         "revenue_by_nation": analytics.revenue_by_nation,
         "top_unshipped_orders": analytics.top_unshipped_orders,
         "order_priority_counts": analytics.order_priority_counts,
@@ -1832,6 +1833,18 @@ def oracle_sql() -> dict[str, str]:
             SELECT DISTINCT md5(lower(trim(text))) AS digest
             FROM documents
             ORDER BY digest
+        """,
+        "zorder_events_scan": """
+            SELECT event_type,
+                   count(*) AS n,
+                   sum(CAST(floor(value * 10000 + 0.5) AS BIGINT)) / 10000.0
+                       AS sum_value
+            FROM events
+            WHERE user_id BETWEEN 3 AND 12
+              AND value IS NOT NULL
+              AND value BETWEEN 50.0 AND 250.0
+            GROUP BY event_type
+            ORDER BY event_type
         """,
         "stream_user_stats": """
             SELECT user_id,
