@@ -581,6 +581,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_enriched_revenue": streaming_parity.stream_enriched_revenue_events,
         "approx_value_percentiles": analytics.approx_value_percentiles,
         "zorder_events_scan": pipeline.zorder_events_scan,
+        "lineitem_measures_unpivot": analytics.lineitem_measures_unpivot,
         "revenue_by_nation": analytics.revenue_by_nation,
         "top_unshipped_orders": analytics.top_unshipped_orders,
         "order_priority_counts": analytics.order_priority_counts,
@@ -1833,6 +1834,25 @@ def oracle_sql() -> dict[str, str]:
             SELECT DISTINCT md5(lower(trim(text))) AS digest
             FROM documents
             ORDER BY digest
+        """,
+        "lineitem_measures_unpivot": """
+            SELECT measure,
+                   count(*) AS n,
+                   sum(CAST(floor(CAST(value AS DOUBLE) * 10000 + 0.5) AS BIGINT))
+                       / 10000.0 AS sum_value
+            FROM (
+                SELECT 'l_quantity' AS measure,
+                       CAST(l_quantity AS DOUBLE) AS value FROM lineitem
+                UNION ALL
+                SELECT 'l_extendedprice', CAST(l_extendedprice AS DOUBLE)
+                FROM lineitem
+                UNION ALL
+                SELECT 'l_discount', CAST(l_discount AS DOUBLE) FROM lineitem
+                UNION ALL
+                SELECT 'l_tax', CAST(l_tax AS DOUBLE) FROM lineitem
+            )
+            GROUP BY measure
+            ORDER BY measure
         """,
         "zorder_events_scan": """
             SELECT event_type,

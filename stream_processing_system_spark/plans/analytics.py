@@ -1312,6 +1312,32 @@ def lineitem_numeric_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def lineitem_measures_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT/melt (`DataFrame.unpivot`, the inverse of pivot —
+    §2.6 family): lineitem's four numeric measures melt to
+    (measure, value) rows and aggregate per measure. Physically one
+    Expand (4 rows per input row, map-side) feeding a
+    map-side-combined 4-key aggregate — no shuffle grows with the
+    melt factor. Sums quantize to integer micro-units before adding,
+    so the per-measure totals are partition-order-independent."""
+    li = load_table(spark, sf_dir, "lineitem")
+    cols = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+    melted = li.select(
+        *[F.col(c).cast("double").alias(c) for c in cols]
+    ).unpivot([], cols, "measure", "value")
+    return (
+        melted.groupBy("measure")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.floor(F.col("value") * 10000 + 0.5).cast("long")).alias("_s"),
+        )
+        .select(
+            "measure", "n", (F.col("_s") / F.lit(10000.0)).alias("sum_value")
+        )
+        .orderBy("measure")
+    )
+
+
 def events_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-20 users by count-min-sketch ESTIMATE (depth 4 × width 256
     counters) — the mergeable fixed-size sketch answer to "who are
