@@ -47,6 +47,18 @@ def get_spark(
         .config("spark.sql.parquet.filterPushdown", "true")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.sql.session.timeZone", "UTC")
+        # Streaming state on RocksDB, not the default on-heap
+        # HDFSBackedStateStore: state size is then bounded by local
+        # disk instead of executor heap — the difference between a
+        # 100 TB-scale stateful stream (dedup digests, session
+        # windows, join buffers) running and OOMing. Results are
+        # provider-independent; the driver's vanilla session exercises
+        # the default provider on the same queries.
+        .config(
+            "spark.sql.streaming.stateStore.providerClass",
+            "org.apache.spark.sql.execution.streaming.state."
+            "RocksDBStateStoreProvider",
+        )
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
         .config("spark.ui.showConsoleProgress", "false")
