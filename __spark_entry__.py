@@ -582,6 +582,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "approx_value_percentiles": analytics.approx_value_percentiles,
         "zorder_events_scan": pipeline.zorder_events_scan,
         "lineitem_measures_unpivot": analytics.lineitem_measures_unpivot,
+        "purchase_click_balance": analytics.purchase_click_balance,
         "revenue_by_nation": analytics.revenue_by_nation,
         "top_unshipped_orders": analytics.top_unshipped_orders,
         "order_priority_counts": analytics.order_priority_counts,
@@ -1834,6 +1835,20 @@ def oracle_sql() -> dict[str, str]:
             SELECT DISTINCT md5(lower(trim(text))) AS digest
             FROM documents
             ORDER BY digest
+        """,
+        "purchase_click_balance": """
+            SELECT coalesce(p.user_id, c.user_id) AS user_id,
+                   coalesce(p.n_purchases, 0) AS n_purchases,
+                   coalesce(c.n_clicks, 0) AS n_clicks
+            FROM (
+                SELECT user_id, count(*) AS n_purchases FROM events
+                WHERE event_type = 'purchase' GROUP BY user_id
+            ) p
+            FULL OUTER JOIN (
+                SELECT user_id, count(*) AS n_clicks FROM events
+                WHERE event_type = 'click' GROUP BY user_id
+            ) c ON p.user_id = c.user_id
+            ORDER BY user_id
         """,
         "lineitem_measures_unpivot": """
             SELECT measure,

@@ -53,6 +53,10 @@ HEADLINE = [
     "copurchase_pagerank",
     "doc_bpe_pair_counts",
     "doc_bm25_search",
+    "doc_lm_score",
+    "zorder_events_scan",
+    "lineitem_measures_unpivot",
+    "approx_value_percentiles",
 ]
 
 

@@ -1312,6 +1312,36 @@ def lineitem_numeric_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def purchase_click_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL OUTER join (completing the §2.3 join-type matrix: inner/
+    left/semi/anti/as-of/interval/stream-stream are covered
+    elsewhere): per-user purchase counts against click counts,
+    keeping users who only ever did one of the two. Both sides
+    aggregate BEFORE the join — the join matches ~|users| rows, not
+    |events|², and at scale both sides arrive hash-partitioned on the
+    same key so the outer join adds no extra shuffle."""
+    events = load_table(spark, sf_dir, "events")
+
+    def side(ev_type: str, out: str) -> DataFrame:
+        return (
+            events.where(F.col("event_type") == ev_type)
+            .groupBy("user_id")
+            .agg(F.count(F.lit(1)).alias(out))
+        )
+
+    p = side("purchase", "n_purchases")
+    c = side("click", "n_clicks")
+    return (
+        p.join(c, "user_id", "full_outer")
+        .select(
+            "user_id",
+            F.coalesce("n_purchases", F.lit(0)).alias("n_purchases"),
+            F.coalesce("n_clicks", F.lit(0)).alias("n_clicks"),
+        )
+        .orderBy("user_id")
+    )
+
+
 def lineitem_measures_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     """UNPIVOT/melt (`DataFrame.unpivot`, the inverse of pivot —
     §2.6 family): lineitem's four numeric measures melt to
