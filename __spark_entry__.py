@@ -228,6 +228,40 @@ def _ivf_trained_cte(n_centroids: int = 16, iters: int = 2, dim: int = 64) -> tu
     return ",\n        ".join(parts), f"c{iters}"
 
 
+def _semantic_dedup_oracle_sql(threshold: float = 0.4) -> str:
+    """SemDeDup in SQL: the SAME trained codebook and argmax
+    assignment as `_ivf_topk_oracle_sql`, then within-cluster pairs
+    (id_a < id_b) at ROUND(cos, 6) >= threshold mark id_b as a dup;
+    kept rows return (vec_id, centroid)."""
+    cte, final = _ivf_trained_cte()
+    return f"""
+        WITH {cte},
+        c AS (SELECT cid, cvec FROM {final}),
+        assigned AS (
+            SELECT vec_id, embedding, cid AS centroid FROM (
+                SELECT e.vec_id, e.embedding, c.cid,
+                       row_number() OVER (
+                           PARTITION BY e.vec_id
+                           ORDER BY list_cosine_similarity(
+                               e.embedding::DOUBLE[], c.cvec::DOUBLE[]) DESC,
+                           c.cid ASC) AS rn
+                FROM embeddings e CROSS JOIN c
+            ) WHERE rn = 1
+        ), dup AS (
+            SELECT DISTINCT b.vec_id
+            FROM assigned a JOIN assigned b
+              ON a.centroid = b.centroid AND a.vec_id < b.vec_id
+            WHERE ROUND(list_cosine_similarity(a.embedding::DOUBLE[],
+                                               b.embedding::DOUBLE[]), 6)
+                  >= {threshold}
+        )
+        SELECT a.vec_id, a.centroid
+        FROM assigned a LEFT JOIN dup d ON a.vec_id = d.vec_id
+        WHERE d.vec_id IS NULL
+        ORDER BY a.vec_id
+    """
+
+
 def _ivf_topk_oracle_sql(n_centroids: int = 16, n_probe: int = 4, k: int = 10) -> str:
     """IVF in SQL: the SAME trained codebook as the engine
     (`_ivf_trained_cte`), argmax assignment with the engine's
@@ -583,6 +617,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zorder_events_scan": pipeline.zorder_events_scan,
         "lineitem_measures_unpivot": analytics.lineitem_measures_unpivot,
         "purchase_click_balance": analytics.purchase_click_balance,
+        "embedding_semantic_dedup": pipeline.embedding_semantic_dedup,
         "revenue_by_nation": analytics.revenue_by_nation,
         "top_unshipped_orders": analytics.top_unshipped_orders,
         "order_priority_counts": analytics.order_priority_counts,
@@ -1614,6 +1649,7 @@ def oracle_sql() -> dict[str, str]:
         "knn_join_lsh": _knn_join_lsh_oracle_sql(),
         "embedding_neardup_pairs": _embedding_neardup_oracle_sql(0.4),
         "ivf_topk": _ivf_topk_oracle_sql(),
+        "embedding_semantic_dedup": _semantic_dedup_oracle_sql(),
         "ivf_index_topk": _ivf_topk_oracle_sql(),
         "knn_join_lsh_split": _knn_join_lsh_oracle_sql(),
         "rp_topk": _rp_topk_oracle_sql(),

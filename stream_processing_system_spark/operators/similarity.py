@@ -344,6 +344,70 @@ def ivf_topk(
     )
 
 
+def semantic_dedup(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_centroids: int = 16,
+    iters: int = 2,
+    threshold: float = 0.9,
+) -> DataFrame:
+    """SemDeDup-shaped semantic dedup (cluster-then-prune, per the
+    public SemDeDup preprint): cluster every embedding with the
+    trained coarse codebook (the same deterministic Lloyd's as IVF),
+    then WITHIN each cluster drop any item whose cosine similarity
+    to a LOWER-id cluster-mate reaches `threshold` — keep-first, the
+    same keeper rule as the text dedup family.
+
+    Scale shape: candidate pairs are generated per cluster —
+    O(Σ|cell|²), not O(n²) — and cells shard across executors on the
+    cluster-id join key; the codebook broadcast is K·dim constants.
+    With balanced trained cells (asserted in tests) a 1B-vector
+    corpus at K=10k centroids means ~100k-vector cells, each a
+    self-contained task. Complements `embedding_neardup_pairs` (LSH
+    blocking): clustering catches near-dups that straddle hyperplane
+    boundaries; LSH catches items near cell borders.
+
+    Output: kept rows (id, centroid), ordered by id — the centroid
+    column means an oracle hash-match verifies the whole clustering,
+    not just the surviving ids."""
+    cents = train_ivf_centroids(df, id_col, vec_col, n_centroids, iters=iters)
+    centroids = _centroid_frame(df.sparkSession, cents)
+    sims = df.crossJoin(F.broadcast(centroids)).select(
+        F.col(id_col),
+        F.col(vec_col),
+        F.col("_cid"),
+        cosine_similarity(F.col(vec_col), F.col("_cvec")).alias("_csim"),
+    )
+    assigned = sims.groupBy(id_col).agg(
+        F.first(vec_col).alias(vec_col),
+        F.max_by("_cid", F.struct(F.col("_csim"), (-F.col("_cid")).alias("_nc"))).alias(
+            "_centroid"
+        ),
+    )
+    a = assigned.select(
+        F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va"), "_centroid"
+    )
+    b = assigned.select(
+        F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb"), "_centroid"
+    )
+    dupes = (
+        a.join(b, "_centroid")
+        .where(F.col("id_a") < F.col("id_b"))
+        .where(
+            F.round(cosine_similarity(F.col("_va"), F.col("_vb")), 6)
+            >= F.lit(threshold)
+        )
+        .select(F.col("id_b").alias(id_col))
+        .dropDuplicates()
+    )
+    return (
+        assigned.join(dupes, id_col, "left_anti")
+        .select(F.col(id_col), F.col("_centroid").alias("centroid"))
+        .orderBy(id_col)
+    )
+
+
 def build_ivf_index(
     df: DataFrame,
     path: str,

@@ -146,6 +146,17 @@ def embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.embedding_neardup_pairs(_embs(spark, sf_dir), threshold=0.4)
 
 
+def embedding_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-shaped cluster-then-prune dedup over the embeddings
+    table (operators/similarity.semantic_dedup). Threshold 0.4 for
+    the same reason as embedding_neardup_pairs: the synthetic
+    near-orthogonal vectors have no true dups at a production 0.95
+    cutoff; the planted-duplicate unit test covers the high-threshold
+    path, and the returned centroid column hash-verifies the full
+    clustering either way."""
+    return similarity.semantic_dedup(_embs(spark, sf_dir), threshold=0.4)
+
+
 def knn_join_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact 3-NN for every vector (correctness baseline; the LSH
     variant below is the scale path)."""

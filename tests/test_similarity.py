@@ -315,3 +315,20 @@ def test_quantize_int8_error_bounded_by_half_step(spark, sf_dir):
     assert worst <= half_step + 1e-9
     # codes are non-degenerate: not every vector collapses to one sum
     assert out.select("q_sum").distinct().count() > 1
+
+
+def test_semantic_dedup_drops_planted_duplicate_keeps_first(spark):
+    df, vecs = _vectors_df(spark)
+    # plant a near-duplicate of vector 3: same cluster by construction,
+    # cosine ~1 → the higher id must be the one dropped
+    near = [float(x) for x in (vecs[3] + 1e-4).tolist()]
+    planted = spark.createDataFrame([(999, near)], ["vec_id", "embedding"])
+    full = df.union(planted)
+    kept = similarity.semantic_dedup(
+        full, n_centroids=4, iters=1, threshold=0.999
+    ).collect()
+    ids = {r["vec_id"] for r in kept}
+    assert 3 in ids and 999 not in ids
+    assert ids == set(range(50)) - {999} | {3}  # nothing else dropped
+    # every kept row carries its cluster assignment
+    assert all(0 <= r["centroid"] < 4 for r in kept)
