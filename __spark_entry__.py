@@ -618,6 +618,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lineitem_measures_unpivot": analytics.lineitem_measures_unpivot,
         "purchase_click_balance": analytics.purchase_click_balance,
         "embedding_semantic_dedup": pipeline.embedding_semantic_dedup,
+        "doc_chunk_overlap": pipeline.doc_chunk_overlap,
         "revenue_by_nation": analytics.revenue_by_nation,
         "top_unshipped_orders": analytics.top_unshipped_orders,
         "order_priority_counts": analytics.order_priority_counts,
@@ -1871,6 +1872,30 @@ def oracle_sql() -> dict[str, str]:
             SELECT DISTINCT md5(lower(trim(text))) AS digest
             FROM documents
             ORDER BY digest
+        """,
+        "doc_chunk_overlap": """
+            WITH t AS (
+                SELECT doc_id,
+                       list_filter(string_split(text, ' '), x -> x <> '') AS ws
+                FROM documents
+            ), c AS (
+                SELECT doc_id, len(ws) AS n, ws,
+                       CASE WHEN len(ws) <= 64 THEN 1
+                            ELSE CAST(ceil((len(ws) - 64) / 48.0) AS INT) + 1
+                       END AS nch
+                FROM t
+            )
+            SELECT doc_id,
+                   CAST(i - 1 AS BIGINT) AS chunk_id,
+                   CAST(len(list_slice(ws, (i-1)*48 + 1,
+                                       least((i-1)*48 + 64, n))) AS BIGINT)
+                       AS n_tokens,
+                   md5(array_to_string(
+                       list_slice(ws, (i-1)*48 + 1, least((i-1)*48 + 64, n)),
+                       ' ')) AS chunk_md5
+            FROM c, UNNEST(range(1, nch + 1)) AS u(i)
+            WHERE n > 0 AND (i-1)*48 < n
+            ORDER BY doc_id, chunk_id
         """,
         "purchase_click_balance": """
             SELECT coalesce(p.user_id, c.user_id) AS user_id,

@@ -198,3 +198,53 @@ def pack_sequences(
             .alias("shard"),
         )
     )
+
+
+def chunk_documents(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    window: int = 64,
+    stride: int = 48,
+) -> DataFrame:
+    """Overlapping token-window chunking — the context-window splitter
+    of a retrieval/pretraining pipeline: each document becomes
+    ceil(max(n - window, 0) / stride) + 1 chunks of up to `window`
+    whitespace tokens, consecutive chunks overlapping by
+    window - stride tokens (chunk i starts at token i*stride). Stable
+    addressing: (doc_id, chunk_id) with chunk_id = i.
+
+    Scale shape: a single codegen'd map stage — sequence + transform
+    over the token array, one explode; no shuffle at all until
+    whatever consumes the chunks. Emitting md5(chunk) alongside keeps
+    downstream exact-dedup/decontamination joins on 16-byte digests
+    instead of text.
+
+    Output: (doc_id, chunk_id, n_tokens, chunk_md5), one row per
+    chunk; empty documents produce no rows."""
+    toks = _toks(F.col(text_col))
+    n = F.size(toks)
+    n_chunks = (
+        F.when(n <= window, F.lit(1)).otherwise(
+            F.ceil((n - window) / F.lit(stride).cast("double")).cast("int") + 1
+        )
+    )
+    starts = F.sequence(F.lit(0), n_chunks - 1)
+    chunks = F.transform(
+        starts,
+        lambda i: F.struct(
+            i.alias("chunk_id"),
+            F.slice(toks, i * stride + 1, window).alias("_ctoks"),
+        ),
+    )
+    return (
+        df.select(F.col(id_col), F.explode(chunks).alias("_c"))
+        .select(
+            id_col,
+            F.col("_c.chunk_id").cast("long").alias("chunk_id"),
+            F.size("_c._ctoks").cast("long").alias("n_tokens"),
+            F.md5(F.concat_ws(" ", F.col("_c._ctoks"))).alias("chunk_md5"),
+        )
+        .where(F.col("n_tokens") > 0)
+        .orderBy(id_col, "chunk_id")
+    )

@@ -243,6 +243,16 @@ def doc_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def doc_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping 64-token windows at stride 48 (16-token overlap):
+    the retrieval-context splitter
+    (operators/quality_filters.chunk_documents); one codegen'd map
+    stage, chunk text leaves only as md5."""
+    return quality_filters.chunk_documents(
+        _docs(spark, sf_dir), window=64, stride=48
+    )
+
+
 def doc_passage_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     cleaned = quality_filters.passage_dedup(_docs(spark, sf_dir))
     return cleaned.select("doc_id", F.md5("text_clean").alias("clean_md5"))
