@@ -556,6 +556,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_pack_sequences": pipeline.doc_pack_sequences,
         "stream_sessionize_events": streaming_parity.stream_sessionize_events,
         "stream_purchase_click_join": streaming_parity.stream_purchase_click_join,
+        "min_cost_supplier": analytics.min_cost_supplier,
+        "important_part_values": analytics.important_part_values,
+        "supplier_cnt_by_part": analytics.supplier_cnt_by_part,
+        "promo_part_suppliers": analytics.promo_part_suppliers,
+        "idle_rich_customers": analytics.idle_rich_customers,
+        "product_profit": analytics.product_profit,
         "promo_revenue_ratio": analytics.promo_revenue_ratio,
         "bracket_revenue": analytics.bracket_revenue,
         "volume_shipping": analytics.volume_shipping,
@@ -966,6 +972,106 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY s_name
             ORDER BY numwait DESC, s_name ASC
             LIMIT 20
+        """,
+        "min_cost_supplier": """
+            WITH costs AS (
+                SELECT l_partkey, l_suppkey,
+                       MIN(l_extendedprice / l_quantity) AS unit_cost
+                FROM lineitem GROUP BY 1, 2
+            ), eligible AS (
+                SELECT l_partkey, unit_cost, s_acctbal, s_name, n_name
+                FROM costs
+                JOIN supplier ON l_suppkey = s_suppkey
+                JOIN nation ON s_nationkey = n_nationkey
+                JOIN region ON n_regionkey = r_regionkey
+                WHERE r_name = 'ASIA'
+            ), best AS (
+                SELECT *, MIN(unit_cost) OVER (PARTITION BY l_partkey) AS _min
+                FROM eligible
+            )
+            SELECT s_acctbal, s_name, n_name, p_partkey, p_brand, unit_cost
+            FROM best JOIN part ON l_partkey = p_partkey
+            WHERE unit_cost = _min AND p_type = 'STANDARD' AND p_size <= 25
+            ORDER BY s_acctbal DESC, n_name ASC, s_name ASC, p_partkey ASC
+            LIMIT 100
+        """,
+        "important_part_values": """
+            WITH per_part AS (
+                SELECT l_partkey,
+                       SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS value_dec
+                FROM lineitem
+                JOIN supplier ON l_suppkey = s_suppkey
+                JOIN nation ON s_nationkey = n_nationkey
+                WHERE n_name = 'NATION_5'
+                GROUP BY l_partkey
+            )
+            SELECT l_partkey AS p_partkey, value_dec::DOUBLE AS part_value
+            FROM per_part
+            WHERE value_dec::DOUBLE >
+                  (SELECT SUM(value_dec) FROM per_part)::DOUBLE * 0.001
+            ORDER BY part_value DESC, p_partkey ASC
+        """,
+        "supplier_cnt_by_part": """
+            SELECT p_brand, p_type, p_size,
+                   COUNT(DISTINCT l_suppkey) AS supplier_cnt
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            WHERE p_brand <> 'Brand#1' AND p_type NOT LIKE 'PROMO%'
+              AND p_size IN (1, 4, 7, 10, 13, 16, 19, 22)
+              AND NOT EXISTS (SELECT 1 FROM supplier
+                              WHERE s_suppkey = l_suppkey AND s_acctbal < 0)
+            GROUP BY 1, 2, 3
+            ORDER BY supplier_cnt DESC, p_brand ASC, p_type ASC, p_size ASC
+        """,
+        "product_profit": """
+            SELECT n_name AS nation,
+                   CAST(year(o_orderdate) AS BIGINT) AS o_year,
+                   SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))
+                       - CAST(p_retailprice AS DECIMAL(18,2))
+                         * CAST(l_quantity AS DECIMAL(18,2))
+                         * CAST(0.5 AS DECIMAL(2,1)))::DOUBLE AS sum_profit
+            FROM lineitem
+            JOIN part ON l_partkey = p_partkey
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN nation ON s_nationkey = n_nationkey
+            JOIN orders ON l_orderkey = o_orderkey
+            WHERE p_name LIKE '%widget%'
+            GROUP BY 1, 2
+            ORDER BY nation ASC, o_year DESC
+        """,
+        "promo_part_suppliers": """
+            WITH per_pair AS (
+                SELECT l_partkey, l_suppkey,
+                       SUM(CAST(l_quantity AS DECIMAL(18,2))) AS qty_sp
+                FROM lineitem JOIN part ON l_partkey = p_partkey
+                WHERE p_type = 'PROMO'
+                  AND l_shipdate >= '1997-01-01' AND l_shipdate < '1998-01-01'
+                GROUP BY 1, 2
+            ), qual AS (
+                SELECT l_suppkey
+                FROM (SELECT *, SUM(qty_sp) OVER (PARTITION BY l_partkey) AS qty_part
+                      FROM per_pair)
+                WHERE qty_sp::DOUBLE > qty_part::DOUBLE * 0.3
+            )
+            SELECT s_suppkey, s_name
+            FROM supplier JOIN nation ON s_nationkey = n_nationkey
+            WHERE n_name = 'NATION_7'
+              AND EXISTS (SELECT 1 FROM qual WHERE l_suppkey = s_suppkey)
+            ORDER BY s_suppkey
+        """,
+        "idle_rich_customers": """
+            WITH avg_bal AS (
+                SELECT SUM(CAST(c_acctbal AS DECIMAL(18,2)))::DOUBLE / COUNT(*) AS a
+                FROM customer WHERE c_acctbal > 0
+            )
+            SELECT c_mktsegment, COUNT(*) AS numcust,
+                   SUM(CAST(c_acctbal AS DECIMAL(18,2)))::DOUBLE AS totacctbal
+            FROM customer, avg_bal
+            WHERE c_acctbal > a
+              AND NOT EXISTS (SELECT 1 FROM orders
+                              WHERE o_custkey = c_custkey
+                                AND o_orderdate >= '2000-06-01')
+            GROUP BY c_mktsegment
+            ORDER BY c_mktsegment
         """,
         "promo_revenue_ratio": """
             WITH j AS (

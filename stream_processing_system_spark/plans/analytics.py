@@ -1401,3 +1401,258 @@ def status_priority_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame
         ORDER BY o_orderstatus, o_orderpriority
         """
     )
+
+
+def min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2-style: for each STANDARD part (size ≤ 25), the ASIA
+    supplier offering the minimum observed unit price. The snapshot
+    has no partsupp table (FIXTURES.md), so the part×supplier cost
+    relation is DERIVED from lineitem: unit cost = min per-line
+    `l_extendedprice / l_quantity` per (partkey, suppkey).
+
+    The correlated `cost = (SELECT MIN(...) per part)` subquery is a
+    window MIN over the per-(part,supp) aggregate — one extra shuffle
+    over an already-reduced relation (≤ |part|×|supp| rows), never a
+    second scan of lineitem. Region/nation prune suppliers BEFORE the
+    window, so the min is taken over eligible suppliers only.
+    Per-line division of two doubles is bit-identical across engines,
+    and MIN is order-independent, so the equality filter against the
+    window min is exact — no epsilon needed.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").where(
+        (F.col("p_type") == "STANDARD") & (F.col("p_size") <= 25)
+    )
+    supplier = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
+    asia_supp = F.broadcast(
+        supplier.join(
+            F.broadcast(nation.join(region, nation.n_regionkey == region.r_regionkey)),
+            supplier.s_nationkey == F.col("n_nationkey"),
+        ).select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    costs = (
+        li.groupBy("l_partkey", "l_suppkey")
+        .agg(F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("unit_cost"))
+        .join(asia_supp, F.col("l_suppkey") == F.col("s_suppkey"))
+    )
+    w = Window.partitionBy("l_partkey")
+    best = costs.withColumn("_min", F.min("unit_cost").over(w)).where(
+        F.col("unit_cost") == F.col("_min")
+    )
+    return (
+        best.join(F.broadcast(part), best.l_partkey == part.p_partkey)
+        .select("s_acctbal", "s_name", "n_name", "p_partkey", "p_brand", "unit_cost")
+        .orderBy(
+            F.col("s_acctbal").desc(),
+            F.col("n_name").asc(),
+            F.col("s_name").asc(),
+            F.col("p_partkey").asc(),
+        )
+        .limit(100)
+    )
+
+
+def important_part_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11-style: parts whose shipped value from NATION_5
+    suppliers exceeds 0.1% of that nation's total shipped value
+    (partsupp availqty×supplycost replaced by lineitem extendedprice —
+    FIXTURES.md).
+
+    The global threshold is a 1-row aggregate of the SAME per-part
+    aggregate (no second lineitem scan) cross-joined as a broadcast —
+    the Spark idiom for `HAVING > (SELECT SUM(...) * frac)`. Sums are
+    decimal so both the per-part values and the scalar total are
+    order-independent; the comparison happens on exact decimals.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    supplier = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation").where(F.col("n_name") == "NATION_5")
+    n5_supp = F.broadcast(
+        supplier.join(F.broadcast(nation), supplier.s_nationkey == F.col("n_nationkey"))
+        .select("s_suppkey")
+    )
+    per_part = (
+        li.join(n5_supp, li.l_suppkey == F.col("s_suppkey"))
+        .groupBy("l_partkey")
+        .agg(
+            F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).alias("_value_dec")
+        )
+    )
+    total = per_part.agg(F.sum("_value_dec").alias("_total"))
+    return (
+        per_part.crossJoin(F.broadcast(total))
+        .where(
+            F.col("_value_dec").cast("double")
+            > F.col("_total").cast("double") * F.lit(0.001)
+        )
+        .select(
+            F.col("l_partkey").alias("p_partkey"),
+            F.col("_value_dec").cast("double").alias("part_value"),
+        )
+        .orderBy(F.col("part_value").desc(), F.col("p_partkey").asc())
+    )
+
+
+def supplier_cnt_by_part(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16-style: distinct-supplier counts per (brand, type,
+    size) for non-Brand#1, non-PROMO parts in eight sizes, excluding
+    "complaint" suppliers (analogue: negative account balance — the
+    snapshot has no comment column, FIXTURES.md).
+
+    The exclusion is a LEFT ANTI join against the (tiny, broadcast)
+    bad-supplier set — never a NOT IN subquery that would block
+    pushdown. count(DISTINCT) runs as the standard two-phase expand:
+    partial distinct per partition, exchange on the group key, final
+    count — no row explosion beyond the distinct pairs themselves.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").where(
+        (F.col("p_brand") != "Brand#1")
+        & (~F.col("p_type").startswith("PROMO"))
+        & (F.col("p_size").isin(1, 4, 7, 10, 13, 16, 19, 22))
+    )
+    complaints = F.broadcast(
+        load_table(spark, sf_dir, "supplier")
+        .where(F.col("s_acctbal") < 0)
+        .select("s_suppkey")
+    )
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(complaints, li.l_suppkey == F.col("s_suppkey"), "left_anti")
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.count_distinct(F.col("l_suppkey")).alias("supplier_cnt"))
+        .orderBy(
+            F.col("supplier_cnt").desc(),
+            F.col("p_brand").asc(),
+            F.col("p_type").asc(),
+            F.col("p_size").asc(),
+        )
+    )
+
+
+def promo_part_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20-style: NATION_7 suppliers who shipped, for at least
+    one PROMO part in 1997, more than 30% of that part's total 1997
+    shipped quantity (the availqty > ½·sum(qty) inner subquery pair,
+    re-derived from lineitem — FIXTURES.md).
+
+    The nested aggregate (per part-supplier vs per part) is ONE
+    aggregation plus a window SUM over its output — the inner
+    `(SELECT 0.3 * SUM(l_quantity) ...)` never rescans lineitem. The
+    qualifying (part, supplier) pairs then LEFT SEMI join supplier:
+    the EXISTS collapses without a distinct. Quantity sums are
+    decimal (order-independent); the 30% comparison is done in
+    doubles derived from those exact decimals, identically in both
+    engines.
+    """
+    li = load_table(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1997-01-01"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01"))
+    )
+    part = load_table(spark, sf_dir, "part").where(F.col("p_type") == "PROMO")
+    supplier = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation").where(F.col("n_name") == "NATION_7")
+    per_pair = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("_qty_sp"))
+    )
+    w = Window.partitionBy("l_partkey")
+    qualifying = per_pair.withColumn("_qty_part", F.sum("_qty_sp").over(w)).where(
+        F.col("_qty_sp").cast("double") > F.col("_qty_part").cast("double") * F.lit(0.3)
+    )
+    n7_supp = supplier.join(
+        F.broadcast(nation), supplier.s_nationkey == F.col("n_nationkey")
+    )
+    return (
+        n7_supp.join(
+            qualifying, n7_supp.s_suppkey == qualifying.l_suppkey, "left_semi"
+        )
+        .select("s_suppkey", "s_name")
+        .orderBy("s_suppkey")
+    )
+
+
+def idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22-style: per market segment (phone-prefix analogue,
+    FIXTURES.md), the count and total balance of customers whose
+    balance beats the global positive-balance average and who placed
+    no order in the last ~14 months of the snapshot.
+
+    Scalar subquery → 1-row broadcast cross join; NOT EXISTS → left
+    anti join against orders pre-filtered to the recency window
+    (filter BEFORE the anti join: at 100 TB the anti-join build side
+    is months, not years, of orders). The average is exact-decimal
+    sum / count, cast to double identically in both engines.
+    """
+    customer = load_table(spark, sf_dir, "customer")
+    recent_orders = (
+        load_table(spark, sf_dir, "orders")
+        .where(F.col("o_orderdate") >= F.lit("2000-06-01"))
+        .select("o_custkey")
+    )
+    avg_bal = (
+        customer.where(F.col("c_acctbal") > 0)
+        .agg(
+            (
+                F.sum(F.col("c_acctbal").cast("decimal(18,2)")).cast("double")
+                / F.count(F.lit(1))
+            ).alias("_avg_bal")
+        )
+    )
+    return (
+        customer.crossJoin(F.broadcast(avg_bal))
+        .where(F.col("c_acctbal") > F.col("_avg_bal"))
+        .join(recent_orders, customer.c_custkey == recent_orders.o_custkey, "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            _dec_sum(F.col("c_acctbal"), "totacctbal"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+def product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9-style: per (supplier-nation, order-year) profit on
+    'widget' parts. No partsupp.supplycost in the snapshot, so cost
+    is derived from the part dim: 50% of `p_retailprice` per unit
+    (FIXTURES.md) — profit = l_extendedprice·(1−l_discount) −
+    0.5·p_retailprice·l_quantity.
+
+    Plan shape: part filtered on the name predicate THEN broadcast
+    (the filter makes it small even when |part| isn't); nation is a
+    constant-25-row broadcast; the only real shuffle is the final
+    (nation, year) aggregate of per-row decimal profits. The cost
+    term is computed entirely in DECIMAL arithmetic (each factor cast
+    to decimal FIRST, including the 0.5 literal) — multiplying
+    doubles and casting the product risks half-boundary rounding
+    divergence between engines; decimal×decimal is exact, so the sum
+    is order-independent and cross-engine exact.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    part = load_table(spark, sf_dir, "part").where(F.col("p_name").contains("widget"))
+    supplier = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    profit = (
+        (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,4)")
+        - F.col("p_retailprice").cast("decimal(18,2)")
+        * F.col("l_quantity").cast("decimal(18,2)")
+        * F.lit("0.5").cast("decimal(2,1)")
+    )
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(F.broadcast(supplier), li.l_suppkey == supplier.s_suppkey)
+        .join(
+            F.broadcast(nation.select("n_nationkey", F.col("n_name").alias("nation"))),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .withColumn("o_year", F.year("o_orderdate").cast("long"))
+        .groupBy("nation", "o_year")
+        .agg(F.sum(profit).cast("double").alias("sum_profit"))
+        .orderBy(F.col("nation").asc(), F.col("o_year").desc())
+    )
