@@ -562,6 +562,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "promo_part_suppliers": analytics.promo_part_suppliers,
         "idle_rich_customers": analytics.idle_rich_customers,
         "product_profit": analytics.product_profit,
+        "doc_pmi_collocations": pipeline.doc_pmi_collocations,
+        "doc_priority_sample": pipeline.doc_priority_sample,
         "promo_revenue_ratio": analytics.promo_revenue_ratio,
         "bracket_revenue": analytics.bracket_revenue,
         "volume_shipping": analytics.volume_shipping,
@@ -1973,6 +1975,50 @@ def oracle_sql() -> dict[str, str]:
             FROM bi JOIN uni USING (w1) CROSS JOIN v
             ORDER BY n_bigram DESC, w1 ASC, w2 ASC
             LIMIT 50
+        """,
+        "doc_pmi_collocations": """
+            WITH toks AS (
+                SELECT doc_id, i AS pos, ws[i] AS w
+                FROM (
+                    SELECT doc_id,
+                           list_filter(string_split(text, ' '), x -> x <> '') AS ws
+                    FROM documents
+                ), UNNEST(range(1, len(ws) + 1)) AS u(i)
+            ), bi AS (
+                SELECT a.w AS w1, b.w AS w2, count(*) AS n_bigram
+                FROM toks a JOIN toks b
+                  ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+                GROUP BY a.w, b.w
+                HAVING count(*) >= 5
+            ), uni AS (
+                SELECT w, count(*) AS n_uni FROM toks GROUP BY w
+            ), tot AS (
+                SELECT count(*) AS n_total FROM toks
+            )
+            SELECT w1, w2, n_bigram,
+                   n_bigram::DOUBLE * n_total::DOUBLE
+                       / (u1.n_uni::DOUBLE * u2.n_uni::DOUBLE) AS pmi_ratio
+            FROM bi
+            JOIN uni u1 ON u1.w = bi.w1
+            JOIN uni u2 ON u2.w = bi.w2
+            CROSS JOIN tot
+            ORDER BY pmi_ratio DESC, w1 ASC, w2 ASC
+            LIMIT 50
+        """,
+        "doc_priority_sample": """
+            WITH p AS (
+                SELECT source, doc_id, n_chars,
+                       n_chars::DOUBLE * 4294967296.0
+                           / ((('0x' || substr(md5(doc_id::VARCHAR), 17, 8))::BIGINT
+                               + 1)::DOUBLE) AS priority
+                FROM documents
+            )
+            SELECT source, doc_id, n_chars, priority
+            FROM (SELECT *, row_number() OVER (
+                      PARTITION BY source
+                      ORDER BY priority DESC, doc_id ASC) AS rn
+                  FROM p)
+            WHERE rn <= 3
         """,
         "stream_dedup_watermark": """
             SELECT DISTINCT md5(lower(trim(text))) AS digest

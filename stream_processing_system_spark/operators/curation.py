@@ -33,7 +33,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from stream_processing_system_spark.functions.scalar import det_round
+from stream_processing_system_spark.functions.scalar import det_round, tokenize
 
 
 def _toks(text_col):
@@ -329,3 +329,106 @@ def shingle_novelty(
         F.col("n_novel").cast("long").alias("n_novel"),
         det_round(F.col("n_novel") / F.col("n_shingles")).alias("novelty"),
     ).orderBy(id_col)
+
+
+def pmi_collocations(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_count: int = 5,
+    top: int = 50,
+) -> DataFrame:
+    """Collocation mining: the `top` adjacent token pairs by pointwise
+    mutual information, PMI expressed as the raw association ratio
+    P(w1,w2)/(P(w1)P(w2)) = n_bigram·N / (n_w1·n_w2) rather than its
+    log — `ln` is libm-dependent and can differ in the last ulp
+    across engines, while products and one division of exact-integer
+    doubles are IEEE-identical everywhere. Monotone in log-PMI, so
+    the ranking is the textbook one.
+
+    Same distributed shape as the bigram LM: bigrams built MAP-SIDE
+    (zip_with of the token array against its own shift — no token
+    self-join), then two count aggregates and a broadcast scalar N.
+    At 100 TB: two shuffles of (token-pair, count) with map-side
+    combine; `min_count` prunes the hapax tail before the join.
+    """
+    toks_arr = tokenize(F.col(text_col))
+    n = F.size(toks_arr)
+    pair_arr = F.when(
+        n >= 2,
+        F.zip_with(
+            F.slice(toks_arr, 1, n - 1),
+            F.slice(toks_arr, 2, n - 1),
+            lambda x, y: F.struct(x.alias("w1"), y.alias("w2")),
+        ),
+    ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
+    bigrams = (
+        df.select(F.explode(pair_arr).alias("p"))
+        .groupBy(F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+        .agg(F.count(F.lit(1)).alias("n_bigram"))
+        .where(F.col("n_bigram") >= min_count)
+    )
+    toks = df.select(F.explode(toks_arr).alias("w"))
+    unigrams = toks.groupBy("w").agg(F.count(F.lit(1)).alias("n_uni"))
+    total = toks.agg(F.count(F.lit(1)).alias("n_total"))
+    u1 = unigrams.select(F.col("w").alias("w1"), F.col("n_uni").alias("n_w1"))
+    u2 = unigrams.select(F.col("w").alias("w2"), F.col("n_uni").alias("n_w2"))
+    return (
+        bigrams.join(u1, "w1")
+        .join(u2, "w2")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "w1",
+            "w2",
+            "n_bigram",
+            (
+                F.col("n_bigram").cast("double") * F.col("n_total").cast("double")
+                / (F.col("n_w1").cast("double") * F.col("n_w2").cast("double"))
+            ).alias("pmi_ratio"),
+        )
+        .orderBy(F.col("pmi_ratio").desc(), F.col("w1").asc(), F.col("w2").asc())
+        .limit(top)
+    )
+
+
+def priority_sample(
+    df: DataFrame,
+    k: int = 3,
+    weight_col: str = "n_chars",
+    group_col: str = "source",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Weighted sampling without replacement per group: priority
+    sampling (Duffield, Lund & Thorup 2007) — priority q = w/u with
+    u ~ Uniform(0,1], keep the k largest q per group. Selection
+    probability grows with weight; the estimator is the published
+    near-optimal subset-sum sampler.
+
+    u is a DETERMINISTIC uniform — md5(id) chars 17-24 as a 32-bit
+    integer (independent of the split/sample hash windows at chars
+    1-8 and 9-16), so priorities are reproducible across engines and
+    runs: q = w · 2³² / (h+1) is one product and one division of
+    exact-integer-valued doubles, bit-identical in Spark and DuckDB.
+    Per-group top-k is a window row_number, tie-broken by id; at
+    100 TB the window shuffles once on the group key — for a
+    single-group (global) sample swap the window for the `topk`
+    operator's TakeOrderedAndProject instead.
+    """
+    h = (
+        F.conv(
+            F.substring(F.md5(F.col(id_col).cast("string")), 17, 8), 16, 10
+        ).cast("long")
+        + 1
+    )
+    prio = F.col(weight_col).cast("double") * F.lit(4294967296.0) / h.cast("double")
+    w = Window.partitionBy(group_col).orderBy(
+        F.col("_priority").desc(), F.col(id_col).asc()
+    )
+    return (
+        df.select(group_col, id_col, weight_col, prio.alias("_priority"))
+        .withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= k)
+        .select(
+            group_col, id_col, weight_col, F.col("_priority").alias("priority")
+        )
+    )

@@ -571,3 +571,19 @@ def media_frame_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("frame_idx").cast("long").alias("frame_idx"),
         F.col("ts_ms").cast("long").alias("ts_ms"),
     ).orderBy("media_id", "frame_idx")
+
+
+def doc_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top collocations over the documents corpus by PMI ratio
+    (`operators/curation.pmi_collocations`)."""
+    return curation.pmi_collocations(_docs(spark, sf_dir), "doc_id", "text")
+
+
+def doc_priority_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source weighted sample (priority sampling, weight =
+    n_chars) of the documents corpus
+    (`operators/curation.priority_sample`)."""
+    return curation.priority_sample(
+        _docs(spark, sf_dir), k=3, weight_col="n_chars", group_col="source",
+        id_col="doc_id",
+    )

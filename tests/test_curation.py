@@ -126,3 +126,34 @@ def test_bigram_lm_score_prefers_predictable_text(spark):
     assert scores[1] > scores[4]  # predictable text beats gibberish
     n = {r["doc_id"]: r["n_bigrams"] for r in rows}
     assert n[1] == 8 and n[4] == 8
+
+
+def test_priority_sample_favors_heavy_docs(spark, sf_dir):
+    """Priority sampling (w/u, top-k) must over-represent heavy
+    documents: the mean weight of sampled docs should beat the corpus
+    mean (deterministic hash-uniforms, so this is a fixed fact of the
+    fixture, not a flaky statistical test)."""
+    from stream_processing_system_spark.operators.curation import priority_sample
+    from stream_processing_system_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    sampled = priority_sample(docs, k=3).toPandas()
+    assert (sampled.groupby("source").size() == 3).all()
+    corpus_mean = docs.agg({"n_chars": "avg"}).collect()[0][0]
+    assert sampled["n_chars"].mean() > corpus_mean
+
+
+def test_pmi_ratio_is_association_monotone(spark, sf_dir):
+    """PMI ratio must exceed 1 for genuinely associated pairs (the
+    top-50 cut) and every returned pair must meet the min_count
+    floor."""
+    from stream_processing_system_spark.operators.curation import pmi_collocations
+    from stream_processing_system_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    top = pmi_collocations(docs, "doc_id", "text", min_count=5, top=50).toPandas()
+    assert len(top) > 0
+    assert (top["n_bigram"] >= 5).all()
+    assert (top["pmi_ratio"] > 0).all()
+    # ranked descending
+    assert list(top["pmi_ratio"]) == sorted(top["pmi_ratio"], reverse=True)
