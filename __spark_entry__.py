@@ -564,6 +564,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "product_profit": analytics.product_profit,
         "doc_pmi_collocations": pipeline.doc_pmi_collocations,
         "doc_priority_sample": pipeline.doc_priority_sample,
+        "doc_budget_select": pipeline.doc_budget_select,
         "promo_revenue_ratio": analytics.promo_revenue_ratio,
         "bracket_revenue": analytics.bracket_revenue,
         "volume_shipping": analytics.volume_shipping,
@@ -2004,6 +2005,37 @@ def oracle_sql() -> dict[str, str]:
             CROSS JOIN tot
             ORDER BY pmi_ratio DESC, w1 ASC, w2 ASC
             LIMIT 50
+        """,
+        "doc_budget_select": """
+            WITH t AS (
+                SELECT doc_id,
+                       list_filter(string_split(text, ' '), x -> x <> '') AS toks
+                FROM documents
+            ), s AS (
+                SELECT doc_id,
+                       CAST(len(toks) AS BIGINT) AS n_tokens,
+                       CAST(len(toks) AS DOUBLE) AS nt,
+                       list_sum(list_transform(toks, x -> length(x)))
+                           / CAST(len(toks) AS DOUBLE) AS avg_len,
+                       len(list_filter(toks, x -> list_contains(
+                           ['the','a','of','and','is','in','to','it'], x)))
+                           / CAST(len(toks) AS DOUBLE) AS stop_ratio
+                FROM t
+            ), q AS (
+                SELECT doc_id, n_tokens,
+                       floor((0.4 * least(nt / 100.0, 1.0)
+                           + 0.3 * least(avg_len / 8.0, 1.0)
+                           + 0.3 * least(stop_ratio * 5.0, 1.0))
+                           * 1000000.0 + 0.5) / 1000000.0 AS quality
+                FROM s
+            ), c AS (
+                SELECT doc_id, quality, n_tokens,
+                       SUM(n_tokens) OVER (ORDER BY quality DESC, doc_id ASC
+                                           ROWS UNBOUNDED PRECEDING) AS cum_tokens
+                FROM q
+            )
+            SELECT doc_id, quality, n_tokens, CAST(cum_tokens AS BIGINT) AS cum_tokens
+            FROM c WHERE cum_tokens <= 10000 ORDER BY cum_tokens
         """,
         "doc_priority_sample": """
             WITH p AS (

@@ -432,3 +432,62 @@ def priority_sample(
             group_col, id_col, weight_col, F.col("_priority").alias("priority")
         )
     )
+
+
+def budget_select(
+    df: DataFrame,
+    budget_tokens: int,
+    score_col: str = "quality",
+    token_col: str = "n_tokens",
+    id_col: str = "doc_id",
+    n_ranges: int = 8,
+) -> DataFrame:
+    """Token-budgeted corpus selection: walk documents in descending
+    score order and keep them until a global token budget is spent —
+    the final "fill the training mix" step after filtering/dedup.
+
+    The naive spelling is a GLOBAL window cumsum
+    (`Window.orderBy(...)` with no partitionBy), which Spark executes
+    in ONE task — a guaranteed straggler/OOM at 100 TB. This is the
+    scale-correct two-phase prefix sum instead:
+
+      1. `repartitionByRange` on the (score desc, id) total order —
+         ranges are globally sorted across partitions;
+      2. per-partition running sum (window partitioned by the range
+         partition id — parallel, bounded memory);
+      3. per-partition totals (one tiny n_ranges-row aggregate) get
+         their own prefix sum and join back as broadcast offsets.
+
+    global_cumsum = local_cumsum + offset(preceding ranges). The
+    result is independent of where the sampled range boundaries land
+    because (score desc, id asc) is a TOTAL order; token counts sum
+    as exact int64, so the cut is cross-engine deterministic.
+    """
+    key = [F.col(score_col).desc(), F.col(id_col).asc()]
+    ranged = df.repartitionByRange(n_ranges, *key).withColumn(
+        "_pid", F.spark_partition_id()
+    )
+    w_local = (
+        Window.partitionBy("_pid")
+        .orderBy(*key)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    local = ranged.withColumn(
+        "_local_cum", F.sum(F.col(token_col).cast("long")).over(w_local)
+    )
+    w_prefix = (
+        Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = (
+        ranged.groupBy("_pid")
+        .agg(F.sum(F.col(token_col).cast("long")).alias("_part_total"))
+        .withColumn("_offset", F.coalesce(F.sum("_part_total").over(w_prefix), F.lit(0)))
+        .select("_pid", "_offset")
+    )
+    return (
+        local.join(F.broadcast(offsets), "_pid")
+        .withColumn("cum_tokens", F.col("_local_cum") + F.col("_offset"))
+        .where(F.col("cum_tokens") <= budget_tokens)
+        .select(id_col, score_col, token_col, "cum_tokens")
+        .orderBy("cum_tokens")
+    )

@@ -587,3 +587,19 @@ def doc_priority_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         _docs(spark, sf_dir), k=3, weight_col="n_chars", group_col="source",
         id_col="doc_id",
     )
+
+
+def doc_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-ordered token-budget selection over documents: score
+    with `text_analysis.quality_score`, then fill a 10k-token budget
+    best-first via the two-phase distributed prefix sum
+    (`operators/curation.budget_select`)."""
+    docs = _docs(spark, sf_dir)
+    q = text_analysis.quality_score(docs, "doc_id", "text")
+    toks = docs.select(
+        "doc_id",
+        F.size(F.filter(F.split(F.col("text"), " "), lambda t: t != ""))
+        .cast("long")
+        .alias("n_tokens"),
+    )
+    return curation.budget_select(q.join(toks, "doc_id"), budget_tokens=10_000)

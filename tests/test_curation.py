@@ -157,3 +157,38 @@ def test_pmi_ratio_is_association_monotone(spark, sf_dir):
     assert (top["pmi_ratio"] > 0).all()
     # ranked descending
     assert list(top["pmi_ratio"]) == sorted(top["pmi_ratio"], reverse=True)
+
+
+def test_budget_select_equals_naive_global_cumsum(spark, sf_dir):
+    """The two-phase distributed prefix sum must produce exactly the
+    single-partition global-window answer (the construction it
+    replaces for scale)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from stream_processing_system_spark.operators.curation import budget_select
+    from stream_processing_system_spark.operators.text_analysis import quality_score
+    from stream_processing_system_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    q = quality_score(docs, "doc_id", "text")
+    toks = docs.select(
+        "doc_id",
+        F.size(F.filter(F.split(F.col("text"), " "), lambda t: t != ""))
+        .cast("long")
+        .alias("n_tokens"),
+    )
+    scored = q.join(toks, "doc_id")
+    got = budget_select(scored, budget_tokens=5000).toPandas()
+
+    w = Window.orderBy(F.col("quality").desc(), F.col("doc_id").asc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    naive = (
+        scored.withColumn("cum_tokens", F.sum("n_tokens").over(w))
+        .where(F.col("cum_tokens") <= 5000)
+        .select("doc_id", "quality", "n_tokens", "cum_tokens")
+        .orderBy("cum_tokens")
+        .toPandas()
+    )
+    assert got.reset_index(drop=True).equals(naive.reset_index(drop=True))
