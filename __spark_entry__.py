@@ -565,6 +565,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_pmi_collocations": pipeline.doc_pmi_collocations,
         "doc_priority_sample": pipeline.doc_priority_sample,
         "doc_budget_select": pipeline.doc_budget_select,
+        "peak_concurrency": analytics.peak_concurrency,
+        "doc_token_chi2": pipeline.doc_token_chi2,
         "promo_revenue_ratio": analytics.promo_revenue_ratio,
         "bracket_revenue": analytics.bracket_revenue,
         "volume_shipping": analytics.volume_shipping,
@@ -2005,6 +2007,60 @@ def oracle_sql() -> dict[str, str]:
             CROSS JOIN tot
             ORDER BY pmi_ratio DESC, w1 ASC, w2 ASC
             LIMIT 50
+        """,
+        "doc_token_chi2": """
+            WITH presence AS (
+                SELECT DISTINCT doc_id, lang AS label, w
+                FROM documents,
+                     UNNEST(list_distinct(
+                         list_filter(string_split(text, ' '), x -> x <> ''))) AS u(w)
+            ), pair AS (
+                SELECT w, label, count(*) AS a FROM presence GROUP BY 1, 2
+            ), tokm AS (
+                SELECT w, SUM(a) AS n_w FROM pair GROUP BY w HAVING SUM(a) >= 5
+            ), labm AS (
+                SELECT lang AS label, count(*) AS n_label FROM documents GROUP BY 1
+            ), tot AS (
+                SELECT count(*) AS n_total FROM documents
+            )
+            SELECT w, label, a AS n_docs,
+                   (n_total::DOUBLE
+                      * (a * (n_total - n_label - (n_w - a))
+                         - (n_label - a) * (n_w - a))::DOUBLE
+                      * (a * (n_total - n_label - (n_w - a))
+                         - (n_label - a) * (n_w - a))::DOUBLE)
+                   / ((a + (n_label - a))::DOUBLE
+                      * ((n_w - a) + (n_total - n_label - (n_w - a)))::DOUBLE
+                      * (a + (n_w - a))::DOUBLE
+                      * ((n_label - a) + (n_total - n_label - (n_w - a)))::DOUBLE)
+                       AS chi2
+            FROM pair JOIN tokm USING (w) JOIN labm USING (label) CROSS JOIN tot
+            ORDER BY chi2 DESC, label ASC, w ASC
+            LIMIT 50
+        """,
+        "peak_concurrency": """
+            WITH iv AS (
+                SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS day, user_id,
+                       MIN(CAST(floor(epoch(ts)) AS BIGINT)) AS start_s,
+                       MAX(CAST(floor(epoch(ts)) AS BIGINT)) + 1 AS end_s
+                FROM events
+                GROUP BY 1, 2
+            ), points AS (
+                SELECT day, start_s AS t, 1 AS delta, user_id FROM iv
+                UNION ALL
+                SELECT day, end_s AS t, -1 AS delta, user_id FROM iv
+            ), curve AS (
+                SELECT day,
+                       SUM(delta) OVER (PARTITION BY day
+                                        ORDER BY t ASC, delta ASC, user_id ASC
+                                        ROWS UNBOUNDED PRECEDING) AS conc
+                FROM points
+            )
+            SELECT c.day, CAST(c.peak AS BIGINT) AS peak_concurrent,
+                   CAST(n.n AS BIGINT) AS n_intervals
+            FROM (SELECT day, MAX(conc) AS peak FROM curve GROUP BY day) c
+            JOIN (SELECT day, COUNT(*) AS n FROM iv GROUP BY day) n USING (day)
+            ORDER BY day
         """,
         "doc_budget_select": """
             WITH t AS (

@@ -1656,3 +1656,57 @@ def product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum(profit).cast("double").alias("sum_profit"))
         .orderBy(F.col("nation").asc(), F.col("o_year").desc())
     )
+
+
+def peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sweep-line peak concurrency: per day, the maximum number of
+    simultaneously-active users, where a user's activity interval for
+    a day is [first event, last event + 1 s) in epoch seconds
+    (half-open, so single-event users still count for one second).
+
+    The classic interval-overlap algorithm as DataFrame ops: each
+    interval emits a +1 point at its start and a −1 at its (exclusive)
+    end; a running sum over the points in (time, delta, user) order is
+    the concurrency curve, and the day's answer is its max. Ordering
+    is TOTAL (user id breaks time+delta ties), so the running values —
+    not just the max — are deterministic in both engines.
+
+    Scale: the sweep partitions by day, so the cumsum window is
+    day-parallel with bounded state (never the one-task global window);
+    points are 2 rows per (user, day) — already aggregated far below
+    event volume before the only shuffle.
+    """
+    events = load_table(spark, sf_dir, "events")
+    iv = (
+        events.select(
+            F.col("ts").cast("date").cast("string").alias("day"),
+            "user_id",
+            F.col("ts").cast("long").alias("ts_s"),
+        )
+        .groupBy("day", "user_id")
+        .agg(
+            F.min("ts_s").alias("start_s"),
+            (F.max("ts_s") + F.lit(1)).alias("end_s"),
+        )
+    )
+    points = iv.select(
+        "day", F.col("start_s").alias("t"), F.lit(1).alias("delta"), "user_id"
+    ).unionAll(
+        iv.select(
+            "day", F.col("end_s").alias("t"), F.lit(-1).alias("delta"), "user_id"
+        )
+    )
+    w = (
+        Window.partitionBy("day")
+        .orderBy(F.col("t").asc(), F.col("delta").asc(), F.col("user_id").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    curve = points.withColumn("_conc", F.sum("delta").over(w))
+    return (
+        curve.groupBy("day")
+        .agg(
+            F.max("_conc").cast("long").alias("peak_concurrent"),
+            (F.count(F.lit(1)) / 2).cast("long").alias("n_intervals"),
+        )
+        .orderBy("day")
+    )

@@ -603,3 +603,9 @@ def doc_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("n_tokens"),
     )
     return curation.budget_select(q.join(toks, "doc_id"), budget_tokens=10_000)
+
+
+def doc_token_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-discriminative vocabulary by chi-square keyness
+    (`operators/text_analysis.token_chi2`)."""
+    return text_analysis.token_chi2(_docs(spark, sf_dir), "lang", "doc_id", "text")
