@@ -567,6 +567,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_budget_select": pipeline.doc_budget_select,
         "peak_concurrency": analytics.peak_concurrency,
         "doc_token_chi2": pipeline.doc_token_chi2,
+        "copurchased_part_pairs": analytics.copurchased_part_pairs,
+        "event_transitions": analytics.event_transitions,
         "promo_revenue_ratio": analytics.promo_revenue_ratio,
         "bracket_revenue": analytics.bracket_revenue,
         "volume_shipping": analytics.volume_shipping,
@@ -2007,6 +2009,36 @@ def oracle_sql() -> dict[str, str]:
             CROSS JOIN tot
             ORDER BY pmi_ratio DESC, w1 ASC, w2 ASC
             LIMIT 50
+        """,
+        "copurchased_part_pairs": """
+            WITH op AS (
+                SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+            )
+            SELECT a.l_partkey AS p1, b.l_partkey AS p2,
+                   count(*) AS support
+            FROM op a JOIN op b
+              ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+            GROUP BY 1, 2
+            ORDER BY support DESC, p1 ASC, p2 ASC
+            LIMIT 50
+        """,
+        "event_transitions": """
+            WITH pairs AS (
+                SELECT event_type AS cur_event,
+                       lead(event_type) OVER (PARTITION BY user_id
+                                              ORDER BY ts, event_id) AS next_event
+                FROM events
+            ), counts AS (
+                SELECT cur_event, next_event, count(*) AS n_transitions
+                FROM pairs WHERE next_event IS NOT NULL
+                GROUP BY 1, 2
+            )
+            SELECT cur_event, next_event, n_transitions,
+                   n_transitions::DOUBLE
+                       / (SUM(n_transitions) OVER (PARTITION BY cur_event))::DOUBLE
+                       AS prob
+            FROM counts
+            ORDER BY cur_event, next_event
         """,
         "doc_token_chi2": """
             WITH presence AS (

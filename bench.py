@@ -57,6 +57,14 @@ HEADLINE = [
     "zorder_events_scan",
     "lineitem_measures_unpivot",
     "approx_value_percentiles",
+    # round-2 late additions: TPC-H matrix completion + curation ops
+    "min_cost_supplier",
+    "product_profit",
+    "peak_concurrency",
+    "doc_token_chi2",
+    "doc_pmi_collocations",
+    "doc_budget_select",
+    "doc_priority_sample",
 ]
 
 

@@ -1710,3 +1710,72 @@ def peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day")
     )
+
+
+def copurchased_part_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket pair support: the 50 part pairs most often
+    ordered together (the candidate-pair step of apriori / frequent
+    itemset mining).
+
+    The pair generation is a self equi-join of the DISTINCT
+    (order, part) relation on the order key with `p1 < p2` — both
+    sides are the same projection, so Spark shuffles it ONCE and the
+    plan reuses the exchange. Per-order blowup is quadratic only in
+    the per-order line count (bounded ~7 in TPC-H-shaped data, and
+    bounded by basket size in general), never in |lineitem|. Counts
+    are exact ints; the top-50 cut is totally ordered by
+    (support desc, p1, p2).
+    """
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("p1"))
+    b = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("p2"))
+    return (
+        a.join(b, "ok")
+        .where(F.col("p1") < F.col("p2"))
+        .groupBy("p1", "p2")
+        .agg(F.count(F.lit(1)).alias("support"))
+        .orderBy(F.col("support").desc(), F.col("p1").asc(), F.col("p2").asc())
+        .limit(50)
+    )
+
+
+def event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over the event stream:
+    for each (current, next) event-type pair, the transition count
+    and probability P(next | current) — the session-flow model behind
+    funnel analysis.
+
+    `lead` over the per-user (ts, event_id) order builds consecutive
+    pairs map-side after ONE shuffle by user (event_id makes the
+    order total, so pairing is deterministic); the per-current
+    normalizer is a window over the 5×5 count matrix, not a second
+    scan. Probability = exact-int count / exact-int total, one
+    division, bit-identical cross-engine — no rounding grid needed.
+    """
+    events = load_table(spark, sf_dir, "events")
+    by_user = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        events.select(
+            "user_id",
+            "ts",
+            "event_id",
+            F.col("event_type").alias("cur_event"),
+            F.lead("event_type").over(by_user).alias("next_event"),
+        )
+        .where(F.col("next_event").isNotNull())
+        .groupBy("cur_event", "next_event")
+        .agg(F.count(F.lit(1)).alias("n_transitions"))
+    )
+    w_cur = Window.partitionBy("cur_event")
+    return (
+        pairs.withColumn(
+            "prob",
+            F.col("n_transitions").cast("double")
+            / F.sum("n_transitions").over(w_cur).cast("double"),
+        )
+        .orderBy("cur_event", "next_event")
+    )
