@@ -569,6 +569,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_token_chi2": pipeline.doc_token_chi2,
         "copurchased_part_pairs": analytics.copurchased_part_pairs,
         "event_transitions": analytics.event_transitions,
+        "bucketed_revenue_join": pipeline.bucketed_revenue_join,
         "promo_revenue_ratio": analytics.promo_revenue_ratio,
         "bracket_revenue": analytics.bracket_revenue,
         "volume_shipping": analytics.volume_shipping,
@@ -2009,6 +2010,14 @@ def oracle_sql() -> dict[str, str]:
             CROSS JOIN tot
             ORDER BY pmi_ratio DESC, w1 ASC, w2 ASC
             LIMIT 50
+        """,
+        "bucketed_revenue_join": """
+            SELECT o_orderpriority, count(*) AS n_lineitems,
+                   SUM(CAST(l_extendedprice * (1 - l_discount)
+                            AS DECIMAL(18,4)))::DOUBLE AS revenue
+            FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+            GROUP BY o_orderpriority
+            ORDER BY o_orderpriority
         """,
         "copurchased_part_pairs": """
             WITH op AS (

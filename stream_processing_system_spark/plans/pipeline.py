@@ -609,3 +609,68 @@ def doc_token_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Language-discriminative vocabulary by chi-square keyness
     (`operators/text_analysis.token_chi2`)."""
     return text_analysis.token_chi2(_docs(spark, sf_dir), "lang", "doc_id", "text")
+
+
+_BUCKETED_CACHE: dict[str, tuple[str, str]] = {}
+
+
+def bucketed_revenue_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-checked round-trip for the bucketed-layout family
+    (`sources/bucketing.write_bucketed`): orders and lineitem are
+    written ONCE per process as tables bucketed by order key, then
+    the fact⋈fact join runs on the bucketed copies and aggregates
+    revenue per order priority.
+
+    Because both scans report the same bucketing as their output
+    partitioning, the join plans WITHOUT an Exchange on either side
+    (asserted in tests/test_bucketing.py) — the one-time layout
+    decision that deletes the recurring O(data) orderkey shuffle at
+    100 TB. The oracle hash-match proves bucketing changed the
+    LAYOUT, never the values.
+    """
+    import hashlib
+
+    from stream_processing_system_spark.sources.bucketing import (
+        bucketed_join,
+        write_bucketed,
+    )
+
+    import os
+    import shutil
+    from urllib.parse import urlparse
+
+    tables = _BUCKETED_CACHE.get(sf_dir)
+    if tables is None:
+        tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+        tables = (f"orders_bk_{tag}", f"lineitem_bk_{tag}")
+        # the warehouse DIRECTORY outlives the in-memory catalog: a
+        # fresh process would hit LOCATION_ALREADY_EXISTS on
+        # saveAsTable, so drop both the catalog entry and any stale
+        # location before writing
+        warehouse = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+        for t in tables:
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
+            shutil.rmtree(os.path.join(warehouse, t), ignore_errors=True)
+        orders = load_table(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_orderpriority"
+        )
+        li = load_table(spark, sf_dir, "lineitem").select(
+            F.col("l_orderkey").alias("o_orderkey"),
+            "l_extendedprice",
+            "l_discount",
+        )
+        write_bucketed(orders, tables[0], "o_orderkey", n_buckets=8)
+        write_bucketed(li, tables[1], "o_orderkey", n_buckets=8)
+        _BUCKETED_CACHE[sf_dir] = tables
+    joined = bucketed_join(spark, tables[0], tables[1], "o_orderkey")
+    revenue = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+        "decimal(18,4)"
+    )
+    return (
+        joined.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_lineitems"),
+            F.sum(revenue).cast("double").alias("revenue"),
+        )
+        .orderBy("o_orderpriority")
+    )

@@ -47,3 +47,23 @@ def test_bucketed_join_has_no_shuffle(spark, sf_dir, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         spark.sql("DROP TABLE IF EXISTS orders_b")
         spark.sql("DROP TABLE IF EXISTS lineitem_b")
+
+def test_registered_bucketed_query_joins_without_shuffle(spark, sf_dir):
+    """The driver-registered bucketed_revenue_join must plan its
+    fact⋈fact join with ZERO Exchange on the join inputs once
+    broadcast is off (the layout, not the optimizer, provides
+    co-location). The only exchanges allowed are the aggregate's own
+    group-by shuffle and the final sort."""
+    from stream_processing_system_spark.plans.pipeline import bucketed_revenue_join
+
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        df = bucketed_revenue_join(spark, sf_dir)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        join_part = plan.split("HashAggregate")[-1]  # below the partial agg
+        assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+        assert "Exchange" not in join_part, (
+            f"join inputs still shuffle:\n{join_part}"
+        )
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
