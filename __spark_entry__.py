@@ -570,6 +570,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "copurchased_part_pairs": analytics.copurchased_part_pairs,
         "event_transitions": analytics.event_transitions,
         "bucketed_revenue_join": pipeline.bucketed_revenue_join,
+        "partitioned_events_scan": pipeline.partitioned_events_scan,
         "promo_revenue_ratio": analytics.promo_revenue_ratio,
         "bracket_revenue": analytics.bracket_revenue,
         "volume_shipping": analytics.volume_shipping,
@@ -2010,6 +2011,17 @@ def oracle_sql() -> dict[str, str]:
             CROSS JOIN tot
             ORDER BY pmi_ratio DESC, w1 ASC, w2 ASC
             LIMIT 50
+        """,
+        "partitioned_events_scan": """
+            SELECT event_type,
+                   CAST(hour(ts) AS BIGINT) AS hour_of_day,
+                   count(*) AS n,
+                   SUM(CAST(floor(value * 10000 + 0.5) AS BIGINT)) / 10000.0
+                       AS sum_value
+            FROM events
+            WHERE event_type IN ('click', 'purchase')
+            GROUP BY 1, 2
+            ORDER BY event_type, hour_of_day
         """,
         "bucketed_revenue_join": """
             SELECT o_orderpriority, count(*) AS n_lineitems,

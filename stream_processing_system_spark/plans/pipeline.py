@@ -674,3 +674,56 @@ def bucketed_revenue_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderpriority")
     )
+
+
+_PARTITIONED_CACHE: dict[str, str] = {}
+
+
+def partitioned_events_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-checked round-trip for the Hive-partitioned-layout
+    family (`sources/bucketing.write_partitioned`): events are
+    rewritten ONCE per process partitioned by event_type, then a
+    two-type scan aggregates per (type, hour).
+
+    The event-type predicate prunes whole DIRECTORIES before any
+    I/O — it shows up as PartitionFilters on the scan (asserted in
+    tests/test_bucketing.py), distinct from PushedFilters which
+    still open row groups. At 100 TB with a time/type-partitioned
+    fact table this is the difference between scanning 2/5 of the
+    data and scanning all of it. The oracle hash-match proves the
+    layout rewrite changed the directory structure, never values.
+    """
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    from stream_processing_system_spark.sources.bucketing import write_partitioned
+
+    path = _PARTITIONED_CACHE.get(sf_dir)
+    if path is None:
+        tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+        path = os.path.join(tempfile.gettempdir(), f"spark_graft_pt_{tag}")
+        shutil.rmtree(path, ignore_errors=True)
+        events = load_table(spark, sf_dir, "events")
+        write_partitioned(events, path, ["event_type"])
+        _PARTITIONED_CACHE[sf_dir] = path
+    scanned = spark.read.parquet(path).where(
+        F.col("event_type").isin("click", "purchase")
+    )
+    return (
+        scanned.groupBy(
+            "event_type", F.hour("ts").cast("long").alias("hour_of_day")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.floor(F.col("value") * 10000 + 0.5).cast("long")).alias("_s"),
+        )
+        .select(
+            "event_type",
+            "hour_of_day",
+            "n",
+            (F.col("_s") / F.lit(10000.0)).alias("sum_value"),
+        )
+        .orderBy("event_type", "hour_of_day")
+    )

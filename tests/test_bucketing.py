@@ -67,3 +67,17 @@ def test_registered_bucketed_query_joins_without_shuffle(spark, sf_dir):
         )
     finally:
         spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+
+
+def test_partitioned_scan_prunes_directories(spark, sf_dir):
+    """The registered partitioned_events_scan must show the type
+    predicate as PartitionFilters (directory pruning), not merely
+    PushedFilters (row-group filtering)."""
+    from stream_processing_system_spark.plans.pipeline import partitioned_events_scan
+
+    df = partitioned_events_scan(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    import re
+
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m and "event_type" in m.group(1), f"no partition pruning:\n{plan[:2000]}"
