@@ -1,0 +1,111 @@
+"""10x scale-up experiment: materialize a ~sf1-equivalent table set by
+replicating sf0.1 ten times with key offsets (FK-consistent: orderkeys
+and lineitems shift together; dims that scale with SF are reused, which
+matches how a warehouse grows facts faster than dims), then time a
+representative query slice at both scales.
+
+Purpose: empirical backing for the PERFORMANCE.md claim that the
+registered plans scale ~linearly — the blown-up copy lives in /tmp and
+is perf-only (correctness stays pinned to the driver's parquet).
+
+Run: python tools/scale10x.py  → one JSON line {query: [sec_sf01, sec_10x]}.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+import __spark_entry__ as contract
+from stream_processing_system_spark.session import get_spark
+from stream_processing_system_spark.sources.tables import TABLES, load_table
+
+SRC = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+DST = os.path.join(tempfile.gettempdir(), "spark_graft_10x")
+COPIES = 10
+
+#: id columns shifted per replica so keys stay unique and FK pairs stay
+#: consistent (orderkey shifts in BOTH orders and lineitem).
+SHIFT_COLS = {
+    "orders": ["o_orderkey"],
+    "lineitem": ["l_orderkey"],
+    "events": ["event_id"],
+    "documents": ["doc_id"],
+    "embeddings": ["vec_id"],
+}
+
+QUERIES = [
+    "pricing_summary",
+    "revenue_by_nation",
+    "late_supplier_orders",
+    "q1_wordcount",
+    "events_per_hour",
+    "peak_concurrency",
+    "dedup_minhash_lsh",
+    "simhash",
+    "cosine_topk",
+    "lsh_topk",
+    "doc_winnow",
+    "doc_token_chi2",
+]
+
+
+def build(spark) -> None:
+    if os.path.isdir(os.path.join(DST, "region.parquet")):
+        return
+    shutil.rmtree(DST, ignore_errors=True)
+    os.makedirs(DST, exist_ok=True)
+    for t in TABLES:
+        df = load_table(spark, SRC, t)
+        out = os.path.join(DST, f"{t}.parquet")
+        shift_cols = SHIFT_COLS.get(t)
+        if not shift_cols:
+            df.write.mode("overwrite").parquet(out)
+            continue
+        span = df.agg(F.max(shift_cols[0])).collect()[0][0] + 1
+        copies = df.crossJoin(
+            F.broadcast(
+                spark.range(COPIES).select(F.col("id").alias("_rep"))
+            )
+        )
+        for col in shift_cols:
+            copies = copies.withColumn(
+                col, F.col(col) + F.col("_rep") * F.lit(span)
+            )
+        copies.drop("_rep").write.mode("overwrite").parquet(out)
+
+
+def time_query(q, spark, sf_dir: str) -> float:
+    best = float("inf")
+    for _ in range(2):
+        t0 = time.perf_counter()
+        q(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        best = min(best, time.perf_counter() - t0)
+    return round(best, 3)
+
+
+def main() -> None:
+    spark = get_spark(app_name="scale10x", cpus=os.cpu_count() or 4)
+    spark.sparkContext.setLogLevel("ERROR")
+    build(spark)
+    qs = contract.queries()
+    qs["pricing_summary"](spark, SRC).write.format("noop").mode("overwrite").save()
+    out = {}
+    for name in QUERIES:
+        out[name] = [
+            time_query(qs[name], spark, SRC),
+            time_query(qs[name], spark, DST),
+        ]
+    print(json.dumps({"src": SRC, "copies": COPIES, "sec_src_vs_10x": out}))
+
+
+if __name__ == "__main__":
+    main()
