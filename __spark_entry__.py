@@ -571,6 +571,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_transitions": analytics.event_transitions,
         "bucketed_revenue_join": pipeline.bucketed_revenue_join,
         "partitioned_events_scan": pipeline.partitioned_events_scan,
+        "embedding_dim_stats": pipeline.embedding_dim_stats,
         "promo_revenue_ratio": analytics.promo_revenue_ratio,
         "bracket_revenue": analytics.bracket_revenue,
         "volume_shipping": analytics.volume_shipping,
@@ -2011,6 +2012,25 @@ def oracle_sql() -> dict[str, str]:
             CROSS JOIN tot
             ORDER BY pmi_ratio DESC, w1 ASC, w2 ASC
             LIMIT 50
+        """,
+        "embedding_dim_stats": """
+            WITH flat AS (
+                SELECT label, i - 1 AS dim,
+                       CAST(floor(embedding[i]::DOUBLE * 1e6 + 0.5) AS BIGINT) AS q
+                FROM embeddings, UNNEST(range(1, 65)) AS u(i)
+            ), agg AS (
+                SELECT label, dim, count(*) AS n,
+                       CAST(SUM(q) AS BIGINT) AS sum_micro,
+                       CAST(SUM(q * q) AS BIGINT) AS sumsq_micro
+                FROM flat GROUP BY 1, 2
+            )
+            SELECT label, dim, n, sum_micro, sumsq_micro,
+                   sum_micro::DOUBLE / n / 1e6 AS mean,
+                   (sumsq_micro::DOUBLE / n
+                    - (sum_micro::DOUBLE / n) * (sum_micro::DOUBLE / n)) / 1e12
+                       AS variance
+            FROM agg
+            ORDER BY label, dim
         """,
         "partitioned_events_scan": """
             SELECT event_type,

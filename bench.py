@@ -65,6 +65,11 @@ HEADLINE = [
     "doc_pmi_collocations",
     "doc_budget_select",
     "doc_priority_sample",
+    "copurchased_part_pairs",
+    "event_transitions",
+    "bucketed_revenue_join",
+    "partitioned_events_scan",
+    "embedding_dim_stats",
 ]
 
 

@@ -1054,3 +1054,63 @@ def quantize_int8(
         )
         .orderBy(id_col)
     )
+
+
+def embedding_dim_stats(
+    df: DataFrame,
+    label_col: str = "label",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Per-(label, dimension) feature statistics — count, mean,
+    variance — the monitoring pass that catches dead dimensions,
+    scaling drift, and label-conditional shift in an embedding
+    column before it poisons retrieval or training.
+
+    Float sums are partition-order-dependent, so the moments are
+    accumulated in exact MICRO-UNIT integers instead: each component
+    is quantized once (floor(x·1e6 + 0.5), the det_round grid), the
+    per-group Σq and Σq² are exact int64 sums (order-independent),
+    and mean/variance are derived from those two integers by the
+    same fixed division sequence in both engines — bit-identical
+    results with no rounding grid on the output.
+
+    Scale: ONE posexplode (rows × dim cells, all codegen) into one
+    hash aggregate keyed by (label, dim) — cardinality
+    |labels|·dim, constant-ish in corpus size; map-side combine does
+    the heavy reduction. Σq² of unit-scale micro-ints stays within
+    int64 up to ~10⁶ rows per group; above that, cast the
+    accumulators to decimal(38,0) — same exactness, wider lane.
+    """
+    flat = df.select(
+        F.col(label_col).alias("label"),
+        F.posexplode(F.col(vec_col)).alias("dim", "_v"),
+    )
+    q = F.floor(F.col("_v").cast("double") * 1e6 + F.lit(0.5)).cast("long")
+    return (
+        flat.select("label", "dim", q.alias("_q"))
+        .groupBy("label", "dim")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("_q").alias("sum_micro"),
+            F.sum(F.col("_q") * F.col("_q")).alias("sumsq_micro"),
+        )
+        .select(
+            "label",
+            "dim",
+            "n",
+            "sum_micro",
+            "sumsq_micro",
+            (F.col("sum_micro").cast("double") / F.col("n") / F.lit(1e6)).alias(
+                "mean"
+            ),
+            (
+                (
+                    F.col("sumsq_micro").cast("double") / F.col("n")
+                    - (F.col("sum_micro").cast("double") / F.col("n"))
+                    * (F.col("sum_micro").cast("double") / F.col("n"))
+                )
+                / F.lit(1e12)
+            ).alias("variance"),
+        )
+        .orderBy("label", "dim")
+    )

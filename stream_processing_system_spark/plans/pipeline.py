@@ -727,3 +727,9 @@ def partitioned_events_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type", "hour_of_day")
     )
+
+
+def embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-(label, dimension) embedding moments in exact micro-units
+    (`operators/similarity.embedding_dim_stats`)."""
+    return similarity.embedding_dim_stats(_embs(spark, sf_dir))
