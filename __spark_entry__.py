@@ -572,6 +572,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bucketed_revenue_join": pipeline.bucketed_revenue_join,
         "partitioned_events_scan": pipeline.partitioned_events_scan,
         "embedding_dim_stats": pipeline.embedding_dim_stats,
+        "doc_skipgram_pairs": pipeline.doc_skipgram_pairs,
         "promo_revenue_ratio": analytics.promo_revenue_ratio,
         "bracket_revenue": analytics.bracket_revenue,
         "volume_shipping": analytics.volume_shipping,
@@ -2011,6 +2012,24 @@ def oracle_sql() -> dict[str, str]:
             JOIN uni u2 ON u2.w = bi.w2
             CROSS JOIN tot
             ORDER BY pmi_ratio DESC, w1 ASC, w2 ASC
+            LIMIT 50
+        """,
+        "doc_skipgram_pairs": """
+            WITH toks AS (
+                SELECT doc_id, i AS pos, ws[i] AS w
+                FROM (
+                    SELECT doc_id,
+                           list_filter(string_split(text, ' '), x -> x <> '') AS ws
+                    FROM documents
+                ), UNNEST(range(1, len(ws) + 1)) AS u(i)
+            )
+            SELECT a.w AS w1, b.w AS w2, count(*) AS n_cooc
+            FROM toks a JOIN toks b
+              ON a.doc_id = b.doc_id
+             AND b.pos > a.pos AND b.pos <= a.pos + 3
+            GROUP BY 1, 2
+            HAVING count(*) >= 5
+            ORDER BY n_cooc DESC, w1 ASC, w2 ASC
             LIMIT 50
         """,
         "embedding_dim_stats": """

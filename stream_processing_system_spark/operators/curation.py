@@ -491,3 +491,45 @@ def budget_select(
         .select(id_col, score_col, token_col, "cum_tokens")
         .orderBy("cum_tokens")
     )
+
+
+def skipgram_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    window: int = 3,
+    min_count: int = 5,
+    top: int = 50,
+) -> DataFrame:
+    """Skip-gram pair counting — the word2vec/item2vec data-prep
+    step: for every token, count co-occurrences with the tokens up to
+    `window` positions to its RIGHT (one direction, so each unordered
+    pair is generated once per occurrence).
+
+    Distributed shape: positions explode map-side, then ONE
+    range-band self equi-join on the doc id (`b.pos - a.pos` in
+    [1, window]) — the blowup is window·tokens rows, linear in the
+    corpus with a constant factor of `window`, never tokens². The
+    join is co-partitioned on the doc id so AQE plans it without a
+    second shuffle of either side; `min_count` prunes the hapax tail
+    after the count. Counts are exact ints; the top cut is totally
+    ordered by (count desc, w1, w2).
+    """
+    toks = df.select(
+        F.col(id_col).alias("_doc"),
+        F.posexplode(tokenize(F.col(text_col))).alias("pos", "w"),
+    )
+    a = toks.select("_doc", F.col("pos").alias("_pa"), F.col("w").alias("w1"))
+    b = toks.select("_doc", F.col("pos").alias("_pb"), F.col("w").alias("w2"))
+    return (
+        a.join(b, "_doc")
+        .where(
+            (F.col("_pb") > F.col("_pa"))
+            & (F.col("_pb") <= F.col("_pa") + window)
+        )
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("n_cooc"))
+        .where(F.col("n_cooc") >= min_count)
+        .orderBy(F.col("n_cooc").desc(), F.col("w1").asc(), F.col("w2").asc())
+        .limit(top)
+    )

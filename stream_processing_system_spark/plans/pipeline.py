@@ -733,3 +733,9 @@ def embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-(label, dimension) embedding moments in exact micro-units
     (`operators/similarity.embedding_dim_stats`)."""
     return similarity.embedding_dim_stats(_embs(spark, sf_dir))
+
+
+def doc_skipgram_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window-3 skip-gram co-occurrence counts over documents
+    (`operators/curation.skipgram_pairs`)."""
+    return curation.skipgram_pairs(_docs(spark, sf_dir), "doc_id", "text")
