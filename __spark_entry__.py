@@ -573,6 +573,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "partitioned_events_scan": pipeline.partitioned_events_scan,
         "embedding_dim_stats": pipeline.embedding_dim_stats,
         "doc_skipgram_pairs": pipeline.doc_skipgram_pairs,
+        "events_drift_chi2": analytics.events_drift_chi2,
         "promo_revenue_ratio": analytics.promo_revenue_ratio,
         "bracket_revenue": analytics.bracket_revenue,
         "volume_shipping": analytics.volume_shipping,
@@ -2013,6 +2014,34 @@ def oracle_sql() -> dict[str, str]:
             CROSS JOIN tot
             ORDER BY pmi_ratio DESC, w1 ASC, w2 ASC
             LIMIT 50
+        """,
+        "events_drift_chi2": """
+            WITH cells AS (
+                SELECT event_type,
+                       CAST(floor(value / 50) AS BIGINT) AS bin,
+                       CASE WHEN ts >= '2024-01-16' THEN 1 ELSE 0 END AS half,
+                       count(*) AS o
+                FROM events WHERE value IS NOT NULL
+                GROUP BY 1, 2, 3
+            ), m AS (
+                SELECT event_type, bin, half, o,
+                       SUM(o) OVER (PARTITION BY event_type) AS n_tot,
+                       SUM(o) OVER (PARTITION BY event_type, bin) AS rt,
+                       SUM(o) OVER (PARTITION BY event_type, half) AS ct
+                FROM cells
+            ), terms AS (
+                SELECT event_type,
+                       CAST(floor(
+                           n_tot::DOUBLE
+                             * (o * n_tot - rt * ct)::DOUBLE
+                             * (o * n_tot - rt * ct)::DOUBLE
+                             / (n_tot::DOUBLE * n_tot::DOUBLE
+                                * rt::DOUBLE * ct::DOUBLE)
+                           * 1e6 + 0.5) AS BIGINT) AS tm
+                FROM m
+            )
+            SELECT event_type, SUM(tm)::DOUBLE / 1e6 AS chi2
+            FROM terms GROUP BY event_type ORDER BY event_type
         """,
         "doc_skipgram_pairs": """
             WITH toks AS (

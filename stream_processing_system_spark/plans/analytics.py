@@ -1779,3 +1779,64 @@ def event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cur_event", "next_event")
     )
+
+
+def events_drift_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-drift monitor: per event_type, the chi-square
+    statistic comparing the `value` histogram (width-50 bins) of the
+    first half of the time range against the second half — the
+    scheduled data-quality check that catches upstream shifts before
+    they poison downstream consumers.
+
+    Expected counts involve divisions, so the per-cell terms
+    (o−e)²/e are doubles; summing doubles is partition-order
+    dependent, so each term is quantized to the 1e-6 grid as an
+    exact int64 and the per-type chi² is the exact integer sum of
+    those micro-terms (same trick as embedding_dim_stats). Every
+    intermediate (cell counts, row/column margins, N) is an exact
+    int computed once via windows over the tiny cell table — no
+    second scan of events. Terms are summed over OBSERVED cells
+    (o > 0); a bin present in one half only still contributes
+    through its nonzero cell, which is the right sensitivity for a
+    monitor (an empty observed cell with positive expectation would
+    add e ≤ a few counts of statistic, not change the alarm).
+    """
+    events = load_table(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    half = (F.col("ts") >= F.lit("2024-01-16")).cast("int")
+    cells = (
+        events.groupBy(
+            "event_type",
+            F.floor(F.col("value") / 50).cast("long").alias("bin"),
+            half.alias("half"),
+        )
+        .agg(F.count(F.lit(1)).alias("o"))
+    )
+    w_type = Window.partitionBy("event_type")
+    w_row = Window.partitionBy("event_type", "bin")
+    w_col = Window.partitionBy("event_type", "half")
+    with_margins = (
+        cells.withColumn("n_tot", F.sum("o").over(w_type))
+        .withColumn("rt", F.sum("o").over(w_row))
+        .withColumn("ct", F.sum("o").over(w_col))
+    )
+    diff = F.col("o") * F.col("n_tot") - F.col("rt") * F.col("ct")
+    term = (
+        F.col("n_tot").cast("double")
+        * diff.cast("double")
+        * diff.cast("double")
+        / (
+            F.col("n_tot").cast("double")
+            * F.col("n_tot").cast("double")
+            * F.col("rt").cast("double")
+            * F.col("ct").cast("double")
+        )
+    )
+    return (
+        with_margins.select(
+            "event_type",
+            F.floor(term * 1e6 + F.lit(0.5)).cast("long").alias("_tm"),
+        )
+        .groupBy("event_type")
+        .agg((F.sum("_tm").cast("double") / F.lit(1e6)).alias("chi2"))
+        .orderBy("event_type")
+    )
