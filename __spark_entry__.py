@@ -574,6 +574,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_dim_stats": pipeline.embedding_dim_stats,
         "doc_skipgram_pairs": pipeline.doc_skipgram_pairs,
         "events_drift_chi2": analytics.events_drift_chi2,
+        "events_ohlc_daily": analytics.events_ohlc_daily,
         "promo_revenue_ratio": analytics.promo_revenue_ratio,
         "bracket_revenue": analytics.bracket_revenue,
         "volume_shipping": analytics.volume_shipping,
@@ -2014,6 +2015,30 @@ def oracle_sql() -> dict[str, str]:
             CROSS JOIN tot
             ORDER BY pmi_ratio DESC, w1 ASC, w2 ASC
             LIMIT 50
+        """,
+        "events_ohlc_daily": """
+            WITH base AS (
+                SELECT event_type,
+                       CAST(CAST(ts AS DATE) AS VARCHAR) AS day,
+                       ts, event_id, value
+                FROM events WHERE value IS NOT NULL
+            ), ranked AS (
+                SELECT *,
+                       row_number() OVER (PARTITION BY event_type, day
+                                          ORDER BY ts ASC, event_id ASC) AS ra,
+                       row_number() OVER (PARTITION BY event_type, day
+                                          ORDER BY ts DESC, event_id DESC) AS rd
+                FROM base
+            )
+            SELECT event_type, day,
+                   MAX(CASE WHEN ra = 1 THEN value END) AS open,
+                   MAX(value) AS high,
+                   MIN(value) AS low,
+                   MAX(CASE WHEN rd = 1 THEN value END) AS close,
+                   count(*) AS n_ticks
+            FROM ranked
+            GROUP BY event_type, day
+            ORDER BY event_type, day
         """,
         "events_drift_chi2": """
             WITH cells AS (

@@ -1840,3 +1840,45 @@ def events_drift_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg((F.sum("_tm").cast("double") / F.lit(1e6)).alias("chi2"))
         .orderBy("event_type")
     )
+
+
+def events_ohlc_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series downsampling to daily OHLC bars per event_type:
+    open / high / low / close of `value` plus the tick count — the
+    standard resolution-reduction operator for metric and market
+    streams.
+
+    Open and close are the first/last tick under the TOTAL
+    (ts, event_id) order (event_id breaks same-second ties, so the
+    bars are run- and engine-deterministic). They are picked with two
+    row_number windows over the same (type, day) partition — one
+    shuffle total, since both windows and the final aggregate share
+    the partition key; high/low/count ride the same aggregate. The
+    conditional-max trick (max(value where rn=1)) turns the picked
+    rows into plain aggregate outputs without a self-join.
+    """
+    events = load_table(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    day = F.col("ts").cast("date").cast("string").alias("day")
+    base = events.select(
+        "event_type", day, "ts", "event_id", "value"
+    )
+    w_asc = Window.partitionBy("event_type", "day").orderBy(
+        F.col("ts").asc(), F.col("event_id").asc()
+    )
+    w_desc = Window.partitionBy("event_type", "day").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    ranked = base.withColumn("_ra", F.row_number().over(w_asc)).withColumn(
+        "_rd", F.row_number().over(w_desc)
+    )
+    return (
+        ranked.groupBy("event_type", "day")
+        .agg(
+            F.max(F.when(F.col("_ra") == 1, F.col("value"))).alias("open"),
+            F.max("value").alias("high"),
+            F.min("value").alias("low"),
+            F.max(F.when(F.col("_rd") == 1, F.col("value"))).alias("close"),
+            F.count(F.lit(1)).alias("n_ticks"),
+        )
+        .orderBy("event_type", "day")
+    )
