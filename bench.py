@@ -70,6 +70,9 @@ HEADLINE = [
     "bucketed_revenue_join",
     "partitioned_events_scan",
     "embedding_dim_stats",
+    "doc_skipgram_pairs",
+    "events_drift_chi2",
+    "events_ohlc_daily",
 ]
 
 

@@ -9,6 +9,11 @@ registered plans scale ~linearly — the blown-up copy lives in /tmp and
 is perf-only (correctness stays pinned to the driver's parquet).
 
 Run: python tools/scale10x.py  → one JSON line {query: [sec_sf01, sec_10x]}.
+Pass --perturb to make each replica's documents textually UNIQUE
+(a replica-tag token appended to every text): without it, every doc
+gains COPIES-1 exact clones and LSH candidate pairs grow quadratically
+in the clone count — the perturbed mode measures the dedup family's
+honest (near-linear) scaling on a corpus that grows without cloning.
 """
 
 from __future__ import annotations
@@ -29,7 +34,10 @@ from stream_processing_system_spark.session import get_spark
 from stream_processing_system_spark.sources.tables import TABLES, load_table
 
 SRC = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-DST = os.path.join(tempfile.gettempdir(), "spark_graft_10x")
+PERTURB = "--perturb" in sys.argv
+DST = os.path.join(
+    tempfile.gettempdir(), "spark_graft_10x" + ("p" if PERTURB else "")
+)
 COPIES = 10
 
 #: id columns shifted per replica so keys stay unique and FK pairs stay
@@ -41,6 +49,16 @@ SHIFT_COLS = {
     "documents": ["doc_id"],
     "embeddings": ["vec_id"],
 }
+
+PERTURB_QUERIES = [
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "dedup_incremental",
+    "simhash",
+    "doc_winnow",
+    "doc_token_chi2",
+    "doc_skipgram_pairs",
+]
 
 QUERIES = [
     "pricing_summary",
@@ -80,6 +98,13 @@ def build(spark) -> None:
             copies = copies.withColumn(
                 col, F.col(col) + F.col("_rep") * F.lit(span)
             )
+        if PERTURB and t == "documents":
+            copies = copies.withColumn(
+                "text",
+                F.concat(
+                    F.col("text"), F.lit(" r"), F.col("_rep").cast("string")
+                ),
+            )
         copies.drop("_rep").write.mode("overwrite").parquet(out)
 
 
@@ -99,7 +124,7 @@ def main() -> None:
     qs = contract.queries()
     qs["pricing_summary"](spark, SRC).write.format("noop").mode("overwrite").save()
     out = {}
-    for name in QUERIES:
+    for name in (PERTURB_QUERIES if PERTURB else QUERIES):
         out[name] = [
             time_query(qs[name], spark, SRC),
             time_query(qs[name], spark, DST),
