@@ -575,6 +575,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_skipgram_pairs": pipeline.doc_skipgram_pairs,
         "events_drift_chi2": analytics.events_drift_chi2,
         "events_ohlc_daily": analytics.events_ohlc_daily,
+        "stream_ohlc_daily": streaming_parity.stream_ohlc_daily,
+        "source_overlap_matrix": pipeline.source_overlap_matrix,
         "promo_revenue_ratio": analytics.promo_revenue_ratio,
         "bracket_revenue": analytics.bracket_revenue,
         "volume_shipping": analytics.volume_shipping,
@@ -2015,6 +2017,47 @@ def oracle_sql() -> dict[str, str]:
             CROSS JOIN tot
             ORDER BY pmi_ratio DESC, w1 ASC, w2 ASC
             LIMIT 50
+        """,
+        "source_overlap_matrix": """
+            WITH toks AS (
+                SELECT source,
+                       list_filter(string_split(text, ' '), t -> t <> '') AS ts
+                FROM documents
+            ), grams AS (
+                SELECT DISTINCT source,
+                       md5(array_to_string(ts[i:i+4], ' ')) AS gh
+                FROM toks, UNNEST(range(1, len(ts) - 3)) AS u(i)
+                WHERE len(ts) >= 5
+            )
+            SELECT a.source AS s1, b.source AS s2, count(*) AS n_shared_grams
+            FROM grams a JOIN grams b
+              ON a.gh = b.gh AND a.source < b.source
+            GROUP BY 1, 2
+            ORDER BY n_shared_grams DESC, s1 ASC, s2 ASC
+        """,
+        "stream_ohlc_daily": """
+            WITH base AS (
+                SELECT event_type,
+                       CAST(CAST(ts AS DATE) AS VARCHAR) AS day,
+                       ts, event_id, value
+                FROM events WHERE value IS NOT NULL
+            ), ranked AS (
+                SELECT *,
+                       row_number() OVER (PARTITION BY event_type, day
+                                          ORDER BY ts ASC, event_id ASC) AS ra,
+                       row_number() OVER (PARTITION BY event_type, day
+                                          ORDER BY ts DESC, event_id DESC) AS rd
+                FROM base
+            )
+            SELECT event_type, day,
+                   MAX(CASE WHEN ra = 1 THEN value END) AS open,
+                   MAX(value) AS high,
+                   MIN(value) AS low,
+                   MAX(CASE WHEN rd = 1 THEN value END) AS close,
+                   count(*) AS n_ticks
+            FROM ranked
+            GROUP BY event_type, day
+            ORDER BY event_type, day
         """,
         "events_ohlc_daily": """
             WITH base AS (

@@ -533,3 +533,43 @@ def skipgram_pairs(
         .orderBy(F.col("n_cooc").desc(), F.col("w1").asc(), F.col("w2").asc())
         .limit(top)
     )
+
+
+def source_overlap_matrix(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    source_col: str = "source",
+    n: int = 5,
+) -> DataFrame:
+    """Cross-source contamination matrix: for every pair of sources,
+    how many distinct word n-grams they share — the corpus-hygiene
+    report that surfaces mirror sites, syndicated content, and
+    scraped duplicates BETWEEN feeds before any pairwise doc dedup.
+
+    Shape: per-source gram sets dedup map-side (grams travel as md5
+    digests, like `decontaminate`); the pair counts come from ONE
+    self equi-join of the deduped (source, gram) relation on the
+    gram hash with `s1 < s2` — per-gram blowup is bounded by
+    (#sources choose 2), a constant, never corpus-sized, and the
+    relation is shuffled once (the join reuses the exchange). The
+    count per pair is exactly the number of distinct shared grams
+    because both sides are pre-deduped.
+    """
+    grams = (
+        df.select(
+            F.col(source_col).alias("_src"),
+            F.explode(ngram_set(F.col(text_col), n)).alias("_g"),
+        )
+        .select("_src", F.md5("_g").alias("_gh"))
+        .distinct()
+    )
+    a = grams.select(F.col("_src").alias("s1"), "_gh")
+    b = grams.select(F.col("_src").alias("s2"), "_gh")
+    return (
+        a.join(b, "_gh")
+        .where(F.col("s1") < F.col("s2"))
+        .groupBy("s1", "s2")
+        .agg(F.count(F.lit(1)).alias("n_shared_grams"))
+        .orderBy(F.col("n_shared_grams").desc(), F.col("s1").asc(), F.col("s2").asc())
+    )

@@ -739,3 +739,9 @@ def doc_skipgram_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Window-3 skip-gram co-occurrence counts over documents
     (`operators/curation.skipgram_pairs`)."""
     return curation.skipgram_pairs(_docs(spark, sf_dir), "doc_id", "text")
+
+
+def source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source shared-5-gram contamination matrix
+    (`operators/curation.source_overlap_matrix`)."""
+    return curation.source_overlap_matrix(_docs(spark, sf_dir))

@@ -513,3 +513,52 @@ def stream_heavy_hitters_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("est").desc(), F.col("user_id").asc())
         .limit(k)
     )
+
+
+def stream_ohlc_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily OHLC bars computed as an availableNow stream over a
+    file-drop copy of events — the streaming twin of
+    `analytics.events_ohlc_daily` (same oracle).
+
+    Open/close use `min_by`/`max_by` keyed on the (ts, event_id)
+    STRUCT: lexicographic struct order with the unique event id makes
+    the picked tick total-ordered, so the streaming aggregation is
+    deterministic under any micro-batch interleaving — the property
+    that lets the batch window/row_number formulation and this
+    incremental formulation hash-match the same SQL. Complete mode
+    because the drain must emit every day's bar; on an unbounded
+    stream the same plan runs in update mode with a watermark on ts.
+    """
+    input_dir, ckpt, run = _scratch("ohlc")
+    events = (
+        load_table(spark, sf_dir, "events")
+        .where(F.col("value").isNotNull())
+        .select("event_id", "ts", "event_type", "value")
+    )
+    events.write.mode("overwrite").parquet(input_dir)
+    stream = spark.readStream.schema(
+        "event_id long, ts timestamp, event_type string, value double"
+    ).parquet(input_dir)
+    key = F.struct(F.col("ts"), F.col("event_id"))
+    result = (
+        stream.withColumn("day", F.col("ts").cast("date").cast("string"))
+        .groupBy("event_type", "day")
+        .agg(
+            F.min_by("value", key).alias("open"),
+            F.max("value").alias("high"),
+            F.min("value").alias("low"),
+            F.max_by("value", key).alias("close"),
+            F.count(F.lit(1)).alias("n_ticks"),
+        )
+    )
+    q = (
+        result.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(f"ohlc_{run}")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    _cleanup(input_dir)
+    return spark.table(f"ohlc_{run}").orderBy("event_type", "day")
