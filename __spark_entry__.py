@@ -577,6 +577,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_ohlc_daily": analytics.events_ohlc_daily,
         "stream_ohlc_daily": streaming_parity.stream_ohlc_daily,
         "source_overlap_matrix": pipeline.source_overlap_matrix,
+        "compacted_events_scan": pipeline.compacted_events_scan,
+        "events_twap_daily": analytics.events_twap_daily,
         "promo_revenue_ratio": analytics.promo_revenue_ratio,
         "bracket_revenue": analytics.bracket_revenue,
         "volume_shipping": analytics.volume_shipping,
@@ -2017,6 +2019,39 @@ def oracle_sql() -> dict[str, str]:
             CROSS JOIN tot
             ORDER BY pmi_ratio DESC, w1 ASC, w2 ASC
             LIMIT 50
+        """,
+        "events_twap_daily": """
+            WITH base AS (
+                SELECT event_type,
+                       CAST(CAST(ts AS DATE) AS VARCHAR) AS day,
+                       CAST(floor(epoch(ts)) AS BIGINT) AS ts_s,
+                       event_id, value
+                FROM events WHERE value IS NOT NULL
+            ), with_dt AS (
+                SELECT event_type, day, value,
+                       COALESCE(lead(ts_s) OVER (PARTITION BY event_type, day
+                                                 ORDER BY ts_s ASC, event_id ASC)
+                                - ts_s, 0) AS dt
+                FROM base
+            ), agg AS (
+                SELECT event_type, day,
+                       SUM(CAST(floor(value * 100 + 0.5) AS BIGINT) * dt) AS cvs,
+                       SUM(dt) AS held_seconds
+                FROM with_dt GROUP BY 1, 2
+            )
+            SELECT event_type, day, held_seconds,
+                   cvs::DOUBLE / held_seconds::DOUBLE / 100.0 AS twap
+            FROM agg WHERE held_seconds > 0
+            ORDER BY event_type, day
+        """,
+        "compacted_events_scan": """
+            SELECT event_type, count(*) AS n,
+                   count(DISTINCT user_id) AS n_users,
+                   SUM(CAST(floor(value * 10000 + 0.5) AS BIGINT)) / 10000.0
+                       AS sum_value
+            FROM events
+            GROUP BY event_type
+            ORDER BY event_type
         """,
         "source_overlap_matrix": """
             WITH toks AS (

@@ -1882,3 +1882,54 @@ def events_ohlc_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type", "day")
     )
+
+
+def events_twap_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average of `value` per (event_type, day) — TWAP,
+    the irregular-sampling-correct mean for metric/market streams
+    (each observation weighted by how long it was the current value,
+    i.e. until the next tick of the same type that day; the day's
+    last tick carries zero holding time).
+
+    Holding times come from `lead(ts)` over the total
+    (ts, event_id) per-(type, day) order — one shuffle shared by the
+    window and the final aggregate. Each value·seconds term is exact:
+    value has ≤2 decimals and dt is integer seconds, so
+    centi-value·seconds accumulate as exact int64 (the micro-unit
+    pattern); TWAP = Σ(v·dt)/Σdt is then one division of exact-int
+    doubles, bit-identical cross-engine with no rounding grid.
+    """
+    events = load_table(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    base = events.select(
+        "event_type",
+        F.col("ts").cast("date").cast("string").alias("day"),
+        F.col("ts").cast("long").alias("ts_s"),
+        "event_id",
+        "value",
+    )
+    w = Window.partitionBy("event_type", "day").orderBy(
+        F.col("ts_s").asc(), F.col("event_id").asc()
+    )
+    with_dt = base.withColumn(
+        "_dt", F.coalesce(F.lead("ts_s").over(w) - F.col("ts_s"), F.lit(0))
+    )
+    centi_v = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+    return (
+        with_dt.groupBy("event_type", "day")
+        .agg(
+            F.sum(centi_v * F.col("_dt")).alias("_cvs"),
+            F.sum("_dt").alias("held_seconds"),
+        )
+        .where(F.col("held_seconds") > 0)
+        .select(
+            "event_type",
+            "day",
+            "held_seconds",
+            (
+                F.col("_cvs").cast("double")
+                / F.col("held_seconds").cast("double")
+                / F.lit(100.0)
+            ).alias("twap"),
+        )
+        .orderBy("event_type", "day")
+    )

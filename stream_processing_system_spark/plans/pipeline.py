@@ -745,3 +745,54 @@ def source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-source shared-5-gram contamination matrix
     (`operators/curation.source_overlap_matrix`)."""
     return curation.source_overlap_matrix(_docs(spark, sf_dir))
+
+
+_COMPACT_CACHE: dict[str, str] = {}
+
+
+def compacted_events_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-checked round-trip for small-files compaction
+    (`sources/layout.compact_parquet`): events are first written as a
+    deliberately over-fragmented copy (64 files), compacted into
+    size-targeted files (a no-shuffle coalesce rewrite), and the
+    registered aggregate scans the COMPACTED copy.
+
+    Small files are the classic silent killer of 100 TB scans (one
+    task + one open/footer-parse per file); compaction restores
+    ~target-sized row groups. tests/test_layout.py asserts the file
+    count actually drops; the oracle hash-match proves the rewrite
+    changed file boundaries, never values.
+    """
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    from stream_processing_system_spark.sources.layout import compact_parquet
+
+    path = _COMPACT_CACHE.get(sf_dir)
+    if path is None:
+        tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+        base = os.path.join(tempfile.gettempdir(), f"spark_graft_cp_{tag}")
+        frag, path = os.path.join(base, "frag"), os.path.join(base, "compact")
+        shutil.rmtree(base, ignore_errors=True)
+        events = load_table(spark, sf_dir, "events")
+        events.repartition(64).write.mode("overwrite").parquet(frag)
+        compact_parquet(spark, frag, path, target_file_bytes=8 * 1024 * 1024)
+        _COMPACT_CACHE[sf_dir] = path
+    scanned = spark.read.parquet(path)
+    return (
+        scanned.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.count_distinct("user_id").alias("n_users"),
+            F.sum(F.floor(F.col("value") * 10000 + 0.5).cast("long")).alias("_s"),
+        )
+        .select(
+            "event_type",
+            "n",
+            "n_users",
+            (F.col("_s") / F.lit(10000.0)).alias("sum_value"),
+        )
+        .orderBy("event_type")
+    )

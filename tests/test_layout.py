@@ -77,3 +77,19 @@ def test_compact_parquet_reduces_file_count(spark, tmp_path):
     assert len(glob.glob(out + "/part-*.parquet")) == 1
     got = {r["id"] for r in spark.read.parquet(out).collect()}
     assert got == set(range(5_000))
+
+
+def test_registered_compaction_reduces_file_count(spark, sf_dir):
+    """The registered compacted_events_scan must actually compact:
+    the scanned copy has far fewer files than the 64-file fragmented
+    write it was built from."""
+    from stream_processing_system_spark.plans.pipeline import (
+        _COMPACT_CACHE,
+        compacted_events_scan,
+    )
+
+    df = compacted_events_scan(spark, sf_dir)
+    assert df.count() == 5
+    compacted = spark.read.parquet(_COMPACT_CACHE[sf_dir])
+    n_files = len(compacted.inputFiles())
+    assert n_files < 16, f"compaction left {n_files} files"
