@@ -610,6 +610,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_stratified_sample": pipeline.doc_stratified_sample,
         "corpus_mixture_weights": pipeline.corpus_mixture_weights,
         "doc_bm25_search": pipeline.doc_bm25_search,
+        "brand_revenue_bloom": analytics.brand_revenue_bloom,
         # --- reference parity (SURVEY.md §2.12) ---
         "q1_wordcount": reference.q1_wordcount,
         "q2_top_users": reference.q2_top_users,
@@ -856,6 +857,15 @@ def oracle_sql() -> dict[str, str]:
                        / 1e6 AS mixture_weight
             FROM per JOIN ls ON per.lang = ls.lang CROSS JOIN tot
             ORDER BY per.lang, source
+        """,
+        "brand_revenue_bloom": """
+            SELECT l_partkey,
+                   COUNT(*) AS nitems,
+                   CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+            FROM lineitem
+            WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_brand = 'Brand#12')
+            GROUP BY l_partkey
+            ORDER BY l_partkey
         """,
         "doc_bm25_search": """
             WITH base AS (

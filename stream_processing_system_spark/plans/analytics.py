@@ -1933,3 +1933,35 @@ def events_twap_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type", "day")
     )
+
+
+def brand_revenue_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue per part for one brand, with the lineitem scan pruned
+    by a Bloom filter of the qualifying part keys (operators/bloom.py)
+    before the exact semi-join.
+
+    The 100 TB shape this demonstrates: `fact ⋉ (dim WHERE pred)`
+    where the filtered key set is too big to broadcast as a hash
+    table but its Bloom bitmap (128 KB at any key count) is not — the
+    fact side is filtered map-side to ~selectivity before anything
+    shuffles. Result is EXACT (the trailing semi-join removes bloom
+    false positives), so the oracle is the plain IN-subquery.
+    """
+    from stream_processing_system_spark.operators.bloom import bloom_prune_join
+
+    li = load_table(spark, sf_dir, "lineitem")
+    part_keys = (
+        load_table(spark, sf_dir, "part")
+        .where(F.col("p_brand") == "Brand#12")
+        .select(F.col("p_partkey").alias("l_partkey"))
+    )
+    pruned = bloom_prune_join(li, part_keys, "l_partkey")
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        pruned.groupBy("l_partkey")
+        .agg(
+            F.count(F.lit(1)).alias("nitems"),
+            _dec_sum(revenue, "revenue", scale=4),
+        )
+        .orderBy("l_partkey")
+    )
