@@ -611,6 +611,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_mixture_weights": pipeline.corpus_mixture_weights,
         "doc_bm25_search": pipeline.doc_bm25_search,
         "brand_revenue_bloom": analytics.brand_revenue_bloom,
+        "doc_domain_cap": pipeline.doc_domain_cap,
         # --- reference parity (SURVEY.md §2.12) ---
         "q1_wordcount": reference.q1_wordcount,
         "q2_top_users": reference.q2_top_users,
@@ -866,6 +867,18 @@ def oracle_sql() -> dict[str, str]:
             WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_brand = 'Brand#12')
             GROUP BY l_partkey
             ORDER BY l_partkey
+        """,
+        "doc_domain_cap": """
+            SELECT doc_id, source, n_chars, rk FROM (
+                SELECT doc_id, source, n_chars,
+                       CAST(ROW_NUMBER() OVER (
+                           PARTITION BY source
+                           ORDER BY n_chars DESC, doc_id ASC
+                       ) AS BIGINT) AS rk
+                FROM documents
+            )
+            WHERE rk <= 30
+            ORDER BY source, rk
         """,
         "doc_bm25_search": """
             WITH base AS (

@@ -573,3 +573,38 @@ def source_overlap_matrix(
         .agg(F.count(F.lit(1)).alias("n_shared_grams"))
         .orderBy(F.col("n_shared_grams").desc(), F.col("s1").asc(), F.col("s2").asc())
     )
+
+
+def domain_cap(
+    df: DataFrame,
+    group_col: str,
+    cap: int,
+    order_cols: list,
+    id_col: str,
+) -> DataFrame:
+    """Per-domain quota: keep at most `cap` rows per `group_col`,
+    best-first by `order_cols` (ties broken by `id_col`, so the kept
+    set is a deterministic function of the data). The standard
+    pretraining-corpus "domain capping" pass — no single site/source
+    may contribute more than its quota, however many pages it has.
+
+    Two-phase at scale: a naive ROW_NUMBER() OVER (PARTITION BY
+    domain ...) puts EVERY row of a hot domain on one reducer — for a
+    crawl where one domain is 10% of 100 TB, that is a 10 TB task.
+    Phase 1 takes a local top-`cap` per (domain, input-partition)
+    first (the window key includes spark_partition_id, so the rank
+    runs inside each map task's slice), cutting the hot domain to
+    cap x n_partitions candidate rows before the per-domain shuffle;
+    phase 2 ranks the survivors globally per domain. Identical
+    output to the single-phase window for any total order.
+    """
+    order = [*order_cols, F.col(id_col).asc()]
+    local = Window.partitionBy(group_col, F.spark_partition_id()).orderBy(*order)
+    final = Window.partitionBy(group_col).orderBy(*order)
+    return (
+        df.withColumn("_lrk", F.row_number().over(local))
+        .where(F.col("_lrk") <= cap)
+        .drop("_lrk")
+        .withColumn("rk", F.row_number().over(final).cast("long"))
+        .where(F.col("rk") <= cap)
+    )

@@ -796,3 +796,16 @@ def compacted_events_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+def doc_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain capping over the corpus: at most 30 docs per source,
+    longest-first (`operators/curation.domain_cap` — two-phase rank,
+    hot-domain-safe)."""
+    return curation.domain_cap(
+        _docs(spark, sf_dir).select("doc_id", "source", "n_chars"),
+        group_col="source",
+        cap=30,
+        order_cols=[F.col("n_chars").desc()],
+        id_col="doc_id",
+    ).orderBy("source", "rk")

@@ -192,3 +192,45 @@ def test_budget_select_equals_naive_global_cumsum(spark, sf_dir):
         .toPandas()
     )
     assert got.reset_index(drop=True).equals(naive.reset_index(drop=True))
+
+
+def test_domain_cap_matches_single_phase_on_skewed_data(spark):
+    """Two-phase domain cap ≡ plain ROW_NUMBER cap, on a fixture
+    where one domain holds 90% of the rows (the case phase 1 exists
+    for) spread over many input partitions."""
+    from pyspark.sql import Window
+
+    df = (
+        spark.range(0, 2000, 1, 16)
+        .select(
+            F.col("id").alias("doc_id"),
+            F.when(F.col("id") < 1800, F.lit("hot.example"))
+            .otherwise(F.concat(F.lit("d"), (F.col("id") % 7)))
+            .alias("source"),
+            (F.xxhash64("id") % 1000).alias("n_chars"),
+        )
+    )
+    got = curation.domain_cap(
+        df, "source", 25, [F.col("n_chars").desc()], "doc_id"
+    )
+    w = Window.partitionBy("source").orderBy(
+        F.col("n_chars").desc(), F.col("doc_id").asc()
+    )
+    want = (
+        df.withColumn("rk", F.row_number().over(w).cast("long"))
+        .where(F.col("rk") <= 25)
+    )
+    assert got.exceptAll(want).count() == 0 and want.exceptAll(got).count() == 0
+    caps = got.groupBy("source").count().collect()
+    assert all(r["count"] <= 25 for r in caps)
+    assert {r["count"] for r in caps if r["source"] == "hot.example"} == {25}
+
+
+def test_doc_domain_cap_oracle(spark, sf_dir):
+    from __spark_entry__ import oracle_sql
+    from stream_processing_system_spark.plans.pipeline import doc_domain_cap
+    from tests.oracle import assert_matches_oracle
+
+    assert_matches_oracle(
+        doc_domain_cap(spark, sf_dir), sf_dir, oracle_sql()["doc_domain_cap"]
+    )
