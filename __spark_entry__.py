@@ -612,6 +612,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_bm25_search": pipeline.doc_bm25_search,
         "brand_revenue_bloom": analytics.brand_revenue_bloom,
         "doc_domain_cap": pipeline.doc_domain_cap,
+        "events_ewma_daily": analytics.events_ewma_daily,
         # --- reference parity (SURVEY.md §2.12) ---
         "q1_wordcount": reference.q1_wordcount,
         "q2_top_users": reference.q2_top_users,
@@ -867,6 +868,26 @@ def oracle_sql() -> dict[str, str]:
             WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_brand = 'Brand#12')
             GROUP BY l_partkey
             ORDER BY l_partkey
+        """,
+        "events_ewma_daily": """
+            WITH daily AS (
+                SELECT event_type,
+                       CAST(CAST(ts AS DATE) AS VARCHAR) AS day,
+                       (CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS DOUBLE)
+                        / 100.0) / CAST(COUNT(*) AS DOUBLE) AS val
+                FROM events WHERE value IS NOT NULL
+                GROUP BY 1, 2
+            ), series AS (
+                SELECT event_type,
+                       list(val ORDER BY day ASC) AS vs,
+                       CAST(COUNT(*) AS BIGINT) AS n_days,
+                       MAX(day) AS last_day
+                FROM daily GROUP BY event_type
+            )
+            SELECT event_type, n_days, last_day,
+                   ROUND(list_reduce(vs, (acc, x) -> (3 * acc + x) / 4), 6) AS ewma
+            FROM series
+            ORDER BY event_type
         """,
         "doc_domain_cap": """
             SELECT doc_id, source, n_chars, rk FROM (

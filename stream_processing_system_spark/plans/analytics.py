@@ -1965,3 +1965,58 @@ def brand_revenue_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_partkey")
     )
+
+
+def events_ewma_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially-weighted smoothing of the daily mean value per
+    event type (alpha = 1/4): the "current level" estimate a
+    monitoring pipeline keeps per metric.
+
+    Determinism across engines and partition orders: the daily mean
+    is computed from a centi-unit integer sum (exact, order-free),
+    and the EWMA is a LEFT FOLD over the day-sorted value array —
+    `aggregate(slice(vals, 2, n-1), vals[1], (acc, x) ->
+    (3*acc + x) / 4)` — so both engines execute the identical
+    IEEE-754 operation sequence (DuckDB: `list_reduce`). No pow():
+    pow is not correctly-rounded and differs across libm builds.
+
+    Scale: one hash aggregate to daily resolution (tiny domain:
+    types x days), then one per-type fold over at most a few
+    thousand doubles — the collect_list holds days, not events.
+    """
+    events = load_table(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    day = F.col("ts").cast("date").cast("string").alias("day")
+    centi = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+    daily = (
+        events.select("event_type", day, centi.alias("_cv"))
+        .groupBy("event_type", "day")
+        .agg(F.sum("_cv").alias("_cs"), F.count(F.lit(1)).alias("_n"))
+        .select(
+            "event_type",
+            "day",
+            (
+                F.col("_cs").cast("double")
+                / F.lit(100.0)
+                / F.col("_n").cast("double")
+            ).alias("val"),
+        )
+    )
+    series = daily.groupBy("event_type").agg(
+        F.transform(
+            F.sort_array(F.collect_list(F.struct("day", "val"))),
+            lambda p: p["val"],
+        ).alias("_vs"),
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+        F.max("day").alias("last_day"),
+    )
+    fold = F.aggregate(
+        F.slice(F.col("_vs"), 2, F.greatest(F.size("_vs") - 1, F.lit(0))),
+        F.element_at(F.col("_vs"), 1),
+        lambda acc, x: (F.lit(3.0) * acc + x) / F.lit(4.0),
+    )
+    return series.select(
+        "event_type",
+        "n_days",
+        "last_day",
+        det_round(fold).alias("ewma"),
+    ).orderBy("event_type")
