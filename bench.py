@@ -73,6 +73,10 @@ HEADLINE = [
     "doc_skipgram_pairs",
     "events_drift_chi2",
     "events_ohlc_daily",
+    # round-2 closing additions
+    "brand_revenue_bloom",
+    "doc_domain_cap",
+    "events_ewma_daily",
 ]
 
 

@@ -591,12 +591,13 @@ def domain_cap(
     Two-phase at scale: a naive ROW_NUMBER() OVER (PARTITION BY
     domain ...) puts EVERY row of a hot domain on one reducer — for a
     crawl where one domain is 10% of 100 TB, that is a 10 TB task.
-    Phase 1 takes a local top-`cap` per (domain, input-partition)
-    first (the window key includes spark_partition_id, so the rank
-    runs inside each map task's slice), cutting the hot domain to
-    cap x n_partitions candidate rows before the per-domain shuffle;
-    phase 2 ranks the survivors globally per domain. Identical
-    output to the single-phase window for any total order.
+    Phase 1 ranks per (domain, spark_partition_id): the salted key
+    spreads the hot domain over as many reducers as there are input
+    partitions (each sees at most one input partition's slice), and
+    keeps only `cap` rows per slice. Phase 2 ranks the survivors —
+    at most cap x n_input_partitions rows per domain — globally per
+    domain. Identical output to the single-phase window for any
+    total order.
     """
     order = [*order_cols, F.col(id_col).asc()]
     local = Window.partitionBy(group_col, F.spark_partition_id()).orderBy(*order)
