@@ -613,6 +613,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "brand_revenue_bloom": analytics.brand_revenue_bloom,
         "doc_domain_cap": pipeline.doc_domain_cap,
         "events_ewma_daily": analytics.events_ewma_daily,
+        "doc_inverted_index": pipeline.doc_inverted_index,
+        "doc_corpus_card": pipeline.doc_corpus_card,
         # --- reference parity (SURVEY.md §2.12) ---
         "q1_wordcount": reference.q1_wordcount,
         "q2_top_users": reference.q2_top_users,
@@ -868,6 +870,42 @@ def oracle_sql() -> dict[str, str]:
             WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_brand = 'Brand#12')
             GROUP BY l_partkey
             ORDER BY l_partkey
+        """,
+        "doc_inverted_index": """
+            WITH td AS (
+                SELECT term, doc_id, COUNT(*) AS tf FROM (
+                    SELECT doc_id, unnest(string_split(text, ' ')) AS term
+                    FROM documents
+                ) WHERE term <> ''
+                GROUP BY term, doc_id
+            )
+            SELECT term,
+                   CAST(COUNT(*) AS BIGINT) AS df,
+                   CAST(SUM(tf) AS BIGINT) AS tf,
+                   array_to_string(list(doc_id ORDER BY doc_id), ',') AS postings
+            FROM td
+            GROUP BY term
+            HAVING COUNT(*) >= 3
+            ORDER BY term
+        """,
+        "doc_corpus_card": """
+            WITH base AS (
+                SELECT source, lang,
+                       CAST(LENGTH(text) AS BIGINT) AS nc,
+                       CAST(len(list_filter(string_split(text, ' '),
+                                            t -> t <> '')) AS BIGINT) AS nt
+                FROM documents
+            )
+            SELECT source, lang,
+                   CAST(COUNT(*) AS BIGINT) AS n_docs,
+                   CAST(SUM(nc) AS BIGINT) AS sum_chars,
+                   CAST(SUM(nt) AS BIGINT) AS sum_tokens,
+                   ROUND(quantile_cont(nc, 0.5), 6) AS p50_chars,
+                   ROUND(quantile_cont(nc, 0.9), 6) AS p90_chars,
+                   ROUND(CAST(SUM(nt) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6) AS avg_tokens
+            FROM base
+            GROUP BY source, lang
+            ORDER BY source, lang
         """,
         "events_ewma_daily": """
             WITH daily AS (

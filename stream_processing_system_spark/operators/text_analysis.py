@@ -307,3 +307,75 @@ def token_chi2(
         .orderBy(F.col("chi2").desc(), F.col("label").asc(), F.col("w").asc())
         .limit(top)
     )
+
+
+def inverted_index(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_df: int = 3,
+    max_df: int = 10_000_000,
+) -> DataFrame:
+    """Inverted-index build: term → sorted posting list (doc ids),
+    document frequency, and total term frequency — the artifact a
+    retrieval engine materializes once and serves forever (the
+    BM25/TF-IDF ops here recompute scores per query; this is the
+    index those scores would be served from).
+
+    Shape: explode to (term, doc) with a per-doc tf aggregate
+    (map-side combined), then one aggregate per term. `min_df`
+    drops hapax noise; `max_df` drops stopword-class terms — the
+    standard index-pruning knobs, and at 100 TB `max_df` is also the
+    skew valve: without it, one "the" row would hold a posting list
+    the size of the corpus on a single reducer. Posting lists are
+    `sort_array`ed so the index is a deterministic function of the
+    data (and the DuckDB oracle hash-matches).
+    """
+    term_doc = (
+        df.select(F.col(id_col).alias("_doc"), F.explode(_toks(F.col(text_col))).alias("term"))
+        .groupBy("term", "_doc")
+        .agg(F.count(F.lit(1)).alias("_tf"))
+    )
+    return (
+        term_doc.groupBy("term")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("df"),
+            F.sum("_tf").alias("tf"),
+            F.sort_array(F.collect_list("_doc")).alias("postings"),
+        )
+        .where((F.col("df") >= min_df) & (F.col("df") <= max_df))
+        .orderBy("term")
+    )
+
+
+def corpus_card(
+    df: DataFrame,
+    text_col: str = "text",
+    group_cols: tuple[str, str] = ("source", "lang"),
+) -> DataFrame:
+    """Per-(source, lang) corpus report card: doc/char/token volumes
+    and the n_chars length distribution (exact interpolated p50/p90)
+    — the summary table a dataset datasheet publishes per slice.
+
+    One codegen'd map pass computes token counts, one hash aggregate
+    keyed by the (tiny) slice domain does everything else. Exact
+    `percentile` keeps the DuckDB `quantile_cont` twin bit-matching;
+    at 100 TB the drop-in is percentile_approx over the same plan.
+    """
+    toks = F.size(_toks(F.col(text_col))).cast("long")
+    chars = F.length(F.col(text_col)).cast("long")
+    return (
+        df.select(*group_cols, toks.alias("_nt"), chars.alias("_nc"))
+        .groupBy(*group_cols)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("_nc").alias("sum_chars"),
+            F.sum("_nt").alias("sum_tokens"),
+            F.round(F.expr("percentile(_nc, 0.5)"), 6).alias("p50_chars"),
+            F.round(F.expr("percentile(_nc, 0.9)"), 6).alias("p90_chars"),
+            det_round(
+                F.sum("_nt").cast("double") / F.count(F.lit(1)).cast("double")
+            ).alias("avg_tokens"),
+        )
+        .orderBy(*group_cols)
+    )

@@ -809,3 +809,25 @@ def doc_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
         order_cols=[F.col("n_chars").desc()],
         id_col="doc_id",
     ).orderBy("source", "rk")
+
+
+def doc_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted-index build over the corpus
+    (`operators/text_analysis.inverted_index`), posting lists
+    serialized to comma-joined strings for the cross-engine
+    value-hash (the q3 sorted-set device)."""
+    idx = text_analysis.inverted_index(_docs(spark, sf_dir), min_df=3)
+    return idx.select(
+        "term",
+        "df",
+        "tf",
+        F.array_join(
+            F.transform(F.col("postings"), lambda d: d.cast("string")), ","
+        ).alias("postings"),
+    ).orderBy("term")
+
+
+def doc_corpus_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-(source, lang) datasheet slice report
+    (`operators/text_analysis.corpus_card`)."""
+    return text_analysis.corpus_card(_docs(spark, sf_dir))

@@ -63,3 +63,45 @@ def test_winnow_is_subset_of_kgram_hashes_and_overlaps_for_neardups(spark):
     assert len(inter) >= 1
     # winnowing compresses: fewer fingerprints than k-grams (8 grams per doc)
     assert len(by_doc[1]) <= 8
+
+
+def test_inverted_index_planted(spark):
+    from stream_processing_system_spark.operators.text_analysis import inverted_index
+
+    df = spark.createDataFrame(
+        [
+            (1, "apple banana apple"),
+            (2, "banana cherry"),
+            (3, "apple banana"),
+            (4, "the the the"),
+        ],
+        ["doc_id", "text"],
+    )
+    rows = {
+        r["term"]: r
+        for r in inverted_index(df, min_df=2, max_df=2).collect()
+    }
+    # banana: df=3 > max_df → pruned; apple: df=2, tf=3 (doc1 twice)
+    assert set(rows) == {"apple"}
+    assert rows["apple"]["df"] == 2
+    assert rows["apple"]["tf"] == 3
+    assert rows["apple"]["postings"] == [1, 3]
+
+
+def test_corpus_card_planted(spark):
+    from stream_processing_system_spark.operators.text_analysis import corpus_card
+
+    df = spark.createDataFrame(
+        [
+            ("web", "en", "a bb ccc"),
+            ("web", "en", "dddd"),
+            ("web", "fr", "le chat"),
+        ],
+        ["source", "lang", "text"],
+    )
+    rows = {(r["source"], r["lang"]): r for r in corpus_card(df).collect()}
+    en = rows[("web", "en")]
+    assert en["n_docs"] == 2 and en["sum_tokens"] == 4
+    assert en["sum_chars"] == len("a bb ccc") + len("dddd")
+    assert en["avg_tokens"] == 2.0
+    assert rows[("web", "fr")]["sum_tokens"] == 2
