@@ -614,6 +614,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_domain_cap": pipeline.doc_domain_cap,
         "events_ewma_daily": analytics.events_ewma_daily,
         "doc_inverted_index": pipeline.doc_inverted_index,
+        "doc_skipgram_negatives": pipeline.doc_skipgram_negatives,
         "doc_corpus_card": pipeline.doc_corpus_card,
         # --- reference parity (SURVEY.md §2.12) ---
         "q1_wordcount": reference.q1_wordcount,
@@ -870,6 +871,44 @@ def oracle_sql() -> dict[str, str]:
             WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_brand = 'Brand#12')
             GROUP BY l_partkey
             ORDER BY l_partkey
+        """,
+        "doc_skipgram_negatives": """
+            WITH toks AS (
+                SELECT doc_id, i AS pos, ws[i] AS w
+                FROM (
+                    SELECT doc_id,
+                           list_filter(string_split(text, ' '), x -> x <> '') AS ws
+                    FROM documents
+                ), UNNEST(range(1, len(ws) + 1)) AS u(i)
+            ), pairs AS (
+                SELECT a.w AS w1, b.w AS w2, count(*) AS n_cooc
+                FROM toks a JOIN toks b
+                  ON a.doc_id = b.doc_id
+                 AND b.pos > a.pos AND b.pos <= a.pos + 3
+                GROUP BY 1, 2
+                HAVING count(*) >= 5
+                ORDER BY n_cooc DESC, w1 ASC, w2 ASC
+                LIMIT 20
+            ), uni AS (
+                SELECT w, count(*) AS cnt FROM toks GROUP BY w
+            ), weighted AS (
+                SELECT w,
+                       CAST(FLOOR(SQRT(cnt::DOUBLE * SQRT(cnt::DOUBLE)) * 1000000 + 0.5) AS BIGINT) AS wt
+                FROM uni
+            ), cdf AS (
+                SELECT w AS neg,
+                       SUM(wt) OVER (ORDER BY w ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS hi,
+                       COALESCE(SUM(wt) OVER (ORDER BY w ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS lo
+                FROM weighted
+            ), draws AS (
+                SELECT w1, w2, j AS draw_j,
+                       ('0x' || substr(md5('neg' || '|' || w1 || '|' || w2 || '|' || j), 1, 15))::BIGINT
+                           % (SELECT SUM(wt) FROM weighted) AS u
+                FROM pairs, UNNEST(range(1, 4)) AS t(j)
+            )
+            SELECT d.w1, d.w2, CAST(d.draw_j AS BIGINT) AS draw_j, c.neg
+            FROM draws d JOIN cdf c ON d.u >= c.lo AND d.u < c.hi
+            ORDER BY w1, w2, draw_j
         """,
         "doc_inverted_index": """
             WITH td AS (

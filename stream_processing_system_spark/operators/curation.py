@@ -609,3 +609,73 @@ def domain_cap(
         .withColumn("rk", F.row_number().over(final).cast("long"))
         .where(F.col("rk") <= cap)
     )
+
+
+def negative_sample(
+    corpus: DataFrame,
+    pairs: DataFrame,
+    k_neg: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """word2vec-style negative sampling: for each (w1, w2) positive
+    pair, draw `k_neg` negative words from the corpus unigram
+    distribution raised to the 3/4 power — the data-prep step that
+    turns skip-gram pairs into training examples.
+
+    Inverse-CDF sampling, exact and engine-portable:
+    - weights are INTEGER micro-units floor(1e6·cnt^0.75 + 0.5),
+      with cnt^0.75 = sqrt(cnt·sqrt(cnt)) (sqrt is IEEE
+      correctly-rounded, so both engines produce the identical
+      double; pow() would not be). Integer weights make the
+      cumulative sum exact under ANY summation order — the interval
+      boundaries cannot drift between Spark's running window sum and
+      DuckDB's segment tree.
+    - each draw is a deterministic hash u = md5(w1|w2|j) mod total,
+      then ONE interval join u ∈ [lo, hi) against the vocab CDF.
+    Scale: the vocab CDF is vocab-sized (broadcast); the pairs side
+    is map-only. The CDF's prefix sum runs as a single-partition
+    window here (vocabs are ~1e6 rows at any corpus size); for
+    key-domains that outgrow one task, `budget_select`'s two-phase
+    distributed prefix sum is the drop-in.
+    Sampling the true context back out is possible (classic word2vec
+    does not exclude it either); callers can anti-join if needed.
+    """
+    toks = corpus.select(F.explode(_toks(F.col(text_col))).alias("w"))
+    uni = toks.groupBy("w").agg(F.count(F.lit(1)).alias("_cnt"))
+    w_pow = F.sqrt(F.col("_cnt").cast("double") * F.sqrt(F.col("_cnt").cast("double")))
+    weighted = uni.select(
+        "w", F.floor(w_pow * 1_000_000 + F.lit(0.5)).cast("long").alias("_wt")
+    )
+    cdf_w = Window.orderBy("w").rowsBetween(Window.unboundedPreceding, 0)
+    cdf = weighted.select(
+        F.col("w").alias("neg"), F.sum("_wt").over(cdf_w).alias("_hi")
+    ).withColumn("_lo", F.coalesce(F.lag("_hi").over(Window.orderBy("neg")), F.lit(0)))
+    total = weighted.agg(F.sum("_wt").alias("_total"))
+
+    draws = (
+        pairs.select("w1", "w2")
+        .withColumn("draw_j", F.explode(F.sequence(F.lit(1), F.lit(k_neg))))
+        .crossJoin(F.broadcast(total))
+        .withColumn(
+            "_u",
+            F.conv(
+                F.substring(
+                    F.md5(F.concat_ws("|", F.lit("neg"), "w1", "w2", "draw_j")),
+                    1,
+                    15,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % F.col("_total"),
+        )
+    )
+    return (
+        draws.join(
+            F.broadcast(cdf),
+            (F.col("_u") >= F.col("_lo")) & (F.col("_u") < F.col("_hi")),
+        )
+        .select("w1", "w2", F.col("draw_j").cast("long").alias("draw_j"), "neg")
+        .orderBy("w1", "w2", "draw_j")
+    )

@@ -831,3 +831,12 @@ def doc_corpus_card(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-(source, lang) datasheet slice report
     (`operators/text_analysis.corpus_card`)."""
     return text_analysis.corpus_card(_docs(spark, sf_dir))
+
+
+def doc_skipgram_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Negative sampling for the top-20 skip-gram pairs: 3 draws per
+    pair from the unigram^0.75 distribution via the exact integer
+    inverse-CDF interval join (`operators/curation.negative_sample`)."""
+    docs = _docs(spark, sf_dir)
+    pairs = curation.skipgram_pairs(docs, "doc_id", "text", window=3, min_count=5, top=20)
+    return curation.negative_sample(docs, pairs, k_neg=3)

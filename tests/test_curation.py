@@ -234,3 +234,26 @@ def test_doc_domain_cap_oracle(spark, sf_dir):
     assert_matches_oracle(
         doc_domain_cap(spark, sf_dir), sf_dir, oracle_sql()["doc_domain_cap"]
     )
+
+
+def test_negative_sample_k_draws_and_bias(spark):
+    """Every pair gets exactly k negatives; a 50x-dominant word is
+    drawn far more often than uniform (the unigram^0.75 bias); and
+    the draws are a pure function of the inputs."""
+    corpus = spark.createDataFrame(
+        [(i, "zzz " * 50 + "rare" + str(i % 7)) for i in range(20)],
+        ["doc_id", "text"],
+    )
+    pairs = spark.createDataFrame(
+        [("a", "b"), ("c", "d"), ("e", "f")], ["w1", "w2"]
+    )
+    out = curation.negative_sample(corpus, pairs, k_neg=8).collect()
+    assert len(out) == 3 * 8
+    per_pair = {}
+    for r in out:
+        per_pair.setdefault((r["w1"], r["w2"]), []).append((r["draw_j"], r["neg"]))
+    assert all(len(v) == 8 for v in per_pair.values())
+    n_zzz = sum(1 for r in out if r["neg"] == "zzz")
+    assert n_zzz >= 12  # zzz holds ~87% of the ^0.75 mass; uniform would be 3
+    again = curation.negative_sample(corpus, pairs, k_neg=8).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, again))
