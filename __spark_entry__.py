@@ -616,6 +616,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_inverted_index": pipeline.doc_inverted_index,
         "doc_skipgram_negatives": pipeline.doc_skipgram_negatives,
         "doc_corpus_card": pipeline.doc_corpus_card,
+        "doc_ngram_diversity": pipeline.doc_ngram_diversity,
+        "events_rolling_median": analytics.events_rolling_median,
         # --- reference parity (SURVEY.md §2.12) ---
         "q1_wordcount": reference.q1_wordcount,
         "q2_top_users": reference.q2_top_users,
@@ -945,6 +947,62 @@ def oracle_sql() -> dict[str, str]:
             FROM base
             GROUP BY source, lang
             ORDER BY source, lang
+        """,
+        "doc_ngram_diversity": """
+            WITH base AS (
+                SELECT source,
+                       list_filter(string_split(text, ' '), t -> t <> '') AS ts
+                FROM documents
+            ), totals AS (
+                SELECT source,
+                       CAST(SUM(len(ts)) AS BIGINT) AS n_unigrams,
+                       CAST(SUM(GREATEST(len(ts) - 1, 0)) AS BIGINT) AS n_bigrams
+                FROM base GROUP BY source
+            ), uni_d AS (
+                SELECT source, CAST(COUNT(DISTINCT md5(w)) AS BIGINT) AS d_unigrams
+                FROM (SELECT source, unnest(ts) AS w FROM base)
+                GROUP BY source
+            ), big_d AS (
+                SELECT source, CAST(COUNT(DISTINCT md5(g)) AS BIGINT) AS d_bigrams
+                FROM (
+                    SELECT source,
+                           array_to_string(ts[i:i+1], ' ') AS g
+                    FROM base, UNNEST(range(1, len(ts))) AS u(i)
+                    WHERE len(ts) >= 2
+                )
+                GROUP BY source
+            )
+            SELECT t.source, n_unigrams, d_unigrams, n_bigrams, d_bigrams,
+                   ROUND(d_unigrams::DOUBLE / n_unigrams::DOUBLE, 6) AS ttr_unigram,
+                   ROUND(d_bigrams::DOUBLE / n_bigrams::DOUBLE, 6) AS ttr_bigram
+            FROM totals t
+            LEFT JOIN uni_d USING (source)
+            LEFT JOIN big_d USING (source)
+            ORDER BY source
+        """,
+        "events_rolling_median": """
+            WITH daily AS (
+                SELECT event_type,
+                       CAST(CAST(ts AS DATE) AS VARCHAR) AS day,
+                       (CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS DOUBLE)
+                        / 100.0) / CAST(COUNT(*) AS DOUBLE) AS val
+                FROM events WHERE value IS NOT NULL
+                GROUP BY 1, 2
+            ), win AS (
+                SELECT event_type, day,
+                       list(val) OVER (PARTITION BY event_type ORDER BY day
+                                       ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS vs
+                FROM daily
+            )
+            SELECT event_type, day,
+                   CAST(len(vs) AS BIGINT) AS n_in_window,
+                   ROUND(CASE WHEN len(vs) % 2 = 1
+                              THEN list_sort(vs)[(len(vs) + 1) // 2]
+                              ELSE (list_sort(vs)[len(vs) // 2]
+                                    + list_sort(vs)[len(vs) // 2 + 1]) / 2
+                         END, 6) AS med7
+            FROM win
+            ORDER BY event_type, day
         """,
         "events_ewma_daily": """
             WITH daily AS (

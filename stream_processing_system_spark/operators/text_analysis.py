@@ -379,3 +379,59 @@ def corpus_card(
         )
         .orderBy(*group_cols)
     )
+
+
+def ngram_diversity(
+    df: DataFrame,
+    group_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """N-gram diversity (type/token ratios) per corpus slice — the
+    repetitiveness metric corpus reports publish alongside volumes
+    (low bigram TTR ⇒ templated/boilerplate-heavy slice; the
+    corpus-level complement of the per-doc `repetition_stats`).
+
+    Three skinny aggregates (token totals map-side; distinct counts
+    are one explode + count_distinct each — at 100 TB the distinct
+    shuffles carry md5 digests of grams, not text) joined on the
+    tiny slice domain.
+    """
+    toks = _toks(F.col(text_col))
+    base = df.select(F.col(group_col).alias("grp"), toks.alias("_ts"))
+    totals = base.groupBy("grp").agg(
+        F.sum(F.size("_ts")).cast("long").alias("n_unigrams"),
+        F.sum(F.greatest(F.size("_ts") - 1, F.lit(0))).cast("long").alias("n_bigrams"),
+    )
+    uni_d = (
+        base.select("grp", F.explode("_ts").alias("_w"))
+        .groupBy("grp")
+        .agg(F.count_distinct(F.md5("_w")).cast("long").alias("d_unigrams"))
+    )
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size("_ts") - 1, F.lit(1))),
+        lambda i: F.concat_ws(" ", F.slice(F.col("_ts"), i, 2)),
+    )
+    big_d = (
+        base.where(F.size("_ts") >= 2)
+        .select("grp", F.explode(grams).alias("_g"))
+        .groupBy("grp")
+        .agg(F.count_distinct(F.md5("_g")).cast("long").alias("d_bigrams"))
+    )
+    return (
+        totals.join(uni_d, "grp", "left")
+        .join(big_d, "grp", "left")
+        .select(
+            F.col("grp").alias(group_col),
+            "n_unigrams",
+            "d_unigrams",
+            "n_bigrams",
+            "d_bigrams",
+            det_round(
+                F.col("d_unigrams").cast("double") / F.col("n_unigrams").cast("double")
+            ).alias("ttr_unigram"),
+            det_round(
+                F.col("d_bigrams").cast("double") / F.col("n_bigrams").cast("double")
+            ).alias("ttr_bigram"),
+        )
+        .orderBy(group_col)
+    )

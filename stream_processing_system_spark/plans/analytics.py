@@ -2020,3 +2020,56 @@ def events_ewma_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         "last_day",
         det_round(fold).alias("ewma"),
     ).orderBy("event_type")
+
+
+def events_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing 7-day rolling MEDIAN of the daily mean value per
+    event type — the robust-statistics smoother (medians shrug off
+    the spike days that drag an EWMA or moving average).
+
+    Spark has no percentile-over-window, so the median is computed
+    from a sort_array'd collect_list over a ROWS BETWEEN 6 PRECEDING
+    frame — bounded at 7 doubles per row, and the rows are DAYS per
+    type (the raw events already collapsed in a map-side-combined
+    centi-unit aggregate), so the window state is trivially small at
+    any corpus scale. Odd/even interpolation matches DuckDB's
+    list-based twin operation-for-operation (the oracle avoids
+    quantile_cont-over-window, computing the same sorted-list pick,
+    so both engines run identical IEEE arithmetic).
+    """
+    events = load_table(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    day = F.col("ts").cast("date").cast("string").alias("day")
+    centi = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+    daily = (
+        events.select("event_type", day, centi.alias("_cv"))
+        .groupBy("event_type", "day")
+        .agg(F.sum("_cv").alias("_cs"), F.count(F.lit(1)).alias("_n"))
+        .select(
+            "event_type",
+            "day",
+            (
+                F.col("_cs").cast("double")
+                / F.lit(100.0)
+                / F.col("_n").cast("double")
+            ).alias("val"),
+        )
+    )
+    w = Window.partitionBy("event_type").orderBy("day").rowsBetween(-6, 0)
+    vals = F.sort_array(F.collect_list("val").over(w))
+    n = F.size(vals)
+    med = F.when(
+        n % 2 == 1,
+        F.element_at(vals, ((n + 1) / 2).cast("int")),
+    ).otherwise(
+        (
+            F.element_at(vals, (n / 2).cast("int"))
+            + F.element_at(vals, (n / 2 + 1).cast("int"))
+        )
+        / 2.0
+    )
+    return daily.select(
+        "event_type",
+        "day",
+        n.cast("long").alias("n_in_window"),
+        det_round(med).alias("med7"),
+    ).orderBy("event_type", "day")

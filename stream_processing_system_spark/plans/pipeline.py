@@ -840,3 +840,9 @@ def doc_skipgram_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs(spark, sf_dir)
     pairs = curation.skipgram_pairs(docs, "doc_id", "text", window=3, min_count=5, top=20)
     return curation.negative_sample(docs, pairs, k_neg=3)
+
+
+def doc_ngram_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source type/token diversity ratios
+    (`operators/text_analysis.ngram_diversity`)."""
+    return text_analysis.ngram_diversity(_docs(spark, sf_dir))

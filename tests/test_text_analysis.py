@@ -105,3 +105,19 @@ def test_corpus_card_planted(spark):
     assert en["sum_chars"] == len("a bb ccc") + len("dddd")
     assert en["avg_tokens"] == 2.0
     assert rows[("web", "fr")]["sum_tokens"] == 2
+
+
+def test_ngram_diversity_planted(spark):
+    from stream_processing_system_spark.operators.text_analysis import ngram_diversity
+
+    df = spark.createDataFrame(
+        [
+            ("tpl", "a b a b"),   # unigrams: 4 tot / 2 dist; bigrams: 3 tot / 2 dist
+            ("var", "w x y z"),   # all distinct
+        ],
+        ["source", "text"],
+    )
+    rows = {r["source"]: r for r in ngram_diversity(df).collect()}
+    t = rows["tpl"]
+    assert (t["n_unigrams"], t["d_unigrams"], t["n_bigrams"], t["d_bigrams"]) == (4, 2, 3, 2)
+    assert rows["var"]["ttr_unigram"] == 1.0 and rows["var"]["ttr_bigram"] == 1.0
