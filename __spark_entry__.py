@@ -618,6 +618,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_corpus_card": pipeline.doc_corpus_card,
         "doc_ngram_diversity": pipeline.doc_ngram_diversity,
         "events_rolling_median": analytics.events_rolling_median,
+        "customer_rfm_segments": analytics.customer_rfm_segments,
+        "brand_revenue_pareto": analytics.brand_revenue_pareto,
         # --- reference parity (SURVEY.md §2.12) ---
         "q1_wordcount": reference.q1_wordcount,
         "q2_top_users": reference.q2_top_users,
@@ -947,6 +949,51 @@ def oracle_sql() -> dict[str, str]:
             FROM base
             GROUP BY source, lang
             ORDER BY source, lang
+        """,
+        "customer_rfm_segments": """
+            WITH per_cust AS (
+                SELECT o_custkey,
+                       date_diff('day', MAX(o_orderdate),
+                                 (SELECT MAX(o_orderdate) FROM orders)) AS rec,
+                       COUNT(*) AS freq,
+                       SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS spend
+                FROM orders GROUP BY o_custkey
+            ), coded AS (
+                SELECT o_custkey, spend,
+                       NTILE(4) OVER (ORDER BY rec ASC, o_custkey ASC) AS r,
+                       NTILE(4) OVER (ORDER BY freq DESC, o_custkey ASC) AS f,
+                       NTILE(4) OVER (ORDER BY spend DESC, o_custkey ASC) AS m
+                FROM per_cust
+            )
+            SELECT (r::VARCHAR || f::VARCHAR || m::VARCHAR) AS segment,
+                   COUNT(*) AS n_customers,
+                   CAST(SUM(spend) AS DOUBLE) AS segment_spend
+            FROM coded
+            GROUP BY 1
+            ORDER BY segment
+        """,
+        "brand_revenue_pareto": """
+            WITH per_part AS (
+                SELECT p_brand, p_partkey,
+                       SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount) * 100 + 0.5)
+                                AS BIGINT)) AS rev
+                FROM lineitem JOIN part ON l_partkey = p_partkey
+                GROUP BY 1, 2
+            ), flagged AS (
+                SELECT p_brand,
+                       (SUM(rev) OVER (PARTITION BY p_brand
+                                       ORDER BY rev DESC, p_partkey ASC
+                                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) * 5
+                        >= SUM(rev) OVER (PARTITION BY p_brand) * 4) AS covered
+                FROM per_part
+            )
+            SELECT p_brand,
+                   CAST(COUNT(*) AS BIGINT) AS n_parts,
+                   CAST(COUNT(*) - SUM(CASE WHEN covered THEN 1 ELSE 0 END) + 1
+                        AS BIGINT) AS n_parts_for_80pct
+            FROM flagged
+            GROUP BY p_brand
+            ORDER BY p_brand
         """,
         "doc_ngram_diversity": """
             WITH base AS (

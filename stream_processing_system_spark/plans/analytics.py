@@ -2073,3 +2073,103 @@ def events_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         n.cast("long").alias("n_in_window"),
         det_round(med).alias("med7"),
     ).orderBy("event_type", "day")
+
+
+def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation: quartile-code every customer by Recency
+    (days since last order), Frequency (order count), Monetary
+    (lifetime spend), then report segment sizes — the classic
+    customer-base summary built from three NTILE(4) windows.
+
+    Determinism: every NTILE orders with o_custkey as the final
+    tie-break, so quartile assignment is a total-order function of
+    the data; monetary sums are DECIMAL. Scale: the aggregate to
+    per-customer grain is the big shuffle (map-side combined);
+    the three NTILEs here are exact global windows — right for the
+    oracle contract, but a global window is one task. The 100 TB
+    drop-in keeps the same output contract with
+    `percentile_approx(dim, [.25,.5,.75])` thresholds broadcast
+    back and a map-side CASE bucketing — same 64-row report,
+    no global sort (the approx_value_percentiles pattern).
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    anchor = orders.agg(F.max("o_orderdate").alias("_anchor"))
+    per_cust = (
+        orders.groupBy("o_custkey")
+        .agg(
+            F.max("o_orderdate").alias("_last"),
+            F.count(F.lit(1)).alias("_freq"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("_spend"),
+        )
+        .crossJoin(F.broadcast(anchor))
+        .select(
+            "o_custkey",
+            F.datediff(F.col("_anchor"), F.col("_last")).cast("long").alias("_rec"),
+            "_freq",
+            "_spend",
+        )
+    )
+    r_w = Window.orderBy(F.col("_rec").asc(), F.col("o_custkey").asc())
+    f_w = Window.orderBy(F.col("_freq").desc(), F.col("o_custkey").asc())
+    m_w = Window.orderBy(F.col("_spend").desc(), F.col("o_custkey").asc())
+    coded = per_cust.select(
+        "o_custkey",
+        F.ntile(4).over(r_w).alias("_r"),
+        F.ntile(4).over(f_w).alias("_f"),
+        F.ntile(4).over(m_w).alias("_m"),
+        "_spend",
+    )
+    return (
+        coded.groupBy(
+            F.concat(F.col("_r"), F.col("_f"), F.col("_m")).alias("segment")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.sum("_spend").cast("double").alias("segment_spend"),
+        )
+        .orderBy("segment")
+    )
+
+
+def brand_revenue_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto concentration per brand: how many parts cover 80% of
+    the brand's revenue. All comparisons in exact integer centi-units
+    (the 80% test is `cum*5 >= total*4` — no floating threshold), so
+    the answer is bit-stable at any parallelism.
+
+    Scale: revenue collapses to per-part grain in one
+    map-side-combined aggregate; the cumulative window partitions by
+    brand (25 groups) over part grain — at 100 TB that window input
+    is parts, not lineitems.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    cents = F.floor(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100 + F.lit(0.5)
+    ).cast("long")
+    per_part = (
+        li.join(F.broadcast(part.select("p_partkey", "p_brand")),
+                li.l_partkey == F.col("p_partkey"))
+        .groupBy("p_brand", "p_partkey")
+        .agg(F.sum(cents).alias("_rev"))
+    )
+    w_cum = Window.partitionBy("p_brand").orderBy(
+        F.col("_rev").desc(), F.col("p_partkey").asc()
+    )
+    w_tot = Window.partitionBy("p_brand")
+    flagged = per_part.select(
+        "p_brand",
+        (F.sum("_rev").over(w_cum) * 5 >= F.sum("_rev").over(w_tot) * 4).alias(
+            "_covered"
+        ),
+    )
+    return (
+        flagged.groupBy("p_brand")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_parts"),
+            (F.count(F.lit(1)) - F.sum(F.col("_covered").cast("long")) + 1)
+            .cast("long")
+            .alias("n_parts_for_80pct"),
+        )
+        .orderBy("p_brand")
+    )
