@@ -158,3 +158,22 @@ def cms_heavy_hitters(
         .orderBy(F.col("est").desc(), F.col(key_col).asc())
         .limit(k)
     )
+
+
+def observed(df: DataFrame, name: str, metrics: dict[str, Column]):
+    """Attach single-pass data-quality counters to a plan via
+    `Dataset.observe` — the production habit of metering every scan
+    (null rates, malformed counts, row totals) WITHOUT a second job:
+    the accumulators ride the same stage as the real work, so at
+    100 TB the quality report is free instead of doubling the read.
+
+    Returns (df_with_observation, observation); read
+    `observation.get` AFTER an action has run the plan. The
+    reference has no metrics surface at all (its bolts count only
+    their output tuples); this is the engine-side replacement for
+    eyeballing sink files.
+    """
+    from pyspark.sql import Observation
+
+    obs = Observation(name)
+    return df.observe(obs, *[c.alias(n) for n, c in metrics.items()]), obs

@@ -90,3 +90,21 @@ class VersionedStore:
         d = self._name_dir(name)
         if os.path.isdir(d):
             shutil.rmtree(d)
+
+    def vacuum(self, name: str, keep_last: int = 2) -> list[int]:
+        """Retention: drop all but the newest `keep_last` versions
+        (the VACUUM every versioned table needs — without it a
+        streaming sink minting one version per micro-batch grows
+        storage without bound). Deletes oldest-first so a concurrent
+        reader of a recent version is never disturbed; returns the
+        removed version numbers. The reference's SDFS keeps every
+        version forever and offers only whole-dataset delete
+        (`daemon/daemon.go:430-481`); bounded retention is the
+        production necessity layered on top."""
+        if keep_last < 1:
+            raise ValueError("keep_last must be >= 1")
+        versions = self.versions(name)
+        doomed = versions[:-keep_last] if len(versions) > keep_last else []
+        for v in doomed:
+            shutil.rmtree(os.path.join(self._name_dir(name), f"v={v}"))
+        return doomed

@@ -58,3 +58,26 @@ def test_cms_estimate_never_undercounts(spark, sf_dir):
     assert len(est) > 0
     for r in est.itertuples():
         assert r.est >= exact[r.user_id]
+
+
+def test_observed_scan_metrics_single_pass(spark):
+    from pyspark.sql import functions as F
+
+    from stream_processing_system_spark.operators.core import observed
+
+    df = spark.createDataFrame(
+        [(1, "a"), (2, None), (3, "c"), (4, None)], ["id", "v"]
+    )
+    metered, obs = observed(
+        df,
+        "scan_quality",
+        {
+            "n_rows": F.count(F.lit(1)),
+            "n_null_v": F.count(F.lit(1)) - F.count("v"),
+            "max_id": F.max("id"),
+        },
+    )
+    out = metered.where(F.col("v").isNotNull()).count()  # action drives the plan
+    assert out == 2
+    got = obs.get
+    assert got == {"n_rows": 4, "n_null_v": 2, "max_id": 4}

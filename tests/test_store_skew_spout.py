@@ -123,3 +123,18 @@ def test_salted_join_equals_plain_join_on_zipf(spark):
     plain_l = facts.join(dim_partial, "k", "left").groupBy("k", "name").count()
     salted_l = salted_join(facts, dim_partial, "k", how="left").groupBy("k", "name").count()
     assert sorted(map(tuple, plain_l.collect())) == sorted(map(tuple, salted_l.collect()))
+
+
+def test_versioned_store_vacuum(spark, tmp_path):
+    store = VersionedStore(str(tmp_path / "store"))
+    for i in range(5):
+        store.put(spark.range(i, i + 3).toDF("x"), "ds")
+    assert store.versions("ds") == [1, 2, 3, 4, 5]
+    removed = store.vacuum("ds", keep_last=2)
+    assert removed == [1, 2, 3]
+    assert store.versions("ds") == [4, 5]
+    # survivors still readable, latest unchanged
+    assert store.get(spark, "ds").count() == 3
+    assert sorted(r["x"] for r in store.get(spark, "ds", 4).collect()) == [3, 4, 5]
+    # vacuum with fewer versions than keep_last is a no-op
+    assert store.vacuum("ds", keep_last=10) == []
