@@ -621,6 +621,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "customer_rfm_segments": analytics.customer_rfm_segments,
         "brand_revenue_pareto": analytics.brand_revenue_pareto,
         "format_roundtrip_scan": pipeline.format_roundtrip_scan,
+        "orders_cdc_merge": analytics.orders_cdc_merge,
         # --- reference parity (SURVEY.md §2.12) ---
         "q1_wordcount": reference.q1_wordcount,
         "q2_top_users": reference.q2_top_users,
@@ -950,6 +951,37 @@ def oracle_sql() -> dict[str, str]:
             FROM base
             GROUP BY source, lang
             ORDER BY source, lang
+        """,
+        "orders_cdc_merge": """
+            WITH upd AS (
+                SELECT o_orderkey, 'U' AS status,
+                       FLOOR(o_totalprice * 110 + 0.5) / 100.0 AS price
+                FROM orders WHERE o_orderkey % 97 = 0
+            ), dele AS (
+                SELECT o_orderkey FROM orders
+                WHERE o_orderkey % 89 = 1 AND o_orderkey % 97 <> 0
+            ), ins AS (
+                SELECT o_orderkey + 1000000000 AS o_orderkey,
+                       'N' AS status, o_totalprice AS price
+                FROM orders WHERE o_orderkey % 101 = 2
+            ), kept AS (
+                SELECT o.o_orderkey,
+                       COALESCE(u.status, o.o_orderstatus) AS status,
+                       COALESCE(u.price, o.o_totalprice) AS price
+                FROM orders o
+                LEFT JOIN upd u USING (o_orderkey)
+                WHERE o.o_orderkey NOT IN (SELECT o_orderkey FROM dele)
+            ), merged AS (
+                SELECT * FROM kept
+                UNION ALL
+                SELECT * FROM ins
+            )
+            SELECT status,
+                   COUNT(*) AS n_orders,
+                   CAST(SUM(CAST(price AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+            FROM merged
+            GROUP BY status
+            ORDER BY status
         """,
         "format_roundtrip_scan": """
             WITH agg AS (

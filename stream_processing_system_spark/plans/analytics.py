@@ -2173,3 +2173,77 @@ def brand_revenue_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("p_brand")
     )
+
+
+def orders_cdc_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE INTO semantics on plain parquet: apply a CDC batch
+    (deletes / updates / inserts) to the orders table with ONE
+    full-outer join keyed on o_orderkey, then report the merged
+    table per status — the upsert primitive every warehouse sink
+    needs and the reference entirely lacks (its store is
+    whole-file put/get, `Nimbus.go:447-567`).
+
+    The CDC batch is derived deterministically from the table itself
+    so the query is self-contained: orderkey % 97 == 0 → update
+    (status 'U', price +10%), % 89 == 1 → delete, plus one insert
+    per nation-sized slice (orderkey + 1e9 synthetic keys).
+
+    Scale: one equi-join shuffle on the merge key — the same cost
+    profile a Delta/Iceberg MERGE pays in its join phase. AQE
+    handles a skewed CDC batch; at 100 TB the win over
+    rewrite-everything is file-level pruning, which the oracle-side
+    formulation (anti ∪ updated ∪ inserts) makes explicit.
+    """
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    upd = (
+        orders.where(F.col("o_orderkey") % 97 == 0)
+        .select(
+            "o_orderkey",
+            F.lit("U").alias("_op"),
+            F.lit("U").alias("_new_status"),
+            (
+                F.floor(F.col("o_totalprice") * 110 + F.lit(0.5)) / F.lit(100.0)
+            ).alias("_new_price"),
+        )
+    )
+    # CDC batches carry at most ONE row per key (MERGE's contract);
+    # exclude update keys from the delete predicate so the CRT
+    # overlap (k ≡ 0 mod 97 ∧ k ≡ 1 mod 89) can't mint duplicates.
+    dele = orders.where(
+        (F.col("o_orderkey") % 89 == 1) & (F.col("o_orderkey") % 97 != 0)
+    ).select(
+        "o_orderkey",
+        F.lit("D").alias("_op"),
+        F.lit(None).cast("string").alias("_new_status"),
+        F.lit(None).cast("double").alias("_new_price"),
+    )
+    ins = orders.where(F.col("o_orderkey") % 101 == 2).select(
+        (F.col("o_orderkey") + F.lit(1_000_000_000)).alias("o_orderkey"),
+        F.lit("I").alias("_op"),
+        F.lit("N").alias("_new_status"),
+        F.col("o_totalprice").alias("_new_price"),
+    )
+    cdc = upd.unionByName(dele).unionByName(ins)
+    merged = (
+        orders.join(cdc, "o_orderkey", "full_outer")
+        .where(F.col("_op").isNull() | (F.col("_op") != "D"))
+        .select(
+            "o_orderkey",
+            F.coalesce(F.col("_new_status"), F.col("o_orderstatus")).alias(
+                "status"
+            ),
+            F.coalesce(F.col("_new_price"), F.col("o_totalprice")).alias(
+                "price"
+            ),
+        )
+    )
+    return (
+        merged.groupBy("status")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            _dec_sum(F.col("price"), "total_price", scale=2),
+        )
+        .orderBy("status")
+    )
