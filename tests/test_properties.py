@@ -94,3 +94,33 @@ def test_simhash_identical_docs_identical_signatures(spark, lines):
     for i in range(len(lines)):
         if lines[i].strip():
             assert sigs.get(i) == sigs.get(100 + i)
+
+@given(
+    keys=st.lists(
+        st.integers(min_value=-(2**40), max_value=2**40),
+        min_size=1,
+        max_size=40,
+        unique=True,
+    ),
+    n_bits_pow=st.integers(min_value=7, max_value=14),
+    n_hashes=st.integers(min_value=1, max_value=8),
+)
+@SET
+def test_bloom_never_false_negative(spark, keys, n_bits_pow, n_hashes):
+    """For ANY key set and ANY (even absurdly small) sizing, every
+    inserted key passes the probe — the one-sided-error invariant
+    bloom_prune_join's exactness rests on."""
+    from stream_processing_system_spark.operators.bloom import (
+        bloom_build,
+        bloom_might_contain,
+    )
+
+    n_bits = 1 << n_bits_pow
+    df = spark.createDataFrame([(k,) for k in keys], "k long")
+    bm = bloom_build(df, "k", n_bits=n_bits, n_hashes=n_hashes)
+    passed = (
+        df.crossJoin(F.broadcast(bm))
+        .where(bloom_might_contain("k", n_bits, n_hashes))
+        .count()
+    )
+    assert passed == len(keys)

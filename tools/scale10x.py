@@ -73,6 +73,16 @@ QUERIES = [
     "lsh_topk",
     "doc_winnow",
     "doc_token_chi2",
+    # round-2 closing additions
+    "brand_revenue_bloom",
+    "doc_domain_cap",
+    "doc_inverted_index",
+    "events_ewma_daily",
+    "events_rolling_median",
+    "customer_rfm_segments",
+    "brand_revenue_pareto",
+    "orders_cdc_merge",
+    "doc_ngram_diversity",
 ]
 
 
