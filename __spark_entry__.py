@@ -622,6 +622,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "brand_revenue_pareto": analytics.brand_revenue_pareto,
         "format_roundtrip_scan": pipeline.format_roundtrip_scan,
         "orders_cdc_merge": analytics.orders_cdc_merge,
+        "distinct_users_sketch_rollup": analytics.distinct_users_sketch_rollup,  # rows-only: sketch algebra
         # --- reference parity (SURVEY.md §2.12) ---
         "q1_wordcount": reference.q1_wordcount,
         "q2_top_users": reference.q2_top_users,

@@ -2247,3 +2247,32 @@ def orders_cdc_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("status")
     )
+
+
+def distinct_users_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch ALGEBRA: per-event-type DataSketches HLL sketches
+    (`hll_sketch_agg`) built in ONE scan, then re-aggregated with
+    `hll_union_agg` into a global distinct-users estimate — the
+    rollup comes from merging the sketches, not re-reading the data.
+    This is the property that makes sketches the 100 TB
+    distinct-count path: per-slice sketches persist as tiny binaries
+    and any slice union (per day → per month → whole corpus) is a
+    constant-time merge, with no second pass over the raw data.
+    Rows-only contract (sketch internals are
+    engine-specific); the estimate-vs-exact error bound is
+    property-tested in tests/test_sketches.py.
+    """
+    events = load_table(spark, sf_dir, "events")
+    per_type = events.groupBy("event_type").agg(
+        F.hll_sketch_agg("user_id", 14).alias("_sk")
+    )
+    typed = per_type.select(
+        "event_type",
+        F.hll_sketch_estimate("_sk").cast("long").alias("est_users"),
+    )
+    overall = per_type.agg(
+        F.hll_sketch_estimate(F.hll_union_agg("_sk")).cast("long").alias(
+            "est_users"
+        )
+    ).select(F.lit("__all__").alias("event_type"), "est_users")
+    return typed.unionByName(overall).orderBy("event_type")

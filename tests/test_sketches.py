@@ -58,3 +58,33 @@ def test_approx_value_percentiles_rank_error(spark):
         assert b["q480"] <= r["p50"] <= b["q520"]
         assert b["q880"] <= r["p90"] <= b["q920"]
         assert b["q970"] <= r["p99"] <= b["q1000"]
+
+
+def test_hll_sketch_rollup_union_matches_exact_within_rsd(spark):
+    """The unioned per-type sketches estimate GLOBAL distinct users
+    within HLL(lgk=14) error (<1% at these cardinalities), and the
+    union estimate is consistent with the per-type ones."""
+    from stream_processing_system_spark.plans.analytics import (
+        distinct_users_sketch_rollup,
+    )
+
+    sf_dir = "/root/testdata/sf0.01"
+    rows = {r["event_type"]: r["est_users"]
+            for r in distinct_users_sketch_rollup(spark, sf_dir).collect()}
+    from stream_processing_system_spark.sources.tables import load_table
+    from pyspark.sql import functions as F
+
+    events = load_table(spark, sf_dir, "events")
+    exact_all = events.agg(F.count_distinct("user_id")).collect()[0][0]
+    est_all = rows.pop("__all__")
+    assert abs(est_all - exact_all) / exact_all < 0.05
+    # union can never report fewer users than its largest member slice
+    assert est_all >= max(rows.values()) * 0.99
+    exact_types = {
+        r["event_type"]: r["n"]
+        for r in events.groupBy("event_type")
+        .agg(F.count_distinct("user_id").alias("n"))
+        .collect()
+    }
+    for t, est in rows.items():
+        assert abs(est - exact_types[t]) / exact_types[t] < 0.05
