@@ -430,6 +430,31 @@ def _pagerank_oracle_sql(iters: int = 3, damping: float = 0.85) -> str:
     """
 
 
+_BFS_ORACLE_SQL = f"""
+    WITH {_COPURCHASE_EDGES_CTE},
+    und AS (SELECT src, dst FROM e UNION ALL SELECT dst, src FROM e),
+    s0 AS (SELECT MIN(src) AS node FROM und),
+    v0 AS (SELECT node, 0 AS hops FROM s0),
+    f1 AS (
+        SELECT DISTINCT u.dst AS node FROM und u JOIN s0 s ON u.src = s.node
+        WHERE u.dst NOT IN (SELECT node FROM v0)
+    ),
+    v1 AS (SELECT * FROM v0 UNION ALL SELECT node, 1 FROM f1),
+    f2 AS (
+        SELECT DISTINCT u.dst AS node FROM und u JOIN f1 s ON u.src = s.node
+        WHERE u.dst NOT IN (SELECT node FROM v1)
+    ),
+    v2 AS (SELECT * FROM v1 UNION ALL SELECT node, 2 FROM f2),
+    f3 AS (
+        SELECT DISTINCT u.dst AS node FROM und u JOIN f2 s ON u.src = s.node
+        WHERE u.dst NOT IN (SELECT node FROM v2)
+    ),
+    v3 AS (SELECT * FROM v2 UNION ALL SELECT node, 3 FROM f3)
+    SELECT node AS user_id, CAST(hops AS BIGINT) AS hops
+    FROM v3 ORDER BY user_id
+"""
+
+
 _TRIANGLES_ORACLE_SQL = f"""
     WITH {_COPURCHASE_EDGES_CTE},
     tri AS (
@@ -623,6 +648,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "format_roundtrip_scan": pipeline.format_roundtrip_scan,
         "orders_cdc_merge": analytics.orders_cdc_merge,
         "distinct_users_sketch_rollup": analytics.distinct_users_sketch_rollup,  # rows-only: sketch algebra
+        "copurchase_bfs_hops": analytics.copurchase_bfs_hops,
         # --- reference parity (SURVEY.md §2.12) ---
         "q1_wordcount": reference.q1_wordcount,
         "q2_top_users": reference.q2_top_users,
@@ -2053,6 +2079,7 @@ def oracle_sql() -> dict[str, str]:
         "rp_topk": _rp_topk_oracle_sql(),
         "pq_topk": _pq_topk_oracle_sql(),
         "copurchase_pagerank": _pagerank_oracle_sql(),
+        "copurchase_bfs_hops": _BFS_ORACLE_SQL,
         "copurchase_triangles": _TRIANGLES_ORACLE_SQL,
         # doc_bpe_merges: iterative (each round's rewrite depends on the
         # previous argmax) — rows-only here; tests/test_bpe.py proves the

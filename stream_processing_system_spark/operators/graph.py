@@ -169,3 +169,39 @@ def triangle_counts(edges: DataFrame) -> DataFrame:
         .union(tris.select(F.col("c").alias("node")))
     )
     return corners.groupBy("node").agg(F.count(F.lit(1)).alias("n_triangles"))
+
+
+def bfs_hops(edges: DataFrame, max_hops: int = 3) -> DataFrame:
+    """Bounded breadth-first hop distances from a deterministic seed
+    (the graph's minimum node id): the friends-of-friends primitive —
+    "who is within k hops of this account" — bounded at `max_hops` so
+    the plan is a fixed unrolled chain (the same fixed-iteration
+    contract as `pagerank`, keeping the oracle an unrolled CTE
+    stack).
+
+    Per hop: one equi-join of the (checkpointed) edge list against
+    the current frontier + one anti-join against the visited set —
+    frontier-sized work, not graph-sized. At 100 TB the edge list is
+    the big relation and it shuffles once per hop on its join key;
+    visited/frontier relations stay small for bounded k. Exact
+    integer hop labels; first-discovery = minimum hop count by BFS
+    construction.
+    """
+    und = _undirect(edges).localCheckpoint(eager=True)
+    seed = und.agg(F.min("src").alias("node"))
+    dist = seed.select("node", F.lit(0).cast("long").alias("hops"))
+    frontier = dist.select("node")
+    for h in range(1, max_hops + 1):
+        neighbors = (
+            und.join(frontier, und.src == frontier.node)
+            .select(F.col("dst").alias("node"))
+            .distinct()
+        )
+        new = neighbors.join(dist, "node", "left_anti").localCheckpoint(
+            eager=True
+        )
+        dist = dist.unionByName(
+            new.select("node", F.lit(h).cast("long").alias("hops"))
+        )
+        frontier = new
+    return dist.orderBy("node")

@@ -2276,3 +2276,21 @@ def distinct_users_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     ).select(F.lit("__all__").alias("event_type"), "est_users")
     return typed.unionByName(overall).orderBy("event_type")
+
+
+def copurchase_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded 3-hop BFS reach from the smallest user in the
+    co-purchase graph (`operators/graph.bfs_hops`) — the
+    friends-of-friends traversal, fixed-depth so both engines run an
+    identical unrolled frontier expansion."""
+    from stream_processing_system_spark.operators.graph import (
+        bfs_hops,
+        cooccurrence_edges,
+    )
+
+    events = load_table(spark, sf_dir, "events")
+    return (
+        bfs_hops(cooccurrence_edges(events), max_hops=3)
+        .select(F.col("node").alias("user_id"), "hops")
+        .orderBy("user_id")
+    )

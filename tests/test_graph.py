@@ -56,3 +56,17 @@ def test_cooccurrence_edges_hot_cell_valve(spark, sf_dir):
     # src<dst orientation: no self-loops, no reversed duplicates
     bad = uncapped.where(F.col("src") >= F.col("dst")).count()
     assert bad == 0
+
+
+def test_bfs_hops_planted_chain(spark):
+    """Chain 1-2-3-4-5 plus an unreachable island {10,11}: hop labels
+    are shortest distances, bounded at max_hops, island excluded."""
+    from stream_processing_system_spark.operators.graph import bfs_hops
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5), (10, 11), (1, 3)],
+        ["src", "dst"],
+    )
+    got = {r["node"]: r["hops"] for r in bfs_hops(edges, max_hops=3).collect()}
+    # seed = min node = 1; 1-3 shortcut makes dist(3)=1, dist(4)=2, dist(5)=3
+    assert got == {1: 0, 2: 1, 3: 1, 4: 2, 5: 3}
