@@ -649,6 +649,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "orders_cdc_merge": analytics.orders_cdc_merge,
         "distinct_users_sketch_rollup": analytics.distinct_users_sketch_rollup,  # rows-only: sketch algebra
         "copurchase_bfs_hops": analytics.copurchase_bfs_hops,
+        "events_cusum_changepoint": analytics.events_cusum_changepoint,
         # --- reference parity (SURVEY.md §2.12) ---
         "q1_wordcount": reference.q1_wordcount,
         "q2_top_users": reference.q2_top_users,
@@ -1100,6 +1101,36 @@ def oracle_sql() -> dict[str, str]:
             LEFT JOIN uni_d USING (source)
             LEFT JOIN big_d USING (source)
             ORDER BY source
+        """,
+        "events_cusum_changepoint": """
+            WITH daily AS (
+                SELECT event_type,
+                       CAST(CAST(ts AS DATE) AS VARCHAR) AS day,
+                       SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS s
+                FROM events WHERE value IS NOT NULL
+                GROUP BY 1, 2
+            ), enriched AS (
+                SELECT event_type, day, s,
+                       COUNT(*) OVER (PARTITION BY event_type) AS n,
+                       SUM(s) OVER (PARTITION BY event_type) AS st
+                FROM daily
+            ), with_stat AS (
+                SELECT event_type, day,
+                       n * SUM(s) OVER (PARTITION BY event_type ORDER BY day
+                                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       - (COUNT(*) OVER (PARTITION BY event_type ORDER BY day
+                                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) * st
+                           AS cusum
+                FROM enriched
+            ), ranked AS (
+                SELECT event_type, day, cusum,
+                       ROW_NUMBER() OVER (PARTITION BY event_type
+                                          ORDER BY ABS(cusum) DESC, day ASC) AS rk
+                FROM with_stat
+            )
+            SELECT event_type, day AS peak_day, cusum
+            FROM ranked WHERE rk = 1
+            ORDER BY event_type
         """,
         "events_rolling_median": """
             WITH daily AS (

@@ -2294,3 +2294,56 @@ def copurchase_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("node").alias("user_id"), "hops")
         .orderBy("user_id")
     )
+
+
+def events_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM changepoint per event type: the day where the cumulative
+    deviation of daily volume from the type's average peaks — the
+    classic drift-localization complement to `events_drift_chi2`
+    (which detects THAT the distribution moved; this says WHEN).
+
+    Integer-exact: with s_i the day-i centi-unit value sum and
+    S = Σs_i over n days, the statistic C_k = Σ_{i≤k} (n·s_i − S)
+    is pure BIGINT arithmetic (the ÷n that would make it fractional
+    is factored out — argmax is invariant under positive scaling).
+    One daily rollup, one per-type cumulative window over days, one
+    argmax aggregate; ties break to the earliest day.
+    """
+    events = load_table(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    day = F.col("ts").cast("date").cast("string").alias("day")
+    centi = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+    daily = (
+        events.select("event_type", day, centi.alias("_cv"))
+        .groupBy("event_type", "day")
+        .agg(F.sum("_cv").alias("_s"))
+    )
+    w_type = Window.partitionBy("event_type")
+    w_cum = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    enriched = daily.select(
+        "event_type",
+        "day",
+        "_s",
+        F.count(F.lit(1)).over(w_type).alias("_n"),
+        F.sum("_s").over(w_type).alias("_tot"),
+    )
+    with_stat = enriched.select(
+        "event_type",
+        "day",
+        (
+            F.col("_n") * F.sum("_s").over(w_cum)
+            - F.count(F.lit(1)).over(w_cum) * F.col("_tot")
+        ).alias("cusum"),
+    )
+    rank_w = Window.partitionBy("event_type").orderBy(
+        F.abs(F.col("cusum")).desc(), F.col("day").asc()
+    )
+    return (
+        with_stat.withColumn("_rk", F.row_number().over(rank_w))
+        .where(F.col("_rk") == 1)
+        .select("event_type", F.col("day").alias("peak_day"), "cusum")
+        .orderBy("event_type")
+    )
