@@ -86,15 +86,20 @@ def bloom_build(
             "_mask"
         ),
     ).groupBy("_word").agg(F.expr("bit_or(_mask)").alias("_mask"))
-    sparse = words.agg(
-        F.map_from_entries(
-            F.sort_array(F.collect_list(F.struct("_word", "_mask")))
-        ).alias("_m")
+    # Densify via a word-spine join + one sorted collect — NOT via a
+    # map: `transform(sequence(...), i -> m[i])` probes Spark's
+    # MapData with a LINEAR scan per slot, an O(n_words²) driverless
+    # stall (~30 s at 2^20 bits) that this join does in O(n log n).
+    spine = keys.sparkSession.range(n_words).select(
+        F.col("id").cast("int").alias("_word")
     )
-    return sparse.select(
-        F.expr(
-            f"transform(sequence(0, {n_words - 1}),"
-            " i -> coalesce(_m[i], cast(0 as bigint)))"
+    dense = spine.join(words, "_word", "left").select(
+        "_word", F.coalesce("_mask", F.lit(0).cast("long")).alias("_mask")
+    )
+    return dense.agg(
+        F.transform(
+            F.sort_array(F.collect_list(F.struct("_word", "_mask"))),
+            lambda p: p["_mask"],
         ).alias("_bloom")
     )
 
