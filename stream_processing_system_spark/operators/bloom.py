@@ -68,9 +68,9 @@ def bloom_build(
     Returns a DataFrame with a single row `(_bloom: array<long>)` of
     length n_bits/64. Distributed build: each task hashes its keys
     and emits (word, mask) pairs; one small shuffle on the word index
-    (≤ n_bits/64 groups) OR-combines them; the dense array is
-    materialized by a `transform(sequence(...))` over the collected
-    sparse map — all codegen, no Python.
+    (≤ n_bits/64 groups) OR-combines them; a join against the full
+    word spine then one sorted collect materializes the dense array —
+    all codegen, no Python.
     """
     if n_bits % 64 != 0:
         raise ValueError("n_bits must be a multiple of 64")

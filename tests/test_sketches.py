@@ -88,3 +88,27 @@ def test_hll_sketch_rollup_union_matches_exact_within_rsd(spark):
     }
     for t, est in rows.items():
         assert abs(est - exact_types[t]) / exact_types[t] < 0.05
+
+
+def test_hll_sketches_survive_parquet_roundtrip(spark, tmp_path):
+    """The 100 TB pattern distinct_users_sketch_rollup's docstring
+    claims: per-slice sketches persisted as binaries, reloaded later,
+    and UNIONED — same estimate as a union over live sketches."""
+    from pyspark.sql import functions as F
+
+    from stream_processing_system_spark.sources.tables import load_table
+
+    sf_dir = "/root/testdata/sf0.01"
+    events = load_table(spark, sf_dir, "events")
+    per_type = events.groupBy("event_type").agg(
+        F.hll_sketch_agg("user_id", 14).alias("sk")
+    )
+    live = per_type.agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).cast("long").alias("e")
+    ).collect()[0]["e"]
+    path = str(tmp_path / "sketches")
+    per_type.write.parquet(path)
+    reloaded = spark.read.parquet(path).agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).cast("long").alias("e")
+    ).collect()[0]["e"]
+    assert reloaded == live
