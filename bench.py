@@ -77,6 +77,12 @@ HEADLINE = [
     "brand_revenue_bloom",
     "doc_domain_cap",
     "events_ewma_daily",
+    "doc_inverted_index",
+    "events_rolling_median",
+    "customer_rfm_segments",
+    "orders_cdc_merge",
+    "events_cusum_changepoint",
+    "copurchase_bfs_hops",
 ]
 
 
