@@ -650,6 +650,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "distinct_users_sketch_rollup": analytics.distinct_users_sketch_rollup,  # rows-only: sketch algebra
         "copurchase_bfs_hops": analytics.copurchase_bfs_hops,
         "events_cusum_changepoint": analytics.events_cusum_changepoint,
+        "schema_evolution_scan": pipeline.schema_evolution_scan,
         # --- reference parity (SURVEY.md §2.12) ---
         "q1_wordcount": reference.q1_wordcount,
         "q2_top_users": reference.q2_top_users,
@@ -1010,6 +1011,18 @@ def oracle_sql() -> dict[str, str]:
             FROM merged
             GROUP BY status
             ORDER BY status
+        """,
+        "schema_evolution_scan": """
+            SELECT event_type,
+                   COUNT(*) AS n,
+                   CAST(SUM(CASE WHEN event_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_legacy,
+                   CAST(SUM(CASE WHEN event_id % 2 = 1
+                                 THEN CAST(event_id % 3 AS BIGINT) ELSE 0 END) AS BIGINT) AS sum_priority,
+                   CAST(SUM(CAST(FLOOR(value * 10000 + 0.5) AS BIGINT)) AS DOUBLE)
+                       / 10000.0 AS sum_value
+            FROM events
+            GROUP BY event_type
+            ORDER BY event_type
         """,
         "format_roundtrip_scan": """
             WITH agg AS (

@@ -913,3 +913,62 @@ def format_roundtrip_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(agg(odf, "orc"))
         .orderBy("fmt", "event_type")
     )
+
+
+_EVO_CACHE: dict[str, str] = {}
+
+
+def schema_evolution_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-evolution read: half the events are written with the
+    original 4-column schema, half with an ADDED `priority` column
+    (derived, not invented: event_id % 3). One `mergeSchema` read
+    unifies them — old files surface NULL priority — and the
+    aggregate proves both populations keep exact values. This is the
+    append-a-column-without-rewriting-history operation every
+    long-lived 100 TB table eventually needs; the mergeSchema
+    footer-union is a planning-time cost, paid once per scan.
+    """
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    path = _EVO_CACHE.get(sf_dir)
+    if path is None:
+        tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+        path = os.path.join(tempfile.gettempdir(), f"spark_graft_evo_{tag}")
+        shutil.rmtree(path, ignore_errors=True)
+        events = load_table(spark, sf_dir, "events").select(
+            "event_id", "user_id", "event_type", "value"
+        )
+        old = events.where(F.col("event_id") % 2 == 0)
+        new = events.where(F.col("event_id") % 2 == 1).withColumn(
+            "priority", (F.col("event_id") % 3).cast("int")
+        )
+        old.write.mode("overwrite").parquet(os.path.join(path, "batch=old"))
+        new.write.mode("overwrite").parquet(os.path.join(path, "batch=new"))
+        _EVO_CACHE[sf_dir] = path
+    merged = spark.read.option("mergeSchema", "true").parquet(path)
+    return (
+        merged.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.when(F.col("priority").isNull(), 1).otherwise(0)).alias(
+                "n_legacy"
+            ),
+            F.sum(F.coalesce(F.col("priority"), F.lit(0)).cast("long")).alias(
+                "sum_priority"
+            ),
+            F.sum(
+                F.floor(F.col("value") * 10000 + 0.5).cast("long")
+            ).alias("_s"),
+        )
+        .select(
+            "event_type",
+            "n",
+            "n_legacy",
+            "sum_priority",
+            (F.col("_s") / F.lit(10000.0)).alias("sum_value"),
+        )
+        .orderBy("event_type")
+    )
