@@ -651,6 +651,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "copurchase_bfs_hops": analytics.copurchase_bfs_hops,
         "events_cusum_changepoint": analytics.events_cusum_changepoint,
         "schema_evolution_scan": pipeline.schema_evolution_scan,
+        "doc_blocklist_filter": pipeline.doc_blocklist_filter,
         # --- reference parity (SURVEY.md §2.12) ---
         "q1_wordcount": reference.q1_wordcount,
         "q2_top_users": reference.q2_top_users,
@@ -1011,6 +1012,23 @@ def oracle_sql() -> dict[str, str]:
             FROM merged
             GROUP BY status
             ORDER BY status
+        """,
+        "doc_blocklist_filter": """
+            WITH flagged AS (
+                SELECT doc_id,
+                       len(list_intersect(
+                           list_distinct(list_transform(
+                               list_filter(string_split(text, ' '), t -> t <> ''),
+                               t -> lower(t))),
+                           ['slow', 'drop', 'noise'])) AS n_blocked_terms
+                FROM documents
+            )
+            SELECT (n_blocked_terms = 0) AS keep,
+                   COUNT(*) AS n_docs,
+                   CAST(SUM(n_blocked_terms) AS BIGINT) AS total_hits
+            FROM flagged
+            GROUP BY 1
+            ORDER BY keep
         """,
         "schema_evolution_scan": """
             SELECT event_type,

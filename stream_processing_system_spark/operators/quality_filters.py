@@ -248,3 +248,36 @@ def chunk_documents(
         .where(F.col("n_tokens") > 0)
         .orderBy(id_col, "chunk_id")
     )
+
+
+def blocklist_filter(
+    df: DataFrame,
+    blocklist: list[str],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Term-blocklist policy filter (the C4-style "bad words" pass):
+    per doc, the number of DISTINCT blocklisted terms present and a
+    keep/drop verdict (drop on any hit). Complements `decontaminate`
+    (which guards eval integrity with n-grams); this enforces content
+    policy with a word list.
+
+    Map-only: the blocklist is a constant array literal, membership
+    is `size(array_intersect(tokens, blocklist))` inside one
+    codegen'd projection — no join, no shuffle, no Python; at 100 TB
+    this runs at scan speed. Case-folded on the token side so the
+    list needs only lowercase entries.
+    """
+    toks = F.array_distinct(
+        F.transform(
+            F.filter(F.split(F.col(text_col), " "), lambda t: t != ""),
+            F.lower,
+        )
+    )
+    bl = F.array(*[F.lit(t.lower()) for t in blocklist])
+    hits = F.size(F.array_intersect(toks, bl))
+    return df.select(
+        F.col(id_col),
+        hits.cast("long").alias("n_blocked_terms"),
+        (hits == 0).alias("keep"),
+    ).orderBy(id_col)

@@ -972,3 +972,20 @@ def schema_evolution_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+def doc_blocklist_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Term-blocklist policy pass over the corpus
+    (`operators/quality_filters.blocklist_filter`); summarized per
+    verdict so the output is constant-size."""
+    flagged = quality_filters.blocklist_filter(
+        _docs(spark, sf_dir), blocklist=["slow", "drop", "noise"]
+    )
+    return (
+        flagged.groupBy("keep")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_blocked_terms").alias("total_hits"),
+        )
+        .orderBy("keep")
+    )

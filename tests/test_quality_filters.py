@@ -84,3 +84,24 @@ def test_pack_sequences_chunking_invariant(spark, sf_dir):
     a = qf.pack_sequences(docs, budget_tokens=512, chunk_size=7)
     b = qf.pack_sequences(docs, budget_tokens=512, chunk_size=100_000)
     assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
+
+def test_blocklist_filter_planted(spark):
+    from pyspark.sql import functions as F  # noqa: F401
+
+    from stream_processing_system_spark.operators.quality_filters import (
+        blocklist_filter,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "clean words only here"),
+            (2, "BAD word and more bad word"),   # case-folded, distinct terms
+            (3, "bad worse bad worse"),
+        ],
+        ["doc_id", "text"],
+    )
+    rows = {r["doc_id"]: r for r in blocklist_filter(df, ["bad", "worse"]).collect()}
+    assert rows[1]["keep"] is True and rows[1]["n_blocked_terms"] == 0
+    assert rows[2]["keep"] is False and rows[2]["n_blocked_terms"] == 1
+    assert rows[3]["keep"] is False and rows[3]["n_blocked_terms"] == 2
