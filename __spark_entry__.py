@@ -652,6 +652,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_cusum_changepoint": analytics.events_cusum_changepoint,
         "schema_evolution_scan": pipeline.schema_evolution_scan,
         "doc_blocklist_filter": pipeline.doc_blocklist_filter,
+        "stream_purchase_click_outer": streaming_parity.stream_purchase_click_outer,
         # --- reference parity (SURVEY.md §2.12) ---
         "q1_wordcount": reference.q1_wordcount,
         "q2_top_users": reference.q2_top_users,
@@ -3007,6 +3008,18 @@ def oracle_sql() -> dict[str, str]:
                    CAST(floor(epoch(c.ts)) AS BIGINT) AS click_ts_s
             FROM (SELECT user_id, ts FROM events WHERE event_type = 'purchase') p
             JOIN (SELECT user_id, ts FROM events WHERE event_type = 'click') c
+              ON p.user_id = c.user_id
+             AND c.ts >= p.ts AND c.ts <= p.ts + INTERVAL 1 HOUR
+            ORDER BY p.user_id, purchase_ts_s, click_ts_s
+        """,
+        "stream_purchase_click_outer": """
+            SELECT p.user_id,
+                   CAST(floor(epoch(p.ts)) AS BIGINT) AS purchase_ts_s,
+                   CAST(floor(epoch(c.ts)) AS BIGINT) AS click_ts_s
+            FROM (SELECT user_id, ts FROM events
+                  WHERE event_type = 'purchase'
+                    AND ts <= (SELECT MAX(ts) FROM events) - INTERVAL 4 HOUR) p
+            LEFT JOIN (SELECT user_id, ts FROM events WHERE event_type = 'click') c
               ON p.user_id = c.user_id
              AND c.ts >= p.ts AND c.ts <= p.ts + INTERVAL 1 HOUR
             ORDER BY p.user_id, purchase_ts_s, click_ts_s

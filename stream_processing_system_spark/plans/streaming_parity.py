@@ -562,3 +562,47 @@ def stream_ohlc_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     q.awaitTermination()
     _cleanup(input_dir)
     return spark.table(f"ohlc_{run}").orderBy("event_type", "day")
+
+
+def stream_purchase_click_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT OUTER watermarked stream-stream join as a driver-checked
+    query: every purchase pairs with its within-1-hour clicks, and
+    purchases with NO qualifying click surface once with a NULL click
+    timestamp. ALL purchases are fed (cutting the input would lower
+    the left source's own max event time and drag the global
+    watermark — the MIN across sources — back with it); the OUTPUT
+    is then restricted to purchases whose match window provably
+    closed before the final watermark (ts ≤ max_ts − 4 h: 1 h window
+    + 2 h watermark + 1 h margin), because Spark never emits
+    null-extended rows whose window is still open when a finite
+    stream ends. The oracle is the equivalent batch LEFT JOIN under
+    the same cutoff — proving both the match bounds AND the
+    null-emission contract against plain SQL."""
+    input_dir, ckpt, run = _scratch("ssjo")
+    events = load_table(spark, sf_dir, "events").select("user_id", "ts", "event_type")
+    cutoff = events.agg(
+        (F.max("ts") - F.expr("interval 4 hours")).alias("c")
+    ).collect()[0]["c"]
+    p_dir, c_dir = os.path.join(input_dir, "p"), os.path.join(input_dir, "c")
+    events.where(F.col("event_type") == "purchase").select(
+        "user_id", "ts"
+    ).write.mode("overwrite").parquet(p_dir)
+    events.where(F.col("event_type") == "click").select("user_id", "ts").write.mode(
+        "overwrite"
+    ).parquet(c_dir)
+    schema = "user_id long, ts timestamp"
+    purchases = spark.readStream.schema(schema).parquet(p_dir)
+    clicks = spark.readStream.schema(schema).parquet(c_dir)
+    joined = jobs.stream_stream_join_outer(
+        spark, purchases, clicks, ckpt, within="1 hour", name=f"ssjo_{run}"
+    )
+    _cleanup(input_dir)
+    return (
+        joined.where(F.col("l_ts") <= F.lit(cutoff))
+        .select(
+            F.col("l_key").alias("user_id"),
+            F.col("l_ts").cast("long").alias("purchase_ts_s"),
+            F.col("r_ts").cast("long").alias("click_ts_s"),
+        )
+        .orderBy("user_id", "purchase_ts_s", "click_ts_s")
+    )

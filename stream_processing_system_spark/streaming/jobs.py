@@ -356,3 +356,53 @@ def stream_running_counts(
     )
     q.awaitTermination()
     return spark.table(name)
+
+
+def stream_stream_join_outer(
+    spark: SparkSession,
+    left: DataFrame,
+    right: DataFrame,
+    checkpoint_dir: str,
+    join_key: str = "user_id",
+    ts_col: str = "ts",
+    within: str = "1 hour",
+    watermark: str = "2 hours",
+    name: str = "ss_join_outer",
+) -> DataFrame:
+    """LEFT OUTER stream-stream join with event-time bounds: matched
+    pairs emit as they meet; an UNMATCHED left row emits with a NULL
+    right side only after the watermark passes the end of its match
+    window (the engine must prove no future right row can match
+    before it commits the null — the hardest streaming-join
+    semantic, and the one that requires watermarks to exist at all).
+
+    Spark's documented caveat applies: left rows whose match window
+    is still inside the final watermark horizon when a finite stream
+    ends never emit their null-extended result. Callers wanting
+    deterministic totals must feed left rows whose windows provably
+    close (see plans/streaming_parity.stream_purchase_click_outer:
+    it cuts the left stream at max_ts − watermark − within − margin).
+    """
+    l = left.withWatermark(ts_col, watermark).select(
+        F.col(join_key).alias("l_key"), F.col(ts_col).alias("l_ts")
+    )
+    r = right.withWatermark(ts_col, watermark).select(
+        F.col(join_key).alias("r_key"), F.col(ts_col).alias("r_ts")
+    )
+    joined = l.join(
+        r,
+        F.expr(
+            f"l_key = r_key AND r_ts >= l_ts AND r_ts <= l_ts + interval {within}"
+        ),
+        "leftOuter",
+    )
+    q = (
+        joined.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
