@@ -3018,7 +3018,10 @@ def oracle_sql() -> dict[str, str]:
                    CAST(floor(epoch(c.ts)) AS BIGINT) AS click_ts_s
             FROM (SELECT user_id, ts FROM events
                   WHERE event_type = 'purchase'
-                    AND ts <= (SELECT MAX(ts) FROM events) - INTERVAL 4 HOUR) p
+                    AND ts <= (SELECT LEAST(
+                                   (SELECT MAX(ts) FROM events WHERE event_type = 'purchase'),
+                                   (SELECT MAX(ts) FROM events WHERE event_type = 'click'))
+                               ) - INTERVAL 4 HOUR) p
             LEFT JOIN (SELECT user_id, ts FROM events WHERE event_type = 'click') c
               ON p.user_id = c.user_id
              AND c.ts >= p.ts AND c.ts <= p.ts + INTERVAL 1 HOUR

@@ -580,9 +580,17 @@ def stream_purchase_click_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
     null-emission contract against plain SQL."""
     input_dir, ckpt, run = _scratch("ssjo")
     events = load_table(spark, sf_dir, "events").select("user_id", "ts", "event_type")
-    cutoff = events.agg(
-        (F.max("ts") - F.expr("interval 4 hours")).alias("c")
-    ).collect()[0]["c"]
+    # The global watermark is the MIN across sources of (max event
+    # time - delay): the cutoff must key off the EARLIER-ending
+    # stream, or purchases after the click stream's horizon keep
+    # their join state open forever and never emit their nulls.
+    cutoff = (
+        events.where(F.col("event_type").isin("purchase", "click"))
+        .groupBy("event_type")
+        .agg(F.max("ts").alias("m"))
+        .agg((F.min("m") - F.expr("interval 4 hours")).alias("c"))
+        .collect()[0]["c"]
+    )
     p_dir, c_dir = os.path.join(input_dir, "p"), os.path.join(input_dir, "c")
     events.where(F.col("event_type") == "purchase").select(
         "user_id", "ts"
