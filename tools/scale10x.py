@@ -58,6 +58,9 @@ PERTURB_QUERIES = [
     "doc_winnow",
     "doc_token_chi2",
     "doc_skipgram_pairs",
+    "doc_inverted_index",
+    "doc_ngram_diversity",
+    "doc_domain_cap",
 ]
 
 QUERIES = [
