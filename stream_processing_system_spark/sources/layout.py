@@ -150,3 +150,23 @@ def compact_parquet(
     n = max(1, math.ceil(_local_input_bytes(df) / target_file_bytes))
     df.coalesce(n).write.mode("overwrite").parquet(output_path)
     return n
+
+
+def overwrite_partition_dynamic(
+    df: DataFrame,
+    table_path: str,
+    partition_col: str,
+) -> None:
+    """Dynamic partition overwrite: replace ONLY the hive partitions
+    present in `df`, leaving every other partition's files untouched
+    (`partitionOverwriteMode=dynamic`, scoped to this write). The
+    restatement primitive for partitioned 100 TB tables — "re-land
+    one day" must never mean "rewrite the table", and a static
+    overwrite here would truncate all partitions first.
+    """
+    (
+        df.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy(partition_col)
+        .parquet(table_path)
+    )

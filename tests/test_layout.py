@@ -93,3 +93,34 @@ def test_registered_compaction_reduces_file_count(spark, sf_dir):
     compacted = spark.read.parquet(_COMPACT_CACHE[sf_dir])
     n_files = len(compacted.inputFiles())
     assert n_files < 16, f"compaction left {n_files} files"
+
+
+def test_dynamic_partition_overwrite_touches_only_its_partition(spark, tmp_path):
+    import os
+
+    from pyspark.sql import functions as F
+
+    from stream_processing_system_spark.sources.layout import (
+        overwrite_partition_dynamic,
+    )
+
+    path = str(tmp_path / "pt")
+    base = spark.range(0, 100).select(
+        F.col("id"), (F.col("id") % 4).alias("p")
+    )
+    base.write.partitionBy("p").parquet(path)
+    before = {
+        p: sorted(os.listdir(os.path.join(path, f"p={p}"))) for p in range(4)
+    }
+    # restate partition p=2 with corrected values (ids shifted +1000)
+    fixed = spark.range(0, 10).select(
+        (F.col("id") + 1000).alias("id"), F.lit(2).alias("p")
+    )
+    overwrite_partition_dynamic(fixed, path, "p")
+    after_df = spark.read.parquet(path)
+    assert after_df.where("p = 2").count() == 10
+    assert after_df.where("p = 2").agg(F.min("id")).collect()[0][0] == 1000
+    # untouched partitions keep IDENTICAL files (not rewritten copies)
+    for p in (0, 1, 3):
+        assert sorted(os.listdir(os.path.join(path, f"p={p}"))) == before[p]
+        assert after_df.where(f"p = {p}").count() == 25
