@@ -1,0 +1,64 @@
+"""Edge inputs for the closing-addition operators: empty and
+single-row frames must produce well-formed (usually empty) results,
+not exceptions — the failure mode that surfaces at 100 TB as one
+empty partition-slice killing a 10-hour job."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from stream_processing_system_spark.operators import curation
+from stream_processing_system_spark.operators.bloom import bloom_build, bloom_prune_join
+from stream_processing_system_spark.operators.graph import bfs_hops
+from stream_processing_system_spark.operators.text_analysis import (
+    corpus_card,
+    inverted_index,
+    ngram_diversity,
+)
+
+
+def _empty_docs(spark):
+    return spark.createDataFrame([], "doc_id long, source string, lang string, text string")
+
+
+def test_bloom_on_empty_build_side(spark):
+    keys = spark.createDataFrame([], "k long")
+    fact = spark.range(0, 100).select(F.col("id").alias("k"))
+    bm = bloom_build(keys, "k", n_bits=1 << 10)
+    rows = bm.collect()
+    assert len(rows) == 1 and all(w == 0 for w in rows[0]["_bloom"])
+    assert bloom_prune_join(fact, keys, "k", n_bits=1 << 10).count() == 0
+
+
+def test_domain_cap_empty_and_single(spark):
+    empty = _empty_docs(spark).select("doc_id", "source", F.length("text").alias("n_chars"))
+    assert curation.domain_cap(empty, "source", 5, [F.col("n_chars").desc()], "doc_id").count() == 0
+    one = spark.createDataFrame([(1, "s", 10)], ["doc_id", "source", "n_chars"])
+    got = curation.domain_cap(one, "source", 5, [F.col("n_chars").desc()], "doc_id").collect()
+    assert len(got) == 1 and got[0]["rk"] == 1
+
+
+def test_inverted_index_and_diversity_empty(spark):
+    docs = _empty_docs(spark)
+    assert inverted_index(docs).count() == 0
+    assert ngram_diversity(docs).count() == 0
+    assert corpus_card(docs).count() == 0
+
+
+def test_corpus_card_single_token_docs(spark):
+    docs = spark.createDataFrame(
+        [(1, "w", "en", "x"), (2, "w", "en", "y")],
+        ["doc_id", "source", "lang", "text"],
+    )
+    row = corpus_card(docs).collect()[0]
+    assert row["n_docs"] == 2 and row["sum_tokens"] == 2 and row["avg_tokens"] == 1.0
+
+
+def test_bfs_single_edge_and_negative_sample_empty_pairs(spark):
+    got = {r["node"]: r["hops"] for r in bfs_hops(
+        spark.createDataFrame([(7, 9)], ["src", "dst"]), max_hops=3
+    ).collect()}
+    assert got == {7: 0, 9: 1}
+    corpus = spark.createDataFrame([(1, "a b c")], ["doc_id", "text"])
+    pairs = spark.createDataFrame([], "w1 string, w2 string")
+    assert curation.negative_sample(corpus, pairs, k_neg=3).count() == 0
