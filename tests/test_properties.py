@@ -124,3 +124,77 @@ def test_bloom_never_false_negative(spark, keys, n_bits_pow, n_hashes):
         .count()
     )
     assert passed == len(keys)
+
+
+@given(lines=corpus)
+@SET
+def test_negative_sample_matches_python_reference(spark, lines):
+    """The whole inverse-CDF construction (md5 draw, integer weights,
+    cumulative intervals) re-implemented in plain Python must agree
+    draw-for-draw with the Spark plan on arbitrary corpora."""
+    import bisect
+    import hashlib
+    import math
+
+    from stream_processing_system_spark.operators import curation
+
+    texts = [ln for ln in lines if ln.split()]
+    if not texts:
+        return
+    corpus_df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], ["doc_id", "text"]
+    )
+    pairs = [("aa", "bb"), ("cc", "dd")]
+    pairs_df = spark.createDataFrame(pairs, ["w1", "w2"])
+    got = {
+        (r["w1"], r["w2"], r["draw_j"], r["neg"])
+        for r in curation.negative_sample(corpus_df, pairs_df, k_neg=4).collect()
+    }
+
+    counts: dict[str, int] = {}
+    for t in texts:
+        for w in t.split(" "):
+            if w:
+                counts[w] = counts.get(w, 0) + 1
+    vocab = sorted(counts)
+    wts = [
+        math.floor(math.sqrt(counts[w] * math.sqrt(counts[w])) * 1_000_000 + 0.5)
+        for w in vocab
+    ]
+    cum = []
+    s = 0
+    for w in wts:
+        s += w
+        cum.append(s)
+    want = set()
+    for w1, w2 in pairs:
+        for j in range(1, 5):
+            h = hashlib.md5(f"neg|{w1}|{w2}|{j}".encode()).hexdigest()[:15]
+            u = int(h, 16) % s
+            idx = bisect.bisect_right(cum, u)
+            want.add((w1, w2, j, vocab[idx]))
+    assert got == want
+
+
+@given(lines=corpus)
+@SET
+def test_domain_cap_matches_python_reference(spark, lines):
+    from stream_processing_system_spark.operators import curation
+
+    rows = [(i, f"d{i % 3}", len(ln)) for i, ln in enumerate(lines)]
+    df = spark.createDataFrame(rows, ["doc_id", "source", "n_chars"])
+    got = {
+        (r["doc_id"], r["rk"])
+        for r in curation.domain_cap(
+            df, "source", 2, [F.col("n_chars").desc()], "doc_id"
+        ).collect()
+    }
+    want = set()
+    by_src: dict[str, list] = {}
+    for i, src, n in rows:
+        by_src.setdefault(src, []).append((i, n))
+    for src, members in by_src.items():
+        members.sort(key=lambda t: (-t[1], t[0]))
+        for rk, (i, _) in enumerate(members[:2], start=1):
+            want.add((i, rk))
+    assert got == want
