@@ -137,6 +137,16 @@ def bloom_prune_join(
     the non-matching fact rows instead of all of them).
     """
     build_key = build_key or fact_key
+    fact_type = dict(fact.dtypes)[fact_key]
+    build_type = dict(keys.dtypes)[build_key]
+    if fact_type != build_type:
+        # xxhash64('5' as string) != xxhash64(5 as bigint): a silent
+        # type mismatch would hash every key differently and prune
+        # EVERYTHING — fail loudly instead.
+        raise TypeError(
+            f"bloom_prune_join key types differ: fact.{fact_key} is "
+            f"{fact_type}, keys.{build_key} is {build_type}; cast one side"
+        )
     bitmap = bloom_build(keys, build_key, n_bits, n_hashes)
     pruned = (
         fact.crossJoin(F.broadcast(bitmap))

@@ -85,3 +85,12 @@ def test_brand_revenue_bloom_oracle(spark, sf_dir):
         sf_dir,
         oracle_sql()["brand_revenue_bloom"],
     )
+
+
+def test_prune_join_rejects_mismatched_key_types(spark):
+    import pytest
+
+    keys = spark.createDataFrame([("1",), ("2",)], ["k"])  # strings
+    fact = spark.range(0, 10).select(F.col("id").alias("k"))  # bigints
+    with pytest.raises(TypeError, match="key types differ"):
+        bloom_prune_join(fact, keys, "k")
