@@ -599,6 +599,8 @@ def domain_cap(
     domain. Identical output to the single-phase window for any
     total order.
     """
+    if cap < 1:
+        raise ValueError("domain_cap: cap must be >= 1")
     order = [*order_cols, F.col(id_col).asc()]
     local = Window.partitionBy(group_col, F.spark_partition_id()).orderBy(*order)
     final = Window.partitionBy(group_col).orderBy(*order)

@@ -188,7 +188,9 @@ def bfs_hops(edges: DataFrame, max_hops: int = 3) -> DataFrame:
     construction.
     """
     und = _undirect(edges).localCheckpoint(eager=True)
-    seed = und.agg(F.min("src").alias("node"))
+    # where(isNotNull) keeps an EMPTY graph empty instead of emitting
+    # a single (null, 0) row from the min() aggregate
+    seed = und.agg(F.min("src").alias("node")).where(F.col("node").isNotNull())
     dist = seed.select("node", F.lit(0).cast("long").alias("hops"))
     frontier = dist.select("node")
     for h in range(1, max_hops + 1):

@@ -62,3 +62,14 @@ def test_bfs_single_edge_and_negative_sample_empty_pairs(spark):
     corpus = spark.createDataFrame([(1, "a b c")], ["doc_id", "text"])
     pairs = spark.createDataFrame([], "w1 string, w2 string")
     assert curation.negative_sample(corpus, pairs, k_neg=3).count() == 0
+
+
+def test_bfs_empty_graph_and_domain_cap_validation(spark):
+    import pytest
+
+    assert bfs_hops(
+        spark.createDataFrame([], "src long, dst long"), max_hops=2
+    ).count() == 0
+    df = spark.createDataFrame([(1, "s", 2)], ["doc_id", "source", "n_chars"])
+    with pytest.raises(ValueError, match="cap must be"):
+        curation.domain_cap(df, "source", 0, [F.col("n_chars").desc()], "doc_id")
