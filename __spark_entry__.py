@@ -653,6 +653,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "schema_evolution_scan": pipeline.schema_evolution_scan,
         "doc_blocklist_filter": pipeline.doc_blocklist_filter,
         "stream_purchase_click_outer": streaming_parity.stream_purchase_click_outer,
+        "events_props_variant": analytics.events_props_variant,
         # --- reference parity (SURVEY.md §2.12) ---
         "q1_wordcount": reference.q1_wordcount,
         "q2_top_users": reference.q2_top_users,
@@ -3011,6 +3012,20 @@ def oracle_sql() -> dict[str, str]:
               ON p.user_id = c.user_id
              AND c.ts >= p.ts AND c.ts <= p.ts + INTERVAL 1 HOUR
             ORDER BY p.user_id, purchase_ts_s, click_ts_s
+        """,
+        "events_props_variant": """
+            WITH k AS (
+                SELECT event_type,
+                       CAST(json_extract(props, '$.k') AS INTEGER) AS k
+                FROM events
+            )
+            SELECT event_type,
+                   CAST(COUNT(DISTINCT k) AS BIGINT) AS n_distinct_k,
+                   CAST(SUM(CASE WHEN k % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_even_k,
+                   CAST(SUM(CASE WHEN k % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_odd_k
+            FROM k
+            GROUP BY event_type
+            ORDER BY event_type
         """,
         "stream_purchase_click_outer": """
             SELECT p.user_id,

@@ -2347,3 +2347,29 @@ def events_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("event_type", F.col("day").alias("peak_day"), "cusum")
         .orderBy("event_type")
     )
+
+
+def events_props_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured extraction via the VARIANT type (Spark 4
+    `parse_json` + `variant_get`): props parses ONCE into a binary
+    variant and every field access is a typed path lookup — the
+    modern replacement for per-field `get_json_object` re-parsing
+    (which `json_props_stats` keeps for comparison; at 100 TB with
+    many extracted fields, parse-once is the difference between one
+    and N string parses per row).
+
+    Output is deliberately different from json_props_stats: distinct
+    k cardinality and parity split per event type.
+    """
+    events = load_table(spark, sf_dir, "events")
+    k = F.variant_get(F.parse_json(F.col("props")), "$.k", "int")
+    return (
+        events.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count_distinct("k").cast("long").alias("n_distinct_k"),
+            F.sum((F.col("k") % 2 == 0).cast("long")).alias("n_even_k"),
+            F.sum((F.col("k") % 2 == 1).cast("long")).alias("n_odd_k"),
+        )
+        .orderBy("event_type")
+    )

@@ -18,7 +18,13 @@ anyway. The unnumbered text path stays byte-range-splittable.
 
 from __future__ import annotations
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    DataSourceWriter,
+    InputPartition,
+    WriterCommitMessage,
+)
 from pyspark.sql.types import StructType
 
 
@@ -71,3 +77,50 @@ class CraneSpoutReader(DataSourceReader):
 
 def register(spark) -> None:
     spark.dataSource.register(CraneSpoutDataSource)
+    spark.dataSource.register(CraneSinkDataSource)
+
+
+class CraneSinkDataSource(DataSource):
+    """`format("crane_sink")` — the WRITE half of the pluggable
+    contract: a custom Python DataSource writer emitting the
+    reference's K1 `word:count` line format (`bolt/bolt.go:296-310`)
+    from any 2-column (string, numeric) DataFrame via
+    `df.write.format("crane_sink").option("path", p).save()`.
+    Each task writes one part file (normal distributed-sink layout);
+    commit messages carry the written paths back to the driver.
+    """
+
+    @classmethod
+    def name(cls) -> str:
+        return "crane_sink"
+
+    def writer(self, schema: StructType, overwrite: bool):
+        if len(schema.fields) != 2:
+            raise ValueError("crane_sink expects exactly 2 columns (key, count)")
+        return CraneSinkWriter(self.options)
+
+
+class CraneSinkWriter(DataSourceWriter):
+    def __init__(self, options) -> None:
+        path = options.get("path")
+        if not path:
+            raise ValueError("crane_sink requires option 'path'")
+        self.path = path
+
+    def write(self, iterator):
+        import os
+        import uuid
+
+        os.makedirs(self.path, exist_ok=True)
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        out = os.path.join(self.path, f"part-{pid:05d}-{uuid.uuid4().hex[:8]}")
+        n = 0
+        with open(out, "w") as fh:
+            for row in iterator:
+                fh.write(f"{row[0]}:{row[1]}\n")
+                n += 1
+        if n == 0:
+            os.remove(out)  # no empty part files
+        return WriterCommitMessage()

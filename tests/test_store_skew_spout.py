@@ -138,3 +138,21 @@ def test_versioned_store_vacuum(spark, tmp_path):
     assert sorted(r["x"] for r in store.get(spark, "ds", 4).collect()) == [3, 4, 5]
     # vacuum with fewer versions than keep_last is a no-op
     assert store.vacuum("ds", keep_last=10) == []
+
+
+def test_crane_sink_writes_reference_format(spark, tmp_path):
+    """The custom DataSource WRITER emits bolt.go:296-310's
+    `word:count` lines from a distributed write."""
+    import os
+
+    register(spark)
+    out = str(tmp_path / "wc_out")
+    df = spark.createDataFrame(
+        [("hello", 3), ("world", 2), ("spark", 7)], ["word", "cnt"]
+    ).repartition(2)
+    df.write.format("crane_sink").option("path", out).mode("append").save()
+    lines = []
+    for f in sorted(os.listdir(out)):
+        with open(os.path.join(out, f)) as fh:
+            lines += [ln.strip() for ln in fh]
+    assert sorted(lines) == ["hello:3", "spark:7", "world:2"]
