@@ -23,6 +23,7 @@ from pyspark.sql.datasource import (
     DataSourceReader,
     DataSourceWriter,
     InputPartition,
+    SimpleDataSourceStreamReader,
     WriterCommitMessage,
 )
 from pyspark.sql.types import StructType
@@ -45,6 +46,9 @@ class CraneSpoutDataSource(DataSource):
 
     def reader(self, schema: StructType) -> DataSourceReader:
         return CraneSpoutReader(self.options)
+
+    def simpleStreamReader(self, schema: StructType):
+        return CraneSpoutStreamReader(self.options)
 
 
 class CraneSpoutReader(DataSourceReader):
@@ -124,3 +128,57 @@ class CraneSinkWriter(DataSourceWriter):
         if n == 0:
             os.remove(out)  # no empty part files
         return WriterCommitMessage()
+
+
+class CraneSpoutStreamReader(SimpleDataSourceStreamReader):
+    """Streaming NextTuple(): the reference spout is a STREAM source
+    (`spout/spout.go:176-204` loops lines over a socket until EOF,
+    then emits END); here the same contract is a Spark streaming
+    DataSource tailing a directory. The offset is the count of
+    consumed files (sorted order), so each micro-batch reads exactly
+    the files that appeared since the last one, and
+    `readBetweenOffsets` replays any committed range byte-identically
+    — recovery the reference solves by dropping the whole job
+    (`Nimbus.go:280-297`) falls out of offset bookkeeping here.
+    Per-file 1-based line numbers, matching the batch reader.
+    """
+
+    def __init__(self, options) -> None:
+        path = options.get("path")
+        if not path:
+            raise ValueError("crane_spout requires option 'path'")
+        self.path = path
+
+    def _files(self):
+        import os
+
+        if os.path.isdir(self.path):
+            return sorted(
+                os.path.join(self.path, f)
+                for f in os.listdir(self.path)
+                if not f.startswith((".", "_"))
+            )
+        return [self.path]
+
+    def initialOffset(self):
+        return {"n_files": 0}
+
+    def _rows(self, files):
+        out = []
+        for fpath in files:
+            with open(fpath, encoding="utf-8", errors="replace") as fh:
+                for i, raw in enumerate(fh, start=1):
+                    out.append((i, raw.rstrip("\n")))
+        return out
+
+    def read(self, start):
+        files = self._files()
+        done = start["n_files"]
+        return iter(self._rows(files[done:])), {"n_files": len(files)}
+
+    def readBetweenOffsets(self, start, end):
+        files = self._files()
+        return iter(self._rows(files[start["n_files"] : end["n_files"]]))
+
+    def commit(self, end) -> None:
+        pass

@@ -156,3 +156,42 @@ def test_crane_sink_writes_reference_format(spark, tmp_path):
         with open(os.path.join(out, f)) as fh:
             lines += [ln.strip() for ln in fh]
     assert sorted(lines) == ["hello:3", "spark:7", "world:2"]
+
+
+def test_crane_spout_streaming_tails_directory_incrementally(spark, tmp_path):
+    """The spout's STREAMING half: an availableNow pass drains the
+    files present; new files landing later are picked up by the next
+    pass from the same checkpoint WITHOUT re-emitting old rows —
+    offset bookkeeping replacing the reference's drop-and-restart."""
+    import os
+
+    register(spark)
+    data = tmp_path / "in"
+    os.makedirs(data)
+    (data / "a.txt").write_text("alpha\nbeta\n")
+    (data / "b.txt").write_text("gamma\n")
+    ckpt = str(tmp_path / "ckpt")
+    out = str(tmp_path / "out")
+
+    def drain():
+        q = (
+            spark.readStream.format("crane_spout")
+            .option("path", str(data))
+            .load()
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return {
+            (r["linenumber"], r["line"])
+            for r in spark.read.parquet(out).collect()
+        }
+
+    first = drain()
+    assert first == {(1, "alpha"), (2, "beta"), (1, "gamma")}
+    (data / "c.txt").write_text("delta\n")
+    second = drain()  # same checkpoint: only the new file is appended
+    assert second == first | {(1, "delta")}
