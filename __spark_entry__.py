@@ -654,6 +654,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_blocklist_filter": pipeline.doc_blocklist_filter,
         "stream_purchase_click_outer": streaming_parity.stream_purchase_click_outer,
         "events_props_variant": analytics.events_props_variant,
+        "events_pattern_search": analytics.events_pattern_search,
         # --- reference parity (SURVEY.md §2.12) ---
         "q1_wordcount": reference.q1_wordcount,
         "q2_top_users": reference.q2_top_users,
@@ -3012,6 +3013,50 @@ def oracle_sql() -> dict[str, str]:
               ON p.user_id = c.user_id
              AND c.ts >= p.ts AND c.ts <= p.ts + INTERVAL 1 HOUR
             ORDER BY p.user_id, purchase_ts_s, click_ts_s
+        """,
+        "events_pattern_search": """
+            WITH daily AS (
+                SELECT event_type,
+                       CAST(CAST(ts AS DATE) AS VARCHAR) AS day,
+                       (CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS DOUBLE)
+                        / 100.0) / CAST(COUNT(*) AS DOUBLE) AS val
+                FROM events WHERE value IS NOT NULL
+                GROUP BY 1, 2
+            ), series AS (
+                SELECT event_type,
+                       list(val ORDER BY day) AS vs,
+                       list(day ORDER BY day) AS days
+                FROM daily GROUP BY event_type
+            ), win AS (
+                SELECT event_type, days[i] AS start_day, vs[i:i+5] AS w
+                FROM series,
+                     UNNEST(range(1, GREATEST(len(vs) - 5, 0) + 1)) AS u(i)
+            ), stats AS (
+                SELECT event_type, start_day, w,
+                       list_reduce(w, (a, b) -> a + b) / 6.0 AS mu,
+                       list_reduce(list_transform(w, x -> x * x),
+                                   (a, b) -> a + b) AS sq
+                FROM win
+            ), sd AS (
+                SELECT event_type, start_day, w, mu,
+                       SQRT(sq / 6.0 - mu * mu) AS sd
+                FROM stats
+                WHERE SQRT(sq / 6.0 - mu * mu) > 1e-9
+            ), q AS (
+                SELECT [-0.5, -0.5, -0.5, 2.236068, -0.5, -0.236068] AS qp
+            ), dist AS (
+                SELECT event_type, start_day,
+                       list_reduce(
+                           list_transform(range(1, 7),
+                               i -> ((w[i] - mu) / sd - qp[i])
+                                    * ((w[i] - mu) / sd - qp[i])),
+                           (a, b) -> a + b) AS d2
+                FROM sd, q
+            )
+            SELECT event_type, start_day, ROUND(d2, 6) AS dist2
+            FROM dist
+            ORDER BY dist2 ASC, event_type ASC, start_day ASC
+            LIMIT 10
         """,
         "events_props_variant": """
             WITH k AS (

@@ -2373,3 +2373,91 @@ def events_props_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+#: Query pattern for events_pattern_search: a "spike" shape, already
+#: z-normalized (mean 0, unit variance) and rounded to 6 decimals so
+#: BOTH engines consume identical literals.
+_PATTERN = [-0.5, -0.5, -0.5, 2.236068, -0.5, -0.236068]
+
+
+def events_pattern_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series subsequence similarity search (the streaming-DB
+    pattern-matching primitive — EDBT'19's problem, Matrix-Profile
+    style, at daily-series scale here): z-normalize every sliding
+    window of the per-type daily mean series and rank windows by
+    Euclidean distance to a constant z-normed query pattern (a
+    spike). Top-10 nearest windows across all types.
+
+    Determinism: window statistics and distances are LEFT FOLDS over
+    the day-ordered arrays (identical IEEE sequence in DuckDB's
+    list_reduce — the EWMA device); sqrt is correctly rounded; the
+    pattern ships as pre-rounded literals shared by both engines;
+    zero-variance windows are excluded by an exact predicate.
+
+    Scale: the series collapse to types × days rows before any
+    window math; each sliding window is an array slice of length 6 —
+    at 100 TB the expensive part (raw events → daily grain) is one
+    map-side-combined aggregate, and the subsequence scan is
+    per-type-sized, embarrassingly parallel over types.
+    """
+    m = len(_PATTERN)
+    events = load_table(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    day = F.col("ts").cast("date").cast("string").alias("day")
+    centi = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+    daily = (
+        events.select("event_type", day, centi.alias("_cv"))
+        .groupBy("event_type", "day")
+        .agg(F.sum("_cv").alias("_cs"), F.count(F.lit(1)).alias("_n"))
+        .select(
+            "event_type",
+            "day",
+            (
+                F.col("_cs").cast("double")
+                / F.lit(100.0)
+                / F.col("_n").cast("double")
+            ).alias("val"),
+        )
+    )
+    series = daily.groupBy("event_type").agg(
+        F.transform(
+            F.sort_array(F.collect_list(F.struct("day", "val"))), lambda p: p["val"]
+        ).alias("_vs"),
+        F.sort_array(F.collect_list("day")).alias("_days"),
+    )
+    win = series.select(
+        "event_type",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.greatest(F.size("_vs") - (m - 1), F.lit(0))),
+                lambda i: F.struct(
+                    F.element_at(F.col("_days"), i).alias("start_day"),
+                    F.slice(F.col("_vs"), i, m).alias("w"),
+                ),
+            )
+        ).alias("_win"),
+    ).select("event_type", F.col("_win.start_day").alias("start_day"), F.col("_win.w").alias("w"))
+
+    def fold_sum(arr):
+        return F.aggregate(
+            F.slice(arr, 2, m - 1), F.element_at(arr, 1), lambda a, x: a + x
+        )
+
+    mean = (fold_sum(F.col("w")) / F.lit(float(m))).alias("_mu")
+    sq = F.transform(F.col("w"), lambda x: x * x)
+    with_mu = win.select("event_type", "start_day", "w", mean, fold_sum(sq).alias("_sq"))
+    var = F.col("_sq") / F.lit(float(m)) - F.col("_mu") * F.col("_mu")
+    with_sd = with_mu.withColumn("_sd", F.sqrt(var)).where(F.col("_sd") > 1e-9)
+    z = F.transform(F.col("w"), lambda x: (x - F.col("_mu")) / F.col("_sd"))
+    q = F.array(*[F.lit(v) for v in _PATTERN])
+    diff2 = F.zip_with(z, q, lambda a, b: (a - b) * (a - b))
+    dist2 = fold_sum(diff2)
+    return (
+        with_sd.select(
+            "event_type",
+            "start_day",
+            det_round(dist2).alias("dist2"),
+        )
+        .orderBy(F.col("dist2").asc(), F.col("event_type").asc(), F.col("start_day").asc())
+        .limit(10)
+    )

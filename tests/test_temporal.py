@@ -55,3 +55,35 @@ def test_interval_count_join_window_edges(spark):
         ).collect()
     }
     assert got == {1: 2, 2: 0}  # v has no clicks → 0, row kept
+
+def test_pattern_search_finds_planted_spike(spark, monkeypatch, tmp_path):
+    """A series containing the exact query shape (flat, flat, flat,
+    spike, flat, slight) must rank that window first with distance
+    ~0."""
+    import datetime
+
+    from pyspark.sql import functions as F  # noqa: F401
+
+    from stream_processing_system_spark.plans import analytics
+
+    # build a tiny events parquet with one type whose days 5..10
+    # trace the pattern shape (affine transforms of the z-normed
+    # query are distance-0 matches by construction)
+    base = datetime.datetime(2024, 1, 1)
+    shape = [1.0, 1.0, 1.0, 10.0, 1.0, 1.866025]  # affine image of _PATTERN
+    rows = []
+    for d in range(20):
+        v = shape[d - 5] if 5 <= d < 11 else float((d * 7) % 13) + 20.0
+        rows.append((d, base + datetime.timedelta(days=d), 1, "tp", v, "{}"))
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    )
+    sf = str(tmp_path / "sf")
+    import os
+
+    os.makedirs(sf)
+    df.write.parquet(os.path.join(sf, "events.parquet"))
+    top = analytics.events_pattern_search(spark, sf).collect()
+    assert top[0]["event_type"] == "tp"
+    assert top[0]["start_day"] == "2024-01-06"
+    assert top[0]["dist2"] < 0.01  # centi-grid + 6-dec pattern quantization residual
