@@ -83,6 +83,8 @@ HEADLINE = [
     "orders_cdc_merge",
     "events_cusum_changepoint",
     "copurchase_bfs_hops",
+    "events_pattern_search",
+    "events_props_variant",
 ]
 
 
