@@ -121,3 +121,32 @@ def test_ngram_diversity_planted(spark):
     t = rows["tpl"]
     assert (t["n_unigrams"], t["d_unigrams"], t["n_bigrams"], t["d_bigrams"]) == (4, 2, 3, 2)
     assert rows["var"]["ttr_unigram"] == 1.0 and rows["var"]["ttr_bigram"] == 1.0
+
+
+def test_inverted_index_matches_python_reference(spark):
+    """Third implementation: inverted index on a small random-ish
+    corpus vs a dict-based Python build."""
+    from stream_processing_system_spark.operators.text_analysis import inverted_index
+
+    texts = {
+        1: "a b a c d",
+        2: "b b e",
+        3: "a e e f",
+        4: "c a b",
+        5: "",
+    }
+    df = spark.createDataFrame(list(texts.items()), ["doc_id", "text"])
+    got = {
+        r["term"]: (r["df"], r["tf"], r["postings"])
+        for r in inverted_index(df, min_df=1, max_df=10).collect()
+    }
+    want: dict[str, dict] = {}
+    for doc, text in texts.items():
+        for w in text.split(" "):
+            if w:
+                want.setdefault(w, {}).setdefault(doc, 0)
+                want[w][doc] += 1
+    expect = {
+        w: (len(pl), sum(pl.values()), sorted(pl)) for w, pl in want.items()
+    }
+    assert got == expect

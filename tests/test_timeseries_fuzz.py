@@ -114,3 +114,30 @@ def test_cusum_matches_python(spark, tmp_path_factory, evs):
         base = datetime.date(2024, 3, 1)
         assert cusum == best[2]
         assert peak_day == str(base + datetime.timedelta(days=best[1]))
+
+
+@given(evs=events_strategy)
+@SET
+def test_rolling_median_matches_python(spark, tmp_path_factory, evs):
+    from stream_processing_system_spark.plans.analytics import (
+        events_rolling_median,
+    )
+
+    tmp = tmp_path_factory.mktemp("med")
+    sf = _write(spark, _frame(spark, evs), tmp)
+    got = {
+        (r["event_type"], r["day"]): (r["n_in_window"], r["med7"])
+        for r in events_rolling_median(spark, sf).collect()
+    }
+    daily = _daily(evs)
+    base = datetime.date(2024, 3, 1)
+    for t in {t for _, _, t in evs}:
+        series = [(d, v) for (tt, d), v in daily.items() if tt == t]
+        for i, (d, _) in enumerate(series):
+            win = sorted(v for _, v in series[max(0, i - 6) : i + 1])
+            n = len(win)
+            med = win[n // 2] if n % 2 == 1 else (win[n // 2 - 1] + win[n // 2]) / 2
+            day = str(base + datetime.timedelta(days=d))
+            gn, gm = got[(t, day)]
+            assert gn == n
+            assert abs(gm - round(med, 6)) < 1e-9
