@@ -2425,17 +2425,22 @@ def events_pattern_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("_vs"),
         F.sort_array(F.collect_list("day")).alias("_days"),
     )
+    # guard the descending-sequence pitfall (ngram_set's note): for a
+    # series shorter than the pattern, sequence(1, n-m+1<=0) would run
+    # BACKWARDS through indices 1,0,... — emit no windows instead
+    windows = F.when(
+        F.size("_vs") >= m,
+        F.transform(
+            F.sequence(F.lit(1), F.size("_vs") - (m - 1)),
+            lambda i: F.struct(
+                F.element_at(F.col("_days"), i).alias("start_day"),
+                F.slice(F.col("_vs"), i, m).alias("w"),
+            ),
+        ),
+    ).otherwise(F.array().cast(f"array<struct<start_day:string,w:array<double>>>"))
     win = series.select(
         "event_type",
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(1), F.greatest(F.size("_vs") - (m - 1), F.lit(0))),
-                lambda i: F.struct(
-                    F.element_at(F.col("_days"), i).alias("start_day"),
-                    F.slice(F.col("_vs"), i, m).alias("w"),
-                ),
-            )
-        ).alias("_win"),
+        F.explode(windows).alias("_win"),
     ).select("event_type", F.col("_win.start_day").alias("start_day"), F.col("_win.w").alias("w"))
 
     def fold_sum(arr):

@@ -87,3 +87,26 @@ def test_pattern_search_finds_planted_spike(spark, monkeypatch, tmp_path):
     assert top[0]["event_type"] == "tp"
     assert top[0]["start_day"] == "2024-01-06"
     assert top[0]["dist2"] < 0.01  # centi-grid + 6-dec pattern quantization residual
+
+
+def test_pattern_search_short_series_yields_no_windows(spark, tmp_path):
+    """A type with fewer days than the pattern length must contribute
+    zero windows (not backwards-sequence garbage or an index-0
+    crash)."""
+    import datetime
+    import os
+
+    from stream_processing_system_spark.plans import analytics
+
+    base = datetime.datetime(2024, 1, 1)
+    rows = [
+        (i, base + datetime.timedelta(days=i), 1, "short", 5.0 + i, "{}")
+        for i in range(3)  # only 3 days < pattern length 6
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    )
+    sf = str(tmp_path / "sf")
+    os.makedirs(sf)
+    df.write.parquet(os.path.join(sf, "events.parquet"))
+    assert analytics.events_pattern_search(spark, sf).count() == 0
