@@ -85,6 +85,13 @@ HEADLINE = [
     "copurchase_bfs_hops",
     "events_pattern_search",
     "events_props_variant",
+    "doc_blocklist_filter",
+    "schema_evolution_scan",
+    "format_roundtrip_scan",
+    "doc_skipgram_negatives",
+    "doc_ngram_diversity",
+    "doc_corpus_card",
+    "brand_revenue_pareto",
 ]
 
 
