@@ -34,24 +34,34 @@ def _query_vec(spark, sf_dir) -> DataFrame:
 # --- dedup ---
 
 def dedup_exact_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contract wrapper: see `dedup.dedup_exact` for the operator's full
+    semantics and scale notes."""
     return dedup.dedup_exact(_docs(spark, sf_dir), "doc_id", "text")
 
 
 def minhash_signatures_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contract wrapper: see `dedup.minhash_signatures` for the operator's full
+    semantics and scale notes."""
     return dedup.minhash_signatures(_docs(spark, sf_dir), "doc_id", "text", num_hashes=8)
 
 
 def jaccard_pairs_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contract wrapper: see `dedup.jaccard_pairs` for the operator's full
+    semantics and scale notes."""
     return dedup.jaccard_pairs(
         _docs(spark, sf_dir), "doc_id", "text", threshold=0.1, n=3
     )
 
 
 def simhash_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contract wrapper: see `dedup.simhash64` for the operator's full
+    semantics and scale notes."""
     return dedup.simhash64(_docs(spark, sf_dir), "doc_id", "text")
 
 
 def dedup_minhash_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contract wrapper: see `dedup.dedup_minhash_lsh` for the operator's full
+    semantics and scale notes."""
     return dedup.dedup_minhash_lsh(
         _docs(spark, sf_dir), "doc_id", "text", num_hashes=8, bands=4, threshold=0.7
     )
@@ -81,6 +91,8 @@ def dedup_transitive_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def simhash_neardup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contract wrapper: see `dedup.simhash_neardup_pairs` for the operator's full
+    semantics and scale notes."""
     return dedup.simhash_neardup_pairs(
         _docs(spark, sf_dir), "doc_id", "text", max_hamming=3
     )
@@ -89,18 +101,24 @@ def simhash_neardup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- similarity search ---
 
 def cosine_topk_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contract wrapper: see `similarity.cosine_topk` for the operator's full
+    semantics and scale notes."""
     return similarity.cosine_topk(
         _embs(spark, sf_dir), _query_vec(spark, sf_dir), k=10
     )
 
 
 def lsh_topk_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contract wrapper: see `similarity.lsh_topk` for the operator's full
+    semantics and scale notes."""
     return similarity.lsh_topk(
         _embs(spark, sf_dir), _query_vec(spark, sf_dir), k=10
     )
 
 
 def ivf_topk_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contract wrapper: see `similarity.ivf_topk` for the operator's full
+    semantics and scale notes."""
     return similarity.ivf_topk(
         _embs(spark, sf_dir), _query_vec(spark, sf_dir), k=10
     )
@@ -186,46 +204,66 @@ def knn_join_lsh_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- text analysis ---
 
 def doc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contract wrapper: see `text_analysis.doc_stats` for the operator's full
+    semantics and scale notes."""
     return text_analysis.doc_stats(_docs(spark, sf_dir))
 
 
 def doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contract wrapper: see `text_analysis.quality_score` for the operator's full
+    semantics and scale notes."""
     return text_analysis.quality_score(_docs(spark, sf_dir))
 
 
 def doc_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contract wrapper: see `text_analysis.lang_id` for the operator's full
+    semantics and scale notes."""
     return text_analysis.lang_id(_docs(spark, sf_dir))
 
 
 def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contract wrapper: see `text_analysis.fingerprint` for the operator's full
+    semantics and scale notes."""
     return text_analysis.fingerprint(_docs(spark, sf_dir))
 
 
 def doc_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contract wrapper: see `text_analysis.winnow_fingerprints` for the operator's full
+    semantics and scale notes."""
     return text_analysis.winnow_fingerprints(_docs(spark, sf_dir), k=3, window=4)
 
 
 def doc_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contract wrapper: see `text_analysis.token_counts` for the operator's full
+    semantics and scale notes."""
     return text_analysis.token_counts(_docs(spark, sf_dir))
 
 
 def doc_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contract wrapper: see `text_analysis.top_terms_tfidf` for the operator's full
+    semantics and scale notes."""
     return text_analysis.top_terms_tfidf(_docs(spark, sf_dir), k=2)
 
 
 def rp_topk_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contract wrapper: see `similarity.rp_topk` for the operator's full
+    semantics and scale notes."""
     return similarity.rp_topk(
         _embs(spark, sf_dir), _query_vec(spark, sf_dir), k=10
     )
 
 
 def doc_hash_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contract wrapper: see `text_analysis.hash_embeddings` for the operator's full
+    semantics and scale notes."""
     return text_analysis.hash_embeddings(_docs(spark, sf_dir))
 
 
 # --- quality filters / corpus hygiene ---
 
 def doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contract wrapper: see `quality_filters.repetition_stats` for the operator's full
+    semantics and scale notes."""
     return quality_filters.repetition_stats(_docs(spark, sf_dir))
 
 
@@ -254,6 +292,8 @@ def doc_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def doc_passage_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contract wrapper: see `cleaned.select` for the operator's full
+    semantics and scale notes."""
     cleaned = quality_filters.passage_dedup(_docs(spark, sf_dir))
     return cleaned.select("doc_id", F.md5("text_clean").alias("clean_md5"))
 
@@ -305,10 +345,14 @@ def doc_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def corpus_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contract wrapper: see `curation.mixture_weights` for the operator's full
+    semantics and scale notes."""
     return curation.mixture_weights(_docs(spark, sf_dir))
 
 
 def doc_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contract wrapper: see `curation.bm25_search` for the operator's full
+    semantics and scale notes."""
     return curation.bm25_search(
         _docs(spark, sf_dir), query_terms=["spark", "hash", "join"], limit=20
     )
@@ -539,20 +583,28 @@ def doc_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contract wrapper: see `similarity.quantize_int8` for the operator's full
+    semantics and scale notes."""
     return similarity.quantize_int8(_embs(spark, sf_dir))
 
 
 def dedup_sorted_neighborhood_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contract wrapper: see `dedup.dedup_sorted_neighborhood` for the operator's full
+    semantics and scale notes."""
     return dedup.dedup_sorted_neighborhood(
         _docs(spark, sf_dir), "doc_id", "text", window=3, threshold=0.1, shingle_n=3
     )
 
 
 def doc_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contract wrapper: see `dedup.containment_pairs` for the operator's full
+    semantics and scale notes."""
     return dedup.containment_pairs(_docs(spark, sf_dir), "doc_id", "text")
 
 
 def doc_shingle_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contract wrapper: see `curation.shingle_novelty` for the operator's full
+    semantics and scale notes."""
     return curation.shingle_novelty(_docs(spark, sf_dir), "doc_id", "text")
 
 
