@@ -655,6 +655,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_purchase_click_outer": streaming_parity.stream_purchase_click_outer,
         "events_props_variant": analytics.events_props_variant,
         "events_pattern_search": analytics.events_pattern_search,
+        # --- round-2 second batch (positions 51+: local-oracle +
+        #     pytest checked now; rotate into the driver head next
+        #     round) ---
+        "kmv_user_overlap": analytics.kmv_user_overlap,
         # --- reference parity (SURVEY.md §2.12) ---
         "q1_wordcount": reference.q1_wordcount,
         "q2_top_users": reference.q2_top_users,
@@ -3156,5 +3160,51 @@ def oracle_sql() -> dict[str, str]:
                 FROM g
             )
             SELECT DISTINCT doc_id, fp_hash FROM w
+        """,
+        "kmv_user_overlap": """
+            WITH hashed AS (
+                SELECT DISTINCT event_type AS g,
+                       ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT AS h
+                FROM events
+            ), sk AS (
+                SELECT g, h FROM (
+                    SELECT g, h,
+                           row_number() OVER (PARTITION BY g ORDER BY h) AS rn
+                    FROM hashed
+                ) WHERE rn <= 256
+            ), pairs AS (
+                SELECT a.g AS ga, b.g AS gb
+                FROM (SELECT DISTINCT g FROM sk) a
+                JOIN (SELECT DISTINCT g FROM sk) b ON a.g < b.g
+            ), union_vals AS (
+                SELECT DISTINCT p.ga, p.gb, s.h
+                FROM pairs p JOIN sk s ON s.g = p.ga OR s.g = p.gb
+            ), topk AS (
+                SELECT ga, gb, h FROM (
+                    SELECT ga, gb, h,
+                           row_number() OVER (PARTITION BY ga, gb ORDER BY h) AS rn
+                    FROM union_vals
+                ) WHERE rn <= 256
+            ), both_vals AS (
+                SELECT a.g AS ga, b.g AS gb, a.h
+                FROM sk a JOIN sk b ON a.h = b.h AND a.g < b.g
+            ), stats AS (
+                SELECT t.ga, t.gb, MAX(t.h) AS kth, COUNT(*) AS n,
+                       SUM(CASE WHEN bv.h IS NOT NULL THEN 1 ELSE 0 END) AS rho
+                FROM topk t LEFT JOIN both_vals bv
+                  ON t.ga = bv.ga AND t.gb = bv.gb AND t.h = bv.h
+                GROUP BY t.ga, t.gb
+            )
+            SELECT ga AS type_a, gb AS type_b,
+                   CAST(floor((CASE WHEN n >= 256
+                        THEN 255.0 / (CAST(kth AS DOUBLE) / 1152921504606846976.0)
+                        ELSE CAST(n AS DOUBLE) END) + 0.5) AS BIGINT) AS est_union,
+                   CAST(floor((CAST(rho AS DOUBLE) / CAST(n AS DOUBLE))
+                        * (CASE WHEN n >= 256
+                           THEN 255.0 / (CAST(kth AS DOUBLE) / 1152921504606846976.0)
+                           ELSE CAST(n AS DOUBLE) END) + 0.5) AS BIGINT) AS est_intersection,
+                   floor((CAST(rho AS DOUBLE) / CAST(n AS DOUBLE)) * 1000000.0 + 0.5)
+                        / 1000000.0 AS jaccard_est
+            FROM stats
         """,
     }

@@ -2466,3 +2466,35 @@ def events_pattern_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("dist2").asc(), F.col("event_type").asc(), F.col("start_day").asc())
         .limit(10)
     )
+
+
+def kmv_user_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct-user overlap between event types via KMV sketch
+    algebra (operators/sketch_kmv.py): per-type k-minimum-values
+    sketches over user_id, then pairwise union / intersection /
+    Jaccard ESTIMATES computed purely from the sketches — the raw
+    events table is scanned exactly once, and every downstream frame
+    is k rows per type.
+
+    This is the capability HLL rollups can't give (HLL only unions;
+    see distinct_users_sketch_rollup): "how many users do 'click' and
+    'purchase' share" at sketch cost. At 100 TB the sketch build is
+    the only data-sized stage; the algebra is broadcast-sized.
+
+    Determinism: hashes are md5-derived 60-bit ints (byte-identical
+    in DuckDB), ranking is integer, and the two divisions per
+    estimate run in a fixed operand order — hash-matched against the
+    same construction in SQL.
+    """
+    from stream_processing_system_spark.operators import sketch_kmv
+
+    events = load_table(spark, sf_dir, "events").select("event_type", "user_id")
+    sk = sketch_kmv.kmv_sketch(events, "event_type", "user_id", k=256)
+    pairs = sketch_kmv.kmv_pair_overlap(sk, "event_type", k=256)
+    return pairs.select(
+        F.col("ga").alias("type_a"),
+        F.col("gb").alias("type_b"),
+        "est_union",
+        "est_intersection",
+        "jaccard_est",
+    ).orderBy("type_a", "type_b")

@@ -112,3 +112,50 @@ def test_hll_sketches_survive_parquet_roundtrip(spark, tmp_path):
         F.hll_sketch_estimate(F.hll_union_agg("sk")).cast("long").alias("e")
     ).collect()[0]["e"]
     assert reloaded == live
+
+
+def test_kmv_estimate_error_bound(spark):
+    """KMV with k=256 has relative s.d. ~1/sqrt(k-2) ~ 6.3%; on a
+    fixed synthetic set of 20k distinct members per group (true
+    overlap 10k) the estimates must land within 4 sigma. Exercises
+    the ESTIMATING branch (n_distinct >> k), which the oracle-checked
+    sf0.01 query can't reach (its groups hold < k users)."""
+    from stream_processing_system_spark.operators import sketch_kmv
+
+    # group A: ids 0..19999, group B: ids 10000..29999
+    df = spark.range(0, 20000).selectExpr(
+        "'a' AS g", "id AS member"
+    ).unionAll(
+        spark.range(10000, 30000).selectExpr("'b' AS g", "id AS member")
+    )
+    sk = sketch_kmv.kmv_sketch(df, "g", "member", k=256)
+    est = {
+        r["g"]: r["est_distinct"]
+        for r in sketch_kmv.kmv_estimates(sk, "g", k=256).collect()
+    }
+    for g in ("a", "b"):
+        assert abs(est[g] - 20000) <= 0.25 * 20000, (g, est[g])
+    pair = sketch_kmv.kmv_pair_overlap(sk, "g", k=256).collect()
+    assert len(pair) == 1
+    row = pair[0]
+    assert abs(row["est_union"] - 30000) <= 0.25 * 30000, row
+    assert abs(row["est_intersection"] - 10000) <= 0.40 * 10000, row
+    assert abs(row["jaccard_est"] - 1 / 3) <= 0.12, row
+
+
+def test_kmv_exact_below_k(spark):
+    """Below k distinct members the sketch IS the set: estimates are
+    exact, intersection included."""
+    from stream_processing_system_spark.operators import sketch_kmv
+
+    df = spark.range(0, 100).selectExpr("'a' AS g", "id AS member").unionAll(
+        spark.range(60, 160).selectExpr("'b' AS g", "id AS member")
+    )
+    sk = sketch_kmv.kmv_sketch(df, "g", "member", k=256)
+    est = {
+        r["g"]: r["est_distinct"]
+        for r in sketch_kmv.kmv_estimates(sk, "g", k=256).collect()
+    }
+    assert est == {"a": 100, "b": 100}
+    row = sketch_kmv.kmv_pair_overlap(sk, "g", k=256).collect()[0]
+    assert (row["est_union"], row["est_intersection"]) == (160, 40)
