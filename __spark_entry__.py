@@ -659,6 +659,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #     pytest checked now; rotate into the driver head next
         #     round) ---
         "kmv_user_overlap": analytics.kmv_user_overlap,
+        "user_geo_neighbor_pairs": analytics.user_geo_neighbor_pairs,
         # --- reference parity (SURVEY.md §2.12) ---
         "q1_wordcount": reference.q1_wordcount,
         "q2_top_users": reference.q2_top_users,
@@ -3160,6 +3161,25 @@ def oracle_sql() -> dict[str, str]:
                 FROM g
             )
             SELECT DISTINCT doc_id, fp_hash FROM w
+        """,
+        "user_geo_neighbor_pairs": """
+            WITH ids AS (SELECT DISTINCT user_id FROM events),
+            pts AS (
+                SELECT user_id,
+                       CAST(('0x' || substr(md5('lat|' || CAST(user_id AS VARCHAR)), 1, 8))::BIGINT
+                            % 1800000 AS DOUBLE) / 10000.0 - 90.0 AS lat,
+                       CAST(('0x' || substr(md5('lon|' || CAST(user_id AS VARCHAR)), 1, 8))::BIGINT
+                            % 3600000 AS DOUBLE) / 10000.0 - 180.0 AS lon
+                FROM ids
+            )
+            -- brute-force all-pairs: proves the Spark grid blocking is lossless
+            SELECT a.user_id AS user_a, b.user_id AS user_b,
+                   floor(sqrt((a.lat - b.lat) * (a.lat - b.lat)
+                            + (a.lon - b.lon) * (a.lon - b.lon)) * 1000000.0 + 0.5)
+                        / 1000000.0 AS dist_deg
+            FROM pts a JOIN pts b ON a.user_id < b.user_id
+            WHERE (a.lat - b.lat) * (a.lat - b.lat)
+                + (a.lon - b.lon) * (a.lon - b.lon) <= 25.0
         """,
         "kmv_user_overlap": """
             WITH hashed AS (

@@ -2498,3 +2498,21 @@ def kmv_user_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         "est_intersection",
         "jaccard_est",
     ).orderBy("type_a", "type_b")
+
+
+def user_geo_neighbor_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spatial self-join: pairs of users whose (synthetic,
+    deterministic) geolocations lie within 5 degrees of each other —
+    grid-blocked 3x3 equi-join, never O(n^2)
+    (operators/geospatial.py). The SQL oracle is the BRUTE-FORCE
+    all-pairs join, so a green hash-match proves the blocking is
+    lossless, not merely self-consistent."""
+    from stream_processing_system_spark.operators import geospatial
+
+    ids = load_table(spark, sf_dir, "events").select("user_id").distinct()
+    pts = geospatial.derive_points(ids, "user_id")
+    return geospatial.neighbor_pairs(pts, "user_id", radius_deg=5.0).select(
+        F.col("id_a").alias("user_a"),
+        F.col("id_b").alias("user_b"),
+        "dist_deg",
+    )
