@@ -660,6 +660,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #     round) ---
         "kmv_user_overlap": analytics.kmv_user_overlap,
         "user_geo_neighbor_pairs": analytics.user_geo_neighbor_pairs,
+        "incremental_revenue_maintenance": analytics.incremental_revenue_maintenance,
         # --- reference parity (SURVEY.md §2.12) ---
         "q1_wordcount": reference.q1_wordcount,
         "q2_top_users": reference.q2_top_users,
@@ -3161,6 +3162,15 @@ def oracle_sql() -> dict[str, str]:
                 FROM g
             )
             SELECT DISTINCT doc_id, fp_hash FROM w
+        """,
+        "incremental_revenue_maintenance": """
+            -- from-scratch recompute: the identity the incremental
+            -- merge (base agg + delta agg) must reproduce exactly
+            SELECT strftime(o_orderdate, '%Y-%m') AS month,
+                   count(*) AS n_orders,
+                   CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+            FROM orders
+            GROUP BY 1
         """,
         "user_geo_neighbor_pairs": """
             WITH ids AS (SELECT DISTINCT user_id FROM events),

@@ -2516,3 +2516,41 @@ def user_geo_neighbor_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("id_b").alias("user_b"),
         "dist_deg",
     )
+
+
+def incremental_revenue_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental view maintenance (operators/ivm.py): the monthly
+    order-revenue rollup is maintained as base-aggregate (orders
+    before 1999-01-01) MERGED with a delta-aggregate (orders on/after
+    the cutoff) — never a full-history rescan. The SQL oracle is the
+    from-scratch GROUP BY over all orders, so the hash-match proves
+    the merge identity sum(base)+sum(delta) == sum(all) holds
+    exactly (DECIMAL sums; a double sum would break it by addition
+    order).
+
+    At 100 TB the base side is a materialized aggregate read (group
+    cardinality, e.g. months x whatever), and only the delta's facts
+    are scanned per refresh.
+    """
+    from stream_processing_system_spark.operators import ivm
+
+    orders = load_table(spark, sf_dir, "orders")
+    month = F.date_format("o_orderdate", "yyyy-MM").alias("month")
+
+    def rollup(df: DataFrame) -> DataFrame:
+        return df.groupBy(month).agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("revenue"),
+        )
+
+    cutoff = F.col("o_orderdate") >= F.lit("1999-01-01")
+    base = rollup(orders.where(~cutoff))
+    delta = rollup(orders.where(cutoff))
+    maintained = ivm.merge_additive(
+        base, delta, keys=["month"], measures=["n_orders", "revenue"]
+    )
+    return maintained.select(
+        "month",
+        "n_orders",
+        F.col("revenue").cast("double").alias("revenue"),
+    ).orderBy("month")
