@@ -661,6 +661,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmv_user_overlap": analytics.kmv_user_overlap,
         "user_geo_neighbor_pairs": analytics.user_geo_neighbor_pairs,
         "incremental_revenue_maintenance": analytics.incremental_revenue_maintenance,
+        "event_sequence_motifs": analytics.event_sequence_motifs,
         # --- reference parity (SURVEY.md §2.12) ---
         "q1_wordcount": reference.q1_wordcount,
         "q2_top_users": reference.q2_top_users,
@@ -3162,6 +3163,21 @@ def oracle_sql() -> dict[str, str]:
                 FROM g
             )
             SELECT DISTINCT doc_id, fp_hash FROM w
+        """,
+        "event_sequence_motifs": """
+            WITH seqs AS (
+                SELECT user_id,
+                       string_agg(substr(event_type, 1, 1), ''
+                                  ORDER BY ts, event_id) AS seq
+                FROM events GROUP BY user_id
+            )
+            SELECT user_id,
+                   CAST(length(seq) AS BIGINT) AS n_events,
+                   CAST(len(regexp_extract_all(seq, 'vc*p')) AS BIGINT) AS browse_buy,
+                   CAST(len(regexp_extract_all(seq, 'ee+')) AS BIGINT) AS error_burst
+            FROM seqs
+            WHERE len(regexp_extract_all(seq, 'vc*p')) > 0
+               OR len(regexp_extract_all(seq, 'ee+')) > 0
         """,
         "incremental_revenue_maintenance": """
             -- from-scratch recompute: the identity the incremental

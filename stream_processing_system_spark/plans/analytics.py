@@ -2554,3 +2554,34 @@ def incremental_revenue_maintenance(spark: SparkSession, sf_dir: str) -> DataFra
         "n_orders",
         F.col("revenue").cast("double").alias("revenue"),
     ).orderBy("month")
+
+
+def event_sequence_motifs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MATCH_RECOGNIZE-lite (operators/seqmatch.py): per-user ordered
+    event history encoded as a one-char-per-event string, then
+    regex-counted motifs — browse-to-buy funnels (a view, any
+    clicks, then a purchase) and error bursts (2+ consecutive
+    errors). Total order (ts, event_id) makes the encoding
+    deterministic on timestamp ties; DuckDB's RE2 and Java's regex
+    agree on leftmost non-overlapping greedy matching for this
+    pattern class, which the hash-match proves."""
+    from stream_processing_system_spark.operators import seqmatch
+
+    events = load_table(spark, sf_dir, "events")
+    sym = F.substring(F.col("event_type"), 1, 1)  # c/e/p/s/v — distinct initials
+    seqs = seqmatch.encode_sequences(
+        events, "user_id", ["ts", "event_id"], sym
+    )
+    counted = seqmatch.match_counts(
+        seqs, {"browse_buy": "vc*p", "error_burst": "ee+"}
+    )
+    return (
+        counted.select(
+            "user_id",
+            F.length("seq").alias("n_events"),
+            F.col("browse_buy").cast("long").alias("browse_buy"),
+            F.col("error_burst").cast("long").alias("error_burst"),
+        )
+        .where((F.col("browse_buy") > 0) | (F.col("error_burst") > 0))
+        .orderBy("user_id")
+    )
