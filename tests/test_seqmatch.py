@@ -46,10 +46,8 @@ def test_timestamp_tie_broken_by_id(spark):
 
 
 def test_empty_partition_set(spark):
-    empty = spark.createDataFrame(
-        pd.DataFrame(columns=["u", "t", "i", "e"]).astype(
-            {"u": "int64", "t": "int64", "i": "int64", "e": "object"}
-        )
+    empty = spark.range(0, 0).selectExpr(
+        "id AS u", "id AS t", "id AS i", "CAST(NULL AS STRING) AS e"
     )
     assert (
         seqmatch.encode_sequences(empty, "u", ["t", "i"], F.col("e")).count()
