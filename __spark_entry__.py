@@ -662,6 +662,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "user_geo_neighbor_pairs": analytics.user_geo_neighbor_pairs,
         "incremental_revenue_maintenance": analytics.incremental_revenue_maintenance,
         "event_sequence_motifs": analytics.event_sequence_motifs,
+        "value_trend_by_type": analytics.value_trend_by_type,
         # --- reference parity (SURVEY.md §2.12) ---
         "q1_wordcount": reference.q1_wordcount,
         "q2_top_users": reference.q2_top_users,
@@ -3163,6 +3164,31 @@ def oracle_sql() -> dict[str, str]:
                 FROM g
             )
             SELECT DISTINCT doc_id, fp_hash FROM w
+        """,
+        "value_trend_by_type": """
+            WITH daily AS (
+                SELECT event_type,
+                       date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS x,
+                       SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS y
+                FROM events WHERE value IS NOT NULL
+                GROUP BY 1, 2
+            ), sums AS (
+                SELECT event_type,
+                       COUNT(*) AS n, SUM(x) AS sx, SUM(y) AS sy,
+                       SUM(x * y) AS sxy, SUM(x * x) AS sxx
+                FROM daily GROUP BY 1
+            ), fit AS (
+                SELECT event_type, n,
+                       (CAST(n * sxy - sx * sy AS DOUBLE)
+                        / CAST(n * sxx - sx * sx AS DOUBLE)) / 100.0 AS slope,
+                       sx, sy
+                FROM sums WHERE n > 1
+            )
+            SELECT event_type, n AS n_days,
+                   floor(slope * 1000000.0 + 0.5) / 1000000.0 AS slope,
+                   floor(((CAST(sy AS DOUBLE) / 100.0 - slope * CAST(sx AS DOUBLE))
+                          / CAST(n AS DOUBLE)) * 1000000.0 + 0.5) / 1000000.0 AS intercept
+            FROM fit
         """,
         "event_sequence_motifs": """
             WITH seqs AS (

@@ -2585,3 +2585,56 @@ def event_sequence_motifs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where((F.col("browse_buy") > 0) | (F.col("error_burst") > 0))
         .orderBy("user_id")
     )
+
+
+def value_trend_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Group-wise ordinary-least-squares trend: slope + intercept of
+    the DAILY TOTAL value against the day ordinal, per event type —
+    the closed-form regression a monitoring pipeline fits per metric.
+
+    Exactness strategy: the five OLS sums (n, Σx, Σy, Σxy, Σx²) are
+    computed as exact int64 (y in centi-units, x = day offset), so
+    the two slope operands are exact integers and the only floating
+    ops are two divisions and one multiply in a fixed order —
+    bit-identical cross-engine, no rounding grid needed until the
+    final det_round. (At 100 TB-years the Σxy product chain should
+    be lifted to DECIMAL(38,0); same shape.)
+
+    Shape: one partial+final aggregate to daily grain, one tiny
+    aggregate to per-type sums — no window, no collect_list; the
+    second aggregate's input is (types × days) rows."""
+    events = load_table(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    day = F.col("ts").cast("date")
+    daily = (
+        events.select(
+            "event_type",
+            F.datediff(day, F.lit("2024-01-01")).cast("long").alias("x"),
+            F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("cy"),
+        )
+        .groupBy("event_type", "x")
+        .agg(F.sum("cy").alias("y"))
+    )
+    sums = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    den = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    slope = (num / den) / F.lit(100.0)
+    intercept = (
+        F.col("sy").cast("double") / F.lit(100.0)
+        - slope * F.col("sx").cast("double")
+    ) / F.col("n").cast("double")
+    return (
+        sums.where(F.col("n") > 1)
+        .select(
+            "event_type",
+            F.col("n").alias("n_days"),
+            det_round(slope).alias("slope"),
+            det_round(intercept).alias("intercept"),
+        )
+        .orderBy("event_type")
+    )

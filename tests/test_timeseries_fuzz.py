@@ -141,3 +141,40 @@ def test_rolling_median_matches_python(spark, tmp_path_factory, evs):
             gn, gm = got[(t, day)]
             assert gn == n
             assert abs(gm - round(med, 6)) < 1e-9
+
+
+def test_ols_trend_recovers_planted_line(spark):
+    """value_trend_by_type's closed form on a noiseless planted line
+    y = 7.5x + 20 recovers slope/intercept exactly (the sums are
+    exact integers, so there is no fitting error to tolerate)."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+    from stream_processing_system_spark.functions.scalar import det_round
+
+    days = list(range(40))
+    pdf = pd.DataFrame(
+        {"x": days, "cy": [int(round((7.5 * x + 20) * 100)) for x in days]}
+    )
+    daily = spark.createDataFrame(pdf).select(
+        F.lit("t").alias("event_type"),
+        F.col("x").cast("long"),
+        F.col("cy").cast("long").alias("y"),
+    )
+    sums = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    den = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    slope = (num / den) / F.lit(100.0)
+    intercept = (
+        F.col("sy").cast("double") / F.lit(100.0)
+        - slope * F.col("sx").cast("double")
+    ) / F.col("n").cast("double")
+    row = sums.select(
+        det_round(slope).alias("s"), det_round(intercept).alias("i")
+    ).collect()[0]
+    assert row["s"] == 7.5 and row["i"] == 20.0
