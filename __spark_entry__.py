@@ -663,6 +663,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "incremental_revenue_maintenance": analytics.incremental_revenue_maintenance,
         "event_sequence_motifs": analytics.event_sequence_motifs,
         "value_trend_by_type": analytics.value_trend_by_type,
+        "doc_hybrid_rrf_search": pipeline.doc_hybrid_rrf_search,
         # --- reference parity (SURVEY.md §2.12) ---
         "q1_wordcount": reference.q1_wordcount,
         "q2_top_users": reference.q2_top_users,
@@ -3164,6 +3165,75 @@ def oracle_sql() -> dict[str, str]:
                 FROM g
             )
             SELECT DISTINCT doc_id, fp_hash FROM w
+        """,
+        "doc_hybrid_rrf_search": """
+            WITH base AS (
+                SELECT doc_id,
+                       len(list_filter(string_split(text, ' '), t -> t <> '')) AS dl,
+                       list_filter(string_split(text, ' '),
+                                   t -> t IN ('spark', 'hash', 'join')) AS hits
+                FROM documents
+            ), stats AS (
+                SELECT count(*) AS n, avg(dl::DOUBLE) AS avgdl FROM base
+            ), tf AS (
+                SELECT doc_id, dl, t, count(*) AS tf
+                FROM (SELECT doc_id, dl, unnest(hits) AS t FROM base)
+                GROUP BY doc_id, dl, t
+            ), dfreq AS (
+                SELECT t, count(DISTINCT doc_id) AS df FROM tf GROUP BY t
+            ), scored AS (
+                SELECT doc_id,
+                       sum(floor((ln(1 + (n - df + 0.5) / (df + 0.5))
+                                  * (tf * (1.2 + 1))
+                                  / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl)))
+                                 * 1000000.0 + 0.5)::BIGINT)::DOUBLE / 1000000.0 AS bm25
+                FROM tf JOIN dfreq USING (t) CROSS JOIN stats
+                GROUP BY doc_id
+                ORDER BY bm25 DESC, doc_id ASC
+                LIMIT 50
+            ), lex AS (
+                SELECT doc_id,
+                       row_number() OVER (ORDER BY bm25 DESC, doc_id ASC) AS rl
+                FROM scored
+            ), toks AS (
+                SELECT doc_id,
+                       unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS token
+                FROM documents
+            ), vecs AS (
+                SELECT doc_id,
+                       ('0x' || substr(md5(token), 1, 8))::BIGINT % 64 AS bucket,
+                       count(*) AS weight
+                FROM toks GROUP BY doc_id, bucket
+            ), qvec AS (
+                SELECT ('0x' || substr(md5(t), 1, 8))::BIGINT % 64 AS bucket,
+                       count(*) AS qw
+                FROM (SELECT unnest(['spark', 'hash', 'join']) AS t)
+                GROUP BY bucket
+            ), norms AS (
+                SELECT doc_id, SUM(weight * weight) AS n2 FROM vecs GROUP BY doc_id
+            ), qn AS (
+                SELECT SUM(qw * qw) AS qn2 FROM qvec
+            ), cos AS (
+                SELECT d.doc_id,
+                       CAST(d.dot AS DOUBLE)
+                           / (sqrt(CAST(n.n2 AS DOUBLE)) * sqrt(CAST(q.qn2 AS DOUBLE))) AS c
+                FROM (SELECT v.doc_id, SUM(v.weight * q.qw) AS dot
+                      FROM vecs v JOIN qvec q USING (bucket)
+                      GROUP BY v.doc_id) d
+                JOIN norms n USING (doc_id) CROSS JOIN qn q
+            ), sem AS (
+                SELECT doc_id,
+                       row_number() OVER (ORDER BY c DESC, doc_id ASC) AS rs
+                FROM (SELECT * FROM cos ORDER BY c DESC, doc_id ASC LIMIT 50)
+            )
+            SELECT COALESCE(lex.doc_id, sem.doc_id) AS doc_id,
+                   rl AS rank_lex, rs AS rank_sem,
+                   floor((COALESCE(1.0 / (60.0 + CAST(rl AS DOUBLE)), 0.0)
+                        + COALESCE(1.0 / (60.0 + CAST(rs AS DOUBLE)), 0.0))
+                         * 1000000000.0 + 0.5) / 1000000000.0 AS rrf
+            FROM lex FULL OUTER JOIN sem ON lex.doc_id = sem.doc_id
+            ORDER BY rrf DESC, doc_id ASC
+            LIMIT 20
         """,
         "value_trend_by_type": """
             WITH daily AS (

@@ -681,3 +681,98 @@ def negative_sample(
         .select("w1", "w2", F.col("draw_j").cast("long").alias("draw_j"), "neg")
         .orderBy("w1", "w2", "draw_j")
     )
+
+
+def hybrid_rrf_search(
+    df: DataFrame,
+    query_terms: list[str],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = 64,
+    depth: int = 50,
+    k_rrf: int = 60,
+    limit: int = 20,
+) -> DataFrame:
+    """Hybrid retrieval with reciprocal-rank fusion: fuse a LEXICAL
+    ranking (BM25, `bm25_search`) and a VECTOR ranking (cosine over
+    hashing-trick embeddings, `text_analysis.hash_embeddings`) via
+    RRF(d) = Σ_lists 1/(k + rank_list(d)) — the standard
+    score-scale-free fusion for RAG retrieval stacks (Cormack et al.,
+    SIGIR'09).
+
+    Both candidate lists are cut to `depth` with a distributed top-k
+    (TakeOrderedAndProject) BEFORE any rank window runs, so the only
+    row_number windows execute on `depth`-row frames — no global
+    single-partition sort at any corpus size. The query-side vector
+    is a 1-row frame, broadcast into the dot-product join; document
+    norms come from one hash aggregate over the same long-format
+    vectors the embedding pass already produced.
+
+    Determinism: dots/norms are exact int64 sums; cosine is
+    sqrt/divide in fixed operand order; ranks are integers; the RRF
+    sum adds the lexical term before the semantic term. Ties at
+    equal score break by id."""
+    from pyspark.sql import Window
+
+    from stream_processing_system_spark.operators.text_analysis import (
+        hash_embeddings,
+    )
+
+    lex_top = bm25_search(
+        df, query_terms, id_col=id_col, text_col=text_col, limit=depth
+    )
+    w_lex = Window.orderBy(F.col("bm25").desc(), F.col(id_col).asc())
+    lex_r = lex_top.select(
+        id_col, F.row_number().over(w_lex).alias("_rl")
+    )
+
+    vecs = hash_embeddings(df, id_col=id_col, text_col=text_col, n_buckets=n_buckets)
+    qdf = df.sparkSession.createDataFrame(
+        [(0, " ".join(query_terms))], f"{id_col} long, {text_col} string"
+    )
+    qvec = hash_embeddings(
+        qdf, id_col=id_col, text_col=text_col, n_buckets=n_buckets
+    ).select("bucket", F.col("weight").alias("_qw"))
+    norms = vecs.groupBy(id_col).agg(
+        F.sum(F.col("weight") * F.col("weight")).alias("_n2")
+    )
+    qn2 = qvec.agg(F.sum(F.col("_qw") * F.col("_qw")).alias("_qn2"))
+    cos = (
+        vecs.join(F.broadcast(qvec), "bucket")
+        .groupBy(id_col)
+        .agg(F.sum(F.col("weight") * F.col("_qw")).alias("_dot"))
+        .join(norms, id_col)
+        .crossJoin(F.broadcast(qn2))
+        .select(
+            id_col,
+            (
+                F.col("_dot").cast("double")
+                / (
+                    F.sqrt(F.col("_n2").cast("double"))
+                    * F.sqrt(F.col("_qn2").cast("double"))
+                )
+            ).alias("_cos"),
+        )
+    )
+    sem_top = cos.orderBy(F.col("_cos").desc(), F.col(id_col).asc()).limit(depth)
+    w_sem = Window.orderBy(F.col("_cos").desc(), F.col(id_col).asc())
+    sem_r = sem_top.select(id_col, F.row_number().over(w_sem).alias("_rs"))
+
+    fused = lex_r.join(sem_r, id_col, "full_outer")
+    score = F.coalesce(
+        F.lit(1.0) / (F.lit(float(k_rrf)) + F.col("_rl").cast("double")),
+        F.lit(0.0),
+    ) + F.coalesce(
+        F.lit(1.0) / (F.lit(float(k_rrf)) + F.col("_rs").cast("double")),
+        F.lit(0.0),
+    )
+    return (
+        fused.select(
+            id_col,
+            F.col("_rl").alias("rank_lex"),
+            F.col("_rs").alias("rank_sem"),
+            (F.floor(score * F.lit(1e9) + F.lit(0.5)) / F.lit(1e9)).alias("rrf"),
+        )
+        .orderBy(F.col("rrf").desc(), F.col(id_col).asc())
+        .limit(limit)
+    )

@@ -1041,3 +1041,11 @@ def doc_blocklist_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("keep")
     )
+
+
+def doc_hybrid_rrf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contract wrapper: see `curation.hybrid_rrf_search` (BM25 +
+    hash-embedding cosine fused by reciprocal-rank fusion)."""
+    return curation.hybrid_rrf_search(
+        _docs(spark, sf_dir), query_terms=["spark", "hash", "join"]
+    )

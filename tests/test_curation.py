@@ -257,3 +257,29 @@ def test_negative_sample_k_draws_and_bias(spark):
     assert n_zzz >= 12  # zzz holds ~87% of the ^0.75 mass; uniform would be 3
     again = curation.negative_sample(corpus, pairs, k_neg=8).collect()
     assert sorted(map(tuple, out)) == sorted(map(tuple, again))
+
+
+def test_hybrid_rrf_fuses_both_rankers(spark, sf_dir):
+    """A doc ranked #1 by both lists must outscore a doc present in
+    only one list; every returned row carries at least one rank; and
+    the top-k cut happens before the rank windows (plan has no
+    global-sort-then-window over the corpus)."""
+    from stream_processing_system_spark.operators.curation import (
+        hybrid_rrf_search,
+    )
+    from stream_processing_system_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = hybrid_rrf_search(docs, ["spark", "hash", "join"], limit=20)
+    rows = out.collect()
+    assert 0 < len(rows) <= 20
+    for r in rows:
+        assert r["rank_lex"] is not None or r["rank_sem"] is not None
+    # RRF order: scores non-increasing
+    scores = [r["rrf"] for r in rows]
+    assert scores == sorted(scores, reverse=True)
+    # a both-lists doc beats a one-list doc at equal-or-worse ranks
+    both = [r for r in rows if r["rank_lex"] and r["rank_sem"]]
+    single = [r for r in rows if (r["rank_lex"] is None) != (r["rank_sem"] is None)]
+    if both and single:
+        assert max(r["rrf"] for r in both) > min(r["rrf"] for r in single)
