@@ -664,6 +664,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_sequence_motifs": analytics.event_sequence_motifs,
         "value_trend_by_type": analytics.value_trend_by_type,
         "doc_hybrid_rrf_search": pipeline.doc_hybrid_rrf_search,
+        "dedup_canonical": pipeline.dedup_canonical_docs,
         # --- reference parity (SURVEY.md §2.12) ---
         "q1_wordcount": reference.q1_wordcount,
         "q2_top_users": reference.q2_top_users,
@@ -2066,6 +2067,85 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT DISTINCT MIN(r) AS doc_id
             FROM reach GROUP BY node
+        """,
+        "dedup_canonical": """
+            WITH RECURSIVE t AS (
+                SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS l
+                FROM documents
+            ), sh AS (
+                SELECT DISTINCT doc_id, l[i] || ' ' || l[i+1] || ' ' || l[i+2] AS shingle
+                FROM t, UNNEST(range(1, len(l) - 1)) AS u(i)
+                WHERE len(l) >= 3
+            ), sig AS (
+                SELECT doc_id,
+                       MIN(('0x' || substr(md5('0|' || shingle),  1, 8))::BIGINT) AS h0,
+                       MIN(('0x' || substr(md5('0|' || shingle),  9, 8))::BIGINT) AS h1,
+                       MIN(('0x' || substr(md5('0|' || shingle), 17, 8))::BIGINT) AS h2,
+                       MIN(('0x' || substr(md5('0|' || shingle), 25, 8))::BIGINT) AS h3,
+                       MIN(('0x' || substr(md5('1|' || shingle),  1, 8))::BIGINT) AS h4,
+                       MIN(('0x' || substr(md5('1|' || shingle),  9, 8))::BIGINT) AS h5,
+                       MIN(('0x' || substr(md5('1|' || shingle), 17, 8))::BIGINT) AS h6,
+                       MIN(('0x' || substr(md5('1|' || shingle), 25, 8))::BIGINT) AS h7
+                FROM sh GROUP BY doc_id
+            ), bb AS (
+                SELECT doc_id, b.band,
+                       md5(CASE b.band
+                           WHEN 0 THEN h0::VARCHAR || '_' || h1::VARCHAR
+                           WHEN 1 THEN h2::VARCHAR || '_' || h3::VARCHAR
+                           WHEN 2 THEN h4::VARCHAR || '_' || h5::VARCHAR
+                           ELSE        h6::VARCHAR || '_' || h7::VARCHAR
+                       END) AS bucket
+                FROM sig, (SELECT unnest(range(4)) AS band) b
+            ), cands AS (
+                SELECT DISTINCT a.doc_id AS id_a, c.doc_id AS id_b
+                FROM bb a JOIN bb c ON a.band = c.band AND a.bucket = c.bucket
+                WHERE a.doc_id < c.doc_id
+            ), sizes AS (
+                SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id
+            ), inter AS (
+                SELECT p.id_a, p.id_b, count(*) AS common
+                FROM cands p
+                JOIN sh sa ON sa.doc_id = p.id_a
+                JOIN sh sb ON sb.doc_id = p.id_b AND sb.shingle = sa.shingle
+                GROUP BY p.id_a, p.id_b
+            ), verified AS (
+                SELECT id_a, id_b
+                FROM inter
+                JOIN sizes za ON za.doc_id = id_a
+                JOIN sizes zb ON zb.doc_id = id_b
+                WHERE common::DOUBLE / (za.n_sh + zb.n_sh - common) >= 0.7
+            ), edges AS (
+                SELECT id_a AS src, id_b AS dst FROM verified
+                UNION ALL
+                SELECT id_b, id_a FROM verified
+            ), reach AS (
+                SELECT doc_id AS node, doc_id AS r FROM documents
+                UNION
+                SELECT rc.node, e.dst FROM reach rc JOIN edges e ON e.src = rc.r
+            ), comp AS (
+                SELECT node AS doc_id, MIN(r) AS cluster_id
+                FROM reach GROUP BY node
+            ), toksq AS (
+                SELECT doc_id,
+                       list_filter(string_split(text, ' '), x -> x <> '') AS toks
+                FROM documents
+            ), q AS (
+                SELECT doc_id,
+                       floor((0.4 * least(CAST(len(toks) AS DOUBLE) / 100.0, 1.0)
+                           + 0.3 * least((list_sum(list_transform(toks, x -> length(x)))
+                                          / CAST(len(toks) AS DOUBLE)) / 8.0, 1.0)
+                           + 0.3 * least((len(list_filter(toks, x -> list_contains(
+                                 ['the','a','of','and','is','in','to','it'], x)))
+                                          / CAST(len(toks) AS DOUBLE)) * 5.0, 1.0))
+                             * 1000000.0 + 0.5) / 1000000.0 AS quality
+                FROM toksq
+            )
+            SELECT cluster_id, doc_id AS kept_id,
+                   (count(*) OVER (PARTITION BY cluster_id)) AS n_members,
+                   quality
+            FROM comp JOIN q USING (doc_id)
+            QUALIFY row_number() OVER (PARTITION BY cluster_id
+                                       ORDER BY quality DESC, doc_id ASC) = 1
         """,
         "dedup_incremental": """
             WITH t AS (

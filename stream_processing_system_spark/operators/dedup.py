@@ -27,7 +27,7 @@ from __future__ import annotations
 import functools
 import operator
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from stream_processing_system_spark.functions import md5_prefix_long
@@ -744,4 +744,56 @@ def containment_pairs(
         .where(F.col("common") == F.col("n_sh"))
         .select("id_a", "id_b", F.col("n_sh").cast("long").alias("n_sh"))
         .orderBy("id_a", "id_b")
+    )
+
+
+def dedup_canonical(
+    df: DataFrame,
+    quality: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 8,
+    bands: int = 4,
+    threshold: float = 0.7,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Cluster-representative selection: the step after transitive
+    near-dedup in a real curation pipeline. `dedup_transitive` keeps
+    min(id) per duplicate cluster; a training-data pipeline instead
+    keeps the BEST document of each cluster (highest quality score,
+    id as the tie-break) so dedup never discards the cleanest copy.
+
+    `quality` is any (id_col, quality) frame — here
+    `text_analysis.quality_score`; in production a model score.
+    Returns one row per cluster: (cluster_id = min member id,
+    kept_id, n_members, quality of the kept doc).
+
+    Shape: same sub-quadratic LSH + verify + CC machinery as
+    dedup_transitive, then ONE window (partitioned by cluster label,
+    k rows each) to pick the argmax — partition-local, no global
+    sort. Singleton docs are their own cluster and keep themselves.
+    """
+    sigs = minhash_signatures(df, id_col, text_col, num_hashes=num_hashes)
+    cands = lsh_candidate_pairs(sigs, id_col, num_hashes=num_hashes, bands=bands)
+    verified = _verify_jaccard_pairs(
+        cands, df, id_col, text_col, threshold, shingle_n
+    )
+    comps = connected_component_labels(verified, df.select(id_col), id_col)
+    scored = comps.join(quality, id_col)
+    w = Window.partitionBy("component").orderBy(
+        F.col("quality").desc(), F.col(id_col).asc()
+    )
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .withColumn(
+            "n_members",
+            F.count(F.lit(1)).over(Window.partitionBy("component")),
+        )
+        .where(F.col("_rn") == 1)
+        .select(
+            F.col("component").alias("cluster_id"),
+            F.col(id_col).alias("kept_id"),
+            F.col("n_members").cast("long").alias("n_members"),
+            "quality",
+        )
     )

@@ -1049,3 +1049,19 @@ def doc_hybrid_rrf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     return curation.hybrid_rrf_search(
         _docs(spark, sf_dir), query_terms=["spark", "hash", "join"]
     )
+
+
+def dedup_canonical_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contract wrapper: see `dedup.dedup_canonical` (keep the
+    highest-quality member of each near-dup cluster; quality from
+    `text_analysis.quality_score`)."""
+    docs = _docs(spark, sf_dir)
+    return dedup.dedup_canonical(
+        docs,
+        text_analysis.quality_score(docs),
+        "doc_id",
+        "text",
+        num_hashes=8,
+        bands=4,
+        threshold=0.7,
+    )

@@ -180,3 +180,35 @@ def test_sorted_neighborhood_pairs_are_true_jaccard_pairs(spark, sf_dir):
         for r in jaccard_pairs(docs, "doc_id", "text", threshold=0.1).collect()
     }
     assert sn <= exact
+
+
+def test_canonical_keeps_best_not_min(spark):
+    """dedup_canonical must keep the highest-QUALITY member of a
+    near-dup cluster, not the smallest id: a planted pair of
+    near-identical docs where the LATER id is longer/cleaner keeps
+    the later id."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from stream_processing_system_spark.operators import dedup, text_analysis
+
+    base = "the quick brown fox jumps over the lazy dog and runs away fast"
+    rows = [
+        (1, base),                                  # short copy
+        (2, base + " gracefully tonight"),
+        (3, "a completely different document about spark query planning"),
+    ]
+    docs = spark.createDataFrame(pd.DataFrame(rows, columns=["doc_id", "text"]))
+    out = dedup.dedup_canonical(
+        docs,
+        text_analysis.quality_score(docs),
+        "doc_id",
+        "text",
+        num_hashes=8,
+        bands=4,
+        threshold=0.5,
+    )
+    got = {r["cluster_id"]: (r["kept_id"], r["n_members"]) for r in out.collect()}
+    # docs 1,2 cluster (label 1); doc 2 is longer -> higher quality -> kept
+    assert got[1] == (2, 2)
+    assert got[3] == (3, 1)
