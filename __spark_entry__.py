@@ -665,6 +665,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "value_trend_by_type": analytics.value_trend_by_type,
         "doc_hybrid_rrf_search": pipeline.doc_hybrid_rrf_search,
         "dedup_canonical": pipeline.dedup_canonical_docs,
+        "events_downsample_ltob": analytics.events_downsample_ltob,
         # --- reference parity (SURVEY.md §2.12) ---
         "q1_wordcount": reference.q1_wordcount,
         "q2_top_users": reference.q2_top_users,
@@ -3245,6 +3246,42 @@ def oracle_sql() -> dict[str, str]:
                 FROM g
             )
             SELECT DISTINCT doc_id, fp_hash FROM w
+        """,
+        "events_downsample_ltob": """
+            WITH daily AS (
+                SELECT event_type,
+                       date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS x,
+                       CAST(SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS DOUBLE)
+                           / 100.0 / CAST(COUNT(*) AS DOUBLE) AS y
+                FROM events WHERE value IS NOT NULL
+                GROUP BY 1, 2
+            ), staged AS (
+                SELECT event_type, x, y,
+                       row_number() OVER w - 1 AS idx,
+                       COUNT(*) OVER (PARTITION BY event_type) AS n,
+                       abs((lag(CAST(x AS DOUBLE)) OVER w - lead(CAST(x AS DOUBLE)) OVER w)
+                               * (y - lag(y) OVER w)
+                           - (lag(CAST(x AS DOUBLE)) OVER w - CAST(x AS DOUBLE))
+                               * (lead(y) OVER w - lag(y) OVER w)) AS area
+                FROM daily
+                WINDOW w AS (PARTITION BY event_type ORDER BY x)
+            ), b AS (
+                SELECT *,
+                       CASE WHEN idx = 0 THEN -1
+                            WHEN idx = n - 1 THEN -2
+                            ELSE CAST(floor(CAST((idx - 1) * 10 AS DOUBLE)
+                                            / CAST(n - 2 AS DOUBLE)) AS BIGINT)
+                       END AS bucket
+                FROM staged
+            ), r AS (
+                SELECT *,
+                       row_number() OVER (PARTITION BY event_type, bucket
+                                          ORDER BY area DESC NULLS LAST, x ASC) AS rn
+                FROM b
+            )
+            SELECT event_type, x AS day,
+                   floor(y * 1000000.0 + 0.5) / 1000000.0 AS mean_value
+            FROM r WHERE n <= 12 OR rn = 1
         """,
         "doc_hybrid_rrf_search": """
             WITH base AS (

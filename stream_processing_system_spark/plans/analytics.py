@@ -2638,3 +2638,38 @@ def value_trend_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+def events_downsample_ltob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual downsampling (operators/timeseries.py): each event
+    type's daily-mean series reduced to ~12 shape-preserving points
+    by the largest-triangle-one-bucket rule. Daily means come from
+    exact centi-unit integer sums (the EWMA device), areas are fixed
+    operand-order doubles, bucketing is exact integer math — the
+    selected subset hash-matches the identical SQL construction."""
+    from stream_processing_system_spark.operators import timeseries
+
+    events = load_table(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    daily = (
+        events.select(
+            "event_type",
+            F.datediff(F.col("ts").cast("date"), F.lit("2024-01-01"))
+            .cast("long")
+            .alias("x"),
+            F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("cy"),
+        )
+        .groupBy("event_type", "x")
+        .agg(
+            (
+                F.sum("cy").cast("double")
+                / F.lit(100.0)
+                / F.count(F.lit(1)).cast("double")
+            ).alias("y")
+        )
+    )
+    out = timeseries.downsample_ltob(daily, "event_type", "x", "y", target=12)
+    return out.select(
+        "event_type",
+        F.col("x").alias("day"),
+        det_round(F.col("y")).alias("mean_value"),
+    ).orderBy("event_type", "day")
