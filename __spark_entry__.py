@@ -666,6 +666,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_hybrid_rrf_search": pipeline.doc_hybrid_rrf_search,
         "dedup_canonical": pipeline.dedup_canonical_docs,
         "events_downsample_ltob": analytics.events_downsample_ltob,
+        "stream_upsert_user_totals": streaming_parity.stream_upsert_user_totals,
         # --- reference parity (SURVEY.md §2.12) ---
         "q1_wordcount": reference.q1_wordcount,
         "q2_top_users": reference.q2_top_users,
@@ -3246,6 +3247,15 @@ def oracle_sql() -> dict[str, str]:
                 FROM g
             )
             SELECT DISTINCT doc_id, fp_hash FROM w
+        """,
+        "stream_upsert_user_totals": """
+            SELECT user_id,
+                   count(*) AS n_events,
+                   sum(coalesce(CAST(floor(value * 10000 + 0.5) AS BIGINT), 0))
+                       / 10000.0 AS sum_value
+            FROM events
+            GROUP BY user_id
+            ORDER BY user_id
         """,
         "events_downsample_ltob": """
             WITH daily AS (

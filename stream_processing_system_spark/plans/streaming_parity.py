@@ -614,3 +614,36 @@ def stream_purchase_click_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id", "purchase_ts_s", "click_ts_s")
     )
+
+
+def stream_upsert_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user totals maintained by the foreachBatch IVM upsert sink
+    (jobs.stream_upsert_totals): events re-laid as MULTIPLE parquet
+    files, drained one file per micro-batch so the additive serving
+    merge really runs several times, then the final serving table is
+    checked against the plain GROUP BY oracle (same oracle as
+    stream_user_stats — two different stateful mechanisms, one
+    truth)."""
+    input_dir, ckpt, run = _scratch("ups")
+    state_dir = os.path.join(os.path.dirname(input_dir), "state")
+    events = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        F.coalesce(
+            F.floor(F.col("value") * 10000 + 0.5).cast("long"), F.lit(0)
+        ).alias("value_u"),
+    )
+    events.repartition(4).write.mode("overwrite").parquet(input_dir)
+    serving = jobs.stream_upsert_totals(
+        spark, input_dir, ckpt, state_dir, name=f"ups_{run}"
+    )
+    out = (
+        serving.select(
+            "user_id",
+            "n_events",
+            (F.col("sum_u") / F.lit(10000.0)).alias("sum_value"),
+        )
+        .orderBy("user_id")
+        .localCheckpoint()  # materialize before the scratch dir is removed
+    )
+    _cleanup(input_dir)
+    return out

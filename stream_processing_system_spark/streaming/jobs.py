@@ -406,3 +406,81 @@ def stream_stream_join_outer(
     )
     q.awaitTermination()
     return spark.table(name)
+
+
+def stream_upsert_totals(
+    spark: SparkSession,
+    input_dir: str,
+    checkpoint_dir: str,
+    state_dir: str,
+    name: str = "upsert_totals",
+) -> DataFrame:
+    """Streaming INCREMENTAL-VIEW-MAINTENANCE sink: each micro-batch
+    is aggregated to a per-user delta and additively merged
+    (`operators/ivm.merge_additive`) into a parquet serving table via
+    foreachBatch — the keyed-upsert pattern every streaming→OLAP
+    serving path uses, with the aggregate state living in the SINK
+    table instead of the state store (so the stream side carries no
+    streaming aggregation at all and restarts are state-free).
+
+    Exactly-once: serving versions are directory-rotated
+    (`serving_v{epoch}`) and a marker file records the last committed
+    epoch; a replayed micro-batch (at-least-once delivery after a
+    checkpoint restore) sees epoch <= committed and becomes a no-op
+    instead of double-adding — the transactional-marker idempotence
+    idiom, file-system edition. `bolt/bolt.go:286-310`'s END-marker
+    single write is the degenerate one-epoch case of this.
+
+    Returns the final serving table after the availableNow drain.
+    """
+    import os
+    import shutil
+
+    from stream_processing_system_spark.operators.ivm import merge_additive
+
+    stream = (
+        spark.readStream.schema("user_id bigint, value_u bigint")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(input_dir)
+    )
+    marker = os.path.join(state_dir, "_committed_epoch")
+
+    def _committed() -> int:
+        if os.path.exists(marker):
+            return int(open(marker).read().strip())
+        return -1
+
+    def _serving(epoch: int) -> str:
+        return os.path.join(state_dir, f"serving_v{epoch}")
+
+    def _apply(batch_df: DataFrame, epoch_id: int) -> None:
+        last = _committed()
+        if epoch_id <= last:
+            return  # replayed batch: already merged, skip (idempotence)
+        delta = batch_df.groupBy("user_id").agg(
+            F.count(F.lit(1)).alias("n_events"), F.sum("value_u").alias("sum_u")
+        )
+        if last >= 0:
+            base = spark.read.parquet(_serving(last))
+            merged = merge_additive(
+                base, delta, keys=["user_id"], measures=["n_events", "sum_u"]
+            )
+        else:
+            merged = delta
+        merged.write.mode("overwrite").parquet(_serving(epoch_id))
+        tmp = marker + ".tmp"
+        with open(tmp, "w") as f:
+            f.write(str(int(epoch_id)))
+        os.replace(tmp, marker)  # commit point
+        if last >= 0:
+            shutil.rmtree(_serving(last), ignore_errors=True)
+
+    q = (
+        stream.writeStream.foreachBatch(_apply)
+        .queryName(name)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.parquet(_serving(_committed()))

@@ -102,3 +102,52 @@ def test_stream_session_windows(spark, tmp_path):
     for r in got.collect():
         per_user[r["user_id"]] = per_user.get(r["user_id"], 0) + 1
     assert per_user == {1: 2, 2: 1}
+
+
+def test_upsert_sink_multi_batch_and_restart_idempotent(spark, tmp_path):
+    """The IVM upsert sink must (a) actually process multiple
+    micro-batches (one per input file), (b) survive a restart with
+    the same checkpoint without double-adding (replay guard), and
+    (c) match the batch aggregate exactly."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from stream_processing_system_spark.streaming import jobs
+
+    input_dir = str(tmp_path / "in")
+    state_dir = str(tmp_path / "state")
+    ckpt = str(tmp_path / "ckpt")
+    facts = spark.range(0, 3000).select(
+        (F.col("id") % 11).alias("user_id"),
+        (F.col("id") % 7).cast("long").alias("value_u"),
+    )
+    facts.repartition(3).write.mode("overwrite").parquet(input_dir)
+
+    serving = jobs.stream_upsert_totals(
+        spark, input_dir, ckpt, state_dir, name="ups_t1"
+    )
+    committed = int(open(os.path.join(state_dir, "_committed_epoch")).read())
+    assert committed >= 2  # three files -> at least three micro-batches
+
+    want = {
+        r["user_id"]: (r["n"], r["s"])
+        for r in facts.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value_u").alias("s"))
+        .collect()
+    }
+    got = {
+        r["user_id"]: (r["n_events"], r["sum_u"]) for r in serving.collect()
+    }
+    assert got == want
+
+    # restart with the SAME checkpoint: no new input -> no new epochs,
+    # totals unchanged (the replay guard also covers re-delivered
+    # epochs after a mid-run crash)
+    serving2 = jobs.stream_upsert_totals(
+        spark, input_dir, ckpt, state_dir, name="ups_t2"
+    )
+    got2 = {
+        r["user_id"]: (r["n_events"], r["sum_u"]) for r in serving2.collect()
+    }
+    assert got2 == want
