@@ -667,6 +667,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_canonical": pipeline.dedup_canonical_docs,
         "events_downsample_ltob": analytics.events_downsample_ltob,
         "stream_upsert_user_totals": streaming_parity.stream_upsert_user_totals,
+        "purchase_next_click_asof": analytics.purchase_next_click_asof,
         # --- reference parity (SURVEY.md §2.12) ---
         "q1_wordcount": reference.q1_wordcount,
         "q2_top_users": reference.q2_top_users,
@@ -3247,6 +3248,20 @@ def oracle_sql() -> dict[str, str]:
                 FROM g
             )
             SELECT DISTINCT doc_id, fp_hash FROM w
+        """,
+        "purchase_next_click_asof": """
+            SELECT * FROM (
+                SELECT p.event_id, p.user_id,
+                       CAST(floor(epoch(p.ts)) AS BIGINT) AS ts_s,
+                       CAST(floor(epoch(c.ts)) AS BIGINT) AS click_ts_s
+                FROM (SELECT event_id, user_id, ts FROM events
+                      WHERE event_type = 'purchase') p
+                ASOF JOIN (SELECT user_id, ts FROM events
+                           WHERE event_type = 'click') c
+                  ON p.user_id = c.user_id AND p.ts <= c.ts
+            )
+            WHERE click_ts_s - ts_s <= 7200
+            ORDER BY event_id
         """,
         "stream_upsert_user_totals": """
             SELECT user_id,

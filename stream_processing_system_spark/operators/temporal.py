@@ -126,3 +126,84 @@ def interval_count_join(
     )
     out_cols = [F.col(f"_lrow.{c}").alias(c) for c in left.columns] + [F.col(out)]
     return hits.select(*out_cols)
+
+
+def asof_join_forward(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    right_cols: list[str] | None = None,
+    prefix: str = "r_",
+    tolerance_seconds: int | None = None,
+) -> DataFrame:
+    """FORWARD as-of join: for every left row, the EARLIEST right row
+    with right.ts >= left.ts (same key) — the lookahead twin of
+    `asof_join` (e.g. "next fill after the order", "next click after
+    the purchase"). Same union-sort single-shuffle construction with
+    the window mirrored: first_value(ignorenulls) over
+    [CURRENT ROW, UNBOUNDED FOLLOWING], left rows sorted BEFORE
+    equal-ts right rows so ">=" stays inclusive. Optional
+    `tolerance_seconds` drops matches further than the horizon
+    (inner semantics, like pandas merge_asof's tolerance). Oracle:
+    DuckDB `ASOF JOIN ... ON l.ts <= r.ts` (+ an epoch-difference
+    post-filter for the tolerance)."""
+    right_cols = right_cols or []
+    l = left.select(
+        F.col(key).alias("_k"),
+        F.col(left_ts).alias("_ts"),
+        F.lit(1).alias("_is_left"),
+        F.struct(*left.columns).alias("_lrow"),
+        *[
+            F.lit(None).cast(right.schema[c].dataType).alias(f"_rv_{c}")
+            for c in right_cols
+        ],
+        F.lit(None).cast(right.schema[right_ts].dataType).alias("_rts"),
+        F.lit(None).cast("long").alias("_tie"),
+    )
+    r = right.select(
+        F.col(key).alias("_k"),
+        F.col(right_ts).alias("_ts"),
+        F.lit(0).alias("_is_left"),
+        F.lit(None).cast(l.schema["_lrow"].dataType).alias("_lrow"),
+        *[F.col(c).alias(f"_rv_{c}") for c in right_cols],
+        F.col(right_ts).alias("_rts"),
+        # deterministic tie among equal-(key, ts) right rows, as in
+        # the backward join
+        F.xxhash64(F.struct(*right.columns)).alias("_tie"),
+    )
+    # left rows sort before right rows at equal ts → ">=" inclusive;
+    # first() picks the earliest following right row
+    w = (
+        Window.partitionBy("_k")
+        .orderBy(
+            F.col("_ts").asc(),
+            F.col("_is_left").desc(),
+            F.col("_tie").asc_nulls_first(),
+        )
+        .rowsBetween(0, Window.unboundedFollowing)
+    )
+    carried = r.unionByName(l).select(
+        "_is_left",
+        "_lrow",
+        F.first("_rts", ignorenulls=True).over(w).alias(f"{prefix}ts"),
+        *[
+            F.first(f"_rv_{c}", ignorenulls=True).over(w).alias(f"{prefix}{c}")
+            for c in right_cols
+        ],
+    )
+    matched = carried.where(
+        (F.col("_is_left") == 1) & F.col(f"{prefix}ts").isNotNull()
+    )
+    if tolerance_seconds is not None:
+        matched = matched.where(
+            F.col(f"{prefix}ts").cast("long")
+            - F.col(f"_lrow.{left_ts}").cast("long")
+            <= F.lit(int(tolerance_seconds))
+        )
+    out_cols = [F.col(f"_lrow.{c}").alias(c) for c in left.columns]
+    out_cols += [F.col(f"{prefix}ts")] + [
+        F.col(f"{prefix}{c}") for c in right_cols
+    ]
+    return matched.select(*out_cols)

@@ -2673,3 +2673,28 @@ def events_downsample_ltob(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("x").alias("day"),
         det_round(F.col("y")).alias("mean_value"),
     ).orderBy("event_type", "day")
+
+
+def purchase_next_click_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FORWARD as-of join (operators/temporal.asof_join_forward): for
+    each purchase, the next click by the same user within 2 hours —
+    post-purchase engagement attribution. Oracle: DuckDB's native
+    forward ASOF JOIN plus the tolerance filter."""
+    from stream_processing_system_spark.operators.temporal import (
+        asof_join_forward,
+    )
+
+    events = load_table(spark, sf_dir, "events")
+    purchases = events.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = events.where(F.col("event_type") == "click").select("user_id", "ts")
+    joined = asof_join_forward(
+        purchases, clicks, key="user_id", tolerance_seconds=7200
+    )
+    return joined.select(
+        "event_id",
+        "user_id",
+        F.col("ts").cast("long").alias("ts_s"),
+        F.col("r_ts").cast("long").alias("click_ts_s"),
+    ).orderBy("event_id")

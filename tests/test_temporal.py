@@ -110,3 +110,38 @@ def test_pattern_search_short_series_yields_no_windows(spark, tmp_path):
     os.makedirs(sf)
     df.write.parquet(os.path.join(sf, "events.parquet"))
     assert analytics.events_pattern_search(spark, sf).count() == 0
+
+
+def test_asof_forward_known_answers(spark):
+    """Forward as-of: earliest right at-or-after left, inclusive at
+    equal ts; tolerance drops distant matches; no-following-row
+    drops the left row (inner)."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from stream_processing_system_spark.operators.temporal import (
+        asof_join_forward,
+    )
+
+    l = spark.createDataFrame(
+        pd.DataFrame({"k": [1, 1, 1, 2], "ts": [10, 20, 100, 5]})
+    ).select("k", F.col("ts").cast("timestamp").alias("ts"))
+    r = spark.createDataFrame(
+        pd.DataFrame({"k": [1, 1, 2], "ts": [10, 25, 1], "v": [7, 8, 9]})
+    ).select("k", F.col("ts").cast("timestamp").alias("ts"), "v")
+
+    out = asof_join_forward(l, r, key="k", right_cols=["v"])
+    got = {
+        (row["k"], row["ts"].timestamp()): (row["r_ts"].timestamp(), row["r_v"])
+        for row in out.collect()
+    }
+    # ts=10 matches the EQUAL-ts right row (inclusive >=)
+    assert got[(1, 10.0)] == (10.0, 7)
+    assert got[(1, 20.0)] == (25.0, 8)
+    # ts=100 has no following right row -> dropped; k=2's right row is
+    # BEFORE the left row -> dropped
+    assert (1, 100.0) not in got and (2, 5.0) not in got
+
+    tol = asof_join_forward(l, r, key="k", right_cols=["v"], tolerance_seconds=3)
+    got_tol = {(row["k"], row["ts"].timestamp()) for row in tol.collect()}
+    assert got_tol == {(1, 10.0)}  # 20->25 is 5s away, beyond the horizon
