@@ -668,6 +668,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_downsample_ltob": analytics.events_downsample_ltob,
         "stream_upsert_user_totals": streaming_parity.stream_upsert_user_totals,
         "purchase_next_click_asof": analytics.purchase_next_click_asof,
+        "events_anomaly_mad": analytics.events_anomaly_mad,
         # --- reference parity (SURVEY.md §2.12) ---
         "q1_wordcount": reference.q1_wordcount,
         "q2_top_users": reference.q2_top_users,
@@ -3248,6 +3249,33 @@ def oracle_sql() -> dict[str, str]:
                 FROM g
             )
             SELECT DISTINCT doc_id, fp_hash FROM w
+        """,
+        "events_anomaly_mad": """
+            WITH daily AS (
+                SELECT event_type,
+                       CAST(CAST(ts AS DATE) AS VARCHAR) AS day,
+                       CAST(SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS DOUBLE)
+                           / 100.0 / CAST(COUNT(*) AS DOUBLE) AS v
+                FROM events WHERE value IS NOT NULL
+                GROUP BY 1, 2
+            ), med AS (
+                SELECT event_type, median(v) AS m FROM daily GROUP BY 1
+            ), dev AS (
+                SELECT d.event_type, d.day, d.v, med.m,
+                       abs(d.v - med.m) AS ad
+                FROM daily d JOIN med USING (event_type)
+            ), mad AS (
+                SELECT event_type, median(ad) AS md FROM dev GROUP BY 1
+            )
+            SELECT event_type, day,
+                   floor(v * 1000000.0 + 0.5) / 1000000.0 AS mean_value,
+                   floor(((v - m) / (1.4826 * md)) * 1000000.0 + 0.5) / 1000000.0
+                       AS robust_z
+            FROM dev JOIN mad USING (event_type)
+            WHERE md > 0
+              AND abs(floor(((v - m) / (1.4826 * md)) * 1000000.0 + 0.5)
+                      / 1000000.0) > 2.0
+            ORDER BY event_type, day
         """,
         "purchase_next_click_asof": """
             SELECT * FROM (

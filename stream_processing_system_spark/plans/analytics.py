@@ -2698,3 +2698,54 @@ def purchase_next_click_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("ts").cast("long").alias("ts_s"),
         F.col("r_ts").cast("long").alias("click_ts_s"),
     ).orderBy("event_id")
+
+
+def events_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust anomaly detection: daily mean value per event type
+    scored by MEDIAN/MAD (robust z = (v - median) / (1.4826 * MAD))
+    instead of mean/stddev — the estimator that doesn't let the
+    outliers it is hunting inflate its own scale (cf.
+    events_anomaly_zscore, the classical twin). Days with |rz| > 2
+    are flagged.
+
+    Exactness: daily means from exact centi-unit sums; medians are
+    exact rank statistics over identical double sets in both engines
+    (even-count interpolation (a+b)/2 is a single exact IEEE op);
+    the score is a fixed-order expression. Shape: one data-sized
+    aggregate to daily grain, then two broadcast-sized median
+    aggregates over (types x days) rows — no window over raw events.
+    """
+    events = load_table(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    daily = (
+        events.select(
+            "event_type",
+            F.col("ts").cast("date").cast("string").alias("day"),
+            F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("cy"),
+        )
+        .groupBy("event_type", "day")
+        .agg(
+            (
+                F.sum("cy").cast("double")
+                / F.lit(100.0)
+                / F.count(F.lit(1)).cast("double")
+            ).alias("v")
+        )
+    )
+    med = daily.groupBy("event_type").agg(F.median("v").alias("_med"))
+    dev = daily.join(F.broadcast(med), "event_type").select(
+        "event_type", "day", "v", "_med", F.abs(F.col("v") - F.col("_med")).alias("_ad")
+    )
+    mad = dev.groupBy("event_type").agg(F.median("_ad").alias("_mad"))
+    rz = (F.col("v") - F.col("_med")) / (F.lit(1.4826) * F.col("_mad"))
+    return (
+        dev.join(F.broadcast(mad), "event_type")
+        .where(F.col("_mad") > 0)
+        .select(
+            "event_type",
+            "day",
+            det_round(F.col("v")).alias("mean_value"),
+            det_round(rz).alias("robust_z"),
+        )
+        .where(F.abs(F.col("robust_z")) > 2.0)
+        .orderBy("event_type", "day")
+    )

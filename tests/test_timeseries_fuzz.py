@@ -178,3 +178,34 @@ def test_ols_trend_recovers_planted_line(spark):
         det_round(slope).alias("s"), det_round(intercept).alias("i")
     ).collect()[0]
     assert row["s"] == 7.5 and row["i"] == 20.0
+
+
+def test_mad_scoring_matches_pure_python(spark):
+    """Median/MAD robust z on a planted series: Spark pipeline vs an
+    independent numpy implementation, and the outlier is flagged."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import functions as F
+    from stream_processing_system_spark.functions.scalar import det_round
+
+    vals = [10.0, 11.0, 9.5, 10.5, 10.2, 9.8, 10.1, 50.0, 10.3, 9.9]
+    daily = spark.createDataFrame(
+        pd.DataFrame({"g": "a", "day": range(len(vals)), "v": vals})
+    )
+    med = daily.groupBy("g").agg(F.median("v").alias("m"))
+    dev = daily.join(med, "g").select(
+        "g", "day", "v", "m", F.abs(F.col("v") - F.col("m")).alias("ad")
+    )
+    mad = dev.groupBy("g").agg(F.median("ad").alias("md"))
+    rz = (F.col("v") - F.col("m")) / (F.lit(1.4826) * F.col("md"))
+    got = {
+        r["day"]: r["rz"]
+        for r in dev.join(mad, "g").select("day", det_round(rz).alias("rz")).collect()
+    }
+    m = float(np.median(vals))
+    md = float(np.median(np.abs(np.array(vals) - m)))
+    for i, v in enumerate(vals):
+        want = (v - m) / (1.4826 * md)
+        assert abs(got[i] - want) < 1e-6, (i, got[i], want)
+    flagged = [d for d, z in got.items() if abs(z) > 2.0]
+    assert flagged == [7]
