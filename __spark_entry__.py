@@ -669,6 +669,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_upsert_user_totals": streaming_parity.stream_upsert_user_totals,
         "purchase_next_click_asof": analytics.purchase_next_click_asof,
         "events_anomaly_mad": analytics.events_anomaly_mad,
+        "doc_zipf_fit": pipeline.doc_zipf_fit,
         # --- reference parity (SURVEY.md §2.12) ---
         "q1_wordcount": reference.q1_wordcount,
         "q2_top_users": reference.q2_top_users,
@@ -3249,6 +3250,42 @@ def oracle_sql() -> dict[str, str]:
                 FROM g
             )
             SELECT DISTINCT doc_id, fp_hash FROM w
+        """,
+        "doc_zipf_fit": """
+            WITH toks AS (
+                SELECT unnest(list_filter(string_split(text, ' '), x -> x <> ''))
+                    AS token
+                FROM documents
+            ), freqs AS (
+                SELECT token, count(*) AS freq FROM toks GROUP BY token
+            ), topf AS (
+                SELECT token, freq FROM freqs
+                ORDER BY freq DESC, token ASC LIMIT 500
+            ), ranked AS (
+                SELECT row_number() OVER (ORDER BY freq DESC, token ASC) AS rank,
+                       freq
+                FROM topf
+            ), pts AS (
+                SELECT CAST(floor(ln(CAST(rank AS DOUBLE)) * 1000.0 + 0.5) AS BIGINT) AS x,
+                       CAST(floor(ln(CAST(freq AS DOUBLE)) * 1000.0 + 0.5) AS BIGINT) AS y
+                FROM ranked
+            ), sums AS (
+                SELECT COUNT(*) AS n, SUM(x) AS sx, SUM(y) AS sy,
+                       SUM(x * y) AS sxy, SUM(x * x) AS sxx
+                FROM pts
+            ), fit AS (
+                SELECT n, sx, sy,
+                       CAST(n * sxy - sx * sy AS DOUBLE)
+                           / CAST(n * sxx - sx * sx AS DOUBLE) AS slope
+                FROM sums
+            )
+            SELECT n AS n_ranks,
+                   floor(slope * 1000000.0 + 0.5) / 1000000.0 AS slope,
+                   floor(((CAST(sy AS DOUBLE) / 1000.0
+                           - slope * (CAST(sx AS DOUBLE) / 1000.0))
+                          / CAST(n AS DOUBLE)) * 1000000.0 + 0.5) / 1000000.0
+                       AS intercept
+            FROM fit
         """,
         "events_anomaly_mad": """
             WITH daily AS (

@@ -435,3 +435,59 @@ def ngram_diversity(
         )
         .orderBy(group_col)
     )
+
+
+def zipf_fit(
+    df: DataFrame,
+    text_col: str = "text",
+    top: int = 500,
+) -> DataFrame:
+    """Zipf-law fit of the corpus token-frequency distribution:
+    OLS of ln(freq) against ln(rank) over the `top` most frequent
+    tokens (natural corpora give slope ≈ -1; a corpus whose slope
+    drifts far from that is boilerplate-heavy or synthetic — a cheap
+    corpus-health metric next to `corpus_card`).
+
+    The frequency table is the standard wordcount aggregate; ranking
+    cuts to `top` rows FIRST via distributed top-k
+    (TakeOrderedAndProject on (freq desc, token)), so the rank
+    window runs on a `top`-row frame, never over the full vocabulary.
+    Both ln() values are floored to MILLI units before the OLS sums,
+    which (a) makes every sum an exact int64 (no overflow at
+    top<=10^4: |ln|*1e3 <= ~5e4, products <= ~2.5e9, sums <= ~2.5e13)
+    and (b) removes the last-ulp libm difference between engines —
+    the bm25 micro-floor device applied to regression inputs."""
+    from pyspark.sql import Window
+
+    freqs = token_frequencies(df, text_col=text_col)
+    topf = freqs.orderBy(F.col("freq").desc(), F.col("token").asc()).limit(top)
+    w = Window.orderBy(F.col("freq").desc(), F.col("token").asc())
+    ranked = topf.select(
+        F.row_number().over(w).cast("long").alias("rank"), "freq"
+    )
+    mx = F.floor(F.log(F.col("rank").cast("double")) * 1000.0 + F.lit(0.5)).cast(
+        "long"
+    )
+    my = F.floor(F.log(F.col("freq").cast("double")) * 1000.0 + F.lit(0.5)).cast(
+        "long"
+    )
+    pts = ranked.select(mx.alias("x"), my.alias("y"))
+    sums = pts.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    den = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    slope = num / den  # milli units cancel in the ratio
+    intercept = (
+        F.col("sy").cast("double") / F.lit(1000.0)
+        - slope * (F.col("sx").cast("double") / F.lit(1000.0))
+    ) / F.col("n").cast("double")
+    return sums.select(
+        F.col("n").alias("n_ranks"),
+        det_round(slope).alias("slope"),
+        det_round(intercept).alias("intercept"),
+    )

@@ -1065,3 +1065,9 @@ def dedup_canonical_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         bands=4,
         threshold=0.7,
     )
+
+
+def doc_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contract wrapper: see `text_analysis.zipf_fit` (log-log OLS
+    over the top-500 token frequencies)."""
+    return text_analysis.zipf_fit(_docs(spark, sf_dir), top=500)

@@ -150,3 +150,21 @@ def test_inverted_index_matches_python_reference(spark):
         w: (len(pl), sum(pl.values()), sorted(pl)) for w, pl in want.items()
     }
     assert got == expect
+
+
+def test_zipf_fit_recovers_planted_power_law(spark):
+    """A corpus constructed with freq(rank) = round(1000 * rank^-1)
+    must fit slope ~ -1 — the property the health metric reports."""
+    import pandas as pd
+
+    from stream_processing_system_spark.operators.text_analysis import zipf_fit
+
+    words = []
+    for rank in range(1, 51):
+        words += [f"w{rank:03d}"] * max(1, round(1000 / rank))
+    docs = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [0], "text": [" ".join(words)]})
+    )
+    row = zipf_fit(docs, top=50).collect()[0]
+    assert row["n_ranks"] == 50
+    assert abs(row["slope"] - (-1.0)) < 0.05, row["slope"]
