@@ -670,6 +670,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "purchase_next_click_asof": analytics.purchase_next_click_asof,
         "events_anomaly_mad": analytics.events_anomaly_mad,
         "doc_zipf_fit": pipeline.doc_zipf_fit,
+        "media_ahash_neardup": pipeline.media_ahash_neardup,
         # --- reference parity (SURVEY.md §2.12) ---
         "q1_wordcount": reference.q1_wordcount,
         "q2_top_users": reference.q2_top_users,
@@ -3250,6 +3251,45 @@ def oracle_sql() -> dict[str, str]:
                 FROM g
             )
             SELECT DISTINCT doc_id, fp_hash FROM w
+        """,
+        "media_ahash_neardup": """
+            -- mirrors the documented stub decode: pixels = per-chunk
+            -- byte sums of the utf-8 payload (corpus is ASCII, so
+            -- code points == bytes); brute-force all-pairs proves the
+            -- Spark quarter-blocking lossless at max_hamming=3
+            WITH chars AS (
+                SELECT doc_id, i,
+                       unicode(substr(text, CAST(i + 1 AS INT), 1)) AS b,
+                       length(text) AS n
+                FROM documents, UNNEST(range(length(text))) AS u(i)
+            ), cellsum AS (
+                SELECT doc_id, (i * 64) // n AS k, SUM(b) % 256 AS pix
+                FROM chars GROUP BY doc_id, (i * 64) // n
+            ), grid AS (
+                SELECT d.doc_id, gk.k, COALESCE(c.pix, 0) AS pix
+                FROM (SELECT DISTINCT doc_id FROM documents) d
+                CROSS JOIN (SELECT unnest(range(64)) AS k) gk
+                LEFT JOIN cellsum c ON c.doc_id = d.doc_id AND c.k = gk.k
+            ), stats AS (
+                SELECT doc_id, CAST(SUM(pix) AS DOUBLE) / 64.0 AS mean
+                FROM grid GROUP BY doc_id
+            ), bits AS (
+                SELECT g.doc_id, g.k,
+                       CASE WHEN g.pix > s.mean THEN 1 ELSE 0 END AS bit
+                FROM grid g JOIN stats s USING (doc_id)
+            ), sig AS (
+                SELECT doc_id,
+                       SUM(CASE WHEN bit = 1 AND k < 63
+                                THEN (CAST(1 AS BIGINT) << k)
+                                WHEN bit = 1 AND k = 63
+                                THEN CAST(-9223372036854775808 AS BIGINT)
+                                ELSE CAST(0 AS BIGINT) END) AS sig
+                FROM bits GROUP BY doc_id
+            )
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   bit_count(xor(a.sig, b.sig)) AS hamming
+            FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+            WHERE bit_count(xor(a.sig, b.sig)) <= 3
         """,
         "doc_zipf_fit": """
             WITH toks AS (

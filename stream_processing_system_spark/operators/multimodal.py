@@ -178,3 +178,98 @@ def media_features(df: DataFrame, dim: int = 16) -> DataFrame:
             yield pd.DataFrame({"media_id": pdf["media_id"], "embedding": feats})
 
     return df.mapInPandas(_feat, schema="media_id long, embedding array<double>")
+
+
+#: aHash grid: 64 pseudo-pixels -> 64-bit signature.
+AHASH_CELLS = 64
+
+
+def ahash_signatures(df: DataFrame) -> DataFrame:
+    """Perceptual average-hash (aHash) signatures over media
+    payloads: 'decode' each payload to a 64-cell grayscale grid, then
+    set bit k iff cell k is brighter than the grid mean — the classic
+    cheap perceptual fingerprint whose Hamming distance survives
+    small content edits (the property cryptographic digests by
+    design lack; cf. `dedup_exact`'s md5).
+
+    The decode here is the repo's documented deterministic STUB
+    (pixels = per-chunk byte sums of the payload, locality-preserving
+    so near-identical payloads give near-equal grids); a real image
+    pipeline swaps the chunk sums for an 8x8 downscaled luma plane
+    (Pillow drop-in, see PILLOW_DECODER_DOC) — every Spark-side
+    piece (Arrow batching, signature packing, the blocked join
+    downstream) is unchanged.
+
+    Output: (media_id, sig) with sig a SIGNED 64-bit long (bit 63 is
+    the sign bit, matching the SimHash convention so the same SQL
+    oracle machinery applies)."""
+
+    def _sig(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            sigs = []
+            for payload in pdf["payload"]:
+                data = bytes(payload)
+                n = len(data)
+                cells = [0] * AHASH_CELLS
+                for i, b in enumerate(data):
+                    cells[(i * AHASH_CELLS) // n] += b
+                cells = [c % 256 for c in cells]
+                mean = sum(cells) / float(AHASH_CELLS)
+                sig = 0
+                for k, c in enumerate(cells):
+                    if c > mean:
+                        sig += 1 << k
+                if sig >= 1 << 63:
+                    sig -= 1 << 64  # two's-complement into a signed long
+                sigs.append(sig)
+            yield pd.DataFrame({"media_id": pdf["media_id"], "sig": sigs})
+
+    return df.select("media_id", "payload").mapInPandas(
+        _sig, schema="media_id long, sig long"
+    )
+
+
+def ahash_neardup_pairs(sigs: DataFrame, max_hamming: int = 3) -> DataFrame:
+    """Near-dup media pairs by aHash Hamming distance, found with the
+    SimHash quarter-blocking construction (operators/dedup.py): four
+    disjoint 16-bit blocks, equi-join per block, exact bit_count
+    re-check. Lossless for max_hamming <= 3 by pigeonhole — at most
+    3 differing bits cannot touch all 4 blocks. Never all-pairs."""
+    if max_hamming > 3:
+        raise ValueError("quarter-blocking is only lossless for max_hamming <= 3")
+    blocks = F.array(
+        *[
+            F.struct(
+                F.lit(q).alias("q"),
+                F.shiftrightunsigned(F.col("sig"), q * 16)
+                .bitwiseAND(F.lit(0xFFFF))
+                .alias("block"),
+            )
+            for q in range(4)
+        ]
+    )
+    exploded = sigs.select(
+        F.col("media_id"), F.col("sig"), F.explode(blocks).alias("_b")
+    ).select(
+        "media_id", "sig", F.col("_b.q").alias("q"), F.col("_b.block").alias("block")
+    )
+    a = exploded.select(
+        F.col("q"),
+        F.col("block"),
+        F.col("media_id").alias("id_a"),
+        F.col("sig").alias("_sa"),
+    )
+    b = exploded.select(
+        F.col("q"),
+        F.col("block"),
+        F.col("media_id").alias("id_b"),
+        F.col("sig").alias("_sb"),
+    )
+    hamming = F.bit_count(F.col("_sa").bitwiseXOR(F.col("_sb")))
+    return (
+        a.join(b, ["q", "block"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", hamming.alias("hamming"))
+        .where(F.col("hamming") <= max_hamming)
+        .distinct()
+    )

@@ -1071,3 +1071,16 @@ def doc_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Contract wrapper: see `text_analysis.zipf_fit` (log-log OLS
     over the top-500 token frequencies)."""
     return text_analysis.zipf_fit(_docs(spark, sf_dir), top=500)
+
+
+def media_ahash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual near-dup detection on the media table
+    (operators/multimodal.ahash_signatures + quarter-blocked pair
+    join). The deterministic stub decode is mirrored in the SQL
+    oracle (chunk byte sums over the utf-8 payload), so the whole
+    Arrow-batched Python stage is VALUE-hash verified — the same
+    standard as the JVM-side operators — and the oracle's brute-force
+    all-pairs form also proves the blocking lossless."""
+    media = multimodal.fake_media_from_documents(spark, _docs(spark, sf_dir))
+    sigs = multimodal.ahash_signatures(media)
+    return multimodal.ahash_neardup_pairs(sigs, max_hamming=3)

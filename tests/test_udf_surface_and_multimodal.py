@@ -100,3 +100,62 @@ def test_media_features_shape(spark, sf_dir):
     assert len(feats) == 10
     assert all(len(r["embedding"]) == 16 for r in feats)
     assert all(-1.0 <= x <= 1.0 for r in feats for x in r["embedding"])
+
+
+def test_ahash_finds_small_edit_not_unrelated(spark):
+    """A one-character edit perturbs few grid cells -> small Hamming
+    distance -> pair found; an unrelated payload is not paired."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from stream_processing_system_spark.operators import multimodal
+
+    base = ("key agg row scan slow fast table value part hash " * 8).strip()
+    edited = base.replace("slow", "slew", 1)
+    other = ("zq xv wk jm pl nt rb cd fg hs " * 10).strip()
+    docs = spark.createDataFrame(
+        pd.DataFrame(
+            {"doc_id": [1, 2, 3], "text": [base, edited, other],
+             "source": ["s", "s", "s"]}
+        )
+    )
+    media = multimodal.fake_media_from_documents(spark, docs)
+    sigs = multimodal.ahash_signatures(media)
+    pairs = {
+        (r["id_a"], r["id_b"]) for r in multimodal.ahash_neardup_pairs(sigs).collect()
+    }
+    assert (1, 2) in pairs
+    assert (1, 3) not in pairs and (2, 3) not in pairs
+
+
+def test_ahash_blocking_matches_brute_force(spark, sf_dir):
+    """Quarter-blocking returns EXACTLY the brute-force <=3-Hamming
+    pair set on real testdata (pigeonhole losslessness)."""
+    from pyspark.sql import functions as F
+
+    from stream_processing_system_spark.operators import multimodal
+    from stream_processing_system_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    media = multimodal.fake_media_from_documents(spark, docs)
+    sigs = multimodal.ahash_signatures(media).cache()
+    blocked = {
+        (r["id_a"], r["id_b"], r["hamming"])
+        for r in multimodal.ahash_neardup_pairs(sigs, max_hamming=3).collect()
+    }
+    a = sigs.select(F.col("media_id").alias("id_a"), F.col("sig").alias("_sa"))
+    b = sigs.select(F.col("media_id").alias("id_b"), F.col("sig").alias("_sb"))
+    brute = {
+        (r["id_a"], r["id_b"], r["hamming"])
+        for r in a.crossJoin(b)
+        .where(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            F.bit_count(F.col("_sa").bitwiseXOR(F.col("_sb"))).alias("hamming"),
+        )
+        .where(F.col("hamming") <= 3)
+        .collect()
+    }
+    sigs.unpersist()
+    assert blocked == brute
