@@ -92,6 +92,19 @@ HEADLINE = [
     "doc_ngram_diversity",
     "doc_corpus_card",
     "brand_revenue_pareto",
+    # round-2 second-session additions (new operator families)
+    "kmv_user_overlap",
+    "user_geo_neighbor_pairs",
+    "incremental_revenue_maintenance",
+    "event_sequence_motifs",
+    "value_trend_by_type",
+    "doc_hybrid_rrf_search",
+    "dedup_canonical",
+    "events_downsample_ltob",
+    "purchase_next_click_asof",
+    "events_anomaly_mad",
+    "doc_zipf_fit",
+    "media_ahash_neardup",
 ]
 
 
