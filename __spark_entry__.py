@@ -155,6 +155,28 @@ def _embedding_neardup_oracle_sql(threshold: float = 0.4) -> str:
     """
 
 
+def _hard_negative_oracle_sql(min_sim: float = 0.4, limit: int = 100) -> str:
+    """Hard-negative mining: same LSH blocking as the neardup oracle
+    plus the cross-label filter and a similarity top-k."""
+    sig = _lsh_sig_sql("embedding", 8)
+    return f"""
+        WITH tagged AS (
+            SELECT vec_id, embedding, label, {sig} AS sig FROM embeddings
+        )
+        SELECT * FROM (
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                   a.label AS label_a, b.label AS label_b,
+                   ROUND(list_cosine_similarity(a.embedding::DOUBLE[],
+                                                b.embedding::DOUBLE[]), 6) AS sim
+            FROM tagged a
+            JOIN tagged b ON a.sig = b.sig AND a.vec_id < b.vec_id
+            WHERE a.label <> b.label
+        ) WHERE sim >= {min_sim}
+        ORDER BY sim DESC, id_a ASC, id_b ASC
+        LIMIT {limit}
+    """
+
+
 def _rp_topk_oracle_sql(out_dim: int = 16, dim: int = 64, seed: int = 7, k: int = 10) -> str:
     """Random-projection top-k with the SAME seeded JL matrix the
     engine inlines (similarity.projection_matrix) and the det_round
@@ -671,6 +693,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_anomaly_mad": analytics.events_anomaly_mad,
         "doc_zipf_fit": pipeline.doc_zipf_fit,
         "media_ahash_neardup": pipeline.media_ahash_neardup,
+        "embedding_hard_negatives": pipeline.embedding_hard_negatives,
         # --- reference parity (SURVEY.md §2.12) ---
         "q1_wordcount": reference.q1_wordcount,
         "q2_top_users": reference.q2_top_users,
@@ -2232,6 +2255,7 @@ def oracle_sql() -> dict[str, str]:
         "lsh_topk": _lsh_topk_oracle_sql(),
         "knn_join_lsh": _knn_join_lsh_oracle_sql(),
         "embedding_neardup_pairs": _embedding_neardup_oracle_sql(0.4),
+        "embedding_hard_negatives": _hard_negative_oracle_sql(0.4, 100),
         "ivf_topk": _ivf_topk_oracle_sql(),
         "embedding_semantic_dedup": _semantic_dedup_oracle_sql(),
         "ivf_index_topk": _ivf_topk_oracle_sql(),

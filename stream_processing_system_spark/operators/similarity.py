@@ -1114,3 +1114,59 @@ def embedding_dim_stats(
         )
         .orderBy("label", "dim")
     )
+
+
+def hard_negative_pairs(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    n_planes: int = 8,
+    dim: int = 64,
+    seed: int = 42,
+    min_sim: float = 0.4,
+    limit: int = 100,
+) -> DataFrame:
+    """Contrastive hard-negative mining: pairs that are CLOSE in
+    embedding space (same LSH bucket, cosine >= min_sim) but carry
+    DIFFERENT labels — exactly the negatives that teach a contrastive
+    or metric-learning model its decision boundary (random negatives
+    are trivially far; these are the hard ones).
+
+    Same sub-quadratic LSH blocking as `embedding_neardup_pairs` —
+    the exact cosine runs only inside buckets — plus the cross-label
+    filter and a distributed top-`limit` by similarity
+    (TakeOrderedAndProject). Output: (id_a, id_b, label_a, label_b,
+    sim), hardest first."""
+    planes = _hyperplanes(dim, n_planes, seed)
+    tagged = df.select(
+        F.col(id_col),
+        F.col(vec_col),
+        F.col(label_col),
+        lsh_signature(F.col(vec_col), planes).alias("_sig"),
+        vector_norm(F.col(vec_col)).alias("_n"),
+    )
+    a, b = tagged.alias("a"), tagged.alias("b")
+    sim = F.round(
+        dot_product(F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}"))
+        / (F.col("a._n") * F.col("b._n")),
+        6,
+    )
+    return (
+        a.join(
+            b,
+            (F.col("a._sig") == F.col("b._sig"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .where(F.col(f"a.{label_col}") != F.col(f"b.{label_col}"))
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.col(f"a.{label_col}").alias("label_a"),
+            F.col(f"b.{label_col}").alias("label_b"),
+            sim.alias("sim"),
+        )
+        .where(F.col("sim") >= min_sim)
+        .orderBy(F.col("sim").desc(), F.col("id_a").asc(), F.col("id_b").asc())
+        .limit(limit)
+    )

@@ -1084,3 +1084,12 @@ def media_ahash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     media = multimodal.fake_media_from_documents(spark, _docs(spark, sf_dir))
     sigs = multimodal.ahash_signatures(media)
     return multimodal.ahash_neardup_pairs(sigs, max_hamming=3)
+
+
+def embedding_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contract wrapper: see `similarity.hard_negative_pairs`
+    (same-LSH-bucket, cross-label, high-cosine pairs — contrastive
+    training's hard negatives)."""
+    return similarity.hard_negative_pairs(
+        _embs(spark, sf_dir), min_sim=0.4, limit=100
+    )

@@ -332,3 +332,22 @@ def test_semantic_dedup_drops_planted_duplicate_keeps_first(spark):
     assert ids == set(range(50)) - {999} | {3}  # nothing else dropped
     # every kept row carries its cluster assignment
     assert all(0 <= r["centroid"] < 4 for r in kept)
+
+
+def test_hard_negatives_are_cross_label_and_close(spark, sf_dir):
+    """Every mined pair must share an LSH bucket by construction,
+    carry different labels, and clear the similarity floor; the list
+    is hardest-first."""
+    from stream_processing_system_spark.operators.similarity import (
+        hard_negative_pairs,
+    )
+    from stream_processing_system_spark.sources.tables import load_table
+
+    embs = load_table(spark, sf_dir, "embeddings")
+    rows = hard_negative_pairs(embs, min_sim=0.3, limit=50).collect()
+    assert len(rows) > 0
+    sims = [r["sim"] for r in rows]
+    assert sims == sorted(sims, reverse=True)
+    for r in rows:
+        assert r["label_a"] != r["label_b"]
+        assert r["sim"] >= 0.3
