@@ -694,6 +694,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_zipf_fit": pipeline.doc_zipf_fit,
         "media_ahash_neardup": pipeline.media_ahash_neardup,
         "embedding_hard_negatives": pipeline.embedding_hard_negatives,
+        "session_incident_overlap": analytics.session_incident_overlap,
         # --- reference parity (SURVEY.md §2.12) ---
         "q1_wordcount": reference.q1_wordcount,
         "q2_top_users": reference.q2_top_users,
@@ -3275,6 +3276,46 @@ def oracle_sql() -> dict[str, str]:
                 FROM g
             )
             SELECT DISTINCT doc_id, fp_hash FROM w
+        """,
+        "session_incident_overlap": """
+            -- brute-force inequality interval join: proves the Spark
+            -- bucketed first-shared-bucket join lossless
+            WITH es AS (
+                SELECT user_id, event_id,
+                       CAST(floor(epoch(ts)) AS BIGINT) AS tss
+                FROM events
+            ), marked AS (
+                SELECT user_id, event_id, tss,
+                       CASE WHEN tss - lag(tss) OVER w > 1800 THEN 1 ELSE 0 END
+                           AS newf
+                FROM es
+                WINDOW w AS (PARTITION BY user_id ORDER BY tss, event_id)
+            ), numbered AS (
+                SELECT user_id, tss,
+                       SUM(newf) OVER (PARTITION BY user_id
+                                       ORDER BY tss, event_id
+                                       ROWS UNBOUNDED PRECEDING) AS session_id
+                FROM marked
+            ), sess AS (
+                SELECT user_id, session_id,
+                       MIN(tss) AS ss, MAX(tss) + 1 AS se
+                FROM numbered GROUP BY user_id, session_id
+            ), incidents AS (
+                SELECT ih, ih + 3600 AS ie FROM (
+                    SELECT CAST(floor(CAST(floor(epoch(ts)) AS BIGINT) / 3600)
+                                AS BIGINT) * 3600 AS ih,
+                           COUNT(*) AS n
+                    FROM events WHERE event_type = 'error'
+                    GROUP BY 1
+                    ORDER BY n DESC, ih ASC LIMIT 20
+                )
+            )
+            SELECT s.user_id,
+                   s.ss AS session_start_s, s.se AS session_end_s,
+                   i.ih AS incident_hour_s,
+                   least(s.se, i.ie) - greatest(s.ss, i.ih) AS overlap_s
+            FROM sess s JOIN incidents i ON s.ss < i.ie AND i.ih < s.se
+            ORDER BY user_id, session_start_s, incident_hour_s
         """,
         "media_ahash_neardup": """
             -- mirrors the documented stub decode: pixels = per-chunk

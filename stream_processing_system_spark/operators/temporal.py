@@ -207,3 +207,54 @@ def asof_join_forward(
         F.col(f"{prefix}{c}") for c in right_cols
     ]
     return matched.select(*out_cols)
+
+
+def interval_overlap_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_start: str,
+    left_end: str,
+    right_start: str,
+    right_end: str,
+    bucket_seconds: int,
+    prefix: str = "r_",
+) -> DataFrame:
+    """Interval-OVERLAP join (both sides are [start, end) ranges in
+    epoch seconds): pairs where left ∩ right ≠ ∅. The naive form is
+    an inequality join (nested-loop); the scalable form explodes each
+    interval into the `bucket_seconds`-grain buckets it covers and
+    equi-joins on the bucket. A pair overlapping several shared
+    buckets would match once per bucket, so the join keeps only the
+    bucket containing the OVERLAP START
+    (bucket == floor(max(starts)/size)) — each qualifying pair
+    emerges exactly once, no distinct pass.
+
+    Fan-out per row = interval length / bucket size (pick the bucket
+    near the typical interval length; fan-out is bounded and
+    data-independent, which is what makes this safe at 100 TB).
+    Output: left columns + prefixed right columns."""
+    lb = F.explode(
+        F.sequence(
+            F.floor(F.col(left_start) / bucket_seconds).cast("long"),
+            F.floor((F.col(left_end) - 1) / bucket_seconds).cast("long"),
+        )
+    )
+    rb = F.explode(
+        F.sequence(
+            F.floor(F.col(right_start) / bucket_seconds).cast("long"),
+            F.floor((F.col(right_end) - 1) / bucket_seconds).cast("long"),
+        )
+    )
+    l = left.select(F.struct(*left.columns).alias("_lrow"), lb.alias("_b"))
+    r = right.select(F.struct(*right.columns).alias("_rrow"), rb.alias("_b"))
+    ls, le = F.col(f"_lrow.{left_start}"), F.col(f"_lrow.{left_end}")
+    rs, re_ = F.col(f"_rrow.{right_start}"), F.col(f"_rrow.{right_end}")
+    first_shared = F.floor(F.greatest(ls, rs) / bucket_seconds).cast("long")
+    joined = (
+        l.join(r, "_b")
+        .where((ls < re_) & (rs < le))
+        .where(F.col("_b") == first_shared)
+    )
+    out = [F.col(f"_lrow.{c}").alias(c) for c in left.columns]
+    out += [F.col(f"_rrow.{c}").alias(f"{prefix}{c}") for c in right.columns]
+    return joined.select(*out)

@@ -2749,3 +2749,63 @@ def events_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.abs(F.col("robust_z")) > 2.0)
         .orderBy("event_type", "day")
     )
+
+
+def session_incident_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-OVERLAP join (operators/temporal.interval_overlap_join):
+    user sessions (30-min-gap sessionization, half-open
+    [first_event, last_event+1s)) overlapped against the corpus's 20
+    worst error hours (top error-count hours as [hour, hour+1h)
+    incident windows). Executed as a bucketed equi-join with the
+    first-shared-bucket dedup rule — never an inequality nested-loop.
+    The SQL oracle is the brute-force inequality join, so the green
+    hash-match proves the bucketing lossless. Output includes the
+    overlap length in seconds (exact longs)."""
+    from stream_processing_system_spark.operators.temporal import (
+        interval_overlap_join,
+    )
+
+    events = load_table(spark, sf_dir, "events")
+    es = events.select(
+        "user_id",
+        "event_id",
+        F.col("ts").cast("long").alias("tss"),
+    )
+    w = Window.partitionBy("user_id").orderBy("tss", "event_id")
+    gap = (F.col("tss") - F.lag("tss").over(w)) > 1800
+    sess = (
+        es.withColumn("_new", F.when(gap, 1).otherwise(0))
+        .withColumn(
+            "session_id",
+            F.sum("_new").over(
+                w.rowsBetween(Window.unboundedPreceding, 0)
+            ),
+        )
+        .groupBy("user_id", "session_id")
+        .agg(
+            F.min("tss").alias("ss"),
+            (F.max("tss") + F.lit(1)).alias("se"),
+        )
+    )
+    incidents = (
+        events.where(F.col("event_type") == "error")
+        .select((F.floor(F.col("ts").cast("long") / 3600) * 3600).alias("ih"))
+        .groupBy("ih")
+        .agg(F.count(F.lit(1)).alias("n_errors"))
+        .orderBy(F.col("n_errors").desc(), F.col("ih").asc())
+        .limit(20)
+        .select("ih", (F.col("ih") + 3600).alias("ie"), "n_errors")
+    )
+    joined = interval_overlap_join(
+        sess, incidents, "ss", "se", "ih", "ie", bucket_seconds=3600
+    )
+    overlap = F.least(F.col("se"), F.col("r_ie")) - F.greatest(
+        F.col("ss"), F.col("r_ih")
+    )
+    return joined.select(
+        "user_id",
+        F.col("ss").alias("session_start_s"),
+        F.col("se").alias("session_end_s"),
+        F.col("r_ih").alias("incident_hour_s"),
+        overlap.alias("overlap_s"),
+    ).orderBy("user_id", "session_start_s", "incident_hour_s")

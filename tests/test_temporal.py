@@ -145,3 +145,52 @@ def test_asof_forward_known_answers(spark):
     tol = asof_join_forward(l, r, key="k", right_cols=["v"], tolerance_seconds=3)
     got_tol = {(row["k"], row["ts"].timestamp()) for row in tol.collect()}
     assert got_tol == {(1, 10.0)}  # 20->25 is 5s away, beyond the horizon
+
+
+def test_interval_overlap_join_exactly_once_per_pair(spark):
+    """A pair overlapping across SEVERAL shared buckets must emerge
+    exactly once (first-shared-bucket rule), and non-overlapping
+    intervals must not pair."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from stream_processing_system_spark.operators.temporal import (
+        interval_overlap_join,
+    )
+
+    # left: [0, 10000) spans buckets 0..9 at 1000s grain
+    left = spark.createDataFrame(
+        pd.DataFrame({"lid": [1, 2], "ls": [0, 50000], "le": [10000, 51000]})
+    ).select("lid", F.col("ls").cast("long"), F.col("le").cast("long"))
+    # right: [2500, 7500) shares buckets 2..7 with left#1; [20000,
+    # 21000) overlaps nothing
+    right = spark.createDataFrame(
+        pd.DataFrame({"rid": [10, 20], "rs": [2500, 20000], "re": [7500, 21000]})
+    ).select("rid", F.col("rs").cast("long"), F.col("re").cast("long"))
+    out = interval_overlap_join(
+        left, right, "ls", "le", "rs", "re", bucket_seconds=1000
+    ).collect()
+    assert [(r["lid"], r["r_rid"]) for r in out] == [(1, 10)]
+
+
+def test_interval_overlap_touching_edges_excluded(spark):
+    """Half-open semantics: [0,100) and [100,200) do NOT overlap."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from stream_processing_system_spark.operators.temporal import (
+        interval_overlap_join,
+    )
+
+    left = spark.createDataFrame(
+        pd.DataFrame({"lid": [1], "ls": [0], "le": [100]})
+    ).select("lid", F.col("ls").cast("long"), F.col("le").cast("long"))
+    right = spark.createDataFrame(
+        pd.DataFrame({"rid": [2], "rs": [100], "re": [200]})
+    ).select("rid", F.col("rs").cast("long"), F.col("re").cast("long"))
+    assert (
+        interval_overlap_join(
+            left, right, "ls", "le", "rs", "re", bucket_seconds=50
+        ).count()
+        == 0
+    )
