@@ -155,6 +155,63 @@ def _embedding_neardup_oracle_sql(threshold: float = 0.4) -> str:
     """
 
 
+def _pca_oracle_sql(
+    dim: int = 64, iters: int = 8, grid: int = 10_000, y_scale: int = 1_000
+) -> str:
+    """Unrolled SQL mirror of `linalg.pca_top_component`: every
+    data-sized sum is exact-integer-valued (order-free), the norm is
+    a fixed-order list_reduce fold in dimension order, and the grid
+    projection mirrors the operator's floor expression — so all
+    `iters` power iterations hash-match end-to-end."""
+    parts = [
+        f"""
+        WITH q AS MATERIALIZED (
+            SELECT vec_id AS id, d,
+                   floor(CAST(embedding[CAST(d + 1 AS INT)] AS DOUBLE)
+                         * {grid} + 0.5) AS q
+            FROM embeddings, UNNEST(range({dim})) AS u(d)
+        ), m AS MATERIALIZED (
+            SELECT d, floor(SUM(q) / COUNT(*)) AS m FROM q GROUP BY d
+        ), cl AS MATERIALIZED (
+            SELECT q.id, q.d, q.q - m.m AS c FROM q JOIN m USING (d)
+        ), v0 AS MATERIALIZED (
+            SELECT unnest(range({dim})) AS d, CAST({grid} AS DOUBLE) AS v
+        )"""
+    ]
+    for k in range(1, iters + 1):
+        p = k - 1
+        parts.append(
+            f""", y{k} AS MATERIALIZED (
+            SELECT cl.id, SUM(cl.c * v{p}.v) AS y
+            FROM cl JOIN v{p} ON cl.d = v{p}.d GROUP BY cl.id
+        ), yp{k} AS MATERIALIZED (
+            SELECT id, floor(y / {y_scale}.0) AS yp FROM y{k}
+        ), z{k} AS MATERIALIZED (
+            SELECT cl.d, SUM(cl.c * yp{k}.yp) AS z
+            FROM cl JOIN yp{k} USING (id) GROUP BY cl.d
+        ), n{k} AS MATERIALIZED (
+            SELECT list_reduce(list(z * z ORDER BY d), (a, b) -> a + b) AS s
+            FROM z{k}
+        ), v{k} AS MATERIALIZED (
+            SELECT d, floor(z * {grid}.0 / sqrt((SELECT s FROM n{k})) + 0.5) AS v
+            FROM z{k}
+        )"""
+        )
+    parts.append(
+        f""", sgn AS (
+            SELECT CASE WHEN (SELECT v FROM v{iters}
+                              WHERE d = (SELECT MIN(d) FROM v{iters}
+                                         WHERE v <> 0)) < 0
+                        THEN -1.0 ELSE 1.0 END AS s
+        )
+        SELECT CAST(v{iters}.d AS INT) AS d,
+               (sgn.s * v{iters}.v) / {grid}.0 AS loading
+        FROM v{iters}, sgn
+        ORDER BY d"""
+    )
+    return "".join(parts)
+
+
 def _hard_negative_oracle_sql(min_sim: float = 0.4, limit: int = 100) -> str:
     """Hard-negative mining: same LSH blocking as the neardup oracle
     plus the cross-label filter and a similarity top-k."""
@@ -695,6 +752,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_ahash_neardup": pipeline.media_ahash_neardup,
         "embedding_hard_negatives": pipeline.embedding_hard_negatives,
         "session_incident_overlap": analytics.session_incident_overlap,
+        "embedding_pca_top": pipeline.embedding_pca_top,
         # --- reference parity (SURVEY.md §2.12) ---
         "q1_wordcount": reference.q1_wordcount,
         "q2_top_users": reference.q2_top_users,
@@ -2257,6 +2315,7 @@ def oracle_sql() -> dict[str, str]:
         "knn_join_lsh": _knn_join_lsh_oracle_sql(),
         "embedding_neardup_pairs": _embedding_neardup_oracle_sql(0.4),
         "embedding_hard_negatives": _hard_negative_oracle_sql(0.4, 100),
+        "embedding_pca_top": _pca_oracle_sql(),
         "ivf_topk": _ivf_topk_oracle_sql(),
         "embedding_semantic_dedup": _semantic_dedup_oracle_sql(),
         "ivf_index_topk": _ivf_topk_oracle_sql(),

@@ -1093,3 +1093,12 @@ def embedding_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.hard_negative_pairs(
         _embs(spark, sf_dir), min_sim=0.4, limit=100
     )
+
+
+def embedding_pca_top(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contract wrapper: see `linalg.pca_top_component` (deterministic
+    integer-grid power iteration; hash-matched against an unrolled
+    SQL mirror of all 8 iterations)."""
+    from stream_processing_system_spark.operators import linalg
+
+    return linalg.pca_top_component(_embs(spark, sf_dir))
