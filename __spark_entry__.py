@@ -3402,12 +3402,15 @@ def oracle_sql() -> dict[str, str]:
                        CASE WHEN g.pix > s.mean THEN 1 ELSE 0 END AS bit
                 FROM grid g JOIN stats s USING (doc_id)
             ), sig AS (
+                -- CAST the SUM back to BIGINT: DuckDB sums BIGINT into
+                -- HUGEINT, and xor/bit_count at 128-bit width sees 64
+                -- phantom sign bits on negative signatures
                 SELECT doc_id,
-                       SUM(CASE WHEN bit = 1 AND k < 63
+                       CAST(SUM(CASE WHEN bit = 1 AND k < 63
                                 THEN (CAST(1 AS BIGINT) << k)
                                 WHEN bit = 1 AND k = 63
                                 THEN CAST(-9223372036854775808 AS BIGINT)
-                                ELSE CAST(0 AS BIGINT) END) AS sig
+                                ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS sig
                 FROM bits GROUP BY doc_id
             )
             SELECT a.doc_id AS id_a, b.doc_id AS id_b,
