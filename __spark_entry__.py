@@ -753,6 +753,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_hard_negatives": pipeline.embedding_hard_negatives,
         "session_incident_overlap": analytics.session_incident_overlap,
         "embedding_pca_top": pipeline.embedding_pca_top,
+        "supplier_scd2_commission": analytics.supplier_scd2_commission,
         # --- reference parity (SURVEY.md §2.12) ---
         "q1_wordcount": reference.q1_wordcount,
         "q2_top_users": reference.q2_top_users,
@@ -3335,6 +3336,37 @@ def oracle_sql() -> dict[str, str]:
                 FROM g
             )
             SELECT DISTINCT doc_id, fp_hash FROM w
+        """,
+        "supplier_scd2_commission": """
+            WITH base AS (
+                SELECT s_suppkey,
+                       ('0x' || substr(md5('scd|' || CAST(s_suppkey AS VARCHAR)), 1, 8))::BIGINT AS h
+                FROM supplier
+            ), dim AS (
+                SELECT s_suppkey, 'v1' AS version, h % 500 + 50 AS rate_bps,
+                       DATE '1990-01-01' AS valid_from,
+                       DATE '1996-01-01' + CAST(h % 1460 AS INT) AS valid_to
+                FROM base
+                UNION ALL
+                SELECT s_suppkey, 'v2', (h // 8) % 500 + 50,
+                       DATE '1996-01-01' + CAST(h % 1460 AS INT),
+                       DATE '2005-01-01'
+                FROM base
+            ), facts AS (
+                SELECT l_suppkey AS s_suppkey,
+                       CAST(l_shipdate AS DATE) AS ship_day,
+                       CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4)) AS rev
+                FROM lineitem
+            )
+            SELECT d.version,
+                   CAST(floor(d.rate_bps / 100) AS BIGINT) AS rate_band,
+                   COUNT(*) AS n_items,
+                   CAST(SUM(f.rev) AS DOUBLE) AS revenue,
+                   CAST(SUM(f.rev * d.rate_bps) AS DOUBLE) / 10000.0 AS commission
+            FROM facts f JOIN dim d USING (s_suppkey)
+            WHERE f.ship_day >= d.valid_from AND f.ship_day < d.valid_to
+            GROUP BY 1, 2
+            ORDER BY 1, 2
         """,
         "session_incident_overlap": """
             -- brute-force inequality interval join: proves the Spark

@@ -258,3 +258,30 @@ def interval_overlap_join(
     out = [F.col(f"_lrow.{c}").alias(c) for c in left.columns]
     out += [F.col(f"_rrow.{c}").alias(f"{prefix}{c}") for c in right.columns]
     return joined.select(*out)
+
+
+def scd2_join(
+    facts: DataFrame,
+    dim: DataFrame,
+    key: str,
+    ts_col: str,
+    valid_from: str = "valid_from",
+    valid_to: str = "valid_to",
+) -> DataFrame:
+    """Slowly-changing-dimension (SCD type 2) point-in-time join:
+    attach the dimension VERSION whose validity interval
+    [valid_from, valid_to) contains each fact's timestamp. Because
+    versions of one key tile time disjointly, the correct plan is a
+    plain EQUI-join on the key with the interval predicate as a
+    post-filter — fan-out before the filter is the per-key version
+    count (small by construction in any SCD2 table), never data².
+    This is the warehouse sibling of `asof_join`: as-of picks
+    "latest before", SCD2 picks "the version valid AT ts", and an
+    open-ended current version makes the two agree.
+
+    Facts whose ts falls in no version drop out (inner semantics) —
+    surface them with a left_anti join against this result when
+    auditing dimension coverage."""
+    return facts.join(dim, key).where(
+        (F.col(ts_col) >= F.col(valid_from)) & (F.col(ts_col) < F.col(valid_to))
+    )

@@ -2809,3 +2809,66 @@ def session_incident_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("r_ih").alias("incident_hour_s"),
         overlap.alias("overlap_s"),
     ).orderBy("user_id", "session_start_s", "incident_hour_s")
+
+
+def supplier_scd2_commission(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 point-in-time join (operators/temporal.scd2_join): a
+    two-version synthetic supplier dimension (commission rate changes
+    at an md5-derived split date per supplier) joined to lineitem AT
+    ship time, rolled up to commission totals per (version,
+    rate band). Exact DECIMAL money; the md5-derived dimension is
+    reproduced verbatim in the SQL oracle."""
+    from stream_processing_system_spark.functions.scalar import md5_prefix_long
+    from stream_processing_system_spark.operators.temporal import scd2_join
+
+    sup = load_table(spark, sf_dir, "supplier")
+    h = md5_prefix_long(F.col("s_suppkey").cast("string"), salt="scd|")
+    base = sup.select(
+        "s_suppkey",
+        h.alias("_h"),
+        F.date_add(
+            F.lit("1996-01-01").cast("date"), (h % 1460).cast("int")
+        ).alias("_split"),
+    )
+    v1 = base.select(
+        "s_suppkey",
+        F.lit("v1").alias("version"),
+        (F.col("_h") % 500 + 50).alias("rate_bps"),
+        F.lit("1990-01-01").cast("date").alias("valid_from"),
+        F.col("_split").alias("valid_to"),
+    )
+    v2 = base.select(
+        "s_suppkey",
+        F.lit("v2").alias("version"),
+        (F.shiftright("_h", 3) % 500 + 50).alias("rate_bps"),
+        F.col("_split").alias("valid_from"),
+        F.lit("2005-01-01").cast("date").alias("valid_to"),
+    )
+    dim = v1.unionByName(v2)
+    facts = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_suppkey").alias("s_suppkey"),
+        F.col("l_shipdate").cast("date").alias("ship_day"),
+        (F.col("l_extendedprice") * (1 - F.col("l_discount")))
+        .cast("decimal(18,4)")
+        .alias("_rev"),
+    )
+    joined = scd2_join(
+        facts, F.broadcast(dim), "s_suppkey", "ship_day"
+    )
+    return (
+        joined.groupBy(
+            "version", F.floor(F.col("rate_bps") / 100).cast("long").alias("rate_band")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.sum("_rev").cast("double").alias("revenue"),
+            # exact decimal sum FIRST, one double division LAST — a
+            # decimal/int division would round at a different scale
+            # than the oracle's double path
+            (
+                F.sum(F.col("_rev") * F.col("rate_bps")).cast("double")
+                / F.lit(10000.0)
+            ).alias("commission"),
+        )
+        .orderBy("version", "rate_band")
+    )

@@ -194,3 +194,45 @@ def test_interval_overlap_touching_edges_excluded(spark):
         ).count()
         == 0
     )
+
+
+def test_scd2_join_picks_the_valid_version(spark):
+    """Each fact lands on exactly the version whose window contains
+    its timestamp; out-of-window facts drop (inner)."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from stream_processing_system_spark.operators.temporal import scd2_join
+
+    dim = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "k": [1, 1, 2],
+                "version": ["v1", "v2", "v1"],
+                "valid_from": ["2020-01-01", "2021-01-01", "2020-01-01"],
+                "valid_to": ["2021-01-01", "2022-01-01", "2020-06-01"],
+            }
+        )
+    ).select(
+        "k",
+        "version",
+        F.col("valid_from").cast("date"),
+        F.col("valid_to").cast("date"),
+    )
+    facts = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "k": [1, 1, 1, 2],
+                "ts": ["2020-05-05", "2021-01-01", "2021-12-31", "2020-07-01"],
+            }
+        )
+    ).select("k", F.col("ts").cast("date"))
+    out = scd2_join(facts, dim, "k", "ts")
+    got = sorted((r["k"], str(r["ts"]), r["version"]) for r in out.collect())
+    # boundary 2021-01-01 belongs to v2 (half-open windows);
+    # k=2's fact is after its only version -> dropped
+    assert got == [
+        (1, "2020-05-05", "v1"),
+        (1, "2021-01-01", "v2"),
+        (1, "2021-12-31", "v2"),
+    ]
