@@ -341,6 +341,37 @@ def _semantic_dedup_oracle_sql(threshold: float = 0.4) -> str:
     """
 
 
+def _kmeans_stats_oracle_sql() -> str:
+    """K-means cluster stats: the SAME trained codebook + argmax
+    assignment as the IVF oracles, aggregated to per-cluster size and
+    micro-floored mean cohesion."""
+    cte, final = _ivf_trained_cte()
+    return f"""
+        WITH {cte},
+        c AS (SELECT cid, cvec FROM {final}),
+        assigned AS (
+            SELECT vec_id, cid, csim FROM (
+                SELECT e.vec_id, c.cid,
+                       list_cosine_similarity(e.embedding::DOUBLE[],
+                                              c.cvec::DOUBLE[]) AS csim,
+                       row_number() OVER (
+                           PARTITION BY e.vec_id
+                           ORDER BY list_cosine_similarity(
+                               e.embedding::DOUBLE[], c.cvec::DOUBLE[]) DESC,
+                           c.cid ASC) AS rn
+                FROM embeddings e CROSS JOIN c
+            ) WHERE rn = 1
+        )
+        SELECT cid AS cluster,
+               COUNT(*) AS n_members,
+               CAST(SUM(CAST(floor(csim * 1000000.0 + 0.5) AS BIGINT)) AS DOUBLE)
+                   / 1000000.0 / CAST(COUNT(*) AS DOUBLE) AS cohesion
+        FROM assigned
+        GROUP BY cid
+        ORDER BY cid
+    """
+
+
 def _ivf_topk_oracle_sql(n_centroids: int = 16, n_probe: int = 4, k: int = 10) -> str:
     """IVF in SQL: the SAME trained codebook as the engine
     (`_ivf_trained_cte`), argmax assignment with the engine's
@@ -754,6 +785,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "session_incident_overlap": analytics.session_incident_overlap,
         "embedding_pca_top": pipeline.embedding_pca_top,
         "supplier_scd2_commission": analytics.supplier_scd2_commission,
+        "embedding_kmeans_clusters": pipeline.embedding_kmeans_clusters,
         # --- reference parity (SURVEY.md §2.12) ---
         "q1_wordcount": reference.q1_wordcount,
         "q2_top_users": reference.q2_top_users,
@@ -2317,6 +2349,7 @@ def oracle_sql() -> dict[str, str]:
         "embedding_neardup_pairs": _embedding_neardup_oracle_sql(0.4),
         "embedding_hard_negatives": _hard_negative_oracle_sql(0.4, 100),
         "embedding_pca_top": _pca_oracle_sql(),
+        "embedding_kmeans_clusters": _kmeans_stats_oracle_sql(),
         "ivf_topk": _ivf_topk_oracle_sql(),
         "embedding_semantic_dedup": _semantic_dedup_oracle_sql(),
         "ivf_index_topk": _ivf_topk_oracle_sql(),

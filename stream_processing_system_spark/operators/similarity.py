@@ -1170,3 +1170,55 @@ def hard_negative_pairs(
         .orderBy(F.col("sim").desc(), F.col("id_a").asc(), F.col("id_b").asc())
         .limit(limit)
     )
+
+
+def kmeans_cluster_stats(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_centroids: int = 16,
+    iters: int = 2,
+) -> DataFrame:
+    """K-means clustering exposed as a first-class result: train the
+    deterministic Lloyd's codebook (`train_ivf_centroids` — the same
+    one IVF search uses), assign every vector by argmax cosine, and
+    report per-cluster size and mean cohesion (average cosine of
+    members to their centroid).
+
+    Cohesion is averaged from MICRO-FLOORED per-row cosines summed as
+    exact int64 — partition-order-free, so the whole clustering
+    (codebook, assignment, stats) hash-matches its SQL mirror.
+    Shape: one broadcast of K centroid vectors + one hash aggregate;
+    the training adds `iters` assign+mean rounds (two data passes
+    each)."""
+    cents = train_ivf_centroids(df, id_col, vec_col, n_centroids, iters=iters)
+    centroids = _centroid_frame(df.sparkSession, cents)
+    sims = df.crossJoin(F.broadcast(centroids)).select(
+        F.col(id_col),
+        F.col("_cid"),
+        cosine_similarity(F.col(vec_col), F.col("_cvec")).alias("_csim"),
+    )
+    assigned = sims.groupBy(id_col).agg(
+        F.max_by(
+            F.struct(F.col("_cid"), F.col("_csim")),
+            F.struct(F.col("_csim"), (-F.col("_cid")).alias("_nc")),
+        ).alias("_best")
+    )
+    member = assigned.select(
+        F.col("_best._cid").alias("cluster"),
+        F.floor(F.col("_best._csim") * 1_000_000.0 + F.lit(0.5))
+        .cast("long")
+        .alias("_cu"),
+    )
+    return (
+        member.groupBy("cluster")
+        .agg(
+            F.count(F.lit(1)).alias("n_members"),
+            (
+                F.sum("_cu").cast("double")
+                / F.lit(1_000_000.0)
+                / F.count(F.lit(1)).cast("double")
+            ).alias("cohesion"),
+        )
+        .orderBy("cluster")
+    )

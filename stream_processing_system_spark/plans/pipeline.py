@@ -1102,3 +1102,10 @@ def embedding_pca_top(spark: SparkSession, sf_dir: str) -> DataFrame:
     from stream_processing_system_spark.operators import linalg
 
     return linalg.pca_top_component(_embs(spark, sf_dir))
+
+
+def embedding_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contract wrapper: see `similarity.kmeans_cluster_stats` (the
+    IVF codebook surfaced as a clustering result: per-cluster size +
+    mean member-to-centroid cosine)."""
+    return similarity.kmeans_cluster_stats(_embs(spark, sf_dir))

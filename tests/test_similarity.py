@@ -351,3 +351,28 @@ def test_hard_negatives_are_cross_label_and_close(spark, sf_dir):
     for r in rows:
         assert r["label_a"] != r["label_b"]
         assert r["sim"] >= 0.3
+
+
+def test_kmeans_stats_cover_all_vectors_and_separate_planted_clusters(spark):
+    """Planted two tight clusters -> k=2 recovers the split with
+    near-1 cohesion; membership counts cover every vector once."""
+    import numpy as np
+    import pandas as pd
+
+    from stream_processing_system_spark.operators.similarity import (
+        kmeans_cluster_stats,
+    )
+
+    rng = np.random.default_rng(11)
+    a = rng.normal(loc=5.0, scale=0.05, size=(40, 8))
+    b = rng.normal(loc=-5.0, scale=0.05, size=(40, 8))
+    pts = np.vstack([a, b])
+    pdf = pd.DataFrame(
+        {"vec_id": range(80), "embedding": [r.tolist() for r in pts]}
+    )
+    df = spark.createDataFrame(pdf)
+    out = kmeans_cluster_stats(df, n_centroids=2, iters=2).collect()
+    assert sum(r["n_members"] for r in out) == 80
+    assert sorted(r["n_members"] for r in out) == [40, 40]
+    for r in out:
+        assert r["cohesion"] > 0.999, r
