@@ -786,6 +786,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_pca_top": pipeline.embedding_pca_top,
         "supplier_scd2_commission": analytics.supplier_scd2_commission,
         "embedding_kmeans_clusters": pipeline.embedding_kmeans_clusters,
+        "stream_kmv_distinct_users": streaming_parity.stream_kmv_distinct_users,
         # --- reference parity (SURVEY.md §2.12) ---
         "q1_wordcount": reference.q1_wordcount,
         "q2_top_users": reference.q2_top_users,
@@ -3369,6 +3370,29 @@ def oracle_sql() -> dict[str, str]:
                 FROM g
             )
             SELECT DISTINCT doc_id, fp_hash FROM w
+        """,
+        "stream_kmv_distinct_users": """
+            -- batch KMV estimate: valid for the STREAMING query
+            -- because KMV merge is associative over micro-batches
+            WITH hashed AS (
+                SELECT DISTINCT event_type AS g,
+                       ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT AS h
+                FROM events
+            ), sk AS (
+                SELECT g, h FROM (
+                    SELECT g, h,
+                           row_number() OVER (PARTITION BY g ORDER BY h) AS rn
+                    FROM hashed
+                ) WHERE rn <= 256
+            ), agg AS (
+                SELECT g, MAX(h) AS kth, COUNT(*) AS n FROM sk GROUP BY g
+            )
+            SELECT g AS event_type,
+                   CAST(floor((CASE WHEN n >= 256
+                        THEN 255.0 / (CAST(kth AS DOUBLE) / 1152921504606846976.0)
+                        ELSE CAST(n AS DOUBLE) END) + 0.5) AS BIGINT) AS est_distinct
+            FROM agg
+            ORDER BY event_type
         """,
         "supplier_scd2_commission": """
             WITH base AS (

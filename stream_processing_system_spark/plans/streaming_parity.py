@@ -647,3 +647,32 @@ def stream_upsert_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     _cleanup(input_dir)
     return out
+
+
+def stream_kmv_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type distinct-user ESTIMATES from a KMV sketch maintained
+    incrementally by the streaming foreachBatch merge
+    (jobs.stream_kmv_sketches) over a multi-file events drop. KMV
+    merge associativity makes the final sketch identical to the
+    batch-built one, so the estimates hash-match the batch oracle —
+    sketch algebra, streaming upsert, and exactly-once replay
+    guarded, all checked by one SQL string."""
+    from stream_processing_system_spark.operators.sketch_kmv import kmv_estimates
+
+    input_dir, ckpt, run = _scratch("kmv")
+    state_dir = os.path.join(os.path.dirname(input_dir), "state")
+    events = load_table(spark, sf_dir, "events").select(
+        F.col("event_type").alias("g"), F.col("user_id").alias("member")
+    )
+    events.repartition(4).write.mode("overwrite").parquet(input_dir)
+    sketch = jobs.stream_kmv_sketches(
+        spark, input_dir, ckpt, state_dir, name=f"kmv_{run}", k=256
+    )
+    out = (
+        kmv_estimates(sketch, "g", k=256)
+        .select(F.col("g").alias("event_type"), "est_distinct")
+        .orderBy("event_type")
+        .localCheckpoint()
+    )
+    _cleanup(input_dir)
+    return out

@@ -484,3 +484,80 @@ def stream_upsert_totals(
     )
     q.awaitTermination()
     return spark.read.parquet(_serving(_committed()))
+
+
+def stream_kmv_sketches(
+    spark: SparkSession,
+    input_dir: str,
+    checkpoint_dir: str,
+    state_dir: str,
+    name: str = "kmv_stream",
+    k: int = 256,
+) -> DataFrame:
+    """Streaming DISTINCT-COUNT sketch maintenance: each micro-batch
+    builds per-group KMV sketches (operators/sketch_kmv) and MERGES
+    them into a parquet serving table via foreachBatch — merge =
+    union of hash sets, re-take the k minima. KMV merge is
+    associative and idempotent over batch splits (the k smallest of
+    the whole stream are each among some batch's k smallest), so the
+    final serving sketch is bit-identical to the batch-built sketch
+    no matter how the input was micro-batched — which is exactly what
+    lets the streaming query share the BATCH oracle.
+
+    Same directory-rotation + committed-epoch replay guard as
+    `stream_upsert_totals` (exactly-once on at-least-once replay).
+    Returns the final serving sketch frame (group, h, rn)."""
+    import os
+    import shutil
+
+    from pyspark.sql import Window
+
+    from stream_processing_system_spark.operators.sketch_kmv import kmv_sketch
+
+    stream = (
+        spark.readStream.schema("g string, member bigint")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(input_dir)
+    )
+    marker = os.path.join(state_dir, "_committed_epoch")
+
+    def _committed() -> int:
+        if os.path.exists(marker):
+            return int(open(marker).read().strip())
+        return -1
+
+    def _serving(epoch: int) -> str:
+        return os.path.join(state_dir, f"serving_v{epoch}")
+
+    def _apply(batch_df: DataFrame, epoch_id: int) -> None:
+        last = _committed()
+        if epoch_id <= last:
+            return
+        delta = kmv_sketch(batch_df, "g", "member", k=k).select("g", "h")
+        if last >= 0:
+            base = spark.read.parquet(_serving(last)).select("g", "h")
+            merged_vals = base.unionByName(delta).distinct()
+        else:
+            merged_vals = delta
+        w = Window.partitionBy("g").orderBy("h")
+        merged = (
+            merged_vals.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") <= k)
+        )
+        merged.write.mode("overwrite").parquet(_serving(epoch_id))
+        tmp = marker + ".tmp"
+        with open(tmp, "w") as f:
+            f.write(str(int(epoch_id)))
+        os.replace(tmp, marker)
+        if last >= 0:
+            shutil.rmtree(_serving(last), ignore_errors=True)
+
+    q = (
+        stream.writeStream.foreachBatch(_apply)
+        .queryName(name)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.parquet(_serving(_committed()))

@@ -151,3 +151,31 @@ def test_upsert_sink_multi_batch_and_restart_idempotent(spark, tmp_path):
         r["user_id"]: (r["n_events"], r["sum_u"]) for r in serving2.collect()
     }
     assert got2 == want
+
+
+def test_kmv_merge_associativity_across_batch_splits(spark, tmp_path):
+    """The streamed (multi-batch) sketch must equal the batch-built
+    sketch bit-for-bit — the associativity property the shared
+    oracle rests on. Uses an ESTIMATING-size group (n >> k)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from stream_processing_system_spark.operators.sketch_kmv import kmv_sketch
+    from stream_processing_system_spark.streaming import jobs
+
+    input_dir = str(tmp_path / "in")
+    state_dir = str(tmp_path / "state")
+    ckpt = str(tmp_path / "ckpt")
+    facts = spark.range(0, 5000).select(
+        F.lit("a").alias("g"), F.col("id").alias("member")
+    )
+    facts.repartition(4).write.mode("overwrite").parquet(input_dir)
+    streamed = jobs.stream_kmv_sketches(
+        spark, input_dir, ckpt, state_dir, name="kmv_t", k=64
+    )
+    committed = int(open(os.path.join(state_dir, "_committed_epoch")).read())
+    assert committed >= 2
+    got = sorted(r["h"] for r in streamed.collect())
+    want = sorted(r["h"] for r in kmv_sketch(facts, "g", "member", k=64).collect())
+    assert got == want and len(got) == 64
