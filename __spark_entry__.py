@@ -155,16 +155,53 @@ def _embedding_neardup_oracle_sql(threshold: float = 0.4) -> str:
     """
 
 
-def _pca_oracle_sql(
-    dim: int = 64, iters: int = 8, grid: int = 10_000, y_scale: int = 1_000
+def _pca_chain_sql(
+    cl: str, pfx: str, dim: int, iters: int, grid: int, y_scale: int
 ) -> str:
-    """Unrolled SQL mirror of `linalg.pca_top_component`: every
-    data-sized sum is exact-integer-valued (order-free), the norm is
-    a fixed-order list_reduce fold in dimension order, and the grid
-    projection mirrors the operator's floor expression — so all
-    `iters` power iterations hash-match end-to-end."""
+    """One power-iteration chain (MATERIALIZED CTEs `{pfx}v0..{pfx}v{iters}`)
+    over centered long frame `cl`; see `_pca_oracle_sql`."""
     parts = [
-        f"""
+        f""", {pfx}v0 AS MATERIALIZED (
+            SELECT unnest(range({dim})) AS d, CAST({grid} AS DOUBLE) AS v
+        )"""
+    ]
+    for k in range(1, iters + 1):
+        p = k - 1
+        parts.append(
+            f""", {pfx}y{k} AS MATERIALIZED (
+            SELECT {cl}.id, SUM({cl}.c * {pfx}v{p}.v) AS y
+            FROM {cl} JOIN {pfx}v{p} ON {cl}.d = {pfx}v{p}.d GROUP BY {cl}.id
+        ), {pfx}yp{k} AS MATERIALIZED (
+            SELECT id, floor(y / {y_scale}.0) AS yp FROM {pfx}y{k}
+        ), {pfx}z{k} AS MATERIALIZED (
+            SELECT {cl}.d, SUM({cl}.c * {pfx}yp{k}.yp) AS z
+            FROM {cl} JOIN {pfx}yp{k} USING (id) GROUP BY {cl}.d
+        ), {pfx}n{k} AS MATERIALIZED (
+            SELECT list_reduce(list(z * z ORDER BY d), (a, b) -> a + b) AS s
+            FROM {pfx}z{k}
+        ), {pfx}v{k} AS MATERIALIZED (
+            SELECT d, floor(z * {grid}.0 / sqrt((SELECT s FROM {pfx}n{k})) + 0.5) AS v
+            FROM {pfx}z{k}
+        )"""
+        )
+    return "".join(parts)
+
+
+def _pca_oracle_sql(
+    dim: int = 64,
+    iters: int = 8,
+    grid: int = 10_000,
+    y_scale: int = 1_000,
+    n_components: int = 1,
+) -> str:
+    """Unrolled SQL mirror of `linalg.pca_components`: every
+    data-sized sum is exact-integer-valued (order-free), the norm is
+    a fixed-order list_reduce fold in dimension order, the grid
+    projection and the integer-grid deflation mirror the operator's
+    floor expressions — so every power iteration of every component
+    hash-matches end-to-end. CTEs are MATERIALIZED: DuckDB would
+    otherwise inline the iteration chain exponentially."""
+    head = f"""
         WITH q AS MATERIALIZED (
             SELECT vec_id AS id, d,
                    floor(CAST(embedding[CAST(d + 1 AS INT)] AS DOUBLE)
@@ -172,43 +209,60 @@ def _pca_oracle_sql(
             FROM embeddings, UNNEST(range({dim})) AS u(d)
         ), m AS MATERIALIZED (
             SELECT d, floor(SUM(q) / COUNT(*)) AS m FROM q GROUP BY d
-        ), cl AS MATERIALIZED (
+        ), cl1 AS MATERIALIZED (
             SELECT q.id, q.d, q.q - m.m AS c FROM q JOIN m USING (d)
-        ), v0 AS MATERIALIZED (
-            SELECT unnest(range({dim})) AS d, CAST({grid} AS DOUBLE) AS v
         )"""
-    ]
-    for k in range(1, iters + 1):
-        p = k - 1
+    parts = [head, _pca_chain_sql("cl1", "a", dim, iters, grid, y_scale)]
+    prefixes = ["a"]
+    for comp in range(2, n_components + 1):
+        prev, pfx = prefixes[-1], "abcdefgh"[comp - 1]
         parts.append(
-            f""", y{k} AS MATERIALIZED (
-            SELECT cl.id, SUM(cl.c * v{p}.v) AS y
-            FROM cl JOIN v{p} ON cl.d = v{p}.d GROUP BY cl.id
-        ), yp{k} AS MATERIALIZED (
-            SELECT id, floor(y / {y_scale}.0) AS yp FROM y{k}
-        ), z{k} AS MATERIALIZED (
-            SELECT cl.d, SUM(cl.c * yp{k}.yp) AS z
-            FROM cl JOIN yp{k} USING (id) GROUP BY cl.d
-        ), n{k} AS MATERIALIZED (
-            SELECT list_reduce(list(z * z ORDER BY d), (a, b) -> a + b) AS s
-            FROM z{k}
-        ), v{k} AS MATERIALIZED (
-            SELECT d, floor(z * {grid}.0 / sqrt((SELECT s FROM n{k})) + 0.5) AS v
-            FROM z{k}
+            f""", {prev}vv AS MATERIALIZED (
+            SELECT list_reduce(list(v * v ORDER BY d), (a, b) -> a + b) AS s
+            FROM {prev}v{iters}
+        ), {prev}yd AS MATERIALIZED (
+            SELECT cl{comp - 1}.id, SUM(cl{comp - 1}.c * {prev}v{iters}.v) AS y
+            FROM cl{comp - 1} JOIN {prev}v{iters} ON cl{comp - 1}.d = {prev}v{iters}.d
+            GROUP BY cl{comp - 1}.id
+        ), cl{comp} AS MATERIALIZED (
+            SELECT cl{comp - 1}.id, cl{comp - 1}.d,
+                   cl{comp - 1}.c - floor({prev}yd.y * {prev}v{iters}.v
+                                          / (SELECT s FROM {prev}vv) + 0.5) AS c
+            FROM cl{comp - 1}
+            JOIN {prev}yd USING (id)
+            JOIN {prev}v{iters} ON cl{comp - 1}.d = {prev}v{iters}.d
         )"""
         )
-    parts.append(
-        f""", sgn AS (
-            SELECT CASE WHEN (SELECT v FROM v{iters}
-                              WHERE d = (SELECT MIN(d) FROM v{iters}
+        parts.append(_pca_chain_sql(f"cl{comp}", pfx, dim, iters, grid, y_scale))
+        prefixes.append(pfx)
+    selects = []
+    for comp, pfx in enumerate(prefixes, start=1):
+        parts.append(
+            f""", {pfx}sgn AS MATERIALIZED (
+            SELECT CASE WHEN (SELECT v FROM {pfx}v{iters}
+                              WHERE d = (SELECT MIN(d) FROM {pfx}v{iters}
                                          WHERE v <> 0)) < 0
                         THEN -1.0 ELSE 1.0 END AS s
+        )"""
         )
-        SELECT CAST(v{iters}.d AS INT) AS d,
-               (sgn.s * v{iters}.v) / {grid}.0 AS loading
-        FROM v{iters}, sgn
+        selects.append(
+            f"""SELECT {comp} AS component, CAST({pfx}v{iters}.d AS INT) AS d,
+                   ({pfx}sgn.s * {pfx}v{iters}.v) / {grid}.0 AS loading
+            FROM {pfx}v{iters}, {pfx}sgn"""
+        )
+    if n_components == 1:
+        parts.append(
+            f"""
+        SELECT CAST(av{iters}.d AS INT) AS d,
+               (asgn.s * av{iters}.v) / {grid}.0 AS loading
+        FROM av{iters}, asgn
         ORDER BY d"""
-    )
+        )
+    else:
+        parts.append(
+            "\n        " + "\n        UNION ALL\n        ".join(selects)
+            + "\n        ORDER BY component, d"
+        )
     return "".join(parts)
 
 
@@ -786,6 +840,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_pca_top": pipeline.embedding_pca_top,
         "supplier_scd2_commission": analytics.supplier_scd2_commission,
         "embedding_kmeans_clusters": pipeline.embedding_kmeans_clusters,
+        "embedding_pca_top2": pipeline.embedding_pca_top2,
         "stream_kmv_distinct_users": streaming_parity.stream_kmv_distinct_users,
         # --- reference parity (SURVEY.md §2.12) ---
         "q1_wordcount": reference.q1_wordcount,
@@ -2351,6 +2406,7 @@ def oracle_sql() -> dict[str, str]:
         "embedding_hard_negatives": _hard_negative_oracle_sql(0.4, 100),
         "embedding_pca_top": _pca_oracle_sql(),
         "embedding_kmeans_clusters": _kmeans_stats_oracle_sql(),
+        "embedding_pca_top2": _pca_oracle_sql(n_components=2),
         "ivf_topk": _ivf_topk_oracle_sql(),
         "embedding_semantic_dedup": _semantic_dedup_oracle_sql(),
         "ivf_index_topk": _ivf_topk_oracle_sql(),

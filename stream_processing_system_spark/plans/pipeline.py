@@ -1109,3 +1109,12 @@ def embedding_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     IVF codebook surfaced as a clustering result: per-cluster size +
     mean member-to-centroid cosine)."""
     return similarity.kmeans_cluster_stats(_embs(spark, sf_dir))
+
+
+def embedding_pca_top2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contract wrapper: see `linalg.pca_components` with
+    n_components=2 (integer-grid deflation between components; both
+    8-iteration chains hash-matched in the unrolled SQL mirror)."""
+    from stream_processing_system_spark.operators import linalg
+
+    return linalg.pca_components(_embs(spark, sf_dir), n_components=2)

@@ -45,3 +45,28 @@ def test_pca_is_run_to_run_deterministic(spark):
         ).orderBy("d").collect()
     ]
     assert a == b  # bit-identical across partitionings
+
+
+def test_two_components_orthogonal_and_ranked(spark):
+    """With two planted orthogonal directions of variance 25 and 9,
+    pca_components(n=2) recovers both in order, near-orthogonal."""
+    from stream_processing_system_spark.operators.linalg import pca_components
+
+    rng = np.random.default_rng(5)
+    dim = 12
+    d1 = rng.normal(size=dim); d1 /= np.linalg.norm(d1)
+    d2 = rng.normal(size=dim); d2 -= d2.dot(d1) * d1; d2 /= np.linalg.norm(d2)
+    t1 = rng.normal(scale=5.0, size=500)
+    t2 = rng.normal(scale=3.0, size=500)
+    pts = np.outer(t1, d1) + np.outer(t2, d2) + rng.normal(scale=0.05, size=(500, dim))
+    df = spark.createDataFrame(
+        pd.DataFrame({"vec_id": range(500), "embedding": [r.tolist() for r in pts]})
+    )
+    out = pca_components(df, dim=dim, n_components=2, iters=10)
+    vs = {}
+    for r in out.collect():
+        vs.setdefault(r["component"], [0.0] * dim)[r["d"]] = r["loading"]
+    v1, v2 = np.array(vs[1]), np.array(vs[2])
+    assert abs(abs(float(v1.dot(d1))) - 1.0) < 0.02
+    assert abs(abs(float(v2.dot(d2))) - 1.0) < 0.02
+    assert abs(float(v1.dot(v2))) < 0.05  # near-orthogonal
