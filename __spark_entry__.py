@@ -841,6 +841,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "supplier_scd2_commission": analytics.supplier_scd2_commission,
         "embedding_kmeans_clusters": pipeline.embedding_kmeans_clusters,
         "embedding_pca_top2": pipeline.embedding_pca_top2,
+        "orders_quality_checks": analytics.orders_quality_checks,
         "stream_kmv_distinct_users": streaming_parity.stream_kmv_distinct_users,
         # --- reference parity (SURVEY.md §2.12) ---
         "q1_wordcount": reference.q1_wordcount,
@@ -3426,6 +3427,43 @@ def oracle_sql() -> dict[str, str]:
                 FROM g
             )
             SELECT DISTINCT doc_id, fp_hash FROM w
+        """,
+        "orders_quality_checks": """
+            WITH rowagg AS (
+                SELECT
+                    SUM(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS v_nn,
+                    SUM(CASE WHEN NOT (o_orderstatus IN ('O','F','P'))
+                             THEN 1 ELSE 0 END) AS v_dom,
+                    SUM(CASE WHEN NOT (o_totalprice > 0) THEN 1 ELSE 0 END) AS v_pos,
+                    SUM(CASE WHEN NOT (o_orderdate >= TIMESTAMP '1990-01-01'
+                                   AND o_orderdate < TIMESTAMP '2005-01-01')
+                             THEN 1 ELSE 0 END) AS v_win
+                FROM orders
+            ), uni AS (
+                SELECT SUM(c - 1) AS v FROM (
+                    SELECT COUNT(*) AS c FROM orders GROUP BY o_orderkey
+                )
+            ), ref AS (
+                SELECT COUNT(*) AS v
+                FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+                WHERE c.c_custkey IS NULL
+            ), stacked AS (
+                SELECT 'not_null:o_orderkey' AS rule,
+                       CAST(v_nn AS BIGINT) AS n_violations FROM rowagg
+                UNION ALL
+                SELECT 'domain:o_orderstatus', CAST(v_dom AS BIGINT) FROM rowagg
+                UNION ALL
+                SELECT 'range:o_totalprice_positive', CAST(v_pos AS BIGINT) FROM rowagg
+                UNION ALL
+                SELECT 'range:o_orderdate_window', CAST(v_win AS BIGINT) FROM rowagg
+                UNION ALL
+                SELECT 'unique:o_orderkey', CAST(COALESCE(v, 0) AS BIGINT) FROM uni
+                UNION ALL
+                SELECT 'references:o_custkey', CAST(COALESCE(v, 0) AS BIGINT) FROM ref
+            )
+            SELECT rule, n_violations, n_violations = 0 AS pass
+            FROM stacked
+            ORDER BY rule
         """,
         "stream_kmv_distinct_users": """
             -- batch KMV estimate: valid for the STREAMING query

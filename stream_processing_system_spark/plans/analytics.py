@@ -2872,3 +2872,34 @@ def supplier_scd2_commission(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("version", "rate_band")
     )
+
+
+def orders_quality_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality expectations over orders
+    (operators/expectations.py): null / domain / range rules folded
+    into ONE scan aggregate, key uniqueness as one aggregate, and a
+    customer referential check as a left_anti join. Output is the
+    gate report (rule, n_violations, pass) a load pipeline acts on."""
+    from stream_processing_system_spark.operators import expectations as ex
+
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    rules = [
+        ex.Rule("not_null:o_orderkey", F.col("o_orderkey").isNotNull()),
+        ex.Rule(
+            "domain:o_orderstatus",
+            F.col("o_orderstatus").isin("O", "F", "P"),
+        ),
+        ex.Rule("range:o_totalprice_positive", F.col("o_totalprice") > 0),
+        ex.Rule(
+            "range:o_orderdate_window",
+            (F.col("o_orderdate") >= F.lit("1990-01-01"))
+            & (F.col("o_orderdate") < F.lit("2005-01-01")),
+        ),
+    ]
+    return ex.check(
+        orders,
+        rules,
+        unique_keys=["o_orderkey"],
+        references={"o_custkey": (customer, "c_custkey")},
+    )

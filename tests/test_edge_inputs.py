@@ -73,3 +73,38 @@ def test_bfs_empty_graph_and_domain_cap_validation(spark):
     df = spark.createDataFrame([(1, "s", 2)], ["doc_id", "source", "n_chars"])
     with pytest.raises(ValueError, match="cap must be"):
         curation.domain_cap(df, "source", 0, [F.col("n_chars").desc()], "doc_id")
+
+
+def test_expectations_report_planted_violations(spark):
+    """Planted nulls, domain breaks, duplicate keys, and orphan FKs
+    must each be counted by exactly their rule."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from stream_processing_system_spark.operators import expectations as ex
+
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "k": [1, 2, 2, 3, 4],
+                "status": ["O", "X", "F", None, "O"],
+                "price": [10.0, -5.0, 3.0, 1.0, 0.0],
+                "fk": [100, 100, 200, 999, 100],
+            }
+        )
+    )
+    parent = spark.createDataFrame(pd.DataFrame({"pk": [100, 200]}))
+    out = ex.check(
+        df,
+        [
+            ex.Rule("domain:status", F.col("status").isin("O", "F", "P")),
+            ex.Rule("range:price_positive", F.col("price") > 0),
+        ],
+        unique_keys=["k"],
+        references={"fk": (parent, "pk")},
+    )
+    got = {r["rule"]: (r["n_violations"], r["pass"]) for r in out.collect()}
+    assert got["domain:status"] == (1, False)       # 'X' (NULL not counted)
+    assert got["range:price_positive"] == (2, False)  # -5.0 and 0.0
+    assert got["unique:k"] == (1, False)            # one extra 2
+    assert got["references:fk"] == (1, False)       # 999
