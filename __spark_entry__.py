@@ -842,6 +842,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_kmeans_clusters": pipeline.embedding_kmeans_clusters,
         "embedding_pca_top2": pipeline.embedding_pca_top2,
         "orders_quality_checks": analytics.orders_quality_checks,
+        "ab_test_purchase_value": analytics.ab_test_purchase_value,
         "stream_kmv_distinct_users": streaming_parity.stream_kmv_distinct_users,
         # --- reference parity (SURVEY.md §2.12) ---
         "q1_wordcount": reference.q1_wordcount,
@@ -3427,6 +3428,45 @@ def oracle_sql() -> dict[str, str]:
                 FROM g
             )
             SELECT DISTINCT doc_id, fp_hash FROM w
+        """,
+        "ab_test_purchase_value": """
+            WITH p AS (
+                SELECT ('0x' || substr(md5('ab|' || CAST(user_id AS VARCHAR)), 1, 8))::BIGINT % 2 AS cohort,
+                       CAST(floor(value * 100 + 0.5) AS BIGINT) AS cy
+                FROM events
+                WHERE event_type = 'purchase' AND value IS NOT NULL
+            ), agg AS (
+                SELECT
+                    SUM(CASE WHEN cohort = 0 THEN 1 ELSE 0 END) AS na,
+                    SUM(CASE WHEN cohort = 1 THEN 1 ELSE 0 END) AS nb,
+                    SUM(CASE WHEN cohort = 0 THEN cy ELSE 0 END) AS sa,
+                    SUM(CASE WHEN cohort = 1 THEN cy ELSE 0 END) AS sb,
+                    SUM(CASE WHEN cohort = 0 THEN cy * cy ELSE 0 END) AS ssa,
+                    SUM(CASE WHEN cohort = 1 THEN cy * cy ELSE 0 END) AS ssb
+                FROM p
+            ), stats AS (
+                SELECT CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+                       CAST(na AS DOUBLE) AS nad, CAST(nb AS DOUBLE) AS nbd,
+                       CAST(sa AS DOUBLE) AS sad, CAST(sb AS DOUBLE) AS sbd,
+                       CAST(ssa AS DOUBLE) AS ssad, CAST(ssb AS DOUBLE) AS ssbd
+                FROM agg
+            ), m AS (
+                SELECT n_a, n_b,
+                       sad / 100.0 / nad AS mean_a,
+                       sbd / 100.0 / nbd AS mean_b,
+                       (ssad - sad * sad / nad) / (nad - 1.0) / 10000.0 AS var_a,
+                       (ssbd - sbd * sbd / nbd) / (nbd - 1.0) / 10000.0 AS var_b,
+                       nad, nbd
+                FROM stats
+            )
+            SELECT n_a, n_b,
+                   floor(mean_a * 1000000.0 + 0.5) / 1000000.0 AS mean_a,
+                   floor(mean_b * 1000000.0 + 0.5) / 1000000.0 AS mean_b,
+                   floor(((mean_a - mean_b) / sqrt(var_a / nad + var_b / nbd))
+                         * 1000000.0 + 0.5) / 1000000.0 AS z_stat,
+                   abs(floor(((mean_a - mean_b) / sqrt(var_a / nad + var_b / nbd))
+                         * 1000000.0 + 0.5) / 1000000.0) > 1.96 AS significant
+            FROM m
         """,
         "orders_quality_checks": """
             WITH rowagg AS (

@@ -2903,3 +2903,55 @@ def orders_quality_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
         unique_keys=["o_orderkey"],
         references={"o_custkey": (customer, "c_custkey")},
     )
+
+
+def ab_test_purchase_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Experimentation analytics: a deterministic md5 hash split of
+    users into A/B cohorts, then a two-sample z-test on purchase
+    value — the analysis every growth pipeline runs after an
+    assignment join. One conditional aggregate over one scan; all
+    moments from exact centi-unit integer sums, so mean/variance/z
+    are fixed-operand-order doubles (engine-identical without a
+    rounding grid until the final det_round).
+
+    (At sf >= 1 the Σx·Σx product leaves exact-int64 range — lift
+    the moment sums to DECIMAL(38,0), same shape.)"""
+    from stream_processing_system_spark.functions.scalar import md5_prefix_long
+
+    events = load_table(spark, sf_dir, "events")
+    p = events.where(
+        (F.col("event_type") == "purchase") & F.col("value").isNotNull()
+    ).select(
+        (md5_prefix_long(F.col("user_id").cast("string"), salt="ab|") % 2).alias(
+            "cohort"
+        ),
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("cy"),
+    )
+
+    def side(c: int, col):
+        return F.sum(F.when(F.col("cohort") == c, col).otherwise(F.lit(0)))
+
+    agg = p.agg(
+        F.sum(F.when(F.col("cohort") == 0, 1).otherwise(0)).cast("long").alias("na"),
+        F.sum(F.when(F.col("cohort") == 1, 1).otherwise(0)).cast("long").alias("nb"),
+        side(0, F.col("cy")).alias("sa"),
+        side(1, F.col("cy")).alias("sb"),
+        side(0, F.col("cy") * F.col("cy")).alias("ssa"),
+        side(1, F.col("cy") * F.col("cy")).alias("ssb"),
+    )
+    na, nb = F.col("na").cast("double"), F.col("nb").cast("double")
+    sa, sb = F.col("sa").cast("double"), F.col("sb").cast("double")
+    ssa, ssb = F.col("ssa").cast("double"), F.col("ssb").cast("double")
+    mean_a = sa / F.lit(100.0) / na
+    mean_b = sb / F.lit(100.0) / nb
+    var_a = (ssa - sa * sa / na) / (na - F.lit(1.0)) / F.lit(10000.0)
+    var_b = (ssb - sb * sb / nb) / (nb - F.lit(1.0)) / F.lit(10000.0)
+    z = (mean_a - mean_b) / F.sqrt(var_a / na + var_b / nb)
+    return agg.select(
+        F.col("na").alias("n_a"),
+        F.col("nb").alias("n_b"),
+        det_round(mean_a).alias("mean_a"),
+        det_round(mean_b).alias("mean_b"),
+        det_round(z).alias("z_stat"),
+        (F.abs(det_round(z)) > F.lit(1.96)).alias("significant"),
+    )

@@ -198,3 +198,45 @@ def test_domain_cap_matches_python_reference(spark, lines):
         for rk, (i, _) in enumerate(members[:2], start=1):
             want.add((i, rk))
     assert got == want
+
+
+def test_ab_zstat_detects_planted_lift(spark):
+    """Two-sample z machinery on planted cohorts: a real 10% lift at
+    n=2000/side must cross |z| > 1.96; identical cohorts must not.
+    (Pure-python reference check on the same exact-sum formulas.)"""
+    import math
+
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from stream_processing_system_spark.functions.scalar import det_round
+
+    def zstat(df):
+        agg = df.agg(
+            F.sum(F.when(F.col("cohort") == 0, 1).otherwise(0)).cast("long").alias("na"),
+            F.sum(F.when(F.col("cohort") == 1, 1).otherwise(0)).cast("long").alias("nb"),
+            F.sum(F.when(F.col("cohort") == 0, F.col("cy")).otherwise(0)).alias("sa"),
+            F.sum(F.when(F.col("cohort") == 1, F.col("cy")).otherwise(0)).alias("sb"),
+            F.sum(F.when(F.col("cohort") == 0, F.col("cy") * F.col("cy")).otherwise(0)).alias("ssa"),
+            F.sum(F.when(F.col("cohort") == 1, F.col("cy") * F.col("cy")).otherwise(0)).alias("ssb"),
+        )
+        na, nb = F.col("na").cast("double"), F.col("nb").cast("double")
+        sa, sb = F.col("sa").cast("double"), F.col("sb").cast("double")
+        ssa, ssb = F.col("ssa").cast("double"), F.col("ssb").cast("double")
+        mean_a, mean_b = sa / 100.0 / na, sb / 100.0 / nb
+        var_a = (ssa - sa * sa / na) / (na - 1.0) / 10000.0
+        var_b = (ssb - sb * sb / nb) / (nb - 1.0) / 10000.0
+        z = (mean_a - mean_b) / F.sqrt(var_a / na + var_b / nb)
+        return agg.select(det_round(z).alias("z")).collect()[0]["z"]
+
+    base = [100 + (i % 50) for i in range(2000)]  # centi-units
+    lifted = [int(v * 1.10) for v in base]
+    rows = [(0, v) for v in base] + [(1, v) for v in lifted]
+    df = spark.createDataFrame(pd.DataFrame(rows, columns=["cohort", "cy"]))
+    assert abs(zstat(df)) > 1.96
+
+    same = spark.createDataFrame(
+        pd.DataFrame([(0, v) for v in base] + [(1, v) for v in base],
+                     columns=["cohort", "cy"])
+    )
+    assert abs(zstat(same)) < 1e-9
