@@ -843,6 +843,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_pca_top2": pipeline.embedding_pca_top2,
         "orders_quality_checks": analytics.orders_quality_checks,
         "ab_test_purchase_value": analytics.ab_test_purchase_value,
+        "supplier_skyline": analytics.supplier_skyline,
         "stream_kmv_distinct_users": streaming_parity.stream_kmv_distinct_users,
         # --- reference parity (SURVEY.md §2.12) ---
         "q1_wordcount": reference.q1_wordcount,
@@ -3428,6 +3429,30 @@ def oracle_sql() -> dict[str, str]:
                 FROM g
             )
             SELECT DISTINCT doc_id, fp_hash FROM w
+        """,
+        "supplier_skyline": """
+            WITH per_sup AS (
+                SELECT l_suppkey,
+                       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+                           / CAST(COUNT(*) AS DOUBLE) AS cost,
+                       CAST(SUM(CAST(date_diff('day', CAST(o_orderdate AS DATE),
+                                               CAST(l_shipdate AS DATE)) AS BIGINT))
+                            AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS delay
+                FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+                GROUP BY l_suppkey
+            ), marked AS (
+                SELECT *,
+                       MIN(delay) OVER (ORDER BY cost ASC, delay ASC, l_suppkey ASC
+                                        ROWS BETWEEN UNBOUNDED PRECEDING
+                                             AND 1 PRECEDING) AS pm
+                FROM per_sup
+            )
+            SELECT l_suppkey AS s_suppkey,
+                   floor(cost * 1000000.0 + 0.5) / 1000000.0 AS avg_cost,
+                   floor(delay * 1000000.0 + 0.5) / 1000000.0 AS avg_delay_days
+            FROM marked
+            WHERE pm IS NULL OR delay < pm
+            ORDER BY avg_cost
         """,
         "ab_test_purchase_value": """
             WITH p AS (

@@ -2955,3 +2955,49 @@ def ab_test_purchase_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         det_round(z).alias("z_stat"),
         (F.abs(det_round(z)) > F.lit(1.96)).alias("significant"),
     )
+
+
+def supplier_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skyline (Pareto-frontier) query: suppliers not DOMINATED on
+    (avg item cost, avg ship delay) — no other supplier is cheaper
+    AND faster. The classic multi-criteria shortlist operator
+    (Börzsönyi et al., ICDE'01), reduced to one sort + one running
+    window: order by (cost, delay, key) and keep rows whose delay is
+    strictly below every earlier delay (exact ties keep the first
+    key — documented choice). The window runs over SUPPLIER-grain
+    rows (dimension-sized), not facts; both metrics come from exact
+    integer/decimal sums."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    joined = li.join(
+        orders.select("o_orderkey", "o_orderdate"),
+        li["l_orderkey"] == orders["o_orderkey"],
+    )
+    per_sup = joined.groupBy("l_suppkey").agg(
+        (
+            F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).cast("double")
+            / F.count(F.lit(1)).cast("double")
+        ).alias("_cost"),
+        (
+            F.sum(
+                F.datediff(F.col("l_shipdate"), F.col("o_orderdate")).cast("long")
+            ).cast("double")
+            / F.count(F.lit(1)).cast("double")
+        ).alias("_delay"),
+    )
+    w = (
+        Window.orderBy(
+            F.col("_cost").asc(), F.col("_delay").asc(), F.col("l_suppkey").asc()
+        ).rowsBetween(Window.unboundedPreceding, -1)
+    )
+    prev_min = F.min("_delay").over(w)
+    return (
+        per_sup.withColumn("_pm", prev_min)
+        .where(F.col("_pm").isNull() | (F.col("_delay") < F.col("_pm")))
+        .select(
+            F.col("l_suppkey").alias("s_suppkey"),
+            det_round(F.col("_cost")).alias("avg_cost"),
+            det_round(F.col("_delay")).alias("avg_delay_days"),
+        )
+        .orderBy("avg_cost")
+    )

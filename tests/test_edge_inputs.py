@@ -108,3 +108,31 @@ def test_expectations_report_planted_violations(spark):
     assert got["range:price_positive"] == (2, False)  # -5.0 and 0.0
     assert got["unique:k"] == (1, False)            # one extra 2
     assert got["references:fk"] == (1, False)       # 999
+
+
+def test_skyline_rule_on_planted_points(spark):
+    """Hand-checkable 2D skyline: dominated points drop, frontier
+    stays, exact tie keeps the first key."""
+    import pandas as pd
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    pts = pd.DataFrame(
+        {
+            "k": [1, 2, 3, 4, 5],
+            "cost": [1.0, 2.0, 2.0, 3.0, 3.0],
+            "delay": [5.0, 3.0, 9.0, 3.0, 1.0],
+        }
+    )
+    df = spark.createDataFrame(pts)
+    w = Window.orderBy("cost", "delay", "k").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    out = (
+        df.withColumn("_pm", F.min("delay").over(w))
+        .where(F.col("_pm").isNull() | (F.col("delay") < F.col("_pm")))
+        .select("k")
+    )
+    # 1 (cheapest), 2 (faster than 1), 5 (fastest); 3 dominated by 2,
+    # 4 ties 2 on delay at higher cost -> dominated
+    assert sorted(r["k"] for r in out.collect()) == [1, 2, 5]
