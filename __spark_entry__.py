@@ -844,6 +844,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "orders_quality_checks": analytics.orders_quality_checks,
         "ab_test_purchase_value": analytics.ab_test_purchase_value,
         "supplier_skyline": analytics.supplier_skyline,
+        "doc_rake_keyphrases": pipeline.doc_rake_keyphrases,
         "stream_kmv_distinct_users": streaming_parity.stream_kmv_distinct_users,
         # --- reference parity (SURVEY.md §2.12) ---
         "q1_wordcount": reference.q1_wordcount,
@@ -3429,6 +3430,54 @@ def oracle_sql() -> dict[str, str]:
                 FROM g
             )
             SELECT DISTINCT doc_id, fp_hash FROM w
+        """,
+        "doc_rake_keyphrases": """
+            WITH toks AS (
+                SELECT doc_id AS doc, i AS pos, l[i + 1] AS tok,
+                       list_contains(['the','a','of','and','is','in','to','it'],
+                                     l[i + 1]) AS is_stop
+                FROM (SELECT doc_id,
+                             list_filter(string_split(text, ' '), x -> x <> '') AS l
+                      FROM documents),
+                     UNNEST(range(len(l))) AS u(i)
+            ), seg AS (
+                SELECT doc, pos, tok, is_stop,
+                       SUM(CASE WHEN is_stop THEN 1 ELSE 0 END)
+                           OVER (PARTITION BY doc ORDER BY pos
+                                 ROWS UNBOUNDED PRECEDING) AS pid
+                FROM toks
+            ), nostop AS (
+                SELECT doc, pos, tok, pid FROM seg WHERE NOT is_stop
+            ), phrases AS (
+                SELECT doc, pid,
+                       string_agg(tok, ' ' ORDER BY pos) AS phrase,
+                       COUNT(*) AS plen
+                FROM nostop GROUP BY doc, pid
+                HAVING COUNT(*) BETWEEN 1 AND 4
+            ), words AS (
+                SELECT phrase, plen, unnest(string_split(phrase, ' ')) AS word
+                FROM phrases
+            ), stats AS (
+                SELECT word, COUNT(*) AS freq, SUM(plen) AS deg
+                FROM words GROUP BY word
+            ), scoredw AS (
+                SELECT w.phrase,
+                       CAST(floor(CAST(s.deg AS DOUBLE) / CAST(s.freq AS DOUBLE)
+                                  * 1000000.0 + 0.5) AS BIGINT) AS wu
+                FROM words w JOIN stats s USING (word)
+            ), per_occ AS (
+                SELECT phrase, SUM(wu) AS su FROM scoredw GROUP BY phrase
+            ), pp AS (
+                SELECT phrase, COUNT(*) AS n_occurrences FROM phrases GROUP BY phrase
+            )
+            -- the double->int cast is exact (su = n * per-occurrence sum),
+            -- so DuckDB's round-cast equals Spark's trunc-cast here
+            SELECT p.phrase, p.n_occurrences,
+                   CAST(CAST(su / CAST(n_occurrences AS DOUBLE) AS BIGINT)
+                        AS DOUBLE) / 1000000.0 AS score
+            FROM pp p JOIN per_occ USING (phrase)
+            ORDER BY score DESC, phrase ASC
+            LIMIT 20
         """,
         "supplier_skyline": """
             WITH per_sup AS (

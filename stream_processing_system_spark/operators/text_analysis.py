@@ -491,3 +491,99 @@ def zipf_fit(
         det_round(slope).alias("slope"),
         det_round(intercept).alias("intercept"),
     )
+
+
+#: RAKE phrase-boundary stopwords — the quality_score list, shared
+#: with the SQL oracles.
+RAKE_STOPWORDS = ["the", "a", "of", "and", "is", "in", "to", "it"]
+
+
+def rake_keyphrases(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_len: int = 4,
+    top: int = 20,
+) -> DataFrame:
+    """RAKE keyphrase extraction (Rose et al., 2010): candidate
+    phrases are maximal stopword-free token runs (capped at
+    `max_len`); each word scores degree/frequency over the phrase
+    corpus (degree = summed length of phrases containing it), and a
+    phrase scores the sum of its word scores. The standard cheap
+    keyphrase miner — here fully relational:
+
+    - phrase segmentation is ONE window (per-doc running stopword
+      count = phrase id), no UDF;
+    - word stats are one explode + one aggregate;
+    - word scores are MICRO-FLOORED before the phrase sum (the bm25
+      device), so phrase scores are exact integer sums — order-free
+      and oracle-identical.
+
+    Output: top `top` (phrase, n_occurrences, score), best first,
+    ties by phrase text."""
+    from pyspark.sql import Window
+
+    stop = F.array(*[F.lit(s) for s in RAKE_STOPWORDS])
+    toks = df.select(
+        F.col(id_col).alias("_doc"),
+        F.posexplode(_toks(F.col(text_col))).alias("pos", "tok"),
+    ).withColumn("_is_stop", F.array_contains(stop, F.col("tok")))
+    w = (
+        Window.partitionBy("_doc")
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    seg = toks.withColumn(
+        "_pid", F.sum(F.when(F.col("_is_stop"), 1).otherwise(0)).over(w)
+    ).where(~F.col("_is_stop"))
+    phrases = (
+        seg.groupBy("_doc", "_pid")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.sort_array(F.collect_list(F.struct("pos", "tok"))),
+                    lambda s: s["tok"],
+                ),
+                " ",
+            ).alias("phrase"),
+            F.count(F.lit(1)).alias("_plen"),
+        )
+        .where((F.col("_plen") >= 1) & (F.col("_plen") <= max_len))
+    )
+    words = phrases.select(
+        "phrase", "_plen", F.explode(F.split("phrase", " ")).alias("word")
+    )
+    stats = words.groupBy("word").agg(
+        F.count(F.lit(1)).alias("_freq"), F.sum("_plen").alias("_deg")
+    )
+    wscore_u = F.floor(
+        F.col("_deg").cast("double") / F.col("_freq").cast("double") * F.lit(1e6)
+        + F.lit(0.5)
+    ).cast("long")
+    scored = (
+        words.join(F.broadcast(stats), "word")
+        .groupBy("phrase")
+        .agg(
+            # each occurrence repeats the phrase's words; divide by
+            # occurrences to count each word once per phrase
+            F.sum(wscore_u).alias("_su"),
+            F.count(F.lit(1)).alias("_nw"),
+        )
+    )
+    per_phrase = phrases.groupBy("phrase").agg(
+        F.count(F.lit(1)).alias("n_occurrences"),
+        F.first("_plen").alias("_plen"),
+    )
+    return (
+        per_phrase.join(scored, "phrase")
+        .select(
+            "phrase",
+            "n_occurrences",
+            (
+                (F.col("_su") / F.col("n_occurrences")).cast("long").cast("double")
+                / F.lit(1e6)
+            ).alias("score"),
+        )
+        .orderBy(F.col("score").desc(), F.col("phrase").asc())
+        .limit(top)
+    )

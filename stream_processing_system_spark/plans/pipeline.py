@@ -1118,3 +1118,8 @@ def embedding_pca_top2(spark: SparkSession, sf_dir: str) -> DataFrame:
     from stream_processing_system_spark.operators import linalg
 
     return linalg.pca_components(_embs(spark, sf_dir), n_components=2)
+
+
+def doc_rake_keyphrases(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contract wrapper: see `text_analysis.rake_keyphrases`."""
+    return text_analysis.rake_keyphrases(_docs(spark, sf_dir))

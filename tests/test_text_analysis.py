@@ -168,3 +168,28 @@ def test_zipf_fit_recovers_planted_power_law(spark):
     row = zipf_fit(docs, top=50).collect()[0]
     assert row["n_ranks"] == 50
     assert abs(row["slope"] - (-1.0)) < 0.05, row["slope"]
+
+
+def test_rake_segments_on_stopwords_and_scores_degree_over_freq(spark):
+    """Known-answer RAKE: phrases split at stopwords; a word
+    appearing in longer phrases outscores an equally-frequent word
+    living in short phrases."""
+    import pandas as pd
+
+    from stream_processing_system_spark.operators.text_analysis import (
+        rake_keyphrases,
+    )
+
+    text = "deep learning of neural networks and deep learning"
+    docs = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [1], "text": [text]})
+    )
+    out = {r["phrase"]: (r["n_occurrences"], r["score"]) for r in
+           rake_keyphrases(docs, top=10).collect()}
+    # segmentation: 'of' and 'and' are boundaries
+    assert set(out) == {"deep learning", "neural networks"}
+    assert out["deep learning"][0] == 2
+    # deg(deep)=4 freq=2 -> 2.0; same for learning -> phrase 4.0;
+    # neural/networks: deg 2 freq 1 -> 2.0 each -> phrase 4.0
+    assert out["deep learning"][1] == 4.0
+    assert out["neural networks"][1] == 4.0
