@@ -845,6 +845,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ab_test_purchase_value": analytics.ab_test_purchase_value,
         "supplier_skyline": analytics.supplier_skyline,
         "doc_rake_keyphrases": pipeline.doc_rake_keyphrases,
+        "media_video_neardup": pipeline.media_video_neardup,
         "stream_kmv_distinct_users": streaming_parity.stream_kmv_distinct_users,
         # --- reference parity (SURVEY.md §2.12) ---
         "q1_wordcount": reference.q1_wordcount,
@@ -3430,6 +3431,37 @@ def oracle_sql() -> dict[str, str]:
                 FROM g
             )
             SELECT DISTINCT doc_id, fp_hash FROM w
+        """,
+        "media_video_neardup": """
+            -- mirrors the stub decode byte-for-byte: duration from the
+            -- payload md5, frame-of-byte = (j*n)//len, fingerprint =
+            -- (sum*31 + count) mod 1000003
+            WITH vids AS (
+                SELECT doc_id, text,
+                       ('0x' || substr(md5(text), 1, 8))::BIGINT AS h,
+                       length(text) AS ln
+                FROM documents WHERE doc_id % 3 = 2
+            ), nf AS (
+                SELECT doc_id, text, ln,
+                       least((1000 + h % 7200000) // 1000, 16) AS n
+                FROM vids
+            ), chars AS (
+                SELECT doc_id, n, ln, i,
+                       unicode(substr(text, CAST(i + 1 AS INT), 1)) AS b
+                FROM nf, UNNEST(range(ln)) AS u(i)
+                WHERE n > 0 AND ln > 0
+            ), perframe AS (
+                SELECT doc_id, (i * n) // ln AS frame_idx,
+                       (SUM(b) * 31 + COUNT(*)) % 1000003 AS fp
+                FROM chars GROUP BY doc_id, n, ln, (i * n) // ln
+            ), s AS (
+                SELECT DISTINCT doc_id, fp FROM perframe
+            )
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   COUNT(*) AS shared_frames
+            FROM s a JOIN s b ON a.fp = b.fp AND a.doc_id < b.doc_id
+            GROUP BY 1, 2
+            HAVING COUNT(*) >= 3
         """,
         "doc_rake_keyphrases": """
             WITH toks AS (

@@ -273,3 +273,65 @@ def ahash_neardup_pairs(sigs: DataFrame, max_hamming: int = 3) -> DataFrame:
         .where(F.col("hamming") <= max_hamming)
         .distinct()
     )
+
+
+#: frame-fingerprint modulus (prime, fits comfortably in int32)
+FRAME_FP_MOD = 1_000_003
+
+
+def frame_fingerprints(df: DataFrame, every_ms: int = 1000) -> DataFrame:
+    """Per-frame content fingerprints for video payloads: sample the
+    same frames as `sample_frames` (1-in/every_ms, capped 16) and
+    fingerprint each frame's byte slice — fp = (Σ bytes · 31 +
+    n_bytes) mod 1000003. Frame membership of byte j is
+    (j·n_frames) // n_bytes, the exact expression the SQL oracle
+    uses (slice arithmetic must match to the byte or the fingerprints
+    diverge). STUB decode as everywhere in this module: a real
+    pipeline fingerprints decoded luma planes; the Spark shape
+    (Arrow batch in, long-format sigs out) is identical."""
+
+    def _fp(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"media_id": [], "frame_idx": [], "fp": []}
+            for mid, mtype, payload in zip(
+                pdf["media_id"], pdf["media_type"], pdf["payload"]
+            ):
+                data = bytes(payload)
+                d = _fake_decode(mid, mtype, data)
+                n = min(d["duration_ms"] // every_ms, 16)
+                if n <= 0 or not data:
+                    continue
+                ln = len(data)
+                sums = [0] * n
+                counts = [0] * n
+                for j, b in enumerate(data):
+                    k = (j * n) // ln
+                    sums[k] += b
+                    counts[k] += 1
+                for i in range(n):
+                    out["media_id"].append(mid)
+                    out["frame_idx"].append(i)
+                    out["fp"].append((sums[i] * 31 + counts[i]) % FRAME_FP_MOD)
+            yield pd.DataFrame(out)
+
+    return df.where(F.col("media_type") == "video").mapInPandas(
+        _fp, schema="media_id long, frame_idx int, fp long"
+    )
+
+
+def video_frame_neardup(sigs: DataFrame, min_shared: int = 3) -> DataFrame:
+    """Video near-dup pairs by shared frame fingerprints: distinct
+    (video, fp) sets equi-joined on fp (blocked — never all-pairs),
+    pairs counted, kept at >= min_shared common frames. The frame-sig
+    containment join every video dedup pipeline runs; fingerprint
+    collisions are filtered by the threshold."""
+    s = sigs.select("media_id", "fp").distinct()
+    a = s.select(F.col("media_id").alias("id_a"), "fp")
+    b = s.select(F.col("media_id").alias("id_b"), "fp")
+    return (
+        a.join(b, "fp")
+        .where(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("shared_frames"))
+        .where(F.col("shared_frames") >= min_shared)
+    )

@@ -1123,3 +1123,14 @@ def embedding_pca_top2(spark: SparkSession, sf_dir: str) -> DataFrame:
 def doc_rake_keyphrases(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Contract wrapper: see `text_analysis.rake_keyphrases`."""
     return text_analysis.rake_keyphrases(_docs(spark, sf_dir))
+
+
+def media_video_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-level video near-dup (operators/multimodal.py:
+    frame_fingerprints + video_frame_neardup): videos sharing >= 3
+    frame fingerprints. The Arrow-batched fingerprint stage mirrors
+    byte-for-byte in the SQL oracle (same stub decode arithmetic), so
+    the whole multimodal pipeline is value-hash verified."""
+    media = multimodal.fake_media_from_documents(spark, _docs(spark, sf_dir))
+    sigs = multimodal.frame_fingerprints(media, every_ms=1000)
+    return multimodal.video_frame_neardup(sigs, min_shared=3)

@@ -159,3 +159,29 @@ def test_ahash_blocking_matches_brute_force(spark, sf_dir):
     }
     sigs.unpersist()
     assert blocked == brute
+
+
+def test_video_neardup_finds_duplicate_payloads_only(spark):
+    """Two videos with the SAME payload share all frames; a video
+    with different content shares (almost surely) none."""
+    import pandas as pd
+
+    from stream_processing_system_spark.operators import multimodal
+
+    base = ("scan merge hash join sort table row value part key " * 20).strip()
+    other = ("zq xv wk jm pl nt rb cd fg hs " * 22).strip()
+    # doc_id % 3 == 2 -> video
+    docs = spark.createDataFrame(
+        pd.DataFrame(
+            {"doc_id": [2, 5, 8], "text": [base, base, other],
+             "source": ["s"] * 3}
+        )
+    )
+    media = multimodal.fake_media_from_documents(spark, docs)
+    sigs = multimodal.frame_fingerprints(media)
+    pairs = {
+        (r["id_a"], r["id_b"]): r["shared_frames"]
+        for r in multimodal.video_frame_neardup(sigs, min_shared=3).collect()
+    }
+    assert (2, 5) in pairs and pairs[(2, 5)] >= 3
+    assert (2, 8) not in pairs and (5, 8) not in pairs
