@@ -105,6 +105,16 @@ HEADLINE = [
     "events_anomaly_mad",
     "doc_zipf_fit",
     "media_ahash_neardup",
+    "embedding_hard_negatives",
+    "session_incident_overlap",
+    "embedding_pca_top",
+    "supplier_scd2_commission",
+    "embedding_kmeans_clusters",
+    "orders_quality_checks",
+    "ab_test_purchase_value",
+    "supplier_skyline",
+    "doc_rake_keyphrases",
+    "media_video_neardup",
 ]
 
 
