@@ -846,6 +846,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "supplier_skyline": analytics.supplier_skyline,
         "doc_rake_keyphrases": pipeline.doc_rake_keyphrases,
         "media_video_neardup": pipeline.media_video_neardup,
+        "revenue_rolling_7d": analytics.revenue_rolling_7d,
+        "events_k_anonymity": analytics.events_k_anonymity,
         "stream_kmv_distinct_users": streaming_parity.stream_kmv_distinct_users,
         # --- reference parity (SURVEY.md §2.12) ---
         "q1_wordcount": reference.q1_wordcount,
@@ -3431,6 +3433,41 @@ def oracle_sql() -> dict[str, str]:
                 FROM g
             )
             SELECT DISTINCT doc_id, fp_hash FROM w
+        """,
+        "revenue_rolling_7d": """
+            WITH daily AS (
+                SELECT date_diff('day', DATE '1995-01-01',
+                                 CAST(o_orderdate AS DATE)) AS day_ord,
+                       CAST(CAST(o_orderdate AS DATE) AS VARCHAR) AS day,
+                       SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS rev,
+                       COUNT(*) AS n_orders
+                FROM orders GROUP BY 1, 2
+            )
+            SELECT day, n_orders,
+                   CAST(rev AS DOUBLE) AS revenue,
+                   CAST(SUM(rev) OVER (ORDER BY day_ord
+                        RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS DOUBLE)
+                       AS revenue_7d,
+                   CAST(COUNT(*) OVER (ORDER BY day_ord
+                        RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS BIGINT)
+                       AS days_in_window
+            FROM daily ORDER BY day
+        """,
+        "events_k_anonymity": """
+            WITH qi AS (
+                SELECT event_type, hour(ts) AS hod,
+                       least(CAST(floor(value / 10.0) AS BIGINT), 9) AS vband
+                FROM events WHERE value IS NOT NULL
+            ), groups AS (
+                SELECT event_type, hod, vband, COUNT(*) AS gsz
+                FROM qi GROUP BY 1, 2, 3
+            )
+            SELECT event_type, MIN(gsz) AS min_k,
+                   CAST(SUM(CASE WHEN gsz < 5 THEN 1 ELSE 0 END) AS BIGINT)
+                       AS groups_below_k5,
+                   CAST(SUM(CASE WHEN gsz < 5 THEN gsz ELSE 0 END) AS BIGINT)
+                       AS rows_at_risk
+            FROM groups GROUP BY 1 ORDER BY 1
         """,
         "media_video_neardup": """
             -- mirrors the stub decode byte-for-byte: duration from the

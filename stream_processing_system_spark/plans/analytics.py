@@ -3001,3 +3001,70 @@ def supplier_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("avg_cost")
     )
+
+
+def revenue_rolling_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE-framed rolling aggregate: 7-day trailing order revenue
+    per day — the frame is a VALUE range over the day ordinal
+    (RANGE BETWEEN 6 PRECEDING AND CURRENT ROW), so gaps in the
+    calendar shrink the window instead of silently widening it the
+    way a ROWS frame would. Daily grain first (one data-sized
+    aggregate), then the window runs over ~days rows. Exact DECIMAL
+    day sums; the trailing sum adds exact decimals."""
+    orders = load_table(spark, sf_dir, "orders")
+    daily = (
+        orders.select(
+            F.datediff(F.col("o_orderdate").cast("date"), F.lit("1995-01-01"))
+            .cast("long")
+            .alias("day_ord"),
+            F.col("o_orderdate").cast("date").cast("string").alias("day"),
+            F.col("o_totalprice").cast("decimal(18,2)").alias("_p"),
+        )
+        .groupBy("day_ord", "day")
+        .agg(F.sum("_p").alias("_rev"), F.count(F.lit(1)).alias("n_orders"))
+    )
+    w = Window.orderBy("day_ord").rangeBetween(-6, 0)
+    return daily.select(
+        "day",
+        "n_orders",
+        F.col("_rev").cast("double").alias("revenue"),
+        F.sum("_rev").over(w).cast("double").alias("revenue_7d"),
+        F.count(F.lit(1)).over(w).cast("long").alias("days_in_window"),
+    ).orderBy("day")
+
+
+def events_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit: group sizes over the quasi-identifier
+    (event_type, hour-of-day, value band) — the release-readiness
+    check before publishing 'anonymized' event data. Reports, per
+    event_type: the minimum group size (the k the release actually
+    achieves), how many QI groups fall below k=5, and how many ROWS
+    those risky groups expose. Pure counting over one aggregate at
+    QI grain; the value coordinate is a FIXED 10-unit band (a global
+    ntile would be a single-partition sort over all events — the
+    fixed band is the shape that survives 100 TB)."""
+    events = load_table(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    band = F.least(
+        F.floor(F.col("value") / F.lit(10.0)).cast("long"), F.lit(9).cast("long")
+    )
+    qi = events.select(
+        "event_type",
+        F.hour("ts").alias("hod"),
+        band.alias("vband"),
+    )
+    groups = qi.groupBy("event_type", "hod", "vband").agg(
+        F.count(F.lit(1)).alias("_gsz")
+    )
+    return (
+        groups.groupBy("event_type")
+        .agg(
+            F.min("_gsz").alias("min_k"),
+            F.sum(F.when(F.col("_gsz") < 5, 1).otherwise(0))
+            .cast("long")
+            .alias("groups_below_k5"),
+            F.sum(F.when(F.col("_gsz") < 5, F.col("_gsz")).otherwise(0))
+            .cast("long")
+            .alias("rows_at_risk"),
+        )
+        .orderBy("event_type")
+    )

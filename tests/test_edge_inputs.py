@@ -136,3 +136,23 @@ def test_skyline_rule_on_planted_points(spark):
     # 1 (cheapest), 2 (faster than 1), 5 (fastest); 3 dominated by 2,
     # 4 ties 2 on delay at higher cost -> dominated
     assert sorted(r["k"] for r in out.collect()) == [1, 2, 5]
+
+
+def test_range_frame_shrinks_over_calendar_gaps(spark):
+    """RANGE 6-PRECEDING over day ordinals: a gap in the calendar
+    shrinks the trailing window (the property a ROWS frame lacks)."""
+    import pandas as pd
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    daily = spark.createDataFrame(
+        pd.DataFrame({"day_ord": [0, 1, 2, 20, 21], "rev": [1, 1, 1, 1, 1]})
+    )
+    w = Window.orderBy("day_ord").rangeBetween(-6, 0)
+    out = {
+        r["day_ord"]: r["n"]
+        for r in daily.select(
+            "day_ord", F.count(F.lit(1)).over(w).alias("n")
+        ).collect()
+    }
+    assert out == {0: 1, 1: 2, 2: 3, 20: 1, 21: 2}
