@@ -619,6 +619,35 @@ _BFS_ORACLE_SQL = f"""
 """
 
 
+_CLUSTERING_ORACLE_SQL = f"""
+    WITH {_COPURCHASE_EDGES_CTE},
+    tri AS (
+        SELECT e1.src AS a, e1.dst AS b, e2.dst AS c
+        FROM e e1
+        JOIN e e2 ON e1.dst = e2.src
+        JOIN e e3 ON e3.src = e1.src AND e3.dst = e2.dst
+    ), tcount AS (
+        SELECT node, count(*) AS n_triangles FROM (
+            SELECT a AS node FROM tri
+            UNION ALL SELECT b FROM tri
+            UNION ALL SELECT c FROM tri
+        ) GROUP BY node
+    ), und AS (
+        SELECT src, dst FROM e UNION ALL SELECT dst, src FROM e
+    ), deg AS (
+        SELECT src AS node, COUNT(*) AS degree FROM und GROUP BY 1
+    )
+    SELECT d.node AS user_id, CAST(d.degree AS BIGINT) AS degree,
+           CAST(COALESCE(t.n_triangles, 0) AS BIGINT) AS n_triangles,
+           floor(((2.0 * CAST(COALESCE(t.n_triangles, 0) AS DOUBLE))
+                  / CAST(d.degree * (d.degree - 1) AS DOUBLE))
+                 * 1000000.0 + 0.5) / 1000000.0 AS clustering
+    FROM deg d LEFT JOIN tcount t ON t.node = d.node
+    WHERE d.degree >= 2
+    ORDER BY user_id
+"""
+
+
 _TRIANGLES_ORACLE_SQL = f"""
     WITH {_COPURCHASE_EDGES_CTE},
     tri AS (
@@ -848,6 +877,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_video_neardup": pipeline.media_video_neardup,
         "revenue_rolling_7d": analytics.revenue_rolling_7d,
         "events_k_anonymity": analytics.events_k_anonymity,
+        "copurchase_clustering": analytics.copurchase_clustering,
         "stream_kmv_distinct_users": streaming_parity.stream_kmv_distinct_users,
         # --- reference parity (SURVEY.md §2.12) ---
         "q1_wordcount": reference.q1_wordcount,
@@ -2423,6 +2453,7 @@ def oracle_sql() -> dict[str, str]:
         "copurchase_pagerank": _pagerank_oracle_sql(),
         "copurchase_bfs_hops": _BFS_ORACLE_SQL,
         "copurchase_triangles": _TRIANGLES_ORACLE_SQL,
+        "copurchase_clustering": _CLUSTERING_ORACLE_SQL,
         # doc_bpe_merges: iterative (each round's rewrite depends on the
         # previous argmax) — rows-only here; tests/test_bpe.py proves the
         # merge table against a pure-Python BPE reference.

@@ -207,3 +207,36 @@ def bfs_hops(edges: DataFrame, max_hops: int = 3) -> DataFrame:
         )
         frontier = new
     return dist.orderBy("node")
+
+
+def local_clustering(edges: DataFrame) -> DataFrame:
+    """Local clustering coefficient per node: c(v) = 2·T(v) /
+    (deg(v)·(deg(v)−1)) — how close each node's neighborhood is to a
+    clique, the standard community-structure signal next to raw
+    triangle counts. Composes `triangle_counts` (ordered-wedge
+    enumeration) with one degree aggregate over the undirected edge
+    list; nodes of degree < 2 have no defined coefficient and drop.
+    The ratio is a fixed-operand-order double over exact int64
+    counts."""
+    und = _undirect(edges)
+    deg = und.groupBy(F.col("src").alias("node")).agg(
+        F.count(F.lit(1)).alias("degree")
+    )
+    tri = triangle_counts(edges)
+    coeff = (F.lit(2.0) * F.coalesce(F.col("n_triangles"), F.lit(0)).cast("double")) / (
+        F.col("degree") * (F.col("degree") - 1)
+    ).cast("double")
+    return (
+        deg.join(tri, "node", "left")
+        .where(F.col("degree") >= 2)
+        .select(
+            "node",
+            "degree",
+            F.coalesce(F.col("n_triangles"), F.lit(0)).cast("long").alias(
+                "n_triangles"
+            ),
+            (F.floor(coeff * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)).alias(
+                "clustering"
+            ),
+        )
+    )

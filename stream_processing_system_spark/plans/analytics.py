@@ -3068,3 +3068,22 @@ def events_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+def copurchase_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Local clustering coefficients over the co-purchase graph
+    (operators/graph.local_clustering) — community tightness per
+    user, sharing the edge construction and triangle machinery with
+    copurchase_triangles."""
+    from stream_processing_system_spark.operators.graph import (
+        cooccurrence_edges,
+        local_clustering,
+    )
+
+    events = load_table(spark, sf_dir, "events")
+    edges = cooccurrence_edges(events)
+    return (
+        local_clustering(edges)
+        .select(F.col("node").alias("user_id"), "degree", "n_triangles", "clustering")
+        .orderBy("user_id")
+    )

@@ -70,3 +70,25 @@ def test_bfs_hops_planted_chain(spark):
     got = {r["node"]: r["hops"] for r in bfs_hops(edges, max_hops=3).collect()}
     # seed = min node = 1; 1-3 shortcut makes dist(3)=1, dist(4)=2, dist(5)=3
     assert got == {1: 0, 2: 1, 3: 1, 4: 2, 5: 3}
+
+
+def test_local_clustering_known_graph(spark):
+    """K4 minus one edge: nodes on the missing edge have c=1.0 (their
+    2 neighbors are connected); the other two have c=2/3."""
+    import pandas as pd
+
+    from stream_processing_system_spark.operators.graph import local_clustering
+
+    # K4 on {1,2,3,4} minus edge (3,4)
+    edges = spark.createDataFrame(
+        pd.DataFrame(
+            {"src": [1, 1, 1, 2, 2], "dst": [2, 3, 4, 3, 4]}
+        )
+    )
+    got = {
+        r["node"]: (r["degree"], r["n_triangles"], r["clustering"])
+        for r in local_clustering(edges).collect()
+    }
+    assert got[3] == (2, 1, 1.0) and got[4] == (2, 1, 1.0)
+    assert got[1][0] == 3 and got[2][0] == 3
+    assert abs(got[1][2] - 2 / 3) < 1e-6 and abs(got[2][2] - 2 / 3) < 1e-6
