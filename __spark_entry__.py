@@ -878,6 +878,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "revenue_rolling_7d": analytics.revenue_rolling_7d,
         "events_k_anonymity": analytics.events_k_anonymity,
         "copurchase_clustering": analytics.copurchase_clustering,
+        "part_inventory_balance": analytics.part_inventory_balance,
         "stream_kmv_distinct_users": streaming_parity.stream_kmv_distinct_users,
         # --- reference parity (SURVEY.md §2.12) ---
         "q1_wordcount": reference.q1_wordcount,
@@ -3464,6 +3465,38 @@ def oracle_sql() -> dict[str, str]:
                 FROM g
             )
             SELECT DISTINCT doc_id, fp_hash FROM w
+        """,
+        "part_inventory_balance": """
+            WITH daily AS (
+                SELECT l_partkey,
+                       date_diff('day', DATE '1995-01-01',
+                                 CAST(l_shipdate AS DATE)) AS day_ord,
+                       SUM(CAST(floor(l_quantity * 100 + 0.5) AS BIGINT)
+                           * (CASE WHEN l_returnflag = 'R' THEN -1 ELSE 1 END))
+                           AS net
+                FROM lineitem
+                GROUP BY 1, 2
+            ), s AS (
+                SELECT l_partkey, day_ord, net,
+                       SUM(net) OVER w AS ps
+                FROM daily
+                WINDOW w AS (PARTITION BY l_partkey ORDER BY day_ord
+                             ROWS UNBOUNDED PRECEDING)
+            ), b AS (
+                SELECT l_partkey, day_ord,
+                       ps - least(MIN(ps) OVER w, 0) AS bal
+                FROM s
+                WINDOW w AS (PARTITION BY l_partkey ORDER BY day_ord
+                             ROWS UNBOUNDED PRECEDING)
+            )
+            SELECT l_partkey,
+                   COUNT(*) AS n_days,
+                   CAST(arg_max(bal, day_ord) AS DOUBLE) / 100.0 AS end_balance,
+                   CAST(SUM(CASE WHEN bal = 0 THEN 1 ELSE 0 END) AS BIGINT)
+                       AS stockout_days
+            FROM b
+            GROUP BY l_partkey
+            ORDER BY l_partkey
         """,
         "revenue_rolling_7d": """
             WITH daily AS (

@@ -3087,3 +3087,51 @@ def copurchase_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("node").alias("user_id"), "degree", "n_triangles", "clustering")
         .orderBy("user_id")
     )
+
+
+def part_inventory_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Clamped running balance ("inventory can't go negative"): per
+    part, daily net quantity (returns count negative) folded into a
+    floor-at-zero running balance. The naive form is a sequential
+    per-row fold; the window form uses the reflection identity
+    b_n = S_n - min(0, min_{k<=n} S_k) over prefix sums S — two
+    window passes, no fold, no arrays, fully partition-parallel by
+    part. Exact centi-unit integers throughout. Reports end balance
+    and stockout (balance == 0) day counts per part."""
+    li = load_table(spark, sf_dir, "lineitem")
+    daily = (
+        li.select(
+            "l_partkey",
+            F.datediff(F.col("l_shipdate").cast("date"), F.lit("1995-01-01"))
+            .cast("long")
+            .alias("day_ord"),
+            (
+                F.floor(F.col("l_quantity") * 100 + F.lit(0.5)).cast("long")
+                * F.when(F.col("l_returnflag") == "R", -1).otherwise(1)
+            ).alias("net"),
+        )
+        .groupBy("l_partkey", "day_ord")
+        .agg(F.sum("net").alias("net"))
+    )
+    w = (
+        Window.partitionBy("l_partkey")
+        .orderBy("day_ord")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    s = daily.withColumn("_s", F.sum("net").over(w))
+    b = s.withColumn("_m", F.min("_s").over(w)).withColumn(
+        "_b", F.col("_s") - F.least(F.col("_m"), F.lit(0).cast("long"))
+    )
+    return (
+        b.groupBy("l_partkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_days"),
+            (F.max_by("_b", "day_ord").cast("double") / F.lit(100.0)).alias(
+                "end_balance"
+            ),
+            F.sum(F.when(F.col("_b") == 0, 1).otherwise(0))
+            .cast("long")
+            .alias("stockout_days"),
+        )
+        .orderBy("l_partkey")
+    )

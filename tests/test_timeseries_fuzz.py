@@ -212,3 +212,31 @@ def test_mad_scoring_matches_pure_python(spark):
         assert abs(got[i] - want) < 1e-6, (i, got[i], want)
     flagged = [d for d, z in got.items() if abs(z) > 2.0]
     assert flagged == [7]
+
+
+def test_clamped_balance_reflection_identity(spark):
+    """The window form b_n = S_n - min(0, min S_k) must equal the
+    sequential clamp fold on a hand series that goes negative,
+    recovers, and hits zero twice."""
+    import pandas as pd
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    nets = [5, -8, 3, -3, 4, -10, 2]
+    # sequential truth
+    b, seq = 0, []
+    for x in nets:
+        b = max(0, b + x)
+        seq.append(b)
+    df = spark.createDataFrame(
+        pd.DataFrame({"k": 1, "day": range(len(nets)), "net": nets})
+    )
+    w = Window.partitionBy("k").orderBy("day").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    s = df.withColumn("_s", F.sum("net").over(w))
+    out = s.withColumn("_m", F.min("_s").over(w)).select(
+        "day", (F.col("_s") - F.least(F.col("_m"), F.lit(0))).alias("b")
+    )
+    got = [r["b"] for r in out.orderBy("day").collect()]
+    assert got == seq
