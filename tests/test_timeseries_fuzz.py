@@ -143,7 +143,8 @@ def test_rolling_median_matches_python(spark, tmp_path_factory, evs):
             day = str(base + datetime.timedelta(days=d))
             gn, gm = got[(t, day)]
             assert gn == n
-            assert abs(gm - round(med, 6)) < 1e-9
+            # det_round grid, same reasoning as the EWMA assert above
+            assert abs(gm - math.floor(med * 1e6 + 0.5) / 1e6) < 1e-9
 
 
 def test_ols_trend_recovers_planted_line(spark):
