@@ -619,6 +619,63 @@ _BFS_ORACLE_SQL = f"""
 """
 
 
+def _lpa_oracle_sql(rounds: int = 4) -> str:
+    """Unrolled synchronous label propagation mirroring
+    `graph.label_propagation`: per round, neighbor-label counts then
+    a per-node argmax with min-label tie-break. Every stage is
+    MATERIALIZED — DuckDB inlines CTEs, and an inlined 4-round chain
+    re-evaluates the co-purchase self-join exponentially."""
+    parts = ["""und AS MATERIALIZED (
+        SELECT src, dst FROM e UNION ALL SELECT dst, src FROM e
+    ), l0 AS MATERIALIZED (
+        SELECT DISTINCT src AS node, src AS label FROM und
+    )"""]
+    for t in range(rounds):
+        parts.append(f"""c{t} AS MATERIALIZED (
+        SELECT u.dst AS node, l.label, count(*) AS n
+        FROM und u JOIN l{t} l ON u.src = l.node
+        GROUP BY 1, 2
+    ), l{t + 1} AS MATERIALIZED (
+        SELECT node, label FROM (
+            SELECT node, label,
+                   row_number() OVER (PARTITION BY node
+                       ORDER BY n DESC, label ASC) AS rn
+            FROM c{t}
+        ) WHERE rn = 1
+    )""")
+    return f"""
+        WITH {_COPURCHASE_EDGES_CTE},
+        {','.join(parts)}
+        SELECT node AS user_id, label AS community
+        FROM l{rounds} ORDER BY user_id
+    """
+
+
+def _kcore_oracle_sql(k: int = 3, rounds: int = 8) -> str:
+    """Unrolled k-core peel mirroring `graph.kcore`: each round keeps
+    nodes with >= k surviving-subgraph degree; the final projection
+    reports degree inside the core."""
+    parts = ["""und AS MATERIALIZED (
+        SELECT src, dst FROM e UNION ALL SELECT dst, src FROM e
+    ), a0 AS MATERIALIZED (SELECT DISTINCT src AS node FROM und)"""]
+    for t in range(rounds):
+        parts.append(f"""a{t + 1} AS MATERIALIZED (
+        SELECT u.src AS node FROM und u
+        JOIN a{t} x ON u.src = x.node
+        JOIN a{t} y ON u.dst = y.node
+        GROUP BY u.src HAVING count(*) >= {k}
+    )""")
+    return f"""
+        WITH {_COPURCHASE_EDGES_CTE},
+        {','.join(parts)}
+        SELECT u.src AS user_id, count(*) AS core_degree
+        FROM und u
+        JOIN a{rounds} x ON u.src = x.node
+        JOIN a{rounds} y ON u.dst = y.node
+        GROUP BY u.src ORDER BY user_id
+    """
+
+
 _CLUSTERING_ORACLE_SQL = f"""
     WITH {_COPURCHASE_EDGES_CTE},
     tri AS (
@@ -878,6 +935,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "revenue_rolling_7d": analytics.revenue_rolling_7d,
         "events_k_anonymity": analytics.events_k_anonymity,
         "copurchase_clustering": analytics.copurchase_clustering,
+        "copurchase_communities": analytics.copurchase_communities,
+        "copurchase_kcore": analytics.copurchase_kcore,
         "part_inventory_balance": analytics.part_inventory_balance,
         "stream_kmv_distinct_users": streaming_parity.stream_kmv_distinct_users,
         # --- reference parity (SURVEY.md §2.12) ---
@@ -2455,6 +2514,8 @@ def oracle_sql() -> dict[str, str]:
         "copurchase_bfs_hops": _BFS_ORACLE_SQL,
         "copurchase_triangles": _TRIANGLES_ORACLE_SQL,
         "copurchase_clustering": _CLUSTERING_ORACLE_SQL,
+        "copurchase_communities": _lpa_oracle_sql(),
+        "copurchase_kcore": _kcore_oracle_sql(),
         # doc_bpe_merges: iterative (each round's rewrite depends on the
         # previous argmax) — rows-only here; tests/test_bpe.py proves the
         # merge table against a pure-Python BPE reference.

@@ -209,6 +209,81 @@ def bfs_hops(edges: DataFrame, max_hops: int = 3) -> DataFrame:
     return dist.orderBy("node")
 
 
+def label_propagation(edges: DataFrame, rounds: int = 4) -> DataFrame:
+    """Community detection by synchronous label propagation over an
+    src<dst edge list: every node starts labeled with its own id, and
+    each round adopts the most frequent label among its neighbors
+    (ties broken by the minimum label). Fixed `rounds` keeps the
+    oracle an unrolled CTE chain (same fixed-iteration contract as
+    `pagerank`), and the synchronous min-tie-break update makes the
+    result a pure function of the graph — no partition-order luck.
+
+    Shape per round: one edge-list equi-join (edge-sized shuffle) +
+    one (node, label) count aggregate + one per-node argmax window.
+    The window partitions by node and ranks at most deg(v) rows, so
+    no global sort and no single hot partition beyond the graph's max
+    degree — the same bound every per-node window here lives under.
+    """
+    und = _undirect(edges).localCheckpoint(eager=True)
+    lab = (
+        und.select(F.col("src").alias("node"))
+        .distinct()
+        .select("node", F.col("node").alias("label"))
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("node").orderBy(F.col("_n").desc(), F.col("label").asc())
+    for _ in range(rounds):
+        nbr = und.join(lab, und.src == lab.node).select(
+            F.col("dst").alias("node"), "label"
+        )
+        cnt = nbr.groupBy("node", "label").agg(F.count(F.lit(1)).alias("_n"))
+        lab = (
+            cnt.withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") == 1)
+            .select("node", "label")
+        )
+    return lab
+
+
+def kcore(edges: DataFrame, k: int = 3, rounds: int = 8) -> DataFrame:
+    """k-core peeling over an src<dst edge list: repeatedly drop
+    nodes whose degree within the surviving subgraph is < k. Output
+    is (node, core_degree) for the nodes alive after `rounds` peels —
+    the dense-cluster extraction primitive (spam rings, power-user
+    cliques, dup-cluster nuclei).
+
+    Fixed `rounds` mirrors into an unrolled oracle CTE chain; the
+    peel is monotone (alive sets only shrink), so once two
+    consecutive rounds agree the answer IS the true k-core — the
+    registered query's pytest asserts that fixpoint at test scales.
+    Each round: edge list joined to the alive set on both endpoints
+    (two hash joins keyed on an endpoint; the alive side only ever
+    shrinks) + one degree aggregate. `localCheckpoint` per round cuts
+    the exponential lineage the self-referencing loop would build.
+    """
+    und = _undirect(edges).localCheckpoint(eager=True)
+    alive = und.select(F.col("src").alias("node")).distinct()
+    for _ in range(rounds):
+        deg = (
+            und.join(alive.select(F.col("node").alias("src")), "src")
+            .join(alive.select(F.col("node").alias("dst")), "dst")
+            .groupBy("src")
+            .agg(F.count(F.lit(1)).alias("_deg"))
+        )
+        alive = (
+            deg.where(F.col("_deg") >= k)
+            .select(F.col("src").alias("node"))
+            .localCheckpoint(eager=True)
+        )
+    return (
+        und.join(alive.select(F.col("node").alias("src")), "src")
+        .join(alive.select(F.col("node").alias("dst")), "dst")
+        .groupBy(F.col("src").alias("node"))
+        .agg(F.count(F.lit(1)).alias("core_degree"))
+    )
+
+
 def local_clustering(edges: DataFrame) -> DataFrame:
     """Local clustering coefficient per node: c(v) = 2·T(v) /
     (deg(v)·(deg(v)−1)) — how close each node's neighborhood is to a

@@ -921,6 +921,46 @@ def copurchase_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def copurchase_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Community detection over the co-purchase graph: 4 rounds of
+    synchronous label propagation (operators/graph.py:
+    label_propagation — most-frequent neighbor label, min tie-break).
+    Deterministic by construction; the oracle unrolls the same 4
+    rounds as materialized CTEs."""
+    from stream_processing_system_spark.operators.graph import (
+        cooccurrence_edges,
+        label_propagation,
+    )
+
+    events = load_table(spark, sf_dir, "events")
+    edges = cooccurrence_edges(events)
+    return (
+        label_propagation(edges, rounds=4)
+        .select(F.col("node").alias("user_id"), F.col("label").alias("community"))
+        .orderBy("user_id")
+    )
+
+
+def copurchase_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-core of the co-purchase graph (operators/graph.py:kcore):
+    users surviving 8 rounds of degree-<3 peeling, with their degree
+    inside the core. The peel is monotone, so the unrolled-8-round
+    oracle is exact whenever the peel has converged — pytest asserts
+    round 7 == round 8 at test scales (tests/test_graph.py)."""
+    from stream_processing_system_spark.operators.graph import (
+        cooccurrence_edges,
+        kcore,
+    )
+
+    events = load_table(spark, sf_dir, "events")
+    edges = cooccurrence_edges(events)
+    return (
+        kcore(edges, k=3, rounds=8)
+        .select(F.col("node").alias("user_id"), "core_degree")
+        .orderBy("user_id")
+    )
+
+
 def conversion_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ordered-event funnel: users with a view, then a click AFTER
     their first view, then a purchase AFTER that click. One

@@ -92,3 +92,53 @@ def test_local_clustering_known_graph(spark):
     assert got[3] == (2, 1, 1.0) and got[4] == (2, 1, 1.0)
     assert got[1][0] == 3 and got[2][0] == 3
     assert abs(got[1][2] - 2 / 3) < 1e-6 and abs(got[2][2] - 2 / 3) < 1e-6
+
+
+def test_label_propagation_two_cliques(spark):
+    from stream_processing_system_spark.operators.graph import label_propagation
+
+    # two triangles joined by one bridge edge: each triangle converges
+    # to its own min label; the bridge endpoints stay with their clique
+    e = _edges(
+        spark,
+        [(1, 2), (2, 3), (1, 3), (4, 5), (5, 6), (4, 6), (3, 4)],
+    )
+    lab = {r["node"]: r["label"] for r in label_propagation(e, rounds=4).collect()}
+    assert lab[1] == lab[2] == lab[3]
+    assert lab[4] == lab[5] == lab[6]
+    assert lab[1] != lab[4]
+
+
+def test_label_propagation_partitioning_invariance(spark):
+    from stream_processing_system_spark.operators.graph import label_propagation
+
+    e = _edges(spark, [(i, j) for i in range(1, 9) for j in range(i + 1, 9) if (i + j) % 3])
+    one = {r["node"]: r["label"] for r in label_propagation(e.coalesce(1)).collect()}
+    many = {r["node"]: r["label"] for r in label_propagation(e.repartition(16)).collect()}
+    assert one == many
+
+
+def test_kcore_known_graph(spark):
+    from stream_processing_system_spark.operators.graph import kcore
+
+    # K4 (nodes 1-4) with pendant chains: only the K4 survives k=3
+    e = _edges(
+        spark,
+        [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4), (4, 5), (5, 6)],
+    )
+    got = {r["node"]: r["core_degree"] for r in kcore(e, k=3, rounds=8).collect()}
+    assert got == {1: 3, 2: 3, 3: 3, 4: 3}
+
+
+def test_kcore_fixpoint_at_test_scale(spark, sf_dir):
+    """The registered copurchase_kcore unrolls 8 rounds; the peel is
+    monotone so round-7 == round-8 proves the unrolled answer IS the
+    true 3-core at this scale."""
+    from stream_processing_system_spark.operators.graph import kcore
+    from stream_processing_system_spark.sources.tables import load_table
+
+    events = load_table(spark, sf_dir, "events")
+    edges = cooccurrence_edges(events)
+    r7 = kcore(edges, k=3, rounds=7)
+    r8 = kcore(edges, k=3, rounds=8)
+    assert r7.exceptAll(r8).count() == 0 and r8.exceptAll(r7).count() == 0
