@@ -937,6 +937,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "copurchase_clustering": analytics.copurchase_clustering,
         "copurchase_communities": analytics.copurchase_communities,
         "copurchase_kcore": analytics.copurchase_kcore,
+        "events_acf": analytics.events_acf,
+        "events_burstiness": analytics.events_burstiness,
+        "events_seasonal_wape": analytics.events_seasonal_wape,
         "part_inventory_balance": analytics.part_inventory_balance,
         "stream_kmv_distinct_users": streaming_parity.stream_kmv_distinct_users,
         # --- reference parity (SURVEY.md §2.12) ---
@@ -3944,6 +3947,87 @@ def oracle_sql() -> dict[str, str]:
                           / CAST(n AS DOUBLE)) * 1000000.0 + 0.5) / 1000000.0
                        AS intercept
             FROM fit
+        """,
+        "events_acf": """
+            WITH daily AS MATERIALIZED (
+                SELECT event_type, CAST(ts AS DATE) AS day,
+                       CAST(SUM(CAST(floor(value * 100 + 0.5) AS BIGINT))
+                            AS BIGINT) // 100 AS x
+                FROM events WHERE value IS NOT NULL
+                GROUP BY 1, 2
+            ), lags AS (SELECT CAST(range AS INT) AS lag FROM range(1, 8)),
+            pairs AS (
+                SELECT a.event_type, l.lag, a.x AS xa, b.x AS xb
+                FROM daily a
+                CROSS JOIN lags l
+                JOIN daily b ON b.event_type = a.event_type
+                            AND b.day = a.day + l.lag
+            ), stats AS (
+                SELECT event_type, lag,
+                       CAST(count(*) AS HUGEINT) AS n,
+                       SUM(CAST(xa AS HUGEINT)) AS sa,
+                       SUM(CAST(xb AS HUGEINT)) AS sb,
+                       SUM(CAST(xa AS HUGEINT) * xa) AS saa,
+                       SUM(CAST(xb AS HUGEINT) * xb) AS sbb,
+                       SUM(CAST(xa AS HUGEINT) * xb) AS sab
+                FROM pairs GROUP BY 1, 2
+            )
+            SELECT event_type, lag, CAST(n AS BIGINT) AS n_pairs,
+                   floor(CAST(n * sab - sa * sb AS DOUBLE)
+                         / (sqrt(CAST(n * saa - sa * sa AS DOUBLE))
+                            * sqrt(CAST(n * sbb - sb * sb AS DOUBLE)))
+                         * 1000000.0 + 0.5) / 1000000.0 AS acf
+            FROM stats
+            WHERE CAST(n * saa - sa * sa AS DOUBLE) > 0
+              AND CAST(n * sbb - sb * sb AS DOUBLE) > 0
+            ORDER BY event_type, lag
+        """,
+        "events_burstiness": """
+            WITH g AS (
+                SELECT user_id,
+                       CAST(floor(epoch(ts)) AS BIGINT)
+                       - lag(CAST(floor(epoch(ts)) AS BIGINT)) OVER (
+                             PARTITION BY user_id
+                             ORDER BY CAST(floor(epoch(ts)) AS BIGINT), event_id
+                         ) AS g
+                FROM events
+            ), s AS (
+                SELECT user_id, CAST(count(*) AS HUGEINT) AS n,
+                       SUM(CAST(g AS HUGEINT)) AS s1,
+                       SUM(CAST(g AS HUGEINT) * g) AS s2
+                FROM g WHERE g IS NOT NULL GROUP BY 1
+            )
+            SELECT user_id, CAST(n AS BIGINT) AS n_gaps,
+                   floor((CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
+                         * 1000000.0 + 0.5) / 1000000.0 AS mean_gap_s,
+                   floor(((sqrt(CAST(n * s2 - s1 * s1 AS DOUBLE)
+                                / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0)))
+                           - CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
+                          / (sqrt(CAST(n * s2 - s1 * s1 AS DOUBLE)
+                                  / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0)))
+                             + CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)))
+                         * 1000000.0 + 0.5) / 1000000.0 AS burstiness
+            FROM s WHERE n >= 10
+            ORDER BY user_id
+        """,
+        "events_seasonal_wape": """
+            WITH daily AS MATERIALIZED (
+                SELECT event_type, CAST(ts AS DATE) AS day,
+                       CAST(SUM(CAST(floor(value * 100 + 0.5) AS BIGINT))
+                            AS BIGINT) // 100 AS x
+                FROM events WHERE value IS NOT NULL
+                GROUP BY 1, 2
+            ), fc AS (
+                SELECT event_type, day + 7 AS day, x AS f FROM daily
+            )
+            SELECT d.event_type, count(*) AS n_days,
+                   floor(CAST(SUM(abs(d.x - fc.f)) AS DOUBLE)
+                         / CAST(SUM(d.x) AS DOUBLE)
+                         * 1000000.0 + 0.5) / 1000000.0 AS wape
+            FROM daily d JOIN fc ON d.event_type = fc.event_type
+                                AND d.day = fc.day
+            GROUP BY 1 HAVING SUM(d.x) > 0
+            ORDER BY 1
         """,
         "events_anomaly_mad": """
             WITH daily AS (

@@ -3175,3 +3175,147 @@ def part_inventory_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_partkey")
     )
+
+
+def _daily_whole_units(events: DataFrame) -> DataFrame:
+    """Daily total value per event_type on an exact integer grid:
+    centi-unit BIGINT sums integer-divided back to whole units — a
+    pure function of the row multiset, identical in both engines.
+    Note the division truncates toward ZERO on negative daily sums
+    (Spark `div` == DuckDB `//`; python's flooring `//` differs —
+    caught by the ACF fuzz test's first negative-sum example)."""
+    return (
+        events.where(F.col("value").isNotNull())
+        .select(
+            "event_type",
+            F.col("ts").cast("date").alias("day"),
+            F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("cy"),
+        )
+        .groupBy("event_type", "day")
+        .agg(F.expr("sum(cy) div 100").alias("x"))
+    )
+
+
+def events_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Autocorrelation function of the daily total value per event
+    type at lags 1..7 — the seasonality screen before any forecast.
+
+    Exactness: the daily series lives on a whole-unit integer grid
+    (`_daily_whole_units`); Pearson terms for each (type, lag) are
+    DECIMAL(38,0) sums of BIGINT products (exact, order-free; DuckDB
+    mirrors in HUGEINT), and only the final
+    num / (sqrt(a)·sqrt(b)) runs in fixed-operand-order doubles.
+
+    Shape: ONE data-sized aggregate to (type, day) grain; the
+    lag pairing is a self-join of that tiny daily frame fanned 7× by
+    a lag literal array — never a window over raw events."""
+    events = load_table(spark, sf_dir, "events")
+    daily = _daily_whole_units(events).localCheckpoint(eager=True)
+    lags = spark.range(1, 8).select(F.col("id").cast("int").alias("lag"))
+    left = daily.crossJoin(F.broadcast(lags)).select(
+        "event_type", "lag", F.date_add("day", F.col("lag")).alias("day2"),
+        F.col("x").alias("xa"),
+    )
+    right = daily.select(
+        "event_type", F.col("day").alias("day2"), F.col("x").alias("xb")
+    )
+    d38 = "decimal(38,0)"
+    pairs = left.join(right, ["event_type", "day2"])
+    stats = pairs.groupBy("event_type", "lag").agg(
+        F.count(F.lit(1)).cast(d38).alias("n"),
+        F.sum(F.col("xa").cast(d38)).alias("sa"),
+        F.sum(F.col("xb").cast(d38)).alias("sb"),
+        F.sum((F.col("xa").cast(d38) * F.col("xa"))).alias("saa"),
+        F.sum((F.col("xb").cast(d38) * F.col("xb"))).alias("sbb"),
+        F.sum((F.col("xa").cast(d38) * F.col("xb"))).alias("sab"),
+    )
+    num = (F.col("n") * F.col("sab") - F.col("sa") * F.col("sb")).cast("double")
+    da = (F.col("n") * F.col("saa") - F.col("sa") * F.col("sa")).cast("double")
+    db = (F.col("n") * F.col("sbb") - F.col("sb") * F.col("sb")).cast("double")
+    return (
+        stats.where((da > 0) & (db > 0))
+        .select(
+            "event_type",
+            "lag",
+            F.col("n").cast("long").alias("n_pairs"),
+            det_round(num / (F.sqrt(da) * F.sqrt(db))).alias("acf"),
+        )
+        .orderBy("event_type", "lag")
+    )
+
+
+def events_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user inter-arrival burstiness (Goh–Barabási
+    B = (σ−μ)/(σ+μ) over the gaps between consecutive events): the
+    bot-vs-human activity-shape signal. Gaps are exact epoch-second
+    longs from a per-user LAG window ordered by (ts, event_id) — the
+    event_id tie-break pins same-timestamp ordering. μ and σ come
+    from exact DECIMAL(38,0) sums of gaps and squared gaps (sample
+    variance), so the only floating-point is the final fixed-order
+    expression. Window partitions by user: per-partition work is
+    bounded by one user's history, the same bound sessionization
+    lives under. Users with < 10 gaps are dropped."""
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("_ts").asc(), F.col("event_id").asc()
+    )
+    d38 = "decimal(38,0)"
+    gaps = (
+        events.select("user_id", "event_id", F.col("ts").cast("long").alias("_ts"))
+        .withColumn("_g", F.col("_ts") - F.lag("_ts").over(w))
+        .where(F.col("_g").isNotNull())
+    )
+    stats = gaps.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast(d38).alias("n"),
+        F.sum(F.col("_g").cast(d38)).alias("s1"),
+        F.sum(F.col("_g").cast(d38) * F.col("_g")).alias("s2"),
+    )
+    n = F.col("n").cast("double")
+    mean = F.col("s1").cast("double") / n
+    var = (F.col("n") * F.col("s2") - F.col("s1") * F.col("s1")).cast("double") / (
+        n * (n - F.lit(1.0))
+    )
+    sd = F.sqrt(var)
+    return (
+        stats.where(F.col("n") >= 10)
+        .select(
+            "user_id",
+            F.col("n").cast("long").alias("n_gaps"),
+            det_round(mean).alias("mean_gap_s"),
+            det_round((sd - mean) / (sd + mean)).alias("burstiness"),
+        )
+        .orderBy("user_id")
+    )
+
+
+def events_seasonal_wape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal-naive forecast backtest: predict each day's total
+    value per event type with the value 7 days earlier, scored by
+    WAPE = Σ|actual−forecast| / Σactual — the weighted variant whose
+    numerator and denominator are BOTH exact BIGINT sums on the
+    whole-unit grid (per-day percentage errors would force an
+    order-dependent double sum; WAPE doesn't). One daily aggregate +
+    one tiny self-join at (type, day) grain."""
+    events = load_table(spark, sf_dir, "events")
+    daily = _daily_whole_units(events).localCheckpoint(eager=True)
+    fc = daily.select(
+        "event_type", F.date_add("day", 7).alias("day"), F.col("x").alias("f")
+    )
+    scored = daily.join(fc, ["event_type", "day"])
+    return (
+        scored.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_days"),
+            F.sum(F.abs(F.col("x") - F.col("f"))).alias("_ae"),
+            F.sum("x").alias("_a"),
+        )
+        .where(F.col("_a") > 0)
+        .select(
+            "event_type",
+            "n_days",
+            det_round(F.col("_ae").cast("double") / F.col("_a").cast("double")).alias(
+                "wape"
+            ),
+        )
+        .orderBy("event_type")
+    )

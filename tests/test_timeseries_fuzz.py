@@ -241,3 +241,111 @@ def test_clamped_balance_reflection_identity(spark):
     )
     got = [r["b"] for r in out.orderBy("day").collect()]
     assert got == seq
+
+
+def _daily_whole(evs):
+    """whole-unit daily totals keyed (type, day-offset): centi sums
+    integer-divided by 100, mirroring _daily_whole_units. Both
+    engines' integer division (Spark `div`, DuckDB `//`) truncates
+    toward ZERO on negatives — python's `//` floors, so mirror the
+    engines, not the python idiom."""
+    acc: dict[tuple, int] = {}
+    for d, v, t in evs:
+        acc[(t, d)] = acc.get((t, d), 0) + math.floor(v * 100 + 0.5)
+    return {k: (s // 100 if s >= 0 else -((-s) // 100)) for k, s in acc.items()}
+
+
+@given(evs=events_strategy)
+@SET
+def test_acf_matches_python(spark, tmp_path_factory, evs):
+    from stream_processing_system_spark.plans.analytics import events_acf
+
+    tmp = tmp_path_factory.mktemp("acf")
+    sf = _write(spark, _frame(spark, evs), tmp)
+    got = {
+        (r["event_type"], r["lag"]): (r["n_pairs"], r["acf"])
+        for r in events_acf(spark, sf).collect()
+    }
+    daily = _daily_whole(evs)
+    want = {}
+    for t in {t for _, _, t in evs}:
+        series = {d: x for (tt, d), x in daily.items() if tt == t}
+        for lag in range(1, 8):
+            pairs = [(series[d], series[d + lag]) for d in series if d + lag in series]
+            n = len(pairs)
+            if n == 0:
+                continue
+            sa = sum(a for a, _ in pairs)
+            sb = sum(b for _, b in pairs)
+            saa = sum(a * a for a, _ in pairs)
+            sbb = sum(b * b for _, b in pairs)
+            sab = sum(a * b for a, b in pairs)
+            da, db = n * saa - sa * sa, n * sbb - sb * sb
+            if float(da) <= 0 or float(db) <= 0:
+                continue
+            acf = float(n * sab - sa * sb) / (math.sqrt(float(da)) * math.sqrt(float(db)))
+            want[(t, lag)] = (n, math.floor(acf * 1e6 + 0.5) / 1e6)
+    assert set(got) == set(want)
+    for k, (n, a) in want.items():
+        assert got[k][0] == n
+        assert abs(got[k][1] - a) < 1e-9
+
+
+@given(evs=events_strategy)
+@SET
+def test_burstiness_matches_python(spark, tmp_path_factory, evs):
+    from stream_processing_system_spark.plans.analytics import events_burstiness
+
+    tmp = tmp_path_factory.mktemp("burst")
+    sf = _write(spark, _frame(spark, evs), tmp)
+    rows = events_burstiness(spark, sf).collect()
+    base = datetime.datetime(2024, 3, 1, tzinfo=datetime.timezone.utc)
+    stamps = sorted(
+        (
+            int((base + datetime.timedelta(days=d, hours=i % 24)).timestamp()),
+            i,
+        )
+        for i, (d, v, t) in enumerate(evs)
+    )
+    gaps = [b[0] - a[0] for a, b in zip(stamps, stamps[1:])]
+    n = len(gaps)
+    if n < 10:
+        assert rows == []
+        return
+    (r,) = rows
+    s1, s2 = sum(gaps), sum(g * g for g in gaps)
+    mean = float(s1) / float(n)
+    sd = math.sqrt(float(n * s2 - s1 * s1) / (float(n) * (float(n) - 1.0)))
+    assert r["n_gaps"] == n
+    assert abs(r["mean_gap_s"] - math.floor(mean * 1e6 + 0.5) / 1e6) < 1e-9
+    want_b = math.floor((sd - mean) / (sd + mean) * 1e6 + 0.5) / 1e6
+    assert abs(r["burstiness"] - want_b) < 1e-9
+
+
+@given(evs=events_strategy)
+@SET
+def test_seasonal_wape_matches_python(spark, tmp_path_factory, evs):
+    from stream_processing_system_spark.plans.analytics import events_seasonal_wape
+
+    tmp = tmp_path_factory.mktemp("wape")
+    sf = _write(spark, _frame(spark, evs), tmp)
+    got = {
+        r["event_type"]: (r["n_days"], r["wape"])
+        for r in events_seasonal_wape(spark, sf).collect()
+    }
+    daily = _daily_whole(evs)
+    want = {}
+    for t in {t for _, _, t in evs}:
+        series = {d: x for (tt, d), x in daily.items() if tt == t}
+        pairs = [(series[d], series[d - 7]) for d in series if d - 7 in series]
+        if not pairs or sum(a for a, _ in pairs) <= 0:
+            continue
+        ae = sum(abs(a - f) for a, f in pairs)
+        want[t] = (
+            len(pairs),
+            math.floor(float(ae) / float(sum(a for a, _ in pairs)) * 1e6 + 0.5) / 1e6,
+        )
+    assert set(got) == set(want)
+    for t, (n, w) in want.items():
+        assert got[t][0] == n
+        assert abs(got[t][1] - w) < 1e-9
