@@ -937,6 +937,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "copurchase_clustering": analytics.copurchase_clustering,
         "copurchase_communities": analytics.copurchase_communities,
         "copurchase_kcore": analytics.copurchase_kcore,
+        "orders_benford": analytics.orders_benford,
+        "user_activity_gini": analytics.user_activity_gini,
         "events_acf": analytics.events_acf,
         "events_burstiness": analytics.events_burstiness,
         "events_seasonal_wape": analytics.events_seasonal_wape,
@@ -3947,6 +3949,49 @@ def oracle_sql() -> dict[str, str]:
                           / CAST(n AS DOUBLE)) * 1000000.0 + 0.5) / 1000000.0
                        AS intercept
             FROM fit
+        """,
+        "orders_benford": """
+            WITH obs AS (
+                SELECT CAST(substr(CAST(CAST(floor(o_totalprice * 100 + 0.5)
+                                             AS BIGINT) AS VARCHAR), 1, 1)
+                            AS INT) AS digit,
+                       count(*) AS n_obs
+                FROM orders WHERE o_totalprice > 0
+                GROUP BY 1
+            ), t AS (SELECT SUM(n_obs) AS total FROM obs)
+            SELECT digit, CAST(n_obs AS BIGINT) AS n_obs,
+                   floor(CAST(total AS DOUBLE) * log10(1.0 + 1.0 / digit)
+                         * 1000000.0 + 0.5) / 1000000.0 AS n_expected,
+                   floor((CAST(n_obs AS DOUBLE)
+                            - CAST(total AS DOUBLE) * log10(1.0 + 1.0 / digit))
+                         * (CAST(n_obs AS DOUBLE)
+                            - CAST(total AS DOUBLE) * log10(1.0 + 1.0 / digit))
+                         / (CAST(total AS DOUBLE) * log10(1.0 + 1.0 / digit))
+                         * 1000000.0 + 0.5) / 1000000.0 AS chi2_term
+            FROM obs, t
+            ORDER BY digit
+        """,
+        "user_activity_gini": """
+            WITH counts AS (
+                SELECT event_type, user_id, count(*) AS c
+                FROM events GROUP BY 1, 2
+            ), ranked AS (
+                SELECT event_type, c,
+                       row_number() OVER (PARTITION BY event_type
+                           ORDER BY c ASC, user_id ASC) AS i
+                FROM counts
+            ), s AS (
+                SELECT event_type, count(*) AS n, SUM(c) AS s,
+                       SUM(i * c) AS ws
+                FROM ranked GROUP BY 1
+            )
+            SELECT event_type, CAST(n AS BIGINT) AS n_users,
+                   CAST(s AS BIGINT) AS n_events,
+                   floor(((2.0 * CAST(ws AS DOUBLE))
+                          / (CAST(n AS DOUBLE) * CAST(s AS DOUBLE))
+                          - (CAST(n AS DOUBLE) + 1.0) / CAST(n AS DOUBLE))
+                         * 1000000.0 + 0.5) / 1000000.0 AS gini
+            FROM s ORDER BY 1
         """,
         "events_acf": """
             WITH daily AS MATERIALIZED (

@@ -3319,3 +3319,83 @@ def events_seasonal_wape(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+def orders_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law audit of o_totalprice: observed first-significant
+    -digit distribution vs the log10(1+1/d) expectation, one row per
+    digit with its chi-square contribution — the classic fabricated-
+    data screen for a financial column.
+
+    Determinism: the digit comes from STRING arithmetic on the exact
+    cent grid (first char of the BIGINT cents rendered as text),
+    never from log10 of a double (whose floor can straddle an
+    engine-specific ulp at powers of ten). The expectation uses
+    log10 only on the 9 digit CONSTANTS — correctly-rounded in both
+    engines. Per-digit rows avoid any cross-row double sum. Shape:
+    one scan aggregate onto a 9-value key domain."""
+    orders = load_table(spark, sf_dir, "orders").where(F.col("o_totalprice") > 0)
+    digit = F.substring(
+        F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long").cast("string"),
+        1,
+        1,
+    ).cast("int")
+    obs = orders.select(digit.alias("digit")).groupBy("digit").agg(
+        F.count(F.lit(1)).alias("n_obs")
+    )
+    total = obs.agg(F.sum("n_obs").alias("_t"))
+    p = F.log10(F.lit(1.0) + F.lit(1.0) / F.col("digit"))
+    exp = F.col("_t") * p
+    return (
+        obs.crossJoin(F.broadcast(total))
+        .select(
+            "digit",
+            "n_obs",
+            det_round(exp).alias("n_expected"),
+            det_round(
+                (F.col("n_obs") - exp) * (F.col("n_obs") - exp) / exp
+            ).alias("chi2_term"),
+        )
+        .orderBy("digit")
+    )
+
+
+def user_activity_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of per-user event counts by event type — the
+    concentration/inequality metric for traffic audits (is one bot
+    generating half the clicks?). G = 2·Σ(rank·c)/(n·Σc) − (n+1)/n
+    over counts ranked ascending: every term is an exact BIGINT
+    (rank ties between equal counts permute equal values, so the
+    weighted sum is tie-order invariant), and only the final
+    fixed-order expression runs in doubles.
+
+    Scale: the ranked window runs per event_type over USER-grain
+    counts (one row per active user, after the data-sized aggregate)
+    — the same bounded-grain contract as customer_value_deciles; the
+    raw event table is never windowed."""
+    events = load_table(spark, sf_dir, "events")
+    counts = events.groupBy("event_type", "user_id").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    w = Window.partitionBy("event_type").orderBy(
+        F.col("c").asc(), F.col("user_id").asc()
+    )
+    ranked = counts.withColumn("i", F.row_number().over(w))
+    stats = ranked.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("c").alias("s"),
+        F.sum(F.col("i") * F.col("c")).alias("ws"),
+    )
+    n = F.col("n").cast("double")
+    gini = (F.lit(2.0) * F.col("ws").cast("double")) / (
+        n * F.col("s").cast("double")
+    ) - (n + F.lit(1.0)) / n
+    return (
+        stats.select(
+            "event_type",
+            F.col("n").cast("long").alias("n_users"),
+            F.col("s").cast("long").alias("n_events"),
+            det_round(gini).alias("gini"),
+        )
+        .orderBy("event_type")
+    )

@@ -1,0 +1,70 @@
+"""Data-audit statistics: Benford first-digit extraction and the Gini
+concentration coefficient, checked on constructed inputs with known
+answers (the DuckDB oracle covers cross-engine parity; these pin the
+semantics)."""
+
+from __future__ import annotations
+
+import datetime
+import os
+
+
+def _sf(tmp_path, spark, orders=None, events=None):
+    sf = str(tmp_path / "sf")
+    os.makedirs(sf, exist_ok=True)
+    if orders is not None:
+        spark.createDataFrame(
+            orders,
+            "o_orderkey long, o_custkey long, o_orderstatus string, "
+            "o_totalprice double, o_orderdate timestamp, o_orderpriority string",
+        ).write.mode("overwrite").parquet(os.path.join(sf, "orders.parquet"))
+    if events is not None:
+        spark.createDataFrame(
+            events,
+            "event_id long, ts timestamp, user_id long, event_type string, "
+            "value double, props string",
+        ).write.mode("overwrite").parquet(os.path.join(sf, "events.parquet"))
+    return sf
+
+
+def test_benford_digit_extraction(spark, tmp_path):
+    from stream_processing_system_spark.plans.analytics import orders_benford
+
+    d = datetime.datetime(2024, 1, 1)
+    # first significant digit of the CENT grid: 912.34 -> 9, 0.07 -> 7
+    prices = [912.34, 123.0, 0.07, 19999.99, 2.5]
+    orders = [(i, 1, "O", p, d, "1-URGENT") for i, p in enumerate(prices)]
+    rows = orders_benford(spark, _sf(tmp_path, spark, orders=orders)).collect()
+    got = {r["digit"]: r["n_obs"] for r in rows}
+    assert got == {9: 1, 1: 2, 7: 1, 2: 1}
+    total = sum(got.values())
+    # expectations sum to ~total over all 9 digits (we only see 4)
+    for r in rows:
+        assert 0 < r["n_expected"] < total
+        assert r["chi2_term"] >= 0
+
+
+def test_gini_uniform_and_concentrated(spark, tmp_path):
+    from stream_processing_system_spark.plans.analytics import user_activity_gini
+
+    d = datetime.datetime(2024, 1, 1)
+    ev = []
+    # type "flat": 4 users x 5 events each -> gini 0
+    i = 0
+    for u in range(4):
+        for _ in range(5):
+            ev.append((i, d, u, "flat", 1.0, "{}"))
+            i += 1
+    # type "spike": one user has 97 events, three have 1 each
+    for u, n in [(0, 97), (1, 1), (2, 1), (3, 1)]:
+        for _ in range(n):
+            ev.append((i, d, u, "spike", 1.0, "{}"))
+            i += 1
+    rows = {
+        r["event_type"]: r
+        for r in user_activity_gini(spark, _sf(tmp_path, spark, events=ev)).collect()
+    }
+    assert rows["flat"]["gini"] == 0.0
+    # exact: counts [1,1,1,97], G = 2*(1+2+3+4*97)/(4*100) - 5/4 = 0.72
+    assert abs(rows["spike"]["gini"] - 0.72) < 1e-9
+    assert rows["spike"]["n_users"] == 4 and rows["spike"]["n_events"] == 100
