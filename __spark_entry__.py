@@ -651,6 +651,45 @@ def _lpa_oracle_sql(rounds: int = 4) -> str:
     """
 
 
+def _stationary_oracle_sql(rounds: int = 10) -> str:
+    """Unrolled join-based matvec mirroring
+    `analytics.event_type_stationary`: BIGINT mass on the 1e-9 grid,
+    per-edge contribution floor(x·(n_ij/n_i)+0.5) with the identical
+    operand order."""
+    parts = ["""pairs AS MATERIALIZED (
+        SELECT lag(event_type) OVER (PARTITION BY user_id
+                   ORDER BY ts, event_id) AS prv,
+               event_type AS nxt
+        FROM events
+    ), trans AS MATERIALIZED (
+        SELECT prv, nxt, CAST(count(*) AS BIGINT) AS n_ij
+        FROM pairs WHERE prv IS NOT NULL GROUP BY 1, 2
+    ), rt AS MATERIALIZED (
+        SELECT prv, CAST(SUM(n_ij) AS BIGINT) AS n_i FROM trans GROUP BY 1
+    ), st AS (SELECT DISTINCT prv AS state FROM trans),
+    ns AS (SELECT count(*) AS t FROM st),
+    x0 AS MATERIALIZED (
+        SELECT state, CAST(floor(1e9 / t + 0.5) AS BIGINT) AS x FROM st, ns
+    )"""]
+    for r in range(rounds):
+        parts.append(f"""x{r + 1} AS MATERIALIZED (
+        SELECT tr.nxt AS state,
+               SUM(CAST(floor(CAST(x.x AS DOUBLE)
+                              * (CAST(tr.n_ij AS DOUBLE)
+                                 / CAST(rt.n_i AS DOUBLE)) + 0.5)
+                        AS BIGINT)) AS x
+        FROM trans tr
+        JOIN rt ON tr.prv = rt.prv
+        JOIN x{r} x ON tr.prv = x.state
+        GROUP BY 1
+    )""")
+    return f"""
+        WITH {','.join(parts)}
+        SELECT state AS event_type, CAST(x AS DOUBLE) / 1e9 AS stationary
+        FROM x{rounds} ORDER BY 1
+    """
+
+
 def _kcore_oracle_sql(k: int = 3, rounds: int = 8) -> str:
     """Unrolled k-core peel mirroring `graph.kcore`: each round keeps
     nodes with >= k surviving-subgraph degree; the final projection
@@ -937,6 +976,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "copurchase_clustering": analytics.copurchase_clustering,
         "copurchase_communities": analytics.copurchase_communities,
         "copurchase_kcore": analytics.copurchase_kcore,
+        "customer_record_linkage": analytics.customer_record_linkage,
+        "event_type_stationary": analytics.event_type_stationary,
         "orders_benford": analytics.orders_benford,
         "user_activity_gini": analytics.user_activity_gini,
         "events_acf": analytics.events_acf,
@@ -3950,6 +3991,40 @@ def oracle_sql() -> dict[str, str]:
                        AS intercept
             FROM fit
         """,
+        "customer_record_linkage": """
+            WITH a AS (
+                SELECT c_custkey AS a_id, c_name AS a_name,
+                       c_nationkey AS nk,
+                       CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) AS a_cents,
+                       c_mktsegment AS a_seg
+                FROM customer
+            ), b AS (
+                SELECT c_custkey AS b_id,
+                       CASE WHEN c_custkey % 3 = 0
+                            THEN translate(c_name, '0', 'O')
+                            ELSE c_name END AS b_name,
+                       c_nationkey AS nk,
+                       CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT)
+                           + c_custkey % 7 - 3 AS b_cents,
+                       CASE WHEN c_custkey % 11 = 0 THEN 'UNKNOWN'
+                            ELSE c_mktsegment END AS b_seg
+                FROM customer WHERE c_custkey % 2 = 0
+            ), bn AS (
+                SELECT *, translate(b_name, 'O', '0') AS b_norm FROM b
+            ), scored AS (
+                SELECT a_id, b_id,
+                       CAST((CASE WHEN a_name = b_norm THEN 3 ELSE 0 END)
+                          + (CASE WHEN abs(a_cents - b_cents) <= 2
+                                  THEN 2 ELSE 0 END)
+                          + (CASE WHEN a_seg = b_seg THEN 1 ELSE 0 END)
+                            AS INT) AS score
+                FROM a JOIN bn ON a.nk = bn.nk
+                               AND right(a_name, 2) = right(b_norm, 2)
+            )
+            SELECT a_id, b_id, score FROM scored WHERE score >= 4
+            ORDER BY a_id, b_id
+        """,
+        "event_type_stationary": _stationary_oracle_sql(),
         "orders_benford": """
             WITH obs AS (
                 SELECT CAST(substr(CAST(CAST(floor(o_totalprice * 100 + 0.5)

@@ -3399,3 +3399,115 @@ def user_activity_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+def customer_record_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity resolution / record linkage: match customers against a
+    deterministically-dirtied copy of themselves (0→O typos in every
+    third name, ±3-cent balance noise, every 11th segment blanked) by
+    BLOCKED multi-field scoring — the Fellegi–Sunter shape: cheap
+    blocking keys cut the candidate space, then per-field agreement
+    weights (+3 normalized-name, +2 balance within 2 cents, +1
+    segment) sum to a match score, threshold ≥ 4.
+
+    The dirty copy is derived IN-QUERY with pure expressions, so the
+    oracle rebuilds it bit-for-bit (no fixture file). Blocking =
+    (nation, last-2-digits of the normalized name): an equi-join on
+    bounded blocks — at 100 TB this is the standard linkage plan, a
+    hash join on block keys with per-block fan-in bounded by block
+    granularity, never an all-pairs comparison. Balance noise lives
+    on the exact cent grid."""
+    cust = load_table(spark, sf_dir, "customer")
+    cents = F.floor(F.col("c_acctbal") * 100 + F.lit(0.5)).cast("long")
+    a = cust.select(
+        F.col("c_custkey").alias("a_id"),
+        F.col("c_name").alias("a_name"),
+        F.col("c_nationkey").alias("nk"),
+        cents.alias("a_cents"),
+        F.col("c_mktsegment").alias("a_seg"),
+    )
+    b = cust.where(F.col("c_custkey") % 2 == 0).select(
+        F.col("c_custkey").alias("b_id"),
+        F.when(
+            F.col("c_custkey") % 3 == 0, F.translate("c_name", "0", "O")
+        )
+        .otherwise(F.col("c_name"))
+        .alias("b_name"),
+        F.col("c_nationkey").alias("nk"),
+        (cents + F.col("c_custkey") % 7 - F.lit(3)).alias("b_cents"),
+        F.when(F.col("c_custkey") % 11 == 0, F.lit("UNKNOWN"))
+        .otherwise(F.col("c_mktsegment"))
+        .alias("b_seg"),
+    )
+    # normalization undoes the known typo class only: names contain
+    # no uppercase 'O' (lowercase 'o' in "Customer#" is untouched)
+    b = b.withColumn("b_norm", F.translate("b_name", "O", "0"))
+    cand = a.join(
+        b,
+        (a["nk"] == b["nk"])
+        & (F.expr("right(a_name, 2)") == F.expr("right(b_norm, 2)")),
+    )
+    score = (
+        F.when(F.col("a_name") == F.col("b_norm"), 3).otherwise(0)
+        + F.when(F.abs(F.col("a_cents") - F.col("b_cents")) <= 2, 2).otherwise(0)
+        + F.when(F.col("a_seg") == F.col("b_seg"), 1).otherwise(0)
+    )
+    return (
+        cand.select("a_id", "b_id", score.cast("int").alias("score"))
+        .where(F.col("score") >= 4)
+        .orderBy("a_id", "b_id")
+    )
+
+
+def event_type_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stationary distribution of the event-type Markov chain (where
+    does a user's session settle?): transition counts from each
+    user's consecutive event pairs, then 10 power-iteration rounds of
+    x' = xP executed as a join-based matvec — the same distributed
+    shape as `graph.pagerank`, with mass on the 1e-9 integer grid
+    (per-edge contribution floor(x·(n_ij/n_i)+0.5) is identical IEEE
+    math in both engines; per-state accumulation sums BIGINTs).
+    The transition extraction is the data-sized stage (one per-user
+    LAG window); the iteration runs on the (types × types) frame."""
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").asc(), F.col("event_id").asc()
+    )
+    pairs = (
+        events.select(
+            "user_id", "event_id", "ts", F.col("event_type").alias("nxt")
+        )
+        .withColumn("prv", F.lag("nxt").over(w))
+        .where(F.col("prv").isNotNull())
+    )
+    trans = (
+        pairs.groupBy("prv", "nxt")
+        .agg(F.count(F.lit(1)).alias("n_ij"))
+        .localCheckpoint(eager=True)
+    )
+    row_tot = trans.groupBy("prv").agg(F.sum("n_ij").alias("n_i"))
+    states = trans.select(F.col("prv").alias("state")).distinct()
+    n_states = states.agg(F.count(F.lit(1)).alias("_t"))
+    x = states.crossJoin(F.broadcast(n_states)).select(
+        "state", F.floor(F.lit(1e9) / F.col("_t") + 0.5).cast("long").alias("_x")
+    )
+    for _ in range(10):
+        contrib = (
+            trans.join(row_tot, "prv")
+            .join(x, trans.prv == x.state)
+            .select(
+                F.col("nxt").alias("state"),
+                F.floor(
+                    F.col("_x")
+                    * (F.col("n_ij").cast("double") / F.col("n_i").cast("double"))
+                    + 0.5
+                )
+                .cast("long")
+                .alias("_c"),
+            )
+        )
+        x = contrib.groupBy("state").agg(F.sum("_c").alias("_x"))
+    return x.select(
+        F.col("state").alias("event_type"),
+        (F.col("_x").cast("double") / F.lit(1e9)).alias("stationary"),
+    ).orderBy("event_type")

@@ -68,3 +68,30 @@ def test_gini_uniform_and_concentrated(spark, tmp_path):
     # exact: counts [1,1,1,97], G = 2*(1+2+3+4*97)/(4*100) - 5/4 = 0.72
     assert abs(rows["spike"]["gini"] - 0.72) < 1e-9
     assert rows["spike"]["n_users"] == 4 and rows["spike"]["n_events"] == 100
+
+
+def test_record_linkage_no_false_positives(spark, sf_dir):
+    """Every linked pair must be a true (a, dirty-copy-of-a) pair —
+    blocking plus the >=4 score threshold may DROP doubly-corrupted
+    records (balance off by 3 cents AND blanked segment, ~(2/7)(1/11)
+    of the copies) but must never link two different customers."""
+    from stream_processing_system_spark.plans.analytics import (
+        customer_record_linkage,
+    )
+
+    rows = customer_record_linkage(spark, sf_dir).collect()
+    assert rows, "no links found at all"
+    assert all(r["a_id"] == r["b_id"] for r in rows)
+    assert all(r["score"] >= 4 for r in rows)
+
+
+def test_stationary_distribution_sums_to_one(spark, sf_dir):
+    from stream_processing_system_spark.plans.analytics import (
+        event_type_stationary,
+    )
+
+    rows = event_type_stationary(spark, sf_dir).collect()
+    assert len(rows) >= 2
+    # integer-grid rounding loses < 1e-6 of the mass per round
+    assert abs(sum(r["stationary"] for r in rows) - 1.0) < 1e-4
+    assert all(r["stationary"] > 0 for r in rows)
