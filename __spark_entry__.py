@@ -976,6 +976,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "copurchase_clustering": analytics.copurchase_clustering,
         "copurchase_communities": analytics.copurchase_communities,
         "copurchase_kcore": analytics.copurchase_kcore,
+        "doc_token_entropy": pipeline.doc_token_entropy,
         "customer_record_linkage": analytics.customer_record_linkage,
         "event_type_stationary": analytics.event_type_stationary,
         "orders_benford": analytics.orders_benford,
@@ -3990,6 +3991,31 @@ def oracle_sql() -> dict[str, str]:
                           / CAST(n AS DOUBLE)) * 1000000.0 + 0.5) / 1000000.0
                        AS intercept
             FROM fit
+        """,
+        "doc_token_entropy": """
+            WITH tok AS (
+                SELECT doc_id,
+                       unnest(list_filter(string_split(text, ' '),
+                                          t -> t <> '')) AS token
+                FROM documents
+            ), c AS (
+                SELECT doc_id, token, CAST(count(*) AS BIGINT) AS c
+                FROM tok GROUP BY 1, 2
+            ), n AS (
+                SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n,
+                       CAST(count(*) AS BIGINT) AS nd
+                FROM c GROUP BY 1
+            )
+            SELECT c.doc_id, n.n AS n_tokens, n.nd AS n_distinct,
+                   floor(CAST(SUM(CAST(floor(
+                           -((CAST(c.c AS DOUBLE) / CAST(n.n AS DOUBLE))
+                             * log2(CAST(c.c AS DOUBLE) / CAST(n.n AS DOUBLE)))
+                           * 1000000000.0 + 0.5) AS BIGINT)) AS DOUBLE)
+                         / 1000000000.0 * 1000000.0 + 0.5) / 1000000.0
+                       AS entropy
+            FROM c JOIN n USING (doc_id)
+            GROUP BY c.doc_id, n.n, n.nd
+            ORDER BY doc_id
         """,
         "customer_record_linkage": """
             WITH a AS (

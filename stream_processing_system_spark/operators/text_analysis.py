@@ -587,3 +587,43 @@ def rake_keyphrases(
         .orderBy(F.col("score").desc(), F.col("phrase").asc())
         .limit(top)
     )
+
+
+def token_entropy(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-document Shannon entropy of the token distribution (bits)
+    — the diversity metric that separates natural text from
+    boilerplate loops even when distinct-token RATIOS agree (cf.
+    `ngram_diversity`): a doc repeating two tokens 50/50 and one
+    repeating them 99/1 have the same n_distinct but very different
+    entropy.
+
+    Determinism: each (doc, token) contributes
+    floor(−p·log2(p) · 1e9 + 0.5) as a BIGINT nano-bit term (the
+    zipf milli-floor device at higher resolution — the grid floor
+    absorbs last-ulp libm log2 differences between engines, and the
+    dyadic exact cases p ∈ {1/2, 1/4, …} are exactly representable
+    so they floor identically), and the per-doc accumulation is an
+    integer sum — order-independent at any parallelism. Shape: one
+    explode + two hash aggregates, all token-grain shuffles keyed by
+    doc_id."""
+    toks = df.select(
+        "doc_id", F.explode(_toks(F.col(text_col))).alias("token")
+    )
+    counts = toks.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("c"))
+    totals = counts.groupBy("doc_id").agg(
+        F.sum("c").alias("n"), F.count(F.lit(1)).alias("nd")
+    )
+    p = F.col("c").cast("double") / F.col("n").cast("double")
+    term = F.floor(-(p * F.log2(p)) * F.lit(1e9) + F.lit(0.5)).cast("long")
+    return (
+        counts.join(totals, "doc_id")
+        .groupBy("doc_id", "n", "nd")
+        .agg(F.sum(term).alias("_s"))
+        .select(
+            "doc_id",
+            F.col("n").cast("long").alias("n_tokens"),
+            F.col("nd").cast("long").alias("n_distinct"),
+            det_round(F.col("_s").cast("double") / F.lit(1e9)).alias("entropy"),
+        )
+        .orderBy("doc_id")
+    )

@@ -900,6 +900,13 @@ def doc_ngram_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text_analysis.ngram_diversity(_docs(spark, sf_dir))
 
 
+def doc_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc Shannon entropy of the token distribution
+    (`operators/text_analysis.token_entropy` — nano-bit integer-grid
+    terms, order-independent sums)."""
+    return text_analysis.token_entropy(_docs(spark, sf_dir))
+
+
 _FMT_CACHE: dict[str, tuple[str, str]] = {}
 
 

@@ -193,3 +193,27 @@ def test_rake_segments_on_stopwords_and_scores_degree_over_freq(spark):
     # neural/networks: deg 2 freq 1 -> 2.0 each -> phrase 4.0
     assert out["deep learning"][1] == 4.0
     assert out["neural networks"][1] == 4.0
+
+
+def test_token_entropy_known_values(spark):
+    from stream_processing_system_spark.operators.text_analysis import (
+        token_entropy,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "a b a b"),          # 50/50 -> exactly 1 bit
+            (2, "a a a a"),          # degenerate -> 0 bits
+            (3, "a b c d"),          # uniform over 4 -> exactly 2 bits
+            (4, "a a a b"),          # 3/4,1/4 -> 0.811278 bits
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in token_entropy(df).collect()}
+    assert got[1]["entropy"] == 1.0 and got[1]["n_distinct"] == 2
+    assert got[2]["entropy"] == 0.0 and got[2]["n_distinct"] == 1
+    assert got[3]["entropy"] == 2.0 and got[3]["n_tokens"] == 4
+    import math
+
+    h = -(0.75 * math.log2(0.75) + 0.25 * math.log2(0.25))
+    assert abs(got[4]["entropy"] - h) < 2e-6
