@@ -977,6 +977,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "copurchase_communities": analytics.copurchase_communities,
         "copurchase_kcore": analytics.copurchase_kcore,
         "doc_token_entropy": pipeline.doc_token_entropy,
+        "part_association_rules": analytics.part_association_rules,
+        "session_entry_exit": analytics.session_entry_exit,
+        "conversion_latency": analytics.conversion_latency,
         "customer_record_linkage": analytics.customer_record_linkage,
         "event_type_stationary": analytics.event_type_stationary,
         "orders_benford": analytics.orders_benford,
@@ -3991,6 +3994,86 @@ def oracle_sql() -> dict[str, str]:
                           / CAST(n AS DOUBLE)) * 1000000.0 + 0.5) / 1000000.0
                        AS intercept
             FROM fit
+        """,
+        "part_association_rules": """
+            WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+            no AS (SELECT count(DISTINCT l_orderkey) AS n_orders FROM li),
+            itemn AS (
+                SELECT l_partkey, CAST(count(*) AS BIGINT) AS n_item
+                FROM li GROUP BY 1
+            ), pairs AS (
+                SELECT a.l_partkey AS p1, b.l_partkey AS p2,
+                       CAST(count(*) AS BIGINT) AS n_ab
+                FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+                                   AND a.l_partkey < b.l_partkey
+                GROUP BY 1, 2 HAVING count(*) >= 5
+            )
+            SELECT p1, p2, n_ab,
+                   floor(CAST(n_ab AS DOUBLE) / CAST(n_orders AS DOUBLE)
+                         * 1000000.0 + 0.5) / 1000000.0 AS support,
+                   floor(CAST(n_ab AS DOUBLE) / CAST(na.n_item AS DOUBLE)
+                         * 1000000.0 + 0.5) / 1000000.0 AS conf_a_to_b,
+                   floor(CAST(n_ab AS DOUBLE) / CAST(nb.n_item AS DOUBLE)
+                         * 1000000.0 + 0.5) / 1000000.0 AS conf_b_to_a,
+                   floor(CAST(n_ab * n_orders AS DOUBLE)
+                         / CAST(na.n_item * nb.n_item AS DOUBLE)
+                         * 1000000.0 + 0.5) / 1000000.0 AS lift
+            FROM pairs
+            JOIN itemn na ON na.l_partkey = p1
+            JOIN itemn nb ON nb.l_partkey = p2
+            CROSS JOIN no
+            ORDER BY CAST(n_ab * n_orders AS DOUBLE)
+                     / CAST(na.n_item * nb.n_item AS DOUBLE) DESC, p1, p2
+            LIMIT 100
+        """,
+        "session_entry_exit": """
+            WITH gaps AS (
+                SELECT user_id, event_type, ts, event_id,
+                       CASE WHEN floor(epoch(ts)) - lag(floor(epoch(ts)))
+                                 OVER (PARTITION BY user_id
+                                       ORDER BY ts, event_id) > 1800
+                            THEN 1 ELSE 0 END AS new_session
+                FROM events
+            ), sess AS (
+                SELECT user_id, event_type, ts, event_id,
+                       sum(new_session) OVER (PARTITION BY user_id
+                           ORDER BY ts, event_id
+                           ROWS UNBOUNDED PRECEDING) AS session_id
+                FROM gaps
+            ), endp AS (
+                SELECT DISTINCT user_id, session_id,
+                       first_value(event_type) OVER w AS entry_type,
+                       last_value(event_type) OVER w AS exit_type
+                FROM sess
+                WINDOW w AS (PARTITION BY user_id, session_id
+                             ORDER BY ts, event_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                                      AND UNBOUNDED FOLLOWING)
+            )
+            SELECT entry_type, exit_type, count(*) AS n_sessions
+            FROM endp GROUP BY 1, 2 ORDER BY 1, 2
+        """,
+        "conversion_latency": """
+            WITH fc AS (
+                SELECT user_id,
+                       MIN(CAST(floor(epoch(ts)) AS BIGINT)) AS c_ts
+                FROM events WHERE event_type = 'click' GROUP BY 1
+            ), lat AS (
+                SELECT e.user_id,
+                       MIN(CAST(floor(epoch(e.ts)) AS BIGINT))
+                           - MIN(fc.c_ts) AS lat_s
+                FROM events e JOIN fc ON e.user_id = fc.user_id
+                WHERE e.event_type = 'purchase'
+                  AND CAST(floor(epoch(e.ts)) AS BIGINT) >= fc.c_ts
+                GROUP BY e.user_id
+            )
+            SELECT count(*) AS n_users,
+                   CAST(MIN(lat_s) AS BIGINT) AS min_s,
+                   median(CAST(lat_s AS DOUBLE)) AS median_s,
+                   floor(CAST(SUM(lat_s) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+                         * 1000000.0 + 0.5) / 1000000.0 AS avg_s,
+                   CAST(MAX(lat_s) AS BIGINT) AS max_s
+            FROM lat
         """,
         "doc_token_entropy": """
             WITH tok AS (

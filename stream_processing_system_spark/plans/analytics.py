@@ -3511,3 +3511,145 @@ def event_type_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("state").alias("event_type"),
         (F.col("_x").cast("double") / F.lit(1e9)).alias("stationary"),
     ).orderBy("event_type")
+
+
+def part_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Association-rule mining over order baskets: support,
+    directional confidence, and lift for the top-100 part pairs by
+    lift (min pair support 5) — `copurchased_part_pairs`' counts
+    promoted to the full recommendation-mining metrics.
+
+    Exactness: every metric is a ratio of exact BIGINT counts whose
+    products stay far under 2^53, so the doubles are correctly
+    rounded and identical in both engines — sortable on the RAW lift
+    (not its rounding) with (p1, p2) tie-breaks. Shape: the
+    within-basket self-join (quadratic only in basket size), one
+    item-count aggregate joined back on each leg, distributed top-k.
+    """
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    n_orders = li.select("l_orderkey").distinct().agg(
+        F.count(F.lit(1)).alias("n_orders")
+    )
+    item_n = li.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("n_item"))
+    a = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("p1"))
+    b = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("p2"))
+    pairs = (
+        a.join(b, "ok")
+        .where(F.col("p1") < F.col("p2"))
+        .groupBy("p1", "p2")
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+        .where(F.col("n_ab") >= 5)
+    )
+    joined = (
+        pairs.join(
+            item_n.select(F.col("l_partkey").alias("p1"), F.col("n_item").alias("n_a")),
+            "p1",
+        )
+        .join(
+            item_n.select(F.col("l_partkey").alias("p2"), F.col("n_item").alias("n_b")),
+            "p2",
+        )
+        .crossJoin(F.broadcast(n_orders))
+    )
+    lift = (F.col("n_ab") * F.col("n_orders")).cast("double") / (
+        F.col("n_a") * F.col("n_b")
+    ).cast("double")
+    return (
+        joined.select(
+            "p1",
+            "p2",
+            "n_ab",
+            det_round(F.col("n_ab").cast("double") / F.col("n_orders").cast("double")).alias(
+                "support"
+            ),
+            det_round(F.col("n_ab").cast("double") / F.col("n_a").cast("double")).alias(
+                "conf_a_to_b"
+            ),
+            det_round(F.col("n_ab").cast("double") / F.col("n_b").cast("double")).alias(
+                "conf_b_to_a"
+            ),
+            det_round(lift).alias("lift"),
+            lift.alias("_lift_raw"),
+        )
+        .orderBy(F.col("_lift_raw").desc(), "p1", "p2")
+        .limit(100)
+        .drop("_lift_raw")
+    )
+
+
+def session_entry_exit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session path endpoints: the (entry event type → exit event
+    type) matrix over 30-min-gap sessions — which doors users come in
+    and leave through, the first question after sessionization.
+    Entry/exit are first/last by the total (ts, event_id) order
+    inside each session (window with an explicit full frame), so ties
+    at the same timestamp are pinned. Same single user-keyed shuffle
+    as `sessionize_events`, then a tiny (type × type) aggregate."""
+    events = load_table(spark, sf_dir, "events")
+    by_user = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    new_session = (
+        F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(by_user)
+        > 30 * 60
+    ).cast("int")
+    sess = events.withColumn(
+        "session_id",
+        F.sum(F.coalesce(new_session, F.lit(0))).over(
+            by_user.rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    full = (
+        Window.partitionBy("user_id", "session_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    endpoints = sess.select(
+        "user_id",
+        "session_id",
+        F.first("event_type").over(full).alias("entry_type"),
+        F.last("event_type").over(full).alias("exit_type"),
+    ).dropDuplicates(["user_id", "session_id"])
+    return (
+        endpoints.groupBy("entry_type", "exit_type")
+        .agg(F.count(F.lit(1)).alias("n_sessions"))
+        .orderBy("entry_type", "exit_type")
+    )
+
+
+def conversion_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Click→purchase conversion latency distribution: per user, the
+    gap from FIRST click to the first purchase at-or-after it;
+    summarized as exact-arithmetic stats (min / median / avg / max
+    seconds). Median is an exact rank statistic over integer seconds
+    (even-count midpoint is one exact IEEE add+halve); avg is an
+    exact BIGINT sum over an exact count — no interpolated
+    percentile whose formula order could differ between engines.
+    Shape: two per-user min-aggregates and one user-keyed join —
+    never an event×event product."""
+    events = load_table(spark, sf_dir, "events")
+    first_click = (
+        events.where(F.col("event_type") == "click")
+        .groupBy("user_id")
+        .agg(F.min(F.col("ts").cast("long")).alias("c_ts"))
+    )
+    purch = events.where(F.col("event_type") == "purchase").select(
+        "user_id", F.col("ts").cast("long").alias("p_ts")
+    )
+    lat = (
+        purch.join(first_click, "user_id")
+        .where(F.col("p_ts") >= F.col("c_ts"))
+        .groupBy("user_id")
+        .agg((F.min("p_ts") - F.min("c_ts")).alias("lat_s"))
+    )
+    return lat.agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.min("lat_s").alias("min_s"),
+        F.median(F.col("lat_s").cast("double")).alias("median_s"),
+        det_round(
+            F.sum("lat_s").cast("double") / F.count(F.lit(1)).cast("double")
+        ).alias("avg_s"),
+        F.max("lat_s").alias("max_s"),
+    )
