@@ -978,6 +978,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "copurchase_kcore": analytics.copurchase_kcore,
         "doc_token_entropy": pipeline.doc_token_entropy,
         "part_association_rules": analytics.part_association_rules,
+        "nation_supplier_hhi": analytics.nation_supplier_hhi,
+        "daily_order_dispersion": analytics.daily_order_dispersion,
+        "cumulative_unique_users": analytics.cumulative_unique_users,
+        "hourly_profile": analytics.hourly_profile,
         "session_entry_exit": analytics.session_entry_exit,
         "conversion_latency": analytics.conversion_latency,
         "customer_record_linkage": analytics.customer_record_linkage,
@@ -3994,6 +3998,77 @@ def oracle_sql() -> dict[str, str]:
                           / CAST(n AS DOUBLE)) * 1000000.0 + 0.5) / 1000000.0
                        AS intercept
             FROM fit
+        """,
+        "nation_supplier_hhi": """
+            WITH rev AS (
+                SELECT l_suppkey,
+                       CAST(SUM(CAST(floor(l_extendedprice * (1 - l_discount)
+                                           * 10000 + 0.5) AS BIGINT))
+                            AS BIGINT) AS r
+                FROM lineitem GROUP BY 1
+            ), pn AS (
+                SELECT s_nationkey, count(*) AS n_suppliers,
+                       SUM(CAST(r AS HUGEINT)) AS s1,
+                       SUM(CAST(r AS HUGEINT) * r) AS s2
+                FROM rev JOIN supplier ON l_suppkey = s_suppkey
+                GROUP BY 1
+            )
+            SELECT n_name AS nation,
+                   CAST(n_suppliers AS BIGINT) AS n_suppliers,
+                   floor(CAST(s2 AS DOUBLE)
+                         / (CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE))
+                         * 1000000.0 + 0.5) / 1000000.0 AS hhi
+            FROM pn JOIN nation ON s_nationkey = n_nationkey
+            ORDER BY nation
+        """,
+        "daily_order_dispersion": """
+            WITH daily AS (
+                SELECT o_orderpriority, CAST(o_orderdate AS DATE) AS day,
+                       CAST(count(*) AS BIGINT) AS c
+                FROM orders GROUP BY 1, 2
+            ), s AS (
+                SELECT o_orderpriority, CAST(count(*) AS HUGEINT) AS n,
+                       SUM(CAST(c AS HUGEINT)) AS s1,
+                       SUM(CAST(c AS HUGEINT) * c) AS s2
+                FROM daily GROUP BY 1
+            )
+            SELECT o_orderpriority, CAST(n AS BIGINT) AS n_days,
+                   floor(CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)
+                         * 1000000.0 + 0.5) / 1000000.0 AS mean_per_day,
+                   floor((CAST(n * s2 - s1 * s1 AS DOUBLE)
+                          / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)))
+                         / (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
+                         * 1000000.0 + 0.5) / 1000000.0 AS dispersion
+            FROM s ORDER BY 1
+        """,
+        "cumulative_unique_users": """
+            WITH fd AS (
+                SELECT user_id, MIN(CAST(ts AS DATE)) AS day
+                FROM events GROUP BY 1
+            ), npd AS (
+                SELECT day, CAST(count(*) AS BIGINT) AS n_new
+                FROM fd GROUP BY 1
+            ), days AS (
+                SELECT DISTINCT CAST(ts AS DATE) AS day FROM events
+            ), spine AS (
+                SELECT d.day, COALESCE(n.n_new, 0) AS n_new
+                FROM days d LEFT JOIN npd n ON d.day = n.day
+            )
+            SELECT CAST(day AS VARCHAR) AS day, n_new,
+                   CAST(SUM(n_new) OVER (ORDER BY day
+                            ROWS UNBOUNDED PRECEDING) AS BIGINT)
+                       AS total_users
+            FROM spine ORDER BY day
+        """,
+        "hourly_profile": """
+            SELECT event_type,
+                   CAST(EXTRACT(hour FROM ts) AS INT) AS hour,
+                   count(*) AS n,
+                   floor(CAST(SUM(CAST(floor(value * 100 + 0.5) AS BIGINT))
+                              AS DOUBLE) / 100.0 / CAST(count(*) AS DOUBLE)
+                         * 1000000.0 + 0.5) / 1000000.0 AS mean_value
+            FROM events WHERE value IS NOT NULL
+            GROUP BY 1, 2 ORDER BY 1, 2
         """,
         "part_association_rules": """
             WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),

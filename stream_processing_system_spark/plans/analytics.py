@@ -3653,3 +3653,132 @@ def conversion_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("avg_s"),
         F.max("lat_s").alias("max_s"),
     )
+
+
+def nation_supplier_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Herfindahl–Hirschman concentration index of supplier revenue
+    within each nation — the market-concentration audit (HHI → 1
+    means one supplier owns the nation's flow). HHI = Σ rᵢ² / (Σ rᵢ)²
+    over per-supplier revenue, computed from exact cent-grid BIGINTs
+    with the squares summed in DECIMAL(38,0) (HUGEINT in the oracle)
+    — no per-share double ever enters a cross-row sum. Shape: one
+    fact-table aggregate to supplier grain, a broadcast nation join,
+    then a nation-grain reduce."""
+    li = load_table(spark, sf_dir, "lineitem")
+    sup = load_table(spark, sf_dir, "supplier")
+    nat = load_table(spark, sf_dir, "nation")
+    cents = F.floor(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000 + F.lit(0.5)
+    ).cast("long")
+    rev = li.select("l_suppkey", cents.alias("c")).groupBy("l_suppkey").agg(
+        F.sum("c").alias("r")
+    )
+    d38 = "decimal(38,0)"
+    per_nation = (
+        rev.join(F.broadcast(sup.select("s_suppkey", "s_nationkey")),
+                 rev.l_suppkey == F.col("s_suppkey"))
+        .groupBy("s_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_suppliers"),
+            F.sum(F.col("r").cast(d38)).alias("s1"),
+            F.sum(F.col("r").cast(d38) * F.col("r")).alias("s2"),
+        )
+    )
+    hhi = F.col("s2").cast("double") / (
+        F.col("s1").cast("double") * F.col("s1").cast("double")
+    )
+    return (
+        per_nation.join(
+            F.broadcast(nat), per_nation.s_nationkey == nat.n_nationkey
+        )
+        .select(
+            F.col("n_name").alias("nation"),
+            F.col("n_suppliers").cast("long").alias("n_suppliers"),
+            det_round(hhi).alias("hhi"),
+        )
+        .orderBy("nation")
+    )
+
+
+def daily_order_dispersion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Index of dispersion (variance/mean) of daily order counts per
+    priority class — the Poisson-ness check for arrival processes
+    (index ≈ 1 is Poisson; ≫ 1 is bursty batch submission). Daily
+    counts are exact; population variance comes from exact
+    DECIMAL(38,0) sums; one double division at the end."""
+    orders = load_table(spark, sf_dir, "orders")
+    daily = orders.groupBy(
+        "o_orderpriority", F.col("o_orderdate").cast("date").alias("day")
+    ).agg(F.count(F.lit(1)).alias("c"))
+    d38 = "decimal(38,0)"
+    stats = daily.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).cast(d38).alias("n"),
+        F.sum(F.col("c").cast(d38)).alias("s1"),
+        F.sum(F.col("c").cast(d38) * F.col("c")).alias("s2"),
+    )
+    n = F.col("n").cast("double")
+    mean = F.col("s1").cast("double") / n
+    var = (F.col("n") * F.col("s2") - F.col("s1") * F.col("s1")).cast("double") / (
+        n * n
+    )
+    return stats.select(
+        "o_orderpriority",
+        F.col("n").cast("long").alias("n_days"),
+        det_round(mean).alias("mean_per_day"),
+        det_round(var / mean).alias("dispersion"),
+    ).orderBy("o_orderpriority")
+
+
+def cumulative_unique_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running count of distinct users ever seen, per day — the
+    audience-growth curve. The classic trap is a per-day DISTINCT
+    over an ever-growing prefix (quadratic); the linear formulation
+    aggregates each user to their FIRST-seen day, counts new users
+    per day, and takes one cumulative sum over the tiny day-grain
+    frame. Days with no new users still appear (joined back to the
+    observed-day spine) with their carried total."""
+    events = load_table(spark, sf_dir, "events")
+    first_day = events.groupBy("user_id").agg(
+        F.min(F.col("ts").cast("date")).alias("day")
+    )
+    new_per_day = first_day.groupBy("day").agg(
+        F.count(F.lit(1)).alias("n_new")
+    )
+    days = events.select(F.col("ts").cast("date").alias("day")).distinct()
+    spine = days.join(new_per_day, "day", "left").select(
+        "day", F.coalesce("n_new", F.lit(0)).cast("long").alias("n_new")
+    )
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        spine.select(
+            F.col("day").cast("string").alias("day"),
+            "n_new",
+            F.sum("n_new").over(w).alias("total_users"),
+        )
+        .orderBy("day")
+    )
+
+
+def hourly_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hour-of-day seasonality fingerprint: event count and mean
+    value per (event_type, hour 0–23) — the diurnal shape used for
+    staffing/capacity and anomaly baselines. Means come from exact
+    centi-unit sums; 24×types output grain."""
+    events = load_table(spark, sf_dir, "events").where(
+        F.col("value").isNotNull()
+    )
+    return (
+        events.select(
+            "event_type",
+            F.hour("ts").cast("int").alias("hour"),
+            F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("cy"),
+        )
+        .groupBy("event_type", "hour")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            det_round(
+                F.sum("cy").cast("double") / F.lit(100.0) / F.count(F.lit(1)).cast("double")
+            ).alias("mean_value"),
+        )
+        .orderBy("event_type", "hour")
+    )
