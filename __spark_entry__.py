@@ -651,6 +651,51 @@ def _lpa_oracle_sql(rounds: int = 4) -> str:
     """
 
 
+def _greedy_coverage_oracle_sql(k: int = 10) -> str:
+    """Unrolled greedy max-coverage mirroring
+    `curation.greedy_coverage_select`: per round, the top-1 doc by
+    uncovered-5-gram count (ties to min doc_id), covered set grown by
+    the pick's grams. Every stage MATERIALIZED."""
+    parts = ["""toks AS (
+        SELECT doc_id,
+               list_filter(string_split(text, ' '), t -> t <> '') AS ts
+        FROM documents
+    ), g AS MATERIALIZED (
+        SELECT DISTINCT doc_id, md5(array_to_string(ts[i:i+4], ' ')) AS gh
+        FROM toks, UNNEST(range(1, len(ts) - 3)) AS u(i)
+        WHERE len(ts) >= 5
+    ), r1 AS MATERIALIZED (
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS c
+        FROM g GROUP BY 1 ORDER BY c DESC, doc_id ASC LIMIT 1
+    ), cov1 AS MATERIALIZED (
+        SELECT DISTINCT gh FROM g
+        WHERE doc_id = (SELECT doc_id FROM r1)
+    )"""]
+    for r in range(2, k + 1):
+        parts.append(f"""r{r} AS MATERIALIZED (
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS c
+        FROM g WHERE gh NOT IN (SELECT gh FROM cov{r - 1})
+        GROUP BY 1 ORDER BY c DESC, doc_id ASC LIMIT 1
+    ), cov{r} AS MATERIALIZED (
+        SELECT gh FROM cov{r - 1}
+        UNION
+        SELECT gh FROM g WHERE doc_id = (SELECT doc_id FROM r{r})
+    )""")
+    rows = " UNION ALL ".join(
+        f"SELECT {r} AS rank, doc_id, c AS new_ngrams FROM r{r}"
+        for r in range(1, k + 1)
+    )
+    return f"""
+        WITH {','.join(parts)},
+        picks AS ({rows})
+        SELECT CAST(rank AS INT) AS rank, doc_id, new_ngrams,
+               CAST(SUM(new_ngrams) OVER (ORDER BY rank
+                        ROWS UNBOUNDED PRECEDING) AS BIGINT)
+                   AS total_covered
+        FROM picks ORDER BY rank
+    """
+
+
 def _stationary_oracle_sql(rounds: int = 10) -> str:
     """Unrolled join-based matvec mirroring
     `analytics.event_type_stationary`: BIGINT mass on the 1e-9 grid,
@@ -977,6 +1022,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "copurchase_communities": analytics.copurchase_communities,
         "copurchase_kcore": analytics.copurchase_kcore,
         "doc_token_entropy": pipeline.doc_token_entropy,
+        "doc_greedy_coverage": pipeline.doc_greedy_coverage,
         "part_association_rules": analytics.part_association_rules,
         "nation_supplier_hhi": analytics.nation_supplier_hhi,
         "daily_order_dispersion": analytics.daily_order_dispersion,
@@ -4209,6 +4255,7 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY a_id, b_id
         """,
         "event_type_stationary": _stationary_oracle_sql(),
+        "doc_greedy_coverage": _greedy_coverage_oracle_sql(),
         "orders_benford": """
             WITH obs AS (
                 SELECT CAST(substr(CAST(CAST(floor(o_totalprice * 100 + 0.5)

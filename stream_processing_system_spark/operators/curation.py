@@ -776,3 +776,64 @@ def hybrid_rrf_search(
         .orderBy(F.col("rrf").desc(), F.col(id_col).asc())
         .limit(limit)
     )
+
+
+def greedy_coverage_select(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 5,
+    k: int = 10,
+) -> DataFrame:
+    """Submodular corpus selection: greedily pick `k` documents
+    maximizing NEW word-n-gram coverage — the facility-location /
+    max-coverage heuristic behind "pick the most informative subset
+    of a 100 TB crawl for the token budget" (greedy gives the
+    (1−1/e) guarantee). Ties break on min doc_id.
+
+    Output: (rank, doc_id, new_ngrams, total_covered) — one row per
+    pick, stopping early if coverage saturates.
+
+    Shape per round: one anti-join of the (doc, gram) relation
+    against the covered-gram set + one per-doc count + a global
+    top-1 (TakeOrderedAndProject) — the driver sees exactly ONE row
+    per round (the PCA/driver-scalar contract, never a data-sized
+    collect). The (doc, gram) relation is checkpointed once;
+    the covered set only ever grows by the picked doc's grams (a
+    doc-sized relation, re-checkpointed each round to cut lineage).
+    At 100 TB the gram relation shuffles once on gram for the
+    anti-join and k is small by construction."""
+    grams = (
+        df.select(F.col(id_col), F.explode(ngram_set(F.col(text_col), n)).alias("g"))
+        .select(id_col, F.md5("g").alias("gh"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    covered = grams.select("gh").limit(0).localCheckpoint(eager=True)
+    picks: list[tuple[int, int, int, int]] = []
+    total = 0
+    for r in range(1, k + 1):
+        gain = (
+            grams.join(covered, "gh", "left_anti")
+            .groupBy(id_col)
+            .agg(F.count(F.lit(1)).alias("c"))
+            .orderBy(F.col("c").desc(), F.col(id_col).asc())
+            .limit(1)
+            .collect()
+        )
+        if not gain:
+            break
+        doc, c = gain[0][id_col], gain[0]["c"]
+        total += c
+        picks.append((r, doc, c, total))
+        covered = (
+            covered.unionByName(
+                grams.where(F.col(id_col) == doc).select("gh")
+            )
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+    spark = df.sparkSession
+    return spark.createDataFrame(
+        picks, "rank int, doc_id long, new_ngrams long, total_covered long"
+    )

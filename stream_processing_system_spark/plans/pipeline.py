@@ -900,6 +900,15 @@ def doc_ngram_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text_analysis.ngram_diversity(_docs(spark, sf_dir))
 
 
+def doc_greedy_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contract wrapper: see `curation.greedy_coverage_select`
+    (submodular greedy max-coverage pick of 10 docs by new-5-gram
+    gain; one driver scalar per round)."""
+    from stream_processing_system_spark.operators import curation
+
+    return curation.greedy_coverage_select(_docs(spark, sf_dir), n=5, k=10)
+
+
 def doc_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-doc Shannon entropy of the token distribution
     (`operators/text_analysis.token_entropy` — nano-bit integer-grid

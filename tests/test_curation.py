@@ -283,3 +283,29 @@ def test_hybrid_rrf_fuses_both_rankers(spark, sf_dir):
     single = [r for r in rows if (r["rank_lex"] is None) != (r["rank_sem"] is None)]
     if both and single:
         assert max(r["rrf"] for r in both) > min(r["rrf"] for r in single)
+
+
+def test_greedy_coverage_semantics(spark):
+    """Greedy must pick the widest-coverage doc first and never
+    re-credit covered grams: doc 1 covers grams of docs 2 and 3, so
+    it wins round 1 and the others gain only their residue."""
+    from stream_processing_system_spark.operators.curation import (
+        greedy_coverage_select,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "a b c d e f g h i j"),    # grams of 2 and 3 plus extras
+            (2, "a b c d e"),              # fully inside 1
+            (3, "f g h i j zz yy xx ww"),  # partial overlap with 1
+        ],
+        "doc_id long, text string",
+    )
+    rows = greedy_coverage_select(df, n=5, k=3).collect()
+    assert rows[0]["doc_id"] == 1 and rows[0]["rank"] == 1
+    # doc 2's single 5-gram is already covered -> doc 3 is rank 2
+    assert rows[1]["doc_id"] == 3
+    # gains are monotone non-increasing (submodularity of the greedy)
+    gains = [r["new_ngrams"] for r in rows]
+    assert gains == sorted(gains, reverse=True)
+    assert rows[-1]["total_covered"] == sum(gains)
