@@ -1025,6 +1025,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_greedy_coverage": pipeline.doc_greedy_coverage,
         "part_association_rules": analytics.part_association_rules,
         "nation_supplier_hhi": analytics.nation_supplier_hhi,
+        "user_activity_streaks": analytics.user_activity_streaks,
+        "fulfillment_latency_monthly": analytics.fulfillment_latency_monthly,
         "daily_order_dispersion": analytics.daily_order_dispersion,
         "cumulative_unique_users": analytics.cumulative_unique_users,
         "hourly_profile": analytics.hourly_profile,
@@ -4044,6 +4046,52 @@ def oracle_sql() -> dict[str, str]:
                           / CAST(n AS DOUBLE)) * 1000000.0 + 0.5) / 1000000.0
                        AS intercept
             FROM fit
+        """,
+        "user_activity_streaks": """
+            WITH days AS (
+                SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+            ), runs AS (
+                SELECT user_id,
+                       day - CAST(row_number() OVER (PARTITION BY user_id
+                                                     ORDER BY day) AS INT)
+                           AS grp,
+                       day
+                FROM days
+            ), agg AS (
+                SELECT user_id, grp, CAST(count(*) AS BIGINT) AS len,
+                       MIN(day) AS start
+                FROM runs GROUP BY 1, 2
+            ), best AS (
+                SELECT user_id, len, start FROM (
+                    SELECT *, row_number() OVER (PARTITION BY user_id
+                        ORDER BY len DESC, start ASC) AS p
+                    FROM agg
+                ) WHERE p = 1
+            ), nd AS (
+                SELECT user_id, CAST(count(*) AS BIGINT) AS n_active_days
+                FROM days GROUP BY 1
+            )
+            SELECT b.user_id, nd.n_active_days,
+                   b.len AS best_streak_days,
+                   CAST(b.start AS VARCHAR) AS streak_start
+            FROM best b JOIN nd ON b.user_id = nd.user_id
+            ORDER BY b.user_id
+        """,
+        "fulfillment_latency_monthly": """
+            SELECT CAST(EXTRACT(year FROM o_orderdate) * 100
+                        + EXTRACT(month FROM o_orderdate) AS BIGINT) AS ym,
+                   count(*) AS n_lineitems,
+                   CAST(MIN(datediff('day', CAST(o_orderdate AS DATE),
+                                     CAST(l_shipdate AS DATE))) AS BIGINT)
+                       AS min_days,
+                   median(CAST(datediff('day', CAST(o_orderdate AS DATE),
+                                        CAST(l_shipdate AS DATE)) AS DOUBLE))
+                       AS median_days,
+                   CAST(MAX(datediff('day', CAST(o_orderdate AS DATE),
+                                     CAST(l_shipdate AS DATE))) AS BIGINT)
+                       AS max_days
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            GROUP BY 1 ORDER BY 1
         """,
         "nation_supplier_hhi": """
             WITH rev AS (

@@ -3782,3 +3782,77 @@ def hourly_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type", "hour")
     )
+
+
+def user_activity_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands: each user's LONGEST run of consecutive
+    active days (and when it started) — the engagement-streak query,
+    and the one classic windowing pattern not yet in the surface:
+    group key = day − row_number, constant exactly while days are
+    consecutive. All integer date arithmetic; the per-user argmax is
+    a (len desc, start asc) row_number pick, fully ordered. Windows
+    partition by user over DAY-grain rows (post-aggregate), never raw
+    events."""
+    events = load_table(spark, sf_dir, "events")
+    days = (
+        events.select("user_id", F.col("ts").cast("date").alias("day"))
+        .distinct()
+    )
+    w = Window.partitionBy("user_id").orderBy("day")
+    runs = (
+        days.withColumn("_rn", F.row_number().over(w))
+        .withColumn("_grp", F.date_sub(F.col("day"), F.col("_rn")))
+        .groupBy("user_id", "_grp")
+        .agg(
+            F.count(F.lit(1)).alias("len"),
+            F.min("day").alias("start"),
+        )
+    )
+    pick = Window.partitionBy("user_id").orderBy(
+        F.col("len").desc(), F.col("start").asc()
+    )
+    n_days = days.groupBy("user_id").agg(F.count(F.lit(1)).alias("n_active_days"))
+    best = (
+        runs.withColumn("_p", F.row_number().over(pick))
+        .where(F.col("_p") == 1)
+        .select(
+            "user_id",
+            F.col("len").cast("long").alias("best_streak_days"),
+            F.col("start").cast("string").alias("streak_start"),
+        )
+    )
+    return best.join(n_days, "user_id").select(
+        "user_id", "n_active_days", "best_streak_days", "streak_start"
+    ).orderBy("user_id")
+
+
+def fulfillment_latency_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-to-ship latency distribution per order month: exact
+    integer day differences summarized by count / min / exact median
+    / max — the operations-SLA trend. One fact-side join-free pass
+    (lineitem carries both dates via its order join), aggregated at
+    month grain; median is the exact rank statistic."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate"
+    )
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    j = li.join(
+        orders, li.l_orderkey == orders.o_orderkey
+    ).select(
+        (F.year("o_orderdate") * 100 + F.month("o_orderdate"))
+        .cast("long")
+        .alias("ym"),
+        F.datediff(
+            F.col("l_shipdate").cast("date"), F.col("o_orderdate").cast("date")
+        ).cast("long").alias("lat_days"),
+    )
+    return (
+        j.groupBy("ym")
+        .agg(
+            F.count(F.lit(1)).alias("n_lineitems"),
+            F.min("lat_days").alias("min_days"),
+            F.median(F.col("lat_days").cast("double")).alias("median_days"),
+            F.max("lat_days").alias("max_days"),
+        )
+        .orderBy("ym")
+    )
