@@ -1026,6 +1026,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "part_association_rules": analytics.part_association_rules,
         "nation_supplier_hhi": analytics.nation_supplier_hhi,
         "user_activity_streaks": analytics.user_activity_streaks,
+        "events_type_corr": analytics.events_type_corr,
         "fulfillment_latency_monthly": analytics.fulfillment_latency_monthly,
         "daily_order_dispersion": analytics.daily_order_dispersion,
         "cumulative_unique_users": analytics.cumulative_unique_users,
@@ -4046,6 +4047,35 @@ def oracle_sql() -> dict[str, str]:
                           / CAST(n AS DOUBLE)) * 1000000.0 + 0.5) / 1000000.0
                        AS intercept
             FROM fit
+        """,
+        "events_type_corr": """
+            WITH daily AS MATERIALIZED (
+                SELECT event_type, CAST(ts AS DATE) AS day,
+                       CAST(SUM(CAST(floor(value * 100 + 0.5) AS BIGINT))
+                            AS BIGINT) // 100 AS x
+                FROM events WHERE value IS NOT NULL
+                GROUP BY 1, 2
+            ), stats AS (
+                SELECT a.event_type AS type_a, b.event_type AS type_b,
+                       CAST(count(*) AS HUGEINT) AS n,
+                       SUM(CAST(a.x AS HUGEINT)) AS sa,
+                       SUM(CAST(b.x AS HUGEINT)) AS sb,
+                       SUM(CAST(a.x AS HUGEINT) * a.x) AS saa,
+                       SUM(CAST(b.x AS HUGEINT) * b.x) AS sbb,
+                       SUM(CAST(a.x AS HUGEINT) * b.x) AS sab
+                FROM daily a JOIN daily b ON a.day = b.day
+                                         AND a.event_type < b.event_type
+                GROUP BY 1, 2
+            )
+            SELECT type_a, type_b, CAST(n AS BIGINT) AS n_days,
+                   floor(CAST(n * sab - sa * sb AS DOUBLE)
+                         / (sqrt(CAST(n * saa - sa * sa AS DOUBLE))
+                            * sqrt(CAST(n * sbb - sb * sb AS DOUBLE)))
+                         * 1000000.0 + 0.5) / 1000000.0 AS corr
+            FROM stats
+            WHERE CAST(n * saa - sa * sa AS DOUBLE) > 0
+              AND CAST(n * sbb - sb * sb AS DOUBLE) > 0
+            ORDER BY type_a, type_b
         """,
         "user_activity_streaks": """
             WITH days AS (

@@ -3856,3 +3856,43 @@ def fulfillment_latency_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("ym")
     )
+
+
+def events_type_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson correlation matrix between event types' daily total
+    value series (do purchases co-move with clicks?) — `events_acf`'s
+    machinery pointed across series instead of across lags: the same
+    whole-unit daily grid, a (type_a < type_b) day-equi-join of the
+    tiny daily frame, and DECIMAL(38,0)/HUGEINT moment sums with one
+    fixed-order double finish."""
+    events = load_table(spark, sf_dir, "events")
+    daily = _daily_whole_units(events).localCheckpoint(eager=True)
+    a = daily.select(
+        F.col("event_type").alias("type_a"), "day", F.col("x").alias("xa")
+    )
+    b = daily.select(
+        F.col("event_type").alias("type_b"), "day", F.col("x").alias("xb")
+    )
+    d38 = "decimal(38,0)"
+    pairs = a.join(b, "day").where(F.col("type_a") < F.col("type_b"))
+    stats = pairs.groupBy("type_a", "type_b").agg(
+        F.count(F.lit(1)).cast(d38).alias("n"),
+        F.sum(F.col("xa").cast(d38)).alias("sa"),
+        F.sum(F.col("xb").cast(d38)).alias("sb"),
+        F.sum(F.col("xa").cast(d38) * F.col("xa")).alias("saa"),
+        F.sum(F.col("xb").cast(d38) * F.col("xb")).alias("sbb"),
+        F.sum(F.col("xa").cast(d38) * F.col("xb")).alias("sab"),
+    )
+    num = (F.col("n") * F.col("sab") - F.col("sa") * F.col("sb")).cast("double")
+    da = (F.col("n") * F.col("saa") - F.col("sa") * F.col("sa")).cast("double")
+    db = (F.col("n") * F.col("sbb") - F.col("sb") * F.col("sb")).cast("double")
+    return (
+        stats.where((da > 0) & (db > 0))
+        .select(
+            "type_a",
+            "type_b",
+            F.col("n").cast("long").alias("n_days"),
+            det_round(num / (F.sqrt(da) * F.sqrt(db))).alias("corr"),
+        )
+        .orderBy("type_a", "type_b")
+    )
