@@ -851,6 +851,35 @@ _CMS_HH_ORACLE_SQL = """
 """
 
 
+_SESSION_ENTRY_EXIT_SQL = """
+            WITH gaps AS (
+                SELECT user_id, event_type, ts, event_id,
+                       CASE WHEN floor(epoch(ts)) - lag(floor(epoch(ts)))
+                                 OVER (PARTITION BY user_id
+                                       ORDER BY ts, event_id) > 1800
+                            THEN 1 ELSE 0 END AS new_session
+                FROM events
+            ), sess AS (
+                SELECT user_id, event_type, ts, event_id,
+                       sum(new_session) OVER (PARTITION BY user_id
+                           ORDER BY ts, event_id
+                           ROWS UNBOUNDED PRECEDING) AS session_id
+                FROM gaps
+            ), endp AS (
+                SELECT DISTINCT user_id, session_id,
+                       first_value(event_type) OVER w AS entry_type,
+                       last_value(event_type) OVER w AS exit_type
+                FROM sess
+                WINDOW w AS (PARTITION BY user_id, session_id
+                             ORDER BY ts, event_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                                      AND UNBOUNDED FOLLOWING)
+            )
+            SELECT entry_type, exit_type, count(*) AS n_sessions
+            FROM endp GROUP BY 1, 2 ORDER BY 1, 2
+        """
+
+
 _SESSIONIZE_ORACLE_SQL = """
     WITH gaps AS (
         SELECT user_id, event_id, ts,
@@ -1027,6 +1056,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "nation_supplier_hhi": analytics.nation_supplier_hhi,
         "user_activity_streaks": analytics.user_activity_streaks,
         "events_type_corr": analytics.events_type_corr,
+        "stream_session_entry_exit": streaming_parity.stream_session_entry_exit,
         "fulfillment_latency_monthly": analytics.fulfillment_latency_monthly,
         "daily_order_dispersion": analytics.daily_order_dispersion,
         "cumulative_unique_users": analytics.cumulative_unique_users,
@@ -4225,33 +4255,8 @@ def oracle_sql() -> dict[str, str]:
                      / CAST(na.n_item * nb.n_item AS DOUBLE) DESC, p1, p2
             LIMIT 100
         """,
-        "session_entry_exit": """
-            WITH gaps AS (
-                SELECT user_id, event_type, ts, event_id,
-                       CASE WHEN floor(epoch(ts)) - lag(floor(epoch(ts)))
-                                 OVER (PARTITION BY user_id
-                                       ORDER BY ts, event_id) > 1800
-                            THEN 1 ELSE 0 END AS new_session
-                FROM events
-            ), sess AS (
-                SELECT user_id, event_type, ts, event_id,
-                       sum(new_session) OVER (PARTITION BY user_id
-                           ORDER BY ts, event_id
-                           ROWS UNBOUNDED PRECEDING) AS session_id
-                FROM gaps
-            ), endp AS (
-                SELECT DISTINCT user_id, session_id,
-                       first_value(event_type) OVER w AS entry_type,
-                       last_value(event_type) OVER w AS exit_type
-                FROM sess
-                WINDOW w AS (PARTITION BY user_id, session_id
-                             ORDER BY ts, event_id
-                             ROWS BETWEEN UNBOUNDED PRECEDING
-                                      AND UNBOUNDED FOLLOWING)
-            )
-            SELECT entry_type, exit_type, count(*) AS n_sessions
-            FROM endp GROUP BY 1, 2 ORDER BY 1, 2
-        """,
+        "session_entry_exit": _SESSION_ENTRY_EXIT_SQL,
+        "stream_session_entry_exit": _SESSION_ENTRY_EXIT_SQL,
         "conversion_latency": """
             WITH fc AS (
                 SELECT user_id,

@@ -115,6 +115,19 @@ HEADLINE = [
     "supplier_skyline",
     "doc_rake_keyphrases",
     "media_video_neardup",
+    # round-2 third-session additions
+    "copurchase_communities",
+    "copurchase_kcore",
+    "events_acf",
+    "events_burstiness",
+    "customer_record_linkage",
+    "event_type_stationary",
+    "doc_token_entropy",
+    "doc_greedy_coverage",
+    "part_association_rules",
+    "user_activity_streaks",
+    "nation_supplier_hhi",
+    "cumulative_unique_users",
 ]
 
 

@@ -338,6 +338,33 @@ def stream_sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def stream_session_entry_exit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """session_entry_exit as a streaming job: session_window +
+    min_by/max_by over (ts, event_id) (jobs.stream_session_endpoints)
+    instead of the batch full-frame first/last window, rolled up to
+    the same (entry_type, exit_type, n_sessions) matrix — SAME oracle
+    as the batch query, proving the two session formulations AND the
+    two endpoint extractions equivalent on static input."""
+    input_dir, ckpt, run = _scratch("see")
+    events = load_table(spark, sf_dir, "events").select(
+        "ts", "user_id", "event_type", "event_id"
+    )
+    events.write.mode("overwrite").parquet(input_dir)
+    stream = spark.readStream.schema(
+        "ts timestamp, user_id long, event_type string, event_id long"
+    ).parquet(input_dir)
+    per = jobs.stream_session_endpoints(
+        spark, stream, ckpt, gap="30 minutes", watermark="1 hour",
+        name=f"see_{run}",
+    )
+    _cleanup(input_dir)
+    return (
+        per.groupBy("entry_type", "exit_type")
+        .agg(F.count(F.lit(1)).alias("n_sessions"))
+        .orderBy("entry_type", "exit_type")
+    )
+
+
 def stream_host_report_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """q3_host_report as a streaming job: events re-laid as a parquet
     drop directory, then the same grouped count + sorted collect_set

@@ -115,6 +115,36 @@ def stream_session_windows(
     return _drain_to_table(sessions, name, checkpoint_dir, output_mode="complete")
 
 
+def stream_session_endpoints(
+    spark: SparkSession,
+    events: DataFrame,
+    checkpoint_dir: str,
+    gap: str = "30 minutes",
+    watermark: str = "1 hour",
+    name: str = "session_endpoints_stream",
+) -> DataFrame:
+    """Streaming session entry/exit extraction: `session_window` +
+    min_by/max_by over the total (ts, event_id) order — the streaming
+    twin of plans.analytics.session_entry_exit's window-frame
+    first/last, with the same deterministic same-timestamp
+    tie-break. `events` must be a streaming DataFrame with
+    (ts, user_id, event_type, event_id)."""
+    sessions = (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap), F.col("user_id"))
+        .agg(
+            F.min_by("event_type", F.struct("ts", "event_id")).alias(
+                "entry_type"
+            ),
+            F.max_by("event_type", F.struct("ts", "event_id")).alias(
+                "exit_type"
+            ),
+        )
+        .select("user_id", "entry_type", "exit_type")
+    )
+    return _drain_to_table(sessions, name, checkpoint_dir, output_mode="complete")
+
+
 def stream_stream_join(
     spark: SparkSession,
     left: DataFrame,
