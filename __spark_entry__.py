@@ -1056,6 +1056,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "nation_supplier_hhi": analytics.nation_supplier_hhi,
         "user_activity_streaks": analytics.user_activity_streaks,
         "events_type_corr": analytics.events_type_corr,
+        "events_psi_drift": analytics.events_psi_drift,
         "stream_session_entry_exit": streaming_parity.stream_session_entry_exit,
         "fulfillment_latency_monthly": analytics.fulfillment_latency_monthly,
         "daily_order_dispersion": analytics.daily_order_dispersion,
@@ -4077,6 +4078,39 @@ def oracle_sql() -> dict[str, str]:
                           / CAST(n AS DOUBLE)) * 1000000.0 + 0.5) / 1000000.0
                        AS intercept
             FROM fit
+        """,
+        "events_psi_drift": """
+            WITH cells AS (
+                SELECT event_type,
+                       CAST(floor(value / 200) AS BIGINT) AS band,
+                       CAST(SUM(CASE WHEN ts >= TIMESTAMP '2024-01-16'
+                                     THEN 0 ELSE 1 END) AS BIGINT) AS c1,
+                       CAST(SUM(CASE WHEN ts >= TIMESTAMP '2024-01-16'
+                                     THEN 1 ELSE 0 END) AS BIGINT) AS c2
+                FROM events WHERE value IS NOT NULL
+                GROUP BY 1, 2
+                HAVING SUM(CASE WHEN ts >= TIMESTAMP '2024-01-16'
+                                THEN 0 ELSE 1 END) > 0
+                   AND SUM(CASE WHEN ts >= TIMESTAMP '2024-01-16'
+                                THEN 1 ELSE 0 END) > 0
+            ), m AS (
+                SELECT event_type, band, c1, c2,
+                       SUM(c1) OVER (PARTITION BY event_type) AS n1,
+                       SUM(c2) OVER (PARTITION BY event_type) AS n2
+                FROM cells
+            ), terms AS (
+                SELECT event_type,
+                       CAST(floor((CAST(c2 AS DOUBLE) / CAST(n2 AS DOUBLE)
+                                   - CAST(c1 AS DOUBLE) / CAST(n1 AS DOUBLE))
+                                  * ln((CAST(c2 AS DOUBLE) / CAST(n2 AS DOUBLE))
+                                       / (CAST(c1 AS DOUBLE) / CAST(n1 AS DOUBLE)))
+                                  * 1000000000.0 + 0.5) AS BIGINT) AS t
+                FROM m
+            )
+            SELECT event_type, count(*) AS n_bands,
+                   floor(CAST(SUM(t) AS DOUBLE) / 1000000000.0
+                         * 1000000.0 + 0.5) / 1000000.0 AS psi
+            FROM terms GROUP BY 1 ORDER BY 1
         """,
         "events_type_corr": """
             WITH daily AS MATERIALIZED (

@@ -3896,3 +3896,49 @@ def events_type_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("type_a", "type_b")
     )
+
+
+def events_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index per event type between the first
+    and second half of the time range — the model-monitoring drift
+    score that weights shifts by their log-odds, complementing the
+    count-based `events_drift_chi2`. Width-200 value bands; PSI sums
+    (q−p)·ln(q/p) over bands populated in BOTH halves (the standard
+    practical restriction — a band empty on one side has undefined
+    log-odds and signals through its neighbor bands).
+
+    Determinism: band counts and per-type margins are exact ints
+    (margins via one window over the tiny band table, no second
+    scan); each band's term is quantized to a 1e-9 integer grid
+    before the per-type sum (the chi2-drift device), so the only
+    doubles are fixed-order per-band expressions."""
+    events = load_table(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    half = (F.col("ts") >= F.lit("2024-01-16")).cast("int")
+    cells = events.groupBy(
+        "event_type",
+        F.floor(F.col("value") / 200).cast("long").alias("band"),
+    ).agg(
+        F.sum(F.lit(1) - half).alias("c1"),
+        F.sum(half).alias("c2"),
+    ).where((F.col("c1") > 0) & (F.col("c2") > 0))
+    w = Window.partitionBy("event_type")
+    with_m = cells.select(
+        "event_type",
+        "band",
+        "c1",
+        "c2",
+        F.sum("c1").over(w).alias("n1"),
+        F.sum("c2").over(w).alias("n2"),
+    )
+    p = F.col("c1").cast("double") / F.col("n1").cast("double")
+    q = F.col("c2").cast("double") / F.col("n2").cast("double")
+    term = F.floor((q - p) * F.log(q / p) * F.lit(1e9) + F.lit(0.5)).cast("long")
+    return (
+        with_m.select("event_type", term.alias("_t"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_bands"),
+            det_round(F.sum("_t").cast("double") / F.lit(1e9)).alias("psi"),
+        )
+        .orderBy("event_type")
+    )
