@@ -651,6 +651,55 @@ def _lpa_oracle_sql(rounds: int = 4) -> str:
     """
 
 
+def _mmr_oracle_sql(k: int = 5, pool: int = 20, lam: float = 0.7) -> str:
+    """Unrolled MMR greedy mirroring `similarity.mmr_rerank`: cosine
+    top-`pool` candidates, 6dp pairwise sims, per-round argmax of
+    λ·sim − (1−λ)·max-sim-to-selected. λ and 1−λ are repr()'d so both
+    engines parse the identical binary doubles."""
+    l, om = repr(lam), repr(1.0 - lam)
+    parts = [f"""q AS (SELECT embedding::DOUBLE[] AS qv
+                       FROM embeddings WHERE vec_id = 0),
+    cand AS MATERIALIZED (
+        SELECT e.vec_id,
+               ROUND(list_cosine_similarity(e.embedding::DOUBLE[], q.qv),
+                     6) AS sim
+        FROM embeddings e, q
+        ORDER BY sim DESC, vec_id ASC LIMIT {pool}
+    ), pw AS MATERIALIZED (
+        SELECT a.vec_id AS ida, b.vec_id AS idb,
+               ROUND(list_cosine_similarity(ea.embedding::DOUBLE[],
+                                            eb.embedding::DOUBLE[]), 6) AS s
+        FROM cand a JOIN cand b ON a.vec_id <> b.vec_id
+        JOIN embeddings ea ON ea.vec_id = a.vec_id
+        JOIN embeddings eb ON eb.vec_id = b.vec_id
+    ), p1 AS MATERIALIZED (
+        SELECT vec_id, sim, ROUND({l} * sim, 6) AS mmr
+        FROM cand ORDER BY sim DESC, vec_id ASC LIMIT 1
+    ), s1 AS (SELECT vec_id FROM p1)"""]
+    for r in range(2, k + 1):
+        parts.append(f"""p{r} AS MATERIALIZED (
+        SELECT c.vec_id, c.sim,
+               ROUND({l} * c.sim - {om} * (
+                   SELECT MAX(s) FROM pw
+                   WHERE ida = c.vec_id
+                     AND idb IN (SELECT vec_id FROM s{r - 1})), 6) AS mmr
+        FROM cand c
+        WHERE c.vec_id NOT IN (SELECT vec_id FROM s{r - 1})
+        ORDER BY mmr DESC, c.vec_id ASC LIMIT 1
+    ), s{r} AS (
+        SELECT vec_id FROM s{r - 1} UNION ALL SELECT vec_id FROM p{r}
+    )""")
+    rows = " UNION ALL ".join(
+        f"SELECT {r} AS rank, vec_id, sim, mmr FROM p{r}"
+        for r in range(1, k + 1)
+    )
+    return f"""
+        WITH {','.join(parts)}
+        SELECT CAST(rank AS INT) AS rank, vec_id, sim, mmr
+        FROM ({rows}) ORDER BY rank
+    """
+
+
 def _greedy_coverage_oracle_sql(k: int = 10) -> str:
     """Unrolled greedy max-coverage mirroring
     `curation.greedy_coverage_select`: per round, the top-1 doc by
@@ -1052,6 +1101,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "copurchase_kcore": analytics.copurchase_kcore,
         "doc_token_entropy": pipeline.doc_token_entropy,
         "doc_greedy_coverage": pipeline.doc_greedy_coverage,
+        "embedding_mmr_rerank": pipeline.embedding_mmr_rerank,
         "part_association_rules": analytics.part_association_rules,
         "nation_supplier_hhi": analytics.nation_supplier_hhi,
         "user_activity_streaks": analytics.user_activity_streaks,
@@ -4373,6 +4423,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "event_type_stationary": _stationary_oracle_sql(),
         "doc_greedy_coverage": _greedy_coverage_oracle_sql(),
+        "embedding_mmr_rerank": _mmr_oracle_sql(),
         "orders_benford": """
             WITH obs AS (
                 SELECT CAST(substr(CAST(CAST(floor(o_totalprice * 100 + 0.5)

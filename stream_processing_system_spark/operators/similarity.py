@@ -1222,3 +1222,89 @@ def kmeans_cluster_stats(
         )
         .orderBy("cluster")
     )
+
+
+def mmr_rerank(
+    df: DataFrame,
+    query_df: DataFrame,
+    k: int = 5,
+    pool: int = 20,
+    lam: float = 0.7,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Maximal Marginal Relevance re-ranking (Carbonell & Goldstein,
+    SIGIR'98): from the cosine top-`pool` candidates, greedily pick
+    `k` results maximizing λ·sim(q,d) − (1−λ)·max_{s∈S} sim(d,s) —
+    the diversity-aware final stage of a retrieval pipeline (don't
+    return 5 near-copies of the best hit).
+
+    Shape: candidate generation is the DISTRIBUTED stage (the same
+    brute-force/ANN top-k machinery, here `cosine_topk`); the greedy
+    then runs over the constant-size pool (pool², 400 pairwise sims)
+    with one driver row per round — the n_probe/PCA driver-scalar
+    contract, never data-sized collection. Pairwise sims use the
+    same fold-based cosine as the candidate stage, 6dp-rounded, so
+    the unrolled SQL oracle reproduces every comparison; λ and 1−λ
+    enter both engines as the IDENTICAL binary doubles (repr'd into
+    the SQL)."""
+    cand = cosine_topk(df, query_df, k=pool, id_col=id_col, vec_col=vec_col)
+    cand = cand.localCheckpoint(eager=True)
+    cv = (
+        df.join(cand.select(id_col), id_col)
+        .select(id_col, vec_col)
+        .localCheckpoint(eager=True)
+    )
+    a = cv.select(F.col(id_col).alias("ida"), F.col(vec_col).alias("va"))
+    b = cv.select(F.col(id_col).alias("idb"), F.col(vec_col).alias("vb"))
+    pw = (
+        a.crossJoin(F.broadcast(b))
+        .where(F.col("ida") != F.col("idb"))
+        .select(
+            "ida",
+            "idb",
+            F.round(cosine_similarity(F.col("va"), F.col("vb")), 6).alias("s"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    first = (
+        cand.orderBy(F.col("sim").desc(), F.col(id_col).asc())
+        .limit(1)
+        .select(
+            id_col,
+            "sim",
+            # engine-side HALF_UP round — python round() is banker's
+            F.round(F.lit(lam) * F.col("sim"), 6).alias("mmr"),
+        )
+        .collect()
+    )[0]
+    picks = [(1, first[id_col], first["sim"], first["mmr"])]
+    sel = [first[id_col]]
+    for r in range(2, k + 1):
+        rows = (
+            cand.where(~F.col(id_col).isin(sel))
+            .join(
+                pw.where(F.col("idb").isin(sel))
+                .groupBy("ida")
+                .agg(F.max("s").alias("mx")),
+                cand[id_col] == F.col("ida"),
+            )
+            .select(
+                id_col,
+                "sim",
+                F.round(
+                    F.lit(lam) * F.col("sim") - F.lit(1 - lam) * F.col("mx"), 6
+                ).alias("mmr"),
+            )
+            .orderBy(F.col("mmr").desc(), F.col(id_col).asc())
+            .limit(1)
+            .collect()
+        )
+        if not rows:
+            break
+        row = rows[0]
+        picks.append((r, row[id_col], row["sim"], row["mmr"]))
+        sel.append(row[id_col])
+    return df.sparkSession.createDataFrame(
+        picks, f"rank int, {id_col} long, sim double, mmr double"
+    )

@@ -900,6 +900,12 @@ def doc_ngram_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text_analysis.ngram_diversity(_docs(spark, sf_dir))
 
 
+def embedding_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contract wrapper: see `similarity.mmr_rerank` (diversity-aware
+    MMR greedy over the cosine top-20 pool, λ=0.7, k=5)."""
+    return similarity.mmr_rerank(_embs(spark, sf_dir), _query_vec(spark, sf_dir))
+
+
 def doc_greedy_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Contract wrapper: see `curation.greedy_coverage_select`
     (submodular greedy max-coverage pick of 10 docs by new-5-gram

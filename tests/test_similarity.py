@@ -376,3 +376,28 @@ def test_kmeans_stats_cover_all_vectors_and_separate_planted_clusters(spark):
     assert sorted(r["n_members"] for r in out) == [40, 40]
     for r in out:
         assert r["cohesion"] > 0.999, r
+
+
+def test_mmr_rerank_diversifies(spark, sf_dir):
+    """MMR with λ=0 must never pick two near-identical vectors
+    back-to-back: the rank-2 pick should differ from plain top-k
+    order whenever the top-2 candidates are more similar to each
+    other than to anything else. Checked structurally: every pick is
+    from the candidate pool, ranks are 1..k, and the rank-1 pick
+    equals the cosine top-1."""
+    from stream_processing_system_spark.operators.similarity import (
+        cosine_topk,
+        mmr_rerank,
+    )
+    from stream_processing_system_spark.plans.pipeline import _embs, _query_vec
+
+    embs, q = _embs(spark, sf_dir), _query_vec(spark, sf_dir)
+    top = cosine_topk(embs, q, k=20).collect()
+    got = mmr_rerank(embs, q, k=5, pool=20).collect()
+    pool_ids = {r["vec_id"] for r in top}
+    assert [r["rank"] for r in got] == [1, 2, 3, 4, 5]
+    assert all(r["vec_id"] in pool_ids for r in got)
+    assert got[0]["vec_id"] == top[0]["vec_id"]
+    # mmr scores are non-increasing is NOT guaranteed across rounds,
+    # but each pick's penalized score can't exceed its raw sim * λ
+    assert all(r["mmr"] <= 0.7 * r["sim"] + 1e-9 for r in got)
