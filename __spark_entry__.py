@@ -745,6 +745,47 @@ def _greedy_coverage_oracle_sql(k: int = 10) -> str:
     """
 
 
+def _cheapest_path_oracle_sql(rounds: int = 3) -> str:
+    """Unrolled Bellman–Ford mirroring `graph.cheapest_paths` over
+    the weighted co-purchase graph (cost = 1000 // shared cells)."""
+    parts = ["""cells AS (
+        SELECT DISTINCT user_id, time_bucket(INTERVAL 1 DAY, ts) AS hb,
+               json_extract_string(props, '$.k') AS k
+        FROM events WHERE event_type = 'purchase'
+    ), ok_cells AS (
+        SELECT hb, k FROM cells GROUP BY hb, k HAVING count(*) <= 64
+    ), bounded AS (
+        SELECT c.user_id, c.hb, c.k FROM cells c JOIN ok_cells USING (hb, k)
+    ), ew AS MATERIALIZED (
+        SELECT a.user_id AS src, b.user_id AS dst,
+               1000 // count(*) AS w
+        FROM bounded a
+        JOIN bounded b ON a.hb = b.hb AND a.k = b.k
+                      AND a.user_id < b.user_id
+        GROUP BY 1, 2
+    ), und AS MATERIALIZED (
+        SELECT src, dst, w FROM ew
+        UNION ALL SELECT dst, src, w FROM ew
+    ), d0 AS (
+        SELECT MIN(src) AS node, CAST(0 AS BIGINT) AS cost FROM und
+        HAVING MIN(src) IS NOT NULL
+    )"""]
+    for t in range(rounds):
+        parts.append(f"""d{t + 1} AS MATERIALIZED (
+        SELECT node, MIN(cost) AS cost FROM (
+            SELECT node, cost FROM d{t}
+            UNION ALL
+            SELECT u.dst AS node, d.cost + u.w AS cost
+            FROM und u JOIN d{t} d ON u.src = d.node
+        ) GROUP BY node
+    )""")
+    return f"""
+        WITH {','.join(parts)}
+        SELECT node AS user_id, CAST(cost AS BIGINT) AS cost
+        FROM d{rounds} ORDER BY user_id
+    """
+
+
 def _stationary_oracle_sql(rounds: int = 10) -> str:
     """Unrolled join-based matvec mirroring
     `analytics.event_type_stationary`: BIGINT mass on the 1e-9 grid,
@@ -1099,6 +1140,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "copurchase_clustering": analytics.copurchase_clustering,
         "copurchase_communities": analytics.copurchase_communities,
         "copurchase_kcore": analytics.copurchase_kcore,
+        "copurchase_cheapest_path": analytics.copurchase_cheapest_path,
         "doc_token_entropy": pipeline.doc_token_entropy,
         "doc_greedy_coverage": pipeline.doc_greedy_coverage,
         "embedding_mmr_rerank": pipeline.embedding_mmr_rerank,
@@ -2700,6 +2742,7 @@ def oracle_sql() -> dict[str, str]:
         "copurchase_clustering": _CLUSTERING_ORACLE_SQL,
         "copurchase_communities": _lpa_oracle_sql(),
         "copurchase_kcore": _kcore_oracle_sql(),
+        "copurchase_cheapest_path": _cheapest_path_oracle_sql(),
         # doc_bpe_merges: iterative (each round's rewrite depends on the
         # previous argmax) — rows-only here; tests/test_bpe.py proves the
         # merge table against a pure-Python BPE reference.

@@ -315,3 +315,42 @@ def local_clustering(edges: DataFrame) -> DataFrame:
             ),
         )
     )
+
+
+def cheapest_paths(
+    edges_w: DataFrame, rounds: int = 3
+) -> DataFrame:
+    """Bounded weighted shortest paths (Bellman–Ford relaxation) from
+    a deterministic seed (minimum node id) over an undirected
+    (src, dst, w) edge list with INTEGER weights — the weighted
+    complement to `bfs_hops` (cheapest-connection cost instead of hop
+    count). `rounds` relaxations bound path length, keeping the
+    oracle an unrolled CTE chain; integer min-plus arithmetic is
+    exact and order-free at any parallelism.
+
+    Per round: one edge-list equi-join against current distances +
+    one min aggregate per destination — edge-sized shuffles keyed on
+    an endpoint, the same shape as `pagerank`'s matvec with (min, +)
+    in place of (sum, ×)."""
+    und = edges_w.select("src", "dst", "w").union(
+        edges_w.select(
+            F.col("dst").alias("src"), F.col("src").alias("dst"), "w"
+        )
+    ).localCheckpoint(eager=True)
+    seed = und.agg(F.min("src").alias("node")).where(F.col("node").isNotNull())
+    dist = seed.select("node", F.lit(0).cast("long").alias("cost"))
+    for _ in range(rounds):
+        relaxed = (
+            und.join(dist, und.src == dist.node)
+            .select(
+                F.col("dst").alias("node"),
+                (F.col("cost") + F.col("w")).alias("cost"),
+            )
+        )
+        dist = (
+            dist.unionByName(relaxed)
+            .groupBy("node")
+            .agg(F.min("cost").alias("cost"))
+            .localCheckpoint(eager=True)
+        )
+    return dist

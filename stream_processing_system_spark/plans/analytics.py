@@ -3942,3 +3942,42 @@ def events_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+def copurchase_cheapest_path(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted shortest paths over the co-purchase graph
+    (operators/graph.py:cheapest_paths — 3 Bellman–Ford relaxations
+    from the minimum user id): edge cost = 1000 div n_shared_cells,
+    so strongly-co-purchasing pairs are cheap to traverse. Integer
+    min-plus arithmetic end-to-end; the hot-cell valve bounds the
+    pair blow-up exactly as in `cooccurrence_edges`."""
+    from stream_processing_system_spark.operators.graph import cheapest_paths
+
+    events = load_table(spark, sf_dir, "events")
+    cells = (
+        events.where(F.col("event_type") == "purchase")
+        .select(
+            "user_id",
+            F.window("ts", "1 day").start.alias("_hb"),
+            F.expr("get_json_object(props, '$.k')").alias("_k"),
+        )
+        .distinct()
+    )
+    sizes = cells.groupBy("_hb", "_k").agg(F.count(F.lit(1)).alias("_n"))
+    bounded = cells.join(
+        sizes.where(F.col("_n") <= 64).select("_hb", "_k"), ["_hb", "_k"]
+    )
+    a = bounded.select("_hb", "_k", F.col("user_id").alias("src"))
+    b = bounded.select("_hb", "_k", F.col("user_id").alias("dst"))
+    weighted = (
+        a.join(b, ["_hb", "_k"])
+        .where(F.col("src") < F.col("dst"))
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).alias("_ns"))
+        .select("src", "dst", F.expr("1000 div _ns").alias("w"))
+    )
+    return (
+        cheapest_paths(weighted, rounds=3)
+        .select(F.col("node").alias("user_id"), "cost")
+        .orderBy("user_id")
+    )

@@ -142,3 +142,15 @@ def test_kcore_fixpoint_at_test_scale(spark, sf_dir):
     r7 = kcore(edges, k=3, rounds=7)
     r8 = kcore(edges, k=3, rounds=8)
     assert r7.exceptAll(r8).count() == 0 and r8.exceptAll(r7).count() == 0
+
+
+def test_cheapest_paths_relaxation(spark):
+    from stream_processing_system_spark.operators.graph import cheapest_paths
+
+    # seed = 1; direct edge 1-3 costs 10, detour 1-2-3 costs 2+3=5
+    e = spark.createDataFrame(
+        [(1, 3, 10), (1, 2, 2), (2, 3, 3), (3, 4, 1)],
+        "src long, dst long, w long",
+    )
+    got = {r["node"]: r["cost"] for r in cheapest_paths(e, rounds=3).collect()}
+    assert got == {1: 0, 2: 2, 3: 5, 4: 6}
