@@ -1149,6 +1149,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "user_activity_streaks": analytics.user_activity_streaks,
         "events_type_corr": analytics.events_type_corr,
         "events_psi_drift": analytics.events_psi_drift,
+        "revenue_theilsen_trend": analytics.revenue_theilsen_trend,
+        "orders_kendall_tau": analytics.orders_kendall_tau,
         "stream_session_entry_exit": streaming_parity.stream_session_entry_exit,
         "fulfillment_latency_monthly": analytics.fulfillment_latency_monthly,
         "daily_order_dispersion": analytics.daily_order_dispersion,
@@ -4171,6 +4173,48 @@ def oracle_sql() -> dict[str, str]:
                           / CAST(n AS DOUBLE)) * 1000000.0 + 0.5) / 1000000.0
                        AS intercept
             FROM fit
+        """,
+        "revenue_theilsen_trend": """
+            WITH daily AS MATERIALIZED (
+                SELECT CAST(floor(floor(epoch(o_orderdate)) / 86400)
+                            AS BIGINT) AS d,
+                       CAST(SUM(CAST(floor(o_totalprice * 100 + 0.5)
+                                     AS BIGINT)) AS BIGINT) AS y
+                FROM orders GROUP BY 1
+            ), slopes AS (
+                SELECT CAST(b.y - a.y AS DOUBLE)
+                       / CAST(b.d - a.d AS DOUBLE) AS s
+                FROM daily a JOIN daily b ON a.d < b.d
+            ), n AS (SELECT count(*) AS n_days FROM daily)
+            SELECT CAST(n_days AS BIGINT) AS n_days,
+                   (SELECT count(*) FROM slopes) AS n_pairs,
+                   (SELECT floor(median(s) * 1000000.0 + 0.5) / 1000000.0
+                    FROM slopes) AS slope_cents_per_day
+            FROM n
+        """,
+        "orders_kendall_tau": """
+            WITH daily AS MATERIALIZED (
+                SELECT CAST(floor(floor(epoch(o_orderdate)) / 86400)
+                            AS BIGINT) AS d,
+                       CAST(count(*) AS BIGINT) AS x,
+                       CAST(SUM(CAST(floor(o_totalprice * 100 + 0.5)
+                                     AS BIGINT)) AS BIGINT) AS y
+                FROM orders GROUP BY 1
+            ), pairs AS (
+                SELECT CASE WHEN (b.x - a.x) * (b.y - a.y) > 0
+                            THEN 1 ELSE 0 END AS c,
+                       CASE WHEN (b.x - a.x) * (b.y - a.y) < 0
+                            THEN 1 ELSE 0 END AS dd
+                FROM daily a JOIN daily b ON a.d < b.d
+            ), n AS (SELECT count(*) AS n_days FROM daily)
+            SELECT CAST(n_days AS BIGINT) AS n_days,
+                   (SELECT CAST(SUM(c) AS BIGINT) FROM pairs) AS concordant,
+                   (SELECT CAST(SUM(dd) AS BIGINT) FROM pairs) AS discordant,
+                   (SELECT floor(CAST(SUM(c) - SUM(dd) AS DOUBLE)
+                                 / (CAST(n_days * (n_days - 1) AS DOUBLE) / 2)
+                                 * 1000000.0 + 0.5) / 1000000.0
+                    FROM pairs) AS tau
+            FROM n
         """,
         "events_psi_drift": """
             WITH cells AS (

@@ -3981,3 +3981,100 @@ def copurchase_cheapest_path(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("node").alias("user_id"), "cost")
         .orderBy("user_id")
     )
+
+
+def revenue_theilsen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil–Sen robust trend of daily order revenue: the MEDIAN of
+    all pairwise slopes — immune to the outlier days that bend the
+    OLS trend (`forecast_revenue` / `value_trend_by_type`'s
+    counterpart from robust statistics). Each slope is an exact-int
+    ratio ((cents_j − cents_i) / (day_j − day_i)), correctly rounded
+    to the same double in both engines; the median is an exact rank
+    statistic. The pairwise join runs at DAY grain (n(n−1)/2 pairs of
+    a ~100-row frame after the data-sized daily aggregate), never at
+    order grain."""
+    orders = load_table(spark, sf_dir, "orders")
+    daily = (
+        orders.groupBy(
+            F.floor(
+                F.col("o_orderdate").cast("timestamp").cast("long") / 86400
+            )
+            .cast("long")
+            .alias("d")
+        )
+        .agg(
+            F.sum(F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long"))
+            .alias("y")
+        )
+        .localCheckpoint(eager=True)
+    )
+    a = daily.select(F.col("d").alias("d1"), F.col("y").alias("y1"))
+    b = daily.select(F.col("d").alias("d2"), F.col("y").alias("y2"))
+    slopes = (
+        a.join(b, F.col("d1") < F.col("d2"))
+        .select(
+            (
+                (F.col("y2") - F.col("y1")).cast("double")
+                / (F.col("d2") - F.col("d1")).cast("double")
+            ).alias("s")
+        )
+    )
+    n = daily.agg(F.count(F.lit(1)).alias("n_days"))
+    return (
+        slopes.agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            det_round(F.median("s")).alias("slope_cents_per_day"),
+        )
+        .crossJoin(F.broadcast(n))
+        .select("n_days", "n_pairs", "slope_cents_per_day")
+    )
+
+
+def orders_kendall_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kendall rank correlation (tau-a) between daily order COUNT and
+    daily order REVENUE — the non-parametric co-movement check whose
+    every intermediate is an exact integer: concordant/discordant
+    pair counts over the day-grain frame, one ratio at the end. Ties
+    in either coordinate are excluded (tau-a on strict pairs),
+    keeping the arithmetic sign-of-product integer logic."""
+    orders = load_table(spark, sf_dir, "orders")
+    daily = (
+        orders.groupBy(
+            F.floor(
+                F.col("o_orderdate").cast("timestamp").cast("long") / 86400
+            )
+            .cast("long")
+            .alias("d")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("x"),
+            F.sum(F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long"))
+            .alias("y"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    a = daily.select(
+        F.col("d").alias("d1"), F.col("x").alias("x1"), F.col("y").alias("y1")
+    )
+    b = daily.select(
+        F.col("d").alias("d2"), F.col("x").alias("x2"), F.col("y").alias("y2")
+    )
+    sgn = (F.col("x2") - F.col("x1")) * (F.col("y2") - F.col("y1"))
+    pairs = a.join(b, F.col("d1") < F.col("d2")).select(
+        F.when(sgn > 0, 1).otherwise(0).alias("c"),
+        F.when(sgn < 0, 1).otherwise(0).alias("dd"),
+    )
+    n = daily.agg(F.count(F.lit(1)).alias("n_days"))
+    stats = pairs.agg(
+        F.sum("c").cast("long").alias("concordant"),
+        F.sum("dd").cast("long").alias("discordant"),
+    ).crossJoin(F.broadcast(n))
+    total = (F.col("n_days") * (F.col("n_days") - 1) / 2).cast("double")
+    return stats.select(
+        "n_days",
+        "concordant",
+        "discordant",
+        det_round(
+            (F.col("concordant") - F.col("discordant")).cast("double") / total
+        ).alias("tau"),
+    )
