@@ -1150,6 +1150,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_type_corr": analytics.events_type_corr,
         "events_psi_drift": analytics.events_psi_drift,
         "revenue_theilsen_trend": analytics.revenue_theilsen_trend,
+        "weighted_median_part_size": analytics.weighted_median_part_size,
+        "rolling_7d_distinct_users": analytics.rolling_7d_distinct_users,
         "orders_kendall_tau": analytics.orders_kendall_tau,
         "stream_session_entry_exit": streaming_parity.stream_session_entry_exit,
         "fulfillment_latency_monthly": analytics.fulfillment_latency_monthly,
@@ -4173,6 +4175,47 @@ def oracle_sql() -> dict[str, str]:
                           / CAST(n AS DOUBLE)) * 1000000.0 + 0.5) / 1000000.0
                        AS intercept
             FROM fit
+        """,
+        "weighted_median_part_size": """
+            WITH by_size AS (
+                SELECT p_brand, p_size,
+                       CAST(SUM(CAST(floor(l_extendedprice * (1 - l_discount)
+                                           * 10000 + 0.5) AS BIGINT))
+                            AS BIGINT) AS w
+                FROM lineitem JOIN part ON l_partkey = p_partkey
+                GROUP BY 1, 2
+            ), cum AS (
+                SELECT p_brand, p_size,
+                       SUM(w) OVER (PARTITION BY p_brand ORDER BY p_size
+                                    ROWS UNBOUNDED PRECEDING) AS cum,
+                       SUM(w) OVER (PARTITION BY p_brand) AS tot
+                FROM by_size
+            ), flagged AS (
+                SELECT p_brand, p_size, tot,
+                       row_number() OVER (PARTITION BY p_brand
+                                          ORDER BY p_size) AS rn
+                FROM cum WHERE cum * 2 >= tot
+            )
+            SELECT p_brand,
+                   CAST(p_size AS BIGINT) AS weighted_median_size,
+                   CAST(tot AS DOUBLE) / 10000.0 AS brand_revenue
+            FROM flagged WHERE rn = 1
+            ORDER BY p_brand
+        """,
+        "rolling_7d_distinct_users": """
+            WITH presence AS (
+                SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+            ), claims AS (
+                SELECT DISTINCT user_id, day + CAST(off AS INT) AS wend
+                FROM presence, (SELECT CAST(range AS INT) AS off
+                                FROM range(0, 7)) o
+            ), days AS (
+                SELECT DISTINCT CAST(ts AS DATE) AS wend FROM events
+            )
+            SELECT CAST(c.wend AS VARCHAR) AS day,
+                   count(*) AS distinct_users_7d
+            FROM claims c JOIN days d ON c.wend = d.wend
+            GROUP BY 1 ORDER BY 1
         """,
         "revenue_theilsen_trend": """
             WITH daily AS MATERIALIZED (

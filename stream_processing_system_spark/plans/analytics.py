@@ -4078,3 +4078,75 @@ def orders_kendall_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("concordant") - F.col("discordant")).cast("double") / total
         ).alias("tau"),
     )
+
+
+def weighted_median_part_size(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue-weighted median part size per brand: the weighted rank
+    statistic ("half the revenue ships at size ≤ s") that a plain
+    median can't answer. Formulation: per-(brand, size) exact cent
+    weights, a cumulative-sum window over size order, then the FIRST
+    size where 2·cum ≥ total — every comparison is exact BIGINT
+    (the ×2 avoids materializing total/2 as a double; the Pareto-80%
+    device). Windows run on the (brand × size) post-aggregate grain."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    cents = F.floor(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000 + F.lit(0.5)
+    ).cast("long")
+    by_size = (
+        li.join(F.broadcast(part.select("p_partkey", "p_brand", "p_size")),
+                li.l_partkey == F.col("p_partkey"))
+        .groupBy("p_brand", "p_size")
+        .agg(F.sum(cents).alias("w"))
+    )
+    wcum = Window.partitionBy("p_brand").orderBy("p_size").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    wtot = Window.partitionBy("p_brand")
+    flagged = by_size.select(
+        "p_brand",
+        "p_size",
+        F.sum("w").over(wcum).alias("cum"),
+        F.sum("w").over(wtot).alias("tot"),
+    ).where(F.col("cum") * 2 >= F.col("tot"))
+    pick = Window.partitionBy("p_brand").orderBy("p_size")
+    return (
+        flagged.withColumn("_rn", F.row_number().over(pick))
+        .where(F.col("_rn") == 1)
+        .select(
+            "p_brand",
+            F.col("p_size").cast("long").alias("weighted_median_size"),
+            (F.col("tot").cast("double") / F.lit(10000.0)).alias("brand_revenue"),
+        )
+        .orderBy("p_brand")
+    )
+
+
+def rolling_7d_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT distinct users over a trailing 7-day window, per day —
+    the sliding-window cardinality that HLL/KMV sketches approximate
+    (`stream_kmv_distinct_users`), here exact via the presence-explode
+    trick: each (user, active-day) row claims membership in the 7
+    windows ending on day..day+6, and the count is a plain distinct
+    aggregate per window end. Linear in presence rows × window length
+    — never a per-day DISTINCT re-scan of the raw events — and only
+    window ends that are OBSERVED days are reported (join back to the
+    day spine)."""
+    events = load_table(spark, sf_dir, "events")
+    presence = events.select(
+        "user_id", F.col("ts").cast("date").alias("day")
+    ).distinct()
+    offsets = spark.range(0, 7).select(F.col("id").cast("int").alias("off"))
+    claims = (
+        presence.crossJoin(F.broadcast(offsets))
+        .select("user_id", F.date_add("day", F.col("off")).alias("wend"))
+        .distinct()
+    )
+    days = events.select(F.col("ts").cast("date").alias("wend")).distinct()
+    return (
+        claims.join(days, "wend")
+        .groupBy("wend")
+        .agg(F.count(F.lit(1)).alias("distinct_users_7d"))
+        .select(F.col("wend").cast("string").alias("day"), "distinct_users_7d")
+        .orderBy("day")
+    )
