@@ -794,46 +794,47 @@ def greedy_coverage_select(
     Output: (rank, doc_id, new_ngrams, total_covered) — one row per
     pick, stopping early if coverage saturates.
 
-    Shape per round: one anti-join of the (doc, gram) relation
-    against the covered-gram set + one per-doc count + a global
-    top-1 (TakeOrderedAndProject) — the driver sees exactly ONE row
-    per round (the PCA/driver-scalar contract, never a data-sized
-    collect). The (doc, gram) relation is checkpointed once;
-    the covered set only ever grows by the picked doc's grams (a
-    doc-sized relation, re-checkpointed each round to cut lineage).
-    At 100 TB the gram relation shuffles once on gram for the
-    anti-join and k is small by construction."""
-    grams = (
-        df.select(F.col(id_col), F.explode(ngram_set(F.col(text_col), n)).alias("g"))
-        .select(id_col, F.md5("g").alias("gh"))
-        .distinct()
-        .localCheckpoint(eager=True)
-    )
-    covered = grams.select("gh").limit(0).localCheckpoint(eager=True)
+    Shape per round: a MAP-ONLY pass over the doc-grain gram-array
+    frame — size(array_except(ghs, covered)) per doc — finished by a
+    global top-1 (TakeOrderedAndProject): no shuffle, no explode, and
+    the driver sees exactly ONE row per round (the PCA/driver-scalar
+    contract). `covered` is the k picked DOCS' grams — a
+    driver-bounded constant (k × max-doc-size, the n_probe-list
+    contract) riding into the plan as an array literal. The gram
+    arrays are built once (per-doc dedup inside ngram_set, no
+    cross-doc shuffle) and checkpointed."""
+    garr = df.select(
+        F.col(id_col),
+        F.transform(ngram_set(F.col(text_col), n), F.md5).alias("ghs"),
+    ).localCheckpoint(eager=True)
     picks: list[tuple[int, int, int, int]] = []
     total = 0
+    covered: list[str] = []
+    spark = df.sparkSession
     for r in range(1, k + 1):
+        # covered rides in as a 1-row broadcast frame (one Arrow
+        # transfer), not as per-element literals — k × max-doc-size
+        # strings through py4j literals costs more driver time than
+        # the whole round's execution
+        cur = garr
+        rem = F.col("ghs")
+        if covered:
+            cov_df = spark.createDataFrame([(covered,)], "cov array<string>")
+            cur = garr.crossJoin(F.broadcast(cov_df))
+            rem = F.array_except(F.col("ghs"), F.col("cov"))
         gain = (
-            grams.join(covered, "gh", "left_anti")
-            .groupBy(id_col)
-            .agg(F.count(F.lit(1)).alias("c"))
+            cur.select(F.col(id_col), rem.alias("rem"))
+            .select(F.col(id_col), F.size("rem").alias("c"), "rem")
             .orderBy(F.col("c").desc(), F.col(id_col).asc())
             .limit(1)
             .collect()
         )
-        if not gain:
+        if not gain or gain[0]["c"] <= 0:
             break
         doc, c = gain[0][id_col], gain[0]["c"]
         total += c
         picks.append((r, doc, c, total))
-        covered = (
-            covered.unionByName(
-                grams.where(F.col(id_col) == doc).select("gh")
-            )
-            .distinct()
-            .localCheckpoint(eager=True)
-        )
-    spark = df.sparkSession
+        covered.extend(gain[0]["rem"])
     return spark.createDataFrame(
         picks, "rank int, doc_id long, new_ngrams long, total_covered long"
     )
