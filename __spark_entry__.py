@@ -1150,6 +1150,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_type_corr": analytics.events_type_corr,
         "events_psi_drift": analytics.events_psi_drift,
         "revenue_theilsen_trend": analytics.revenue_theilsen_trend,
+        "part_hierarchy_rollup": analytics.part_hierarchy_rollup,
+        "linear_attribution": analytics.linear_attribution,
+        "brand_return_shrinkage": analytics.brand_return_shrinkage,
         "weighted_median_part_size": analytics.weighted_median_part_size,
         "rolling_7d_distinct_users": analytics.rolling_7d_distinct_users,
         "orders_kendall_tau": analytics.orders_kendall_tau,
@@ -4175,6 +4178,70 @@ def oracle_sql() -> dict[str, str]:
                           / CAST(n AS DOUBLE)) * 1000000.0 + 0.5) / 1000000.0
                        AS intercept
             FROM fit
+        """,
+        "part_hierarchy_rollup": """
+            WITH leaf AS (
+                SELECT l_partkey AS part,
+                       SUM(CAST(l_extendedprice * (1 - l_discount)
+                                AS DECIMAL(18,4))) AS rev
+                FROM lineitem GROUP BY 1
+            ), nodes AS (
+                SELECT 3 AS level, part AS node_id, rev FROM leaf
+                UNION ALL
+                SELECT 2, part // 10, rev FROM leaf
+                UNION ALL
+                SELECT 1, part // 100, rev FROM leaf
+            )
+            SELECT CAST(level AS INT) AS level,
+                   CAST(node_id AS BIGINT) AS node_id,
+                   CAST(SUM(rev) AS DOUBLE) AS subtree_revenue,
+                   count(*) AS n_parts
+            FROM nodes GROUP BY 1, 2 ORDER BY 1, 2
+        """,
+        "linear_attribution": """
+            WITH purch AS (
+                SELECT user_id, event_id AS p_id,
+                       CAST(floor(epoch(ts)) AS BIGINT) AS p_ts,
+                       CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+                FROM events WHERE event_type = 'purchase'
+            ), clicks AS (
+                SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS c_ts,
+                       CAST(CAST(ts AS DATE) AS VARCHAR) AS c_day
+                FROM events WHERE event_type = 'click'
+            ), pairs AS (
+                SELECT p.p_id, p.cents, c.c_day
+                FROM purch p JOIN clicks c ON p.user_id = c.user_id
+                WHERE c.c_ts >= p.p_ts - 3600 AND c.c_ts < p.p_ts
+            ), fan AS (
+                SELECT p_id, CAST(count(*) AS BIGINT) AS n_clicks
+                FROM pairs GROUP BY 1
+            )
+            SELECT c_day, count(*) AS n_credits,
+                   CAST(SUM((cents * 10000) // n_clicks) AS DOUBLE)
+                       / 1000000.0 AS attributed_value
+            FROM pairs JOIN fan USING (p_id)
+            GROUP BY 1 ORDER BY 1
+        """,
+        "brand_return_shrinkage": """
+            WITH pb AS (
+                SELECT p_brand, count(*) AS n,
+                       CAST(SUM(CASE WHEN l_returnflag = 'R'
+                                     THEN 1 ELSE 0 END) AS BIGINT) AS r
+                FROM lineitem JOIN part ON l_partkey = p_partkey
+                GROUP BY 1
+            ), tot AS (
+                SELECT CAST(SUM(n) AS BIGINT) AS tn,
+                       CAST(SUM(r) AS BIGINT) AS tr
+                FROM pb
+            )
+            SELECT p_brand, CAST(n AS BIGINT) AS n, r,
+                   floor(CAST(r AS DOUBLE) / CAST(n AS DOUBLE)
+                         * 1000000.0 + 0.5) / 1000000.0 AS raw_rate,
+                   floor((CAST(r AS DOUBLE)
+                          + 50.0 * (CAST(tr AS DOUBLE) / CAST(tn AS DOUBLE)))
+                         / (CAST(n AS DOUBLE) + 50.0)
+                         * 1000000.0 + 0.5) / 1000000.0 AS shrunk_rate
+            FROM pb, tot ORDER BY p_brand
         """,
         "weighted_median_part_size": """
             WITH by_size AS (

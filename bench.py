@@ -128,6 +128,15 @@ HEADLINE = [
     "user_activity_streaks",
     "nation_supplier_hhi",
     "cumulative_unique_users",
+    "events_type_corr",
+    "events_psi_drift",
+    "revenue_theilsen_trend",
+    "orders_kendall_tau",
+    "weighted_median_part_size",
+    "rolling_7d_distinct_users",
+    "fulfillment_latency_monthly",
+    "embedding_mmr_rerank",
+    "copurchase_cheapest_path",
 ]
 
 

@@ -4150,3 +4150,128 @@ def rolling_7d_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("wend").cast("string").alias("day"), "distinct_users_7d")
         .orderBy("day")
     )
+
+
+def part_hierarchy_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical (tree) aggregation: parts arranged in a derived
+    3-level taxonomy (root ← partkey div 100 ← partkey div 10 ←
+    part) and revenue rolled UP the tree so every node reports its
+    SUBTREE total — the BOM-explosion / org-chart rollup pattern,
+    expressed as one leaf aggregate + one union of level
+    projections + one re-aggregate (each part contributes to exactly
+    its 3 ancestors; no iterative join because the hierarchy depth is
+    a schema constant). Exact DECIMAL money sums throughout.
+
+    Output: (level, node_id, subtree_revenue, n_parts)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    leaf = li.groupBy(F.col("l_partkey").alias("part")).agg(
+        F.sum(
+            (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                "decimal(18,4)"
+            )
+        ).alias("rev"),
+    )
+    levels = [
+        (F.lit(2).alias("level"), F.expr("part div 10")),
+        (F.lit(1).alias("level"), F.expr("part div 100")),
+    ]
+    nodes = leaf.select(
+        F.lit(3).alias("level"), F.col("part").cast("long").alias("node_id"),
+        "rev",
+    )
+    for lv, expr in levels:
+        nodes = nodes.unionByName(
+            leaf.select(lv, expr.cast("long").alias("node_id"), "rev")
+        )
+    return (
+        nodes.groupBy("level", "node_id")
+        .agg(
+            F.sum("rev").cast("double").alias("subtree_revenue"),
+            F.count(F.lit(1)).alias("n_parts"),
+        )
+        .orderBy("level", "node_id")
+    )
+
+
+def linear_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear multi-touch attribution: each purchase's value is split
+    EQUALLY across the same user's clicks in the preceding hour (the
+    marketing counterpart to `purchase_last_click_asof`'s last-touch
+    rule), and credit is rolled up per click DAY. The per-click
+    credit is cents·10⁴ div n_clicks — an exact integer micro-cent
+    share (the documented floor makes a purchase's credit sum ≤ its
+    value by < n·1e-4 cents), so day totals are order-free integer
+    sums. Shape: one bounded-window (1 h) interval join on user_id +
+    two aggregates."""
+    events = load_table(spark, sf_dir, "events")
+    purch = events.where(F.col("event_type") == "purchase").select(
+        F.col("user_id"),
+        F.col("event_id").alias("p_id"),
+        F.col("ts").cast("long").alias("p_ts"),
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("cents"),
+    )
+    clicks = events.where(F.col("event_type") == "click").select(
+        F.col("user_id"),
+        F.col("ts").cast("long").alias("c_ts"),
+        F.col("ts").cast("date").cast("string").alias("c_day"),
+    )
+    pairs = purch.join(clicks, "user_id").where(
+        (F.col("c_ts") >= F.col("p_ts") - 3600) & (F.col("c_ts") < F.col("p_ts"))
+    )
+    fan = pairs.groupBy("p_id").agg(F.count(F.lit(1)).alias("n_clicks"))
+    credited = pairs.join(fan, "p_id").select(
+        "c_day",
+        F.expr("(cents * 10000) div n_clicks").alias("credit_u"),
+    )
+    return (
+        credited.groupBy("c_day")
+        .agg(
+            F.count(F.lit(1)).alias("n_credits"),
+            (F.sum("credit_u").cast("double") / F.lit(1e6)).alias(
+                "attributed_value"
+            ),
+        )
+        .orderBy("c_day")
+    )
+
+
+def brand_return_shrinkage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Empirical-Bayes shrinkage of per-brand return rates toward the
+    global rate: shrunk = (returns + m·prior) / (n + m), m = 50 —
+    the small-sample correction that stops a 3-lineitem brand from
+    topping the returns leaderboard (the same reason rating sites
+    use weighted scores). Counts exact; prior and the shrunk rate are
+    fixed-order doubles over those counts."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    j = li.join(
+        F.broadcast(part.select("p_partkey", "p_brand")),
+        li.l_partkey == F.col("p_partkey"),
+    )
+    per_brand = j.groupBy("p_brand").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.when(F.col("l_returnflag") == "R", 1).otherwise(0))
+        .cast("long")
+        .alias("r"),
+    )
+    tot = per_brand.agg(
+        F.sum("n").alias("tn"), F.sum("r").alias("tr")
+    )
+    prior = F.col("tr").cast("double") / F.col("tn").cast("double")
+    m = F.lit(50.0)
+    shrunk = (F.col("r").cast("double") + m * prior) / (
+        F.col("n").cast("double") + m
+    )
+    return (
+        per_brand.crossJoin(F.broadcast(tot))
+        .select(
+            "p_brand",
+            "n",
+            "r",
+            det_round(F.col("r").cast("double") / F.col("n").cast("double")).alias(
+                "raw_rate"
+            ),
+            det_round(shrunk).alias("shrunk_rate"),
+        )
+        .orderBy("p_brand")
+    )
