@@ -4285,8 +4285,8 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY 1 ORDER BY 1
         """,
         "revenue_theilsen_trend": """
-            WITH daily AS MATERIALIZED (
-                SELECT CAST(floor(floor(epoch(o_orderdate)) / 86400)
+            WITH weekly AS MATERIALIZED (
+                SELECT CAST(floor(floor(epoch(o_orderdate)) / 604800)
                             AS BIGINT) AS d,
                        CAST(SUM(CAST(floor(o_totalprice * 100 + 0.5)
                                      AS BIGINT)) AS BIGINT) AS y
@@ -4294,12 +4294,12 @@ def oracle_sql() -> dict[str, str]:
             ), slopes AS (
                 SELECT CAST(b.y - a.y AS DOUBLE)
                        / CAST(b.d - a.d AS DOUBLE) AS s
-                FROM daily a JOIN daily b ON a.d < b.d
-            ), n AS (SELECT count(*) AS n_days FROM daily)
-            SELECT CAST(n_days AS BIGINT) AS n_days,
+                FROM weekly a JOIN weekly b ON a.d < b.d
+            ), n AS (SELECT count(*) AS n_weeks FROM weekly)
+            SELECT CAST(n_weeks AS BIGINT) AS n_weeks,
                    (SELECT count(*) FROM slopes) AS n_pairs,
                    (SELECT floor(median(s) * 1000000.0 + 0.5) / 1000000.0
-                    FROM slopes) AS slope_cents_per_day
+                    FROM slopes) AS slope_cents_per_week
             FROM n
         """,
         "orders_kendall_tau": """

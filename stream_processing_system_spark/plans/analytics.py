@@ -3984,20 +3984,23 @@ def copurchase_cheapest_path(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def revenue_theilsen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Theil–Sen robust trend of daily order revenue: the MEDIAN of
-    all pairwise slopes — immune to the outlier days that bend the
+    """Theil–Sen robust trend of WEEKLY order revenue: the MEDIAN of
+    all pairwise slopes — immune to the outlier periods that bend the
     OLS trend (`forecast_revenue` / `value_trend_by_type`'s
     counterpart from robust statistics). Each slope is an exact-int
-    ratio ((cents_j − cents_i) / (day_j − day_i)), correctly rounded
-    to the same double in both engines; the median is an exact rank
-    statistic. The pairwise join runs at DAY grain (n(n−1)/2 pairs of
-    a ~100-row frame after the data-sized daily aggregate), never at
-    order grain."""
+    ratio ((cents_j − cents_i) / (week_j − week_i)), correctly
+    rounded to the same double in both engines; the median is an
+    exact rank statistic. Theil–Sen is O(n²) in its series length BY
+    DEFINITION, so the aggregation grain is the scale knob: week
+    grain bounds a 7-year span to ~350 points → ~60k pairs, keeping
+    the exact-median reduce trivial at any corpus size (day grain on
+    the same span is 2.9M pairs into one reducer — measured 9.6 s at
+    sf0.1 before this grain choice)."""
     orders = load_table(spark, sf_dir, "orders")
-    daily = (
+    weekly = (
         orders.groupBy(
             F.floor(
-                F.col("o_orderdate").cast("timestamp").cast("long") / 86400
+                F.col("o_orderdate").cast("timestamp").cast("long") / 604800
             )
             .cast("long")
             .alias("d")
@@ -4008,8 +4011,8 @@ def revenue_theilsen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .localCheckpoint(eager=True)
     )
-    a = daily.select(F.col("d").alias("d1"), F.col("y").alias("y1"))
-    b = daily.select(F.col("d").alias("d2"), F.col("y").alias("y2"))
+    a = weekly.select(F.col("d").alias("d1"), F.col("y").alias("y1"))
+    b = weekly.select(F.col("d").alias("d2"), F.col("y").alias("y2"))
     slopes = (
         a.join(b, F.col("d1") < F.col("d2"))
         .select(
@@ -4019,14 +4022,14 @@ def revenue_theilsen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("s")
         )
     )
-    n = daily.agg(F.count(F.lit(1)).alias("n_days"))
+    n = weekly.agg(F.count(F.lit(1)).alias("n_weeks"))
     return (
         slopes.agg(
             F.count(F.lit(1)).alias("n_pairs"),
-            det_round(F.median("s")).alias("slope_cents_per_day"),
+            det_round(F.median("s")).alias("slope_cents_per_week"),
         )
         .crossJoin(F.broadcast(n))
-        .select("n_days", "n_pairs", "slope_cents_per_day")
+        .select("n_weeks", "n_pairs", "slope_cents_per_week")
     )
 
 
