@@ -1150,6 +1150,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_type_corr": analytics.events_type_corr,
         "events_psi_drift": analytics.events_psi_drift,
         "revenue_theilsen_trend": analytics.revenue_theilsen_trend,
+        "events_dow_anova": analytics.events_dow_anova,
         "part_hierarchy_rollup": analytics.part_hierarchy_rollup,
         "linear_attribution": analytics.linear_attribution,
         "brand_return_shrinkage": analytics.brand_return_shrinkage,
@@ -4178,6 +4179,56 @@ def oracle_sql() -> dict[str, str]:
                           / CAST(n AS DOUBLE)) * 1000000.0 + 0.5) / 1000000.0
                        AS intercept
             FROM fit
+        """,
+        "events_dow_anova": """
+            WITH daily AS MATERIALIZED (
+                SELECT event_type, CAST(ts AS DATE) AS day,
+                       CAST(SUM(CAST(floor(value * 100 + 0.5) AS BIGINT))
+                            AS BIGINT) // 100 AS x
+                FROM events WHERE value IS NOT NULL
+                GROUP BY 1, 2
+            ), d2 AS (
+                SELECT event_type,
+                       (day - DATE '1970-01-01') % 7 AS dow, x
+                FROM daily
+            ), groups AS (
+                SELECT event_type, dow,
+                       CAST(count(*) AS HUGEINT) AS ng,
+                       SUM(CAST(x AS HUGEINT)) AS sg
+                FROM d2 GROUP BY 1, 2
+            ), per_type AS (
+                SELECT event_type,
+                       CAST(count(*) AS HUGEINT) AS k,
+                       SUM(ng) AS n, SUM(sg) AS s,
+                       SUM(CAST(floor(CAST(sg * sg AS DOUBLE)
+                                      / CAST(ng AS DOUBLE)
+                                      * 1000000.0 + 0.5) AS BIGINT)) AS tsum
+                FROM groups GROUP BY 1
+            ), q AS (
+                SELECT event_type, SUM(CAST(x AS HUGEINT) * x) AS q
+                FROM d2 GROUP BY 1
+            )
+            SELECT event_type,
+                   CAST(n AS BIGINT) AS n_days,
+                   CAST(k AS BIGINT) AS n_groups,
+                   floor(((CAST(tsum AS DOUBLE) / 1000000.0
+                           - CAST(s * s AS DOUBLE) / CAST(n AS DOUBLE))
+                          / (CAST(k AS DOUBLE) - 1.0))
+                         / ((CAST(q.q AS DOUBLE)
+                             - CAST(tsum AS DOUBLE) / 1000000.0)
+                            / (CAST(n AS DOUBLE) - CAST(k AS DOUBLE)))
+                         * 1000000.0 + 0.5) / 1000000.0 AS f_stat,
+                   floor((CAST(tsum AS DOUBLE) / 1000000.0
+                          - CAST(s * s AS DOUBLE) / CAST(n AS DOUBLE))
+                         / ((CAST(tsum AS DOUBLE) / 1000000.0
+                             - CAST(s * s AS DOUBLE) / CAST(n AS DOUBLE))
+                            + (CAST(q.q AS DOUBLE)
+                               - CAST(tsum AS DOUBLE) / 1000000.0))
+                         * 1000000.0 + 0.5) / 1000000.0 AS eta_sq
+            FROM per_type JOIN q USING (event_type)
+            WHERE k > 1 AND CAST(n AS DOUBLE) - CAST(k AS DOUBLE) > 0
+              AND CAST(q.q AS DOUBLE) - CAST(tsum AS DOUBLE) / 1000000.0 > 0
+            ORDER BY event_type
         """,
         "part_hierarchy_rollup": """
             WITH leaf AS (

@@ -4278,3 +4278,66 @@ def brand_return_shrinkage(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("p_brand")
     )
+
+
+def events_dow_anova(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-way ANOVA for a day-of-week effect on daily total value
+    per event type: F = (SSB/(k−1)) / (SSW/(n−k)) plus the effect
+    size η² = SSB/(SSB+SSW) — "is weekday seasonality real or
+    noise", the variance-decomposition complement to `events_acf`.
+
+    Engine-free day-of-week: (days-since-epoch) mod 7 — never the
+    engines' dayofweek()s, which disagree on week start. Exactness:
+    group sums/counts and ΣX² are exact integers (DECIMAL/HUGEINT);
+    the cross-GROUP sum Σ S_g²/n_g is quantized per group to a 1e-6
+    integer grid before the ≤7-row sum (the chi2-drift device);
+    everything after is fixed-order doubles."""
+    events = load_table(spark, sf_dir, "events")
+    daily = _daily_whole_units(events).select(
+        "event_type",
+        (F.datediff(F.col("day"), F.lit("1970-01-01").cast("date")) % 7).alias(
+            "dow"
+        ),
+        "x",
+    )
+    d38 = "decimal(38,0)"
+    groups = daily.groupBy("event_type", "dow").agg(
+        F.count(F.lit(1)).alias("ng"),
+        F.sum(F.col("x").cast(d38)).alias("sg"),
+    )
+    term = F.floor(
+        (F.col("sg") * F.col("sg")).cast("double") / F.col("ng").cast("double")
+        * F.lit(1e6)
+        + F.lit(0.5)
+    ).cast("long")
+    per_type = groups.select("event_type", "ng", "sg", term.alias("t")).groupBy(
+        "event_type"
+    ).agg(
+        F.count(F.lit(1)).alias("k"),
+        F.sum("ng").alias("n"),
+        F.sum("sg").alias("s"),
+        F.sum("t").alias("tsum"),
+    )
+    q = daily.groupBy("event_type").agg(
+        F.sum(F.col("x").cast(d38) * F.col("x")).alias("q")
+    )
+    j = per_type.join(q, "event_type")
+    between_raw = F.col("tsum").cast("double") / F.lit(1e6)
+    ssb = between_raw - (F.col("s") * F.col("s")).cast("double") / F.col(
+        "n"
+    ).cast("double")
+    ssw = F.col("q").cast("double") - between_raw
+    k = F.col("k").cast("double")
+    n = F.col("n").cast("double")
+    fstat = (ssb / (k - F.lit(1.0))) / (ssw / (n - k))
+    return (
+        j.where((F.col("k") > 1) & ((n - k) > 0) & (ssw > 0))
+        .select(
+            "event_type",
+            F.col("n").cast("long").alias("n_days"),
+            F.col("k").cast("long").alias("n_groups"),
+            det_round(fstat).alias("f_stat"),
+            det_round(ssb / (ssb + ssw)).alias("eta_sq"),
+        )
+        .orderBy("event_type")
+    )
