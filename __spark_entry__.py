@@ -1151,6 +1151,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_psi_drift": analytics.events_psi_drift,
         "revenue_theilsen_trend": analytics.revenue_theilsen_trend,
         "events_dow_anova": analytics.events_dow_anova,
+        "events_runs_test": analytics.events_runs_test,
         "part_hierarchy_rollup": analytics.part_hierarchy_rollup,
         "linear_attribution": analytics.linear_attribution,
         "brand_return_shrinkage": analytics.brand_return_shrinkage,
@@ -4179,6 +4180,59 @@ def oracle_sql() -> dict[str, str]:
                           / CAST(n AS DOUBLE)) * 1000000.0 + 0.5) / 1000000.0
                        AS intercept
             FROM fit
+        """,
+        "events_runs_test": """
+            WITH daily AS MATERIALIZED (
+                SELECT event_type, CAST(ts AS DATE) AS day,
+                       CAST(SUM(CAST(floor(value * 100 + 0.5) AS BIGINT))
+                            AS BIGINT) // 100 AS x
+                FROM events WHERE value IS NOT NULL
+                GROUP BY 1, 2
+            ), moves AS (
+                SELECT event_type, day, up FROM (
+                    SELECT event_type, day, x,
+                           lag(x) OVER (PARTITION BY event_type
+                                        ORDER BY day) AS prev,
+                           CASE WHEN x > lag(x) OVER (PARTITION BY event_type
+                                                      ORDER BY day)
+                                THEN 1 ELSE 0 END AS up
+                    FROM daily
+                ) WHERE prev IS NOT NULL AND x <> prev
+            ), runs AS (
+                SELECT event_type, up,
+                       CASE WHEN lag(up) OVER (PARTITION BY event_type
+                                               ORDER BY day) IS NULL
+                             OR up <> lag(up) OVER (PARTITION BY event_type
+                                                    ORDER BY day)
+                            THEN 1 ELSE 0 END AS new_run
+                FROM moves
+            ), s AS (
+                SELECT event_type,
+                       CAST(SUM(up) AS BIGINT) AS n_up,
+                       CAST(SUM(1 - up) AS BIGINT) AS n_down,
+                       CAST(SUM(new_run) AS BIGINT) AS runs
+                FROM runs GROUP BY 1
+            )
+            SELECT event_type, n_up, n_down, runs,
+                   floor((CAST(runs AS DOUBLE)
+                          - (2.0 * CAST(n_up AS DOUBLE) * CAST(n_down AS DOUBLE)
+                             / (CAST(n_up AS DOUBLE) + CAST(n_down AS DOUBLE))
+                             + 1.0))
+                         / sqrt((2.0 * CAST(n_up AS DOUBLE)
+                                 * CAST(n_down AS DOUBLE)
+                                 * (2.0 * CAST(n_up AS DOUBLE)
+                                    * CAST(n_down AS DOUBLE)
+                                    - CAST(n_up AS DOUBLE)
+                                    - CAST(n_down AS DOUBLE)))
+                                / ((CAST(n_up AS DOUBLE)
+                                    + CAST(n_down AS DOUBLE))
+                                   * (CAST(n_up AS DOUBLE)
+                                      + CAST(n_down AS DOUBLE))
+                                   * (CAST(n_up AS DOUBLE)
+                                      + CAST(n_down AS DOUBLE) - 1.0)))
+                         * 1000000.0 + 0.5) / 1000000.0 AS z
+            FROM s WHERE n_up > 0 AND n_down > 0
+            ORDER BY event_type
         """,
         "events_dow_anova": """
             WITH daily AS MATERIALIZED (

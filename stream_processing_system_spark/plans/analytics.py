@@ -4341,3 +4341,52 @@ def events_dow_anova(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+def events_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wald–Wolfowitz runs test on daily up/down moves per event
+    type: too FEW runs means trending, too MANY means oscillation —
+    the randomness check behind "is this series actually i.i.d.".
+    Moves are exact integer sign comparisons over the whole-unit
+    daily grid (zero-moves dropped); the run count is a lag-compare
+    sum; E[R] and Var[R] are the classical closed forms over exact
+    counts, leaving one fixed-order z expression. One daily
+    aggregate + one per-type day-grain window."""
+    events = load_table(spark, sf_dir, "events")
+    daily = _daily_whole_units(events)
+    w = Window.partitionBy("event_type").orderBy("day")
+    moves = (
+        daily.withColumn("_prev", F.lag("x").over(w))
+        .where(F.col("_prev").isNotNull() & (F.col("x") != F.col("_prev")))
+        .withColumn("_up", (F.col("x") > F.col("_prev")).cast("int"))
+    )
+    w2 = Window.partitionBy("event_type").orderBy("day")
+    runs = moves.withColumn(
+        "_new_run",
+        F.when(
+            F.lag("_up").over(w2).isNull()
+            | (F.col("_up") != F.lag("_up").over(w2)),
+            1,
+        ).otherwise(0),
+    )
+    stats = runs.groupBy("event_type").agg(
+        F.sum("_up").cast("long").alias("n_up"),
+        F.sum(F.lit(1) - F.col("_up")).cast("long").alias("n_down"),
+        F.sum("_new_run").cast("long").alias("runs"),
+    )
+    p, m = F.col("n_up").cast("double"), F.col("n_down").cast("double")
+    n = p + m
+    e = F.lit(2.0) * p * m / n + F.lit(1.0)
+    v = (F.lit(2.0) * p * m * (F.lit(2.0) * p * m - p - m)) / (n * n * (n - F.lit(1.0)))
+    z = (F.col("runs").cast("double") - e) / F.sqrt(v)
+    return (
+        stats.where((F.col("n_up") > 0) & (F.col("n_down") > 0))
+        .select(
+            "event_type",
+            "n_up",
+            "n_down",
+            "runs",
+            det_round(z).alias("z"),
+        )
+        .orderBy("event_type")
+    )
