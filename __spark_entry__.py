@@ -1144,6 +1144,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_token_entropy": pipeline.doc_token_entropy,
         "doc_greedy_coverage": pipeline.doc_greedy_coverage,
         "embedding_mmr_rerank": pipeline.embedding_mmr_rerank,
+        "media_audio_energy": pipeline.media_audio_energy,
         "part_association_rules": analytics.part_association_rules,
         "nation_supplier_hhi": analytics.nation_supplier_hhi,
         "user_activity_streaks": analytics.user_activity_streaks,
@@ -4180,6 +4181,39 @@ def oracle_sql() -> dict[str, str]:
                           / CAST(n AS DOUBLE)) * 1000000.0 + 0.5) / 1000000.0
                        AS intercept
             FROM fit
+        """,
+        "media_audio_energy": """
+            -- mirrors the documented stub waveform: samples =
+            -- payload bytes - 128 (ASCII corpus: code points ==
+            -- utf-8 bytes), 32-sample full frames only
+            WITH audio AS (
+                SELECT doc_id AS media_id, text FROM documents
+                WHERE doc_id % 3 = 1
+            ), chars AS (
+                SELECT media_id, i,
+                       unicode(substr(text, CAST(i + 1 AS INT), 1)) - 128 AS s,
+                       length(text) AS n
+                FROM audio, UNNEST(range(length(text))) AS u(i)
+            ), wins AS (
+                SELECT media_id, i // 32 AS w,
+                       CAST(SUM(s * s) AS BIGINT) AS e
+                FROM chars WHERE i < (n // 32) * 32
+                GROUP BY 1, 2
+            ), agg AS (
+                SELECT media_id, CAST(count(*) AS BIGINT) AS n_windows,
+                       CAST(SUM(e) AS BIGINT) AS tot,
+                       CAST(MAX(e) AS BIGINT) AS peak,
+                       CAST(SUM(CASE WHEN e < 1000 THEN 1 ELSE 0 END)
+                            AS BIGINT) AS silent
+                FROM wins GROUP BY 1
+            )
+            SELECT media_id, n_windows,
+                   floor(CAST(tot AS DOUBLE) / CAST(n_windows AS DOUBLE)
+                         * 1000000.0 + 0.5) / 1000000.0 AS mean_energy,
+                   peak AS peak_energy,
+                   floor(CAST(silent AS DOUBLE) / CAST(n_windows AS DOUBLE)
+                         * 1000000.0 + 0.5) / 1000000.0 AS silence_ratio
+            FROM agg ORDER BY media_id
         """,
         "events_runs_test": """
             WITH daily AS MATERIALIZED (

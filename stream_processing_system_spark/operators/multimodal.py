@@ -335,3 +335,69 @@ def video_frame_neardup(sigs: DataFrame, min_shared: int = 3) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("shared_frames"))
         .where(F.col("shared_frames") >= min_shared)
     )
+
+
+def audio_energy(
+    df: DataFrame, window: int = 32, silence_threshold: int = 1000
+) -> DataFrame:
+    """Windowed energy profile per AUDIO item — the silence-trim /
+    loudness-normalization precursor every speech pipeline runs:
+    fixed `window`-sample frames, per-frame energy Σ(s²) over
+    centered samples, rolled up to (n_windows, total/peak energy,
+    silent-frame count). The 'waveform' is the repo's documented
+    deterministic stub (samples = payload bytes − 128); a real
+    pipeline swaps in soundfile/librosa decode (PILLOW_DECODER_DOC's
+    audio analogue) — the Arrow batching, framing arithmetic, and
+    rollup are unchanged. Trailing partial frames are dropped
+    (len div window full frames), keeping every number an exact
+    integer in both engines."""
+
+    def _energy(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, nw, tot, peak, silent = [], [], [], [], []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                data = bytes(payload)
+                n_full = len(data) // window
+                if n_full == 0:
+                    continue
+                energies = [
+                    sum(
+                        (b - 128) * (b - 128)
+                        for b in data[wi * window : (wi + 1) * window]
+                    )
+                    for wi in range(n_full)
+                ]
+                ids.append(mid)
+                nw.append(n_full)
+                tot.append(sum(energies))
+                peak.append(max(energies))
+                silent.append(sum(1 for e in energies if e < silence_threshold))
+            yield pd.DataFrame(
+                {
+                    "media_id": pd.Series(ids, dtype="int64"),
+                    "n_windows": pd.Series(nw, dtype="int64"),
+                    "total_energy": pd.Series(tot, dtype="int64"),
+                    "peak_energy": pd.Series(peak, dtype="int64"),
+                    "n_silent": pd.Series(silent, dtype="int64"),
+                }
+            )
+
+    audio = df.where(F.col("media_type") == "audio")
+    out = audio.select("media_id", "payload").mapInPandas(
+        _energy,
+        schema="media_id long, n_windows long, total_energy long, "
+        "peak_energy long, n_silent long",
+    )
+    from stream_processing_system_spark.functions.scalar import det_round
+
+    return out.select(
+        "media_id",
+        "n_windows",
+        det_round(
+            F.col("total_energy").cast("double") / F.col("n_windows").cast("double")
+        ).alias("mean_energy"),
+        "peak_energy",
+        det_round(
+            F.col("n_silent").cast("double") / F.col("n_windows").cast("double")
+        ).alias("silence_ratio"),
+    ).orderBy("media_id")

@@ -900,6 +900,15 @@ def doc_ngram_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text_analysis.ngram_diversity(_docs(spark, sf_dir))
 
 
+def media_audio_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contract wrapper: see `multimodal.audio_energy` (windowed
+    energy profile over the stub waveform; the Arrow stage is
+    value-hash mirrored byte-for-byte in SQL like the aHash/video
+    fingerprint stages)."""
+    media = multimodal.fake_media_from_documents(spark, _docs(spark, sf_dir))
+    return multimodal.audio_energy(media)
+
+
 def embedding_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Contract wrapper: see `similarity.mmr_rerank` (diversity-aware
     MMR greedy over the cosine top-20 pool, λ=0.7, k=5)."""

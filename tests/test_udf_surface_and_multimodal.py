@@ -185,3 +185,23 @@ def test_video_neardup_finds_duplicate_payloads_only(spark):
     }
     assert (2, 5) in pairs and pairs[(2, 5)] >= 3
     assert (2, 8) not in pairs and (5, 8) not in pairs
+
+
+def test_audio_energy_known_waveform(spark):
+    """Payload-truth check: a crafted 64-byte payload whose first
+    32-sample frame is pure silence (all 128 -> energy 0) and whose
+    second frame is full-scale (all 255 -> 32*127^2)."""
+    from stream_processing_system_spark.operators.multimodal import audio_energy
+
+    payload = bytes([128] * 32 + [255] * 32)
+    df = spark.createDataFrame(
+        [(1, "audio", bytearray(payload)), (2, "image", bytearray(payload))],
+        "media_id long, media_type string, payload binary",
+    )
+    rows = audio_energy(df).collect()
+    assert len(rows) == 1 and rows[0]["media_id"] == 1  # image row filtered
+    r = rows[0]
+    assert r["n_windows"] == 2
+    assert r["peak_energy"] == 32 * 127 * 127
+    assert r["silence_ratio"] == 0.5
+    assert abs(r["mean_energy"] - (32 * 127 * 127) / 2) < 1e-6
