@@ -1145,6 +1145,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_greedy_coverage": pipeline.doc_greedy_coverage,
         "embedding_mmr_rerank": pipeline.embedding_mmr_rerank,
         "media_audio_energy": pipeline.media_audio_energy,
+        "dedup_banding_recall": pipeline.dedup_banding_recall,
         "part_association_rules": analytics.part_association_rules,
         "nation_supplier_hhi": analytics.nation_supplier_hhi,
         "user_activity_streaks": analytics.user_activity_streaks,
@@ -4181,6 +4182,70 @@ def oracle_sql() -> dict[str, str]:
                           / CAST(n AS DOUBLE)) * 1000000.0 + 0.5) / 1000000.0
                        AS intercept
             FROM fit
+        """,
+        "dedup_banding_recall": """
+            WITH t AS (
+                SELECT doc_id,
+                       list_filter(string_split(text, ' '), x -> x <> '') AS l
+                FROM documents WHERE doc_id % 10 = 0
+            ), sh AS (
+                SELECT DISTINCT doc_id,
+                       l[i] || ' ' || l[i+1] || ' ' || l[i+2] AS shingle
+                FROM t, UNNEST(range(1, len(l) - 1)) AS u(i)
+                WHERE len(l) >= 3
+            ), sizes AS (
+                SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id
+            ), common AS (
+                SELECT sa.doc_id AS id_a, sb.doc_id AS id_b,
+                       count(*) AS c
+                FROM sh sa JOIN sh sb ON sa.shingle = sb.shingle
+                                     AND sa.doc_id < sb.doc_id
+                GROUP BY 1, 2
+            ), truth AS (
+                SELECT id_a, id_b
+                FROM common
+                JOIN sizes za ON za.doc_id = id_a
+                JOIN sizes zb ON zb.doc_id = id_b
+                WHERE c * 3 >= za.n_sh + zb.n_sh
+            ), sig AS (
+                SELECT doc_id,
+                       MIN(('0x' || substr(md5('0|' || shingle),  1, 8))::BIGINT) AS h0,
+                       MIN(('0x' || substr(md5('0|' || shingle),  9, 8))::BIGINT) AS h1,
+                       MIN(('0x' || substr(md5('0|' || shingle), 17, 8))::BIGINT) AS h2,
+                       MIN(('0x' || substr(md5('0|' || shingle), 25, 8))::BIGINT) AS h3,
+                       MIN(('0x' || substr(md5('1|' || shingle),  1, 8))::BIGINT) AS h4,
+                       MIN(('0x' || substr(md5('1|' || shingle),  9, 8))::BIGINT) AS h5,
+                       MIN(('0x' || substr(md5('1|' || shingle), 17, 8))::BIGINT) AS h6,
+                       MIN(('0x' || substr(md5('1|' || shingle), 25, 8))::BIGINT) AS h7
+                FROM sh GROUP BY doc_id
+            ), bb AS (
+                SELECT doc_id, b.band,
+                       md5(CASE b.band
+                           WHEN 0 THEN h0::VARCHAR || '_' || h1::VARCHAR
+                           WHEN 1 THEN h2::VARCHAR || '_' || h3::VARCHAR
+                           WHEN 2 THEN h4::VARCHAR || '_' || h5::VARCHAR
+                           ELSE        h6::VARCHAR || '_' || h7::VARCHAR
+                       END) AS bucket
+                FROM sig, (SELECT unnest(range(4)) AS band) b
+            ), cands AS (
+                SELECT DISTINCT a.doc_id AS id_a, c.doc_id AS id_b
+                FROM bb a JOIN bb c ON a.band = c.band AND a.bucket = c.bucket
+                WHERE a.doc_id < c.doc_id
+            ), hits AS (
+                SELECT 1 FROM cands JOIN truth USING (id_a, id_b)
+            ), counts AS (
+                SELECT (SELECT count(*) FROM truth) AS n_true,
+                       (SELECT count(*) FROM cands) AS n_candidates,
+                       (SELECT count(*) FROM hits) AS n_hits
+            )
+            SELECT n_true, n_candidates, n_hits,
+                   floor(CAST(n_hits AS DOUBLE)
+                         / CAST(NULLIF(n_true, 0) AS DOUBLE)
+                         * 1000000.0 + 0.5) / 1000000.0 AS recall,
+                   floor(CAST(n_hits AS DOUBLE)
+                         / CAST(NULLIF(n_candidates, 0) AS DOUBLE)
+                         * 1000000.0 + 0.5) / 1000000.0 AS precision
+            FROM counts
         """,
         "media_audio_energy": """
             -- mirrors the documented stub waveform: samples =

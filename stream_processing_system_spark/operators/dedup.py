@@ -797,3 +797,72 @@ def dedup_canonical(
             "quality",
         )
     )
+
+
+def banding_recall_report(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    num_hashes: int = 8,
+    bands: int = 4,
+    sample_mod: int = 10,
+) -> DataFrame:
+    """Dedup-quality evaluation harness: banding RECALL and candidate
+    PRECISION of the MinHash-LSH pipeline against EXACT all-pairs
+    Jaccard ground truth (threshold 0.5) on a deterministic hash
+    sample (id % sample_mod == 0) — "measure, don't guess" for the
+    b/r banding knobs. The all-pairs ground truth is quadratic BY
+    DESIGN, so it only ever runs on the bounded sample (the
+    evaluation path, not the dedup path; sample_mod is the budget
+    knob). The J ≥ 1/2 test is the exact integer comparison
+    3·|∩| ≥ |A|+|B| — no ratio materializes.
+
+    Output (one row): n_true, n_candidates, n_hits,
+    recall = hits/true, precision = hits/candidates."""
+    sample = df.where(F.col(id_col) % sample_mod == 0)
+    ss = shingle_sets(sample, id_col, text_col, n=n).localCheckpoint(eager=True)
+    a = ss.select(F.col(id_col).alias("id_a"), F.col("shingles").alias("sa"))
+    b = ss.select(F.col(id_col).alias("id_b"), F.col("shingles").alias("sb"))
+    inter = F.size(F.array_intersect(F.col("sa"), F.col("sb")))
+    truth = (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .where(inter * 3 >= F.size("sa") + F.size("sb"))
+        .select("id_a", "id_b")
+        .localCheckpoint(eager=True)
+    )
+    sigs = minhash_signatures(
+        sample, id_col, text_col, num_hashes=num_hashes, shingle_n=n
+    )
+    cands = lsh_candidate_pairs(
+        sigs, id_col, num_hashes=num_hashes, bands=bands
+    ).localCheckpoint(eager=True)
+    hits = cands.join(truth, ["id_a", "id_b"])
+    nt = truth.agg(F.count(F.lit(1)).alias("n_true"))
+    nc = cands.agg(F.count(F.lit(1)).alias("n_candidates"))
+    nh = hits.agg(F.count(F.lit(1)).alias("n_hits"))
+    from stream_processing_system_spark.functions.scalar import det_round
+
+    return (
+        nt.crossJoin(F.broadcast(nc))
+        .crossJoin(F.broadcast(nh))
+        .select(
+            "n_true",
+            "n_candidates",
+            "n_hits",
+            F.when(
+                F.col("n_true") > 0,
+                det_round(
+                    F.col("n_hits").cast("double")
+                    / F.col("n_true").cast("double")
+                ),
+            ).alias("recall"),
+            F.when(
+                F.col("n_candidates") > 0,
+                det_round(
+                    F.col("n_hits").cast("double")
+                    / F.col("n_candidates").cast("double")
+                ),
+            ).alias("precision"),
+        )
+    )

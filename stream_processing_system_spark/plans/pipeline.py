@@ -900,6 +900,15 @@ def doc_ngram_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text_analysis.ngram_diversity(_docs(spark, sf_dir))
 
 
+def dedup_banding_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contract wrapper: see `dedup.banding_recall_report` (banding
+    recall + candidate precision vs exact all-pairs ground truth on
+    the deterministic id%10 sample)."""
+    from stream_processing_system_spark.operators import dedup
+
+    return dedup.banding_recall_report(_docs(spark, sf_dir))
+
+
 def media_audio_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Contract wrapper: see `multimodal.audio_energy` (windowed
     energy profile over the stub waveform; the Arrow stage is
