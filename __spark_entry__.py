@@ -4187,7 +4187,7 @@ def oracle_sql() -> dict[str, str]:
             WITH t AS (
                 SELECT doc_id,
                        list_filter(string_split(text, ' '), x -> x <> '') AS l
-                FROM documents WHERE doc_id % 10 = 0
+                FROM documents WHERE doc_id < 500 AND doc_id % 2 = 0
             ), sh AS (
                 SELECT DISTINCT doc_id,
                        l[i] || ' ' || l[i+1] || ' ' || l[i+2] AS shingle

@@ -137,6 +137,13 @@ HEADLINE = [
     "fulfillment_latency_monthly",
     "embedding_mmr_rerank",
     "copurchase_cheapest_path",
+    "part_hierarchy_rollup",
+    "linear_attribution",
+    "brand_return_shrinkage",
+    "events_dow_anova",
+    "events_runs_test",
+    "media_audio_energy",
+    "dedup_banding_recall",
 ]
 
 

@@ -806,21 +806,26 @@ def banding_recall_report(
     n: int = 3,
     num_hashes: int = 8,
     bands: int = 4,
-    sample_mod: int = 10,
+    sample_mod: int = 2,
+    sample_cap: int = 500,
 ) -> DataFrame:
     """Dedup-quality evaluation harness: banding RECALL and candidate
     PRECISION of the MinHash-LSH pipeline against EXACT all-pairs
-    Jaccard ground truth (threshold 0.5) on a deterministic hash
-    sample (id % sample_mod == 0) — "measure, don't guess" for the
-    b/r banding knobs. The all-pairs ground truth is quadratic BY
-    DESIGN, so it only ever runs on the bounded sample (the
-    evaluation path, not the dedup path; sample_mod is the budget
-    knob). The J ≥ 1/2 test is the exact integer comparison
+    Jaccard ground truth (threshold 0.5) on a deterministic sample
+    (id < sample_cap, id % sample_mod == 0) — "measure, don't guess"
+    for the b/r banding knobs. The all-pairs ground truth is
+    quadratic BY DESIGN, so it only ever runs on a FIXED-BUDGET
+    sample: an absolute cap, not a fraction, because a fractional
+    sample's quadratic ground truth grows with the corpus (measured
+    62 s at sf0.1 for id%2 before the cap; constant ~1 s with it).
+    The J ≥ 1/2 test is the exact integer comparison
     3·|∩| ≥ |A|+|B| — no ratio materializes.
 
     Output (one row): n_true, n_candidates, n_hits,
     recall = hits/true, precision = hits/candidates."""
-    sample = df.where(F.col(id_col) % sample_mod == 0)
+    sample = df.where(
+        (F.col(id_col) < sample_cap) & (F.col(id_col) % sample_mod == 0)
+    )
     ss = shingle_sets(sample, id_col, text_col, n=n).localCheckpoint(eager=True)
     a = ss.select(F.col(id_col).alias("id_a"), F.col("shingles").alias("sa"))
     b = ss.select(F.col(id_col).alias("id_b"), F.col("shingles").alias("sb"))

@@ -903,7 +903,7 @@ def doc_ngram_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
 def dedup_banding_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Contract wrapper: see `dedup.banding_recall_report` (banding
     recall + candidate precision vs exact all-pairs ground truth on
-    the deterministic id%10 sample)."""
+    the deterministic id%2 sample)."""
     from stream_processing_system_spark.operators import dedup
 
     return dedup.banding_recall_report(_docs(spark, sf_dir))
