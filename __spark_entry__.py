@@ -1146,6 +1146,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_mmr_rerank": pipeline.embedding_mmr_rerank,
         "media_audio_energy": pipeline.media_audio_energy,
         "dedup_banding_recall": pipeline.dedup_banding_recall,
+        "supplier_window_matrix": analytics.supplier_window_matrix,
         "part_association_rules": analytics.part_association_rules,
         "nation_supplier_hhi": analytics.nation_supplier_hhi,
         "user_activity_streaks": analytics.user_activity_streaks,
@@ -4182,6 +4183,32 @@ def oracle_sql() -> dict[str, str]:
                           / CAST(n AS DOUBLE)) * 1000000.0 + 0.5) / 1000000.0
                        AS intercept
             FROM fit
+        """,
+        "supplier_window_matrix": """
+            WITH base AS (
+                SELECT s_suppkey, s_nationkey,
+                       CAST(floor(s_acctbal * 100 + 0.5) AS BIGINT) AS bal_c
+                FROM supplier
+            )
+            SELECT s_suppkey, s_nationkey,
+                   CAST(bal_c AS DOUBLE) / 100.0 AS acctbal,
+                   CAST(row_number() OVER w AS BIGINT) AS rn,
+                   floor(percent_rank() OVER w * 1000000.0 + 0.5)
+                       / 1000000.0 AS pct_rank,
+                   floor(cume_dist() OVER w * 1000000.0 + 0.5)
+                       / 1000000.0 AS cume,
+                   CAST(nth_value(bal_c, 2) OVER wf AS DOUBLE) / 100.0
+                       AS nation_second_best,
+                   CAST(lead(bal_c, 1, 0) OVER w AS DOUBLE) / 100.0
+                       AS next_bal
+            FROM base
+            WINDOW w AS (PARTITION BY s_nationkey
+                         ORDER BY bal_c DESC, s_suppkey ASC),
+                   wf AS (PARTITION BY s_nationkey
+                          ORDER BY bal_c DESC, s_suppkey ASC
+                          ROWS BETWEEN UNBOUNDED PRECEDING
+                                   AND UNBOUNDED FOLLOWING)
+            ORDER BY s_nationkey, rn
         """,
         "dedup_banding_recall": """
             WITH t AS (

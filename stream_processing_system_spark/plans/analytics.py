@@ -4390,3 +4390,36 @@ def events_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+def supplier_window_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The rest of the window-function surface in one query —
+    percent_rank, cume_dist, nth_value, lead-with-default — ranking
+    suppliers by account balance within nation (completing §2.5's
+    row_number/rank/lag/sum-over coverage elsewhere). Total order
+    (balance cents desc, suppkey) pins every tie; percent_rank and
+    cume_dist are exact integer ratios, correctly rounded to the
+    same double in both engines."""
+    sup = load_table(spark, sf_dir, "supplier")
+    cents = F.floor(F.col("s_acctbal") * 100 + F.lit(0.5)).cast("long")
+    base = sup.select(
+        "s_suppkey", "s_nationkey", cents.alias("bal_c")
+    )
+    w = Window.partitionBy("s_nationkey").orderBy(
+        F.col("bal_c").desc(), F.col("s_suppkey").asc()
+    )
+    wf = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return base.select(
+        "s_suppkey",
+        "s_nationkey",
+        (F.col("bal_c").cast("double") / F.lit(100.0)).alias("acctbal"),
+        F.row_number().over(w).cast("long").alias("rn"),
+        det_round(F.percent_rank().over(w)).alias("pct_rank"),
+        det_round(F.cume_dist().over(w)).alias("cume"),
+        (
+            F.nth_value("bal_c", 2).over(wf).cast("double") / F.lit(100.0)
+        ).alias("nation_second_best"),
+        (
+            F.lead("bal_c", 1, 0).over(w).cast("double") / F.lit(100.0)
+        ).alias("next_bal"),
+    ).orderBy("s_nationkey", "rn")
