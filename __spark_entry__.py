@@ -1147,6 +1147,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_audio_energy": pipeline.media_audio_energy,
         "dedup_banding_recall": pipeline.dedup_banding_recall,
         "supplier_window_matrix": analytics.supplier_window_matrix,
+        "doc_pad_waste": pipeline.doc_pad_waste,
         "part_association_rules": analytics.part_association_rules,
         "nation_supplier_hhi": analytics.nation_supplier_hhi,
         "user_activity_streaks": analytics.user_activity_streaks,
@@ -4183,6 +4184,38 @@ def oracle_sql() -> dict[str, str]:
                           / CAST(n AS DOUBLE)) * 1000000.0 + 0.5) / 1000000.0
                        AS intercept
             FROM fit
+        """,
+        "doc_pad_waste": """
+            WITH lens AS (
+                SELECT doc_id,
+                       CAST(len(list_filter(string_split(text, ' '),
+                                            t -> t <> '')) AS BIGINT) AS len
+                FROM documents
+            ), naive AS (
+                SELECT len,
+                       (row_number() OVER (ORDER BY doc_id) - 1) // 8 AS b
+                FROM lens
+            ), nb AS (
+                SELECT 'naive' AS strategy, SUM(len) AS total,
+                       SUM(mx - len) AS pad, SUM(mx) AS ptot
+                FROM (SELECT len, MAX(len) OVER (PARTITION BY b) AS mx
+                      FROM naive)
+            ), bl AS (
+                SELECT len,
+                       (row_number() OVER (ORDER BY len, doc_id) - 1) // 8 AS b
+                FROM lens
+            ), bb AS (
+                SELECT 'length_bucketed' AS strategy, SUM(len) AS total,
+                       SUM(mx - len) AS pad, SUM(mx) AS ptot
+                FROM (SELECT len, MAX(len) OVER (PARTITION BY b) AS mx
+                      FROM bl)
+            )
+            SELECT strategy, CAST(total AS BIGINT) AS total_tokens,
+                   CAST(pad AS BIGINT) AS pad_tokens,
+                   floor(CAST(pad AS DOUBLE) / CAST(ptot AS DOUBLE)
+                         * 1000000.0 + 0.5) / 1000000.0 AS waste_ratio
+            FROM (SELECT * FROM nb UNION ALL SELECT * FROM bb)
+            ORDER BY strategy
         """,
         "supplier_window_matrix": """
             WITH base AS (

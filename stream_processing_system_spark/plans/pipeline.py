@@ -1174,3 +1174,52 @@ def media_video_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     media = multimodal.fake_media_from_documents(spark, _docs(spark, sf_dir))
     sigs = multimodal.frame_fingerprints(media, every_ms=1000)
     return multimodal.video_frame_neardup(sigs, min_shared=3)
+
+
+def doc_pad_waste(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Padding-waste audit for training batch assembly: batches of 8
+    docs padded to the batch max length, comparing NAIVE batching
+    (ingest/id order) against LENGTH-BUCKETED batching (sort by token
+    count first) — the measurement behind the standard "bucket by
+    length before batching" loader optimization. All integer
+    arithmetic: per-batch max via a window over the batch key
+    ((row_number−1) div 8 over the chosen order), waste =
+    Σ(batch_max − len). Output one row per strategy with the waste
+    ratio over the padded total."""
+    docs = _docs(spark, sf_dir)
+    lens = docs.select(
+        "doc_id",
+        F.size(F.filter(F.split("text", " "), lambda t: t != "")).cast("long").alias(
+            "len"
+        ),
+    )
+
+    def waste(order_cols, name: str) -> DataFrame:
+        from pyspark.sql import Window
+
+        w = Window.orderBy(*order_cols)
+        batched = lens.withColumn(
+            "_b", ((F.row_number().over(w) - 1) / 8).cast("long")
+        )
+        wb = Window.partitionBy("_b")
+        per = batched.withColumn("_mx", F.max("len").over(wb))
+        return per.agg(
+            F.lit(name).alias("strategy"),
+            F.sum("len").alias("total_tokens"),
+            F.sum(F.col("_mx") - F.col("len")).alias("pad_tokens"),
+            F.sum("_mx").alias("padded_total"),
+        )
+
+    naive = waste([F.col("doc_id").asc()], "naive")
+    bucketed = waste([F.col("len").asc(), F.col("doc_id").asc()], "length_bucketed")
+    out = naive.unionByName(bucketed)
+    from stream_processing_system_spark.functions.scalar import det_round
+
+    return out.select(
+        "strategy",
+        "total_tokens",
+        "pad_tokens",
+        det_round(
+            F.col("pad_tokens").cast("double") / F.col("padded_total").cast("double")
+        ).alias("waste_ratio"),
+    ).orderBy("strategy")
