@@ -1148,6 +1148,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_banding_recall": pipeline.dedup_banding_recall,
         "supplier_window_matrix": analytics.supplier_window_matrix,
         "doc_pad_waste": pipeline.doc_pad_waste,
+        "doc_lang_source_cramers_v": pipeline.doc_lang_source_cramers_v,
+        "cohort_ltv_curve": analytics.cohort_ltv_curve,
         "part_association_rules": analytics.part_association_rules,
         "nation_supplier_hhi": analytics.nation_supplier_hhi,
         "user_activity_streaks": analytics.user_activity_streaks,
@@ -4184,6 +4186,69 @@ def oracle_sql() -> dict[str, str]:
                           / CAST(n AS DOUBLE)) * 1000000.0 + 0.5) / 1000000.0
                        AS intercept
             FROM fit
+        """,
+        "doc_lang_source_cramers_v": """
+            WITH cells AS (
+                SELECT lang, source, CAST(count(*) AS BIGINT) AS o
+                FROM documents GROUP BY 1, 2
+            ), m AS (
+                SELECT lang, source, o,
+                       SUM(o) OVER (PARTITION BY lang) AS rl,
+                       SUM(o) OVER (PARTITION BY source) AS cs,
+                       SUM(o) OVER () AS n,
+                       (SELECT count(DISTINCT lang) FROM cells) AS r,
+                       (SELECT count(DISTINCT source) FROM cells) AS c
+                FROM cells
+            ), terms AS (
+                SELECT n, r, c,
+                       CAST(floor((CAST(o AS DOUBLE)
+                                   - CAST(rl AS DOUBLE) * CAST(cs AS DOUBLE)
+                                     / CAST(n AS DOUBLE))
+                                  * (CAST(o AS DOUBLE)
+                                     - CAST(rl AS DOUBLE) * CAST(cs AS DOUBLE)
+                                       / CAST(n AS DOUBLE))
+                                  / (CAST(rl AS DOUBLE) * CAST(cs AS DOUBLE)
+                                     / CAST(n AS DOUBLE))
+                                  * 1000000.0 + 0.5) AS BIGINT) AS t
+                FROM m
+            )
+            SELECT CAST(n AS BIGINT) AS n_docs,
+                   count(*) AS n_cells,
+                   floor(CAST(SUM(t) AS DOUBLE) / 1000000.0
+                         * 1000000.0 + 0.5) / 1000000.0 AS chi2,
+                   floor(sqrt((CAST(SUM(t) AS DOUBLE) / 1000000.0)
+                              / (CAST(n AS DOUBLE)
+                                 * (CAST(least(r, c) AS DOUBLE) - 1.0)))
+                         * 1000000.0 + 0.5) / 1000000.0 AS cramers_v
+            FROM terms GROUP BY n, r, c
+        """,
+        "cohort_ltv_curve": """
+            WITH fw AS (
+                SELECT user_id,
+                       CAST(floor(MIN(floor(epoch(ts))) / 604800) AS BIGINT)
+                           AS cohort_week
+                FROM events GROUP BY 1
+            ), p AS (
+                SELECT e.user_id,
+                       CAST(floor(floor(epoch(e.ts)) / 604800) AS BIGINT)
+                           AS week,
+                       CAST(floor(e.value * 100 + 0.5) AS BIGINT) AS cy
+                FROM events e
+                WHERE e.event_type = 'purchase' AND e.value IS NOT NULL
+            ), per_age AS (
+                SELECT fw.cohort_week,
+                       p.week - fw.cohort_week AS age_weeks,
+                       CAST(SUM(p.cy) AS BIGINT) AS c
+                FROM p JOIN fw ON p.user_id = fw.user_id
+                GROUP BY 1, 2
+            )
+            SELECT cohort_week, age_weeks,
+                   CAST(c AS DOUBLE) / 100.0 AS week_value,
+                   CAST(SUM(c) OVER (PARTITION BY cohort_week
+                            ORDER BY age_weeks
+                            ROWS UNBOUNDED PRECEDING) AS DOUBLE) / 100.0
+                       AS cum_value
+            FROM per_age ORDER BY cohort_week, age_weeks
         """,
         "doc_pad_waste": """
             WITH lens AS (

@@ -4423,3 +4423,40 @@ def supplier_window_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lead("bal_c", 1, 0).over(w).cast("double") / F.lit(100.0)
         ).alias("next_bal"),
     ).orderBy("s_nationkey", "rn")
+
+
+def cohort_ltv_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort lifetime-value curve: users bucketed by first-active
+    epoch week (the `weekly_retention` cohort key), purchase value
+    accumulated by cohort AGE in weeks, with the running cumulative —
+    the LTV-payback table next to retention's activity counts. Money
+    on the exact centi grid; the cumsum window runs per cohort over
+    AGE-grain rows (weeks × weeks bounded)."""
+    events = load_table(spark, sf_dir, "events")
+    first_week = events.groupBy("user_id").agg(
+        F.floor(F.min(F.col("ts").cast("long")) / 604800).cast("long").alias(
+            "cohort_week"
+        )
+    )
+    purchases = events.where(
+        (F.col("event_type") == "purchase") & F.col("value").isNotNull()
+    ).select(
+        "user_id",
+        F.floor(F.col("ts").cast("long") / 604800).cast("long").alias("week"),
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("cy"),
+    )
+    aged = purchases.join(first_week, "user_id").select(
+        "cohort_week", (F.col("week") - F.col("cohort_week")).alias("age_weeks"), "cy"
+    )
+    per_age = aged.groupBy("cohort_week", "age_weeks").agg(
+        F.sum("cy").alias("_c")
+    )
+    w = Window.partitionBy("cohort_week").orderBy("age_weeks").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    return per_age.select(
+        "cohort_week",
+        "age_weeks",
+        (F.col("_c").cast("double") / F.lit(100.0)).alias("week_value"),
+        (F.sum("_c").over(w).cast("double") / F.lit(100.0)).alias("cum_value"),
+    ).orderBy("cohort_week", "age_weeks")

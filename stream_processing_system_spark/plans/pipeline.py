@@ -1223,3 +1223,56 @@ def doc_pad_waste(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("pad_tokens").cast("double") / F.col("padded_total").cast("double")
         ).alias("waste_ratio"),
     ).orderBy("strategy")
+
+
+def doc_lang_source_cramers_v(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cramér's V association strength between document language and
+    source — "are sources language-skewed" as one effect-size number
+    (plus the chi² it derives from), completing the contingency
+    family next to the drift/keyness chi² queries. Margins and N are
+    exact ints via windows over the tiny (lang × source) cell table;
+    per-cell (o−e)²/e terms are quantized to the 1e-6 grid before the
+    exact integer sum (the chi2-drift device); V =
+    sqrt(chi²/(N·(min(r,c)−1)))."""
+    from pyspark.sql import Window
+
+    docs = _docs(spark, sf_dir)
+    cells = docs.groupBy("lang", "source").agg(F.count(F.lit(1)).alias("o"))
+    w_all = Window.partitionBy()
+    w_lang = Window.partitionBy("lang")
+    w_src = Window.partitionBy("source")
+    with_m = cells.select(
+        "lang",
+        "source",
+        "o",
+        F.sum("o").over(w_lang).alias("rl"),
+        F.sum("o").over(w_src).alias("cs"),
+        F.sum("o").over(w_all).alias("n"),
+        F.size(F.collect_set("lang").over(w_all)).alias("r"),
+        F.size(F.collect_set("source").over(w_all)).alias("c"),
+    )
+    e = F.col("rl").cast("double") * F.col("cs").cast("double") / F.col("n").cast(
+        "double"
+    )
+    term = F.floor(
+        (F.col("o").cast("double") - e) * (F.col("o").cast("double") - e) / e
+        * F.lit(1e6)
+        + F.lit(0.5)
+    ).cast("long")
+    agg = with_m.select(
+        term.alias("t"), "n", "r", "c"
+    ).groupBy("n", "r", "c").agg(
+        F.count(F.lit(1)).alias("n_cells"), F.sum("t").alias("ts")
+    )
+    chi2 = F.col("ts").cast("double") / F.lit(1e6)
+    denom = F.col("n").cast("double") * (
+        F.least(F.col("r"), F.col("c")).cast("double") - F.lit(1.0)
+    )
+    from stream_processing_system_spark.functions.scalar import det_round
+
+    return agg.select(
+        F.col("n").cast("long").alias("n_docs"),
+        F.col("n_cells").cast("long").alias("n_cells"),
+        det_round(chi2).alias("chi2"),
+        det_round(F.sqrt(chi2 / denom)).alias("cramers_v"),
+    )
