@@ -651,6 +651,87 @@ def _lpa_oracle_sql(rounds: int = 4) -> str:
     """
 
 
+def _banding_sweep_oracle_sql(
+    num_hashes: int = 8, bands_list: tuple[int, ...] = (2, 4, 8)
+) -> str:
+    """Per-bands re-banding of the shared signature/truth CTEs,
+    mirroring `dedup.banding_sweep_report`."""
+    shared = """t AS (
+        SELECT doc_id,
+               list_filter(string_split(text, ' '), x -> x <> '') AS l
+        FROM documents WHERE doc_id < 500 AND doc_id % 2 = 0
+    ), sh AS MATERIALIZED (
+        SELECT DISTINCT doc_id,
+               l[i] || ' ' || l[i+1] || ' ' || l[i+2] AS shingle
+        FROM t, UNNEST(range(1, len(l) - 1)) AS u(i)
+        WHERE len(l) >= 3
+    ), sizes AS (
+        SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id
+    ), common AS (
+        SELECT sa.doc_id AS id_a, sb.doc_id AS id_b, count(*) AS c
+        FROM sh sa JOIN sh sb ON sa.shingle = sb.shingle
+                             AND sa.doc_id < sb.doc_id
+        GROUP BY 1, 2
+    ), truth AS MATERIALIZED (
+        SELECT id_a, id_b FROM common
+        JOIN sizes za ON za.doc_id = id_a
+        JOIN sizes zb ON zb.doc_id = id_b
+        WHERE c * 3 >= za.n_sh + zb.n_sh
+    ), sig AS MATERIALIZED (
+        SELECT doc_id,
+               MIN(('0x' || substr(md5('0|' || shingle),  1, 8))::BIGINT) AS h0,
+               MIN(('0x' || substr(md5('0|' || shingle),  9, 8))::BIGINT) AS h1,
+               MIN(('0x' || substr(md5('0|' || shingle), 17, 8))::BIGINT) AS h2,
+               MIN(('0x' || substr(md5('0|' || shingle), 25, 8))::BIGINT) AS h3,
+               MIN(('0x' || substr(md5('1|' || shingle),  1, 8))::BIGINT) AS h4,
+               MIN(('0x' || substr(md5('1|' || shingle),  9, 8))::BIGINT) AS h5,
+               MIN(('0x' || substr(md5('1|' || shingle), 17, 8))::BIGINT) AS h6,
+               MIN(('0x' || substr(md5('1|' || shingle), 25, 8))::BIGINT) AS h7
+        FROM sh GROUP BY doc_id
+    )"""
+    parts = [shared]
+    rows = []
+    for b in bands_list:
+        r = num_hashes // b
+        cases = " ".join(
+            "WHEN {i} THEN {expr}".format(
+                i=i,
+                expr=" || '_' || ".join(
+                    f"h{i * r + j}::VARCHAR" for j in range(r)
+                ),
+            )
+            for i in range(b)
+        )
+        parts.append(f"""bb{b} AS (
+        SELECT doc_id, u.band,
+               md5(CASE u.band {cases} END) AS bucket
+        FROM sig, (SELECT unnest(range({b})) AS band) u
+    ), cands{b} AS MATERIALIZED (
+        SELECT DISTINCT a.doc_id AS id_a, c.doc_id AS id_b
+        FROM bb{b} a JOIN bb{b} c ON a.band = c.band AND a.bucket = c.bucket
+        WHERE a.doc_id < c.doc_id
+    )""")
+        rows.append(f"""SELECT {b} AS bands, {r} AS rows_per_band,
+               (SELECT count(*) FROM truth) AS n_true,
+               (SELECT count(*) FROM cands{b}) AS n_candidates,
+               (SELECT count(*) FROM cands{b} JOIN truth USING (id_a, id_b))
+                   AS n_hits""")
+    body = " UNION ALL ".join(rows)
+    return f"""
+        WITH {','.join(parts)}
+        SELECT CAST(bands AS INT) AS bands,
+               CAST(rows_per_band AS INT) AS rows_per_band,
+               n_true, n_candidates, n_hits,
+               floor(CAST(n_hits AS DOUBLE)
+                     / CAST(NULLIF(n_true, 0) AS DOUBLE)
+                     * 1000000.0 + 0.5) / 1000000.0 AS recall,
+               floor(CAST(n_hits AS DOUBLE)
+                     / CAST(NULLIF(n_candidates, 0) AS DOUBLE)
+                     * 1000000.0 + 0.5) / 1000000.0 AS precision
+        FROM ({body}) ORDER BY bands
+    """
+
+
 def _mmr_oracle_sql(k: int = 5, pool: int = 20, lam: float = 0.7) -> str:
     """Unrolled MMR greedy mirroring `similarity.mmr_rerank`: cosine
     top-`pool` candidates, 6dp pairwise sims, per-round argmax of
@@ -1146,6 +1227,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_mmr_rerank": pipeline.embedding_mmr_rerank,
         "media_audio_energy": pipeline.media_audio_energy,
         "dedup_banding_recall": pipeline.dedup_banding_recall,
+        "dedup_banding_sweep": pipeline.dedup_banding_sweep,
         "supplier_window_matrix": analytics.supplier_window_matrix,
         "doc_pad_waste": pipeline.doc_pad_waste,
         "doc_lang_source_cramers_v": pipeline.doc_lang_source_cramers_v,
@@ -4949,6 +5031,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "event_type_stationary": _stationary_oracle_sql(),
         "doc_greedy_coverage": _greedy_coverage_oracle_sql(),
+        "dedup_banding_sweep": _banding_sweep_oracle_sql(),
         "embedding_mmr_rerank": _mmr_oracle_sql(),
         "orders_benford": """
             WITH obs AS (

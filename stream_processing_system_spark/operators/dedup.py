@@ -871,3 +871,75 @@ def banding_recall_report(
             ).alias("precision"),
         )
     )
+
+
+def banding_sweep_report(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    num_hashes: int = 8,
+    bands_list: tuple[int, ...] = (2, 4, 8),
+    sample_mod: int = 2,
+    sample_cap: int = 500,
+) -> DataFrame:
+    """Banding parameter sweep: `banding_recall_report`'s ground
+    truth evaluated against EVERY (bands, rows) split of the same
+    8-hash signatures — the measured recall/precision trade-off
+    curve behind choosing b/r (more bands → higher recall, more
+    false candidates). Signatures and ground truth are computed ONCE
+    on the fixed-budget sample; each sweep point only re-bands them.
+    Output: one row per bands value."""
+    sample = df.where(
+        (F.col(id_col) < sample_cap) & (F.col(id_col) % sample_mod == 0)
+    )
+    ss = shingle_sets(sample, id_col, text_col, n=n).localCheckpoint(eager=True)
+    a = ss.select(F.col(id_col).alias("id_a"), F.col("shingles").alias("sa"))
+    b = ss.select(F.col(id_col).alias("id_b"), F.col("shingles").alias("sb"))
+    inter = F.size(F.array_intersect(F.col("sa"), F.col("sb")))
+    truth = (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .where(inter * 3 >= F.size("sa") + F.size("sb"))
+        .select("id_a", "id_b")
+        .localCheckpoint(eager=True)
+    )
+    sigs = minhash_signatures(
+        sample, id_col, text_col, num_hashes=num_hashes, shingle_n=n
+    ).localCheckpoint(eager=True)
+    nt = truth.agg(F.count(F.lit(1)).alias("n_true"))
+    from stream_processing_system_spark.functions.scalar import det_round
+
+    out = None
+    for bands in bands_list:
+        cands = lsh_candidate_pairs(sigs, id_col, num_hashes=num_hashes, bands=bands)
+        nc = cands.agg(F.count(F.lit(1)).alias("n_candidates"))
+        nh = cands.join(truth, ["id_a", "id_b"]).agg(
+            F.count(F.lit(1)).alias("n_hits")
+        )
+        row = (
+            nt.crossJoin(F.broadcast(nc))
+            .crossJoin(F.broadcast(nh))
+            .select(
+                F.lit(bands).cast("int").alias("bands"),
+                F.lit(num_hashes // bands).cast("int").alias("rows_per_band"),
+                "n_true",
+                "n_candidates",
+                "n_hits",
+                F.when(
+                    F.col("n_true") > 0,
+                    det_round(
+                        F.col("n_hits").cast("double")
+                        / F.col("n_true").cast("double")
+                    ),
+                ).alias("recall"),
+                F.when(
+                    F.col("n_candidates") > 0,
+                    det_round(
+                        F.col("n_hits").cast("double")
+                        / F.col("n_candidates").cast("double")
+                    ),
+                ).alias("precision"),
+            )
+        )
+        out = row if out is None else out.unionByName(row)
+    return out.orderBy("bands")

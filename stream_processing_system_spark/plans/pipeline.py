@@ -909,6 +909,15 @@ def dedup_banding_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.banding_recall_report(_docs(spark, sf_dir))
 
 
+def dedup_banding_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contract wrapper: see `dedup.banding_sweep_report`
+    (recall/precision across bands ∈ {2,4,8} of the same 8-hash
+    signatures on the fixed-budget sample)."""
+    from stream_processing_system_spark.operators import dedup
+
+    return dedup.banding_sweep_report(_docs(spark, sf_dir))
+
+
 def media_audio_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Contract wrapper: see `multimodal.audio_energy` (windowed
     energy profile over the stub waveform; the Arrow stage is
