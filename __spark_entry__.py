@@ -1232,6 +1232,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_pad_waste": pipeline.doc_pad_waste,
         "doc_lang_source_cramers_v": pipeline.doc_lang_source_cramers_v,
         "cohort_ltv_curve": analytics.cohort_ltv_curve,
+        "events_type_jsd": analytics.events_type_jsd,
+        "user_bot_scores": analytics.user_bot_scores,
         "part_association_rules": analytics.part_association_rules,
         "nation_supplier_hhi": analytics.nation_supplier_hhi,
         "user_activity_streaks": analytics.user_activity_streaks,
@@ -4268,6 +4270,77 @@ def oracle_sql() -> dict[str, str]:
                           / CAST(n AS DOUBLE)) * 1000000.0 + 0.5) / 1000000.0
                        AS intercept
             FROM fit
+        """,
+        "events_type_jsd": """
+            WITH cells AS (
+                SELECT event_type,
+                       CAST(SUM(CASE WHEN ts >= TIMESTAMP '2024-01-16'
+                                     THEN 0 ELSE 1 END) AS BIGINT) AS c1,
+                       CAST(SUM(CASE WHEN ts >= TIMESTAMP '2024-01-16'
+                                     THEN 1 ELSE 0 END) AS BIGINT) AS c2
+                FROM events GROUP BY 1
+            ), m AS (
+                SELECT event_type, c1, c2,
+                       SUM(c1) OVER () AS n1, SUM(c2) OVER () AS n2
+                FROM cells
+            ), terms AS (
+                SELECT CAST(floor(
+                    ((CASE WHEN c1 > 0 THEN
+                        (CAST(c1 AS DOUBLE) / CAST(n1 AS DOUBLE))
+                        * log2((CAST(c1 AS DOUBLE) / CAST(n1 AS DOUBLE))
+                               / ((CAST(c1 AS DOUBLE) / CAST(n1 AS DOUBLE)
+                                   + CAST(c2 AS DOUBLE) / CAST(n2 AS DOUBLE))
+                                  / 2.0))
+                      ELSE 0.0 END)
+                     + (CASE WHEN c2 > 0 THEN
+                        (CAST(c2 AS DOUBLE) / CAST(n2 AS DOUBLE))
+                        * log2((CAST(c2 AS DOUBLE) / CAST(n2 AS DOUBLE))
+                               / ((CAST(c1 AS DOUBLE) / CAST(n1 AS DOUBLE)
+                                   + CAST(c2 AS DOUBLE) / CAST(n2 AS DOUBLE))
+                                  / 2.0))
+                      ELSE 0.0 END)) / 2.0
+                    * 1000000000.0 + 0.5) AS BIGINT) AS t
+                FROM m
+            )
+            SELECT count(*) AS n_types,
+                   floor(CAST(SUM(t) AS DOUBLE) / 1000000000.0
+                         * 1000000.0 + 0.5) / 1000000.0 AS jsd_bits
+            FROM terms
+        """,
+        "user_bot_scores": """
+            WITH pu AS (
+                SELECT user_id, CAST(count(*) AS BIGINT) AS n,
+                       CAST(SUM(CASE WHEN EXTRACT(hour FROM ts) <= 5
+                                     THEN 1 ELSE 0 END) AS BIGINT) AS night
+                FROM events GROUP BY 1
+            ), pt AS (
+                SELECT user_id, CAST(MAX(c) AS BIGINT) AS max_type FROM (
+                    SELECT user_id, event_type, count(*) AS c
+                    FROM events GROUP BY 1, 2
+                ) GROUP BY 1
+            ), j AS (
+                SELECT pu.user_id, pu.n, pu.night, pt.max_type,
+                       MAX(pu.n) OVER () AS nmax
+                FROM pu JOIN pt ON pu.user_id = pt.user_id
+            )
+            SELECT user_id, n AS n_events,
+                   floor(CAST(n AS DOUBLE) / CAST(nmax AS DOUBLE)
+                         * 1000000.0 + 0.5) / 1000000.0 AS volume_ratio,
+                   floor(CAST(night AS DOUBLE) / CAST(n AS DOUBLE)
+                         * 1000000.0 + 0.5) / 1000000.0 AS night_share,
+                   floor(CAST(max_type AS DOUBLE) / CAST(n AS DOUBLE)
+                         * 1000000.0 + 0.5) / 1000000.0 AS type_concentration,
+                   floor((0.4 * (CAST(n AS DOUBLE) / CAST(nmax AS DOUBLE))
+                          + 0.3 * (CAST(night AS DOUBLE) / CAST(n AS DOUBLE))
+                          + 0.3 * (CAST(max_type AS DOUBLE)
+                                   / CAST(n AS DOUBLE)))
+                         * 1000000.0 + 0.5) / 1000000.0 AS bot_score
+            FROM j
+            ORDER BY (0.4 * (CAST(n AS DOUBLE) / CAST(nmax AS DOUBLE))
+                      + 0.3 * (CAST(night AS DOUBLE) / CAST(n AS DOUBLE))
+                      + 0.3 * (CAST(max_type AS DOUBLE) / CAST(n AS DOUBLE)))
+                     DESC, user_id ASC
+            LIMIT 25
         """,
         "doc_lang_source_cramers_v": """
             WITH cells AS (

@@ -4460,3 +4460,92 @@ def cohort_ltv_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("_c").cast("double") / F.lit(100.0)).alias("week_value"),
         (F.sum("_c").over(w).cast("double") / F.lit(100.0)).alias("cum_value"),
     ).orderBy("cohort_week", "age_weeks")
+
+
+def events_type_jsd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jensen–Shannon divergence between the event-TYPE mix of the
+    first and second half of the time range — the bounded, symmetric
+    drift score for categorical mixes (complementing `events_psi_drift`
+    on the value distribution and `events_drift_chi2` on counts).
+    JSD = ½KL(p‖m) + ½KL(q‖m), m = ½(p+q), in bits. Per-type KL
+    terms are quantized to a 1e-9 integer grid before the cross-type
+    sum (the chi2/PSI device); types absent from a half contribute
+    only through the present side (0·log0 = 0). One scan aggregate
+    onto the type domain."""
+    events = load_table(spark, sf_dir, "events")
+    half = (F.col("ts") >= F.lit("2024-01-16")).cast("int")
+    cells = events.groupBy("event_type").agg(
+        F.sum(F.lit(1) - half).alias("c1"),
+        F.sum(half).alias("c2"),
+    )
+    w = Window.partitionBy()
+    m = cells.select(
+        "event_type",
+        "c1",
+        "c2",
+        F.sum("c1").over(w).alias("n1"),
+        F.sum("c2").over(w).alias("n2"),
+    )
+    p = F.col("c1").cast("double") / F.col("n1").cast("double")
+    q = F.col("c2").cast("double") / F.col("n2").cast("double")
+    mid = (p + q) / F.lit(2.0)
+    kl_p = F.when(F.col("c1") > 0, p * F.log2(p / mid)).otherwise(F.lit(0.0))
+    kl_q = F.when(F.col("c2") > 0, q * F.log2(q / mid)).otherwise(F.lit(0.0))
+    term = F.floor(
+        (kl_p + kl_q) / F.lit(2.0) * F.lit(1e9) + F.lit(0.5)
+    ).cast("long")
+    return (
+        m.select(term.alias("t"))
+        .agg(
+            F.count(F.lit(1)).alias("n_types"),
+            det_round(F.sum("t").cast("double") / F.lit(1e9)).alias("jsd_bits"),
+        )
+    )
+
+
+def user_bot_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite bot-likelihood report per user — operator
+    COMPOSITION over the behavioral surface: volume (share of all
+    events), night share (hour-of-day 0–5), and event-type
+    concentration (max type share), combined as a fixed-weight score
+    0.4·volume_z + 0.3·night + 0.3·concentration where volume_z is
+    the user's share normalized by the max share. Every ingredient
+    is an exact integer ratio; the score is one fixed-order
+    expression; top 25 by (score desc, user_id)."""
+    events = load_table(spark, sf_dir, "events")
+    per_user = events.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.when(F.hour("ts") <= 5, 1).otherwise(0)).alias("night"),
+    )
+    per_type = (
+        events.groupBy("user_id", "event_type")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("user_id")
+        .agg(F.max("c").alias("max_type"))
+    )
+    w = Window.partitionBy()
+    j = per_user.join(per_type, "user_id").select(
+        "user_id",
+        "n",
+        "night",
+        "max_type",
+        F.max("n").over(w).alias("nmax"),
+    )
+    vol = F.col("n").cast("double") / F.col("nmax").cast("double")
+    night = F.col("night").cast("double") / F.col("n").cast("double")
+    conc = F.col("max_type").cast("double") / F.col("n").cast("double")
+    score = F.lit(0.4) * vol + F.lit(0.3) * night + F.lit(0.3) * conc
+    return (
+        j.select(
+            "user_id",
+            F.col("n").cast("long").alias("n_events"),
+            det_round(vol).alias("volume_ratio"),
+            det_round(night).alias("night_share"),
+            det_round(conc).alias("type_concentration"),
+            det_round(score).alias("bot_score"),
+            score.alias("_s"),
+        )
+        .orderBy(F.col("_s").desc(), F.col("user_id").asc())
+        .limit(25)
+        .drop("_s")
+    )
