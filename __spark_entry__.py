@@ -1234,6 +1234,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cohort_ltv_curve": analytics.cohort_ltv_curve,
         "events_type_jsd": analytics.events_type_jsd,
         "user_bot_scores": analytics.user_bot_scores,
+        "value_percentiles_disc": analytics.value_percentiles_disc,
         "part_association_rules": analytics.part_association_rules,
         "nation_supplier_hhi": analytics.nation_supplier_hhi,
         "user_activity_streaks": analytics.user_activity_streaks,
@@ -4270,6 +4271,31 @@ def oracle_sql() -> dict[str, str]:
                           / CAST(n AS DOUBLE)) * 1000000.0 + 0.5) / 1000000.0
                        AS intercept
             FROM fit
+        """,
+        "value_percentiles_disc": """
+            WITH hist AS (
+                SELECT event_type,
+                       CAST(floor(value * 100 + 0.5) AS BIGINT) AS cy,
+                       CAST(count(*) AS BIGINT) AS c
+                FROM events WHERE value IS NOT NULL
+                GROUP BY 1, 2
+            ), cum AS (
+                SELECT event_type, cy,
+                       SUM(c) OVER (PARTITION BY event_type ORDER BY cy
+                                    ROWS UNBOUNDED PRECEDING) AS cum,
+                       SUM(c) OVER (PARTITION BY event_type) AS n
+                FROM hist
+            )
+            SELECT event_type,
+                   CAST(MAX(n) AS BIGINT) AS n_values,
+                   CAST(MIN(CASE WHEN cum * 100 >= n * 10 THEN cy END)
+                        AS DOUBLE) / 100.0 AS p10,
+                   CAST(MIN(CASE WHEN cum * 100 >= n * 50 THEN cy END)
+                        AS DOUBLE) / 100.0 AS p50,
+                   CAST(MIN(CASE WHEN cum * 100 >= n * 90 THEN cy END)
+                        AS DOUBLE) / 100.0 AS p90
+            FROM cum GROUP BY event_type
+            ORDER BY event_type
         """,
         "events_type_jsd": """
             WITH cells AS (

@@ -4549,3 +4549,56 @@ def user_bot_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(25)
         .drop("_s")
     )
+
+
+def value_percentiles_disc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact DISCRETE percentiles (percentile_disc p10/p50/p90) per
+    event type via the grid-histogram + cumulative-count plan — the
+    scale path for exact percentiles: `value_percentiles`' exact
+    `percentile()` sorts every group's raw values, while this
+    aggregates once onto the bounded centi-grid domain and takes the
+    smallest grid value whose cumulative count reaches ⌈q·n⌉ (the
+    100·cum ≥ q·n comparison stays in exact BIGINTs). The per-type
+    window runs over the histogram grain (bounded by the value
+    domain), never over raw events."""
+    events = load_table(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    hist = events.groupBy(
+        "event_type",
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("cy"),
+    ).agg(F.count(F.lit(1)).alias("c"))
+    w = Window.partitionBy("event_type").orderBy("cy").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    wt = Window.partitionBy("event_type")
+    cum = hist.select(
+        "event_type",
+        "cy",
+        F.sum("c").over(w).alias("cum"),
+        F.sum("c").over(wt).alias("n"),
+    )
+
+    def pick(q: int, name: str):
+        return (
+            F.min(
+                F.when(F.col("cum") * 100 >= F.col("n") * q, F.col("cy"))
+            ).cast("double")
+            / F.lit(100.0)
+        ).alias(name)
+
+    return (
+        cum.groupBy("event_type")
+        .agg(
+            F.max("n").alias("_n"),
+            pick(10, "p10"),
+            pick(50, "p50"),
+            pick(90, "p90"),
+        )
+        .select(
+            "event_type",
+            F.col("_n").cast("long").alias("n_values"),
+            "p10",
+            "p50",
+            "p90",
+        )
+        .orderBy("event_type")
+    )
