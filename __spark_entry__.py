@@ -4312,15 +4312,15 @@ def oracle_sql() -> dict[str, str]:
             ), terms AS (
                 SELECT CAST(floor(
                     ((CASE WHEN c1 > 0 THEN
-                        (CAST(c1 AS DOUBLE) / CAST(n1 AS DOUBLE))
-                        * log2((CAST(c1 AS DOUBLE) / CAST(n1 AS DOUBLE))
+                        (CASE WHEN n1 > 0 THEN CAST(c1 AS DOUBLE) / CAST(n1 AS DOUBLE) ELSE 0.0 END)
+                        * log2((CASE WHEN n1 > 0 THEN CAST(c1 AS DOUBLE) / CAST(n1 AS DOUBLE) ELSE 0.0 END)
                                / ((CAST(c1 AS DOUBLE) / CAST(n1 AS DOUBLE)
                                    + CAST(c2 AS DOUBLE) / CAST(n2 AS DOUBLE))
                                   / 2.0))
                       ELSE 0.0 END)
                      + (CASE WHEN c2 > 0 THEN
-                        (CAST(c2 AS DOUBLE) / CAST(n2 AS DOUBLE))
-                        * log2((CAST(c2 AS DOUBLE) / CAST(n2 AS DOUBLE))
+                        (CASE WHEN n2 > 0 THEN CAST(c2 AS DOUBLE) / CAST(n2 AS DOUBLE) ELSE 0.0 END)
+                        * log2((CASE WHEN n2 > 0 THEN CAST(c2 AS DOUBLE) / CAST(n2 AS DOUBLE) ELSE 0.0 END)
                                / ((CAST(c1 AS DOUBLE) / CAST(n1 AS DOUBLE)
                                    + CAST(c2 AS DOUBLE) / CAST(n2 AS DOUBLE))
                                   / 2.0))

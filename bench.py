@@ -144,6 +144,14 @@ HEADLINE = [
     "events_runs_test",
     "media_audio_energy",
     "dedup_banding_recall",
+    "dedup_banding_sweep",
+    "supplier_window_matrix",
+    "doc_pad_waste",
+    "doc_lang_source_cramers_v",
+    "cohort_ltv_curve",
+    "events_type_jsd",
+    "user_bot_scores",
+    "value_percentiles_disc",
 ]
 
 

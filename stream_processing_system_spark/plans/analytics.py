@@ -4486,8 +4486,15 @@ def events_type_jsd(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("c1").over(w).alias("n1"),
         F.sum("c2").over(w).alias("n2"),
     )
-    p = F.col("c1").cast("double") / F.col("n1").cast("double")
-    q = F.col("c2").cast("double") / F.col("n2").cast("double")
+    # guard the shares at the source: an all-in-one-half corpus makes
+    # the OTHER half's n zero, and mid references BOTH shares, so a
+    # when() around the KL term alone still divides by zero under ANSI
+    p = F.when(
+        F.col("n1") > 0, F.col("c1").cast("double") / F.col("n1").cast("double")
+    ).otherwise(F.lit(0.0))
+    q = F.when(
+        F.col("n2") > 0, F.col("c2").cast("double") / F.col("n2").cast("double")
+    ).otherwise(F.lit(0.0))
     mid = (p + q) / F.lit(2.0)
     kl_p = F.when(F.col("c1") > 0, p * F.log2(p / mid)).otherwise(F.lit(0.0))
     kl_q = F.when(F.col("c2") > 0, q * F.log2(q / mid)).otherwise(F.lit(0.0))

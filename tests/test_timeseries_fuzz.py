@@ -349,3 +349,93 @@ def test_seasonal_wape_matches_python(spark, tmp_path_factory, evs):
     for t, (n, w) in want.items():
         assert got[t][0] == n
         assert abs(got[t][1] - w) < 1e-9
+
+
+def _frame_jan(spark, tmp_events):
+    """Like _frame but anchored at 2024-01-01 so day offsets 0..30
+    straddle the drift queries' 2024-01-16 half cutoff."""
+    base = datetime.datetime(2024, 1, 1)
+    rows = [
+        (i, base + datetime.timedelta(days=d, hours=i % 24), 1, t, v, "{}")
+        for i, (d, v, t) in enumerate(tmp_events)
+    ]
+    return spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, value double, props string",
+    )
+
+
+drift_events = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=30),
+        st.floats(min_value=-900, max_value=900, allow_nan=False),
+        st.sampled_from(["a", "b"]),
+    ),
+    min_size=2,
+    max_size=50,
+)
+
+
+@given(evs=drift_events)
+@SET
+def test_psi_matches_python(spark, tmp_path_factory, evs):
+    from stream_processing_system_spark.plans.analytics import events_psi_drift
+
+    tmp = tmp_path_factory.mktemp("psi")
+    sf = _write(spark, _frame_jan(spark, evs), tmp)
+    got = {
+        r["event_type"]: (r["n_bands"], r["psi"])
+        for r in events_psi_drift(spark, sf).collect()
+    }
+    # python ref: band = floor(v/200); halves split at day offset 15
+    want = {}
+    for t in {t for _, _, t in evs}:
+        cells: dict[int, list] = {}
+        for d, v, tt in evs:
+            if tt != t:
+                continue
+            b = math.floor(v / 200)
+            cells.setdefault(b, [0, 0])[1 if d >= 15 else 0] += 1
+        kept = {b: c for b, c in cells.items() if c[0] > 0 and c[1] > 0}
+        if not kept:
+            continue
+        n1 = sum(c[0] for c in kept.values())
+        n2 = sum(c[1] for c in kept.values())
+        tsum = 0
+        for c in kept.values():
+            p, q = c[0] / n1, c[1] / n2
+            tsum += math.floor((q - p) * math.log(q / p) * 1e9 + 0.5)
+        want[t] = (len(kept), math.floor(tsum / 1e9 * 1e6 + 0.5) / 1e6)
+    assert set(got) == set(want)
+    for t, (nb, psi) in want.items():
+        assert got[t][0] == nb
+        assert abs(got[t][1] - psi) < 1e-9
+
+
+@given(evs=drift_events)
+@SET
+def test_jsd_matches_python(spark, tmp_path_factory, evs):
+    from stream_processing_system_spark.plans.analytics import events_type_jsd
+
+    tmp = tmp_path_factory.mktemp("jsd")
+    sf = _write(spark, _frame_jan(spark, evs), tmp)
+    (row,) = events_type_jsd(spark, sf).collect()
+    cells: dict[str, list] = {}
+    for d, v, t in evs:
+        cells.setdefault(t, [0, 0])[1 if d >= 15 else 0] += 1
+    n1 = sum(c[0] for c in cells.values())
+    n2 = sum(c[1] for c in cells.values())
+    tsum = 0
+    for c in cells.values():
+        p = c[0] / n1 if n1 else 0.0
+        q = c[1] / n2 if n2 else 0.0
+        m = (p + q) / 2.0
+        kl = 0.0
+        if c[0] > 0:
+            kl += p * math.log2(p / m)
+        if c[1] > 0:
+            kl += q * math.log2(q / m)
+        tsum += math.floor(kl / 2.0 * 1e9 + 0.5)
+    want = math.floor(tsum / 1e9 * 1e6 + 0.5) / 1e6
+    assert row["n_types"] == len(cells)
+    assert abs(row["jsd_bits"] - want) < 1e-9
