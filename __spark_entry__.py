@@ -1235,6 +1235,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_type_jsd": analytics.events_type_jsd,
         "user_bot_scores": analytics.user_bot_scores,
         "value_percentiles_disc": analytics.value_percentiles_disc,
+        "jsonl_corrupt_scan": pipeline.jsonl_corrupt_scan,
         "part_association_rules": analytics.part_association_rules,
         "nation_supplier_hhi": analytics.nation_supplier_hhi,
         "user_activity_streaks": analytics.user_activity_streaks,
@@ -4271,6 +4272,21 @@ def oracle_sql() -> dict[str, str]:
                           / CAST(n AS DOUBLE)) * 1000000.0 + 0.5) / 1000000.0
                        AS intercept
             FROM fit
+        """,
+        "jsonl_corrupt_scan": """
+            -- first-principles mirror of the corrupt-drop generation
+            -- rule (every 7th record truncated): the Spark side must
+            -- have parsed every well-formed line and failed every
+            -- maimed one for these to match
+            SELECT CAST(SUM(CASE WHEN event_id % 7 <> 0 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_valid,
+                   CAST(SUM(CASE WHEN event_id % 7 = 0 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_corrupt,
+                   CAST(SUM(CASE WHEN event_id % 7 <> 0
+                            THEN CAST(floor(value * 10000 + 0.5) AS BIGINT)
+                            ELSE 0 END) AS DOUBLE) / 10000.0
+                       AS valid_value_sum
+            FROM events WHERE value IS NOT NULL
         """,
         "value_percentiles_disc": """
             WITH hist AS (

@@ -1285,3 +1285,64 @@ def doc_lang_source_cramers_v(spark: SparkSession, sf_dir: str) -> DataFrame:
         det_round(chi2).alias("chi2"),
         det_round(F.sqrt(chi2 / denom)).alias("cramers_v"),
     )
+
+
+_CORRUPT_CACHE: dict[str, str] = {}
+
+
+def jsonl_corrupt_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Malformed-input accounting — the S? surface the reference
+    handles by silently skipping bad rows (F4's malformed-row drop),
+    done the lakehouse way: a JSONL drop where every 7th record is
+    DETERMINISTICALLY truncated mid-object, read back with an
+    explicit schema in PERMISSIVE mode and a _corrupt_record column,
+    then audited (valid count, corrupt count, exact value sum over
+    the valid rows). The oracle recomputes all three from the
+    parquet source and the same id%7 rule, so the hash-match proves
+    the parser kept every well-formed row, dropped every truncated
+    one, and round-tripped the doubles exactly."""
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    path = _CORRUPT_CACHE.get(sf_dir)
+    if path is None:
+        tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+        path = os.path.join(tempfile.gettempdir(), f"spark_graft_corrupt_{tag}")
+        shutil.rmtree(path, ignore_errors=True)
+        events = load_table(spark, sf_dir, "events").where(
+            F.col("value").isNotNull()
+        )
+        line = F.to_json(F.struct("event_id", "user_id", "value"))
+        maimed = F.when(
+            F.col("event_id") % 7 == 0,
+            F.substring(line, 1, F.length(line) - 2),
+        ).otherwise(line)
+        events.select(maimed.alias("value")).write.mode("overwrite").text(path)
+        _CORRUPT_CACHE[sf_dir] = path
+    parsed = (
+        spark.read.schema(
+            "event_id long, user_id long, value double, _corrupt string"
+        )
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt")
+        .json(path)
+    )
+    return parsed.agg(
+        F.sum(F.when(F.col("_corrupt").isNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_valid"),
+        F.sum(F.when(F.col("_corrupt").isNotNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_corrupt"),
+        (
+            F.sum(
+                F.when(
+                    F.col("_corrupt").isNull(),
+                    F.floor(F.col("value") * 10000 + F.lit(0.5)).cast("long"),
+                ).otherwise(F.lit(0))
+            ).cast("double")
+            / F.lit(10000.0)
+        ).alias("valid_value_sum"),
+    )
