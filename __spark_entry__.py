@@ -1236,6 +1236,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "user_bot_scores": analytics.user_bot_scores,
         "value_percentiles_disc": analytics.value_percentiles_disc,
         "jsonl_corrupt_scan": pipeline.jsonl_corrupt_scan,
+        "orderkey_gap_audit": analytics.orderkey_gap_audit,
+        "robust_mean_median_of_means": analytics.robust_mean_median_of_means,
         "part_association_rules": analytics.part_association_rules,
         "nation_supplier_hhi": analytics.nation_supplier_hhi,
         "user_activity_streaks": analytics.user_activity_streaks,
@@ -4272,6 +4274,50 @@ def oracle_sql() -> dict[str, str]:
                           / CAST(n AS DOUBLE)) * 1000000.0 + 0.5) / 1000000.0
                        AS intercept
             FROM fit
+        """,
+        "orderkey_gap_audit": """
+            WITH k AS (SELECT DISTINCT o_orderkey FROM orders),
+            g AS (
+                SELECT o_orderkey,
+                       o_orderkey - lag(o_orderkey)
+                           OVER (ORDER BY o_orderkey) AS d
+                FROM k
+            )
+            SELECT CAST(count(*) + 1 AS BIGINT) AS n_keys,
+                   CAST(SUM(CASE WHEN d > 1 THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_gaps,
+                   CAST(SUM(d - 1) AS BIGINT) AS n_missing_ids,
+                   CAST(MAX(d) - 1 AS BIGINT) AS largest_gap
+            FROM g WHERE d IS NOT NULL
+        """,
+        "robust_mean_median_of_means": """
+            WITH e AS (
+                SELECT event_type,
+                       ('0x' || substr(md5(user_id::VARCHAR), 1, 8))::BIGINT
+                           % 16 AS b,
+                       CAST(floor(value * 100 + 0.5) AS BIGINT) AS cy
+                FROM events WHERE value IS NOT NULL
+            ), pb AS (
+                SELECT event_type, b,
+                       CAST(SUM(cy) AS DOUBLE) / 100.0
+                           / CAST(count(*) AS DOUBLE) AS m
+                FROM e GROUP BY 1, 2
+            ), mom AS (
+                SELECT event_type, CAST(count(*) AS BIGINT) AS n_buckets,
+                       median(m) AS mm
+                FROM pb GROUP BY 1
+            ), tot AS (
+                SELECT event_type,
+                       CAST(SUM(cy) AS DOUBLE) / 100.0
+                           / CAST(count(*) AS DOUBLE) AS pm
+                FROM e GROUP BY 1
+            )
+            SELECT mom.event_type, n_buckets,
+                   floor(mm * 1000000.0 + 0.5) / 1000000.0
+                       AS median_of_means,
+                   floor(pm * 1000000.0 + 0.5) / 1000000.0 AS plain_mean
+            FROM mom JOIN tot ON mom.event_type = tot.event_type
+            ORDER BY mom.event_type
         """,
         "jsonl_corrupt_scan": """
             -- first-principles mirror of the corrupt-drop generation

@@ -4609,3 +4609,72 @@ def value_percentiles_disc(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+def orderkey_gap_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence-continuity audit on o_orderkey: missing-id gaps
+    (invoice-numbering holes — the classic completeness check on any
+    assigned-sequence column). One LAG window over the KEY-grain
+    frame yields gap count, missing-id total, and the largest hole;
+    all exact integers."""
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey").distinct()
+    w = Window.orderBy("o_orderkey")
+    gaps = orders.select(
+        "o_orderkey",
+        (F.col("o_orderkey") - F.lag("o_orderkey").over(w)).alias("_d"),
+    ).where(F.col("_d").isNotNull())
+    return gaps.agg(
+        (F.count(F.lit(1)) + 1).alias("n_keys"),
+        F.sum(F.when(F.col("_d") > 1, 1).otherwise(0)).cast("long").alias("n_gaps"),
+        F.sum(F.col("_d") - 1).cast("long").alias("n_missing_ids"),
+        (F.max("_d") - 1).cast("long").alias("largest_gap"),
+    )
+
+
+def robust_mean_median_of_means(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median-of-means robust mean of event value per type: users are
+    hashed into 16 buckets (md5-based, ingest-stable), each bucket's
+    mean comes from exact centi sums, and the estimate is the exact-
+    rank MEDIAN of the 16 bucket means — the heavy-tail-tolerant mean
+    estimator used when a single whale user can drag the plain mean
+    (reported alongside for contrast). Shape: one data-sized
+    aggregate to (type × 16) grain, then a 16-row median per type."""
+    events = load_table(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    bucket = F.pmod(
+        F.conv(F.substring(F.md5(F.col("user_id").cast("string")), 1, 8), 16, 10)
+        .cast("long"),
+        F.lit(16),
+    )
+    cy = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+    per_bucket = (
+        events.select("event_type", bucket.alias("b"), cy.alias("cy"))
+        .groupBy("event_type", "b")
+        .agg(
+            (
+                F.sum("cy").cast("double") / F.lit(100.0)
+                / F.count(F.lit(1)).cast("double")
+            ).alias("m")
+        )
+    )
+    totals = events.select(
+        "event_type", cy.alias("cy")
+    ).groupBy("event_type").agg(
+        (
+            F.sum("cy").cast("double") / F.lit(100.0)
+            / F.count(F.lit(1)).cast("double")
+        ).alias("_plain")
+    )
+    mom = per_bucket.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_buckets"),
+        F.median("m").alias("_mom"),
+    )
+    return (
+        mom.join(totals, "event_type")
+        .select(
+            "event_type",
+            F.col("n_buckets").cast("long").alias("n_buckets"),
+            det_round(F.col("_mom")).alias("median_of_means"),
+            det_round(F.col("_plain")).alias("plain_mean"),
+        )
+        .orderBy("event_type")
+    )
