@@ -1236,6 +1236,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "user_bot_scores": analytics.user_bot_scores,
         "value_percentiles_disc": analytics.value_percentiles_disc,
         "jsonl_corrupt_scan": pipeline.jsonl_corrupt_scan,
+        "orders_nested_rollup": analytics.orders_nested_rollup,
         "orderkey_gap_audit": analytics.orderkey_gap_audit,
         "robust_mean_median_of_means": analytics.robust_mean_median_of_means,
         "part_association_rules": analytics.part_association_rules,
@@ -4274,6 +4275,26 @@ def oracle_sql() -> dict[str, str]:
                           / CAST(n AS DOUBLE)) * 1000000.0 + 0.5) / 1000000.0
                        AS intercept
             FROM fit
+        """,
+        "orders_nested_rollup": """
+            -- FIRST-PRINCIPLES oracle (flat aggregation): a match
+            -- proves the Spark side's nested collect/fold/filter path
+            -- computed exactly what the relational form defines
+            WITH per AS (
+                SELECT l_orderkey, CAST(count(*) AS BIGINT) AS n_items,
+                       CAST(SUM(CAST(floor(l_extendedprice * (1 - l_discount)
+                                           * 10000 + 0.5) AS BIGINT))
+                            AS BIGINT) AS rev_u,
+                       CAST(SUM(CASE WHEN l_returnflag = 'R'
+                                     THEN 1 ELSE 0 END) AS BIGINT) AS n_ret
+                FROM lineitem GROUP BY 1
+            )
+            SELECT o_orderpriority, count(*) AS n_orders,
+                   CAST(SUM(n_items) AS BIGINT) AS n_items,
+                   CAST(SUM(rev_u) AS DOUBLE) / 10000.0 AS revenue,
+                   CAST(SUM(n_ret) AS BIGINT) AS n_returned
+            FROM per JOIN orders ON l_orderkey = o_orderkey
+            GROUP BY 1 ORDER BY 1
         """,
         "orderkey_gap_audit": """
             WITH k AS (SELECT DISTINCT o_orderkey FROM orders),

@@ -4678,3 +4678,58 @@ def robust_mean_median_of_means(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+def orders_nested_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nested (document-style) data model: lineitems COLLECTED into a
+    per-order array of structs — the denormalized layout lakehouse
+    tables use to kill the join — then analyzed IN PLACE with
+    higher-order functions (fold for revenue, filter+size for the
+    returns count) without re-exploding. Per-priority rollup of
+    per-order nested aggregates.
+
+    Determinism: the nested array is sorted by l_linenumber
+    (collect_list order is partition luck; sort_array pins it), the
+    fold runs in array order on exact cent-grid integers, and the
+    rollup sums BIGINTs. DuckDB mirrors with list(... ORDER BY) +
+    list_transform/list_sum."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority"
+    )
+    item = F.struct(
+        F.col("l_linenumber").alias("ln"),
+        F.floor(
+            F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000
+            + F.lit(0.5)
+        )
+        .cast("long")
+        .alias("rev_u"),
+        (F.col("l_returnflag") == "R").alias("returned"),
+    )
+    nested = (
+        li.select("l_orderkey", item.alias("item"))
+        .groupBy("l_orderkey")
+        .agg(F.sort_array(F.collect_list("item")).alias("items"))
+    )
+    per_order = nested.select(
+        "l_orderkey",
+        F.size("items").alias("n_items"),
+        F.aggregate(
+            "items", F.lit(0).cast("long"), lambda acc, x: acc + x["rev_u"]
+        ).alias("rev_u"),
+        F.size(F.filter("items", lambda x: x["returned"])).alias("n_returned"),
+    )
+    return (
+        per_order.join(
+            orders, per_order.l_orderkey == orders.o_orderkey
+        )
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum("n_items").cast("long").alias("n_items"),
+            (F.sum("rev_u").cast("double") / F.lit(10000.0)).alias("revenue"),
+            F.sum("n_returned").cast("long").alias("n_returned"),
+        )
+        .orderBy("o_orderpriority")
+    )
