@@ -1236,6 +1236,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "user_bot_scores": analytics.user_bot_scores,
         "value_percentiles_disc": analytics.value_percentiles_disc,
         "jsonl_corrupt_scan": pipeline.jsonl_corrupt_scan,
+        "filtered_cosine_topk": pipeline.filtered_cosine_topk,
         "orders_nested_rollup": analytics.orders_nested_rollup,
         "orderkey_gap_audit": analytics.orderkey_gap_audit,
         "robust_mean_median_of_means": analytics.robust_mean_median_of_means,
@@ -4275,6 +4276,19 @@ def oracle_sql() -> dict[str, str]:
                           / CAST(n AS DOUBLE)) * 1000000.0 + 0.5) / 1000000.0
                        AS intercept
             FROM fit
+        """,
+        "filtered_cosine_topk": """
+            WITH q AS (
+                SELECT embedding, label FROM embeddings WHERE vec_id = 0
+            )
+            SELECT e.vec_id,
+                   ROUND(list_cosine_similarity(e.embedding::DOUBLE[],
+                                                q.embedding::DOUBLE[]),
+                         6) AS sim
+            FROM embeddings e, q
+            WHERE e.label <> q.label
+            ORDER BY sim DESC, vec_id ASC
+            LIMIT 10
         """,
         "orders_nested_rollup": """
             -- FIRST-PRINCIPLES oracle (flat aggregation): a match

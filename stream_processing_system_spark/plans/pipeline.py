@@ -1346,3 +1346,21 @@ def jsonl_corrupt_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.lit(10000.0)
         ).alias("valid_value_sum"),
     )
+
+
+def filtered_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FILTERED vector search — top-10 by cosine among vectors whose
+    label differs from the query's (the metadata-constrained search
+    every retrieval service ends up needing: 'nearest, but not from
+    this source'). The constraint is PRE-filtered into the scan
+    (label predicate reaches the parquet reader) before scoring —
+    post-filtering a top-k would under-fill k whenever the
+    constraint is selective. Exact scoring here; the same pre-filter
+    composes in front of lsh_topk/ivf_topk unchanged."""
+    embs = _embs(spark, sf_dir)
+    q = _query_vec(spark, sf_dir)
+    qlabel = _embs(spark, sf_dir).where(F.col("vec_id") == 0).select("label")
+    filtered = embs.crossJoin(F.broadcast(qlabel.withColumnRenamed("label", "_ql"))).where(
+        F.col("label") != F.col("_ql")
+    ).drop("_ql")
+    return similarity.cosine_topk(filtered, q, k=10)
