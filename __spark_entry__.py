@@ -1237,6 +1237,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "value_percentiles_disc": analytics.value_percentiles_disc,
         "jsonl_corrupt_scan": pipeline.jsonl_corrupt_scan,
         "filtered_cosine_topk": pipeline.filtered_cosine_topk,
+        "copurchase_assortativity": analytics.copurchase_assortativity,
+        "copurchase_components": analytics.copurchase_components,
         "orders_nested_rollup": analytics.orders_nested_rollup,
         "orderkey_gap_audit": analytics.orderkey_gap_audit,
         "robust_mean_median_of_means": analytics.robust_mean_median_of_means,
@@ -4276,6 +4278,53 @@ def oracle_sql() -> dict[str, str]:
                           / CAST(n AS DOUBLE)) * 1000000.0 + 0.5) / 1000000.0
                        AS intercept
             FROM fit
+        """,
+        "copurchase_assortativity": f"""
+            WITH {_COPURCHASE_EDGES_CTE},
+            und AS MATERIALIZED (
+                SELECT src, dst FROM e UNION ALL SELECT dst, src FROM e
+            ), deg AS (
+                SELECT src, CAST(count(*) AS BIGINT) AS d
+                FROM und GROUP BY 1
+            ), p AS (
+                SELECT da.d AS x, db.d AS y
+                FROM und u
+                JOIN deg da ON u.src = da.src
+                JOIN deg db ON u.dst = db.src
+            ), s AS (
+                SELECT CAST(count(*) AS HUGEINT) AS n,
+                       SUM(CAST(x AS HUGEINT)) AS sx,
+                       SUM(CAST(y AS HUGEINT)) AS sy,
+                       SUM(CAST(x AS HUGEINT) * x) AS sxx,
+                       SUM(CAST(y AS HUGEINT) * y) AS syy,
+                       SUM(CAST(x AS HUGEINT) * y) AS sxy
+                FROM p
+            )
+            SELECT CAST(n AS BIGINT) AS n_directed_edges,
+                   floor(CAST(n * sxy - sx * sy AS DOUBLE)
+                         / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+                            * sqrt(CAST(n * syy - sy * sy AS DOUBLE)))
+                         * 1000000.0 + 0.5) / 1000000.0 AS assortativity
+            FROM s
+            WHERE CAST(n * sxx - sx * sx AS DOUBLE) > 0
+              AND CAST(n * syy - sy * sy AS DOUBLE) > 0
+        """,
+        "copurchase_components": f"""
+            WITH RECURSIVE {_COPURCHASE_EDGES_CTE},
+            und AS (
+                SELECT src, dst FROM e UNION ALL SELECT dst, src FROM e
+            ), reach AS (
+                SELECT src AS node, src AS r FROM und
+                UNION
+                SELECT rc.node, u.dst FROM reach rc JOIN und u ON u.src = rc.r
+            ), comp AS (
+                SELECT node, MIN(r) AS label FROM reach GROUP BY node
+            ), szs AS (
+                SELECT label, CAST(count(*) AS BIGINT) AS sz
+                FROM comp GROUP BY 1
+            )
+            SELECT sz AS component_size, count(*) AS n_components
+            FROM szs GROUP BY 1 ORDER BY 1
         """,
         "filtered_cosine_topk": """
             WITH q AS (

@@ -4733,3 +4733,78 @@ def orders_nested_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderpriority")
     )
+
+
+def copurchase_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree assortativity of the co-purchase graph: Pearson
+    correlation of endpoint degrees over all directed edges —
+    positive means hubs befriend hubs (social nets), negative means
+    hub-and-spoke (tech/dependency graphs); the one-number structural
+    fingerprint next to clustering coefficients. Exact
+    DECIMAL(38,0)/HUGEINT moment sums over integer degrees; one
+    fixed-order double finish."""
+    from stream_processing_system_spark.operators.graph import (
+        _undirect,
+        cooccurrence_edges,
+    )
+
+    events = load_table(spark, sf_dir, "events")
+    und = _undirect(cooccurrence_edges(events)).localCheckpoint(eager=True)
+    deg = und.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
+    pairs = (
+        und.join(deg.withColumnRenamed("src", "_a"), und.src == F.col("_a"))
+        .withColumnRenamed("d", "x")
+        .drop("_a")
+        .join(deg.withColumnRenamed("src", "_b"), und.dst == F.col("_b"))
+        .withColumnRenamed("d", "y")
+        .drop("_b")
+    )
+    d38 = "decimal(38,0)"
+    s = pairs.agg(
+        F.count(F.lit(1)).cast(d38).alias("n"),
+        F.sum(F.col("x").cast(d38)).alias("sx"),
+        F.sum(F.col("y").cast(d38)).alias("sy"),
+        F.sum(F.col("x").cast(d38) * F.col("x")).alias("sxx"),
+        F.sum(F.col("y").cast(d38) * F.col("y")).alias("syy"),
+        F.sum(F.col("x").cast(d38) * F.col("y")).alias("sxy"),
+    )
+    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    da = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    db = (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")
+    return s.where((da > 0) & (db > 0)).select(
+        F.col("n").cast("long").alias("n_directed_edges"),
+        det_round(num / (F.sqrt(da) * F.sqrt(db))).alias("assortativity"),
+    )
+
+
+def copurchase_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected-component SIZE distribution of the co-purchase graph
+    (dedup.connected_component_labels — the pointer-jumping min-label
+    fixpoint — pointed at a user graph instead of a dup graph):
+    (component_size, n_components) rows, the fragmentation
+    fingerprint. The oracle recomputes components with a recursive
+    transitive-closure CTE, so the iterative fixpoint is value-hash
+    verified here (dedup_transitive's own check is rows-only)."""
+    from stream_processing_system_spark.operators.dedup import (
+        connected_component_labels,
+    )
+    from stream_processing_system_spark.operators.graph import cooccurrence_edges
+
+    events = load_table(spark, sf_dir, "events")
+    edges = cooccurrence_edges(events).localCheckpoint(eager=True)
+    nodes = (
+        edges.select(F.col("src").alias("user_id"))
+        .union(edges.select(F.col("dst").alias("user_id")))
+        .distinct()
+    )
+    pairs = edges.select(
+        F.col("src").alias("id_a"), F.col("dst").alias("id_b")
+    )
+    labels = connected_component_labels(pairs, nodes, "user_id")
+    sizes = labels.groupBy("component").agg(F.count(F.lit(1)).alias("sz"))
+    return (
+        sizes.groupBy("sz")
+        .agg(F.count(F.lit(1)).alias("n_components"))
+        .select(F.col("sz").cast("long").alias("component_size"), "n_components")
+        .orderBy("component_size")
+    )
