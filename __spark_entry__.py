@@ -1238,6 +1238,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "jsonl_corrupt_scan": pipeline.jsonl_corrupt_scan,
         "filtered_cosine_topk": pipeline.filtered_cosine_topk,
         "copurchase_assortativity": analytics.copurchase_assortativity,
+        "daily_value_count_spearman": analytics.daily_value_count_spearman,
         "copurchase_components": analytics.copurchase_components,
         "orders_nested_rollup": analytics.orders_nested_rollup,
         "orderkey_gap_audit": analytics.orderkey_gap_audit,
@@ -4278,6 +4279,34 @@ def oracle_sql() -> dict[str, str]:
                           / CAST(n AS DOUBLE)) * 1000000.0 + 0.5) / 1000000.0
                        AS intercept
             FROM fit
+        """,
+        "daily_value_count_spearman": """
+            WITH daily AS (
+                SELECT event_type, CAST(ts AS DATE) AS day,
+                       CAST(SUM(CAST(floor(value * 100 + 0.5) AS BIGINT))
+                            AS BIGINT) AS v,
+                       CAST(count(*) AS BIGINT) AS c
+                FROM events WHERE value IS NOT NULL
+                GROUP BY 1, 2
+            ), ranked AS (
+                SELECT event_type,
+                       CAST(row_number() OVER (PARTITION BY event_type
+                            ORDER BY v ASC, day ASC) AS BIGINT) AS ra,
+                       CAST(row_number() OVER (PARTITION BY event_type
+                            ORDER BY c ASC, day ASC) AS BIGINT) AS rb
+                FROM daily
+            ), s AS (
+                SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+                       CAST(SUM((ra - rb) * (ra - rb)) AS BIGINT) AS sd2
+                FROM ranked GROUP BY 1
+            )
+            SELECT event_type, n AS n_days,
+                   floor((1.0 - (6.0 * CAST(sd2 AS DOUBLE))
+                          / (CAST(n AS DOUBLE)
+                             * (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) - 1.0)))
+                         * 1000000.0 + 0.5) / 1000000.0 AS spearman_rho
+            FROM s WHERE n > 1
+            ORDER BY event_type
         """,
         "copurchase_assortativity": f"""
             WITH {_COPURCHASE_EDGES_CTE},

@@ -152,6 +152,13 @@ HEADLINE = [
     "events_type_jsd",
     "user_bot_scores",
     "value_percentiles_disc",
+    "jsonl_corrupt_scan",
+    "orderkey_gap_audit",
+    "robust_mean_median_of_means",
+    "orders_nested_rollup",
+    "filtered_cosine_topk",
+    "copurchase_assortativity",
+    "copurchase_components",
 ]
 
 

@@ -4808,3 +4808,44 @@ def copurchase_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("sz").cast("long").alias("component_size"), "n_components")
         .orderBy("component_size")
     )
+
+
+def daily_value_count_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spearman rank correlation between daily total value and daily
+    event count per type — completing the correlation family
+    (Pearson `events_type_corr`, Kendall `orders_kendall_tau`).
+    Ranks come from row_number with a day tie-break (fully ordered,
+    so the classic distinct-rank form ρ = 1 − 6Σd²/(n(n²−1)) applies
+    exactly, every term an integer). Rank windows run per type over
+    day-grain rows."""
+    events = load_table(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    daily = events.groupBy(
+        "event_type", F.col("ts").cast("date").alias("day")
+    ).agg(
+        F.sum(F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")).alias("v"),
+        F.count(F.lit(1)).alias("c"),
+    )
+    rv = Window.partitionBy("event_type").orderBy(F.col("v").asc(), F.col("day").asc())
+    rc = Window.partitionBy("event_type").orderBy(F.col("c").asc(), F.col("day").asc())
+    ranked = daily.select(
+        "event_type",
+        F.row_number().over(rv).cast("long").alias("ra"),
+        F.row_number().over(rc).cast("long").alias("rb"),
+    )
+    d = F.col("ra") - F.col("rb")
+    s = ranked.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"), F.sum(d * d).alias("sd2")
+    )
+    n = F.col("n").cast("double")
+    rho = F.lit(1.0) - (F.lit(6.0) * F.col("sd2").cast("double")) / (
+        n * (n * n - F.lit(1.0))
+    )
+    return (
+        s.where(F.col("n") > 1)
+        .select(
+            "event_type",
+            F.col("n").cast("long").alias("n_days"),
+            det_round(rho).alias("spearman_rho"),
+        )
+        .orderBy("event_type")
+    )
