@@ -95,3 +95,58 @@ def test_stationary_distribution_sums_to_one(spark, sf_dir):
     # integer-grid rounding loses < 1e-6 of the mass per round
     assert abs(sum(r["stationary"] for r in rows) - 1.0) < 1e-4
     assert all(r["stationary"] > 0 for r in rows)
+
+
+def test_rolling_7d_distinct_semantics(spark, tmp_path):
+    """A user active on day 0 must count in windows ending day 0..6
+    and drop out on day 7; only observed days are reported."""
+    import datetime
+
+    from stream_processing_system_spark.plans.analytics import (
+        rolling_7d_distinct_users,
+    )
+
+    d0 = datetime.datetime(2024, 1, 1)
+    ev = [
+        (1, d0, 10, "click", 1.0, "{}"),
+        # user 20 appears on day 6 (inside user 10's last window)
+        (2, d0 + datetime.timedelta(days=6), 20, "click", 1.0, "{}"),
+        # day 7: only user 20's window still contains user 20
+        (3, d0 + datetime.timedelta(days=7), 20, "click", 1.0, "{}"),
+    ]
+    rows = {
+        r["day"]: r["distinct_users_7d"]
+        for r in rolling_7d_distinct_users(
+            spark, _sf(tmp_path, spark, events=ev)
+        ).collect()
+    }
+    # observed days only: 01-01, 01-07, 01-08
+    assert rows == {"2024-01-01": 1, "2024-01-07": 2, "2024-01-08": 1}
+
+
+def test_activity_streaks_semantics(spark, tmp_path):
+    import datetime
+
+    from stream_processing_system_spark.plans.analytics import (
+        user_activity_streaks,
+    )
+
+    d0 = datetime.datetime(2024, 1, 1)
+    ev = []
+    # user 1: days 0,1,2 then 5,6 -> best streak 3 starting 01-01
+    for i, d in enumerate([0, 1, 2, 5, 6]):
+        ev.append((i, d0 + datetime.timedelta(days=d), 1, "click", 1.0, "{}"))
+    # user 2: two 2-day streaks; tie broken by EARLIEST start
+    for i, d in enumerate([3, 4, 8, 9]):
+        ev.append((100 + i, d0 + datetime.timedelta(days=d), 2, "click", 1.0, "{}"))
+    rows = {
+        r["user_id"]: r
+        for r in user_activity_streaks(
+            spark, _sf(tmp_path, spark, events=ev)
+        ).collect()
+    }
+    assert rows[1]["best_streak_days"] == 3
+    assert rows[1]["streak_start"] == "2024-01-01"
+    assert rows[1]["n_active_days"] == 5
+    assert rows[2]["best_streak_days"] == 2
+    assert rows[2]["streak_start"] == "2024-01-04"
