@@ -867,6 +867,50 @@ def _cheapest_path_oracle_sql(rounds: int = 3) -> str:
     """
 
 
+def _reshard_oracle_sql() -> str:
+    """Ring VALUES shared verbatim with
+    `analytics.consistent_hash_reshard` (driver-constant vnodes, the
+    hyperplane contract)."""
+    from stream_processing_system_spark.plans.analytics import _ring_vnodes
+
+    def values(n: int) -> str:
+        return ", ".join(f"({s}, {p})" for s, p in _ring_vnodes(n))
+
+    return f"""
+        WITH keys AS (SELECT DISTINCT user_id FROM events),
+        keyed AS (
+            SELECT user_id,
+                   ('0x' || substr(md5(user_id::VARCHAR), 1, 8))::BIGINT AS kh
+            FROM keys
+        ),
+        v4(shard, pos) AS (VALUES {values(4)}),
+        v5(shard, pos) AS (VALUES {values(5)}),
+        a4 AS (
+            SELECT user_id,
+                   COALESCE(
+                       (SELECT shard FROM v4 WHERE pos >= k.kh
+                        ORDER BY pos LIMIT 1),
+                       (SELECT shard FROM v4 ORDER BY pos LIMIT 1)
+                   ) AS sb
+            FROM keyed k
+        ),
+        a5 AS (
+            SELECT user_id,
+                   COALESCE(
+                       (SELECT shard FROM v5 WHERE pos >= k.kh
+                        ORDER BY pos LIMIT 1),
+                       (SELECT shard FROM v5 ORDER BY pos LIMIT 1)
+                   ) AS sa
+            FROM keyed k
+        )
+        SELECT CAST(sb AS INT) AS shard_before,
+               CAST(sa AS INT) AS shard_after,
+               count(*) AS n_users
+        FROM a4 JOIN a5 USING (user_id)
+        GROUP BY 1, 2 ORDER BY 1, 2
+    """
+
+
 def _stationary_oracle_sql(rounds: int = 10) -> str:
     """Unrolled join-based matvec mirroring
     `analytics.event_type_stationary`: BIGINT mass on the 1e-9 grid,
@@ -1239,6 +1283,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "filtered_cosine_topk": pipeline.filtered_cosine_topk,
         "copurchase_assortativity": analytics.copurchase_assortativity,
         "daily_value_count_spearman": analytics.daily_value_count_spearman,
+        "weighted_jaccard_pairs": pipeline.weighted_jaccard_pairs,
+        "consistent_hash_reshard": analytics.consistent_hash_reshard,
         "copurchase_components": analytics.copurchase_components,
         "orders_nested_rollup": analytics.orders_nested_rollup,
         "orderkey_gap_audit": analytics.orderkey_gap_audit,
@@ -2851,6 +2897,7 @@ def oracle_sql() -> dict[str, str]:
         "copurchase_communities": _lpa_oracle_sql(),
         "copurchase_kcore": _kcore_oracle_sql(),
         "copurchase_cheapest_path": _cheapest_path_oracle_sql(),
+        "consistent_hash_reshard": _reshard_oracle_sql(),
         # doc_bpe_merges: iterative (each round's rewrite depends on the
         # previous argmax) — rows-only here; tests/test_bpe.py proves the
         # merge table against a pure-Python BPE reference.
@@ -4279,6 +4326,72 @@ def oracle_sql() -> dict[str, str]:
                           / CAST(n AS DOUBLE)) * 1000000.0 + 0.5) / 1000000.0
                        AS intercept
             FROM fit
+        """,
+        "weighted_jaccard_pairs": """
+            WITH t AS (
+                SELECT doc_id,
+                       list_filter(string_split(text, ' '), x -> x <> '') AS l
+                FROM documents
+            ), sh AS MATERIALIZED (
+                SELECT DISTINCT doc_id,
+                       l[i] || ' ' || l[i+1] || ' ' || l[i+2] AS shingle
+                FROM t, UNNEST(range(1, len(l) - 1)) AS u(i)
+                WHERE len(l) >= 3
+            ), nd AS (SELECT count(*) AS nd FROM documents),
+            dfq AS (
+                SELECT shingle, CAST(count(*) AS BIGINT) AS df
+                FROM sh GROUP BY 1
+            ), w AS MATERIALIZED (
+                SELECT shingle,
+                       CAST(floor(ln(CAST(nd + 1 AS DOUBLE)
+                                     / CAST(df + 1 AS DOUBLE))
+                                  * 1000000.0) AS BIGINT) AS w
+                FROM dfq, nd
+            ), sig AS (
+                SELECT doc_id,
+                       MIN(('0x' || substr(md5('0|' || shingle),  1, 8))::BIGINT) AS h0,
+                       MIN(('0x' || substr(md5('0|' || shingle),  9, 8))::BIGINT) AS h1,
+                       MIN(('0x' || substr(md5('0|' || shingle), 17, 8))::BIGINT) AS h2,
+                       MIN(('0x' || substr(md5('0|' || shingle), 25, 8))::BIGINT) AS h3,
+                       MIN(('0x' || substr(md5('1|' || shingle),  1, 8))::BIGINT) AS h4,
+                       MIN(('0x' || substr(md5('1|' || shingle),  9, 8))::BIGINT) AS h5,
+                       MIN(('0x' || substr(md5('1|' || shingle), 17, 8))::BIGINT) AS h6,
+                       MIN(('0x' || substr(md5('1|' || shingle), 25, 8))::BIGINT) AS h7
+                FROM sh GROUP BY doc_id
+            ), bb AS (
+                SELECT doc_id, b.band,
+                       md5(CASE b.band
+                           WHEN 0 THEN h0::VARCHAR || '_' || h1::VARCHAR
+                           WHEN 1 THEN h2::VARCHAR || '_' || h3::VARCHAR
+                           WHEN 2 THEN h4::VARCHAR || '_' || h5::VARCHAR
+                           ELSE        h6::VARCHAR || '_' || h7::VARCHAR
+                       END) AS bucket
+                FROM sig, (SELECT unnest(range(4)) AS band) b
+            ), cands AS MATERIALIZED (
+                SELECT DISTINCT a.doc_id AS id_a, c.doc_id AS id_b
+                FROM bb a JOIN bb c ON a.band = c.band AND a.bucket = c.bucket
+                WHERE a.doc_id < c.doc_id
+            ), tot AS (
+                SELECT doc_id, CAST(SUM(w.w) AS BIGINT) AS tw
+                FROM sh JOIN w USING (shingle) GROUP BY 1
+            ), shared AS (
+                SELECT c.id_a, c.id_b, CAST(SUM(w.w) AS BIGINT) AS iw
+                FROM cands c
+                JOIN sh sa ON sa.doc_id = c.id_a
+                JOIN sh sb ON sb.doc_id = c.id_b AND sb.shingle = sa.shingle
+                JOIN w ON w.shingle = sa.shingle
+                GROUP BY 1, 2
+            )
+            SELECT id_a, id_b,
+                   floor(CAST(iw AS DOUBLE)
+                         / CAST(ta.tw + tb.tw - iw AS DOUBLE)
+                         * 1000000.0 + 0.5) / 1000000.0 AS weighted_jaccard
+            FROM shared
+            JOIN tot ta ON ta.doc_id = id_a
+            JOIN tot tb ON tb.doc_id = id_b
+            ORDER BY CAST(iw AS DOUBLE)
+                     / CAST(ta.tw + tb.tw - iw AS DOUBLE) DESC, id_a, id_b
+            LIMIT 25
         """,
         "daily_value_count_spearman": """
             WITH daily AS (

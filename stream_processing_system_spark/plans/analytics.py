@@ -4849,3 +4849,63 @@ def daily_value_count_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+def _ring_vnodes(n_shards: int, vnodes_per_shard: int = 16) -> list[tuple[int, int]]:
+    """Deterministic consistent-hash ring: (shard, position) vnodes,
+    position = first 8 md5 hex chars of 'shard:vnode' as a 32-bit
+    int. Driver-side constants (like the LSH hyperplanes) shared
+    verbatim with the SQL oracle."""
+    import hashlib
+
+    return [
+        (s, int(hashlib.md5(f"{s}:{v}".encode()).hexdigest()[:8], 16))
+        for s in range(n_shards)
+        for v in range(vnodes_per_shard)
+    ]
+
+
+def consistent_hash_reshard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Consistent-hash ring sharding + reshard movement audit: users
+    are placed on a 32-bit ring (first vnode clockwise; wrap to the
+    ring's first vnode), assigned under 4 shards and under 5, and the
+    movement matrix (shard_before, shard_after, n_users) is reported
+    — the infra invariant being audited is that adding a shard moves
+    only ~1/(n+1) of keys, which naive `hash mod n` fails
+    catastrophically (it moves ~n/(n+1)). Ring vnodes are
+    driver-side constants (the hyperplane contract); per-key
+    assignment is a broadcast join + min_by over matching vnodes —
+    map-side, no shuffle of the key table."""
+    events = load_table(spark, sf_dir, "events")
+    users = events.select("user_id").distinct()
+    kh = F.conv(
+        F.substring(F.md5(F.col("user_id").cast("string")), 1, 8), 16, 10
+    ).cast("long")
+    keyed = users.select("user_id", kh.alias("kh"))
+
+    def assign(n_shards: int, out: str):
+        vn = spark.createDataFrame(
+            _ring_vnodes(n_shards), "shard int, pos long"
+        )
+        wrap = vn.orderBy("pos").limit(1).select(
+            F.col("shard").alias("_wrap")
+        )
+        cand = keyed.join(
+            F.broadcast(vn), F.col("pos") >= F.col("kh"), "left"
+        )
+        first = cand.groupBy("user_id", "kh").agg(
+            F.min_by("shard", "pos").alias("_s")
+        )
+        return first.crossJoin(F.broadcast(wrap)).select(
+            "user_id",
+            "kh",
+            F.coalesce(F.col("_s"), F.col("_wrap")).cast("int").alias(out),
+        )
+    a4 = assign(4, "shard_before")
+    a5 = assign(5, "shard_after").drop("kh")
+    return (
+        a4.join(a5, "user_id")
+        .groupBy("shard_before", "shard_after")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+        .orderBy("shard_before", "shard_after")
+    )

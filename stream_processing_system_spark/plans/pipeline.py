@@ -1364,3 +1364,76 @@ def filtered_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("label") != F.col("_ql")
     ).drop("_ql")
     return similarity.cosine_topk(filtered, q, k=10)
+
+
+def weighted_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IDF-WEIGHTED Jaccard over LSH candidate pairs: rare shingles
+    count more than boilerplate ones — J_w = Σ min(wₐ,w_b) / Σ
+    max(wₐ,w_b) over per-shingle weights, the soft-dedup measure
+    that stops template-heavy docs from looking like near-dups of
+    every other template instance. Weights are integer MICRO-IDF
+    units (floor(ln((N+1)/(df+1))·1e6) — the zipf milli-floor device;
+    a shared shingle contributes min=max=w, one-sided shingles
+    contribute only to the denominator), so both sums are exact
+    BIGINTs. Candidates come from the standard banding join — the
+    weighting changes the VERIFY arithmetic, not the sub-quadratic
+    candidate path. Top-25 pairs by weighted Jaccard (exact ratio
+    ordering via cross-multiplied BIGINTs is overkill here: the
+    double ratios are correctly rounded from exact ints and tie-break
+    on ids)."""
+    from stream_processing_system_spark.operators import dedup as dd
+
+    docs = _docs(spark, sf_dir)
+    sh = dd.shingles_per_doc(docs, "doc_id", "text", n=3)
+    n_docs = docs.agg(F.count(F.lit(1)).alias("nd"))
+    dfreq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    w = (
+        dfreq.crossJoin(F.broadcast(n_docs))
+        .select(
+            "shingle",
+            F.floor(
+                F.log((F.col("nd") + 1).cast("double") / (F.col("df") + 1).cast("double"))
+                * F.lit(1e6)
+            )
+            .cast("long")
+            .alias("w"),
+        )
+    )
+    sigs = dd.minhash_signatures(docs, "doc_id", "text", num_hashes=8)
+    cands = dd.lsh_candidate_pairs(sigs, "doc_id", num_hashes=8, bands=4)
+    swa = sh.join(w, "shingle").select(
+        F.col("doc_id").alias("id_a"), "shingle", F.col("w").alias("wa")
+    )
+    swb = sh.join(w, "shingle").select(
+        F.col("doc_id").alias("id_b"), "shingle", F.col("w").alias("wb")
+    )
+    # per candidate pair: shared-shingle weight sum and each side's total
+    shared = (
+        cands.join(swa, "id_a")
+        .join(swb, ["id_b", "shingle"])
+        .groupBy("id_a", "id_b")
+        .agg(F.sum("wa").alias("inter_w"))
+    )
+    tot = sh.join(w, "shingle").groupBy("doc_id").agg(F.sum("w").alias("tw"))
+    scored = (
+        shared.join(tot.withColumnRenamed("doc_id", "id_a"), "id_a")
+        .withColumnRenamed("tw", "tw_a")
+        .join(tot.withColumnRenamed("doc_id", "id_b"), "id_b")
+        .withColumnRenamed("tw", "tw_b")
+        .select(
+            "id_a",
+            "id_b",
+            (
+                F.col("inter_w").cast("double")
+                / (F.col("tw_a") + F.col("tw_b") - F.col("inter_w")).cast("double")
+            ).alias("_jw"),
+        )
+    )
+    from stream_processing_system_spark.functions.scalar import det_round
+
+    return (
+        scored.select("id_a", "id_b", det_round(F.col("_jw")).alias("weighted_jaccard"), F.col("_jw"))
+        .orderBy(F.col("_jw").desc(), "id_a", "id_b")
+        .limit(25)
+        .drop("_jw")
+    )
