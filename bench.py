@@ -159,6 +159,9 @@ HEADLINE = [
     "filtered_cosine_topk",
     "copurchase_assortativity",
     "copurchase_components",
+    "daily_value_count_spearman",
+    "weighted_jaccard_pairs",
+    "consistent_hash_reshard",
 ]
 
 
