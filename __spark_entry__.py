@@ -1285,6 +1285,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "daily_value_count_spearman": analytics.daily_value_count_spearman,
         "weighted_jaccard_pairs": pipeline.weighted_jaccard_pairs,
         "consistent_hash_reshard": analytics.consistent_hash_reshard,
+        "events_stl_strength": analytics.events_stl_strength,
         "copurchase_components": analytics.copurchase_components,
         "orders_nested_rollup": analytics.orders_nested_rollup,
         "orderkey_gap_audit": analytics.orderkey_gap_audit,
@@ -4326,6 +4327,52 @@ def oracle_sql() -> dict[str, str]:
                           / CAST(n AS DOUBLE)) * 1000000.0 + 0.5) / 1000000.0
                        AS intercept
             FROM fit
+        """,
+        "events_stl_strength": """
+            WITH daily AS MATERIALIZED (
+                SELECT event_type, CAST(ts AS DATE) AS day,
+                       CAST(SUM(CAST(floor(value * 100 + 0.5) AS BIGINT))
+                            AS BIGINT) // 100 AS x
+                FROM events WHERE value IS NOT NULL
+                GROUP BY 1, 2
+            ), tr AS (
+                SELECT event_type, day, x,
+                       CAST((SUM(x) OVER w * 1000000)
+                            // (COUNT(*) OVER w) AS BIGINT) AS tr_u
+                FROM daily
+                WINDOW w AS (PARTITION BY event_type ORDER BY day
+                             ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+            ), det AS (
+                SELECT event_type,
+                       x * 1000000 - tr_u AS d_u,
+                       (day - DATE '1970-01-01') % 7 AS dow
+                FROM tr
+            ), seas AS (
+                SELECT event_type, dow,
+                       CAST(SUM(d_u) // count(*) AS BIGINT) AS s_u
+                FROM det GROUP BY 1, 2
+            ), resid AS (
+                SELECT d.event_type, d.d_u, d.d_u - s.s_u AS r_u
+                FROM det d JOIN seas s ON d.event_type = s.event_type
+                                      AND d.dow = s.dow
+            ), m AS (
+                SELECT event_type, CAST(count(*) AS HUGEINT) AS n,
+                       SUM(CAST(d_u AS HUGEINT)) AS sd,
+                       SUM(CAST(d_u AS HUGEINT) * d_u) AS sdd,
+                       SUM(CAST(r_u AS HUGEINT)) AS sr,
+                       SUM(CAST(r_u AS HUGEINT) * r_u) AS srr
+                FROM resid GROUP BY 1
+            )
+            SELECT event_type, CAST(n AS BIGINT) AS n_days,
+                   floor((1.0 - CAST(n * srr - sr * sr AS DOUBLE)
+                                / CAST(n * sdd - sd * sd AS DOUBLE))
+                         * 1000000.0 + 0.5) / 1000000.0
+                       AS seasonal_strength,
+                   floor(CAST(n * srr - sr * sr AS DOUBLE)
+                         / CAST(n * sdd - sd * sd AS DOUBLE)
+                         * 1000000.0 + 0.5) / 1000000.0 AS resid_var_share
+            FROM m WHERE CAST(n * sdd - sd * sd AS DOUBLE) > 0
+            ORDER BY event_type
         """,
         "weighted_jaccard_pairs": """
             WITH t AS (

@@ -4909,3 +4909,72 @@ def consistent_hash_reshard(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_users"))
         .orderBy("shard_before", "shard_after")
     )
+
+
+def events_stl_strength(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STL-style decomposition strength per event type: daily totals
+    split into trend (7-day centered moving average), day-of-week
+    seasonal (per-dow mean of the detrended series), and residual;
+    reported as the standard seasonal-strength statistic
+    1 − Var(resid)/Var(detrended) plus the residual variance share —
+    "how much of the wiggle is weekly rhythm vs noise", the
+    decomposition complement to `events_dow_anova`'s hypothesis test.
+
+    Every component lives on an exact integer MICRO grid: the MA is
+    sum·10⁶ div count (truncating div, identical in both engines),
+    dow comes from epoch-day mod 7, seasonal means are again
+    integer-div, and variances are DECIMAL(38,0)/HUGEINT moment sums
+    of micro values. Windows run per type over day-grain rows."""
+    events = load_table(spark, sf_dir, "events")
+    daily = _daily_whole_units(events)
+    wma = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(-3, 3)
+    )
+    trended = daily.select(
+        "event_type",
+        "day",
+        "x",
+        F.count(F.lit(1)).over(wma).alias("_cw"),
+        F.sum("x").over(wma).alias("_xw"),
+    ).select(
+        "event_type",
+        "day",
+        "x",
+        F.expr("(_xw * 1000000) div _cw").alias("tr_u"),
+    )
+    det = trended.select(
+        "event_type",
+        "day",
+        (F.col("x") * F.lit(1000000) - F.col("tr_u")).alias("d_u"),
+        (
+            F.datediff(F.col("day"), F.lit("1970-01-01").cast("date")) % 7
+        ).alias("dow"),
+    )
+    seas = det.groupBy("event_type", "dow").agg(
+        F.expr("sum(d_u) div count(1)").alias("s_u")
+    )
+    resid = det.join(seas, ["event_type", "dow"]).select(
+        "event_type", "d_u", (F.col("d_u") - F.col("s_u")).alias("r_u")
+    )
+    d38 = "decimal(38,0)"
+    s = resid.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast(d38).alias("n"),
+        F.sum(F.col("d_u").cast(d38)).alias("sd"),
+        F.sum(F.col("d_u").cast(d38) * F.col("d_u")).alias("sdd"),
+        F.sum(F.col("r_u").cast(d38)).alias("sr"),
+        F.sum(F.col("r_u").cast(d38) * F.col("r_u")).alias("srr"),
+    )
+    vd = (F.col("n") * F.col("sdd") - F.col("sd") * F.col("sd")).cast("double")
+    vr = (F.col("n") * F.col("srr") - F.col("sr") * F.col("sr")).cast("double")
+    return (
+        s.where(vd > 0)
+        .select(
+            "event_type",
+            F.col("n").cast("long").alias("n_days"),
+            det_round(F.lit(1.0) - vr / vd).alias("seasonal_strength"),
+            det_round(vr / vd).alias("resid_var_share"),
+        )
+        .orderBy("event_type")
+    )
