@@ -562,6 +562,25 @@ _COPURCHASE_EDGES_CTE = """
     )"""
 
 
+def _fk_audit_oracle_sql() -> str:
+    """One UNION ALL arm per `_FK_EDGES` entry: row / NULL-key /
+    orphan (NOT EXISTS anti-join) counts, mirroring
+    `analytics.fk_integrity_audit` edge-for-edge."""
+    arms = []
+    for child, key, parent, pkey in analytics._FK_EDGES:
+        arms.append(f"""
+            SELECT '{child}.{key}->{parent}.{pkey}' AS relation,
+                   (SELECT count(*) FROM {child}) AS n_rows,
+                   (SELECT count(*) FROM {child}
+                    WHERE {key} IS NULL) AS n_nulls,
+                   (SELECT count(*) FROM {child} c
+                    WHERE c.{key} IS NOT NULL AND NOT EXISTS (
+                        SELECT 1 FROM {parent} p
+                        WHERE p.{pkey} = c.{key})) AS n_orphans""")
+        # noqa: the generated arms are static strings over a literal
+    return " UNION ALL ".join(arms) + " ORDER BY relation"
+
+
 def _pagerank_oracle_sql(iters: int = 3, damping: float = 0.85) -> str:
     """Unrolled power iterations mirroring `graph.pagerank`: BIGINT
     mass on the 1e-9 grid, float factors written with repr() so both
@@ -1286,6 +1305,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "weighted_jaccard_pairs": pipeline.weighted_jaccard_pairs,
         "consistent_hash_reshard": analytics.consistent_hash_reshard,
         "events_stl_strength": analytics.events_stl_strength,
+        "events_ccf_lag": analytics.events_ccf_lag,
+        "fk_integrity_audit": analytics.fk_integrity_audit,
+        "event_transition_entropy": analytics.event_transition_entropy,
         "copurchase_components": analytics.copurchase_components,
         "orders_nested_rollup": analytics.orders_nested_rollup,
         "orderkey_gap_audit": analytics.orderkey_gap_audit,
@@ -4373,6 +4395,75 @@ def oracle_sql() -> dict[str, str]:
                          * 1000000.0 + 0.5) / 1000000.0 AS resid_var_share
             FROM m WHERE CAST(n * sdd - sd * sd AS DOUBLE) > 0
             ORDER BY event_type
+        """,
+        "events_ccf_lag": """
+            WITH daily AS MATERIALIZED (
+                SELECT event_type, CAST(ts AS DATE) AS day,
+                       CAST(SUM(CAST(floor(value * 100 + 0.5) AS BIGINT))
+                            AS BIGINT) // 100 AS x
+                FROM events WHERE value IS NOT NULL
+                GROUP BY 1, 2
+            ), lags AS (
+                SELECT CAST(unnest(range(-7, 8)) AS INT) AS lag
+            ), j AS (
+                SELECT a.event_type AS type_a, b.event_type AS type_b,
+                       l.lag, a.x AS xa, b.x AS xb
+                FROM daily a
+                CROSS JOIN lags l
+                JOIN daily b ON b.day = a.day + l.lag
+                            AND a.event_type < b.event_type
+            ), m AS (
+                SELECT type_a, type_b, lag,
+                       CAST(count(*) AS HUGEINT) AS n,
+                       SUM(CAST(xa AS HUGEINT)) AS sa,
+                       SUM(CAST(xb AS HUGEINT)) AS sb,
+                       SUM(CAST(xa AS HUGEINT) * xb) AS sab,
+                       SUM(CAST(xa AS HUGEINT) * xa) AS saa,
+                       SUM(CAST(xb AS HUGEINT) * xb) AS sbb
+                FROM j GROUP BY 1, 2, 3
+            )
+            SELECT type_a, type_b, lag, CAST(n AS BIGINT) AS n_days,
+                   floor(CAST(n * sab - sa * sb AS DOUBLE)
+                         / (sqrt(CAST(n * saa - sa * sa AS DOUBLE))
+                            * sqrt(CAST(n * sbb - sb * sb AS DOUBLE)))
+                         * 1000000.0 + 0.5) / 1000000.0 AS ccf
+            FROM m
+            WHERE n >= 3 AND CAST(n * saa - sa * sa AS DOUBLE) > 0
+                         AND CAST(n * sbb - sb * sb AS DOUBLE) > 0
+            ORDER BY type_a, type_b, lag
+        """,
+        "fk_integrity_audit": _fk_audit_oracle_sql(),
+        "event_transition_entropy": """
+            WITH pairs AS (
+                SELECT event_type AS cur_event,
+                       lead(event_type) OVER (
+                           PARTITION BY user_id ORDER BY ts, event_id
+                       ) AS next_event
+                FROM events
+            ), counts AS (
+                SELECT cur_event, next_event, count(*) AS c
+                FROM pairs WHERE next_event IS NOT NULL GROUP BY 1, 2
+            ), s AS (
+                SELECT cur_event, SUM(c) AS n, count(*) AS n_next,
+                       SUM(CAST(floor(CAST(c AS DOUBLE)
+                                      * ln(CAST(c AS DOUBLE))
+                                      * 1000000000.0 + 0.5) AS BIGINT)) AS sm
+                FROM counts GROUP BY 1
+            )
+            SELECT cur_event, CAST(n AS BIGINT) AS n_transitions,
+                   CAST(n_next AS BIGINT) AS n_next_types,
+                   floor((ln(CAST(n AS DOUBLE))
+                          - CAST(sm AS DOUBLE) / 1000000000.0
+                            / CAST(n AS DOUBLE)) * 1000000.0 + 0.5)
+                       / 1000000.0 AS entropy_nats,
+                   floor((CASE WHEN n_next > 1 THEN
+                              (ln(CAST(n AS DOUBLE))
+                               - CAST(sm AS DOUBLE) / 1000000000.0
+                                 / CAST(n AS DOUBLE))
+                              / ln(CAST(n_next AS DOUBLE))
+                          ELSE 0.0 END) * 1000000.0 + 0.5)
+                       / 1000000.0 AS entropy_norm
+            FROM s ORDER BY cur_event
         """,
         "weighted_jaccard_pairs": """
             WITH t AS (

@@ -4978,3 +4978,182 @@ def events_stl_strength(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+def events_ccf_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-correlation function between the daily-value series of
+    every event-type pair at lags −7..+7 — "does error volume lead
+    purchase volume by two days?" — the lead/lag screen that turns a
+    wall of per-type time series into causal hypotheses. Positive lag
+    means type_a's series is correlated with type_b's series `lag`
+    days LATER.
+
+    Exactness mirrors `events_acf`: the daily series is the
+    whole-unit integer grid of `_daily_whole_units`; per (pair, lag)
+    Pearson moments are DECIMAL(38,0) sums of BIGINT products
+    (HUGEINT in the oracle), and only the final num/(√a·√b) runs in
+    fixed-operand-order doubles. Pairs with fewer than 3 overlapping
+    days or a constant side are excluded (undefined correlation).
+
+    Shape: ONE data-sized aggregate to (type, day) grain (the daily
+    frame is O(types × days), trivially small at any corpus size),
+    then a broadcast lag fan-out and a self-join of that tiny frame —
+    never a window over raw events. At 100 TB the only heavy stage
+    is the first groupBy; everything after is kilobytes."""
+    events = load_table(spark, sf_dir, "events")
+    daily = _daily_whole_units(events).localCheckpoint(eager=True)
+    lags = spark.range(-7, 8).select(F.col("id").cast("int").alias("lag"))
+    left = daily.crossJoin(F.broadcast(lags)).select(
+        F.col("event_type").alias("type_a"),
+        "lag",
+        F.date_add("day", F.col("lag")).alias("day_b"),
+        F.col("x").alias("xa"),
+    )
+    right = daily.select(
+        F.col("event_type").alias("type_b"),
+        F.col("day").alias("day_b"),
+        F.col("x").alias("xb"),
+    )
+    d38 = "decimal(38,0)"
+    m = (
+        left.join(right, "day_b")
+        .where(F.col("type_a") < F.col("type_b"))
+        .groupBy("type_a", "type_b", "lag")
+        .agg(
+            F.count(F.lit(1)).cast(d38).alias("n"),
+            F.sum(F.col("xa").cast(d38)).alias("sa"),
+            F.sum(F.col("xb").cast(d38)).alias("sb"),
+            F.sum(F.col("xa").cast(d38) * F.col("xb")).alias("sab"),
+            F.sum(F.col("xa").cast(d38) * F.col("xa")).alias("saa"),
+            F.sum(F.col("xb").cast(d38) * F.col("xb")).alias("sbb"),
+        )
+    )
+    va = (F.col("n") * F.col("saa") - F.col("sa") * F.col("sa")).cast("double")
+    vb = (F.col("n") * F.col("sbb") - F.col("sb") * F.col("sb")).cast("double")
+    num = (F.col("n") * F.col("sab") - F.col("sa") * F.col("sb")).cast("double")
+    return (
+        m.where((F.col("n") >= 3) & (va > 0) & (vb > 0))
+        .select(
+            "type_a",
+            "type_b",
+            "lag",
+            F.col("n").cast("long").alias("n_days"),
+            det_round(num / (F.sqrt(va) * F.sqrt(vb))).alias("ccf"),
+        )
+        .orderBy("type_a", "type_b", "lag")
+    )
+
+
+#: Foreign-key edges of the star schema: (child table, key column,
+#: parent table, parent key). events.user_id -> customer is included
+#: deliberately — it is NOT a declared FK in the generator, and the
+#: audit quantifies exactly how far it is from one.
+_FK_EDGES = [
+    ("lineitem", "l_orderkey", "orders", "o_orderkey"),
+    ("lineitem", "l_partkey", "part", "p_partkey"),
+    ("lineitem", "l_suppkey", "supplier", "s_suppkey"),
+    ("orders", "o_custkey", "customer", "c_custkey"),
+    ("customer", "c_nationkey", "nation", "n_nationkey"),
+    ("supplier", "s_nationkey", "nation", "n_nationkey"),
+    ("nation", "n_regionkey", "region", "r_regionkey"),
+    ("events", "user_id", "customer", "c_custkey"),
+]
+
+
+def fk_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity audit over the whole star schema: for
+    each foreign-key edge, the child row count, NULL-key count, and
+    orphan count (non-null keys with no parent) — the pipeline
+    pre-flight that catches a truncated dimension load before any
+    join silently drops fact rows.
+
+    Shape per edge: the child is reduced to ONE column then
+    left-anti-joined against the DISTINCT parent keys — at 100 TB the
+    anti join is a broadcast for dimension parents (nation/region/
+    customer/supplier/part all broadcast at real TPC-H ratios) and a
+    key-only shuffle for lineitem→orders; either way the payload is
+    8-byte keys, never full rows. The per-edge 1-row summaries union
+    into one 8-row frame."""
+    frames = []
+    for child, key, parent, pkey in _FK_EDGES:
+        c = load_table(spark, sf_dir, child).select(F.col(key).alias("_k"))
+        p = (
+            load_table(spark, sf_dir, parent)
+            .select(F.col(pkey).alias("_k"))
+            .distinct()
+        )
+        orphans = (
+            c.where(F.col("_k").isNotNull())
+            .join(p, "_k", "left_anti")
+            .agg(F.count(F.lit(1)).alias("n_orphans"))
+        )
+        base = c.agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.col("_k").isNull().cast("long")).alias("n_nulls"),
+        )
+        frames.append(
+            base.crossJoin(orphans).select(
+                F.lit(f"{child}.{key}->{parent}.{pkey}").alias("relation"),
+                "n_rows",
+                "n_nulls",
+                "n_orphans",
+            )
+        )
+    out = frames[0]
+    for f in frames[1:]:
+        out = out.unionAll(f)
+    return out.orderBy("relation")
+
+
+def event_transition_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-state predictability of the user event stream: for each
+    current event type, the Shannon entropy (nats) of the
+    next-event-type distribution plus its normalized form
+    H/ln(n_next) ∈ [0,1] — the summary that turns
+    `event_transitions`' 5×5 matrix into one "how deterministic is
+    the flow out of this state" number per row.
+
+    H = ln(N) − (Σ cᵢ·ln cᵢ)/N over exact integer counts; each
+    cᵢ·ln cᵢ term is floored onto a 1e-9 grid as BIGINT (the
+    `token_entropy` nano-grid device — absorbs last-ulp libm
+    differences between engines) and summed exactly, so only the
+    final fixed-operand-order double expression differs from pure
+    integer math. Shape: the same single user-window shuffle as
+    `event_transitions`, then arithmetic on the tiny count matrix."""
+    events = load_table(spark, sf_dir, "events")
+    by_user = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    counts = (
+        events.select(
+            "user_id",
+            "ts",
+            "event_id",
+            F.col("event_type").alias("cur_event"),
+            F.lead("event_type").over(by_user).alias("next_event"),
+        )
+        .where(F.col("next_event").isNotNull())
+        .groupBy("cur_event", "next_event")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    term = F.floor(
+        F.col("c").cast("double") * F.log(F.col("c").cast("double")) * F.lit(1e9)
+        + F.lit(0.5)
+    ).cast("long")
+    s = counts.groupBy("cur_event").agg(
+        F.sum("c").alias("n"),
+        F.count(F.lit(1)).alias("n_next"),
+        F.sum(term).alias("_s"),
+    )
+    h = (
+        F.log(F.col("n").cast("double"))
+        - F.col("_s").cast("double") / F.lit(1e9) / F.col("n").cast("double")
+    )
+    return s.select(
+        "cur_event",
+        F.col("n").cast("long").alias("n_transitions"),
+        F.col("n_next").cast("long").alias("n_next_types"),
+        det_round(h).alias("entropy_nats"),
+        det_round(
+            F.when(F.col("n_next") > 1, h / F.log(F.col("n_next").cast("double")))
+            .otherwise(F.lit(0.0))
+        ).alias("entropy_norm"),
+    ).orderBy("cur_event")
