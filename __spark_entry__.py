@@ -1308,6 +1308,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_ccf_lag": analytics.events_ccf_lag,
         "fk_integrity_audit": analytics.fk_integrity_audit,
         "event_transition_entropy": analytics.event_transition_entropy,
+        "copurchase_adamic_adar": analytics.copurchase_adamic_adar,
+        "customer_mahalanobis_outliers": analytics.customer_mahalanobis_outliers,
+        "lineitem_ols_2var": analytics.lineitem_ols_2var,
         "copurchase_components": analytics.copurchase_components,
         "orders_nested_rollup": analytics.orders_nested_rollup,
         "orderkey_gap_audit": analytics.orderkey_gap_audit,
@@ -4433,6 +4436,122 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY type_a, type_b, lag
         """,
         "fk_integrity_audit": _fk_audit_oracle_sql(),
+        "copurchase_adamic_adar": f"""
+            WITH {_COPURCHASE_EDGES_CTE},
+            und AS (SELECT src, dst FROM e
+                    UNION ALL SELECT dst, src FROM e),
+            deg AS (SELECT src, count(*) AS deg FROM und GROUP BY src),
+            wu AS (
+                SELECT u.src AS w, u.dst AS uu,
+                       CAST(floor(1000000000.0
+                                  / ln(CAST(d.deg AS DOUBLE)) + 0.5)
+                            AS BIGINT) AS t
+                FROM und u JOIN deg d ON u.src = d.src
+                WHERE d.deg >= 2 AND d.deg <= 10000
+            ), pairs AS (
+                SELECT a.uu AS u, b.uu AS v, a.t AS t
+                FROM wu a JOIN wu b ON a.w = b.w AND a.uu < b.uu
+            ), scored AS (
+                SELECT u, v, SUM(t) AS s, count(*) AS n_common
+                FROM pairs GROUP BY u, v
+            ), existing AS (
+                SELECT DISTINCT src AS u, dst AS v FROM und WHERE src < dst
+            )
+            SELECT u AS user_a, v AS user_b,
+                   CAST(n_common AS BIGINT) AS n_common,
+                   CAST(s AS DOUBLE) / 1000000000.0 AS aa_score
+            FROM scored sc
+            WHERE NOT EXISTS (SELECT 1 FROM existing e2
+                              WHERE e2.u = sc.u AND e2.v = sc.v)
+            ORDER BY s DESC, u, v LIMIT 50
+        """,
+        "customer_mahalanobis_outliers": """
+            WITH pc AS (
+                SELECT o_custkey, count(*) AS x1,
+                       SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                           AS x2
+                FROM orders GROUP BY 1
+            ), m AS (
+                SELECT CAST(count(*) AS HUGEINT) AS n,
+                       SUM(CAST(x1 AS HUGEINT)) AS s1,
+                       SUM(CAST(x2 AS HUGEINT)) AS s2,
+                       SUM(CAST(x1 AS HUGEINT) * x1) AS s11,
+                       SUM(CAST(x2 AS HUGEINT) * x2) AS s22,
+                       SUM(CAST(x1 AS HUGEINT) * x2) AS s12
+                FROM pc
+            )
+            SELECT o_custkey, CAST(x1 AS BIGINT) AS n_orders,
+                   CAST(x2 AS DOUBLE) / 100.0 AS total_spend,
+                   floor((
+                       (CAST(n * s22 - s2 * s2 AS DOUBLE)
+                          * CAST(n * x1 - s1 AS DOUBLE)
+                          * CAST(n * x1 - s1 AS DOUBLE)
+                        - 2.0 * CAST(n * s12 - s1 * s2 AS DOUBLE)
+                          * CAST(n * x1 - s1 AS DOUBLE)
+                          * CAST(n * x2 - s2 AS DOUBLE)
+                        + CAST(n * s11 - s1 * s1 AS DOUBLE)
+                          * CAST(n * x2 - s2 AS DOUBLE)
+                          * CAST(n * x2 - s2 AS DOUBLE))
+                       / (CAST(n * s11 - s1 * s1 AS DOUBLE)
+                            * CAST(n * s22 - s2 * s2 AS DOUBLE)
+                          - CAST(n * s12 - s1 * s2 AS DOUBLE)
+                            * CAST(n * s12 - s1 * s2 AS DOUBLE))
+                   ) * 1000000.0 + 0.5) / 1000000.0 AS mahalanobis_d2
+            FROM pc, m
+            ORDER BY mahalanobis_d2 DESC, o_custkey LIMIT 20
+        """,
+        "lineitem_ols_2var": """
+            WITH b AS (
+                SELECT CAST(CAST(l_quantity AS BIGINT) AS HUGEINT) AS x1,
+                       CAST(CAST(floor(l_discount * 100 + 0.5) AS BIGINT)
+                            AS HUGEINT) AS x2,
+                       CAST(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+                            AS HUGEINT) AS y
+                FROM lineitem
+            ), mo AS (
+                SELECT CAST(count(*) AS HUGEINT) AS n,
+                       SUM(x1) AS s1, SUM(x2) AS s2,
+                       SUM(x1 * x1) AS s11, SUM(x1 * x2) AS s12,
+                       SUM(x2 * x2) AS s22, SUM(y) AS sy,
+                       SUM(x1 * y) AS s1y, SUM(x2 * y) AS s2y,
+                       SUM(y * y) AS syy
+                FROM b
+            ), dd AS (
+                SELECT CAST(n AS BIGINT) AS n_rows,
+                       CAST(n AS DOUBLE) AS a, CAST(s1 AS DOUBLE) AS bb,
+                       CAST(s2 AS DOUBLE) AS c, CAST(s11 AS DOUBLE) AS d,
+                       CAST(s12 AS DOUBLE) AS e, CAST(s22 AS DOUBLE) AS f,
+                       CAST(sy AS DOUBLE) AS g, CAST(s1y AS DOUBLE) AS h,
+                       CAST(s2y AS DOUBLE) AS i, CAST(syy AS DOUBLE) AS syy
+                FROM mo
+            ), k AS (
+                SELECT n_rows, a, g, h, i, syy,
+                       a * (d * f - e * e) - bb * (bb * f - e * c)
+                         + c * (bb * e - d * c) AS det,
+                       g * (d * f - e * e) - bb * (h * f - e * i)
+                         + c * (h * e - d * i) AS det0,
+                       a * (h * f - e * i) - g * (bb * f - e * c)
+                         + c * (bb * i - h * c) AS det1,
+                       a * (d * i - h * e) - bb * (bb * i - h * c)
+                         + g * (bb * e - d * c) AS det2
+                FROM dd
+            ), r AS (
+                SELECT n_rows, a, g, h, i, syy,
+                       det0 / det AS b0, det1 / det AS b1, det2 / det AS b2
+                FROM k
+            )
+            SELECT n_rows,
+                   floor(b0 / 100.0 * 1000000.0 + 0.5) / 1000000.0
+                       AS intercept,
+                   floor(b1 / 100.0 * 1000000.0 + 0.5) / 1000000.0
+                       AS beta_qty,
+                   floor(b2 / 100.0 * 1000000.0 + 0.5) / 1000000.0
+                       AS beta_disc,
+                   floor((1.0 - (syy - (b0 * g + b1 * h + b2 * i))
+                                / (syy - g * g / a)) * 1000000.0 + 0.5)
+                       / 1000000.0 AS r2
+            FROM r
+        """,
         "event_transition_entropy": """
             WITH pairs AS (
                 SELECT event_type AS cur_event,

@@ -354,3 +354,67 @@ def cheapest_paths(
             .localCheckpoint(eager=True)
         )
     return dist
+
+
+def adamic_adar(
+    edges: DataFrame, k: int = 50, max_degree: int = 10_000
+) -> DataFrame:
+    """Adamic–Adar link prediction: for node pairs NOT currently
+    connected, score = Σ over common neighbors w of 1/ln(deg(w)),
+    returning the top-k strongest predicted links — the classic
+    "people you may know" primitive (reference has no graph ops;
+    this extends the co-purchase family like `pagerank` above).
+
+    Determinism: each wedge center contributes the BIGINT term
+    floor(1e9/ln(deg)+0.5) (nano-grid absorbs last-ulp libm
+    differences), per-pair scores are exact integer sums, and the
+    top-k orders by the INTEGER score with (u,v) tie-breaks.
+
+    Scale: the wedge join is Σ_w deg(w)² pairs — quadratic in hub
+    degree, so nodes above `max_degree` are excluded from wedge
+    CENTERS (a documented valve, same idea as the LSH
+    `max_bucket_size`: a 10⁶-degree hub predicts everything and
+    means nothing, and its wedge fan-out alone would be 10¹²).
+    Centers also need deg ≥ 2 (deg-1 nodes form no wedge, and
+    ln(1)=0 would divide by zero)."""
+    und = _undirect(edges)
+    deg = und.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    term = F.floor(
+        F.lit(1e9) / F.log(F.col("deg").cast("double")) + F.lit(0.5)
+    ).cast("long")
+    wu = (
+        und.join(
+            deg.where((F.col("deg") >= 2) & (F.col("deg") <= max_degree)),
+            "src",
+        )
+        .select(F.col("src").alias("w"), F.col("dst").alias("u"), term.alias("t"))
+    )
+    pairs = (
+        wu.alias("a")
+        .join(
+            wu.alias("b"),
+            (F.col("a.w") == F.col("b.w")) & (F.col("a.u") < F.col("b.u")),
+        )
+        .select(
+            F.col("a.u").alias("u"), F.col("b.u").alias("v"), F.col("a.t").alias("t")
+        )
+    )
+    scored = pairs.groupBy("u", "v").agg(
+        F.sum("t").alias("s"), F.count(F.lit(1)).alias("n_common")
+    )
+    existing = (
+        und.where(F.col("src") < F.col("dst"))
+        .select(F.col("src").alias("u"), F.col("dst").alias("v"))
+        .distinct()
+    )
+    return (
+        scored.join(existing, ["u", "v"], "left_anti")
+        .orderBy(F.desc("s"), "u", "v")
+        .limit(k)
+        .select(
+            "u",
+            "v",
+            F.col("n_common").cast("long").alias("n_common"),
+            (F.col("s").cast("double") / F.lit(1e9)).alias("aa_score"),
+        )
+    )

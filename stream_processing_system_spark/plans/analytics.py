@@ -5157,3 +5157,139 @@ def event_transition_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
             .otherwise(F.lit(0.0))
         ).alias("entropy_norm"),
     ).orderBy("cur_event")
+
+
+def copurchase_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-50 predicted links in the user co-purchase graph by
+    Adamic–Adar score (operators/graph.py:adamic_adar — integer
+    nano-grid wedge terms, hub valve, exact top-k)."""
+    from stream_processing_system_spark.operators.graph import (
+        adamic_adar,
+        cooccurrence_edges,
+    )
+
+    events = load_table(spark, sf_dir, "events")
+    return adamic_adar(cooccurrence_edges(events), k=50).select(
+        F.col("u").alias("user_a"),
+        F.col("v").alias("user_b"),
+        "n_common",
+        "aa_score",
+    )
+
+
+def customer_mahalanobis_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 outlier customers by 2-D Mahalanobis distance over
+    (order count, total spend) — the covariance-aware anomaly score
+    that catches "many cheap orders" AND "one huge order" patterns a
+    per-axis z-score misses, because it whitens the strong
+    count↔spend correlation first.
+
+    Exactness: features are exact integers (count, cent-sum); the
+    five covariance moments are DECIMAL(38,0)/HUGEINT sums; with
+    u = n·x₁−S₁, v = n·x₂−S₂ (exact integers) the distance is the
+    closed form d² = (B·u² − 2C·u·v + A·v²)/(A·B − C²) over the
+    integer scatter numerators A,B,C — evaluated in doubles with ONE
+    fixed operand order in both engines, no aggregation of doubles
+    anywhere. Ordering uses d² then custkey, identical doubles on
+    both sides.
+
+    Shape: one groupBy of orders to customer grain, one broadcast of
+    the 1-row moment frame back onto it — two shuffles total, both on
+    o_custkey-grain data."""
+    orders = load_table(spark, sf_dir, "orders")
+    per_cust = orders.groupBy("o_custkey").agg(
+        F.count(F.lit(1)).alias("x1"),
+        F.sum(F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long"))
+        .alias("x2"),
+    )
+    d38 = "decimal(38,0)"
+    m = per_cust.agg(
+        F.count(F.lit(1)).cast(d38).alias("n"),
+        F.sum(F.col("x1").cast(d38)).alias("s1"),
+        F.sum(F.col("x2").cast(d38)).alias("s2"),
+        F.sum(F.col("x1").cast(d38) * F.col("x1")).alias("s11"),
+        F.sum(F.col("x2").cast(d38) * F.col("x2")).alias("s22"),
+        F.sum(F.col("x1").cast(d38) * F.col("x2")).alias("s12"),
+    )
+    j = per_cust.crossJoin(F.broadcast(m))
+    ad = (F.col("n") * F.col("s11") - F.col("s1") * F.col("s1")).cast("double")
+    bd = (F.col("n") * F.col("s22") - F.col("s2") * F.col("s2")).cast("double")
+    cd = (F.col("n") * F.col("s12") - F.col("s1") * F.col("s2")).cast("double")
+    ud = (F.col("n") * F.col("x1").cast(d38) - F.col("s1")).cast("double")
+    vd = (F.col("n") * F.col("x2").cast(d38) - F.col("s2")).cast("double")
+    d2 = (bd * ud * ud - F.lit(2.0) * cd * ud * vd + ad * vd * vd) / (
+        ad * bd - cd * cd
+    )
+    return (
+        j.select(
+            "o_custkey",
+            F.col("x1").cast("long").alias("n_orders"),
+            (F.col("x2").cast("double") / F.lit(100.0)).alias("total_spend"),
+            det_round(d2).alias("mahalanobis_d2"),
+        )
+        .orderBy(F.desc("mahalanobis_d2"), "o_custkey")
+        .limit(20)
+    )
+
+
+def lineitem_ols_2var(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-feature OLS fit of extended price on (quantity, discount)
+    via the normal equations — the distributed closed-form regression
+    every pricing sanity check starts with: one pass of nine exact
+    moment sums, then a 3×3 Cramer solve on the driver-free 1-row
+    frame. Extends `revenue_theilsen_trend`'s single-feature family
+    to the multivariate case.
+
+    Exactness: y is cent-integer, x₁ whole quantity, x₂
+    centi-discount; all nine moments are DECIMAL(38,0)/HUGEINT exact
+    sums. The Cramer determinants and R² = 1 − SSE/SST run in
+    doubles with ONE fixed operand order mirrored textually in the
+    oracle — deterministic because no double is ever aggregated.
+
+    Shape: ONE map-side-combined aggregate over lineitem; everything
+    after is arithmetic on a single row. At 100 TB this is the
+    cheapest possible multivariate fit — no iteration, no shuffle of
+    anything wider than the nine-sum row."""
+    li = load_table(spark, sf_dir, "lineitem")
+    d38 = "decimal(38,0)"
+    base = li.select(
+        F.col("l_quantity").cast("long").cast(d38).alias("x1"),
+        F.floor(F.col("l_discount") * 100 + F.lit(0.5)).cast("long").cast(d38)
+        .alias("x2"),
+        F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5)).cast("long")
+        .cast(d38).alias("y"),
+    )
+    mo = base.agg(
+        F.count(F.lit(1)).cast(d38).alias("n"),
+        F.sum("x1").alias("s1"),
+        F.sum("x2").alias("s2"),
+        F.sum(F.col("x1") * F.col("x1")).alias("s11"),
+        F.sum(F.col("x1") * F.col("x2")).alias("s12"),
+        F.sum(F.col("x2") * F.col("x2")).alias("s22"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x1") * F.col("y")).alias("s1y"),
+        F.sum(F.col("x2") * F.col("y")).alias("s2y"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    # Cramer's rule on the symmetric 3x3 normal matrix
+    # [[n,s1,s2],[s1,s11,s12],[s2,s12,s22]] — every operand is an
+    # exact integer cast to double once; the expression text below is
+    # mirrored verbatim in the SQL oracle.
+    a, b, c = F.col("n").cast("double"), F.col("s1").cast("double"), F.col("s2").cast("double")
+    d, e, f = F.col("s11").cast("double"), F.col("s12").cast("double"), F.col("s22").cast("double")
+    g, h, i = F.col("sy").cast("double"), F.col("s1y").cast("double"), F.col("s2y").cast("double")
+    syy = F.col("syy").cast("double")
+    det = a * (d * f - e * e) - b * (b * f - e * c) + c * (b * e - d * c)
+    det0 = g * (d * f - e * e) - b * (h * f - e * i) + c * (h * e - d * i)
+    det1 = a * (h * f - e * i) - g * (b * f - e * c) + c * (b * i - h * c)
+    det2 = a * (d * i - h * e) - b * (b * i - h * c) + g * (b * e - d * c)
+    b0, b1, b2 = det0 / det, det1 / det, det2 / det
+    sse = syy - (b0 * g + b1 * h + b2 * i)
+    sst = syy - g * g / a
+    return mo.select(
+        F.col("n").cast("long").alias("n_rows"),
+        det_round(b0 / F.lit(100.0)).alias("intercept"),
+        det_round(b1 / F.lit(100.0)).alias("beta_qty"),
+        det_round(b2 / F.lit(100.0)).alias("beta_disc"),
+        det_round(F.lit(1.0) - sse / sst).alias("r2"),
+    )
