@@ -581,7 +581,12 @@ def _fk_audit_oracle_sql() -> str:
     return " UNION ALL ".join(arms) + " ORDER BY relation"
 
 
-def _pagerank_oracle_sql(iters: int = 3, damping: float = 0.85) -> str:
+def _pagerank_oracle_sql(
+    iters: int = 3,
+    damping: float = 0.85,
+    edges_cte: str | None = None,
+    final_select: str | None = None,
+) -> str:
     """Unrolled power iterations mirroring `graph.pagerank`: BIGINT
     mass on the 1e-9 grid, float factors written with repr() so both
     engines parse the IDENTICAL doubles (1-0.85 is 0.15000000000000002
@@ -605,11 +610,14 @@ def _pagerank_oracle_sql(iters: int = 3, damping: float = 0.85) -> str:
         JOIN deg dg ON u.src = dg.src
         GROUP BY u.dst
     )""")
+    final = final_select or (
+        f"SELECT node AS user_id, pr::DOUBLE / 1e9 AS pagerank\n"
+        f"        FROM p{iters} ORDER BY user_id"
+    )
     return f"""
-        WITH {_COPURCHASE_EDGES_CTE},
+        WITH {edges_cte or _COPURCHASE_EDGES_CTE},
         {','.join(parts)}
-        SELECT node AS user_id, pr::DOUBLE / 1e9 AS pagerank
-        FROM p{iters} ORDER BY user_id
+        {final}
     """
 
 
@@ -1311,6 +1319,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "copurchase_adamic_adar": analytics.copurchase_adamic_adar,
         "customer_mahalanobis_outliers": analytics.customer_mahalanobis_outliers,
         "lineitem_ols_2var": analytics.lineitem_ols_2var,
+        "part_price_elasticity": analytics.part_price_elasticity,
+        "user_gap_survival": analytics.user_gap_survival,
+        "doc_textrank_keywords": analytics.doc_textrank_keywords,
         "copurchase_components": analytics.copurchase_components,
         "orders_nested_rollup": analytics.orders_nested_rollup,
         "orderkey_gap_audit": analytics.orderkey_gap_audit,
@@ -4465,6 +4476,108 @@ def oracle_sql() -> dict[str, str]:
                               WHERE e2.u = sc.u AND e2.v = sc.v)
             ORDER BY s DESC, u, v LIMIT 50
         """,
+        "part_price_elasticity": """
+            WITH rows_ AS (
+                SELECT p.p_brand,
+                       CAST(floor(ln(CAST(CAST(floor(
+                           l.l_extendedprice / l.l_quantity * 100.0 + 0.5)
+                           AS BIGINT) AS DOUBLE)) * 1000000000.0 + 0.5)
+                           AS BIGINT) AS lx,
+                       CAST(floor(ln(CAST(CAST(l.l_quantity AS BIGINT)
+                           AS DOUBLE)) * 1000000000.0 + 0.5)
+                           AS BIGINT) AS ly
+                FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+            ), m AS (
+                SELECT p_brand, CAST(count(*) AS HUGEINT) AS n,
+                       SUM(CAST(lx AS HUGEINT)) AS sx,
+                       SUM(CAST(ly AS HUGEINT)) AS sy,
+                       SUM(CAST(lx AS HUGEINT) * lx) AS sxx,
+                       SUM(CAST(ly AS HUGEINT) * ly) AS syy,
+                       SUM(CAST(lx AS HUGEINT) * ly) AS sxy
+                FROM rows_ GROUP BY 1
+            )
+            SELECT p_brand, CAST(n AS BIGINT) AS n_items,
+                   floor(CAST(n * sxy - sx * sy AS DOUBLE)
+                         / CAST(n * sxx - sx * sx AS DOUBLE)
+                         * 1000000.0 + 0.5) / 1000000.0 AS elasticity,
+                   floor(CAST(n * sxy - sx * sy AS DOUBLE)
+                         / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+                            * sqrt(CAST(n * syy - sy * sy AS DOUBLE)))
+                         * 1000000.0 + 0.5) / 1000000.0 AS corr
+            FROM m
+            WHERE CAST(n * sxx - sx * sx AS DOUBLE) > 0
+              AND CAST(n * syy - sy * sy AS DOUBLE) > 0
+            ORDER BY p_brand
+        """,
+        "user_gap_survival": """
+            WITH ev0 AS (
+                SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS s,
+                       event_id
+                FROM events
+            ), ev AS (
+                SELECT s, lead(s) OVER (
+                    PARTITION BY user_id ORDER BY s, event_id
+                ) AS nxt
+                FROM ev0
+            ), obs AS (
+                SELECT (nxt - s) // 60 AS t, 1 AS is_obs
+                FROM ev WHERE nxt IS NOT NULL
+            ), gm AS (
+                SELECT MAX(CAST(floor(epoch(ts)) AS BIGINT)) AS gm FROM events
+            ), cens AS (
+                SELECT (gm.gm - s) // 60 AS t, 0 AS is_obs
+                FROM ev, gm WHERE nxt IS NULL
+            ), subj AS (
+                SELECT * FROM obs UNION ALL SELECT * FROM cens
+            ), per_t AS (
+                SELECT t, SUM(is_obs) AS d, count(*) AS m
+                FROM subj GROUP BY t
+            ), nn AS (SELECT count(*) AS N FROM subj),
+            tbl AS (
+                SELECT t, d,
+                       N - COALESCE(SUM(m) OVER (
+                           ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING
+                                          AND 1 PRECEDING), 0) AS n
+                FROM per_t, nn
+            ), tm AS (
+                SELECT t, d, n,
+                       SUM(CASE WHEN d < n THEN CAST(floor(
+                           ln(CAST(n - d AS DOUBLE) / CAST(n AS DOUBLE))
+                           * 1000000000.0 + 0.5) AS BIGINT)
+                           ELSE 0 END) OVER (
+                           ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING
+                                          AND CURRENT ROW) AS cum,
+                       MAX(CASE WHEN d >= n THEN 1 ELSE 0 END) OVER (
+                           ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING
+                                          AND CURRENT ROW) AS z
+                FROM tbl
+            )
+            SELECT CAST(t AS BIGINT) AS gap_minutes,
+                   CAST(n AS BIGINT) AS n_at_risk,
+                   CAST(d AS BIGINT) AS n_events,
+                   CASE WHEN z = 1 THEN 0.0
+                        ELSE floor(exp(CAST(cum AS DOUBLE) / 1000000000.0)
+                                   * 1000000.0 + 0.5) / 1000000.0
+                   END AS survival
+            FROM tm WHERE d >= 1 ORDER BY gap_minutes
+        """,
+        "doc_textrank_keywords": _pagerank_oracle_sql(
+            edges_cte="""toksrc AS (
+                SELECT list_filter(string_split(text, ' '),
+                                   x -> x <> '') AS t
+                FROM documents
+            ), bigr AS (
+                SELECT t[i] AS a, t[i + 1] AS b
+                FROM toksrc, UNNEST(range(1, len(t))) AS u(i)
+                WHERE t[i] <> t[i + 1]
+            ), e AS (
+                SELECT DISTINCT least(a, b) AS src, greatest(a, b) AS dst
+                FROM bigr
+            )""",
+            final_select="""SELECT node AS word,
+                   pr::DOUBLE / 1e9 AS pagerank
+            FROM p3 ORDER BY pr DESC, node LIMIT 50""",
+        ),
         "customer_mahalanobis_outliers": """
             WITH pc AS (
                 SELECT o_custkey, count(*) AS x1,

@@ -5293,3 +5293,192 @@ def lineitem_ols_2var(spark: SparkSession, sf_dir: str) -> DataFrame:
         det_round(b2 / F.lit(100.0)).alias("beta_disc"),
         det_round(F.lit(1.0) - sse / sst).alias("r2"),
     )
+
+
+def part_price_elasticity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-brand log-log price elasticity of demand: the OLS slope of
+    ln(quantity) on ln(unit price) across a brand's line items, plus
+    the correlation — the pricing-team staple that answers "does a
+    10% discount move 10% more units for THIS brand?" (slope ≈ the
+    %Δqty per %Δprice). Multivariate sibling: `lineitem_ols_2var`.
+
+    Exactness: unit price is floored to integer cents FIRST, then
+    both logs are floored onto a 1e-9 integer grid per row (the
+    nano-grid device — absorbs last-ulp libm ln differences), so all
+    six per-brand moments are exact DECIMAL(38,0)/HUGEINT sums; the
+    slope and correlation are fixed-operand-order doubles at the
+    very end. The nano scale cancels in both ratios.
+
+    Shape: one broadcast join (part is a dimension), one map stage
+    computing the grid logs, one combine-enabled groupBy over ~25
+    brands — the minimum possible for a per-brand fit at 100 TB."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    up = F.floor(
+        F.col("l_extendedprice") / F.col("l_quantity") * F.lit(100.0) + F.lit(0.5)
+    ).cast("long")
+    rows = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .select(
+            "p_brand",
+            F.floor(F.log(up.cast("double")) * F.lit(1e9) + F.lit(0.5))
+            .cast("long")
+            .alias("lx"),
+            F.floor(
+                F.log(F.col("l_quantity").cast("long").cast("double"))
+                * F.lit(1e9)
+                + F.lit(0.5)
+            )
+            .cast("long")
+            .alias("ly"),
+        )
+    )
+    d38 = "decimal(38,0)"
+    m = rows.groupBy("p_brand").agg(
+        F.count(F.lit(1)).cast(d38).alias("n"),
+        F.sum(F.col("lx").cast(d38)).alias("sx"),
+        F.sum(F.col("ly").cast(d38)).alias("sy"),
+        F.sum(F.col("lx").cast(d38) * F.col("lx")).alias("sxx"),
+        F.sum(F.col("ly").cast(d38) * F.col("ly")).alias("syy"),
+        F.sum(F.col("lx").cast(d38) * F.col("ly")).alias("sxy"),
+    )
+    vx = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    vy = (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")
+    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    return (
+        m.where((vx > 0) & (vy > 0))
+        .select(
+            "p_brand",
+            F.col("n").cast("long").alias("n_items"),
+            det_round(num / vx).alias("elasticity"),
+            det_round(num / (F.sqrt(vx) * F.sqrt(vy))).alias("corr"),
+        )
+        .orderBy("p_brand")
+    )
+
+
+def user_gap_survival(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan–Meier survival curve of user inter-event gaps (whole
+    minutes): S(t) = Π_{gᵢ ≤ t} (1 − dᵢ/nᵢ) over observed gaps, with
+    each user's final open gap (last event → corpus end) entering
+    the risk sets as a RIGHT-CENSORED subject — the churn-analysis
+    estimator that a plain gap histogram gets wrong by ignoring the
+    users who simply haven't come back YET.
+
+    Exactness: gaps are integer minutes from epoch-second
+    arithmetic; risk sets nᵢ and event counts dᵢ are exact integers
+    via one cumulative window over the tiny per-minute table; each
+    KM factor enters as floor(ln((n−d)/n)·1e9 + 0.5) BIGINT and the
+    product is exp() of the exact cumulative sum — the nano-grid
+    device, so the only doubles are one fixed-order expression per
+    output row. If some gap exhausts the risk set (d = n), survival
+    is pinned to 0 from there on (ln would be −∞).
+
+    Shape: ONE user-partitioned window over events builds subjects;
+    everything after operates on the per-distinct-minute frame,
+    whose size is bounded by the time range in minutes, not the data
+    — the single-partition cumulative window is over that tiny
+    frame only."""
+    events = load_table(spark, sf_dir, "events")
+    by_user = Window.partitionBy("user_id").orderBy("s", "event_id")
+    ev = events.select(
+        "user_id",
+        F.col("ts").cast("long").alias("s"),
+        "event_id",
+    ).select("s", F.lead("s").over(by_user).alias("nxt"))
+    obs = ev.where(F.col("nxt").isNotNull()).select(
+        F.expr("(nxt - s) div 60").alias("t"), F.lit(1).alias("is_obs")
+    )
+    gmax = events.agg(F.max(F.col("ts").cast("long")).alias("gm"))
+    cens = (
+        ev.where(F.col("nxt").isNull())
+        .crossJoin(F.broadcast(gmax))
+        .select(F.expr("(gm - s) div 60").alias("t"), F.lit(0).alias("is_obs"))
+    )
+    subj = obs.unionAll(cens)
+    per_t = subj.groupBy("t").agg(
+        F.sum("is_obs").alias("d"), F.count(F.lit(1)).alias("m")
+    )
+    nn = subj.agg(F.count(F.lit(1)).alias("N"))
+    w_prev = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, -1)
+    w_inc = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, 0)
+    tbl = per_t.crossJoin(F.broadcast(nn)).select(
+        "t",
+        "d",
+        (F.col("N") - F.coalesce(F.sum("m").over(w_prev), F.lit(0))).alias("n"),
+    )
+    term = F.when(
+        F.col("d") < F.col("n"),
+        F.floor(
+            F.log(
+                (F.col("n") - F.col("d")).cast("double")
+                / F.col("n").cast("double")
+            )
+            * F.lit(1e9)
+            + F.lit(0.5)
+        ).cast("long"),
+    ).otherwise(F.lit(0).cast("long"))
+    z = F.max((F.col("d") >= F.col("n")).cast("int")).over(w_inc)
+    cum = F.sum(term).over(w_inc)
+    return (
+        tbl.select(
+            "t",
+            "d",
+            "n",
+            z.alias("_z"),
+            cum.alias("_cum"),
+        )
+        .where(F.col("d") >= 1)
+        .select(
+            F.col("t").cast("long").alias("gap_minutes"),
+            F.col("n").cast("long").alias("n_at_risk"),
+            F.col("d").cast("long").alias("n_events"),
+            F.when(F.col("_z") == 1, F.lit(0.0))
+            .otherwise(
+                det_round(F.exp(F.col("_cum").cast("double") / F.lit(1e9)))
+            )
+            .alias("survival"),
+        )
+        .orderBy("gap_minutes")
+    )
+
+
+def doc_textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TextRank keyword extraction over the corpus: PageRank (3
+    power iterations, the `operators/graph.pagerank` integer-grid
+    contract) on the word co-occurrence graph built from ADJACENT
+    token pairs, top-50 words by rank — the unsupervised keyword
+    primitive behind extractive summarizers, here at corpus scope so
+    the graph aggregates evidence across documents.
+
+    Shape: one explode to bigram pairs + one distinct builds the
+    edge list (vocabulary-sized, tiny relative to the corpus);
+    PageRank then runs on that graph only. Ordering compares the
+    grid-exact rank values (identical doubles both engines), word
+    tie-break."""
+    from stream_processing_system_spark.operators.graph import pagerank
+
+    docs = load_table(spark, sf_dir, "documents")
+    t = F.filter(F.split(F.col("text"), " "), lambda x: x != "")
+    pairs = (
+        docs.select(t.alias("t"))
+        .select(
+            F.explode(
+                F.expr(
+                    "transform(slice(t, 1, greatest(size(t) - 1, 0)),"
+                    " (x, i) -> struct(x AS a, element_at(t, i + 2) AS b))"
+                )
+            ).alias("p")
+        )
+        .select(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+        .where(F.col("a") != F.col("b"))
+    )
+    edges = pairs.select(
+        F.least("a", "b").alias("src"), F.greatest("a", "b").alias("dst")
+    ).distinct()
+    return (
+        pagerank(edges, iters=3)
+        .select(F.col("node").alias("word"), "pagerank")
+        .orderBy(F.desc("pagerank"), "word")
+        .limit(50)
+    )
