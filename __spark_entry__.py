@@ -544,6 +544,122 @@ def _pq_topk_oracle_sql(
     """
 
 
+def _ivfpq_topk_oracle_sql(
+    n_probe: int = 4,
+    n_sub: int = 8,
+    n_codes: int = 16,
+    dim: int = 64,
+    k: int = 10,
+    rerank: int = 50,
+) -> str:
+    """IVF+PQ in SQL, mirroring `similarity.ivfpq_topk`: the SAME
+    trained IVF codebook (`_ivf_trained_cte`), residuals
+    v − centroid, per-subspace residual PQ codebooks (1 Lloyd's
+    round, det-round grid — identical to `train_pq_codebooks` on the
+    residual frame), then ADC = grid(q·cell centroid) + Σ grid
+    lookups, integer shortlist, exact re-rank. PQ CTEs are
+    r-prefixed to avoid colliding with the IVF training CTEs."""
+    cte, final = _ivf_trained_cte()
+    width = dim // n_sub
+    ctes, encs, qts = [], [], []
+    for s in range(n_sub):
+        lo, hi = s * width + 1, (s + 1) * width
+        d2 = (
+            "list_sum(list_transform(range(1, {w}), i -> "
+            "(v.svec[i] - c.cvec[i]) * (v.svec[i] - c.cvec[i])))"
+        ).format(w=width + 1)
+        ctes.append(f"""rb{s}0 AS (
+            SELECT row_number() OVER (ORDER BY vec_id ASC) - 1 AS cid,
+                   rvec[{lo}:{hi}] AS cvec
+            FROM (SELECT vec_id, rvec FROM resid
+                  ORDER BY vec_id ASC LIMIT {n_codes})
+        ), rsv{s} AS (
+            SELECT vec_id, rvec[{lo}:{hi}] AS svec FROM resid
+        ), ra{s} AS (
+            SELECT vec_id, svec, cid FROM (
+                SELECT v.vec_id, v.svec, c.cid,
+                       row_number() OVER (PARTITION BY v.vec_id
+                           ORDER BY {d2} ASC, c.cid ASC) AS rn
+                FROM rsv{s} v CROSS JOIN rb{s}0 c
+            ) WHERE rn = 1
+        ), rm{s} AS (
+            SELECT cid, i, floor(avg(svec[i]) * 1e6 + 0.5) / 1e6 AS mv
+            FROM ra{s}, UNNEST(range(1, {width + 1})) AS u(i)
+            GROUP BY cid, i
+        ), rl{s} AS (
+            SELECT cid, list(mv ORDER BY i) AS cvec FROM rm{s} GROUP BY cid
+        ), rb{s}1 AS (
+            SELECT p.cid, COALESCE(l.cvec, p.cvec) AS cvec
+            FROM rb{s}0 p LEFT JOIN rl{s} l ON p.cid = l.cid
+        ), renc{s} AS (
+            SELECT vec_id, cid AS c{s} FROM (
+                SELECT v.vec_id, c.cid,
+                       row_number() OVER (PARTITION BY v.vec_id
+                           ORDER BY {d2} ASC, c.cid ASC) AS rn
+                FROM rsv{s} v CROSS JOIN rb{s}1 c
+            ) WHERE rn = 1
+        ), rqt{s} AS (
+            SELECT c.cid AS c{s},
+                   floor(list_dot_product(
+                       (SELECT embedding[{lo}:{hi}]::DOUBLE[]
+                        FROM embeddings WHERE vec_id = 0), c.cvec)
+                       * 1e6 + 0.5)::BIGINT AS contrib{s}
+            FROM rb{s}1 c
+        )""")
+        encs.append(f"renc{s}")
+        qts.append(f"JOIN rqt{s} USING (c{s})")
+    enc_join = encs[0] + "".join(f" JOIN {e} USING (vec_id)" for e in encs[1:])
+    score = " + ".join(f"contrib{s}" for s in range(n_sub))
+    return f"""
+        WITH {cte},
+        c AS (SELECT cid, cvec FROM {final}),
+        assigned AS (
+            SELECT vec_id, embedding, cid AS centroid FROM (
+                SELECT e.vec_id, e.embedding, c.cid,
+                       row_number() OVER (
+                           PARTITION BY e.vec_id
+                           ORDER BY list_cosine_similarity(
+                               e.embedding::DOUBLE[], c.cvec::DOUBLE[]) DESC,
+                           c.cid ASC) AS rn
+                FROM embeddings e CROSS JOIN c
+            ) WHERE rn = 1
+        ), resid AS (
+            SELECT a.vec_id, a.centroid,
+                   list_transform(range(1, {dim + 1}),
+                       i -> a.embedding[i]::DOUBLE - c.cvec[i]) AS rvec
+            FROM assigned a JOIN c ON a.centroid = c.cid
+        ),
+        {','.join(ctes)},
+        q AS (SELECT embedding AS qvec FROM embeddings WHERE vec_id = 0),
+        probe AS (
+            SELECT c.cid AS centroid
+            FROM c, q
+            ORDER BY list_cosine_similarity(q.qvec::DOUBLE[],
+                                            c.cvec::DOUBLE[]) DESC, c.cid ASC
+            LIMIT {n_probe}
+        ), qbase AS (
+            SELECT c.cid AS centroid,
+                   floor(list_dot_product(q.qvec::DOUBLE[], c.cvec)
+                         * 1e6 + 0.5)::BIGINT AS qc
+            FROM c JOIN probe p ON c.cid = p.centroid, q
+        ), adc AS (
+            SELECT renc0.vec_id, (qb.qc + {score}) AS si
+            FROM {enc_join} {' '.join(qts)}
+            JOIN assigned asg ON asg.vec_id = renc0.vec_id
+            JOIN qbase qb ON qb.centroid = asg.centroid
+            ORDER BY si DESC, renc0.vec_id ASC
+            LIMIT {rerank}
+        )
+        SELECT e.vec_id,
+               floor(list_dot_product(e.embedding::DOUBLE[],
+                   (SELECT embedding::DOUBLE[] FROM embeddings
+                    WHERE vec_id = 0)) * 1e6 + 0.5) / 1e6 AS score
+        FROM embeddings e JOIN adc USING (vec_id)
+        ORDER BY score DESC, e.vec_id ASC
+        LIMIT {k}
+    """
+
+
 #: Shared graph-derivation CTEs: the co-purchase edge list (same-day,
 #: same props.k cell, <=64-user cells, distinct src<dst pairs).
 _COPURCHASE_EDGES_CTE = """
@@ -1322,6 +1438,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "part_price_elasticity": analytics.part_price_elasticity,
         "user_gap_survival": analytics.user_gap_survival,
         "doc_textrank_keywords": analytics.doc_textrank_keywords,
+        "ivfpq_topk": pipeline.ivfpq_topk_embeddings,
         "copurchase_components": analytics.copurchase_components,
         "orders_nested_rollup": analytics.orders_nested_rollup,
         "orderkey_gap_audit": analytics.orderkey_gap_audit,
@@ -4476,6 +4593,7 @@ def oracle_sql() -> dict[str, str]:
                               WHERE e2.u = sc.u AND e2.v = sc.v)
             ORDER BY s DESC, u, v LIMIT 50
         """,
+        "ivfpq_topk": _ivfpq_topk_oracle_sql(),
         "part_price_elasticity": """
             WITH rows_ AS (
                 SELECT p.p_brand,

@@ -162,6 +162,18 @@ HEADLINE = [
     "daily_value_count_spearman",
     "weighted_jaccard_pairs",
     "consistent_hash_reshard",
+    # round-2 fourth-session additions
+    "events_stl_strength",
+    "events_ccf_lag",
+    "fk_integrity_audit",
+    "event_transition_entropy",
+    "copurchase_adamic_adar",
+    "customer_mahalanobis_outliers",
+    "lineitem_ols_2var",
+    "part_price_elasticity",
+    "user_gap_survival",
+    "doc_textrank_keywords",
+    "ivfpq_topk",
 ]
 
 

@@ -1308,3 +1308,186 @@ def mmr_rerank(
     return df.sparkSession.createDataFrame(
         picks, f"rank int, {id_col} long, sim double, mmr double"
     )
+
+
+def ivfpq_topk(
+    df: DataFrame,
+    query_df: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_centroids: int = 16,
+    ivf_iters: int = 2,
+    n_probe: int = 4,
+    n_sub: int = 8,
+    n_codes: int = 16,
+    pq_iters: int = 1,
+    dim: int = 64,
+    rerank: int = 50,
+    cents: list[list[float]] | None = None,
+    books: list[list[list[float]]] | None = None,
+) -> DataFrame:
+    """IVF+PQ composite index (FAISS IndexIVFPQ, Jégou et al. 2011):
+    the trained IVF coarse quantizer partitions the corpus into
+    cells, each vector's RESIDUAL (v − centroid) is product-quantized
+    to `n_sub` byte codes, and a query scans only its `n_probe` best
+    cells with ADC over residual codes. This is THE standard
+    billion-vector layout: the coarse index bounds the scan, PQ
+    bounds the memory (8 bytes/vector at the defaults vs 256 raw).
+
+    Inner-product decomposition makes the compose exact-in-structure:
+    q·v = q·c + q·r, so ADC score = grid(q·c_cell) + Σ grid lookups
+    of q against the SHARED residual codebooks — the per-cell base
+    term is one broadcast join, the lookup table is the same
+    n_sub×n_codes frame PQ alone uses. Residuals concentrate much
+    tighter than raw vectors, so the same codebook budget quantizes
+    finer — the reason FAISS trains PQ on residuals.
+
+    Determinism contract: both trainers are the det-round-grid
+    Lloyd's (`train_ivf_centroids`, `train_pq_codebooks` — the DuckDB
+    oracle re-derives identical codebooks from unrolled CTEs); ADC
+    scores are exact BIGINT sums of 1e-6-grid terms, top-`rerank`
+    shortlist orders by that integer, and the final `k` are exact
+    dot products on the det_round grid.
+
+    Scale shape: residuals materialize once (at 100 TB: persisted
+    partitioned by cell, as `build_ivf_index` does for raw vectors);
+    the query never touches a non-probed cell, and every query-side
+    frame (centroids, lookup table, shortlist) is broadcast."""
+    spark = df.sparkSession
+    if cents is None:
+        cents = train_ivf_centroids(
+            df, id_col, vec_col, n_centroids, iters=ivf_iters
+        )
+    centroids = _centroid_frame(spark, cents)
+    sims = df.crossJoin(F.broadcast(centroids)).select(
+        F.col(id_col),
+        F.col(vec_col),
+        F.col("_cid"),
+        cosine_similarity(F.col(vec_col), F.col("_cvec")).alias("_csim"),
+    )
+    assigned = sims.groupBy(id_col).agg(
+        F.first(vec_col).alias(vec_col),
+        F.max_by(
+            "_cid", F.struct(F.col("_csim"), (-F.col("_cid")).alias("_nc"))
+        ).alias("_centroid"),
+    )
+    resid = (
+        assigned.join(
+            F.broadcast(
+                centroids.select(F.col("_cid").alias("_centroid"), "_cvec")
+            ),
+            "_centroid",
+        )
+        .select(
+            F.col(id_col),
+            "_centroid",
+            F.zip_with(
+                F.col(vec_col).cast("array<double>"),
+                F.col("_cvec"),
+                lambda a, b: a - b,
+            ).alias("_rvec"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    if books is None:
+        books = train_pq_codebooks(
+            resid, id_col, "_rvec", n_sub, n_codes, pq_iters, dim
+        )
+    width = dim // n_sub
+    book_df = spark.createDataFrame(
+        [(s, c, books[s][c]) for s in range(n_sub) for c in range(n_codes)],
+        "sub int, cid int, cvec array<double>",
+    )
+    subs = resid.select(
+        F.col(id_col),
+        "_centroid",
+        F.posexplode(
+            F.array(
+                *[
+                    F.slice(F.col("_rvec"), s * width + 1, width)
+                    for s in range(n_sub)
+                ]
+            )
+        ).alias("sub", "svec"),
+    )
+    encoded = (
+        subs.join(F.broadcast(book_df), "sub")
+        .select(
+            id_col,
+            "_centroid",
+            "sub",
+            "cid",
+            _l2_sq(F.col("svec"), F.col("cvec")).alias("_d"),
+        )
+        .groupBy(id_col, "sub")
+        .agg(
+            F.first("_centroid").alias("_centroid"),
+            F.min_by("cid", F.struct("_d", "cid")).alias("code"),
+        )
+    )
+
+    qsims = query_df.crossJoin(F.broadcast(centroids)).select(
+        F.col("_cid"),
+        cosine_similarity(F.col(vec_col), F.col("_cvec")).alias("_csim"),
+    )
+    probe = qsims.orderBy(F.col("_csim").desc(), F.col("_cid").asc()).limit(
+        n_probe
+    )
+    qbase = (
+        query_df.crossJoin(F.broadcast(centroids))
+        .join(
+            F.broadcast(probe.select("_cid")),
+            "_cid",
+        )
+        .select(
+            F.col("_cid").alias("_centroid"),
+            F.floor(
+                dot_product(F.col(vec_col).cast("array<double>"), F.col("_cvec"))
+                * 1e6
+                + 0.5
+            )
+            .cast("long")
+            .alias("_qc"),
+        )
+    )
+    qsubs = query_df.select(
+        F.posexplode(
+            F.array(
+                *[
+                    F.slice(F.col(vec_col), s * width + 1, width).cast(
+                        "array<double>"
+                    )
+                    for s in range(n_sub)
+                ]
+            )
+        ).alias("sub", "qvec")
+    )
+    qtable = qsubs.join(book_df, "sub").select(
+        "sub",
+        F.col("cid").alias("code"),
+        F.floor(dot_product(F.col("qvec"), F.col("cvec")) * 1e6 + 0.5)
+        .cast("long")
+        .alias("_contrib"),
+    )
+    adc = (
+        encoded.join(F.broadcast(qtable), ["sub", "code"])
+        .groupBy(id_col, "_centroid")
+        .agg(F.sum("_contrib").alias("_sr"))
+    )
+    shortlist = (
+        adc.join(F.broadcast(qbase), "_centroid")
+        .select(F.col(id_col), (F.col("_qc") + F.col("_sr")).alias("_si"))
+        .orderBy(F.col("_si").desc(), F.col(id_col).asc())
+        .limit(rerank)
+        .select(id_col)
+    )
+    q = query_df.select(F.col(vec_col).alias("_qvec"))
+    exact = det_round(dot_product(F.col(vec_col), F.col("_qvec")))
+    return (
+        df.join(F.broadcast(shortlist), id_col)
+        .crossJoin(F.broadcast(q))
+        .select(F.col(id_col), exact.alias("score"))
+        .orderBy(F.col("score").desc(), F.col(id_col).asc())
+        .limit(k)
+    )

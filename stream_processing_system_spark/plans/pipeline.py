@@ -1437,3 +1437,65 @@ def weighted_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(25)
         .drop("_jw")
     )
+
+
+_IVFPQ_CACHE: dict[str, tuple[list, list]] = {}
+
+
+def ivfpq_topk_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF+PQ composite ANN (FAISS IndexIVFPQ layout; see
+    operators/similarity.py:ivfpq_topk for the inner-product
+    decomposition and determinism contract). Both codebooks — the
+    IVF coarse quantizer and the residual PQ sub-codebooks — train
+    once per (process, sf_dir) and are cached, the vector-DB-load
+    split used by `ivf_index_topk` and `pq_topk`, so repeated calls
+    measure query latency."""
+    cached = _IVFPQ_CACHE.get(sf_dir)
+    if cached is None:
+        embs = _embs(spark, sf_dir)
+        cents = similarity.train_ivf_centroids(embs, n_centroids=16, iters=2)
+        centroids = similarity._centroid_frame(spark, cents)
+        sims = embs.crossJoin(F.broadcast(centroids)).select(
+            "vec_id",
+            "embedding",
+            "_cid",
+            similarity.cosine_similarity(
+                F.col("embedding"), F.col("_cvec")
+            ).alias("_csim"),
+        )
+        assigned = sims.groupBy("vec_id").agg(
+            F.first("embedding").alias("embedding"),
+            F.max_by(
+                "_cid", F.struct(F.col("_csim"), (-F.col("_cid")).alias("_nc"))
+            ).alias("_centroid"),
+        )
+        resid = assigned.join(
+            F.broadcast(
+                centroids.select(F.col("_cid").alias("_centroid"), "_cvec")
+            ),
+            "_centroid",
+        ).select(
+            "vec_id",
+            F.zip_with(
+                F.col("embedding").cast("array<double>"),
+                F.col("_cvec"),
+                lambda a, b: a - b,
+            ).alias("_rvec"),
+        )
+        books = similarity.train_pq_codebooks(
+            resid, "vec_id", "_rvec", n_sub=8, n_codes=16, iters=1
+        )
+        cached = (cents, books)
+        _IVFPQ_CACHE[sf_dir] = cached
+    cents, books = cached
+    return similarity.ivfpq_topk(
+        _embs(spark, sf_dir),
+        _query_vec(spark, sf_dir),
+        k=10,
+        n_probe=4,
+        n_sub=8,
+        n_codes=16,
+        rerank=50,
+        cents=cents,
+        books=books,
+    )

@@ -401,3 +401,16 @@ def test_mmr_rerank_diversifies(spark, sf_dir):
     # mmr scores are non-increasing is NOT guaranteed across rounds,
     # but each pick's penalized score can't exceed its raw sim * λ
     assert all(r["mmr"] <= 0.7 * r["sim"] + 1e-9 for r in got)
+
+
+def test_ivfpq_recall_vs_brute_force(spark, sf_dir):
+    """IVF+PQ composite: the coarse probe bounds the scan and the
+    residual ADC shortlist feeds an exact re-rank, so top-10 recall
+    vs brute force should be at least as good as plain IVF's floor
+    (the re-rank removes PQ's quantization error from the ranking)."""
+    embs = load_table(spark, sf_dir, "embeddings")
+    q = embs.where(F.col("vec_id") == 0).select("embedding")
+    brute = {r["vec_id"] for r in similarity.cosine_topk(embs, q, k=10).collect()}
+    ann = {r["vec_id"] for r in similarity.ivfpq_topk(embs, q, k=10).collect()}
+    assert 0 in ann
+    assert len(brute & ann) >= 5, f"ivfpq recall too low: {brute & ann}"
