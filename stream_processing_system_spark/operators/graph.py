@@ -376,8 +376,13 @@ def adamic_adar(
     `max_bucket_size`: a 10⁶-degree hub predicts everything and
     means nothing, and its wedge fan-out alone would be 10¹²).
     Centers also need deg ≥ 2 (deg-1 nodes form no wedge, and
-    ln(1)=0 would divide by zero)."""
-    und = _undirect(edges)
+    ln(1)=0 would divide by zero).
+
+    The undirected edge list is materialized once (`localCheckpoint`,
+    as in `pagerank`): it feeds the degree count, BOTH wedge-join
+    sides, and the existing-edge anti join — without the lineage cut
+    the co-occurrence self-join would be re-derived four times."""
+    und = _undirect(edges).localCheckpoint(eager=True)
     deg = und.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
     term = F.floor(
         F.lit(1e9) / F.log(F.col("deg").cast("double")) + F.lit(0.5)
