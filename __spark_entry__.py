@@ -544,6 +544,92 @@ def _pq_topk_oracle_sql(
     """
 
 
+def _ann_recall_curve_oracle_sql() -> str:
+    """Recall@k of the LSH retrieval vs brute force at k∈{1,5,10,20}:
+    both rank lists recomputed in SQL with the engine's round-6 sims
+    and id tie-breaks, hits counted per k."""
+    sig = _lsh_sig_sql("embedding", 8)
+    return f"""
+        WITH tagged AS (
+            SELECT vec_id, embedding, {sig} AS sig FROM embeddings
+        ), q AS (
+            SELECT embedding AS qvec, sig AS qsig FROM tagged WHERE vec_id = 0
+        ), brute AS (
+            SELECT vec_id, br FROM (
+                SELECT e.vec_id,
+                       row_number() OVER (ORDER BY ROUND(
+                           list_cosine_similarity(e.embedding::DOUBLE[],
+                                                  q.qvec::DOUBLE[]), 6) DESC,
+                           e.vec_id ASC) AS br
+                FROM embeddings e, q
+            ) WHERE br <= 20
+        ), lsh AS (
+            SELECT vec_id, lr FROM (
+                SELECT t.vec_id,
+                       row_number() OVER (ORDER BY ROUND(
+                           list_cosine_similarity(t.embedding::DOUBLE[],
+                                                  q.qvec::DOUBLE[]), 6) DESC,
+                           t.vec_id ASC) AS lr
+                FROM tagged t, q
+                WHERE bit_count(xor(t.sig, q.qsig)) <= 1
+            ) WHERE lr <= 20
+        ), ks AS (
+            SELECT CAST(unnest([1, 5, 10, 20]) AS INT) AS k
+        ), hits AS (
+            SELECT ks.k, count(*) AS n_hits
+            FROM ks
+            JOIN brute b ON b.br <= ks.k
+            JOIN lsh l ON l.vec_id = b.vec_id AND l.lr <= ks.k
+            GROUP BY ks.k
+        )
+        SELECT ks.k, CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_hits,
+               CAST(COALESCE(h.n_hits, 0) AS DOUBLE)
+                   / CAST(ks.k AS DOUBLE) AS recall
+        FROM ks LEFT JOIN hits h ON ks.k = h.k
+        ORDER BY ks.k
+    """
+
+
+def _silhouette_oracle_sql() -> str:
+    """Simplified silhouette in SQL: the SAME trained codebook as the
+    IVF oracles, best/second-best centroid per point via the
+    (csim DESC, cid ASC) rank, per-cluster exact-integer mean of
+    1e-6-grid silhouette terms (the cohesion device)."""
+    cte, final = _ivf_trained_cte()
+    return f"""
+        WITH {cte},
+        c AS (SELECT cid, cvec FROM {final}),
+        sims AS (
+            SELECT e.vec_id, c.cid,
+                   list_cosine_similarity(e.embedding::DOUBLE[],
+                                          c.cvec::DOUBLE[]) AS csim
+            FROM embeddings e CROSS JOIN c
+        ), ranked AS (
+            SELECT vec_id, cid, csim,
+                   row_number() OVER (PARTITION BY vec_id
+                       ORDER BY csim DESC, cid ASC) AS rn
+            FROM sims
+        ), pp AS (
+            SELECT r1.vec_id, r1.cid AS cluster,
+                   1.0 - r1.csim AS a, 1.0 - r2.csim AS b
+            FROM ranked r1
+            JOIN ranked r2 ON r1.vec_id = r2.vec_id AND r2.rn = 2
+            WHERE r1.rn = 1
+        ), pts AS (
+            SELECT cluster,
+                   CAST(floor((CASE WHEN greatest(a, b) > 0
+                                    THEN (b - a) / greatest(a, b)
+                                    ELSE 0.0 END)
+                              * 1000000.0 + 0.5) AS BIGINT) AS t
+            FROM pp
+        )
+        SELECT CAST(cluster AS INT) AS cluster, count(*) AS n_members,
+               CAST(SUM(t) AS DOUBLE) / 1000000.0
+                   / CAST(count(*) AS DOUBLE) AS silhouette
+        FROM pts GROUP BY cluster ORDER BY cluster
+    """
+
+
 def _ivfpq_topk_oracle_sql(
     n_probe: int = 4,
     n_sub: int = 8,
@@ -1439,6 +1525,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "user_gap_survival": analytics.user_gap_survival,
         "doc_textrank_keywords": analytics.doc_textrank_keywords,
         "ivfpq_topk": pipeline.ivfpq_topk_embeddings,
+        "user_geo_dbscan": analytics.user_geo_dbscan,
+        "events_granger_lite": analytics.events_granger_lite,
+        "ivm_join_delta": analytics.ivm_join_delta,
+        "events_ks_test": analytics.events_ks_test,
+        "events_mannwhitney_u": analytics.events_mannwhitney_u,
+        "events_periodogram": analytics.events_periodogram,
+        "customer_decile_migration": analytics.customer_decile_migration,
+        "part_abc_xyz": analytics.part_abc_xyz,
+        "doc_heaps_law": analytics.doc_heaps_law,
+        "ann_recall_curve": pipeline.ann_recall_curve,
+        "embedding_silhouette": pipeline.embedding_silhouette,
+        "orders_backlog_timeline": analytics.orders_backlog_timeline,
         "copurchase_components": analytics.copurchase_components,
         "orders_nested_rollup": analytics.orders_nested_rollup,
         "orderkey_gap_audit": analytics.orderkey_gap_audit,
@@ -4594,6 +4692,424 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY s DESC, u, v LIMIT 50
         """,
         "ivfpq_topk": _ivfpq_topk_oracle_sql(),
+        "user_geo_dbscan": """
+            WITH RECURSIVE ids AS (SELECT DISTINCT user_id FROM events),
+            pts AS (
+                SELECT user_id,
+                       CAST(('0x' || substr(md5('lat|' || CAST(user_id AS VARCHAR)), 1, 8))::BIGINT
+                            % 1800000 AS DOUBLE) / 10000.0 - 90.0 AS lat,
+                       CAST(('0x' || substr(md5('lon|' || CAST(user_id AS VARCHAR)), 1, 8))::BIGINT
+                            % 3600000 AS DOUBLE) / 10000.0 - 180.0 AS lon
+                FROM ids
+            ), prs AS (
+                -- brute-force all-pairs: proves the grid blocking lossless
+                SELECT a.user_id AS ua, b.user_id AS ub
+                FROM pts a JOIN pts b ON a.user_id < b.user_id
+                WHERE (a.lat - b.lat) * (a.lat - b.lat)
+                    + (a.lon - b.lon) * (a.lon - b.lon) <= 144.0
+            ), und AS (
+                SELECT ua AS s, ub AS d FROM prs
+                UNION ALL SELECT ub, ua FROM prs
+            ), ncnt AS (
+                SELECT s, count(*) + 1 AS nn FROM und GROUP BY s
+            ), cores AS (
+                SELECT s AS user_id FROM ncnt WHERE nn >= 3
+            ), ce AS (
+                SELECT u.s, u.d FROM und u
+                JOIN cores c1 ON u.s = c1.user_id
+                JOIN cores c2 ON u.d = c2.user_id
+            ), reach AS (
+                SELECT user_id AS node, user_id AS r FROM cores
+                UNION
+                SELECT rc.node, u.d FROM reach rc JOIN ce u ON u.s = rc.r
+            ), comp AS (
+                SELECT node, MIN(r) AS label FROM reach GROUP BY node
+            ), border AS (
+                SELECT u.s AS user_id, MIN(c.label) AS bcomp
+                FROM und u JOIN comp c ON u.d = c.node
+                GROUP BY u.s
+            )
+            SELECT p.user_id,
+                   CASE WHEN cm.label IS NOT NULL THEN 'core'
+                        WHEN br.bcomp IS NOT NULL THEN 'border'
+                        ELSE 'noise' END AS role,
+                   CAST(COALESCE(cm.label, br.bcomp) AS BIGINT) AS cluster
+            FROM pts p
+            LEFT JOIN comp cm ON p.user_id = cm.node
+            LEFT JOIN border br ON p.user_id = br.user_id
+            ORDER BY p.user_id
+        """,
+        "events_granger_lite": """
+            WITH daily AS MATERIALIZED (
+                SELECT event_type, CAST(ts AS DATE) AS day,
+                       CAST(SUM(CAST(floor(value * 100 + 0.5) AS BIGINT))
+                            AS BIGINT) // 100 AS x
+                FROM events WHERE value IS NOT NULL
+                GROUP BY 1, 2
+            ), eff AS (
+                SELECT event_type AS effect, day, x AS y FROM daily
+            ), effl AS (
+                SELECT event_type AS effect, day + 1 AS day, x AS y1
+                FROM daily
+            ), causel AS (
+                SELECT event_type AS cause, day + 1 AS day, x AS x1
+                FROM daily
+            ), tri AS (
+                SELECT c.cause, e.effect,
+                       CAST(e.y AS HUGEINT) AS y,
+                       CAST(el.y1 AS HUGEINT) AS y1,
+                       CAST(c.x1 AS HUGEINT) AS x1
+                FROM eff e
+                JOIN effl el ON e.effect = el.effect AND e.day = el.day
+                JOIN causel c ON c.day = e.day
+                WHERE c.cause <> e.effect
+            ), mo AS (
+                SELECT cause, effect, CAST(count(*) AS HUGEINT) AS n,
+                       SUM(y1) AS s1, SUM(x1) AS s2,
+                       SUM(y1 * y1) AS s11, SUM(y1 * x1) AS s12,
+                       SUM(x1 * x1) AS s22, SUM(y) AS sy,
+                       SUM(y1 * y) AS s1y, SUM(x1 * y) AS s2y,
+                       SUM(y * y) AS syy
+                FROM tri GROUP BY 1, 2
+            ), dd AS (
+                SELECT cause, effect, CAST(n AS BIGINT) AS n_days,
+                       CAST(n AS DOUBLE) AS a, CAST(s1 AS DOUBLE) AS bb,
+                       CAST(s2 AS DOUBLE) AS c, CAST(s11 AS DOUBLE) AS d,
+                       CAST(s12 AS DOUBLE) AS e, CAST(s22 AS DOUBLE) AS f,
+                       CAST(sy AS DOUBLE) AS g, CAST(s1y AS DOUBLE) AS h,
+                       CAST(s2y AS DOUBLE) AS i, CAST(syy AS DOUBLE) AS syy
+                FROM mo
+            ), k AS (
+                SELECT cause, effect, n_days, a, g, h, i, syy,
+                       a * (d * f - e * e) - bb * (bb * f - e * c)
+                         + c * (bb * e - d * c) AS det,
+                       g * (d * f - e * e) - bb * (h * f - e * i)
+                         + c * (h * e - d * i) AS det0,
+                       a * (h * f - e * i) - g * (bb * f - e * c)
+                         + c * (bb * i - h * c) AS det1,
+                       a * (d * i - h * e) - bb * (bb * i - h * c)
+                         + g * (bb * e - d * c) AS det2,
+                       a * d - bb * bb AS den_r,
+                       bb AS b1col
+                FROM dd
+            ), r AS (
+                SELECT cause, effect, n_days, a, g, h, syy, det, den_r,
+                       syy - (det0 / det * g + det1 / det * h
+                              + det2 / det * i) AS sse_u,
+                       (a * h - b1col * g) / den_r AS b1r,
+                       b1col
+                FROM k
+            ), r2 AS (
+                SELECT cause, effect, n_days, a, g, h, syy, det, den_r,
+                       sse_u, b1r, (g - b1r * b1col) / a AS b0r
+                FROM r
+            ), r3 AS (
+                SELECT cause, effect, n_days, a, g, det, den_r, sse_u,
+                       syy - (b0r * g + b1r * h) AS sse_r,
+                       syy - g * g / a AS sst
+                FROM r2
+            )
+            SELECT cause, effect, n_days,
+                   floor((sse_r - sse_u) * (a - 3.0) / sse_u
+                         * 1000000.0 + 0.5) / 1000000.0 AS f_stat,
+                   floor((sse_r - sse_u) / sst * 1000000.0 + 0.5)
+                       / 1000000.0 AS delta_r2
+            FROM r3
+            WHERE n_days >= 8 AND det <> 0.0 AND den_r <> 0.0
+              AND sse_u > 0
+            ORDER BY cause, effect
+        """,
+        "ann_recall_curve": _ann_recall_curve_oracle_sql(),
+        "embedding_silhouette": _silhouette_oracle_sql(),
+        "orders_backlog_timeline": """
+            WITH closes AS (
+                SELECT l_orderkey,
+                       CAST(MAX(CAST(l_shipdate AS DATE)) + 1 AS DATE) AS day
+                FROM lineitem GROUP BY 1
+            ), opens AS (
+                SELECT CAST(o_orderdate AS DATE) AS day, count(*) AS d
+                FROM orders o
+                WHERE EXISTS (SELECT 1 FROM closes c
+                              WHERE c.l_orderkey = o.o_orderkey)
+                GROUP BY 1
+            ), closed AS (
+                SELECT day, -count(*) AS d FROM closes GROUP BY 1
+            ), deltas AS (
+                SELECT day, SUM(d) AS delta FROM (
+                    SELECT * FROM opens UNION ALL SELECT * FROM closed
+                ) GROUP BY day
+            )
+            SELECT CAST(day AS VARCHAR) AS day,
+                   CAST(delta AS BIGINT) AS delta,
+                   CAST(SUM(delta) OVER (ORDER BY day
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS BIGINT) AS open_orders
+            FROM deltas ORDER BY day
+        """,
+        "customer_decile_migration": """
+            WITH sp1 AS (
+                SELECT o_custkey,
+                       SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                           AS sp
+                FROM orders WHERE o_orderdate < TIMESTAMP '1998-01-01'
+                GROUP BY 1
+            ), d1 AS (
+                SELECT o_custkey,
+                       CAST(ntile(10) OVER (ORDER BY sp DESC, o_custkey ASC)
+                            AS INT) AS decile_before
+                FROM sp1
+            ), sp2 AS (
+                SELECT o_custkey,
+                       SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                           AS sp
+                FROM orders WHERE NOT (o_orderdate < TIMESTAMP '1998-01-01')
+                GROUP BY 1
+            ), d2 AS (
+                SELECT o_custkey,
+                       CAST(ntile(10) OVER (ORDER BY sp DESC, o_custkey ASC)
+                            AS INT) AS decile_after
+                FROM sp2
+            )
+            SELECT decile_before, decile_after, count(*) AS n_customers
+            FROM d1 JOIN d2 USING (o_custkey)
+            GROUP BY 1, 2 ORDER BY 1, 2
+        """,
+        "part_abc_xyz": """
+            WITH rev AS (
+                SELECT l_partkey,
+                       SUM(CAST(floor(l_extendedprice * (1 - l_discount)
+                                      * 100 + 0.5) AS BIGINT)) AS r
+                FROM lineitem GROUP BY 1
+            ), abc AS (
+                SELECT l_partkey,
+                       CASE WHEN SUM(r) OVER (ORDER BY r DESC, l_partkey ASC
+                                 ROWS BETWEEN UNBOUNDED PRECEDING
+                                        AND CURRENT ROW) * 100
+                                 <= SUM(r) OVER () * 80 THEN 'A'
+                            WHEN SUM(r) OVER (ORDER BY r DESC, l_partkey ASC
+                                 ROWS BETWEEN UNBOUNDED PRECEDING
+                                        AND CURRENT ROW) * 100
+                                 <= SUM(r) OVER () * 95 THEN 'B'
+                            ELSE 'C' END AS abc_class
+                FROM rev
+            ), monthly AS (
+                SELECT l_partkey, date_trunc('month', l_shipdate) AS m,
+                       SUM(CAST(l_quantity AS BIGINT)) AS q
+                FROM lineitem GROUP BY 1, 2
+            ), mo AS (
+                SELECT l_partkey, CAST(count(*) AS HUGEINT) AS n,
+                       SUM(CAST(q AS HUGEINT)) AS s,
+                       SUM(CAST(q AS HUGEINT) * q) AS ss
+                FROM monthly GROUP BY 1
+            ), xyz AS (
+                SELECT l_partkey,
+                       CASE WHEN CAST(n * ss - s * s AS DOUBLE)
+                                 / CAST(s * s AS DOUBLE) < 0.25 THEN 'X'
+                            WHEN CAST(n * ss - s * s AS DOUBLE)
+                                 / CAST(s * s AS DOUBLE) < 1.0 THEN 'Y'
+                            ELSE 'Z' END AS xyz_class
+                FROM mo
+            )
+            SELECT abc_class, xyz_class, count(*) AS n_parts
+            FROM abc JOIN xyz USING (l_partkey)
+            GROUP BY 1, 2 ORDER BY 1, 2
+        """,
+        "doc_heaps_law": """
+            WITH toks AS (
+                SELECT doc_id,
+                       unnest(list_filter(string_split(text, ' '),
+                                          x -> x <> '')) AS token
+                FROM documents
+            ), per_doc AS (
+                SELECT doc_id, count(*) AS nt FROM toks GROUP BY 1
+            ), fs AS (
+                SELECT MIN(doc_id) AS doc_id FROM toks GROUP BY token
+            ), nvd AS (
+                SELECT doc_id, count(*) AS nv FROM fs GROUP BY 1
+            ), traj AS (
+                SELECT p.doc_id,
+                       SUM(p.nt) OVER (ORDER BY p.doc_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                           AS cn,
+                       SUM(COALESCE(n.nv, 0)) OVER (ORDER BY p.doc_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                           AS cv
+                FROM per_doc p LEFT JOIN nvd n ON p.doc_id = n.doc_id
+            ), pts AS (
+                SELECT CAST(floor(ln(CAST(cn AS DOUBLE)) * 1000000000.0
+                                  + 0.5) AS BIGINT) AS lx,
+                       CAST(floor(ln(CAST(cv AS DOUBLE)) * 1000000000.0
+                                  + 0.5) AS BIGINT) AS ly
+                FROM traj WHERE cn > 0 AND cv > 0
+            ), m AS (
+                SELECT CAST(count(*) AS HUGEINT) AS n,
+                       SUM(CAST(lx AS HUGEINT)) AS sx,
+                       SUM(CAST(ly AS HUGEINT)) AS sy,
+                       SUM(CAST(lx AS HUGEINT) * lx) AS sxx,
+                       SUM(CAST(ly AS HUGEINT) * ly) AS syy,
+                       SUM(CAST(lx AS HUGEINT) * ly) AS sxy
+                FROM pts
+            ), dd AS (
+                SELECT CAST(n AS BIGINT) AS n_docs,
+                       CAST(n AS DOUBLE) AS nd,
+                       CAST(sx AS DOUBLE) AS sxd, CAST(sy AS DOUBLE) AS syd,
+                       CAST(n * sxx - sx * sx AS DOUBLE) AS vx,
+                       CAST(n * syy - sy * sy AS DOUBLE) AS vy,
+                       CAST(n * sxy - sx * sy AS DOUBLE) AS num
+                FROM m
+            ), k AS (
+                SELECT n_docs, nd, sxd, syd, vx, vy, num,
+                       num / vx AS beta,
+                       num / (sqrt(vx) * sqrt(vy)) AS corr
+                FROM dd WHERE vx > 0 AND vy > 0
+            )
+            SELECT n_docs,
+                   floor(beta * 1000000.0 + 0.5) / 1000000.0 AS beta,
+                   floor(exp((syd / 1000000000.0
+                              - beta * (sxd / 1000000000.0)) / nd)
+                         * 1000000.0 + 0.5) / 1000000.0 AS k,
+                   floor(corr * corr * 1000000.0 + 0.5) / 1000000.0 AS r2
+            FROM k
+        """,
+        "events_ks_test": """
+            WITH cells AS (
+                SELECT event_type,
+                       CAST(floor(value * 100 + 0.5) AS BIGINT) AS v,
+                       SUM(CASE WHEN ts >= TIMESTAMP '2024-01-16'
+                                THEN 0 ELSE 1 END) AS ca,
+                       SUM(CASE WHEN ts >= TIMESTAMP '2024-01-16'
+                                THEN 1 ELSE 0 END) AS cb
+                FROM events WHERE value IS NOT NULL
+                GROUP BY 1, 2
+            ), cum AS (
+                SELECT event_type, v,
+                       SUM(ca) OVER (PARTITION BY event_type ORDER BY v
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                           AS cuma,
+                       SUM(cb) OVER (PARTITION BY event_type ORDER BY v
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                           AS cumb,
+                       SUM(ca) OVER (PARTITION BY event_type) AS na,
+                       SUM(cb) OVER (PARTITION BY event_type) AS nb
+                FROM cells
+            ), dd AS (
+                SELECT event_type, v, na, nb,
+                       abs(cuma * nb - cumb * na) AS diff
+                FROM cum WHERE na > 0 AND nb > 0
+            ), pick AS (
+                SELECT event_type, na, nb, diff, v,
+                       row_number() OVER (PARTITION BY event_type
+                           ORDER BY diff DESC, v ASC) AS rn
+                FROM dd
+            )
+            SELECT event_type, CAST(na AS BIGINT) AS n_first,
+                   CAST(nb AS BIGINT) AS n_second,
+                   floor(CAST(diff AS DOUBLE) / CAST(na * nb AS DOUBLE)
+                         * 1000000.0 + 0.5) / 1000000.0 AS ks_d,
+                   CAST(v AS BIGINT) AS v_at_max
+            FROM pick WHERE rn = 1 ORDER BY event_type
+        """,
+        "events_mannwhitney_u": """
+            WITH cells AS (
+                SELECT CAST(floor(value * 100 + 0.5) AS BIGINT) AS v,
+                       SUM(CASE WHEN event_type = 'purchase'
+                                THEN 1 ELSE 0 END) AS c1,
+                       SUM(CASE WHEN event_type = 'click'
+                                THEN 1 ELSE 0 END) AS c2
+                FROM events
+                WHERE value IS NOT NULL
+                  AND event_type IN ('purchase', 'click')
+                GROUP BY 1
+            ), ranked AS (
+                SELECT v, c1, c2,
+                       COALESCE(SUM(c1 + c2) OVER (ORDER BY v
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                                  AND 1 PRECEDING), 0) AS cb,
+                       c1 + c2 AS t
+                FROM cells
+            ), s AS (
+                SELECT SUM(CAST(c1 AS HUGEINT)) AS n1,
+                       SUM(CAST(c2 AS HUGEINT)) AS n2,
+                       SUM(CAST(c1 AS HUGEINT) * (2 * cb + t + 1)) AS r1x2,
+                       SUM(CAST(t AS HUGEINT) * t * t - CAST(t AS HUGEINT))
+                           AS ties
+                FROM ranked
+            ), d AS (
+                SELECT CAST(n1 AS DOUBLE) AS n1d, CAST(n2 AS DOUBLE) AS n2d,
+                       CAST(r1x2 AS DOUBLE) AS r1x2d,
+                       CAST(ties AS DOUBLE) AS tiesd,
+                       CAST(n1 AS BIGINT) AS np, CAST(n2 AS BIGINT) AS nc
+                FROM s
+            ), e AS (
+                SELECT np, nc,
+                       r1x2d / 2.0 - n1d * (n1d + 1.0) / 2.0 AS u1,
+                       n1d * n2d / 2.0 AS mu,
+                       n1d * n2d / 12.0 * (((n1d + n2d) + 1.0)
+                           - tiesd / ((n1d + n2d) * ((n1d + n2d) - 1.0)))
+                           AS sig2
+                FROM d
+            )
+            SELECT np AS n_purchase, nc AS n_click,
+                   floor(u1 * 1000000.0 + 0.5) / 1000000.0 AS u_stat,
+                   floor((u1 - mu) / sqrt(sig2) * 1000000.0 + 0.5)
+                       / 1000000.0 AS z_score
+            FROM e
+        """,
+        "events_periodogram": """
+            WITH daily AS MATERIALIZED (
+                SELECT event_type, CAST(ts AS DATE) AS day,
+                       CAST(SUM(CAST(floor(value * 100 + 0.5) AS BIGINT))
+                            AS BIGINT) // 100 AS x
+                FROM events WHERE value IS NOT NULL
+                GROUP BY 1, 2
+            ), cent AS (
+                SELECT event_type,
+                       count(*) OVER (PARTITION BY event_type) AS n,
+                       SUM(x) OVER (PARTITION BY event_type) AS sx,
+                       MIN(day) OVER (PARTITION BY event_type) AS d0,
+                       day, x
+                FROM daily
+            ), c2 AS (
+                SELECT event_type, n, n * x - sx AS xc, day - d0 AS t
+                FROM cent
+            ), terms AS (
+                SELECT event_type, pp.p, n,
+                       CAST(floor(CAST(xc AS DOUBLE)
+                           * cos(2.0 * pi() * CAST(t % pp.p AS DOUBLE)
+                                 / CAST(pp.p AS DOUBLE))
+                           * 1000000.0 + 0.5) AS BIGINT) AS tc,
+                       CAST(floor(CAST(xc AS DOUBLE)
+                           * sin(2.0 * pi() * CAST(t % pp.p AS DOUBLE)
+                                 / CAST(pp.p AS DOUBLE))
+                           * 1000000.0 + 0.5) AS BIGINT) AS tss
+                FROM c2 CROSS JOIN
+                     (SELECT CAST(unnest(range(2, 15)) AS INT) AS p) pp
+            ), s AS (
+                SELECT event_type, p, MIN(n) AS n,
+                       SUM(CAST(tc AS HUGEINT)) AS cs,
+                       SUM(CAST(tss AS HUGEINT)) AS ss
+                FROM terms GROUP BY 1, 2
+            )
+            SELECT event_type, p AS period_days, CAST(n AS BIGINT) AS n_days,
+                   floor((CAST(cs AS DOUBLE) / 1000000.0
+                            * (CAST(cs AS DOUBLE) / 1000000.0)
+                          + CAST(ss AS DOUBLE) / 1000000.0
+                            * (CAST(ss AS DOUBLE) / 1000000.0))
+                         / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
+                            * CAST(n AS DOUBLE))
+                         * 1000000.0 + 0.5) / 1000000.0 AS power
+            FROM s WHERE n >= 4
+            ORDER BY event_type, period_days
+        """,
+        "ivm_join_delta": """
+            SELECT n_name,
+                   CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                                 AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+            FROM lineitem, orders, customer, nation
+            WHERE l_orderkey = o_orderkey AND o_custkey = c_custkey
+              AND c_nationkey = n_nationkey
+            GROUP BY n_name ORDER BY n_name
+        """,
         "part_price_elasticity": """
             WITH rows_ AS (
                 SELECT p.p_brand,

@@ -174,6 +174,18 @@ HEADLINE = [
     "user_gap_survival",
     "doc_textrank_keywords",
     "ivfpq_topk",
+    "user_geo_dbscan",
+    "events_granger_lite",
+    "ivm_join_delta",
+    "events_ks_test",
+    "events_mannwhitney_u",
+    "events_periodogram",
+    "customer_decile_migration",
+    "part_abc_xyz",
+    "doc_heaps_law",
+    "ann_recall_curve",
+    "embedding_silhouette",
+    "orders_backlog_timeline",
 ]
 
 

@@ -385,35 +385,44 @@ def simhash_neardup_pairs(
 def connected_component_labels(
     pairs: DataFrame, nodes: DataFrame, id_col: str, max_iters: int = 25
 ) -> DataFrame:
-    """Connected components over a pair list by iterative min-label
-    propagation WITH pointer jumping: every node starts labeled with
-    itself; each round, a node adopts the smallest label among itself
-    and its neighbors (one hop), then adopts its label's label (the
-    pointer jump — labels only ever decrease, so the jump is always
-    valid). The jump is what turns convergence from O(diameter)
-    rounds into O(log diameter): label chains halve every round, so
-    even a pathological path-shaped dup component converges in ~log2
-    rounds, and the default max_iters=25 covers any component up to
-    ~2^25 in diameter. If the loop still exits unconverged a
-    RuntimeWarning is raised rather than silently returning partial
-    labels (the transitive-closure contract of dedup_transitive
-    depends on full convergence).
+    """Connected components over a pair list by min-label EDGE
+    CONTRACTION: every node starts labeled with itself; each round,
+    every label-graph node adopts min(self, neighbors), the mapping
+    is pointer-jumped once (mapping(new) — labels only decrease, so
+    the jump is always valid), node labels are re-composed through
+    the mapping, and THE EDGE SET ITSELF is rewritten onto the new
+    labels (self-loops dropped). Contraction is what makes this
+    O(log diameter): plain min-hop propagation moves the component
+    minimum ONE hop per round (a 40-hop-diameter geometric graph —
+    e.g. a percolating ε-neighborhood graph — needs 40 rounds and
+    was observed to degrade per-round on long chains); with the
+    graph contracting under the labels, each round halves-or-better
+    the remaining label-graph diameter, and convergence is the crisp
+    test "no non-self-loop edges remain". If the loop still exits
+    unconverged a RuntimeWarning is raised rather than silently
+    returning partial labels (the transitive-closure contract of
+    dedup_transitive depends on full convergence).
 
-    Output: (id, component) where component = min id reachable.
-    Driver involvement per round is ONE aggregated convergence count
-    — no per-row collection; lineage is cut with localCheckpoint so
-    the plan doesn't grow unboundedly across iterations.
+    Output: (id, component) where component = min id reachable —
+    identical to the propagation form: the component's global min
+    maps to itself forever (every label in a component is a member
+    id, all ≥ the min), contraction preserves label-graph
+    connectivity, so the single surviving label IS the min.
 
-    Only nodes that appear in an edge are iterated: an isolated node
-    (no near-dup pair — the overwhelming majority of a deduped
-    corpus) is its own component by definition and is unioned back
-    in at the end. The fixpoint loop therefore runs over the dup
-    GRAPH, not the corpus — at 100 TB that's the difference between
-    re-shuffling a few million pair-nodes per round and re-shuffling
-    every document."""
+    Driver involvement per round is ONE 0/1-row convergence probe —
+    no per-row collection; lineage is cut with localCheckpoint so
+    the plan doesn't grow across iterations. Only nodes that appear
+    in an edge are iterated: an isolated node (no near-dup pair —
+    the overwhelming majority of a deduped corpus) is its own
+    component by definition and is unioned back in at the end. The
+    fixpoint loop therefore runs over the dup GRAPH, not the corpus
+    — and the edge frame SHRINKS every round as components
+    contract, so at 100 TB the per-round shuffle decays
+    geometrically from the initial pair count."""
     edges = (
         pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
         .union(pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
+        .where(F.col("src") != F.col("dst"))
         .dropDuplicates()
         .localCheckpoint()
     )
@@ -426,44 +435,66 @@ def connected_component_labels(
 
     converged = False
     for _ in range(max_iters):
-        neighbor_min = (
-            edges.join(labels, edges.dst == labels.node)
-            .groupBy("src")
-            .agg(F.min("component").alias("n_min"))
-        )
-        hopped = labels.join(
-            neighbor_min, labels.node == neighbor_min.src, "left"
-        ).select(
-            "node",
-            F.least(
-                F.col("component"), F.coalesce(F.col("n_min"), F.col("component"))
-            ).alias("component"),
-            (F.coalesce(F.col("n_min"), F.col("component")) < F.col("component"))
-            .cast("int")
-            .alias("_changed"),
-        )
-        # pointer jump: component <- component's component (labels
-        # are monotone decreasing, so the jump only improves)
-        parents = hopped.select(
-            F.col("node").alias("_pn"), F.col("component").alias("_pc")
-        )
-        updated = (
-            hopped.join(parents, hopped.component == parents._pn, "left")
-            .select(
-                "node",
-                F.coalesce(F.col("_pc"), F.col("component")).alias("component"),
-                (
-                    F.col("_changed")
-                    + (F.coalesce(F.col("_pc"), F.col("component"))
-                       < F.col("component")).cast("int")
-                ).alias("_changed"),
-            )
-        ).localCheckpoint()
-        changed = updated.agg(F.sum("_changed")).collect()[0][0] or 0
-        labels = updated.drop("_changed")
-        if changed == 0:
+        if edges.limit(1).count() == 0:
             converged = True
             break
+        # min-hop on the contracted label graph (edges are symmetric,
+        # so groupBy(src) sees every neighbor)
+        m1 = (
+            edges.groupBy("src")
+            .agg(F.min("dst").alias("_nmin"))
+            .select(
+                F.col("src").alias("old"),
+                F.least(F.col("src"), F.col("_nmin")).alias("new"),
+            )
+        )
+        # pointer jump on the mapping itself: new <- mapping(new)
+        mapping = (
+            m1.join(
+                m1.select(
+                    F.col("old").alias("new"), F.col("new").alias("_new2")
+                ),
+                "new",
+                "left",
+            )
+            .select(
+                "old", F.coalesce(F.col("_new2"), F.col("new")).alias("new")
+            )
+            .localCheckpoint()
+        )
+        labels = (
+            labels.join(
+                mapping.select(
+                    F.col("old").alias("component"), F.col("new").alias("_c2")
+                ),
+                "component",
+                "left",
+            )
+            .select(
+                "node",
+                F.coalesce(F.col("_c2"), F.col("component")).alias("component"),
+            )
+            .localCheckpoint()
+        )
+        edges = (
+            edges.join(
+                mapping.select(F.col("old").alias("src"), F.col("new").alias("_s")),
+                "src",
+                "left",
+            )
+            .join(
+                mapping.select(F.col("old").alias("dst"), F.col("new").alias("_d")),
+                "dst",
+                "left",
+            )
+            .select(
+                F.coalesce(F.col("_s"), F.col("src")).alias("src"),
+                F.coalesce(F.col("_d"), F.col("dst")).alias("dst"),
+            )
+            .where(F.col("src") != F.col("dst"))
+            .dropDuplicates()
+            .localCheckpoint()
+        )
     if not converged:
         import warnings
 

@@ -5482,3 +5482,664 @@ def doc_textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("pagerank"), "word")
         .limit(50)
     )
+
+
+def user_geo_dbscan(
+    spark: SparkSession, sf_dir: str, eps: float = 12.0, min_pts: int = 3
+) -> DataFrame:
+    """Density-based clustering (DBSCAN, Ester et al. 1996) over the
+    deterministic user geolocations: a point with ≥ `min_pts`
+    neighbors (self included) within `eps` degrees is a CORE; cores
+    within eps of each other merge into one cluster (connected
+    components of the core graph); non-cores adjacent to a core are
+    BORDER points of that cluster (min core label tie-break); the
+    rest is NOISE. The density-clustering complement to the
+    centroid-based `embedding_kmeans_clusters` — no K, finds
+    arbitrary-shaped clusters, labels outliers explicitly.
+
+    Scale shape: the ε-neighborhood join is the 3×3 grid-blocked
+    equi-join of `operators/geospatial.neighbor_pairs` (never
+    all-pairs); the component fixpoint is the pointer-jumping
+    min-label propagation of `dedup.connected_component_labels`,
+    running on the CORE graph only. Cluster ids are min-user-id
+    labels, fully deterministic; the oracle recomputes them with a
+    recursive transitive closure over a brute-force pair join."""
+    from stream_processing_system_spark.operators.dedup import (
+        connected_component_labels,
+    )
+    from stream_processing_system_spark.operators.geospatial import (
+        derive_points,
+        neighbor_pairs,
+    )
+
+    events = load_table(spark, sf_dir, "events")
+    ids = events.select("user_id").distinct()
+    pts = derive_points(ids, "user_id")
+    prs = (
+        neighbor_pairs(pts, "user_id", radius_deg=eps)
+        .select("id_a", "id_b")
+        .localCheckpoint(eager=True)
+    )
+    und = prs.select(F.col("id_a").alias("s"), F.col("id_b").alias("d")).union(
+        prs.select(F.col("id_b").alias("s"), F.col("id_a").alias("d"))
+    )
+    ncnt = und.groupBy("s").agg((F.count(F.lit(1)) + 1).alias("nn"))
+    cores = ncnt.where(F.col("nn") >= min_pts).select(
+        F.col("s").alias("user_id")
+    )
+    core_edges = prs.join(
+        cores.select(F.col("user_id").alias("id_a")), "id_a", "left_semi"
+    ).join(cores.select(F.col("user_id").alias("id_b")), "id_b", "left_semi")
+    labels = connected_component_labels(core_edges, cores, "user_id")
+    nbr_core = (
+        und.join(
+            labels.select(
+                F.col("user_id").alias("d"), F.col("component").alias("_c")
+            ),
+            "d",
+        )
+        .groupBy("s")
+        .agg(F.min("_c").alias("_bcomp"))
+        .select(F.col("s").alias("user_id"), "_bcomp")
+    )
+    return (
+        pts.select("user_id")
+        .join(labels, "user_id", "left")
+        .join(nbr_core, "user_id", "left")
+        .select(
+            "user_id",
+            F.when(F.col("component").isNotNull(), F.lit("core"))
+            .when(F.col("_bcomp").isNotNull(), F.lit("border"))
+            .otherwise(F.lit("noise"))
+            .alias("role"),
+            F.coalesce(F.col("component"), F.col("_bcomp"))
+            .cast("long")
+            .alias("cluster"),
+        )
+        .orderBy("user_id")
+    )
+
+
+def events_granger_lite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-lag Granger causality screen over every directed pair of
+    event types: does yesterday's CAUSE series improve today's
+    EFFECT forecast beyond the effect's own yesterday? F-test of the
+    restricted model y_t ~ y_{t−1} against the unrestricted
+    y_t ~ y_{t−1} + x_{t−1} — turning `events_ccf_lag`'s symmetric
+    correlations into directional lead hypotheses.
+
+    Exactness: the daily series is the `_daily_whole_units` integer
+    grid; both regressions are closed-form from ten DECIMAL(38,0)/
+    HUGEINT moment sums (the `lineitem_ols_2var` Cramer machinery
+    for the unrestricted 3×3, the 2×2 analogue for the restricted);
+    SSEs and the F statistic are fixed-operand-order doubles
+    mirrored textually in the oracle. Pairs need n ≥ 8 overlapping
+    days, a nonsingular normal matrix, and SSE_u > 0.
+
+    Shape: one aggregate to day grain, two date-shifted self-joins
+    of that tiny frame, one groupBy over ≤ 20 (cause, effect) pairs
+    — nothing data-sized past the first stage."""
+    events = load_table(spark, sf_dir, "events")
+    daily = _daily_whole_units(events).localCheckpoint(eager=True)
+    eff = daily.select(
+        F.col("event_type").alias("effect"), "day", F.col("x").alias("y")
+    )
+    eff_lag = daily.select(
+        F.col("event_type").alias("effect"),
+        F.date_add("day", 1).alias("day"),
+        F.col("x").alias("y1"),
+    )
+    cause_lag = daily.select(
+        F.col("event_type").alias("cause"),
+        F.date_add("day", 1).alias("day"),
+        F.col("x").alias("x1"),
+    )
+    tri = (
+        eff.join(eff_lag, ["effect", "day"])
+        .join(cause_lag, "day")
+        .where(F.col("cause") != F.col("effect"))
+    )
+    d38 = "decimal(38,0)"
+    mo = tri.groupBy("cause", "effect").agg(
+        F.count(F.lit(1)).cast(d38).alias("n"),
+        F.sum(F.col("y1").cast(d38)).alias("s1"),
+        F.sum(F.col("x1").cast(d38)).alias("s2"),
+        F.sum(F.col("y1").cast(d38) * F.col("y1")).alias("s11"),
+        F.sum(F.col("y1").cast(d38) * F.col("x1")).alias("s12"),
+        F.sum(F.col("x1").cast(d38) * F.col("x1")).alias("s22"),
+        F.sum(F.col("y").cast(d38)).alias("sy"),
+        F.sum(F.col("y1").cast(d38) * F.col("y")).alias("s1y"),
+        F.sum(F.col("x1").cast(d38) * F.col("y")).alias("s2y"),
+        F.sum(F.col("y").cast(d38) * F.col("y")).alias("syy"),
+    )
+    a, b, c = (
+        F.col("n").cast("double"),
+        F.col("s1").cast("double"),
+        F.col("s2").cast("double"),
+    )
+    d, e, f = (
+        F.col("s11").cast("double"),
+        F.col("s12").cast("double"),
+        F.col("s22").cast("double"),
+    )
+    g, h, i = (
+        F.col("sy").cast("double"),
+        F.col("s1y").cast("double"),
+        F.col("s2y").cast("double"),
+    )
+    syy = F.col("syy").cast("double")
+    det = a * (d * f - e * e) - b * (b * f - e * c) + c * (b * e - d * c)
+    det0 = g * (d * f - e * e) - b * (h * f - e * i) + c * (h * e - d * i)
+    det1 = a * (h * f - e * i) - g * (b * f - e * c) + c * (b * i - h * c)
+    det2 = a * (d * i - h * e) - b * (b * i - h * c) + g * (b * e - d * c)
+    sse_u = syy - (det0 / det * g + det1 / det * h + det2 / det * i)
+    den_r = a * d - b * b
+    b1r = (a * h - b * g) / den_r
+    b0r = (g - b1r * b) / a
+    sse_r = syy - (b0r * g + b1r * h)
+    fstat = (sse_r - sse_u) * (a - F.lit(3.0)) / sse_u
+    sst = syy - g * g / a
+    return (
+        mo.where(
+            (F.col("n") >= 8) & (det != 0.0) & (den_r != 0.0) & (sse_u > 0)
+        )
+        .select(
+            "cause",
+            "effect",
+            F.col("n").cast("long").alias("n_days"),
+            det_round(fstat).alias("f_stat"),
+            det_round((sse_r - sse_u) / sst).alias("delta_r2"),
+        )
+        .orderBy("cause", "effect")
+    )
+
+
+def ivm_join_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental view maintenance for a JOIN-aggregate view:
+    revenue-by-nation (lineitem ⋈ orders ⋈ customer ⋈ nation) is
+    maintained as base view ⊕ delta increment, where the delta batch
+    is the deterministic slice l_orderkey % 97 = 0. The delta is
+    joined through the SAME dimension path and the two partial
+    aggregates merge by full-outer key union — the classic
+    delta-rule ΔV = ΔL ⋈ D algebra that makes a 100 TB view refresh
+    cost O(|Δ|), not O(|L|). Extends `incremental_revenue_maintenance`
+    (single-table agg IVM) to the join case; the oracle recomputes
+    the view from scratch over the whole fact table, so the
+    hash-match PROVES base ⊕ delta ≡ full recompute.
+
+    Money exactness: both partials sum DECIMAL(18,4) (exact for
+    price·(1−disc)) and stay DECIMAL through the merge; the cast to
+    double happens once, after the final addition."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+
+    def view(src: DataFrame) -> DataFrame:
+        return (
+            src.join(orders, src.l_orderkey == orders.o_orderkey)
+            .join(customer, orders.o_custkey == customer.c_custkey)
+            .join(
+                F.broadcast(nation),
+                customer.c_nationkey == nation.n_nationkey,
+            )
+            .groupBy("n_name")
+            .agg(F.sum(rev.cast("decimal(18,4)")).alias("_rev"))
+        )
+
+    base = view(li.where(F.col("l_orderkey") % 97 != 0)).select(
+        "n_name", F.col("_rev").alias("_base")
+    )
+    delta = view(li.where(F.col("l_orderkey") % 97 == 0)).select(
+        "n_name", F.col("_rev").alias("_delta")
+    )
+    zero = F.lit(0).cast("decimal(18,4)")
+    return (
+        base.join(delta, "n_name", "full_outer")
+        .select(
+            "n_name",
+            (
+                F.coalesce(F.col("_base"), zero)
+                + F.coalesce(F.col("_delta"), zero)
+            )
+            .cast("double")
+            .alias("revenue"),
+        )
+        .orderBy("n_name")
+    )
+
+
+def events_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov–Smirnov drift test per event type: the
+    max ECDF gap D between the first- and second-half value
+    distributions (same fixed split as `events_psi_drift`), plus the
+    cent value where the gap peaks — the nonparametric member of the
+    drift family (chi² needs bins, PSI needs both-sided bands; KS
+    sees ANY distributional change at its most divergent point).
+
+    Exactness: values land on the integer cent grid; ECDF
+    comparison is done on the COMMON DENOMINATOR integer
+    |cumA·nB − cumB·nA| (no doubles until the final division), the
+    peak location ties break to the smallest value, and cumulative
+    counts come from one window over the per-(type, cent) frame —
+    bounded by the value domain, not the data."""
+    events = load_table(spark, sf_dir, "events").where(
+        F.col("value").isNotNull()
+    )
+    half = (F.col("ts") >= F.lit("2024-01-16")).cast("int")
+    cells = events.groupBy(
+        "event_type",
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("v"),
+    ).agg(
+        F.sum(F.lit(1) - half).alias("ca"),
+        F.sum(half).alias("cb"),
+    )
+    w_cum = (
+        Window.partitionBy("event_type")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    w_tot = Window.partitionBy("event_type")
+    cum = cells.select(
+        "event_type",
+        "v",
+        F.sum("ca").over(w_cum).alias("cuma"),
+        F.sum("cb").over(w_cum).alias("cumb"),
+        F.sum("ca").over(w_tot).alias("na"),
+        F.sum("cb").over(w_tot).alias("nb"),
+    ).select(
+        "event_type",
+        "v",
+        "na",
+        "nb",
+        F.abs(
+            F.col("cuma") * F.col("nb") - F.col("cumb") * F.col("na")
+        ).alias("diff"),
+    )
+    return (
+        cum.where((F.col("na") > 0) & (F.col("nb") > 0))
+        .groupBy("event_type", "na", "nb")
+        .agg(
+            F.max("diff").alias("_d"),
+            F.max_by("v", F.struct(F.col("diff"), (-F.col("v")).alias("_nv")))
+            .alias("v_at_max"),
+        )
+        .select(
+            "event_type",
+            F.col("na").cast("long").alias("n_first"),
+            F.col("nb").cast("long").alias("n_second"),
+            det_round(
+                F.col("_d").cast("double")
+                / (F.col("na") * F.col("nb")).cast("double")
+            ).alias("ks_d"),
+            F.col("v_at_max").cast("long").alias("v_at_max"),
+        )
+        .orderBy("event_type")
+    )
+
+
+def events_mannwhitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann–Whitney U rank-sum test: are purchase values
+    stochastically larger than click values? U statistic with exact
+    midrank tie handling plus the tie-corrected normal
+    approximation z — the distribution-free alternative to
+    `ab_test_purchase_value`'s t-style comparison.
+
+    Exactness: values sit on the integer cent grid; midranks are
+    kept DOUBLED (2·rank = 2·cum_before + tiecount + 1, an exact
+    integer), so rank sums, U, and the tie-correction Σ(t³−t) are
+    all DECIMAL(38,0)/HUGEINT integer sums; only the final
+    z = (U − μ)/σ runs in fixed-operand-order doubles.
+
+    Shape: one groupBy to the (group, cent) grain, one cumulative
+    window over the merged value table, one 1-row aggregate."""
+    events = load_table(spark, sf_dir, "events").where(
+        F.col("value").isNotNull()
+        & F.col("event_type").isin("purchase", "click")
+    )
+    cells = events.groupBy(
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("v")
+    ).agg(
+        F.sum((F.col("event_type") == "purchase").cast("long")).alias("c1"),
+        F.sum((F.col("event_type") == "click").cast("long")).alias("c2"),
+    )
+    w_before = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, -1)
+    d38 = "decimal(38,0)"
+    ranked = cells.select(
+        "v",
+        "c1",
+        "c2",
+        F.coalesce(
+            F.sum(F.col("c1") + F.col("c2")).over(w_before), F.lit(0)
+        ).alias("cb"),
+        (F.col("c1") + F.col("c2")).alias("t"),
+    )
+    s = ranked.agg(
+        F.sum(F.col("c1").cast(d38)).alias("n1"),
+        F.sum(F.col("c2").cast(d38)).alias("n2"),
+        F.sum(
+            F.col("c1").cast(d38)
+            * (F.lit(2) * F.col("cb") + F.col("t") + F.lit(1))
+        ).alias("r1x2"),
+        F.sum(
+            F.col("t").cast(d38) * F.col("t") * F.col("t")
+            - F.col("t").cast(d38)
+        ).alias("ties"),
+    )
+    n1, n2 = F.col("n1").cast("double"), F.col("n2").cast("double")
+    nn = n1 + n2
+    u1 = (
+        F.col("r1x2").cast("double") / F.lit(2.0)
+        - n1 * (n1 + F.lit(1.0)) / F.lit(2.0)
+    )
+    mu = n1 * n2 / F.lit(2.0)
+    sig2 = (
+        n1 * n2 / F.lit(12.0)
+        * (
+            (nn + F.lit(1.0))
+            - F.col("ties").cast("double") / (nn * (nn - F.lit(1.0)))
+        )
+    )
+    return s.select(
+        F.col("n1").cast("long").alias("n_purchase"),
+        F.col("n2").cast("long").alias("n_click"),
+        det_round(u1).alias("u_stat"),
+        det_round((u1 - mu) / F.sqrt(sig2)).alias("z_score"),
+    )
+
+
+def events_periodogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Discrete periodogram of the mean-centered daily-value series
+    per event type at candidate periods 2..14 days: spectral power
+    P(p) = (Σx̃·cos)² + (Σx̃·sin)² normalized by n — the Fourier
+    seasonality detector that complements `events_acf` (time-domain)
+    and `events_stl_strength` (decomposition): a peak at p=7 IS the
+    weekly rhythm.
+
+    Exactness: the series is the `_daily_whole_units` integer grid,
+    centered exactly as x̃ = n·x − Σx (still integer); each
+    cos/sin product is floored onto a 1e-6 integer grid (phase
+    angles are cos(2π·(t mod p)/p) of small-integer ratios — the
+    grid absorbs libm ulp differences), so the two spectral sums
+    are exact; the final power expression is fixed-order doubles
+    normalized by n³ (two factors from centering, one from the
+    periodogram convention)."""
+    import math
+
+    events = load_table(spark, sf_dir, "events")
+    daily = _daily_whole_units(events).localCheckpoint(eager=True)
+    w = Window.partitionBy("event_type")
+    centered = daily.select(
+        "event_type",
+        "day",
+        F.col("x"),
+        F.count(F.lit(1)).over(w).alias("n"),
+        F.sum("x").over(w).alias("sx"),
+        F.min("day").over(w).alias("d0"),
+    ).select(
+        "event_type",
+        "n",
+        (F.col("n") * F.col("x") - F.col("sx")).alias("xc"),
+        F.datediff(F.col("day"), F.col("d0")).alias("t"),
+    )
+    periods = spark.range(2, 15).select(F.col("id").cast("int").alias("p"))
+    ang = (
+        F.lit(2.0)
+        * F.lit(math.pi)
+        * (F.col("t") % F.col("p")).cast("double")
+        / F.col("p").cast("double")
+    )
+    d38 = "decimal(38,0)"
+    terms = centered.crossJoin(F.broadcast(periods)).select(
+        "event_type",
+        "p",
+        "n",
+        F.floor(F.col("xc").cast("double") * F.cos(ang) * F.lit(1e6) + F.lit(0.5))
+        .cast("long")
+        .alias("tc"),
+        F.floor(F.col("xc").cast("double") * F.sin(ang) * F.lit(1e6) + F.lit(0.5))
+        .cast("long")
+        .alias("ts_"),
+    )
+    s = terms.groupBy("event_type", "p").agg(
+        F.first("n").alias("n"),
+        F.sum(F.col("tc").cast(d38)).alias("cs"),
+        F.sum(F.col("ts_").cast(d38)).alias("ss"),
+    )
+    nd = F.col("n").cast("double")
+    cd = F.col("cs").cast("double") / F.lit(1e6)
+    sd = F.col("ss").cast("double") / F.lit(1e6)
+    return (
+        s.where(F.col("n") >= 4)
+        .select(
+            "event_type",
+            F.col("p").alias("period_days"),
+            F.col("n").cast("long").alias("n_days"),
+            det_round((cd * cd + sd * sd) / (nd * nd * nd)).alias("power"),
+        )
+        .orderBy("event_type", "period_days")
+    )
+
+
+def customer_decile_migration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer value-decile migration matrix: each customer's spend
+    decile in the early period (orders before 1998-01-01) vs the
+    late period, counting customers per (decile_before, decile_after)
+    cell — the retention-marketing staple that shows whether top
+    deciles churn or compound. Only customers active in BOTH periods
+    enter the matrix (deciles are within-period ranks, so a single
+    period suffices to place a customer in one axis only).
+
+    Determinism: spend is an exact cent sum; NTILE(10) runs over the
+    total order (spend DESC, custkey ASC), which both engines rank
+    identically; the matrix is pure integer counts. Shape: one
+    customer-grain aggregate per period, two 10-bucket window ranks
+    over those small frames, one join on custkey."""
+    orders = load_table(spark, sf_dir, "orders")
+    cents = F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")
+    cut = F.col("o_orderdate") < F.lit("1998-01-01")
+
+    def deciles(src: DataFrame, out: str) -> DataFrame:
+        spend = src.groupBy("o_custkey").agg(F.sum(cents).alias("_sp"))
+        w = Window.orderBy(F.desc("_sp"), F.asc("o_custkey"))
+        return spend.select("o_custkey", F.ntile(10).over(w).alias(out))
+
+    before = deciles(orders.where(cut), "decile_before")
+    after = deciles(orders.where(~cut), "decile_after")
+    return (
+        before.join(after, "o_custkey")
+        .groupBy("decile_before", "decile_after")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+        .orderBy("decile_before", "decile_after")
+    )
+
+
+def part_abc_xyz(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ABC/XYZ inventory classification matrix: parts ranked by
+    revenue share (A = first 80% of cumulative revenue, B = to 95%,
+    C = rest) crossed with demand variability (monthly quantity
+    CV: X < 0.5, Y < 1.0, Z otherwise) — the two-axis segmentation
+    behind every stocking-policy review, extending
+    `brand_revenue_pareto`'s single axis.
+
+    Determinism: revenue is exact cents; the cumulative-share class
+    compares INTEGERS (cum·100 vs total·80) so no ratio is ever
+    floated; CV comes from exact DECIMAL(38,0) moments of monthly
+    unit counts, classed by an integer-safe comparison
+    (n·variance·4 vs mean² etc. — kept in doubles with one fixed
+    operand order, identical both engines).
+
+    Shape: two part-grain aggregates over lineitem (revenue; monthly
+    quantities), one window over the part frame for the cumulative
+    share, a 9-cell final rollup."""
+    li = load_table(spark, sf_dir, "lineitem")
+    rev_cents = F.floor(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100 + F.lit(0.5)
+    ).cast("long")
+    rev = li.groupBy("l_partkey").agg(F.sum(rev_cents).alias("r"))
+    w_cum = Window.orderBy(F.desc("r"), F.asc("l_partkey")).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    w_all = Window.partitionBy()
+    abc = rev.select(
+        "l_partkey",
+        F.sum("r").over(w_cum).alias("cum"),
+        F.sum("r").over(w_all).alias("tot"),
+    ).select(
+        "l_partkey",
+        F.when(F.col("cum") * 100 <= F.col("tot") * 80, F.lit("A"))
+        .when(F.col("cum") * 100 <= F.col("tot") * 95, F.lit("B"))
+        .otherwise(F.lit("C"))
+        .alias("abc_class"),
+    )
+    d38 = "decimal(38,0)"
+    monthly = li.groupBy(
+        "l_partkey", F.date_trunc("month", F.col("l_shipdate")).alias("_m")
+    ).agg(F.sum(F.col("l_quantity").cast("long")).alias("q"))
+    mo = monthly.groupBy("l_partkey").agg(
+        F.count(F.lit(1)).cast(d38).alias("n"),
+        F.sum(F.col("q").cast(d38)).alias("s"),
+        F.sum(F.col("q").cast(d38) * F.col("q")).alias("ss"),
+    )
+    var_num = (F.col("n") * F.col("ss") - F.col("s") * F.col("s")).cast(
+        "double"
+    )
+    mean2 = (F.col("s") * F.col("s")).cast("double")
+    cv2 = var_num / mean2  # = (n·Σq² − (Σq)²) / (Σq)² = n²·var / (n·mean)²·... fixed-order
+    xyz = mo.select(
+        "l_partkey",
+        F.when(cv2 < F.lit(0.25), F.lit("X"))
+        .when(cv2 < F.lit(1.0), F.lit("Y"))
+        .otherwise(F.lit("Z"))
+        .alias("xyz_class"),
+    )
+    return (
+        abc.join(xyz, "l_partkey")
+        .groupBy("abc_class", "xyz_class")
+        .agg(F.count(F.lit(1)).alias("n_parts"))
+        .orderBy("abc_class", "xyz_class")
+    )
+
+
+def doc_heaps_law(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps'-law fit for the corpus: vocabulary growth V(n) ≈ K·n^β
+    estimated by log-log OLS over the cumulative (tokens seen,
+    distinct tokens seen) trajectory sampled at every document
+    boundary in doc_id order — the vocabulary-scaling twin of
+    `doc_zipf_fit` (the two laws are duals), and the number that
+    predicts how big the tokenizer's vocab must be at 100× the
+    corpus.
+
+    Cumulative-distinct without an iterative scan: a token's FIRST
+    document (min doc_id) is where it increments the vocabulary, so
+    new-vocab-per-doc is one aggregate and both cumulative series
+    are windows over the doc-grain frame. Logs are floored onto the
+    1e-9 integer grid per point; the OLS slope/intercept come from
+    exact DECIMAL(38,0) moment sums (the `part_price_elasticity`
+    machinery).
+
+    Output one row: n_docs, beta (det-round), k (e^intercept,
+    det-round), r2."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.explode(
+            F.filter(F.split(F.col("text"), " "), lambda x: x != "")
+        ).alias("token"),
+    )
+    per_doc = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("nt"))
+    first_seen = (
+        toks.groupBy("token")
+        .agg(F.min("doc_id").alias("doc_id"))
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("nv"))
+    )
+    w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, 0)
+    traj = (
+        per_doc.join(first_seen, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.sum("nt").over(w).alias("cn"),
+            F.sum(F.coalesce(F.col("nv"), F.lit(0))).over(w).alias("cv"),
+        )
+        .where((F.col("cn") > 0) & (F.col("cv") > 0))
+        .select(
+            F.floor(
+                F.log(F.col("cn").cast("double")) * F.lit(1e9) + F.lit(0.5)
+            )
+            .cast("long")
+            .alias("lx"),
+            F.floor(
+                F.log(F.col("cv").cast("double")) * F.lit(1e9) + F.lit(0.5)
+            )
+            .cast("long")
+            .alias("ly"),
+        )
+    )
+    d38 = "decimal(38,0)"
+    m = traj.agg(
+        F.count(F.lit(1)).cast(d38).alias("n"),
+        F.sum(F.col("lx").cast(d38)).alias("sx"),
+        F.sum(F.col("ly").cast(d38)).alias("sy"),
+        F.sum(F.col("lx").cast(d38) * F.col("lx")).alias("sxx"),
+        F.sum(F.col("ly").cast(d38) * F.col("ly")).alias("syy"),
+        F.sum(F.col("lx").cast(d38) * F.col("ly")).alias("sxy"),
+    )
+    vx = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    vy = (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")
+    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    beta = num / vx
+    intercept = (
+        F.col("sy").cast("double") / F.lit(1e9)
+        - beta * (F.col("sx").cast("double") / F.lit(1e9))
+    ) / F.col("n").cast("double")
+    return m.where((vx > 0) & (vy > 0)).select(
+        F.col("n").cast("long").alias("n_docs"),
+        det_round(beta).alias("beta"),
+        det_round(F.exp(intercept)).alias("k"),
+        det_round(num / (F.sqrt(vx) * F.sqrt(vy)) * (num / (F.sqrt(vx) * F.sqrt(vy)))).alias("r2"),
+    )
+
+
+def orders_backlog_timeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Open-order backlog timeline: for every day on which the
+    backlog changes, the number of orders placed but not yet fully
+    shipped (an order closes the day AFTER its last lineitem ships)
+    — the operations dashboard number whose slope is the
+    order-intake vs fulfillment balance. Sweep-line at date grain,
+    the order-lifecycle sibling of `peak_concurrency`'s second-grain
+    user intervals.
+
+    Each order contributes +1 at o_orderdate and −1 at
+    max(l_shipdate)+1 day; the backlog is the running integer sum
+    over the per-day delta frame (bounded by the calendar, not the
+    data — the single-partition cumulative window is over ~2500
+    rows at any corpus size). Orders with no lineitems are excluded
+    (their close is undefined). Everything is exact integer
+    arithmetic on dates and counts."""
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    closes = li.groupBy("l_orderkey").agg(
+        F.date_add(F.max(F.col("l_shipdate").cast("date")), 1).alias("day")
+    )
+    opens = (
+        orders.join(
+            closes.select(F.col("l_orderkey").alias("o_orderkey")),
+            "o_orderkey",
+            "left_semi",
+        )
+        .select(F.col("o_orderdate").cast("date").alias("day"))
+        .groupBy("day")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    closed = closes.groupBy("day").agg((-F.count(F.lit(1))).alias("d"))
+    deltas = (
+        opens.unionAll(closed).groupBy("day").agg(F.sum("d").alias("delta"))
+    )
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    return deltas.select(
+        F.col("day").cast("string").alias("day"),
+        F.col("delta").cast("long").alias("delta"),
+        F.sum("delta").over(w).cast("long").alias("open_orders"),
+    ).orderBy("day")

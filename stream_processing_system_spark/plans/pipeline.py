@@ -4,7 +4,7 @@ text_analysis} for the driver contract."""
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from stream_processing_system_spark.operators import (
@@ -1498,4 +1498,108 @@ def ivfpq_topk_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
         rerank=50,
         cents=cents,
         books=books,
+    )
+
+
+def ann_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retrieval-quality curve for the LSH ANN path: recall@k of
+    `lsh_topk` against the brute-force `cosine_topk` truth at
+    k ∈ {1, 5, 10, 20} — the ANN twin of `dedup_banding_recall`,
+    turning "is the index any good" into a driver-checked number per
+    operating point instead of a one-off test assertion.
+
+    Both sides are deterministic (round-6 sims, id tie-breaks), so
+    rank lists — and therefore the curve itself — are value-hash
+    comparable; the oracle recomputes both retrievals in SQL. Shape:
+    two top-20 retrievals (each a scan + TakeOrderedAndProject, the
+    LSH side bucket-pruned), then arithmetic on ≤20-row frames."""
+    embs = _embs(spark, sf_dir)
+    q = _query_vec(spark, sf_dir)
+    w = Window.orderBy(F.desc("sim"), F.asc("vec_id"))
+    b = similarity.cosine_topk(embs, q, k=20).select(
+        "vec_id", F.row_number().over(w).alias("br")
+    )
+    l = similarity.lsh_topk(embs, q, k=20).select(
+        "vec_id", F.row_number().over(w).alias("lr")
+    )
+    ks = spark.createDataFrame([(1,), (5,), (10,), (20,)], "k int")
+    hits = (
+        b.join(l, "vec_id")
+        .crossJoin(F.broadcast(ks))
+        .where((F.col("br") <= F.col("k")) & (F.col("lr") <= F.col("k")))
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+    return (
+        ks.join(hits, "k", "left")
+        .select(
+            "k",
+            F.coalesce(F.col("n_hits"), F.lit(0)).cast("long").alias("n_hits"),
+            (
+                F.coalesce(F.col("n_hits"), F.lit(0)).cast("double")
+                / F.col("k").cast("double")
+            ).alias("recall"),
+        )
+        .orderBy("k")
+    )
+
+
+def embedding_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-cluster simplified silhouette over the trained k-means
+    codebook (centroid-distance form, cosine metric): for each
+    vector, a = distance to its own centroid, b = distance to the
+    best OTHER centroid, s = (b−a)/max(a,b); reported as the
+    per-cluster mean — the cluster-quality companion to
+    `embedding_kmeans_clusters`' cohesion (silhouette sees
+    BETWEEN-cluster separation, cohesion only within).
+
+    Determinism: the codebook is the cross-engine-reproducible
+    Lloyd's (`train_ivf_centroids`); per-point best/second-best use
+    the (sim, −cid) total order both engines rank identically; each
+    s is floored onto the 1e-6 grid before the exact-integer
+    per-cluster mean (the `kmeans_cluster_stats` cohesion device).
+    Shape: one broadcast crossJoin against 16 centroids + one
+    groupBy — no data-sized window."""
+    embs = _embs(spark, sf_dir)
+    cents = similarity.train_ivf_centroids(embs, n_centroids=16, iters=2)
+    centroids = similarity._centroid_frame(spark, cents)
+    sims = embs.crossJoin(F.broadcast(centroids)).select(
+        "vec_id",
+        "_cid",
+        similarity.cosine_similarity(F.col("embedding"), F.col("_cvec")).alias(
+            "_csim"
+        ),
+    )
+    arr = F.reverse(
+        F.array_sort(
+            F.collect_list(
+                F.struct(
+                    F.col("_csim").alias("s"), (-F.col("_cid")).alias("nc")
+                )
+            )
+        )
+    )
+    per_point = sims.groupBy("vec_id").agg(arr.alias("_a"))
+    a = F.lit(1.0) - F.element_at(F.col("_a"), 1)["s"]
+    bb = F.lit(1.0) - F.element_at(F.col("_a"), 2)["s"]
+    s = F.when(
+        F.greatest(a, bb) > 0, (bb - a) / F.greatest(a, bb)
+    ).otherwise(F.lit(0.0))
+    pts = per_point.select(
+        (-F.element_at(F.col("_a"), 1)["nc"]).alias("cluster"),
+        F.floor(s * F.lit(1e6) + F.lit(0.5)).cast("long").alias("_t"),
+    )
+    return (
+        pts.groupBy("cluster")
+        .agg(F.count(F.lit(1)).alias("n_members"), F.sum("_t").alias("_s"))
+        .select(
+            F.col("cluster").cast("int").alias("cluster"),
+            "n_members",
+            (
+                F.col("_s").cast("double")
+                / F.lit(1e6)
+                / F.col("n_members").cast("double")
+            ).alias("silhouette"),
+        )
+        .orderBy("cluster")
     )
