@@ -1537,6 +1537,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_recall_curve": pipeline.ann_recall_curve,
         "embedding_silhouette": pipeline.embedding_silhouette,
         "orders_backlog_timeline": analytics.orders_backlog_timeline,
+        "markov_holdout_perplexity": analytics.markov_holdout_perplexity,
         "copurchase_components": analytics.copurchase_components,
         "orders_nested_rollup": analytics.orders_nested_rollup,
         "orderkey_gap_audit": analytics.orderkey_gap_audit,
@@ -4818,6 +4819,53 @@ def oracle_sql() -> dict[str, str]:
             WHERE n_days >= 8 AND det <> 0.0 AND den_r <> 0.0
               AND sse_u > 0
             ORDER BY cause, effect
+        """,
+        "markov_holdout_perplexity": """
+            WITH tr AS (
+                SELECT cur, nxt, count(*) AS c FROM (
+                    SELECT event_type AS cur,
+                           lead(event_type) OVER (
+                               PARTITION BY user_id ORDER BY ts, event_id
+                           ) AS nxt
+                    FROM events WHERE ts < TIMESTAMP '2024-01-16'
+                ) WHERE nxt IS NOT NULL GROUP BY cur, nxt
+            ), te AS (
+                SELECT cur, nxt, count(*) AS tc FROM (
+                    SELECT event_type AS cur,
+                           lead(event_type) OVER (
+                               PARTITION BY user_id ORDER BY ts, event_id
+                           ) AS nxt
+                    FROM events WHERE NOT (ts < TIMESTAMP '2024-01-16')
+                ) WHERE nxt IS NOT NULL GROUP BY cur, nxt
+            ), kk AS (
+                SELECT count(DISTINCT event_type) AS k FROM events
+            ), ncur AS (
+                SELECT cur, SUM(c) AS ncur FROM tr GROUP BY cur
+            ), j AS (
+                SELECT te.tc,
+                       CAST(floor(ln(
+                           CAST(COALESCE(tr.c, 0) + 1 AS DOUBLE)
+                           / CAST(COALESCE(n.ncur, 0) + kk.k AS DOUBLE))
+                           * 1000000000.0 + 0.5) AS BIGINT) AS logp
+                FROM te
+                LEFT JOIN tr ON te.cur = tr.cur AND te.nxt = tr.nxt
+                LEFT JOIN ncur n ON te.cur = n.cur
+                CROSS JOIN kk
+            ), s AS (
+                SELECT SUM(CAST(tc AS HUGEINT)) AS n_test,
+                       SUM(CAST(tc AS HUGEINT) * logp) AS ll,
+                       (SELECT SUM(c) FROM tr) AS n_train
+                FROM j
+            )
+            SELECT CAST(n_train AS BIGINT) AS n_train,
+                   CAST(n_test AS BIGINT) AS n_test,
+                   floor(-(CAST(ll AS DOUBLE) / 1000000000.0
+                           / CAST(n_test AS DOUBLE))
+                         * 1000000.0 + 0.5) / 1000000.0 AS cross_entropy,
+                   floor(exp(-(CAST(ll AS DOUBLE) / 1000000000.0
+                               / CAST(n_test AS DOUBLE)))
+                         * 1000000.0 + 0.5) / 1000000.0 AS perplexity
+            FROM s
         """,
         "ann_recall_curve": _ann_recall_curve_oracle_sql(),
         "embedding_silhouette": _silhouette_oracle_sql(),

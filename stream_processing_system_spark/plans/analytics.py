@@ -6143,3 +6143,76 @@ def orders_backlog_timeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("delta").cast("long").alias("delta"),
         F.sum("delta").over(w).cast("long").alias("open_orders"),
     ).orderBy("day")
+
+
+def markov_holdout_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Held-out evaluation of the first-order event-type Markov model:
+    train transition probabilities on the first half of the time
+    range (add-one smoothing over the K observed types), score the
+    second half's transitions, report cross-entropy (nats) and
+    perplexity — the train/test-split model-quality loop that turns
+    `event_transitions` from a descriptive matrix into an evaluated
+    predictor. Transitions never span the split boundary (each half
+    sessionizes independently).
+
+    Exactness: per (cur, next) cell the log-probability
+    ln((c+1)/(N_cur+K)) is floored ONCE onto the 1e-9 grid and
+    multiplied by the exact integer test count, so the total
+    log-likelihood is an exact DECIMAL sum; unseen rows fall back to
+    the smoothed floor via coalesce. Only the final exp(−LL/N) is a
+    fixed-order double. Shape: two user-windowed passes (one per
+    half) to K² count matrices, then arithmetic on ≤K² rows."""
+    events = load_table(spark, sf_dir, "events")
+    cut = F.col("ts") < F.lit("2024-01-16")
+
+    def transitions(src: DataFrame) -> DataFrame:
+        by_user = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        return (
+            src.select(
+                "user_id",
+                "ts",
+                "event_id",
+                F.col("event_type").alias("cur"),
+                F.lead("event_type").over(by_user).alias("nxt"),
+            )
+            .where(F.col("nxt").isNotNull())
+            .groupBy("cur", "nxt")
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+
+    train = transitions(events.where(cut)).localCheckpoint(eager=True)
+    test = transitions(events.where(~cut))
+    k = events.select("event_type").distinct().agg(
+        F.count(F.lit(1)).alias("k")
+    )
+    ncur = train.groupBy("cur").agg(F.sum("c").alias("ncur"))
+    joined = (
+        test.withColumnRenamed("c", "tc")
+        .join(train, ["cur", "nxt"], "left")
+        .join(ncur, "cur", "left")
+        .crossJoin(F.broadcast(k))
+    )
+    logp = F.floor(
+        F.log(
+            (F.coalesce(F.col("c"), F.lit(0)) + F.lit(1)).cast("double")
+            / (F.coalesce(F.col("ncur"), F.lit(0)) + F.col("k")).cast("double")
+        )
+        * F.lit(1e9)
+        + F.lit(0.5)
+    ).cast("long")
+    d38 = "decimal(38,0)"
+    s = joined.agg(
+        F.sum(F.col("tc").cast(d38)).alias("n_test"),
+        F.sum(F.col("tc").cast(d38) * logp).alias("ll"),
+    ).crossJoin(F.broadcast(train.agg(F.sum("c").alias("n_train"))))
+    ce = -(
+        F.col("ll").cast("double")
+        / F.lit(1e9)
+        / F.col("n_test").cast("double")
+    )
+    return s.select(
+        F.col("n_train").cast("long").alias("n_train"),
+        F.col("n_test").cast("long").alias("n_test"),
+        det_round(ce).alias("cross_entropy"),
+        det_round(F.exp(ce)).alias("perplexity"),
+    )
