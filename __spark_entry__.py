@@ -544,6 +544,92 @@ def _pq_topk_oracle_sql(
     """
 
 
+def _poisson_glm_oracle_sql(iters: int = 3) -> str:
+    """IRLS Poisson GLM unrolled as CTEs, mirroring
+    `analytics.events_poisson_glm` round-for-round: per-row weighted
+    moments floored onto the 1e-6 grid before exact summation,
+    Cramer solve in doubles with the identical operand order, β
+    quantized to the 1e-9 grid between rounds."""
+    eta = "(b.b0 + b.b1 * t.s + b.b2 * t.c)"
+    wz = f"(exp{eta} * {eta} + CAST(t.y AS DOUBLE) - exp{eta})"
+    terms = {
+        "ma": f"exp{eta}",
+        "mb": f"exp{eta} * t.s",
+        "mc": f"exp{eta} * t.c",
+        "md": f"exp{eta} * t.s * t.s",
+        "me": f"exp{eta} * t.s * t.c",
+        "mf": f"exp{eta} * t.c * t.c",
+        "mg": f"exp{eta} * {eta} + CAST(t.y AS DOUBLE) - exp{eta}",
+        "mh": f"{wz} * t.s",
+        "mi": f"{wz} * t.c",
+    }
+
+    def q(x: str) -> str:
+        return f"SUM(CAST(floor(({x}) * 1000000.0 + 0.5) AS BIGINT))"
+
+    det = "(a * (d * f - e * e) - b * (b * f - e * c) + c * (b * e - d * c))"
+    det0 = "(g * (d * f - e * e) - b * (h * f - e * i) + c * (h * e - d * i))"
+    det1 = "(a * (h * f - e * i) - g * (b * f - e * c) + c * (b * i - h * c))"
+    det2 = "(a * (d * i - h * e) - b * (b * i - h * c) + g * (b * e - d * c))"
+    parts = [
+        """sc AS MATERIALIZED (
+        SELECT CAST(COALESCE(c2.y, 0) AS BIGINT) AS y,
+               sin(2.0 * pi() * CAST(g.h AS DOUBLE) / 24.0) AS s,
+               cos(2.0 * pi() * CAST(g.h AS DOUBLE) / 24.0) AS c
+        FROM (SELECT day, h FROM
+                 (SELECT DISTINCT CAST(ts AS DATE) AS day FROM events)
+                 CROSS JOIN
+                 (SELECT CAST(unnest(range(0, 24)) AS INT) AS h)) g
+        LEFT JOIN (SELECT CAST(ts AS DATE) AS day,
+                          CAST(hour(ts) AS INT) AS h, count(*) AS y
+                   FROM events GROUP BY 1, 2) c2
+               ON g.day = c2.day AND g.h = c2.h
+    ), tot AS (SELECT SUM(y) AS sy, count(*) AS n FROM sc),
+    beta0 AS (
+        SELECT floor(ln(CAST(sy AS DOUBLE) / CAST(n AS DOUBLE))
+                     * 1000000000.0 + 0.5) / 1000000000.0 AS b0,
+               0.0 AS b1, 0.0 AS b2
+        FROM tot
+    )"""
+    ]
+    for t in range(iters):
+        cols = ", ".join(f"{q(x)} AS {k}" for k, x in terms.items())
+        parts.append(f"""r{t} AS (
+        SELECT {cols}
+        FROM sc t, beta{t} b
+    ), k{t} AS (
+        SELECT CAST(ma AS DOUBLE) AS a, CAST(mb AS DOUBLE) AS b,
+               CAST(mc AS DOUBLE) AS c, CAST(md AS DOUBLE) AS d,
+               CAST(me AS DOUBLE) AS e, CAST(mf AS DOUBLE) AS f,
+               CAST(mg AS DOUBLE) AS g, CAST(mh AS DOUBLE) AS h,
+               CAST(mi AS DOUBLE) AS i
+        FROM r{t}
+    ), beta{t + 1} AS (
+        SELECT floor({det0} / {det} * 1000000000.0 + 0.5)
+                   / 1000000000.0 AS b0,
+               floor({det1} / {det} * 1000000000.0 + 0.5)
+                   / 1000000000.0 AS b1,
+               floor({det2} / {det} * 1000000000.0 + 0.5)
+                   / 1000000000.0 AS b2
+        FROM k{t}
+    )""")
+        # noqa: unrolled round text is static per t
+    peak = "atan2(b1, b2) * 24.0 / (2.0 * pi())"
+    return f"""
+        WITH {','.join(parts)}
+        SELECT (SELECT CAST(n AS BIGINT) FROM tot) AS n_obs,
+               floor(b0 * 1000000.0 + 0.5) / 1000000.0 AS intercept,
+               floor(b1 * 1000000.0 + 0.5) / 1000000.0 AS beta_sin,
+               floor(b2 * 1000000.0 + 0.5) / 1000000.0 AS beta_cos,
+               floor(sqrt(b1 * b1 + b2 * b2) * 1000000.0 + 0.5)
+                   / 1000000.0 AS amplitude,
+               floor((CASE WHEN {peak} < 0 THEN {peak} + 24.0
+                           ELSE {peak} END) * 1000000.0 + 0.5)
+                   / 1000000.0 AS peak_hour
+        FROM beta{iters}
+    """
+
+
 def _ann_recall_curve_oracle_sql() -> str:
     """Recall@k of the LSH retrieval vs brute force at k∈{1,5,10,20}:
     both rank lists recomputed in SQL with the engine's round-6 sims
@@ -1538,6 +1624,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_silhouette": pipeline.embedding_silhouette,
         "orders_backlog_timeline": analytics.orders_backlog_timeline,
         "markov_holdout_perplexity": analytics.markov_holdout_perplexity,
+        "events_poisson_glm": analytics.events_poisson_glm,
         "copurchase_components": analytics.copurchase_components,
         "orders_nested_rollup": analytics.orders_nested_rollup,
         "orderkey_gap_audit": analytics.orderkey_gap_audit,
@@ -4820,6 +4907,7 @@ def oracle_sql() -> dict[str, str]:
               AND sse_u > 0
             ORDER BY cause, effect
         """,
+        "events_poisson_glm": _poisson_glm_oracle_sql(),
         "markov_holdout_perplexity": """
             WITH tr AS (
                 SELECT cur, nxt, count(*) AS c FROM (

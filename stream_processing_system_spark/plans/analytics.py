@@ -6216,3 +6216,108 @@ def markov_holdout_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
         det_round(ce).alias("cross_entropy"),
         det_round(F.exp(ce)).alias("perplexity"),
     )
+
+
+def events_poisson_glm(
+    spark: SparkSession, sf_dir: str, iters: int = 3
+) -> DataFrame:
+    """Poisson GLM with log link for the hourly event-rate profile:
+    count(day, hour) ~ Poisson(exp(β₀ + β₁·sin(2πh/24) +
+    β₂·cos(2πh/24))), fit by `iters` fixed IRLS rounds — the
+    canonical rate-model regression (a linear model would happily
+    predict negative counts at 3am), reported as the fitted
+    coefficients plus the implied diurnal amplitude and peak hour.
+    Zero-count (day, hour) cells are materialized into the design
+    (dropping them biases the rate upward — the classic silent GLM
+    mistake).
+
+    Cross-engine reproducible training, the `train_ivf_centroids`
+    contract applied to IRLS: every weighted moment is floored
+    per-row onto a 1e-6 integer grid before the exact sum (the grid
+    absorbs last-ulp libm sin/exp differences), the 3×3 weighted
+    normal equations solve by the textually-mirrored Cramer rule,
+    and each round's β is quantized to the 1e-9 grid so the next
+    round's η is bit-identical in both engines. The DuckDB oracle
+    unrolls the same `iters` rounds as CTEs.
+
+    Scale shape: the design matrix never materializes — each round
+    is ONE map-side-combined aggregate over the (days×24) frame
+    producing nine integers; the driver sees only the 3-scalar β per
+    round (the k-means codebook analogue). At 100 TB the hourly
+    frame is still calendar-sized."""
+    import math
+
+    events = load_table(spark, sf_dir, "events")
+    days = events.select(F.col("ts").cast("date").alias("day")).distinct()
+    hours = spark.range(0, 24).select(F.col("id").cast("int").alias("h"))
+    counts = events.groupBy(
+        F.col("ts").cast("date").alias("day"), F.hour("ts").alias("h")
+    ).agg(F.count(F.lit(1)).alias("y"))
+    hd = F.col("h").cast("double")
+    two_pi = 2.0 * math.pi
+    sc = (
+        days.crossJoin(F.broadcast(hours))
+        .join(counts, ["day", "h"], "left")
+        .select(
+            F.coalesce(F.col("y"), F.lit(0)).cast("long").alias("y"),
+            F.sin(F.lit(two_pi) * hd / F.lit(24.0)).alias("s"),
+            F.cos(F.lit(two_pi) * hd / F.lit(24.0)).alias("c"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    tot = sc.agg(F.sum("y").alias("sy"), F.count(F.lit(1)).alias("n")).collect()[0]
+    n_obs = int(tot["n"])
+    b0 = math.floor(math.log(tot["sy"] / tot["n"]) * 1e9 + 0.5) / 1e9
+    b1 = b2 = 0.0
+    d38 = "decimal(38,0)"
+
+    def q(col):
+        return F.floor(col * F.lit(1e6) + F.lit(0.5)).cast("long").cast(d38)
+
+    for _ in range(iters):
+        eta = F.lit(b0) + F.lit(b1) * F.col("s") + F.lit(b2) * F.col("c")
+        mu = F.exp(eta)
+        wz = mu * eta + F.col("y").cast("double") - mu
+        r = sc.agg(
+            F.sum(q(mu)).alias("ma"),
+            F.sum(q(mu * F.col("s"))).alias("mb"),
+            F.sum(q(mu * F.col("c"))).alias("mc"),
+            F.sum(q(mu * F.col("s") * F.col("s"))).alias("md"),
+            F.sum(q(mu * F.col("s") * F.col("c"))).alias("me"),
+            F.sum(q(mu * F.col("c") * F.col("c"))).alias("mf"),
+            F.sum(q(wz)).alias("mg"),
+            F.sum(q(wz * F.col("s"))).alias("mh"),
+            F.sum(q(wz * F.col("c"))).alias("mi"),
+        ).collect()[0]
+        a, b, c_ = float(r["ma"]), float(r["mb"]), float(r["mc"])
+        d, e, f = float(r["md"]), float(r["me"]), float(r["mf"])
+        g, h, i = float(r["mg"]), float(r["mh"]), float(r["mi"])
+        det = a * (d * f - e * e) - b * (b * f - e * c_) + c_ * (b * e - d * c_)
+        det0 = g * (d * f - e * e) - b * (h * f - e * i) + c_ * (h * e - d * i)
+        det1 = a * (h * f - e * i) - g * (b * f - e * c_) + c_ * (b * i - h * c_)
+        det2 = a * (d * i - h * e) - b * (b * i - h * c_) + g * (b * e - d * c_)
+        b0 = math.floor(det0 / det * 1e9 + 0.5) / 1e9
+        b1 = math.floor(det1 / det * 1e9 + 0.5) / 1e9
+        b2 = math.floor(det2 / det * 1e9 + 0.5) / 1e9
+
+    amp = math.sqrt(b1 * b1 + b2 * b2)
+    peak = math.atan2(b1, b2) * 24.0 / (2.0 * math.pi)
+    peak_hour = peak + 24.0 if peak < 0 else peak
+
+    def r6(x: float) -> float:
+        return math.floor(x * 1e6 + 0.5) / 1e6
+
+    return spark.createDataFrame(
+        [
+            (
+                n_obs,
+                r6(b0),
+                r6(b1),
+                r6(b2),
+                r6(amp),
+                r6(peak_hour),
+            )
+        ],
+        "n_obs bigint, intercept double, beta_sin double, beta_cos double,"
+        " amplitude double, peak_hour double",
+    )
