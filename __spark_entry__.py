@@ -544,6 +544,102 @@ def _pq_topk_oracle_sql(
     """
 
 
+def _als_oracle_sql(rounds: int = 2, reg: float = 0.1) -> str:
+    """Rank-2 ALS unrolled as CTEs, mirroring
+    `linalg.als_factorize` + `analytics.customer_part_als`
+    step-for-step: md5-seeded item factors, per-entity 2×2 ridge
+    Cramer solves with every moment term floored onto the 1e-6 grid
+    before exact summation, factors re-quantized to the grid after
+    each solve, train RMSE from grid-summed squared errors."""
+    lam = repr(float(reg))
+
+    def mstep(name: str, src: str, fixed: str, fk: str, solve: str) -> str:
+        return f"""m_{name} AS (
+        SELECT r.{solve} AS ent,
+               SUM(CAST(floor((f.v1 * f.v1) * 1000000.0 + 0.5)
+                        AS BIGINT)) AS a11,
+               SUM(CAST(floor((f.v1 * f.v2) * 1000000.0 + 0.5)
+                        AS BIGINT)) AS a12,
+               SUM(CAST(floor((f.v2 * f.v2) * 1000000.0 + 0.5)
+                        AS BIGINT)) AS a22,
+               SUM(CAST(floor((CAST(r.r AS DOUBLE) * f.v1)
+                              * 1000000.0 + 0.5) AS BIGINT)) AS b1,
+               SUM(CAST(floor((CAST(r.r AS DOUBLE) * f.v2)
+                              * 1000000.0 + 0.5) AS BIGINT)) AS b2
+        FROM ratings r JOIN {src} f ON r.{fk} = f.{fk}
+        GROUP BY 1
+    ), d_{name} AS (
+        SELECT ent,
+               CAST(a11 AS DOUBLE) / 1000000.0 + {lam} AS a11,
+               CAST(a12 AS DOUBLE) / 1000000.0 AS a12,
+               CAST(a22 AS DOUBLE) / 1000000.0 + {lam} AS a22,
+               CAST(b1 AS DOUBLE) / 1000000.0 AS b1,
+               CAST(b2 AS DOUBLE) / 1000000.0 AS b2
+        FROM m_{name}
+    ), {name} AS (
+        SELECT ent AS {solve},
+               CAST(CAST(floor((b1 * a22 - a12 * b2)
+                               / (a11 * a22 - a12 * a12)
+                               * 1000000.0 + 0.5) AS BIGINT) AS DOUBLE)
+                   / 1000000.0 AS v1,
+               CAST(CAST(floor((a11 * b2 - a12 * b1)
+                               / (a11 * a22 - a12 * a12)
+                               * 1000000.0 + 0.5) AS BIGINT) AS DOUBLE)
+                   / 1000000.0 AS v2
+        FROM d_{name}
+    )"""
+
+    parts = [
+        """ratings AS MATERIALIZED (
+        SELECT o_custkey AS cust, l_partkey AS part,
+               SUM(CAST(l_quantity AS BIGINT)) AS r
+        FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        GROUP BY 1, 2
+    ), v0 AS (
+        SELECT part,
+               CAST(('0x' || substr(md5('als1|' || CAST(part AS VARCHAR)),
+                                    1, 8))::BIGINT % 1000000 AS DOUBLE)
+                   / 1000000.0 AS v1,
+               CAST(('0x' || substr(md5('als2|' || CAST(part AS VARCHAR)),
+                                    1, 8))::BIGINT % 1000000 AS DOUBLE)
+                   / 1000000.0 AS v2
+        FROM (SELECT DISTINCT part FROM ratings)
+    )"""
+    ]
+    vprev = "v0"
+    for t in range(rounds):
+        parts.append(mstep(f"u{t + 1}", vprev, "v", "part", "cust"))
+        parts.append(mstep(f"v{t + 1}", f"u{t + 1}", "u", "cust", "part"))
+        vprev = f"v{t + 1}"
+    err = (
+        "(CAST(r.r AS DOUBLE) - (u.v1 * v.v1 + u.v2 * v.v2))"
+    )
+    return f"""
+        WITH {','.join(parts)},
+        j AS (
+            SELECT r.r, r.cust, r.part,
+                   CAST(floor({err} * {err} * 1000000.0 + 0.5)
+                        AS BIGINT) AS t
+            FROM ratings r
+            JOIN u{rounds} u ON r.cust = u.cust
+            JOIN {vprev} v ON r.part = v.part
+        ), s AS (
+            SELECT count(*) AS n_ratings,
+                   SUM(CAST(t AS HUGEINT)) AS se,
+                   count(DISTINCT cust) AS n_users,
+                   count(DISTINCT part) AS n_items
+            FROM j
+        )
+        SELECT CAST(n_users AS BIGINT) AS n_users,
+               CAST(n_items AS BIGINT) AS n_items,
+               CAST(n_ratings AS BIGINT) AS n_ratings,
+               floor(sqrt(CAST(se AS DOUBLE) / 1000000.0
+                          / CAST(n_ratings AS DOUBLE))
+                     * 1000000.0 + 0.5) / 1000000.0 AS train_rmse
+        FROM s
+    """
+
+
 def _poisson_glm_oracle_sql(iters: int = 3) -> str:
     """IRLS Poisson GLM unrolled as CTEs, mirroring
     `analytics.events_poisson_glm` round-for-round: per-row weighted
@@ -1625,6 +1721,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "orders_backlog_timeline": analytics.orders_backlog_timeline,
         "markov_holdout_perplexity": analytics.markov_holdout_perplexity,
         "events_poisson_glm": analytics.events_poisson_glm,
+        "customer_part_als": analytics.customer_part_als,
         "copurchase_components": analytics.copurchase_components,
         "orders_nested_rollup": analytics.orders_nested_rollup,
         "orderkey_gap_audit": analytics.orderkey_gap_audit,
@@ -4908,6 +5005,7 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY cause, effect
         """,
         "events_poisson_glm": _poisson_glm_oracle_sql(),
+        "customer_part_als": _als_oracle_sql(),
         "markov_holdout_perplexity": """
             WITH tr AS (
                 SELECT cur, nxt, count(*) AS c FROM (

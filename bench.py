@@ -186,6 +186,9 @@ HEADLINE = [
     "ann_recall_curve",
     "embedding_silhouette",
     "orders_backlog_timeline",
+    "markov_holdout_perplexity",
+    "events_poisson_glm",
+    "customer_part_als",
 ]
 
 

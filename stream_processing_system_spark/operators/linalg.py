@@ -182,3 +182,117 @@ def pca_top_component(
         grid=grid,
         y_scale=y_scale,
     ).select("d", "loading")
+
+
+def als_factorize(
+    ratings: DataFrame,
+    user_col: str = "user",
+    item_col: str = "item",
+    rating_col: str = "r",
+    rounds: int = 2,
+    reg: float = 0.1,
+) -> tuple[DataFrame, DataFrame]:
+    """Rank-2 alternating least squares (Koren/Hu-style explicit
+    ALS): item factors initialize from md5-derived uniforms in [0,1)
+    (deterministic, engine-portable), then `rounds` alternations of
+    the closed-form ridge solves — per user
+    (Σ vvᵀ + λI)x = Σ r·v over that user's rated items, then the
+    symmetric item step. Rank 2 keeps each solve a literal 2×2
+    Cramer inverse, so the WHOLE optimizer is joins + aggregates —
+    no driver round-trips at all (cf. the k-means/IRLS trainers,
+    which pull a constant-size codebook per round; here even that is
+    avoided because the normal matrix is per-ROW of the factor
+    frame).
+
+    Determinism contract: factors live on the 1e-6 grid after every
+    solve; every summed moment term (v·v, r·v products) is floored
+    per-row onto the 1e-6 grid as BIGINT before the exact integer
+    sum, so each step is bit-reproducible across engines and
+    partitionings, and the DuckDB oracle unrolls the identical
+    rounds.
+
+    Scale shape per step: one join of the ratings against the
+    (small, per-entity) factor frame + one groupBy — the classic
+    distributed-ALS layout where only factor vectors shuffle, never
+    the ratings twice. Returns (user_factors(user,u1,u2),
+    item_factors(item,v1,v2))."""
+    from stream_processing_system_spark.functions.scalar import (
+        md5_prefix_long,
+    )
+
+    lam = float(reg)
+
+    def init_items(items: DataFrame) -> DataFrame:
+        sid = F.col(item_col).cast("string")
+        return items.select(
+            item_col,
+            (
+                (md5_prefix_long(sid, salt="als1|") % F.lit(1_000_000)).cast(
+                    "double"
+                )
+                / F.lit(1e6)
+            ).alias("v1"),
+            (
+                (md5_prefix_long(sid, salt="als2|") % F.lit(1_000_000)).cast(
+                    "double"
+                )
+                / F.lit(1e6)
+            ).alias("v2"),
+        )
+
+    def q6(col):
+        return F.floor(col * F.lit(1e6) + F.lit(0.5)).cast("long")
+
+    def solve_step(
+        facs: DataFrame, fixed_col: str, solve_col: str
+    ) -> DataFrame:
+        """One ridge solve: factors of `fixed_col` entities are known
+        (frame `facs` with f1/f2), produce factors for `solve_col`."""
+        j = ratings.join(
+            facs.select(
+                F.col(fixed_col),
+                F.col("v1").alias("f1"),
+                F.col("v2").alias("f2"),
+            ),
+            fixed_col,
+        )
+        rd = F.col(rating_col).cast("double")
+        m = j.groupBy(solve_col).agg(
+            F.sum(q6(F.col("f1") * F.col("f1"))).alias("a11"),
+            F.sum(q6(F.col("f1") * F.col("f2"))).alias("a12"),
+            F.sum(q6(F.col("f2") * F.col("f2"))).alias("a22"),
+            F.sum(q6(rd * F.col("f1"))).alias("b1"),
+            F.sum(q6(rd * F.col("f2"))).alias("b2"),
+        )
+        a11 = F.col("a11").cast("double") / F.lit(1e6) + F.lit(lam)
+        a12 = F.col("a12").cast("double") / F.lit(1e6)
+        a22 = F.col("a22").cast("double") / F.lit(1e6) + F.lit(lam)
+        b1 = F.col("b1").cast("double") / F.lit(1e6)
+        b2 = F.col("b2").cast("double") / F.lit(1e6)
+        det = a11 * a22 - a12 * a12
+        x1 = (b1 * a22 - a12 * b2) / det
+        x2 = (a11 * b2 - a12 * b1) / det
+        return m.select(
+            solve_col,
+            (q6(x1).cast("double") / F.lit(1e6)).alias("v1"),
+            (q6(x2).cast("double") / F.lit(1e6)).alias("v2"),
+        ).localCheckpoint(eager=True)
+
+    items = ratings.select(item_col).distinct()
+    v = init_items(items).localCheckpoint(eager=True)
+    u = None
+    for _ in range(rounds):
+        u = solve_step(v, item_col, user_col)
+        v = solve_step(
+            u.select(
+                F.col(user_col), F.col("v1"), F.col("v2")
+            ),
+            user_col,
+            item_col,
+        )
+    return (
+        u.select(
+            user_col, F.col("v1").alias("u1"), F.col("v2").alias("u2")
+        ),
+        v,
+    )

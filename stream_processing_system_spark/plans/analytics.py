@@ -6321,3 +6321,51 @@ def events_poisson_glm(
         "n_obs bigint, intercept double, beta_sin double, beta_cos double,"
         " amplitude double, peak_hour double",
     )
+
+
+def customer_part_als(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rank-2 ALS matrix factorization of the customer×part quantity
+    matrix (operators/linalg.py:als_factorize — fully-distributed
+    alternating ridge solves on the 1e-6 grid, md5-seeded item
+    factors, 2 rounds), reported as the training-fit summary: matrix
+    shape, rating count, and train RMSE — the collaborative-filtering
+    baseline every recommender evaluation starts from.
+
+    RMSE exactness: per-rating squared error is floored onto the
+    1e-6 grid and summed exactly; one fixed-order sqrt at the end.
+    The oracle unrolls the identical init + 4 solve steps in SQL."""
+    from stream_processing_system_spark.operators.linalg import als_factorize
+
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    ratings = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy(
+            F.col("o_custkey").alias("cust"), F.col("l_partkey").alias("part")
+        )
+        .agg(F.sum(F.col("l_quantity").cast("long")).alias("r"))
+        .localCheckpoint(eager=True)
+    )
+    u, v = als_factorize(ratings, "cust", "part", "r", rounds=2, reg=0.1)
+    j = ratings.join(u, "cust").join(v, "part")
+    rd = F.col("r").cast("double")
+    e = rd - (F.col("u1") * F.col("v1") + F.col("u2") * F.col("v2"))
+    term = F.floor(e * e * F.lit(1e6) + F.lit(0.5)).cast("long")
+    d38 = "decimal(38,0)"
+    s = j.agg(
+        F.count(F.lit(1)).alias("n_ratings"),
+        F.sum(term.cast(d38)).alias("se"),
+        F.countDistinct("cust").alias("n_users"),
+        F.countDistinct("part").alias("n_items"),
+    )
+    rmse = F.sqrt(
+        F.col("se").cast("double")
+        / F.lit(1e6)
+        / F.col("n_ratings").cast("double")
+    )
+    return s.select(
+        F.col("n_users").cast("long").alias("n_users"),
+        F.col("n_items").cast("long").alias("n_items"),
+        F.col("n_ratings").cast("long").alias("n_ratings"),
+        det_round(rmse).alias("train_rmse"),
+    )
