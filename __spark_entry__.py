@@ -946,6 +946,33 @@ _COPURCHASE_EDGES_CTE = """
     )"""
 
 
+def _skew_report_oracle_sql() -> str:
+    """One UNION ALL arm per `_SKEW_KEYS` entry, mirroring
+    `analytics.join_skew_report`."""
+    arms = []
+    for table, key in analytics._SKEW_KEYS:
+        arms.append(f"""
+            SELECT '{table}.{key}' AS join_key,
+                   CAST(n_rows AS BIGINT) AS n_rows,
+                   CAST(n_keys AS BIGINT) AS n_keys,
+                   CAST(max_count AS BIGINT) AS max_count,
+                   CAST(top_key AS BIGINT) AS top_key,
+                   floor(CAST(max_count AS DOUBLE)
+                         / (CAST(n_rows AS DOUBLE)
+                            / CAST(n_keys AS DOUBLE))
+                         * 1000000.0 + 0.5) / 1000000.0 AS skew_ratio
+            FROM (
+                SELECT SUM(c) AS n_rows, count(*) AS n_keys,
+                       MAX(c) AS max_count,
+                       (SELECT _k FROM (SELECT {key} AS _k, count(*) AS c
+                                        FROM {table} GROUP BY 1) q
+                        ORDER BY c DESC, _k ASC LIMIT 1) AS top_key
+                FROM (SELECT {key} AS _k, count(*) AS c
+                      FROM {table} GROUP BY 1)
+            )""")
+    return " UNION ALL ".join(arms) + " ORDER BY join_key"
+
+
 def _fk_audit_oracle_sql() -> str:
     """One UNION ALL arm per `_FK_EDGES` entry: row / NULL-key /
     orphan (NOT EXISTS anti-join) counts, mirroring
@@ -1722,6 +1749,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "markov_holdout_perplexity": analytics.markov_holdout_perplexity,
         "events_poisson_glm": analytics.events_poisson_glm,
         "customer_part_als": analytics.customer_part_als,
+        "events_kde_density": analytics.events_kde_density,
+        "join_skew_report": analytics.join_skew_report,
+        "part_triple_itemsets": analytics.part_triple_itemsets,
         "copurchase_components": analytics.copurchase_components,
         "orders_nested_rollup": analytics.orders_nested_rollup,
         "orderkey_gap_audit": analytics.orderkey_gap_audit,
@@ -5006,6 +5036,52 @@ def oracle_sql() -> dict[str, str]:
         """,
         "events_poisson_glm": _poisson_glm_oracle_sql(),
         "customer_part_als": _als_oracle_sql(),
+        "events_kde_density": """
+            WITH grid AS (
+                SELECT CAST(x0 * 10 AS INT) AS x
+                FROM (SELECT unnest(range(0, 61)) AS x0)
+            ), cells AS (
+                SELECT event_type, g.x,
+                       CAST(floor(exp(-0.5
+                               * ((CAST(g.x AS DOUBLE) - value) / 20.0)
+                               * ((CAST(g.x AS DOUBLE) - value) / 20.0))
+                           / (20.0 * sqrt(2.0 * pi()))
+                           * 1000000000.0 + 0.5) AS BIGINT) AS t
+                FROM events CROSS JOIN grid g
+                WHERE value IS NOT NULL
+            )
+            SELECT event_type, x,
+                   floor(CAST(SUM(CAST(t AS HUGEINT)) AS DOUBLE)
+                         / 1000000000.0 / CAST(count(*) AS DOUBLE)
+                         * 1000000.0 + 0.5) / 1000000.0 AS density
+            FROM cells GROUP BY 1, 2 ORDER BY 1, 2
+        """,
+        "join_skew_report": _skew_report_oracle_sql(),
+        "part_triple_itemsets": """
+            WITH li AS MATERIALIZED (
+                SELECT DISTINCT l_orderkey AS ok, l_partkey AS p
+                FROM lineitem
+            ), fp AS MATERIALIZED (
+                SELECT a.p AS p1, b.p AS p2
+                FROM li a JOIN li b ON a.ok = b.ok AND a.p < b.p
+                GROUP BY 1, 2 HAVING count(*) >= 5
+            ), tri AS (
+                SELECT a.p AS p1, b.p AS p2, c.p AS p3,
+                       count(*) AS support
+                FROM li a
+                JOIN li b ON a.ok = b.ok AND a.p < b.p
+                JOIN li c ON a.ok = c.ok AND b.p < c.p
+                WHERE EXISTS (SELECT 1 FROM fp
+                              WHERE fp.p1 = a.p AND fp.p2 = b.p)
+                  AND EXISTS (SELECT 1 FROM fp
+                              WHERE fp.p1 = a.p AND fp.p2 = c.p)
+                  AND EXISTS (SELECT 1 FROM fp
+                              WHERE fp.p1 = b.p AND fp.p2 = c.p)
+                GROUP BY 1, 2, 3 HAVING count(*) >= 3
+            )
+            SELECT p1, p2, p3, CAST(support AS BIGINT) AS support
+            FROM tri ORDER BY support DESC, p1, p2, p3 LIMIT 50
+        """,
         "markov_holdout_perplexity": """
             WITH tr AS (
                 SELECT cur, nxt, count(*) AS c FROM (

@@ -189,6 +189,9 @@ HEADLINE = [
     "markov_holdout_perplexity",
     "events_poisson_glm",
     "customer_part_als",
+    "events_kde_density",
+    "join_skew_report",
+    "part_triple_itemsets",
 ]
 
 

@@ -6369,3 +6369,163 @@ def customer_part_als(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_ratings").cast("long").alias("n_ratings"),
         det_round(rmse).alias("train_rmse"),
     )
+
+
+def events_kde_density(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaussian kernel density estimate of the value distribution per
+    event type, evaluated on a fixed grid (0..600 step 10, bandwidth
+    20) — the smooth-histogram view that exposes multimodality the
+    width-bucketed `events_value_histogram` quantizes away.
+
+    Exactness: each kernel contribution
+    exp(−½u²)/(h·√2π), u=(x−v)/h is floored onto a 1e-9 integer grid
+    per (row, grid point) — the nano-grid absorbs libm exp ulp
+    differences — and the per-(type, x) density is the exact integer
+    sum divided by n (count(*) per cell IS n_type, since every row
+    fans out to every grid point). Shape: one broadcast fan-out
+    (61×) over the filtered scan plus one combine-enabled groupBy —
+    at 100 TB the fan-out constant is the only cost multiplier."""
+    import math
+
+    events = load_table(spark, sf_dir, "events").where(
+        F.col("value").isNotNull()
+    )
+    grid = spark.range(0, 61).select((F.col("id") * 10).cast("int").alias("x"))
+    h = 20.0
+    u = (F.col("x").cast("double") - F.col("value")) / F.lit(h)
+    term = F.exp(F.lit(-0.5) * u * u) / (
+        F.lit(h) * F.sqrt(F.lit(2.0) * F.lit(math.pi))
+    )
+    cells = events.crossJoin(F.broadcast(grid)).select(
+        "event_type",
+        "x",
+        F.floor(term * F.lit(1e9) + F.lit(0.5)).cast("long").alias("t"),
+    )
+    d38 = "decimal(38,0)"
+    return (
+        cells.groupBy("event_type", "x")
+        .agg(F.sum(F.col("t").cast(d38)).alias("s"), F.count(F.lit(1)).alias("n"))
+        .select(
+            "event_type",
+            "x",
+            det_round(
+                F.col("s").cast("double") / F.lit(1e9) / F.col("n").cast("double")
+            ).alias("density"),
+        )
+        .orderBy("event_type", "x")
+    )
+
+
+#: Key columns audited for join-skew: (table, key column).
+_SKEW_KEYS = [
+    ("lineitem", "l_orderkey"),
+    ("lineitem", "l_partkey"),
+    ("lineitem", "l_suppkey"),
+    ("orders", "o_custkey"),
+    ("events", "user_id"),
+]
+
+
+def join_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shuffle-skew pre-flight over every hot join key in the schema:
+    rows, distinct keys, the heaviest key and its count, and the
+    skew ratio max/mean — the diagnostic that decides between a
+    plain shuffle join, AQE skew splitting, and the salting of
+    `operators/skew.py` BEFORE a 100 TB job discovers its straggler
+    at hour three. Exact integer counts; the two ratios are
+    fixed-order doubles.
+
+    Shape per key: one combine-enabled count aggregate + one 1-row
+    argmax — nothing wider than (key, count) ever shuffles."""
+    frames = []
+    for table, key in _SKEW_KEYS:
+        counts = (
+            load_table(spark, sf_dir, table)
+            .groupBy(F.col(key).alias("_k"))
+            .agg(F.count(F.lit(1)).alias("_c"))
+        )
+        s = counts.agg(
+            F.sum("_c").alias("n_rows"),
+            F.count(F.lit(1)).alias("n_keys"),
+            F.max("_c").alias("max_count"),
+            F.max_by("_k", F.struct(F.col("_c"), (-F.col("_k")).alias("_n")))
+            .alias("top_key"),
+        )
+        frames.append(
+            s.select(
+                F.lit(f"{table}.{key}").alias("join_key"),
+                F.col("n_rows").cast("long").alias("n_rows"),
+                F.col("n_keys").cast("long").alias("n_keys"),
+                F.col("max_count").cast("long").alias("max_count"),
+                F.col("top_key").cast("long").alias("top_key"),
+                det_round(
+                    F.col("max_count").cast("double")
+                    / (
+                        F.col("n_rows").cast("double")
+                        / F.col("n_keys").cast("double")
+                    )
+                ).alias("skew_ratio"),
+            )
+        )
+    out = frames[0]
+    for f in frames[1:]:
+        out = out.unionAll(f)
+    return out.orderBy("join_key")
+
+
+def part_triple_itemsets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequent 3-itemsets over order baskets by the A-priori
+    candidate-pruning round: only triples whose THREE constituent
+    pairs are each frequent (support ≥ 5) are counted, then kept at
+    triple support ≥ 3 — extending `part_association_rules`' pair
+    mining one lattice level up, with the pruning that makes level-3
+    feasible at scale (the candidate space shrinks from |parts|³ to
+    the join of the frequent-pair list with itself).
+
+    Exact integer supports throughout; top-50 by (support DESC,
+    p1, p2, p3). Shape: the basket self-joins stay quadratic/cubic
+    only within a basket, and every candidate check is an equi-join
+    against the (small) frequent-pair frame."""
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    a = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("p1"))
+    b = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("p2"))
+    c = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("p3"))
+    fpairs = (
+        a.join(b, "ok")
+        .where(F.col("p1") < F.col("p2"))
+        .groupBy("p1", "p2")
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+        .where(F.col("n_ab") >= 5)
+        .select("p1", "p2")
+        .localCheckpoint(eager=True)
+    )
+    triples = (
+        a.join(b, "ok")
+        .where(F.col("p1") < F.col("p2"))
+        .join(fpairs, ["p1", "p2"], "left_semi")
+        .join(c, "ok")
+        .where(F.col("p2") < F.col("p3"))
+        .join(
+            fpairs.select(F.col("p1"), F.col("p2").alias("p3")),
+            ["p1", "p3"],
+            "left_semi",
+        )
+        .join(
+            fpairs.select(F.col("p1").alias("p2"), F.col("p2").alias("p3")),
+            ["p2", "p3"],
+            "left_semi",
+        )
+        .groupBy("p1", "p2", "p3")
+        .agg(F.count(F.lit(1)).alias("support"))
+        .where(F.col("support") >= 3)
+    )
+    return (
+        triples.orderBy(F.desc("support"), "p1", "p2", "p3")
+        .limit(50)
+        .select("p1", "p2", "p3", F.col("support").cast("long").alias("support"))
+    )
