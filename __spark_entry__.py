@@ -1752,6 +1752,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_kde_density": analytics.events_kde_density,
         "join_skew_report": analytics.join_skew_report,
         "part_triple_itemsets": analytics.part_triple_itemsets,
+        "part_demand_croston": analytics.part_demand_croston,
+        "events_binseg_changepoint": analytics.events_binseg_changepoint,
+        "orders_duplicate_payments": analytics.orders_duplicate_payments,
         "copurchase_components": analytics.copurchase_components,
         "orders_nested_rollup": analytics.orders_nested_rollup,
         "orderkey_gap_audit": analytics.orderkey_gap_audit,
@@ -5057,6 +5060,111 @@ def oracle_sql() -> dict[str, str]:
             FROM cells GROUP BY 1, 2 ORDER BY 1, 2
         """,
         "join_skew_report": _skew_report_oracle_sql(),
+        "part_demand_croston": """
+            WITH monthly AS (
+                SELECT p.p_brand, date_trunc('month', l.l_shipdate) AS m,
+                       SUM(CAST(l.l_quantity AS BIGINT)) AS q
+                FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+                GROUP BY 1, 2
+            ), indexed AS (
+                SELECT p_brand, q,
+                       row_number() OVER (PARTITION BY p_brand ORDER BY m)
+                           AS rn
+                FROM monthly
+            ), nz AS (
+                SELECT * FROM indexed WHERE q > 0
+            ), demands AS (
+                SELECT p_brand, q, rn,
+                       row_number() OVER (PARTITION BY p_brand ORDER BY rn)
+                           AS k,
+                       count(*) OVER (PARTITION BY p_brand) AS kk,
+                       rn - lag(rn) OVER (PARTITION BY p_brand ORDER BY rn)
+                           AS gap
+                FROM nz
+            ), terms AS (
+                SELECT p_brand, kk,
+                       CAST(floor(CAST(q AS DOUBLE)
+                           * (CASE WHEN k = 1 THEN power(0.8, kk - 1)
+                                   ELSE 0.2 * power(0.8, kk - k) END)
+                           * 1000000.0 + 0.5) AS BIGINT) AS st,
+                       CASE WHEN k >= 2 THEN CAST(floor(CAST(gap AS DOUBLE)
+                           * (CASE WHEN k = 2 THEN power(0.8, kk - 2)
+                                   ELSE 0.2 * power(0.8, kk - k) END)
+                           * 1000000.0 + 0.5) AS BIGINT) END AS it
+                FROM demands
+            ), s AS (
+                SELECT p_brand, MAX(kk) AS n_demands,
+                       SUM(CAST(st AS HUGEINT)) AS sz,
+                       SUM(CAST(it AS HUGEINT)) AS iv
+                FROM terms GROUP BY 1
+            )
+            SELECT p_brand, CAST(n_demands AS BIGINT) AS n_demand_months,
+                   floor(CAST(sz AS DOUBLE) / 1000000.0
+                         * 1000000.0 + 0.5) / 1000000.0 AS size_ewma,
+                   floor(CAST(iv AS DOUBLE) / 1000000.0
+                         * 1000000.0 + 0.5) / 1000000.0 AS interval_ewma,
+                   floor(CAST(sz AS DOUBLE) / 1000000.0
+                         / (CAST(iv AS DOUBLE) / 1000000.0)
+                         * 1000000.0 + 0.5) / 1000000.0 AS croston_forecast
+            FROM s WHERE n_demands >= 2
+            ORDER BY p_brand
+        """,
+        "events_binseg_changepoint": """
+            WITH daily AS MATERIALIZED (
+                SELECT event_type, CAST(ts AS DATE) AS day,
+                       CAST(SUM(CAST(floor(value * 100 + 0.5) AS BIGINT))
+                            AS BIGINT) // 100 AS x
+                FROM events WHERE value IS NOT NULL
+                GROUP BY 1, 2
+            ), pre AS (
+                SELECT event_type, day,
+                       SUM(x) OVER (PARTITION BY event_type ORDER BY day
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                           AS s1,
+                       count(*) OVER (PARTITION BY event_type ORDER BY day
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                           AS n1,
+                       SUM(x) OVER (PARTITION BY event_type) AS s,
+                       count(*) OVER (PARTITION BY event_type) AS n
+                FROM daily
+            ), g AS (
+                SELECT event_type, CAST(day AS VARCHAR) AS split_day,
+                       CAST(s1 AS DOUBLE) AS s1, CAST(n1 AS DOUBLE) AS n1,
+                       CAST(s AS DOUBLE) AS s, CAST(n AS DOUBLE) AS n
+                FROM pre WHERE n1 < n
+            ), g2 AS (
+                SELECT event_type, split_day,
+                       s1 * s1 / n1 + (s - s1) * (s - s1) / (n - n1)
+                           - s * s / n AS gain,
+                       s1 / n1 AS ml, (s - s1) / (n - n1) AS mr,
+                       row_number() OVER (PARTITION BY event_type ORDER BY
+                           (s1 * s1 / n1 + (s - s1) * (s - s1) / (n - n1)
+                            - s * s / n) DESC, split_day ASC) AS rn
+                FROM g
+            )
+            SELECT event_type, split_day,
+                   floor(gain * 1000000.0 + 0.5) / 1000000.0 AS gain,
+                   floor(ml * 1000000.0 + 0.5) / 1000000.0 AS mean_before,
+                   floor(mr * 1000000.0 + 0.5) / 1000000.0 AS mean_after
+            FROM g2 WHERE rn = 1 ORDER BY event_type
+        """,
+        "orders_duplicate_payments": """
+            WITH base AS (
+                SELECT o_custkey, o_orderkey AS ok,
+                       CAST(o_orderdate AS DATE) AS od,
+                       CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)
+                           AS cents
+                FROM orders
+            )
+            SELECT a.o_custkey, a.ok AS order_a, b.ok AS order_b,
+                   CAST(a.cents AS DOUBLE) / 100.0 AS amount,
+                   CAST(abs(b.od - a.od) AS BIGINT) AS days_apart
+            FROM base a
+            JOIN base b ON a.o_custkey = b.o_custkey
+                       AND a.cents = b.cents AND a.ok < b.ok
+            WHERE abs(b.od - a.od) <= 7
+            ORDER BY a.o_custkey, order_a, order_b
+        """,
         "part_triple_itemsets": """
             WITH li AS MATERIALIZED (
                 SELECT DISTINCT l_orderkey AS ok, l_partkey AS p

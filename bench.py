@@ -192,6 +192,9 @@ HEADLINE = [
     "events_kde_density",
     "join_skew_report",
     "part_triple_itemsets",
+    "part_demand_croston",
+    "events_binseg_changepoint",
+    "orders_duplicate_payments",
 ]
 
 

@@ -6529,3 +6529,186 @@ def part_triple_itemsets(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(50)
         .select("p1", "p2", "p3", F.col("support").cast("long").alias("support"))
     )
+
+
+def part_demand_croston(
+    spark: SparkSession, sf_dir: str, alpha: float = 0.2
+) -> DataFrame:
+    """Croston's method for intermittent demand, per brand: separate
+    EWMAs over the NONZERO monthly demand sizes and over the
+    inter-demand intervals, forecast = size/interval — the standard
+    spare-parts forecaster (a plain EWMA over a zero-heavy series
+    chronically under-forecasts; Croston models "how much" and "how
+    often" separately). Complements `part_abc_xyz`'s variability
+    classes with an actual per-brand rate forecast.
+
+    Exactness: EWMAs unroll to the closed weighted form
+    (1−α)^(K−1)·x₁ + Σ α(1−α)^(K−i)·xᵢ; each weighted term is
+    floored onto a 1e-6 integer grid (power() ulps absorbed) and
+    summed exactly; the final ratio is one fixed-order double.
+    Intervals use gaps between consecutive demand months (brands
+    need ≥ 2 demand months). Shape: one month-grain aggregate, two
+    small per-brand windows over ~80-row series, one groupBy."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    monthly = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy(
+            "p_brand",
+            F.date_trunc("month", F.col("l_shipdate")).alias("m"),
+        )
+        .agg(F.sum(F.col("l_quantity").cast("long")).alias("q"))
+    )
+    w_m = Window.partitionBy("p_brand").orderBy("m")
+    indexed = monthly.select(
+        "p_brand", "q", F.row_number().over(w_m).alias("rn")
+    ).where(F.col("q") > 0)
+    w_d = Window.partitionBy("p_brand").orderBy("rn")
+    w_all = Window.partitionBy("p_brand")
+    demands = indexed.select(
+        "p_brand",
+        "q",
+        "rn",
+        F.row_number().over(w_d).alias("k"),
+        F.count(F.lit(1)).over(w_all).alias("kk"),
+        (F.col("rn") - F.lag("rn").over(w_d)).alias("gap"),
+    )
+    a = float(alpha)
+    om = 1.0 - a
+    size_w = F.when(
+        F.col("k") == 1, F.pow(F.lit(om), F.col("kk") - 1)
+    ).otherwise(F.lit(a) * F.pow(F.lit(om), F.col("kk") - F.col("k")))
+    size_t = F.floor(
+        F.col("q").cast("double") * size_w * F.lit(1e6) + F.lit(0.5)
+    ).cast("long")
+    # interval series: gaps at k=2..K, re-indexed j=k-1 of K-1 terms
+    int_w = F.when(
+        F.col("k") == 2, F.pow(F.lit(om), F.col("kk") - 2)
+    ).otherwise(F.lit(a) * F.pow(F.lit(om), F.col("kk") - F.col("k")))
+    int_t = F.when(
+        F.col("k") >= 2,
+        F.floor(
+            F.col("gap").cast("double") * int_w * F.lit(1e6) + F.lit(0.5)
+        ).cast("long"),
+    )
+    d38 = "decimal(38,0)"
+    s = demands.groupBy("p_brand").agg(
+        F.max("kk").alias("n_demands"),
+        F.sum(size_t.cast(d38)).alias("sz"),
+        F.sum(int_t.cast(d38)).alias("iv"),
+    )
+    szd = F.col("sz").cast("double") / F.lit(1e6)
+    ivd = F.col("iv").cast("double") / F.lit(1e6)
+    return (
+        s.where(F.col("n_demands") >= 2)
+        .select(
+            "p_brand",
+            F.col("n_demands").cast("long").alias("n_demand_months"),
+            det_round(szd).alias("size_ewma"),
+            det_round(ivd).alias("interval_ewma"),
+            det_round(szd / ivd).alias("croston_forecast"),
+        )
+        .orderBy("p_brand")
+    )
+
+
+def events_binseg_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single change-point detection by binary segmentation on the
+    daily-value series per event type: the split day maximizing the
+    between-segment sum of squares s₁²/n₁ + s₂²/n₂ − S²/n — the
+    offline complement to the sequential `events_cusum_changepoint`
+    (binseg finds WHERE the level shifted; CUSUM detects THAT it is
+    shifting). Reports the best split with both segment means.
+
+    Exactness: the series is the `_daily_whole_units` integer grid;
+    prefix sums are exact via one cumulative window; the gain is a
+    fixed-order double per candidate split, identical in both
+    engines, so the argmax (gain DESC, day ASC) agrees. Shape: one
+    day-grain aggregate + one window over the tiny daily frame."""
+    events = load_table(spark, sf_dir, "events")
+    daily = _daily_whole_units(events)
+    w_cum = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    w_all = Window.partitionBy("event_type")
+    pre = daily.select(
+        "event_type",
+        "day",
+        F.sum("x").over(w_cum).alias("s1"),
+        F.count(F.lit(1)).over(w_cum).alias("n1"),
+        F.sum("x").over(w_all).alias("s"),
+        F.count(F.lit(1)).over(w_all).alias("n"),
+    ).where(F.col("n1") < F.col("n"))
+    s1, n1 = F.col("s1").cast("double"), F.col("n1").cast("double")
+    s, n = F.col("s").cast("double"), F.col("n").cast("double")
+    s2, n2 = s - s1, n - n1
+    gain = s1 * s1 / n1 + s2 * s2 / n2 - s * s / n
+    w_pick = Window.partitionBy("event_type").orderBy(
+        F.desc("gain"), F.asc("split_day")
+    )
+    return (
+        pre.select(
+            "event_type",
+            F.col("day").cast("string").alias("split_day"),
+            gain.alias("gain"),
+            (s1 / n1).alias("_ml"),
+            (s2 / n2).alias("_mr"),
+        )
+        .withColumn("_rn", F.row_number().over(w_pick))
+        .where(F.col("_rn") == 1)
+        .select(
+            "event_type",
+            "split_day",
+            det_round(F.col("gain")).alias("gain"),
+            det_round(F.col("_ml")).alias("mean_before"),
+            det_round(F.col("_mr")).alias("mean_after"),
+        )
+        .orderBy("event_type")
+    )
+
+
+def orders_duplicate_payments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-payment screen: pairs of orders from the SAME
+    customer with the SAME cent-exact total within 7 days of each
+    other — the accounts-payable audit classic. Blocked equi-join on
+    (customer, amount), so the quadratic blowup is bounded by
+    per-(customer, amount) multiplicity, never the order count; the
+    date predicate then prunes within blocks. Exact integer cents
+    and day arithmetic throughout."""
+    orders = load_table(spark, sf_dir, "orders")
+    base = orders.select(
+        "o_custkey",
+        F.col("o_orderkey").alias("ok"),
+        F.col("o_orderdate").cast("date").alias("od"),
+        F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
+        .cast("long")
+        .alias("cents"),
+    )
+    a = base.select(
+        "o_custkey",
+        "cents",
+        F.col("ok").alias("order_a"),
+        F.col("od").alias("da"),
+    )
+    b = base.select(
+        "o_custkey",
+        "cents",
+        F.col("ok").alias("order_b"),
+        F.col("od").alias("db"),
+    )
+    gap = F.abs(F.datediff(F.col("db"), F.col("da")))
+    return (
+        a.join(b, ["o_custkey", "cents"])
+        .where(F.col("order_a") < F.col("order_b"))
+        .where(gap <= 7)
+        .select(
+            "o_custkey",
+            "order_a",
+            "order_b",
+            (F.col("cents").cast("double") / F.lit(100.0)).alias("amount"),
+            gap.cast("long").alias("days_apart"),
+        )
+        .orderBy("o_custkey", "order_a", "order_b")
+    )
