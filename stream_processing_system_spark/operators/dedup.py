@@ -385,29 +385,33 @@ def simhash_neardup_pairs(
 def connected_component_labels(
     pairs: DataFrame, nodes: DataFrame, id_col: str, max_iters: int = 25
 ) -> DataFrame:
-    """Connected components over a pair list by min-label EDGE
-    CONTRACTION: every node starts labeled with itself; each round,
-    every label-graph node adopts min(self, neighbors), the mapping
-    is pointer-jumped once (mapping(new) — labels only decrease, so
-    the jump is always valid), node labels are re-composed through
-    the mapping, and THE EDGE SET ITSELF is rewritten onto the new
-    labels (self-loops dropped). Contraction is what makes this
-    O(log diameter): plain min-hop propagation moves the component
-    minimum ONE hop per round (a 40-hop-diameter geometric graph —
-    e.g. a percolating ε-neighborhood graph — needs 40 rounds and
-    was observed to degrade per-round on long chains); with the
-    graph contracting under the labels, each round halves-or-better
-    the remaining label-graph diameter, and convergence is the crisp
-    test "no non-self-loop edges remain". If the loop still exits
-    unconverged a RuntimeWarning is raised rather than silently
-    returning partial labels (the transitive-closure contract of
+    """Connected components over a pair list: min-label HashMin on a
+    CONTRACTING edge set, with path compression on the label table.
+    Every node starts labeled with itself; each round (1) every
+    label-graph node adopts min(self, neighbors) and that mapping is
+    pointer-jumped once, (2) node labels re-compose through the
+    mapping and then through THEMSELVES (component ← its component's
+    component — labels only decrease, so the jump is always valid
+    and compounds across rounds like classic path compression),
+    (3) the edge set is rewritten onto the current labels with
+    self-loops dropped. The two accelerations cover each other's
+    worst case: path compression alone is exponential on chains but
+    crawls on dense large-diameter graphs (a percolating
+    ε-neighborhood graph was observed to stall its wavefront);
+    contraction alone collapses dense graphs in O(log d) but gains
+    only a constant per round on paths. Together a 600-node path and
+    a globe-spanning geometric component both converge well inside
+    the default budget, and convergence is the crisp test "no
+    non-self-loop edges remain". If the loop still exits unconverged
+    a RuntimeWarning is raised rather than silently returning
+    partial labels (the transitive-closure contract of
     dedup_transitive depends on full convergence).
 
-    Output: (id, component) where component = min id reachable —
-    identical to the propagation form: the component's global min
-    maps to itself forever (every label in a component is a member
-    id, all ≥ the min), contraction preserves label-graph
-    connectivity, so the single surviving label IS the min.
+    Output: (id, component) where component = min id reachable — the
+    component's global min maps to itself forever (every label in a
+    component is a member id, all ≥ the min), contraction preserves
+    label-graph connectivity, so the single surviving label IS the
+    min.
 
     Driver involvement per round is ONE 0/1-row convergence probe —
     no per-row collection; lineage is cut with localCheckpoint so
@@ -416,9 +420,9 @@ def connected_component_labels(
     the overwhelming majority of a deduped corpus) is its own
     component by definition and is unioned back in at the end. The
     fixpoint loop therefore runs over the dup GRAPH, not the corpus
-    — and the edge frame SHRINKS every round as components
-    contract, so at 100 TB the per-round shuffle decays
-    geometrically from the initial pair count."""
+    — and the edge frame shrinks geometrically as components
+    contract, so at 100 TB the per-round shuffle decays from the
+    initial pair count toward zero."""
     edges = (
         pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
         .union(pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
@@ -438,8 +442,7 @@ def connected_component_labels(
         if edges.limit(1).count() == 0:
             converged = True
             break
-        # min-hop on the contracted label graph (edges are symmetric,
-        # so groupBy(src) sees every neighbor)
+        # (1) HashMin hop on the contracted label graph + one jump
         m1 = (
             edges.groupBy("src")
             .agg(F.min("dst").alias("_nmin"))
@@ -448,7 +451,6 @@ def connected_component_labels(
                 F.least(F.col("src"), F.col("_nmin")).alias("new"),
             )
         )
-        # pointer jump on the mapping itself: new <- mapping(new)
         mapping = (
             m1.join(
                 m1.select(
@@ -462,28 +464,38 @@ def connected_component_labels(
             )
             .localCheckpoint()
         )
+        # (2) compose node labels through the mapping, then compress
+        # paths: component <- component's component
+        hopped = labels.join(
+            mapping.select(
+                F.col("old").alias("component"), F.col("new").alias("_c2")
+            ),
+            "component",
+            "left",
+        ).select(
+            "node",
+            F.coalesce(F.col("_c2"), F.col("component")).alias("component"),
+        )
+        parents = hopped.select(
+            F.col("node").alias("_pn"), F.col("component").alias("_pc")
+        )
         labels = (
-            labels.join(
-                mapping.select(
-                    F.col("old").alias("component"), F.col("new").alias("_c2")
-                ),
-                "component",
-                "left",
-            )
+            hopped.join(parents, hopped.component == parents._pn, "left")
             .select(
                 "node",
-                F.coalesce(F.col("_c2"), F.col("component")).alias("component"),
+                F.coalesce(F.col("_pc"), F.col("component")).alias("component"),
             )
             .localCheckpoint()
         )
+        # (3) contract the edge set through the compressed labels
         edges = (
             edges.join(
-                mapping.select(F.col("old").alias("src"), F.col("new").alias("_s")),
+                labels.select(F.col("node").alias("src"), F.col("component").alias("_s")),
                 "src",
                 "left",
             )
             .join(
-                mapping.select(F.col("old").alias("dst"), F.col("new").alias("_d")),
+                labels.select(F.col("node").alias("dst"), F.col("component").alias("_d")),
                 "dst",
                 "left",
             )
@@ -495,7 +507,34 @@ def connected_component_labels(
             .dropDuplicates()
             .localCheckpoint()
         )
-    if not converged:
+    # Final pointer compression: an edge (L1, L2) is dropped as soon
+    # as the LABEL TABLE knows comp(L1) == comp(L2), which can leave
+    # plain nodes still pointing at intermediate labels (a pointer
+    # forest, not yet its roots). Compress component <- its
+    # component's component to fixpoint — chains shorten
+    # exponentially, so this is a handful of rounds over the
+    # node-grain frame with a 1-scalar probe each.
+    compressed = False
+    for _ in range(max_iters):
+        parents = labels.select(
+            F.col("node").alias("_pn"), F.col("component").alias("_pc")
+        )
+        nxt = (
+            labels.join(parents, labels.component == parents._pn, "left")
+            .select(
+                "node",
+                F.coalesce(F.col("_pc"), F.col("component")).alias("component"),
+                (F.coalesce(F.col("_pc"), F.col("component"))
+                 < F.col("component")).cast("int").alias("_chg"),
+            )
+            .localCheckpoint()
+        )
+        changed = nxt.agg(F.sum("_chg")).collect()[0][0] or 0
+        labels = nxt.drop("_chg")
+        if changed == 0:
+            compressed = True
+            break
+    if not (converged and compressed):
         import warnings
 
         warnings.warn(

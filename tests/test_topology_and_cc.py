@@ -60,3 +60,42 @@ def test_dedup_transitive_collapses_chain(spark):
         for r in dedup.dedup_transitive(df, "doc_id", "text", threshold=0.6).collect()
     }
     assert kept == {1, 50}
+
+def test_cc_long_path_converges(spark):
+    """Regression for the O(diameter) propagation pathology: a
+    600-node PATH (worst-case diameter) must fully converge to a
+    single min-label component within the default round budget —
+    the contraction form halves the remaining diameter per round."""
+    import warnings
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(599)], "id_a long, id_b long"
+    )
+    nodes = spark.range(600).select(F.col("id").alias("node"))
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")  # unconverged would raise
+        labels = dedup.connected_component_labels(pairs, nodes, "node")
+        got = labels.agg(
+            F.countDistinct("component").alias("nc"),
+            F.min("component").alias("mn"),
+            F.max("component").alias("mx"),
+        ).collect()[0]
+    assert (got["nc"], got["mn"], got["mx"]) == (1, 0, 0)
+
+
+def test_cc_two_rings(spark):
+    """Two disjoint rings label to their own minima."""
+    ring1 = [(i, (i + 1) % 50) for i in range(50)]
+    ring2 = [(100 + i, 100 + (i + 1) % 50) for i in range(50)]
+    pairs = spark.createDataFrame(
+        [(min(a, b), max(a, b)) for a, b in ring1 + ring2],
+        "id_a long, id_b long",
+    )
+    nodes = pairs.select(F.col("id_a").alias("node")).union(
+        pairs.select(F.col("id_b").alias("node"))
+    ).distinct()
+    labels = dedup.connected_component_labels(pairs, nodes, "node")
+    comps = {
+        r["component"] for r in labels.select("component").distinct().collect()
+    }
+    assert comps == {0, 100}
