@@ -1597,6 +1597,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_pack_sequences": pipeline.doc_pack_sequences,
         "stream_sessionize_events": streaming_parity.stream_sessionize_events,
         "stream_purchase_click_join": streaming_parity.stream_purchase_click_join,
+        "ivfpq_topk": pipeline.ivfpq_topk_embeddings,
+        "events_poisson_glm": analytics.events_poisson_glm,
+        "customer_part_als": analytics.customer_part_als,
+        "ann_recall_curve": pipeline.ann_recall_curve,
+        "user_geo_dbscan": analytics.user_geo_dbscan,
+        "events_granger_lite": analytics.events_granger_lite,
         "min_cost_supplier": analytics.min_cost_supplier,
         "important_part_values": analytics.important_part_values,
         "supplier_cnt_by_part": analytics.supplier_cnt_by_part,
@@ -1733,9 +1739,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "part_price_elasticity": analytics.part_price_elasticity,
         "user_gap_survival": analytics.user_gap_survival,
         "doc_textrank_keywords": analytics.doc_textrank_keywords,
-        "ivfpq_topk": pipeline.ivfpq_topk_embeddings,
-        "user_geo_dbscan": analytics.user_geo_dbscan,
-        "events_granger_lite": analytics.events_granger_lite,
         "ivm_join_delta": analytics.ivm_join_delta,
         "events_ks_test": analytics.events_ks_test,
         "events_mannwhitney_u": analytics.events_mannwhitney_u,
@@ -1743,12 +1746,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "customer_decile_migration": analytics.customer_decile_migration,
         "part_abc_xyz": analytics.part_abc_xyz,
         "doc_heaps_law": analytics.doc_heaps_law,
-        "ann_recall_curve": pipeline.ann_recall_curve,
         "embedding_silhouette": pipeline.embedding_silhouette,
         "orders_backlog_timeline": analytics.orders_backlog_timeline,
         "markov_holdout_perplexity": analytics.markov_holdout_perplexity,
-        "events_poisson_glm": analytics.events_poisson_glm,
-        "customer_part_als": analytics.customer_part_als,
         "events_kde_density": analytics.events_kde_density,
         "join_skew_report": analytics.join_skew_report,
         "part_triple_itemsets": analytics.part_triple_itemsets,
