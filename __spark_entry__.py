@@ -1755,6 +1755,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "part_demand_croston": analytics.part_demand_croston,
         "events_binseg_changepoint": analytics.events_binseg_changepoint,
         "orders_duplicate_payments": analytics.orders_duplicate_payments,
+        "revenue_poisson_bootstrap_ci": analytics.revenue_poisson_bootstrap_ci,
+        "doc_tokenizer_fertility": analytics.doc_tokenizer_fertility,
+        "supplier_delivery_otif": analytics.supplier_delivery_otif,
         "copurchase_components": analytics.copurchase_components,
         "orders_nested_rollup": analytics.orders_nested_rollup,
         "orderkey_gap_audit": analytics.orderkey_gap_audit,
@@ -5147,6 +5150,90 @@ def oracle_sql() -> dict[str, str]:
                    floor(ml * 1000000.0 + 0.5) / 1000000.0 AS mean_before,
                    floor(mr * 1000000.0 + 0.5) / 1000000.0 AS mean_after
             FROM g2 WHERE rn = 1 ORDER BY event_type
+        """,
+        "revenue_poisson_bootstrap_ci": """
+            WITH daily AS MATERIALIZED (
+                SELECT CAST(o_orderdate AS DATE) AS day,
+                       SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                           AS cents
+                FROM orders GROUP BY 1
+            ), reps AS (
+                SELECT CAST(unnest(range(1, 41)) AS INT) AS b
+            ), uni AS (
+                SELECT d.cents, r.b,
+                       CAST(('0x' || substr(md5('boot|'
+                                || CAST(d.day AS VARCHAR) || '|'
+                                || CAST(r.b AS VARCHAR)), 1, 8))::BIGINT
+                            % 1000000 AS DOUBLE) / 1000000.0 AS u
+                FROM daily d CROSS JOIN reps r
+            ), cells AS (
+                SELECT b, cents,
+                       CAST((CASE
+                           WHEN u < 0.367879441171 THEN 0
+                           WHEN u < 0.735758882343 THEN 1
+                           WHEN u < 0.919698602929 THEN 2
+                           WHEN u < 0.980988124791 THEN 3
+                           WHEN u < 0.996300510256 THEN 4
+                           WHEN u < 0.999367557201 THEN 5
+                           ELSE 6 END) AS BIGINT) AS w
+                FROM uni
+            ), means AS (
+                SELECT b,
+                       CAST(SUM(w * cents) AS DOUBLE)
+                           / CAST(SUM(w) AS DOUBLE) / 100.0 AS m
+                FROM cells GROUP BY b HAVING SUM(w) > 0
+            ), ranked AS (
+                SELECT m, row_number() OVER (ORDER BY m ASC, b ASC) AS rn,
+                       count(*) OVER () AS nb
+                FROM means
+            ), picks AS (
+                SELECT MIN(m) AS lo, MAX(m) AS hi
+                FROM ranked WHERE rn = 2 OR rn = nb - 1
+            ), full_ AS (
+                SELECT count(*) AS n_days, SUM(cents) AS tot FROM daily
+            )
+            SELECT CAST(n_days AS BIGINT) AS n_days,
+                   CAST(40 AS BIGINT) AS n_boot,
+                   floor(CAST(tot AS DOUBLE) / CAST(n_days AS DOUBLE)
+                         / 100.0 * 1000000.0 + 0.5) / 1000000.0
+                       AS mean_daily_revenue,
+                   floor(lo * 1000000.0 + 0.5) / 1000000.0 AS ci_lo,
+                   floor(hi * 1000000.0 + 0.5) / 1000000.0 AS ci_hi
+            FROM full_, picks
+        """,
+        "doc_tokenizer_fertility": """
+            SELECT lang, count(*) AS n_docs,
+                   CAST(SUM(length(text)) AS BIGINT) AS n_chars,
+                   CAST(SUM(len(list_filter(string_split(text, ' '),
+                                            x -> x <> ''))) AS BIGINT)
+                       AS n_tokens,
+                   floor(CAST(SUM(length(text)) AS DOUBLE)
+                         / CAST(SUM(len(list_filter(string_split(text, ' '),
+                                    x -> x <> ''))) AS DOUBLE)
+                         * 1000000.0 + 0.5) / 1000000.0 AS chars_per_token,
+                   floor(CAST(SUM(len(list_filter(string_split(text, ' '),
+                                    x -> x <> ''))) AS DOUBLE)
+                         / CAST(SUM(length(text)) AS DOUBLE) * 100.0
+                         * 1000000.0 + 0.5) / 1000000.0
+                       AS tokens_per_100_chars
+            FROM documents
+            GROUP BY lang
+            HAVING SUM(len(list_filter(string_split(text, ' '),
+                                       x -> x <> ''))) > 0
+            ORDER BY lang
+        """,
+        "supplier_delivery_otif": """
+            SELECT l_suppkey, count(*) AS n_items,
+                   SUM(CASE WHEN CAST(l_shipdate AS DATE)
+                                 - CAST(o_orderdate AS DATE) <= 90
+                            THEN 1 ELSE 0 END) AS n_on_time,
+                   floor(CAST(SUM(CASE WHEN CAST(l_shipdate AS DATE)
+                                 - CAST(o_orderdate AS DATE) <= 90
+                            THEN 1 ELSE 0 END) AS DOUBLE)
+                         / CAST(count(*) AS DOUBLE)
+                         * 1000000.0 + 0.5) / 1000000.0 AS on_time_rate
+            FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+            GROUP BY 1 ORDER BY 1
         """,
         "orders_duplicate_payments": """
             WITH base AS (

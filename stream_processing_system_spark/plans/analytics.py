@@ -6712,3 +6712,168 @@ def orders_duplicate_payments(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_custkey", "order_a", "order_b")
     )
+
+
+#: Inverse-CDF thresholds for Poisson(1), written as identical double
+#: literals in both engines (cumulative e⁻¹·Σ 1/k!).
+_POIS1_CDF = [
+    0.367879441171,
+    0.735758882343,
+    0.919698602929,
+    0.980988124791,
+    0.996300510256,
+    0.999367557201,
+]
+
+
+def revenue_poisson_bootstrap_ci(
+    spark: SparkSession, sf_dir: str, n_boot: int = 40
+) -> DataFrame:
+    """Poisson-bootstrap confidence interval for mean daily revenue:
+    each of `n_boot` replicates re-weights every day by an
+    independent Poisson(1) draw (the multinomial-bootstrap
+    approximation that needs NO global resampling pass — the
+    standard way to bootstrap at data-parallel scale, since each
+    row's weight is a pure function of (row, replicate)), and the
+    CI is the 2nd-smallest / 2nd-largest replicate mean (≈2.5%/97.5%
+    at the default 40).
+
+    Determinism: weights come from md5-derived uniforms pushed
+    through a fixed literal Poisson(1) inverse-CDF table
+    (`_POIS1_CDF` — same literals in the oracle), replicate means
+    are exact-integer cent sums divided once, and the rank pick is a
+    total order (mean, replicate id). Shape: one day-grain
+    aggregate, a broadcast ×B fan-out of THAT frame (never the fact
+    table), one groupBy per replicate."""
+    orders = load_table(spark, sf_dir, "orders")
+    daily = orders.groupBy(
+        F.col("o_orderdate").cast("date").alias("day")
+    ).agg(
+        F.sum(
+            F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")
+        ).alias("cents")
+    )
+    reps = spark.range(1, n_boot + 1).select(
+        F.col("id").cast("int").alias("b")
+    )
+    from stream_processing_system_spark.functions.scalar import (
+        md5_prefix_long,
+    )
+
+    key = F.concat(
+        F.col("day").cast("string"), F.lit("|"), F.col("b").cast("string")
+    )
+    uni = (
+        (md5_prefix_long(key, salt="boot|") % F.lit(1_000_000)).cast("double")
+        / F.lit(1e6)
+    )
+    w = F.when(uni < F.lit(_POIS1_CDF[0]), 0)
+    for i in range(1, 6):
+        w = w.when(uni < F.lit(_POIS1_CDF[i]), i)
+    w = w.otherwise(6).cast("long")
+    cells = daily.crossJoin(F.broadcast(reps)).select(
+        "b", "cents", w.alias("w")
+    )
+    means = (
+        cells.groupBy("b")
+        .agg(
+            F.sum(F.col("w") * F.col("cents")).alias("ws"),
+            F.sum("w").alias("ww"),
+        )
+        .where(F.col("ww") > 0)
+        .select(
+            "b",
+            (
+                F.col("ws").cast("double")
+                / F.col("ww").cast("double")
+                / F.lit(100.0)
+            ).alias("m"),
+        )
+    )
+    w_rank = Window.orderBy(F.asc("m"), F.asc("b"))
+    ranked = means.select(
+        "m", F.row_number().over(w_rank).alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy()).alias("nb"),
+    )
+    full = daily.agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.sum("cents").alias("tot"),
+    )
+    picks = ranked.where(
+        (F.col("rn") == 2) | (F.col("rn") == F.col("nb") - 1)
+    ).agg(F.min("m").alias("lo"), F.max("m").alias("hi"))
+    return full.crossJoin(F.broadcast(picks)).select(
+        F.col("n_days").cast("long").alias("n_days"),
+        F.lit(n_boot).cast("long").alias("n_boot"),
+        det_round(
+            F.col("tot").cast("double")
+            / F.col("n_days").cast("double")
+            / F.lit(100.0)
+        ).alias("mean_daily_revenue"),
+        det_round(F.col("lo")).alias("ci_lo"),
+        det_round(F.col("hi")).alias("ci_hi"),
+    )
+
+
+def doc_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer fertility per language: characters per token and
+    tokens per 100 characters over the corpus — the budgeting number
+    that converts a byte-sized crawl into a token-sized training
+    plan, per language because fertility varies wildly across
+    scripts. Exact integer char/token totals; two fixed-order
+    ratios."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.size(F.filter(F.split(F.col("text"), " "), lambda x: x != ""))
+    s = docs.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.length("text").cast("long")).alias("chars"),
+        F.sum(toks.cast("long")).alias("tokens"),
+    )
+    return (
+        s.where(F.col("tokens") > 0)
+        .select(
+            "lang",
+            F.col("n_docs").cast("long").alias("n_docs"),
+            F.col("chars").cast("long").alias("n_chars"),
+            F.col("tokens").cast("long").alias("n_tokens"),
+            det_round(
+                F.col("chars").cast("double") / F.col("tokens").cast("double")
+            ).alias("chars_per_token"),
+            det_round(
+                F.col("tokens").cast("double")
+                / F.col("chars").cast("double")
+                * F.lit(100.0)
+            ).alias("tokens_per_100_chars"),
+        )
+        .orderBy("lang")
+    )
+
+
+def supplier_delivery_otif(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """On-time delivery rate per supplier: share of line items shipped
+    within 90 days of the order date — the supplier scorecard KPI.
+    One fact-dimension join, exact integer counts, one ratio."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    on_time = (
+        F.datediff(
+            F.col("l_shipdate").cast("date"), F.col("o_orderdate").cast("date")
+        )
+        <= 90
+    ).cast("long")
+    s = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy("l_suppkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.sum(on_time).alias("n_on_time"),
+        )
+    )
+    return s.select(
+        "l_suppkey",
+        F.col("n_items").cast("long").alias("n_items"),
+        F.col("n_on_time").cast("long").alias("n_on_time"),
+        det_round(
+            F.col("n_on_time").cast("double") / F.col("n_items").cast("double")
+        ).alias("on_time_rate"),
+    ).orderBy("l_suppkey")
