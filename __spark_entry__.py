@@ -946,6 +946,50 @@ _COPURCHASE_EDGES_CTE = """
     )"""
 
 
+def _std_split_oracle_sql() -> str:
+    """One UNION ALL arm per feature, mirroring
+    `analytics.feature_standardize_split`: HUGEINT moments in
+    original integer units, doubles only in the final fixed-order
+    stats."""
+    feats = {
+        "quantity": "CAST(l_quantity AS BIGINT)",
+        "discount_centi": "CAST(floor(l_discount * 100 + 0.5) AS BIGINT)",
+        "price_cents": "CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)",
+    }
+    tr = ("CASE WHEN CAST(l_shipdate AS DATE) < DATE '1999-01-01' "
+          "THEN 1 ELSE 0 END")
+    arms = []
+    for name, x in feats.items():
+        arms.append(f"""
+            SELECT '{name}' AS feature,
+                   floor(s1 / n1 * 1000000.0 + 0.5) / 1000000.0
+                       AS train_mean,
+                   floor(sqrt((n1 * ss1 - s1 * s1) / (n1 * n1))
+                         * 1000000.0 + 0.5) / 1000000.0 AS train_std,
+                   floor((s2 / n2 - s1 / n1)
+                         / sqrt((n1 * ss1 - s1 * s1) / (n1 * n1))
+                         * 1000000.0 + 0.5) / 1000000.0 AS test_mean_z,
+                   floor(sqrt((n2 * ss2 - s2 * s2) / (n2 * n2))
+                         / sqrt((n1 * ss1 - s1 * s1) / (n1 * n1))
+                         * 1000000.0 + 0.5) / 1000000.0 AS test_std_z
+            FROM (
+                SELECT CAST(n1i AS DOUBLE) AS n1, CAST(s1i AS DOUBLE) AS s1,
+                       CAST(ss1i AS DOUBLE) AS ss1,
+                       CAST(n2i AS DOUBLE) AS n2, CAST(s2i AS DOUBLE) AS s2,
+                       CAST(ss2i AS DOUBLE) AS ss2
+                FROM (
+                    SELECT SUM(CAST(tr AS HUGEINT)) AS n1i,
+                           SUM(CAST(tr * x AS HUGEINT)) AS s1i,
+                           SUM(CAST(tr AS HUGEINT) * x * x) AS ss1i,
+                           SUM(CAST(1 - tr AS HUGEINT)) AS n2i,
+                           SUM(CAST((1 - tr) * x AS HUGEINT)) AS s2i,
+                           SUM(CAST(1 - tr AS HUGEINT) * x * x) AS ss2i
+                    FROM (SELECT {x} AS x, {tr} AS tr FROM lineitem)
+                )
+            )""")
+    return " UNION ALL ".join(arms) + " ORDER BY feature"
+
+
 def _skew_report_oracle_sql() -> str:
     """One UNION ALL arm per `_SKEW_KEYS` entry, mirroring
     `analytics.join_skew_report`."""
@@ -1758,6 +1802,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "revenue_poisson_bootstrap_ci": analytics.revenue_poisson_bootstrap_ci,
         "doc_tokenizer_fertility": analytics.doc_tokenizer_fertility,
         "supplier_delivery_otif": analytics.supplier_delivery_otif,
+        "revenue_conformal_interval": analytics.revenue_conformal_interval,
+        "feature_standardize_split": analytics.feature_standardize_split,
+        "media_audio_silence": pipeline.media_audio_silence,
         "copurchase_components": analytics.copurchase_components,
         "orders_nested_rollup": analytics.orders_nested_rollup,
         "orderkey_gap_audit": analytics.orderkey_gap_audit,
@@ -5221,6 +5268,78 @@ def oracle_sql() -> dict[str, str]:
             HAVING SUM(len(list_filter(string_split(text, ' '),
                                        x -> x <> ''))) > 0
             ORDER BY lang
+        """,
+        "revenue_conformal_interval": """
+            WITH daily AS MATERIALIZED (
+                SELECT CAST(o_orderdate AS DATE) AS day,
+                       SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                           AS y
+                FROM orders GROUP BY 1
+            ), paired AS (
+                SELECT a.day, abs(a.y - b.y) AS r
+                FROM daily a JOIN daily b ON b.day + 7 = a.day
+            ), cal AS (
+                SELECT * FROM paired WHERE day < DATE '1999-01-01'
+            ), te AS (
+                SELECT * FROM paired
+                WHERE NOT (day < DATE '1999-01-01')
+            ), nc AS (SELECT count(*) AS n_cal FROM cal),
+            ranked AS (
+                SELECT r, row_number() OVER (ORDER BY r, day) AS rn FROM cal
+            ), qh AS (
+                SELECT r AS q FROM ranked, nc
+                WHERE rn = least(CAST(ceil(0.9 * CAST(n_cal + 1 AS DOUBLE))
+                                      AS BIGINT), n_cal)
+            ), cov AS (
+                SELECT count(*) AS n_test,
+                       SUM(CASE WHEN te.r <= qh.q THEN 1 ELSE 0 END) AS n_in,
+                       MIN(qh.q) AS q
+                FROM te, qh
+            )
+            SELECT (SELECT CAST(n_cal AS BIGINT) FROM nc) AS n_cal,
+                   CAST(n_test AS BIGINT) AS n_test,
+                   CAST(q AS DOUBLE) / 100.0 AS q_hat,
+                   floor(CAST(n_in AS DOUBLE) / CAST(n_test AS DOUBLE)
+                         * 1000000.0 + 0.5) / 1000000.0 AS coverage
+            FROM cov
+        """,
+        "feature_standardize_split": _std_split_oracle_sql(),
+        "media_audio_silence": """
+            WITH audio AS (
+                SELECT doc_id AS media_id, text FROM documents
+                WHERE doc_id % 3 = 1
+            ), chars AS (
+                SELECT media_id, i,
+                       unicode(substr(text, CAST(i + 1 AS INT), 1)) - 128
+                           AS s,
+                       length(text) AS n
+                FROM audio, UNNEST(range(length(text))) AS u(i)
+            ), wins AS (
+                SELECT media_id, i // 32 AS w,
+                       CAST(SUM(s * s) AS BIGINT) AS e
+                FROM chars WHERE i < (n // 32) * 32
+                GROUP BY 1, 2
+            ), silent AS (
+                SELECT media_id, w,
+                       w - row_number() OVER (PARTITION BY media_id
+                                              ORDER BY w) AS isl
+                FROM wins WHERE e < 1000
+            ), runs AS (
+                SELECT media_id, isl, count(*) AS len
+                FROM silent GROUP BY 1, 2
+            ), pm AS (
+                SELECT media_id, count(*) AS n_runs, MAX(len) AS longest,
+                       SUM(len) AS n_silent
+                FROM runs GROUP BY 1
+            ), tot AS (
+                SELECT media_id, count(*) AS n_windows FROM wins GROUP BY 1
+            )
+            SELECT t.media_id, CAST(t.n_windows AS BIGINT) AS n_windows,
+                   CAST(COALESCE(p.n_runs, 0) AS BIGINT) AS n_runs,
+                   CAST(COALESCE(p.longest, 0) AS BIGINT) AS longest_run,
+                   CAST(COALESCE(p.n_silent, 0) AS BIGINT) AS n_silent
+            FROM tot t LEFT JOIN pm p ON t.media_id = p.media_id
+            ORDER BY t.media_id
         """,
         "supplier_delivery_otif": """
             SELECT l_suppkey, count(*) AS n_items,

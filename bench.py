@@ -195,6 +195,12 @@ HEADLINE = [
     "part_demand_croston",
     "events_binseg_changepoint",
     "orders_duplicate_payments",
+    "revenue_poisson_bootstrap_ci",
+    "doc_tokenizer_fertility",
+    "supplier_delivery_otif",
+    "revenue_conformal_interval",
+    "feature_standardize_split",
+    "media_audio_silence",
 ]
 
 

@@ -401,3 +401,83 @@ def audio_energy(
             F.col("n_silent").cast("double") / F.col("n_windows").cast("double")
         ).alias("silence_ratio"),
     ).orderBy("media_id")
+
+
+def audio_silence_runs(
+    df: DataFrame, window: int = 32, silence_threshold: int = 1000
+) -> DataFrame:
+    """Silence-RUN structure per audio item: number of maximal silent
+    frame runs, the longest run, and total silent frames — what a
+    speech pipeline needs to TRIM (leading/trailing hush) and SPLIT
+    (long internal pauses) rather than just count, extending
+    `audio_energy`'s per-frame flags with the gaps-and-islands
+    grouping.
+
+    Only the decode (stub waveform: payload bytes − 128) runs in the
+    Arrow batch; frames come back as ROWS and the island detection
+    is pure relational — island key = frame index − rank among the
+    item's silent frames, one window + one groupBy, the same
+    construction both engines execute (the oracle mirrors it over
+    the documents-derived payload)."""
+    from pyspark.sql import Window
+
+    def _frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, ws, es = [], [], []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                data = bytes(payload)
+                n_full = len(data) // window
+                for wi in range(n_full):
+                    ids.append(mid)
+                    ws.append(wi)
+                    es.append(
+                        sum(
+                            (b - 128) * (b - 128)
+                            for b in data[wi * window : (wi + 1) * window]
+                        )
+                    )
+            yield pd.DataFrame(
+                {
+                    "media_id": pd.Series(ids, dtype="int64"),
+                    "w": pd.Series(ws, dtype="int64"),
+                    "e": pd.Series(es, dtype="int64"),
+                }
+            )
+
+    audio = df.where(F.col("media_type") == "audio")
+    frames = audio.select("media_id", "payload").mapInPandas(
+        _frames, schema="media_id long, w long, e long"
+    )
+    silent = frames.where(F.col("e") < silence_threshold)
+    w_rank = Window.partitionBy("media_id").orderBy("w")
+    islands = silent.select(
+        "media_id",
+        "w",
+        (F.col("w") - F.row_number().over(w_rank)).alias("_isl"),
+    )
+    runs = islands.groupBy("media_id", "_isl").agg(
+        F.count(F.lit(1)).alias("_len")
+    )
+    per_media = runs.groupBy("media_id").agg(
+        F.count(F.lit(1)).alias("n_runs"),
+        F.max("_len").alias("longest_run"),
+        F.sum("_len").alias("n_silent"),
+    )
+    totals = frames.groupBy("media_id").agg(
+        F.count(F.lit(1)).alias("n_windows")
+    )
+    return (
+        totals.join(per_media, "media_id", "left")
+        .select(
+            "media_id",
+            F.col("n_windows").cast("long").alias("n_windows"),
+            F.coalesce(F.col("n_runs"), F.lit(0)).cast("long").alias("n_runs"),
+            F.coalesce(F.col("longest_run"), F.lit(0))
+            .cast("long")
+            .alias("longest_run"),
+            F.coalesce(F.col("n_silent"), F.lit(0))
+            .cast("long")
+            .alias("n_silent"),
+        )
+        .orderBy("media_id")
+    )

@@ -6877,3 +6877,137 @@ def supplier_delivery_otif(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_on_time").cast("double") / F.col("n_items").cast("double")
         ).alias("on_time_rate"),
     ).orderBy("l_suppkey")
+
+
+def revenue_conformal_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split-conformal prediction interval for daily revenue under a
+    seasonal-naive forecaster (ŷ = revenue 7 days earlier): the
+    calibration half's absolute residuals give the distribution-free
+    90% band q̂ = ⌈0.9(n+1)⌉-th smallest |y−ŷ|, then the held-out
+    half reports EMPIRICAL coverage — the modern uncertainty wrapper
+    that needs no model internals and (unlike `events_gapfill_decay`
+    style point forecasts) comes with a finite-sample guarantee.
+
+    Exactness: revenues and residuals are integer cents; q̂ is an
+    exact order statistic (row_number over (residual, day)); coverage
+    is a ratio of exact counts. Shape: one day-grain aggregate, a
+    7-day self-join of that tiny frame, one window over calibration
+    residuals."""
+    orders = load_table(spark, sf_dir, "orders")
+    daily = orders.groupBy(
+        F.col("o_orderdate").cast("date").alias("day")
+    ).agg(
+        F.sum(
+            F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")
+        ).alias("y")
+    ).localCheckpoint(eager=True)
+    lagged = daily.select(
+        F.date_add("day", 7).alias("day"), F.col("y").alias("yhat")
+    )
+    paired = daily.join(lagged, "day").select(
+        "day", F.abs(F.col("y") - F.col("yhat")).alias("r")
+    )
+    cut = F.col("day") < F.lit("1999-01-01").cast("date")
+    cal = paired.where(cut)
+    test = paired.where(~cut)
+    w = Window.orderBy("r", "day")
+    n_cal = cal.agg(F.count(F.lit(1)).alias("n_cal"))
+    ranked = cal.select("r", F.row_number().over(w).alias("rn")).crossJoin(
+        F.broadcast(n_cal)
+    )
+    # k = ceil(0.9 * (n_cal + 1)), capped at n_cal
+    k = F.least(
+        F.ceil(F.lit(0.9) * (F.col("n_cal") + 1).cast("double")).cast("long"),
+        F.col("n_cal"),
+    )
+    qhat = ranked.where(F.col("rn") == k).select(F.col("r").alias("q"))
+    cov = (
+        test.crossJoin(F.broadcast(qhat))
+        .agg(
+            F.count(F.lit(1)).alias("n_test"),
+            F.sum((F.col("r") <= F.col("q")).cast("long")).alias("n_in"),
+            F.first("q").alias("q"),
+        )
+    )
+    return cov.crossJoin(F.broadcast(n_cal)).select(
+        F.col("n_cal").cast("long").alias("n_cal"),
+        F.col("n_test").cast("long").alias("n_test"),
+        (F.col("q").cast("double") / F.lit(100.0)).alias("q_hat"),
+        det_round(
+            F.col("n_in").cast("double") / F.col("n_test").cast("double")
+        ).alias("coverage"),
+    )
+
+
+def feature_standardize_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-guarded feature standardization audit: z-scaling
+    parameters (mean, std) are fit on the TRAIN half only
+    (shipdate < 1999-01-01) and applied to the TEST half; the test
+    half's standardized mean and std quantify the distribution shift
+    a leaky whole-data scaler would have hidden — the
+    feature-engineering hygiene check for any learned pipeline.
+    Features: quantity, centi-discount, cent price.
+
+    Exactness: per-feature moments are exact DECIMAL(38,0)/HUGEINT
+    sums in ORIGINAL integer units; means/stds and the two z-stats
+    are fixed-order doubles mirrored textually."""
+    li = load_table(spark, sf_dir, "lineitem")
+    feats = [
+        ("quantity", F.col("l_quantity").cast("long")),
+        (
+            "discount_centi",
+            F.floor(F.col("l_discount") * 100 + F.lit(0.5)).cast("long"),
+        ),
+        (
+            "price_cents",
+            F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5)).cast("long"),
+        ),
+    ]
+    is_train = (
+        F.col("l_shipdate").cast("date") < F.lit("1999-01-01").cast("date")
+    ).cast("int")
+    d38 = "decimal(38,0)"
+    frames = []
+    for name, x in feats:
+        base = li.select(x.alias("x"), is_train.alias("tr"))
+        m = base.agg(
+            F.sum(F.col("tr").cast(d38)).alias("n1"),
+            F.sum((F.col("tr") * F.col("x")).cast(d38)).alias("s1"),
+            F.sum(
+                F.col("tr").cast(d38) * F.col("x").cast(d38) * F.col("x")
+            ).alias("ss1"),
+            F.sum((1 - F.col("tr")).cast(d38)).alias("n2"),
+            F.sum(((1 - F.col("tr")) * F.col("x")).cast(d38)).alias("s2"),
+            F.sum(
+                (1 - F.col("tr")).cast(d38)
+                * F.col("x").cast(d38)
+                * F.col("x")
+            ).alias("ss2"),
+        )
+        n1, s1, ss1 = (
+            F.col("n1").cast("double"),
+            F.col("s1").cast("double"),
+            F.col("ss1").cast("double"),
+        )
+        n2, s2, ss2 = (
+            F.col("n2").cast("double"),
+            F.col("s2").cast("double"),
+            F.col("ss2").cast("double"),
+        )
+        mean1 = s1 / n1
+        std1 = F.sqrt((n1 * ss1 - s1 * s1) / (n1 * n1))
+        mean2 = s2 / n2
+        std2 = F.sqrt((n2 * ss2 - s2 * s2) / (n2 * n2))
+        frames.append(
+            m.select(
+                F.lit(name).alias("feature"),
+                det_round(mean1).alias("train_mean"),
+                det_round(std1).alias("train_std"),
+                det_round((mean2 - mean1) / std1).alias("test_mean_z"),
+                det_round(std2 / std1).alias("test_std_z"),
+            )
+        )
+    out = frames[0]
+    for f in frames[1:]:
+        out = out.unionAll(f)
+    return out.orderBy("feature")

@@ -1611,3 +1611,10 @@ def embedding_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cluster")
     )
+
+
+def media_audio_silence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contract wrapper: see `multimodal.audio_silence_runs`
+    (gaps-and-islands over the stub waveform's silent frames)."""
+    media = multimodal.fake_media_from_documents(spark, _docs(spark, sf_dir))
+    return multimodal.audio_silence_runs(media)
