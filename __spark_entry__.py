@@ -726,6 +726,112 @@ def _poisson_glm_oracle_sql(iters: int = 3) -> str:
     """
 
 
+def _logit_oracle_sql(iters: int = 3) -> str:
+    """IRLS logistic regression unrolled as CTEs, mirroring
+    `analytics.lineitem_logit_return` round-for-round (the
+    `_poisson_glm_oracle_sql` scheme with the binomial weight
+    μ(1−μ) and working response), plus the midrank-AUC and
+    accuracy metrics over the finite score grid."""
+    E = "(b.b0 + b.b1 * CAST(t.x1 AS DOUBLE) + b.b2 * CAST(t.x2 AS DOUBLE))"
+    M = f"(1.0 / (1.0 + exp(-{E})))"
+    W = f"({M} * (1.0 - {M}))"
+    WZ = f"({W} * {E} + (CAST(t.y AS DOUBLE) - {M}))"
+    X1, X2 = "CAST(t.x1 AS DOUBLE)", "CAST(t.x2 AS DOUBLE)"
+    terms = {
+        "ma": W,
+        "mb": f"{W} * {X1}",
+        "mc": f"{W} * {X2}",
+        "md": f"{W} * {X1} * {X1}",
+        "me": f"{W} * {X1} * {X2}",
+        "mf": f"{W} * {X2} * {X2}",
+        "mg": WZ,
+        "mh": f"{WZ} * {X1}",
+        "mi": f"{WZ} * {X2}",
+    }
+
+    def q(x: str) -> str:
+        return f"SUM(CAST(floor(({x}) * 1000000.0 + 0.5) AS BIGINT))"
+
+    det = "(a * (d * f - e * e) - b * (b * f - e * c) + c * (b * e - d * c))"
+    det0 = "(g * (d * f - e * e) - b * (h * f - e * i) + c * (h * e - d * i))"
+    det1 = "(a * (h * f - e * i) - g * (b * f - e * c) + c * (b * i - h * c))"
+    det2 = "(a * (d * i - h * e) - b * (b * i - h * c) + g * (b * e - d * c))"
+    parts = [
+        """base AS MATERIALIZED (
+        SELECT CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS y,
+               CAST(l_quantity AS BIGINT) AS x1,
+               CAST(floor(l_discount * 100 + 0.5) AS BIGINT) AS x2
+        FROM lineitem
+    ), tot AS (SELECT SUM(y) AS sy, count(*) AS n FROM base),
+    pp AS (SELECT CAST(sy AS DOUBLE) / CAST(n AS DOUBLE) AS p FROM tot),
+    beta0 AS (
+        SELECT floor(ln(p / (1.0 - p)) * 1000000000.0 + 0.5)
+                   / 1000000000.0 AS b0,
+               0.0 AS b1, 0.0 AS b2
+        FROM pp
+    )"""
+    ]
+    for t in range(iters):
+        cols = ", ".join(f"{q(x)} AS {k}" for k, x in terms.items())
+        parts.append(f"""r{t} AS (
+        SELECT {cols}
+        FROM base t, beta{t} b
+    ), k{t} AS (
+        SELECT CAST(ma AS DOUBLE) AS a, CAST(mb AS DOUBLE) AS b,
+               CAST(mc AS DOUBLE) AS c, CAST(md AS DOUBLE) AS d,
+               CAST(me AS DOUBLE) AS e, CAST(mf AS DOUBLE) AS f,
+               CAST(mg AS DOUBLE) AS g, CAST(mh AS DOUBLE) AS h,
+               CAST(mi AS DOUBLE) AS i
+        FROM r{t}
+    ), beta{t + 1} AS (
+        SELECT floor({det0} / {det} * 1000000000.0 + 0.5)
+                   / 1000000000.0 AS b0,
+               floor({det1} / {det} * 1000000000.0 + 0.5)
+                   / 1000000000.0 AS b1,
+               floor({det2} / {det} * 1000000000.0 + 0.5)
+                   / 1000000000.0 AS b2
+        FROM k{t}
+    )""")
+    return f"""
+        WITH {','.join(parts)},
+        cells AS (
+            SELECT {E} AS s, SUM(t.y) AS c1, SUM(1 - t.y) AS c0
+            FROM base t, beta{iters} b
+            GROUP BY 1
+        ), ranked AS (
+            SELECT s, c1, c0,
+                   COALESCE(SUM(c1 + c0) OVER (ORDER BY s
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND 1 PRECEDING), 0) AS cb,
+                   c1 + c0 AS tt
+            FROM cells
+        ), m AS (
+            SELECT SUM(CAST(c1 AS HUGEINT)) AS n1,
+                   SUM(CAST(c0 AS HUGEINT)) AS n0,
+                   SUM(CAST(c1 AS HUGEINT) * (2 * cb + tt + 1)) AS r1x2,
+                   SUM(CAST(CASE WHEN s > 0 THEN c1 ELSE c0 END
+                            AS HUGEINT)) AS n_correct
+            FROM ranked
+        )
+        SELECT (SELECT CAST(n AS BIGINT) FROM tot) AS n_rows,
+               (SELECT floor(b0 * 1000000.0 + 0.5) / 1000000.0
+                FROM beta{iters}) AS intercept,
+               (SELECT floor(b1 * 1000000.0 + 0.5) / 1000000.0
+                FROM beta{iters}) AS beta_qty,
+               (SELECT floor(b2 * 1000000.0 + 0.5) / 1000000.0
+                FROM beta{iters}) AS beta_disc,
+               floor(CAST(n_correct AS DOUBLE)
+                     / CAST((SELECT n FROM tot) AS DOUBLE)
+                     * 1000000.0 + 0.5) / 1000000.0 AS train_accuracy,
+               floor((CAST(r1x2 AS DOUBLE) / 2.0
+                      - CAST(n1 AS DOUBLE)
+                        * (CAST(n1 AS DOUBLE) + 1.0) / 2.0)
+                     / (CAST(n1 AS DOUBLE) * CAST(n0 AS DOUBLE))
+                     * 1000000.0 + 0.5) / 1000000.0 AS train_auc
+        FROM m
+    """
+
+
 def _ann_recall_curve_oracle_sql() -> str:
     """Recall@k of the LSH retrieval vs brute force at k∈{1,5,10,20}:
     both rank lists recomputed in SQL with the engine's round-6 sims
@@ -1805,6 +1911,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "revenue_conformal_interval": analytics.revenue_conformal_interval,
         "feature_standardize_split": analytics.feature_standardize_split,
         "media_audio_silence": pipeline.media_audio_silence,
+        "lineitem_logit_return": analytics.lineitem_logit_return,
         "copurchase_components": analytics.copurchase_components,
         "orders_nested_rollup": analytics.orders_nested_rollup,
         "orderkey_gap_audit": analytics.orderkey_gap_audit,
@@ -5269,6 +5376,7 @@ def oracle_sql() -> dict[str, str]:
                                        x -> x <> ''))) > 0
             ORDER BY lang
         """,
+        "lineitem_logit_return": _logit_oracle_sql(),
         "revenue_conformal_interval": """
             WITH daily AS MATERIALIZED (
                 SELECT CAST(o_orderdate AS DATE) AS day,

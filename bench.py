@@ -201,6 +201,7 @@ HEADLINE = [
     "revenue_conformal_interval",
     "feature_standardize_split",
     "media_audio_silence",
+    "lineitem_logit_return",
 ]
 
 

@@ -7011,3 +7011,126 @@ def feature_standardize_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     for f in frames[1:]:
         out = out.unionAll(f)
     return out.orderBy("feature")
+
+
+def lineitem_logit_return(
+    spark: SparkSession, sf_dir: str, iters: int = 3
+) -> DataFrame:
+    """Logistic regression by IRLS: P(l_returnflag = 'R') as a
+    function of (quantity, centi-discount) — the canonical binary
+    classifier, trained with the same cross-engine-reproducible
+    IRLS contract as `events_poisson_glm` (per-row weighted moments
+    floored onto a 1e-6 grid before exact summation, textually
+    mirrored Cramer solve, β re-quantized to the 1e-9 grid between
+    rounds), and evaluated in-train with accuracy at 0.5 AND the
+    rank-based AUC (exact midrank Mann–Whitney over the finite
+    score grid — the `events_mannwhitney_u` device pointed at
+    classifier scores).
+
+    Shape: the design is only ever touched by one aggregate per
+    round (nine grid integers out) plus one score-grain groupBy for
+    the metrics — scores take ≤ |quantity|×|discount| distinct
+    values, so the AUC ranking runs over a few hundred rows."""
+    import math
+
+    li = load_table(spark, sf_dir, "lineitem")
+    base = li.select(
+        (F.col("l_returnflag") == "R").cast("long").alias("y"),
+        F.col("l_quantity").cast("long").alias("x1"),
+        F.floor(F.col("l_discount") * 100 + F.lit(0.5))
+        .cast("long")
+        .alias("x2"),
+    ).localCheckpoint(eager=True)
+    tot = base.agg(
+        F.sum("y").alias("sy"), F.count(F.lit(1)).alias("n")
+    ).collect()[0]
+    n_rows = int(tot["n"])
+    p0 = tot["sy"] / tot["n"]
+    b0 = math.floor(math.log(p0 / (1.0 - p0)) * 1e9 + 0.5) / 1e9
+    b1 = b2 = 0.0
+    d38 = "decimal(38,0)"
+
+    def q(col):
+        return F.floor(col * F.lit(1e6) + F.lit(0.5)).cast("long").cast(d38)
+
+    for _ in range(iters):
+        eta = (
+            F.lit(b0)
+            + F.lit(b1) * F.col("x1").cast("double")
+            + F.lit(b2) * F.col("x2").cast("double")
+        )
+        mu = F.lit(1.0) / (F.lit(1.0) + F.exp(-eta))
+        w = mu * (F.lit(1.0) - mu)
+        wz = w * eta + (F.col("y").cast("double") - mu)
+        x1d, x2d = F.col("x1").cast("double"), F.col("x2").cast("double")
+        r = base.agg(
+            F.sum(q(w)).alias("ma"),
+            F.sum(q(w * x1d)).alias("mb"),
+            F.sum(q(w * x2d)).alias("mc"),
+            F.sum(q(w * x1d * x1d)).alias("md"),
+            F.sum(q(w * x1d * x2d)).alias("me"),
+            F.sum(q(w * x2d * x2d)).alias("mf"),
+            F.sum(q(wz)).alias("mg"),
+            F.sum(q(wz * x1d)).alias("mh"),
+            F.sum(q(wz * x2d)).alias("mi"),
+        ).collect()[0]
+        a, b, c_ = float(r["ma"]), float(r["mb"]), float(r["mc"])
+        d, e, f = float(r["md"]), float(r["me"]), float(r["mf"])
+        g, h, i = float(r["mg"]), float(r["mh"]), float(r["mi"])
+        det = a * (d * f - e * e) - b * (b * f - e * c_) + c_ * (b * e - d * c_)
+        det0 = g * (d * f - e * e) - b * (h * f - e * i) + c_ * (h * e - d * i)
+        det1 = a * (h * f - e * i) - g * (b * f - e * c_) + c_ * (b * i - h * c_)
+        det2 = a * (d * i - h * e) - b * (b * i - h * c_) + g * (b * e - d * c_)
+        b0 = math.floor(det0 / det * 1e9 + 0.5) / 1e9
+        b1 = math.floor(det1 / det * 1e9 + 0.5) / 1e9
+        b2 = math.floor(det2 / det * 1e9 + 0.5) / 1e9
+
+    # in-train metrics on the finite score grid
+    eta = (
+        F.lit(b0)
+        + F.lit(b1) * F.col("x1").cast("double")
+        + F.lit(b2) * F.col("x2").cast("double")
+    )
+    cells = base.groupBy(eta.alias("s")).agg(
+        F.sum("y").alias("c1"),
+        F.sum(F.lit(1) - F.col("y")).alias("c0"),
+    )
+    w_before = Window.orderBy("s").rowsBetween(Window.unboundedPreceding, -1)
+    ranked = cells.select(
+        "s",
+        "c1",
+        "c0",
+        F.coalesce(
+            F.sum(F.col("c1") + F.col("c0")).over(w_before), F.lit(0)
+        ).alias("cb"),
+        (F.col("c1") + F.col("c0")).alias("t"),
+    )
+    acc_pred = F.when(F.col("s") > 0, F.col("c1")).otherwise(F.col("c0"))
+    m = ranked.agg(
+        F.sum(F.col("c1").cast(d38)).alias("n1"),
+        F.sum(F.col("c0").cast(d38)).alias("n0"),
+        F.sum(
+            F.col("c1").cast(d38)
+            * (F.lit(2) * F.col("cb") + F.col("t") + F.lit(1))
+        ).alias("r1x2"),
+        F.sum(acc_pred.cast(d38)).alias("n_correct"),
+    )
+    n1d, n0d = F.col("n1").cast("double"), F.col("n0").cast("double")
+    auc = (
+        F.col("r1x2").cast("double") / F.lit(2.0)
+        - n1d * (n1d + F.lit(1.0)) / F.lit(2.0)
+    ) / (n1d * n0d)
+
+    def r6(x: float) -> float:
+        return math.floor(x * 1e6 + 0.5) / 1e6
+
+    return m.select(
+        F.lit(n_rows).cast("long").alias("n_rows"),
+        F.lit(r6(b0)).alias("intercept"),
+        F.lit(r6(b1)).alias("beta_qty"),
+        F.lit(r6(b2)).alias("beta_disc"),
+        det_round(
+            F.col("n_correct").cast("double") / F.lit(float(n_rows))
+        ).alias("train_accuracy"),
+        det_round(auc).alias("train_auc"),
+    )
