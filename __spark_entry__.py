@@ -1912,6 +1912,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "feature_standardize_split": analytics.feature_standardize_split,
         "media_audio_silence": pipeline.media_audio_silence,
         "lineitem_logit_return": analytics.lineitem_logit_return,
+        "doc_nb_lang_classifier": analytics.doc_nb_lang_classifier,
         "copurchase_components": analytics.copurchase_components,
         "orders_nested_rollup": analytics.orders_nested_rollup,
         "orderkey_gap_audit": analytics.orderkey_gap_audit,
@@ -5377,6 +5378,66 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY lang
         """,
         "lineitem_logit_return": _logit_oracle_sql(),
+        "doc_nb_lang_classifier": """
+            WITH toks AS MATERIALIZED (
+                SELECT doc_id, lang,
+                       unnest(list_filter(string_split(text, ' '),
+                                          x -> x <> '')) AS token
+                FROM documents
+            ), trt AS (
+                SELECT * FROM toks WHERE doc_id % 2 = 0
+            ), counts AS (
+                SELECT lang, token, count(*) AS c FROM trt GROUP BY 1, 2
+            ), nl AS (
+                SELECT lang, count(*) AS n_l FROM trt GROUP BY 1
+            ), vocab AS (
+                SELECT count(DISTINCT token) AS v FROM trt
+            ), trd AS (
+                SELECT lang, count(*) AS nd FROM documents
+                WHERE doc_id % 2 = 0 GROUP BY 1
+            ), ndt AS (
+                SELECT count(*) AS ndt FROM documents WHERE doc_id % 2 = 0
+            ), priors AS (
+                SELECT lang,
+                       CAST(floor(ln(CAST(nd AS DOUBLE)
+                                     / CAST(ndt AS DOUBLE))
+                                  * 1000000000.0 + 0.5) AS BIGINT)
+                           AS prior_g
+                FROM trd, ndt
+            ), tcell AS (
+                SELECT doc_id, lang, token, count(*) AS tc
+                FROM toks WHERE NOT (doc_id % 2 = 0)
+                GROUP BY 1, 2, 3
+            ), terms AS (
+                SELECT t.doc_id, t.lang, p.lang AS cand,
+                       t.tc * CAST(floor(ln(
+                           CAST(COALESCE(c.c, 0) + 1 AS DOUBLE)
+                           / CAST(n.n_l + v.v AS DOUBLE))
+                           * 1000000000.0 + 0.5) AS BIGINT) AS t
+                FROM tcell t
+                CROSS JOIN (SELECT lang FROM priors) p
+                LEFT JOIN counts c ON c.lang = p.lang
+                                  AND c.token = t.token
+                JOIN nl n ON n.lang = p.lang
+                CROSS JOIN vocab v
+            ), ds AS (
+                SELECT s.doc_id, s.lang, s.cand,
+                       s.s + p.prior_g AS score
+                FROM (SELECT doc_id, lang, cand, SUM(t) AS s
+                      FROM terms GROUP BY 1, 2, 3) s
+                JOIN priors p ON p.lang = s.cand
+            ), preds AS (
+                SELECT doc_id, lang, cand FROM (
+                    SELECT doc_id, lang, cand,
+                           row_number() OVER (PARTITION BY doc_id
+                               ORDER BY score DESC, cand ASC) AS rn
+                    FROM ds
+                ) WHERE rn = 1
+            )
+            SELECT lang AS true_lang, cand AS pred_lang,
+                   count(*) AS n_docs
+            FROM preds GROUP BY 1, 2 ORDER BY 1, 2
+        """,
         "revenue_conformal_interval": """
             WITH daily AS MATERIALIZED (
                 SELECT CAST(o_orderdate AS DATE) AS day,

@@ -202,6 +202,7 @@ HEADLINE = [
     "feature_standardize_split",
     "media_audio_silence",
     "lineitem_logit_return",
+    "doc_nb_lang_classifier",
 ]
 
 

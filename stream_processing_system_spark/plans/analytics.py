@@ -7134,3 +7134,124 @@ def lineitem_logit_return(
         ).alias("train_accuracy"),
         det_round(auc).alias("train_auc"),
     )
+
+
+def doc_nb_lang_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multinomial Naive Bayes language classifier, trained and
+    evaluated entirely relationally: add-one-smoothed token
+    likelihoods and document priors fit on the train half
+    (doc_id % 2 = 0), argmax posterior predictions on the held-out
+    half, reported as the confusion matrix (true_lang, pred_lang,
+    n_docs) — the classical text classifier as ONE declarative plan
+    (on this synthetic corpus the tokens carry no language signal,
+    so near-uniform confusion is the correct finding; the machinery
+    is what transfers).
+
+    Exactness: each log term ln((c+1)/(N_l+V)) and each log prior is
+    floored ONCE onto the 1e-9 grid per (token, lang) cell, so every
+    document score is an exact integer sum (count × grid-log), and
+    the argmax orders by (score, lang) — no floating aggregation
+    anywhere. Shape: one explode + two hash aggregates to train; the
+    scoring join fans test tokens by |langs| (a broadcast constant)
+    against the token-lang likelihood table."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        "lang",
+        F.explode(
+            F.filter(F.split(F.col("text"), " "), lambda x: x != "")
+        ).alias("token"),
+    ).localCheckpoint(eager=True)
+    is_train = F.col("doc_id") % 2 == 0
+    train_toks = toks.where(is_train)
+    counts = train_toks.groupBy("lang", "token").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    nl = train_toks.groupBy("lang").agg(F.count(F.lit(1)).alias("n_l"))
+    vocab = train_toks.select("token").distinct().agg(
+        F.count(F.lit(1)).alias("v")
+    )
+    train_docs = docs.where(is_train)
+    priors = (
+        train_docs.groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("nd"))
+        .crossJoin(
+            F.broadcast(
+                train_docs.agg(F.count(F.lit(1)).alias("ndt"))
+            )
+        )
+        .select(
+            "lang",
+            F.floor(
+                F.log(
+                    F.col("nd").cast("double") / F.col("ndt").cast("double")
+                )
+                * F.lit(1e9)
+                + F.lit(0.5)
+            )
+            .cast("long")
+            .alias("prior_g"),
+        )
+    )
+    langs = priors.select(F.col("lang").alias("cand"), "prior_g")
+    test_cells = (
+        toks.where(~is_train)
+        .groupBy("doc_id", "lang", "token")
+        .agg(F.count(F.lit(1)).alias("tc"))
+    )
+    scored_terms = (
+        test_cells.crossJoin(F.broadcast(langs.select("cand")))
+        .join(
+            counts.select(
+                F.col("lang").alias("cand"), "token", F.col("c")
+            ),
+            ["cand", "token"],
+            "left",
+        )
+        .join(F.broadcast(nl.select(F.col("lang").alias("cand"), "n_l")), "cand")
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            "doc_id",
+            "lang",
+            "cand",
+            (
+                F.col("tc")
+                * F.floor(
+                    F.log(
+                        (F.coalesce(F.col("c"), F.lit(0)) + F.lit(1)).cast(
+                            "double"
+                        )
+                        / (F.col("n_l") + F.col("v")).cast("double")
+                    )
+                    * F.lit(1e9)
+                    + F.lit(0.5)
+                ).cast("long")
+            ).alias("t"),
+        )
+    )
+    doc_scores = (
+        scored_terms.groupBy("doc_id", "lang", "cand")
+        .agg(F.sum("t").alias("s"))
+        .join(F.broadcast(langs), "cand")
+        .select(
+            "doc_id",
+            "lang",
+            "cand",
+            (F.col("s") + F.col("prior_g")).alias("score"),
+        )
+    )
+    w_pick = Window.partitionBy("doc_id").orderBy(
+        F.desc("score"), F.asc("cand")
+    )
+    preds = (
+        doc_scores.withColumn("_rn", F.row_number().over(w_pick))
+        .where(F.col("_rn") == 1)
+        .select("doc_id", "lang", F.col("cand").alias("pred"))
+    )
+    return (
+        preds.groupBy(
+            F.col("lang").alias("true_lang"), F.col("pred").alias("pred_lang")
+        )
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .orderBy("true_lang", "pred_lang")
+    )
