@@ -726,6 +726,115 @@ def _poisson_glm_oracle_sql(iters: int = 3) -> str:
     """
 
 
+def _gbm_oracle_sql(rounds: int = 2) -> str:
+    """Gradient-boosted stumps unrolled as CTEs, mirroring
+    `analytics.lineitem_gbm_stumps` round-for-round: micro-cent
+    integer model state, exact HUGEINT split statistics, truncating
+    `//` leaf means (≡ Spark `div`), fixed-order double gains with
+    (feat, thr) tie-breaks."""
+    gain = (
+        "(CAST(sl AS DOUBLE) * CAST(sl AS DOUBLE) / CAST(nl AS DOUBLE)"
+        " + CAST(st - sl AS DOUBLE) * CAST(st - sl AS DOUBLE)"
+        " / CAST(nt - nl AS DOUBLE))"
+    )
+
+    def cand_round(t: int, rsrc: str) -> str:
+        return f"""c{t} AS (
+        SELECT 1 AS feat, v AS thr,
+               SUM(nv) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND CURRENT ROW) AS nl,
+               SUM(sv) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND CURRENT ROW) AS sl
+        FROM (SELECT x1 AS v, count(*) AS nv, SUM(r) AS sv
+              FROM {rsrc} GROUP BY 1)
+        UNION ALL
+        SELECT 2 AS feat, v AS thr,
+               SUM(nv) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND CURRENT ROW) AS nl,
+               SUM(sv) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND CURRENT ROW) AS sl
+        FROM (SELECT x2 AS v, count(*) AS nv, SUM(r) AS sv
+              FROM {rsrc} GROUP BY 1)
+    ), t{t} AS (
+        SELECT count(*) AS nt, SUM(r) AS st FROM {rsrc}
+    ), p{t} AS (
+        SELECT feat, thr, nl, sl, nt, st FROM (
+            SELECT c.feat, c.thr, c.nl, c.sl, t.nt, t.st,
+                   row_number() OVER (ORDER BY {gain} DESC,
+                                      feat ASC, thr ASC) AS rn
+            FROM c{t} c, t{t} t WHERE c.nl < t.nt
+        ) WHERE rn = 1
+    ), s{t} AS (
+        SELECT feat, thr, sl // nl AS lu,
+               (st - sl) // (nt - nl) AS ru
+        FROM p{t}
+    )"""
+
+    def stump_case(alias: str) -> str:
+        return (
+            f"(CASE WHEN (CASE WHEN {alias}.feat = 1 THEN b.x1 "
+            f"ELSE b.x2 END) <= {alias}.thr THEN {alias}.lu "
+            f"ELSE {alias}.ru END)"
+        )
+
+    parts = [
+        """base AS MATERIALIZED (
+        SELECT CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS y,
+               CAST(l_quantity AS BIGINT) AS x1,
+               CAST(floor(l_discount * 100 + 0.5) AS BIGINT) AS x2
+        FROM lineitem
+    ), tot AS (
+        SELECT SUM(CAST(y AS HUGEINT) * 1000000) AS sy, count(*) AS n
+        FROM base
+    ), f0 AS (SELECT sy // n AS f FROM tot),
+    r1 AS (
+        SELECT x1, x2,
+               CAST(y AS HUGEINT) * 1000000 - (SELECT f FROM f0) AS r
+        FROM base
+    )"""
+    ]
+    parts.append(cand_round(1, "r1"))
+    model = "(SELECT f FROM f0) + " + stump_case("s")
+    srcs = ["s1 s"]
+    for t in range(2, rounds + 1):
+        parts.append(f"""r{t} AS (
+        SELECT b.x1, b.x2,
+               CAST(b.y AS HUGEINT) * 1000000 - ({model}) AS r
+        FROM base b, {', '.join(srcs)}
+    )""")
+        parts.append(cand_round(t, f"r{t}"))
+        alias = f"u{t}"
+        model += " + " + stump_case(alias)
+        srcs.append(f"s{t} {alias}")
+    parts.append(f"""rfinal AS (
+        SELECT CAST(b.y AS HUGEINT) * 1000000 - ({model}) AS r
+        FROM base b, {', '.join(srcs)}
+    )""")
+    arms = []
+    for t in range(1, rounds + 1):
+        rsrc = f"r{t + 1}" if t < rounds else "rfinal"
+        arms.append(f"""
+            SELECT CAST({t} AS BIGINT) AS "round",
+                   CASE WHEN feat = 1 THEN 'quantity'
+                        ELSE 'discount_centi' END AS feature,
+                   CAST(thr AS BIGINT) AS threshold,
+                   floor(CAST(lu AS DOUBLE) / 1000000.0 / 100.0
+                         * 1000000.0 + 0.5) / 1000000.0 AS leaf_left,
+                   floor(CAST(ru AS DOUBLE) / 1000000.0 / 100.0
+                         * 1000000.0 + 0.5) / 1000000.0 AS leaf_right,
+                   floor(sqrt(CAST((SELECT SUM(r * r) FROM {rsrc})
+                                   AS DOUBLE) / 1000000000000.0
+                              / CAST((SELECT n FROM tot) AS DOUBLE))
+                         / 100.0 * 1000000.0 + 0.5) / 1000000.0
+                       AS train_rmse
+            FROM s{t}""")
+    return (
+        "WITH " + ",\n    ".join(parts) + " "
+        + " UNION ALL ".join(arms)
+        + ' ORDER BY "round"'
+    )
+
+
 def _logit_oracle_sql(iters: int = 3) -> str:
     """IRLS logistic regression unrolled as CTEs, mirroring
     `analytics.lineitem_logit_return` round-for-round (the
@@ -1913,6 +2022,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_audio_silence": pipeline.media_audio_silence,
         "lineitem_logit_return": analytics.lineitem_logit_return,
         "doc_nb_lang_classifier": analytics.doc_nb_lang_classifier,
+        "lineitem_gbm_stumps": analytics.lineitem_gbm_stumps,
         "copurchase_components": analytics.copurchase_components,
         "orders_nested_rollup": analytics.orders_nested_rollup,
         "orderkey_gap_audit": analytics.orderkey_gap_audit,
@@ -5378,6 +5488,7 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY lang
         """,
         "lineitem_logit_return": _logit_oracle_sql(),
+        "lineitem_gbm_stumps": _gbm_oracle_sql(),
         "doc_nb_lang_classifier": """
             WITH toks AS MATERIALIZED (
                 SELECT doc_id, lang,

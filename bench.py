@@ -203,6 +203,7 @@ HEADLINE = [
     "media_audio_silence",
     "lineitem_logit_return",
     "doc_nb_lang_classifier",
+    "lineitem_gbm_stumps",
 ]
 
 

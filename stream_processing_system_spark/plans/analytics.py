@@ -7255,3 +7255,133 @@ def doc_nb_lang_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_docs"))
         .orderBy("true_lang", "pred_lang")
     )
+
+
+def _tdiv(a: int, b: int) -> int:
+    """Integer division truncating toward zero (Spark `div` / DuckDB
+    `//` semantics; python's `//` floors, which differs on negatives)."""
+    q = abs(a) // abs(b)
+    return q if (a >= 0) == (b >= 0) else -q
+
+
+def lineitem_gbm_stumps(
+    spark: SparkSession, sf_dir: str, rounds: int = 2
+) -> DataFrame:
+    """Gradient-boosted regression stumps: `rounds` rounds of
+    least-squares boosting with depth-1 trees over
+    (quantity, centi-discount), predicting the cent price — the
+    GBDT core loop (fit a stump to residuals, add it to the model)
+    expressed relationally, with every split search a pair of
+    cumulative windows over the FEATURE-VALUE grain (≤ 50 + 11
+    candidate thresholds), never a row-grain sort.
+
+    All-integer state makes it bit-reproducible: the model F lives
+    in micro-cents (BIGINT), so residuals r = y·10⁶ − F(x) are exact
+    integers, split statistics are exact DECIMAL/HUGEINT sums, leaf
+    values are truncating integer divisions (Spark `div` ≡ DuckDB
+    `//`), and the only doubles are the per-threshold gain
+    s_l²/n_l + s_r²/n_r comparison (identical fixed-order in both
+    engines, ties → lower feature id then lower threshold) and the
+    reported RMSE. The oracle unrolls both rounds as CTEs.
+
+    Output: one row per round — split (feature, threshold), leaf
+    values, and train RMSE after applying that round. On TPC-H-like
+    data the first stump splits quantity high/low (price ∝
+    qty·unit-price), which is the sanity signal."""
+    li = load_table(spark, sf_dir, "lineitem")
+    base = li.select(
+        F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5))
+        .cast("long")
+        .alias("y"),
+        F.col("l_quantity").cast("long").alias("x1"),
+        F.floor(F.col("l_discount") * 100 + F.lit(0.5))
+        .cast("long")
+        .alias("x2"),
+    ).localCheckpoint(eager=True)
+    d38 = "decimal(38,0)"
+    tot = base.agg(
+        F.sum((F.col("y") * F.lit(1_000_000)).cast(d38)).alias("sy"),
+        F.count(F.lit(1)).alias("n"),
+    ).collect()[0]
+    n = int(tot["n"])
+    f0 = _tdiv(int(tot["sy"]), n)  # model in micro-cents
+
+    # model state: list of (feature, threshold, left_u, right_u)
+    stumps: list[tuple[int, int, int, int]] = []
+
+    def pred_expr():
+        e = F.lit(f0).cast("long")
+        for feat, thr, lu, ru in stumps:
+            x = F.col("x1") if feat == 1 else F.col("x2")
+            e = e + F.when(x <= F.lit(thr), F.lit(lu)).otherwise(F.lit(ru))
+        return e
+
+    out_rows = []
+    for _ in range(rounds):
+        r_u = (F.col("y") * F.lit(1_000_000) - pred_expr()).alias("r")
+        resid = base.select("x1", "x2", r_u)
+        cands = None
+        for feat, xcol in ((1, "x1"), (2, "x2")):
+            g = resid.groupBy(F.col(xcol).alias("v")).agg(
+                F.count(F.lit(1)).alias("nv"),
+                F.sum(F.col("r").cast(d38)).alias("sv"),
+            )
+            w_cum = Window.orderBy("v").rowsBetween(
+                Window.unboundedPreceding, 0
+            )
+            c = g.select(
+                F.lit(feat).alias("feat"),
+                F.col("v").alias("thr"),
+                F.sum("nv").over(w_cum).alias("nl"),
+                F.sum("sv").over(w_cum).alias("sl"),
+            )
+            cands = c if cands is None else cands.unionAll(c)
+        totals = resid.agg(
+            F.count(F.lit(1)).alias("nt"),
+            F.sum(F.col("r").cast(d38)).alias("st"),
+        )
+        sc = cands.crossJoin(F.broadcast(totals)).where(
+            F.col("nl") < F.col("nt")
+        )
+        sl, nl = F.col("sl").cast("double"), F.col("nl").cast("double")
+        sr = (F.col("st") - F.col("sl")).cast("double")
+        nr = (F.col("nt") - F.col("nl")).cast("double")
+        gain = sl * sl / nl + sr * sr / nr
+        w_pick = Window.orderBy(
+            F.desc(gain), F.asc("feat"), F.asc("thr")
+        )
+        best = (
+            sc.withColumn("_rn", F.row_number().over(w_pick))
+            .where(F.col("_rn") == 1)
+            .select("feat", "thr", "nl", "sl", "nt", "st")
+            .collect()[0]
+        )
+        feat, thr = int(best["feat"]), int(best["thr"])
+        nl_i, sl_i = int(best["nl"]), int(best["sl"])
+        nt_i, st_i = int(best["nt"]), int(best["st"])
+        lu = _tdiv(sl_i, nl_i)
+        ru = _tdiv(st_i - sl_i, nt_i - nl_i)
+        stumps.append((feat, thr, lu, ru))
+        rmse_row = base.select(
+            (F.col("y") * F.lit(1_000_000) - pred_expr()).alias("r")
+        ).agg(
+            F.sum(F.col("r").cast(d38) * F.col("r")).alias("ss")
+        ).collect()[0]
+        import math
+
+        rmse = math.sqrt(float(rmse_row["ss"]) / 1e12 / n) / 100.0
+        out_rows.append(
+            (
+                len(stumps),
+                "quantity" if feat == 1 else "discount_centi",
+                thr,
+                math.floor(lu / 1e6 / 100.0 * 1e6 + 0.5) / 1e6,
+                math.floor(ru / 1e6 / 100.0 * 1e6 + 0.5) / 1e6,
+                math.floor(rmse * 1e6 + 0.5) / 1e6,
+            )
+        )
+    return spark.createDataFrame(
+        out_rows,
+        "round bigint, feature string, threshold bigint,"
+        " leaf_left double, leaf_right double, train_rmse double",
+    )
