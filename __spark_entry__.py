@@ -2023,6 +2023,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lineitem_logit_return": analytics.lineitem_logit_return,
         "doc_nb_lang_classifier": analytics.doc_nb_lang_classifier,
         "lineitem_gbm_stumps": analytics.lineitem_gbm_stumps,
+        "ab_cuped_adjustment": analytics.ab_cuped_adjustment,
+        "nation_revenue_yoy": analytics.nation_revenue_yoy,
         "copurchase_components": analytics.copurchase_components,
         "orders_nested_rollup": analytics.orders_nested_rollup,
         "orderkey_gap_audit": analytics.orderkey_gap_audit,
@@ -5489,6 +5491,81 @@ def oracle_sql() -> dict[str, str]:
         """,
         "lineitem_logit_return": _logit_oracle_sql(),
         "lineitem_gbm_stumps": _gbm_oracle_sql(),
+        "ab_cuped_adjustment": """
+            WITH p1 AS (
+                SELECT o_custkey,
+                       SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                           AS x
+                FROM orders WHERE o_orderdate < TIMESTAMP '1998-01-01'
+                GROUP BY 1
+            ), p2 AS (
+                SELECT o_custkey,
+                       SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                           AS y
+                FROM orders
+                WHERE NOT (o_orderdate < TIMESTAMP '1998-01-01')
+                GROUP BY 1
+            ), units AS (
+                SELECT COALESCE(p1.o_custkey, p2.o_custkey) AS ck,
+                       COALESCE(x, 0) AS x, COALESCE(y, 0) AS y,
+                       CAST(COALESCE(p1.o_custkey, p2.o_custkey) % 2
+                            AS INT) AS arm
+                FROM p1 FULL OUTER JOIN p2 USING (o_custkey)
+            ), pooled AS (
+                SELECT CAST(count(*) AS HUGEINT) AS n,
+                       SUM(CAST(x AS HUGEINT)) AS sx,
+                       SUM(CAST(y AS HUGEINT)) AS sy,
+                       SUM(CAST(x AS HUGEINT) * x) AS sxx,
+                       SUM(CAST(y AS HUGEINT) * y) AS syy,
+                       SUM(CAST(x AS HUGEINT) * y) AS sxy
+                FROM units
+            ), per_arm AS (
+                SELECT arm, count(*) AS n_arm,
+                       SUM(CAST(x AS HUGEINT)) AS sxa,
+                       SUM(CAST(y AS HUGEINT)) AS sya
+                FROM units GROUP BY 1
+            ), dd AS (
+                SELECT a.arm, a.n_arm,
+                       CAST(a.sxa AS DOUBLE) AS sxa,
+                       CAST(a.sya AS DOUBLE) AS sya,
+                       CAST(p.n AS DOUBLE) AS nd,
+                       CAST(p.sx AS DOUBLE) AS sxd,
+                       CAST(p.n * p.sxy - p.sx * p.sy AS DOUBLE) AS cov,
+                       CAST(p.n * p.sxx - p.sx * p.sx AS DOUBLE) AS vx,
+                       CAST(p.n * p.syy - p.sy * p.sy AS DOUBLE) AS vy
+                FROM per_arm a, pooled p
+            )
+            SELECT arm, CAST(n_arm AS BIGINT) AS n_customers,
+                   floor(sya / CAST(n_arm AS DOUBLE) / 100.0
+                         * 1000000.0 + 0.5) / 1000000.0 AS mean_spend,
+                   floor((sya / CAST(n_arm AS DOUBLE)
+                          - cov / vx * (sxa / CAST(n_arm AS DOUBLE)
+                                        - sxd / nd)) / 100.0
+                         * 1000000.0 + 0.5) / 1000000.0
+                       AS mean_spend_cuped,
+                   floor((1.0 - cov * cov / (vx * vy))
+                         * 1000000.0 + 0.5) / 1000000.0
+                       AS var_ratio_cuped
+            FROM dd ORDER BY arm
+        """,
+        "nation_revenue_yoy": """
+            WITH yearly AS (
+                SELECT n_name, CAST(year(o_orderdate) AS INT) AS yr,
+                       SUM(CAST(l_extendedprice * (1 - l_discount)
+                                AS DECIMAL(18,4))) AS rev
+                FROM lineitem, orders, customer, nation
+                WHERE l_orderkey = o_orderkey AND o_custkey = c_custkey
+                  AND c_nationkey = n_nationkey
+                GROUP BY 1, 2
+            )
+            SELECT n_name, yr, CAST(rev AS DOUBLE) AS revenue,
+                   floor((CAST(rev AS DOUBLE)
+                          / CAST(lag(rev) OVER (PARTITION BY n_name
+                                                ORDER BY yr) AS DOUBLE)
+                          - 1.0) * 1000000.0 + 0.5) / 1000000.0
+                       AS yoy_growth
+            FROM yearly ORDER BY n_name, yr
+        """,
         "doc_nb_lang_classifier": """
             WITH toks AS MATERIALIZED (
                 SELECT doc_id, lang,

@@ -204,6 +204,8 @@ HEADLINE = [
     "lineitem_logit_return",
     "doc_nb_lang_classifier",
     "lineitem_gbm_stumps",
+    "ab_cuped_adjustment",
+    "nation_revenue_yoy",
 ]
 
 

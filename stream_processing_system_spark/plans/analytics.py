@@ -7385,3 +7385,99 @@ def lineitem_gbm_stumps(
         "round bigint, feature string, threshold bigint,"
         " leaf_left double, leaf_right double, train_rmse double",
     )
+
+
+def ab_cuped_adjustment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED variance reduction for a customer-level experiment:
+    period-2 spend is the metric, period-1 spend the pre-experiment
+    covariate, θ = cov(y,x)/var(x) pooled, and each arm (synthetic
+    assignment custkey % 2) reports its raw and CUPED-adjusted mean
+    plus the global variance-reduction factor 1 − ρ² — the standard
+    trick that makes A/B tests on heavy-tailed spend metrics
+    readable (`ab_test_purchase_value`'s z-test, upgraded with the
+    covariate every real experimentation platform uses).
+
+    Exactness: per-customer period spends are exact cent integers
+    (customers missing from a period contribute 0 — the join is a
+    full outer on the customer grain); all five pooled moments and
+    the per-arm moments are DECIMAL(38,0)/HUGEINT sums; θ, the
+    adjusted means mean_y(arm) − θ·(mean_x(arm) − x̄), and 1 − ρ²
+    are fixed-order doubles mirrored textually."""
+    orders = load_table(spark, sf_dir, "orders")
+    cents = F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")
+    cut = F.col("o_orderdate") < F.lit("1998-01-01")
+    p1 = orders.where(cut).groupBy("o_custkey").agg(F.sum(cents).alias("x"))
+    p2 = orders.where(~cut).groupBy("o_custkey").agg(F.sum(cents).alias("y"))
+    units = (
+        p1.join(p2, "o_custkey", "full_outer")
+        .select(
+            "o_custkey",
+            F.coalesce(F.col("x"), F.lit(0)).alias("x"),
+            F.coalesce(F.col("y"), F.lit(0)).alias("y"),
+            (F.col("o_custkey") % 2).cast("int").alias("arm"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    d38 = "decimal(38,0)"
+    pooled = units.agg(
+        F.count(F.lit(1)).cast(d38).alias("n"),
+        F.sum(F.col("x").cast(d38)).alias("sx"),
+        F.sum(F.col("y").cast(d38)).alias("sy"),
+        F.sum(F.col("x").cast(d38) * F.col("x")).alias("sxx"),
+        F.sum(F.col("y").cast(d38) * F.col("y")).alias("syy"),
+        F.sum(F.col("x").cast(d38) * F.col("y")).alias("sxy"),
+    )
+    per_arm = units.groupBy("arm").agg(
+        F.count(F.lit(1)).alias("n_arm"),
+        F.sum(F.col("x").cast(d38)).alias("sxa"),
+        F.sum(F.col("y").cast(d38)).alias("sya"),
+    )
+    j = per_arm.crossJoin(F.broadcast(pooled))
+    nd = F.col("n").cast("double")
+    cov = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    vx = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    vy = (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")
+    theta = cov / vx
+    xbar = F.col("sx").cast("double") / nd
+    mean_y = F.col("sya").cast("double") / F.col("n_arm").cast("double")
+    mean_x = F.col("sxa").cast("double") / F.col("n_arm").cast("double")
+    adj = mean_y - theta * (mean_x - xbar)
+    var_red = F.lit(1.0) - cov * cov / (vx * vy)
+    return j.select(
+        "arm",
+        F.col("n_arm").cast("long").alias("n_customers"),
+        det_round(mean_y / F.lit(100.0)).alias("mean_spend"),
+        det_round(adj / F.lit(100.0)).alias("mean_spend_cuped"),
+        det_round(var_red).alias("var_ratio_cuped"),
+    ).orderBy("arm")
+
+
+def nation_revenue_yoy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Year-over-year revenue growth per nation: exact DECIMAL money
+    sums at (nation, year) grain, growth = this/previous − 1 via one
+    lag window over the tiny rollup (first year NULL) — the board
+    slide behind `monthly_revenue_trend`."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    yearly = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(customer, orders.o_custkey == customer.c_custkey)
+        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .groupBy(
+            "n_name", F.year(F.col("o_orderdate")).cast("int").alias("yr")
+        )
+        .agg(F.sum(rev.cast("decimal(18,4)")).alias("_rev"))
+    )
+    w = Window.partitionBy("n_name").orderBy("yr")
+    prev = F.lag("_rev").over(w)
+    return yearly.select(
+        "n_name",
+        "yr",
+        F.col("_rev").cast("double").alias("revenue"),
+        det_round(
+            F.col("_rev").cast("double") / prev.cast("double") - F.lit(1.0)
+        ).alias("yoy_growth"),
+    ).orderBy("n_name", "yr")
