@@ -1862,6 +1862,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_recall_curve": pipeline.ann_recall_curve,
         "user_geo_dbscan": analytics.user_geo_dbscan,
         "events_granger_lite": analytics.events_granger_lite,
+        "lineitem_gbm_stumps": analytics.lineitem_gbm_stumps,
+        "doc_nb_lang_classifier": analytics.doc_nb_lang_classifier,
+        "lineitem_logit_return": analytics.lineitem_logit_return,
+        "revenue_poisson_bootstrap_ci": analytics.revenue_poisson_bootstrap_ci,
+        "revenue_conformal_interval": analytics.revenue_conformal_interval,
+        "ab_cuped_adjustment": analytics.ab_cuped_adjustment,
         "min_cost_supplier": analytics.min_cost_supplier,
         "important_part_values": analytics.important_part_values,
         "supplier_cnt_by_part": analytics.supplier_cnt_by_part,
@@ -2014,16 +2020,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "part_demand_croston": analytics.part_demand_croston,
         "events_binseg_changepoint": analytics.events_binseg_changepoint,
         "orders_duplicate_payments": analytics.orders_duplicate_payments,
-        "revenue_poisson_bootstrap_ci": analytics.revenue_poisson_bootstrap_ci,
         "doc_tokenizer_fertility": analytics.doc_tokenizer_fertility,
         "supplier_delivery_otif": analytics.supplier_delivery_otif,
-        "revenue_conformal_interval": analytics.revenue_conformal_interval,
         "feature_standardize_split": analytics.feature_standardize_split,
         "media_audio_silence": pipeline.media_audio_silence,
-        "lineitem_logit_return": analytics.lineitem_logit_return,
-        "doc_nb_lang_classifier": analytics.doc_nb_lang_classifier,
-        "lineitem_gbm_stumps": analytics.lineitem_gbm_stumps,
-        "ab_cuped_adjustment": analytics.ab_cuped_adjustment,
         "nation_revenue_yoy": analytics.nation_revenue_yoy,
         "copurchase_components": analytics.copurchase_components,
         "orders_nested_rollup": analytics.orders_nested_rollup,
