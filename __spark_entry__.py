@@ -1830,17 +1830,74 @@ def _top_users_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """Registration order is the driver's check order: CORRECTNESS_r01
-    recorded exactly the first 50 registered queries, so the head of
-    this dict is rotated each round to move not-yet-driver-checked
-    queries into the checked window. The rotation tail (end of the
-    dict) holds queries already green in an earlier CORRECTNESS_r* run
-    whose semantics are redundantly covered by queries above or by
-    pytest; every registered query still runs in the local oracle
-    harness (`python -m tests.oracle`) every round."""
+    """Registration order is the driver's check order: the driver
+    records exactly the first 50 registered queries each round, so the
+    head of this dict is rotated every round to move
+    not-yet-driver-checked queries into the checked window
+    (rounds 1+2 hash-verified 99/100 distinct queries; see
+    CORRECTNESS_r0*.json). Round-3 window: the one round-2 red row
+    (events_twap_daily, det_round fix), the four queries whose oracle
+    typing changed under the new EXACT local comparator, then the
+    float-emitting analytics most at risk under the old rtol harness
+    (VERDICT.md round 2, finding 2). Every registered query still runs
+    in the local exact-oracle harness (`python -m tests.oracle`) at
+    sf0.01 and sf0.1 every round."""
     return {
-        # --- rotation head: absent from CORRECTNESS_r01 (positions
-        #     51-57 last round) or new this round ---
+        # --- round-3 driver window (positions 1-50): never
+        #     driver-checked, led by the round-2 red row and the
+        #     unrounded-double risk class ---
+        "events_twap_daily": analytics.events_twap_daily,
+        "events_cusum_changepoint": analytics.events_cusum_changepoint,
+        "supplier_delivery_otif": analytics.supplier_delivery_otif,
+        "embedding_quantize_int8": pipeline.embedding_quantize_int8,
+        "doc_shingle_novelty": pipeline.doc_shingle_novelty,
+        "revenue_theilsen_trend": analytics.revenue_theilsen_trend,
+        "daily_value_count_spearman": analytics.daily_value_count_spearman,
+        "orders_kendall_tau": analytics.orders_kendall_tau,
+        "events_kde_density": analytics.events_kde_density,
+        "events_periodogram": analytics.events_periodogram,
+        "events_stl_strength": analytics.events_stl_strength,
+        "embedding_silhouette": pipeline.embedding_silhouette,
+        "events_psi_drift": analytics.events_psi_drift,
+        "events_type_jsd": analytics.events_type_jsd,
+        "doc_lang_source_cramers_v": pipeline.doc_lang_source_cramers_v,
+        "events_ks_test": analytics.events_ks_test,
+        "events_mannwhitney_u": analytics.events_mannwhitney_u,
+        "events_dow_anova": analytics.events_dow_anova,
+        "events_runs_test": analytics.events_runs_test,
+        "events_acf": analytics.events_acf,
+        "events_burstiness": analytics.events_burstiness,
+        "events_type_corr": analytics.events_type_corr,
+        "lineitem_numeric_corr": analytics.lineitem_numeric_corr,
+        "lineitem_ols_2var": analytics.lineitem_ols_2var,
+        "part_price_elasticity": analytics.part_price_elasticity,
+        "customer_mahalanobis_outliers": analytics.customer_mahalanobis_outliers,
+        "markov_holdout_perplexity": analytics.markov_holdout_perplexity,
+        "event_transition_entropy": analytics.event_transition_entropy,
+        "doc_token_entropy": pipeline.doc_token_entropy,
+        "doc_zipf_fit": pipeline.doc_zipf_fit,
+        "doc_heaps_law": analytics.doc_heaps_law,
+        "user_activity_gini": analytics.user_activity_gini,
+        "orders_benford": analytics.orders_benford,
+        "nation_supplier_hhi": analytics.nation_supplier_hhi,
+        "copurchase_assortativity": analytics.copurchase_assortativity,
+        "copurchase_clustering": analytics.copurchase_clustering,
+        "copurchase_pagerank": analytics.copurchase_pagerank,
+        "events_seasonal_wape": analytics.events_seasonal_wape,
+        "part_demand_croston": analytics.part_demand_croston,
+        "events_ewma_daily": analytics.events_ewma_daily,
+        "events_anomaly_mad": analytics.events_anomaly_mad,
+        "robust_mean_median_of_means": analytics.robust_mean_median_of_means,
+        "user_gap_survival": analytics.user_gap_survival,
+        "cohort_ltv_curve": analytics.cohort_ltv_curve,
+        "events_ccf_lag": analytics.events_ccf_lag,
+        "doc_bigram_lm": pipeline.doc_bigram_lm,
+        "doc_lm_score": pipeline.doc_lm_score,
+        "doc_greedy_coverage": pipeline.doc_greedy_coverage,
+        "approx_value_percentiles": analytics.approx_value_percentiles,
+        "weighted_median_part_size": analytics.weighted_median_part_size,
+        # --- already driver-green in r1/r2, or queued for a
+        #     later window; all run in the local exact harness ---
         "stream_wordcount": streaming_parity.stream_wordcount_docs,
         "stream_host_report": streaming_parity.stream_host_report_events,
         "stream_dedup_exact": streaming_parity.stream_dedup_exact_docs,
@@ -1890,7 +1947,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_ohlc_daily": streaming_parity.stream_ohlc_daily,
         "source_overlap_matrix": pipeline.source_overlap_matrix,
         "compacted_events_scan": pipeline.compacted_events_scan,
-        "events_twap_daily": analytics.events_twap_daily,
         "promo_revenue_ratio": analytics.promo_revenue_ratio,
         "bracket_revenue": analytics.bracket_revenue,
         "volume_shipping": analytics.volume_shipping,
@@ -1901,7 +1957,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "late_supplier_orders": analytics.late_supplier_orders,
         "rp_topk": pipeline.rp_topk_embeddings,
         "pq_topk": pipeline.pq_topk_embeddings,
-        "copurchase_pagerank": analytics.copurchase_pagerank,
         "copurchase_triangles": analytics.copurchase_triangles,
         "doc_bpe_pair_counts": pipeline.doc_bpe_pair_counts,
         "doc_bpe_merges": pipeline.doc_bpe_merges,
@@ -1912,7 +1967,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fuzzy_part_matches": analytics.fuzzy_part_matches,
         "returned_item_losses": analytics.returned_item_losses,
         "corpus_curation_pipeline": pipeline.corpus_curation_pipeline,
-        "doc_bigram_lm": pipeline.doc_bigram_lm,
         "events_value_histogram": analytics.events_value_histogram,
         "orders_table_profile": analytics.orders_table_profile,
         "stream_sliding_window": streaming_parity.stream_sliding_window,
@@ -1924,7 +1978,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_bm25_search": pipeline.doc_bm25_search,
         "brand_revenue_bloom": analytics.brand_revenue_bloom,
         "doc_domain_cap": pipeline.doc_domain_cap,
-        "events_ewma_daily": analytics.events_ewma_daily,
         "doc_inverted_index": pipeline.doc_inverted_index,
         "doc_skipgram_negatives": pipeline.doc_skipgram_negatives,
         "doc_corpus_card": pipeline.doc_corpus_card,
@@ -1934,17 +1987,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "brand_revenue_pareto": analytics.brand_revenue_pareto,
         "format_roundtrip_scan": pipeline.format_roundtrip_scan,
         "orders_cdc_merge": analytics.orders_cdc_merge,
-        "distinct_users_sketch_rollup": analytics.distinct_users_sketch_rollup,  # rows-only: sketch algebra
+        "distinct_users_sketch_rollup": analytics.distinct_users_sketch_rollup,
         "copurchase_bfs_hops": analytics.copurchase_bfs_hops,
-        "events_cusum_changepoint": analytics.events_cusum_changepoint,
         "schema_evolution_scan": pipeline.schema_evolution_scan,
         "doc_blocklist_filter": pipeline.doc_blocklist_filter,
         "stream_purchase_click_outer": streaming_parity.stream_purchase_click_outer,
         "events_props_variant": analytics.events_props_variant,
         "events_pattern_search": analytics.events_pattern_search,
-        # --- round-2 second batch (positions 51+: local-oracle +
-        #     pytest checked now; rotate into the driver head next
-        #     round) ---
         "kmv_user_overlap": analytics.kmv_user_overlap,
         "user_geo_neighbor_pairs": analytics.user_geo_neighbor_pairs,
         "incremental_revenue_maintenance": analytics.incremental_revenue_maintenance,
@@ -1955,8 +2004,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_downsample_ltob": analytics.events_downsample_ltob,
         "stream_upsert_user_totals": streaming_parity.stream_upsert_user_totals,
         "purchase_next_click_asof": analytics.purchase_next_click_asof,
-        "events_anomaly_mad": analytics.events_anomaly_mad,
-        "doc_zipf_fit": pipeline.doc_zipf_fit,
         "media_ahash_neardup": pipeline.media_ahash_neardup,
         "embedding_hard_negatives": pipeline.embedding_hard_negatives,
         "session_incident_overlap": analytics.session_incident_overlap,
@@ -1971,78 +2018,45 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_video_neardup": pipeline.media_video_neardup,
         "revenue_rolling_7d": analytics.revenue_rolling_7d,
         "events_k_anonymity": analytics.events_k_anonymity,
-        "copurchase_clustering": analytics.copurchase_clustering,
         "copurchase_communities": analytics.copurchase_communities,
         "copurchase_kcore": analytics.copurchase_kcore,
         "copurchase_cheapest_path": analytics.copurchase_cheapest_path,
-        "doc_token_entropy": pipeline.doc_token_entropy,
-        "doc_greedy_coverage": pipeline.doc_greedy_coverage,
         "embedding_mmr_rerank": pipeline.embedding_mmr_rerank,
         "media_audio_energy": pipeline.media_audio_energy,
         "dedup_banding_recall": pipeline.dedup_banding_recall,
         "dedup_banding_sweep": pipeline.dedup_banding_sweep,
         "supplier_window_matrix": analytics.supplier_window_matrix,
         "doc_pad_waste": pipeline.doc_pad_waste,
-        "doc_lang_source_cramers_v": pipeline.doc_lang_source_cramers_v,
-        "cohort_ltv_curve": analytics.cohort_ltv_curve,
-        "events_type_jsd": analytics.events_type_jsd,
         "user_bot_scores": analytics.user_bot_scores,
         "value_percentiles_disc": analytics.value_percentiles_disc,
         "jsonl_corrupt_scan": pipeline.jsonl_corrupt_scan,
         "filtered_cosine_topk": pipeline.filtered_cosine_topk,
-        "copurchase_assortativity": analytics.copurchase_assortativity,
-        "daily_value_count_spearman": analytics.daily_value_count_spearman,
         "weighted_jaccard_pairs": pipeline.weighted_jaccard_pairs,
         "consistent_hash_reshard": analytics.consistent_hash_reshard,
-        "events_stl_strength": analytics.events_stl_strength,
-        "events_ccf_lag": analytics.events_ccf_lag,
         "fk_integrity_audit": analytics.fk_integrity_audit,
-        "event_transition_entropy": analytics.event_transition_entropy,
         "copurchase_adamic_adar": analytics.copurchase_adamic_adar,
-        "customer_mahalanobis_outliers": analytics.customer_mahalanobis_outliers,
-        "lineitem_ols_2var": analytics.lineitem_ols_2var,
-        "part_price_elasticity": analytics.part_price_elasticity,
-        "user_gap_survival": analytics.user_gap_survival,
         "doc_textrank_keywords": analytics.doc_textrank_keywords,
         "ivm_join_delta": analytics.ivm_join_delta,
-        "events_ks_test": analytics.events_ks_test,
-        "events_mannwhitney_u": analytics.events_mannwhitney_u,
-        "events_periodogram": analytics.events_periodogram,
         "customer_decile_migration": analytics.customer_decile_migration,
         "part_abc_xyz": analytics.part_abc_xyz,
-        "doc_heaps_law": analytics.doc_heaps_law,
-        "embedding_silhouette": pipeline.embedding_silhouette,
         "orders_backlog_timeline": analytics.orders_backlog_timeline,
-        "markov_holdout_perplexity": analytics.markov_holdout_perplexity,
-        "events_kde_density": analytics.events_kde_density,
         "join_skew_report": analytics.join_skew_report,
         "part_triple_itemsets": analytics.part_triple_itemsets,
-        "part_demand_croston": analytics.part_demand_croston,
         "events_binseg_changepoint": analytics.events_binseg_changepoint,
         "orders_duplicate_payments": analytics.orders_duplicate_payments,
         "doc_tokenizer_fertility": analytics.doc_tokenizer_fertility,
-        "supplier_delivery_otif": analytics.supplier_delivery_otif,
         "feature_standardize_split": analytics.feature_standardize_split,
         "media_audio_silence": pipeline.media_audio_silence,
         "nation_revenue_yoy": analytics.nation_revenue_yoy,
         "copurchase_components": analytics.copurchase_components,
         "orders_nested_rollup": analytics.orders_nested_rollup,
         "orderkey_gap_audit": analytics.orderkey_gap_audit,
-        "robust_mean_median_of_means": analytics.robust_mean_median_of_means,
         "part_association_rules": analytics.part_association_rules,
-        "nation_supplier_hhi": analytics.nation_supplier_hhi,
         "user_activity_streaks": analytics.user_activity_streaks,
-        "events_type_corr": analytics.events_type_corr,
-        "events_psi_drift": analytics.events_psi_drift,
-        "revenue_theilsen_trend": analytics.revenue_theilsen_trend,
-        "events_dow_anova": analytics.events_dow_anova,
-        "events_runs_test": analytics.events_runs_test,
         "part_hierarchy_rollup": analytics.part_hierarchy_rollup,
         "linear_attribution": analytics.linear_attribution,
         "brand_return_shrinkage": analytics.brand_return_shrinkage,
-        "weighted_median_part_size": analytics.weighted_median_part_size,
         "rolling_7d_distinct_users": analytics.rolling_7d_distinct_users,
-        "orders_kendall_tau": analytics.orders_kendall_tau,
         "stream_session_entry_exit": streaming_parity.stream_session_entry_exit,
         "fulfillment_latency_monthly": analytics.fulfillment_latency_monthly,
         "daily_order_dispersion": analytics.daily_order_dispersion,
@@ -2052,40 +2066,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "conversion_latency": analytics.conversion_latency,
         "customer_record_linkage": analytics.customer_record_linkage,
         "event_type_stationary": analytics.event_type_stationary,
-        "orders_benford": analytics.orders_benford,
-        "user_activity_gini": analytics.user_activity_gini,
-        "events_acf": analytics.events_acf,
-        "events_burstiness": analytics.events_burstiness,
-        "events_seasonal_wape": analytics.events_seasonal_wape,
         "part_inventory_balance": analytics.part_inventory_balance,
         "stream_kmv_distinct_users": streaming_parity.stream_kmv_distinct_users,
-        # --- reference parity (SURVEY.md §2.12) ---
         "q1_wordcount": reference.q1_wordcount,
         "q2_top_users": reference.q2_top_users,
         "q3_host_report": reference.q3_host_report,
-        # --- extended analytics (joins / windows / sessions / JSON) ---
         "pricing_summary": analytics.pricing_summary,
-        # --- new this round AFTER the 50-slot driver window filled:
-        #     local-oracle + pytest checked now, rotate into the
-        #     driver head next round ---
         "sales_cube": analytics.sales_cube,
         "status_priority_grouping_sets": analytics.status_priority_grouping_sets,
         "events_anomaly_zscore": analytics.events_anomaly_zscore,
         "events_gapfill_decay": analytics.events_gapfill_decay,
         "order_snapshot_diff": analytics.order_snapshot_diff,
-        "lineitem_numeric_corr": analytics.lineitem_numeric_corr,
         "events_heavy_hitters": analytics.events_heavy_hitters,
-        "embedding_quantize_int8": pipeline.embedding_quantize_int8,
         "dedup_sorted_neighborhood": pipeline.dedup_sorted_neighborhood_docs,
         "doc_containment_pairs": pipeline.doc_containment_pairs,
         "stream_heavy_hitters": streaming_parity.stream_heavy_hitters_events,
         "media_frame_samples": pipeline.media_frame_samples,
-        "doc_shingle_novelty": pipeline.doc_shingle_novelty,
-        "doc_lm_score": pipeline.doc_lm_score,
         "stream_dedup_watermark": streaming_parity.stream_dedup_watermark_docs,
         "stream_user_stats": streaming_parity.stream_user_stats_events,
         "stream_enriched_revenue": streaming_parity.stream_enriched_revenue_events,
-        "approx_value_percentiles": analytics.approx_value_percentiles,
         "zorder_events_scan": pipeline.zorder_events_scan,
         "lineitem_measures_unpivot": analytics.lineitem_measures_unpivot,
         "purchase_click_balance": analytics.purchase_click_balance,
@@ -2110,7 +2109,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "engaged_purchasers": analytics.engaged_purchasers,
         "distinct_users_by_type": analytics.distinct_users_by_type,
         "approx_distinct_users": analytics.approx_distinct_users,
-        # --- dedup (exact + near-dup family) ---
         "dedup_exact": pipeline.dedup_exact_docs,
         "minhash_signatures": pipeline.minhash_signatures_docs,
         "simhash": pipeline.simhash_docs,
@@ -2118,7 +2116,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_transitive": pipeline.dedup_transitive_docs,
         "dedup_incremental": pipeline.dedup_incremental_docs,
         "simhash_neardup_pairs": pipeline.simhash_neardup_docs,
-        # --- similarity search over embeddings ---
         "cosine_topk": pipeline.cosine_topk_embeddings,
         "lsh_topk": pipeline.lsh_topk_embeddings,
         "ivf_topk": pipeline.ivf_topk_embeddings,
@@ -2126,17 +2123,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_neardup_pairs": pipeline.embedding_neardup_pairs,
         "knn_join_exact": pipeline.knn_join_exact,
         "knn_join_lsh": pipeline.knn_join_lsh,
-        # --- text analysis ---
         "doc_stats": pipeline.doc_stats,
         "doc_quality": pipeline.doc_quality,
         "doc_lang_id": pipeline.doc_lang_id,
         "doc_winnow": pipeline.doc_winnow,
-        # --- rotation tail: green in CORRECTNESS_r01; covered above
-        #     (same code path / same oracle) or by pytest ---
-        "events_per_hour": analytics.events_per_hour,       # oracle shared with stream_events_per_hour
-        "top_users_salted": _top_users_salted,              # q2 oracle; skew.py pytest-covered
-        "jaccard_pairs": pipeline.jaccard_pairs_docs,       # same verify code as dedup_minhash_lsh
-        "doc_fingerprint": pipeline.doc_fingerprint,        # winnowing covers the fingerprint family
+        "events_per_hour": analytics.events_per_hour,
+        "top_users_salted": _top_users_salted,
+        "jaccard_pairs": pipeline.jaccard_pairs_docs,
+        "doc_fingerprint": pipeline.doc_fingerprint,
         "part_name_search": analytics.part_name_search,
         "profile_events": analytics.profile_events,
         "customers_without_orders": analytics.customers_without_orders,
@@ -2566,7 +2560,8 @@ def oracle_sql() -> dict[str, str]:
                                           ORDER BY ABS(cusum) DESC, day ASC) AS rk
                 FROM with_stat
             )
-            SELECT event_type, day AS peak_day, cusum
+            SELECT event_type, day AS peak_day,
+                   CAST(cusum AS BIGINT) AS cusum
             FROM ranked WHERE rk = 1
             ORDER BY event_type
         """,
@@ -3065,7 +3060,7 @@ def oracle_sql() -> dict[str, str]:
                 FROM sh s JOIN owner o ON o.shingle = s.shingle
                 GROUP BY s.doc_id
             )
-            SELECT doc_id, n_shingles, n_novel,
+            SELECT doc_id, n_shingles, CAST(n_novel AS BIGINT) AS n_novel,
                    floor((n_novel::DOUBLE / n_shingles) * 1000000.0 + 0.5)
                        / 1000000.0 AS novelty
             FROM per_doc ORDER BY doc_id
@@ -3108,7 +3103,7 @@ def oracle_sql() -> dict[str, str]:
                 FROM scaled
             )
             SELECT vec_id,
-                   SUM(code) AS q_sum,
+                   CAST(SUM(code) AS BIGINT) AS q_sum,
                    floor(MAX(abs(x - (mn + code::DOUBLE * sc))) * 1000000.0 + 0.5)
                        / 1000000.0 AS max_abs_err
             FROM coded GROUP BY vec_id ORDER BY vec_id
@@ -3894,11 +3889,12 @@ def oracle_sql() -> dict[str, str]:
             ), agg AS (
                 SELECT event_type, day,
                        SUM(CAST(floor(value * 100 + 0.5) AS BIGINT) * dt) AS cvs,
-                       SUM(dt) AS held_seconds
+                       CAST(SUM(dt) AS BIGINT) AS held_seconds
                 FROM with_dt GROUP BY 1, 2
             )
             SELECT event_type, day, held_seconds,
-                   cvs::DOUBLE / held_seconds::DOUBLE / 100.0 AS twap
+                   floor((cvs::DOUBLE / held_seconds::DOUBLE / 100.0)
+                         * 1e6 + 0.5) / 1e6 AS twap
             FROM agg WHERE held_seconds > 0
             ORDER BY event_type, day
         """,
@@ -5700,9 +5696,9 @@ def oracle_sql() -> dict[str, str]:
         """,
         "supplier_delivery_otif": """
             SELECT l_suppkey, count(*) AS n_items,
-                   SUM(CASE WHEN CAST(l_shipdate AS DATE)
+                   CAST(SUM(CASE WHEN CAST(l_shipdate AS DATE)
                                  - CAST(o_orderdate AS DATE) <= 90
-                            THEN 1 ELSE 0 END) AS n_on_time,
+                            THEN 1 ELSE 0 END) AS BIGINT) AS n_on_time,
                    floor(CAST(SUM(CASE WHEN CAST(l_shipdate AS DATE)
                                  - CAST(o_orderdate AS DATE) <= 90
                             THEN 1 ELSE 0 END) AS DOUBLE)

@@ -1936,8 +1936,11 @@ def events_twap_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     window and the final aggregate. Each value·seconds term is exact:
     value has ≤2 decimals and dt is integer seconds, so
     centi-value·seconds accumulate as exact int64 (the micro-unit
-    pattern); TWAP = Σ(v·dt)/Σdt is then one division of exact-int
-    doubles, bit-identical cross-engine with no rounding grid.
+    pattern). The final TWAP ratio goes through the repo's mandatory
+    `det_round(_, 6)` output grid — round 2's driver run proved the
+    "one division of exact ints is bit-identical" claim false in the
+    driver environment (CORRECTNESS_r02 hash-fail), so no emitted
+    double skips the grid.
     """
     events = load_table(spark, sf_dir, "events").where(F.col("value").isNotNull())
     base = events.select(
@@ -1965,10 +1968,11 @@ def events_twap_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
             "event_type",
             "day",
             "held_seconds",
-            (
+            det_round(
                 F.col("_cvs").cast("double")
                 / F.col("held_seconds").cast("double")
-                / F.lit(100.0)
+                / F.lit(100.0),
+                6,
             ).alias("twap"),
         )
         .orderBy("event_type", "day")
