@@ -791,50 +791,50 @@ def greedy_coverage_select(
     of a 100 TB crawl for the token budget" (greedy gives the
     (1−1/e) guarantee). Ties break on min doc_id.
 
-    Output: (rank, doc_id, new_ngrams, total_covered) — one row per
+    Output: (rank, <id_col>, new_ngrams, total_covered) — one row per
     pick, stopping early if coverage saturates.
 
-    Shape per round: a MAP-ONLY pass over the doc-grain gram-array
-    frame — size(array_except(ghs, covered)) per doc — finished by a
-    global top-1 (TakeOrderedAndProject): no shuffle, no explode, and
-    the driver sees exactly ONE row per round (the PCA/driver-scalar
-    contract). `covered` is the k picked DOCS' grams — a
-    driver-bounded constant (k × max-doc-size, the n_probe-list
-    contract) riding into the plan as an array literal. The gram
-    arrays are built once (per-doc dedup inside ngram_set, no
-    cross-doc shuffle) and checkpointed."""
-    garr = df.select(
-        F.col(id_col),
-        F.transform(ngram_set(F.col(text_col), n), F.md5).alias("ghs"),
-    ).localCheckpoint(eager=True)
+    Shape per round (the 100 TB shape, round-3 rework): the covered
+    gram set stays DISTRIBUTED — a grams table `left_anti`-joined
+    against the running covered table, gains re-aggregated per doc,
+    and a global top-1 (TakeOrderedAndProject). The driver sees
+    exactly ONE row per round (the pick) and holds only the pick
+    list; round 2's version accumulated every covered gram in a
+    Python list and re-broadcast it each round — unbounded driver
+    memory at corpus scale (VERDICT.md round 2, "what's wrong" 3).
+    The (id, gram) exploded table is built once (per-doc dedup inside
+    ngram_set) and checkpointed; `covered` is re-checkpointed per
+    round to cut the union lineage."""
+    grams = (
+        df.select(
+            F.col(id_col),
+            F.explode(F.transform(ngram_set(F.col(text_col), n), F.md5)).alias(
+                "g"
+            ),
+        )
+        .localCheckpoint(eager=True)
+    )
+    spark = df.sparkSession
+    covered = spark.createDataFrame([], "g string")
     picks: list[tuple[int, int, int, int]] = []
     total = 0
-    covered: list[str] = []
-    spark = df.sparkSession
     for r in range(1, k + 1):
-        # covered rides in as a 1-row broadcast frame (one Arrow
-        # transfer), not as per-element literals — k × max-doc-size
-        # strings through py4j literals costs more driver time than
-        # the whole round's execution
-        cur = garr
-        rem = F.col("ghs")
-        if covered:
-            cov_df = spark.createDataFrame([(covered,)], "cov array<string>")
-            cur = garr.crossJoin(F.broadcast(cov_df))
-            rem = F.array_except(F.col("ghs"), F.col("cov"))
+        rem = grams.join(covered, "g", "left_anti")
         gain = (
-            cur.select(F.col(id_col), rem.alias("rem"))
-            .select(F.col(id_col), F.size("rem").alias("c"), "rem")
+            rem.groupBy(id_col)
+            .agg(F.count("*").alias("c"))
             .orderBy(F.col("c").desc(), F.col(id_col).asc())
             .limit(1)
             .collect()
         )
         if not gain or gain[0]["c"] <= 0:
             break
-        doc, c = gain[0][id_col], gain[0]["c"]
+        doc, c = gain[0][id_col], int(gain[0]["c"])
         total += c
         picks.append((r, doc, c, total))
-        covered.extend(gain[0]["rem"])
+        covered = covered.union(
+            rem.where(F.col(id_col) == F.lit(doc)).select("g")
+        ).localCheckpoint(eager=True)
     return spark.createDataFrame(
-        picks, "rank int, doc_id long, new_ngrams long, total_covered long"
+        picks, f"rank int, {id_col} long, new_ngrams long, total_covered long"
     )

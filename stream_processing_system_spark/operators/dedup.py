@@ -534,6 +534,12 @@ def connected_component_labels(
         if changed == 0:
             compressed = True
             break
+    # A graph that contracts to empty exactly on round max_iters
+    # exits the loop without re-visiting the top-of-loop emptiness
+    # probe — re-check once here so that case isn't reported as a
+    # spurious non-convergence.
+    if not converged and edges.limit(1).count() == 0:
+        converged = True
     if not (converged and compressed):
         import warnings
 
@@ -883,64 +889,23 @@ def banding_recall_report(
     PRECISION of the MinHash-LSH pipeline against EXACT all-pairs
     Jaccard ground truth (threshold 0.5) on a deterministic sample
     (id < sample_cap, id % sample_mod == 0) — "measure, don't guess"
-    for the b/r banding knobs. The all-pairs ground truth is
-    quadratic BY DESIGN, so it only ever runs on a FIXED-BUDGET
-    sample: an absolute cap, not a fraction, because a fractional
-    sample's quadratic ground truth grows with the corpus (measured
-    62 s at sf0.1 for id%2 before the cap; constant ~1 s with it).
-    The J ≥ 1/2 test is the exact integer comparison
-    3·|∩| ≥ |A|+|B| — no ratio materializes.
+    for the b/r banding knobs. Exactly `banding_sweep_report`
+    evaluated at ONE bands value (it shares the sweep's fixed-budget
+    ground truth and signature construction; round-3 dedupe of the
+    previously copy-pasted ~40-line block), minus the bands columns.
 
     Output (one row): n_true, n_candidates, n_hits,
     recall = hits/true, precision = hits/candidates."""
-    sample = df.where(
-        (F.col(id_col) < sample_cap) & (F.col(id_col) % sample_mod == 0)
-    )
-    ss = shingle_sets(sample, id_col, text_col, n=n).localCheckpoint(eager=True)
-    a = ss.select(F.col(id_col).alias("id_a"), F.col("shingles").alias("sa"))
-    b = ss.select(F.col(id_col).alias("id_b"), F.col("shingles").alias("sb"))
-    inter = F.size(F.array_intersect(F.col("sa"), F.col("sb")))
-    truth = (
-        a.join(b, F.col("id_a") < F.col("id_b"))
-        .where(inter * 3 >= F.size("sa") + F.size("sb"))
-        .select("id_a", "id_b")
-        .localCheckpoint(eager=True)
-    )
-    sigs = minhash_signatures(
-        sample, id_col, text_col, num_hashes=num_hashes, shingle_n=n
-    )
-    cands = lsh_candidate_pairs(
-        sigs, id_col, num_hashes=num_hashes, bands=bands
-    ).localCheckpoint(eager=True)
-    hits = cands.join(truth, ["id_a", "id_b"])
-    nt = truth.agg(F.count(F.lit(1)).alias("n_true"))
-    nc = cands.agg(F.count(F.lit(1)).alias("n_candidates"))
-    nh = hits.agg(F.count(F.lit(1)).alias("n_hits"))
-    from stream_processing_system_spark.functions.scalar import det_round
-
-    return (
-        nt.crossJoin(F.broadcast(nc))
-        .crossJoin(F.broadcast(nh))
-        .select(
-            "n_true",
-            "n_candidates",
-            "n_hits",
-            F.when(
-                F.col("n_true") > 0,
-                det_round(
-                    F.col("n_hits").cast("double")
-                    / F.col("n_true").cast("double")
-                ),
-            ).alias("recall"),
-            F.when(
-                F.col("n_candidates") > 0,
-                det_round(
-                    F.col("n_hits").cast("double")
-                    / F.col("n_candidates").cast("double")
-                ),
-            ).alias("precision"),
-        )
-    )
+    return banding_sweep_report(
+        df,
+        id_col=id_col,
+        text_col=text_col,
+        n=n,
+        num_hashes=num_hashes,
+        bands_list=(bands,),
+        sample_mod=sample_mod,
+        sample_cap=sample_cap,
+    ).select("n_true", "n_candidates", "n_hits", "recall", "precision")
 
 
 def banding_sweep_report(

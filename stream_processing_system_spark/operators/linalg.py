@@ -278,6 +278,8 @@ def als_factorize(
             (q6(x2).cast("double") / F.lit(1e6)).alias("v2"),
         ).localCheckpoint(eager=True)
 
+    if rounds < 1:
+        raise ValueError(f"als_factorize needs rounds >= 1, got {rounds}")
     items = ratings.select(item_col).distinct()
     v = init_items(items).localCheckpoint(eager=True)
     u = None

@@ -1301,16 +1301,16 @@ def jsonl_corrupt_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     parquet source and the same id%7 rule, so the hash-match proves
     the parser kept every well-formed row, dropped every truncated
     one, and round-tripped the doubles exactly."""
-    import hashlib
     import os
-    import shutil
     import tempfile
 
     path = _CORRUPT_CACHE.get(sf_dir)
     if path is None:
-        tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
-        path = os.path.join(tempfile.gettempdir(), f"spark_graft_corrupt_{tag}")
-        shutil.rmtree(path, ignore_errors=True)
+        # per-process private dir (mkdtemp, mode 0700) — a predictable
+        # shared path under gettempdir() could be pre-created or
+        # clobbered by another user/run (ADVICE r2); the cache dict
+        # still keys by sf_dir so the fixture writes once per process
+        path = os.path.join(tempfile.mkdtemp(prefix="spark_graft_corrupt_"), "jsonl")
         events = load_table(spark, sf_dir, "events").where(
             F.col("value").isNotNull()
         )
