@@ -1895,7 +1895,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_lm_score": pipeline.doc_lm_score,
         "doc_greedy_coverage": pipeline.doc_greedy_coverage,
         "approx_value_percentiles": analytics.approx_value_percentiles,
-        "weighted_median_part_size": analytics.weighted_median_part_size,
+        "stream_soak_lineitem_state": streaming_parity.stream_soak_lineitem_state,
         # --- already driver-green in r1/r2, or queued for a
         #     later window; all run in the local exact harness ---
         "stream_wordcount": streaming_parity.stream_wordcount_docs,
@@ -2136,11 +2136,38 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "customers_without_orders": analytics.customers_without_orders,
         "brand_part_stats": analytics.brand_part_stats,
         "small_quantity_revenue": analytics.small_quantity_revenue,
+        "weighted_median_part_size": analytics.weighted_median_part_size,
     }
 
 
 def oracle_sql() -> dict[str, str]:
     return {
+        # GK sketch values are engine-specific, but the sketch's rank
+        # bound is not: the Spark side verifies approx ∈ [exact order
+        # stats at rank ±(n/accuracy + 1)] and emits the booleans; the
+        # oracle asserts the bound must hold (round-3 upgrade from
+        # rows-only — the hash now checks group sizes AND the claim).
+        "approx_value_percentiles": """
+            SELECT event_type, count(*) AS n,
+                   true AS p50_ok, true AS p90_ok, true AS p99_ok
+            FROM events WHERE value IS NOT NULL
+            GROUP BY event_type ORDER BY event_type
+        """,
+        # parity oracle for the RocksDB long-state soak: the drained
+        # per-key state must roll up to exactly 2x the batch lineitem
+        # aggregate (exact-integer cents; a lost/duplicated state key
+        # breaks n_keys, a bad merge breaks n_rows/total_cents)
+        "stream_soak_lineitem_state": """
+            SELECT l_returnflag,
+                   -- (l_orderkey, l_linenumber) is NOT unique in this
+                   -- synthetic lineitem, so keys < rows
+                   CAST(2 * count(DISTINCT l_orderkey || ':' || l_linenumber)
+                        AS BIGINT) AS n_keys,
+                   CAST(2 * count(*) AS BIGINT) AS n_rows,
+                   CAST(2 * SUM(CAST(floor(l_extendedprice * 100 + 0.5)
+                                     AS BIGINT)) AS BIGINT) AS total_cents
+            FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+        """,
         "q1_wordcount": """
             WITH clean AS (
                 SELECT text AS line FROM documents

@@ -317,24 +317,83 @@ def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def approx_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mergeable approximate quantiles (`percentile_approx`,
-    Greenwald-Khanna summaries): p50/p90/p99 of value per event_type.
-    Rows-only contract check — the sketch is engine-specific, so the
-    accuracy bound is property-tested against the exact percentiles
-    instead (tests/test_sketches.py). At 100 TB this replaces
-    value_percentiles' exact sort-based path: per-partition summaries
-    of bounded size merge associatively, one map-side-combined
-    aggregate, no global sort."""
+    Greenwald-Khanna summaries): p50/p90/p99 of value per event_type,
+    with the GK error bound VERIFIED inside the result (round-3
+    upgrade from a rows-only check, VERDICT r2 task 7).
+
+    The sketch values themselves are engine-specific, so they can't
+    hash-match a DuckDB oracle; what CAN is the guarantee: a GK
+    summary at accuracy A returns a value whose rank is within
+    ±n/A (+1 slack) of the target rank. The query computes the exact
+    order statistics at those rank bounds (row_number per type — one
+    extra shuffle, same key as the sketch aggregate) and emits one
+    boolean per percentile: approx value ∈ [lo_val, hi_val]. The
+    oracle asserts the bound by construction (`true AS p50_ok` ...)
+    plus the exact group sizes — a hash-checked claim that the sketch
+    honored its contract on this data.
+
+    At 100 TB you'd run ONLY the sketch half (bounded per-partition
+    summaries, map-side merge, no sort); the order-statistics half is
+    the audit and would run on a sample."""
     events = load_table(spark, sf_dir, "events").where(F.col("value").isNotNull())
-    pcts = F.percentile_approx("value", [0.5, 0.9, 0.99], 10000)
-    return (
-        events.groupBy("event_type")
-        .agg(pcts.alias("_p"))
-        .select(
-            "event_type",
-            F.col("_p")[0].alias("p50"),
-            F.col("_p")[1].alias("p90"),
-            F.col("_p")[2].alias("p99"),
+    accuracy = 10000
+    qs = [0.5, 0.9, 0.99]
+    pcts = F.percentile_approx("value", qs, accuracy)
+    sk = events.groupBy("event_type").agg(
+        pcts.alias("_p"), F.count(F.lit(1)).alias("n")
+    )
+    # target rank window per quantile: eps_n = ceil(n/accuracy) + 1
+    eps_n = F.ceil(F.col("n").cast("double") / F.lit(float(accuracy))) + 1
+    bounds = sk.select(
+        "event_type",
+        "n",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("qi"),
+                        F.col("_p")[i].alias("approx"),
+                        F.greatest(
+                            F.lit(1),
+                            F.ceil(F.lit(q) * F.col("n")) - eps_n,
+                        ).alias("lo_k"),
+                        F.least(
+                            F.col("n"),
+                            F.ceil(F.lit(q) * F.col("n")) + eps_n,
+                        ).alias("hi_k"),
+                    )
+                    for i, q in enumerate(qs)
+                ]
+            )
+        ).alias("b"),
+    ).select("event_type", "n", "b.qi", "b.approx", "b.lo_k", "b.hi_k")
+    w = Window.partitionBy("event_type").orderBy("value")
+    ranked = events.select(
+        "event_type", "value", F.row_number().over(w).alias("rk")
+    )
+    lo = ranked.select(
+        F.col("event_type"), F.col("rk").alias("lo_k"), F.col("value").alias("lo_val")
+    )
+    hi = ranked.select(
+        F.col("event_type"), F.col("rk").alias("hi_k"), F.col("value").alias("hi_val")
+    )
+    checked = (
+        bounds.join(lo, ["event_type", "lo_k"])
+        .join(hi, ["event_type", "hi_k"])
+        .withColumn(
+            "ok",
+            (F.col("approx") >= F.col("lo_val"))
+            & (F.col("approx") <= F.col("hi_val")),
         )
+    )
+    return (
+        checked.groupBy("event_type", "n")
+        .agg(
+            F.max(F.when(F.col("qi") == 0, F.col("ok"))).alias("p50_ok"),
+            F.max(F.when(F.col("qi") == 1, F.col("ok"))).alias("p90_ok"),
+            F.max(F.when(F.col("qi") == 2, F.col("ok"))).alias("p99_ok"),
+        )
+        .select("event_type", "n", "p50_ok", "p90_ok", "p99_ok")
         .orderBy("event_type")
     )
 

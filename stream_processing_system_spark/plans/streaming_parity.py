@@ -703,3 +703,108 @@ def stream_kmv_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     _cleanup(input_dir)
     return out
+
+
+#: State-operator metrics from the most recent stream_soak_lineitem_state
+#: run: {"numRowsTotal": ..., "provider": ...}. Read by
+#: tests/test_streaming_soak.py to assert the >=1e6-key state volume.
+last_soak_state_metrics: dict = {}
+
+
+def stream_soak_lineitem_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Long-state streaming soak (VERDICT r2 task 8): a stateful
+    streaming aggregation whose state store holds TWO rows per
+    lineitem — key (replica, l_orderkey, l_linenumber) over a 2x
+    replicated parquet drop — so at sf0.1 the RocksDB state store
+    carries 1.2M keys (>=10^6, the round-2 ask), not the ~10^2-key
+    toy states of the other stream_* parity queries. The provider is
+    forced to RocksDB for THIS query even on the driver's vanilla
+    session (state store provider is a runtime conf read at query
+    start; restored after), so the session.py RocksDB claim is
+    exercised under real state volume wherever the query runs.
+
+    Parity oracle: after the drain, the per-key state rows roll up to
+    per-returnflag totals — exact-integer cents and row counts that
+    must equal 2x the batch lineitem aggregate. A state-store bug
+    (lost key, double-counted row, bad merge) breaks the hash.
+
+    The drained per-key table (1.2M rows at sf0.1) goes through a
+    parquet sink, NOT the memory sink — at real scale the state drain
+    must never materialize on the driver."""
+    global last_soak_state_metrics
+    input_dir, ckpt, run = _scratch("soak")
+    out_dir = os.path.join(os.path.dirname(input_dir), "out")
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_linenumber",
+        "l_returnflag",
+        F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5))
+        .cast("long")
+        .alias("cents"),
+    )
+    two = li.withColumn("replica", F.lit(0)).unionByName(
+        li.withColumn("replica", F.lit(1))
+    )
+    two.repartition(8).write.mode("overwrite").parquet(input_dir)
+
+    stream = spark.readStream.schema(
+        "l_orderkey long, l_linenumber int, l_returnflag string, "
+        "cents long, replica int"
+    ).parquet(input_dir)
+    per_key = stream.groupBy(
+        "replica", "l_orderkey", "l_linenumber", "l_returnflag"
+    ).agg(F.count(F.lit(1)).alias("n"), F.sum("cents").alias("cents"))
+
+    provider_key = "spark.sql.streaming.stateStore.providerClass"
+    rocksdb = (
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider"
+    )
+    prev = spark.conf.get(provider_key, None)
+    spark.conf.set(provider_key, rocksdb)
+    def _sink(batch_df: DataFrame, _bid: int) -> None:
+        # update-mode emissions append executor-side; at real scale
+        # this is the upsert-into-serving-store slot (a key may
+        # re-emit across batches — MERGE there; one availableNow
+        # batch here, so append is exact)
+        batch_df.write.mode("append").parquet(out_dir)
+
+    try:
+        q = (
+            per_key.writeStream.outputMode("update")
+            .foreachBatch(_sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        prog = q.lastProgress or {}
+    finally:
+        if prev is None:
+            spark.conf.unset(provider_key)
+        else:
+            spark.conf.set(provider_key, prev)
+    ops = (prog.get("stateOperators") or [{}])[0]
+    custom = ops.get("customMetrics") or {}
+    last_soak_state_metrics = {
+        "numRowsTotal": ops.get("numRowsTotal"),
+        "numRowsUpdated": ops.get("numRowsUpdated"),
+        "stateMemory": ops.get("memoryUsedBytes"),
+        # rocksdb* custom metrics only appear when the RocksDB
+        # provider actually backed the store — proof the forced
+        # provider took effect, not just that the conf was set
+        "rocksdb": any(k.startswith("rocksdb") for k in custom),
+    }
+    drained = spark.read.parquet(out_dir)
+    out = (
+        drained.groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n_keys"),
+            F.sum("n").alias("n_rows"),
+            F.sum("cents").alias("total_cents"),
+        )
+        .orderBy("l_returnflag")
+        .localCheckpoint()
+    )
+    _cleanup(input_dir)
+    return out
