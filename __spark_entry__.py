@@ -2137,6 +2137,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "brand_part_stats": analytics.brand_part_stats,
         "small_quantity_revenue": analytics.small_quantity_revenue,
         "weighted_median_part_size": analytics.weighted_median_part_size,
+        "hll_register_distinct_users": analytics.hll_register_distinct_users,
     }
 
 
@@ -2152,6 +2153,75 @@ def oracle_sql() -> dict[str, str]:
                    true AS p50_ok, true AS p90_ok, true AS p99_ok
             FROM events WHERE value IS NOT NULL
             GROUP BY event_type ORDER BY event_type
+        """,
+        # HLL++ estimate is engine-specific; the oracle hashes the
+        # exact counts and the 3-sigma accuracy claim (round-3
+        # upgrade from rows-only)
+        "approx_distinct_users": """
+            SELECT event_type, count(DISTINCT user_id) AS n_users,
+                   true AS within_3rsd
+            FROM events GROUP BY event_type ORDER BY event_type
+        """,
+        # DataSketches HLL per-type + merged rollup: exact counts +
+        # the 3-sigma bound for every sketch INCLUDING the union —
+        # a merge bug pushes __all__ outside the bound
+        "distinct_users_sketch_rollup": """
+            SELECT event_type, n_users, true AS within_3rsd FROM (
+                SELECT event_type, count(DISTINCT user_id) AS n_users
+                FROM events GROUP BY event_type
+                UNION ALL
+                SELECT '__all__', count(DISTINCT user_id) FROM events
+            ) ORDER BY event_type
+        """,
+        # first-principles HLL on md5: registers, harmonic sum,
+        # estimate, and the register-max merge are all reproduced in
+        # SQL — the whole sketch algebra is value-hashed
+        "hll_register_distinct_users": """
+            WITH h AS (
+                SELECT event_type,
+                       ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 12))::BIGINT AS h
+                FROM events WHERE user_id IS NOT NULL
+            ), r AS (
+                SELECT event_type, h >> 38 AS bucket,
+                       CASE WHEN (h & 274877906943) = 0 THEN 39
+                            ELSE 39 - length(format('{:b}', h & 274877906943))
+                       END AS rho
+                FROM h
+            ), regs AS (
+                SELECT event_type, bucket, max(rho) AS m
+                FROM r GROUP BY 1, 2
+            ), merged AS (
+                SELECT '__all__' AS event_type, bucket, max(m) AS m
+                FROM regs GROUP BY 2
+            ), allregs AS (
+                SELECT * FROM regs UNION ALL SELECT * FROM merged
+            ), agg AS (
+                SELECT event_type, count(*) AS used,
+                       CAST(SUM(1::BIGINT << CAST(48 - m AS INT)) AS BIGINT)
+                           AS sp
+                FROM allregs GROUP BY 1
+            ), est AS (
+                SELECT event_type, used,
+                       CAST(sp + (1024 - used) * 281474976710656 AS DOUBLE)
+                           AS s_d
+                FROM agg
+            ), raw AS (
+                SELECT event_type, used, s_d,
+                       CAST(0.7213 AS DOUBLE)
+                           / (CAST(1.0 AS DOUBLE)
+                              + CAST(1.079 AS DOUBLE) / CAST(1024.0 AS DOUBLE))
+                           * CAST(1048576.0 AS DOUBLE)
+                           * CAST(281474976710656.0 AS DOUBLE) / s_d AS e_raw
+                FROM est
+            )
+            SELECT event_type,
+                   CAST(used AS BIGINT) AS used_buckets,
+                   floor((CASE WHEN e_raw <= 2560.0 AND used < 1024
+                          THEN CAST(1024.0 AS DOUBLE)
+                               * ln(CAST(1024.0 AS DOUBLE)
+                                    / CAST(1024 - used AS DOUBLE))
+                          ELSE e_raw END) * 1e6 + 0.5) / 1e6 AS est_users
+            FROM raw ORDER BY event_type
         """,
         # parity oracle for the RocksDB long-state soak: the drained
         # per-key state must roll up to exactly 2x the batch lineitem
@@ -4965,8 +5035,13 @@ def oracle_sql() -> dict[str, str]:
             SELECT d.version,
                    CAST(floor(d.rate_bps / 100) AS BIGINT) AS rate_band,
                    COUNT(*) AS n_items,
-                   CAST(SUM(f.rev) AS DOUBLE) AS revenue,
-                   CAST(SUM(f.rev * d.rate_bps) AS DOUBLE) / 10000.0 AS commission
+                   -- exact int64 micro-unit sums, ONE int->double cast,
+                   -- ONE division: CAST(SUM(decimal) AS DOUBLE) double-
+                   -- rounds in DuckDB once the unscaled sum tops 2^53
+                   CAST(CAST(SUM(CAST(f.rev * 10000 AS BIGINT)) AS BIGINT)
+                        AS DOUBLE) / 10000.0 AS revenue,
+                   CAST(CAST(SUM(CAST(f.rev * 10000 AS BIGINT) * d.rate_bps)
+                             AS BIGINT) AS DOUBLE) / 100000000.0 AS commission
             FROM facts f JOIN dim d USING (s_suppkey)
             WHERE f.ship_day >= d.valid_from AND f.ship_day < d.valid_to
             GROUP BY 1, 2

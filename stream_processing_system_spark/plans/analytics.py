@@ -303,14 +303,113 @@ def distinct_users_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """HyperLogLog++ approximate distinct (rows-only check: sketch
-    internals differ across engines by design). At 100 TB this is the
-    default distinct-count path — fixed-size sketch state instead of
-    a shuffle of every distinct pair."""
+    """HyperLogLog++ approximate distinct, with the accuracy claim
+    VERIFIED inside the result (round-3 upgrade from rows-only, the
+    same pattern as approx_value_percentiles): the sketch estimate
+    must land within 3·rsd of the exact distinct count, and the
+    boolean + the exact count are what the oracle hashes. The
+    estimate itself is engine-specific and stays out of the hash.
+
+    At 100 TB the sketch half is the default distinct-count path —
+    fixed-size state, map-side mergeable, no shuffle of the distinct
+    pairs; the exact half here is the audit and would run sampled."""
     events = load_table(spark, sf_dir, "events")
+    rsd = 0.02
     return (
         events.groupBy("event_type")
-        .agg(F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"))
+        .agg(
+            F.approx_count_distinct("user_id", rsd=rsd).alias("_approx"),
+            F.count_distinct("user_id").alias("n_users"),
+        )
+        .select(
+            "event_type",
+            "n_users",
+            (
+                F.abs(F.col("_approx") - F.col("n_users")).cast("double")
+                <= F.lit(3 * rsd) * F.col("n_users").cast("double")
+            ).alias("within_3rsd"),
+        )
+        .orderBy("event_type")
+    )
+
+
+def hll_register_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog built from FIRST PRINCIPLES on md5 — every register
+    is engine-reproducible, so unlike approx_count_distinct /
+    hll_sketch_agg the WHOLE sketch (registers, harmonic sum,
+    estimate, and the register-max MERGE that produces the __all__
+    rollup) hash-matches a pure-SQL oracle. This is the repo's
+    strongest sketch evidence: not "the estimate is close", but "the
+    sketch algebra is bit-identical cross-engine".
+
+    Construction (m = 1024 registers, 48-bit md5-prefix hash):
+      bucket = h >> 38,  w = h & (2^38 - 1),
+      rho = 39 - bitlen(w)  (w = 0 → 39),
+      register M_b = max rho — ONE groupBy, map-side combinable.
+    Merge for the rollup is pointwise register max — the same
+    associative op that makes HLL the 100 TB distinct-count path
+    (per-slice sketches union in constant time, no second data pass).
+
+    Determinism: the harmonic sum Σ 2^(-M_b) is computed as the exact
+    int64 Σ 2^(48-M_b) (max 1024·2^48 = 2^58, one correctly-rounded
+    int64→double cast shared by both engines); the estimate is one
+    textually-mirrored double expression; the small-range linear-
+    counting branch (E ≤ 2.5m with empty registers) uses ln through
+    the det_round output grid."""
+    events = load_table(spark, sf_dir, "events").where(F.col("user_id").isNotNull())
+    m = 1024
+    h = F.conv(
+        F.substring(F.md5(F.col("user_id").cast("string")), 1, 12), 16, 10
+    ).cast("long")
+    w = h.bitwiseAND(F.lit(274877906943))  # low 38 bits
+    rho = F.when(w == 0, F.lit(39)).otherwise(
+        F.lit(39) - F.length(F.bin(w))
+    )
+    regs = (
+        events.select(
+            "event_type", F.shiftright(h, 38).alias("bucket"), rho.alias("rho")
+        )
+        .groupBy("event_type", "bucket")
+        .agg(F.max("rho").alias("M"))
+    )
+    merged = (
+        regs.groupBy("bucket")
+        .agg(F.max("M").alias("M"))
+        .select(F.lit("__all__").alias("event_type"), "bucket", "M")
+    )
+    allregs = regs.unionByName(merged)
+    agg = allregs.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("used"),
+        F.sum(F.expr("shiftleft(CAST(1 AS BIGINT), CAST(48 - M AS INT))")).alias(
+            "_sp"
+        ),
+    )
+    # harmonic denominator over ALL m registers: empty ones contribute
+    # 2^0 = 1 each, i.e. 2^48 in the int64 grid
+    s_d = (
+        F.col("_sp") + (F.lit(m) - F.col("used")) * F.lit(281474976710656)
+    ).cast("double")
+    # textual parity with the SQL oracle: same literals, same
+    # left-assoc order
+    e_raw = (
+        F.lit(0.7213)
+        / (F.lit(1.0) + F.lit(1.079) / F.lit(1024.0))
+        * F.lit(1048576.0)
+        * F.lit(281474976710656.0)
+        / s_d
+    )
+    linear = F.lit(1024.0) * F.log(
+        F.lit(1024.0) / (F.lit(1024.0) - F.col("used").cast("double"))
+    )
+    est = F.when(
+        (e_raw <= F.lit(2560.0)) & (F.col("used") < m), linear
+    ).otherwise(e_raw)
+    return (
+        agg.select(
+            "event_type",
+            F.col("used").alias("used_buckets"),
+            det_round(est, 6).alias("est_users"),
+        )
         .orderBy("event_type")
     )
 
@@ -2361,24 +2460,50 @@ def distinct_users_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     distinct-count path: per-slice sketches persist as tiny binaries
     and any slice union (per day → per month → whole corpus) is a
     constant-time merge, with no second pass over the raw data.
-    Rows-only contract (sketch internals are
-    engine-specific); the estimate-vs-exact error bound is
-    property-tested in tests/test_sketches.py.
-    """
+
+    Round-3 upgrade from rows-only: the sketch estimates stay out of
+    the hash (DataSketches internals are engine-specific), but the
+    exact distinct counts and the accuracy booleans — estimate within
+    3·rsd(lgK=14) ≈ 2.5% of exact, for every per-type sketch AND for
+    the merged rollup — are value-hashed against the SQL oracle. The
+    merge path is therefore checked end to end: a union bug would
+    push the __all__ estimate outside the bound. (The fully
+    register-exact variant is hll_register_distinct_users.)"""
     events = load_table(spark, sf_dir, "events")
+    bound = 3 * 1.04 / (2**14) ** 0.5  # 3 sigma at lgK=14
     per_type = events.groupBy("event_type").agg(
-        F.hll_sketch_agg("user_id", 14).alias("_sk")
+        F.hll_sketch_agg("user_id", 14).alias("_sk"),
+        F.count_distinct("user_id").alias("n_users"),
     )
     typed = per_type.select(
         "event_type",
-        F.hll_sketch_estimate("_sk").cast("long").alias("est_users"),
+        "n_users",
+        F.hll_sketch_estimate("_sk").alias("_est"),
     )
-    overall = per_type.agg(
-        F.hll_sketch_estimate(F.hll_union_agg("_sk")).cast("long").alias(
-            "est_users"
+    overall_exact = events.agg(
+        F.count_distinct("user_id").alias("n_users")
+    )
+    overall = (
+        per_type.agg(F.hll_union_agg("_sk").alias("_u"))
+        .crossJoin(F.broadcast(overall_exact))
+        .select(
+            F.lit("__all__").alias("event_type"),
+            "n_users",
+            F.hll_sketch_estimate("_u").alias("_est"),
         )
-    ).select(F.lit("__all__").alias("event_type"), "est_users")
-    return typed.unionByName(overall).orderBy("event_type")
+    )
+    return (
+        typed.unionByName(overall)
+        .select(
+            "event_type",
+            "n_users",
+            (
+                F.abs(F.col("_est") - F.col("n_users")).cast("double")
+                <= F.lit(bound) * F.col("n_users").cast("double")
+            ).alias("within_3rsd"),
+        )
+        .orderBy("event_type")
+    )
 
 
 def copurchase_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2964,13 +3089,22 @@ def supplier_scd2_commission(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(
             F.count(F.lit(1)).alias("n_items"),
-            F.sum("_rev").cast("double").alias("revenue"),
-            # exact decimal sum FIRST, one double division LAST — a
-            # decimal/int division would round at a different scale
-            # than the oracle's double path
+            # exact int64 sums FIRST (rev in 1e-4 units; _rev has
+            # scale 4 so _rev*10000 is an exact integer), ONE
+            # int64→double cast + ONE division LAST. Casting the
+            # DECIMAL sum to double instead fails at sf0.1: the
+            # unscaled commission sum exceeds 2^53 and DuckDB's
+            # decimal→double path double-rounds (found by the exact
+            # harness in round 3 — last-ulp mismatch on 2 rows).
             (
-                F.sum(F.col("_rev") * F.col("rate_bps")).cast("double")
+                F.sum((F.col("_rev") * 10000).cast("long"))
+                .cast("double")
                 / F.lit(10000.0)
+            ).alias("revenue"),
+            (
+                F.sum((F.col("_rev") * 10000).cast("long") * F.col("rate_bps"))
+                .cast("double")
+                / F.lit(100000000.0)
             ).alias("commission"),
         )
         .orderBy("version", "rate_band")
