@@ -2138,6 +2138,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "small_quantity_revenue": analytics.small_quantity_revenue,
         "weighted_median_part_size": analytics.weighted_median_part_size,
         "hll_register_distinct_users": analytics.hll_register_distinct_users,
+        "doc_substring_dedup_spans": pipeline.doc_substring_dedup_spans,
     }
 
 
@@ -2153,6 +2154,47 @@ def oracle_sql() -> dict[str, str]:
                    true AS p50_ok, true AS p90_ok, true AS p99_ok
             FROM events WHERE value IS NOT NULL
             GROUP BY event_type ORDER BY event_type
+        """,
+        # exact-substring dedup spans (Lee et al. 2022 shape): window
+        # hashes, cross-doc duplicate test, and the islands merge are
+        # all integer/md5 logic — fully value-hashed
+        "doc_substring_dedup_spans": """
+            WITH wins AS (
+                SELECT doc_id, u.pos,
+                       md5(substr(text, u.pos, 64)) AS h
+                FROM documents,
+                     UNNEST(range(1, length(text) - 63 + 1, 1)) AS u(pos)
+                WHERE length(text) >= 64
+            ), dups AS (
+                SELECT h FROM wins
+                GROUP BY h HAVING count(DISTINCT doc_id) >= 2
+            ), dw AS (
+                SELECT w.doc_id, w.pos FROM wins w JOIN dups USING (h)
+            ), brk AS (
+                SELECT doc_id, pos,
+                       CASE WHEN max(pos + 63) OVER (
+                                PARTITION BY doc_id ORDER BY pos
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                         AND 1 PRECEDING) IS NULL
+                            OR pos > max(pos + 63) OVER (
+                                PARTITION BY doc_id ORDER BY pos
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                         AND 1 PRECEDING) + 1
+                       THEN 1 ELSE 0 END AS brk
+                FROM dw
+            ), isl AS (
+                SELECT doc_id, pos,
+                       SUM(brk) OVER (PARTITION BY doc_id ORDER BY pos
+                                      ROWS BETWEEN UNBOUNDED PRECEDING
+                                               AND CURRENT ROW) AS isl
+                FROM brk
+            )
+            SELECT doc_id,
+                   min(pos) AS span_start,
+                   max(pos) + 63 AS span_end,
+                   max(pos) + 63 - min(pos) + 1 AS span_len
+            FROM isl GROUP BY doc_id, isl
+            ORDER BY doc_id, span_start
         """,
         # HLL++ estimate is engine-specific; the oracle hashes the
         # exact counts and the 3-sigma accuracy claim (round-3
@@ -2269,7 +2311,7 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
                    CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
                    CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS sum_disc_price,
-                   CAST(SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(18,6))) AS DOUBLE) AS sum_charge,
+                   CAST(CAST(SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(18,6))) * 1000000 AS BIGINT) AS DOUBLE) / 1000000.0 AS sum_charge,
                    floor((AVG(l_quantity)) * 1000000.0 + 0.5) / 1000000.0 AS avg_qty,
                    floor((AVG(l_discount)) * 1000000.0 + 0.5) / 1000000.0 AS avg_disc,
                    count(*) AS count_order

@@ -29,8 +29,31 @@ def _dec_sum(col, out: str, scale: int = 2):
     double. `scale` must be chosen so the input is *exactly*
     representable (prices/discounts/taxes have 2 decimals, so their
     products have 4 or 6): then the double→decimal cast never rounds
-    at a half-boundary, where engines disagree on rounding mode."""
+    at a half-boundary, where engines disagree on rounding mode.
+
+    Magnitude contract: the final DECIMAL→DOUBLE cast is only
+    cross-engine-safe while the UNSCALED sum stays below 2^53
+    (DuckDB's decimal→double path double-rounds above it; Spark's
+    BigDecimal.doubleValue rounds once). scale 2 tops out around
+    sf1000 locally, scale 4 around sf10 — above that, use
+    `_dec_sum_exact`, which keeps both engines on the identical
+    int64→double→divide sequence at any magnitude up to int64."""
     return F.sum(col.cast(f"decimal(18,{scale})")).cast("double").alias(out)
+
+
+def _dec_sum_exact(col, out: str, scale: int):
+    """`_dec_sum` for sums whose unscaled value exceeds 2^53 (found
+    by the round-3 exact harness: sum_charge at sf0.1 ≈ 1.05e16
+    unscaled): shift the exact decimal sum to its unscaled int64,
+    then ONE int→double cast and ONE division — the identical
+    two-rounding sequence in both engines, so the result is
+    bit-equal regardless of magnitude. SQL twin:
+    CAST(CAST(SUM(...) * 10^s AS BIGINT) AS DOUBLE) / 10^s.0"""
+    s = F.sum(col.cast(f"decimal(18,{scale})"))
+    return (
+        (s * (10**scale)).cast("long").cast("double")
+        / F.lit(float(10**scale))
+    ).alias(out)
 
 
 def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -51,7 +74,7 @@ def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
             _dec_sum(F.col("l_quantity"), "sum_qty"),
             _dec_sum(F.col("l_extendedprice"), "sum_base_price"),
             _dec_sum(disc_price, "sum_disc_price", scale=4),
-            _dec_sum(charge, "sum_charge", scale=6),
+            _dec_sum_exact(charge, "sum_charge", scale=6),
             det_round(F.avg("l_quantity")).alias("avg_qty"),
             det_round(F.avg("l_discount")).alias("avg_disc"),
             F.count(F.lit(1)).alias("count_order"),

@@ -1618,3 +1618,15 @@ def media_audio_silence(spark: SparkSession, sf_dir: str) -> DataFrame:
     (gaps-and-islands over the stub waveform's silent frames)."""
     media = multimodal.fake_media_from_documents(spark, _docs(spark, sf_dir))
     return multimodal.audio_silence_runs(media)
+
+
+def doc_substring_dedup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contract wrapper for operators/dedup.substring_dedup_spans —
+    the character-range exact-substring dedup (Lee et al. 2022 shape);
+    see the operator docstring for the full semantics and scale
+    notes."""
+    from stream_processing_system_spark.operators.dedup import (
+        substring_dedup_spans,
+    )
+
+    return substring_dedup_spans(_docs(spark, sf_dir))

@@ -212,3 +212,63 @@ def test_canonical_keeps_best_not_min(spark):
     # docs 1,2 cluster (label 1); doc 2 is longer -> higher quality -> kept
     assert got[1] == (2, 2)
     assert got[3] == (3, 1)
+
+
+def test_substring_dedup_spans_reference(spark):
+    """substring_dedup_spans vs an independent pure-Python
+    implementation of the same contract (window md5s -> cross-doc
+    dup -> islands merge) on docs with a known shared region, a
+    unique doc, and a short doc below the window width."""
+    import hashlib
+
+    from stream_processing_system_spark.operators.dedup import (
+        substring_dedup_spans,
+    )
+
+    shared = "the quick brown fox jumps over the lazy dog again and again padding" * 3
+    texts = {
+        1: "AAA-unique-prefix-one " + shared + " tail-one-unique-xxxxxx",
+        2: "BBBBBB-other-prefix-two-longer " + shared + " other-tail-yyyy",
+        3: "completely unique document text " * 8,
+        4: "short",  # below width -> no windows
+    }
+    # stride=1: the shared region sits at offsets 23 and 32 — any
+    # stride > 1 with mismatched alignment (mod stride) misses it
+    # entirely, which is exactly why the operator defaults to 1
+    width, stride = 64, 1
+
+    def ref_spans():
+        wins = {}  # h -> set of doc ids
+        per_doc = {}  # doc -> [pos]
+        for d, t in texts.items():
+            if len(t) < width:
+                continue
+            for pos in range(1, len(t) - width + 2, stride):
+                h = hashlib.md5(t[pos - 1 : pos - 1 + width].encode()).hexdigest()
+                wins.setdefault(h, set()).add(d)
+                per_doc.setdefault(d, []).append((pos, h))
+        out = []
+        for d, pws in sorted(per_doc.items()):
+            dups = sorted(p for p, h in pws if len(wins[h]) >= 2)
+            cur = None
+            for p in dups:
+                end = p + width - 1
+                if cur and p <= cur[1] + 1:
+                    cur[1] = max(cur[1], end)
+                else:
+                    if cur:
+                        out.append((d, cur[0], cur[1], cur[1] - cur[0] + 1))
+                    cur = [p, end]
+            if cur:
+                out.append((d, cur[0], cur[1], cur[1] - cur[0] + 1))
+        return out
+
+    df = spark.createDataFrame(list(texts.items()), "doc_id long, text string")
+    got = [
+        (r["doc_id"], r["span_start"], r["span_end"], r["span_len"])
+        for r in substring_dedup_spans(df, width=width, stride=stride).collect()
+    ]
+    expect = ref_spans()
+    assert got == expect
+    assert any(d == 1 for d, *_ in got) and any(d == 2 for d, *_ in got)
+    assert all(d != 3 and d != 4 for d, *_ in got)

@@ -29,35 +29,32 @@ def test_approx_distinct_users_relative_error(spark):
         .agg(F.count_distinct("user_id").alias("n"))
         .collect()
     }
-    approx = {
-        r["event_type"]: r["approx_users"]
-        for r in approx_distinct_users(spark, SF).collect()
-    }
-    assert set(approx) == set(exact)
+    # round 3: the query self-verifies — it emits the exact count and
+    # the 3-sigma bound check (the estimate stays internal); assert
+    # both against the independently computed exact counts here
+    rows = {r["event_type"]: r for r in approx_distinct_users(spark, SF).collect()}
+    assert set(rows) == set(exact)
     for et, n in exact.items():
-        # rsd=0.02 is the sketch's standard deviation; 5 sigma is a
-        # deterministic-comfortably-true bound for a fixed dataset
-        assert abs(approx[et] - n) <= max(1, 0.10 * n), (et, approx[et], n)
+        assert rows[et]["n_users"] == n, (et, rows[et]["n_users"], n)
+        assert rows[et]["within_3rsd"], et
 
 
 def test_approx_value_percentiles_rank_error(spark):
-    """Each estimate must sit within a ±2-point rank window of its
-    target percentile (GK guarantees rank error ≤ n/accuracy, which
-    is far tighter at accuracy=10000 — the window only exists to keep
-    the test robust to interpolation differences)."""
+    """Round 3: the query self-verifies the GK rank bound against
+    exact order statistics in-plan and emits per-percentile booleans;
+    assert the booleans and the group sizes independently."""
     events = load_table(spark, SF, "events").where(F.col("value").isNotNull())
-    bounds = events.groupBy("event_type").agg(
-        *[
-            F.expr(f"percentile(value, {p})").alias(f"q{int(p * 1000)}")
-            for p in (0.48, 0.52, 0.88, 0.92, 0.97, 1.0)
-        ]
-    )
-    rows = {r["event_type"]: r for r in bounds.collect()}
-    for r in approx_value_percentiles(spark, SF).collect():
-        b = rows[r["event_type"]]
-        assert b["q480"] <= r["p50"] <= b["q520"]
-        assert b["q880"] <= r["p90"] <= b["q920"]
-        assert b["q970"] <= r["p99"] <= b["q1000"]
+    exact_n = {
+        r["event_type"]: r["n"]
+        for r in events.groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    rows = list(approx_value_percentiles(spark, SF).collect())
+    assert {r["event_type"] for r in rows} == set(exact_n)
+    for r in rows:
+        assert r["n"] == exact_n[r["event_type"]]
+        assert r["p50_ok"] and r["p90_ok"] and r["p99_ok"], r
 
 
 def test_hll_sketch_rollup_union_matches_exact_within_rsd(spark):
@@ -69,25 +66,28 @@ def test_hll_sketch_rollup_union_matches_exact_within_rsd(spark):
     )
 
     sf_dir = "/root/testdata/sf0.01"
-    rows = {r["event_type"]: r["est_users"]
+    # round 3: the query self-verifies (exact counts + 3-sigma
+    # booleans for every sketch including the union); assert the
+    # exact counts against an independent aggregate here
+    rows = {r["event_type"]: r
             for r in distinct_users_sketch_rollup(spark, sf_dir).collect()}
     from stream_processing_system_spark.sources.tables import load_table
     from pyspark.sql import functions as F
 
     events = load_table(spark, sf_dir, "events")
     exact_all = events.agg(F.count_distinct("user_id")).collect()[0][0]
-    est_all = rows.pop("__all__")
-    assert abs(est_all - exact_all) / exact_all < 0.05
-    # union can never report fewer users than its largest member slice
-    assert est_all >= max(rows.values()) * 0.99
+    all_row = rows.pop("__all__")
+    assert all_row["n_users"] == exact_all
+    assert all_row["within_3rsd"]
     exact_types = {
         r["event_type"]: r["n"]
         for r in events.groupBy("event_type")
         .agg(F.count_distinct("user_id").alias("n"))
         .collect()
     }
-    for t, est in rows.items():
-        assert abs(est - exact_types[t]) / exact_types[t] < 0.05
+    for t, row in rows.items():
+        assert row["n_users"] == exact_types[t]
+        assert row["within_3rsd"], t
 
 
 def test_hll_sketches_survive_parquet_roundtrip(spark, tmp_path):
