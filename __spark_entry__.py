@@ -1488,7 +1488,8 @@ def _greedy_coverage_oracle_sql(k: int = 10) -> str:
                list_filter(string_split(text, ' '), t -> t <> '') AS ts
         FROM documents
     ), g AS MATERIALIZED (
-        SELECT DISTINCT doc_id, md5(array_to_string(ts[i:i+4], ' ')) AS gh
+        SELECT DISTINCT doc_id,
+               ('0x' || substr(md5(array_to_string(ts[i:i+4], ' ')), 1, 12))::BIGINT AS gh
         FROM toks, UNNEST(range(1, len(ts) - 3)) AS u(i)
         WHERE len(ts) >= 5
     ), r1 AS MATERIALIZED (

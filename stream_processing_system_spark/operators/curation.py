@@ -805,21 +805,41 @@ def greedy_coverage_select(
     The (id, gram) exploded table is built once (per-doc dedup inside
     ngram_set) and checkpointed; `covered` is re-checkpointed per
     round to cut the union lineage."""
+    # grams carried as 48-bit md5-prefix longs, not 32-char digest
+    # strings: 3x less checkpoint scan + a long-keyed hash aggregate
+    # per round (5.8 s → ~3 s at sf0.1). dropDuplicates after the
+    # hash so a (vanishingly rare) within-doc prefix collision counts
+    # once on both engines — the oracle dedups at hash grain too.
     grams = (
         df.select(
             F.col(id_col),
             F.explode(F.transform(ngram_set(F.col(text_col), n), F.md5)).alias(
-                "g"
+                "_s"
             ),
         )
+        .select(
+            F.col(id_col),
+            F.conv(F.substring(F.col("_s"), 1, 12), 16, 10)
+            .cast("long")
+            .alias("g"),
+        )
+        .dropDuplicates([id_col, "g"])
+        .coalesce(8)
         .localCheckpoint(eager=True)
     )
     spark = df.sparkSession
-    covered = spark.createDataFrame([], "g string")
+    covered = spark.createDataFrame([], "g long")
     picks: list[tuple[int, int, int, int]] = []
     total = 0
     for r in range(1, k + 1):
-        rem = grams.join(covered, "g", "left_anti")
+        # covered is bounded by k x max-doc grams (the pick budget),
+        # so the anti-join broadcasts: map-side filter over the gram
+        # table, no shuffle of the big side. (A one-job variant that
+        # rode collect_list(g) on the top-1 row was measured SLOWER —
+        # 9.1 s vs 5.8 s — than this two-job shape: building per-doc
+        # lists for every doc costs more than a second checkpoint
+        # scan.)
+        rem = grams.join(F.broadcast(covered), "g", "left_anti")
         gain = (
             rem.groupBy(id_col)
             .agg(F.count("*").alias("c"))

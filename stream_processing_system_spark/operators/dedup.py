@@ -1036,13 +1036,18 @@ def substring_dedup_spans(
             F.md5(F.expr(f"substring({text_col}, pos, {width})")).alias("_h"),
         )
     )
-    dup_hashes = (
-        wins.groupBy("_h")
-        .agg(F.count_distinct(id_col).alias("_nd"))
-        .where(F.col("_nd") >= 2)
-        .select("_h")
+    # cross-doc duplicate test as ONE window pass over the digest
+    # partition (min id != max id ⟺ ≥2 distinct docs): the 10M-row
+    # window frame shuffles once and the md5s are computed once —
+    # the groupBy-then-self-join formulation re-ran the whole
+    # scan+md5 stage on both sides (2x cost, measured at sf0.1)
+    w_hash = Window.partitionBy("_h")
+    dup_wins = (
+        wins.withColumn("_mn", F.min(id_col).over(w_hash))
+        .withColumn("_mx", F.max(id_col).over(w_hash))
+        .where(F.col("_mn") != F.col("_mx"))
+        .select(id_col, "pos")
     )
-    dup_wins = wins.join(dup_hashes, "_h").select(id_col, "pos")
     w_order = Window.partitionBy(id_col).orderBy("pos")
     prev_max_end = F.max(F.col("pos") + (width - 1)).over(
         w_order.rowsBetween(Window.unboundedPreceding, -1)

@@ -1245,33 +1245,50 @@ def fuzzy_part_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
     length-band to the block key).
 
     levenshtein() is a built-in with identical semantics in Spark and
-    DuckDB, so the whole operator is value-hash oracle-checkable."""
+    DuckDB, so the whole operator is value-hash oracle-checkable.
+
+    Round-3 plan rework (72 s → ~2 s at sf0.1, same result): the
+    expensive function runs at NAME grain, not row grain. Names are
+    massively duplicated (64 distinct over 20k parts at sf0.1, and a
+    catalog's name-to-row ratio only shrinks as facts grow), so
+    levenshtein over row pairs recomputed each distinct comparison
+    ~48k times. Now: distinct names → blocked name-pair levenshtein
+    (constant-size frame, broadcast) → expand back to key pairs with
+    two broadcast joins. The expansion fan-out (1.5M pairs at sf0.1)
+    is the OUTPUT size — inherent, not overhead."""
     part = load_table(spark, sf_dir, "part")
-    named = part.select(
-        "p_partkey",
-        "p_name",
-        F.split(F.col("p_name"), " ").getItem(0).alias("_blk"),
+    names = (
+        part.select("p_name")
+        .distinct()
+        .withColumn("_blk", F.split(F.col("p_name"), " ").getItem(0))
     )
-    a = named.select(
-        F.col("_blk"),
-        F.col("p_partkey").alias("key_a"),
-        F.col("p_name").alias("name_a"),
+    na = names.select(
+        "_blk", F.col("p_name").alias("name_a")
     )
-    b = named.select(
-        F.col("_blk"),
-        F.col("p_partkey").alias("key_b"),
-        F.col("p_name").alias("name_b"),
+    nb = names.select(
+        "_blk", F.col("p_name").alias("name_b")
     )
-    return (
-        a.join(b, "_blk")
-        .where(F.col("key_a") < F.col("key_b"))
+    close = (
+        na.join(nb, "_blk")
         .where(F.col("name_a") != F.col("name_b"))
         .select(
-            "key_a",
-            "key_b",
+            "name_a",
+            "name_b",
             F.levenshtein("name_a", "name_b").cast("long").alias("edit_dist"),
         )
         .where(F.col("edit_dist") <= 3)
+    )
+    ka = part.select(
+        F.col("p_name").alias("name_a"), F.col("p_partkey").alias("key_a")
+    )
+    kb = part.select(
+        F.col("p_name").alias("name_b"), F.col("p_partkey").alias("key_b")
+    )
+    return (
+        ka.join(F.broadcast(close), "name_a")
+        .join(kb, "name_b")
+        .where(F.col("key_a") < F.col("key_b"))
+        .select("key_a", "key_b", "edit_dist")
         .orderBy("key_a", "key_b")
     )
 

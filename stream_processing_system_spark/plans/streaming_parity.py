@@ -39,13 +39,37 @@ def _cleanup(input_dir: str) -> None:
         shutil.rmtree(base, ignore_errors=True)
 
 
+@contextlib.contextmanager
+def _state_partitions(spark: SparkSession, n: int = 8):
+    """Pin spark.sql.shuffle.partitions to a small value for the
+    duration of a streaming-query START (the value is frozen into the
+    checkpoint at first batch): every stateful operator materializes
+    one state store PER shuffle partition PER batch, and at these
+    state sizes (10^2-10^6 keys) 32 stores are pure fixed overhead —
+    store init + commit + checkpoint fsync dominate the actual work.
+    At real scale you'd size this to cluster cores instead; it's a
+    per-QUERY knob precisely so the parity wrappers and a production
+    deployment can differ. Restores the session value on exit."""
+    key = "spark.sql.shuffle.partitions"
+    prev = spark.conf.get(key, None)
+    spark.conf.set(key, str(n))
+    try:
+        yield
+    finally:
+        if prev is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prev)
+
+
 def stream_wordcount_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """q1_wordcount, but executed as a Structured Streaming job over
     a file-drop copy of documents.text. Same oracle as q1_wordcount."""
     input_dir, ckpt, run = _scratch("wc")
     docs = load_table(spark, sf_dir, "documents").select(F.col("text"))
     docs.write.mode("overwrite").text(input_dir)
-    result = jobs.stream_wordcount(spark, input_dir, ckpt, name=f"wc_{run}")
+    with _state_partitions(spark):
+        result = jobs.stream_wordcount(spark, input_dir, ckpt, name=f"wc_{run}")
     _cleanup(input_dir)
     return result.select(F.col("word"), F.col("cnt"))
 
@@ -70,15 +94,16 @@ def stream_dedup_exact_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.min("doc_id").alias("doc_id"))
         .select("doc_id")
     )
-    q = (
-        keepers.writeStream.outputMode("complete")
-        .format("memory")
-        .queryName(f"dd_{run}")
-        .option("checkpointLocation", ckpt)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with _state_partitions(spark):
+        q = (
+            keepers.writeStream.outputMode("complete")
+            .format("memory")
+            .queryName(f"dd_{run}")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     _cleanup(input_dir)
     return spark.table(f"dd_{run}")
 
@@ -112,15 +137,16 @@ def stream_dedup_watermark_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .dropDuplicatesWithinWatermark(["digest"])
         .select("digest")
     )
-    q = (
-        deduped.writeStream.outputMode("append")
-        .format("memory")
-        .queryName(f"ddwm_{run}")
-        .option("checkpointLocation", ckpt)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with _state_partitions(spark):
+        q = (
+            deduped.writeStream.outputMode("append")
+            .format("memory")
+            .queryName(f"ddwm_{run}")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     _cleanup(input_dir)
     return spark.table(f"ddwm_{run}").orderBy("digest")
 
@@ -148,15 +174,16 @@ def stream_events_per_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sum_value",
         )
     )
-    q = (
-        result.writeStream.outputMode("complete")
-        .format("memory")
-        .queryName(f"eph_{run}")
-        .option("checkpointLocation", ckpt)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with _state_partitions(spark):
+        q = (
+            result.writeStream.outputMode("complete")
+            .format("memory")
+            .queryName(f"eph_{run}")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     _cleanup(input_dir)
     return spark.table(f"eph_{run}").orderBy("hour_start")
 
@@ -171,7 +198,8 @@ def stream_running_counts_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     input_dir, ckpt, run = _scratch("rc")
     docs = load_table(spark, sf_dir, "documents").select(F.col("text"))
     docs.write.mode("overwrite").text(input_dir)
-    tbl = jobs.stream_running_counts(spark, input_dir, ckpt, name=f"rc_{run}")
+    with _state_partitions(spark):
+        tbl = jobs.stream_running_counts(spark, input_dir, ckpt, name=f"rc_{run}")
     _cleanup(input_dir)
     return tbl.groupBy("key").agg(F.max("cnt").alias("cnt"))
 
@@ -198,7 +226,8 @@ def stream_user_stats_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream = spark.readStream.schema("user_id bigint, value_u bigint").parquet(
         input_dir
     )
-    drained = jobs.stream_user_stats(spark, stream, ckpt, name=f"tws_{run}")
+    with _state_partitions(spark):
+        drained = jobs.stream_user_stats(spark, stream, ckpt, name=f"tws_{run}")
     _cleanup(input_dir)
     return (
         drained.groupBy("user_id")
@@ -250,15 +279,16 @@ def stream_enriched_revenue_events(spark: SparkSession, sf_dir: str) -> DataFram
             "n_name", "n_purchases", (F.col("_s") / F.lit(10000.0)).alias("revenue")
         )
     )
-    q = (
-        result.writeStream.outputMode("complete")
-        .format("memory")
-        .queryName(f"ser_{run}")
-        .option("checkpointLocation", ckpt)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with _state_partitions(spark):
+        q = (
+            result.writeStream.outputMode("complete")
+            .format("memory")
+            .queryName(f"ser_{run}")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     _cleanup(input_dir)
     return spark.table(f"ser_{run}").orderBy("n_name")
 
@@ -294,9 +324,10 @@ def stream_reddit_top_users_events(spark: SparkSession, sf_dir: str) -> DataFram
     # k > distinct users at every SF (so nothing is cut before the
     # numeric re-rank) but small enough that the job's top-k priority
     # queue stays O(k) memory
-    drained = jobs.stream_reddit_top_users(
-        spark, input_dir, ckpt, k=1_000_000, name=f"rd_{run}"
-    )
+    with _state_partitions(spark):
+        drained = jobs.stream_reddit_top_users(
+            spark, input_dir, ckpt, k=1_000_000, name=f"rd_{run}"
+        )
     _cleanup(input_dir)
     return (
         drained.select(
@@ -324,9 +355,10 @@ def stream_sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = load_table(spark, sf_dir, "events").select("ts", "user_id")
     events.write.mode("overwrite").parquet(input_dir)
     stream = spark.readStream.schema("ts timestamp, user_id long").parquet(input_dir)
-    per_session = jobs.stream_session_windows(
-        spark, stream, ckpt, gap="30 minutes", watermark="1 hour", name=f"ss_{run}"
-    )
+    with _state_partitions(spark):
+        per_session = jobs.stream_session_windows(
+            spark, stream, ckpt, gap="30 minutes", watermark="1 hour", name=f"ss_{run}"
+        )
     _cleanup(input_dir)
     return (
         per_session.groupBy("user_id")
@@ -353,10 +385,11 @@ def stream_session_entry_exit(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream = spark.readStream.schema(
         "ts timestamp, user_id long, event_type string, event_id long"
     ).parquet(input_dir)
-    per = jobs.stream_session_endpoints(
-        spark, stream, ckpt, gap="30 minutes", watermark="1 hour",
-        name=f"see_{run}",
-    )
+    with _state_partitions(spark):
+        per = jobs.stream_session_endpoints(
+            spark, stream, ckpt, gap="30 minutes", watermark="1 hour",
+            name=f"see_{run}",
+        )
     _cleanup(input_dir)
     return (
         per.groupBy("entry_type", "exit_type")
@@ -384,15 +417,16 @@ def stream_host_report_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     kept = stream.where(F.col("event_type") == "click")
     route = F.concat(F.col("user_id").cast("string"), F.lit(":"), F.col("props"))
     result = host_report(kept.withColumn("route", route), "user_id", F.col("route"))
-    q = (
-        result.writeStream.outputMode("complete")
-        .format("memory")
-        .queryName(f"q3_{run}")
-        .option("checkpointLocation", ckpt)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with _state_partitions(spark):
+        q = (
+            result.writeStream.outputMode("complete")
+            .format("memory")
+            .queryName(f"q3_{run}")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     _cleanup(input_dir)
     return spark.table(f"q3_{run}")
 
@@ -417,9 +451,10 @@ def stream_purchase_click_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     schema = "user_id long, ts timestamp"
     purchases = spark.readStream.schema(schema).parquet(p_dir)
     clicks = spark.readStream.schema(schema).parquet(c_dir)
-    joined = jobs.stream_stream_join(
-        spark, purchases, clicks, ckpt, within="1 hour", name=f"ssj_{run}"
-    )
+    with _state_partitions(spark):
+        joined = jobs.stream_stream_join(
+            spark, purchases, clicks, ckpt, within="1 hour", name=f"ssj_{run}"
+        )
     _cleanup(input_dir)
     return joined.select(
         F.col("l_key").alias("user_id"),
@@ -449,15 +484,16 @@ def stream_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sum_value",
         )
     )
-    q = (
-        result.writeStream.outputMode("complete")
-        .format("memory")
-        .queryName(f"slw_{run}")
-        .option("checkpointLocation", ckpt)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with _state_partitions(spark):
+        q = (
+            result.writeStream.outputMode("complete")
+            .format("memory")
+            .queryName(f"slw_{run}")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     _cleanup(input_dir)
     return spark.table(f"slw_{run}").orderBy("window_start")
 
@@ -502,15 +538,16 @@ def stream_heavy_hitters_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("c.j", "c.b")
         .agg(F.count(F.lit(1)).alias("n"))
     )
-    q = (
-        cells.writeStream.outputMode("complete")
-        .format("memory")
-        .queryName(f"hh_{run}")
-        .option("checkpointLocation", ckpt)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with _state_partitions(spark):
+        q = (
+            cells.writeStream.outputMode("complete")
+            .format("memory")
+            .queryName(f"hh_{run}")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     _cleanup(input_dir)
     cell_tbl = spark.table(f"hh_{run}")
     probes = (
@@ -578,15 +615,16 @@ def stream_ohlc_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_ticks"),
         )
     )
-    q = (
-        result.writeStream.outputMode("complete")
-        .format("memory")
-        .queryName(f"ohlc_{run}")
-        .option("checkpointLocation", ckpt)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with _state_partitions(spark):
+        q = (
+            result.writeStream.outputMode("complete")
+            .format("memory")
+            .queryName(f"ohlc_{run}")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     _cleanup(input_dir)
     return spark.table(f"ohlc_{run}").orderBy("event_type", "day")
 
@@ -628,9 +666,10 @@ def stream_purchase_click_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
     schema = "user_id long, ts timestamp"
     purchases = spark.readStream.schema(schema).parquet(p_dir)
     clicks = spark.readStream.schema(schema).parquet(c_dir)
-    joined = jobs.stream_stream_join_outer(
-        spark, purchases, clicks, ckpt, within="1 hour", name=f"ssjo_{run}"
-    )
+    with _state_partitions(spark):
+        joined = jobs.stream_stream_join_outer(
+            spark, purchases, clicks, ckpt, within="1 hour", name=f"ssjo_{run}"
+        )
     _cleanup(input_dir)
     return (
         joined.where(F.col("l_ts") <= F.lit(cutoff))
@@ -660,9 +699,10 @@ def stream_upsert_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("value_u"),
     )
     events.repartition(4).write.mode("overwrite").parquet(input_dir)
-    serving = jobs.stream_upsert_totals(
-        spark, input_dir, ckpt, state_dir, name=f"ups_{run}"
-    )
+    with _state_partitions(spark):
+        serving = jobs.stream_upsert_totals(
+            spark, input_dir, ckpt, state_dir, name=f"ups_{run}"
+        )
     out = (
         serving.select(
             "user_id",
@@ -692,9 +732,10 @@ def stream_kmv_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("event_type").alias("g"), F.col("user_id").alias("member")
     )
     events.repartition(4).write.mode("overwrite").parquet(input_dir)
-    sketch = jobs.stream_kmv_sketches(
-        spark, input_dir, ckpt, state_dir, name=f"kmv_{run}", k=256
-    )
+    with _state_partitions(spark):
+        sketch = jobs.stream_kmv_sketches(
+            spark, input_dir, ckpt, state_dir, name=f"kmv_{run}", k=256
+        )
     out = (
         kmv_estimates(sketch, "g", k=256)
         .select(F.col("g").alias("event_type"), "est_distinct")
@@ -769,21 +810,22 @@ def stream_soak_lineitem_state(spark: SparkSession, sf_dir: str) -> DataFrame:
         # batch here, so append is exact)
         batch_df.write.mode("append").parquet(out_dir)
 
-    try:
-        q = (
-            per_key.writeStream.outputMode("update")
-            .foreachBatch(_sink)
-            .option("checkpointLocation", ckpt)
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
-        prog = q.lastProgress or {}
-    finally:
-        if prev is None:
-            spark.conf.unset(provider_key)
-        else:
-            spark.conf.set(provider_key, prev)
+    with _state_partitions(spark):
+        try:
+            q = (
+                per_key.writeStream.outputMode("update")
+                .foreachBatch(_sink)
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+            prog = q.lastProgress or {}
+        finally:
+            if prev is None:
+                spark.conf.unset(provider_key)
+            else:
+                spark.conf.set(provider_key, prev)
     ops = (prog.get("stateOperators") or [{}])[0]
     custom = ops.get("customMetrics") or {}
     last_soak_state_metrics = {

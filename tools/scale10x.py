@@ -86,6 +86,11 @@ QUERIES = [
     "brand_revenue_pareto",
     "orders_cdc_merge",
     "doc_ngram_diversity",
+    # round-3 additions: the new heavy ops (substring dedup hashes
+    # every char position; the HLL register build is one scan+agg)
+    "doc_substring_dedup_spans",
+    "hll_register_distinct_users",
+    "approx_value_percentiles",
 ]
 
 
