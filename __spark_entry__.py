@@ -2140,6 +2140,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "weighted_median_part_size": analytics.weighted_median_part_size,
         "hll_register_distinct_users": analytics.hll_register_distinct_users,
         "doc_substring_dedup_spans": pipeline.doc_substring_dedup_spans,
+        "hll_rolling_7d_users": analytics.hll_rolling_7d_users,
+        "events_winsorized_stats": analytics.events_winsorized_stats,
+        "doc_weighted_reservoir_sample": analytics.doc_weighted_reservoir_sample,
     }
 
 
@@ -2155,6 +2158,113 @@ def oracle_sql() -> dict[str, str]:
                    true AS p50_ok, true AS p90_ok, true AS p99_ok
             FROM events WHERE value IS NOT NULL
             GROUP BY event_type ORDER BY event_type
+        """,
+        # trailing-7d sketch window: registers credited to the 7 days
+        # they cover, rolling register-max, same estimate formula as
+        # hll_register_distinct_users — windowed sketch algebra fully
+        # value-hashed
+        "hll_rolling_7d_users": """
+            WITH b AS (
+                SELECT (CAST(ts AS DATE) - DATE '2024-01-01') AS day_num,
+                       CAST(CAST(ts AS DATE) AS VARCHAR) AS day,
+                       ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 12))::BIGINT AS h
+                FROM events WHERE user_id IS NOT NULL
+            ), r AS (
+                SELECT day_num, day, h >> 38 AS bucket,
+                       CASE WHEN (h & 274877906943) = 0 THEN 39
+                            ELSE 39 - length(format('{:b}', h & 274877906943))
+                       END AS rho
+                FROM b
+            ), days AS (
+                SELECT DISTINCT day_num, day FROM r
+            ), regs AS (
+                SELECT day_num, bucket, max(rho) AS m FROM r GROUP BY 1, 2
+            ), contrib AS (
+                SELECT day_num + u.i AS day_num, bucket, m
+                FROM regs, UNNEST(range(0, 7)) AS u(i)
+            ), rolled AS (
+                SELECT day_num, bucket, max(m) AS m FROM contrib GROUP BY 1, 2
+            ), agg AS (
+                SELECT d.day, count(*) AS used,
+                       CAST(SUM(1::BIGINT << CAST(48 - m AS INT)) AS BIGINT) AS sp
+                FROM rolled ro JOIN days d ON d.day_num = ro.day_num
+                GROUP BY 1
+            ), est AS (
+                SELECT day, used,
+                       CAST(sp + (1024 - used) * 281474976710656 AS DOUBLE) AS s_d
+                FROM agg
+            ), raw AS (
+                SELECT day, used, s_d,
+                       CAST(0.7213 AS DOUBLE)
+                           / (CAST(1.0 AS DOUBLE)
+                              + CAST(1.079 AS DOUBLE) / CAST(1024.0 AS DOUBLE))
+                           * CAST(1048576.0 AS DOUBLE)
+                           * CAST(281474976710656.0 AS DOUBLE) / s_d AS e_raw
+                FROM est
+            )
+            SELECT day, CAST(used AS BIGINT) AS used_buckets,
+                   floor((CASE WHEN e_raw <= 2560.0 AND used < 1024
+                          THEN CAST(1024.0 AS DOUBLE)
+                               * ln(CAST(1024.0 AS DOUBLE)
+                                    / CAST(1024 - used AS DOUBLE))
+                          ELSE e_raw END) * 1e6 + 0.5) / 1e6 AS est_users_7d
+            FROM raw ORDER BY day
+        """,
+        # winsorized robust stats: exact order-stat cut points, clip,
+        # integer-grid mean
+        "events_winsorized_stats": """
+            WITH v AS (
+                SELECT event_type, event_id,
+                       CAST(floor(value * 100 + 0.5) AS BIGINT) AS cv
+                FROM events WHERE value IS NOT NULL
+            ), ranked AS (
+                SELECT event_type, cv,
+                       row_number() OVER (PARTITION BY event_type
+                                          ORDER BY cv, event_id) AS rk,
+                       count(*) OVER (PARTITION BY event_type) AS n
+                FROM v
+            ), cuts AS (
+                SELECT event_type, min(cv) AS lo_cv, max(cv) AS hi_cv
+                FROM ranked
+                WHERE rk = CAST(ceil(n * 0.05) AS BIGINT)
+                   OR rk = CAST(ceil(n * 0.95) AS BIGINT)
+                GROUP BY 1
+            )
+            SELECT r.event_type,
+                   CAST(max(r.n) AS BIGINT) AS n,
+                   CAST(SUM(CASE WHEN r.cv < c.lo_cv THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_clipped_low,
+                   CAST(SUM(CASE WHEN r.cv > c.hi_cv THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_clipped_high,
+                   floor((CAST(CAST(SUM(GREATEST(c.lo_cv,
+                                                 LEAST(c.hi_cv, r.cv)))
+                                    AS BIGINT) AS DOUBLE)
+                          / CAST(count(*) AS DOUBLE) / 100.0)
+                         * 1e6 + 0.5) / 1e6 AS win_mean
+            FROM ranked r JOIN cuts c USING (event_type)
+            GROUP BY 1 ORDER BY 1
+        """,
+        # Efraimidis-Spirakis weighted reservoir: deterministic
+        # md5-derived uniforms, ln through the det_round(9) grid
+        "doc_weighted_reservoir_sample": """
+            WITH t AS (
+                SELECT doc_id,
+                       len(list_filter(string_split(text, ' '),
+                                       x -> x <> '')) AS wt,
+                       ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 12))::BIGINT AS h
+                FROM documents
+            ), k AS (
+                SELECT doc_id, CAST(wt AS BIGINT) AS weight_tokens,
+                       floor((ln((CAST(h AS DOUBLE) + 1.0)
+                                 / 281474976710656.0)
+                              / CAST(wt AS DOUBLE)) * 1e9 + 0.5) / 1e9
+                           AS es_key
+                FROM t WHERE wt > 0
+            )
+            SELECT CAST(row_number() OVER (ORDER BY es_key DESC, doc_id ASC)
+                        AS INT) AS rank,
+                   doc_id, weight_tokens, es_key
+            FROM k ORDER BY es_key DESC, doc_id ASC LIMIT 50
         """,
         # exact-substring dedup spans (Lee et al. 2022 shape): window
         # hashes, cross-doc duplicate test, and the islands merge are

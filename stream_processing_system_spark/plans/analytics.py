@@ -7718,3 +7718,164 @@ def nation_revenue_yoy(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("_rev").cast("double") / prev.cast("double") - F.lit(1.0)
         ).alias("yoy_growth"),
     ).orderBy("n_name", "yr")
+
+
+def hll_rolling_7d_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-7-day distinct users per day from the first-principles
+    md5 HLL (`hll_register_distinct_users`'s register algebra), the
+    sketch twin of the exact `rolling_7d_distinct_users`: registers
+    are built per (day, bucket) in one scan, each observation is
+    credited to the 7 days it covers (a bounded x7 explode of the
+    day-x-1024-register frame — rows = days x m, INDEPENDENT of data
+    volume), and the rolling register set per day is a plain
+    register-max regroup. This is the sliding-window sketch pattern
+    that makes trailing distinct counts an O(days x m) problem at any
+    corpus size — no per-day rescan of raw data, and the same
+    register tables roll up to weekly/monthly by the identical max.
+    Every register and the estimate mirror in pure SQL, so the whole
+    windowed sketch is value-hashed."""
+    events = load_table(spark, sf_dir, "events").where(F.col("user_id").isNotNull())
+    m = 1024
+    h = F.conv(
+        F.substring(F.md5(F.col("user_id").cast("string")), 1, 12), 16, 10
+    ).cast("long")
+    w = h.bitwiseAND(F.lit(274877906943))
+    rho = F.when(w == 0, F.lit(39)).otherwise(F.lit(39) - F.length(F.bin(w)))
+    base = events.select(
+        F.datediff(F.col("ts").cast("date"), F.lit("2024-01-01").cast("date"))
+        .alias("day_num"),
+        F.col("ts").cast("date").cast("string").alias("day"),
+        F.shiftright(h, 38).alias("bucket"),
+        rho.alias("rho"),
+    )
+    days = base.select("day_num", "day").distinct()
+    regs = base.groupBy("day_num", "bucket").agg(F.max("rho").alias("M"))
+    contrib = regs.select(
+        F.explode(
+            F.sequence(F.col("day_num"), F.col("day_num") + 6)
+        ).alias("day_num"),
+        "bucket",
+        "M",
+    )
+    rolled = contrib.groupBy("day_num", "bucket").agg(F.max("M").alias("M"))
+    agg = (
+        rolled.join(days, "day_num")
+        .groupBy("day_num", "day")
+        .agg(
+            F.count(F.lit(1)).alias("used"),
+            F.sum(
+                F.expr("shiftleft(CAST(1 AS BIGINT), CAST(48 - M AS INT))")
+            ).alias("_sp"),
+        )
+    )
+    s_d = (
+        F.col("_sp") + (F.lit(m) - F.col("used")) * F.lit(281474976710656)
+    ).cast("double")
+    e_raw = (
+        F.lit(0.7213)
+        / (F.lit(1.0) + F.lit(1.079) / F.lit(1024.0))
+        * F.lit(1048576.0)
+        * F.lit(281474976710656.0)
+        / s_d
+    )
+    linear = F.lit(1024.0) * F.log(
+        F.lit(1024.0) / (F.lit(1024.0) - F.col("used").cast("double"))
+    )
+    est = F.when(
+        (e_raw <= F.lit(2560.0)) & (F.col("used") < m), linear
+    ).otherwise(e_raw)
+    return (
+        agg.select(
+            "day",
+            F.col("used").alias("used_buckets"),
+            det_round(est, 6).alias("est_users_7d"),
+        )
+        .orderBy("day")
+    )
+
+
+def events_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorized robust statistics per event type: values clipped at
+    the exact p05/p95 ORDER STATISTICS (rank ceil(q*n) over the
+    per-type sort — the same one-shuffle rank pattern as
+    approx_value_percentiles' audit half), then an exact centi-grid
+    mean of the clipped values. The outlier-robust complement to
+    events_anomaly_* : at 100 TB you'd take the cut points from the
+    GK sketch instead of the exact ranks and keep the identical
+    clip-and-aggregate map stage. All arithmetic integer-exact; the
+    mean goes through det_round."""
+    events = load_table(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    centi = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+    w = Window.partitionBy("event_type").orderBy("cv", "event_id")
+    ranked = (
+        events.select("event_type", "event_id", centi.alias("cv"))
+        .withColumn("rk", F.row_number().over(w))
+        .withColumn("n", F.count(F.lit(1)).over(Window.partitionBy("event_type")))
+    )
+    lo_k = F.ceil(F.col("n") * F.lit(0.05))
+    hi_k = F.ceil(F.col("n") * F.lit(0.95))
+    cuts = (
+        ranked.where((F.col("rk") == lo_k) | (F.col("rk") == hi_k))
+        .groupBy("event_type")
+        .agg(F.min("cv").alias("lo_cv"), F.max("cv").alias("hi_cv"))
+    )
+    clipped = ranked.join(F.broadcast(cuts), "event_type").select(
+        "event_type",
+        "n",
+        F.greatest(F.col("lo_cv"), F.least(F.col("hi_cv"), F.col("cv"))).alias(
+            "wcv"
+        ),
+        (F.col("cv") < F.col("lo_cv")).cast("long").alias("clip_lo"),
+        (F.col("cv") > F.col("hi_cv")).cast("long").alias("clip_hi"),
+    )
+    return (
+        clipped.groupBy("event_type")
+        .agg(
+            F.first("n").alias("n"),
+            F.sum("clip_lo").alias("n_clipped_low"),
+            F.sum("clip_hi").alias("n_clipped_high"),
+            det_round(
+                F.sum("wcv").cast("double")
+                / F.count(F.lit(1)).cast("double")
+                / F.lit(100.0),
+                6,
+            ).alias("win_mean"),
+        )
+        .orderBy("event_type")
+    )
+
+
+def doc_weighted_reservoir_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted reservoir sampling (Efraimidis–Spirakis A-ES): keep
+    the k=50 docs with the largest u^(1/w) — equivalently the largest
+    ln(u)/w since ln(u) < 0 — where w is the doc's token-length
+    weight and u ∈ (0,1] is a DETERMINISTIC md5-derived uniform
+    ((h48+1)/2^48): long-document-biased sampling whose inclusion
+    probabilities follow the weights, reproducible across engines and
+    runs. This is the standard one-pass distributed weighted sampler:
+    the key is computed map-side and TakeOrderedAndProject keeps k —
+    no shuffle of the corpus, O(k) per partition. The ln output rides
+    the det_round(9) grid (libm-output convention) with doc_id as the
+    total tie-break."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.filter(F.split(F.col("text"), " "), lambda t: t != "")
+    h = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 12), 16, 10
+    ).cast("long")
+    u = (h.cast("double") + F.lit(1.0)) / F.lit(281474976710656.0)
+    weight = F.size(toks).cast("double")
+    key = det_round(F.log(u) / weight, 9)
+    ranked = (
+        docs.where(F.size(toks) > 0)
+        .select(
+            F.col("doc_id"),
+            F.size(toks).cast("long").alias("weight_tokens"),
+            key.alias("es_key"),
+        )
+        .orderBy(F.col("es_key").desc(), F.col("doc_id").asc())
+        .limit(50)
+    )
+    w_rank = Window.orderBy(F.col("es_key").desc(), F.col("doc_id").asc())
+    return ranked.withColumn("rank", F.row_number().over(w_rank).cast("int")).select(
+        "rank", "doc_id", "weight_tokens", "es_key"
+    )
