@@ -2143,7 +2143,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hll_rolling_7d_users": analytics.hll_rolling_7d_users,
         "events_winsorized_stats": analytics.events_winsorized_stats,
         "doc_weighted_reservoir_sample": analytics.doc_weighted_reservoir_sample,
+        "sql_frontdoor_q19": analytics.sql_frontdoor_q19,
     }
+
+
+def _analytics_sql_frontdoor_text() -> str:
+    """The front-door query's oracle IS the Spark-side SQL text —
+    imported, not copied, so the two can never drift."""
+    return analytics.SQL_FRONTDOOR_Q19
 
 
 def oracle_sql() -> dict[str, str]:
@@ -2159,6 +2166,9 @@ def oracle_sql() -> dict[str, str]:
             FROM events WHERE value IS NOT NULL
             GROUP BY event_type ORDER BY event_type
         """,
+        # the SAME SQL text spark.sql() executes — one string, two
+        # engines (imported from plans.analytics)
+        "sql_frontdoor_q19": _analytics_sql_frontdoor_text(),
         # trailing-7d sketch window: registers credited to the 7 days
         # they cover, rolling register-max, same estimate formula as
         # hll_register_distinct_users — windowed sketch algebra fully

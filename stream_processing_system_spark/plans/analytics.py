@@ -7879,3 +7879,35 @@ def doc_weighted_reservoir_sample(spark: SparkSession, sf_dir: str) -> DataFrame
     return ranked.withColumn("rank", F.row_number().over(w_rank).cast("int")).select(
         "rank", "doc_id", "weight_tokens", "es_key"
     )
+
+
+#: One SQL text, two engines: executed verbatim by spark.sql() over
+#: the registered temp views AND by the DuckDB oracle. Q19-shaped
+#: (OR-of-ANDs pushed into a single join pass) and written in the
+#: dialect-portable subset both engines parse identically.
+SQL_FRONTDOOR_Q19 = """
+    SELECT CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                         AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+           count(*) AS n_items
+    FROM lineitem, part
+    WHERE p_partkey = l_partkey
+      AND ((p_brand = 'Brand#2'  AND l_quantity BETWEEN 1  AND 15)
+        OR (p_brand = 'Brand#4'  AND l_quantity BETWEEN 10 AND 25)
+        OR (p_brand = 'Brand#19' AND l_quantity BETWEEN 20 AND 35))
+"""
+
+
+def sql_frontdoor_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SQL front door: `sources/tables.register_views` exposes the
+    whole catalog as temp views and this query is `spark.sql(<text>)`
+    — THE SAME TEXT the DuckDB oracle runs, so the hash-match proves
+    the ANSI-SQL entry point end to end (parse → Catalyst plan →
+    execution), not just the DataFrame API. A reference user who
+    writes SQL rather than DataFrames runs queries through exactly
+    this path. Q19 shape on purpose: the OR-of-ANDs predicate is the
+    classic test that the optimizer pushes a disjunctive filter into
+    one join pass instead of three unions."""
+    from stream_processing_system_spark.sources.tables import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(SQL_FRONTDOOR_Q19)

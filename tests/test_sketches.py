@@ -159,3 +159,93 @@ def test_kmv_exact_below_k(spark):
     assert est == {"a": 100, "b": 100}
     row = sketch_kmv.kmv_pair_overlap(sk, "g", k=256).collect()[0]
     assert (row["est_union"], row["est_intersection"]) == (160, 40)
+
+
+def test_hll_rolling_7d_accuracy_vs_exact(spark):
+    """The trailing-7d register-max sketch must track the EXACT
+    trailing-7d distinct-user count within the m=1024 HLL error
+    envelope (~3.3% rsd; 5-sigma bound for a fixed dataset)."""
+    from stream_processing_system_spark.plans.analytics import (
+        hll_rolling_7d_users,
+    )
+
+    sf = "/root/testdata/sf0.01"
+    est = {
+        r["day"]: r["est_users_7d"]
+        for r in hll_rolling_7d_users(spark, sf).collect()
+    }
+    events = load_table(spark, sf, "events").where(F.col("user_id").isNotNull())
+    days = events.select(
+        F.col("ts").cast("date").alias("d"), "user_id"
+    ).distinct()
+    a = days.select(F.col("d").alias("obs_d"), "user_id")
+    exact = {
+        str(r["d"]): r["n"]
+        for r in days.select("d")
+        .distinct()
+        .join(
+            a,
+            (F.col("obs_d") <= F.col("d"))
+            & (F.col("obs_d") >= F.date_sub(F.col("d"), 6)),
+        )
+        .groupBy("d")
+        .agg(F.count_distinct("user_id").alias("n"))
+        .collect()
+    }
+    assert set(est) == set(exact)
+    for d, n in exact.items():
+        assert abs(est[d] - n) <= max(5.0, 0.165 * n), (d, est[d], n)
+
+
+def test_winsorized_stats_reference(spark):
+    """events_winsorized_stats vs an independent pandas computation of
+    the same contract (centi-grid, ceil-rank cut points, clip,
+    mean)."""
+    import math
+
+    from stream_processing_system_spark.plans.analytics import (
+        events_winsorized_stats,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    pdf = (
+        load_table(spark, sf, "events")
+        .where(F.col("value").isNotNull())
+        .select("event_type", "event_id", "value")
+        .toPandas()
+    )
+    pdf["cv"] = (pdf["value"] * 100 + 0.5).apply(math.floor).astype("int64")
+    got = {r["event_type"]: r for r in events_winsorized_stats(spark, sf).collect()}
+    for et, g in pdf.groupby("event_type"):
+        g = g.sort_values(["cv", "event_id"]).reset_index(drop=True)
+        n = len(g)
+        lo = g["cv"].iloc[math.ceil(n * 0.05) - 1]
+        hi = g["cv"].iloc[math.ceil(n * 0.95) - 1]
+        wm = g["cv"].clip(lo, hi).sum() / n / 100.0
+        wm = math.floor(wm * 1e6 + 0.5) / 1e6
+        r = got[et]
+        assert r["n"] == n
+        assert r["n_clipped_low"] == int((g["cv"] < lo).sum())
+        assert r["n_clipped_high"] == int((g["cv"] > hi).sum())
+        assert r["win_mean"] == wm
+
+
+def test_weighted_reservoir_bias(spark):
+    """A-ES sampling must be biased toward heavier (longer) docs: the
+    mean token weight of the k sampled docs exceeds the corpus mean
+    (deterministic for the fixed md5-derived uniforms), keys are
+    valid (negative, sorted desc), and ranks are 1..k."""
+    from stream_processing_system_spark.plans.analytics import (
+        doc_weighted_reservoir_sample,
+    )
+
+    sf = "/root/testdata/sf0.01"
+    rows = doc_weighted_reservoir_sample(spark, sf).collect()
+    assert [r["rank"] for r in rows] == list(range(1, len(rows) + 1))
+    keys = [r["es_key"] for r in rows]
+    assert all(k < 0 for k in keys) and keys == sorted(keys, reverse=True)
+    docs = load_table(spark, sf, "documents")
+    toks = F.filter(F.split(F.col("text"), " "), lambda t: t != "")
+    corpus_mean = docs.agg(F.avg(F.size(toks))).collect()[0][0]
+    sample_mean = sum(r["weight_tokens"] for r in rows) / len(rows)
+    assert sample_mean > corpus_mean
