@@ -2144,6 +2144,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_winsorized_stats": analytics.events_winsorized_stats,
         "doc_weighted_reservoir_sample": analytics.doc_weighted_reservoir_sample,
         "sql_frontdoor_q19": analytics.sql_frontdoor_q19,
+        "events_l_diversity": analytics.events_l_diversity,
+        "value_histogram_sketch_quantiles": analytics.value_histogram_sketch_quantiles,
     }
 
 
@@ -4955,6 +4957,71 @@ def oracle_sql() -> dict[str, str]:
                         RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS BIGINT)
                        AS days_in_window
             FROM daily ORDER BY day
+        """,
+        # l-diversity: same QI grain as k-anonymity, sensitive
+        # attribute = user_id, min distinct-sensitive per group
+        "events_l_diversity": """
+            WITH qi AS (
+                SELECT event_type, hour(ts) AS hod,
+                       least(CAST(floor(value / 10.0) AS BIGINT), 9) AS vband,
+                       user_id
+                FROM events WHERE value IS NOT NULL
+            ), g AS (
+                SELECT event_type, hod, vband, COUNT(*) AS gsz,
+                       COUNT(DISTINCT user_id) AS l
+                FROM qi GROUP BY 1, 2, 3
+            )
+            SELECT event_type, CAST(MIN(l) AS BIGINT) AS min_l,
+                   CAST(SUM(CASE WHEN l < 3 THEN 1 ELSE 0 END) AS BIGINT)
+                       AS groups_below_l3,
+                   CAST(SUM(CASE WHEN l < 3 THEN gsz ELSE 0 END) AS BIGINT)
+                       AS rows_in_risky_groups
+            FROM g GROUP BY 1 ORDER BY 1
+        """,
+        # mergeable equi-width histogram sketch: daily bucket counts
+        # merge by addition, quantiles recovered by interpolation in
+        # the merged cumulative histogram — every number exact
+        # integers + one mirrored division, estimate included
+        "value_histogram_sketch_quantiles": """
+            WITH v AS (
+                SELECT event_type,
+                       CAST(CAST(ts AS DATE) AS VARCHAR) AS day,
+                       least(CAST(floor(CAST(floor(value * 100 + 0.5)
+                                             AS BIGINT) / 50) AS BIGINT),
+                             1199) AS b
+                FROM events WHERE value IS NOT NULL
+            ), daily AS (
+                SELECT event_type, day, b, count(*) AS c
+                FROM v GROUP BY 1, 2, 3
+            ), merged AS (
+                SELECT event_type, b, CAST(SUM(c) AS BIGINT) AS c
+                FROM daily GROUP BY 1, 2
+            ), cumt AS (
+                SELECT event_type, b, c,
+                       SUM(c) OVER (PARTITION BY event_type ORDER BY b
+                                    ROWS UNBOUNDED PRECEDING) AS cum,
+                       SUM(c) OVER (PARTITION BY event_type) AS n
+                FROM merged
+            )
+            SELECT event_type, CAST(max(n) AS BIGINT) AS n,
+                   count(*) AS n_buckets_used,
+                   floor(min(CASE WHEN cum >= ceil(CAST(n AS DOUBLE) * 0.5)
+                                   AND (cum - c) < ceil(CAST(n AS DOUBLE) * 0.5)
+                             THEN CAST(b AS DOUBLE) * 0.5
+                                  + (CAST(ceil(CAST(n AS DOUBLE) * 0.5)
+                                          AS DOUBLE)
+                                     - CAST(cum - c AS DOUBLE))
+                                    / CAST(c AS DOUBLE) * 0.5
+                             END) * 1e6 + 0.5) / 1e6 AS p50_est,
+                   floor(min(CASE WHEN cum >= ceil(CAST(n AS DOUBLE) * 0.9)
+                                   AND (cum - c) < ceil(CAST(n AS DOUBLE) * 0.9)
+                             THEN CAST(b AS DOUBLE) * 0.5
+                                  + (CAST(ceil(CAST(n AS DOUBLE) * 0.9)
+                                          AS DOUBLE)
+                                     - CAST(cum - c AS DOUBLE))
+                                    / CAST(c AS DOUBLE) * 0.5
+                             END) * 1e6 + 0.5) / 1e6 AS p90_est
+            FROM cumt GROUP BY 1 ORDER BY 1
         """,
         "events_k_anonymity": """
             WITH qi AS (

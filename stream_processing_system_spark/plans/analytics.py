@@ -7911,3 +7911,109 @@ def sql_frontdoor_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     register_views(spark, sf_dir)
     return spark.sql(SQL_FRONTDOOR_Q19)
+
+
+def events_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """l-diversity audit, the companion release-readiness check to
+    `events_k_anonymity`: a quasi-identifier group can be large (high
+    k) yet still leak if every member shares the SAME sensitive
+    value — l-diversity demands ≥ l distinct sensitive values per QI
+    group. Same QI grain as the k-anonymity audit (event_type,
+    hour-of-day, value band); the sensitive attribute is user_id (the
+    re-identification target in event data). Reports per event_type:
+    the minimum distinct-sensitive count any group achieves (the l
+    actually attained), groups below l=3, and the rows those groups
+    expose. One aggregate at QI grain with a count_distinct — the
+    same map-side-combinable shape that survives 100 TB."""
+    events = load_table(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    band = F.least(
+        F.floor(F.col("value") / F.lit(10.0)).cast("long"), F.lit(9).cast("long")
+    )
+    qi = events.select(
+        "event_type",
+        F.hour("ts").alias("hod"),
+        band.alias("vband"),
+        "user_id",
+    )
+    groups = qi.groupBy("event_type", "hod", "vband").agg(
+        F.count(F.lit(1)).alias("_gsz"),
+        F.count_distinct("user_id").alias("_l"),
+    )
+    return (
+        groups.groupBy("event_type")
+        .agg(
+            F.min("_l").alias("min_l"),
+            F.sum(F.when(F.col("_l") < 3, 1).otherwise(0))
+            .cast("long")
+            .alias("groups_below_l3"),
+            F.sum(F.when(F.col("_l") < 3, F.col("_gsz")).otherwise(0))
+            .cast("long")
+            .alias("rows_in_risky_groups"),
+        )
+        .orderBy("event_type")
+    )
+
+
+def value_histogram_sketch_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable equi-width histogram sketch with quantile recovery —
+    the third from-first-principles sketch family (after the md5 HLL
+    and the KMV): per (event_type, day) the value distribution is
+    summarized as 1200 fixed half-unit-width bucket counts ([0, 600), clamped), daily
+    sketches MERGE by plain count addition into the per-type total
+    (the rollup never re-reads raw data — the same algebra that makes
+    per-slice histograms the 100 TB quantile path), and p50/p90 are
+    recovered from the merged cumulative histogram by linear
+    interpolation inside the target bucket. Unlike GK, every number
+    here (bucket counts, cumulative ranks, interpolation) is exact
+    integer arithmetic plus one mirrored division — the WHOLE sketch
+    value-hashes in SQL, estimate included. Bucket width bounds the
+    error: ≤ half a bucket (0.25 value units at width 0.5).
+
+    Output per event_type: n, n_buckets_used, p50_est, p90_est
+    (det_round 6)."""
+    events = load_table(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    # observed values span [0, ~560]; 1200 buckets of width 0.5
+    # (50 centi-units) cover [0, 600), tail clamped into the last
+    centi = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+    bucket = F.least(F.floor(centi / F.lit(50)).cast("long"), F.lit(1199))
+    daily = (
+        events.select(
+            "event_type",
+            F.col("ts").cast("date").alias("day"),
+            bucket.alias("b"),
+        )
+        .groupBy("event_type", "day", "b")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    merged = daily.groupBy("event_type", "b").agg(F.sum("c").alias("c"))
+    w = Window.partitionBy("event_type").orderBy("b")
+    cum = merged.withColumn(
+        "cum", F.sum("c").over(w.rowsBetween(Window.unboundedPreceding, 0))
+    ).withColumn("n", F.sum("c").over(Window.partitionBy("event_type")))
+
+    def q_est(p: float):
+        target = F.ceil(F.col("n").cast("double") * F.lit(p))
+        prev = F.col("cum") - F.col("c")
+        inb = (
+            (target.cast("double") - prev.cast("double"))
+            / F.col("c").cast("double")
+        )
+        # value estimate: bucket lower edge + fraction * width (0.5)
+        est = (
+            F.col("b").cast("double") * F.lit(0.5)
+            + inb * F.lit(0.5)
+        )
+        return F.min(
+            F.when((F.col("cum") >= target) & (prev < target), est)
+        )
+
+    return (
+        cum.groupBy("event_type")
+        .agg(
+            F.first("n").alias("n"),
+            F.count(F.lit(1)).alias("n_buckets_used"),
+            det_round(q_est(0.5), 6).alias("p50_est"),
+            det_round(q_est(0.9), 6).alias("p90_est"),
+        )
+        .orderBy("event_type")
+    )

@@ -249,3 +249,31 @@ def test_weighted_reservoir_bias(spark):
     corpus_mean = docs.agg(F.avg(F.size(toks))).collect()[0][0]
     sample_mean = sum(r["weight_tokens"] for r in rows) / len(rows)
     assert sample_mean > corpus_mean
+
+
+def test_histogram_sketch_quantiles_error_bound(spark):
+    """The merged equi-width histogram's quantile estimates must land
+    within half a bucket width (0.25 value units) + interpolation
+    slack of the exact percentiles."""
+    from stream_processing_system_spark.plans.analytics import (
+        value_histogram_sketch_quantiles,
+    )
+
+    sf = "/root/testdata/sf0.01"
+    events = load_table(spark, sf, "events").where(F.col("value").isNotNull())
+    exact = {
+        r["event_type"]: (r["p50"], r["p90"])
+        for r in events.groupBy("event_type")
+        .agg(
+            F.expr("percentile(value, 0.5)").alias("p50"),
+            F.expr("percentile(value, 0.9)").alias("p90"),
+        )
+        .collect()
+    }
+    rows = value_histogram_sketch_quantiles(spark, sf).collect()
+    assert {r["event_type"] for r in rows} == set(exact)
+    for r in rows:
+        p50, p90 = exact[r["event_type"]]
+        assert abs(r["p50_est"] - p50) <= 0.75, (r["event_type"], r["p50_est"], p50)
+        assert abs(r["p90_est"] - p90) <= 0.75, (r["event_type"], r["p90_est"], p90)
+        assert r["n_buckets_used"] <= 1200
