@@ -2149,6 +2149,81 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     }
 
 
+def _bpe_rounds_cte(n_merges: int = 20) -> str:
+    """Shared CTE chain for the BPE oracles: symbolized vocabulary,
+    then `n_merges` unrolled rounds of (weighted adjacent-pair count →
+    argmax with the (count desc, pair asc) tie-break → leftmost
+    non-overlapping whole-symbol rewrite). The rewrite is a
+    `list_reduce` fold — RE2 has no lookarounds, but the fold is
+    EQUIVALENT to the engine's `(?<!\\S)pair(?!\\S)` single-pass
+    replace (fuzz-proven over 3000 random symbol sequences during
+    round 3). Every stage MATERIALIZED."""
+    parts = ["""w AS MATERIALIZED (
+        SELECT word, count(*) AS cnt FROM (
+            SELECT unnest(list_filter(string_split(text, ' '),
+                                      x -> x <> '')) AS word
+            FROM documents)
+        GROUP BY 1
+    ), v0 AS MATERIALIZED (
+        SELECT word, array_to_string(string_split(word, ''), ' ') AS sym, cnt
+        FROM w
+    )"""]
+    for r in range(1, n_merges + 1):
+        parts.append(f"""p{r} AS MATERIALIZED (
+        SELECT s[i] || ' ' || s[i+1] AS pair, CAST(SUM(cnt) AS BIGINT) AS n
+        FROM (SELECT string_split(sym, ' ') AS s, cnt FROM v{r - 1}),
+             UNNEST(range(1, len(s))) AS u(i)
+        WHERE len(s) >= 2
+        GROUP BY 1
+    ), m{r} AS MATERIALIZED (
+        SELECT string_split(pair, ' ')[1] AS l,
+               string_split(pair, ' ')[2] AS r2, n
+        FROM p{r} ORDER BY n DESC, pair ASC LIMIT 1
+    ), v{r} AS MATERIALIZED (
+        SELECT v.word,
+               list_reduce(string_split(v.sym, ' '),
+                   (acc, x) -> CASE
+                       WHEN (acc = m.l OR ends_with(acc, ' ' || m.l))
+                            AND x = m.r2
+                       THEN substr(acc, 1, length(acc) - length(m.l))
+                            || m.l || m.r2
+                       ELSE acc || ' ' || x END) AS sym,
+               v.cnt
+        FROM v{r - 1} v, m{r} m
+    )""")
+    return ",".join(parts)
+
+
+def _bpe_merges_oracle_sql(n_merges: int = 20) -> str:
+    rows = " UNION ALL ".join(
+        f'SELECT {r - 1} AS merge_rank, l AS "left", r2 AS "right", '
+        f"n AS pair_count FROM m{r}"
+        for r in range(1, n_merges + 1)
+    )
+    return f"""
+        WITH {_bpe_rounds_cte(n_merges)}
+        SELECT CAST(merge_rank AS BIGINT) AS merge_rank, "left", "right",
+               pair_count
+        FROM ({rows}) ORDER BY merge_rank
+    """
+
+
+def _bpe_tokenize_oracle_sql(n_merges: int = 20) -> str:
+    return f"""
+        WITH {_bpe_rounds_cte(n_merges)},
+        tok AS (
+            SELECT doc_id, unnest(list_filter(string_split(text, ' '),
+                                              x -> x <> '')) AS word
+            FROM documents
+        )
+        SELECT t.doc_id,
+               CAST(SUM(len(string_split(v.sym, ' '))) AS BIGINT)
+                   AS n_bpe_tokens
+        FROM tok t JOIN v{n_merges} v USING (word)
+        GROUP BY 1 ORDER BY 1
+    """
+
+
 def _analytics_sql_frontdoor_text() -> str:
     """The front-door query's oracle IS the Spark-side SQL text —
     imported, not copied, so the two can never drift."""
@@ -2403,6 +2478,13 @@ def oracle_sql() -> dict[str, str]:
                                      AS BIGINT)) AS BIGINT) AS total_cents
             FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
         """,
+        # BPE train + encode, fully unrolled (round-3 upgrade of the
+        # last two rows-only queries): 20 rounds of pair-count /
+        # argmax / whole-symbol rewrite in pure SQL — the rewrite is
+        # a list_reduce fold equivalent to the engine's lookaround
+        # regex (RE2 has none)
+        "doc_bpe_merges": _bpe_merges_oracle_sql(),
+        "doc_bpe_tokenize": _bpe_tokenize_oracle_sql(),
         "q1_wordcount": """
             WITH clean AS (
                 SELECT text AS line FROM documents

@@ -87,10 +87,11 @@ def bpe_train(
     plan from growing by one regex per round (the same lineage-cut
     the connected-components fixpoint uses, dedup.py).
 
-    No SQL oracle (the rewrite each round depends on the previous
-    round's argmax — inherently iterative); tests/test_bpe.py checks
-    the merge table against an independent pure-Python BPE
-    implementation instead.
+    The SQL oracle unrolls the loop (round 3): 20 CTE rounds of
+    pair-count/argmax/rewrite, the rewrite as a list_reduce fold
+    equivalent to the lookaround regex; tests/test_bpe.py additionally
+    checks the merge table against an independent pure-Python BPE
+    implementation.
     """
     spark = docs.sparkSession
     vocab = word_frequencies(docs, text_col).select(

@@ -474,9 +474,12 @@ def doc_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def doc_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Full BPE training, 20 merges — iterative (argmax each round),
-    so no SQL oracle; tests/test_bpe.py proves the merge table against
-    a pure-Python BPE reference."""
+    """Full BPE training, 20 merges. Round 3: the oracle is the
+    training loop UNROLLED into 20 SQL rounds (pair count → argmax →
+    list_reduce whole-symbol rewrite, fuzz-proven equivalent to the
+    engine's lookaround regex), so even the iterative trainer is
+    value-hash checked; tests/test_bpe.py additionally proves the
+    merge table against a pure-Python BPE reference."""
     from stream_processing_system_spark.operators.bpe import bpe_train
 
     return bpe_train(_docs(spark, sf_dir), n_merges=20)
@@ -484,9 +487,10 @@ def doc_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def doc_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Train 20 BPE merges on the corpus, then encode it: per-doc BPE
-    token counts (operators/bpe.py:bpe_apply). Iterative training →
-    rows-only in the driver gate; tests/test_bpe.py checks the
-    end-to-end counts against the pure-Python reference."""
+    token counts (operators/bpe.py:bpe_apply). Round 3: value-hash
+    checked end to end — the oracle unrolls training AND applies the
+    final symbolization to the corpus join; tests/test_bpe.py also
+    checks the counts against the pure-Python reference."""
     from stream_processing_system_spark.operators.bpe import bpe_apply, bpe_train
 
     docs = _docs(spark, sf_dir)
