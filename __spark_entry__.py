@@ -2146,6 +2146,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sql_frontdoor_q19": analytics.sql_frontdoor_q19,
         "events_l_diversity": analytics.events_l_diversity,
         "value_histogram_sketch_quantiles": analytics.value_histogram_sketch_quantiles,
+        "events_t_closeness": analytics.events_t_closeness,
+        "events_sax_daily": analytics.events_sax_daily,
+        "user_countmin_heavy_hitters": analytics.user_countmin_heavy_hitters,
     }
 
 
@@ -8207,5 +8210,127 @@ def oracle_sql() -> dict[str, str]:
                    floor((CAST(rho AS DOUBLE) / CAST(n AS DOUBLE)) * 1000000.0 + 0.5)
                         / 1000000.0 AS jaccard_est
             FROM stats
+        """,
+        # t-closeness EMD over the ordered 10-band sensitive grid:
+        # every cumulative term exact-integer (cumc*N - cumG*gsz on a
+        # zero-filled grid), one mirrored division per QI group
+        "events_t_closeness": """
+            WITH qi AS (
+                SELECT event_type, hour(ts) AS hod,
+                       least(CAST(floor(value / 10.0) AS BIGINT), 9) AS vband
+                FROM events WHERE value IS NOT NULL
+            ), bands AS (
+                SELECT unnest(range(10)) AS vband
+            ), gb AS (
+                SELECT event_type, hod, vband, count(*) AS c
+                FROM qi GROUP BY 1, 2, 3
+            ), grid AS (
+                SELECT g.event_type, g.hod, b.vband, COALESCE(gb.c, 0) AS c
+                FROM (SELECT DISTINCT event_type, hod FROM qi) g
+                CROSS JOIN bands b
+                LEFT JOIN gb ON gb.event_type = g.event_type
+                            AND gb.hod = g.hod AND gb.vband = b.vband
+            ), cumt AS (
+                SELECT event_type, hod, vband, c,
+                       SUM(c) OVER (PARTITION BY event_type, hod
+                                    ORDER BY vband
+                                    ROWS UNBOUNDED PRECEDING) AS cumc,
+                       SUM(c) OVER (PARTITION BY event_type, hod) AS gsz
+                FROM grid
+            ), gtot AS (
+                SELECT b.vband,
+                       SUM(COALESCE(gc.gc, 0)) OVER (ORDER BY b.vband
+                                    ROWS UNBOUNDED PRECEDING) AS cumg,
+                       SUM(COALESCE(gc.gc, 0)) OVER () AS n_total
+                FROM bands b LEFT JOIN (
+                    SELECT vband, count(*) AS gc FROM qi GROUP BY 1
+                ) gc USING (vband)
+            ), per_group AS (
+                SELECT c.event_type, c.hod, c.gsz, g.n_total,
+                       SUM(abs(c.cumc * g.n_total - g.cumg * c.gsz)) AS num
+                FROM cumt c JOIN gtot g USING (vband)
+                WHERE c.vband < 9
+                GROUP BY 1, 2, 3, 4
+            ), audited AS (
+                SELECT event_type, hod,
+                       CAST(num AS DOUBLE)
+                       / (CAST(9.0 AS DOUBLE) * CAST(gsz AS DOUBLE)
+                          * CAST(n_total AS DOUBLE)) AS t
+                FROM per_group
+            )
+            SELECT event_type, count(*) AS n_groups,
+                   floor(MAX(t) * 1e6 + 0.5) / 1e6 AS max_t,
+                   CAST(SUM(CASE WHEN t > 0.2 THEN 1 ELSE 0 END) AS BIGINT)
+                       AS groups_above_t02
+            FROM audited GROUP BY 1 ORDER BY 1
+        """,
+        # SAX word per event type: micro-grid daily means, z-score as
+        # exact-int numerator / IEEE sqrt denominator, ORDER BY day
+        # string_agg — symbols identical cross-engine
+        "events_sax_daily": """
+            WITH daily AS (
+                SELECT event_type, CAST(ts AS DATE) AS day,
+                       CAST(floor(
+                           CAST(SUM(CAST(floor(value * 100 + 0.5) AS BIGINT))
+                                * 10000 AS DOUBLE)
+                           / CAST(count(*) AS DOUBLE) + 0.5) AS BIGINT) AS dm
+                FROM events WHERE value IS NOT NULL
+                GROUP BY 1, 2
+            ), stats AS (
+                SELECT event_type, count(*) AS n,
+                       CAST(SUM(dm) AS BIGINT) AS sx,
+                       SUM(dm * dm) AS sxx
+                FROM daily GROUP BY 1
+            ), z AS (
+                SELECT d.event_type, d.day,
+                       CASE WHEN (CAST(s.n AS DOUBLE) * CAST(s.sxx AS DOUBLE)
+                                  - CAST(s.sx AS DOUBLE)
+                                    * CAST(s.sx AS DOUBLE)) > 0
+                            THEN CAST(d.dm * s.n - s.sx AS DOUBLE)
+                                 / sqrt(CAST(s.n AS DOUBLE)
+                                        * CAST(s.sxx AS DOUBLE)
+                                        - CAST(s.sx AS DOUBLE)
+                                          * CAST(s.sx AS DOUBLE))
+                            ELSE CAST(0.0 AS DOUBLE) END AS z
+                FROM daily d JOIN stats s USING (event_type)
+            ), lettered AS (
+                SELECT event_type, day,
+                       CASE WHEN z < CAST(-0.6745 AS DOUBLE) THEN 'a'
+                            WHEN z < CAST(0.0 AS DOUBLE) THEN 'b'
+                            WHEN z < CAST(0.6745 AS DOUBLE) THEN 'c'
+                            ELSE 'd' END AS ch
+                FROM z
+            )
+            SELECT event_type, count(*) AS n_days,
+                   string_agg(ch, '' ORDER BY day) AS sax_word
+            FROM lettered GROUP BY 1 ORDER BY 1
+        """,
+        # Count–Min sketch: 4 salted md5 rows × 2048 cells, estimate =
+        # min over rows — all exact integers, whole algebra hashed
+        "user_countmin_heavy_hitters": """
+            WITH pu AS (
+                SELECT user_id, count(*) AS n FROM events
+                WHERE user_id IS NOT NULL GROUP BY 1
+            ), rows4 AS (
+                SELECT unnest(range(4)) AS j
+            ), hashed AS (
+                SELECT user_id, n, j,
+                       ('0x' || substr(md5('cm' || CAST(j AS VARCHAR) || '|'
+                                            || CAST(user_id AS VARCHAR)),
+                                       1, 8))::BIGINT % 2048 AS col
+                FROM pu CROSS JOIN rows4
+            ), cells AS (
+                SELECT j, col, CAST(SUM(n) AS BIGINT) AS cell
+                FROM hashed GROUP BY 1, 2
+            ), est AS (
+                SELECT h.user_id, h.n, MIN(c.cell) AS est_count
+                FROM hashed h JOIN cells c ON h.j = c.j AND h.col = c.col
+                GROUP BY 1, 2
+            )
+            SELECT user_id, est_count, n AS true_count,
+                   est_count - n AS overestimate
+            FROM est
+            ORDER BY est_count DESC, true_count DESC, user_id ASC
+            LIMIT 20
         """,
     }

@@ -8017,3 +8017,223 @@ def value_histogram_sketch_quantiles(spark: SparkSession, sf_dir: str) -> DataFr
         )
         .orderBy("event_type")
     )
+
+
+def events_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """t-closeness audit — the third privacy release-readiness check,
+    completing the trio with `events_k_anonymity` (group size) and
+    `events_l_diversity` (sensitive diversity): a QI group can be
+    large AND diverse yet still leak if its sensitive-value
+    DISTRIBUTION diverges from the table-wide one (skewness attack).
+    t-closeness demands Earth Mover's Distance(group dist, global
+    dist) <= t. QI grain is (event_type, hour-of-day); the sensitive
+    attribute is the ordered value decile band (0..9), so EMD has the
+    closed form (1/(m-1)) * sum_i |CumP_i - CumQ_i| over the ordered
+    bands. Every cumulative term is exact-integer (cumc*N - cumC*gsz
+    over a zero-filled 10-band grid), with ONE mirrored division per
+    group at the end - the whole audit value-hashes cross-engine.
+    Scale: two aggregates at QI grain plus a 10-row broadcast of the
+    global cumulative histogram; no window wider than 10 rows per
+    group - the same map-side-combinable shape as the k-anonymity
+    audit, sound at 100 TB."""
+    events = load_table(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    band = F.least(
+        F.floor(F.col("value") / F.lit(10.0)).cast("long"), F.lit(9).cast("long")
+    )
+    qi = events.select(
+        "event_type", F.hour("ts").alias("hod"), band.alias("vband")
+    )
+    # per-group per-band counts on a zero-filled 10-band grid
+    gb = qi.groupBy("event_type", "hod", "vband").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    bands = spark.range(10).select(F.col("id").alias("vband"))
+    grid = (
+        qi.select("event_type", "hod")
+        .distinct()
+        .crossJoin(F.broadcast(bands))
+        .join(gb, ["event_type", "hod", "vband"], "left")
+        .withColumn("c", F.coalesce(F.col("c"), F.lit(0).cast("long")))
+    )
+    wg = Window.partitionBy("event_type", "hod").orderBy("vband")
+    cum = grid.withColumn(
+        "cumc", F.sum("c").over(wg.rowsBetween(Window.unboundedPreceding, 0))
+    ).withColumn(
+        "gsz", F.sum("c").over(Window.partitionBy("event_type", "hod"))
+    )
+    # global cumulative histogram (10 rows, broadcast)
+    glob = (
+        bands.join(
+            qi.groupBy("vband").agg(F.count(F.lit(1)).alias("gc")),
+            "vband",
+            "left",
+        )
+        .withColumn("gc", F.coalesce(F.col("gc"), F.lit(0).cast("long")))
+        .withColumn(
+            "cumg",
+            F.sum("gc").over(
+                Window.orderBy("vband").rowsBetween(
+                    Window.unboundedPreceding, 0
+                )
+            ),
+        )
+        .withColumn("n_total", F.sum("gc").over(Window.partitionBy()))
+        .select("vband", "cumg", "n_total")
+    )
+    terms = cum.join(F.broadcast(glob), "vband").where(F.col("vband") < 9)
+    per_group = terms.groupBy("event_type", "hod", "gsz", "n_total").agg(
+        F.sum(
+            F.abs(F.col("cumc") * F.col("n_total") - F.col("cumg") * F.col("gsz"))
+        ).alias("num")
+    )
+    emd = F.col("num").cast("double") / (
+        F.lit(9.0) * F.col("gsz").cast("double") * F.col("n_total").cast("double")
+    )
+    audited = per_group.select("event_type", "hod", emd.alias("t"))
+    return (
+        audited.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_groups"),
+            det_round(F.max("t"), 6).alias("max_t"),
+            F.sum(F.when(F.col("t") > 0.2, 1).otherwise(0))
+            .cast("long")
+            .alias("groups_above_t02"),
+        )
+        .orderBy("event_type")
+    )
+
+
+def events_sax_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SAX (Symbolic Aggregate approXimation) of each event type's
+    daily-mean series: PAA to one mean per day, per-series
+    z-normalization, then discretization into a 4-symbol alphabet at
+    the standard Gaussian breakpoints (-0.6745, 0, 0.6745) - the
+    classic Lin/Keogh symbolic representation that turns a time
+    series into a word for motif mining and indexable similarity.
+    Determinism: daily means land on an exact 1e-6 integer grid
+    BEFORE any cross-day reduction (one exact IEEE division each);
+    the z-score is (dm*n - Sx)/sqrt(n*Sxx - Sx^2) so the numerator is
+    an exact integer and the denominator uses only IEEE-exact ops
+    (sqrt is correctly rounded by both engines); moment sums ride
+    DECIMAL(38,0) <-> HUGEINT. The word is assembled with an ORDER BY
+    day string-agg mirrored on both sides. Scale: one groupBy to
+    daily grain (map-side combinable), one 30-row-per-type reduce -
+    the heavy lifting never leaves the first aggregate."""
+    events = load_table(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    centi = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+    daily = (
+        events.select(
+            "event_type", F.col("ts").cast("date").alias("day"), centi.alias("v")
+        )
+        .groupBy("event_type", "day")
+        .agg(F.sum("v").alias("s"), F.count(F.lit(1)).alias("nd"))
+        .select(
+            "event_type",
+            "day",
+            F.floor(
+                (F.col("s") * F.lit(10000)).cast("double")
+                / F.col("nd").cast("double")
+                + F.lit(0.5)
+            )
+            .cast("long")
+            .alias("dm"),
+        )
+    )
+    stats = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("dm").alias("sx"),
+        F.sum(F.col("dm").cast("decimal(38,0)") * F.col("dm")).alias("sxx"),
+    )
+    j = daily.join(F.broadcast(stats), "event_type")
+    var_num = (
+        F.col("n").cast("double") * F.col("sxx").cast("double")
+        - F.col("sx").cast("double") * F.col("sx").cast("double")
+    )
+    z = F.when(
+        var_num > 0,
+        (F.col("dm") * F.col("n") - F.col("sx")).cast("double")
+        / F.sqrt(var_num),
+    ).otherwise(F.lit(0.0))
+    sym = (
+        F.when(z < -0.6745, F.lit("a"))
+        .when(z < 0.0, F.lit("b"))
+        .when(z < 0.6745, F.lit("c"))
+        .otherwise(F.lit("d"))
+    )
+    lettered = j.select("event_type", "day", sym.alias("ch"))
+    return (
+        lettered.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_days"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct(F.col("day"), F.col("ch")))
+                    ),
+                    lambda s: s["ch"],
+                ),
+                "",
+            ).alias("sax_word"),
+        )
+        .orderBy("event_type")
+    )
+
+
+def user_countmin_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min sketch heavy hitters - the fourth from-first-
+    principles mergeable sketch family (after the md5 HLL, the KMV,
+    and the histogram-quantile sketch): event counts per user are
+    folded into a d=4 x w=2048 counter matrix via four salted
+    md5 hashes; a user's estimate is the MIN over its four cells
+    (never an under-count, over-counts bounded by e*N/w per row).
+    Cells merge by plain addition, so per-slice sketches roll up
+    without re-reading raw data - the 100 TB path. The top 20 users
+    by estimate are reported with their exact counts and the
+    overestimate, all exact integers: the ENTIRE sketch algebra
+    (hashing, cell sums, min-of-rows) value-hashes against the SQL
+    oracle. Scale: per-user pre-aggregation first (map-side
+    combinable), then 4 rows per USER (not per event) into a
+    <=8192-cell matrix; the estimate join touches users x 4, and the
+    matrix itself broadcasts."""
+    events = load_table(spark, sf_dir, "events").where(F.col("user_id").isNotNull())
+    per_user = events.groupBy("user_id").agg(F.count(F.lit(1)).alias("n"))
+    rows4 = spark.range(4).select(F.col("id").alias("j"))
+    hashed = (
+        per_user.crossJoin(F.broadcast(rows4))
+        .withColumn(
+            "col",
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            F.lit("cm"),
+                            F.col("j").cast("string"),
+                            F.lit("|"),
+                            F.col("user_id").cast("string"),
+                        )
+                    ),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % 2048,
+        )
+    )
+    cells = hashed.groupBy("j", "col").agg(F.sum("n").alias("cell"))
+    est = (
+        hashed.join(cells, ["j", "col"])
+        .groupBy("user_id", "n")
+        .agg(F.min("cell").alias("est_count"))
+    )
+    return (
+        est.select(
+            "user_id",
+            "est_count",
+            F.col("n").alias("true_count"),
+            (F.col("est_count") - F.col("n")).alias("overestimate"),
+        )
+        .orderBy(F.desc("est_count"), F.desc("true_count"), F.asc("user_id"))
+        .limit(20)
+    )
