@@ -2149,6 +2149,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_t_closeness": analytics.events_t_closeness,
         "events_sax_daily": analytics.events_sax_daily,
         "user_countmin_heavy_hitters": analytics.user_countmin_heavy_hitters,
+        "doc_dsir_importance": analytics.doc_dsir_importance,
+        "customer_part_hits": analytics.customer_part_hits,
+        "events_dtw_distance": analytics.events_dtw_distance,
     }
 
 
@@ -8332,5 +8335,161 @@ def oracle_sql() -> dict[str, str]:
             FROM est
             ORDER BY est_count DESC, true_count DESC, user_id ASC
             LIMIT 20
+        """,
+        # DSIR importance: hashed-unigram target/raw ratio on a 1e-6
+        # integer grid before the per-doc sum — order-independent longs
+        "doc_dsir_importance": """
+            WITH toks AS (
+                SELECT doc_id, lang,
+                       unnest(list_filter(string_split(text, ' '),
+                                          x -> x <> '')) AS tok
+                FROM documents
+            ), bt AS (
+                SELECT doc_id, lang,
+                       ('0x' || substr(md5(tok), 1, 8))::BIGINT % 8192 AS b
+                FROM toks
+            ), raw AS (
+                SELECT b, count(*) AS cr FROM bt GROUP BY 1
+            ), tgt AS (
+                SELECT b, count(*) AS ct FROM bt WHERE lang = 'en' GROUP BY 1
+            ), ratio AS (
+                SELECT r.b,
+                       CAST(floor(CAST(1000000.0 AS DOUBLE)
+                            * (CAST(COALESCE(t.ct, 0) + 1 AS DOUBLE)
+                               / CAST(r.cr + 1 AS DOUBLE)) + 0.5) AS BIGINT)
+                           AS term_micro
+                FROM raw r LEFT JOIN tgt t USING (b)
+            ), scored AS (
+                SELECT doc_id, count(*) AS n_tokens,
+                       CAST(SUM(term_micro) AS BIGINT) AS s
+                FROM bt JOIN ratio USING (b) GROUP BY 1
+            )
+            SELECT doc_id, n_tokens,
+                   CAST(floor(CAST(s AS DOUBLE) / CAST(n_tokens AS DOUBLE)
+                              + 0.5) AS BIGINT) AS mean_ratio_micro,
+                   CAST(CAST(floor(CAST(s AS DOUBLE) / CAST(n_tokens AS DOUBLE)
+                                   + 0.5) AS BIGINT) AS DOUBLE)
+                       / CAST(1000000.0 AS DOUBLE) AS mean_ratio
+            FROM scored
+            ORDER BY mean_ratio_micro DESC, doc_id ASC
+            LIMIT 100
+        """,
+        # HITS, two unrolled rounds: exact-integer mass between
+        # normalizations, one mirrored division per node per round
+        "customer_part_hits": """
+            WITH e AS (
+                SELECT DISTINCT o.o_custkey AS c, l.l_partkey AS p
+                FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+            ), h0 AS (
+                SELECT DISTINCT c, 1000000000::BIGINT AS score FROM e
+            ), a1r AS (
+                SELECT p, CAST(SUM(score) AS BIGINT) AS raw
+                FROM e JOIN h0 USING (c) GROUP BY p
+            ), a1 AS (
+                SELECT p, CAST(floor(CAST(raw AS DOUBLE)
+                        / CAST((SELECT SUM(raw) FROM a1r) AS DOUBLE)
+                        * CAST(1000000000.0 AS DOUBLE) + 0.5) AS BIGINT)
+                    AS score
+                FROM a1r
+            ), h1r AS (
+                SELECT c, CAST(SUM(score) AS BIGINT) AS raw
+                FROM e JOIN a1 USING (p) GROUP BY c
+            ), h1 AS (
+                SELECT c, CAST(floor(CAST(raw AS DOUBLE)
+                        / CAST((SELECT SUM(raw) FROM h1r) AS DOUBLE)
+                        * CAST(1000000000.0 AS DOUBLE) + 0.5) AS BIGINT)
+                    AS score
+                FROM h1r
+            ), a2r AS (
+                SELECT p, CAST(SUM(score) AS BIGINT) AS raw
+                FROM e JOIN h1 USING (c) GROUP BY p
+            ), a2 AS (
+                SELECT p, CAST(floor(CAST(raw AS DOUBLE)
+                        / CAST((SELECT SUM(raw) FROM a2r) AS DOUBLE)
+                        * CAST(1000000000.0 AS DOUBLE) + 0.5) AS BIGINT)
+                    AS score
+                FROM a2r
+            ), h2r AS (
+                SELECT c, CAST(SUM(score) AS BIGINT) AS raw
+                FROM e JOIN a2 USING (p) GROUP BY c
+            ), h2 AS (
+                SELECT c, CAST(floor(CAST(raw AS DOUBLE)
+                        / CAST((SELECT SUM(raw) FROM h2r) AS DOUBLE)
+                        * CAST(1000000000.0 AS DOUBLE) + 0.5) AS BIGINT)
+                    AS score
+                FROM h2r
+            ), topa AS (
+                SELECT 'authority' AS side, p AS key,
+                       CAST(score AS DOUBLE)
+                           / CAST(1000000000.0 AS DOUBLE) AS score
+                FROM a2 ORDER BY a2.score DESC, p ASC LIMIT 10
+            ), toph AS (
+                SELECT 'hub' AS side, c AS key,
+                       CAST(score AS DOUBLE)
+                           / CAST(1000000000.0 AS DOUBLE) AS score
+                FROM h2 ORDER BY h2.score DESC, c ASC LIMIT 10
+            )
+            SELECT side, key, score FROM (
+                SELECT * FROM topa UNION ALL SELECT * FROM toph
+            ) ORDER BY side, score DESC, key
+        """,
+        # DTW: the oracle sweeps the SAME min/plus integer recurrence
+        # along anti-diagonals with a recursive CTE (carrying the
+        # previous diagonal as gen=0 rows) — exact longs end to end,
+        # no FP mirroring needed
+        "events_dtw_distance": """
+            WITH RECURSIVE daily AS (
+                SELECT event_type, CAST(ts AS DATE) AS day,
+                       CAST(floor(
+                           CAST(SUM(CAST(floor(value * 100 + 0.5) AS BIGINT))
+                                * 10000 AS DOUBLE)
+                           / CAST(count(*) AS DOUBLE) + 0.5) AS BIGINT) AS dm
+                FROM events WHERE value IS NOT NULL
+                GROUP BY 1, 2
+            ), ser AS (
+                SELECT event_type, list(dm ORDER BY day) AS arr
+                FROM daily GROUP BY 1
+            ), pairs AS (
+                SELECT x.event_type AS type_a, y.event_type AS type_b,
+                       x.arr AS a, y.arr AS b,
+                       len(x.arr) AS n, len(y.arr) AS m
+                FROM ser x JOIN ser y ON x.event_type < y.event_type
+            ), work AS (
+                SELECT type_a, type_b, 0 AS lvl, 1 AS gen, 0 AS i,
+                       abs(a[1] - b[1]) AS val
+                FROM pairs
+                UNION ALL
+                SELECT c.type_a, c.type_b, c.lvl + 1 AS lvl, c.gen, c.i,
+                       MIN(c.val) + MIN(c.cost) AS val
+                FROM (
+                    SELECT w.type_a, w.type_b, w.lvl, u.g AS gen,
+                           u.ti AS i, w.val,
+                           CASE WHEN u.g = 1
+                                THEN abs(p.a[u.ti + 1]
+                                         - p.b[w.lvl + 1 - u.ti + 1])
+                                ELSE 0::BIGINT END AS cost
+                    FROM work w
+                    JOIN pairs p ON w.type_a = p.type_a
+                                AND w.type_b = p.type_b,
+                         UNNEST(CASE WHEN w.gen = 1
+                                THEN [{'g': 1, 'ti': w.i},
+                                      {'g': 1, 'ti': w.i + 1},
+                                      {'g': 0, 'ti': w.i}]
+                                ELSE [{'g': 1, 'ti': w.i + 1}] END) AS t(u)
+                    WHERE (u.g = 0 AND w.lvl + 1 <= p.n + p.m - 2)
+                       OR (u.g = 1 AND u.ti <= p.n - 1
+                           AND w.lvl + 1 - u.ti >= 0
+                           AND w.lvl + 1 - u.ti <= p.m - 1)
+                ) c
+                GROUP BY c.type_a, c.type_b, c.lvl, c.gen, c.i
+            )
+            SELECT w.type_a, w.type_b,
+                   CAST(p.n AS INTEGER) AS n_a, CAST(p.m AS INTEGER) AS n_b,
+                   w.val AS dtw_micro,
+                   CAST(w.val AS DOUBLE) / CAST(1000000.0 AS DOUBLE) AS dtw
+            FROM work w
+            JOIN pairs p ON w.type_a = p.type_a AND w.type_b = p.type_b
+            WHERE w.gen = 1 AND w.lvl = p.n + p.m - 2 AND w.i = p.n - 1
+            ORDER BY w.type_a, w.type_b
         """,
     }

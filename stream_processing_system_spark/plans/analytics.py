@@ -8237,3 +8237,252 @@ def user_countmin_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("est_count"), F.desc("true_count"), F.asc("user_id"))
         .limit(20)
     )
+
+
+def doc_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-style importance reweighting for training-data selection
+    (Xie et al. 2023, "Data Selection for Language Models via
+    Importance Resampling" — public method): score every document by
+    how much its hashed-unigram profile resembles a TARGET
+    distribution (here the English subcorpus) relative to the RAW
+    corpus distribution. Features are md5-hashed token buckets
+    (8192); each token contributes the add-one-smoothed ratio
+    (ct+1)/(cr+1), quantized to an exact 1e-6 integer grid BEFORE the
+    per-document sum so the reduction is order-independent longs.
+    Emits the 100 highest-scoring docs.
+    Scale: two token-bucket aggregates (both map-side combinable into
+    <=8192 rows), the <=8192-row ratio table broadcast onto the
+    exploded token stream, one per-doc sum — no shuffle ever carries
+    more than (doc_id, long) pairs; the same plan at 100 TB."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        "lang",
+        F.explode(F.filter(F.split(F.col("text"), " "), lambda t: t != "")).alias(
+            "tok"
+        ),
+    )
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("tok")), 1, 8), 16, 10).cast("long")
+        % 8192
+    ).alias("b")
+    bt = toks.select("doc_id", "lang", bucket)
+    raw = bt.groupBy("b").agg(F.count(F.lit(1)).alias("cr"))
+    tgt = bt.where(F.col("lang") == "en").groupBy("b").agg(
+        F.count(F.lit(1)).alias("ct")
+    )
+    ratio = raw.join(tgt, "b", "left").select(
+        "b",
+        F.floor(
+            F.lit(1000000.0)
+            * (
+                (F.coalesce(F.col("ct"), F.lit(0)) + F.lit(1)).cast("double")
+                / (F.col("cr") + F.lit(1)).cast("double")
+            )
+            + F.lit(0.5)
+        )
+        .cast("long")
+        .alias("term_micro"),
+    )
+    scored = (
+        bt.join(F.broadcast(ratio), "b")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum("term_micro").alias("s"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.floor(F.col("s").cast("double") / F.col("n_tokens").cast("double") + F.lit(0.5))
+            .cast("long")
+            .alias("mean_ratio_micro"),
+        )
+    )
+    return (
+        scored.select(
+            "doc_id",
+            "n_tokens",
+            "mean_ratio_micro",
+            (F.col("mean_ratio_micro").cast("double") / F.lit(1000000.0)).alias(
+                "mean_ratio"
+            ),
+        )
+        .orderBy(F.desc("mean_ratio_micro"), F.asc("doc_id"))
+        .limit(100)
+    )
+
+
+def customer_part_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HITS (Kleinberg's hubs-and-authorities) on the bipartite
+    customer->part purchase graph: authoritative parts are bought by
+    good hub customers, hub customers buy authoritative parts. Two
+    full update rounds with L1 normalization (which preserves the
+    eigendirection exactly like the usual L2 norm but keeps every
+    score a ratio of exact-integer mass): scores live on a 1e9
+    integer grid, each normalization is ONE mirrored double division
+    per node, and the sums between normalizations are exact
+    DECIMAL(38,0) - bit-stable at any parallelism and value-hashed
+    end-to-end by the unrolled SQL oracle. Emits the top 10
+    authorities and top 10 hubs.
+    Scale: the edge list is a distinct projection of orders join
+    lineitem; every iteration is two groupBys on the edge keys (both
+    map-side combinable) plus a 1-row total broadcast - the same
+    shape as the PageRank operator, sound at 100 TB."""
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    edges = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .select(F.col("o_custkey").alias("c"), F.col("l_partkey").alias("p"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    grid = 1_000_000_000
+
+    def _l1_normalize(df: DataFrame, key: str, raw: str) -> DataFrame:
+        # localCheckpoint: the normalize references `df` twice (total +
+        # per-node divide) and the next round references the result
+        # twice again — without the lineage cut the 2-round unrolled
+        # DAG re-derives each subtree 2^k times.
+        df = df.localCheckpoint(eager=True)
+        tot = df.agg(F.sum(F.col(raw).cast("decimal(38,0)")).alias("_t"))
+        return df.crossJoin(F.broadcast(tot)).select(
+            key,
+            F.floor(
+                F.col(raw).cast("double")
+                / F.col("_t").cast("double")
+                * F.lit(float(grid))
+                + F.lit(0.5)
+            )
+            .cast("long")
+            .alias("score"),
+        )
+
+    hubs = edges.select("c").distinct().select(
+        "c", F.lit(grid).cast("long").alias("score")
+    )
+    for _ in range(2):
+        auth_raw = (
+            edges.join(F.broadcast(hubs), "c")
+            .groupBy("p")
+            .agg(F.sum("score").alias("_raw"))
+        )
+        auth = _l1_normalize(auth_raw, "p", "_raw")
+        hub_raw = (
+            edges.join(F.broadcast(auth), "p")
+            .groupBy("c")
+            .agg(F.sum("score").alias("_raw"))
+        )
+        hubs = _l1_normalize(hub_raw, "c", "_raw")
+    top_auth = (
+        auth.orderBy(F.desc("score"), F.asc("p"))
+        .limit(10)
+        .select(
+            F.lit("authority").alias("side"),
+            F.col("p").alias("key"),
+            (F.col("score").cast("double") / F.lit(float(grid))).alias("score"),
+        )
+    )
+    top_hub = (
+        hubs.orderBy(F.desc("score"), F.asc("c"))
+        .limit(10)
+        .select(
+            F.lit("hub").alias("side"),
+            F.col("c").alias("key"),
+            (F.col("score").cast("double") / F.lit(float(grid))).alias("score"),
+        )
+    )
+    return top_auth.unionAll(top_hub).orderBy("side", F.desc("score"), "key")
+
+
+def events_dtw_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic Time Warping distance between every pair of event
+    types' daily-mean series - the classic elastic similarity measure
+    for time series, computed ENTIRELY inside Spark SQL's
+    higher-order functions: the full O(n*m) DP table is a nested
+    `aggregate` fold (outer fold over series A rows, inner fold
+    builds each DP row left-to-right), no UDF, no collect. Daily
+    means sit on the exact 1e-6 integer grid (same device as the SAX
+    word), costs are |a_i - b_j| integers and the whole DP is
+    min/plus over longs - the final distance is an exact integer on
+    BOTH engines, so the oracle (a recursive CTE that sweeps the DP
+    anti-diagonals, since the fold and the diagonal sweep compute the
+    same recurrence) hash-matches with zero FP mirroring.
+    Scale: the heavy stage is the daily-grain aggregate (map-side
+    combinable); the DP itself runs on one ~30-element array per
+    type pair - 10 rows of work at ANY corpus size."""
+    events = load_table(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    centi = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+    daily = (
+        events.select(
+            "event_type", F.col("ts").cast("date").alias("day"), centi.alias("v")
+        )
+        .groupBy("event_type", "day")
+        .agg(F.sum("v").alias("s"), F.count(F.lit(1)).alias("nd"))
+        .select(
+            "event_type",
+            "day",
+            F.floor(
+                (F.col("s") * F.lit(10000)).cast("double")
+                / F.col("nd").cast("double")
+                + F.lit(0.5)
+            )
+            .cast("long")
+            .alias("dm"),
+        )
+    )
+    ser = daily.groupBy("event_type").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct(F.col("day"), F.col("dm")))),
+            lambda s: s["dm"],
+        ).alias("arr")
+    )
+    pairs = (
+        ser.alias("x")
+        .join(ser.alias("y"), F.col("x.event_type") < F.col("y.event_type"))
+        .select(
+            F.col("x.event_type").alias("type_a"),
+            F.col("y.event_type").alias("type_b"),
+            F.col("x.arr").alias("a"),
+            F.col("y.arr").alias("b"),
+        )
+    )
+    a, b = F.col("a"), F.col("b")
+    # DP row for i=0: cumulative |a_1 - b_j| along the first row
+    row0 = F.aggregate(
+        F.slice(b, 2, F.size(b) - 1),
+        F.array(F.abs(F.element_at(a, 1) - F.element_at(b, 1))),
+        lambda acc, xb: F.concat(
+            acc,
+            F.array(F.element_at(acc, -1) + F.abs(F.element_at(a, 1) - xb)),
+        ),
+    )
+    final_row = F.aggregate(
+        F.slice(a, 2, F.size(a) - 1),
+        row0,
+        lambda prev, xa: F.aggregate(
+            F.slice(b, 2, F.size(b) - 1),
+            F.array(F.element_at(prev, 1) + F.abs(xa - F.element_at(b, 1))),
+            lambda acc, xb: F.concat(
+                acc,
+                F.array(
+                    F.abs(xa - xb)
+                    + F.least(
+                        F.element_at(prev, F.size(acc) + 1),
+                        F.element_at(prev, F.size(acc)),
+                        F.element_at(acc, -1),
+                    )
+                ),
+            ),
+        ),
+    )
+    return pairs.select(
+        "type_a",
+        "type_b",
+        F.size(a).alias("n_a"),
+        F.size(b).alias("n_b"),
+        F.element_at(final_row, -1).alias("dtw_micro"),
+        (F.element_at(final_row, -1).cast("double") / F.lit(1000000.0)).alias(
+            "dtw"
+        ),
+    ).orderBy("type_a", "type_b")
