@@ -2152,6 +2152,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_dsir_importance": analytics.doc_dsir_importance,
         "customer_part_hits": analytics.customer_part_hits,
         "events_dtw_distance": analytics.events_dtw_distance,
+        "events_hurst_exponent": analytics.events_hurst_exponent,
+        "event_sequential_patterns": analytics.event_sequential_patterns,
     }
 
 
@@ -8491,5 +8493,121 @@ def oracle_sql() -> dict[str, str]:
             JOIN pairs p ON w.type_a = p.type_a AND w.type_b = p.type_b
             WHERE w.gen = 1 AND w.lvl = p.n + p.m - 2 AND w.i = p.n - 1
             ORDER BY w.type_a, w.type_b
+        """,
+        # R/S Hurst exponent: integer-lattice cumulative deviations,
+        # IEEE-exact R/S, milli-floored ln() regression inputs
+        "events_hurst_exponent": """
+            WITH daily AS (
+                SELECT event_type, CAST(ts AS DATE) AS day,
+                       CAST(floor(
+                           CAST(SUM(CAST(floor(value * 100 + 0.5) AS BIGINT))
+                                * 10000 AS DOUBLE)
+                           / CAST(count(*) AS DOUBLE) + 0.5) AS BIGINT) AS dm
+                FROM events WHERE value IS NOT NULL
+                GROUP BY 1, 2
+            ), idx AS (
+                SELECT event_type, dm,
+                       row_number() OVER (PARTITION BY event_type
+                                          ORDER BY day) - 1 AS idx
+                FROM daily
+            ), sizes AS (
+                SELECT unnest([5, 10, 15]) AS wn
+            ), blocked AS (
+                SELECT event_type, wn,
+                       CAST(floor(idx / wn) AS BIGINT) AS blk, idx, dm
+                FROM idx CROSS JOIN sizes
+            ), bstats AS (
+                SELECT event_type, wn, blk, count(*) AS bn,
+                       CAST(SUM(dm) AS BIGINT) AS bsx, SUM(dm * dm) AS bsxx
+                FROM blocked GROUP BY 1, 2, 3
+            ), full_blk AS (
+                SELECT * FROM bstats WHERE bn = wn
+            ), dev AS (
+                SELECT b.event_type, b.wn, b.blk, b.idx,
+                       b.dm * b.wn - f.bsx AS d, f.bsx, f.bsxx
+                FROM blocked b
+                JOIN full_blk f USING (event_type, wn, blk)
+            ), cum AS (
+                SELECT *, SUM(d) OVER (PARTITION BY event_type, wn, blk
+                                       ORDER BY idx
+                                       ROWS UNBOUNDED PRECEDING) AS z
+                FROM dev
+            ), per_block AS (
+                SELECT event_type, wn,
+                       CAST(floor(CAST(MAX(z) - MIN(z) AS DOUBLE)
+                            / sqrt(CAST(wn AS DOUBLE) * CAST(bsxx AS DOUBLE)
+                                   - CAST(bsx AS DOUBLE)
+                                     * CAST(bsx AS DOUBLE))
+                            * CAST(1000.0 AS DOUBLE) + 0.5) AS BIGINT)
+                           AS rs_milli
+                FROM cum
+                GROUP BY event_type, wn, blk, bsx, bsxx
+                HAVING (CAST(wn AS DOUBLE) * CAST(bsxx AS DOUBLE)
+                        - CAST(bsx AS DOUBLE) * CAST(bsx AS DOUBLE)) > 0
+            ), pts AS (
+                SELECT event_type, wn, count(*) AS nb,
+                       CAST(SUM(rs_milli) AS BIGINT) AS srs
+                FROM per_block GROUP BY 1, 2
+            ), xy AS (
+                SELECT event_type,
+                       CAST(floor(ln(CAST(wn AS DOUBLE))
+                            * CAST(1000.0 AS DOUBLE) + 0.5) AS BIGINT) AS x,
+                       CAST(floor(ln(CAST(srs AS DOUBLE) / CAST(nb AS DOUBLE)
+                                     / CAST(1000.0 AS DOUBLE))
+                            * CAST(1000.0 AS DOUBLE) + 0.5) AS BIGINT) AS y
+                FROM pts WHERE srs > 0
+            ), sums AS (
+                SELECT event_type, count(*) AS n,
+                       CAST(SUM(x) AS BIGINT) AS sx,
+                       CAST(SUM(y) AS BIGINT) AS sy,
+                       CAST(SUM(x * y) AS BIGINT) AS sxy,
+                       CAST(SUM(x * x) AS BIGINT) AS sxx
+                FROM xy GROUP BY 1
+            )
+            SELECT event_type, CAST(n AS BIGINT) AS n_window_sizes,
+                   floor(CAST(n * sxy - sx * sy AS DOUBLE)
+                         / CAST(n * sxx - sx * sx AS DOUBLE)
+                         * 1e6 + 0.5) / 1e6 AS hurst
+            FROM sums ORDER BY event_type
+        """,
+        # GSP/PrefixSpan support core: greedy-earliest witnesses,
+        # pure min/max timestamps and joins — no FP anywhere
+        "event_sequential_patterns": """
+            WITH ev AS (
+                SELECT user_id, event_type AS t, ts FROM events
+            ), fl AS (
+                SELECT user_id, t, MIN(ts) AS first_ts, MAX(ts) AS last_ts
+                FROM ev GROUP BY 1, 2
+            ), p2 AS (
+                SELECT f.x, l.y, count(*) AS support
+                FROM (SELECT user_id, t AS x, first_ts AS t1 FROM fl) f
+                JOIN (SELECT user_id, t AS y, last_ts AS ly FROM fl) l
+                  USING (user_id)
+                WHERE f.t1 < l.ly
+                GROUP BY 1, 2
+            ), t2 AS (
+                SELECT e.user_id, f.x, e.t AS y, MIN(e.ts) AS t2
+                FROM ev e
+                JOIN (SELECT user_id, t AS x, first_ts AS t1 FROM fl) f
+                  USING (user_id)
+                WHERE e.ts > f.t1
+                GROUP BY 1, 2, 3
+            ), p3 AS (
+                SELECT t2.x, t2.y, l.z, count(*) AS support
+                FROM t2
+                JOIN (SELECT user_id, t AS z, last_ts AS lz FROM fl) l
+                  USING (user_id)
+                WHERE t2.t2 < l.lz
+                GROUP BY 1, 2, 3
+            )
+            SELECT pattern, length, support FROM (
+                SELECT x || '>' || y AS pattern, 2 AS length,
+                       CAST(support AS BIGINT) AS support
+                FROM p2
+                UNION ALL
+                SELECT x || '>' || y || '>' || z, 3,
+                       CAST(support AS BIGINT)
+                FROM p3
+            ) ORDER BY length, support DESC, pattern
         """,
     }

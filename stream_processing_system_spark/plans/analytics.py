@@ -8486,3 +8486,188 @@ def events_dtw_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
             "dtw"
         ),
     ).orderBy("type_a", "type_b")
+
+
+def events_hurst_exponent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hurst exponent of each event type's daily-mean series by
+    classical rescaled-range (R/S) analysis: split the series into
+    blocks of size n in {5, 10, 15}, per block compute R/S =
+    (max - min of cumulative deviations) / population std, average
+    the block R/S per n, and fit ln(mean R/S) against ln(n) by OLS -
+    the slope is H (0.5 = random walk, > 0.5 = trending / long
+    memory, < 0.5 = mean-reverting).
+    Determinism: daily means on the 1e-6 integer grid; per block the
+    deviations ride the exact-integer lattice d_i = n*x_i - Sx so the
+    cumulative sums, max and min are longs; R/S = (max-min) /
+    sqrt(n*Sxx - Sx^2) uses only IEEE-exact ops; each block's R/S and
+    both ln() regression inputs are floored to MILLI units before any
+    cross-row sum (the zipf_fit device), so every reduction is
+    order-independent int64.
+    Scale: the only data-sized stage is the daily-grain aggregate;
+    everything after runs on <=30 rows per type."""
+    events = load_table(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    centi = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+    daily = (
+        events.select(
+            "event_type", F.col("ts").cast("date").alias("day"), centi.alias("v")
+        )
+        .groupBy("event_type", "day")
+        .agg(F.sum("v").alias("s"), F.count(F.lit(1)).alias("nd"))
+        .select(
+            "event_type",
+            "day",
+            F.floor(
+                (F.col("s") * F.lit(10000)).cast("double")
+                / F.col("nd").cast("double")
+                + F.lit(0.5)
+            )
+            .cast("long")
+            .alias("dm"),
+        )
+    )
+    idx = daily.select(
+        "event_type",
+        "dm",
+        (
+            F.row_number().over(
+                Window.partitionBy("event_type").orderBy("day")
+            )
+            - F.lit(1)
+        ).alias("idx"),
+    )
+    sizes = spark.range(3).select(
+        (F.col("id") * 5 + 5).cast("long").alias("wn")
+    )  # 5, 10, 15
+    blocked = idx.crossJoin(F.broadcast(sizes)).select(
+        "event_type",
+        "wn",
+        F.floor(F.col("idx") / F.col("wn")).cast("long").alias("blk"),
+        "idx",
+        "dm",
+    )
+    bstats = blocked.groupBy("event_type", "wn", "blk").agg(
+        F.count(F.lit(1)).alias("bn"),
+        F.sum("dm").alias("bsx"),
+        F.sum(F.col("dm").cast("decimal(38,0)") * F.col("dm")).alias("bsxx"),
+    )
+    full = bstats.where(F.col("bn") == F.col("wn"))
+    dev = blocked.join(full, ["event_type", "wn", "blk"]).select(
+        "event_type",
+        "wn",
+        "blk",
+        "idx",
+        (F.col("dm") * F.col("wn") - F.col("bsx")).alias("d"),
+        "bsx",
+        "bsxx",
+    )
+    wcum = Window.partitionBy("event_type", "wn", "blk").orderBy("idx")
+    cum = dev.withColumn(
+        "z", F.sum("d").over(wcum.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    var_num = (
+        F.col("wn").cast("double") * F.col("bsxx").cast("double")
+        - F.col("bsx").cast("double") * F.col("bsx").cast("double")
+    )
+    per_block = (
+        cum.groupBy("event_type", "wn", "blk", "bsx", "bsxx")
+        .agg((F.max("z") - F.min("z")).alias("rng"))
+        .where(var_num > 0)
+        .select(
+            "event_type",
+            "wn",
+            F.floor(
+                F.col("rng").cast("double") / F.sqrt(var_num) * F.lit(1000.0)
+                + F.lit(0.5)
+            )
+            .cast("long")
+            .alias("rs_milli"),
+        )
+    )
+    pts = per_block.groupBy("event_type", "wn").agg(
+        F.count(F.lit(1)).alias("nb"), F.sum("rs_milli").alias("srs")
+    )
+    # ln(mean R/S) and ln(n), both milli-floored regression inputs
+    my = F.floor(
+        F.log(
+            F.col("srs").cast("double")
+            / F.col("nb").cast("double")
+            / F.lit(1000.0)
+        )
+        * F.lit(1000.0)
+        + F.lit(0.5)
+    ).cast("long")
+    mx = F.floor(
+        F.log(F.col("wn").cast("double")) * F.lit(1000.0) + F.lit(0.5)
+    ).cast("long")
+    xy = pts.where(F.col("srs") > 0).select("event_type", mx.alias("x"), my.alias("y"))
+    sums = xy.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    den = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    return sums.select(
+        "event_type",
+        F.col("n").alias("n_window_sizes"),
+        det_round(num / den, 6).alias("hurst"),
+    ).orderBy("event_type")
+
+
+def event_sequential_patterns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequential-pattern mining over per-user event-type sequences
+    (the GSP/PrefixSpan support-counting core): a 2-pattern x>y is
+    present for a user iff some x-event strictly precedes some
+    y-event (equivalently first(x) < last(y)); a 3-pattern x>y>z uses
+    the greedy-earliest witness (t1 = first(x), t2 = earliest y after
+    t1, then any z after t2 - greedy matching decides subsequence
+    presence exactly). Support = number of users containing the
+    pattern. Everything is min/max timestamps and joins on the
+    (user, type) grain - exact, no FP at all.
+    Scale: the per-(user,type) first/last aggregate is map-side
+    combinable; the pattern joins fan out at most |types|^2 = 25 rows
+    per user, never per event, and the t2 probe joins each event to
+    at most |types| firsts - linear in data with a small constant."""
+    events = load_table(spark, sf_dir, "events").select(
+        "user_id", F.col("event_type").alias("t"), "ts"
+    )
+    fl = events.groupBy("user_id", "t").agg(
+        F.min("ts").alias("first_ts"), F.max("ts").alias("last_ts")
+    )
+    fx = fl.select("user_id", F.col("t").alias("x"), F.col("first_ts").alias("t1"))
+    ly = fl.select("user_id", F.col("t").alias("y"), F.col("last_ts").alias("ly"))
+    p2 = (
+        fx.join(ly, "user_id")
+        .where(F.col("t1") < F.col("ly"))
+        .groupBy("x", "y")
+        .agg(F.count(F.lit(1)).alias("support"))
+        .select(
+            F.concat_ws(">", "x", "y").alias("pattern"),
+            F.lit(2).alias("length"),
+            "support",
+        )
+    )
+    # earliest y strictly after first(x), per (user, x, y)
+    t2 = (
+        events.join(fx, "user_id")
+        .where(F.col("ts") > F.col("t1"))
+        .groupBy("user_id", "x", F.col("t").alias("y"))
+        .agg(F.min("ts").alias("t2"))
+    )
+    lz = fl.select("user_id", F.col("t").alias("z"), F.col("last_ts").alias("lz"))
+    p3 = (
+        t2.join(lz, "user_id")
+        .where(F.col("t2") < F.col("lz"))
+        .groupBy("x", "y", "z")
+        .agg(F.count(F.lit(1)).alias("support"))
+        .select(
+            F.concat_ws(">", "x", "y", "z").alias("pattern"),
+            F.lit(3).alias("length"),
+            "support",
+        )
+    )
+    return p2.unionAll(p3).orderBy(
+        "length", F.desc("support"), "pattern"
+    )

@@ -1,0 +1,88 @@
+"""Semantics pins for R/S Hurst analysis and sequential-pattern
+support counting on constructed inputs."""
+
+from __future__ import annotations
+
+import datetime
+import os
+
+
+def _sf(tmp_path, spark, events):
+    sf = str(tmp_path / "sf")
+    os.makedirs(sf, exist_ok=True)
+    spark.createDataFrame(
+        events,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    ).write.mode("overwrite").parquet(os.path.join(sf, "events.parquet"))
+    return sf
+
+
+def test_hurst_trend_vs_alternating(spark, tmp_path):
+    """A monotone trend has long memory (H near 1); a strict
+    alternation is maximally mean-reverting (H near 0). Values
+    observed via the oracle SQL: 1.0185 and 0.0340."""
+    from stream_processing_system_spark.plans.analytics import events_hurst_exponent
+
+    events = []
+    for i in range(30):
+        events.append(
+            (len(events), datetime.datetime(2024, 1, 1 + i, 12, 0), 1,
+             "trend", 10.0 * (i + 1), "{}")
+        )
+        events.append(
+            (len(events), datetime.datetime(2024, 1, 1 + i, 12, 0), 1,
+             "alt", 10.0 if i % 2 else 20.0, "{}")
+        )
+    rows = events_hurst_exponent(spark, _sf(tmp_path, spark, events)).collect()
+    got = {r["event_type"]: r for r in rows}
+    assert got["trend"]["n_window_sizes"] == 3
+    assert got["trend"]["hurst"] > 0.9
+    assert got["alt"]["hurst"] < 0.2
+
+
+def test_sequential_pattern_supports(spark, tmp_path):
+    """user 1: a,b,c in order; user 2: b then a. Hand-enumerated
+    supports for every emitted 2- and 3-pattern."""
+    from stream_processing_system_spark.plans.analytics import (
+        event_sequential_patterns,
+    )
+
+    def ts(m):
+        return datetime.datetime(2024, 1, 1, 0, m)
+
+    events = [
+        (0, ts(1), 1, "a", 1.0, "{}"),
+        (1, ts(2), 1, "b", 1.0, "{}"),
+        (2, ts(3), 1, "c", 1.0, "{}"),
+        (3, ts(1), 2, "b", 1.0, "{}"),
+        (4, ts(2), 2, "a", 1.0, "{}"),
+    ]
+    rows = event_sequential_patterns(spark, _sf(tmp_path, spark, events)).collect()
+    got = {(r["pattern"], r["length"]): r["support"] for r in rows}
+    assert got == {
+        ("a>b", 2): 1,
+        ("a>c", 2): 1,
+        ("b>c", 2): 1,
+        ("b>a", 2): 1,
+        ("a>b>c", 3): 1,
+    }
+
+
+def test_sequential_pattern_repeat_needs_two(spark, tmp_path):
+    """x>x requires two x occurrences at distinct times."""
+    from stream_processing_system_spark.plans.analytics import (
+        event_sequential_patterns,
+    )
+
+    def ts(m):
+        return datetime.datetime(2024, 1, 1, 0, m)
+
+    events = [
+        (0, ts(1), 1, "a", 1.0, "{}"),
+        (1, ts(2), 1, "a", 1.0, "{}"),
+        (2, ts(1), 2, "a", 1.0, "{}"),
+    ]
+    rows = event_sequential_patterns(spark, _sf(tmp_path, spark, events)).collect()
+    got = {(r["pattern"], r["length"]): r["support"] for r in rows}
+    assert got == {("a>a", 2): 1}
