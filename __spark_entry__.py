@@ -2154,6 +2154,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_dtw_distance": analytics.events_dtw_distance,
         "events_hurst_exponent": analytics.events_hurst_exponent,
         "event_sequential_patterns": analytics.event_sequential_patterns,
+        "events_matrix_profile": analytics.events_matrix_profile,
+        "stream_sax_daily": streaming_parity.stream_sax_daily,
     }
 
 
@@ -2239,7 +2241,7 @@ def _analytics_sql_frontdoor_text() -> str:
 
 
 def oracle_sql() -> dict[str, str]:
-    return {
+    _o = {
         # GK sketch values are engine-specific, but the sketch's rank
         # bound is not: the Spark side verifies approx ∈ [exact order
         # stats at rank ±(n/accuracy + 1)] and emits the booleans; the
@@ -8610,4 +8612,54 @@ def oracle_sql() -> dict[str, str]:
                 FROM p3
             ) ORDER BY length, support DESC, pattern
         """,
+        # brute-force matrix profile: exact long squared distances over
+        # the window/offset join, argmin tie-broken by smallest index
+        "events_matrix_profile": """
+            WITH daily AS (
+                SELECT event_type, CAST(ts AS DATE) AS day,
+                       CAST(floor(
+                           CAST(SUM(CAST(floor(value * 100 + 0.5) AS BIGINT))
+                                * 10000 AS DOUBLE)
+                           / CAST(count(*) AS DOUBLE) + 0.5) AS BIGINT) AS dm
+                FROM events WHERE value IS NOT NULL
+                GROUP BY 1, 2
+            ), idx AS (
+                SELECT event_type, dm,
+                       CAST(row_number() OVER (PARTITION BY event_type
+                                               ORDER BY day) - 1 AS BIGINT)
+                           AS idx
+                FROM daily
+            ), offs AS (
+                SELECT unnest(range(7)) AS k
+            ), wel AS (
+                SELECT event_type, idx - k AS s, k, dm
+                FROM idx CROSS JOIN offs
+                WHERE idx - k >= 0
+            ), dists AS (
+                SELECT a.event_type, a.s AS s1, b.s AS s2, count(*) AS nk,
+                       CAST(SUM((a.dm - b.dm) * (a.dm - b.dm)) AS BIGINT)
+                           AS d2
+                FROM wel a JOIN wel b
+                  ON a.event_type = b.event_type AND a.k = b.k
+                 AND abs(a.s - b.s) >= 4
+                GROUP BY 1, 2, 3
+                HAVING count(*) = 7
+            ), prof AS (
+                SELECT event_type, s1, d2, MIN(s2) AS nn_widx
+                FROM (
+                    SELECT *, MIN(d2) OVER (PARTITION BY event_type, s1)
+                               AS md
+                    FROM dists
+                ) WHERE d2 = md
+                GROUP BY 1, 2, 3
+            )
+            SELECT event_type, s1 AS widx, nn_widx, d2 AS nn_dist_micro2,
+                   sqrt(CAST(d2 AS DOUBLE)) / CAST(1000000.0 AS DOUBLE)
+                       AS nn_dist
+            FROM prof ORDER BY event_type, widx
+        """,
     }
+    # the streaming SAX twin drains to the identical daily snapshot —
+    # same oracle text as the batch plan
+    _o["stream_sax_daily"] = _o["events_sax_daily"]
+    return _o

@@ -8139,6 +8139,15 @@ def events_sax_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("dm"),
         )
     )
+    return sax_word_from_daily(daily)
+
+
+def sax_word_from_daily(daily: DataFrame) -> DataFrame:
+    """Shared SAX tail (z-normalize the grid-quantized daily means,
+    discretize at the Gaussian 4-symbol breakpoints, assemble the
+    day-ordered word) — used by both the batch plan and the streaming
+    twin, whose drained (sum, count) state reduces to the identical
+    `daily` frame."""
     stats = daily.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n"),
         F.sum("dm").alias("sx"),
@@ -8671,3 +8680,93 @@ def event_sequential_patterns(spark: SparkSession, sf_dir: str) -> DataFrame:
     return p2.unionAll(p3).orderBy(
         "length", F.desc("support"), "pattern"
     )
+
+
+def events_matrix_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matrix profile (brute-force, non-normalized) of each event
+    type's daily-mean series with subsequence length w=7: for every
+    length-7 window, the squared Euclidean distance to its nearest
+    NON-TRIVIAL neighbor (exclusion zone |s1-s2| >= 4 = w/2 suppresses
+    self-matches, as in the Yeh et al. 2016 matrix-profile papers).
+    Low profile values mark repeated motifs, the peak marks the
+    discord (anomalous week). Daily means ride the exact 1e-6 integer
+    grid, distances are exact long sums of squared diffs, and the
+    argmin tie-break is the smallest neighbor index via a window-min
+    filter - integers end to end, zero FP mirroring.
+    Scale: the all-pairs join runs on ~24 windows x 7 offsets PER
+    TYPE regardless of corpus size; the data-sized stage is only the
+    daily-grain aggregate."""
+    w, excl = 7, 4
+    events = load_table(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    centi = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+    daily = (
+        events.select(
+            "event_type", F.col("ts").cast("date").alias("day"), centi.alias("v")
+        )
+        .groupBy("event_type", "day")
+        .agg(F.sum("v").alias("s"), F.count(F.lit(1)).alias("nd"))
+        .select(
+            "event_type",
+            "day",
+            F.floor(
+                (F.col("s") * F.lit(10000)).cast("double")
+                / F.col("nd").cast("double")
+                + F.lit(0.5)
+            )
+            .cast("long")
+            .alias("dm"),
+        )
+    )
+    idx = daily.select(
+        "event_type",
+        "dm",
+        (
+            F.row_number().over(Window.partitionBy("event_type").orderBy("day"))
+            - F.lit(1)
+        )
+        .cast("long")
+        .alias("idx"),
+    )
+    offs = spark.range(w).select(F.col("id").alias("k"))
+    wel = (
+        idx.crossJoin(F.broadcast(offs))
+        .select(
+            "event_type", (F.col("idx") - F.col("k")).alias("s"), "k", "dm"
+        )
+        .where(F.col("s") >= 0)
+    )
+    a, b = wel.alias("a"), wel.alias("b")
+    dists = (
+        a.join(
+            b,
+            (F.col("a.event_type") == F.col("b.event_type"))
+            & (F.col("a.k") == F.col("b.k"))
+            & (F.abs(F.col("a.s") - F.col("b.s")) >= excl),
+        )
+        .groupBy(
+            F.col("a.event_type").alias("event_type"),
+            F.col("a.s").alias("s1"),
+            F.col("b.s").alias("s2"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("nk"),
+            F.sum(
+                (F.col("a.dm") - F.col("b.dm")) * (F.col("a.dm") - F.col("b.dm"))
+            ).alias("d2"),
+        )
+        .where(F.col("nk") == w)
+    )
+    wmin = Window.partitionBy("event_type", "s1")
+    prof = (
+        dists.withColumn("md", F.min("d2").over(wmin))
+        .where(F.col("d2") == F.col("md"))
+        .groupBy("event_type", "s1", "d2")
+        .agg(F.min("s2").alias("nn_widx"))
+    )
+    return prof.select(
+        "event_type",
+        F.col("s1").alias("widx"),
+        "nn_widx",
+        F.col("d2").alias("nn_dist_micro2"),
+        (F.sqrt(F.col("d2").cast("double")) / F.lit(1000000.0)).alias("nn_dist"),
+    ).orderBy("event_type", "widx")

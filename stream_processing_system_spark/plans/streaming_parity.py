@@ -850,3 +850,68 @@ def stream_soak_lineitem_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     _cleanup(input_dir)
     return out
+
+
+def stream_sax_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SAX words with the DAILY-GRAIN STATE maintained by a streaming
+    aggregation — the streaming twin of `analytics.events_sax_daily`
+    (same oracle). The per-(type, day) (sum of grid-centi values,
+    count) pair is a mergeable monoid, so any micro-batch
+    interleaving drains to the identical snapshot; the z-normalize /
+    discretize / word-assembly tail then runs as a batch query over
+    the drained state (the sketch-serving split, as in the CM-sketch
+    twin). Complete mode because the drain must emit every day;
+    unbounded deployments run the same plan in update mode with a
+    watermark on ts."""
+    from stream_processing_system_spark.plans.analytics import sax_word_from_daily
+
+    input_dir, ckpt, run = _scratch("sax")
+    events = (
+        load_table(spark, sf_dir, "events")
+        .where(F.col("value").isNotNull())
+        .select("ts", "event_type", "value")
+    )
+    events.write.mode("overwrite").parquet(input_dir)
+    stream = spark.readStream.schema(
+        "ts timestamp, event_type string, value double"
+    ).parquet(input_dir)
+    centi = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+    state = (
+        stream.select(
+            "event_type",
+            F.col("ts").cast("date").cast("string").alias("day"),
+            centi.alias("v"),
+        )
+        .groupBy("event_type", "day")
+        .agg(F.sum("v").alias("s"), F.count(F.lit(1)).alias("nd"))
+    )
+    with _state_partitions(spark):
+        q = (
+            state.writeStream.outputMode("complete")
+            .format("memory")
+            .queryName(f"sax_{run}")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    _cleanup(input_dir)
+    # localCheckpoint the drained snapshot (<= types x days rows): the
+    # SAX tail self-joins the daily frame, and re-referencing the same
+    # MemoryPlan yields conflicting attribute ids.
+    daily = (
+        spark.table(f"sax_{run}")
+        .select(
+            "event_type",
+            "day",
+            F.floor(
+                (F.col("s") * F.lit(10000)).cast("double")
+                / F.col("nd").cast("double")
+                + F.lit(0.5)
+            )
+            .cast("long")
+            .alias("dm"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    return sax_word_from_daily(daily)
