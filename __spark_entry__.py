@@ -2156,6 +2156,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_sequential_patterns": analytics.event_sequential_patterns,
         "events_matrix_profile": analytics.events_matrix_profile,
         "stream_sax_daily": streaming_parity.stream_sax_daily,
+        "embedding_matryoshka_recall": pipeline.embedding_matryoshka_recall,
+        "embedding_bq_recall": pipeline.embedding_bq_recall,
     }
 
 
@@ -8657,6 +8659,77 @@ def oracle_sql() -> dict[str, str]:
                    sqrt(CAST(d2 AS DOUBLE)) / CAST(1000000.0 AS DOUBLE)
                        AS nn_dist
             FROM prof ORDER BY event_type, widx
+        """,
+        # Matryoshka truncation recall: round-6 truncated cosine
+        # ranking per probe query vs the 64-dim ranking
+        "embedding_matryoshka_recall": """
+            WITH q AS (
+                SELECT vec_id AS qid, embedding AS qv
+                FROM embeddings WHERE vec_id < 10
+            ), dims AS (
+                SELECT unnest([8, 16, 32, 64]) AS trunc_dim
+            ), sims AS (
+                SELECT d.trunc_dim, q.qid, c.vec_id,
+                       ROUND(list_cosine_similarity(
+                           (c.embedding[1:d.trunc_dim])::DOUBLE[],
+                           (q.qv[1:d.trunc_dim])::DOUBLE[]), 6) AS sim
+                FROM embeddings c CROSS JOIN q CROSS JOIN dims d
+                WHERE c.vec_id <> q.qid
+            ), ranked AS (
+                SELECT *, row_number() OVER (PARTITION BY trunc_dim, qid
+                                             ORDER BY sim DESC, vec_id ASC)
+                           AS rn
+                FROM sims
+            ), topd AS (
+                SELECT trunc_dim, qid, vec_id FROM ranked WHERE rn <= 10
+            ), fullr AS (
+                SELECT qid, vec_id FROM topd WHERE trunc_dim = 64
+            ), hits AS (
+                SELECT t.trunc_dim, count(*) AS hits
+                FROM topd t JOIN fullr f
+                  ON t.qid = f.qid AND t.vec_id = f.vec_id
+                GROUP BY 1
+            )
+            SELECT trunc_dim, CAST(hits AS BIGINT) AS hits,
+                   floor(CAST(hits AS DOUBLE) / CAST(100.0 AS DOUBLE)
+                         * 1e6 + 0.5) / 1e6 AS mean_recall_at10
+            FROM hits ORDER BY trunc_dim
+        """,
+        # binary quantization: exact integer Hamming ranking vs the
+        # round-6 full-precision cosine top-10
+        "embedding_bq_recall": """
+            WITH wb AS (
+                SELECT vec_id, embedding,
+                       list_transform(embedding,
+                           x -> CASE WHEN x >= 0 THEN 1 ELSE 0 END) AS bv
+                FROM embeddings
+            ), q AS (
+                SELECT vec_id AS qid, embedding AS qv, bv AS qb
+                FROM wb WHERE vec_id < 10
+            ), sims AS (
+                SELECT q.qid, c.vec_id,
+                       CAST(list_sum(list_transform(
+                           range(1, len(c.bv) + 1),
+                           i -> abs(q.qb[i] - c.bv[i]))) AS BIGINT) AS ham,
+                       ROUND(list_cosine_similarity(
+                           c.embedding::DOUBLE[], q.qv::DOUBLE[]), 6) AS sim
+                FROM wb c CROSS JOIN q
+                WHERE c.vec_id <> q.qid
+            ), ranked AS (
+                SELECT qid, vec_id,
+                       row_number() OVER (PARTITION BY qid
+                                          ORDER BY ham ASC, vec_id ASC) AS rh,
+                       row_number() OVER (PARTITION BY qid
+                                          ORDER BY sim DESC, vec_id ASC) AS rc
+                FROM sims
+            )
+            SELECT CAST(count(*) AS BIGINT) AS hits,
+                   floor(CAST(count(*) AS DOUBLE) / CAST(100.0 AS DOUBLE)
+                         * 1e6 + 0.5) / 1e6 AS recall_at10
+            FROM ranked h JOIN (
+                SELECT qid, vec_id FROM ranked WHERE rc <= 10
+            ) c ON h.qid = c.qid AND h.vec_id = c.vec_id
+            WHERE h.rh <= 10
         """,
     }
     # the streaming SAX twin drains to the identical daily snapshot —

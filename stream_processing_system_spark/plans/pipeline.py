@@ -1635,3 +1635,135 @@ def doc_substring_dedup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     return substring_dedup_spans(_docs(spark, sf_dir))
+
+
+def embedding_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka-truncation evaluation (Kusupati et al. 2022): how
+    much of the full-dimension cosine top-10 survives when vectors
+    are truncated to their first d dims (d in 8/16/32/64)? For each
+    of the 10 fixed probe queries (vec_id < 10), rank all other
+    vectors by truncated cosine (round-6 + id tie-break, the same
+    device as `cosine_topk`), and report recall@10 against the
+    64-dim ranking per truncation - the curve that tells you how
+    aggressively an index can truncate before retrieval degrades.
+    This is the measurement harness: brute force by design (the
+    serving path at 100 TB is the IVF/PQ family); the scan is one
+    codegen'd map stage, 4 dims x 10 queries x N rows, ranked by a
+    10-row-per-group window."""
+    embs = load_table(spark, sf_dir, "embeddings")
+    queries = embs.where(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qv")
+    )
+    cands = embs.select("vec_id", "embedding")
+    dims = [8, 16, 32, 64]
+    from stream_processing_system_spark.functions.scalar import (
+        cosine_similarity,
+        det_round,
+    )
+
+    per_dim = None
+    base = cands.crossJoin(F.broadcast(queries)).where(
+        F.col("vec_id") != F.col("qid")
+    )
+    for d in dims:
+        sims = base.select(
+            F.lit(d).alias("trunc_dim"),
+            "qid",
+            "vec_id",
+            F.round(
+                cosine_similarity(
+                    F.slice(F.col("embedding"), 1, d), F.slice(F.col("qv"), 1, d)
+                ),
+                6,
+            ).alias("sim"),
+        )
+        per_dim = sims if per_dim is None else per_dim.unionAll(sims)
+    w = Window.partitionBy("trunc_dim", "qid").orderBy(
+        F.desc("sim"), F.asc("vec_id")
+    )
+    topd = (
+        per_dim.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 10)
+        .select("trunc_dim", "qid", "vec_id")
+    )
+    full = topd.where(F.col("trunc_dim") == 64).select("qid", "vec_id")
+    hits = (
+        topd.join(full, ["qid", "vec_id"])
+        .groupBy("trunc_dim")
+        .agg(F.count(F.lit(1)).alias("hits"))
+    )
+    return hits.select(
+        "trunc_dim",
+        "hits",
+        det_round(
+            F.col("hits").cast("double") / F.lit(100.0), 6
+        ).alias("mean_recall_at10"),
+    ).orderBy("trunc_dim")
+
+
+def embedding_bq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-quantization retrieval evaluation - the 1-bit
+    counterpart of `embedding_matryoshka_recall` (the two devices
+    modern vector stores combine): quantize every vector to its
+    per-dimension sign bits, rank by Hamming distance (exact integer
+    XOR-count, ascending, id tie-break - ties are COMMON at 64 bits
+    so the deterministic tie-break is load-bearing), and report
+    recall@10 of the Hamming ranking against the full-precision
+    cosine top-10 (round-6 device) over the 10 fixed probe queries.
+    32x memory compression, integer-only scan - the candidate-
+    generation arm of a BQ + rescore pipeline at 100 TB; this query
+    is its measurement harness (brute force by design)."""
+    from stream_processing_system_spark.functions.scalar import (
+        cosine_similarity,
+        det_round,
+    )
+
+    embs = load_table(spark, sf_dir, "embeddings")
+    bits = F.transform(
+        F.col("embedding"),
+        lambda x: F.when(x >= 0, F.lit(1)).otherwise(F.lit(0)),
+    )
+    withbits = embs.select("vec_id", "embedding", bits.alias("bv"))
+    queries = withbits.where(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("qid"),
+        F.col("embedding").alias("qv"),
+        F.col("bv").alias("qb"),
+    )
+    pairs = withbits.crossJoin(F.broadcast(queries)).where(
+        F.col("vec_id") != F.col("qid")
+    )
+    hamming = F.aggregate(
+        F.zip_with(F.col("qb"), F.col("bv"), lambda x, y: F.abs(x - y)),
+        F.lit(0),
+        lambda acc, v: acc + v,
+    )
+    sims = pairs.select(
+        "qid",
+        "vec_id",
+        hamming.alias("ham"),
+        F.round(cosine_similarity(F.col("embedding"), F.col("qv")), 6).alias(
+            "sim"
+        ),
+    )
+    wh = Window.partitionBy("qid").orderBy(F.asc("ham"), F.asc("vec_id"))
+    wc = Window.partitionBy("qid").orderBy(F.desc("sim"), F.asc("vec_id"))
+    ranked = sims.select(
+        "qid",
+        "vec_id",
+        F.row_number().over(wh).alias("rh"),
+        F.row_number().over(wc).alias("rc"),
+    )
+    hits = (
+        ranked.where(F.col("rh") <= 10)
+        .join(
+            ranked.where(F.col("rc") <= 10).select("qid", "vec_id"),
+            ["qid", "vec_id"],
+        )
+        .agg(F.count(F.lit(1)).alias("hits"))
+    )
+    return hits.select(
+        "hits",
+        det_round(F.col("hits").cast("double") / F.lit(100.0), 6).alias(
+            "recall_at10"
+        ),
+    )
