@@ -111,9 +111,15 @@ def pca_components(
     m = cl_raw.groupBy("d").agg(
         F.floor(F.sum("q") / F.count(F.lit(1))).alias("m")
     )
+    # the long-format centered frame is rows x dim cells but each
+    # power-iteration action only aggregates it — 4 partitions keeps
+    # the 16 sequential mat-vec jobs from paying 32-task scheduling
+    # overhead each (the frame is O(n*dim) cells, repartition before
+    # cache so every downstream job reads the compact layout)
     cl = (
         cl_raw.join(F.broadcast(m), "d")
         .select("_id", "d", (F.col("q") - F.col("m")).alias("c"))
+        .repartition(4, "_id")
         .cache()
     )
     rows = []
