@@ -8276,11 +8276,13 @@ def doc_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
         % 8192
     ).alias("b")
     bt = toks.select("doc_id", "lang", bucket)
-    raw = bt.groupBy("b").agg(F.count(F.lit(1)).alias("cr"))
-    tgt = bt.where(F.col("lang") == "en").groupBy("b").agg(
-        F.count(F.lit(1)).alias("ct")
+    # raw and target counts in ONE aggregate — the token stream is
+    # scanned twice total (counts + scoring join), never three times
+    counts = bt.groupBy("b").agg(
+        F.count(F.lit(1)).alias("cr"),
+        F.sum(F.when(F.col("lang") == "en", 1).otherwise(0)).alias("ct"),
     )
-    ratio = raw.join(tgt, "b", "left").select(
+    ratio = counts.select(
         "b",
         F.floor(
             F.lit(1000000.0)
@@ -8734,6 +8736,9 @@ def events_matrix_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             "event_type", (F.col("idx") - F.col("k")).alias("s"), "k", "dm"
         )
         .where(F.col("s") >= 0)
+        # tiny (types x windows x 7 rows): materialize once so the
+        # self-join doesn't re-run the corpus-sized daily aggregate
+        .localCheckpoint(eager=True)
     )
     a, b = wel.alias("a"), wel.alias("b")
     dists = (
