@@ -2158,6 +2158,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_sax_daily": streaming_parity.stream_sax_daily,
         "embedding_matryoshka_recall": pipeline.embedding_matryoshka_recall,
         "embedding_bq_recall": pipeline.embedding_bq_recall,
+        "events_holt_winters": analytics.events_holt_winters,
     }
 
 
@@ -8730,6 +8731,65 @@ def oracle_sql() -> dict[str, str]:
                 SELECT qid, vec_id FROM ranked WHERE rc <= 10
             ) c ON h.qid = c.qid AND h.vec_id = c.vec_id
             WHERE h.rh <= 10
+        """,
+        # Holt-Winters additive: the oracle replays the identical fold
+        # one recursion row per day, carrying (level, trend, the 7-slot
+        # seasonal queue, SSE); binary-fraction smoothing constants keep
+        # every sequential double op bit-identical cross-engine
+        "events_holt_winters": """
+            WITH RECURSIVE daily AS (
+                SELECT event_type, CAST(ts AS DATE) AS day,
+                       CAST(SUM(CAST(floor(value * 100 + 0.5) AS BIGINT))
+                            AS BIGINT) AS cent
+                FROM events WHERE value IS NOT NULL
+                GROUP BY 1, 2
+            ), ser AS (
+                SELECT event_type, y, len(y) AS n FROM (
+                    SELECT event_type, list(cent ORDER BY day) AS y
+                    FROM daily GROUP BY 1
+                ) WHERE len(y) >= 15
+            ), init AS (
+                SELECT event_type, y, n, 7 AS t,
+                       m1 AS l,
+                       (m2 - m1) / CAST(7.0 AS DOUBLE) AS b,
+                       [CAST(y[1] AS DOUBLE) / CAST(100.0 AS DOUBLE) - m1, CAST(y[2] AS DOUBLE) / CAST(100.0 AS DOUBLE) - m1, CAST(y[3] AS DOUBLE) / CAST(100.0 AS DOUBLE) - m1, CAST(y[4] AS DOUBLE) / CAST(100.0 AS DOUBLE) - m1, CAST(y[5] AS DOUBLE) / CAST(100.0 AS DOUBLE) - m1, CAST(y[6] AS DOUBLE) / CAST(100.0 AS DOUBLE) - m1, CAST(y[7] AS DOUBLE) / CAST(100.0 AS DOUBLE) - m1] AS seas,
+                       CAST(0.0 AS DOUBLE) AS sse
+                FROM (
+                    SELECT event_type, y, n,
+                           (((((((CAST(0.0 AS DOUBLE) + CAST(y[1] AS DOUBLE) / CAST(100.0 AS DOUBLE)) + CAST(y[2] AS DOUBLE) / CAST(100.0 AS DOUBLE)) + CAST(y[3] AS DOUBLE) / CAST(100.0 AS DOUBLE)) + CAST(y[4] AS DOUBLE) / CAST(100.0 AS DOUBLE)) + CAST(y[5] AS DOUBLE) / CAST(100.0 AS DOUBLE)) + CAST(y[6] AS DOUBLE) / CAST(100.0 AS DOUBLE)) + CAST(y[7] AS DOUBLE) / CAST(100.0 AS DOUBLE)) / CAST(7.0 AS DOUBLE) AS m1,
+                           (((((((CAST(0.0 AS DOUBLE) + CAST(y[8] AS DOUBLE) / CAST(100.0 AS DOUBLE)) + CAST(y[9] AS DOUBLE) / CAST(100.0 AS DOUBLE)) + CAST(y[10] AS DOUBLE) / CAST(100.0 AS DOUBLE)) + CAST(y[11] AS DOUBLE) / CAST(100.0 AS DOUBLE)) + CAST(y[12] AS DOUBLE) / CAST(100.0 AS DOUBLE)) + CAST(y[13] AS DOUBLE) / CAST(100.0 AS DOUBLE)) + CAST(y[14] AS DOUBLE) / CAST(100.0 AS DOUBLE)) / CAST(7.0 AS DOUBLE) AS m2
+                    FROM ser
+                )
+            ), work AS (
+                SELECT * FROM init
+                UNION ALL
+                SELECT event_type, y, n, t, ln AS l,
+                       CAST(0.25 AS DOUBLE) * (ln - lp)
+                           + CAST(0.75 AS DOUBLE) * bp AS b,
+                       seas[2:7] || [CAST(0.25 AS DOUBLE) * (v - ln)
+                                     + CAST(0.75 AS DOUBLE) * s7] AS seas,
+                       sse + (v - ((lp + bp) + s7))
+                                 * (v - ((lp + bp) + s7)) AS sse
+                FROM (
+                    SELECT event_type, y, n, t + 1 AS t, l AS lp, b AS bp,
+                           seas, sse,
+                           CAST(y[t + 1] AS DOUBLE)
+                               / CAST(100.0 AS DOUBLE) AS v,
+                           seas[1] AS s7,
+                           CAST(0.5 AS DOUBLE)
+                               * (CAST(y[t + 1] AS DOUBLE)
+                                  / CAST(100.0 AS DOUBLE) - seas[1])
+                           + CAST(0.5 AS DOUBLE) * (l + b) AS ln
+                    FROM work WHERE t < n
+                )
+            )
+            SELECT w.event_type, CAST(u.h AS INTEGER) AS h,
+                   floor((w.l + CAST(u.h AS DOUBLE) * w.b + w.seas[u.h])
+                         * 1e6 + 0.5) / 1e6 AS forecast,
+                   floor(w.sse * 1e6 + 0.5) / 1e6 AS sse
+            FROM work w, UNNEST(range(1, 8)) AS u(h)
+            WHERE w.t = w.n
+            ORDER BY w.event_type, h
         """,
     }
     # the streaming SAX twin drains to the identical daily snapshot —

@@ -8775,3 +8775,89 @@ def events_matrix_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("d2").alias("nn_dist_micro2"),
         (F.sqrt(F.col("d2").cast("double")) / F.lit(1000000.0)).alias("nn_dist"),
     ).orderBy("event_type", "widx")
+
+
+def events_holt_winters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt-Winters additive triple exponential smoothing (level +
+    trend + weekly season, alpha=0.5 beta=0.25 gamma=0.25) over each
+    event type's daily total-value series, with a 7-day-ahead
+    forecast and the in-sample one-step SSE - the classic seasonal
+    forecaster, run ENTIRELY as one higher-order `aggregate` fold
+    over the day-ordered array (state = level, trend, the rolling
+    7-slot seasonal queue, SSE; no UDF, no collect). Standard 2m
+    initialization: level = mean of week 1, trend = (mean week 2 -
+    mean week 1)/7, seasonals = week-1 deviations; recursion from
+    t=8. The smoothing constants are exact binary fractions
+    (0.5/0.25/0.75), daily totals are exact centi longs, and every
+    step's expression tree is textually mirrored in the oracle's
+    recursive CTE (which carries the same state one row per step), so
+    the sequential double arithmetic is bit-identical cross-engine.
+    Scale: the data-sized stage is one daily-grain aggregate; the
+    fold runs on a 30-element array per type."""
+    events = load_table(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    centi = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+    daily = (
+        events.select(
+            "event_type", F.col("ts").cast("date").alias("day"), centi.alias("v")
+        )
+        .groupBy("event_type", "day")
+        .agg(F.sum("v").alias("cent"))
+    )
+    ser = daily.groupBy("event_type").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct(F.col("day"), F.col("cent")))),
+            lambda s: s["cent"],
+        ).alias("y")
+    ).where(F.size("y") >= 15)
+    y = F.col("y")
+
+    def yd(el):
+        return el.cast("double") / F.lit(100.0)
+
+    def wmean(start):
+        acc = F.lit(0.0)
+        for i in range(start, start + 7):
+            acc = acc + yd(F.element_at(y, i))
+        return acc / F.lit(7.0)
+
+    m1, m2 = wmean(1), wmean(8)
+    init = F.struct(
+        m1.alias("l"),
+        ((m2 - m1) / F.lit(7.0)).alias("b"),
+        F.array(
+            *[(yd(F.element_at(y, i)) - m1) for i in range(1, 8)]
+        ).alias("seas"),
+        F.lit(0.0).alias("sse"),
+    )
+
+    def step(st, x):
+        v = yd(x)
+        s7 = F.element_at(st["seas"], 1)
+        lp, bp = st["l"], st["b"]
+        ln = F.lit(0.5) * (v - s7) + F.lit(0.5) * (lp + bp)
+        bn = F.lit(0.25) * (ln - lp) + F.lit(0.75) * bp
+        sn = F.lit(0.25) * (v - ln) + F.lit(0.75) * s7
+        err = v - ((lp + bp) + s7)
+        return F.struct(
+            ln.alias("l"),
+            bn.alias("b"),
+            F.concat(F.slice(st["seas"], 2, 6), F.array(sn)).alias("seas"),
+            (st["sse"] + err * err).alias("sse"),
+        )
+
+    fin = F.aggregate(
+        F.slice(y, 8, F.size(y) - 7), init, step
+    )
+    hs = spark.range(7).select((F.col("id") + 1).cast("int").alias("h"))
+    folded = ser.select("event_type", fin.alias("st")).crossJoin(F.broadcast(hs))
+    fcast = (
+        F.col("st.l")
+        + F.col("h").cast("double") * F.col("st.b")
+        + F.element_at(F.col("st.seas"), F.col("h"))
+    )
+    return folded.select(
+        "event_type",
+        "h",
+        det_round(fcast, 6).alias("forecast"),
+        det_round(F.col("st.sse"), 6).alias("sse"),
+    ).orderBy("event_type", "h")
