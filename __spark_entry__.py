@@ -2159,6 +2159,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_matryoshka_recall": pipeline.embedding_matryoshka_recall,
         "embedding_bq_recall": pipeline.embedding_bq_recall,
         "events_holt_winters": analytics.events_holt_winters,
+        "stream_holt_winters": streaming_parity.stream_holt_winters,
     }
 
 
@@ -8795,4 +8796,6 @@ def oracle_sql() -> dict[str, str]:
     # the streaming SAX twin drains to the identical daily snapshot —
     # same oracle text as the batch plan
     _o["stream_sax_daily"] = _o["events_sax_daily"]
+    # same mergeable-state argument for the Holt-Winters twin
+    _o["stream_holt_winters"] = _o["events_holt_winters"]
     return _o

@@ -8803,6 +8803,15 @@ def events_holt_winters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_type", "day")
         .agg(F.sum("v").alias("cent"))
     )
+    return holt_winters_from_daily(daily)
+
+
+def holt_winters_from_daily(daily: DataFrame) -> DataFrame:
+    """Shared Holt-Winters tail (init + fold + 7-day forecast) over a
+    (event_type, day, cent) daily-totals frame — used by the batch
+    plan and the streaming twin, whose drained per-day sums reduce to
+    the identical frame."""
+    spark = daily.sparkSession
     ser = daily.groupBy("event_type").agg(
         F.transform(
             F.array_sort(F.collect_list(F.struct(F.col("day"), F.col("cent")))),

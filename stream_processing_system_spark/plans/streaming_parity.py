@@ -915,3 +915,56 @@ def stream_sax_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint(eager=True)
     )
     return sax_word_from_daily(daily)
+
+
+def stream_holt_winters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt-Winters forecasts with the daily-totals state maintained
+    by an availableNow streaming aggregation — the streaming twin of
+    `analytics.events_holt_winters` (same oracle). Per-(type, day)
+    centi-value sums are a mergeable monoid (any micro-batch
+    interleaving drains to the same snapshot); the sequential
+    smoothing recursion then runs as the shared batch fold over the
+    drained state. The day key streams as a STRING so the memory-sink
+    snapshot groups stably; the fold sorts on it (ISO dates sort
+    lexicographically = chronologically)."""
+    from stream_processing_system_spark.plans.analytics import (
+        holt_winters_from_daily,
+    )
+
+    input_dir, ckpt, run = _scratch("hw")
+    events = (
+        load_table(spark, sf_dir, "events")
+        .where(F.col("value").isNotNull())
+        .select("ts", "event_type", "value")
+    )
+    events.write.mode("overwrite").parquet(input_dir)
+    stream = spark.readStream.schema(
+        "ts timestamp, event_type string, value double"
+    ).parquet(input_dir)
+    centi = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+    state = (
+        stream.select(
+            "event_type",
+            F.col("ts").cast("date").cast("string").alias("day"),
+            centi.alias("v"),
+        )
+        .groupBy("event_type", "day")
+        .agg(F.sum("v").alias("cent"))
+    )
+    with _state_partitions(spark):
+        q = (
+            state.writeStream.outputMode("complete")
+            .format("memory")
+            .queryName(f"hw_{run}")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    _cleanup(input_dir)
+    daily = (
+        spark.table(f"hw_{run}")
+        .select("event_type", "day", "cent")
+        .localCheckpoint(eager=True)
+    )
+    return holt_winters_from_daily(daily)
