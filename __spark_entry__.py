@@ -2160,6 +2160,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_bq_recall": pipeline.embedding_bq_recall,
         "events_holt_winters": analytics.events_holt_winters,
         "stream_holt_winters": streaming_parity.stream_holt_winters,
+        "doc_kneser_ney_bigrams": pipeline.doc_kneser_ney_bigrams,
     }
 
 
@@ -8796,6 +8797,40 @@ def oracle_sql() -> dict[str, str]:
     # the streaming SAX twin drains to the identical daily snapshot —
     # same oracle text as the batch plan
     _o["stream_sax_daily"] = _o["events_sax_daily"]
+    # Kneser-Ney: every quantity from one bigram aggregate; mirrored
+    # probability expression tree, det_round-6 ranking
+    _o["doc_kneser_ney_bigrams"] = """
+        WITH t AS (
+            SELECT list_filter(string_split(text, ' '), x -> x <> '') AS s
+            FROM documents
+        ), bi AS (
+            SELECT s[i] AS w1, s[i + 1] AS w2
+            FROM (SELECT s FROM t WHERE len(s) >= 2),
+                 UNNEST(range(1, len(s))) AS u(i)
+        ), big AS (
+            SELECT w1, w2, count(*) AS c12 FROM bi GROUP BY 1, 2
+        ), ctx AS (
+            SELECT w1, CAST(SUM(c12) AS BIGINT) AS c1, count(*) AS nfw
+            FROM big GROUP BY 1
+        ), cont AS (
+            SELECT w2, count(*) AS nbw FROM big GROUP BY 1
+        ), tot AS (
+            SELECT count(*) AS b FROM big
+        )
+        SELECT g.w1, g.w2, CAST(g.c12 AS BIGINT) AS c12,
+               floor(((CAST(g.c12 AS DOUBLE) - CAST(0.75 AS DOUBLE))
+                      / CAST(x.c1 AS DOUBLE)
+                      + CAST(0.75 AS DOUBLE)
+                        * (CAST(x.nfw AS DOUBLE) / CAST(x.c1 AS DOUBLE))
+                        * (CAST(n.nbw AS DOUBLE) / CAST(tot.b AS DOUBLE)))
+                     * 1e6 + 0.5) / 1e6 AS pkn
+        FROM big g
+        JOIN ctx x ON g.w1 = x.w1
+        JOIN cont n ON g.w2 = n.w2
+        CROSS JOIN tot
+        ORDER BY pkn DESC, g.w1 ASC, g.w2 ASC
+        LIMIT 50
+    """
     # same mergeable-state argument for the Holt-Winters twin
     _o["stream_holt_winters"] = _o["events_holt_winters"]
     return _o

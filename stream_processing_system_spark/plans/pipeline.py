@@ -1767,3 +1767,66 @@ def embedding_bq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             "recall_at10"
         ),
     )
+
+
+def doc_kneser_ney_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated Kneser-Ney bigram probabilities (absolute
+    discount D=0.75) - the classic LM smoothing that backs off to
+    CONTINUATION counts (in how many distinct contexts does w2
+    appear?) rather than raw frequency, which is what makes it the
+    standard n-gram smoother: P_KN(w2|w1) = (c(w1 w2) - D)/c(w1.) +
+    D * N1+(w1 .)/c(w1 .) * N1+(. w2)/B. Denominator convention:
+    c(w1 .) = sum of bigram counts starting w1 (so every quantity
+    derives from ONE corpus bigram aggregate). Every input is an
+    exact integer count and D is a binary fraction, so the
+    probability expression tree (mirrored textually in the oracle)
+    is bit-identical cross-engine; the top-50 ranking orders on the
+    det_round-6 value with a (w1, w2) tie-break. Emits the 50 most
+    probable bigrams.
+    Scale: one token pass builds the bigram table (map-side
+    combinable); the context/continuation statistics are aggregates
+    OVER that table, never a second corpus scan; top-k is
+    TakeOrderedAndProject."""
+    from stream_processing_system_spark.functions.scalar import det_round
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks_arr = F.filter(F.split(F.col("text"), " "), lambda t: t != "")
+    n = F.size(toks_arr)
+    bigr = F.when(
+        n >= 2,
+        F.zip_with(
+            F.slice(toks_arr, 1, n - 1),
+            F.slice(toks_arr, 2, n - 1),
+            lambda x, y: F.struct(x.alias("w1"), y.alias("w2")),
+        ),
+    ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
+    big = (
+        docs.select(F.explode(bigr).alias("p"))
+        .select(F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("c12"))
+        .localCheckpoint(eager=True)
+    )
+    ctx = big.groupBy("w1").agg(
+        F.sum("c12").alias("c1"), F.count(F.lit(1)).alias("nfw")
+    )
+    cont = big.groupBy("w2").agg(F.count(F.lit(1)).alias("nbw"))
+    tot = big.agg(F.count(F.lit(1)).alias("b"))
+    joined = (
+        big.join(ctx, "w1")
+        .join(cont, "w2")
+        .crossJoin(F.broadcast(tot))
+    )
+    pkn = (F.col("c12").cast("double") - F.lit(0.75)) / F.col("c1").cast(
+        "double"
+    ) + F.lit(0.75) * (
+        F.col("nfw").cast("double") / F.col("c1").cast("double")
+    ) * (
+        F.col("nbw").cast("double") / F.col("b").cast("double")
+    )
+    scored = joined.select(
+        "w1", "w2", "c12", det_round(pkn, 6).alias("pkn")
+    )
+    return scored.orderBy(
+        F.desc("pkn"), F.asc("w1"), F.asc("w2")
+    ).limit(50)
