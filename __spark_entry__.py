@@ -2161,6 +2161,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_holt_winters": analytics.events_holt_winters,
         "stream_holt_winters": streaming_parity.stream_holt_winters,
         "doc_kneser_ney_bigrams": pipeline.doc_kneser_ney_bigrams,
+        "embedding_kcenter_coreset": pipeline.embedding_kcenter_coreset,
     }
 
 
@@ -8830,6 +8831,91 @@ def oracle_sql() -> dict[str, str]:
         CROSS JOIN tot
         ORDER BY pkn DESC, g.w1 ASC, g.w2 ASC
         LIMIT 50
+    """
+    # greedy k-center coreset: 7 unrolled farthest-point rounds,
+    # exact-integer grid distances, argmax tie-broken by vec_id
+    _o["embedding_kcenter_coreset"] = """
+        WITH pts AS (
+        SELECT vec_id,
+               list_transform(embedding,
+                   x -> CAST(floor(CAST(x AS DOUBLE) * 10000 + 0.5)
+                             AS BIGINT)) AS qv
+        FROM embeddings
+    ), c1 AS (SELECT qv FROM pts WHERE vec_id = 0),
+    m1 AS (
+        SELECT p.vec_id, p.qv, CAST(list_sum(list_transform(range(1, len(p.qv) + 1), i -> (p.qv[i] - c.qv[i]) * (p.qv[i] - c.qv[i]))) AS BIGINT) AS mind
+        FROM pts p, c1 c
+    ),s2 AS (
+        SELECT vec_id, mind FROM m1
+        ORDER BY mind DESC, vec_id ASC LIMIT 1
+    ),c2 AS (
+        SELECT p.qv FROM pts p, s2 WHERE p.vec_id = s2.vec_id
+    ), m2 AS (
+        SELECT p.vec_id, p.qv,
+               least(p.mind, CAST(list_sum(list_transform(range(1, len(p.qv) + 1), i -> (p.qv[i] - c.qv[i]) * (p.qv[i] - c.qv[i]))) AS BIGINT)) AS mind
+        FROM m1 p, c2 c
+    ),s3 AS (
+        SELECT vec_id, mind FROM m2
+        ORDER BY mind DESC, vec_id ASC LIMIT 1
+    ),c3 AS (
+        SELECT p.qv FROM pts p, s3 WHERE p.vec_id = s3.vec_id
+    ), m3 AS (
+        SELECT p.vec_id, p.qv,
+               least(p.mind, CAST(list_sum(list_transform(range(1, len(p.qv) + 1), i -> (p.qv[i] - c.qv[i]) * (p.qv[i] - c.qv[i]))) AS BIGINT)) AS mind
+        FROM m2 p, c3 c
+    ),s4 AS (
+        SELECT vec_id, mind FROM m3
+        ORDER BY mind DESC, vec_id ASC LIMIT 1
+    ),c4 AS (
+        SELECT p.qv FROM pts p, s4 WHERE p.vec_id = s4.vec_id
+    ), m4 AS (
+        SELECT p.vec_id, p.qv,
+               least(p.mind, CAST(list_sum(list_transform(range(1, len(p.qv) + 1), i -> (p.qv[i] - c.qv[i]) * (p.qv[i] - c.qv[i]))) AS BIGINT)) AS mind
+        FROM m3 p, c4 c
+    ),s5 AS (
+        SELECT vec_id, mind FROM m4
+        ORDER BY mind DESC, vec_id ASC LIMIT 1
+    ),c5 AS (
+        SELECT p.qv FROM pts p, s5 WHERE p.vec_id = s5.vec_id
+    ), m5 AS (
+        SELECT p.vec_id, p.qv,
+               least(p.mind, CAST(list_sum(list_transform(range(1, len(p.qv) + 1), i -> (p.qv[i] - c.qv[i]) * (p.qv[i] - c.qv[i]))) AS BIGINT)) AS mind
+        FROM m4 p, c5 c
+    ),s6 AS (
+        SELECT vec_id, mind FROM m5
+        ORDER BY mind DESC, vec_id ASC LIMIT 1
+    ),c6 AS (
+        SELECT p.qv FROM pts p, s6 WHERE p.vec_id = s6.vec_id
+    ), m6 AS (
+        SELECT p.vec_id, p.qv,
+               least(p.mind, CAST(list_sum(list_transform(range(1, len(p.qv) + 1), i -> (p.qv[i] - c.qv[i]) * (p.qv[i] - c.qv[i]))) AS BIGINT)) AS mind
+        FROM m5 p, c6 c
+    ),s7 AS (
+        SELECT vec_id, mind FROM m6
+        ORDER BY mind DESC, vec_id ASC LIMIT 1
+    ),c7 AS (
+        SELECT p.qv FROM pts p, s7 WHERE p.vec_id = s7.vec_id
+    ), m7 AS (
+        SELECT p.vec_id, p.qv,
+               least(p.mind, CAST(list_sum(list_transform(range(1, len(p.qv) + 1), i -> (p.qv[i] - c.qv[i]) * (p.qv[i] - c.qv[i]))) AS BIGINT)) AS mind
+        FROM m6 p, c7 c
+    ),s8 AS (
+        SELECT vec_id, mind FROM m7
+        ORDER BY mind DESC, vec_id ASC LIMIT 1
+    )
+        SELECT CAST(sel_rank AS INTEGER) AS sel_rank, vec_id,
+               d2_at_selection
+        FROM (
+            SELECT 1 AS sel_rank, CAST(0 AS BIGINT) AS vec_id,
+                   CAST(0 AS BIGINT) AS d2_at_selection
+            UNION ALL SELECT 2 AS sel_rank, vec_id, mind AS d2_at_selection FROM s2
+            UNION ALL SELECT 3 AS sel_rank, vec_id, mind AS d2_at_selection FROM s3
+            UNION ALL SELECT 4 AS sel_rank, vec_id, mind AS d2_at_selection FROM s4
+            UNION ALL SELECT 5 AS sel_rank, vec_id, mind AS d2_at_selection FROM s5
+            UNION ALL SELECT 6 AS sel_rank, vec_id, mind AS d2_at_selection FROM s6
+            UNION ALL SELECT 7 AS sel_rank, vec_id, mind AS d2_at_selection FROM s7
+            UNION ALL SELECT 8 AS sel_rank, vec_id, mind AS d2_at_selection FROM s8
+        ) ORDER BY sel_rank
     """
     # same mergeable-state argument for the Holt-Winters twin
     _o["stream_holt_winters"] = _o["events_holt_winters"]

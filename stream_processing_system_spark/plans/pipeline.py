@@ -1830,3 +1830,67 @@ def doc_kneser_ney_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.orderBy(
         F.desc("pkn"), F.asc("w1"), F.asc("w2")
     ).limit(50)
+
+
+def embedding_kcenter_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy k-center (farthest-point) coreset selection, k=8,
+    seeded at vec_id 0 - the classic 2-approximation diversity
+    sampler (Gonzalez 1985) used to pick a small representative
+    subset of a huge embedding corpus for curation or eval. Each
+    round selects the point FARTHEST from the chosen set (squared
+    Euclidean on the exact 1e-4 integer grid -> exact longs; ties
+    break to the smallest vec_id) and the running min-distance map
+    is updated incrementally - never recomputed against the whole
+    set. Emits (sel_rank, vec_id, d2_at_selection): d2 is each
+    pick's distance to the set when chosen, i.e. the shrinking
+    coverage radius.
+    Scale: per round ONE broadcast of a single 64-dim center + one
+    codegen'd map over the corpus + one 1-row argmax reduce - 8
+    rounds of linear scans, the textbook distributed k-center; the
+    min-distance map rides localCheckpoint so round r never replays
+    rounds 1..r-1."""
+    embs = load_table(spark, sf_dir, "embeddings")
+    q = F.transform(
+        F.col("embedding"),
+        lambda x: F.floor(x.cast("double") * 10000 + F.lit(0.5)).cast("long"),
+    )
+    pts = embs.select("vec_id", q.alias("qv")).localCheckpoint(eager=True)
+
+    def d2(a, b):
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+            F.lit(0).cast("long"),
+            lambda acc, v: acc + v,
+        )
+
+    seed = pts.where(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("c_id"), F.col("qv").alias("c_qv")
+    )
+    picks = [(1, 0, 0)]  # (rank, vec_id=0 seed, d2 at selection)
+    mind = (
+        pts.crossJoin(F.broadcast(seed))
+        .select("vec_id", "qv", d2(F.col("qv"), F.col("c_qv")).alias("mind"))
+        .localCheckpoint(eager=True)
+    )
+    for r in range(2, 9):
+        top = mind.orderBy(F.desc("mind"), F.asc("vec_id")).limit(1)
+        sel = top.collect()[0]
+        picks.append((r, sel["vec_id"], sel["mind"]))
+        center = pts.where(F.col("vec_id") == sel["vec_id"]).select(
+            F.col("qv").alias("c_qv")
+        )
+        if r < 8:
+            mind = (
+                mind.crossJoin(F.broadcast(center))
+                .select(
+                    "vec_id",
+                    "qv",
+                    F.least(
+                        F.col("mind"), d2(F.col("qv"), F.col("c_qv"))
+                    ).alias("mind"),
+                )
+                .localCheckpoint(eager=True)
+            )
+    return spark.createDataFrame(
+        picks, "sel_rank int, vec_id long, d2_at_selection long"
+    ).orderBy("sel_rank")

@@ -45,3 +45,35 @@ def test_bq_recall_bounds(spark, tmp_path):
     r = rows[0]
     assert 0 <= r["hits"] <= 100
     assert abs(r["recall_at10"] - r["hits"] / 100.0) < 1e-9
+
+
+def test_kcenter_picks_farthest_and_radius_shrinks(spark, tmp_path):
+    """On 3 well-separated clusters (plus seed), the first picks jump
+    between clusters and d2_at_selection is non-increasing."""
+    import os as _os
+    from stream_processing_system_spark.plans.pipeline import (
+        embedding_kcenter_coreset,
+    )
+
+    sf = str(tmp_path / "sfk")
+    _os.makedirs(sf, exist_ok=True)
+    rows = []
+    centers = {0: 0.0, 1: 10.0, 2: -10.0}
+    vid = 0
+    for c, base in centers.items():
+        for j in range(12):
+            vec = [float(base + 0.01 * j)] * 64
+            rows.append((vid, vec, c))
+            vid += 1
+    spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label long"
+    ).write.mode("overwrite").parquet(_os.path.join(sf, "embeddings.parquet"))
+    out = embedding_kcenter_coreset(spark, sf).collect()
+    assert [r["sel_rank"] for r in out] == list(range(1, 9))
+    assert out[0]["vec_id"] == 0 and out[0]["d2_at_selection"] == 0
+    # pick 2 and 3 come from the two far clusters (vec_id 12-23 at
+    # +10, 24-35 at -10), one each
+    first_two = {out[1]["vec_id"] // 12, out[2]["vec_id"] // 12}
+    assert first_two == {1, 2}
+    d2s = [r["d2_at_selection"] for r in out[1:]]
+    assert d2s == sorted(d2s, reverse=True)
