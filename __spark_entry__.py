@@ -2162,6 +2162,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_holt_winters": streaming_parity.stream_holt_winters,
         "doc_kneser_ney_bigrams": pipeline.doc_kneser_ney_bigrams,
         "embedding_kcenter_coreset": pipeline.embedding_kcenter_coreset,
+        "events_entropy_rate": analytics.events_entropy_rate,
     }
 
 
@@ -8831,6 +8832,43 @@ def oracle_sql() -> dict[str, str]:
         CROSS JOIN tot
         ORDER BY pkn DESC, g.w1 ASC, g.w2 ASC
         LIMIT 50
+    """
+    # Markov entropy rate: exact transition counts, milli-floored
+    # ln(p) before the weighted sum, two mirrored divisions
+    _o["events_entropy_rate"] = """
+        WITH pairs AS (
+            SELECT cur, nxt, count(*) AS c FROM (
+                SELECT event_type AS cur,
+                       lead(event_type) OVER (PARTITION BY user_id
+                                              ORDER BY ts, event_id) AS nxt
+                FROM events
+            ) WHERE nxt IS NOT NULL
+            GROUP BY 1, 2
+        ), terms AS (
+            SELECT cur, nxt, c,
+                   CAST(floor(ln(CAST(c AS DOUBLE)
+                                 / CAST(SUM(c) OVER (PARTITION BY cur)
+                                        AS DOUBLE))
+                              * CAST(1000.0 AS DOUBLE) + 0.5) AS BIGINT)
+                       AS lnp
+            FROM pairs
+        ), agg AS (
+            SELECT CAST(SUM(c) AS BIGINT) AS n, count(*) AS n_cells,
+                   count(DISTINCT cur) AS k,
+                   CAST(SUM(c * lnp) AS BIGINT) AS s
+            FROM terms
+        )
+        SELECT n AS n_transitions, CAST(n_cells AS BIGINT) AS n_cells,
+               floor((-CAST(s AS DOUBLE) / CAST(n AS DOUBLE)
+                      / CAST(1000.0 AS DOUBLE)) * 1e6 + 0.5) / 1e6
+                   AS entropy_rate_nats,
+               floor(ln(CAST(k AS DOUBLE)) * 1e6 + 0.5) / 1e6
+                   AS max_rate_nats,
+               floor((-CAST(s AS DOUBLE) / CAST(n AS DOUBLE)
+                      / CAST(1000.0 AS DOUBLE))
+                     / ln(CAST(k AS DOUBLE)) * 1e6 + 0.5) / 1e6
+                   AS predictability_ratio
+        FROM agg
     """
     # greedy k-center coreset: 7 unrolled farthest-point rounds,
     # exact-integer grid distances, argmax tie-broken by vec_id

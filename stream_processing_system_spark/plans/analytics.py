@@ -8870,3 +8870,63 @@ def holt_winters_from_daily(daily: DataFrame) -> DataFrame:
         det_round(fcast, 6).alias("forecast"),
         det_round(F.col("st.sse"), 6).alias("sse"),
     ).orderBy("event_type", "h")
+
+
+def events_entropy_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entropy rate of the per-user event-type Markov chain - the
+    single number that says how PREDICTABLE user behavior is:
+    H = -sum_ij (c_ij / N) * ln(c_ij / c_i.) in nats, with the
+    empirical source distribution as the stationary weight. Built on
+    the same total-ordered lead() pairing as `event_transitions`.
+    Determinism: counts are exact ints, each ln(p_ij) is floored to
+    MILLI units (the zipf_fit device) before the count-weighted sum,
+    so the reduction is an exact int64; the final value is two
+    mirrored divisions. Also emits the max possible rate ln(k) for
+    the observed alphabet and the normalized ratio.
+    Scale: one shuffle by user for the pairing, a 25-row matrix after
+    that - nothing downstream of the first aggregate sees data."""
+    events = load_table(spark, sf_dir, "events")
+    by_user = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        events.select(
+            "user_id",
+            "ts",
+            "event_id",
+            F.col("event_type").alias("cur"),
+            F.lead("event_type").over(by_user).alias("nxt"),
+        )
+        .where(F.col("nxt").isNotNull())
+        .groupBy("cur", "nxt")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    w_cur = Window.partitionBy("cur")
+    lnp_milli = F.floor(
+        F.log(
+            F.col("c").cast("double")
+            / F.sum("c").over(w_cur).cast("double")
+        )
+        * F.lit(1000.0)
+        + F.lit(0.5)
+    ).cast("long")
+    terms = pairs.select(
+        "cur", "nxt", "c", lnp_milli.alias("lnp")
+    )
+    agg = terms.agg(
+        F.sum("c").alias("n"),
+        F.count(F.lit(1)).alias("n_cells"),
+        F.count_distinct("cur").alias("k"),
+        F.sum(F.col("c") * F.col("lnp")).alias("s"),
+    )
+    h = (
+        -(F.col("s").cast("double"))
+        / F.col("n").cast("double")
+        / F.lit(1000.0)
+    )
+    hmax = F.log(F.col("k").cast("double"))
+    return agg.select(
+        F.col("n").alias("n_transitions"),
+        F.col("n_cells").cast("long").alias("n_cells"),
+        det_round(h, 6).alias("entropy_rate_nats"),
+        det_round(hmax, 6).alias("max_rate_nats"),
+        det_round(h / hmax, 6).alias("predictability_ratio"),
+    )

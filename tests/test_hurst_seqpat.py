@@ -86,3 +86,41 @@ def test_sequential_pattern_repeat_needs_two(spark, tmp_path):
     rows = event_sequential_patterns(spark, _sf(tmp_path, spark, events)).collect()
     got = {(r["pattern"], r["length"]): r["support"] for r in rows}
     assert got == {("a>a", 2): 1}
+
+
+def test_entropy_rate_deterministic_chain_is_zero(spark, tmp_path):
+    """A strict a->b->a->b chain has P(next|cur)=1 everywhere ->
+    entropy rate exactly 0."""
+    from stream_processing_system_spark.plans.analytics import events_entropy_rate
+
+    def ts(m):
+        return datetime.datetime(2024, 1, 1, 0, m)
+
+    events = [
+        (i, ts(i), 1, "a" if i % 2 == 0 else "b", 1.0, "{}") for i in range(10)
+    ]
+    rows = events_entropy_rate(spark, _sf(tmp_path, spark, events)).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r["n_transitions"] == 9
+    assert r["entropy_rate_nats"] == 0.0
+    assert r["predictability_ratio"] == 0.0
+
+
+def test_entropy_rate_uniform_is_maximal(spark, tmp_path):
+    """Both symbols transition 50/50 -> H = ln(2), and with alphabet
+    k=2 the normalized predictability ratio is 1."""
+    from stream_processing_system_spark.plans.analytics import events_entropy_rate
+
+    def ts(m):
+        return datetime.datetime(2024, 1, 1, 0, m)
+
+    # user 1: a,a,b,a,b,... constructed so both a and b emit 50/50
+    seq = ["a", "a", "b", "b", "a", "a", "b", "b", "a"]
+    events = [(i, ts(i), 1, t, 1.0, "{}") for i, t in enumerate(seq)]
+    rows = events_entropy_rate(spark, _sf(tmp_path, spark, events)).collect()
+    r = rows[0]
+    # transitions: a->a x2, a->b x2, b->b x2, b->a x2 -> H = ln 2
+    assert r["n_transitions"] == 8
+    assert abs(r["entropy_rate_nats"] - 0.693147) < 1e-3
+    assert abs(r["predictability_ratio"] - 1.0) < 1e-3
