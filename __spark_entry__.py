@@ -2163,6 +2163,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_kneser_ney_bigrams": pipeline.doc_kneser_ney_bigrams,
         "embedding_kcenter_coreset": pipeline.embedding_kcenter_coreset,
         "events_entropy_rate": analytics.events_entropy_rate,
+        "part_price_index": analytics.part_price_index,
     }
 
 
@@ -8832,6 +8833,51 @@ def oracle_sql() -> dict[str, str]:
         CROSS JOIN tot
         ORDER BY pkn DESC, g.w1 ASC, g.w2 ASC
         LIMIT 50
+    """
+    # Laspeyres/Paasche/Fisher: exact part-year aggregates, centi-
+    # floored price*weight terms, two mirrored divisions + IEEE sqrt
+    _o["part_price_index"] = """
+        WITH per AS (
+            SELECT l_partkey, year(l_shipdate) AS yr,
+                   CAST(SUM(CAST(floor(l_extendedprice * 100 + 0.5)
+                                 AS BIGINT)) AS BIGINT) AS c,
+                   CAST(SUM(CAST(floor(l_quantity + 0.5) AS BIGINT))
+                        AS BIGINT) AS q
+            FROM lineitem
+            WHERE year(l_shipdate) IN (1995, 2000)
+            GROUP BY 1, 2
+        ), base AS (
+            SELECT l_partkey, c AS c0, q AS q0 FROM per WHERE yr = 1995
+        ), cur AS (
+            SELECT l_partkey, c AS c1, q AS q1 FROM per WHERE yr = 2000
+        ), terms AS (
+            SELECT
+                CAST(floor(CAST(c1 AS DOUBLE) / CAST(q1 AS DOUBLE)
+                           * CAST(q0 AS DOUBLE) + 0.5) AS BIGINT) AS l1,
+                CAST(floor(CAST(c0 AS DOUBLE) / CAST(q0 AS DOUBLE)
+                           * CAST(q0 AS DOUBLE) + 0.5) AS BIGINT) AS l0,
+                CAST(floor(CAST(c1 AS DOUBLE) / CAST(q1 AS DOUBLE)
+                           * CAST(q1 AS DOUBLE) + 0.5) AS BIGINT) AS pp1,
+                CAST(floor(CAST(c0 AS DOUBLE) / CAST(q0 AS DOUBLE)
+                           * CAST(q1 AS DOUBLE) + 0.5) AS BIGINT) AS pp0
+            FROM base JOIN cur USING (l_partkey)
+        ), agg AS (
+            SELECT count(*) AS n_parts,
+                   CAST(SUM(l1) AS BIGINT) AS sl1,
+                   CAST(SUM(l0) AS BIGINT) AS sl0,
+                   CAST(SUM(pp1) AS BIGINT) AS sp1,
+                   CAST(SUM(pp0) AS BIGINT) AS sp0
+            FROM terms
+        )
+        SELECT CAST(n_parts AS BIGINT) AS n_parts,
+               floor(CAST(sl1 AS DOUBLE) / CAST(sl0 AS DOUBLE) * 1e6 + 0.5)
+                   / 1e6 AS laspeyres,
+               floor(CAST(sp1 AS DOUBLE) / CAST(sp0 AS DOUBLE) * 1e6 + 0.5)
+                   / 1e6 AS paasche,
+               floor(sqrt((CAST(sl1 AS DOUBLE) / CAST(sl0 AS DOUBLE))
+                          * (CAST(sp1 AS DOUBLE) / CAST(sp0 AS DOUBLE)))
+                     * 1e6 + 0.5) / 1e6 AS fisher
+        FROM agg
     """
     # Markov entropy rate: exact transition counts, milli-floored
     # ln(p) before the weighted sum, two mirrored divisions

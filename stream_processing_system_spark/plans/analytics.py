@@ -8930,3 +8930,66 @@ def events_entropy_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
         det_round(hmax, 6).alias("max_rate_nats"),
         det_round(h / hmax, 6).alias("predictability_ratio"),
     )
+
+
+def part_price_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Laspeyres / Paasche / Fisher price indices between the 1995
+    base year and 2000, over parts traded in BOTH years - the
+    standard economic price-level measurement (Fisher = geometric
+    mean of the two, the "ideal" index). Per part-year: unit price =
+    exact centi-cents total / exact quantity total (one division);
+    each part's price x weight term is floored to the centi grid
+    BEFORE the cross-part sums, so every reduction is exact int64 and
+    the three indices are two mirrored divisions and one IEEE sqrt.
+    Scale: one filtered aggregate at (part, year) grain (map-side
+    combinable, year filter pushed to the scan), a self-join on
+    partkey, then 1-row arithmetic."""
+    li = load_table(spark, sf_dir, "lineitem").where(
+        F.year("l_shipdate").isin(1995, 2000)
+    )
+    per = (
+        li.select(
+            "l_partkey",
+            F.year("l_shipdate").alias("yr"),
+            F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5))
+            .cast("long")
+            .alias("cents"),
+            F.floor(F.col("l_quantity") + F.lit(0.5)).cast("long").alias("qty"),
+        )
+        .groupBy("l_partkey", "yr")
+        .agg(F.sum("cents").alias("c"), F.sum("qty").alias("q"))
+    )
+    base = per.where(F.col("yr") == 1995).select(
+        "l_partkey", F.col("c").alias("c0"), F.col("q").alias("q0")
+    )
+    cur = per.where(F.col("yr") == 2000).select(
+        "l_partkey", F.col("c").alias("c1"), F.col("q").alias("q1")
+    )
+    both = base.join(cur, "l_partkey")
+    p0 = F.col("c0").cast("double") / F.col("q0").cast("double")
+    p1 = F.col("c1").cast("double") / F.col("q1").cast("double")
+
+    def t(price, weight):
+        return F.floor(price * weight.cast("double") + F.lit(0.5)).cast("long")
+
+    terms = both.select(
+        t(p1, F.col("q0")).alias("l1"),
+        t(p0, F.col("q0")).alias("l0"),
+        t(p1, F.col("q1")).alias("pp1"),
+        t(p0, F.col("q1")).alias("pp0"),
+    )
+    agg = terms.agg(
+        F.count(F.lit(1)).alias("n_parts"),
+        F.sum("l1").alias("sl1"),
+        F.sum("l0").alias("sl0"),
+        F.sum("pp1").alias("sp1"),
+        F.sum("pp0").alias("sp0"),
+    )
+    lasp = F.col("sl1").cast("double") / F.col("sl0").cast("double")
+    paas = F.col("sp1").cast("double") / F.col("sp0").cast("double")
+    return agg.select(
+        "n_parts",
+        det_round(lasp, 6).alias("laspeyres"),
+        det_round(paas, 6).alias("paasche"),
+        det_round(F.sqrt(lasp * paas), 6).alias("fisher"),
+    )

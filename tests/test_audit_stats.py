@@ -150,3 +150,37 @@ def test_activity_streaks_semantics(spark, tmp_path):
     assert rows[1]["n_active_days"] == 5
     assert rows[2]["best_streak_days"] == 2
     assert rows[2]["streak_start"] == "2024-01-04"
+
+
+def test_price_index_hand_computed(spark, tmp_path):
+    """Part 1 doubles ($1->$2), part 2 halves ($2->$1): Laspeyres = 1
+    (base-weighted swings cancel), Paasche = 30/45, Fisher = sqrt of
+    the product."""
+    from stream_processing_system_spark.plans.analytics import part_price_index
+    import os as _os
+
+    d0 = datetime.datetime(1995, 6, 1)
+    d1 = datetime.datetime(2000, 6, 1)
+    li = [
+        # (orderkey, partkey, suppkey, linenumber, qty, extprice, disc, tax, rf, ls, shipdate)
+        (1, 1, 1, 1, 10.0, 10.0, 0.0, 0.0, "N", "O", d0),
+        (2, 1, 1, 1, 5.0, 10.0, 0.0, 0.0, "N", "O", d1),
+        (3, 2, 1, 1, 10.0, 20.0, 0.0, 0.0, "N", "O", d0),
+        (4, 2, 1, 1, 20.0, 20.0, 0.0, 0.0, "N", "O", d1),
+    ]
+    sf = str(tmp_path / "sf")
+    _os.makedirs(sf, exist_ok=True)
+    spark.createDataFrame(
+        li,
+        "l_orderkey long, l_partkey long, l_suppkey long, l_linenumber int, "
+        "l_quantity double, l_extendedprice double, l_discount double, "
+        "l_tax double, l_returnflag string, l_linestatus string, "
+        "l_shipdate timestamp",
+    ).write.mode("overwrite").parquet(_os.path.join(sf, "lineitem.parquet"))
+    rows = part_price_index(spark, sf).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r["n_parts"] == 2
+    assert abs(r["laspeyres"] - 1.0) < 1e-6
+    assert abs(r["paasche"] - 30.0 / 45.0) < 1e-5
+    assert abs(r["fisher"] - (30.0 / 45.0) ** 0.5) < 1e-5
