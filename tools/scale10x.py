@@ -91,6 +91,22 @@ QUERIES = [
     "doc_substring_dedup_spans",
     "hll_register_distinct_users",
     "approx_value_percentiles",
+    # round-3 second-session additions
+    "events_t_closeness",
+    "user_countmin_heavy_hitters",
+    "doc_dsir_importance",
+    "customer_part_hits",
+    "events_dtw_distance",
+    "events_hurst_exponent",
+    "event_sequential_patterns",
+    "events_matrix_profile",
+    "embedding_matryoshka_recall",
+    "embedding_bq_recall",
+    "events_holt_winters",
+    "doc_kneser_ney_bigrams",
+    "embedding_kcenter_coreset",
+    "events_entropy_rate",
+    "part_price_index",
 ]
 
 
@@ -142,7 +158,8 @@ def main() -> None:
     qs = contract.queries()
     qs["pricing_summary"](spark, SRC).write.format("noop").mode("overwrite").save()
     out = {}
-    for name in (PERTURB_QUERIES if PERTURB else QUERIES):
+    names = [a for a in sys.argv[1:] if not a.startswith("--")]
+    for name in (names or (PERTURB_QUERIES if PERTURB else QUERIES)):
         out[name] = [
             time_query(qs[name], spark, SRC),
             time_query(qs[name], spark, DST),
