@@ -2164,6 +2164,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_kcenter_coreset": pipeline.embedding_kcenter_coreset,
         "events_entropy_rate": analytics.events_entropy_rate,
         "part_price_index": analytics.part_price_index,
+        "events_pacf": analytics.events_pacf,
     }
 
 
@@ -8833,6 +8834,51 @@ def oracle_sql() -> dict[str, str]:
         CROSS JOIN tot
         ORDER BY pkn DESC, g.w1 ASC, g.w2 ASC
         LIMIT 50
+    """
+    # PACF via unrolled Durbin-Levinson: exact-lattice
+    # autocovariances, 5-level recursion mirrored expression-for-
+    # expression (machine-generated on both sides from one loop)
+    _o["events_pacf"] = """
+        WITH daily AS (
+            SELECT event_type, CAST(ts AS DATE) AS day,
+                   CAST(floor(
+                       CAST(SUM(CAST(floor(value * 100 + 0.5) AS BIGINT))
+                            * 10000 AS DOUBLE)
+                       / CAST(count(*) AS DOUBLE) + 0.5) AS BIGINT) AS dm
+            FROM events WHERE value IS NOT NULL
+            GROUP BY 1, 2
+        ), st AS (
+            SELECT event_type, count(*) AS n,
+                   CAST(SUM(dm) AS BIGINT) AS sx
+            FROM daily GROUP BY 1
+        ), d AS (
+            SELECT daily.event_type, day, dm * n - sx AS d
+            FROM daily JOIN st USING (event_type)
+        ), lagged AS (
+            SELECT event_type, d,
+                   lead(d, 1) OVER (PARTITION BY event_type ORDER BY day) AS d1,
+                   lead(d, 2) OVER (PARTITION BY event_type ORDER BY day) AS d2,
+                   lead(d, 3) OVER (PARTITION BY event_type ORDER BY day) AS d3,
+                   lead(d, 4) OVER (PARTITION BY event_type ORDER BY day) AS d4,
+                   lead(d, 5) OVER (PARTITION BY event_type ORDER BY day) AS d5
+            FROM d
+        ), sums AS (
+            SELECT event_type,
+                   SUM(CAST(d AS HUGEINT) * d) AS den,
+                   SUM(CAST(d AS HUGEINT) * d1) AS num1,
+                   SUM(CAST(d AS HUGEINT) * d2) AS num2,
+                   SUM(CAST(d AS HUGEINT) * d3) AS num3,
+                   SUM(CAST(d AS HUGEINT) * d4) AS num4,
+                   SUM(CAST(d AS HUGEINT) * d5) AS num5
+            FROM lagged GROUP BY 1
+        )
+        SELECT event_type,
+               floor(((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) * 1e6 + 0.5) / 1e6 AS pacf_1,
+               floor((((((CAST(num2 AS DOUBLE) / CAST(den AS DOUBLE)) - ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))) / ((CAST(1.0 AS DOUBLE) - ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))))) * 1e6 + 0.5) / 1e6 AS pacf_2,
+               floor(((((((CAST(num3 AS DOUBLE) / CAST(den AS DOUBLE)) - ((((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) - (((((CAST(num2 AS DOUBLE) / CAST(den AS DOUBLE)) - ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))) / ((CAST(1.0 AS DOUBLE) - ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))) * ((CAST(num2 AS DOUBLE) / CAST(den AS DOUBLE)))) - (((((CAST(num2 AS DOUBLE) / CAST(den AS DOUBLE)) - ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))) / ((CAST(1.0 AS DOUBLE) - ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))) / (((CAST(1.0 AS DOUBLE) - ((((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) - (((((CAST(num2 AS DOUBLE) / CAST(den AS DOUBLE)) - ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))) / ((CAST(1.0 AS DOUBLE) - ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE)))) - (((((CAST(num2 AS DOUBLE) / CAST(den AS DOUBLE)) - ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))) / ((CAST(1.0 AS DOUBLE) - ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))))) * ((CAST(num2 AS DOUBLE) / CAST(den AS DOUBLE))))))) * 1e6 + 0.5) / 1e6 AS pacf_3,
+               floor((((((((CAST(num4 AS DOUBLE) / CAST(den AS DOUBLE)) - ((((((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) - (((((CAST(num2 AS DOUBLE) / CAST(den AS DOUBLE)) - ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))) / ((CAST(1.0 AS DOUBLE) - ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))) - ((((((CAST(num3 AS DOUBLE) / CAST(den AS DOUBLE)) - ((((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) - (((((CAST(num2 AS DOUBLE) / CAST(den AS DOUBLE)) - ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))) / ((CAST(1.0 AS DOUBLE) - ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))) * ((CAST(num2 AS DOUBLE) / CAST(den AS DOUBLE)))) - (((((CAST(num2 AS DOUBLE) / CAST(den AS DOUBLE)) - ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))) / ((CAST(1.0 AS DOUBLE) - ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))) / (((CAST(1.0 AS DOUBLE) - ((((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) - (((((CAST(num2 AS DOUBLE) / CAST(den AS DOUBLE)) - ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))) / ((CAST(1.0 AS DOUBLE) - ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE)))) - (((((CAST(num2 AS DOUBLE) / CAST(den AS DOUBLE)) - ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))) / ((CAST(1.0 AS DOUBLE) - ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))))) * ((CAST(num2 AS DOUBLE) / CAST(den AS DOUBLE))))))) * (((((CAST(num2 AS DOUBLE) / CAST(den AS DOUBLE)) - ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))) / ((CAST(1.0 AS DOUBLE) - ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))))))) * ((CAST(num3 AS DOUBLE) / CAST(den AS DOUBLE)))) - (((((((CAST(num2 AS DOUBLE) / CAST(den AS DOUBLE)) - ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))) / ((CAST(1.0 AS DOUBLE) - ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))))) - ((((((CAST(num3 AS DOUBLE) / CAST(den AS DOUBLE)) - ((((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) - (((((CAST(num2 AS DOUBLE) / CAST(den AS DOUBLE)) - ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))) / ((CAST(1.0 AS DOUBLE) - ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))) * ((CAST(num2 AS DOUBLE) / CAST(den AS DOUBLE)))) - (((((CAST(num2 AS DOUBLE) / CAST(den AS DOUBLE)) - ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))) / ((CAST(1.0 AS DOUBLE) - ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))) / (((CAST(1.0 AS DOUBLE) - ((((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) - (((((CAST(num2 AS DOUBLE) / CAST(den AS DOUBLE)) - ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))) / ((CAST(1.0 AS DOUBLE) - ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE)))) - (((((CAST(num2 AS DOUBLE) / CAST(den AS DOUBLE)) - ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))) / ((CAST(1.0 AS DOUBLE) - ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))))) * ((CAST(num2 AS DOUBLE) / CAST(den AS DOUBLE))))))) * ((((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) - (((((CAST(num2 AS DOUBLE) / CAST(den AS DOUBLE)) - ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))) / ((CAST(1.0 AS DOUBLE) - ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))))) * ((CAST(num2 AS DOUBLE) / CAST(den AS DOUBLE)))) - ((((((CAST(num3 AS DOUBLE) / CAST(den AS DOUBLE)) - ((((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) - (((((CAST(num2 AS DOUBLE) / CAST(den AS DOUBLE)) - ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))) / ((CAST(1.0 AS DOUBLE) - ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))) * ((CAST(num2 AS DOUBLE) / CAST(den AS DOUBLE)))) - (((((CAST(num2 AS DOUBLE) / CAST(den AS DOUBLE)) - ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))) / ((CAST(1.0 AS DOUBLE) - ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))) / (((CAST(1.0 AS DOUBLE) - ((((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) - (((((CAST(num2 AS DOUBLE) / CAST(den AS DOUBLE)) - ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))) / ((CAST(1.0 AS DOUBLE) - ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE)))) - (((((CAST(num2 AS DOUBLE) / CAST(den AS DOUBLE)) - ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))) / ((CAST(1.0 AS DOUBLE) - ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))))) * ((CAST(num2 AS DOUBLE) / CAST(den AS DOUBLE))))))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))) / ((((CAST(1.0 AS DOUBLE) - ((((((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) - (((((CAST(num2 AS DOUBLE) / CAST(den AS DOUBLE)) - ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))) / ((CAST(1.0 AS DOUBLE) - ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))) - ((((((CAST(num3 AS DOUBLE) / CAST(den AS DOUBLE)) - ((((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) - (((((CAST(num2 AS DOUBLE) / CAST(den AS DOUBLE)) - ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))) / ((CAST(1.0 AS DOUBLE) - ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))) * ((CAST(num2 AS DOUBLE) / CAST(den AS DOUBLE)))) - (((((CAST(num2 AS DOUBLE) / CAST(den AS DOUBLE)) - ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))) / ((CAST(1.0 AS DOUBLE) - ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))) / (((CAST(1.0 AS DOUBLE) - ((((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) - (((((CAST(num2 AS DOUBLE) / CAST(den AS DOUBLE)) - ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))) / ((CAST(1.0 AS DOUBLE) - ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE)))) - (((((CAST(num2 AS DOUBLE) / CAST(den AS DOUBLE)) - ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))) / ((CAST(1.0 AS DOUBLE) - ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))))) * ((CAST(num2 AS DOUBLE) / CAST(den AS DOUBLE))))))) * (((((CAST(num2 AS DOUBLE) / CAST(den AS DOUBLE)) - ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))) / ((CAST(1.0 AS DOUBLE) - ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))))))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE)))) - (((((((CAST(num2 AS DOUBLE) / CAST(den AS DOUBLE)) - ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))) / ((CAST(1.0 AS DOUBLE) - ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))))) - ((((((CAST(num3 AS DOUBLE) / CAST(den AS DOUBLE)) - ((((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) - (((((CAST(num2 AS DOUBLE) / CAST(den AS DOUBLE)) - ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))) / ((CAST(1.0 AS DOUBLE) - ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))) * ((CAST(num2 AS DOUBLE) / CAST(den AS DOUBLE)))) - (((((CAST(num2 AS DOUBLE) / CAST(den AS DOUBLE)) - ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))) / ((CAST(1.0 AS DOUBLE) - ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))) / (((CAST(1.0 AS DOUBLE) - ((((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) - (((((CAST(num2 AS DOUBLE) / CAST(den AS DOUBLE)) - ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))) / ((CAST(1.0 AS DOUBLE) - ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE)))) - (((((CAST(num2 AS DOUBLE) / CAST(den AS DOUBLE)) - ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))) / ((CAST(1.0 AS DOUBLE) - ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))))) * ((CAST(num2 AS DOUBLE) / CAST(den AS DOUBLE))))))) * ((((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) - (((((CAST(num2 AS DOUBLE) / CAST(den AS DOUBLE)) - ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))) / ((CAST(1.0 AS DOUBLE) - ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))))) * ((CAST(num2 AS DOUBLE) / CAST(den AS DOUBLE)))) - ((((((CAST(num3 AS DOUBLE) / CAST(den AS DOUBLE)) - ((((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) - (((((CAST(num2 AS DOUBLE) / CAST(den AS DOUBLE)) - ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))) / ((CAST(1.0 AS DOUBLE) - ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))) * ((CAST(num2 AS DOUBLE) / CAST(den AS DOUBLE)))) - (((((CAST(num2 AS DOUBLE) / CAST(den AS DOUBLE)) - ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))) / ((CAST(1.0 AS DOUBLE) - ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))) / (((CAST(1.0 AS DOUBLE) - ((((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) - (((((CAST(num2 AS DOUBLE) / CAST(den AS DOUBLE)) - ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))) / ((CAST(1.0 AS DOUBLE) - ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE)))) - (((((CAST(num2 AS DOUBLE) / CAST(den AS DOUBLE)) - ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))) / ((CAST(1.0 AS DOUBLE) - ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))))) * ((CAST(num2 AS DOUBLE) / CAST(den AS DOUBLE))))))) * ((CAST(num3 AS DOUBLE) / CAST(den AS DOUBLE))))))) * 1e6 + 0.5) / 1e6 AS pacf_4,
+               floor(((((((((CAST(num5 AS DOUBLE) / CAST(den AS DOUBLE)) - ((((((((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) - (((((CAST(num2 AS DOUBLE) / CAST(den AS DOUBLE)) - ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))) / ((CAST(1.0 AS DOUBLE) - ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))) - ((((((CAST(num3 AS DOUBLE) / CAST(den AS DOUBLE)) - ((((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) - (((((CAST(num2 AS DOUBLE) / CAST(den AS DOUBLE)) - ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))) / ((CAST(1.0 AS DOUBLE) - ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))) * ((CAST(num2 AS DOUBLE) / CAST(den AS DOUBLE)))) - (((((CAST(num2 AS DOUBLE) / CAST(den AS DOUBLE)) - ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))) / ((CAST(1.0 AS DOUBLE) - ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))) / (((CAST(1.0 AS DOUBLE) - ((((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) - (((((CAST(num2 AS DOUBLE) / CAST(den AS DOUBLE)) - ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))) / ((CAST(1.0 AS DOUBLE) - ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE)))) - (((((CAST(num2 AS DOUBLE) / CAST(den AS DOUBLE)) - ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))) / ((CAST(1.0 AS DOUBLE) - ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))))) * ((CAST(num2 AS DOUBLE) / CAST(den AS DOUBLE))))))) * (((((CAST(num2 AS DOUBLE) / CAST(den AS DOUBLE)) - ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))) / ((CAST(1.0 AS DOUBLE) - ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))))))) - (((((((CAST(num4 AS DOUBLE) / CAST(den AS DOUBLE)) - ((((((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) - (((((CAST(num2 AS DOUBLE) / CAST(den AS DOUBLE)) - ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))) / ((CAST(1.0 AS DOUBLE) - ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))) - ((((((CAST(num3 AS DOUBLE) / CAST(den AS DOUBLE)) - ((((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) - (((((CAST(num2 AS DOUBLE) / CAST(den AS DOUBLE)) - ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))) / ((CAST(1.0 AS DOUBLE) - ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))) * ((CAST(num2 AS DOUBLE) / CAST(den AS DOUBLE)))) - (((((CAST(num2 AS DOUBLE) / CAST(den AS DOUBLE)) - ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))) / ((CAST(1.0 AS DOUBLE) - ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))) / (((CAST(1.0 AS DOUBLE) - ((((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) - (((((CAST(num2 AS DOUBLE) / CAST(den AS DOUBLE)) - ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))) / ((CAST(1.0 AS DOUBLE) - ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE)))) - (((((CAST(num2 AS DOUBLE) / CAST(den AS DOUBLE)) - ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))) / ((CAST(1.0 AS DOUBLE) - ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))))) * ((CAST(num2 AS DOUBLE) / CAST(den AS DOUBLE))))))) * (((((CAST(num2 AS DOUBLE) / CAST(den AS DOUBLE)) - ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))) / ((CAST(1.0 AS DOUBLE) - ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))))))) * ((CAST(num3 AS DOUBLE) / CAST(den AS DOUBLE)))) - (((((((CAST(num2 AS DOUBLE) / CAST(den AS DOUBLE)) - ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))) / ((CAST(1.0 AS DOUBLE) - ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))))) - ((((((CAST(num3 AS DOUBLE) / CAST(den AS DOUBLE)) - ((((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) - (((((CAST(num2 AS DOUBLE) / CAST(den AS DOUBLE)) - ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))) / ((CAST(1.0 AS DOUBLE) - ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))) * ((CAST(num2 AS DOUBLE) / CAST(den AS DOUBLE)))) - (((((CAST(num2 AS DOUBLE) / CAST(den AS DOUBLE)) - ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))) / ((CAST(1.0 AS DOUBLE) - ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))) / (((CAST(1.0 AS DOUBLE) - ((((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) - (((((CAST(num2 AS DOUBLE) / CAST(den AS DOUBLE)) - ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))) / ((CAST(1.0 AS DOUBLE) - ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE)))) - (((((CAST(num2 AS DOUBLE) / CAST(den AS DOUBLE)) - ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))) / ((CAST(1.0 AS DOUBLE) - ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))))) * ((CAST(num2 AS DOUBLE) / CAST(den AS DOUBLE))))))) * ((((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) - (((((CAST(num2 AS DOUBLE) / CAST(den AS DOUBLE)) - ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))) / ((CAST(1.0 AS DOUBLE) - ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))))) * ((CAST(num2 AS DOUBLE) / CAST(den AS DOUBLE)))) - ((((((CAST(num3 AS DOUBLE) / CAST(den AS DOUBLE)) - ((((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) - (((((CAST(num2 AS DOUBLE) / CAST(den AS DOUBLE)) - ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))) / ((CAST(1.0 AS DOUBLE) - ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))) * ((CAST(num2 AS DOUBLE) / CAST(den AS DOUBLE)))) - (((((CAST(num2 AS DOUBLE) / CAST(den AS DOUBLE)) - ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))) / ((CAST(1.0 AS DOUBLE) - ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))) / (((CAST(1.0 AS DOUBLE) - ((((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) - (((((CAST(num2 AS DOUBLE) / CAST(den AS DOUBLE)) - ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))) / ((CAST(1.0 AS DOUBLE) - ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE)))) - (((((CAST(num2 AS DOUBLE) / CAST(den AS DOUBLE)) - ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))) / ((CAST(1.0 AS DOUBLE) - ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))))) * ((CAST(num2 AS DOUBLE) / CAST(den AS DOUBLE))))))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))) / ((((CAST(1.0 AS DOUBLE) - ((((((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) - (((((CAST(num2 AS DOUBLE) / CAST(den AS DOUBLE)) - ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))) / ((CAST(1.0 AS DOUBLE) - ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))) - ((((((CAST(num3 AS DOUBLE) / CAST(den AS DOUBLE)) - ((((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) - (((((CAST(num2 AS DOUBLE) / CAST(den AS DOUBLE)) - ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))) / ((CAST(1.0 AS DOUBLE) - ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))) * ((CAST(num2 AS DOUBLE) / CAST(den AS DOUBLE)))) - (((((CAST(num2 AS DOUBLE) / CAST(den AS DOUBLE)) - ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))) / ((CAST(1.0 AS DOUBLE) - ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))) / (((CAST(1.0 AS DOUBLE) - ((((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) - (((((CAST(num2 AS DOUBLE) / CAST(den AS DOUBLE)) - ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))) / ((CAST(1.0 AS DOUBLE) - ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE)))) - (((((CAST(num2 AS DOUBLE) / CAST(den AS DOUBLE)) - ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))) / ((CAST(1.0 AS DOUBLE) - ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))))) * ((CAST(num2 AS DOUBLE) / CAST(den AS DOUBLE))))))) * (((((CAST(num2 AS DOUBLE) / CAST(den AS DOUBLE)) - ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))) / ((CAST(1.0 AS DOUBLE) - ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))))))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE)))) - (((((((CAST(num2 AS DOUBLE) / CAST(den AS DOUBLE)) - ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))) / ((CAST(1.0 AS DOUBLE) - ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))))) - ((((((CAST(num3 AS DOUBLE) / CAST(den AS DOUBLE)) - ((((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) - (((((CAST(num2 AS DOUBLE) / CAST(den AS DOUBLE)) - ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))) / ((CAST(1.0 AS DOUBLE) - ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))) * ((CAST(num2 AS DOUBLE) / CAST(den AS DOUBLE)))) - (((((CAST(num2 AS DOUBLE) / CAST(den AS DOUBLE)) - ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))) / ((CAST(1.0 AS DOUBLE) - ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))) / (((CAST(1.0 AS DOUBLE) - ((((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) - (((((CAST(num2 AS DOUBLE) / CAST(den AS DOUBLE)) - ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))) / ((CAST(1.0 AS DOUBLE) - ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE)))) - (((((CAST(num2 AS DOUBLE) / CAST(den AS DOUBLE)) - ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))) / ((CAST(1.0 AS DOUBLE) - ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))))) * ((CAST(num2 AS DOUBLE) / CAST(den AS DOUBLE))))))) * ((((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) - (((((CAST(num2 AS DOUBLE) / CAST(den AS DOUBLE)) - ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))) / ((CAST(1.0 AS DOUBLE) - ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))))) * ((CAST(num2 AS DOUBLE) / CAST(den AS DOUBLE)))) - ((((((CAST(num3 AS DOUBLE) / CAST(den AS DOUBLE)) - ((((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) - (((((CAST(num2 AS DOUBLE) / CAST(den AS DOUBLE)) - ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))) / ((CAST(1.0 AS DOUBLE) - ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))) * ((CAST(num2 AS DOUBLE) / CAST(den AS DOUBLE)))) - (((((CAST(num2 AS DOUBLE) / CAST(den AS DOUBLE)) - ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))) / ((CAST(1.0 AS DOUBLE) - ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))) / (((CAST(1.0 AS DOUBLE) - ((((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) - (((((CAST(num2 AS DOUBLE) / CAST(den AS DOUBLE)) - ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))) / ((CAST(1.0 AS DOUBLE) - ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE)))) - (((((CAST(num2 AS DOUBLE) / CAST(den AS DOUBLE)) - ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))) / ((CAST(1.0 AS DOUBLE) - ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))))) * ((CAST(num2 AS DOUBLE) / CAST(den AS DOUBLE))))))) * ((CAST(num3 AS DOUBLE) / CAST(den AS DOUBLE))))))) * ((((((CAST(num3 AS DOUBLE) / CAST(den AS DOUBLE)) - ((((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) - (((((CAST(num2 AS DOUBLE) / CAST(den AS DOUBLE)) - ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))) / ((CAST(1.0 AS DOUBLE) - ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))) * ((CAST(num2 AS DOUBLE) / CAST(den AS DOUBLE)))) - (((((CAST(num2 AS DOUBLE) / CAST(den AS DOUBLE)) - ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))) / ((CAST(1.0 AS DOUBLE) - ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))) / (((CAST(1.0 AS DOUBLE) - ((((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) - (((((CAST(num2 AS DOUBLE) / CAST(den AS DOUBLE)) - ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))) / ((CAST(1.0 AS DOUBLE) - ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE)))) - (((((CAST(num2 AS DOUBLE) / CAST(den AS DOUBLE)) - ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))) / ((CAST(1.0 AS DOUBLE) - ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))))) * ((CAST(num2 AS DOUBLE) / CAST(den AS DOUBLE))))))))) * ((CAST(num4 AS DOUBLE) / CAST(den AS DOUBLE)))) - (((((((((CAST(num2 AS DOUBLE) / CAST(den AS DOUBLE)) - ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))) / ((CAST(1.0 AS DOUBLE) - ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))))) - ((((((CAST(num3 AS DOUBLE) / CAST(den AS DOUBLE)) - ((((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) - (((((CAST(num2 AS DOUBLE) / CAST(den AS DOUBLE)) - ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))) / ((CAST(1.0 AS DOUBLE) - ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))) * ((CAST(num2 AS DOUBLE) / CAST(den AS DOUBLE)))) - (((((CAST(num2 AS DOUBLE) / CAST(den AS DOUBLE)) - ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))) / ((CAST(1.0 AS DOUBLE) - ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))) / (((CAST(1.0 AS DOUBLE) - ((((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) - (((((CAST(num2 AS DOUBLE) / CAST(den AS DOUBLE)) - ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))) / ((CAST(1.0 AS DOUBLE) - ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE)))) - (((((CAST(num2 AS DOUBLE) / CAST(den AS DOUBLE)) - ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))) / ((CAST(1.0 AS DOUBLE) - ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))))) * ((CAST(num2 AS DOUBLE) / CAST(den AS DOUBLE))))))) * ((((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) - (((((CAST(num2 AS DOUBLE) / CAST(den AS DOUBLE)) - ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))) / ((CAST(1.0 AS DOUBLE) - ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))))) - (((((((CAST(num4 AS DOUBLE) / CAST(den AS DOUBLE)) - ((((((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) - (((((CAST(num2 AS DOUBLE) / CAST(den AS DOUBLE)) - ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))) / ((CAST(1.0 AS DOUBLE) - ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))) - ((((((CAST(num3 AS DOUBLE) / CAST(den AS DOUBLE)) - ((((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) - (((((CAST(num2 AS DOUBLE) / CAST(den AS DOUBLE)) - ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))) / ((CAST(1.0 AS DOUBLE) - ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))) * ((CAST(num2 AS DOUBLE) / CAST(den AS DOUBLE)))) - (((((CAST(num2 AS DOUBLE) / CAST(den AS DOUBLE)) - ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))) / ((CAST(1.0 AS DOUBLE) - ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))) / (((CAST(1.0 AS DOUBLE) - ((((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) - (((((CAST(num2 AS DOUBLE) / CAST(den AS DOUBLE)) - ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))) / ((CAST(1.0 AS DOUBLE) - ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE)))) - (((((CAST(num2 AS DOUBLE) / CAST(den AS DOUBLE)) - ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))) / ((CAST(1.0 AS DOUBLE) - ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))))) * ((CAST(num2 AS DOUBLE) / CAST(den AS DOUBLE))))))) * (((((CAST(num2 AS DOUBLE) / CAST(den AS DOUBLE)) - ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))) / ((CAST(1.0 AS DOUBLE) - ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))))))) * ((CAST(num3 AS DOUBLE) / CAST(den AS DOUBLE)))) - (((((((CAST(num2 AS DOUBLE) / CAST(den AS DOUBLE)) - ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))) / ((CAST(1.0 AS DOUBLE) - ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))))) - ((((((CAST(num3 AS DOUBLE) / CAST(den AS DOUBLE)) - ((((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) - (((((CAST(num2 AS DOUBLE) / CAST(den AS DOUBLE)) - ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))) / ((CAST(1.0 AS DOUBLE) - ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))) * ((CAST(num2 AS DOUBLE) / CAST(den AS DOUBLE)))) - (((((CAST(num2 AS DOUBLE) / CAST(den AS DOUBLE)) - ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))) / ((CAST(1.0 AS DOUBLE) - ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))) / (((CAST(1.0 AS DOUBLE) - ((((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) - (((((CAST(num2 AS DOUBLE) / CAST(den AS DOUBLE)) - ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))) / ((CAST(1.0 AS DOUBLE) - ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE)))) - (((((CAST(num2 AS DOUBLE) / CAST(den AS DOUBLE)) - ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))) / ((CAST(1.0 AS DOUBLE) - ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))))) * ((CAST(num2 AS DOUBLE) / CAST(den AS DOUBLE))))))) * ((((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) - (((((CAST(num2 AS DOUBLE) / CAST(den AS DOUBLE)) - ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))) / ((CAST(1.0 AS DOUBLE) - ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))))) * ((CAST(num2 AS DOUBLE) / CAST(den AS DOUBLE)))) - ((((((CAST(num3 AS DOUBLE) / CAST(den AS DOUBLE)) - ((((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) - (((((CAST(num2 AS DOUBLE) / CAST(den AS DOUBLE)) - ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))) / ((CAST(1.0 AS DOUBLE) - ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))) * ((CAST(num2 AS DOUBLE) / CAST(den AS DOUBLE)))) - (((((CAST(num2 AS DOUBLE) / CAST(den AS DOUBLE)) - ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))) / ((CAST(1.0 AS DOUBLE) - ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))) / (((CAST(1.0 AS DOUBLE) - ((((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) - (((((CAST(num2 AS DOUBLE) / CAST(den AS DOUBLE)) - ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))) / ((CAST(1.0 AS DOUBLE) - ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE)))) - (((((CAST(num2 AS DOUBLE) / CAST(den AS DOUBLE)) - ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))) / ((CAST(1.0 AS DOUBLE) - ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))))) * ((CAST(num2 AS DOUBLE) / CAST(den AS DOUBLE))))))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))) / ((((CAST(1.0 AS DOUBLE) - ((((((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) - (((((CAST(num2 AS DOUBLE) / CAST(den AS DOUBLE)) - ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))) / ((CAST(1.0 AS DOUBLE) - ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))) - ((((((CAST(num3 AS DOUBLE) / CAST(den AS DOUBLE)) - ((((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) - (((((CAST(num2 AS DOUBLE) / CAST(den AS DOUBLE)) - ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))) / ((CAST(1.0 AS DOUBLE) - ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))) * ((CAST(num2 AS DOUBLE) / CAST(den AS DOUBLE)))) - (((((CAST(num2 AS DOUBLE) / CAST(den AS DOUBLE)) - ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))) / ((CAST(1.0 AS DOUBLE) - ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))) / (((CAST(1.0 AS DOUBLE) - ((((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) - (((((CAST(num2 AS DOUBLE) / CAST(den AS DOUBLE)) - ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))) / ((CAST(1.0 AS DOUBLE) - ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE)))) - (((((CAST(num2 AS DOUBLE) / CAST(den AS DOUBLE)) - ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))) / ((CAST(1.0 AS DOUBLE) - ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))))) * ((CAST(num2 AS DOUBLE) / CAST(den AS DOUBLE))))))) * (((((CAST(num2 AS DOUBLE) / CAST(den AS DOUBLE)) - ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))) / ((CAST(1.0 AS DOUBLE) - ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))))))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE)))) - (((((((CAST(num2 AS DOUBLE) / CAST(den AS DOUBLE)) - ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))) / ((CAST(1.0 AS DOUBLE) - ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))))) - ((((((CAST(num3 AS DOUBLE) / CAST(den AS DOUBLE)) - ((((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) - (((((CAST(num2 AS DOUBLE) / CAST(den AS DOUBLE)) - ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))) / ((CAST(1.0 AS DOUBLE) - ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))) * ((CAST(num2 AS DOUBLE) / CAST(den AS DOUBLE)))) - (((((CAST(num2 AS DOUBLE) / CAST(den AS DOUBLE)) - ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))) / ((CAST(1.0 AS DOUBLE) - ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))) / (((CAST(1.0 AS DOUBLE) - ((((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) - (((((CAST(num2 AS DOUBLE) / CAST(den AS DOUBLE)) - ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))) / ((CAST(1.0 AS DOUBLE) - ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE)))) - (((((CAST(num2 AS DOUBLE) / CAST(den AS DOUBLE)) - ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))) / ((CAST(1.0 AS DOUBLE) - ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))))) * ((CAST(num2 AS DOUBLE) / CAST(den AS DOUBLE))))))) * ((((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) - (((((CAST(num2 AS DOUBLE) / CAST(den AS DOUBLE)) - ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))) / ((CAST(1.0 AS DOUBLE) - ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))))) * ((CAST(num2 AS DOUBLE) / CAST(den AS DOUBLE)))) - ((((((CAST(num3 AS DOUBLE) / CAST(den AS DOUBLE)) - ((((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) - (((((CAST(num2 AS DOUBLE) / CAST(den AS DOUBLE)) - ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))) / ((CAST(1.0 AS DOUBLE) - ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))) * ((CAST(num2 AS DOUBLE) / CAST(den AS DOUBLE)))) - (((((CAST(num2 AS DOUBLE) / CAST(den AS DOUBLE)) - ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))) / ((CAST(1.0 AS DOUBLE) - ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))) / (((CAST(1.0 AS DOUBLE) - ((((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) - (((((CAST(num2 AS DOUBLE) / CAST(den AS DOUBLE)) - ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))) / ((CAST(1.0 AS DOUBLE) - ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE)))) - (((((CAST(num2 AS DOUBLE) / CAST(den AS DOUBLE)) - ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))) / ((CAST(1.0 AS DOUBLE) - ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))))) * ((CAST(num2 AS DOUBLE) / CAST(den AS DOUBLE))))))) * ((CAST(num3 AS DOUBLE) / CAST(den AS DOUBLE))))))) * (((((((CAST(num2 AS DOUBLE) / CAST(den AS DOUBLE)) - ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))) / ((CAST(1.0 AS DOUBLE) - ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))))) - ((((((CAST(num3 AS DOUBLE) / CAST(den AS DOUBLE)) - ((((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) - (((((CAST(num2 AS DOUBLE) / CAST(den AS DOUBLE)) - ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))) / ((CAST(1.0 AS DOUBLE) - ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))) * ((CAST(num2 AS DOUBLE) / CAST(den AS DOUBLE)))) - (((((CAST(num2 AS DOUBLE) / CAST(den AS DOUBLE)) - ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))) / ((CAST(1.0 AS DOUBLE) - ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))) / (((CAST(1.0 AS DOUBLE) - ((((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) - (((((CAST(num2 AS DOUBLE) / CAST(den AS DOUBLE)) - ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))) / ((CAST(1.0 AS DOUBLE) - ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE)))) - (((((CAST(num2 AS DOUBLE) / CAST(den AS DOUBLE)) - ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))) / ((CAST(1.0 AS DOUBLE) - ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))))) * ((CAST(num2 AS DOUBLE) / CAST(den AS DOUBLE))))))) * ((((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) - (((((CAST(num2 AS DOUBLE) / CAST(den AS DOUBLE)) - ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))) / ((CAST(1.0 AS DOUBLE) - ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))))))) * ((CAST(num3 AS DOUBLE) / CAST(den AS DOUBLE)))) - ((((((((CAST(num3 AS DOUBLE) / CAST(den AS DOUBLE)) - ((((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) - (((((CAST(num2 AS DOUBLE) / CAST(den AS DOUBLE)) - ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))) / ((CAST(1.0 AS DOUBLE) - ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))) * ((CAST(num2 AS DOUBLE) / CAST(den AS DOUBLE)))) - (((((CAST(num2 AS DOUBLE) / CAST(den AS DOUBLE)) - ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))) / ((CAST(1.0 AS DOUBLE) - ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))) / (((CAST(1.0 AS DOUBLE) - ((((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) - (((((CAST(num2 AS DOUBLE) / CAST(den AS DOUBLE)) - ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))) / ((CAST(1.0 AS DOUBLE) - ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE)))) - (((((CAST(num2 AS DOUBLE) / CAST(den AS DOUBLE)) - ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))) / ((CAST(1.0 AS DOUBLE) - ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))))) * ((CAST(num2 AS DOUBLE) / CAST(den AS DOUBLE))))))) - (((((((CAST(num4 AS DOUBLE) / CAST(den AS DOUBLE)) - ((((((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) - (((((CAST(num2 AS DOUBLE) / CAST(den AS DOUBLE)) - ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))) / ((CAST(1.0 AS DOUBLE) - ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))) - ((((((CAST(num3 AS DOUBLE) / CAST(den AS DOUBLE)) - ((((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) - (((((CAST(num2 AS DOUBLE) / CAST(den AS DOUBLE)) - ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))) / ((CAST(1.0 AS DOUBLE) - ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))) * ((CAST(num2 AS DOUBLE) / CAST(den AS DOUBLE)))) - (((((CAST(num2 AS DOUBLE) / CAST(den AS DOUBLE)) - ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))) / ((CAST(1.0 AS DOUBLE) - ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))) / (((CAST(1.0 AS DOUBLE) - ((((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) - (((((CAST(num2 AS DOUBLE) / CAST(den AS DOUBLE)) - ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))) / ((CAST(1.0 AS DOUBLE) - ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE)))) - (((((CAST(num2 AS DOUBLE) / CAST(den AS DOUBLE)) - ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))) / ((CAST(1.0 AS DOUBLE) - ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))))) * ((CAST(num2 AS DOUBLE) / CAST(den AS DOUBLE))))))) * (((((CAST(num2 AS DOUBLE) / CAST(den AS DOUBLE)) - ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))) / ((CAST(1.0 AS DOUBLE) - ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))))))) * ((CAST(num3 AS DOUBLE) / CAST(den AS DOUBLE)))) - (((((((CAST(num2 AS DOUBLE) / CAST(den AS DOUBLE)) - ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))) / ((CAST(1.0 AS DOUBLE) - ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))))) - ((((((CAST(num3 AS DOUBLE) / CAST(den AS DOUBLE)) - ((((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) - (((((CAST(num2 AS DOUBLE) / CAST(den AS DOUBLE)) - ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))) / ((CAST(1.0 AS DOUBLE) - ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))) * ((CAST(num2 AS DOUBLE) / CAST(den AS DOUBLE)))) - (((((CAST(num2 AS DOUBLE) / CAST(den AS DOUBLE)) - ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))) / ((CAST(1.0 AS DOUBLE) - ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))) / (((CAST(1.0 AS DOUBLE) - ((((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) - (((((CAST(num2 AS DOUBLE) / CAST(den AS DOUBLE)) - ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))) / ((CAST(1.0 AS DOUBLE) - ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE)))) - (((((CAST(num2 AS DOUBLE) / CAST(den AS DOUBLE)) - ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))) / ((CAST(1.0 AS DOUBLE) - ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))))) * ((CAST(num2 AS DOUBLE) / CAST(den AS DOUBLE))))))) * ((((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) - (((((CAST(num2 AS DOUBLE) / CAST(den AS DOUBLE)) - ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))) / ((CAST(1.0 AS DOUBLE) - ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))))) * ((CAST(num2 AS DOUBLE) / CAST(den AS DOUBLE)))) - ((((((CAST(num3 AS DOUBLE) / CAST(den AS DOUBLE)) - ((((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) - (((((CAST(num2 AS DOUBLE) / CAST(den AS DOUBLE)) - ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))) / ((CAST(1.0 AS DOUBLE) - ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))) * ((CAST(num2 AS DOUBLE) / CAST(den AS DOUBLE)))) - (((((CAST(num2 AS DOUBLE) / CAST(den AS DOUBLE)) - ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))) / ((CAST(1.0 AS DOUBLE) - ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))) / (((CAST(1.0 AS DOUBLE) - ((((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) - (((((CAST(num2 AS DOUBLE) / CAST(den AS DOUBLE)) - ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))) / ((CAST(1.0 AS DOUBLE) - ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE)))) - (((((CAST(num2 AS DOUBLE) / CAST(den AS DOUBLE)) - ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))) / ((CAST(1.0 AS DOUBLE) - ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))))) * ((CAST(num2 AS DOUBLE) / CAST(den AS DOUBLE))))))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))) / ((((CAST(1.0 AS DOUBLE) - ((((((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) - (((((CAST(num2 AS DOUBLE) / CAST(den AS DOUBLE)) - ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))) / ((CAST(1.0 AS DOUBLE) - ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))) - ((((((CAST(num3 AS DOUBLE) / CAST(den AS DOUBLE)) - ((((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) - (((((CAST(num2 AS DOUBLE) / CAST(den AS DOUBLE)) - ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))) / ((CAST(1.0 AS DOUBLE) - ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))) * ((CAST(num2 AS DOUBLE) / CAST(den AS DOUBLE)))) - (((((CAST(num2 AS DOUBLE) / CAST(den AS DOUBLE)) - ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))) / ((CAST(1.0 AS DOUBLE) - ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))) / (((CAST(1.0 AS DOUBLE) - ((((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) - (((((CAST(num2 AS DOUBLE) / CAST(den AS DOUBLE)) - ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))) / ((CAST(1.0 AS DOUBLE) - ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE)))) - (((((CAST(num2 AS DOUBLE) / CAST(den AS DOUBLE)) - ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))) / ((CAST(1.0 AS DOUBLE) - ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))))) * ((CAST(num2 AS DOUBLE) / CAST(den AS DOUBLE))))))) * (((((CAST(num2 AS DOUBLE) / CAST(den AS DOUBLE)) - ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))) / ((CAST(1.0 AS DOUBLE) - ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))))))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE)))) - (((((((CAST(num2 AS DOUBLE) / CAST(den AS DOUBLE)) - ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))) / ((CAST(1.0 AS DOUBLE) - ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))))) - ((((((CAST(num3 AS DOUBLE) / CAST(den AS DOUBLE)) - ((((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) - (((((CAST(num2 AS DOUBLE) / CAST(den AS DOUBLE)) - ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))) / ((CAST(1.0 AS DOUBLE) - ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))) * ((CAST(num2 AS DOUBLE) / CAST(den AS DOUBLE)))) - (((((CAST(num2 AS DOUBLE) / CAST(den AS DOUBLE)) - ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))) / ((CAST(1.0 AS DOUBLE) - ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))) / (((CAST(1.0 AS DOUBLE) - ((((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) - (((((CAST(num2 AS DOUBLE) / CAST(den AS DOUBLE)) - ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))) / ((CAST(1.0 AS DOUBLE) - ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE)))) - (((((CAST(num2 AS DOUBLE) / CAST(den AS DOUBLE)) - ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))) / ((CAST(1.0 AS DOUBLE) - ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))))) * ((CAST(num2 AS DOUBLE) / CAST(den AS DOUBLE))))))) * ((((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) - (((((CAST(num2 AS DOUBLE) / CAST(den AS DOUBLE)) - ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))) / ((CAST(1.0 AS DOUBLE) - ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))))) * ((CAST(num2 AS DOUBLE) / CAST(den AS DOUBLE)))) - ((((((CAST(num3 AS DOUBLE) / CAST(den AS DOUBLE)) - ((((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) - (((((CAST(num2 AS DOUBLE) / CAST(den AS DOUBLE)) - ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))) / ((CAST(1.0 AS DOUBLE) - ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))) * ((CAST(num2 AS DOUBLE) / CAST(den AS DOUBLE)))) - (((((CAST(num2 AS DOUBLE) / CAST(den AS DOUBLE)) - ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))) / ((CAST(1.0 AS DOUBLE) - ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))) / (((CAST(1.0 AS DOUBLE) - ((((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) - (((((CAST(num2 AS DOUBLE) / CAST(den AS DOUBLE)) - ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))) / ((CAST(1.0 AS DOUBLE) - ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE)))) - (((((CAST(num2 AS DOUBLE) / CAST(den AS DOUBLE)) - ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))) / ((CAST(1.0 AS DOUBLE) - ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))))) * ((CAST(num2 AS DOUBLE) / CAST(den AS DOUBLE))))))) * ((CAST(num3 AS DOUBLE) / CAST(den AS DOUBLE))))))) * ((((((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) - (((((CAST(num2 AS DOUBLE) / CAST(den AS DOUBLE)) - ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))) / ((CAST(1.0 AS DOUBLE) - ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))) - ((((((CAST(num3 AS DOUBLE) / CAST(den AS DOUBLE)) - ((((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) - (((((CAST(num2 AS DOUBLE) / CAST(den AS DOUBLE)) - ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))) / ((CAST(1.0 AS DOUBLE) - ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))) * ((CAST(num2 AS DOUBLE) / CAST(den AS DOUBLE)))) - (((((CAST(num2 AS DOUBLE) / CAST(den AS DOUBLE)) - ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))) / ((CAST(1.0 AS DOUBLE) - ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))) / (((CAST(1.0 AS DOUBLE) - ((((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) - (((((CAST(num2 AS DOUBLE) / CAST(den AS DOUBLE)) - ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))) / ((CAST(1.0 AS DOUBLE) - ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE)))) - (((((CAST(num2 AS DOUBLE) / CAST(den AS DOUBLE)) - ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))) / ((CAST(1.0 AS DOUBLE) - ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))))) * ((CAST(num2 AS DOUBLE) / CAST(den AS DOUBLE))))))) * (((((CAST(num2 AS DOUBLE) / CAST(den AS DOUBLE)) - ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))) / ((CAST(1.0 AS DOUBLE) - ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))))))))) * ((CAST(num2 AS DOUBLE) / CAST(den AS DOUBLE)))) - (((((((CAST(num4 AS DOUBLE) / CAST(den AS DOUBLE)) - ((((((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) - (((((CAST(num2 AS DOUBLE) / CAST(den AS DOUBLE)) - ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))) / ((CAST(1.0 AS DOUBLE) - ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))) - ((((((CAST(num3 AS DOUBLE) / CAST(den AS DOUBLE)) - ((((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) - (((((CAST(num2 AS DOUBLE) / CAST(den AS DOUBLE)) - ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))) / ((CAST(1.0 AS DOUBLE) - ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))) * ((CAST(num2 AS DOUBLE) / CAST(den AS DOUBLE)))) - (((((CAST(num2 AS DOUBLE) / CAST(den AS DOUBLE)) - ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))) / ((CAST(1.0 AS DOUBLE) - ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))) / (((CAST(1.0 AS DOUBLE) - ((((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) - (((((CAST(num2 AS DOUBLE) / CAST(den AS DOUBLE)) - ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))) / ((CAST(1.0 AS DOUBLE) - ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE)))) - (((((CAST(num2 AS DOUBLE) / CAST(den AS DOUBLE)) - ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))) / ((CAST(1.0 AS DOUBLE) - ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))))) * ((CAST(num2 AS DOUBLE) / CAST(den AS DOUBLE))))))) * (((((CAST(num2 AS DOUBLE) / CAST(den AS DOUBLE)) - ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))) / ((CAST(1.0 AS DOUBLE) - ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))))))) * ((CAST(num3 AS DOUBLE) / CAST(den AS DOUBLE)))) - (((((((CAST(num2 AS DOUBLE) / CAST(den AS DOUBLE)) - ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))) / ((CAST(1.0 AS DOUBLE) - ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))))) - ((((((CAST(num3 AS DOUBLE) / CAST(den AS DOUBLE)) - ((((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) - (((((CAST(num2 AS DOUBLE) / CAST(den AS DOUBLE)) - ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))) / ((CAST(1.0 AS DOUBLE) - ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))) * ((CAST(num2 AS DOUBLE) / CAST(den AS DOUBLE)))) - (((((CAST(num2 AS DOUBLE) / CAST(den AS DOUBLE)) - ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))) / ((CAST(1.0 AS DOUBLE) - ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))) / (((CAST(1.0 AS DOUBLE) - ((((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) - (((((CAST(num2 AS DOUBLE) / CAST(den AS DOUBLE)) - ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))) / ((CAST(1.0 AS DOUBLE) - ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE)))) - (((((CAST(num2 AS DOUBLE) / CAST(den AS DOUBLE)) - ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))) / ((CAST(1.0 AS DOUBLE) - ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))))) * ((CAST(num2 AS DOUBLE) / CAST(den AS DOUBLE))))))) * ((((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) - (((((CAST(num2 AS DOUBLE) / CAST(den AS DOUBLE)) - ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))) / ((CAST(1.0 AS DOUBLE) - ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))))) * ((CAST(num2 AS DOUBLE) / CAST(den AS DOUBLE)))) - ((((((CAST(num3 AS DOUBLE) / CAST(den AS DOUBLE)) - ((((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) - (((((CAST(num2 AS DOUBLE) / CAST(den AS DOUBLE)) - ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))) / ((CAST(1.0 AS DOUBLE) - ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))) * ((CAST(num2 AS DOUBLE) / CAST(den AS DOUBLE)))) - (((((CAST(num2 AS DOUBLE) / CAST(den AS DOUBLE)) - ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))) / ((CAST(1.0 AS DOUBLE) - ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))) / (((CAST(1.0 AS DOUBLE) - ((((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) - (((((CAST(num2 AS DOUBLE) / CAST(den AS DOUBLE)) - ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))) / ((CAST(1.0 AS DOUBLE) - ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE)))) - (((((CAST(num2 AS DOUBLE) / CAST(den AS DOUBLE)) - ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))) / ((CAST(1.0 AS DOUBLE) - ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))))) * ((CAST(num2 AS DOUBLE) / CAST(den AS DOUBLE))))))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))) / ((((CAST(1.0 AS DOUBLE) - ((((((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) - (((((CAST(num2 AS DOUBLE) / CAST(den AS DOUBLE)) - ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))) / ((CAST(1.0 AS DOUBLE) - ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))) - ((((((CAST(num3 AS DOUBLE) / CAST(den AS DOUBLE)) - ((((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) - (((((CAST(num2 AS DOUBLE) / CAST(den AS DOUBLE)) - ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))) / ((CAST(1.0 AS DOUBLE) - ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))) * ((CAST(num2 AS DOUBLE) / CAST(den AS DOUBLE)))) - (((((CAST(num2 AS DOUBLE) / CAST(den AS DOUBLE)) - ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))) / ((CAST(1.0 AS DOUBLE) - ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))) / (((CAST(1.0 AS DOUBLE) - ((((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) - (((((CAST(num2 AS DOUBLE) / CAST(den AS DOUBLE)) - ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))) / ((CAST(1.0 AS DOUBLE) - ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE)))) - (((((CAST(num2 AS DOUBLE) / CAST(den AS DOUBLE)) - ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))) / ((CAST(1.0 AS DOUBLE) - ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))))) * ((CAST(num2 AS DOUBLE) / CAST(den AS DOUBLE))))))) * (((((CAST(num2 AS DOUBLE) / CAST(den AS DOUBLE)) - ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))) / ((CAST(1.0 AS DOUBLE) - ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))))))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE)))) - (((((((CAST(num2 AS DOUBLE) / CAST(den AS DOUBLE)) - ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))) / ((CAST(1.0 AS DOUBLE) - ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))))) - ((((((CAST(num3 AS DOUBLE) / CAST(den AS DOUBLE)) - ((((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) - (((((CAST(num2 AS DOUBLE) / CAST(den AS DOUBLE)) - ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))) / ((CAST(1.0 AS DOUBLE) - ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))) * ((CAST(num2 AS DOUBLE) / CAST(den AS DOUBLE)))) - (((((CAST(num2 AS DOUBLE) / CAST(den AS DOUBLE)) - ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))) / ((CAST(1.0 AS DOUBLE) - ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))) / (((CAST(1.0 AS DOUBLE) - ((((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) - (((((CAST(num2 AS DOUBLE) / CAST(den AS DOUBLE)) - ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))) / ((CAST(1.0 AS DOUBLE) - ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE)))) - (((((CAST(num2 AS DOUBLE) / CAST(den AS DOUBLE)) - ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))) / ((CAST(1.0 AS DOUBLE) - ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))))) * ((CAST(num2 AS DOUBLE) / CAST(den AS DOUBLE))))))) * ((((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) - (((((CAST(num2 AS DOUBLE) / CAST(den AS DOUBLE)) - ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))) / ((CAST(1.0 AS DOUBLE) - ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))))) * ((CAST(num2 AS DOUBLE) / CAST(den AS DOUBLE)))) - ((((((CAST(num3 AS DOUBLE) / CAST(den AS DOUBLE)) - ((((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) - (((((CAST(num2 AS DOUBLE) / CAST(den AS DOUBLE)) - ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))) / ((CAST(1.0 AS DOUBLE) - ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))) * ((CAST(num2 AS DOUBLE) / CAST(den AS DOUBLE)))) - (((((CAST(num2 AS DOUBLE) / CAST(den AS DOUBLE)) - ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))) / ((CAST(1.0 AS DOUBLE) - ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))) / (((CAST(1.0 AS DOUBLE) - ((((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) - (((((CAST(num2 AS DOUBLE) / CAST(den AS DOUBLE)) - ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))) / ((CAST(1.0 AS DOUBLE) - ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE)))) - (((((CAST(num2 AS DOUBLE) / CAST(den AS DOUBLE)) - ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))) / ((CAST(1.0 AS DOUBLE) - ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))))) * ((CAST(num2 AS DOUBLE) / CAST(den AS DOUBLE))))))) * ((CAST(num3 AS DOUBLE) / CAST(den AS DOUBLE))))))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))) / (((((CAST(1.0 AS DOUBLE) - ((((((((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) - (((((CAST(num2 AS DOUBLE) / CAST(den AS DOUBLE)) - ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))) / ((CAST(1.0 AS DOUBLE) - ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))) - ((((((CAST(num3 AS DOUBLE) / CAST(den AS DOUBLE)) - ((((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) - (((((CAST(num2 AS DOUBLE) / CAST(den AS DOUBLE)) - ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))) / ((CAST(1.0 AS DOUBLE) - ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))) * ((CAST(num2 AS DOUBLE) / CAST(den AS DOUBLE)))) - (((((CAST(num2 AS DOUBLE) / CAST(den AS DOUBLE)) - ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))) / ((CAST(1.0 AS DOUBLE) - ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))) / (((CAST(1.0 AS DOUBLE) - ((((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) - (((((CAST(num2 AS DOUBLE) / CAST(den AS DOUBLE)) - ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))) / ((CAST(1.0 AS DOUBLE) - ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE)))) - (((((CAST(num2 AS DOUBLE) / CAST(den AS DOUBLE)) - ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))) / ((CAST(1.0 AS DOUBLE) - ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))))) * ((CAST(num2 AS DOUBLE) / CAST(den AS DOUBLE))))))) * (((((CAST(num2 AS DOUBLE) / CAST(den AS DOUBLE)) - ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))) / ((CAST(1.0 AS DOUBLE) - ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))))))) - (((((((CAST(num4 AS DOUBLE) / CAST(den AS DOUBLE)) - ((((((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) - (((((CAST(num2 AS DOUBLE) / CAST(den AS DOUBLE)) - ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))) / ((CAST(1.0 AS DOUBLE) - ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))) - ((((((CAST(num3 AS DOUBLE) / CAST(den AS DOUBLE)) - ((((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) - (((((CAST(num2 AS DOUBLE) / CAST(den AS DOUBLE)) - ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))) / ((CAST(1.0 AS DOUBLE) - ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))) * ((CAST(num2 AS DOUBLE) / CAST(den AS DOUBLE)))) - (((((CAST(num2 AS DOUBLE) / CAST(den AS DOUBLE)) - ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))) / ((CAST(1.0 AS DOUBLE) - ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))) / (((CAST(1.0 AS DOUBLE) - ((((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) - (((((CAST(num2 AS DOUBLE) / CAST(den AS DOUBLE)) - ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))) / ((CAST(1.0 AS DOUBLE) - ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE)))) - (((((CAST(num2 AS DOUBLE) / CAST(den AS DOUBLE)) - ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))) / ((CAST(1.0 AS DOUBLE) - ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))))) * ((CAST(num2 AS DOUBLE) / CAST(den AS DOUBLE))))))) * (((((CAST(num2 AS DOUBLE) / CAST(den AS DOUBLE)) - ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))) / ((CAST(1.0 AS DOUBLE) - ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))))))) * ((CAST(num3 AS DOUBLE) / CAST(den AS DOUBLE)))) - (((((((CAST(num2 AS DOUBLE) / CAST(den AS DOUBLE)) - ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))) / ((CAST(1.0 AS DOUBLE) - ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))))) - ((((((CAST(num3 AS DOUBLE) / CAST(den AS DOUBLE)) - ((((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) - (((((CAST(num2 AS DOUBLE) / CAST(den AS DOUBLE)) - ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))) / ((CAST(1.0 AS DOUBLE) - ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))) * ((CAST(num2 AS DOUBLE) / CAST(den AS DOUBLE)))) - (((((CAST(num2 AS DOUBLE) / CAST(den AS DOUBLE)) - ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))) / ((CAST(1.0 AS DOUBLE) - ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))) / (((CAST(1.0 AS DOUBLE) - ((((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) - (((((CAST(num2 AS DOUBLE) / CAST(den AS DOUBLE)) - ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))) / ((CAST(1.0 AS DOUBLE) - ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE)))) - (((((CAST(num2 AS DOUBLE) / CAST(den AS DOUBLE)) - ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))) / ((CAST(1.0 AS DOUBLE) - ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))))) * ((CAST(num2 AS DOUBLE) / CAST(den AS DOUBLE))))))) * ((((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) - (((((CAST(num2 AS DOUBLE) / CAST(den AS DOUBLE)) - ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))) / ((CAST(1.0 AS DOUBLE) - ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))))) * ((CAST(num2 AS DOUBLE) / CAST(den AS DOUBLE)))) - ((((((CAST(num3 AS DOUBLE) / CAST(den AS DOUBLE)) - ((((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) - (((((CAST(num2 AS DOUBLE) / CAST(den AS DOUBLE)) - ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))) / ((CAST(1.0 AS DOUBLE) - ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))) * ((CAST(num2 AS DOUBLE) / CAST(den AS DOUBLE)))) - (((((CAST(num2 AS DOUBLE) / CAST(den AS DOUBLE)) - ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))) / ((CAST(1.0 AS DOUBLE) - ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))) / (((CAST(1.0 AS DOUBLE) - ((((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) - (((((CAST(num2 AS DOUBLE) / CAST(den AS DOUBLE)) - ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))) / ((CAST(1.0 AS DOUBLE) - ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE)))) - (((((CAST(num2 AS DOUBLE) / CAST(den AS DOUBLE)) - ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))) / ((CAST(1.0 AS DOUBLE) - ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))))) * ((CAST(num2 AS DOUBLE) / CAST(den AS DOUBLE))))))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))) / ((((CAST(1.0 AS DOUBLE) - ((((((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) - (((((CAST(num2 AS DOUBLE) / CAST(den AS DOUBLE)) - ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))) / ((CAST(1.0 AS DOUBLE) - ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))) - ((((((CAST(num3 AS DOUBLE) / CAST(den AS DOUBLE)) - ((((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) - (((((CAST(num2 AS DOUBLE) / CAST(den AS DOUBLE)) - ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))) / ((CAST(1.0 AS DOUBLE) - ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))) * ((CAST(num2 AS DOUBLE) / CAST(den AS DOUBLE)))) - (((((CAST(num2 AS DOUBLE) / CAST(den AS DOUBLE)) - ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))) / ((CAST(1.0 AS DOUBLE) - ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))) / (((CAST(1.0 AS DOUBLE) - ((((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) - (((((CAST(num2 AS DOUBLE) / CAST(den AS DOUBLE)) - ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))) / ((CAST(1.0 AS DOUBLE) - ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE)))) - (((((CAST(num2 AS DOUBLE) / CAST(den AS DOUBLE)) - ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))) / ((CAST(1.0 AS DOUBLE) - ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))))) * ((CAST(num2 AS DOUBLE) / CAST(den AS DOUBLE))))))) * (((((CAST(num2 AS DOUBLE) / CAST(den AS DOUBLE)) - ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))) / ((CAST(1.0 AS DOUBLE) - ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))))))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE)))) - (((((((CAST(num2 AS DOUBLE) / CAST(den AS DOUBLE)) - ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))) / ((CAST(1.0 AS DOUBLE) - ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))))) - ((((((CAST(num3 AS DOUBLE) / CAST(den AS DOUBLE)) - ((((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) - (((((CAST(num2 AS DOUBLE) / CAST(den AS DOUBLE)) - ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))) / ((CAST(1.0 AS DOUBLE) - ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))) * ((CAST(num2 AS DOUBLE) / CAST(den AS DOUBLE)))) - (((((CAST(num2 AS DOUBLE) / CAST(den AS DOUBLE)) - ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))) / ((CAST(1.0 AS DOUBLE) - ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))) / (((CAST(1.0 AS DOUBLE) - ((((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) - (((((CAST(num2 AS DOUBLE) / CAST(den AS DOUBLE)) - ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))) / ((CAST(1.0 AS DOUBLE) - ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE)))) - (((((CAST(num2 AS DOUBLE) / CAST(den AS DOUBLE)) - ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))) / ((CAST(1.0 AS DOUBLE) - ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))))) * ((CAST(num2 AS DOUBLE) / CAST(den AS DOUBLE))))))) * ((((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) - (((((CAST(num2 AS DOUBLE) / CAST(den AS DOUBLE)) - ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))) / ((CAST(1.0 AS DOUBLE) - ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))))) * ((CAST(num2 AS DOUBLE) / CAST(den AS DOUBLE)))) - ((((((CAST(num3 AS DOUBLE) / CAST(den AS DOUBLE)) - ((((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) - (((((CAST(num2 AS DOUBLE) / CAST(den AS DOUBLE)) - ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))) / ((CAST(1.0 AS DOUBLE) - ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))) * ((CAST(num2 AS DOUBLE) / CAST(den AS DOUBLE)))) - (((((CAST(num2 AS DOUBLE) / CAST(den AS DOUBLE)) - ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))) / ((CAST(1.0 AS DOUBLE) - ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))) / (((CAST(1.0 AS DOUBLE) - ((((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) - (((((CAST(num2 AS DOUBLE) / CAST(den AS DOUBLE)) - ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))) / ((CAST(1.0 AS DOUBLE) - ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE)))) - (((((CAST(num2 AS DOUBLE) / CAST(den AS DOUBLE)) - ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))) / ((CAST(1.0 AS DOUBLE) - ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))))) * ((CAST(num2 AS DOUBLE) / CAST(den AS DOUBLE))))))) * ((CAST(num3 AS DOUBLE) / CAST(den AS DOUBLE))))))) * ((((((CAST(num3 AS DOUBLE) / CAST(den AS DOUBLE)) - ((((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) - (((((CAST(num2 AS DOUBLE) / CAST(den AS DOUBLE)) - ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))) / ((CAST(1.0 AS DOUBLE) - ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))) * ((CAST(num2 AS DOUBLE) / CAST(den AS DOUBLE)))) - (((((CAST(num2 AS DOUBLE) / CAST(den AS DOUBLE)) - ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))) / ((CAST(1.0 AS DOUBLE) - ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))) / (((CAST(1.0 AS DOUBLE) - ((((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) - (((((CAST(num2 AS DOUBLE) / CAST(den AS DOUBLE)) - ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))) / ((CAST(1.0 AS DOUBLE) - ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE)))) - (((((CAST(num2 AS DOUBLE) / CAST(den AS DOUBLE)) - ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))) / ((CAST(1.0 AS DOUBLE) - ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))))) * ((CAST(num2 AS DOUBLE) / CAST(den AS DOUBLE))))))))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE)))) - (((((((((CAST(num2 AS DOUBLE) / CAST(den AS DOUBLE)) - ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))) / ((CAST(1.0 AS DOUBLE) - ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))))) - ((((((CAST(num3 AS DOUBLE) / CAST(den AS DOUBLE)) - ((((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) - (((((CAST(num2 AS DOUBLE) / CAST(den AS DOUBLE)) - ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))) / ((CAST(1.0 AS DOUBLE) - ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))) * ((CAST(num2 AS DOUBLE) / CAST(den AS DOUBLE)))) - (((((CAST(num2 AS DOUBLE) / CAST(den AS DOUBLE)) - ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))) / ((CAST(1.0 AS DOUBLE) - ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))) / (((CAST(1.0 AS DOUBLE) - ((((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) - (((((CAST(num2 AS DOUBLE) / CAST(den AS DOUBLE)) - ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))) / ((CAST(1.0 AS DOUBLE) - ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE)))) - (((((CAST(num2 AS DOUBLE) / CAST(den AS DOUBLE)) - ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))) / ((CAST(1.0 AS DOUBLE) - ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))))) * ((CAST(num2 AS DOUBLE) / CAST(den AS DOUBLE))))))) * ((((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) - (((((CAST(num2 AS DOUBLE) / CAST(den AS DOUBLE)) - ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))) / ((CAST(1.0 AS DOUBLE) - ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))))) - (((((((CAST(num4 AS DOUBLE) / CAST(den AS DOUBLE)) - ((((((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) - (((((CAST(num2 AS DOUBLE) / CAST(den AS DOUBLE)) - ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))) / ((CAST(1.0 AS DOUBLE) - ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))) - ((((((CAST(num3 AS DOUBLE) / CAST(den AS DOUBLE)) - ((((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) - (((((CAST(num2 AS DOUBLE) / CAST(den AS DOUBLE)) - ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))) / ((CAST(1.0 AS DOUBLE) - ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))) * ((CAST(num2 AS DOUBLE) / CAST(den AS DOUBLE)))) - (((((CAST(num2 AS DOUBLE) / CAST(den AS DOUBLE)) - ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))) / ((CAST(1.0 AS DOUBLE) - ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))) / (((CAST(1.0 AS DOUBLE) - ((((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) - (((((CAST(num2 AS DOUBLE) / CAST(den AS DOUBLE)) - ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))) / ((CAST(1.0 AS DOUBLE) - ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE)))) - (((((CAST(num2 AS DOUBLE) / CAST(den AS DOUBLE)) - ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))) / ((CAST(1.0 AS DOUBLE) - ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))))) * ((CAST(num2 AS DOUBLE) / CAST(den AS DOUBLE))))))) * (((((CAST(num2 AS DOUBLE) / CAST(den AS DOUBLE)) - ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))) / ((CAST(1.0 AS DOUBLE) - ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))))))) * ((CAST(num3 AS DOUBLE) / CAST(den AS DOUBLE)))) - (((((((CAST(num2 AS DOUBLE) / CAST(den AS DOUBLE)) - ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))) / ((CAST(1.0 AS DOUBLE) - ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))))) - ((((((CAST(num3 AS DOUBLE) / CAST(den AS DOUBLE)) - ((((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) - (((((CAST(num2 AS DOUBLE) / CAST(den AS DOUBLE)) - ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))) / ((CAST(1.0 AS DOUBLE) - ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))) * ((CAST(num2 AS DOUBLE) / CAST(den AS DOUBLE)))) - (((((CAST(num2 AS DOUBLE) / CAST(den AS DOUBLE)) - ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))) / ((CAST(1.0 AS DOUBLE) - ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))) / (((CAST(1.0 AS DOUBLE) - ((((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) - (((((CAST(num2 AS DOUBLE) / CAST(den AS DOUBLE)) - ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))) / ((CAST(1.0 AS DOUBLE) - ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE)))) - (((((CAST(num2 AS DOUBLE) / CAST(den AS DOUBLE)) - ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))) / ((CAST(1.0 AS DOUBLE) - ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))))) * ((CAST(num2 AS DOUBLE) / CAST(den AS DOUBLE))))))) * ((((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) - (((((CAST(num2 AS DOUBLE) / CAST(den AS DOUBLE)) - ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))) / ((CAST(1.0 AS DOUBLE) - ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))))) * ((CAST(num2 AS DOUBLE) / CAST(den AS DOUBLE)))) - ((((((CAST(num3 AS DOUBLE) / CAST(den AS DOUBLE)) - ((((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) - (((((CAST(num2 AS DOUBLE) / CAST(den AS DOUBLE)) - ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))) / ((CAST(1.0 AS DOUBLE) - ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))) * ((CAST(num2 AS DOUBLE) / CAST(den AS DOUBLE)))) - (((((CAST(num2 AS DOUBLE) / CAST(den AS DOUBLE)) - ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))) / ((CAST(1.0 AS DOUBLE) - ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))) / (((CAST(1.0 AS DOUBLE) - ((((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) - (((((CAST(num2 AS DOUBLE) / CAST(den AS DOUBLE)) - ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))) / ((CAST(1.0 AS DOUBLE) - ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE)))) - (((((CAST(num2 AS DOUBLE) / CAST(den AS DOUBLE)) - ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))) / ((CAST(1.0 AS DOUBLE) - ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))))) * ((CAST(num2 AS DOUBLE) / CAST(den AS DOUBLE))))))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))) / ((((CAST(1.0 AS DOUBLE) - ((((((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) - (((((CAST(num2 AS DOUBLE) / CAST(den AS DOUBLE)) - ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))) / ((CAST(1.0 AS DOUBLE) - ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))) - ((((((CAST(num3 AS DOUBLE) / CAST(den AS DOUBLE)) - ((((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) - (((((CAST(num2 AS DOUBLE) / CAST(den AS DOUBLE)) - ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))) / ((CAST(1.0 AS DOUBLE) - ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))) * ((CAST(num2 AS DOUBLE) / CAST(den AS DOUBLE)))) - (((((CAST(num2 AS DOUBLE) / CAST(den AS DOUBLE)) - ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))) / ((CAST(1.0 AS DOUBLE) - ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))) / (((CAST(1.0 AS DOUBLE) - ((((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) - (((((CAST(num2 AS DOUBLE) / CAST(den AS DOUBLE)) - ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))) / ((CAST(1.0 AS DOUBLE) - ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE)))) - (((((CAST(num2 AS DOUBLE) / CAST(den AS DOUBLE)) - ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))) / ((CAST(1.0 AS DOUBLE) - ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))))) * ((CAST(num2 AS DOUBLE) / CAST(den AS DOUBLE))))))) * (((((CAST(num2 AS DOUBLE) / CAST(den AS DOUBLE)) - ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))) / ((CAST(1.0 AS DOUBLE) - ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))))))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE)))) - (((((((CAST(num2 AS DOUBLE) / CAST(den AS DOUBLE)) - ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))) / ((CAST(1.0 AS DOUBLE) - ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))))) - ((((((CAST(num3 AS DOUBLE) / CAST(den AS DOUBLE)) - ((((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) - (((((CAST(num2 AS DOUBLE) / CAST(den AS DOUBLE)) - ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))) / ((CAST(1.0 AS DOUBLE) - ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))) * ((CAST(num2 AS DOUBLE) / CAST(den AS DOUBLE)))) - (((((CAST(num2 AS DOUBLE) / CAST(den AS DOUBLE)) - ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))) / ((CAST(1.0 AS DOUBLE) - ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))) / (((CAST(1.0 AS DOUBLE) - ((((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) - (((((CAST(num2 AS DOUBLE) / CAST(den AS DOUBLE)) - ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))) / ((CAST(1.0 AS DOUBLE) - ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE)))) - (((((CAST(num2 AS DOUBLE) / CAST(den AS DOUBLE)) - ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))) / ((CAST(1.0 AS DOUBLE) - ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))))) * ((CAST(num2 AS DOUBLE) / CAST(den AS DOUBLE))))))) * ((((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) - (((((CAST(num2 AS DOUBLE) / CAST(den AS DOUBLE)) - ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))) / ((CAST(1.0 AS DOUBLE) - ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))))) * ((CAST(num2 AS DOUBLE) / CAST(den AS DOUBLE)))) - ((((((CAST(num3 AS DOUBLE) / CAST(den AS DOUBLE)) - ((((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) - (((((CAST(num2 AS DOUBLE) / CAST(den AS DOUBLE)) - ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))) / ((CAST(1.0 AS DOUBLE) - ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))) * ((CAST(num2 AS DOUBLE) / CAST(den AS DOUBLE)))) - (((((CAST(num2 AS DOUBLE) / CAST(den AS DOUBLE)) - ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))) / ((CAST(1.0 AS DOUBLE) - ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))) / (((CAST(1.0 AS DOUBLE) - ((((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) - (((((CAST(num2 AS DOUBLE) / CAST(den AS DOUBLE)) - ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))) / ((CAST(1.0 AS DOUBLE) - ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE)))) - (((((CAST(num2 AS DOUBLE) / CAST(den AS DOUBLE)) - ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))) / ((CAST(1.0 AS DOUBLE) - ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))))) * ((CAST(num2 AS DOUBLE) / CAST(den AS DOUBLE))))))) * ((CAST(num3 AS DOUBLE) / CAST(den AS DOUBLE))))))) * (((((((CAST(num2 AS DOUBLE) / CAST(den AS DOUBLE)) - ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))) / ((CAST(1.0 AS DOUBLE) - ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))))) - ((((((CAST(num3 AS DOUBLE) / CAST(den AS DOUBLE)) - ((((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) - (((((CAST(num2 AS DOUBLE) / CAST(den AS DOUBLE)) - ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))) / ((CAST(1.0 AS DOUBLE) - ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))) * ((CAST(num2 AS DOUBLE) / CAST(den AS DOUBLE)))) - (((((CAST(num2 AS DOUBLE) / CAST(den AS DOUBLE)) - ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))) / ((CAST(1.0 AS DOUBLE) - ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))) / (((CAST(1.0 AS DOUBLE) - ((((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) - (((((CAST(num2 AS DOUBLE) / CAST(den AS DOUBLE)) - ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))) / ((CAST(1.0 AS DOUBLE) - ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE)))) - (((((CAST(num2 AS DOUBLE) / CAST(den AS DOUBLE)) - ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))) / ((CAST(1.0 AS DOUBLE) - ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))))) * ((CAST(num2 AS DOUBLE) / CAST(den AS DOUBLE))))))) * ((((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) - (((((CAST(num2 AS DOUBLE) / CAST(den AS DOUBLE)) - ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))) / ((CAST(1.0 AS DOUBLE) - ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))))))) * ((CAST(num2 AS DOUBLE) / CAST(den AS DOUBLE)))) - ((((((((CAST(num3 AS DOUBLE) / CAST(den AS DOUBLE)) - ((((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) - (((((CAST(num2 AS DOUBLE) / CAST(den AS DOUBLE)) - ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))) / ((CAST(1.0 AS DOUBLE) - ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))) * ((CAST(num2 AS DOUBLE) / CAST(den AS DOUBLE)))) - (((((CAST(num2 AS DOUBLE) / CAST(den AS DOUBLE)) - ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))) / ((CAST(1.0 AS DOUBLE) - ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))) / (((CAST(1.0 AS DOUBLE) - ((((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) - (((((CAST(num2 AS DOUBLE) / CAST(den AS DOUBLE)) - ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))) / ((CAST(1.0 AS DOUBLE) - ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE)))) - (((((CAST(num2 AS DOUBLE) / CAST(den AS DOUBLE)) - ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))) / ((CAST(1.0 AS DOUBLE) - ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))))) * ((CAST(num2 AS DOUBLE) / CAST(den AS DOUBLE))))))) - (((((((CAST(num4 AS DOUBLE) / CAST(den AS DOUBLE)) - ((((((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) - (((((CAST(num2 AS DOUBLE) / CAST(den AS DOUBLE)) - ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))) / ((CAST(1.0 AS DOUBLE) - ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))) - ((((((CAST(num3 AS DOUBLE) / CAST(den AS DOUBLE)) - ((((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) - (((((CAST(num2 AS DOUBLE) / CAST(den AS DOUBLE)) - ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))) / ((CAST(1.0 AS DOUBLE) - ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))) * ((CAST(num2 AS DOUBLE) / CAST(den AS DOUBLE)))) - (((((CAST(num2 AS DOUBLE) / CAST(den AS DOUBLE)) - ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))) / ((CAST(1.0 AS DOUBLE) - ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))) / (((CAST(1.0 AS DOUBLE) - ((((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) - (((((CAST(num2 AS DOUBLE) / CAST(den AS DOUBLE)) - ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))) / ((CAST(1.0 AS DOUBLE) - ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE)))) - (((((CAST(num2 AS DOUBLE) / CAST(den AS DOUBLE)) - ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))) / ((CAST(1.0 AS DOUBLE) - ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))))) * ((CAST(num2 AS DOUBLE) / CAST(den AS DOUBLE))))))) * (((((CAST(num2 AS DOUBLE) / CAST(den AS DOUBLE)) - ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))) / ((CAST(1.0 AS DOUBLE) - ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))))))) * ((CAST(num3 AS DOUBLE) / CAST(den AS DOUBLE)))) - (((((((CAST(num2 AS DOUBLE) / CAST(den AS DOUBLE)) - ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))) / ((CAST(1.0 AS DOUBLE) - ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))))) - ((((((CAST(num3 AS DOUBLE) / CAST(den AS DOUBLE)) - ((((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) - (((((CAST(num2 AS DOUBLE) / CAST(den AS DOUBLE)) - ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))) / ((CAST(1.0 AS DOUBLE) - ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))) * ((CAST(num2 AS DOUBLE) / CAST(den AS DOUBLE)))) - (((((CAST(num2 AS DOUBLE) / CAST(den AS DOUBLE)) - ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))) / ((CAST(1.0 AS DOUBLE) - ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))) / (((CAST(1.0 AS DOUBLE) - ((((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) - (((((CAST(num2 AS DOUBLE) / CAST(den AS DOUBLE)) - ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))) / ((CAST(1.0 AS DOUBLE) - ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE)))) - (((((CAST(num2 AS DOUBLE) / CAST(den AS DOUBLE)) - ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))) / ((CAST(1.0 AS DOUBLE) - ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))))) * ((CAST(num2 AS DOUBLE) / CAST(den AS DOUBLE))))))) * ((((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) - (((((CAST(num2 AS DOUBLE) / CAST(den AS DOUBLE)) - ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))) / ((CAST(1.0 AS DOUBLE) - ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))))) * ((CAST(num2 AS DOUBLE) / CAST(den AS DOUBLE)))) - ((((((CAST(num3 AS DOUBLE) / CAST(den AS DOUBLE)) - ((((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) - (((((CAST(num2 AS DOUBLE) / CAST(den AS DOUBLE)) - ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))) / ((CAST(1.0 AS DOUBLE) - ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))) * ((CAST(num2 AS DOUBLE) / CAST(den AS DOUBLE)))) - (((((CAST(num2 AS DOUBLE) / CAST(den AS DOUBLE)) - ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))) / ((CAST(1.0 AS DOUBLE) - ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))) / (((CAST(1.0 AS DOUBLE) - ((((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) - (((((CAST(num2 AS DOUBLE) / CAST(den AS DOUBLE)) - ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))) / ((CAST(1.0 AS DOUBLE) - ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE)))) - (((((CAST(num2 AS DOUBLE) / CAST(den AS DOUBLE)) - ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))) / ((CAST(1.0 AS DOUBLE) - ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))))) * ((CAST(num2 AS DOUBLE) / CAST(den AS DOUBLE))))))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))) / ((((CAST(1.0 AS DOUBLE) - ((((((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) - (((((CAST(num2 AS DOUBLE) / CAST(den AS DOUBLE)) - ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))) / ((CAST(1.0 AS DOUBLE) - ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))) - ((((((CAST(num3 AS DOUBLE) / CAST(den AS DOUBLE)) - ((((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) - (((((CAST(num2 AS DOUBLE) / CAST(den AS DOUBLE)) - ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))) / ((CAST(1.0 AS DOUBLE) - ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))) * ((CAST(num2 AS DOUBLE) / CAST(den AS DOUBLE)))) - (((((CAST(num2 AS DOUBLE) / CAST(den AS DOUBLE)) - ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))) / ((CAST(1.0 AS DOUBLE) - ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))) / (((CAST(1.0 AS DOUBLE) - ((((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) - (((((CAST(num2 AS DOUBLE) / CAST(den AS DOUBLE)) - ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))) / ((CAST(1.0 AS DOUBLE) - ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE)))) - (((((CAST(num2 AS DOUBLE) / CAST(den AS DOUBLE)) - ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))) / ((CAST(1.0 AS DOUBLE) - ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))))) * ((CAST(num2 AS DOUBLE) / CAST(den AS DOUBLE))))))) * (((((CAST(num2 AS DOUBLE) / CAST(den AS DOUBLE)) - ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))) / ((CAST(1.0 AS DOUBLE) - ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))))))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE)))) - (((((((CAST(num2 AS DOUBLE) / CAST(den AS DOUBLE)) - ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))) / ((CAST(1.0 AS DOUBLE) - ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))))) - ((((((CAST(num3 AS DOUBLE) / CAST(den AS DOUBLE)) - ((((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) - (((((CAST(num2 AS DOUBLE) / CAST(den AS DOUBLE)) - ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))) / ((CAST(1.0 AS DOUBLE) - ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))) * ((CAST(num2 AS DOUBLE) / CAST(den AS DOUBLE)))) - (((((CAST(num2 AS DOUBLE) / CAST(den AS DOUBLE)) - ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))) / ((CAST(1.0 AS DOUBLE) - ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))) / (((CAST(1.0 AS DOUBLE) - ((((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) - (((((CAST(num2 AS DOUBLE) / CAST(den AS DOUBLE)) - ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))) / ((CAST(1.0 AS DOUBLE) - ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE)))) - (((((CAST(num2 AS DOUBLE) / CAST(den AS DOUBLE)) - ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))) / ((CAST(1.0 AS DOUBLE) - ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))))) * ((CAST(num2 AS DOUBLE) / CAST(den AS DOUBLE))))))) * ((((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) - (((((CAST(num2 AS DOUBLE) / CAST(den AS DOUBLE)) - ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))) / ((CAST(1.0 AS DOUBLE) - ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))))) * ((CAST(num2 AS DOUBLE) / CAST(den AS DOUBLE)))) - ((((((CAST(num3 AS DOUBLE) / CAST(den AS DOUBLE)) - ((((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) - (((((CAST(num2 AS DOUBLE) / CAST(den AS DOUBLE)) - ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))) / ((CAST(1.0 AS DOUBLE) - ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))) * ((CAST(num2 AS DOUBLE) / CAST(den AS DOUBLE)))) - (((((CAST(num2 AS DOUBLE) / CAST(den AS DOUBLE)) - ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))) / ((CAST(1.0 AS DOUBLE) - ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))) / (((CAST(1.0 AS DOUBLE) - ((((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) - (((((CAST(num2 AS DOUBLE) / CAST(den AS DOUBLE)) - ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))) / ((CAST(1.0 AS DOUBLE) - ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE)))) - (((((CAST(num2 AS DOUBLE) / CAST(den AS DOUBLE)) - ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))) / ((CAST(1.0 AS DOUBLE) - ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))))) * ((CAST(num2 AS DOUBLE) / CAST(den AS DOUBLE))))))) * ((CAST(num3 AS DOUBLE) / CAST(den AS DOUBLE))))))) * ((((((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) - (((((CAST(num2 AS DOUBLE) / CAST(den AS DOUBLE)) - ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))) / ((CAST(1.0 AS DOUBLE) - ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))) - ((((((CAST(num3 AS DOUBLE) / CAST(den AS DOUBLE)) - ((((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) - (((((CAST(num2 AS DOUBLE) / CAST(den AS DOUBLE)) - ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))) / ((CAST(1.0 AS DOUBLE) - ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))) * ((CAST(num2 AS DOUBLE) / CAST(den AS DOUBLE)))) - (((((CAST(num2 AS DOUBLE) / CAST(den AS DOUBLE)) - ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))) / ((CAST(1.0 AS DOUBLE) - ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))) / (((CAST(1.0 AS DOUBLE) - ((((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) - (((((CAST(num2 AS DOUBLE) / CAST(den AS DOUBLE)) - ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))) / ((CAST(1.0 AS DOUBLE) - ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE)))) - (((((CAST(num2 AS DOUBLE) / CAST(den AS DOUBLE)) - ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))) / ((CAST(1.0 AS DOUBLE) - ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))))) * ((CAST(num2 AS DOUBLE) / CAST(den AS DOUBLE))))))) * (((((CAST(num2 AS DOUBLE) / CAST(den AS DOUBLE)) - ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))) / ((CAST(1.0 AS DOUBLE) - ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))))))))) * ((CAST(num3 AS DOUBLE) / CAST(den AS DOUBLE)))) - (((((((CAST(num4 AS DOUBLE) / CAST(den AS DOUBLE)) - ((((((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) - (((((CAST(num2 AS DOUBLE) / CAST(den AS DOUBLE)) - ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))) / ((CAST(1.0 AS DOUBLE) - ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))) - ((((((CAST(num3 AS DOUBLE) / CAST(den AS DOUBLE)) - ((((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) - (((((CAST(num2 AS DOUBLE) / CAST(den AS DOUBLE)) - ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))) / ((CAST(1.0 AS DOUBLE) - ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))) * ((CAST(num2 AS DOUBLE) / CAST(den AS DOUBLE)))) - (((((CAST(num2 AS DOUBLE) / CAST(den AS DOUBLE)) - ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))) / ((CAST(1.0 AS DOUBLE) - ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))) / (((CAST(1.0 AS DOUBLE) - ((((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) - (((((CAST(num2 AS DOUBLE) / CAST(den AS DOUBLE)) - ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))) / ((CAST(1.0 AS DOUBLE) - ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE)))) - (((((CAST(num2 AS DOUBLE) / CAST(den AS DOUBLE)) - ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))) / ((CAST(1.0 AS DOUBLE) - ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))))) * ((CAST(num2 AS DOUBLE) / CAST(den AS DOUBLE))))))) * (((((CAST(num2 AS DOUBLE) / CAST(den AS DOUBLE)) - ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))) / ((CAST(1.0 AS DOUBLE) - ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))))))) * ((CAST(num3 AS DOUBLE) / CAST(den AS DOUBLE)))) - (((((((CAST(num2 AS DOUBLE) / CAST(den AS DOUBLE)) - ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))) / ((CAST(1.0 AS DOUBLE) - ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))))) - ((((((CAST(num3 AS DOUBLE) / CAST(den AS DOUBLE)) - ((((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) - (((((CAST(num2 AS DOUBLE) / CAST(den AS DOUBLE)) - ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))) / ((CAST(1.0 AS DOUBLE) - ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))) * ((CAST(num2 AS DOUBLE) / CAST(den AS DOUBLE)))) - (((((CAST(num2 AS DOUBLE) / CAST(den AS DOUBLE)) - ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))) / ((CAST(1.0 AS DOUBLE) - ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))) / (((CAST(1.0 AS DOUBLE) - ((((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) - (((((CAST(num2 AS DOUBLE) / CAST(den AS DOUBLE)) - ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))) / ((CAST(1.0 AS DOUBLE) - ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE)))) - (((((CAST(num2 AS DOUBLE) / CAST(den AS DOUBLE)) - ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))) / ((CAST(1.0 AS DOUBLE) - ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))))) * ((CAST(num2 AS DOUBLE) / CAST(den AS DOUBLE))))))) * ((((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) - (((((CAST(num2 AS DOUBLE) / CAST(den AS DOUBLE)) - ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))) / ((CAST(1.0 AS DOUBLE) - ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))))) * ((CAST(num2 AS DOUBLE) / CAST(den AS DOUBLE)))) - ((((((CAST(num3 AS DOUBLE) / CAST(den AS DOUBLE)) - ((((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) - (((((CAST(num2 AS DOUBLE) / CAST(den AS DOUBLE)) - ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))) / ((CAST(1.0 AS DOUBLE) - ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))) * ((CAST(num2 AS DOUBLE) / CAST(den AS DOUBLE)))) - (((((CAST(num2 AS DOUBLE) / CAST(den AS DOUBLE)) - ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))) / ((CAST(1.0 AS DOUBLE) - ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))) / (((CAST(1.0 AS DOUBLE) - ((((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) - (((((CAST(num2 AS DOUBLE) / CAST(den AS DOUBLE)) - ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))) / ((CAST(1.0 AS DOUBLE) - ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE)))) - (((((CAST(num2 AS DOUBLE) / CAST(den AS DOUBLE)) - ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))) / ((CAST(1.0 AS DOUBLE) - ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))))) * ((CAST(num2 AS DOUBLE) / CAST(den AS DOUBLE))))))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))) / ((((CAST(1.0 AS DOUBLE) - ((((((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) - (((((CAST(num2 AS DOUBLE) / CAST(den AS DOUBLE)) - ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))) / ((CAST(1.0 AS DOUBLE) - ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))) - ((((((CAST(num3 AS DOUBLE) / CAST(den AS DOUBLE)) - ((((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) - (((((CAST(num2 AS DOUBLE) / CAST(den AS DOUBLE)) - ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))) / ((CAST(1.0 AS DOUBLE) - ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))) * ((CAST(num2 AS DOUBLE) / CAST(den AS DOUBLE)))) - (((((CAST(num2 AS DOUBLE) / CAST(den AS DOUBLE)) - ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))) / ((CAST(1.0 AS DOUBLE) - ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))) / (((CAST(1.0 AS DOUBLE) - ((((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) - (((((CAST(num2 AS DOUBLE) / CAST(den AS DOUBLE)) - ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))) / ((CAST(1.0 AS DOUBLE) - ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE)))) - (((((CAST(num2 AS DOUBLE) / CAST(den AS DOUBLE)) - ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))) / ((CAST(1.0 AS DOUBLE) - ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))))) * ((CAST(num2 AS DOUBLE) / CAST(den AS DOUBLE))))))) * (((((CAST(num2 AS DOUBLE) / CAST(den AS DOUBLE)) - ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))) / ((CAST(1.0 AS DOUBLE) - ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))))))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE)))) - (((((((CAST(num2 AS DOUBLE) / CAST(den AS DOUBLE)) - ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))) / ((CAST(1.0 AS DOUBLE) - ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))))) - ((((((CAST(num3 AS DOUBLE) / CAST(den AS DOUBLE)) - ((((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) - (((((CAST(num2 AS DOUBLE) / CAST(den AS DOUBLE)) - ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))) / ((CAST(1.0 AS DOUBLE) - ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))) * ((CAST(num2 AS DOUBLE) / CAST(den AS DOUBLE)))) - (((((CAST(num2 AS DOUBLE) / CAST(den AS DOUBLE)) - ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))) / ((CAST(1.0 AS DOUBLE) - ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))) / (((CAST(1.0 AS DOUBLE) - ((((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) - (((((CAST(num2 AS DOUBLE) / CAST(den AS DOUBLE)) - ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))) / ((CAST(1.0 AS DOUBLE) - ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE)))) - (((((CAST(num2 AS DOUBLE) / CAST(den AS DOUBLE)) - ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))) / ((CAST(1.0 AS DOUBLE) - ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))))) * ((CAST(num2 AS DOUBLE) / CAST(den AS DOUBLE))))))) * ((((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) - (((((CAST(num2 AS DOUBLE) / CAST(den AS DOUBLE)) - ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))) / ((CAST(1.0 AS DOUBLE) - ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))))) * ((CAST(num2 AS DOUBLE) / CAST(den AS DOUBLE)))) - ((((((CAST(num3 AS DOUBLE) / CAST(den AS DOUBLE)) - ((((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) - (((((CAST(num2 AS DOUBLE) / CAST(den AS DOUBLE)) - ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))) / ((CAST(1.0 AS DOUBLE) - ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))) * ((CAST(num2 AS DOUBLE) / CAST(den AS DOUBLE)))) - (((((CAST(num2 AS DOUBLE) / CAST(den AS DOUBLE)) - ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))) / ((CAST(1.0 AS DOUBLE) - ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))) / (((CAST(1.0 AS DOUBLE) - ((((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) - (((((CAST(num2 AS DOUBLE) / CAST(den AS DOUBLE)) - ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))) / ((CAST(1.0 AS DOUBLE) - ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE)))) - (((((CAST(num2 AS DOUBLE) / CAST(den AS DOUBLE)) - ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))) / ((CAST(1.0 AS DOUBLE) - ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))) * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))))))) * ((CAST(num2 AS DOUBLE) / CAST(den AS DOUBLE))))))) * ((CAST(num3 AS DOUBLE) / CAST(den AS DOUBLE))))))) * ((CAST(num4 AS DOUBLE) / CAST(den AS DOUBLE))))))) * 1e6 + 0.5) / 1e6 AS pacf_5
+        FROM sums ORDER BY event_type
     """
     # Laspeyres/Paasche/Fisher: exact part-year aggregates, centi-
     # floored price*weight terms, two mirrored divisions + IEEE sqrt

@@ -8993,3 +8993,83 @@ def part_price_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         det_round(paas, 6).alias("paasche"),
         det_round(F.sqrt(lasp * paas), 6).alias("fisher"),
     )
+
+
+def events_pacf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partial autocorrelations (lags 1-5) of each event type's
+    daily-mean series via the Durbin-Levinson recursion - the
+    statistic that isolates the DIRECT lag-k dependence (the AR-order
+    picker next to `events_acf`'s raw autocorrelations).
+    Autocovariances ride the exact integer lattice (d_t = n*x_t - Sx
+    as longs; lagged products summed as DECIMAL(38,0) <-> HUGEINT, so
+    every rho_k is one mirrored division of exact integers); the
+    5-level recursion is unrolled as plain column arithmetic, bit-
+    identical cross-engine. Output per type: pacf_1..pacf_5
+    (det_round 6; pacf_1 = rho_1 by construction).
+    Scale: daily-grain aggregate, then <=30 rows per type."""
+    events = load_table(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    centi = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+    daily = (
+        events.select(
+            "event_type", F.col("ts").cast("date").alias("day"), centi.alias("v")
+        )
+        .groupBy("event_type", "day")
+        .agg(F.sum("v").alias("s"), F.count(F.lit(1)).alias("nd"))
+        .select(
+            "event_type",
+            "day",
+            F.floor(
+                (F.col("s") * F.lit(10000)).cast("double")
+                / F.col("nd").cast("double")
+                + F.lit(0.5)
+            )
+            .cast("long")
+            .alias("dm"),
+        )
+    )
+    st = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("dm").alias("sx")
+    )
+    d = daily.join(F.broadcast(st), "event_type").select(
+        "event_type",
+        "day",
+        "n",
+        (F.col("dm") * F.col("n") - F.col("sx")).alias("d"),
+    )
+    w = Window.partitionBy("event_type").orderBy("day")
+    lagged = d.select(
+        "event_type",
+        "d",
+        *[F.lead("d", k).over(w).alias(f"d{k}") for k in range(1, 6)],
+    )
+    sums = lagged.groupBy("event_type").agg(
+        F.sum(F.col("d").cast("decimal(38,0)") * F.col("d")).alias("den"),
+        *[
+            F.sum(F.col("d").cast("decimal(38,0)") * F.col(f"d{k}")).alias(
+                f"num{k}"
+            )
+            for k in range(1, 6)
+        ],
+    )
+    rho = {
+        k: F.col(f"num{k}").cast("double") / F.col("den").cast("double")
+        for k in range(1, 6)
+    }
+    # Durbin-Levinson, unrolled; phi[k][j] as plain expressions
+    phi = {1: {1: rho[1]}}
+    pacf = {1: rho[1]}
+    for k in range(2, 6):
+        num = rho[k]
+        den = F.lit(1.0)
+        for j in range(1, k):
+            num = num - phi[k - 1][j] * rho[k - j]
+            den = den - phi[k - 1][j] * rho[j]
+        kk = num / den
+        phi[k] = {k: kk}
+        for j in range(1, k):
+            phi[k][j] = phi[k - 1][j] - kk * phi[k - 1][k - j]
+        pacf[k] = kk
+    return sums.select(
+        "event_type",
+        *[det_round(pacf[k], 6).alias(f"pacf_{k}") for k in range(1, 6)],
+    ).orderBy("event_type")

@@ -124,3 +124,44 @@ def test_entropy_rate_uniform_is_maximal(spark, tmp_path):
     assert r["n_transitions"] == 8
     assert abs(r["entropy_rate_nats"] - 0.693147) < 1e-3
     assert abs(r["predictability_ratio"] - 1.0) < 1e-3
+
+
+def test_pacf_matches_independent_durbin_levinson(spark, tmp_path):
+    """Arbitrary 20-day series: the Spark PACF must equal a pure-
+    Python Durbin-Levinson run on the same lattice autocovariances."""
+    from stream_processing_system_spark.plans.analytics import events_pacf
+
+    vals = [12, 15, 11, 18, 14, 19, 13, 22, 17, 25,
+            16, 28, 21, 30, 19, 27, 24, 33, 26, 35]
+    events = [
+        (i, datetime.datetime(2024, 1, 1 + i, 12, 0), 1, "x", float(v), "{}")
+        for i, v in enumerate(vals)
+    ]
+    rows = events_pacf(spark, _sf(tmp_path, spark, events)).collect()
+    assert len(rows) == 1
+
+    # independent reference on the identical integer lattice
+    n = len(vals)
+    dm = [v * 1_000_000 for v in vals]  # exact micro grid
+    sx = sum(dm)
+    d = [n * x - sx for x in dm]
+    den = sum(x * x for x in d)
+    rho = {k: sum(d[t] * d[t + k] for t in range(n - k)) / den
+           for k in range(1, 6)}
+    phi = {1: {1: rho[1]}}
+    pacf = {1: rho[1]}
+    for k in range(2, 6):
+        num = rho[k]
+        dd = 1.0
+        for j in range(1, k):
+            num -= phi[k - 1][j] * rho[k - j]
+            dd -= phi[k - 1][j] * rho[j]
+        kk = num / dd
+        phi[k] = {k: kk}
+        for j in range(1, k):
+            phi[k][j] = phi[k - 1][j] - kk * phi[k - 1][k - j]
+        pacf[k] = kk
+    import math
+    for k in range(1, 6):
+        exp = math.floor(pacf[k] * 1e6 + 0.5) / 1e6
+        assert abs(rows[0][f"pacf_{k}"] - exp) <= 1e-6, (k, rows[0][f"pacf_{k}"], exp)
