@@ -2165,6 +2165,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_entropy_rate": analytics.events_entropy_rate,
         "part_price_index": analytics.part_price_index,
         "events_pacf": analytics.events_pacf,
+        "events_spectral_entropy": analytics.events_spectral_entropy,
     }
 
 
@@ -8834,6 +8835,36 @@ def oracle_sql() -> dict[str, str]:
         CROSS JOIN tot
         ORDER BY pkn DESC, g.w1 ASC, g.w2 ASC
         LIMIT 50
+    """
+    # spectral entropy composes on the periodogram oracle verbatim —
+    # shared text, zero drift
+    _o["events_spectral_entropy"] = """
+        WITH pg AS (""" + _o["events_periodogram"] + """
+        ), bins AS (
+            SELECT event_type,
+                   CAST(floor(power * 1000000.0 + 0.5) AS BIGINT) AS pw
+            FROM pg WHERE power > 0
+        ), tot AS (
+            SELECT event_type, CAST(SUM(pw) AS BIGINT) AS total,
+                   count(*) AS n_bins
+            FROM bins GROUP BY 1
+        ), terms AS (
+            SELECT b.event_type, t.n_bins,
+                   CAST(floor(CAST(b.pw AS DOUBLE) / CAST(t.total AS DOUBLE)
+                        * ln(CAST(b.pw AS DOUBLE) / CAST(t.total AS DOUBLE))
+                        * 1e9 + 0.5) AS BIGINT) AS trm
+            FROM bins b JOIN tot t USING (event_type)
+        ), agg AS (
+            SELECT event_type, n_bins, CAST(SUM(trm) AS BIGINT) AS s
+            FROM terms GROUP BY 1, 2
+        )
+        SELECT event_type, CAST(n_bins AS BIGINT) AS n_bins,
+               floor((-CAST(s AS DOUBLE) / 1e9) * 1e6 + 0.5) / 1e6
+                   AS spectral_entropy_nats,
+               floor((-CAST(s AS DOUBLE) / 1e9)
+                     / ln(CAST(n_bins AS DOUBLE)) * 1e6 + 0.5) / 1e6
+                   AS flatness_ratio
+        FROM agg ORDER BY event_type
     """
     # PACF via unrolled Durbin-Levinson: exact-lattice
     # autocovariances, 5-level recursion mirrored expression-for-

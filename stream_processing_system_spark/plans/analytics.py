@@ -9073,3 +9073,43 @@ def events_pacf(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         *[det_round(pacf[k], 6).alias(f"pacf_{k}") for k in range(1, 6)],
     ).orderBy("event_type")
+
+
+def events_spectral_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spectral entropy of each event type's daily series - Shannon
+    entropy of the normalized periodogram (periods 2-14 days): low
+    entropy = power concentrated at one rhythm (strongly periodic),
+    high = flat spectrum (noise-like). COMPOSES on the registered
+    `events_periodogram` output (its det_round-6 power is already an
+    exact 1e-6 grid value, so pw = floor(power*1e6+0.5) recovers
+    exact longs); q_p = pw/total is one mirrored division, each
+    q*ln(q) term is nano-floored before the cross-bin sum (exact
+    int64 reduction), and the oracle literally wraps the periodogram
+    oracle SQL as a CTE - composition without drift. Emits entropy in
+    nats and the ln(n_bins)-normalized flatness ratio."""
+    pg = events_periodogram(spark, sf_dir)
+    bins = pg.where(F.col("power") > 0).select(
+        "event_type",
+        F.floor(F.col("power") * F.lit(1000000.0) + F.lit(0.5))
+        .cast("long")
+        .alias("pw"),
+    )
+    tot = bins.groupBy("event_type").agg(
+        F.sum("pw").alias("total"), F.count(F.lit(1)).alias("n_bins")
+    )
+    q = F.col("pw").cast("double") / F.col("total").cast("double")
+    terms = bins.join(F.broadcast(tot), "event_type").select(
+        "event_type",
+        "n_bins",
+        F.floor(q * F.log(q) * F.lit(1e9) + F.lit(0.5)).cast("long").alias("t"),
+    )
+    agg = terms.groupBy("event_type", "n_bins").agg(F.sum("t").alias("s"))
+    h = -(F.col("s").cast("double")) / F.lit(1e9)
+    return agg.select(
+        "event_type",
+        F.col("n_bins").cast("long").alias("n_bins"),
+        det_round(h, 6).alias("spectral_entropy_nats"),
+        det_round(h / F.log(F.col("n_bins").cast("double")), 6).alias(
+            "flatness_ratio"
+        ),
+    ).orderBy("event_type")

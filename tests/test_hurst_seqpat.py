@@ -165,3 +165,28 @@ def test_pacf_matches_independent_durbin_levinson(spark, tmp_path):
     for k in range(1, 6):
         exp = math.floor(pacf[k] * 1e6 + 0.5) / 1e6
         assert abs(rows[0][f"pacf_{k}"] - exp) <= 1e-6, (k, rows[0][f"pacf_{k}"], exp)
+
+
+def test_spectral_entropy_periodic_below_scrambled(spark, tmp_path):
+    """A strong weekly impulse train concentrates spectral power ->
+    lower entropy than a scrambled series (values observed via the
+    oracle: 1.488 vs 1.751 nats); flatness ratios stay in (0, 1]."""
+    from stream_processing_system_spark.plans.analytics import (
+        events_spectral_entropy,
+    )
+
+    events = []
+    for i in range(28):
+        events.append(
+            (len(events), datetime.datetime(2024, 1, 1 + i, 12, 0), 1,
+             "weekly", 100.0 if i % 7 == 0 else 10.0, "{}")
+        )
+        events.append(
+            (len(events), datetime.datetime(2024, 1, 1 + i, 12, 0), 1,
+             "noise", 10.0 + 17.3 * ((i * i * 7919) % 13), "{}")
+        )
+    rows = events_spectral_entropy(spark, _sf(tmp_path, spark, events)).collect()
+    got = {r["event_type"]: r for r in rows}
+    assert got["weekly"]["spectral_entropy_nats"] < got["noise"]["spectral_entropy_nats"]
+    for r in rows:
+        assert 0 < r["flatness_ratio"] <= 1.0
