@@ -2166,6 +2166,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "part_price_index": analytics.part_price_index,
         "events_pacf": analytics.events_pacf,
         "events_spectral_entropy": analytics.events_spectral_entropy,
+        "media_phash_dct": pipeline.media_phash_dct,
     }
 
 
@@ -8835,6 +8836,64 @@ def oracle_sql() -> dict[str, str]:
         CROSS JOIN tot
         ORDER BY pkn DESC, g.w1 ASC, g.w2 ASC
         LIMIT 50
+    """
+    # pHash: stub-decode byte sums -> integer 2-D DCT (basis literals
+    # = the engine's DCT_K table) -> median-thresholded AC bits
+    _o["media_phash_dct"] = """
+        WITH chars AS (
+            SELECT doc_id, i,
+                   unicode(substr(text, CAST(i + 1 AS INT), 1)) AS b,
+                   length(text) AS n
+            FROM documents, UNNEST(range(length(text))) AS u(i)
+        ), cellsum AS (
+            SELECT doc_id, (i * 64) // n AS k, SUM(b) % 256 AS pix
+            FROM chars GROUP BY doc_id, (i * 64) // n
+        ), grid AS (
+            SELECT d.doc_id, gk.k, COALESCE(c.pix, 0) AS pix
+            FROM (SELECT DISTINCT doc_id FROM documents) d
+            CROSS JOIN (SELECT unnest(range(64)) AS k) gk
+            LEFT JOIN cellsum c ON c.doc_id = d.doc_id AND c.k = gk.k
+        ), kt AS (
+            SELECT [1000000, 1000000, 1000000, 1000000, 1000000, 1000000, 1000000, 1000000, 980785, 831470, 555570, 195090, -195090, -555570, -831470, -980785, 923880, 382683, -382683, -923880, -923880, -382683, 382683, 923880, 831470, -195090, -980785, -555570, 555570, 980785, 195090, -831470, 707107, -707107, -707107, 707107, 707107, -707107, -707107, 707107, 555570, -980785, 195090, 831470, -831470, -195090, 980785, -555570, 382683, -923880, 923880, -382683, -382683, 923880, -923880, 382683, 195090, -555570, 831470, -980785, 980785, -831470, 555570, -195090] AS kf
+        ), uv AS (
+            SELECT uu.u, vv.v
+            FROM (SELECT unnest(range(4)) AS u) uu,
+                 (SELECT unnest(range(4)) AS v) vv
+        ), coefs AS (
+            SELECT g.doc_id, uv.u, uv.v,
+                   CAST(SUM(g.pix * kt.kf[uv.u * 8 + (g.k // 8) + 1]
+                            * kt.kf[uv.v * 8 + (g.k % 8) + 1]) AS BIGINT)
+                       AS coef
+            FROM grid g CROSS JOIN uv CROSS JOIN kt
+            GROUP BY 1, 2, 3
+        ), ac AS (
+            SELECT doc_id, u, v, coef,
+                   CAST(u * 4 + v - 1 AS BIGINT) AS bitpos,
+                   row_number() OVER (PARTITION BY doc_id
+                                      ORDER BY coef, u, v) AS rn,
+                   row_number() OVER (PARTITION BY doc_id
+                                      ORDER BY abs(coef) DESC,
+                                               u ASC, v ASC) AS dr
+            FROM coefs WHERE NOT (u = 0 AND v = 0)
+        ), med AS (
+            SELECT doc_id, coef AS m FROM ac WHERE rn = 8
+        ), sig AS (
+            SELECT a.doc_id,
+                   CAST(SUM(CASE WHEN a.coef > med.m
+                            THEN (CAST(1 AS BIGINT) << a.bitpos)
+                            ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS phash
+            FROM ac a JOIN med USING (doc_id)
+            GROUP BY 1
+        ), dom AS (
+            SELECT doc_id, CAST(u AS INTEGER) AS dom_u,
+                   CAST(v AS INTEGER) AS dom_v
+            FROM ac WHERE dr = 1
+        ), dc AS (
+            SELECT doc_id, coef AS dc FROM coefs WHERE u = 0 AND v = 0
+        )
+        SELECT s.doc_id AS media_id, s.phash, dc.dc, dom.dom_u, dom.dom_v
+        FROM sig s JOIN dc USING (doc_id) JOIN dom USING (doc_id)
+        ORDER BY media_id
     """
     # spectral entropy composes on the periodogram oracle verbatim —
     # shared text, zero drift

@@ -481,3 +481,74 @@ def audio_silence_runs(
         )
         .orderBy("media_id")
     )
+
+
+#: Integer DCT-II basis, K[u][x] = floor(cos(pi*(2x+1)*u/16)*1e6+0.5):
+#: module-level constants shared (as literals) with the SQL oracle, so
+#: the whole pHash pipeline is exact integer arithmetic on both engines.
+import math as _math
+
+DCT_K = [
+    [
+        _math.floor(_math.cos(_math.pi * (2 * x + 1) * u / 16.0) * 1e6 + 0.5)
+        for x in range(8)
+    ]
+    for u in range(8)
+]
+
+
+def phash_signatures(df: DataFrame) -> DataFrame:
+    """Perceptual DCT hash (pHash) signatures: the stub-decoded 8x8
+    grayscale grid (same per-chunk byte sums as `ahash_signatures`)
+    is transformed by an INTEGER 2-D DCT-II (basis values pre-floored
+    to the 1e-6 grid, see DCT_K) and the 15 low-frequency
+    coefficients (u,v < 4, excluding DC) are thresholded at their
+    median - the classic pHash construction, which survives
+    brightness shifts that flip aHash bits (DC carries the shift;
+    the AC bits compare against their own median). Everything after
+    the byte sums is exact int64, so the Arrow-batched stage
+    value-hashes against the SQL mirror. Output: (media_id, phash
+    15-bit long, dc, dom_u, dom_v) where (dom_u, dom_v) is the
+    argmax-|coef| AC frequency (smallest (u,v) on ties)."""
+
+    def _sig(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"media_id": [], "phash": [], "dc": [], "dom_u": [], "dom_v": []}
+            for media_id, payload in zip(pdf["media_id"], pdf["payload"]):
+                data = bytes(payload)
+                n = len(data)
+                cells = [0] * AHASH_CELLS
+                for i, b in enumerate(data):
+                    cells[(i * AHASH_CELLS) // n] += b
+                cells = [c % 256 for c in cells]
+                # p[x][y] with k = x*8 + y
+                coefs = {}
+                for u in range(4):
+                    for v in range(4):
+                        c = 0
+                        for k, pix in enumerate(cells):
+                            x, y = k // 8, k % 8
+                            c += pix * DCT_K[u][x] * DCT_K[v][y]
+                        coefs[(u, v)] = c
+                ac = [coefs[(u, v)] for u in range(4) for v in range(4)
+                      if (u, v) != (0, 0)]
+                med = sorted(ac)[7]
+                phash = 0
+                for i2, val in enumerate(ac):
+                    if val > med:
+                        phash += 1 << i2
+                dom = max(
+                    ((u, v) for u in range(4) for v in range(4)
+                     if (u, v) != (0, 0)),
+                    key=lambda uv: (abs(coefs[uv]), (-uv[0], -uv[1])),
+                )
+                out["media_id"].append(media_id)
+                out["phash"].append(phash)
+                out["dc"].append(coefs[(0, 0)])
+                out["dom_u"].append(dom[0])
+                out["dom_v"].append(dom[1])
+            yield pd.DataFrame(out)
+
+    return df.select("media_id", "payload").mapInPandas(
+        _sig, schema="media_id long, phash long, dc long, dom_u int, dom_v int"
+    )

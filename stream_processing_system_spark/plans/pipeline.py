@@ -1894,3 +1894,12 @@ def embedding_kcenter_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         picks, "sel_rank int, vec_id long, d2_at_selection long"
     ).orderBy("sel_rank")
+
+
+def media_phash_dct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contract wrapper: see `multimodal.phash_signatures` (integer
+    2-D DCT perceptual hash over the stub-decoded grid; the whole
+    Arrow-batched stage value-hashes against the SQL mirror, which
+    embeds the same pre-floored DCT basis literals)."""
+    media = multimodal.fake_media_from_documents(spark, _docs(spark, sf_dir))
+    return multimodal.phash_signatures(media).orderBy("media_id")
