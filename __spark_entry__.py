@@ -2167,6 +2167,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_pacf": analytics.events_pacf,
         "events_spectral_entropy": analytics.events_spectral_entropy,
         "media_phash_dct": pipeline.media_phash_dct,
+        "events_bollinger_bands": analytics.events_bollinger_bands,
     }
 
 
@@ -8836,6 +8837,69 @@ def oracle_sql() -> dict[str, str]:
         CROSS JOIN tot
         ORDER BY pkn DESC, g.w1 ASC, g.w2 ASC
         LIMIT 50
+    """
+    # Bollinger: exact integer 7-day window sums; mid/sigma mirrored
+    _o["events_bollinger_bands"] = """
+        WITH daily AS (
+            SELECT event_type, CAST(ts AS DATE) AS day,
+                   CAST(floor(
+                       CAST(SUM(CAST(floor(value * 100 + 0.5) AS BIGINT))
+                            * 10000 AS DOUBLE)
+                       / CAST(count(*) AS DOUBLE) + 0.5) AS BIGINT) AS dm
+            FROM events WHERE value IS NOT NULL
+            GROUP BY 1, 2
+        ), rolled AS (
+            SELECT event_type, day, dm,
+                   count(*) OVER w AS w,
+                   CAST(SUM(dm) OVER w AS BIGINT) AS sx,
+                   SUM(CAST(dm AS HUGEINT) * dm) OVER w AS sxx
+            FROM daily
+            WINDOW w AS (PARTITION BY event_type ORDER BY day
+                         ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+        )
+        SELECT event_type, CAST(day AS VARCHAR) AS day,
+               floor(CAST(dm AS DOUBLE) / CAST(1000000.0 AS DOUBLE)
+                     * 1e6 + 0.5) / 1e6 AS value,
+               floor(CAST(sx AS DOUBLE) / CAST(w AS DOUBLE)
+                     / CAST(1000000.0 AS DOUBLE) * 1e6 + 0.5) / 1e6 AS mid,
+               floor((CAST(sx AS DOUBLE) / CAST(w AS DOUBLE)
+                      / CAST(1000000.0 AS DOUBLE)
+                      - CAST(2.0 AS DOUBLE)
+                        * (sqrt(CAST(w AS DOUBLE) * CAST(sxx AS DOUBLE)
+                                - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                           / CAST(w AS DOUBLE) / CAST(1000000.0 AS DOUBLE)))
+                     * 1e6 + 0.5) / 1e6 AS lower,
+               floor((CAST(sx AS DOUBLE) / CAST(w AS DOUBLE)
+                      / CAST(1000000.0 AS DOUBLE)
+                      + CAST(2.0 AS DOUBLE)
+                        * (sqrt(CAST(w AS DOUBLE) * CAST(sxx AS DOUBLE)
+                                - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                           / CAST(w AS DOUBLE) / CAST(1000000.0 AS DOUBLE)))
+                     * 1e6 + 0.5) / 1e6 AS upper,
+               CAST(CASE WHEN CAST(dm AS DOUBLE) / CAST(1000000.0 AS DOUBLE)
+                              > CAST(sx AS DOUBLE) / CAST(w AS DOUBLE)
+                                / CAST(1000000.0 AS DOUBLE)
+                                + CAST(2.0 AS DOUBLE)
+                                  * (sqrt(CAST(w AS DOUBLE)
+                                          * CAST(sxx AS DOUBLE)
+                                          - CAST(sx AS DOUBLE)
+                                            * CAST(sx AS DOUBLE))
+                                     / CAST(w AS DOUBLE)
+                                     / CAST(1000000.0 AS DOUBLE))
+                         THEN 1
+                         WHEN CAST(dm AS DOUBLE) / CAST(1000000.0 AS DOUBLE)
+                              < CAST(sx AS DOUBLE) / CAST(w AS DOUBLE)
+                                / CAST(1000000.0 AS DOUBLE)
+                                - CAST(2.0 AS DOUBLE)
+                                  * (sqrt(CAST(w AS DOUBLE)
+                                          * CAST(sxx AS DOUBLE)
+                                          - CAST(sx AS DOUBLE)
+                                            * CAST(sx AS DOUBLE))
+                                     / CAST(w AS DOUBLE)
+                                     / CAST(1000000.0 AS DOUBLE))
+                         THEN -1 ELSE 0 END AS INTEGER) AS breach
+        FROM rolled WHERE w = 7
+        ORDER BY event_type, day
     """
     # pHash: stub-decode byte sums -> integer 2-D DCT (basis literals
     # = the engine's DCT_K table) -> median-thresholded AC bits

@@ -9113,3 +9113,69 @@ def events_spectral_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
             "flatness_ratio"
         ),
     ).orderBy("event_type")
+
+
+def events_bollinger_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bollinger bands over each event type's daily-mean series:
+    trailing 7-day rolling mean +/- 2 rolling population-stddev, with
+    breach flags - the classic volatility envelope. The rolling
+    moments ride exact integer window sums (micro-grid means; squares
+    as DECIMAL(38,0)), so mid/sigma are one mirrored division and one
+    IEEE sqrt from exact integers; breach tests compare exact-integer
+    cross-multiplications (dm*w - sx vs 2*w*sqrt(...)) expressed on
+    the same doubles both engines see. Emits only complete 7-day
+    windows. Scale: daily aggregate + a 7-row bounded window."""
+    events = load_table(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    centi = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+    daily = (
+        events.select(
+            "event_type", F.col("ts").cast("date").alias("day"), centi.alias("v")
+        )
+        .groupBy("event_type", "day")
+        .agg(F.sum("v").alias("s"), F.count(F.lit(1)).alias("nd"))
+        .select(
+            "event_type",
+            "day",
+            F.floor(
+                (F.col("s") * F.lit(10000)).cast("double")
+                / F.col("nd").cast("double")
+                + F.lit(0.5)
+            )
+            .cast("long")
+            .alias("dm"),
+        )
+    )
+    w7 = (
+        Window.partitionBy("event_type").orderBy("day").rowsBetween(-6, 0)
+    )
+    rolled = daily.select(
+        "event_type",
+        "day",
+        "dm",
+        F.count(F.lit(1)).over(w7).alias("w"),
+        F.sum("dm").over(w7).alias("sx"),
+        F.sum(F.col("dm").cast("decimal(38,0)") * F.col("dm"))
+        .over(w7)
+        .alias("sxx"),
+    ).where(F.col("w") == 7)
+    wn = F.col("w").cast("double")
+    mid = F.col("sx").cast("double") / wn / F.lit(1000000.0)
+    var_num = (
+        wn * F.col("sxx").cast("double")
+        - F.col("sx").cast("double") * F.col("sx").cast("double")
+    )
+    sigma = F.sqrt(var_num) / wn / F.lit(1000000.0)
+    dmd = F.col("dm").cast("double") / F.lit(1000000.0)
+    return rolled.select(
+        "event_type",
+        "day",
+        det_round(dmd, 6).alias("value"),
+        det_round(mid, 6).alias("mid"),
+        det_round(mid - F.lit(2.0) * sigma, 6).alias("lower"),
+        det_round(mid + F.lit(2.0) * sigma, 6).alias("upper"),
+        F.when(dmd > mid + F.lit(2.0) * sigma, 1)
+        .when(dmd < mid - F.lit(2.0) * sigma, -1)
+        .otherwise(0)
+        .cast("int")
+        .alias("breach"),
+    ).orderBy("event_type", "day")

@@ -190,3 +190,28 @@ def test_spectral_entropy_periodic_below_scrambled(spark, tmp_path):
     assert got["weekly"]["spectral_entropy_nats"] < got["noise"]["spectral_entropy_nats"]
     for r in rows:
         assert 0 < r["flatness_ratio"] <= 1.0
+
+
+def test_bollinger_flat_series_no_breach_spike_breaches(spark, tmp_path):
+    """A flat series has sigma 0 (bands collapse to the mean, breach
+    0 everywhere); a single huge spike day breaches its own window's
+    upper band."""
+    from stream_processing_system_spark.plans.analytics import events_bollinger_bands
+
+    events = []
+    for i in range(10):
+        events.append(
+            (len(events), datetime.datetime(2024, 1, 1 + i, 12, 0), 1,
+             "flat", 50.0, "{}")
+        )
+        events.append(
+            (len(events), datetime.datetime(2024, 1, 1 + i, 12, 0), 1,
+             "spiky", 500.0 if i == 8 else 50.0, "{}")
+        )
+    rows = events_bollinger_bands(spark, _sf(tmp_path, spark, events)).collect()
+    flat = [r for r in rows if r["event_type"] == "flat"]
+    spiky = {r["day"].isoformat(): r for r in rows if r["event_type"] == "spiky"}
+    assert len(flat) == 4  # 10 days -> 4 complete 7-day windows
+    assert all(r["breach"] == 0 and r["lower"] == r["upper"] == 50.0 for r in flat)
+    assert spiky["2024-01-09"]["breach"] == 1
+    assert spiky["2024-01-08"]["breach"] == 0
