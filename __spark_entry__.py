@@ -2168,6 +2168,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_spectral_entropy": analytics.events_spectral_entropy,
         "media_phash_dct": pipeline.media_phash_dct,
         "events_bollinger_bands": analytics.events_bollinger_bands,
+        "lineitem_two_way_anova": analytics.lineitem_two_way_anova,
     }
 
 
@@ -8837,6 +8838,83 @@ def oracle_sql() -> dict[str, str]:
         CROSS JOIN tot
         ORDER BY pkn DESC, g.w1 ASC, g.w2 ASC
         LIMIT 50
+    """
+    # two-way ANOVA: exact group sums, 1e-6-grid S^2/n terms,
+    # balanced-design interaction identity
+    _o["lineitem_two_way_anova"] = """
+        WITH rows_ AS (
+            SELECT p.p_brand AS a, l.l_returnflag AS b,
+                   CAST(floor(l.l_quantity + 0.5) AS BIGINT) AS x
+            FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        ), ga AS (
+            SELECT count(*) AS k_a, CAST(SUM(t) AS BIGINT) AS t_a FROM (
+                SELECT CAST(floor(CAST(SUM(x) AS DOUBLE)
+                                  * CAST(SUM(x) AS DOUBLE)
+                                  / CAST(count(*) AS DOUBLE) * 1e6 + 0.5)
+                            AS BIGINT) AS t
+                FROM rows_ GROUP BY a
+            )
+        ), gb AS (
+            SELECT count(*) AS k_b, CAST(SUM(t) AS BIGINT) AS t_b FROM (
+                SELECT CAST(floor(CAST(SUM(x) AS DOUBLE)
+                                  * CAST(SUM(x) AS DOUBLE)
+                                  / CAST(count(*) AS DOUBLE) * 1e6 + 0.5)
+                            AS BIGINT) AS t
+                FROM rows_ GROUP BY b
+            )
+        ), gc AS (
+            SELECT count(*) AS k_c, CAST(SUM(t) AS BIGINT) AS t_c FROM (
+                SELECT CAST(floor(CAST(SUM(x) AS DOUBLE)
+                                  * CAST(SUM(x) AS DOUBLE)
+                                  / CAST(count(*) AS DOUBLE) * 1e6 + 0.5)
+                            AS BIGINT) AS t
+                FROM rows_ GROUP BY a, b
+            )
+        ), tot AS (
+            SELECT count(*) AS n, CAST(SUM(x) AS BIGINT) AS s,
+                   SUM(CAST(x AS HUGEINT) * x) AS q
+            FROM rows_
+        )
+        SELECT CAST(n AS BIGINT) AS n_rows,
+               CAST(k_a AS BIGINT) AS n_brands,
+               CAST(k_b AS BIGINT) AS n_flags,
+               floor(((CAST(t_a AS DOUBLE) / 1e6
+                       - CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
+                         / CAST(n AS DOUBLE))
+                      / (CAST(k_a AS DOUBLE) - CAST(1.0 AS DOUBLE)))
+                     / ((CAST(q AS DOUBLE) - CAST(t_c AS DOUBLE) / 1e6)
+                        / (CAST(n AS DOUBLE) - CAST(k_c AS DOUBLE)))
+                     * 1e6 + 0.5) / 1e6 AS f_brand,
+               floor(((CAST(t_b AS DOUBLE) / 1e6
+                       - CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
+                         / CAST(n AS DOUBLE))
+                      / (CAST(k_b AS DOUBLE) - CAST(1.0 AS DOUBLE)))
+                     / ((CAST(q AS DOUBLE) - CAST(t_c AS DOUBLE) / 1e6)
+                        / (CAST(n AS DOUBLE) - CAST(k_c AS DOUBLE)))
+                     * 1e6 + 0.5) / 1e6 AS f_flag,
+               floor((((CAST(t_c AS DOUBLE) / 1e6
+                        - CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
+                          / CAST(n AS DOUBLE))
+                       - (CAST(t_a AS DOUBLE) / 1e6
+                          - CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
+                            / CAST(n AS DOUBLE))
+                       - (CAST(t_b AS DOUBLE) / 1e6
+                          - CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
+                            / CAST(n AS DOUBLE)))
+                      / ((CAST(k_a AS DOUBLE) - CAST(1.0 AS DOUBLE))
+                         * (CAST(k_b AS DOUBLE) - CAST(1.0 AS DOUBLE))))
+                     / ((CAST(q AS DOUBLE) - CAST(t_c AS DOUBLE) / 1e6)
+                        / (CAST(n AS DOUBLE) - CAST(k_c AS DOUBLE)))
+                     * 1e6 + 0.5) / 1e6 AS f_interaction,
+               floor((CAST(t_c AS DOUBLE) / 1e6
+                      - CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
+                        / CAST(n AS DOUBLE))
+                     / ((CAST(t_c AS DOUBLE) / 1e6
+                         - CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
+                           / CAST(n AS DOUBLE))
+                        + (CAST(q AS DOUBLE) - CAST(t_c AS DOUBLE) / 1e6))
+                     * 1e6 + 0.5) / 1e6 AS eta2_cells
+        FROM tot, ga, gb, gc
     """
     # Bollinger: exact integer 7-day window sums; mid/sigma mirrored
     _o["events_bollinger_bands"] = """

@@ -9179,3 +9179,77 @@ def events_bollinger_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("int")
         .alias("breach"),
     ).orderBy("event_type", "day")
+
+
+def lineitem_two_way_anova(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-way ANOVA of order quantity by brand x return flag - main
+    effects and their interaction via the standard decomposition
+    SS_AB = SS_cells - SS_A - SS_B (the balanced-design identity,
+    documented as the Type-I-style approximation on unbalanced data),
+    F statistics for all three against the within-cell error. Every
+    group/cell sum is an exact integer; each S_g^2/n_g term is
+    quantized to the 1e-6 grid before the cross-group sum (the
+    dow_anova device); the rest is fixed-order doubles.
+    Scale: three map-side-combinable aggregates over the same scan
+    (brand marginal, flag marginal, cells) plus one Sxx aggregate -
+    nothing after them sees data."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_partkey"),
+        F.col("l_returnflag").alias("b"),
+        F.floor(F.col("l_quantity") + F.lit(0.5)).cast("long").alias("x"),
+    )
+    part = load_table(spark, sf_dir, "part").select(
+        "p_partkey", F.col("p_brand").alias("a")
+    )
+    rows = li.join(F.broadcast(part), li.l_partkey == part.p_partkey).select(
+        "a", "b", "x"
+    )
+    d38 = "decimal(38,0)"
+
+    def ss_terms(df: DataFrame, keys: list[str], alias: str) -> DataFrame:
+        g = df.groupBy(*keys).agg(
+            F.count(F.lit(1)).alias("ng"),
+            F.sum(F.col("x").cast(d38)).alias("sg"),
+        )
+        term = F.floor(
+            (F.col("sg") * F.col("sg")).cast("double")
+            / F.col("ng").cast("double")
+            * F.lit(1e6)
+            + F.lit(0.5)
+        ).cast("long")
+        return g.agg(
+            F.count(F.lit(1)).alias(f"k_{alias}"),
+            F.sum(term).alias(f"t_{alias}"),
+        )
+
+    ta = ss_terms(rows, ["a"], "a")
+    tb = ss_terms(rows, ["b"], "b")
+    tc = ss_terms(rows, ["a", "b"], "c")
+    tot = rows.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("x").cast(d38)).alias("s"),
+        F.sum(F.col("x").cast(d38) * F.col("x")).alias("q"),
+    )
+    j = tot.crossJoin(ta).crossJoin(tb).crossJoin(tc)
+    nd = F.col("n").cast("double")
+    grand = (F.col("s") * F.col("s")).cast("double") / nd
+    ss = {
+        k: F.col(f"t_{k}").cast("double") / F.lit(1e6) - grand
+        for k in ("a", "b", "c")
+    }
+    ss_ab = ss["c"] - ss["a"] - ss["b"]
+    ssw = F.col("q").cast("double") - F.col("t_c").cast("double") / F.lit(1e6)
+    ka, kb, kc = (F.col(f"k_{k}").cast("double") for k in ("a", "b", "c"))
+    dfw = nd - kc
+    msw = ssw / dfw
+    return j.select(
+        F.col("n").alias("n_rows"),
+        F.col("k_a").cast("long").alias("n_brands"),
+        F.col("k_b").cast("long").alias("n_flags"),
+        det_round((ss["a"] / (ka - F.lit(1.0))) / msw, 6).alias("f_brand"),
+        det_round((ss["b"] / (kb - F.lit(1.0))) / msw, 6).alias("f_flag"),
+        det_round(
+            (ss_ab / ((ka - F.lit(1.0)) * (kb - F.lit(1.0)))) / msw, 6
+        ).alias("f_interaction"),
+        det_round(ss["c"] / (ss["c"] + ssw), 6).alias("eta2_cells"),
+    )

@@ -184,3 +184,44 @@ def test_price_index_hand_computed(spark, tmp_path):
     assert abs(r["laspeyres"] - 1.0) < 1e-6
     assert abs(r["paasche"] - 30.0 / 45.0) < 1e-5
     assert abs(r["fisher"] - (30.0 / 45.0) ** 0.5) < 1e-5
+
+
+def test_two_way_anova_brand_effect_only(spark, tmp_path):
+    """Strong brand effect, zero flag effect, zero interaction:
+    f_brand >> 0, f_flag = 0, f_interaction = 0."""
+    from stream_processing_system_spark.plans.analytics import (
+        lineitem_two_way_anova,
+    )
+    import os as _os
+
+    d = datetime.datetime(1996, 1, 1)
+    li, parts = [], [(1, "n1", "Brand#A", "t", 1, 1.0), (2, "n2", "Brand#B", "t", 1, 1.0)]
+    i = 0
+    for pk, qs in ((1, [10.0, 12.0]), (2, [30.0, 32.0])):
+        for rf in ("N", "R"):
+            for q in qs:
+                li.append((i, pk, 1, 1, q, q, 0.0, 0.0, rf, "O", d))
+                i += 1
+    sf = str(tmp_path / "sf")
+    _os.makedirs(sf, exist_ok=True)
+    spark.createDataFrame(
+        li,
+        "l_orderkey long, l_partkey long, l_suppkey long, l_linenumber int, "
+        "l_quantity double, l_extendedprice double, l_discount double, "
+        "l_tax double, l_returnflag string, l_linestatus string, "
+        "l_shipdate timestamp",
+    ).write.mode("overwrite").parquet(_os.path.join(sf, "lineitem.parquet"))
+    spark.createDataFrame(
+        parts,
+        "p_partkey long, p_name string, p_brand string, p_type string, "
+        "p_size int, p_retailprice double",
+    ).write.mode("overwrite").parquet(_os.path.join(sf, "part.parquet"))
+    rows = lineitem_two_way_anova(spark, sf).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r["n_rows"] == 8 and r["n_brands"] == 2 and r["n_flags"] == 2
+    # SS_brand = 800, SSW = 8 over df 4 -> msw = 2 -> f_brand = 400
+    assert abs(r["f_brand"] - 400.0) < 1e-4
+    assert abs(r["f_flag"]) < 1e-9
+    assert abs(r["f_interaction"]) < 1e-9
+    assert 0.99 < r["eta2_cells"] <= 1.0
