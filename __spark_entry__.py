@@ -2169,6 +2169,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_phash_dct": pipeline.media_phash_dct,
         "events_bollinger_bands": analytics.events_bollinger_bands,
         "lineitem_two_way_anova": analytics.lineitem_two_way_anova,
+        "events_hw_backtest": analytics.events_hw_backtest,
     }
 
 
@@ -8838,6 +8839,93 @@ def oracle_sql() -> dict[str, str]:
         CROSS JOIN tot
         ORDER BY pkn DESC, g.w1 ASC, g.w2 ASC
         LIMIT 50
+    """
+    # rolling-origin HW backtest: the recursion re-runs keyed by
+    # (event_type, origin) over array PREFIXES; micro-floored errors
+    _o["events_hw_backtest"] = """
+        WITH RECURSIVE daily AS (
+            SELECT event_type, CAST(ts AS DATE) AS day,
+                   CAST(SUM(CAST(floor(value * 100 + 0.5) AS BIGINT))
+                        AS BIGINT) AS cent
+            FROM events WHERE value IS NOT NULL
+            GROUP BY 1, 2
+        ), ser AS (
+            SELECT event_type, y, len(y) AS n FROM (
+                SELECT event_type, list(cent ORDER BY day) AS y
+                FROM daily GROUP BY 1
+            ) WHERE len(y) >= 22
+        ), origins AS (
+            SELECT CAST(unnest(range(21, 29)) AS INTEGER) AS o
+        ), runs AS (
+            SELECT event_type, o, y[1:o] AS y, o AS n,
+                   CAST(y[o + 1] AS DOUBLE) / CAST(100.0 AS DOUBLE)
+                       AS actual,
+                   CAST(y[o - 6] AS DOUBLE) / CAST(100.0 AS DOUBLE)
+                       AS naive_pred
+            FROM ser CROSS JOIN origins WHERE o < n
+        ), init AS (
+            SELECT event_type, o, y, n, actual, naive_pred, 7 AS t,
+                   m1 AS l,
+                   (m2 - m1) / CAST(7.0 AS DOUBLE) AS b,
+                   [CAST(y[1] AS DOUBLE) / CAST(100.0 AS DOUBLE) - m1, CAST(y[2] AS DOUBLE) / CAST(100.0 AS DOUBLE) - m1, CAST(y[3] AS DOUBLE) / CAST(100.0 AS DOUBLE) - m1, CAST(y[4] AS DOUBLE) / CAST(100.0 AS DOUBLE) - m1, CAST(y[5] AS DOUBLE) / CAST(100.0 AS DOUBLE) - m1, CAST(y[6] AS DOUBLE) / CAST(100.0 AS DOUBLE) - m1, CAST(y[7] AS DOUBLE) / CAST(100.0 AS DOUBLE) - m1] AS seas,
+                   CAST(0.0 AS DOUBLE) AS sse
+            FROM (
+                SELECT event_type, o, y, n, actual, naive_pred,
+                       (((((((CAST(0.0 AS DOUBLE) + CAST(y[1] AS DOUBLE) / CAST(100.0 AS DOUBLE)) + CAST(y[2] AS DOUBLE) / CAST(100.0 AS DOUBLE)) + CAST(y[3] AS DOUBLE) / CAST(100.0 AS DOUBLE)) + CAST(y[4] AS DOUBLE) / CAST(100.0 AS DOUBLE)) + CAST(y[5] AS DOUBLE) / CAST(100.0 AS DOUBLE)) + CAST(y[6] AS DOUBLE) / CAST(100.0 AS DOUBLE)) + CAST(y[7] AS DOUBLE) / CAST(100.0 AS DOUBLE)) / CAST(7.0 AS DOUBLE) AS m1,
+                       (((((((CAST(0.0 AS DOUBLE) + CAST(y[8] AS DOUBLE) / CAST(100.0 AS DOUBLE)) + CAST(y[9] AS DOUBLE) / CAST(100.0 AS DOUBLE)) + CAST(y[10] AS DOUBLE) / CAST(100.0 AS DOUBLE)) + CAST(y[11] AS DOUBLE) / CAST(100.0 AS DOUBLE)) + CAST(y[12] AS DOUBLE) / CAST(100.0 AS DOUBLE)) + CAST(y[13] AS DOUBLE) / CAST(100.0 AS DOUBLE)) + CAST(y[14] AS DOUBLE) / CAST(100.0 AS DOUBLE)) / CAST(7.0 AS DOUBLE) AS m2
+                FROM runs
+            )
+        ), work AS (
+            SELECT * FROM init
+            UNION ALL
+            SELECT event_type, o, y, n, actual, naive_pred, t, ln AS l,
+                   CAST(0.25 AS DOUBLE) * (ln - lp)
+                       + CAST(0.75 AS DOUBLE) * bp AS b,
+                   seas[2:7] || [CAST(0.25 AS DOUBLE) * (v - ln)
+                                 + CAST(0.75 AS DOUBLE) * s7] AS seas,
+                   sse + (v - ((lp + bp) + s7))
+                             * (v - ((lp + bp) + s7)) AS sse
+            FROM (
+                SELECT event_type, o, y, n, actual, naive_pred,
+                       t + 1 AS t, l AS lp, b AS bp, seas, sse,
+                       CAST(y[t + 1] AS DOUBLE)
+                           / CAST(100.0 AS DOUBLE) AS v,
+                       seas[1] AS s7,
+                       CAST(0.5 AS DOUBLE)
+                           * (CAST(y[t + 1] AS DOUBLE)
+                              / CAST(100.0 AS DOUBLE) - seas[1])
+                       + CAST(0.5 AS DOUBLE) * (l + b) AS ln
+                FROM work WHERE t < n
+            )
+        ), fin AS (
+            SELECT * FROM work WHERE t = n
+        ), errs AS (
+            SELECT event_type,
+                   CAST(floor(abs(((l + b) + seas[1]) - actual)
+                              * 1000000.0 + 0.5) AS BIGINT) AS e,
+                   CAST(floor(abs(naive_pred - actual)
+                              * 1000000.0 + 0.5) AS BIGINT) AS ne
+            FROM fin
+        ), agg AS (
+            SELECT event_type, count(*) AS n_origins,
+                   CAST(SUM(e) AS BIGINT) AS se,
+                   SUM(CAST(e AS HUGEINT) * e) AS se2,
+                   CAST(SUM(ne) AS BIGINT) AS sne
+            FROM errs GROUP BY 1
+        )
+        SELECT event_type, CAST(n_origins AS BIGINT) AS n_origins,
+               floor(CAST(se AS DOUBLE) / CAST(n_origins AS DOUBLE)
+                     / CAST(1000000.0 AS DOUBLE) * 1e6 + 0.5) / 1e6
+                   AS hw_mae,
+               floor(sqrt(CAST(se2 AS DOUBLE) / CAST(n_origins AS DOUBLE))
+                     / CAST(1000000.0 AS DOUBLE) * 1e6 + 0.5) / 1e6
+                   AS hw_rmse,
+               floor(CAST(sne AS DOUBLE) / CAST(n_origins AS DOUBLE)
+                     / CAST(1000000.0 AS DOUBLE) * 1e6 + 0.5) / 1e6
+                   AS naive_mae,
+               floor(CAST(se AS DOUBLE) / CAST(sne AS DOUBLE) * 1e6 + 0.5)
+                   / 1e6 AS mase_ratio
+        FROM agg ORDER BY event_type
     """
     # two-way ANOVA: exact group sums, 1e-6-grid S^2/n terms,
     # balanced-design interaction identity

@@ -8806,19 +8806,14 @@ def events_holt_winters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return holt_winters_from_daily(daily)
 
 
-def holt_winters_from_daily(daily: DataFrame) -> DataFrame:
-    """Shared Holt-Winters tail (init + fold + 7-day forecast) over a
-    (event_type, day, cent) daily-totals frame — used by the batch
-    plan and the streaming twin, whose drained per-day sums reduce to
-    the identical frame."""
-    spark = daily.sparkSession
-    ser = daily.groupBy("event_type").agg(
-        F.transform(
-            F.array_sort(F.collect_list(F.struct(F.col("day"), F.col("cent")))),
-            lambda s: s["cent"],
-        ).alias("y")
-    ).where(F.size("y") >= 15)
-    y = F.col("y")
+def hw_final_state(y):
+    """Holt-Winters additive fold over a centi-total array column:
+    standard 2m init (level = week-1 mean, trend = weekly mean
+    difference / 7, seasonals = week-1 deviations), then the
+    alpha=0.5/beta=0.25/gamma=0.25 recursion from t=8. Returns the
+    final struct(l, b, seas[7], sse). Shared by the 7-day-ahead
+    forecast query, the streaming twin, and the rolling-origin
+    backtest (which folds PREFIXES of the same array)."""
 
     def yd(el):
         return el.cast("double") / F.lit(100.0)
@@ -8854,9 +8849,22 @@ def holt_winters_from_daily(daily: DataFrame) -> DataFrame:
             (st["sse"] + err * err).alias("sse"),
         )
 
-    fin = F.aggregate(
-        F.slice(y, 8, F.size(y) - 7), init, step
-    )
+    return F.aggregate(F.slice(y, 8, F.size(y) - 7), init, step)
+
+
+def holt_winters_from_daily(daily: DataFrame) -> DataFrame:
+    """Shared Holt-Winters tail (init + fold + 7-day forecast) over a
+    (event_type, day, cent) daily-totals frame — used by the batch
+    plan and the streaming twin, whose drained per-day sums reduce to
+    the identical frame."""
+    spark = daily.sparkSession
+    ser = daily.groupBy("event_type").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct(F.col("day"), F.col("cent")))),
+            lambda s: s["cent"],
+        ).alias("y")
+    ).where(F.size("y") >= 15)
+    fin = hw_final_state(F.col("y"))
     hs = spark.range(7).select((F.col("id") + 1).cast("int").alias("h"))
     folded = ser.select("event_type", fin.alias("st")).crossJoin(F.broadcast(hs))
     fcast = (
@@ -9253,3 +9261,88 @@ def lineitem_two_way_anova(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("f_interaction"),
         det_round(ss["c"] / (ss["c"] + ssw), 6).alias("eta2_cells"),
     )
+
+
+def events_hw_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling-origin backtest of the Holt-Winters forecaster - the
+    standard time-series cross-validation: for each origin o in
+    21..28, refit on days 1..o (the SAME hw_final_state fold over the
+    array prefix) and score the 1-step-ahead forecast against the
+    actual, with the seasonal-naive (y[o-6]) as baseline. Reports
+    per-type MAE/RMSE and the MASE-style ratio (HW absolute error sum
+    / seasonal-naive absolute error sum, exact integer ratio) - the
+    honest answer to "is the forecaster better than repeating last
+    week". Per-origin errors are micro-floored BEFORE the cross-
+    origin sums (exact int64 reductions).
+    Scale: the daily aggregate is the only data-sized stage; the 8
+    refits fold over <=28-element arrays per type."""
+    events = load_table(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    centi = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+    daily = (
+        events.select(
+            "event_type", F.col("ts").cast("date").alias("day"), centi.alias("v")
+        )
+        .groupBy("event_type", "day")
+        .agg(F.sum("v").alias("cent"))
+    )
+    ser = daily.groupBy("event_type").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct(F.col("day"), F.col("cent")))),
+            lambda s: s["cent"],
+        ).alias("y")
+    ).where(F.size("y") >= 22)
+    origins = spark.range(21, 29).select(F.col("id").cast("int").alias("o"))
+    runs = (
+        ser.crossJoin(F.broadcast(origins))
+        .where(F.col("o") < F.size("y"))
+        .select(
+            "event_type",
+            "o",
+            F.slice(F.col("y"), 1, F.col("o")).alias("yp"),
+            (
+                F.element_at(F.col("y"), F.col("o") + 1).cast("double")
+                / F.lit(100.0)
+            ).alias("actual"),
+            (
+                F.element_at(F.col("y"), F.col("o") - 6).cast("double")
+                / F.lit(100.0)
+            ).alias("naive_pred"),
+        )
+    )
+    st = hw_final_state(F.col("yp"))
+    f1 = (st["l"] + st["b"]) + F.element_at(st["seas"], 1)
+    errs = runs.select(
+        "event_type",
+        F.floor(F.abs(f1 - F.col("actual")) * F.lit(1000000.0) + F.lit(0.5))
+        .cast("long")
+        .alias("e"),
+        F.floor(
+            F.abs(F.col("naive_pred") - F.col("actual")) * F.lit(1000000.0)
+            + F.lit(0.5)
+        )
+        .cast("long")
+        .alias("ne"),
+    )
+    agg = errs.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_origins"),
+        F.sum("e").alias("se"),
+        F.sum(F.col("e").cast("decimal(38,0)") * F.col("e")).alias("se2"),
+        F.sum("ne").alias("sne"),
+    )
+    nd = F.col("n_origins").cast("double")
+    return agg.select(
+        "event_type",
+        "n_origins",
+        det_round(F.col("se").cast("double") / nd / F.lit(1000000.0), 6).alias(
+            "hw_mae"
+        ),
+        det_round(
+            F.sqrt(F.col("se2").cast("double") / nd) / F.lit(1000000.0), 6
+        ).alias("hw_rmse"),
+        det_round(F.col("sne").cast("double") / nd / F.lit(1000000.0), 6).alias(
+            "naive_mae"
+        ),
+        det_round(
+            F.col("se").cast("double") / F.col("sne").cast("double"), 6
+        ).alias("mase_ratio"),
+    ).orderBy("event_type")

@@ -61,3 +61,31 @@ def test_hw_matches_reference_and_tracks_season(spark, tmp_path):
         true = 100.0 + 2.0 * (27 + h) + 10.0 * ((27 + h) % 7)
         # (21 recursion steps at alpha=.5 leave ~4% residual bias)
         assert abs(got[h]["forecast"] - true) < 12.0
+
+
+def test_hw_backtest_beats_naive_on_clean_season(spark, tmp_path):
+    """On an exact additive season + trend, HW beats the seasonal
+    naive (which misses the 7-day trend by exactly 2*7 = 14)."""
+    from stream_processing_system_spark.plans.analytics import events_hw_backtest
+
+    events = []
+    for i in range(30):
+        val = 100.0 + 2.0 * i + 10.0 * (i % 7)
+        events.append(
+            (i, datetime.datetime(2024, 1, 1 + i, 12, 0), 1, "x", val, "{}")
+        )
+    sf = str(tmp_path / "sf")
+    os.makedirs(sf, exist_ok=True)
+    spark.createDataFrame(
+        events,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    ).write.mode("overwrite").parquet(os.path.join(sf, "events.parquet"))
+    rows = events_hw_backtest(spark, sf).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r["n_origins"] == 8
+    # seasonal naive is off by exactly the 7-day trend: 14.0
+    assert abs(r["naive_mae"] - 14.0) < 1e-6
+    assert r["mase_ratio"] < 1.0
+    assert r["hw_mae"] < 14.0
