@@ -2170,6 +2170,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_bollinger_bands": analytics.events_bollinger_bands,
         "lineitem_two_way_anova": analytics.lineitem_two_way_anova,
         "events_hw_backtest": analytics.events_hw_backtest,
+        "ab_sprt_sequential": analytics.ab_sprt_sequential,
     }
 
 
@@ -8839,6 +8840,46 @@ def oracle_sql() -> dict[str, str]:
         CROSS JOIN tot
         ORDER BY pkn DESC, g.w1 ASC, g.w2 ASC
         LIMIT 50
+    """
+    # Wald SPRT: module-constant 1e-9-grid LLR literals, exact int64
+    # cumulative walk, first Wald-boundary crossing per cohort
+    _o["ab_sprt_sequential"] = """
+        WITH obs AS (
+            SELECT ('0x' || substr(md5('ab|' || CAST(user_id AS VARCHAR)),
+                                   1, 8))::BIGINT % 2 AS cohort,
+                   ts, event_id,
+                   CASE WHEN event_type = 'purchase'
+                        THEN 200670695
+                        ELSE -50010421 END AS llr
+            FROM events
+        ), walked AS (
+            SELECT cohort,
+                   row_number() OVER (PARTITION BY cohort
+                                      ORDER BY ts, event_id) AS step,
+                   SUM(llr) OVER (PARTITION BY cohort
+                                  ORDER BY ts, event_id
+                                  ROWS UNBOUNDED PRECEDING) AS cum
+            FROM obs
+        ), first_x AS (
+            SELECT cohort, MIN(step) AS stop_step FROM walked
+            WHERE cum >= 2772588722 OR cum <= -1558144618
+            GROUP BY 1
+        ), at_x AS (
+            SELECT f.cohort, f.stop_step, w.cum AS stop_cum
+            FROM first_x f
+            JOIN walked w ON f.cohort = w.cohort AND f.stop_step = w.step
+        ), totals AS (
+            SELECT cohort, count(*) AS n_events FROM walked GROUP BY 1
+        )
+        SELECT t.cohort, t.n_events,
+               CASE WHEN a.stop_cum >= 2772588722 THEN 'accept_h1'
+                    WHEN a.stop_cum <= -1558144618 THEN 'accept_h0'
+                    ELSE 'continue' END AS decision,
+               CAST(COALESCE(a.stop_step, -1) AS INTEGER) AS stop_step,
+               floor(CAST(COALESCE(a.stop_cum, 0) AS DOUBLE) / 1e9
+                     * 1e6 + 0.5) / 1e6 AS llr_at_stop
+        FROM totals t LEFT JOIN at_x a USING (cohort)
+        ORDER BY cohort
     """
     # rolling-origin HW backtest: the recursion re-runs keyed by
     # (event_type, origin) over array PREFIXES; micro-floored errors

@@ -9346,3 +9346,88 @@ def events_hw_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("se").cast("double") / F.col("sne").cast("double"), 6
         ).alias("mase_ratio"),
     ).orderBy("event_type")
+
+
+#: SPRT constants (Wald): H0 p=0.18 vs H1 p=0.22 on the purchase
+#: share, alpha=0.05 / beta=0.2. Log-likelihood increments and the
+#: decision boundaries are pre-floored to a 1e-9 integer grid at
+#: module load (python math.log) and embedded as the SAME literals in
+#: the SQL oracle — the whole walk is exact int64 arithmetic.
+import math as _math
+
+SPRT_P0, SPRT_P1 = 0.18, 0.22
+SPRT_LLR_SUCCESS = _math.floor(_math.log(SPRT_P1 / SPRT_P0) * 1e9 + 0.5)
+SPRT_LLR_FAILURE = _math.floor(
+    _math.log((1 - SPRT_P1) / (1 - SPRT_P0)) * 1e9 + 0.5
+)
+SPRT_UPPER = _math.floor(_math.log((1 - 0.2) / 0.05) * 1e9 + 0.5)
+SPRT_LOWER = _math.floor(_math.log(0.2 / (1 - 0.05)) * 1e9 + 0.5)
+
+
+def ab_sprt_sequential(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wald's sequential probability ratio test run over each A/B
+    cohort's event stream in arrival order - the sequential-testing
+    complement to the fixed-horizon `ab_test_purchase_value`: instead
+    of waiting for all data, the cumulative log-likelihood ratio
+    (H1: purchase share 0.22 vs H0: 0.18; alpha=.05, beta=.2) walks
+    until it crosses a Wald boundary, and the test reports HOW FEW
+    events the decision needed. Cohorts are the standard md5 split;
+    LLR increments and boundaries are module-constant 1e-9-grid
+    integers (SPRT_*), so the walk, the crossing test, and the
+    stopping index are exact int64 end to end.
+    Scale: one shuffle per cohort for the total-ordered cumsum; the
+    crossing scan is the same window pass. Output per cohort:
+    n_events, the decision, the stopping index, and the LLR there."""
+    from stream_processing_system_spark.functions.scalar import md5_prefix_long
+
+    events = load_table(spark, sf_dir, "events")
+    obs = events.select(
+        (md5_prefix_long(F.col("user_id").cast("string"), salt="ab|") % 2).alias(
+            "cohort"
+        ),
+        "ts",
+        "event_id",
+        F.when(F.col("event_type") == "purchase", F.lit(SPRT_LLR_SUCCESS))
+        .otherwise(F.lit(SPRT_LLR_FAILURE))
+        .alias("llr"),
+    )
+    w = Window.partitionBy("cohort").orderBy("ts", "event_id")
+    walked = obs.select(
+        "cohort",
+        F.row_number().over(w).alias("step"),
+        F.sum("llr").over(w.rowsBetween(Window.unboundedPreceding, 0)).alias(
+            "cum"
+        ),
+    )
+    crossings = walked.where(
+        (F.col("cum") >= F.lit(SPRT_UPPER)) | (F.col("cum") <= F.lit(SPRT_LOWER))
+    )
+    first = crossings.groupBy("cohort").agg(F.min("step").alias("stop_step"))
+    at = first.join(
+        walked.withColumnRenamed("cum", "stop_cum"),
+        (first["cohort"] == walked["cohort"])
+        & (first["stop_step"] == walked["step"]),
+    ).select(first["cohort"], "stop_step", "stop_cum")
+    totals = walked.groupBy("cohort").agg(F.count(F.lit(1)).alias("n_events"))
+    return (
+        totals.join(at, "cohort", "left")
+        .select(
+            "cohort",
+            "n_events",
+            F.when(F.col("stop_cum") >= SPRT_UPPER, F.lit("accept_h1"))
+            .when(F.col("stop_cum") <= SPRT_LOWER, F.lit("accept_h0"))
+            .otherwise(F.lit("continue"))
+            .alias("decision"),
+            F.coalesce(F.col("stop_step"), F.lit(-1).cast("int")).alias(
+                "stop_step"
+            ),
+            det_round(
+                F.coalesce(F.col("stop_cum"), F.lit(0).cast("long")).cast(
+                    "double"
+                )
+                / F.lit(1e9),
+                6,
+            ).alias("llr_at_stop"),
+        )
+        .orderBy("cohort")
+    )

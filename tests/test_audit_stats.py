@@ -225,3 +225,50 @@ def test_two_way_anova_brand_effect_only(spark, tmp_path):
     assert abs(r["f_flag"]) < 1e-9
     assert abs(r["f_interaction"]) < 1e-9
     assert 0.99 < r["eta2_cells"] <= 1.0
+
+
+def test_sprt_pure_streams_decide_correctly(spark, tmp_path):
+    """A cohort that's 100% purchases crosses the H1 boundary after
+    ceil(UPPER / LLR_SUCCESS) = 14 steps; a cohort with zero
+    purchases crosses H0 after ceil(|LOWER| / |LLR_FAILURE|) = 32."""
+    import math as _m
+    from stream_processing_system_spark.plans.analytics import (
+        SPRT_LLR_FAILURE,
+        SPRT_LLR_SUCCESS,
+        SPRT_LOWER,
+        SPRT_UPPER,
+        ab_sprt_sequential,
+    )
+    import os as _os
+
+    # find user ids for each md5 cohort
+    import hashlib
+
+    def cohort(uid):
+        return int(hashlib.md5(f"ab|{uid}".encode()).hexdigest()[:8], 16) % 2
+
+    u0 = next(u for u in range(100) if cohort(u) == 0)
+    u1 = next(u for u in range(100) if cohort(u) == 1)
+    events = []
+    for i in range(40):
+        events.append(
+            (len(events), datetime.datetime(2024, 1, 1, 0, i), u0,
+             "purchase", 1.0, "{}")
+        )
+        events.append(
+            (len(events), datetime.datetime(2024, 1, 1, 0, i), u1,
+             "view", 1.0, "{}")
+        )
+    sf = str(tmp_path / "sf")
+    _os.makedirs(sf, exist_ok=True)
+    spark.createDataFrame(
+        events,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    ).write.mode("overwrite").parquet(_os.path.join(sf, "events.parquet"))
+    rows = ab_sprt_sequential(spark, sf).collect()
+    got = {r["cohort"]: r for r in rows}
+    assert got[0]["decision"] == "accept_h1"
+    assert got[0]["stop_step"] == _m.ceil(SPRT_UPPER / SPRT_LLR_SUCCESS)
+    assert got[1]["decision"] == "accept_h0"
+    assert got[1]["stop_step"] == _m.ceil(abs(SPRT_LOWER) / abs(SPRT_LLR_FAILURE))
