@@ -2171,6 +2171,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lineitem_two_way_anova": analytics.lineitem_two_way_anova,
         "events_hw_backtest": analytics.events_hw_backtest,
         "ab_sprt_sequential": analytics.ab_sprt_sequential,
+        "events_isotonic_hourly": analytics.events_isotonic_hourly,
     }
 
 
@@ -8840,6 +8841,56 @@ def oracle_sql() -> dict[str, str]:
         CROSS JOIN tot
         ORDER BY pkn DESC, g.w1 ASC, g.w2 ASC
         LIMIT 50
+    """
+    # isotonic regression by the minimax formula: exact prefix-sum
+    # interval averages, min/max lattice over the (i,j,k) grid
+    _o["events_isotonic_hourly"] = """
+        WITH hourly AS (
+            SELECT event_type, hour(ts) AS h,
+                   CAST(SUM(CAST(floor(value * 100 + 0.5) AS BIGINT))
+                        AS BIGINT) AS s,
+                   count(*) AS n
+            FROM events WHERE value IS NOT NULL
+            GROUP BY 1, 2
+        ), pref AS (
+            SELECT event_type, h, s, n,
+                   CAST(SUM(s) OVER (PARTITION BY event_type ORDER BY h
+                                     ROWS UNBOUNDED PRECEDING) AS BIGINT)
+                       AS ps,
+                   CAST(SUM(n) OVER (PARTITION BY event_type ORDER BY h
+                                     ROWS UNBOUNDED PRECEDING) AS BIGINT)
+                       AS pn,
+                   row_number() OVER (PARTITION BY event_type ORDER BY h)
+                       AS p
+            FROM hourly
+        ), ivals AS (
+            SELECT lo.event_type, lo.j, hi.k,
+                   CAST(hi.ps1 - lo.ps0 AS DOUBLE)
+                       / CAST(hi.pn1 - lo.pn0 AS DOUBLE)
+                       / CAST(100.0 AS DOUBLE) AS avg
+            FROM (SELECT event_type, p AS j, ps - s AS ps0, pn - n AS pn0
+                  FROM pref) lo
+            JOIN (SELECT event_type, p AS k, ps AS ps1, pn AS pn1
+                  FROM pref) hi
+              USING (event_type)
+            WHERE lo.j <= hi.k
+        ), inner_min AS (
+            SELECT a.event_type, a.i, a.h, a.s, a.n, v.j,
+                   MIN(v.avg) AS m
+            FROM (SELECT event_type, p AS i, h, s, n FROM pref) a
+            JOIN ivals v USING (event_type)
+            WHERE v.j <= a.i AND v.k >= a.i
+            GROUP BY 1, 2, 3, 4, 5, 6
+        ), fit AS (
+            SELECT event_type, i, h, s, n, MAX(m) AS fit
+            FROM inner_min GROUP BY 1, 2, 3, 4, 5
+        )
+        SELECT event_type, h,
+               floor(CAST(s AS DOUBLE) / CAST(n AS DOUBLE)
+                     / CAST(100.0 AS DOUBLE) * 1e6 + 0.5) / 1e6
+                   AS observed_mean,
+               floor(fit * 1e6 + 0.5) / 1e6 AS isotonic_fit
+        FROM fit ORDER BY event_type, h
     """
     # Wald SPRT: module-constant 1e-9-grid LLR literals, exact int64
     # cumulative walk, first Wald-boundary crossing per cohort

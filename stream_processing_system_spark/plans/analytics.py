@@ -9431,3 +9431,87 @@ def ab_sprt_sequential(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cohort")
     )
+
+
+def events_isotonic_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted isotonic (non-decreasing in hour-of-day) regression of
+    mean event value per type - the PAV fit computed via the MINIMAX
+    characterization fit(i) = max_{j<=i} min_{k>=i} weightedAvg(j..k),
+    which turns the sequential pool-adjacent-violators algorithm into
+    three pure relational passes over a (type, i, j, k) grid (24^3
+    combinations per type - constant work at ANY corpus size). Every
+    interval average is one division of exact prefix-sum integers
+    (centi totals / counts), so the min/max lattice is deterministic
+    doubles cross-engine. The standard calibration primitive (e.g.
+    monotone probability calibration) expressed Spark-first.
+    Scale: one hourly aggregate sees the data; the grid never does."""
+    events = load_table(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    centi = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+    hourly = (
+        events.select("event_type", F.hour("ts").alias("h"), centi.alias("v"))
+        .groupBy("event_type", "h")
+        .agg(F.sum("v").alias("s"), F.count(F.lit(1)).alias("n"))
+    )
+    wh = Window.partitionBy("event_type").orderBy("h")
+    pref = hourly.select(
+        "event_type",
+        "h",
+        "s",
+        "n",
+        F.sum("s").over(wh.rowsBetween(Window.unboundedPreceding, 0)).alias("ps"),
+        F.sum("n").over(wh.rowsBetween(Window.unboundedPreceding, 0)).alias("pn"),
+    ).localCheckpoint(eager=True)
+    # interval averages avg(j..k) from prefix differences; j,k are
+    # POSITIONS in the per-type hour order (hours may be sparse)
+    pos = pref.select(
+        "event_type",
+        F.row_number().over(wh).alias("p"),
+        "h",
+        "s",
+        "n",
+        "ps",
+        "pn",
+    )
+    lo = pos.select(
+        "event_type",
+        F.col("p").alias("j"),
+        (F.col("ps") - F.col("s")).alias("ps0"),
+        (F.col("pn") - F.col("n")).alias("pn0"),
+    )
+    hi = pos.select(
+        "event_type",
+        F.col("p").alias("k"),
+        F.col("ps").alias("ps1"),
+        F.col("pn").alias("pn1"),
+    )
+    ivals = (
+        lo.join(hi, "event_type")
+        .where(F.col("j") <= F.col("k"))
+        .select(
+            "event_type",
+            "j",
+            "k",
+            (
+                (F.col("ps1") - F.col("ps0")).cast("double")
+                / (F.col("pn1") - F.col("pn0")).cast("double")
+                / F.lit(100.0)
+            ).alias("avg"),
+        )
+    )
+    anchors = pos.select("event_type", F.col("p").alias("i"), "h", "s", "n")
+    inner = (
+        anchors.join(ivals, "event_type")
+        .where((F.col("j") <= F.col("i")) & (F.col("k") >= F.col("i")))
+        .groupBy("event_type", "i", "h", "s", "n", "j")
+        .agg(F.min("avg").alias("m"))
+    )
+    fit = inner.groupBy("event_type", "i", "h", "s", "n").agg(
+        F.max("m").alias("fit")
+    )
+    obs = F.col("s").cast("double") / F.col("n").cast("double") / F.lit(100.0)
+    return fit.select(
+        "event_type",
+        "h",
+        det_round(obs, 6).alias("observed_mean"),
+        det_round(F.col("fit"), 6).alias("isotonic_fit"),
+    ).orderBy("event_type", "h")

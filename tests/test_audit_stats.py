@@ -272,3 +272,37 @@ def test_sprt_pure_streams_decide_correctly(spark, tmp_path):
     assert got[0]["stop_step"] == _m.ceil(SPRT_UPPER / SPRT_LLR_SUCCESS)
     assert got[1]["decision"] == "accept_h0"
     assert got[1]["stop_step"] == _m.ceil(abs(SPRT_LOWER) / abs(SPRT_LLR_FAILURE))
+
+
+def test_isotonic_minimax_equals_pav(spark, tmp_path):
+    """[3,3] @ h0, [1] @ h1, [2] @ h2: PAV pools h0+h1 at the weighted
+    mean 7/3, h2 stays if >= pool mean (2 < 7/3 so all three pool:
+    (3+3+1+2)/4 = 2.25 everywhere)."""
+    from stream_processing_system_spark.plans.analytics import events_isotonic_hourly
+    import os as _os
+
+    def ts(h, m):
+        return datetime.datetime(2024, 1, 1, h, m)
+
+    events = [
+        (0, ts(0, 1), 1, "x", 3.0, "{}"),
+        (1, ts(0, 2), 1, "x", 3.0, "{}"),
+        (2, ts(1, 1), 1, "x", 1.0, "{}"),
+        (3, ts(2, 1), 1, "x", 2.0, "{}"),
+    ]
+    sf = str(tmp_path / "sf")
+    _os.makedirs(sf, exist_ok=True)
+    spark.createDataFrame(
+        events,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    ).write.mode("overwrite").parquet(_os.path.join(sf, "events.parquet"))
+    rows = events_isotonic_hourly(spark, sf).collect()
+    got = {r["h"]: r for r in rows}
+    assert abs(got[0]["observed_mean"] - 3.0) < 1e-9
+    assert abs(got[1]["observed_mean"] - 1.0) < 1e-9
+    for h in (0, 1, 2):
+        assert abs(got[h]["isotonic_fit"] - 2.25) < 1e-6
+    # monotone by construction
+    fits = [got[h]["isotonic_fit"] for h in sorted(got)]
+    assert fits == sorted(fits)
