@@ -2172,6 +2172,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_hw_backtest": analytics.events_hw_backtest,
         "ab_sprt_sequential": analytics.ab_sprt_sequential,
         "events_isotonic_hourly": analytics.events_isotonic_hourly,
+        "events_voptimal_histogram": analytics.events_voptimal_histogram,
     }
 
 
@@ -8841,6 +8842,149 @@ def oracle_sql() -> dict[str, str]:
         CROSS JOIN tot
         ORDER BY pkn DESC, g.w1 ASC, g.w2 ASC
         LIMIT 50
+    """
+    # V-optimal histogram: six unrolled DP levels over exact segment
+    # SSEs, two-step argmin (smallest-s tie-break), joined backtrack
+    _o["events_voptimal_histogram"] = """
+        WITH daily AS (
+            SELECT event_type, CAST(ts AS DATE) AS day,
+                   CAST(floor(
+                       CAST(SUM(CAST(floor(value * 100 + 0.5) AS BIGINT))
+                            * 10000 AS DOUBLE)
+                       / CAST(count(*) AS DOUBLE) + 0.5) AS BIGINT) AS dm
+            FROM events WHERE value IS NOT NULL
+            GROUP BY 1, 2
+        ), pref AS (
+            SELECT event_type,
+                   row_number() OVER (PARTITION BY event_type ORDER BY day)
+                       AS p,
+                   CAST(SUM(dm) OVER (PARTITION BY event_type ORDER BY day
+                                      ROWS UNBOUNDED PRECEDING) AS BIGINT)
+                       AS sx,
+                   SUM(CAST(dm AS HUGEINT) * dm)
+                       OVER (PARTITION BY event_type ORDER BY day
+                             ROWS UNBOUNDED PRECEDING) AS sxx
+            FROM daily
+        ), nodes AS (
+            SELECT event_type, p, sx, sxx FROM pref
+            UNION ALL
+            SELECT DISTINCT event_type, 0, CAST(0 AS BIGINT),
+                   CAST(0 AS HUGEINT)
+            FROM pref
+        ), seg AS (
+            SELECT lo.event_type, lo.p AS s, hi.p AS t,
+                   CAST(floor((CAST(hi.sxx - lo.sxx AS DOUBLE)
+                        - CAST(hi.sx - lo.sx AS DOUBLE)
+                          * CAST(hi.sx - lo.sx AS DOUBLE)
+                          / CAST(hi.p - lo.p AS DOUBLE)) + 0.5) AS BIGINT)
+                       AS sse
+            FROM nodes lo JOIN pref hi
+              ON lo.event_type = hi.event_type AND lo.p < hi.p
+        ), f1 AS (
+            SELECT event_type, t AS p, sse AS f, CAST(0 AS BIGINT) AS arg
+            FROM seg WHERE s = 0
+        ),cand2 AS (
+            SELECT sg.event_type, sg.t AS p, f.f + sg.sse AS tot, sg.s
+            FROM f1 f JOIN seg sg
+              ON f.event_type = sg.event_type AND f.p = sg.s
+            WHERE sg.s >= 1
+        ), mn2 AS (
+            SELECT event_type, p, MIN(tot) AS f FROM cand2 GROUP BY 1, 2
+        ), f2 AS (
+            SELECT m.event_type, m.p, m.f, CAST(MIN(c.s) AS BIGINT) AS arg
+            FROM mn2 m JOIN cand2 c
+              ON c.event_type = m.event_type AND c.p = m.p AND c.tot = m.f
+            GROUP BY 1, 2, 3
+        ),cand3 AS (
+            SELECT sg.event_type, sg.t AS p, f.f + sg.sse AS tot, sg.s
+            FROM f2 f JOIN seg sg
+              ON f.event_type = sg.event_type AND f.p = sg.s
+            WHERE sg.s >= 2
+        ), mn3 AS (
+            SELECT event_type, p, MIN(tot) AS f FROM cand3 GROUP BY 1, 2
+        ), f3 AS (
+            SELECT m.event_type, m.p, m.f, CAST(MIN(c.s) AS BIGINT) AS arg
+            FROM mn3 m JOIN cand3 c
+              ON c.event_type = m.event_type AND c.p = m.p AND c.tot = m.f
+            GROUP BY 1, 2, 3
+        ),cand4 AS (
+            SELECT sg.event_type, sg.t AS p, f.f + sg.sse AS tot, sg.s
+            FROM f3 f JOIN seg sg
+              ON f.event_type = sg.event_type AND f.p = sg.s
+            WHERE sg.s >= 3
+        ), mn4 AS (
+            SELECT event_type, p, MIN(tot) AS f FROM cand4 GROUP BY 1, 2
+        ), f4 AS (
+            SELECT m.event_type, m.p, m.f, CAST(MIN(c.s) AS BIGINT) AS arg
+            FROM mn4 m JOIN cand4 c
+              ON c.event_type = m.event_type AND c.p = m.p AND c.tot = m.f
+            GROUP BY 1, 2, 3
+        ),cand5 AS (
+            SELECT sg.event_type, sg.t AS p, f.f + sg.sse AS tot, sg.s
+            FROM f4 f JOIN seg sg
+              ON f.event_type = sg.event_type AND f.p = sg.s
+            WHERE sg.s >= 4
+        ), mn5 AS (
+            SELECT event_type, p, MIN(tot) AS f FROM cand5 GROUP BY 1, 2
+        ), f5 AS (
+            SELECT m.event_type, m.p, m.f, CAST(MIN(c.s) AS BIGINT) AS arg
+            FROM mn5 m JOIN cand5 c
+              ON c.event_type = m.event_type AND c.p = m.p AND c.tot = m.f
+            GROUP BY 1, 2, 3
+        ),cand6 AS (
+            SELECT sg.event_type, sg.t AS p, f.f + sg.sse AS tot, sg.s
+            FROM f5 f JOIN seg sg
+              ON f.event_type = sg.event_type AND f.p = sg.s
+            WHERE sg.s >= 5
+        ), mn6 AS (
+            SELECT event_type, p, MIN(tot) AS f FROM cand6 GROUP BY 1, 2
+        ), f6 AS (
+            SELECT m.event_type, m.p, m.f, CAST(MIN(c.s) AS BIGINT) AS arg
+            FROM mn6 m JOIN cand6 c
+              ON c.event_type = m.event_type AND c.p = m.p AND c.tot = m.f
+            GROUP BY 1, 2, 3
+        ),nper AS (
+            SELECT event_type, MAX(p) AS e6 FROM pref GROUP BY 1
+        ), b6 AS (
+            SELECT n.event_type, n.e6, f.f AS total_sse, f.arg AS e5
+            FROM nper n JOIN f6 f
+              ON f.event_type = n.event_type AND f.p = n.e6
+        ),b5 AS (
+            SELECT b.*, f.arg AS e4
+            FROM b6 b JOIN f5 f
+              ON f.event_type = b.event_type AND f.p = b.e5
+        ),b4 AS (
+            SELECT b.*, f.arg AS e3
+            FROM b5 b JOIN f4 f
+              ON f.event_type = b.event_type AND f.p = b.e4
+        ),b3 AS (
+            SELECT b.*, f.arg AS e2
+            FROM b4 b JOIN f3 f
+              ON f.event_type = b.event_type AND f.p = b.e3
+        ),b2 AS (
+            SELECT b.*, f.arg AS e1
+            FROM b3 b JOIN f2 f
+              ON f.event_type = b.event_type AND f.p = b.e2
+        ),b1 AS (
+            SELECT b.*, f.arg AS e0
+            FROM b2 b JOIN f1 f
+              ON f.event_type = b.event_type AND f.p = b.e1
+        )
+        SELECT o.event_type, CAST(o.bucket AS INTEGER) AS bucket,
+               CAST(o.start_pos AS BIGINT) AS start_pos,
+               CAST(o.end_pos AS BIGINT) AS end_pos,
+               sg.sse AS bucket_sse, o.total_sse
+        FROM (
+                SELECT event_type, 1 AS bucket, e0 + 1 AS start_pos, e1 AS end_pos, total_sse FROM b1
+                UNION ALL SELECT event_type, 2 AS bucket, e1 + 1 AS start_pos, e2 AS end_pos, total_sse FROM b1
+                UNION ALL SELECT event_type, 3 AS bucket, e2 + 1 AS start_pos, e3 AS end_pos, total_sse FROM b1
+                UNION ALL SELECT event_type, 4 AS bucket, e3 + 1 AS start_pos, e4 AS end_pos, total_sse FROM b1
+                UNION ALL SELECT event_type, 5 AS bucket, e4 + 1 AS start_pos, e5 AS end_pos, total_sse FROM b1
+                UNION ALL SELECT event_type, 6 AS bucket, e5 + 1 AS start_pos, e6 AS end_pos, total_sse FROM b1
+        ) o JOIN seg sg
+          ON sg.event_type = o.event_type
+         AND sg.s = o.start_pos - 1 AND sg.t = o.end_pos
+        ORDER BY o.event_type, bucket
     """
     # isotonic regression by the minimax formula: exact prefix-sum
     # interval averages, min/max lattice over the (i,j,k) grid

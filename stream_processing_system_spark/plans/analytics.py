@@ -9515,3 +9515,152 @@ def events_isotonic_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
         det_round(obs, 6).alias("observed_mean"),
         det_round(F.col("fit"), 6).alias("isotonic_fit"),
     ).orderBy("event_type", "h")
+
+
+def events_voptimal_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """V-optimal histogram (Jagadish et al. 1998) of each event
+    type's daily-mean series: the 6-bucket partition minimizing total
+    within-bucket variance (SSE) - the classic optimizer-synopsis
+    structure, built here by the exact O(B*n^2) dynamic program
+    unrolled over B as SIX relational levels (each level is one join
+    on prefix sums + one argmin aggregate; no recursion, no
+    collect). Segment SSEs come from exact prefix sums and are
+    unit-floored to longs, so the DP lattice, argmins (smallest-s
+    tie-break) and the backtracked boundaries are exact integers
+    cross-engine.
+    Output per (type, bucket): day-position range, bucket SSE, and
+    the total (all micro^2 units on the daily-mean grid).
+    Scale: the daily aggregate sees the data; the DP grid is
+    30 x 30 x 6 per type."""
+    events = load_table(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    centi = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+    daily = (
+        events.select(
+            "event_type", F.col("ts").cast("date").alias("day"), centi.alias("v")
+        )
+        .groupBy("event_type", "day")
+        .agg(F.sum("v").alias("s"), F.count(F.lit(1)).alias("nd"))
+        .select(
+            "event_type",
+            "day",
+            F.floor(
+                (F.col("s") * F.lit(10000)).cast("double")
+                / F.col("nd").cast("double")
+                + F.lit(0.5)
+            )
+            .cast("long")
+            .alias("dm"),
+        )
+    )
+    wh = Window.partitionBy("event_type").orderBy("day")
+    pref = daily.select(
+        "event_type",
+        F.row_number().over(wh).alias("p"),
+        F.sum("dm").over(wh.rowsBetween(Window.unboundedPreceding, 0)).alias(
+            "sx"
+        ),
+        F.sum(F.col("dm").cast("decimal(38,0)") * F.col("dm"))
+        .over(wh.rowsBetween(Window.unboundedPreceding, 0))
+        .alias("sxx"),
+    ).localCheckpoint(eager=True)
+    zero = pref.select("event_type").distinct().select(
+        "event_type",
+        F.lit(0).alias("p"),
+        F.lit(0).cast("long").alias("sx"),
+        F.lit(0).cast("decimal(38,0)").alias("sxx"),
+    )
+    nodes = pref.unionByName(zero)
+    lo = nodes.select(
+        "event_type",
+        F.col("p").alias("s"),
+        F.col("sx").alias("sx0"),
+        F.col("sxx").alias("sxx0"),
+    )
+    hi = pref.select(
+        "event_type",
+        F.col("p").alias("t"),
+        F.col("sx").alias("sx1"),
+        F.col("sxx").alias("sxx1"),
+    )
+    dsx = (F.col("sx1") - F.col("sx0")).cast("double")
+    sse_expr = (
+        (F.col("sxx1") - F.col("sxx0")).cast("double")
+        - dsx * dsx / (F.col("t") - F.col("s")).cast("double")
+    )
+    seg = (
+        lo.join(hi, "event_type")
+        .where(F.col("s") < F.col("t"))
+        .select(
+            "event_type",
+            "s",
+            "t",
+            F.floor(sse_expr + F.lit(0.5)).cast("long").alias("sse"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    # level 1: F_1(t) = sse(0, t)
+    level = seg.where(F.col("s") == 0).select(
+        "event_type", F.col("t").alias("p"), F.col("sse").alias("f"),
+        F.lit(0).cast("long").alias("arg"),
+    )
+    levels = {1: level}
+    for b in range(2, 7):
+        prev = levels[b - 1].select(
+            "event_type", F.col("p").alias("s"), F.col("f").alias("fprev")
+        )
+        cand = prev.join(seg, ["event_type", "s"]).where(
+            F.col("s") >= F.lit(b - 1)
+        )
+        best = (
+            cand.select(
+                "event_type",
+                F.col("t").alias("p"),
+                (F.col("fprev") + F.col("sse")).alias("tot"),
+                F.col("s").cast("long").alias("arg"),
+            )
+            .groupBy("event_type", "p")
+            .agg(F.min(F.struct(F.col("tot"), F.col("arg"))).alias("m"))
+            .select(
+                "event_type",
+                "p",
+                F.col("m.tot").alias("f"),
+                F.col("m.arg").alias("arg"),
+            )
+        )
+        levels[b] = best.localCheckpoint(eager=True)
+    n_per = pref.groupBy("event_type").agg(F.max("p").alias("n"))
+    # backtrack boundaries: e_6 = n, s_b = arg at (e_b, b)
+    bounds = n_per.select("event_type", F.col("n").alias("e6"))
+    ends = {6: F.col("e6")}
+    cur = bounds
+    for b in range(6, 0, -1):
+        lv = levels[b].select(
+            "event_type",
+            F.col("p").alias(f"e{b}"),
+            F.col("arg").alias(f"e{b - 1}"),
+            *( [F.col("f").alias("total_sse")] if b == 6 else [] ),
+        )
+        cur = cur.join(lv, ["event_type", f"e{b}"])
+    out = None
+    for b in range(1, 7):
+        piece = cur.select(
+            "event_type",
+            F.lit(b).alias("bucket"),
+            (F.col(f"e{b - 1}") + 1).cast("long").alias("start_pos"),
+            F.col(f"e{b}").cast("long").alias("end_pos"),
+            "total_sse",
+        )
+        out = piece if out is None else out.unionByName(piece)
+    withsse = out.join(
+        seg.select(
+            "event_type",
+            (F.col("s") + 1).cast("long").alias("start_pos"),
+            F.col("t").cast("long").alias("end_pos"),
+            F.col("sse").alias("bucket_sse"),
+        ),
+        ["event_type", "start_pos", "end_pos"],
+    )
+    return withsse.select(
+        "event_type", "bucket", "start_pos", "end_pos", "bucket_sse",
+        "total_sse",
+    ).orderBy("event_type", "bucket")

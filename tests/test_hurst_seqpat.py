@@ -215,3 +215,26 @@ def test_bollinger_flat_series_no_breach_spike_breaches(spark, tmp_path):
     assert all(r["breach"] == 0 and r["lower"] == r["upper"] == 50.0 for r in flat)
     assert spiky["2024-01-09"]["breach"] == 1
     assert spiky["2024-01-08"]["breach"] == 0
+
+
+def test_voptimal_finds_planted_levels(spark, tmp_path):
+    """A series of 6 flat plateaus (5 days each) has a perfect
+    6-bucket partition with zero SSE; the DP must find exactly it."""
+    from stream_processing_system_spark.plans.analytics import (
+        events_voptimal_histogram,
+    )
+
+    vals = []
+    for lvl in (10, 40, 20, 80, 50, 120):
+        vals += [float(lvl)] * 5
+    events = [
+        (i, datetime.datetime(2024, 1, 1 + i, 12, 0), 1, "x", v, "{}")
+        for i, v in enumerate(vals)
+    ]
+    rows = events_voptimal_histogram(
+        spark, _sf(tmp_path, spark, events)
+    ).collect()
+    assert [(r["bucket"], r["start_pos"], r["end_pos"]) for r in rows] == [
+        (b, 5 * (b - 1) + 1, 5 * b) for b in range(1, 7)
+    ]
+    assert all(r["bucket_sse"] == 0 and r["total_sse"] == 0 for r in rows)
