@@ -2173,6 +2173,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ab_sprt_sequential": analytics.ab_sprt_sequential,
         "events_isotonic_hourly": analytics.events_isotonic_hourly,
         "events_voptimal_histogram": analytics.events_voptimal_histogram,
+        "events_hill_tail_index": analytics.events_hill_tail_index,
     }
 
 
@@ -8842,6 +8843,41 @@ def oracle_sql() -> dict[str, str]:
         CROSS JOIN tot
         ORDER BY pkn DESC, g.w1 ASC, g.w2 ASC
         LIMIT 50
+    """
+    # Hill tail index: exact centi-grid order stats, milli-floored
+    # ln ratios, one mirrored division
+    _o["events_hill_tail_index"] = """
+        WITH ranked AS (
+            SELECT event_type, c,
+                   row_number() OVER (PARTITION BY event_type
+                                      ORDER BY c DESC, event_id ASC) AS rn
+            FROM (
+                SELECT event_type, event_id,
+                       CAST(floor(value * 100 + 0.5) AS BIGINT) AS c
+                FROM events WHERE value IS NOT NULL AND value > 0
+            ) WHERE c > 0
+        ), thresh AS (
+            SELECT event_type, c AS ck1 FROM ranked WHERE rn = 101
+        ), terms AS (
+            SELECT r.event_type, t.ck1,
+                   CAST(floor(ln(CAST(r.c AS DOUBLE)
+                                 / CAST(t.ck1 AS DOUBLE))
+                        * CAST(1000.0 AS DOUBLE) + 0.5) AS BIGINT) AS t
+            FROM ranked r JOIN thresh t USING (event_type)
+            WHERE r.rn <= 100
+        ), agg AS (
+            SELECT event_type, ck1, count(*) AS n_top,
+                   CAST(SUM(t) AS BIGINT) AS s
+            FROM terms GROUP BY 1, 2
+        )
+        SELECT event_type, CAST(n_top AS BIGINT) AS k,
+               floor(CAST(ck1 AS DOUBLE) / CAST(100.0 AS DOUBLE)
+                     * 1e6 + 0.5) / 1e6 AS threshold,
+               floor(CAST(1.0 AS DOUBLE)
+                     / (CAST(s AS DOUBLE) / CAST(n_top AS DOUBLE)
+                        / CAST(1000.0 AS DOUBLE)) * 1e6 + 0.5) / 1e6
+                   AS alpha_hat
+        FROM agg ORDER BY event_type
     """
     # V-optimal histogram: six unrolled DP levels over exact segment
     # SSEs, two-step argmin (smallest-s tie-break), joined backtrack

@@ -9664,3 +9664,66 @@ def events_voptimal_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type", "bucket", "start_pos", "end_pos", "bucket_sse",
         "total_sse",
     ).orderBy("event_type", "bucket")
+
+
+def events_hill_tail_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hill estimator of the right-tail index of the value
+    distribution per event type: alpha_hat = 1 / mean(ln(x_(i) /
+    x_(k+1))) over the top k=100 order statistics - the standard
+    heavy-tail diagnostic (alpha < 2 means infinite variance;
+    pricing/fraud pipelines gate on it). Order statistics come from
+    an exact centi-grid rank window (total order: value desc, event
+    id asc); each ln ratio is milli-floored BEFORE the k-term sum
+    (exact int64 reduction), and alpha is one mirrored division.
+    Emits alpha_hat and the threshold x_(k+1).
+    Scale: one top-(k+1) per type (TakeOrderedAndProject-shaped
+    window), k constant - the scan dominates, the estimator is
+    free."""
+    k = 100
+    events = load_table(spark, sf_dir, "events").where(
+        F.col("value").isNotNull() & (F.col("value") > 0)
+    )
+    centi = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+    w = Window.partitionBy("event_type").orderBy(
+        F.desc("c"), F.asc("event_id")
+    )
+    ranked = (
+        events.select("event_type", "event_id", centi.alias("c"))
+        .where(F.col("c") > 0)
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= k + 1)
+    )
+    thresh = ranked.where(F.col("rn") == k + 1).select(
+        "event_type", F.col("c").alias("ck1")
+    )
+    terms = (
+        ranked.where(F.col("rn") <= k)
+        .join(thresh, "event_type")
+        .select(
+            "event_type",
+            "ck1",
+            F.floor(
+                F.log(
+                    F.col("c").cast("double") / F.col("ck1").cast("double")
+                )
+                * F.lit(1000.0)
+                + F.lit(0.5)
+            )
+            .cast("long")
+            .alias("t"),
+        )
+    )
+    agg = terms.groupBy("event_type", "ck1").agg(
+        F.count(F.lit(1)).alias("n_top"), F.sum("t").alias("s")
+    )
+    mean_ln = F.col("s").cast("double") / F.col("n_top").cast("double") / F.lit(
+        1000.0
+    )
+    return agg.select(
+        "event_type",
+        F.col("n_top").cast("long").alias("k"),
+        det_round(F.col("ck1").cast("double") / F.lit(100.0), 6).alias(
+            "threshold"
+        ),
+        det_round(F.lit(1.0) / mean_ln, 6).alias("alpha_hat"),
+    ).orderBy("event_type")

@@ -238,3 +238,26 @@ def test_voptimal_finds_planted_levels(spark, tmp_path):
         (b, 5 * (b - 1) + 1, 5 * b) for b in range(1, 7)
     ]
     assert all(r["bucket_sse"] == 0 and r["total_sse"] == 0 for r in rows)
+
+
+def test_hill_estimator_recovers_pareto_alpha(spark, tmp_path):
+    """Deterministic Pareto(alpha=2) sample via inverse-CDF on an
+    equally-spaced grid: the Hill estimator must land near 2."""
+    from stream_processing_system_spark.plans.analytics import (
+        events_hill_tail_index,
+    )
+
+    events = []
+    n = 400
+    for i in range(n):
+        u = (i + 0.5) / n
+        x = 1.0 / ((1.0 - u) ** 0.5)  # Pareto alpha=2 inverse CDF
+        events.append(
+            (i, datetime.datetime(2024, 1, 1, 0, 0, i % 60, i), 1, "x",
+             round(x, 2), "{}")
+        )
+    rows = events_hill_tail_index(spark, _sf(tmp_path, spark, events)).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r["k"] == 100
+    assert 1.6 < r["alpha_hat"] < 2.4
