@@ -2174,6 +2174,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_isotonic_hourly": analytics.events_isotonic_hourly,
         "events_voptimal_histogram": analytics.events_voptimal_histogram,
         "events_hill_tail_index": analytics.events_hill_tail_index,
+        "orders_littles_law": analytics.orders_littles_law,
     }
 
 
@@ -8843,6 +8844,56 @@ def oracle_sql() -> dict[str, str]:
         CROSS JOIN tot
         ORDER BY pkn DESC, g.w1 ASC, g.w2 ASC
         LIMIT 50
+    """
+    # Little's law: duration sum vs sweep-line integral, exact longs,
+    # ratio must be exactly 1 when conventions are consistent
+    _o["orders_littles_law"] = """
+        WITH closes AS (
+            SELECT l_orderkey,
+                   CAST(MAX(CAST(l_shipdate AS DATE)) AS DATE)
+                       + INTERVAL 1 DAY AS close
+            FROM lineitem GROUP BY 1
+        ), spans AS (
+            SELECT CAST(o.o_orderdate AS DATE) AS open,
+                   CAST(c.close AS DATE) AS close
+            FROM orders o JOIN closes c ON o.o_orderkey = c.l_orderkey
+        ), dur AS (
+            SELECT count(*) AS n_orders,
+                   CAST(SUM(close - open) AS BIGINT) AS sum_order_days,
+                   MIN(open) AS h0, MAX(close) AS h1
+            FROM spans
+        ), deltas AS (
+            SELECT day, CAST(SUM(d) AS BIGINT) AS delta FROM (
+                SELECT open AS day, count(*) AS d FROM spans GROUP BY 1
+                UNION ALL
+                SELECT close AS day, -count(*) AS d FROM spans GROUP BY 1
+            ) GROUP BY 1
+        ), timeline AS (
+            SELECT day,
+                   SUM(delta) OVER (ORDER BY day
+                                    ROWS UNBOUNDED PRECEDING)
+                       AS open_orders,
+                   lead(day) OVER (ORDER BY day) AS nxt
+            FROM deltas
+        ), integral AS (
+            SELECT CAST(SUM(open_orders * (nxt - day)) AS BIGINT)
+                       AS sum_backlog_days
+            FROM timeline WHERE nxt IS NOT NULL
+        )
+        SELECT CAST(n_orders AS BIGINT) AS n_orders,
+               CAST(h1 - h0 AS BIGINT) AS horizon_days,
+               sum_order_days, sum_backlog_days,
+               floor(CAST(sum_backlog_days AS DOUBLE)
+                     / CAST(h1 - h0 AS DOUBLE) * 1e6 + 0.5) / 1e6 AS l_avg,
+               floor(CAST(n_orders AS DOUBLE)
+                     / CAST(h1 - h0 AS DOUBLE) * 1e6 + 0.5) / 1e6
+                   AS lambda_per_day,
+               floor(CAST(sum_order_days AS DOUBLE)
+                     / CAST(n_orders AS DOUBLE) * 1e6 + 0.5) / 1e6 AS w_days,
+               floor(CAST(sum_backlog_days AS DOUBLE)
+                     / CAST(sum_order_days AS DOUBLE) * 1e6 + 0.5) / 1e6
+                   AS littles_ratio
+        FROM dur, integral
     """
     # Hill tail index: exact centi-grid order stats, milli-floored
     # ln ratios, one mirrored division

@@ -9727,3 +9727,78 @@ def events_hill_tail_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         det_round(F.lit(1.0) / mean_ln, 6).alias("alpha_hat"),
     ).orderBy("event_type")
+
+
+def orders_littles_law(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Little's law audit: L = lambda * W computed two INDEPENDENT
+    ways - W and lambda from per-order durations (close = day after
+    the last lineitem ships, the backlog-timeline convention), L from
+    the time-weighted sweep-line backlog integral - and the exact
+    integer identity sum(backlog * day-gaps) == sum(order durations)
+    checked in the result itself (littles_ratio = 1.0 when the two
+    pipelines are consistent; dashboard L != lambda*W mismatches come
+    from inconsistent windows/conventions, which this query would
+    surface as ratio != 1). All date arithmetic and both integrals
+    are exact longs; the three operational quantities are one
+    mirrored division each.
+    Scale: the duration aggregate is map-side combinable; the sweep
+    line is the ~2500-row calendar frame."""
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    closes = li.groupBy("l_orderkey").agg(
+        F.date_add(F.max(F.col("l_shipdate").cast("date")), 1).alias("close")
+    )
+    spans = orders.join(
+        closes, orders.o_orderkey == closes.l_orderkey
+    ).select(
+        F.col("o_orderdate").cast("date").alias("open"), "close"
+    )
+    dur = spans.agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(F.datediff("close", "open")).alias("sum_order_days"),
+        F.min("open").alias("h0"),
+        F.max("close").alias("h1"),
+    )
+    opens = spans.groupBy(F.col("open").alias("day")).agg(
+        F.count(F.lit(1)).alias("d")
+    )
+    closed = spans.groupBy(F.col("close").alias("day")).agg(
+        (-F.count(F.lit(1))).alias("d")
+    )
+    deltas = opens.unionAll(closed).groupBy("day").agg(
+        F.sum("d").alias("delta")
+    )
+    w = Window.orderBy("day")
+    timeline = deltas.select(
+        "day",
+        F.sum("delta")
+        .over(w.rowsBetween(Window.unboundedPreceding, 0))
+        .alias("open_orders"),
+        F.lead("day").over(w).alias("nxt"),
+    )
+    integral = timeline.where(F.col("nxt").isNotNull()).agg(
+        F.sum(F.col("open_orders") * F.datediff("nxt", "day")).alias(
+            "sum_backlog_days"
+        )
+    )
+    j = dur.crossJoin(integral)
+    t = F.datediff("h1", "h0").cast("double")
+    nd = F.col("n_orders").cast("double")
+    return j.select(
+        "n_orders",
+        F.datediff("h1", "h0").cast("long").alias("horizon_days"),
+        F.col("sum_order_days").cast("long").alias("sum_order_days"),
+        F.col("sum_backlog_days").cast("long").alias("sum_backlog_days"),
+        det_round(F.col("sum_backlog_days").cast("double") / t, 6).alias(
+            "l_avg"
+        ),
+        det_round(nd / t, 6).alias("lambda_per_day"),
+        det_round(F.col("sum_order_days").cast("double") / nd, 6).alias(
+            "w_days"
+        ),
+        det_round(
+            F.col("sum_backlog_days").cast("double")
+            / F.col("sum_order_days").cast("double"),
+            6,
+        ).alias("littles_ratio"),
+    )

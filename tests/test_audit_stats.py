@@ -306,3 +306,46 @@ def test_isotonic_minimax_equals_pav(spark, tmp_path):
     # monotone by construction
     fits = [got[h]["isotonic_fit"] for h in sorted(got)]
     assert fits == sorted(fits)
+
+
+def test_littles_law_identity_exact(spark, tmp_path):
+    """Two orders (durations 2 and 3 days): the sweep-line integral
+    equals the duration sum exactly (5), L = lambda*W holds, ratio=1."""
+    from stream_processing_system_spark.plans.analytics import orders_littles_law
+    import os as _os
+
+    def d(day):
+        return datetime.datetime(2024, 1, day)
+
+    orders = [
+        (1, 1, "O", 1.0, d(1), "1-URGENT"),
+        (2, 1, "O", 1.0, d(2), "1-URGENT"),
+    ]
+    li = [
+        # order 1 last ship Jan 2 -> closes Jan 3 (duration 2)
+        (1, 1, 1, 1, 1.0, 1.0, 0.0, 0.0, "N", "O", d(2)),
+        # order 2 last ship Jan 4 -> closes Jan 5 (duration 3)
+        (2, 1, 1, 1, 1.0, 1.0, 0.0, 0.0, "N", "O", d(4)),
+    ]
+    sf = str(tmp_path / "sf")
+    _os.makedirs(sf, exist_ok=True)
+    spark.createDataFrame(
+        orders,
+        "o_orderkey long, o_custkey long, o_orderstatus string, "
+        "o_totalprice double, o_orderdate timestamp, o_orderpriority string",
+    ).write.mode("overwrite").parquet(_os.path.join(sf, "orders.parquet"))
+    spark.createDataFrame(
+        li,
+        "l_orderkey long, l_partkey long, l_suppkey long, l_linenumber int, "
+        "l_quantity double, l_extendedprice double, l_discount double, "
+        "l_tax double, l_returnflag string, l_linestatus string, "
+        "l_shipdate timestamp",
+    ).write.mode("overwrite").parquet(_os.path.join(sf, "lineitem.parquet"))
+    rows = orders_littles_law(spark, sf).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r["n_orders"] == 2
+    assert r["sum_order_days"] == 5 and r["sum_backlog_days"] == 5
+    assert r["littles_ratio"] == 1.0
+    assert abs(r["l_avg"] - 5.0 / 4.0) < 1e-6  # horizon Jan1..Jan5 = 4 days
+    assert abs(r["lambda_per_day"] * r["w_days"] - r["l_avg"]) < 1e-5
