@@ -413,8 +413,10 @@ def connected_component_labels(
     label-graph connectivity, so the single surviving label IS the
     min.
 
-    Driver involvement per round is ONE 0/1-row convergence probe —
-    no per-row collection; lineage is cut with localCheckpoint so
+    Driver involvement per round is one scalar (the edge count,
+    returned by the same action that materializes the round's lazy
+    checkpoint — no separate emptiness probe job); no per-row
+    collection; lineage is cut with localCheckpoint so
     the plan doesn't grow across iterations. Only nodes that appear
     in an edge are iterated: an isolated node (no near-dup pair —
     the overwhelming majority of a deduped corpus) is its own
@@ -428,8 +430,13 @@ def connected_component_labels(
         .union(pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
         .where(F.col("src") != F.col("dst"))
         .dropDuplicates()
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
+    # The count() both materializes the lazy checkpoint and yields the
+    # convergence scalar — one action, no separate emptiness probe
+    # (the old per-round `limit(1).count()` was a second job per
+    # round for information the materializing action already has).
+    n_edges = edges.count()
     labels = (
         edges.select(F.col("src").alias("node"))
         .dropDuplicates()
@@ -439,7 +446,7 @@ def connected_component_labels(
 
     converged = False
     for _ in range(max_iters):
-        if edges.limit(1).count() == 0:
+        if n_edges == 0:
             converged = True
             break
         # (1) HashMin hop on the contracted label graph + one jump
@@ -505,8 +512,9 @@ def connected_component_labels(
             )
             .where(F.col("src") != F.col("dst"))
             .dropDuplicates()
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
+        n_edges = edges.count()
     # Final pointer compression: an edge (L1, L2) is dropped as soon
     # as the LABEL TABLE knows comp(L1) == comp(L2), which can leave
     # plain nodes still pointing at intermediate labels (a pointer
@@ -536,9 +544,8 @@ def connected_component_labels(
             break
     # A graph that contracts to empty exactly on round max_iters
     # exits the loop without re-visiting the top-of-loop emptiness
-    # probe — re-check once here so that case isn't reported as a
-    # spurious non-convergence.
-    if not converged and edges.limit(1).count() == 0:
+    # check — the tracked edge count covers that case for free.
+    if not converged and n_edges == 0:
         converged = True
     if not (converged and compressed):
         import warnings

@@ -272,3 +272,17 @@ def test_substring_dedup_spans_reference(spark):
     assert got == expect
     assert any(d == 1 for d, *_ in got) and any(d == 2 for d, *_ in got)
     assert all(d != 3 and d != 4 for d, *_ in got)
+
+
+def test_banding_recall_is_sweep_at_one_point(spark):
+    """ADVICE r3: banding_recall_report must be exactly
+    banding_sweep_report evaluated at a single bands value (the two
+    used to be ~40 duplicated lines that could drift)."""
+    df = _docs_with_neardups(spark)
+    single = dedup.banding_recall_report(df, bands=4).collect()
+    sweep = (
+        dedup.banding_sweep_report(df, bands_list=(4,))
+        .select("n_true", "n_candidates", "n_hits", "recall", "precision")
+        .collect()
+    )
+    assert single == sweep

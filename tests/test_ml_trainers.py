@@ -110,3 +110,15 @@ def test_als_beats_constant_baseline(spark, sf_dir):
     n, sr, srr = float(s["n"]), float(s["sr"]), float(s["srr"])
     std = math.sqrt(srr / n - (sr / n) ** 2)
     assert got["train_rmse"] < std
+
+
+def test_als_rejects_zero_rounds(spark):
+    """ADVICE r3: rounds=0 used to crash with AttributeError (u is
+    None until the first alternation) — must be a clear ValueError."""
+    import pytest
+
+    from stream_processing_system_spark.operators.linalg import als_factorize
+
+    df = spark.createDataFrame([(1, 1, 5.0)], "user long, item long, r double")
+    with pytest.raises(ValueError, match="rounds"):
+        als_factorize(df, rounds=0)
