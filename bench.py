@@ -11,9 +11,11 @@ The SUMMARY is the LAST line and stays small on purpose: round 2's
 single 179-query JSON line overflowed the driver's tail buffer
 (BENCH_r02.json `parsed: null`), losing the machine-readable record.
 Driver tails keep the end, so the parseable line goes last and the
-big map goes on its own earlier line. `headline_sec` keeps the
-round-over-round comparable subtotal (HEADLINE below = the 179
-queries benched in round 2).
+big map goes on its own earlier line; a FULL per-query record is
+also written to BENCH_DETAIL_r{N}.json at the repo root (committed,
+so per-query regression diffing never depends on the truncated
+tail). `headline_sec` keeps the round-over-round comparable subtotal
+(HEADLINE below = the 179 queries benched in round 2).
 
 Execution is forced with a noop-format write (full pipeline runs,
 nothing materializes driver-side), after a warm-up query that absorbs
@@ -225,6 +227,35 @@ def force(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
 
+def _round_number(repo_root: str) -> int:
+    """Current build round = 1 + the highest BENCH_r{N}.json the
+    driver has recorded so far (bench runs before the driver writes
+    this round's file)."""
+    import re
+
+    ns = [
+        int(m.group(1))
+        for f in os.listdir(repo_root)
+        if (m := re.match(r"BENCH_r(\d+)\.json$", f))
+    ]
+    return (max(ns) + 1) if ns else 1
+
+
+def _write_detail(repo_root: str, payload: dict) -> str:
+    """Commit-able full per-query record (BENCH_DETAIL_r{N}.json, one
+    timing per line): the driver's tail buffer holds only ~2000
+    chars, which truncates the 300+-entry per-query stdout line
+    (BENCH_r02.json `parsed: null`), so round-over-round per-query
+    regression diffing reads this file instead of the tail."""
+    path = os.path.join(
+        repo_root, f"BENCH_DETAIL_r{_round_number(repo_root):02d}.json"
+    )
+    with open(path, "w") as fh:
+        json.dump(payload, fh, indent=1)
+        fh.write("\n")
+    return path
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "0")) or (os.cpu_count() or 4)
@@ -275,6 +306,17 @@ def main() -> None:
         "knn_join_lsh", "doc_stats", "simhash", "dedup_transitive",
     ]
     print(json.dumps({"queries": timings, "sf": sf_val}), flush=True)
+    if not sys.argv[1:]:  # full run: persist the per-query record
+        _write_detail(
+            os.path.dirname(os.path.abspath(__file__)),
+            {
+                "sf": sf_val,
+                "n_queries": len(timings),
+                "ivf_index_build_sec": ivf_build,
+                "pq_codebook_build_sec": pq_build,
+                "queries": timings,
+            },
+        )
     print(
         json.dumps(
             {

@@ -118,3 +118,51 @@ def q3_host_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     kept = events.where(F.col("event_type") == "click")
     route = F.concat(F.col("user_id").cast("string"), F.lit(":"), F.col("props"))
     return host_report(kept.withColumn("route", route), "user_id", F.col("route"))
+
+
+# --------------------------------------------------------------------------
+# K1/K2 sink fidelity — the reference's `key:count` file format
+# written through the custom `crane_sink` DataSource and parsed back.
+# --------------------------------------------------------------------------
+
+def crane_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sink-tier round-trip as a driver-checked query: Q2's top-50
+    (the reference writes it as `user:count` lines,
+    `bolt/bolt.go:398-419`) goes out through the `crane_sink` custom
+    DataSource writer (sources/spout_source.py) to a scratch
+    directory, is read back as raw text, and parsed back into
+    (user_id, posts) by splitting on the LAST colon (the count is
+    the trailing digit run, so keys containing ':' round-trip too).
+    Hash-matching q2's oracle proves the sink's byte format is
+    lossless — the driver-row upgrade of tests/test_sinks.py. The
+    parsed frame is eagerly localCheckpoint'ed so the scratch files
+    can be removed before the driver collects."""
+    import shutil
+    import tempfile
+
+    from stream_processing_system_spark.sources import spout_source
+
+    spout_source.register(spark)
+    out_dir = tempfile.mkdtemp(prefix="spark_graft_crane_sink_")
+    try:
+        (
+            q2_top_users(spark, sf_dir)
+            .write.format("crane_sink")
+            .option("path", out_dir)
+            .mode("append")
+            .save()
+        )
+        return (
+            spark.read.text(out_dir)
+            .select(
+                F.regexp_extract("value", r"^(.*):([0-9]+)$", 1)
+                .cast("long")
+                .alias("user_id"),
+                F.regexp_extract("value", r"^(.*):([0-9]+)$", 2)
+                .cast("long")
+                .alias("posts"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(out_dir, ignore_errors=True)

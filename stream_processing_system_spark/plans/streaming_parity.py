@@ -968,3 +968,37 @@ def stream_holt_winters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint(eager=True)
     )
     return holt_winters_from_daily(daily)
+
+
+def stream_spout_wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q1_wordcount executed through the `crane_spout` custom
+    STREAMING DataSource (S7, `Apps/WordCountSpout.go:18-44`):
+    documents.text is re-laid as a text drop directory, the spout's
+    offset-tracked SimpleDataSourceStreamReader tails it (offset =
+    files consumed, replay-safe), and the drained availableNow run
+    feeds the same wordcount plan. (Spark's Python microbatch stream
+    wrapper downgrades availableNow to single-batch execution — all
+    input is present before start, so the drain is still complete;
+    incremental multi-batch tailing is exercised by
+    tests/test_store_skew_spout.py.) Sharing q1's DuckDB oracle turns
+    the pluggable-source contract — schema, per-file NextTuple loop,
+    offset bookkeeping — into a driver-checked differential test
+    instead of a pytest-only one."""
+    from stream_processing_system_spark.plans.reference import wordcount
+    from stream_processing_system_spark.sources import spout_source
+    from stream_processing_system_spark.streaming.jobs import _drain_to_table
+
+    spout_source.register(spark)
+    input_dir, ckpt, run = _scratch("spoutwc")
+    docs = load_table(spark, sf_dir, "documents").select(F.col("text"))
+    docs.write.mode("overwrite").text(input_dir)
+    lines = (
+        spark.readStream.format("crane_spout")
+        .option("path", input_dir)
+        .load()
+        .select(F.col("line"))
+    )
+    with _state_partitions(spark):
+        result = _drain_to_table(wordcount(lines), f"spoutwc_{run}", ckpt)
+    _cleanup(input_dir)
+    return result.select("word", "cnt")

@@ -110,3 +110,30 @@ def submit(spark: SparkSession, app: str, input_path: str) -> DataFrame:
     if app not in REGISTRY:
         raise KeyError(f"unknown app {app!r}; known: {sorted(REGISTRY)}")
     return REGISTRY[app]().submit(spark, input_path)
+
+
+def topology_submit_wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§3.1 front door as a driver-checked query: documents.text is
+    re-laid as a text drop directory (the reference app's input
+    shape — one line per row, verified newline-free by the driver
+    fixtures), then `submit(spark, "wordcount", dir)` exercises the
+    full name-based submission path (REPL `wordcount <n>`,
+    `client.go:72-80` → `Nimbus.go:628-648`). The submitted topology
+    produces the same (word, cnt) frame as q1_wordcount, so it shares
+    q1's DuckDB oracle — a hash-match proves the registry lookup,
+    source construction, and bolt chain end-to-end, not just the
+    plan functions q1 calls directly. The result is eagerly
+    localCheckpoint'ed so the scratch input can be removed before
+    the driver collects."""
+    import shutil
+    import tempfile
+
+    from stream_processing_system_spark.sources.tables import load_table
+
+    in_dir = tempfile.mkdtemp(prefix="spark_graft_topo_wc_")
+    try:
+        docs = load_table(spark, sf_dir, "documents").select(F.col("text"))
+        docs.write.mode("overwrite").text(in_dir)
+        return submit(spark, "wordcount", in_dir).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(in_dir, ignore_errors=True)

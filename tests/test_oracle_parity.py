@@ -42,3 +42,23 @@ def test_driver_window_is_fully_oracle_checked():
     head = list(QUERIES)[:50]
     missing = [n for n in head if n not in ORACLES]
     assert not missing, missing
+
+
+def test_r4_rotation_invariants():
+    """Round-4 rotation bookkeeping: the first 50 registered queries
+    are exactly _R4_DRIVER_WINDOW (50 unique names, none with a green
+    driver row in rounds 1-3 except the ever-red
+    approx_distinct_users), and _ROTATION_BACKLOG partitions the
+    rest: window + backlog + driver-checked == every registered
+    query, with no overlap between window and backlog."""
+    window = contract._R4_DRIVER_WINDOW
+    backlog = contract._ROTATION_BACKLOG
+    names = list(QUERIES)
+    assert names[:50] == window
+    assert len(set(window)) == 50
+    assert not set(window) & set(backlog)
+    assert set(backlog) <= set(names)
+    # rounds 1-3 drove 149 distinct names; everything registered is
+    # either already checked, in this window, or scheduled in the
+    # backlog (no query can end round 7 unchecked)
+    assert len(names) == len(set(window) | set(backlog)) + 149 - 1  # approx_distinct_users re-runs
