@@ -1900,6 +1900,10 @@ _R4_DRIVER_WINDOW = [
 #: takes [:50], round 6 [50:100], round 7 the final [100:]. Any query
 #: added in a later round goes to the FRONT of its round's window.
 _ROTATION_BACKLOG = [
+    # round-4 additions first: newest code carries the most risk
+    "lineitem_shipmode_priority",
+    "orders_business_day_latency",
+    "target_encoding_kfold",
     "media_frame_samples",
     "stream_heavy_hitters",
     "doc_containment_pairs",
@@ -2382,6 +2386,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crane_sink_roundtrip": reference.crane_sink_roundtrip,
         "topology_submit_wordcount": topology.topology_submit_wordcount,
         "stream_spout_wordcount": streaming_parity.stream_spout_wordcount,
+        # --- round-4 capability wave (scheduled at the FRONT of the
+        #     round-5 driver window via _ROTATION_BACKLOG) ---
+        "lineitem_shipmode_priority": analytics.lineitem_shipmode_priority,
+        "orders_business_day_latency": analytics.orders_business_day_latency,
+        "target_encoding_kfold": analytics.target_encoding_kfold,
     }
     head = {n: q[n] for n in _R4_DRIVER_WINDOW}
     assert len(head) == 50, f"driver window must be 50, got {len(head)}"
@@ -9910,4 +9919,76 @@ def oracle_sql() -> dict[str, str]:
     _o["topology_submit_wordcount"] = _o["q1_wordcount"]
     _o["stream_spout_wordcount"] = _o["q1_wordcount"]
     _o["crane_sink_roundtrip"] = _o["q2_top_users"]
+    # TPC-H Q12 (derived shipmode: byte-identical md5 pick, same
+    # device as the geospatial derive_points oracle)
+    _o["lineitem_shipmode_priority"] = """
+        WITH m AS (
+            SELECT l_orderkey, l_shipdate,
+                   (['MAIL','SHIP','AIR','TRUCK','RAIL','FOB','REG AIR'])[
+                       CAST(('0x' || substr(md5('mode|'
+                           || CAST(l_orderkey AS VARCHAR) || '-'
+                           || CAST(l_linenumber AS VARCHAR)), 1, 8))::BIGINT
+                           % 7 AS INT) + 1
+                   ] AS l_shipmode
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+              AND l_shipdate < TIMESTAMP '1997-01-01'
+        )
+        SELECT l_shipmode,
+               CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+                             THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+               CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+                             THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+        FROM m JOIN orders ON l_orderkey = o_orderkey
+        WHERE l_shipdate > o_orderdate + INTERVAL 60 DAY
+        GROUP BY l_shipmode ORDER BY l_shipmode
+    """
+    # weekday count in (d0, d1]: same closed form as the Spark
+    # expression — full weeks * 5 + unrolled 6-term partial week
+    # (DuckDB dayofweek() is already 0=Sunday..6=Saturday; Spark's
+    # is 1-based, shifted by -1 in _business_days)
+    _o["orders_business_day_latency"] = """
+        WITH j AS (
+            SELECT o_orderpriority,
+                   date_diff('day', o_orderdate, l_shipdate) AS n,
+                   dayofweek(o_orderdate) AS u
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            WHERE l_shipdate >= o_orderdate
+        ), bd AS (
+            SELECT o_orderpriority,
+                   (n // 7) * 5
+                   + (CASE WHEN 1 <= (n % 7) AND (u + 1) % 7 BETWEEN 1 AND 5 THEN 1 ELSE 0 END)
+                   + (CASE WHEN 2 <= (n % 7) AND (u + 2) % 7 BETWEEN 1 AND 5 THEN 1 ELSE 0 END)
+                   + (CASE WHEN 3 <= (n % 7) AND (u + 3) % 7 BETWEEN 1 AND 5 THEN 1 ELSE 0 END)
+                   + (CASE WHEN 4 <= (n % 7) AND (u + 4) % 7 BETWEEN 1 AND 5 THEN 1 ELSE 0 END)
+                   + (CASE WHEN 5 <= (n % 7) AND (u + 5) % 7 BETWEEN 1 AND 5 THEN 1 ELSE 0 END)
+                   + (CASE WHEN 6 <= (n % 7) AND (u + 6) % 7 BETWEEN 1 AND 5 THEN 1 ELSE 0 END)
+                   AS bdays
+            FROM j
+        )
+        SELECT o_orderpriority,
+               CAST(count(*) AS BIGINT) AS n_lines,
+               CAST(SUM(bdays) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avg_bdays,
+               CAST(MAX(bdays) AS BIGINT) AS max_bdays
+        FROM bd GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """
+    # out-of-fold encoding: exact integer window sums, one division
+    _o["target_encoding_kfold"] = """
+        WITH cells AS (
+            SELECT p_brand, CAST(l_orderkey % 5 AS BIGINT) AS fold,
+                   CAST(count(*) AS BIGINT) AS n_rows,
+                   CAST(SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_pos
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            GROUP BY 1, 2
+        )
+        SELECT p_brand, fold, n_rows, n_pos,
+               CASE WHEN SUM(n_rows) OVER (PARTITION BY p_brand) - n_rows > 0
+                    THEN CAST(SUM(n_pos) OVER (PARTITION BY p_brand) - n_pos
+                              AS DOUBLE)
+                         / CAST(SUM(n_rows) OVER (PARTITION BY p_brand) - n_rows
+                                AS DOUBLE)
+               END AS encoding
+        FROM cells ORDER BY p_brand, fold
+    """
     return _o

@@ -9802,3 +9802,142 @@ def orders_littles_law(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("littles_ratio"),
     )
+
+
+# --------------------------------------------------------------------------
+# Round-4 additions: TPC-H Q12 completion + calendar arithmetic +
+# leakage-free categorical encoding.
+# --------------------------------------------------------------------------
+
+#: TPC-H Q12's shipmode domain; the synthetic lineitem has no
+#: l_shipmode column, so it is derived deterministically (md5 pick
+#: per line, mirrored byte-identically in the DuckDB oracle — the
+#: same device as operators/geospatial.derive_points).
+SHIPMODES = ["MAIL", "SHIP", "AIR", "TRUCK", "RAIL", "FOB", "REG AIR"]
+
+
+def lineitem_shipmode_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 (shipping modes and order priority) — the last of
+    the 22 TPC-H shapes: among 1996-shipped lineitems that were LATE
+    (shipped >60 days after the order date, the same lateness proxy
+    as Q4/order_priority_counts), count critical-priority
+    (1-URGENT/2-HIGH) vs other orders per ship mode. One
+    partial+final hash aggregate after an equi-join whose date
+    filters all push into the parquet scan; the derived-shipmode
+    expression is codegen'd, adds no shuffle."""
+    from stream_processing_system_spark.functions.scalar import md5_prefix_long
+
+    li = load_table(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1996-01-01"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01"))
+    )
+    orders = load_table(spark, sf_dir, "orders")
+    key = F.concat(
+        F.col("l_orderkey").cast("string"),
+        F.lit("-"),
+        F.col("l_linenumber").cast("string"),
+    )
+    idx = (md5_prefix_long(key, salt="mode|") % F.lit(7)).cast("int")
+    modes = F.array(*[F.lit(m) for m in SHIPMODES])
+    j = (
+        li.withColumn("l_shipmode", F.element_at(modes, idx + F.lit(1)))
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .where(F.col("l_shipdate") > F.date_add(F.col("o_orderdate"), 60))
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        j.groupBy("l_shipmode")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).cast("long").alias("high_line_count"),
+            F.sum(F.when(high, 0).otherwise(1)).cast("long").alias("low_line_count"),
+        )
+        .orderBy("l_shipmode")
+    )
+
+
+def _business_days(d0, d1):
+    """Weekday count in (d0, d1]: closed-form calendar arithmetic —
+    full weeks contribute 5, the partial week is an unrolled 6-term
+    guard sum over day-of-week offsets (identical integer expression
+    tree in the SQL oracle; no UDF, no per-day explode). `u` is
+    0=Sunday..6=Saturday (Spark dayofweek() is 1-based from Sunday;
+    DuckDB dayofweek() is 0-based from Sunday — constant shift)."""
+    n = F.datediff(d1, d0)
+    f = F.floor(n / F.lit(7)).cast("long")
+    r = (n % F.lit(7)).cast("long")
+    u = (F.dayofweek(d0) - F.lit(1)).cast("long")
+    extra = F.lit(0).cast("long")
+    for k in range(1, 7):
+        wk = (u + F.lit(k)) % F.lit(7)
+        extra = extra + F.when(
+            (F.lit(k) <= r) & (wk >= F.lit(1)) & (wk <= F.lit(5)), 1
+        ).otherwise(0)
+    return f * F.lit(5) + extra
+
+
+def orders_business_day_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-to-ship latency in BUSINESS days (Mon-Fri) per order
+    priority — the calendar-arithmetic operator every ops dashboard
+    needs and naive datediff gets wrong. The weekday count is a
+    closed-form expression (no calendar explode: a per-day unnest
+    would be a 60x row multiplier at 100 TB), so the whole query is
+    one scan-side projection + one aggregate. avg is a single
+    division of exact integer sums — IEEE-identical cross-engine."""
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    j = li.join(orders, F.col("l_orderkey") == F.col("o_orderkey")).where(
+        F.col("l_shipdate") >= F.col("o_orderdate")
+    )
+    bd = _business_days(F.col("o_orderdate"), F.col("l_shipdate"))
+    return (
+        j.select("o_orderpriority", bd.alias("_bd"))
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            (
+                F.sum("_bd").cast("double") / F.count(F.lit(1)).cast("double")
+            ).alias("avg_bdays"),
+            F.max("_bd").cast("long").alias("max_bdays"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+def target_encoding_kfold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-free K-fold mean-target encoding of p_brand against
+    the return target (l_returnflag = 'R'): each fold's encoding is
+    the return rate computed over the OTHER four folds —
+    (total_pos − fold_pos) / (total_n − fold_n) from one grouped
+    aggregate plus a brand-partitioned window sum, so the encoder is
+    two narrow shuffles over (brand, fold) cells regardless of fact
+    size (25 brands × 5 folds = 125 cells at any scale). The
+    held-out arithmetic is exact integer sums with ONE final
+    division — hash-identical cross-engine, and the pattern (encode
+    on out-of-fold statistics only) is the standard guard against
+    target leakage in feature pipelines."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    j = li.join(part, F.col("l_partkey") == F.col("p_partkey"))
+    cells = j.groupBy(
+        "p_brand", (F.col("l_orderkey") % F.lit(5)).cast("long").alias("fold")
+    ).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.when(F.col("l_returnflag") == "R", 1).otherwise(0))
+        .cast("long")
+        .alias("n_pos"),
+    )
+    w = Window.partitionBy("p_brand")
+    tot_n = F.sum("n_rows").over(w)
+    tot_pos = F.sum("n_pos").over(w)
+    denom = tot_n - F.col("n_rows")
+    enc = F.when(
+        denom > 0,
+        (tot_pos - F.col("n_pos")).cast("double") / denom.cast("double"),
+    )
+    return cells.select(
+        "p_brand",
+        "fold",
+        "n_rows",
+        "n_pos",
+        enc.alias("encoding"),
+    ).orderBy("p_brand", "fold")

@@ -236,3 +236,34 @@ def test_scd2_join_picks_the_valid_version(spark):
         (1, "2021-01-01", "v2"),
         (1, "2021-12-31", "v2"),
     ]
+
+
+def test_business_days_closed_form_matches_naive_loop(spark):
+    """The closed-form weekday count must equal the brute-force
+    per-day loop for every (start weekday, span) combination."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from stream_processing_system_spark.plans.analytics import _business_days
+
+    base = dt.date(2024, 1, 1)  # a Monday
+    rows = [
+        (base + dt.timedelta(days=s), base + dt.timedelta(days=s + n))
+        for s in range(7)
+        for n in range(0, 30)
+    ]
+    df = spark.createDataFrame(rows, "d0 date, d1 date")
+    got = {
+        (r["d0"], r["d1"]): r["bd"]
+        for r in df.select(
+            "d0", "d1", _business_days(F.col("d0"), F.col("d1")).alias("bd")
+        ).collect()
+    }
+    for d0, d1 in rows:
+        expect = sum(
+            1
+            for i in range(1, (d1 - d0).days + 1)
+            if (d0 + dt.timedelta(days=i)).weekday() < 5
+        )
+        assert got[(d0, d1)] == expect, (d0, d1)
