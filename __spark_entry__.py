@@ -1904,6 +1904,8 @@ _ROTATION_BACKLOG = [
     "lineitem_shipmode_priority",
     "orders_business_day_latency",
     "target_encoding_kfold",
+    "woe_iv_binning",
+    "user_geohash_rollup",
     "media_frame_samples",
     "stream_heavy_hitters",
     "doc_containment_pairs",
@@ -2391,6 +2393,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lineitem_shipmode_priority": analytics.lineitem_shipmode_priority,
         "orders_business_day_latency": analytics.orders_business_day_latency,
         "target_encoding_kfold": analytics.target_encoding_kfold,
+        "woe_iv_binning": analytics.woe_iv_binning,
+        "user_geohash_rollup": analytics.user_geohash_rollup,
     }
     head = {n: q[n] for n in _R4_DRIVER_WINDOW}
     assert len(head) == 50, f"driver window must be 50, got {len(head)}"
@@ -9971,6 +9975,78 @@ def oracle_sql() -> dict[str, str]:
                CAST(SUM(bdays) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avg_bdays,
                CAST(MAX(bdays) AS BIGINT) AS max_bdays
         FROM bd GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """
+    # WOE/IV scorecard: shares are single divisions of exact ints;
+    # ln is micro-gridded per bucket BEFORE the IV sum (zipf device)
+    _o["woe_iv_binning"] = """
+        WITH cells AS (
+            SELECT CAST(floor((l_quantity - 1.0) / 5.0) AS BIGINT) AS bucket,
+                   CAST(SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_bad,
+                   CAST(SUM(CASE WHEN l_returnflag = 'R' THEN 0 ELSE 1 END)
+                        AS BIGINT) AS n_good
+            FROM lineitem
+            GROUP BY 1
+            HAVING SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) > 0
+               AND SUM(CASE WHEN l_returnflag = 'R' THEN 0 ELSE 1 END) > 0
+        ), shared AS (
+            SELECT bucket, n_bad, n_good,
+                   CAST(n_bad AS DOUBLE) / CAST(SUM(n_bad) OVER () AS DOUBLE) AS _bs,
+                   CAST(n_good AS DOUBLE) / CAST(SUM(n_good) OVER () AS DOUBLE) AS _gs,
+                   CAST(floor(ln((CAST(n_bad AS DOUBLE) / CAST(SUM(n_bad) OVER () AS DOUBLE))
+                                 / (CAST(n_good AS DOUBLE) / CAST(SUM(n_good) OVER () AS DOUBLE)))
+                              * 1e9 + 0.5) AS BIGINT) AS _wq
+            FROM cells
+        ), scored AS (
+            SELECT bucket, n_bad, n_good, _wq,
+                   CAST(floor((_bs - _gs) * (CAST(_wq AS DOUBLE) / 1e9)
+                              * 1e9 + 0.5) AS BIGINT) AS _tq
+            FROM shared
+        )
+        SELECT bucket, n_bad, n_good,
+               CAST(_wq AS DOUBLE) / 1e9 AS woe,
+               CAST(SUM(_tq) OVER () AS DOUBLE) / 1e9 AS iv_total
+        FROM scored ORDER BY bucket
+    """
+    # precision-2 geohash: MSB-first 5+5 bit interleave as pure
+    # integer arithmetic, same md5-derived lat/lon as the other
+    # geospatial oracles
+    _o["user_geohash_rollup"] = """
+        WITH pu AS (
+            SELECT user_id, CAST(count(*) AS BIGINT) AS n_events
+            FROM events GROUP BY user_id
+        ), pts AS (
+            SELECT user_id, n_events,
+                   CAST(('0x' || substr(md5('lat|' || CAST(user_id AS VARCHAR)), 1, 8))::BIGINT
+                        % 1800000 AS DOUBLE) / 10000.0 - 90.0 AS lat,
+                   CAST(('0x' || substr(md5('lon|' || CAST(user_id AS VARCHAR)), 1, 8))::BIGINT
+                        % 3600000 AS DOUBLE) / 10000.0 - 180.0 AS lon
+            FROM pu
+        ), ints AS (
+            SELECT user_id, n_events,
+                   CAST(floor((lon + 180.0) / 360.0 * 32.0) AS BIGINT) AS lon_int,
+                   CAST(floor((lat + 90.0) / 180.0 * 32.0) AS BIGINT) AS lat_int
+            FROM pts
+        ), gh AS (
+            SELECT user_id, n_events,
+                   ((lon_int >> 4) & 1) * 512 + ((lat_int >> 4) & 1) * 256
+                 + ((lon_int >> 3) & 1) * 128 + ((lat_int >> 3) & 1) * 64
+                 + ((lon_int >> 2) & 1) * 32  + ((lat_int >> 2) & 1) * 16
+                 + ((lon_int >> 1) & 1) * 8   + ((lat_int >> 1) & 1) * 4
+                 + ((lon_int >> 0) & 1) * 2   + ((lat_int >> 0) & 1) * 1
+                   AS combined
+            FROM ints
+        )
+        SELECT substr('0123456789bcdefghjkmnpqrstuvwxyz',
+                      CAST((combined >> 5) & 31 AS INT) + 1, 1)
+            || substr('0123456789bcdefghjkmnpqrstuvwxyz',
+                      CAST(combined & 31 AS INT) + 1, 1) AS geohash2,
+               CAST(count(*) AS BIGINT) AS n_users,
+               CAST(SUM(n_events) AS BIGINT) AS n_events
+        FROM gh
+        GROUP BY 1
+        ORDER BY n_users DESC, geohash2 ASC
+        LIMIT 50
     """
     # out-of-fold encoding: exact integer window sums, one division
     _o["target_encoding_kfold"] = """

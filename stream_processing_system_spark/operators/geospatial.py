@@ -113,3 +113,50 @@ def neighbor_pairs(
             det_round(F.sqrt(d2)).alias("dist_deg"),
         )
     )
+
+
+#: Geohash base32 alphabet (public algorithm, Niemeyer 2008).
+GEOHASH32 = "0123456789bcdefghjkmnpqrstuvwxyz"
+
+
+def geohash_expr(lat, lon, precision: int = 2):
+    """Geohash encode as a pure codegen'd integer expression — the
+    standard public algorithm (bisection bits of lon and lat
+    interleaved MSB-first starting with lon, grouped into 5-bit
+    base32 chars), with the bisections collapsed into one floor per
+    axis: `precision` chars carry 5p bits, lon gets ceil(5p/2), lat
+    gets floor(5p/2), and k successive bisections of an interval
+    are exactly `floor(fraction * 2^k)`. No UDF: at 100 TB the
+    encode rides the parquet scan inside whole-stage codegen. The
+    expression tree (shift/mask interleave, element_at alphabet
+    lookup) is mirrored as integer arithmetic in the SQL oracles."""
+    nbits = 5 * precision
+    lon_bits = (nbits + 1) // 2
+    lat_bits = nbits // 2
+    lon_int = F.floor(
+        (lon + F.lit(180.0)) / F.lit(360.0) * F.lit(float(2**lon_bits))
+    ).cast("long")
+    lat_int = F.floor(
+        (lat + F.lit(90.0)) / F.lit(180.0) * F.lit(float(2**lat_bits))
+    ).cast("long")
+    combined = F.lit(0).cast("long")
+    for i in range(lon_bits):  # lon bit i (MSB first) → position 2i
+        combined = combined + F.shiftright(lon_int, lon_bits - 1 - i).bitwiseAND(
+            F.lit(1)
+        ) * F.lit(2 ** (nbits - 1 - 2 * i))
+    for i in range(lat_bits):  # lat bit i (MSB first) → position 2i+1
+        combined = combined + F.shiftright(lat_int, lat_bits - 1 - i).bitwiseAND(
+            F.lit(1)
+        ) * F.lit(2 ** (nbits - 2 - 2 * i))
+    alpha = F.array(*[F.lit(c) for c in GEOHASH32])
+    chars = [
+        F.element_at(
+            alpha,
+            F.shiftright(combined, nbits - 5 * (g + 1))
+            .bitwiseAND(F.lit(31))
+            .cast("int")
+            + F.lit(1),
+        )
+        for g in range(precision)
+    ]
+    return F.concat(*chars)

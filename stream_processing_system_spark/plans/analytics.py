@@ -9941,3 +9941,93 @@ def target_encoding_kfold(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_pos",
         enc.alias("encoding"),
     ).orderBy("p_brand", "fold")
+
+
+def woe_iv_binning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weight-of-evidence / information-value scorecard binning (the
+    standard credit-risk feature diagnostic): l_quantity in width-5
+    buckets against the return target (l_returnflag = 'R').
+    WOE(bucket) = ln( (bad_share) / (good_share) ), IV = Σ (bad_share
+    − good_share)·WOE. One grouped aggregate (10 cells) + an
+    unbounded window over those cells — fact-table work is a single
+    partial+final count pass no matter the scale. Determinism: the
+    shares are single exact-rounded divisions of integer counts; ln
+    is libm so its output is micro-gridded (floor·1e9) per bucket
+    BEFORE the IV sum, and the sum runs over the grid integers —
+    the zipf_fit device (see memory: IEEE-exact cross-engine ops)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    cells = li.groupBy(
+        F.floor((F.col("l_quantity") - F.lit(1.0)) / F.lit(5.0))
+        .cast("long")
+        .alias("bucket")
+    ).agg(
+        F.sum(F.when(F.col("l_returnflag") == "R", 1).otherwise(0))
+        .cast("long")
+        .alias("n_bad"),
+        F.sum(F.when(F.col("l_returnflag") == "R", 0).otherwise(1))
+        .cast("long")
+        .alias("n_good"),
+    ).where((F.col("n_bad") > 0) & (F.col("n_good") > 0))
+    w = Window.partitionBy()
+    tot_bad = F.sum("n_bad").over(w)
+    tot_good = F.sum("n_good").over(w)
+    bad_share = F.col("n_bad").cast("double") / tot_bad.cast("double")
+    good_share = F.col("n_good").cast("double") / tot_good.cast("double")
+    woe_q = F.floor(
+        F.log(bad_share / good_share) * F.lit(1e9) + F.lit(0.5)
+    ).cast("long")
+    shared = cells.select(
+        "bucket", "n_bad", "n_good",
+        bad_share.alias("_bs"), good_share.alias("_gs"), woe_q.alias("_wq"),
+    )
+    term_q = F.floor(
+        (F.col("_bs") - F.col("_gs")) * (F.col("_wq").cast("double") / F.lit(1e9))
+        * F.lit(1e9) + F.lit(0.5)
+    ).cast("long")
+    scored = shared.select(
+        "bucket", "n_bad", "n_good", "_wq", term_q.alias("_tq")
+    )
+    return scored.select(
+        "bucket",
+        "n_bad",
+        "n_good",
+        (F.col("_wq").cast("double") / F.lit(1e9)).alias("woe"),
+        (F.sum("_tq").over(Window.partitionBy()).cast("double") / F.lit(1e9))
+        .alias("iv_total"),
+    ).orderBy("bucket")
+
+
+def user_geohash_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spatial indexing rollup: every user's deterministic synthetic
+    location (operators/geospatial.derive_points) is encoded to a
+    precision-2 geohash — 5 longitude bits interleaved with 5
+    latitude bits, MSB-first, grouped into two base32 chars (the
+    standard public algorithm) — and activity is rolled up per cell.
+    The encode is a pure codegen'd integer expression (shift/mask
+    interleave; no UDF), so at 100 TB it rides the scan; the rollup
+    is one hash aggregate over ≤1024 cells. Top-50 cells by user
+    count, total-ordered. The oracle re-derives the interleave with
+    the same integer arithmetic."""
+    from stream_processing_system_spark.operators.geospatial import (
+        derive_points,
+        geohash_expr,
+    )
+
+    events = load_table(spark, sf_dir, "events")
+    per_user = events.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events")
+    )
+    pts = derive_points(per_user.select("user_id"), "user_id").join(
+        per_user, "user_id"
+    )
+    gh = geohash_expr(F.col("lat"), F.col("lon"), precision=2)
+    return (
+        pts.select(gh.alias("geohash2"), "user_id", "n_events")
+        .groupBy("geohash2")
+        .agg(
+            F.count(F.lit(1)).alias("n_users"),
+            F.sum("n_events").cast("long").alias("n_events"),
+        )
+        .orderBy(F.col("n_users").desc(), F.col("geohash2").asc())
+        .limit(50)
+    )

@@ -86,3 +86,58 @@ def test_boundary_pair_across_cells(spark):
     pts = spark.createDataFrame(pdf)
     got = geospatial.neighbor_pairs(pts, "user_id", 5.0).collect()
     assert len(got) == 1 and (got[0]["id_a"], got[0]["id_b"]) == (1, 2)
+
+
+def _geohash_py(lat: float, lon: float, precision: int) -> str:
+    """Independent pure-Python reference: the classic bisection
+    formulation of geohash (alternating lon/lat interval halving)."""
+    alpha = "0123456789bcdefghjkmnpqrstuvwxyz"
+    lat_lo, lat_hi, lon_lo, lon_hi = -90.0, 90.0, -180.0, 180.0
+    bits, out, even = 0, [], True
+    bit_count = 0
+    for _ in range(5 * precision):
+        if even:
+            mid = (lon_lo + lon_hi) / 2
+            if lon >= mid:
+                bits = bits * 2 + 1
+                lon_lo = mid
+            else:
+                bits = bits * 2
+                lon_hi = mid
+        else:
+            mid = (lat_lo + lat_hi) / 2
+            if lat >= mid:
+                bits = bits * 2 + 1
+                lat_lo = mid
+            else:
+                bits = bits * 2
+                lat_hi = mid
+        even = not even
+        bit_count += 1
+        if bit_count == 5:
+            out.append(alpha[bits])
+            bits, bit_count = 0, 0
+    return "".join(out)
+
+
+def test_geohash_expr_matches_bisection_reference(spark):
+    """The collapsed floor(frac * 2^k) interleave must reproduce the
+    classic bisection geohash at precisions 2 and 5, including the
+    textbook vector (57.64911, 10.40744) -> 'u4pru'."""
+    from pyspark.sql import functions as F
+
+    from stream_processing_system_spark.operators.geospatial import geohash_expr
+
+    pts = [(57.64911, 10.40744), (0.0, 0.0), (-89.9, -179.9), (45.5, -122.6),
+           (89.99, 179.99), (-33.86, 151.21), (12.3456, -7.8901)]
+    df = spark.createDataFrame(pts, "lat double, lon double")
+    for p in (2, 5):
+        got = [
+            r["gh"]
+            for r in df.select(
+                geohash_expr(F.col("lat"), F.col("lon"), precision=p).alias("gh")
+            ).collect()
+        ]
+        expect = [_geohash_py(lat, lon, p) for lat, lon in pts]
+        assert got == expect
+    assert _geohash_py(57.64911, 10.40744, 5) == "u4pru"
