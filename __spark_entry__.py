@@ -1906,6 +1906,7 @@ _ROTATION_BACKLOG = [
     "target_encoding_kfold",
     "woe_iv_binning",
     "user_geohash_rollup",
+    "markov_attribution",
     "media_frame_samples",
     "stream_heavy_hitters",
     "doc_containment_pairs",
@@ -2395,6 +2396,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "target_encoding_kfold": analytics.target_encoding_kfold,
         "woe_iv_binning": analytics.woe_iv_binning,
         "user_geohash_rollup": analytics.user_geohash_rollup,
+        "markov_attribution": analytics.markov_attribution,
     }
     head = {n: q[n] for n in _R4_DRIVER_WINDOW}
     assert len(head) == 50, f"driver window must be 50, got {len(head)}"
@@ -2474,6 +2476,109 @@ def _bpe_tokenize_oracle_sql(n_merges: int = 20) -> str:
         FROM tok t JOIN v{n_merges} v USING (word)
         GROUP BY 1 ORDER BY 1
     """
+
+
+def _markov_oracle_sql() -> str:
+    """Unrolled-CTE replay of plans.analytics.markov_attribution:
+    journey construction, transition probabilities, then
+    MARKOV_ROUNDS value-iteration rounds on the same 1e9 grid (terms
+    floored BEFORE each per-state sum, exactly as the Spark
+    recurrence)."""
+    channels = _analytics_markov_channels()
+    rounds = _analytics_markov_rounds()
+    variants = ", ".join(f"'{c}'" for c in ["(none)", *channels])
+    states = ", ".join(f"'{s}'" for s in ["START", *channels])
+    step = """
+        v{k} AS (
+            SELECT sk.removed, sk.state, COALESCE(s.qs, 0) AS q
+            FROM sk LEFT JOIN (
+                SELECT vt.removed, vt.src,
+                       CAST(SUM(CAST(floor(vt.p * (CAST(
+                           CASE WHEN vt.dst = 'CONV' THEN 1000000000
+                                WHEN vt.dst = 'DROP' THEN 0
+                                WHEN vt.dst = vt.removed THEN 0
+                                ELSE COALESCE(v.q, 0) END AS DOUBLE) / 1e9)
+                           * 1e9 + 0.5) AS BIGINT)) AS BIGINT) AS qs
+                FROM vt LEFT JOIN v{prev} v
+                  ON v.removed = vt.removed AND v.state = vt.dst
+                GROUP BY 1, 2
+            ) s ON s.removed = sk.removed AND s.src = sk.state
+        )"""
+    chain = ",".join(step.format(k=k, prev=k - 1) for k in range(1, rounds + 1))
+    return f"""
+        WITH ranked AS (
+            SELECT user_id, event_type,
+                   row_number() OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id) AS rn
+            FROM events WHERE user_id IS NOT NULL
+        ), fp AS (
+            SELECT user_id, MIN(rn) AS fp_rn FROM ranked
+            WHERE event_type = 'purchase' GROUP BY user_id
+        ), j AS (
+            SELECT r.user_id, r.event_type, f.fp_rn, r.rn
+            FROM ranked r LEFT JOIN fp f USING (user_id)
+            WHERE r.event_type <> 'purchase'
+              AND (f.fp_rn IS NULL OR r.rn < f.fp_rn)
+        ), j2 AS (
+            SELECT user_id, event_type, fp_rn,
+                   row_number() OVER (PARTITION BY user_id ORDER BY rn) AS jn,
+                   lead(event_type) OVER (PARTITION BY user_id ORDER BY rn) AS nxt
+            FROM j
+        ), tr AS (
+            SELECT 'START' AS src, event_type AS dst FROM j2 WHERE jn = 1
+            UNION ALL
+            SELECT 'START', 'CONV' FROM fp
+            WHERE user_id NOT IN (SELECT user_id FROM j2)
+            UNION ALL
+            SELECT event_type, nxt FROM j2 WHERE nxt IS NOT NULL
+            UNION ALL
+            SELECT event_type,
+                   CASE WHEN fp_rn IS NOT NULL THEN 'CONV' ELSE 'DROP' END
+            FROM j2 WHERE nxt IS NULL
+        ), t AS (
+            SELECT src, dst, CAST(count(*) AS BIGINT) AS n FROM tr GROUP BY 1, 2
+        ), p AS (
+            SELECT src, dst,
+                   CAST(n AS DOUBLE)
+                   / CAST(SUM(n) OVER (PARTITION BY src) AS DOUBLE) AS p
+            FROM t
+        ), variants AS (
+            SELECT unnest([{variants}]) AS removed
+        ), states AS (
+            SELECT unnest([{states}]) AS state
+        ), sk AS (
+            SELECT removed, state FROM variants CROSS JOIN states
+        ), vt AS (
+            SELECT removed, src, dst, p FROM variants CROSS JOIN p
+        ), v0 AS (
+            SELECT removed, state, CAST(0 AS BIGINT) AS q FROM sk
+        ),{chain},
+        base AS (
+            SELECT q AS base_q FROM v{rounds}
+            WHERE removed = '(none)' AND state = 'START'
+        ), per AS (
+            SELECT removed AS channel, q AS conv_q FROM v{rounds}
+            WHERE removed <> '(none)' AND state = 'START'
+        )
+        SELECT channel,
+               CAST(base_q AS DOUBLE) / 1e9 AS conv_base,
+               CAST(conv_q AS DOUBLE) / 1e9 AS conv_without,
+               CAST(base_q - conv_q AS DOUBLE) / 1e9 AS removal_effect,
+               CASE WHEN SUM(base_q - conv_q) OVER () > 0
+                    THEN CAST(base_q - conv_q AS DOUBLE)
+                         / CAST(SUM(base_q - conv_q) OVER () AS DOUBLE)
+               END AS attribution
+        FROM per CROSS JOIN base
+        ORDER BY channel
+    """
+
+
+def _analytics_markov_channels():
+    return analytics.MARKOV_CHANNELS
+
+
+def _analytics_markov_rounds():
+    return analytics.MARKOV_ROUNDS
 
 
 def _analytics_sql_frontdoor_text() -> str:
@@ -9976,6 +10081,9 @@ def oracle_sql() -> dict[str, str]:
                CAST(MAX(bdays) AS BIGINT) AS max_bdays
         FROM bd GROUP BY o_orderpriority ORDER BY o_orderpriority
     """
+    # Markov removal-effect attribution: unrolled value iteration on
+    # the 1e9 grid (helper generates MARKOV_ROUNDS CTE rounds)
+    _o["markov_attribution"] = _markov_oracle_sql()
     # WOE/IV scorecard: shares are single divisions of exact ints;
     # ln is micro-gridded per bucket BEFORE the IV sum (zipf device)
     _o["woe_iv_binning"] = """

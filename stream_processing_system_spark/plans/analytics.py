@@ -10031,3 +10031,163 @@ def user_geohash_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n_users").desc(), F.col("geohash2").asc())
         .limit(50)
     )
+
+
+#: Markov-attribution chain constants: the event_type domain is fixed
+#: by the driver fixtures (TESTDATA.md); 'purchase' is the conversion
+#: absorber. Mirrored verbatim in the SQL oracle's variant lists.
+MARKOV_CHANNELS = ["click", "error", "signup", "view"]
+MARKOV_ROUNDS = 10
+
+
+def markov_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Markov-chain (removal-effect) attribution — the data-driven
+    alternative to last-click/linear credit (Anderl et al. 2014
+    shape): user journeys (channel events up to the FIRST purchase,
+    ordered by ts then event_id) define a first-order chain with
+    START plus one state per channel and two absorbers (CONV on
+    purchase, DROP at journey end); conversion probability from START
+    is computed by K-round value iteration, once for the full chain
+    and once per channel with that channel knocked out (transitions
+    into it redirected to DROP); a channel's credit is its
+    normalized removal effect.
+
+    Scale shape: journey construction is two windows over
+    (user_id, ts) — shuffle-partitioned by user, no driver
+    collection; everything after the transition-count aggregate
+    operates on a CONSTANT-size frame (|channels|+3 states squared,
+    ≤ ~50 rows, replicated per knockout variant ≤ ~250) so the
+    K=10 fixed-round iteration costs 10 tiny jobs regardless of
+    fact-table size. Determinism: transition probabilities are
+    single divisions of exact counts; each value-iteration term is
+    micro-gridded (floor·1e9) BEFORE the per-state sum, sums run on
+    grid integers, and the final shares are single divisions of grid
+    integers — the unrolled-CTE oracle replays the identical
+    recurrence."""
+    events = load_table(spark, sf_dir, "events").where(
+        F.col("user_id").isNotNull()
+    )
+    return markov_attribution_from_events(events)
+
+
+def markov_attribution_from_events(events: DataFrame) -> DataFrame:
+    """Core of markov_attribution over any (user_id, ts, event_id,
+    event_type) frame — split out so tests can inject hand-built
+    journeys and compare against an independent absorption solver."""
+    spark = events.sparkSession
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ranked = events.select(
+        "user_id", "event_type", F.row_number().over(w).alias("rn")
+    )
+    fp = (
+        ranked.where(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.min("rn").alias("fp_rn"))
+    )
+    j = ranked.join(fp, "user_id", "left").where(
+        (F.col("event_type") != "purchase")
+        & (F.col("fp_rn").isNull() | (F.col("rn") < F.col("fp_rn")))
+    )
+    w2 = Window.partitionBy("user_id").orderBy("rn")
+    j2 = j.select(
+        "user_id",
+        "event_type",
+        "fp_rn",
+        F.row_number().over(w2).alias("jn"),
+        F.lead("event_type").over(w2).alias("nxt"),
+    )
+    starts = j2.where(F.col("jn") == 1).select(
+        F.lit("START").alias("src"), F.col("event_type").alias("dst")
+    )
+    # converters whose journey is empty (purchase was their first
+    # event): START -> CONV directly
+    direct = fp.join(
+        j2.select("user_id").distinct(), "user_id", "left_anti"
+    ).select(F.lit("START").alias("src"), F.lit("CONV").alias("dst"))
+    mids = j2.where(F.col("nxt").isNotNull()).select(
+        F.col("event_type").alias("src"), F.col("nxt").alias("dst")
+    )
+    lasts = j2.where(F.col("nxt").isNull()).select(
+        F.col("event_type").alias("src"),
+        F.when(F.col("fp_rn").isNotNull(), "CONV")
+        .otherwise("DROP")
+        .alias("dst"),
+    )
+    trans = (
+        starts.union(direct)
+        .union(mids)
+        .union(lasts)
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    ws = Window.partitionBy("src")
+    transp = trans.select(
+        "src",
+        "dst",
+        (F.col("n").cast("double") / F.sum("n").over(ws).cast("double")).alias(
+            "p"
+        ),
+    ).localCheckpoint()
+
+    variants = spark.createDataFrame(
+        [(v,) for v in ["(none)", *MARKOV_CHANNELS]], "removed string"
+    )
+    states = spark.createDataFrame(
+        [(s,) for s in ["START", *MARKOV_CHANNELS]], "state string"
+    )
+    vt = variants.crossJoin(transp).localCheckpoint()
+    sk = variants.crossJoin(states).localCheckpoint()
+    v = sk.withColumn("q", F.lit(0).cast("long"))
+    for _ in range(MARKOV_ROUNDS):
+        joined = vt.join(
+            v.select(
+                F.col("removed").alias("_r"), F.col("state").alias("_s"), "q"
+            ),
+            (F.col("removed") == F.col("_r")) & (F.col("dst") == F.col("_s")),
+            "left",
+        )
+        uq = (
+            F.when(F.col("dst") == "CONV", F.lit(1000000000))
+            .when(F.col("dst") == "DROP", F.lit(0))
+            .when(F.col("dst") == F.col("removed"), F.lit(0))
+            .otherwise(F.coalesce(F.col("q"), F.lit(0)))
+        )
+        term = F.floor(
+            F.col("p") * (uq.cast("double") / F.lit(1e9)) * F.lit(1e9)
+            + F.lit(0.5)
+        ).cast("long")
+        sums = joined.groupBy("removed", "src").agg(
+            F.sum(term).cast("long").alias("qs")
+        )
+        v = (
+            sk.join(
+                sums,
+                (sk["removed"] == sums["removed"])
+                & (sk["state"] == sums["src"]),
+                "left",
+            )
+            .select(
+                sk["removed"], sk["state"], F.coalesce("qs", F.lit(0)).alias("q")
+            )
+            .localCheckpoint()
+        )
+    base = (
+        v.where((F.col("removed") == "(none)") & (F.col("state") == "START"))
+        .select(F.col("q").alias("base_q"))
+    )
+    per = v.where(
+        (F.col("removed") != "(none)") & (F.col("state") == "START")
+    ).select(F.col("removed").alias("channel"), F.col("q").alias("conv_q"))
+    out = per.crossJoin(F.broadcast(base))
+    effect = F.col("base_q") - F.col("conv_q")
+    wall = Window.partitionBy()
+    return out.select(
+        "channel",
+        (F.col("base_q").cast("double") / F.lit(1e9)).alias("conv_base"),
+        (F.col("conv_q").cast("double") / F.lit(1e9)).alias("conv_without"),
+        (effect.cast("double") / F.lit(1e9)).alias("removal_effect"),
+        F.when(
+            F.sum(effect).over(wall) > 0,
+            effect.cast("double") / F.sum(effect).over(wall).cast("double"),
+        ).alias("attribution"),
+    ).orderBy("channel")
