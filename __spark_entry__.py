@@ -1907,6 +1907,8 @@ _ROTATION_BACKLOG = [
     "woe_iv_binning",
     "user_geohash_rollup",
     "markov_attribution",
+    "doc_perplexity_buckets",
+    "lasso_coordinate_descent",
     "media_frame_samples",
     "stream_heavy_hitters",
     "doc_containment_pairs",
@@ -2397,6 +2399,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "woe_iv_binning": analytics.woe_iv_binning,
         "user_geohash_rollup": analytics.user_geohash_rollup,
         "markov_attribution": analytics.markov_attribution,
+        "doc_perplexity_buckets": pipeline.doc_perplexity_buckets,
+        "lasso_coordinate_descent": analytics.lasso_coordinate_descent,
     }
     head = {n: q[n] for n in _R4_DRIVER_WINDOW}
     assert len(head) == 50, f"driver window must be 50, got {len(head)}"
@@ -2475,6 +2479,86 @@ def _bpe_tokenize_oracle_sql(n_merges: int = 20) -> str:
                    AS n_bpe_tokens
         FROM tok t JOIN v{n_merges} v USING (word)
         GROUP BY 1 ORDER BY 1
+    """
+
+
+def _lasso_oracle_sql() -> str:
+    """Unrolled replay of plans.analytics.lasso_coordinate_descent:
+    exact DECIMAL moments, standardized correlations with the same
+    operand order, then LASSO_ROUNDS alternating soft-threshold
+    updates re-quantized to the 1e-9 grid between coordinates."""
+    rounds = analytics.LASSO_ROUNDS
+    cols = "n_rows, nd, muy, c1, c2, d12, cmax, lam"
+
+    def upd(rho: str) -> str:
+        soft = (
+            f"CASE WHEN ({rho}) > lam THEN ({rho}) - lam "
+            f"WHEN ({rho}) < -lam THEN ({rho}) + lam ELSE 0.0 END"
+        )
+        return f"CAST(floor(({soft} / nd) * 1e9 + 0.5) AS DOUBLE) / 1e9"
+
+    steps = []
+    prev = "r0"
+    for k in range(1, rounds + 1):
+        steps.append(
+            f"r{k}a AS (SELECT {cols}, "
+            f"{upd('c1 - b2 * d12')} AS b1, b2 FROM {prev})"
+        )
+        steps.append(
+            f"r{k}b AS (SELECT {cols}, b1, "
+            f"{upd('c2 - b1 * d12')} AS b2 FROM r{k}a)"
+        )
+        prev = f"r{k}b"
+    chain = ",\n        ".join(steps)
+    nd = "CAST(n AS DOUBLE)"
+    mu1 = f"(CAST(s1 AS DOUBLE) / {nd})"
+    mu2 = f"(CAST(s2 AS DOUBLE) / {nd})"
+    muy = f"(CAST(sy AS DOUBLE) / {nd})"
+    sd1 = f"sqrt(CAST(s11 AS DOUBLE) / {nd} - {mu1} * {mu1})"
+    sd2 = f"sqrt(CAST(s22 AS DOUBLE) / {nd} - {mu2} * {mu2})"
+    return f"""
+        WITH base AS (
+            SELECT CAST(CAST(l_quantity AS BIGINT) AS DECIMAL(38,0)) AS x1,
+                   CAST(CAST(floor(l_discount * 100 + 0.5) AS BIGINT)
+                        AS DECIMAL(38,0)) AS x2,
+                   CAST(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+                        AS DECIMAL(38,0)) AS y
+            FROM lineitem
+        ), mo AS (
+            SELECT CAST(count(*) AS DECIMAL(38,0)) AS n,
+                   SUM(x1) AS s1, SUM(x2) AS s2,
+                   SUM(x1 * x1) AS s11, SUM(x1 * x2) AS s12,
+                   SUM(x2 * x2) AS s22,
+                   SUM(y) AS sy, SUM(x1 * y) AS s1y, SUM(x2 * y) AS s2y
+            FROM base
+        ), prep AS (
+            SELECT CAST(n AS BIGINT) AS n_rows,
+                   {nd} AS nd,
+                   {muy} AS muy,
+                   (CAST(s1y AS DOUBLE) - {nd} * {mu1} * {muy}) / {sd1} AS c1,
+                   (CAST(s2y AS DOUBLE) - {nd} * {mu2} * {muy}) / {sd2} AS c2,
+                   (CAST(s12 AS DOUBLE) - {nd} * {mu1} * {mu2})
+                       / ({sd1} * {sd2}) AS d12
+            FROM mo
+        ), prep2 AS (
+            SELECT *, greatest(abs(c1), abs(c2)) AS cmax FROM prep
+        ), prep3 AS (
+            SELECT *, 0.25 * cmax AS lam FROM prep2
+        ), r0 AS (
+            SELECT {cols}, CAST(0.0 AS DOUBLE) AS b1,
+                   CAST(0.0 AS DOUBLE) AS b2
+            FROM prep3
+        ),
+        {chain}
+        SELECT n_rows,
+               floor(lam * 1000000.0 + 0.5) / 1000000.0 AS lambda_used,
+               b1 AS beta_qty_std,
+               b2 AS beta_disc_std,
+               floor(muy / 100.0 * 1000000.0 + 0.5) / 1000000.0 AS intercept,
+               CAST((CASE WHEN b1 <> 0.0 THEN 1 ELSE 0 END)
+                    + (CASE WHEN b2 <> 0.0 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_nonzero
+        FROM {prev}
     """
 
 
@@ -10084,6 +10168,30 @@ def oracle_sql() -> dict[str, str]:
     # Markov removal-effect attribution: unrolled value iteration on
     # the 1e9 grid (helper generates MARKOV_ROUNDS CTE rounds)
     _o["markov_attribution"] = _markov_oracle_sql()
+    # lasso: exact moments + unrolled soft-threshold rounds
+    _o["lasso_coordinate_descent"] = _lasso_oracle_sql()
+    # CCNet terciles COMPOSE the LM-score oracle as a CTE — shared
+    # text, zero drift (the established composition device)
+    _o["doc_perplexity_buckets"] = (
+        "WITH lm AS ("
+        + _o["doc_lm_score"]
+        + """)
+        SELECT d.lang, b.bucket,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(SUM(b.q) AS DOUBLE)
+               / (CAST(count(*) AS DOUBLE) * 1000000.0) AS mean_logp
+        FROM (
+            SELECT lm.doc_id,
+                   CAST(floor(lm.avg_logp * 1000000.0 + 0.5) AS BIGINT) AS q,
+                   ntile(3) OVER (PARTITION BY d2.lang
+                                  ORDER BY lm.avg_logp DESC, lm.doc_id ASC)
+                       AS bucket
+            FROM lm JOIN documents d2 ON lm.doc_id = d2.doc_id
+        ) b JOIN documents d ON b.doc_id = d.doc_id
+        GROUP BY d.lang, b.bucket
+        ORDER BY d.lang, b.bucket
+    """
+    )
     # WOE/IV scorecard: shares are single divisions of exact ints;
     # ln is micro-gridded per bucket BEFORE the IV sum (zipf device)
     _o["woe_iv_binning"] = """

@@ -10191,3 +10191,99 @@ def markov_attribution_from_events(events: DataFrame) -> DataFrame:
             effect.cast("double") / F.sum(effect).over(wall).cast("double"),
         ).alias("attribution"),
     ).orderBy("channel")
+
+
+#: Fixed coordinate-descent round count for the lasso (unrolled in
+#: both the Spark expression chain and the SQL oracle).
+LASSO_ROUNDS = 8
+
+
+def lasso_coordinate_descent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L1-regularized regression of extended price on standardized
+    (quantity, discount) via coordinate descent (Friedman et al.
+    2010 pathwise shape, one fixed λ) — the sparsity-inducing
+    complement to lineitem_ols_2var's closed-form OLS. One exact
+    moment pass over the fact table (the same nine DECIMAL(38,0)
+    sums as OLS); the standardized correlations, λ = 0.25·max|c|,
+    and LASSO_ROUNDS alternating soft-threshold updates all run as
+    expressions on the single moment row — no iteration ever touches
+    the data again, no driver collect. Each coordinate update is
+    re-quantized to the 1e-9 grid before the other coordinate
+    consumes it, so the recursion is byte-identical to the oracle's
+    unrolled CTE chain."""
+    li = load_table(spark, sf_dir, "lineitem")
+    d38 = "decimal(38,0)"
+    base = li.select(
+        F.col("l_quantity").cast("long").cast(d38).alias("x1"),
+        F.floor(F.col("l_discount") * 100 + F.lit(0.5)).cast("long").cast(d38)
+        .alias("x2"),
+        F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5)).cast("long")
+        .cast(d38).alias("y"),
+    )
+    mo = base.agg(
+        F.count(F.lit(1)).cast(d38).alias("n"),
+        F.sum("x1").alias("s1"),
+        F.sum("x2").alias("s2"),
+        F.sum(F.col("x1") * F.col("x1")).alias("s11"),
+        F.sum(F.col("x1") * F.col("x2")).alias("s12"),
+        F.sum(F.col("x2") * F.col("x2")).alias("s22"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x1") * F.col("y")).alias("s1y"),
+        F.sum(F.col("x2") * F.col("y")).alias("s2y"),
+    )
+    nd = F.col("n").cast("double")
+    mu1 = F.col("s1").cast("double") / nd
+    mu2 = F.col("s2").cast("double") / nd
+    muy = F.col("sy").cast("double") / nd
+    sd1 = F.sqrt(F.col("s11").cast("double") / nd - mu1 * mu1)
+    sd2 = F.sqrt(F.col("s22").cast("double") / nd - mu2 * mu2)
+    prep = mo.select(
+        F.col("n").cast("long").alias("n_rows"),
+        nd.alias("_nd"),
+        muy.alias("_muy"),
+        ((F.col("s1y").cast("double") - nd * mu1 * muy) / sd1).alias("_c1"),
+        ((F.col("s2y").cast("double") - nd * mu2 * muy) / sd2).alias("_c2"),
+        ((F.col("s12").cast("double") - nd * mu1 * mu2) / (sd1 * sd2)).alias(
+            "_d12"
+        ),
+    ).select(
+        "*",
+        F.greatest(F.abs(F.col("_c1")), F.abs(F.col("_c2"))).alias("_cmax"),
+    ).select(
+        "*", (F.lit(0.25) * F.col("_cmax")).alias("_lam")
+    )
+
+    def _soft(rho):
+        return (
+            F.when(rho > F.col("_lam"), rho - F.col("_lam"))
+            .when(rho < -F.col("_lam"), rho + F.col("_lam"))
+            .otherwise(F.lit(0.0))
+        )
+
+    def _q(x):
+        return F.floor(x * F.lit(1e9) + F.lit(0.5)).cast("double") / F.lit(1e9)
+
+    cur = prep.select("*", F.lit(0.0).alias("_b1"), F.lit(0.0).alias("_b2"))
+    for _ in range(LASSO_ROUNDS):
+        cur = cur.select(
+            "n_rows", "_nd", "_muy", "_c1", "_c2", "_d12", "_cmax", "_lam",
+            _q(_soft(F.col("_c1") - F.col("_b2") * F.col("_d12")) / F.col("_nd"))
+            .alias("_b1"),
+            "_b2",
+        )
+        cur = cur.select(
+            "n_rows", "_nd", "_muy", "_c1", "_c2", "_d12", "_cmax", "_lam",
+            "_b1",
+            _q(_soft(F.col("_c2") - F.col("_b1") * F.col("_d12")) / F.col("_nd"))
+            .alias("_b2"),
+        )
+    return cur.select(
+        "n_rows",
+        det_round(F.col("_lam")).alias("lambda_used"),
+        F.col("_b1").alias("beta_qty_std"),
+        F.col("_b2").alias("beta_disc_std"),
+        det_round(F.col("_muy") / F.lit(100.0)).alias("intercept"),
+        (
+            (F.col("_b1") != 0.0).cast("int") + (F.col("_b2") != 0.0).cast("int")
+        ).cast("long").alias("n_nonzero"),
+    )

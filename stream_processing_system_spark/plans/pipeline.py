@@ -1903,3 +1903,39 @@ def media_phash_dct(spark: SparkSession, sf_dir: str) -> DataFrame:
     embeds the same pre-floored DCT basis literals)."""
     media = multimodal.fake_media_from_documents(spark, _docs(spark, sf_dir))
     return multimodal.phash_signatures(media).orderBy("media_id")
+
+
+def doc_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style perplexity bucketing (Wenzek et al. 2020): every
+    scored document is assigned to head/middle/tail terciles of its
+    LANGUAGE's LM-score distribution — the standard device for
+    quality-stratifying pretraining data without an absolute
+    threshold (each language gets its own cutoffs). Scores come from
+    doc_lm_score (add-1 bigram LM, grid-exact); the tercile is
+    ntile(3) over a TOTAL order (score desc, doc_id asc), so bucket
+    membership is deterministic; per-bucket means re-aggregate the
+    1e-6 grid integers exactly with one final division. Scale: one
+    window over (lang) — partitioned by a low-cardinality key whose
+    per-partition size is bounded by the language's doc count; for
+    100 TB corpora swap ntile for percentile thresholds computed per
+    lang (constant frame) joined back — same semantics, no global
+    sort within giant languages."""
+    scores = doc_lm_score(spark, sf_dir)
+    docs = _docs(spark, sf_dir).select("doc_id", "lang")
+    j = scores.join(docs, "doc_id")
+    w = Window.partitionBy("lang").orderBy(
+        F.col("avg_logp").desc(), F.col("doc_id").asc()
+    )
+    b = j.withColumn("bucket", F.ntile(3).over(w))
+    q = F.floor(F.col("avg_logp") * F.lit(1000000.0) + F.lit(0.5)).cast("long")
+    return (
+        b.groupBy("lang", "bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            (
+                F.sum(q).cast("double")
+                / (F.count(F.lit(1)).cast("double") * F.lit(1000000.0))
+            ).alias("mean_logp"),
+        )
+        .orderBy("lang", "bucket")
+    )

@@ -122,3 +122,66 @@ def test_als_rejects_zero_rounds(spark):
     df = spark.createDataFrame([(1, 1, 5.0)], "user long, item long, r double")
     with pytest.raises(ValueError, match="rounds"):
         als_factorize(df, rounds=0)
+
+
+def test_lasso_matches_pure_python_replay(spark, sf_dir):
+    """The unrolled coordinate descent must equal a pure-Python
+    replay of the same standardized soft-threshold recursion (same
+    grids) from the raw rows, and shrink at least one coefficient
+    relative to OLS."""
+    from stream_processing_system_spark.plans.analytics import (
+        LASSO_ROUNDS,
+        lasso_coordinate_descent,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem")
+    rows = li.select(
+        F.col("l_quantity").cast("long").alias("x1"),
+        F.floor(F.col("l_discount") * 100 + F.lit(0.5)).cast("long").alias("x2"),
+        F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5))
+        .cast("long")
+        .alias("y"),
+    ).collect()
+    x1 = np.array([r["x1"] for r in rows], dtype=np.int64)
+    x2 = np.array([r["x2"] for r in rows], dtype=np.int64)
+    y = np.array([r["y"] for r in rows], dtype=np.int64)
+    n = len(rows)
+    nd = float(n)
+    mu1, mu2, muy = (
+        float(int(x1.sum())) / nd,
+        float(int(x2.sum())) / nd,
+        float(int(y.sum())) / nd,
+    )
+    sd1 = math.sqrt(float(int((x1 * x1).sum())) / nd - mu1 * mu1)
+    sd2 = math.sqrt(float(int((x2 * x2).sum())) / nd - mu2 * mu2)
+    c1 = (float(int((x1 * y).sum())) - nd * mu1 * muy) / sd1
+    c2 = (float(int((x2 * y).sum())) - nd * mu2 * muy) / sd2
+    d12 = (float(int((x1 * x2).sum())) - nd * mu1 * mu2) / (sd1 * sd2)
+    lam = 0.25 * max(abs(c1), abs(c2))
+
+    def soft(rho):
+        if rho > lam:
+            return rho - lam
+        if rho < -lam:
+            return rho + lam
+        return 0.0
+
+    def q(x):
+        return math.floor(x * 1e9 + 0.5) / 1e9
+
+    b1 = b2 = 0.0
+    for _ in range(LASSO_ROUNDS):
+        b1 = q(soft(c1 - b2 * d12) / nd)
+        b2 = q(soft(c2 - b1 * d12) / nd)
+
+    got = lasso_coordinate_descent(spark, sf_dir).collect()[0]
+    assert got["beta_qty_std"] == b1
+    assert got["beta_disc_std"] == b2
+    assert got["n_nonzero"] <= 2
+    # OLS-side sanity: the L1 penalty shrinks |beta| vs the
+    # unpenalized solution of the same standardized system
+    det = nd * nd - d12 * d12
+    ols1 = (c1 * nd - d12 * c2) / det
+    ols2 = (c2 * nd - d12 * c1) / det
+    assert abs(b1) <= abs(ols1) + 1e-12
+    assert abs(b2) <= abs(ols2) + 1e-12
