@@ -545,17 +545,20 @@ def _pq_topk_oracle_sql(
     """
 
 
-def _als_oracle_sql(rounds: int = 2, reg: float = 0.1) -> str:
-    """Rank-2 ALS unrolled as CTEs, mirroring
-    `linalg.als_factorize` + `analytics.customer_part_als`
-    step-for-step: md5-seeded item factors, per-entity 2×2 ridge
-    Cramer solves with every moment term floored onto the 1e-6 grid
-    before exact summation, factors re-quantized to the grid after
-    each solve, train RMSE from grid-summed squared errors."""
-    lam = repr(float(reg))
+#: The customer×part rating matrix shared by the ALS training oracle
+#: and the ranking-metrics oracle (identical text — zero drift).
+_ALS_RATINGS_SQL = """SELECT o_custkey AS cust, l_partkey AS part,
+               SUM(CAST(l_quantity AS BIGINT)) AS r
+        FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        GROUP BY 1, 2"""
 
-    def mstep(name: str, src: str, fixed: str, fk: str, solve: str) -> str:
-        return f"""m_{name} AS (
+
+def _als_mstep_sql(name: str, src: str, fk: str, solve: str, lam: str) -> str:
+    """One ALS half-round as CTE text (shared by the training-fit and
+    ranking-metrics oracles): per-entity 2x2 ridge Cramer solve with
+    every moment term floored onto the 1e-6 grid before exact
+    summation, factors re-quantized to the grid after the solve."""
+    return f"""m_{name} AS (
         SELECT r.{solve} AS ent,
                SUM(CAST(floor((f.v1 * f.v1) * 1000000.0 + 0.5)
                         AS BIGINT)) AS a11,
@@ -590,12 +593,14 @@ def _als_oracle_sql(rounds: int = 2, reg: float = 0.1) -> str:
         FROM d_{name}
     )"""
 
+
+def _als_factor_ctes(ratings_sql: str, rounds: int = 2, reg: float = 0.1):
+    """The full unrolled ALS factor chain over a caller-supplied
+    ratings relation. Returns (cte_parts, u_name, v_name)."""
+    lam = repr(float(reg))
     parts = [
-        """ratings AS MATERIALIZED (
-        SELECT o_custkey AS cust, l_partkey AS part,
-               SUM(CAST(l_quantity AS BIGINT)) AS r
-        FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
-        GROUP BY 1, 2
+        f"""ratings AS MATERIALIZED (
+        {ratings_sql}
     ), v0 AS (
         SELECT part,
                CAST(('0x' || substr(md5('als1|' || CAST(part AS VARCHAR)),
@@ -609,9 +614,17 @@ def _als_oracle_sql(rounds: int = 2, reg: float = 0.1) -> str:
     ]
     vprev = "v0"
     for t in range(rounds):
-        parts.append(mstep(f"u{t + 1}", vprev, "v", "part", "cust"))
-        parts.append(mstep(f"v{t + 1}", f"u{t + 1}", "u", "cust", "part"))
+        parts.append(_als_mstep_sql(f"u{t + 1}", vprev, "part", "cust", lam))
+        parts.append(_als_mstep_sql(f"v{t + 1}", f"u{t + 1}", "cust", "part", lam))
         vprev = f"v{t + 1}"
+    return parts, f"u{rounds}", vprev
+
+
+def _als_oracle_sql(rounds: int = 2, reg: float = 0.1) -> str:
+    """Rank-2 ALS training fit unrolled as CTEs, mirroring
+    `linalg.als_factorize` + `analytics.customer_part_als`
+    step-for-step; train RMSE from grid-summed squared errors."""
+    parts, u_name, v_name = _als_factor_ctes(_ALS_RATINGS_SQL, rounds, reg)
     err = (
         "(CAST(r.r AS DOUBLE) - (u.v1 * v.v1 + u.v2 * v.v2))"
     )
@@ -622,8 +635,8 @@ def _als_oracle_sql(rounds: int = 2, reg: float = 0.1) -> str:
                    CAST(floor({err} * {err} * 1000000.0 + 0.5)
                         AS BIGINT) AS t
             FROM ratings r
-            JOIN u{rounds} u ON r.cust = u.cust
-            JOIN {vprev} v ON r.part = v.part
+            JOIN {u_name} u ON r.cust = u.cust
+            JOIN {v_name} v ON r.part = v.part
         ), s AS (
             SELECT count(*) AS n_ratings,
                    SUM(CAST(t AS HUGEINT)) AS se,
@@ -1909,6 +1922,7 @@ _ROTATION_BACKLOG = [
     "markov_attribution",
     "doc_perplexity_buckets",
     "lasso_coordinate_descent",
+    "als_ranking_metrics",
     "media_frame_samples",
     "stream_heavy_hitters",
     "doc_containment_pairs",
@@ -2401,6 +2415,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "markov_attribution": analytics.markov_attribution,
         "doc_perplexity_buckets": pipeline.doc_perplexity_buckets,
         "lasso_coordinate_descent": analytics.lasso_coordinate_descent,
+        "als_ranking_metrics": analytics.als_ranking_metrics,
     }
     head = {n: q[n] for n in _R4_DRIVER_WINDOW}
     assert len(head) == 50, f"driver window must be 50, got {len(head)}"
@@ -2479,6 +2494,79 @@ def _bpe_tokenize_oracle_sql(n_merges: int = 20) -> str:
                    AS n_bpe_tokens
         FROM tok t JOIN v{n_merges} v USING (word)
         GROUP BY 1 ORDER BY 1
+    """
+
+
+def _als_ranking_oracle_sql(rounds: int = 2, reg: float = 0.1) -> str:
+    """Leave-one-out ALS ranking metrics: the same factor chain as
+    the training oracle, trained on ratings minus the held-out top
+    rating of every 20th multi-rating customer, then rank-of-heldout
+    by count-of-better with the NDCG gain micro-gridded per user."""
+    train_sql = f"""
+        SELECT r0.cust, r0.part, r0.r FROM (
+            SELECT cust, part, r,
+                   count(*) OVER (PARTITION BY cust) AS cnt,
+                   row_number() OVER (PARTITION BY cust
+                                      ORDER BY r DESC, part DESC) AS rn
+            FROM ({_ALS_RATINGS_SQL}) base
+        ) r0
+        WHERE NOT (r0.rn = 1 AND r0.cnt >= 2 AND r0.cust % 20 = 0)"""
+    parts, u_name, v_name = _als_factor_ctes(train_sql, rounds, reg)
+    return f"""
+        WITH {','.join(parts)},
+        test AS (
+            SELECT cust, part FROM (
+                SELECT cust, part,
+                       count(*) OVER (PARTITION BY cust) AS cnt,
+                       row_number() OVER (PARTITION BY cust
+                                          ORDER BY r DESC, part DESC) AS rn
+                FROM ({_ALS_RATINGS_SQL}) base
+            )
+            WHERE rn = 1 AND cnt >= 2 AND cust % 20 = 0
+        ),
+        scored AS (
+            SELECT t.cust, v.part, t.part AS heldout,
+                   u.v1 * v.v1 + u.v2 * v.v2 AS s
+            FROM test t
+            JOIN {u_name} u ON t.cust = u.cust
+            CROSS JOIN {v_name} v
+        ),
+        cand AS (
+            SELECT sc.* FROM scored sc
+            WHERE NOT EXISTS (
+                SELECT 1 FROM ratings r
+                WHERE r.cust = sc.cust AND r.part = sc.part
+            )
+        ),
+        tgt AS (
+            SELECT cust, s AS st, heldout AS pt FROM cand
+            WHERE part = heldout
+        ),
+        rk AS (
+            SELECT t.cust, 1 + COALESCE(b.n, 0) AS rank
+            FROM tgt t LEFT JOIN (
+                SELECT c.cust, CAST(count(*) AS BIGINT) AS n
+                FROM cand c JOIN tgt t2 ON c.cust = t2.cust
+                WHERE c.s > t2.st OR (c.s = t2.st AND c.part < t2.pt)
+                GROUP BY c.cust
+            ) b ON t.cust = b.cust
+        )
+        SELECT CAST(count(*) AS BIGINT) AS n_test,
+               CAST(SUM(CASE WHEN rank <= 10 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS hits_at_10,
+               CAST(SUM(CASE WHEN rank <= 10 THEN 1 ELSE 0 END) AS DOUBLE)
+                   / CAST(count(*) AS DOUBLE) AS hit_rate_at_10,
+               CAST(SUM(CASE WHEN rank <= 10
+                             THEN CAST(floor(1.0 / log2(CAST(rank + 1 AS DOUBLE))
+                                             * 1e9 + 0.5) AS BIGINT)
+                             ELSE 0 END) AS DOUBLE)
+                   / (CAST(count(*) AS DOUBLE) * 1e9) AS ndcg_at_10,
+               CAST(SUM(rank) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+                   AS mean_rank,
+               CAST(SUM(CAST(floor(1.0 / CAST(rank AS DOUBLE) * 1e9 + 0.5)
+                             AS BIGINT)) AS DOUBLE)
+                   / (CAST(count(*) AS DOUBLE) * 1e9) AS mrr
+        FROM rk
     """
 
 
@@ -10170,6 +10258,8 @@ def oracle_sql() -> dict[str, str]:
     _o["markov_attribution"] = _markov_oracle_sql()
     # lasso: exact moments + unrolled soft-threshold rounds
     _o["lasso_coordinate_descent"] = _lasso_oracle_sql()
+    # leave-one-out ALS eval: shared factor chain, count-of-better
+    _o["als_ranking_metrics"] = _als_ranking_oracle_sql()
     # CCNet terciles COMPOSE the LM-score oracle as a CTE — shared
     # text, zero drift (the established composition device)
     _o["doc_perplexity_buckets"] = (
