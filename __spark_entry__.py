@@ -1923,6 +1923,7 @@ _ROTATION_BACKLOG = [
     "doc_perplexity_buckets",
     "lasso_coordinate_descent",
     "als_ranking_metrics",
+    "events_hbos_outliers",
     "media_frame_samples",
     "stream_heavy_hitters",
     "doc_containment_pairs",
@@ -2416,6 +2417,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_perplexity_buckets": pipeline.doc_perplexity_buckets,
         "lasso_coordinate_descent": analytics.lasso_coordinate_descent,
         "als_ranking_metrics": analytics.als_ranking_metrics,
+        "events_hbos_outliers": analytics.events_hbos_outliers,
     }
     head = {n: q[n] for n in _R4_DRIVER_WINDOW}
     assert len(head) == 50, f"driver window must be 50, got {len(head)}"
@@ -10260,6 +10262,45 @@ def oracle_sql() -> dict[str, str]:
     _o["lasso_coordinate_descent"] = _lasso_oracle_sql()
     # leave-one-out ALS eval: shared factor chain, count-of-better
     _o["als_ranking_metrics"] = _als_ranking_oracle_sql()
+    # HBOS: per-bin -log10 densities micro-gridded, 3-term exact sum
+    _o["events_hbos_outliers"] = """
+        WITH ev AS (
+            SELECT event_id, ts, value FROM events WHERE value IS NOT NULL
+        ), rng AS (
+            SELECT MIN(value) AS vmin, MAX(value) AS vmax FROM ev
+        ), base AS (
+            SELECT event_id,
+                   LEAST(9, CAST(floor((value - vmin) / (vmax - vmin) * 10.0)
+                                 AS BIGINT)) AS vbin,
+                   CAST(hour(ts) AS BIGINT) AS hbin,
+                   CAST(dayofweek(ts) AS BIGINT) AS dbin
+            FROM ev CROSS JOIN rng
+        ), hv AS (
+            SELECT vbin,
+                   CAST(floor(-log10(CAST(count(*) AS DOUBLE)
+                                     / CAST(SUM(count(*)) OVER () AS DOUBLE))
+                              * 1e9 + 0.5) AS BIGINT) AS qv
+            FROM base GROUP BY vbin
+        ), hh AS (
+            SELECT hbin,
+                   CAST(floor(-log10(CAST(count(*) AS DOUBLE)
+                                     / CAST(SUM(count(*)) OVER () AS DOUBLE))
+                              * 1e9 + 0.5) AS BIGINT) AS qh
+            FROM base GROUP BY hbin
+        ), hd AS (
+            SELECT dbin,
+                   CAST(floor(-log10(CAST(count(*) AS DOUBLE)
+                                     / CAST(SUM(count(*)) OVER () AS DOUBLE))
+                              * 1e9 + 0.5) AS BIGINT) AS qd
+            FROM base GROUP BY dbin
+        )
+        SELECT event_id, vbin, hbin, dbin,
+               CAST(qv + qh + qd AS DOUBLE) / 1e9 AS hbos_score
+        FROM base JOIN hv USING (vbin) JOIN hh USING (hbin)
+                  JOIN hd USING (dbin)
+        ORDER BY hbos_score DESC, event_id ASC
+        LIMIT 20
+    """
     # CCNet terciles COMPOSE the LM-score oracle as a CTE — shared
     # text, zero drift (the established composition device)
     _o["doc_perplexity_buckets"] = (

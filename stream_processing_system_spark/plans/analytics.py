@@ -10340,7 +10340,10 @@ def als_ranking_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     u, v = als_factorize(train, "cust", "part", "r", rounds=2, reg=0.1)
     ut = u.join(test.select("cust", F.col("part").alias("_heldout")), "cust")
-    scored = ut.crossJoin(v).select(
+    # item factors are K items x 3 columns — broadcast them so the
+    # candidate scoring is a BroadcastNestedLoopJoin fanning out on
+    # the (sampled) test-user side, never a CartesianProduct shuffle
+    scored = ut.crossJoin(F.broadcast(v)).select(
         "cust",
         "part",
         "_heldout",
@@ -10396,3 +10399,76 @@ def als_ranking_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (F.count(F.lit(1)).cast("double") * F.lit(1e9))
         ).alias("mrr"),
     )
+
+
+def events_hbos_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Histogram-Based Outlier Score (Goldstein & Dengel 2012) over
+    three event features — value (10 fixed-width bins over the
+    observed range), hour-of-day (24 bins), day-of-week (7 bins):
+    score = Σ_f −log10(p_f(bin)), the cheap unsupervised outlier
+    ensemble that needs no distance joins. Top-20 by (score desc,
+    event_id asc).
+
+    Scale shape: one aggregate for the value range (2-double
+    broadcast), three bin-histogram aggregates (≤41 cells total,
+    broadcast back), then a map-side score projection — no shuffle
+    wider than the histograms at any data size; this is why HBOS is
+    the standard first pass before distance-based detectors. Each
+    −log10 term is micro-gridded per bin (libm is not correctly
+    rounded cross-engine) and the 3-term score is an exact integer
+    sum on the grid."""
+    events = load_table(spark, sf_dir, "events").where(
+        F.col("value").isNotNull()
+    )
+    rng = events.agg(
+        F.min("value").alias("_vmin"), F.max("value").alias("_vmax")
+    )
+    base = events.crossJoin(F.broadcast(rng)).select(
+        "event_id",
+        F.least(
+            F.lit(9),
+            F.floor(
+                (F.col("value") - F.col("_vmin"))
+                / (F.col("_vmax") - F.col("_vmin"))
+                * F.lit(10.0)
+            ).cast("long"),
+        ).alias("vbin"),
+        F.hour("ts").cast("long").alias("hbin"),
+        (F.dayofweek("ts") - F.lit(1)).cast("long").alias("dbin"),
+    )
+    def hist(col: str) -> DataFrame:
+        # densities normalize by the histogram's own total (an
+        # unbounded window over ≤24 post-aggregate cells) — no
+        # driver-side count, no second scan
+        q = F.floor(
+            -F.log10(
+                F.col("_c").cast("double")
+                / F.sum("_c").over(Window.partitionBy()).cast("double")
+            ) * F.lit(1e9)
+            + F.lit(0.5)
+        ).cast("long")
+        return (
+            base.groupBy(col)
+            .agg(F.count(F.lit(1)).alias("_c"))
+            .select(col, q.alias(f"_q_{col}"))
+        )
+
+    scored = (
+        base.join(F.broadcast(hist("vbin")), "vbin")
+        .join(F.broadcast(hist("hbin")), "hbin")
+        .join(F.broadcast(hist("dbin")), "dbin")
+        .select(
+            "event_id",
+            "vbin",
+            "hbin",
+            "dbin",
+            (
+                (F.col("_q_vbin") + F.col("_q_hbin") + F.col("_q_dbin"))
+                .cast("double")
+                / F.lit(1e9)
+            ).alias("hbos_score"),
+        )
+    )
+    return scored.orderBy(
+        F.col("hbos_score").desc(), F.col("event_id").asc()
+    ).limit(20)
