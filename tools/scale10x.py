@@ -107,6 +107,17 @@ QUERIES = [
     "embedding_kcenter_coreset",
     "events_entropy_rate",
     "part_price_index",
+    # round-4 capability wave
+    "lineitem_shipmode_priority",
+    "orders_business_day_latency",
+    "target_encoding_kfold",
+    "woe_iv_binning",
+    "user_geohash_rollup",
+    "markov_attribution",
+    "doc_perplexity_buckets",
+    "lasso_coordinate_descent",
+    "als_ranking_metrics",
+    "events_hbos_outliers",
 ]
 
 
