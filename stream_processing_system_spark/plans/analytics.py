@@ -10129,56 +10129,82 @@ def markov_attribution_from_events(events: DataFrame) -> DataFrame:
         ),
     ).localCheckpoint()
 
-    variants = spark.createDataFrame(
-        [(v,) for v in ["(none)", *MARKOV_CHANNELS]], "removed string"
+    # The chain is CONSTANT-size (|channels|+1 srcs x |channels|+2
+    # dsts), so the value iteration runs as UNROLLED column
+    # expressions over ONE pivoted probability row — zero per-round
+    # Spark jobs. (A first, loop-based implementation spent ~2 s per
+    # round on tiny-frame shuffle + checkpoint overhead — 20.3 s at
+    # sf0.1; this form computes the IDENTICAL grid integers: a
+    # missing transition pivots to p = 0.0, whose gridded term
+    # floor(0.5) = 0 contributes exactly what an absent join row
+    # did, so the unrolled-CTE oracle is unchanged.) Each round is a
+    # .select projection, so round k references round k-1's COLUMNS,
+    # not its expression tree — no 6^k subtree blowup.
+    srcs = ["START", *MARKOV_CHANNELS]
+    dsts = [*MARKOV_CHANNELS, "CONV", "DROP"]
+    variants = ["(none)", *MARKOV_CHANNELS]
+    p_cols = [f"_p_{i}_{j}" for i in range(len(srcs)) for j in range(len(dsts))]
+    prow = transp.groupBy().agg(
+        *[
+            F.coalesce(
+                F.max(
+                    F.when(
+                        (F.col("src") == s) & (F.col("dst") == t), F.col("p")
+                    )
+                ),
+                F.lit(0.0),
+            ).alias(f"_p_{i}_{j}")
+            for i, s in enumerate(srcs)
+            for j, t in enumerate(dsts)
+        ]
     )
-    states = spark.createDataFrame(
-        [(s,) for s in ["START", *MARKOV_CHANNELS]], "state string"
-    )
-    vt = variants.crossJoin(transp).localCheckpoint()
-    sk = variants.crossJoin(states).localCheckpoint()
-    v = sk.withColumn("q", F.lit(0).cast("long"))
+
+    def qn(r: str, s: str) -> str:
+        return f"_q_{variants.index(r)}_{srcs.index(s)}"
+
+    # Rounds are built as selectExpr STRINGS, one py4j call per
+    # round: the same expressions assembled as Column objects cost
+    # ~7,500 py4j round-trips per round (~2.2 s each, measured —
+    # the dominant cost, not Spark execution). localCheckpoint cuts
+    # lineage per round: without it Catalyst collapses the
+    # projections into one expression tree growing ~6x per round
+    # (36 s of analysis + a codegen overflow, measured). Each
+    # checkpoint is a single-row job (~0.2 s).
+    cur = prow.selectExpr(
+        "*",
+        *[f"CAST(0 AS BIGINT) AS {qn(r, s)}" for r in variants for s in srcs],
+    ).localCheckpoint()
     for _ in range(MARKOV_ROUNDS):
-        joined = vt.join(
-            v.select(
-                F.col("removed").alias("_r"), F.col("state").alias("_s"), "q"
-            ),
-            (F.col("removed") == F.col("_r")) & (F.col("dst") == F.col("_s")),
-            "left",
-        )
-        uq = (
-            F.when(F.col("dst") == "CONV", F.lit(1000000000))
-            .when(F.col("dst") == "DROP", F.lit(0))
-            .when(F.col("dst") == F.col("removed"), F.lit(0))
-            .otherwise(F.coalesce(F.col("q"), F.lit(0)))
-        )
-        term = F.floor(
-            F.col("p") * (uq.cast("double") / F.lit(1e9)) * F.lit(1e9)
-            + F.lit(0.5)
-        ).cast("long")
-        sums = joined.groupBy("removed", "src").agg(
-            F.sum(term).cast("long").alias("qs")
-        )
-        v = (
-            sk.join(
-                sums,
-                (sk["removed"] == sums["removed"])
-                & (sk["state"] == sums["src"]),
-                "left",
+        new_q = []
+        for r in variants:
+            for i, s in enumerate(srcs):
+                terms = []
+                for j, t in enumerate(dsts):
+                    if t == "CONV":
+                        uq = "1000000000"
+                    elif t == "DROP" or t == r:
+                        uq = "0"
+                    else:
+                        uq = qn(r, t)
+                    terms.append(
+                        f"floor(_p_{i}_{j} * (CAST({uq} AS DOUBLE) / 1e9)"
+                        " * 1e9 + 0.5)"
+                    )
+                new_q.append(" + ".join(terms) + f" AS {qn(r, s)}")
+        cur = cur.selectExpr(*p_cols, *new_q).localCheckpoint()
+    per_channel = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("channel"),
+                F.col(qn(c, "START")).alias("conv_q"),
             )
-            .select(
-                sk["removed"], sk["state"], F.coalesce("qs", F.lit(0)).alias("q")
-            )
-            .localCheckpoint()
-        )
-    base = (
-        v.where((F.col("removed") == "(none)") & (F.col("state") == "START"))
-        .select(F.col("q").alias("base_q"))
+            for c in MARKOV_CHANNELS
+        ]
     )
-    per = v.where(
-        (F.col("removed") != "(none)") & (F.col("state") == "START")
-    ).select(F.col("removed").alias("channel"), F.col("q").alias("conv_q"))
-    out = per.crossJoin(F.broadcast(base))
+    out = cur.select(
+        F.col(qn("(none)", "START")).alias("base_q"),
+        F.explode(per_channel).alias("_e"),
+    ).select("_e.channel", "_e.conv_q", "base_q")
     effect = F.col("base_q") - F.col("conv_q")
     wall = Window.partitionBy()
     return out.select(
