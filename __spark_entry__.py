@@ -1926,6 +1926,7 @@ _ROTATION_BACKLOG = [
     "lasso_coordinate_descent",
     "als_ranking_metrics",
     "events_hbos_outliers",
+    "shapley_attribution",
     "media_frame_samples",
     "stream_heavy_hitters",
     "doc_containment_pairs",
@@ -2420,6 +2421,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lasso_coordinate_descent": analytics.lasso_coordinate_descent,
         "als_ranking_metrics": analytics.als_ranking_metrics,
         "events_hbos_outliers": analytics.events_hbos_outliers,
+        "shapley_attribution": analytics.shapley_attribution,
     }
     head = {n: q[n] for n in _R4_DRIVER_WINDOW}
     assert len(head) == 50, f"driver window must be 50, got {len(head)}"
@@ -2574,6 +2576,101 @@ def _als_ranking_oracle_sql(rounds: int = 2, reg: float = 0.1) -> str:
     """
 
 
+def _shapley_oracle_sql() -> str:
+    """Unrolled replay of plans.analytics.shapley_attribution: the
+    shared journey CTEs, one value iteration per coalition (16
+    variants, allowed-set membership encoded as a '|'-delimited
+    string), then the exact Shapley weighted sums with repr'd
+    rational weights in the same left-assoc term order as the Spark
+    expression chain."""
+    import math
+
+    chans = analytics.MARKOV_CHANNELS
+    rounds = analytics.MARKOV_ROUNDS
+    n = len(chans)
+
+    def members(mask):
+        return [c for i, c in enumerate(chans) if mask >> i & 1]
+
+    def vname(mask):
+        return "S" + "".join("1" if mask >> i & 1 else "0" for i in range(n))
+
+    rows = ", ".join(
+        f"('{vname(m)}', '|{'|'.join(members(m))}|')" for m in range(2**n)
+    )
+    states = ", ".join(f"'{s}'" for s in ["START", *chans])
+    step = """
+        v{k} AS (
+            SELECT sk.vn, sk.allowed, sk.state, COALESCE(s.qs, 0) AS q
+            FROM sk LEFT JOIN (
+                SELECT vt.vn, vt.src,
+                       CAST(SUM(CAST(floor(vt.p * (CAST(
+                           CASE WHEN vt.dst = 'CONV' THEN 1000000000
+                                WHEN vt.dst = 'DROP' THEN 0
+                                WHEN strpos(vt.allowed,
+                                            '|' || vt.dst || '|') = 0 THEN 0
+                                ELSE COALESCE(v.q, 0) END AS DOUBLE) / 1e9)
+                           * 1e9 + 0.5) AS BIGINT)) AS BIGINT) AS qs
+                FROM vt LEFT JOIN v{prev} v
+                  ON v.vn = vt.vn AND v.state = vt.dst
+                GROUP BY 1, 2
+            ) s ON s.vn = sk.vn AND s.src = sk.state
+        )"""
+    chain = ",".join(step.format(k=k, prev=k - 1) for k in range(1, rounds + 1))
+    piv_cols = ", ".join(
+        f"MAX(CASE WHEN vn = '{vname(m)}' AND state = 'START' THEN q END)"
+        f" AS q_{vname(m)}"
+        for m in range(2**n)
+    )
+    fact = math.factorial
+    phis = []
+    for ci in range(n):
+        terms = []
+        for m in range(2**n):
+            if m >> ci & 1:
+                continue
+            s_size = bin(m).count("1")
+            w = fact(s_size) * fact(n - s_size - 1) / fact(n)
+            terms.append(
+                f"{w!r} * CAST(q_{vname(m | (1 << ci))} - q_{vname(m)}"
+                " AS DOUBLE)"
+            )
+        phis.append(" + ".join(terms) + f" AS phi_{ci}")
+    den = " + ".join(f"phi_{ci}" for ci in range(n))
+    ch_rows = ", ".join(f"('{c}', {ci})" for ci, c in enumerate(chans))
+    val = " ".join(
+        ["CASE ch.ci"]
+        + [f"WHEN {ci} THEN phi_{ci}" for ci in range(n - 1)]
+        + [f"ELSE phi_{n - 1} END"]
+    )
+    return f"""
+        WITH {_JOURNEY_SQL}
+        variants(vn, allowed) AS (VALUES {rows}),
+        states AS (SELECT unnest([{states}]) AS state),
+        sk AS (SELECT vn, allowed, state FROM variants CROSS JOIN states),
+        vt AS (SELECT vn, allowed, src, dst, p FROM variants CROSS JOIN p),
+        v0 AS (SELECT vn, allowed, state, CAST(0 AS BIGINT) AS q FROM sk),
+        {chain},
+        piv AS (SELECT {piv_cols} FROM v{rounds}),
+        phis AS (
+            SELECT q_{vname(2**n - 1)} AS vq_full,
+                   q_{vname(0)} AS vq_empty,
+                   {', '.join(phis)}
+            FROM piv
+        )
+        SELECT ch.channel,
+               CAST(vq_full AS DOUBLE) / 1e9 AS conv_full,
+               ({val}) / 1e9 AS shapley_value,
+               CASE WHEN ({den}) > 0
+                    THEN ({val}) / ({den})
+               END AS shapley_share,
+               (CAST(vq_full - vq_empty AS DOUBLE) - ({den})) / 1e9
+                   AS efficiency_gap
+        FROM phis CROSS JOIN (VALUES {ch_rows}) AS ch(channel, ci)
+        ORDER BY channel
+    """
+
+
 def _lasso_oracle_sql() -> str:
     """Unrolled replay of plans.analytics.lasso_coordinate_descent:
     exact DECIMAL moments, standardized correlations with the same
@@ -2654,35 +2751,10 @@ def _lasso_oracle_sql() -> str:
     """
 
 
-def _markov_oracle_sql() -> str:
-    """Unrolled-CTE replay of plans.analytics.markov_attribution:
-    journey construction, transition probabilities, then
-    MARKOV_ROUNDS value-iteration rounds on the same 1e9 grid (terms
-    floored BEFORE each per-state sum, exactly as the Spark
-    recurrence)."""
-    channels = _analytics_markov_channels()
-    rounds = _analytics_markov_rounds()
-    variants = ", ".join(f"'{c}'" for c in ["(none)", *channels])
-    states = ", ".join(f"'{s}'" for s in ["START", *channels])
-    step = """
-        v{k} AS (
-            SELECT sk.removed, sk.state, COALESCE(s.qs, 0) AS q
-            FROM sk LEFT JOIN (
-                SELECT vt.removed, vt.src,
-                       CAST(SUM(CAST(floor(vt.p * (CAST(
-                           CASE WHEN vt.dst = 'CONV' THEN 1000000000
-                                WHEN vt.dst = 'DROP' THEN 0
-                                WHEN vt.dst = vt.removed THEN 0
-                                ELSE COALESCE(v.q, 0) END AS DOUBLE) / 1e9)
-                           * 1e9 + 0.5) AS BIGINT)) AS BIGINT) AS qs
-                FROM vt LEFT JOIN v{prev} v
-                  ON v.removed = vt.removed AND v.state = vt.dst
-                GROUP BY 1, 2
-            ) s ON s.removed = sk.removed AND s.src = sk.state
-        )"""
-    chain = ",".join(step.format(k=k, prev=k - 1) for k in range(1, rounds + 1))
-    return f"""
-        WITH ranked AS (
+#: Journey → transition-probability CTE chain shared VERBATIM by the
+#: Markov removal-effect and Shapley attribution oracles (ends with a
+#: trailing comma; prepend WITH and append the iteration CTEs).
+_JOURNEY_SQL = """ranked AS (
             SELECT user_id, event_type,
                    row_number() OVER (PARTITION BY user_id
                                       ORDER BY ts, event_id) AS rn
@@ -2718,7 +2790,38 @@ def _markov_oracle_sql() -> str:
                    CAST(n AS DOUBLE)
                    / CAST(SUM(n) OVER (PARTITION BY src) AS DOUBLE) AS p
             FROM t
-        ), variants AS (
+        ),"""
+
+
+def _markov_oracle_sql() -> str:
+    """Unrolled-CTE replay of plans.analytics.markov_attribution:
+    journey construction, transition probabilities, then
+    MARKOV_ROUNDS value-iteration rounds on the same 1e9 grid (terms
+    floored BEFORE each per-state sum, exactly as the Spark
+    recurrence)."""
+    channels = _analytics_markov_channels()
+    rounds = _analytics_markov_rounds()
+    variants = ", ".join(f"'{c}'" for c in ["(none)", *channels])
+    states = ", ".join(f"'{s}'" for s in ["START", *channels])
+    step = """
+        v{k} AS (
+            SELECT sk.removed, sk.state, COALESCE(s.qs, 0) AS q
+            FROM sk LEFT JOIN (
+                SELECT vt.removed, vt.src,
+                       CAST(SUM(CAST(floor(vt.p * (CAST(
+                           CASE WHEN vt.dst = 'CONV' THEN 1000000000
+                                WHEN vt.dst = 'DROP' THEN 0
+                                WHEN vt.dst = vt.removed THEN 0
+                                ELSE COALESCE(v.q, 0) END AS DOUBLE) / 1e9)
+                           * 1e9 + 0.5) AS BIGINT)) AS BIGINT) AS qs
+                FROM vt LEFT JOIN v{prev} v
+                  ON v.removed = vt.removed AND v.state = vt.dst
+                GROUP BY 1, 2
+            ) s ON s.removed = sk.removed AND s.src = sk.state
+        )"""
+    chain = ",".join(step.format(k=k, prev=k - 1) for k in range(1, rounds + 1))
+    return f"""
+        WITH {_JOURNEY_SQL} variants AS (
             SELECT unnest([{variants}]) AS removed
         ), states AS (
             SELECT unnest([{states}]) AS state
@@ -10260,6 +10363,8 @@ def oracle_sql() -> dict[str, str]:
     # Markov removal-effect attribution: unrolled value iteration on
     # the 1e9 grid (helper generates MARKOV_ROUNDS CTE rounds)
     _o["markov_attribution"] = _markov_oracle_sql()
+    # exact Shapley: 16 coalition value iterations, shared journey SQL
+    _o["shapley_attribution"] = _shapley_oracle_sql()
     # lasso: exact moments + unrolled soft-threshold rounds
     _o["lasso_coordinate_descent"] = _lasso_oracle_sql()
     # leave-one-out ALS eval: shared factor chain, count-of-better

@@ -10070,11 +10070,14 @@ def markov_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     return markov_attribution_from_events(events)
 
 
-def markov_attribution_from_events(events: DataFrame) -> DataFrame:
-    """Core of markov_attribution over any (user_id, ts, event_id,
-    event_type) frame — split out so tests can inject hand-built
-    journeys and compare against an independent absorption solver."""
-    spark = events.sparkSession
+def _journey_transitions(events: DataFrame) -> DataFrame:
+    """User journeys → first-order transition probabilities (the
+    shared front half of the Markov removal-effect and Shapley
+    attributions): channel events up to the FIRST purchase, ordered
+    by (ts, event_id), emit START→first / step→step / last→CONV-or-
+    DROP transitions; probabilities are single divisions of exact
+    counts. Two user-partitioned windows, one grouped count — the
+    only stages that touch fact-table-sized data."""
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     ranked = events.select(
         "user_id", "event_type", F.row_number().over(w).alias("rn")
@@ -10121,7 +10124,7 @@ def markov_attribution_from_events(events: DataFrame) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n"))
     )
     ws = Window.partitionBy("src")
-    transp = trans.select(
+    return trans.select(
         "src",
         "dst",
         (F.col("n").cast("double") / F.sum("n").over(ws).cast("double")).alias(
@@ -10129,20 +10132,34 @@ def markov_attribution_from_events(events: DataFrame) -> DataFrame:
         ),
     ).localCheckpoint()
 
-    # The chain is CONSTANT-size (|channels|+1 srcs x |channels|+2
-    # dsts), so the value iteration runs as UNROLLED column
-    # expressions over ONE pivoted probability row — zero per-round
-    # Spark jobs. (A first, loop-based implementation spent ~2 s per
-    # round on tiny-frame shuffle + checkpoint overhead — 20.3 s at
-    # sf0.1; this form computes the IDENTICAL grid integers: a
-    # missing transition pivots to p = 0.0, whose gridded term
-    # floor(0.5) = 0 contributes exactly what an absent join row
-    # did, so the unrolled-CTE oracle is unchanged.) Each round is a
-    # .select projection, so round k references round k-1's COLUMNS,
-    # not its expression tree — no 6^k subtree blowup.
+
+def _chain_start_values(transp: DataFrame, variants) -> tuple[DataFrame, dict]:
+    """Value-iterate the journey chain once per VARIANT — an ordered
+    list of (name, allowed-channel frozenset); a transition into a
+    channel outside the variant's allowed set is absorbed as DROP
+    (u = 0). Returns a ONE-row DataFrame plus {variant name → the
+    column holding its START value on the 1e9 grid}.
+
+    The chain is CONSTANT-size (|channels|+1 srcs x |channels|+2
+    dsts), so the value iteration runs as UNROLLED column
+    expressions over ONE pivoted probability row — zero per-round
+    Spark jobs. (A first, loop-based implementation spent ~2 s per
+    round on tiny-frame shuffle + checkpoint overhead — 20.3 s at
+    sf0.1; this form computes the IDENTICAL grid integers: a
+    missing transition pivots to p = 0.0, whose gridded term
+    floor(0.5) = 0 contributes exactly what an absent join row
+    did, so the unrolled-CTE oracles are unchanged.) Rounds are
+    built as selectExpr STRINGS, one py4j call per round: the same
+    expressions assembled as Column objects cost ~7,500 py4j
+    round-trips per round (~2.2 s each, measured — the dominant
+    cost, not Spark execution). localCheckpoint cuts lineage per
+    round: without it Catalyst collapses the projections into one
+    expression tree growing ~6x per round (36 s of analysis + a
+    codegen overflow, measured). Each checkpoint is a single-row
+    job (~0.2 s)."""
     srcs = ["START", *MARKOV_CHANNELS]
     dsts = [*MARKOV_CHANNELS, "CONV", "DROP"]
-    variants = ["(none)", *MARKOV_CHANNELS]
+    names = [name for name, _ in variants]
     p_cols = [f"_p_{i}_{j}" for i in range(len(srcs)) for j in range(len(dsts))]
     prow = transp.groupBy().agg(
         *[
@@ -10159,50 +10176,59 @@ def markov_attribution_from_events(events: DataFrame) -> DataFrame:
         ]
     )
 
-    def qn(r: str, s: str) -> str:
-        return f"_q_{variants.index(r)}_{srcs.index(s)}"
+    def qn(vi: int, s: str) -> str:
+        return f"_q_{vi}_{srcs.index(s)}"
 
-    # Rounds are built as selectExpr STRINGS, one py4j call per
-    # round: the same expressions assembled as Column objects cost
-    # ~7,500 py4j round-trips per round (~2.2 s each, measured —
-    # the dominant cost, not Spark execution). localCheckpoint cuts
-    # lineage per round: without it Catalyst collapses the
-    # projections into one expression tree growing ~6x per round
-    # (36 s of analysis + a codegen overflow, measured). Each
-    # checkpoint is a single-row job (~0.2 s).
     cur = prow.selectExpr(
         "*",
-        *[f"CAST(0 AS BIGINT) AS {qn(r, s)}" for r in variants for s in srcs],
+        *[
+            f"CAST(0 AS BIGINT) AS {qn(vi, s)}"
+            for vi in range(len(names))
+            for s in srcs
+        ],
     ).localCheckpoint()
     for _ in range(MARKOV_ROUNDS):
         new_q = []
-        for r in variants:
+        for vi, (_name, allowed) in enumerate(variants):
             for i, s in enumerate(srcs):
                 terms = []
                 for j, t in enumerate(dsts):
                     if t == "CONV":
                         uq = "1000000000"
-                    elif t == "DROP" or t == r:
+                    elif t == "DROP" or t not in allowed:
                         uq = "0"
                     else:
-                        uq = qn(r, t)
+                        uq = qn(vi, t)
                     terms.append(
                         f"floor(_p_{i}_{j} * (CAST({uq} AS DOUBLE) / 1e9)"
                         " * 1e9 + 0.5)"
                     )
-                new_q.append(" + ".join(terms) + f" AS {qn(r, s)}")
+                new_q.append(" + ".join(terms) + f" AS {qn(vi, s)}")
         cur = cur.selectExpr(*p_cols, *new_q).localCheckpoint()
+    return cur, {name: qn(vi, "START") for vi, name in enumerate(names)}
+
+
+def markov_attribution_from_events(events: DataFrame) -> DataFrame:
+    """Core of markov_attribution over any (user_id, ts, event_id,
+    event_type) frame — split out so tests can inject hand-built
+    journeys and compare against an independent absorption solver."""
+    transp = _journey_transitions(events)
+    allset = frozenset(MARKOV_CHANNELS)
+    variants = [("(none)", allset)] + [
+        (c, allset - {c}) for c in MARKOV_CHANNELS
+    ]
+    cur, startq = _chain_start_values(transp, variants)
     per_channel = F.array(
         *[
             F.struct(
                 F.lit(c).alias("channel"),
-                F.col(qn(c, "START")).alias("conv_q"),
+                F.col(startq[c]).alias("conv_q"),
             )
             for c in MARKOV_CHANNELS
         ]
     )
     out = cur.select(
-        F.col(qn("(none)", "START")).alias("base_q"),
+        F.col(startq["(none)"]).alias("base_q"),
         F.explode(per_channel).alias("_e"),
     ).select("_e.channel", "_e.conv_q", "base_q")
     effect = F.col("base_q") - F.col("conv_q")
@@ -10498,3 +10524,105 @@ def events_hbos_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.orderBy(
         F.col("hbos_score").desc(), F.col("event_id").asc()
     ).limit(20)
+
+
+def shapley_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT Shapley-value channel attribution over the journey
+    chain: with |channels| = 4 the coalition space is only 2⁴ = 16,
+    so instead of sampling (the usual Shapley compromise) the chain's
+    conversion value v(S) is computed for EVERY coalition S — the
+    same knockout value iteration as markov_attribution, with the
+    variant list being all subsets (a transition into a channel
+    outside S absorbs as DROP) — and φ_c is the exact weighted sum
+    Σ_{S⊆C∖{c}} |S|!(|C|−|S|−1)!/|C|! · (v(S∪{c}) − v(S)). Game-
+    theoretically fair credit (efficiency, symmetry, null-player),
+    reported with the efficiency-check residual
+    (v(full) − v(∅) − Σφ — zero up to grid noise, a built-in
+    self-audit the driver hashes).
+
+    Scale shape: identical to markov_attribution — journey windows
+    are the only data-sized stages; all 16 value iterations ride the
+    same pivoted single-row frame (80 grid columns), so the
+    coalition enumeration costs nothing extra at 100 TB. All 16
+    v values are 1e9-grid integers; φ terms multiply exact grid
+    differences by repr'd rational weights in a FIXED left-assoc
+    order mirrored textually in the SQL oracle."""
+    events = load_table(spark, sf_dir, "events").where(
+        F.col("user_id").isNotNull()
+    )
+    return shapley_attribution_from_events(events)
+
+
+def shapley_attribution_from_events(events: DataFrame) -> DataFrame:
+    """Core of shapley_attribution (injectable for tests)."""
+    import math
+
+    transp = _journey_transitions(events)
+    chans = MARKOV_CHANNELS
+    n = len(chans)
+
+    def members(mask: int) -> frozenset:
+        return frozenset(c for i, c in enumerate(chans) if mask >> i & 1)
+
+    def vname(mask: int) -> str:
+        return "S" + "".join(
+            "1" if mask >> i & 1 else "0" for i in range(n)
+        )
+
+    variants = [(vname(m), members(m)) for m in range(2**n)]
+    cur, startq = _chain_start_values(transp, variants)
+    fact = math.factorial
+    phi_exprs = []
+    for ci, c in enumerate(chans):
+        total = None
+        for m in range(2**n):
+            if m >> ci & 1:
+                continue
+            s_size = bin(m).count("1")
+            w = fact(s_size) * fact(n - s_size - 1) / fact(n)
+            term = F.lit(w) * (
+                F.col(startq[vname(m | (1 << ci))]) - F.col(startq[vname(m)])
+            ).cast("double")
+            total = term if total is None else total + term
+        phi_exprs.append(total.alias(f"_phi_{ci}"))
+    piv = cur.select(
+        F.col(startq[vname(2**n - 1)]).alias("vq_full"),
+        F.col(startq[vname(0)]).alias("vq_empty"),
+        *phi_exprs,
+    )
+    den = F.col("_phi_0")
+    for ci in range(1, n):
+        den = den + F.col(f"_phi_{ci}")
+    per_channel = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("channel"),
+                F.col(f"_phi_{ci}").alias("phi"),
+            )
+            for ci, c in enumerate(chans)
+        ]
+    )
+    return (
+        piv.select(
+            "vq_full",
+            "vq_empty",
+            den.alias("_den"),
+            F.explode(per_channel).alias("_e"),
+        )
+        .select(
+            F.col("_e.channel").alias("channel"),
+            (F.col("vq_full").cast("double") / F.lit(1e9)).alias("conv_full"),
+            (F.col("_e.phi") / F.lit(1e9)).alias("shapley_value"),
+            F.when(
+                F.col("_den") > 0, F.col("_e.phi") / F.col("_den")
+            ).alias("shapley_share"),
+            (
+                (
+                    (F.col("vq_full") - F.col("vq_empty")).cast("double")
+                    - F.col("_den")
+                )
+                / F.lit(1e9)
+            ).alias("efficiency_gap"),
+        )
+        .orderBy("channel")
+    )
