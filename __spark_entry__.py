@@ -1927,6 +1927,7 @@ _ROTATION_BACKLOG = [
     "als_ranking_metrics",
     "events_hbos_outliers",
     "shapley_attribution",
+    "events_rbo_daily_topk",
     "media_frame_samples",
     "stream_heavy_hitters",
     "doc_containment_pairs",
@@ -2422,6 +2423,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "als_ranking_metrics": analytics.als_ranking_metrics,
         "events_hbos_outliers": analytics.events_hbos_outliers,
         "shapley_attribution": analytics.shapley_attribution,
+        "events_rbo_daily_topk": analytics.events_rbo_daily_topk,
     }
     head = {n: q[n] for n in _R4_DRIVER_WINDOW}
     assert len(head) == 50, f"driver window must be 50, got {len(head)}"
@@ -2668,6 +2670,48 @@ def _shapley_oracle_sql() -> str:
                    AS efficiency_gap
         FROM phis CROSS JOIN (VALUES {ch_rows}) AS ch(channel, ci)
         ORDER BY channel
+    """
+
+
+def _rbo_oracle_sql() -> str:
+    """Mirror of plans.analytics.events_rbo_daily_topk: the same
+    repr'd (1-p)p^(d-1) weights and the same left-assoc 20-term sum."""
+    depth = analytics.RBO_DEPTH
+    p = analytics.RBO_P
+    o_cols = ", ".join(
+        f"CAST(SUM(CASE WHEN m <= {d} THEN 1 ELSE 0 END) AS BIGINT) AS _o{d}"
+        for d in range(1, depth + 1)
+    )
+    terms = " + ".join(
+        f"CAST(floor({(1.0 - p) * p ** (d - 1) / float(d) * 1e12!r}"
+        f" * CAST(_o{d} AS DOUBLE) + 0.5) AS BIGINT)"
+        for d in range(1, depth + 1)
+    )
+    return f"""
+        WITH daily AS (
+            SELECT CAST(ts AS DATE) AS d, user_id,
+                   CAST(SUM(CAST(floor(value * 10000 + 0.5) AS BIGINT))
+                        AS BIGINT) AS v
+            FROM events
+            WHERE value IS NOT NULL AND user_id IS NOT NULL
+            GROUP BY 1, 2
+        ), top AS (
+            SELECT d, user_id, rk FROM (
+                SELECT d, user_id,
+                       row_number() OVER (PARTITION BY d
+                                          ORDER BY v DESC, user_id ASC) AS rk
+                FROM daily
+            ) WHERE rk <= {depth}
+        ), pairs AS (
+            SELECT CAST(a.d AS VARCHAR) AS day, GREATEST(a.rk, b.rk) AS m
+            FROM top a JOIN top b
+              ON a.user_id = b.user_id AND b.d = a.d + 1
+        ), o AS (
+            SELECT day, {o_cols} FROM pairs GROUP BY day
+        )
+        SELECT day, _o{depth} AS n_common,
+               CAST({terms} AS DOUBLE) / 1e12 AS rbo
+        FROM o ORDER BY day
     """
 
 
@@ -10365,6 +10409,8 @@ def oracle_sql() -> dict[str, str]:
     _o["markov_attribution"] = _markov_oracle_sql()
     # exact Shapley: 16 coalition value iterations, shared journey SQL
     _o["shapley_attribution"] = _shapley_oracle_sql()
+    # RBO: repr'd geometric weights, fixed-order 20-term sum
+    _o["events_rbo_daily_topk"] = _rbo_oracle_sql()
     # lasso: exact moments + unrolled soft-threshold rounds
     _o["lasso_coordinate_descent"] = _lasso_oracle_sql()
     # leave-one-out ALS eval: shared factor chain, count-of-better

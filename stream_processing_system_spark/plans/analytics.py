@@ -10626,3 +10626,84 @@ def shapley_attribution_from_events(events: DataFrame) -> DataFrame:
         )
         .orderBy("channel")
     )
+
+
+#: RBO depth and persistence (Webber et al. 2010); the (1-p)·p^(d-1)
+#: weights are Python-computed constants embedded as repr literals in
+#: both engines.
+RBO_DEPTH = 20
+RBO_P = 0.9
+
+
+def events_rbo_daily_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rank-biased overlap between CONSECUTIVE days' top-20 users by
+    spend (Webber et al. 2010, bounded at depth 20) — the standard
+    top-weighted list-similarity for monitoring ranking stability
+    (search results, leaderboards, recommendations): RBO =
+    (1−p)·Σ_d p^(d−1)·(|prefix overlap at d| / d), p = 0.9, so churn
+    near the top costs far more than churn at rank 20.
+
+    Scale shape: one grouped aggregate to daily per-user spend, one
+    day-partitioned window for ranks (top-20 kept), one equi-join of
+    adjacent days on user, one aggregate per day pair — nothing
+    wider than the fact scan. Determinism: spend ranks on exact
+    1e-4-grid integer sums with a (spend desc, user asc) total
+    order; prefix-overlap counts are integers; the 20 RBO terms are
+    repr'd-constant × single-division products summed in a fixed
+    left-assoc order mirrored in the SQL text."""
+    events = load_table(spark, sf_dir, "events").where(
+        F.col("value").isNotNull() & F.col("user_id").isNotNull()
+    )
+    daily = events.groupBy(
+        F.col("ts").cast("date").alias("d"), "user_id"
+    ).agg(
+        F.sum(F.floor(F.col("value") * 10000 + F.lit(0.5)).cast("long"))
+        .cast("long")
+        .alias("v")
+    )
+    wd = Window.partitionBy("d").orderBy(
+        F.col("v").desc(), F.col("user_id").asc()
+    )
+    top = daily.select(
+        "d", "user_id", F.row_number().over(wd).alias("rk")
+    ).where(F.col("rk") <= RBO_DEPTH)
+    b = top.select(
+        F.col("d").alias("_db"),
+        F.col("user_id").alias("_ub"),
+        F.col("rk").alias("_rkb"),
+    )
+    pairs = top.join(
+        b,
+        (F.col("user_id") == F.col("_ub"))
+        & (F.col("_db") == F.date_add(F.col("d"), 1)),
+    ).select(
+        F.col("d").cast("string").alias("day"),
+        F.greatest(F.col("rk"), F.col("_rkb")).alias("m"),
+    )
+    o = pairs.groupBy("day").agg(
+        *[
+            F.sum(F.when(F.col("m") <= d, 1).otherwise(0))
+            .cast("long")
+            .alias(f"_o{d}")
+            for d in range(1, RBO_DEPTH + 1)
+        ]
+    )
+    rbo_q = None
+    for d in range(1, RBO_DEPTH + 1):
+        # weight folded to ONE pre-scaled constant in Python
+        # ((1-p)p^(d-1)/d * 1e12), each term floored onto the 1e12
+        # grid, and the 20-term sum taken over INTEGERS: a plain
+        # double add-chain was observed to differ by 1 ulp between
+        # engines on some inputs (cross-engine FP addition order is
+        # not trustworthy even for textually identical chains — the
+        # standard grid device sidesteps it)
+        w12 = (1.0 - RBO_P) * RBO_P ** (d - 1) / float(d) * 1e12
+        term = F.floor(
+            F.lit(w12) * F.col(f"_o{d}").cast("double") + F.lit(0.5)
+        ).cast("long")
+        rbo_q = term if rbo_q is None else rbo_q + term
+    return o.select(
+        "day",
+        F.col(f"_o{RBO_DEPTH}").alias("n_common"),
+        (rbo_q.cast("double") / F.lit(1e12)).alias("rbo"),
+    ).orderBy("day")

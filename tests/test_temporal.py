@@ -267,3 +267,48 @@ def test_business_days_closed_form_matches_naive_loop(spark):
             if (d0 + dt.timedelta(days=i)).weekday() < 5
         )
         assert got[(d0, d1)] == expect, (d0, d1)
+
+
+def test_rbo_identical_and_disjoint_lists(spark, tmp_path):
+    """RBO bounds on hand-built two-day rankings: identical top-5
+    lists score the gridded Σ(1-p)p^(d-1)·(min(d,5)/d) exactly;
+    a day pair sharing no users emits no row (inner join — there is
+    no overlap to score)."""
+    import datetime as dt
+    import math
+
+    from stream_processing_system_spark.plans.analytics import (
+        RBO_DEPTH,
+        RBO_P,
+        events_rbo_daily_topk,
+    )
+
+    base = dt.datetime(2024, 3, 1)
+    rows = []
+    eid = 0
+    for day in (0, 1):  # identical users + spends -> identical ranking
+        for u in range(5):
+            rows.append((eid, base + dt.timedelta(days=day), u, 100.0 - u))
+            eid += 1
+    for day, off in ((3, 100), (4, 200)):  # disjoint user sets
+        for u in range(5):
+            rows.append((eid, base + dt.timedelta(days=day), off + u, 50.0 - u))
+            eid += 1
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, value double"
+    ).selectExpr(
+        "event_id", "ts", "user_id", "'click' AS event_type", "value",
+        "NULL AS props"
+    )
+    df.write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
+    got = {
+        r["day"]: r
+        for r in events_rbo_daily_topk(spark, str(tmp_path)).collect()
+    }
+    assert "2024-03-01" in got and "2024-03-04" not in got
+    expect_q = 0
+    for d in range(1, RBO_DEPTH + 1):
+        w12 = (1.0 - RBO_P) * RBO_P ** (d - 1) / float(d) * 1e12
+        expect_q += math.floor(w12 * float(min(d, 5)) + 0.5)
+    assert got["2024-03-01"]["rbo"] == expect_q / 1e12
+    assert got["2024-03-01"]["n_common"] == 5
