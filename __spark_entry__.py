@@ -1853,8 +1853,8 @@ def _top_users_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: judge-named round-3 determinism-risk class, then the rest of the
 #: round-3 third-wave additions newest-first. None of these 50 has
 #: ever held a green driver CORRECTNESS row; after this round,
-#: cumulative driver coverage is 199 distinct of the 339 registered
-#: (the 10 round-4 capability additions join via the FRONT of
+#: cumulative driver coverage is 199 distinct of the 341 registered
+#: (the 12 round-4 capability additions join via the FRONT of
 #: _ROTATION_BACKLOG, i.e. the round-5 window).
 _R4_DRIVER_WINDOW = [
     "approx_distinct_users",
