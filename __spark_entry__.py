@@ -849,12 +849,11 @@ def _gbm_oracle_sql(rounds: int = 2) -> str:
     )
 
 
-def _logit_oracle_sql(iters: int = 3) -> str:
-    """IRLS logistic regression unrolled as CTEs, mirroring
-    `analytics.lineitem_logit_return` round-for-round (the
-    `_poisson_glm_oracle_sql` scheme with the binomial weight
-    μ(1−μ) and working response), plus the midrank-AUC and
-    accuracy metrics over the finite score grid."""
+def _logit_beta_parts(iters: int = 3) -> tuple[list[str], str]:
+    """The IRLS beta-CTE chain shared by the classifier oracle and
+    the calibration-curve oracle (mirrors
+    `analytics._logit_irls_betas` round-for-round). Returns the CTE
+    parts list (base … beta{iters}) and the η expression string."""
     E = "(b.b0 + b.b1 * CAST(t.x1 AS DOUBLE) + b.b2 * CAST(t.x2 AS DOUBLE))"
     M = f"(1.0 / (1.0 + exp(-{E})))"
     W = f"({M} * (1.0 - {M}))"
@@ -915,6 +914,16 @@ def _logit_oracle_sql(iters: int = 3) -> str:
                    / 1000000000.0 AS b2
         FROM k{t}
     )""")
+    return parts, E
+
+
+def _logit_oracle_sql(iters: int = 3) -> str:
+    """IRLS logistic regression unrolled as CTEs, mirroring
+    `analytics.lineitem_logit_return` round-for-round (the
+    `_poisson_glm_oracle_sql` scheme with the binomial weight
+    μ(1−μ) and working response), plus the midrank-AUC and
+    accuracy metrics over the finite score grid."""
+    parts, E = _logit_beta_parts(iters)
     return f"""
         WITH {','.join(parts)},
         cells AS (
@@ -952,6 +961,44 @@ def _logit_oracle_sql(iters: int = 3) -> str:
                      / (CAST(n1 AS DOUBLE) * CAST(n0 AS DOUBLE))
                      * 1000000.0 + 0.5) / 1000000.0 AS train_auc
         FROM m
+    """
+
+
+def _logit_calibration_oracle_sql(iters: int = 3) -> str:
+    """Reliability diagram over the SAME unrolled IRLS beta chain as
+    `_logit_oracle_sql` (composed oracles: shared text, zero drift):
+    μ floored to the 1e-6 grid per row feeds both the 10-bin bucket
+    (integer division of grid units) and the exact bin-level sums."""
+    parts, E = _logit_beta_parts(iters)
+    M = f"(1.0 / (1.0 + exp(-{E})))"
+    return f"""
+        WITH {','.join(parts)},
+        scored AS (
+            SELECT CAST(floor({M} * 1000000.0 + 0.5) AS BIGINT) AS mu_g,
+                   t.y AS y
+            FROM base t, beta{iters} b
+        ), binned AS (
+            SELECT LEAST(CAST(floor(mu_g / 100000) AS BIGINT),
+                         CAST(9 AS BIGINT)) AS bin,
+                   mu_g, y
+            FROM scored
+        ), grouped AS (
+            SELECT bin, CAST(count(*) AS BIGINT) AS n_rows,
+                   CAST(SUM(mu_g) AS BIGINT) AS smu,
+                   CAST(SUM(y) AS BIGINT) AS spos
+            FROM binned GROUP BY 1
+        )
+        SELECT bin, n_rows,
+               floor((CAST(smu AS DOUBLE) / 1000000.0)
+                     / CAST(n_rows AS DOUBLE)
+                     * 1000000.0 + 0.5) / 1000000.0 AS mean_pred,
+               floor(CAST(spos AS DOUBLE) / CAST(n_rows AS DOUBLE)
+                     * 1000000.0 + 0.5) / 1000000.0 AS obs_rate,
+               floor(abs(CAST(smu AS DOUBLE) / 1000000.0
+                             / CAST(n_rows AS DOUBLE)
+                         - CAST(spos AS DOUBLE) / CAST(n_rows AS DOUBLE))
+                     * 1000000.0 + 0.5) / 1000000.0 AS abs_gap
+        FROM grouped ORDER BY bin
     """
 
 
@@ -1968,6 +2015,14 @@ _ROTATION_BACKLOG = [
     "events_binseg_changepoint",
     "part_triple_itemsets",
     "join_skew_report",
+    # --- round-6 window starts here, i.e. backlog[50:100]
+    #     (round-5 additions first: newest code carries the most
+    #     determinism risk) ---
+    "events_kalman_level",
+    "events_harmonic_regression",
+    "events_max_drawdown",
+    "events_dp_noisy_counts",
+    "lineitem_calibration_curve",
     "orders_backlog_timeline",
     "part_abc_xyz",
     "customer_decile_migration",
@@ -1980,7 +2035,6 @@ _ROTATION_BACKLOG = [
     "filtered_cosine_topk",
     "jsonl_corrupt_scan",
     "value_percentiles_disc",
-    # --- round-6 window starts here ---
     "user_bot_scores",
     "doc_pad_waste",
     "supplier_window_matrix",
@@ -2014,6 +2068,7 @@ _ROTATION_BACKLOG = [
     "event_sequence_motifs",
     "incremental_revenue_maintenance",
     "user_geo_neighbor_pairs",
+    # --- round-7 window starts here, i.e. backlog[100:] ---
     "kmv_user_overlap",
     "events_pattern_search",
     "events_props_variant",
@@ -2031,7 +2086,6 @@ _ROTATION_BACKLOG = [
     "doc_corpus_card",
     "doc_skipgram_negatives",
     "doc_inverted_index",
-    # --- round-7 window starts here ---
     "doc_domain_cap",
     "brand_revenue_bloom",
     "doc_bm25_search",
@@ -2434,6 +2488,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_hbos_outliers": analytics.events_hbos_outliers,
         "shapley_attribution": analytics.shapley_attribution,
         "events_rbo_daily_topk": analytics.events_rbo_daily_topk,
+        # --- round-5 capability wave (FRONT of the round-6 driver
+        #     window via _ROTATION_BACKLOG) ---
+        "events_kalman_level": analytics.events_kalman_level,
+        "events_harmonic_regression": analytics.events_harmonic_regression,
+        "events_max_drawdown": analytics.events_max_drawdown,
+        "events_dp_noisy_counts": analytics.events_dp_noisy_counts,
+        "lineitem_calibration_curve": analytics.lineitem_calibration_curve,
     }
     head = {n: q[n] for n in _R5_DRIVER_WINDOW}
     assert len(head) == 50, f"driver window must be 50, got {len(head)}"
@@ -2918,6 +2979,80 @@ def _analytics_sql_frontdoor_text() -> str:
     """The front-door query's oracle IS the Spark-side SQL text —
     imported, not copied, so the two can never drift."""
     return analytics.SQL_FRONTDOOR_Q19
+
+
+def _harmonic_oracle_sql() -> str:
+    """Hour-of-day harmonic OLS: the SAME 1e9-grid trig constants the
+    Spark plan embeds (`analytics.harmonic_constants` is the single
+    source — libm cos/sin are not correctly rounded, so both engines
+    consume identical pre-floored integers), exact HUGEINT product
+    sums, the closed-form orthogonal-design coefficients, and the
+    micro-gridded residual sum, all textually mirroring the plan."""
+    from stream_processing_system_spark.plans.analytics import harmonic_constants
+
+    rows = ", ".join(
+        f"({h}, {c1}, {s1}, {c2}, {s2})"
+        for h, c1, s1, c2, s2 in harmonic_constants()
+    )
+    coef = {
+        k: (
+            f"floor(CAST({s} AS DOUBLE) / 1000000000.0 * 2.0 / 24.0"
+            f" * 1000000000.0 + 0.5) / 1000000000.0"
+        )
+        for k, s in [("a1", "sc1"), ("b1", "ss1"), ("a2", "sc2"), ("b2", "ss2")]
+    }
+    return f"""
+        WITH consts(h, c1, s1, c2, s2) AS (VALUES {rows}),
+        hourly AS (
+            SELECT CAST(hour(ts) AS INT) AS h, count(*) AS cnt
+            FROM events GROUP BY 1
+        ), j AS (
+            SELECT c.h, c.c1, c.s1, c.c2, c.s2,
+                   CAST(COALESCE(hh.cnt, 0) AS BIGINT) AS yc
+            FROM consts c LEFT JOIN hourly hh ON c.h = hh.h
+        ), sums AS (
+            SELECT CAST(SUM(yc) AS BIGINT) AS sy,
+                   SUM(CAST(yc AS HUGEINT) * CAST(yc AS HUGEINT)) AS syy,
+                   SUM(CAST(yc AS HUGEINT) * CAST(c1 AS HUGEINT)) AS sc1,
+                   SUM(CAST(yc AS HUGEINT) * CAST(s1 AS HUGEINT)) AS ss1,
+                   SUM(CAST(yc AS HUGEINT) * CAST(c2 AS HUGEINT)) AS sc2,
+                   SUM(CAST(yc AS HUGEINT) * CAST(s2 AS HUGEINT)) AS ss2
+            FROM j
+        ), coefs AS (
+            SELECT CAST(sy AS DOUBLE) / 24.0 AS mean,
+                   {coef['a1']} AS a1,
+                   {coef['b1']} AS b1,
+                   {coef['a2']} AS a2,
+                   {coef['b2']} AS b2,
+                   (24.0 * CAST(syy AS DOUBLE)
+                    - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)) / 24.0 AS sst
+            FROM sums
+        ), errs AS (
+            SELECT CAST(yc AS DOUBLE)
+                   - (k.mean
+                      + k.a1 * (CAST(c1 AS DOUBLE) / 1000000000.0)
+                      + k.b1 * (CAST(s1 AS DOUBLE) / 1000000000.0)
+                      + k.a2 * (CAST(c2 AS DOUBLE) / 1000000000.0)
+                      + k.b2 * (CAST(s2 AS DOUBLE) / 1000000000.0)) AS err
+            FROM j, coefs k
+        ), sse AS (
+            SELECT CAST(SUM(CAST(floor(err * err * 1000000.0 + 0.5)
+                                 AS BIGINT)) AS BIGINT) AS sseg
+            FROM errs
+        )
+        SELECT floor(k.mean * 1000000.0 + 0.5) / 1000000.0 AS mean_count,
+               floor(k.a1 * 1000000.0 + 0.5) / 1000000.0 AS a1,
+               floor(k.b1 * 1000000.0 + 0.5) / 1000000.0 AS b1,
+               floor(sqrt(k.a1 * k.a1 + k.b1 * k.b1) * 1000000.0 + 0.5)
+                   / 1000000.0 AS amp1,
+               floor(k.a2 * 1000000.0 + 0.5) / 1000000.0 AS a2,
+               floor(k.b2 * 1000000.0 + 0.5) / 1000000.0 AS b2,
+               floor(sqrt(k.a2 * k.a2 + k.b2 * k.b2) * 1000000.0 + 0.5)
+                   / 1000000.0 AS amp2,
+               floor((1.0 - (CAST(s.sseg AS DOUBLE) / 1000000.0) / k.sst)
+                     * 1000000.0 + 0.5) / 1000000.0 AS r2
+        FROM coefs k, sse s
+    """
 
 
 def oracle_sql() -> dict[str, str]:
@@ -10577,4 +10712,128 @@ def oracle_sql() -> dict[str, str]:
                END AS encoding
         FROM cells ORDER BY p_brand, fold
     """
+    # --- round-5 additions ---
+    # Kalman local-level filter: recursive CTE replays the identical
+    # IEEE basic-op recursion one row per step (the Holt-Winters
+    # device; Q/R/P0 are exact binary fractions)
+    _o["events_kalman_level"] = """
+        WITH RECURSIVE daily AS (
+            SELECT event_type, CAST(ts AS DATE) AS day,
+                   CAST(count(*) AS BIGINT) AS c
+            FROM events GROUP BY 1, 2
+        ), ser AS (
+            SELECT event_type, y, len(y) AS n FROM (
+                SELECT event_type, list(c ORDER BY day) AS y
+                FROM daily GROUP BY 1
+            ) WHERE len(y) >= 2
+        ), work AS (
+            SELECT event_type, y, n, 1 AS t,
+                   CAST(y[1] AS DOUBLE) AS l,
+                   CAST(64.0 AS DOUBLE) AS p,
+                   CAST(0.0 AS DOUBLE) AS sse
+            FROM ser
+            UNION ALL
+            SELECT event_type, y, n, t + 1 AS t,
+                   l + (ppred / (ppred + CAST(64.0 AS DOUBLE))) * innov AS l,
+                   (CAST(1.0 AS DOUBLE)
+                    - (ppred / (ppred + CAST(64.0 AS DOUBLE)))) * ppred AS p,
+                   sse + innov * innov AS sse
+            FROM (
+                SELECT event_type, y, n, t, l, sse,
+                       p + CAST(0.25 AS DOUBLE) AS ppred,
+                       CAST(y[t + 1] AS DOUBLE) - l AS innov
+                FROM work WHERE t < n
+            )
+        )
+        SELECT event_type, CAST(n AS BIGINT) AS n_days,
+               floor(l * 1e6 + 0.5) / 1e6 AS level,
+               floor(p * 1e6 + 0.5) / 1e6 AS pvar,
+               floor(sse * 1e6 + 0.5) / 1e6 AS sse
+        FROM work WHERE t = n ORDER BY event_type
+    """
+    # harmonic regression: shared pre-floored trig constants, exact
+    # integer sums (generator above)
+    _o["events_harmonic_regression"] = _harmonic_oracle_sql()
+    # max drawdown: exact centi-long peak segmentation, deterministic
+    # (dd desc, trough, peak) argmax
+    _o["events_max_drawdown"] = """
+        WITH daily AS (
+            SELECT event_type, CAST(ts AS DATE) AS day,
+                   CAST(SUM(CAST(floor(value * 100 + 0.5) AS BIGINT))
+                        AS BIGINT) AS cent
+            FROM events WHERE value IS NOT NULL GROUP BY 1, 2
+        ), curve AS (
+            SELECT event_type, day,
+                   CAST(SUM(cent) OVER (PARTITION BY event_type ORDER BY day
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                        AS BIGINT) AS cum
+            FROM daily
+        ), marked AS (
+            SELECT event_type, day, cum,
+                   CASE WHEN prevmax IS NULL OR cum > prevmax
+                        THEN 1 ELSE 0 END AS is_peak
+            FROM (
+                SELECT *, MAX(cum) OVER (PARTITION BY event_type ORDER BY day
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                                  AND 1 PRECEDING) AS prevmax
+                FROM curve
+            )
+        ), seg AS (
+            SELECT event_type, day, cum,
+                   SUM(is_peak) OVER (PARTITION BY event_type ORDER BY day
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND CURRENT ROW) AS grp,
+                   COUNT(*) OVER (PARTITION BY event_type) AS n_days
+            FROM marked
+        ), wmin AS (
+            SELECT *,
+                   MIN(cum) OVER (PARTITION BY event_type, grp) AS gmin,
+                   MAX(cum) OVER (PARTITION BY event_type, grp) AS peak_cum,
+                   MIN(day) OVER (PARTITION BY event_type, grp) AS peak_day
+            FROM seg
+        ), pg AS (
+            SELECT DISTINCT event_type, n_days, grp, peak_day,
+                   MIN(CASE WHEN cum = gmin THEN day END)
+                       OVER (PARTITION BY event_type, grp) AS trough_day,
+                   peak_cum - gmin AS dd
+            FROM wmin
+        ), pick AS (
+            SELECT *, row_number() OVER (PARTITION BY event_type
+                ORDER BY dd DESC, trough_day ASC, peak_day ASC) AS rn
+            FROM pg
+        )
+        SELECT event_type, CAST(n_days AS BIGINT) AS n_days,
+               CAST(dd AS DOUBLE) / 100.0 AS max_drawdown,
+               CAST(peak_day AS VARCHAR) AS peak_day,
+               CAST(trough_day AS VARCHAR) AS trough_day
+        FROM pick WHERE rn = 1 ORDER BY event_type
+    """
+    # seeded-Laplace DP counts: dyadic md5 uniform, micro-gridded ln,
+    # mirrored sign CASE
+    _o["events_dp_noisy_counts"] = """
+        WITH daily AS (
+            SELECT event_type, CAST(ts AS DATE) AS day,
+                   CAST(count(*) AS BIGINT) AS c
+            FROM events GROUP BY 1, 2
+        ), seeded AS (
+            SELECT event_type, day, c,
+                   (CAST(('0x' || substr(md5('dp|' || event_type || '|'
+                                             || CAST(day AS VARCHAR)), 1, 8))
+                         ::BIGINT AS DOUBLE) + 0.5) / 4294967296.0 AS u
+            FROM daily
+        ), noised AS (
+            SELECT event_type, day, c,
+                   CASE WHEN u > 0.5 THEN -2.0 ELSE 2.0 END
+                   * (floor(ln(1.0 - 2.0 * abs(u - 0.5)) * 1000000.0 + 0.5)
+                      / 1000000.0) AS noise
+            FROM seeded
+        )
+        SELECT event_type, CAST(day AS VARCHAR) AS day,
+               CAST(floor(CAST(c AS DOUBLE) + noise + 0.5)
+                    AS BIGINT) AS noisy_count
+        FROM noised ORDER BY event_type, day
+    """
+    # calibration curve: composed over the SAME IRLS beta chain as
+    # lineitem_logit_return
+    _o["lineitem_calibration_curve"] = _logit_calibration_oracle_sql()
     return _o

@@ -7250,34 +7250,34 @@ def feature_standardize_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.orderBy("feature")
 
 
-def lineitem_logit_return(
-    spark: SparkSession, sf_dir: str, iters: int = 3
-) -> DataFrame:
-    """Logistic regression by IRLS: P(l_returnflag = 'R') as a
-    function of (quantity, centi-discount) — the canonical binary
-    classifier, trained with the same cross-engine-reproducible
-    IRLS contract as `events_poisson_glm` (per-row weighted moments
-    floored onto a 1e-6 grid before exact summation, textually
-    mirrored Cramer solve, β re-quantized to the 1e-9 grid between
-    rounds), and evaluated in-train with accuracy at 0.5 AND the
-    rank-based AUC (exact midrank Mann–Whitney over the finite
-    score grid — the `events_mannwhitney_u` device pointed at
-    classifier scores).
-
-    Shape: the design is only ever touched by one aggregate per
-    round (nine grid integers out) plus one score-grain groupBy for
-    the metrics — scores take ≤ |quantity|×|discount| distinct
-    values, so the AUC ranking runs over a few hundred rows."""
-    import math
-
+def _logit_base(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The shared logistic design: y = (returnflag == 'R'),
+    x1 = quantity, x2 = centi-discount — all exact longs, checkpointed
+    so the IRLS rounds re-scan a materialized frame instead of
+    re-deriving the scan each round."""
     li = load_table(spark, sf_dir, "lineitem")
-    base = li.select(
+    return li.select(
         (F.col("l_returnflag") == "R").cast("long").alias("y"),
         F.col("l_quantity").cast("long").alias("x1"),
         F.floor(F.col("l_discount") * 100 + F.lit(0.5))
         .cast("long")
         .alias("x2"),
     ).localCheckpoint(eager=True)
+
+
+def _logit_irls_betas(
+    base: DataFrame, iters: int = 3
+) -> tuple[float, float, float, int]:
+    """IRLS training loop shared by `lineitem_logit_return` and
+    `lineitem_calibration_curve`: per-row weighted moments floored
+    onto a 1e-6 grid before exact DECIMAL(38,0) summation, a
+    textually-mirrored Cramer solve on the driver (nine scalar
+    moments per round — the only driver traffic), and β re-quantized
+    to the 1e-9 grid between rounds so the oracle's unrolled CTE
+    chain sees the identical coefficients. Returns (b0, b1, b2,
+    n_rows)."""
+    import math
+
     tot = base.agg(
         F.sum("y").alias("sy"), F.count(F.lit(1)).alias("n")
     ).collect()[0]
@@ -7321,6 +7321,32 @@ def lineitem_logit_return(
         b0 = math.floor(det0 / det * 1e9 + 0.5) / 1e9
         b1 = math.floor(det1 / det * 1e9 + 0.5) / 1e9
         b2 = math.floor(det2 / det * 1e9 + 0.5) / 1e9
+    return b0, b1, b2, n_rows
+
+
+def lineitem_logit_return(
+    spark: SparkSession, sf_dir: str, iters: int = 3
+) -> DataFrame:
+    """Logistic regression by IRLS: P(l_returnflag = 'R') as a
+    function of (quantity, centi-discount) — the canonical binary
+    classifier, trained with the same cross-engine-reproducible
+    IRLS contract as `events_poisson_glm` (per-row weighted moments
+    floored onto a 1e-6 grid before exact summation, textually
+    mirrored Cramer solve, β re-quantized to the 1e-9 grid between
+    rounds), and evaluated in-train with accuracy at 0.5 AND the
+    rank-based AUC (exact midrank Mann–Whitney over the finite
+    score grid — the `events_mannwhitney_u` device pointed at
+    classifier scores).
+
+    Shape: the design is only ever touched by one aggregate per
+    round (nine grid integers out) plus one score-grain groupBy for
+    the metrics — scores take ≤ |quantity|×|discount| distinct
+    values, so the AUC ranking runs over a few hundred rows."""
+    import math
+
+    base = _logit_base(spark, sf_dir)
+    b0, b1, b2, n_rows = _logit_irls_betas(base, iters)
+    d38 = "decimal(38,0)"
 
     # in-train metrics on the finite score grid
     eta = (
@@ -10707,3 +10733,351 @@ def events_rbo_daily_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col(f"_o{RBO_DEPTH}").alias("n_common"),
         (rbo_q.cast("double") / F.lit(1e12)).alias("rbo"),
     ).orderBy("day")
+
+
+def events_kalman_level(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-D Kalman filter (local-level / random-walk-plus-noise model,
+    Q=0.25, R=64.0, P0=64.0) over each event type's daily-count
+    series — the classical recursive state estimator, run ENTIRELY as
+    one higher-order `aggregate` fold over the day-ordered array
+    (state = level, error variance, innovation SSE; no UDF, no
+    collect — the `events_holt_winters` execution shape).
+
+    Determinism: daily counts are exact longs, the noise constants
+    are exact binary fractions, and every recursion step is a chain
+    of IEEE basic ops (+,-,*,/ are correctly rounded, unlike libm),
+    textually mirrored in the oracle's recursive CTE — so the
+    sequential double arithmetic is bit-identical cross-engine.
+    Scale: the data-sized stage is one daily-grain count aggregate;
+    the fold runs on a ~30-element array per type."""
+    events = load_table(spark, sf_dir, "events")
+    daily = (
+        events.select("event_type", F.col("ts").cast("date").alias("day"))
+        .groupBy("event_type", "day")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    ser = daily.groupBy("event_type").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct(F.col("day"), F.col("c")))),
+            lambda s: s["c"],
+        ).alias("y")
+    ).where(F.size("y") >= 2)
+    y = F.col("y")
+    init = F.struct(
+        F.element_at(y, 1).cast("double").alias("l"),
+        F.lit(64.0).alias("p"),
+        F.lit(0.0).alias("sse"),
+    )
+
+    def step(st, x):
+        v = x.cast("double")
+        ppred = st["p"] + F.lit(0.25)
+        k = ppred / (ppred + F.lit(64.0))
+        innov = v - st["l"]
+        return F.struct(
+            (st["l"] + k * innov).alias("l"),
+            ((F.lit(1.0) - k) * ppred).alias("p"),
+            (st["sse"] + innov * innov).alias("sse"),
+        )
+
+    fin = F.aggregate(F.slice(y, 2, F.size(y) - 1), init, step)
+    return ser.select(
+        "event_type",
+        F.size("y").cast("long").alias("n_days"),
+        det_round(fin["l"], 6).alias("level"),
+        det_round(fin["p"], 6).alias("pvar"),
+        det_round(fin["sse"], 6).alias("sse"),
+    ).orderBy("event_type")
+
+
+def harmonic_constants(periods: int = 24, harmonics: int = 2) -> list[tuple]:
+    """The hour-of-day trig design matrix, pre-floored onto the 1e9
+    integer grid at plan-build time (the media_phash_dct constant-
+    table device): libm cos/sin are NOT correctly rounded, so the
+    constants are computed ONCE here and the same integer literals
+    are embedded in both the Spark plan and the DuckDB oracle —
+    cross-engine parity by construction. Rows: (h, c1, s1, c2, s2)."""
+    import math
+
+    def g(x: float) -> int:
+        return int(math.floor(x * 1e9 + 0.5))
+
+    out = []
+    for h in range(periods):
+        row = [h]
+        for k in range(1, harmonics + 1):
+            ang = 2.0 * math.pi * k * h / periods
+            row.extend([g(math.cos(ang)), g(math.sin(ang))])
+        out.append(tuple(row))
+    return out
+
+
+def events_harmonic_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Harmonic (Fourier) regression of the hour-of-day activity
+    profile: counts per hour h regressed on {cos, sin}(2πkh/24) for
+    k=1,2. Over a complete cycle the regressors are orthogonal, so
+    the OLS solution is closed-form: a_k = (2/24)·Σ y_h·cos_kh,
+    b_k likewise with sin, intercept = mean — the seasonal-shape
+    fit every hourly profile dashboard wants, with R² to say how
+    much of the profile the two harmonics explain.
+
+    Determinism: y_h are exact longs; trig constants are 1e9-grid
+    integers (`harmonic_constants`), so every cross-row product
+    y_h·c_kh is an exact int64 and the 24-row sums are exact; SST
+    uses the exact integer identity 24·Σy² − (Σy)²; residuals are
+    per-row doubles from identical inputs, squared and micro-floored
+    before the final exact sum. Scale: ONE aggregate over the events
+    scan reduces everything to 24 rows; the constant table is a
+    broadcast literal."""
+    consts = harmonic_constants()
+    cdf = spark.createDataFrame(
+        consts, "h INT, c1 LONG, s1 LONG, c2 LONG, s2 LONG"
+    )
+    events = load_table(spark, sf_dir, "events")
+    hourly = (
+        events.select(F.hour("ts").cast("int").alias("h"))
+        .groupBy("h")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    # LEFT from the constant table: an hour with zero events must
+    # contribute y=0, not vanish (the closed form assumes 24 rows);
+    # the aggregated hourly side is ≤24 rows — broadcast it
+    j = cdf.join(F.broadcast(hourly), "h", "left").select(
+        "h", "c1", "s1", "c2", "s2", F.coalesce("cnt", F.lit(0)).alias("yc")
+    )
+    d38 = "decimal(38,0)"
+    yd = F.col("yc").cast(d38)
+    sums = j.agg(
+        F.sum("yc").alias("sy"),
+        F.sum(yd * yd).alias("syy"),
+        F.sum(yd * F.col("c1").cast(d38)).alias("sc1"),
+        F.sum(yd * F.col("s1").cast(d38)).alias("ss1"),
+        F.sum(yd * F.col("c2").cast(d38)).alias("sc2"),
+        F.sum(yd * F.col("s2").cast(d38)).alias("ss2"),
+    ).collect()[0]
+    import math
+
+    def coef(v: int) -> float:
+        # (Σ y·grid) / 1e9 · 2/24, one textual order both engines
+        return math.floor(
+            (float(v) / 1e9) * 2.0 / 24.0 * 1e9 + 0.5
+        ) / 1e9
+
+    mean = float(sums["sy"]) / 24.0
+    a1, b1 = coef(sums["sc1"]), coef(sums["ss1"])
+    a2, b2 = coef(sums["sc2"]), coef(sums["ss2"])
+    # fitted value per hour from the SAME gridded constants → residual
+    # squared, micro-floored per row, exact integer sum
+    fit = (
+        F.lit(mean)
+        + F.lit(a1) * (F.col("c1").cast("double") / F.lit(1e9))
+        + F.lit(b1) * (F.col("s1").cast("double") / F.lit(1e9))
+        + F.lit(a2) * (F.col("c2").cast("double") / F.lit(1e9))
+        + F.lit(b2) * (F.col("s2").cast("double") / F.lit(1e9))
+    )
+    err = F.col("yc").cast("double") - fit
+    sse_g = j.agg(
+        F.sum(F.floor(err * err * F.lit(1e6) + F.lit(0.5)).cast("long")).alias(
+            "sseg"
+        )
+    )
+    sst = (24.0 * float(sums["syy"]) - float(sums["sy"]) * float(sums["sy"])) / 24.0
+    amp1 = math.sqrt(a1 * a1 + b1 * b1)
+    amp2 = math.sqrt(a2 * a2 + b2 * b2)
+
+    def r6(x: float) -> float:
+        return math.floor(x * 1e6 + 0.5) / 1e6
+
+    return sse_g.select(
+        F.lit(r6(mean)).alias("mean_count"),
+        F.lit(r6(a1)).alias("a1"),
+        F.lit(r6(b1)).alias("b1"),
+        F.lit(r6(amp1)).alias("amp1"),
+        F.lit(r6(a2)).alias("a2"),
+        F.lit(r6(b2)).alias("b2"),
+        F.lit(r6(amp2)).alias("amp2"),
+        det_round(
+            F.lit(1.0) - (F.col("sseg").cast("double") / F.lit(1e6)) / F.lit(sst),
+            6,
+        ).alias("r2"),
+    )
+
+
+def events_max_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximum drawdown of each event type's cumulative daily value
+    curve — the risk metric every monitoring/finance dashboard wants:
+    deepest peak-to-trough fall of the running total, with the peak
+    and trough days. Peak-segmentation formulation: a running-max
+    breakpoint starts a new segment (exact integer comparison), each
+    segment's drawdown is its opening peak minus its minimum, and
+    per-type argmax breaks ties by earliest trough then earliest
+    peak — fully deterministic, all arithmetic on exact centi longs
+    until the final /100.
+    Scale: one daily-grain aggregate, then windows over ~30 rows per
+    type; nothing after the first aggregate sees data."""
+    events = load_table(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    centi = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+    daily = (
+        events.select(
+            "event_type", F.col("ts").cast("date").alias("day"), centi.alias("v")
+        )
+        .groupBy("event_type", "day")
+        .agg(F.sum("v").alias("cent"))
+    )
+    w_days = Window.partitionBy("event_type").orderBy("day")
+    cum = F.sum("cent").over(w_days)
+    prevmax = F.max(F.col("cum")).over(
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    curve = daily.select("event_type", "day", cum.alias("cum"))
+    marked = curve.select(
+        "*",
+        F.when(prevmax.isNull() | (F.col("cum") > prevmax), 1)
+        .otherwise(0)
+        .alias("is_peak"),
+    )
+    seg = marked.select(
+        "event_type",
+        "day",
+        "cum",
+        F.sum("is_peak").over(w_days).alias("grp"),
+        F.count(F.lit(1)).over(Window.partitionBy("event_type")).alias("n_days"),
+    )
+    w_grp = Window.partitionBy("event_type", "grp")
+    with_min = seg.select(
+        "*",
+        F.min("cum").over(w_grp).alias("gmin"),
+        F.max("cum").over(w_grp).alias("peak_cum"),
+        F.min("day").over(w_grp).alias("peak_day"),
+    )
+    per_grp = (
+        with_min.select(
+            "*",
+            F.min(F.when(F.col("cum") == F.col("gmin"), F.col("day"))).over(
+                w_grp
+            ).alias("trough_day"),
+        )
+        .select(
+            "event_type",
+            "n_days",
+            "grp",
+            "peak_day",
+            "trough_day",
+            (F.col("peak_cum") - F.col("gmin")).alias("dd"),
+        )
+        .distinct()
+    )
+    pick = Window.partitionBy("event_type").orderBy(
+        F.col("dd").desc(), F.col("trough_day").asc(), F.col("peak_day").asc()
+    )
+    return (
+        per_grp.withColumn("rn", F.row_number().over(pick))
+        .where(F.col("rn") == 1)
+        .select(
+            "event_type",
+            F.col("n_days").cast("long").alias("n_days"),
+            (F.col("dd").cast("double") / F.lit(100.0)).alias("max_drawdown"),
+            F.col("peak_day").cast("string").alias("peak_day"),
+            F.col("trough_day").cast("string").alias("trough_day"),
+        )
+        .orderBy("event_type")
+    )
+
+
+def events_dp_noisy_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ε-differentially-private daily event counts (ε=0.5, Laplace
+    mechanism, sensitivity 1 ⇒ scale b=2.0) — the privacy layer a
+    shared analytics surface puts in front of raw counts. The noise
+    is SEEDED: u = (md5-prefix(key)+0.5)/2^32 is an exact dyadic
+    uniform, the Laplace inverse-CDF sign/magnitude split is a
+    mirrored CASE, and the one libm call per row (ln) is floored
+    onto the 1e-6 grid before use — deterministic replay across
+    engines AND across runs, which is what makes a DP release
+    auditable. Outputs integer-rounded noisy counts only (the true
+    count never leaves the plan).
+    Scale: one count aggregate, then pure per-row expressions."""
+    from stream_processing_system_spark.functions.scalar import md5_prefix_long
+
+    events = load_table(spark, sf_dir, "events")
+    daily = (
+        events.select("event_type", F.col("ts").cast("date").alias("day"))
+        .groupBy("event_type", "day")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    key = F.concat(F.col("event_type"), F.lit("|"), F.col("day").cast("string"))
+    u = (
+        md5_prefix_long(key, salt="dp|").cast("double") + F.lit(0.5)
+    ) / F.lit(4294967296.0)
+    arg = F.lit(1.0) - F.lit(2.0) * F.abs(u - F.lit(0.5))
+    ln_g = F.floor(F.log(arg) * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)
+    noise = (
+        F.when(u > F.lit(0.5), F.lit(-2.0)).otherwise(F.lit(2.0)) * ln_g
+    )
+    noisy = F.floor(F.col("c").cast("double") + noise + F.lit(0.5)).cast("long")
+    return (
+        daily.select(
+            "event_type",
+            F.col("day").cast("string").alias("day"),
+            noisy.alias("noisy_count"),
+        )
+        .orderBy("event_type", "day")
+    )
+
+
+def lineitem_calibration_curve(
+    spark: SparkSession, sf_dir: str, iters: int = 3
+) -> DataFrame:
+    """Reliability diagram for the IRLS logistic model of
+    `lineitem_logit_return`: predicted return probabilities bucketed
+    into 10 equal-width bins, each bin reporting volume, mean
+    predicted probability, observed positive rate, and the
+    |gap| — the standard calibration audit run on the SAME shared
+    trainer (`_logit_irls_betas`), so the coefficients match the
+    classifier query exactly.
+
+    Determinism: μ is floored onto the 1e-6 grid per row BEFORE both
+    the binning (bin = gridded-μ // 100k, so the libm exp feeds an
+    integer) and the bin-level mean (exact long sum of grid units);
+    observed rates are exact integer ratios. Scale: one aggregate per
+    IRLS round plus one 10-key groupBy — map-side combine reduces
+    every task to ≤10 rows."""
+    base = _logit_base(spark, sf_dir)
+    b0, b1, b2, _ = _logit_irls_betas(base, iters)
+    eta = (
+        F.lit(b0)
+        + F.lit(b1) * F.col("x1").cast("double")
+        + F.lit(b2) * F.col("x2").cast("double")
+    )
+    mu = F.lit(1.0) / (F.lit(1.0) + F.exp(-eta))
+    mu_g = F.floor(mu * F.lit(1e6) + F.lit(0.5)).cast("long")
+    b = F.least(F.floor(mu_g / F.lit(100000)).cast("long"), F.lit(9).cast("long"))
+    binned = base.select(mu_g.alias("mu_g"), b.alias("bin"), "y")
+    out = binned.groupBy("bin").agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.sum("mu_g").alias("smu"),
+        F.sum("y").alias("spos"),
+    )
+    mean_pred = det_round(
+        (F.col("smu").cast("double") / F.lit(1e6))
+        / F.col("n_rows").cast("double"),
+        6,
+    )
+    obs_rate = det_round(
+        F.col("spos").cast("double") / F.col("n_rows").cast("double"), 6
+    )
+    return out.select(
+        "bin",
+        "n_rows",
+        mean_pred.alias("mean_pred"),
+        obs_rate.alias("obs_rate"),
+        det_round(
+            F.abs(
+                F.col("smu").cast("double") / F.lit(1e6)
+                / F.col("n_rows").cast("double")
+                - F.col("spos").cast("double") / F.col("n_rows").cast("double")
+            ),
+            6,
+        ).alias("abs_gap"),
+    ).orderBy("bin")
