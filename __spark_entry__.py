@@ -19,6 +19,7 @@ from stream_processing_system_spark.plans import (
     analytics,
     pipeline,
     reference,
+    repl,
     streaming_parity,
     topology,
 )
@@ -2018,6 +2019,8 @@ _ROTATION_BACKLOG = [
     # --- round-6 window starts here, i.e. backlog[50:100]
     #     (round-5 additions first: newest code carries the most
     #     determinism risk) ---
+    "stream_kalman_level",
+    "repl_session_wordcount",
     "events_kalman_level",
     "events_harmonic_regression",
     "events_max_drawdown",
@@ -2490,6 +2493,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_rbo_daily_topk": analytics.events_rbo_daily_topk,
         # --- round-5 capability wave (FRONT of the round-6 driver
         #     window via _ROTATION_BACKLOG) ---
+        "stream_kalman_level": streaming_parity.stream_kalman_level,
+        "repl_session_wordcount": repl.repl_session_wordcount,
         "events_kalman_level": analytics.events_kalman_level,
         "events_harmonic_regression": analytics.events_harmonic_regression,
         "events_max_drawdown": analytics.events_max_drawdown,
@@ -10836,4 +10841,10 @@ def oracle_sql() -> dict[str, str]:
     # calibration curve: composed over the SAME IRLS beta chain as
     # lineitem_logit_return
     _o["lineitem_calibration_curve"] = _logit_calibration_oracle_sql()
+    # the streaming Kalman twin drains to the identical daily
+    # snapshot - same oracle text as the batch plan
+    _o["stream_kalman_level"] = _o["events_kalman_level"]
+    # the REPL session ends in the q1 wordcount frame read back from
+    # the versioned store - same oracle as q1/topology_submit
+    _o["repl_session_wordcount"] = _o["q1_wordcount"]
     return _o

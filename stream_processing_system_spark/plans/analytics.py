@@ -10756,6 +10756,15 @@ def events_kalman_level(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_type", "day")
         .agg(F.count(F.lit(1)).alias("c"))
     )
+    return kalman_from_daily(daily)
+
+
+def kalman_from_daily(daily: DataFrame) -> DataFrame:
+    """Shared Kalman tail (day-ordered fold) over an
+    (event_type, day, c) daily-counts frame — used by the batch plan
+    and the streaming twin, whose drained per-day counts reduce to
+    the identical frame (day may be DATE or ISO string: both sort
+    chronologically)."""
     ser = daily.groupBy("event_type").agg(
         F.transform(
             F.array_sort(F.collect_list(F.struct(F.col("day"), F.col("c")))),
@@ -11080,4 +11089,253 @@ def lineitem_calibration_curve(
             ),
             6,
         ).alias("abs_gap"),
+    ).orderBy("bin")
+
+
+def events_circular_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Circular statistics of each event type's hour-of-day activity:
+    resultant vector (cx, cy), mean resultant length R and circular
+    variance 1−R — the correct way to average a clock-valued
+    quantity (a plain mean of hours says 11.5 for a midnight-heavy
+    type). Shares the pre-floored 1e9-grid trig table with
+    `events_harmonic_regression` (`harmonic_constants` — libm
+    cos/sin never computed engine-side), so every product is an
+    exact integer and the per-type sums are exact DECIMAL(38,0);
+    the final divisions and sqrt are correctly-rounded IEEE ops.
+    Scale: one hour-grain aggregate (≤24·|types| rows), constants
+    broadcast."""
+    consts = harmonic_constants()
+    cdf = spark.createDataFrame(
+        [(h, c1, s1) for h, c1, s1, _, _ in consts], "h INT, c1 LONG, s1 LONG"
+    )
+    events = load_table(spark, sf_dir, "events")
+    hourly = (
+        events.select("event_type", F.hour("ts").cast("int").alias("h"))
+        .groupBy("event_type", "h")
+        .agg(F.count(F.lit(1)).alias("yc"))
+    )
+    d38 = "decimal(38,0)"
+    yd = F.col("yc").cast(d38)
+    j = hourly.join(F.broadcast(cdf), "h")
+    agg = j.groupBy("event_type").agg(
+        F.sum("yc").alias("n"),
+        F.sum(yd * F.col("c1").cast(d38)).alias("sc"),
+        F.sum(yd * F.col("s1").cast(d38)).alias("ss"),
+    )
+    nd = F.col("n").cast("double")
+    cx = F.col("sc").cast("double") / F.lit(1e9) / nd
+    cy = F.col("ss").cast("double") / F.lit(1e9) / nd
+    r = F.sqrt(cx * cx + cy * cy)
+    return agg.select(
+        "event_type",
+        F.col("n").cast("long").alias("n_events"),
+        det_round(cx, 6).alias("cx"),
+        det_round(cy, 6).alias("cy"),
+        det_round(r, 6).alias("resultant_r"),
+        det_round(F.lit(1.0) - r, 6).alias("circ_var"),
+    ).orderBy("event_type")
+
+
+def events_turning_points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Turning-points test for randomness of each event type's daily
+    count series (the classical complement to the runs test already
+    in the family): T = #{interior days where the series strictly
+    changes direction}, E[T] = 2(n−2)/3, Var[T] = (16n−29)/90, and
+    the normal z-score. Ties (flat steps) are NOT turning points —
+    the strict-inequality convention, exact on integer counts.
+    Determinism: T and n are exact longs; E/Var/z are single
+    correctly-rounded divisions and one sqrt on identical operands.
+    Scale: daily-grain aggregate, then lag/lead windows over ~30
+    rows per type."""
+    events = load_table(spark, sf_dir, "events")
+    daily = (
+        events.select("event_type", F.col("ts").cast("date").alias("day"))
+        .groupBy("event_type", "day")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    w = Window.partitionBy("event_type").orderBy("day")
+    trip = daily.select(
+        "event_type",
+        "c",
+        F.lag("c").over(w).alias("prev"),
+        F.lead("c").over(w).alias("nxt"),
+    )
+    is_tp = (
+        F.col("prev").isNotNull()
+        & F.col("nxt").isNotNull()
+        & (
+            ((F.col("c") - F.col("prev")) > 0) & ((F.col("nxt") - F.col("c")) < 0)
+            | ((F.col("c") - F.col("prev")) < 0) & ((F.col("nxt") - F.col("c")) > 0)
+        )
+    )
+    agg = trip.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(is_tp.cast("long")).alias("t_points"),
+    )
+    nd = F.col("n").cast("double")
+    e_t = F.lit(2.0) * (nd - F.lit(2.0)) / F.lit(3.0)
+    var_t = (F.lit(16.0) * nd - F.lit(29.0)) / F.lit(90.0)
+    z = (F.col("t_points").cast("double") - e_t) / F.sqrt(var_t)
+    return agg.select(
+        "event_type",
+        F.col("n").cast("long").alias("n_days"),
+        F.col("t_points").cast("long").alias("t_points"),
+        det_round(e_t, 6).alias("expected_t"),
+        det_round(z, 6).alias("z_score"),
+    ).orderBy("event_type")
+
+
+def events_pot_gpd_tail(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peaks-over-threshold extreme-value analysis per event type:
+    exceedances over the exact discrete p95 of value, fitted to a
+    Generalized Pareto Distribution by the method of moments
+    (ξ = ½(1 − m²/s²), β = ½m(m²/s² + 1)) — the standard EVT
+    complement to the Hill estimator already in the family (Hill
+    assumes ξ>0; GPD-MoM also covers light tails). The threshold is
+    the grid-histogram discrete percentile (`value_percentiles_disc`
+    device: exact BIGINT cumulative-count comparison), exceedances
+    are exact centi longs, moments are exact DECIMAL(38,0) sums, and
+    the fit is a mirrored chain of correctly-rounded divisions.
+    Scale: one histogram aggregate over the bounded centi domain, a
+    broadcast 5-row threshold join, one moment aggregate."""
+    events = load_table(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    centi = events.select(
+        "event_type",
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("v"),
+    )
+    hist = centi.groupBy("event_type", "v").agg(F.count(F.lit(1)).alias("c"))
+    w = Window.partitionBy("event_type").orderBy("v").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    wt = Window.partitionBy("event_type")
+    cum = hist.select(
+        "event_type",
+        "v",
+        F.sum("c").over(w).alias("cum"),
+        F.sum("c").over(wt).alias("n"),
+    )
+    thr = cum.groupBy("event_type").agg(
+        F.min(
+            F.when(F.col("cum") * 100 >= F.col("n") * 95, F.col("v"))
+        ).alias("thr")
+    )
+    d38 = "decimal(38,0)"
+    exc = centi.join(F.broadcast(thr), "event_type").where(
+        F.col("v") > F.col("thr")
+    )
+    e = F.col("v") - F.col("thr")
+    agg = exc.groupBy("event_type").agg(
+        F.max("thr").alias("thr"),
+        F.count(F.lit(1)).alias("n_exc"),
+        F.sum(e).alias("se"),
+        F.sum((e.cast(d38)) * (e.cast(d38))).alias("se2"),
+    )
+    nd = F.col("n_exc").cast("double")
+    mean = F.col("se").cast("double") / nd
+    var = F.col("se2").cast("double") / nd - mean * mean
+    ratio = mean * mean / var
+    xi = F.lit(0.5) * (F.lit(1.0) - ratio)
+    beta = F.lit(0.5) * mean * (ratio + F.lit(1.0))
+    return agg.select(
+        "event_type",
+        (F.col("thr").cast("double") / F.lit(100.0)).alias("threshold"),
+        F.col("n_exc").cast("long").alias("n_exceed"),
+        det_round(mean / F.lit(100.0), 6).alias("mean_excess"),
+        det_round(xi, 6).alias("xi_hat"),
+        det_round(beta / F.lit(100.0), 6).alias("beta_hat"),
+    ).orderBy("event_type")
+
+
+def customer_uplift_two_model(
+    spark: SparkSession, sf_dir: str, iters: int = 3
+) -> DataFrame:
+    """Two-model (T-learner) uplift analysis — the experimentation
+    workhorse: users are deterministically split into treatment /
+    control (md5 hash, the `ab_cuped_adjustment` assignment device),
+    one IRLS logistic model of daily purchase propensity is trained
+    PER ARM on (clicks, views) at the user-day grain via the shared
+    `_logit_irls_betas` trainer, and every user-day is scored with
+    the predicted uplift μ_T(x) − μ_C(x), bucketed into 10
+    equal-width bins over [−1, 1] with per-bin predicted vs ACTUAL
+    (treated-rate − control-rate) uplift — the table a Qini audit
+    reads.
+
+    Determinism: both trainings follow the IRLS grid contract
+    (coefficients identical to the oracle's unrolled CTE chains);
+    uplift is floored onto the 1e-6 grid per row BEFORE binning and
+    summation; rates are exact integer ratios guarded by mirrored
+    CASE for empty arms. Scale: one user-day aggregate, 3 single-row
+    moment aggregates per arm, one 10-key groupBy."""
+    from stream_processing_system_spark.functions.scalar import md5_prefix_long
+
+    events = load_table(spark, sf_dir, "events")
+    per_ud = (
+        events.select(
+            "user_id",
+            F.col("ts").cast("date").alias("day"),
+            "event_type",
+        )
+        .groupBy("user_id", "day")
+        .agg(
+            F.sum((F.col("event_type") == "click").cast("long")).alias("x1"),
+            F.sum((F.col("event_type") == "view").cast("long")).alias("x2"),
+            F.max((F.col("event_type") == "purchase").cast("long")).alias("y"),
+        )
+    )
+    base_all = per_ud.select(
+        (
+            md5_prefix_long(F.col("user_id").cast("string"), salt="uplift|")
+            % 2
+        ).alias("grp"),
+        "y",
+        "x1",
+        "x2",
+    ).localCheckpoint(eager=True)
+    base_t = base_all.where(F.col("grp") == 1).select("y", "x1", "x2")
+    base_c = base_all.where(F.col("grp") == 0).select("y", "x1", "x2")
+    bt0, bt1, bt2, _ = _logit_irls_betas(base_t.localCheckpoint(eager=True), iters)
+    bc0, bc1, bc2, _ = _logit_irls_betas(base_c.localCheckpoint(eager=True), iters)
+    x1d, x2d = F.col("x1").cast("double"), F.col("x2").cast("double")
+    mu_t = F.lit(1.0) / (
+        F.lit(1.0) + F.exp(-(F.lit(bt0) + F.lit(bt1) * x1d + F.lit(bt2) * x2d))
+    )
+    mu_c = F.lit(1.0) / (
+        F.lit(1.0) + F.exp(-(F.lit(bc0) + F.lit(bc1) * x1d + F.lit(bc2) * x2d))
+    )
+    u_g = F.floor((mu_t - mu_c) * F.lit(1e6) + F.lit(0.5)).cast("long")
+    b = F.least(
+        F.floor((u_g + F.lit(1000000)) / F.lit(200000)).cast("long"),
+        F.lit(9).cast("long"),
+    )
+    scored = base_all.select(
+        u_g.alias("u_g"), b.alias("bin"), "grp", "y"
+    )
+    g = scored.groupBy("bin").agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.sum("u_g").alias("su"),
+        F.sum("grp").alias("nt"),
+        F.sum(F.col("y") * F.col("grp")).alias("yt"),
+        F.sum(F.col("y") * (F.lit(1) - F.col("grp"))).alias("yc"),
+    )
+    nc = F.col("n_rows") - F.col("nt")
+    rate_t = F.when(
+        F.col("nt") > 0,
+        F.col("yt").cast("double") / F.col("nt").cast("double"),
+    )
+    rate_c = F.when(
+        nc > 0, F.col("yc").cast("double") / nc.cast("double")
+    )
+    return g.select(
+        "bin",
+        "n_rows",
+        F.col("nt").cast("long").alias("n_treated"),
+        nc.cast("long").alias("n_control"),
+        det_round(
+            F.col("su").cast("double") / F.lit(1e6)
+            / F.col("n_rows").cast("double"),
+            6,
+        ).alias("mean_pred_uplift"),
+        det_round(rate_t, 6).alias("rate_treated"),
+        det_round(rate_c, 6).alias("rate_control"),
+        det_round(rate_t - rate_c, 6).alias("actual_uplift"),
     ).orderBy("bin")

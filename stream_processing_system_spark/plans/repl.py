@@ -185,6 +185,46 @@ class CraneRepl:
         raise ValueError(f"unknown command {head!r}")
 
 
+def repl_session_wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§3.3 front door as a driver-checked query: a scripted REPL
+    session — JOIN, `wordcount <n>` submission (which writes the
+    result into the versioned store the way Nimbus wrote job output
+    into SDFS), `ls`/`store` inspection, then a store `get` of the
+    result — exercising the command dispatcher end-to-end
+    (`client.go:42-80`). The read-back frame is the same (word, cnt)
+    frame as q1_wordcount, so it shares q1's DuckDB oracle: a
+    hash-match proves dispatch, registry submit, store put/get and
+    the parquet round-trip, not just the plan q1 calls directly."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as FF
+
+    from stream_processing_system_spark.sources.tables import load_table
+
+    scratch = tempfile.mkdtemp(prefix="spark_graft_repl_wc_")
+    corpus = os.path.join(scratch, "corpus")
+    try:
+        docs = load_table(spark, sf_dir, "documents").select(FF.col("text"))
+        docs.write.mode("overwrite").text(corpus)
+        repl = CraneRepl(
+            spark,
+            os.path.join(scratch, "store"),
+            datasets={"wordcount": corpus},
+        )
+        repl.dispatch("JOIN")
+        repl.dispatch("wordcount 4")
+        assert repl.dispatch("store") == "wordcount_result"
+        assert repl.dispatch("ls wordcount_result") == (
+            "wordcount_result: versions [1]"
+        )
+        return repl.store.get(spark, "wordcount_result").localCheckpoint(
+            eager=True
+        )
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)
+
+
 def main(store_root: str = "/tmp/crane_store", datasets: dict[str, str] | None = None) -> None:
     """The stdin loop (`client.go:36-85`). Errors print and the loop
     continues, matching the reference client's behavior."""

@@ -970,6 +970,50 @@ def stream_holt_winters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return holt_winters_from_daily(daily)
 
 
+def stream_kalman_level(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kalman local-level estimates with the daily-count state
+    maintained by an availableNow streaming aggregation — the
+    streaming twin of `analytics.events_kalman_level` (same oracle).
+    Per-(type, day) counts are a mergeable monoid (any micro-batch
+    interleaving drains to the same snapshot); the sequential filter
+    recursion then runs as the shared batch fold over the drained
+    state. The day key streams as a STRING so the memory-sink
+    snapshot groups stably; the fold sorts on it (ISO dates sort
+    lexicographically = chronologically)."""
+    from stream_processing_system_spark.plans.analytics import kalman_from_daily
+
+    input_dir, ckpt, run = _scratch("kal")
+    events = load_table(spark, sf_dir, "events").select("ts", "event_type")
+    events.write.mode("overwrite").parquet(input_dir)
+    stream = spark.readStream.schema("ts timestamp, event_type string").parquet(
+        input_dir
+    )
+    state = (
+        stream.select(
+            "event_type", F.col("ts").cast("date").cast("string").alias("day")
+        )
+        .groupBy("event_type", "day")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    with _state_partitions(spark):
+        q = (
+            state.writeStream.outputMode("complete")
+            .format("memory")
+            .queryName(f"kal_{run}")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    _cleanup(input_dir)
+    daily = (
+        spark.table(f"kal_{run}")
+        .select("event_type", "day", "c")
+        .localCheckpoint(eager=True)
+    )
+    return kalman_from_daily(daily)
+
+
 def stream_spout_wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
     """q1_wordcount executed through the `crane_spout` custom
     STREAMING DataSource (S7, `Apps/WordCountSpout.go:18-44`):

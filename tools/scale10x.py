@@ -61,6 +61,14 @@ PERTURB_QUERIES = [
     "doc_inverted_index",
     "doc_ngram_diversity",
     "doc_domain_cap",
+    # round-5 (VERDICT r4 item 6): heaviest non-trainer queries not
+    # yet measured at 10x — all document/embedding-shaped, so they
+    # run in perturbed mode for honest (non-clone) scaling
+    "embedding_semantic_dedup",
+    "doc_greedy_coverage",
+    "dedup_canonical",
+    "source_overlap_matrix",
+    "doc_bpe_tokenize",
 ]
 
 QUERIES = [
@@ -118,6 +126,12 @@ QUERIES = [
     "lasso_coordinate_descent",
     "als_ranking_metrics",
     "events_hbos_outliers",
+    # round-5 capability wave
+    "events_kalman_level",
+    "events_harmonic_regression",
+    "events_max_drawdown",
+    "events_dp_noisy_counts",
+    "lineitem_calibration_curve",
 ]
 
 
@@ -148,6 +162,25 @@ def build(spark) -> None:
                 "text",
                 F.concat(
                     F.col("text"), F.lit(" r"), F.col("_rep").cast("string")
+                ),
+            )
+        if PERTURB and t == "embeddings":
+            # exact-clone vectors would grow every similarity
+            # neighborhood by the clone count (quadratic candidate
+            # blowup, same failure mode as unperturbed documents for
+            # LSH) — rotate each replica's vector by _rep positions:
+            # norms and the pairwise-distance DISTRIBUTION are
+            # preserved, clones are not
+            copies = copies.withColumn(
+                "embedding",
+                F.transform(
+                    F.col("embedding"),
+                    lambda x, i: F.element_at(
+                        F.col("embedding"),
+                        ((i + F.col("_rep")) % F.size(F.col("embedding")))
+                        .cast("int")
+                        + F.lit(1),
+                    ),
                 ),
             )
         copies.drop("_rep").write.mode("overwrite").parquet(out)
