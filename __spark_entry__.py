@@ -850,11 +850,23 @@ def _gbm_oracle_sql(rounds: int = 2) -> str:
     )
 
 
-def _logit_beta_parts(iters: int = 3) -> tuple[list[str], str]:
-    """The IRLS beta-CTE chain shared by the classifier oracle and
-    the calibration-curve oracle (mirrors
-    `analytics._logit_irls_betas` round-for-round). Returns the CTE
-    parts list (base … beta{iters}) and the η expression string."""
+_LOGIT_DEFAULT_BASE = """
+        SELECT CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS y,
+               CAST(l_quantity AS BIGINT) AS x1,
+               CAST(floor(l_discount * 100 + 0.5) AS BIGINT) AS x2
+        FROM lineitem"""
+
+
+def _logit_beta_parts(
+    iters: int = 3, base_select: str = _LOGIT_DEFAULT_BASE, sfx: str = ""
+) -> tuple[list[str], str]:
+    """The IRLS beta-CTE chain shared by the classifier oracle, the
+    calibration-curve oracle and (twice, with distinct suffixes and
+    bases) the two-model uplift oracle (mirrors
+    `analytics._logit_irls_betas` round-for-round on ANY (y, x1, x2)
+    design). Returns the CTE parts list (base{sfx} … beta{sfx}{iters})
+    and the η expression string (alias-level, so it binds to whatever
+    base/beta pair the caller joins)."""
     E = "(b.b0 + b.b1 * CAST(t.x1 AS DOUBLE) + b.b2 * CAST(t.x2 AS DOUBLE))"
     M = f"(1.0 / (1.0 + exp(-{E})))"
     W = f"({M} * (1.0 - {M}))"
@@ -880,40 +892,37 @@ def _logit_beta_parts(iters: int = 3) -> tuple[list[str], str]:
     det1 = "(a * (h * f - e * i) - g * (b * f - e * c) + c * (b * i - h * c))"
     det2 = "(a * (d * i - h * e) - b * (b * i - h * c) + g * (b * e - d * c))"
     parts = [
-        """base AS MATERIALIZED (
-        SELECT CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS y,
-               CAST(l_quantity AS BIGINT) AS x1,
-               CAST(floor(l_discount * 100 + 0.5) AS BIGINT) AS x2
-        FROM lineitem
-    ), tot AS (SELECT SUM(y) AS sy, count(*) AS n FROM base),
-    pp AS (SELECT CAST(sy AS DOUBLE) / CAST(n AS DOUBLE) AS p FROM tot),
-    beta0 AS (
+        f"""base{sfx} AS MATERIALIZED ({base_select}
+    ), tot{sfx} AS (SELECT SUM(y) AS sy, count(*) AS n FROM base{sfx}),
+    pp{sfx} AS (SELECT CAST(sy AS DOUBLE) / CAST(n AS DOUBLE) AS p
+                FROM tot{sfx}),
+    beta{sfx}0 AS (
         SELECT floor(ln(p / (1.0 - p)) * 1000000000.0 + 0.5)
                    / 1000000000.0 AS b0,
                0.0 AS b1, 0.0 AS b2
-        FROM pp
+        FROM pp{sfx}
     )"""
     ]
     for t in range(iters):
         cols = ", ".join(f"{q(x)} AS {k}" for k, x in terms.items())
-        parts.append(f"""r{t} AS (
+        parts.append(f"""r{sfx}{t} AS (
         SELECT {cols}
-        FROM base t, beta{t} b
-    ), k{t} AS (
+        FROM base{sfx} t, beta{sfx}{t} b
+    ), k{sfx}{t} AS (
         SELECT CAST(ma AS DOUBLE) AS a, CAST(mb AS DOUBLE) AS b,
                CAST(mc AS DOUBLE) AS c, CAST(md AS DOUBLE) AS d,
                CAST(me AS DOUBLE) AS e, CAST(mf AS DOUBLE) AS f,
                CAST(mg AS DOUBLE) AS g, CAST(mh AS DOUBLE) AS h,
                CAST(mi AS DOUBLE) AS i
-        FROM r{t}
-    ), beta{t + 1} AS (
+        FROM r{sfx}{t}
+    ), beta{sfx}{t + 1} AS (
         SELECT floor({det0} / {det} * 1000000000.0 + 0.5)
                    / 1000000000.0 AS b0,
                floor({det1} / {det} * 1000000000.0 + 0.5)
                    / 1000000000.0 AS b1,
                floor({det2} / {det} * 1000000000.0 + 0.5)
                    / 1000000000.0 AS b2
-        FROM k{t}
+        FROM k{sfx}{t}
     )""")
     return parts, E
 
@@ -2019,6 +2028,10 @@ _ROTATION_BACKLOG = [
     # --- round-6 window starts here, i.e. backlog[50:100]
     #     (round-5 additions first: newest code carries the most
     #     determinism risk) ---
+    "customer_uplift_two_model",
+    "events_pot_gpd_tail",
+    "events_circular_stats",
+    "events_turning_points",
     "stream_kalman_level",
     "repl_session_wordcount",
     "events_kalman_level",
@@ -2493,6 +2506,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_rbo_daily_topk": analytics.events_rbo_daily_topk,
         # --- round-5 capability wave (FRONT of the round-6 driver
         #     window via _ROTATION_BACKLOG) ---
+        "events_circular_stats": analytics.events_circular_stats,
+        "events_turning_points": analytics.events_turning_points,
+        "events_pot_gpd_tail": analytics.events_pot_gpd_tail,
+        "customer_uplift_two_model": analytics.customer_uplift_two_model,
         "stream_kalman_level": streaming_parity.stream_kalman_level,
         "repl_session_wordcount": repl.repl_session_wordcount,
         "events_kalman_level": analytics.events_kalman_level,
@@ -2984,6 +3001,129 @@ def _analytics_sql_frontdoor_text() -> str:
     """The front-door query's oracle IS the Spark-side SQL text —
     imported, not copied, so the two can never drift."""
     return analytics.SQL_FRONTDOOR_Q19
+
+
+_UPLIFT_USERS_CTE = """users AS MATERIALIZED (
+        SELECT CAST(('0x' || substr(md5('uplift|' || CAST(user_id AS VARCHAR)),
+                                    1, 8))::BIGINT % 2 AS BIGINT) AS grp,
+               y, x1, x2
+        FROM (
+            SELECT user_id,
+                   CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+                        AS BIGINT) AS x1,
+                   CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+                        AS BIGINT) AS x2,
+                   CAST(MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                        AS BIGINT) AS y
+            FROM (SELECT user_id, CAST(ts AS DATE) AS day, event_type
+                  FROM events)
+            GROUP BY user_id, day
+        )
+    )"""
+
+
+def _uplift_oracle_sql(iters: int = 3) -> str:
+    """Two-model uplift: TWO IRLS beta chains (suffixes _t/_c) over
+    the arm-filtered user-day designs, then per-row predicted uplift
+    μ_T−μ_C floored to the 1e-6 grid, 10 equal-width bins over
+    [−1, 1], exact integer arm counts/rates with mirrored empty-arm
+    CASE guards."""
+    parts_t, _ = _logit_beta_parts(
+        iters, base_select="\n        SELECT y, x1, x2 FROM users WHERE grp = 1",
+        sfx="_t",
+    )
+    parts_c, _ = _logit_beta_parts(
+        iters, base_select="\n        SELECT y, x1, x2 FROM users WHERE grp = 0",
+        sfx="_c",
+    )
+
+    def mu(b: str) -> str:
+        eta = (
+            f"({b}.b0 + {b}.b1 * CAST(u.x1 AS DOUBLE)"
+            f" + {b}.b2 * CAST(u.x2 AS DOUBLE))"
+        )
+        return f"(1.0 / (1.0 + exp(-{eta})))"
+
+    return f"""
+        WITH {_UPLIFT_USERS_CTE},
+        {','.join(parts_t)},
+        {','.join(parts_c)},
+        scored AS (
+            SELECT u.grp, u.y,
+                   CAST(floor(({mu('bt')} - {mu('bc')}) * 1000000.0 + 0.5)
+                        AS BIGINT) AS u_g
+            FROM users u, beta_t{iters} bt, beta_c{iters} bc
+        ), binned AS (
+            SELECT LEAST(CAST(floor((u_g + 1000000) / 200000) AS BIGINT),
+                         CAST(9 AS BIGINT)) AS bin,
+                   u_g, grp, y
+            FROM scored
+        ), g AS (
+            SELECT bin, CAST(count(*) AS BIGINT) AS n_rows,
+                   CAST(SUM(u_g) AS BIGINT) AS su,
+                   CAST(SUM(grp) AS BIGINT) AS nt,
+                   CAST(SUM(y * grp) AS BIGINT) AS yt,
+                   CAST(SUM(y * (1 - grp)) AS BIGINT) AS yc
+            FROM binned GROUP BY 1
+        ), rates AS (
+            SELECT bin, n_rows, nt, n_rows - nt AS ncd, su, yt, yc,
+                   CASE WHEN nt > 0
+                        THEN CAST(yt AS DOUBLE) / CAST(nt AS DOUBLE) END AS rt,
+                   CASE WHEN n_rows - nt > 0
+                        THEN CAST(yc AS DOUBLE)
+                             / CAST(n_rows - nt AS DOUBLE) END AS rc
+            FROM g
+        )
+        SELECT bin, n_rows, nt AS n_treated, ncd AS n_control,
+               floor(CAST(su AS DOUBLE) / 1000000.0
+                     / CAST(n_rows AS DOUBLE) * 1000000.0 + 0.5)
+                   / 1000000.0 AS mean_pred_uplift,
+               floor(rt * 1000000.0 + 0.5) / 1000000.0 AS rate_treated,
+               floor(rc * 1000000.0 + 0.5) / 1000000.0 AS rate_control,
+               floor((rt - rc) * 1000000.0 + 0.5) / 1000000.0 AS actual_uplift
+        FROM rates ORDER BY bin
+    """
+
+
+def _circular_oracle_sql() -> str:
+    """Hour-of-day circular statistics: the k=1 columns of the shared
+    pre-floored trig table (`analytics.harmonic_constants`), exact
+    HUGEINT product sums, mirrored division/sqrt chain."""
+    from stream_processing_system_spark.plans.analytics import harmonic_constants
+
+    rows = ", ".join(
+        f"({h}, {c1}, {s1})" for h, c1, s1, _, _ in harmonic_constants()
+    )
+    return f"""
+        WITH consts(h, c1, s1) AS (VALUES {rows}),
+        hourly AS (
+            SELECT event_type, CAST(hour(ts) AS INT) AS h,
+                   count(*) AS yc
+            FROM events GROUP BY 1, 2
+        ), j AS (
+            SELECT event_type, yc, c1, s1 FROM hourly JOIN consts USING (h)
+        ), agg AS (
+            SELECT event_type, CAST(SUM(yc) AS BIGINT) AS n,
+                   SUM(CAST(yc AS HUGEINT) * CAST(c1 AS HUGEINT)) AS sc,
+                   SUM(CAST(yc AS HUGEINT) * CAST(s1 AS HUGEINT)) AS ss
+            FROM j GROUP BY 1
+        ), vals AS (
+            SELECT event_type, n,
+                   CAST(sc AS DOUBLE) / 1000000000.0
+                       / CAST(n AS DOUBLE) AS cx,
+                   CAST(ss AS DOUBLE) / 1000000000.0
+                       / CAST(n AS DOUBLE) AS cy
+            FROM agg
+        )
+        SELECT event_type, n AS n_events,
+               floor(cx * 1000000.0 + 0.5) / 1000000.0 AS cx,
+               floor(cy * 1000000.0 + 0.5) / 1000000.0 AS cy,
+               floor(sqrt(cx * cx + cy * cy) * 1000000.0 + 0.5)
+                   / 1000000.0 AS resultant_r,
+               floor((1.0 - sqrt(cx * cx + cy * cy)) * 1000000.0 + 0.5)
+                   / 1000000.0 AS circ_var
+        FROM vals ORDER BY event_type
+    """
 
 
 def _harmonic_oracle_sql() -> str:
@@ -10841,6 +10981,90 @@ def oracle_sql() -> dict[str, str]:
     # calibration curve: composed over the SAME IRLS beta chain as
     # lineitem_logit_return
     _o["lineitem_calibration_curve"] = _logit_calibration_oracle_sql()
+    # circular statistics: same pre-floored trig table as the
+    # harmonic regression (k=1 columns), exact HUGEINT sums
+    _o["events_circular_stats"] = _circular_oracle_sql()
+    # turning-points randomness test: exact integer T, closed-form
+    # moments, mirrored z
+    _o["events_turning_points"] = """
+        WITH daily AS (
+            SELECT event_type, CAST(ts AS DATE) AS day,
+                   CAST(count(*) AS BIGINT) AS c
+            FROM events GROUP BY 1, 2
+        ), trip AS (
+            SELECT event_type, c,
+                   lag(c) OVER (PARTITION BY event_type ORDER BY day) AS prev,
+                   lead(c) OVER (PARTITION BY event_type ORDER BY day) AS nxt
+            FROM daily
+        ), agg AS (
+            SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+                   CAST(SUM(CASE WHEN prev IS NOT NULL AND nxt IS NOT NULL
+                                  AND (((c - prev) > 0 AND (nxt - c) < 0)
+                                       OR ((c - prev) < 0 AND (nxt - c) > 0))
+                            THEN 1 ELSE 0 END) AS BIGINT) AS t_points
+            FROM trip GROUP BY 1
+        )
+        SELECT event_type, n AS n_days, t_points,
+               floor(2.0 * (CAST(n AS DOUBLE) - 2.0) / 3.0
+                     * 1000000.0 + 0.5) / 1000000.0 AS expected_t,
+               floor((CAST(t_points AS DOUBLE)
+                      - 2.0 * (CAST(n AS DOUBLE) - 2.0) / 3.0)
+                     / sqrt((16.0 * CAST(n AS DOUBLE) - 29.0) / 90.0)
+                     * 1000000.0 + 0.5) / 1000000.0 AS z_score
+        FROM agg ORDER BY event_type
+    """
+    # GPD peaks-over-threshold: exact discrete p95 threshold
+    # (grid-histogram device), exact moment sums, mirrored MoM fit
+    _o["events_pot_gpd_tail"] = """
+        WITH centi AS (
+            SELECT event_type, CAST(floor(value * 100 + 0.5) AS BIGINT) AS v
+            FROM events WHERE value IS NOT NULL
+        ), hist AS (
+            SELECT event_type, v, count(*) AS c FROM centi GROUP BY 1, 2
+        ), cum AS (
+            SELECT event_type, v,
+                   SUM(c) OVER (PARTITION BY event_type ORDER BY v
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND CURRENT ROW) AS cum,
+                   SUM(c) OVER (PARTITION BY event_type) AS n
+            FROM hist
+        ), thr AS (
+            SELECT event_type,
+                   MIN(CASE WHEN cum * 100 >= n * 95 THEN v END) AS thr
+            FROM cum GROUP BY 1
+        ), exc AS (
+            SELECT c.event_type, c.v, t.thr
+            FROM centi c JOIN thr t USING (event_type)
+            WHERE c.v > t.thr
+        ), agg AS (
+            SELECT event_type, MAX(thr) AS thr,
+                   CAST(count(*) AS BIGINT) AS n_exc,
+                   CAST(SUM(v - thr) AS BIGINT) AS se,
+                   SUM(CAST(v - thr AS HUGEINT)
+                       * CAST(v - thr AS HUGEINT)) AS se2
+            FROM exc GROUP BY 1
+        ), vals AS (
+            SELECT event_type, thr, n_exc,
+                   CAST(se AS DOUBLE) / CAST(n_exc AS DOUBLE) AS mean,
+                   CAST(se2 AS DOUBLE) / CAST(n_exc AS DOUBLE)
+                       - (CAST(se AS DOUBLE) / CAST(n_exc AS DOUBLE))
+                         * (CAST(se AS DOUBLE) / CAST(n_exc AS DOUBLE)) AS var
+            FROM agg
+        )
+        SELECT event_type,
+               CAST(thr AS DOUBLE) / 100.0 AS threshold,
+               n_exc AS n_exceed,
+               floor(mean / 100.0 * 1000000.0 + 0.5) / 1000000.0
+                   AS mean_excess,
+               floor(0.5 * (1.0 - mean * mean / var)
+                     * 1000000.0 + 0.5) / 1000000.0 AS xi_hat,
+               floor(0.5 * mean * (mean * mean / var + 1.0) / 100.0
+                     * 1000000.0 + 0.5) / 1000000.0 AS beta_hat
+        FROM vals ORDER BY event_type
+    """
+    # two-model uplift: two suffixed IRLS beta chains over the
+    # arm-filtered user-day designs (generator above)
+    _o["customer_uplift_two_model"] = _uplift_oracle_sql()
     # the streaming Kalman twin drains to the identical daily
     # snapshot - same oracle text as the batch plan
     _o["stream_kalman_level"] = _o["events_kalman_level"]
