@@ -10933,6 +10933,13 @@ def events_max_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_type", "day")
         .agg(F.sum("v").alias("cent"))
     )
+    return max_drawdown_from_daily(daily)
+
+
+def max_drawdown_from_daily(daily: DataFrame) -> DataFrame:
+    """Shared drawdown tail (peak segmentation + deterministic
+    argmax) over an (event_type, day, cent) daily-totals frame —
+    factored so the hand-case tests can feed a synthetic curve."""
     w_days = Window.partitionBy("event_type").orderBy("day")
     cum = F.sum("cent").over(w_days)
     prevmax = F.max(F.col("cum")).over(
@@ -11153,6 +11160,12 @@ def events_turning_points(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_type", "day")
         .agg(F.count(F.lit(1)).alias("c"))
     )
+    return turning_points_from_daily(daily)
+
+
+def turning_points_from_daily(daily: DataFrame) -> DataFrame:
+    """Shared turning-points tail over an (event_type, day, c) frame
+    — factored for hand-case tests."""
     w = Window.partitionBy("event_type").orderBy("day")
     trip = daily.select(
         "event_type",
@@ -11203,6 +11216,12 @@ def events_pot_gpd_tail(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("v"),
     )
+    return gpd_pot_from_values(centi)
+
+
+def gpd_pot_from_values(centi: DataFrame) -> DataFrame:
+    """Shared PoT/GPD tail over an (event_type, v) exact-centi frame
+    — factored for hand-case tests."""
     hist = centi.groupBy("event_type", "v").agg(F.count(F.lit(1)).alias("c"))
     w = Window.partitionBy("event_type").orderBy("v").rowsBetween(
         Window.unboundedPreceding, 0
