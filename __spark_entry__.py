@@ -1971,8 +1971,9 @@ _R4_DRIVER_WINDOW = [
 #: planned rotation order for the NEXT rounds' windows (newest
 #: additions first — they carry the most determinism risk). Round 5
 #: takes [:50] (= `_R5_DRIVER_WINDOW` below), round 6 [50:100],
-#: round 7 the final [100:]. Any query added in a later round goes
-#: to the FRONT of its round's window.
+#: round 7 [100:150], round 8 the final 4. Any query added in a
+#: later round goes to the FRONT of its round's window (the 11
+#: round-5 additions sit at [50:61]).
 _ROTATION_BACKLOG = [
     # round-4 additions first: newest code carries the most risk
     "lineitem_shipmode_priority",
@@ -2129,6 +2130,7 @@ _ROTATION_BACKLOG = [
     "large_volume_customers",
     "top_supplier",
     "customer_order_distribution",
+    # --- round-8 remainder (4 names), i.e. backlog[150:] ---
     "market_share",
     "volume_shipping",
     "bracket_revenue",
@@ -2148,8 +2150,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     records exactly the first 50 registered queries each round, so
     `_R5_DRIVER_WINDOW` (this round's 50 never-driver-green names,
     = `_ROTATION_BACKLOG[:50]`) is moved to the front and the rest of
-    `_ROTATION_BACKLOG` documents the planned windows for rounds 6-7
-    — by round 7 every registered query holds a driver CORRECTNESS
+    `_ROTATION_BACKLOG` documents the planned windows for rounds 6-8
+    — by round 8 every registered query holds a driver CORRECTNESS
     row. Rounds 1-4 hash-verified 198 distinct queries
     (CORRECTNESS_r01–r04.json, set union). Every registered query,
     windowed or not, still runs in the local exact-oracle harness

@@ -44,21 +44,23 @@ def test_driver_window_is_fully_oracle_checked():
     assert not missing, missing
 
 
-def test_r4_rotation_invariants():
-    """Round-4 rotation bookkeeping: the first 50 registered queries
-    are exactly _R4_DRIVER_WINDOW (50 unique names, none with a green
-    driver row in rounds 1-3 except the ever-red
-    approx_distinct_users), and _ROTATION_BACKLOG partitions the
-    rest: window + backlog + driver-checked == every registered
-    query, with no overlap between window and backlog."""
-    window = contract._R4_DRIVER_WINDOW
+def test_r5_rotation_invariants():
+    """Round-5 rotation bookkeeping: the first 50 registered queries
+    are exactly _R5_DRIVER_WINDOW (= _ROTATION_BACKLOG[:50], 50
+    unique never-driver-green names), the round-4 window stays intact
+    as the historical record, and backlog + driver-checked partitions
+    the registry: rounds 1-4 banked 198 distinct green rows
+    (49+49+50+50, zero overlap), so every registered query is either
+    already checked or scheduled in the backlog (no query can end
+    round 8 unchecked)."""
+    window = contract._R5_DRIVER_WINDOW
     backlog = contract._ROTATION_BACKLOG
     names = list(QUERIES)
     assert names[:50] == window
+    assert window == backlog[:50]
     assert len(set(window)) == 50
-    assert not set(window) & set(backlog)
+    assert len(set(backlog)) == len(backlog)
     assert set(backlog) <= set(names)
-    # rounds 1-3 drove 149 distinct names; everything registered is
-    # either already checked, in this window, or scheduled in the
-    # backlog (no query can end round 7 unchecked)
-    assert len(names) == len(set(window) | set(backlog)) + 149 - 1  # approx_distinct_users re-runs
+    assert len(set(contract._R4_DRIVER_WINDOW)) == 50
+    assert not set(contract._R4_DRIVER_WINDOW) & set(backlog)
+    assert len(names) == len(backlog) + 198
