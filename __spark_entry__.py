@@ -2029,6 +2029,9 @@ _ROTATION_BACKLOG = [
     # --- round-6 window starts here, i.e. backlog[50:100]
     #     (round-5 additions first: newest code carries the most
     #     determinism risk) ---
+    "events_ljung_box",
+    "lineitem_hotelling_t2",
+    "stream_max_drawdown",
     "customer_uplift_two_model",
     "events_pot_gpd_tail",
     "events_circular_stats",
@@ -2508,6 +2511,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_rbo_daily_topk": analytics.events_rbo_daily_topk,
         # --- round-5 capability wave (FRONT of the round-6 driver
         #     window via _ROTATION_BACKLOG) ---
+        "events_ljung_box": analytics.events_ljung_box,
+        "lineitem_hotelling_t2": analytics.lineitem_hotelling_t2,
+        "stream_max_drawdown": streaming_parity.stream_max_drawdown,
         "events_circular_stats": analytics.events_circular_stats,
         "events_turning_points": analytics.events_turning_points,
         "events_pot_gpd_tail": analytics.events_pot_gpd_tail,
@@ -11067,6 +11073,115 @@ def oracle_sql() -> dict[str, str]:
     # two-model uplift: two suffixed IRLS beta chains over the
     # arm-filtered user-day designs (generator above)
     _o["customer_uplift_two_model"] = _uplift_oracle_sql()
+    # Ljung-Box COMPOSES the acf oracle verbatim as a CTE (shared
+    # text, zero drift) and works on the det-rounded rho_k
+    _o["events_ljung_box"] = f"""
+        WITH acf AS ({_o["events_acf"]}),
+        base AS (
+            SELECT event_type, lag, acf, n_pairs + lag AS nk FROM acf
+        ), nper AS (
+            SELECT event_type, MAX(nk) AS n FROM base GROUP BY 1
+        ), j AS (
+            SELECT b.event_type, b.lag, b.acf, p.n
+            FROM base b JOIN nper p USING (event_type)
+        ), g AS (
+            SELECT event_type, MAX(n) AS n,
+                   CAST(SUM(CAST(floor(acf * acf
+                                        / CAST(n - lag AS DOUBLE)
+                                        * 1000000000000.0 + 0.5)
+                                 AS BIGINT)) AS BIGINT) AS s
+            FROM j GROUP BY 1
+        )
+        SELECT event_type, CAST(n AS BIGINT) AS n_days,
+               floor(CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 2.0)
+                     * (CAST(s AS DOUBLE) / 1000000000000.0)
+                     * 1000000.0 + 0.5) / 1000000.0 AS q_stat,
+               CAST(CASE WHEN floor(CAST(n AS DOUBLE)
+                                    * (CAST(n AS DOUBLE) + 2.0)
+                                    * (CAST(s AS DOUBLE)
+                                       / 1000000000000.0)
+                                    * 1000000.0 + 0.5) / 1000000.0
+                              > 14.06714
+                         THEN 1 ELSE 0 END AS BIGINT) AS reject_5pct
+        FROM g ORDER BY event_type
+    """
+    # Hotelling T^2: exact per-group moment sums, mirrored pooled
+    # covariance / closed-form 2x2 inverse / quadratic form
+    _o["lineitem_hotelling_t2"] = """
+        WITH base AS (
+            SELECT CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS grp,
+                   CAST(l_quantity AS BIGINT) AS x,
+                   CAST(floor(l_discount * 100 + 0.5) AS BIGINT) AS y
+            FROM lineitem
+        ), m AS (
+            SELECT grp, count(*) AS n,
+                   SUM(CAST(x AS HUGEINT)) AS sx,
+                   SUM(CAST(y AS HUGEINT)) AS sy,
+                   SUM(CAST(x AS HUGEINT) * CAST(x AS HUGEINT)) AS sxx,
+                   SUM(CAST(x AS HUGEINT) * CAST(y AS HUGEINT)) AS sxy,
+                   SUM(CAST(y AS HUGEINT) * CAST(y AS HUGEINT)) AS syy
+            FROM base GROUP BY 1
+        ), one AS (
+            SELECT MAX(CASE WHEN grp = 0 THEN n END) AS n0,
+                   MAX(CASE WHEN grp = 0 THEN sx END) AS sx0,
+                   MAX(CASE WHEN grp = 0 THEN sy END) AS sy0,
+                   MAX(CASE WHEN grp = 0 THEN sxx END) AS sxx0,
+                   MAX(CASE WHEN grp = 0 THEN sxy END) AS sxy0,
+                   MAX(CASE WHEN grp = 0 THEN syy END) AS syy0,
+                   MAX(CASE WHEN grp = 1 THEN n END) AS n1,
+                   MAX(CASE WHEN grp = 1 THEN sx END) AS sx1,
+                   MAX(CASE WHEN grp = 1 THEN sy END) AS sy1,
+                   MAX(CASE WHEN grp = 1 THEN sxx END) AS sxx1,
+                   MAX(CASE WHEN grp = 1 THEN sxy END) AS sxy1,
+                   MAX(CASE WHEN grp = 1 THEN syy END) AS syy1
+            FROM m
+        ), v AS (
+            SELECT CAST(n0 AS DOUBLE) AS n0d, CAST(n1 AS DOUBLE) AS n1d,
+                   CAST(sx0 AS DOUBLE) / CAST(n0 AS DOUBLE) AS mx0,
+                   CAST(sy0 AS DOUBLE) / CAST(n0 AS DOUBLE) AS my0,
+                   CAST(sx1 AS DOUBLE) / CAST(n1 AS DOUBLE) AS mx1,
+                   CAST(sy1 AS DOUBLE) / CAST(n1 AS DOUBLE) AS my1,
+                   CAST(sxx0 AS DOUBLE) - CAST(sx0 AS DOUBLE)
+                       * (CAST(sx0 AS DOUBLE) / CAST(n0 AS DOUBLE)) AS cxx0,
+                   CAST(sxy0 AS DOUBLE) - CAST(sx0 AS DOUBLE)
+                       * (CAST(sy0 AS DOUBLE) / CAST(n0 AS DOUBLE)) AS cxy0,
+                   CAST(syy0 AS DOUBLE) - CAST(sy0 AS DOUBLE)
+                       * (CAST(sy0 AS DOUBLE) / CAST(n0 AS DOUBLE)) AS cyy0,
+                   CAST(sxx1 AS DOUBLE) - CAST(sx1 AS DOUBLE)
+                       * (CAST(sx1 AS DOUBLE) / CAST(n1 AS DOUBLE)) AS cxx1,
+                   CAST(sxy1 AS DOUBLE) - CAST(sx1 AS DOUBLE)
+                       * (CAST(sy1 AS DOUBLE) / CAST(n1 AS DOUBLE)) AS cxy1,
+                   CAST(syy1 AS DOUBLE) - CAST(sy1 AS DOUBLE)
+                       * (CAST(sy1 AS DOUBLE) / CAST(n1 AS DOUBLE)) AS cyy1,
+                   n0, n1
+            FROM one
+        ), w AS (
+            SELECT n0, n1, n0d, n1d,
+                   mx1 - mx0 AS dx, my1 - my0 AS dy,
+                   (cxx0 + cxx1) / (n0d + n1d - 2.0) AS sxx,
+                   (cxy0 + cxy1) / (n0d + n1d - 2.0) AS sxy,
+                   (cyy0 + cyy1) / (n0d + n1d - 2.0) AS syy
+            FROM v
+        ), t AS (
+            SELECT n0, n1, n0d, n1d, dx, dy,
+                   (n0d * n1d / (n0d + n1d))
+                   * ((syy * dx * dx - 2.0 * sxy * dx * dy
+                       + sxx * dy * dy)
+                      / (sxx * syy - sxy * sxy)) AS t2
+            FROM w
+        )
+        SELECT CAST(n0 AS BIGINT) AS n_kept,
+               CAST(n1 AS BIGINT) AS n_returned,
+               floor(dx * 1000000.0 + 0.5) / 1000000.0 AS diff_qty,
+               floor(dy / 100.0 * 1000000.0 + 0.5) / 1000000.0 AS diff_disc,
+               floor(t2 * 1000000.0 + 0.5) / 1000000.0 AS t2_stat,
+               floor(t2 * (n0d + n1d - 3.0) / (2.0 * (n0d + n1d - 2.0))
+                     * 1000000.0 + 0.5) / 1000000.0 AS f_stat
+        FROM t
+    """
+    # the streaming drawdown twin drains to the identical daily
+    # snapshot - same oracle text as the batch plan
+    _o["stream_max_drawdown"] = _o["events_max_drawdown"]
     # the streaming Kalman twin drains to the identical daily
     # snapshot - same oracle text as the batch plan
     _o["stream_kalman_level"] = _o["events_kalman_level"]

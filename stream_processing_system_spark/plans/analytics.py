@@ -11358,3 +11358,116 @@ def customer_uplift_two_model(
         det_round(rate_c, 6).alias("rate_control"),
         det_round(rate_t - rate_c, 6).alias("actual_uplift"),
     ).orderBy("bin")
+
+
+def events_ljung_box(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ljung-Box portmanteau whiteness test per event type, COMPOSED
+    on the ACF query: Q = n(n+2)·Σ_{k=1..7} ρ_k²/(n−k) over the
+    det-rounded lag-1..7 autocorrelations `events_acf` already
+    emits, with the χ²₇ 95% critical value (14.06714, an embedded
+    literal in both engines) as a reject flag — the standard "is
+    anything left in the residuals" gate after a seasonal fit.
+
+    Determinism: composes on the ROUNDED ρ_k (the oracle wraps the
+    acf oracle text as a CTE — shared text, zero drift); each
+    ρ²/(n−k) term is floored onto the 1e-12 grid before the 7-term
+    sum (cross-row double addition is never trusted), and n is
+    recovered as max(n_pairs + lag), mirrored. Scale: everything
+    downstream of the acf aggregate sees ≤ 7·|types| rows."""
+    acf = events_acf(spark, sf_dir)
+    base = acf.select(
+        "event_type",
+        "lag",
+        "acf",
+        (F.col("n_pairs") + F.col("lag")).alias("nk"),
+    )
+    nper = base.groupBy("event_type").agg(F.max("nk").alias("n"))
+    j = base.join(F.broadcast(nper), "event_type")
+    term = F.floor(
+        F.col("acf") * F.col("acf")
+        / (F.col("n") - F.col("lag")).cast("double")
+        * F.lit(1e12)
+        + F.lit(0.5)
+    ).cast("long")
+    g = j.groupBy("event_type").agg(
+        F.max("n").alias("n"), F.sum(term).alias("s")
+    )
+    nd = F.col("n").cast("double")
+    qstat = nd * (nd + F.lit(2.0)) * (F.col("s").cast("double") / F.lit(1e12))
+    q6 = det_round(qstat, 6)
+    return g.select(
+        "event_type",
+        F.col("n").cast("long").alias("n_days"),
+        q6.alias("q_stat"),
+        F.when(q6 > F.lit(14.06714), 1).otherwise(0).cast("long").alias(
+            "reject_5pct"
+        ),
+    ).orderBy("event_type")
+
+
+def lineitem_hotelling_t2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Hotelling T² — the multivariate generalization of
+    the t-test: do returned and kept lineitems differ in the joint
+    (quantity, discount) mean vector? Pooled 2×2 covariance with a
+    closed-form inverse, T² quadratic form, and the exact F
+    conversion F = T²·(n−p−1)/(p·(n−2)) with p=2 — one scan, one
+    grouped moment aggregate, all data-sized work map-side combined
+    into ten DECIMAL(38,0) sums per group.
+
+    Determinism: per-group moments are exact sums of BIGINT products
+    (quantity and centi-discount are exact longs); means, pooled
+    covariance entries, the inverse and the quadratic form are a
+    fixed-operand-order double chain mirrored textually in SQL."""
+    li = load_table(spark, sf_dir, "lineitem")
+    d38 = "decimal(38,0)"
+    base = li.select(
+        (F.col("l_returnflag") == "R").cast("int").alias("grp"),
+        F.col("l_quantity").cast("long").alias("x"),
+        F.floor(F.col("l_discount") * 100 + F.lit(0.5)).cast("long").alias("y"),
+    )
+    m = base.groupBy("grp").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("x").cast(d38)).alias("sx"),
+        F.sum(F.col("y").cast(d38)).alias("sy"),
+        F.sum(F.col("x").cast(d38) * F.col("x")).alias("sxx"),
+        F.sum(F.col("x").cast(d38) * F.col("y")).alias("sxy"),
+        F.sum(F.col("y").cast(d38) * F.col("y")).alias("syy"),
+    )
+    # pivot the two groups onto one row (tiny frame) with mirrored
+    # conditional aggregation
+    one = m.groupBy().agg(
+        *[
+            F.max(F.when(F.col("grp") == g, F.col(c))).alias(f"{c}{g}")
+            for g in (0, 1)
+            for c in ("n", "sx", "sy", "sxx", "sxy", "syy")
+        ]
+    )
+    def moments(g: int):
+        n = F.col(f"n{g}").cast("double")
+        mx = F.col(f"sx{g}").cast("double") / n
+        my = F.col(f"sy{g}").cast("double") / n
+        cxx = F.col(f"sxx{g}").cast("double") - F.col(f"sx{g}").cast("double") * mx
+        cxy = F.col(f"sxy{g}").cast("double") - F.col(f"sx{g}").cast("double") * my
+        cyy = F.col(f"syy{g}").cast("double") - F.col(f"sy{g}").cast("double") * my
+        return n, mx, my, cxx, cxy, cyy
+
+    n0, mx0, my0, cxx0, cxy0, cyy0 = moments(0)
+    n1, mx1, my1, cxx1, cxy1, cyy1 = moments(1)
+    df_pool = n0 + n1 - F.lit(2.0)
+    sxx = (cxx0 + cxx1) / df_pool
+    sxy = (cxy0 + cxy1) / df_pool
+    syy = (cyy0 + cyy1) / df_pool
+    det = sxx * syy - sxy * sxy
+    dx = mx1 - mx0
+    dy = my1 - my0
+    quad = (syy * dx * dx - F.lit(2.0) * sxy * dx * dy + sxx * dy * dy) / det
+    t2 = (n0 * n1 / (n0 + n1)) * quad
+    fstat = t2 * (n0 + n1 - F.lit(3.0)) / (F.lit(2.0) * (n0 + n1 - F.lit(2.0)))
+    return one.select(
+        F.col("n0").cast("long").alias("n_kept"),
+        F.col("n1").cast("long").alias("n_returned"),
+        det_round(dx, 6).alias("diff_qty"),
+        det_round(dy / F.lit(100.0), 6).alias("diff_disc"),
+        det_round(t2, 6).alias("t2_stat"),
+        det_round(fstat, 6).alias("f_stat"),
+    )

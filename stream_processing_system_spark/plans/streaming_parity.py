@@ -1014,6 +1014,56 @@ def stream_kalman_level(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kalman_from_daily(daily)
 
 
+def stream_max_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximum drawdown with the daily-totals state maintained by an
+    availableNow streaming aggregation — the streaming twin of
+    `analytics.events_max_drawdown` (same oracle). Per-(type, day)
+    centi sums are a mergeable monoid; the peak-segmentation tail
+    then runs as the shared batch plan over the drained state (day
+    streams as an ISO string, which sorts chronologically)."""
+    from stream_processing_system_spark.plans.analytics import (
+        max_drawdown_from_daily,
+    )
+
+    input_dir, ckpt, run = _scratch("mdd")
+    events = (
+        load_table(spark, sf_dir, "events")
+        .where(F.col("value").isNotNull())
+        .select("ts", "event_type", "value")
+    )
+    events.write.mode("overwrite").parquet(input_dir)
+    stream = spark.readStream.schema(
+        "ts timestamp, event_type string, value double"
+    ).parquet(input_dir)
+    centi = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+    state = (
+        stream.select(
+            "event_type",
+            F.col("ts").cast("date").cast("string").alias("day"),
+            centi.alias("v"),
+        )
+        .groupBy("event_type", "day")
+        .agg(F.sum("v").alias("cent"))
+    )
+    with _state_partitions(spark):
+        q = (
+            state.writeStream.outputMode("complete")
+            .format("memory")
+            .queryName(f"mdd_{run}")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    _cleanup(input_dir)
+    daily = (
+        spark.table(f"mdd_{run}")
+        .select("event_type", "day", "cent")
+        .localCheckpoint(eager=True)
+    )
+    return max_drawdown_from_daily(daily)
+
+
 def stream_spout_wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
     """q1_wordcount executed through the `crane_spout` custom
     STREAMING DataSource (S7, `Apps/WordCountSpout.go:18-44`):
