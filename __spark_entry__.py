@@ -1970,10 +1970,11 @@ _R4_DRIVER_WINDOW = [
 #: Remaining never-driver-checked queries after round 4, in the
 #: planned rotation order for the NEXT rounds' windows (newest
 #: additions first — they carry the most determinism risk). Round 5
-#: takes [:50] (= `_R5_DRIVER_WINDOW` below), round 6 [50:100],
-#: round 7 [100:150], round 8 the final 4. Any query added in a
-#: later round goes to the FRONT of its round's window (the 11
-#: round-5 additions sit at [50:61]).
+#: took [:50] (= `_R5_DRIVER_WINDOW` below, all 50 green in
+#: CORRECTNESS_r05.json), round 6 takes [50:100]
+#: (= `_R6_DRIVER_WINDOW`), round 7 [100:150], round 8 the final 7
+#: ([150:157]). Any query added in a later round goes to the FRONT
+#: of its round's window (the 14 round-5 additions sit at [50:64]).
 _ROTATION_BACKLOG = [
     # round-4 additions first: newest code carries the most risk
     "lineitem_shipmode_priority",
@@ -2088,7 +2089,7 @@ _ROTATION_BACKLOG = [
     "event_sequence_motifs",
     "incremental_revenue_maintenance",
     "user_geo_neighbor_pairs",
-    # --- round-7 window starts here, i.e. backlog[100:] ---
+    # --- round-7 window starts here, i.e. backlog[100:150] ---
     "kmv_user_overlap",
     "events_pattern_search",
     "events_props_variant",
@@ -2130,35 +2131,45 @@ _ROTATION_BACKLOG = [
     "pq_topk",
     "rp_topk",
     "late_supplier_orders",
+    # --- round-8 remainder (7 names), i.e. backlog[150:157] ---
     "large_volume_customers",
     "top_supplier",
     "customer_order_distribution",
-    # --- round-8 remainder (4 names), i.e. backlog[150:] ---
     "market_share",
     "volume_shipping",
     "bracket_revenue",
     "promo_revenue_ratio",
 ]
 
-#: Round-5 driver window (VERDICT r4 item 1): the first 50 backlog
-#: names — the 12 round-4 capability additions lead (newest code,
-#: highest determinism risk), then the round-3 additions that have
-#: never held a driver row. After this round, cumulative distinct
-#: driver-green coverage is 248 of 341; rounds 6-7 take the rest.
+#: Round-5 driver window (VERDICT r4 item 1, historical record): the
+#: first 50 backlog names — the 12 round-4 capability additions led,
+#: then round-3 additions that had never held a driver row. All 50
+#: came back green in CORRECTNESS_r05.json; cumulative distinct
+#: driver-green coverage after round 5 is 248 of 355 (verified by
+#: set union over CORRECTNESS_r01–r05).
 _R5_DRIVER_WINDOW = _ROTATION_BACKLOG[:50]
+
+#: Round-6 driver window (VERDICT r5 item 1): backlog[50:100] — the
+#: 14 round-5 additions lead (newest code, highest determinism risk:
+#: Kalman fold, IRLS uplift, GPD tail, Ljung-Box), then the
+#: orders_backlog_timeline wave of round-3 third-wave names. After
+#: this round, cumulative distinct driver-green coverage is 298 of
+#: 355; round 7 takes [100:150], round 8 the final 7.
+_R6_DRIVER_WINDOW = _ROTATION_BACKLOG[50:100]
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registration order is the driver's check order: the driver
     records exactly the first 50 registered queries each round, so
-    `_R5_DRIVER_WINDOW` (this round's 50 never-driver-green names,
-    = `_ROTATION_BACKLOG[:50]`) is moved to the front and the rest of
-    `_ROTATION_BACKLOG` documents the planned windows for rounds 6-8
-    — by round 8 every registered query holds a driver CORRECTNESS
-    row. Rounds 1-4 hash-verified 198 distinct queries
-    (CORRECTNESS_r01–r04.json, set union). Every registered query,
-    windowed or not, still runs in the local exact-oracle harness
-    (`python -m tests.oracle`) at sf0.01 and sf0.1 every round."""
+    `_R6_DRIVER_WINDOW` (this round's 50 never-driver-green names,
+    = `_ROTATION_BACKLOG[50:100]`) is moved to the front and the rest
+    of `_ROTATION_BACKLOG` documents the planned windows for rounds
+    7-8 — by round 8 every registered query holds a driver
+    CORRECTNESS row. Rounds 1-5 hash-verified 248 distinct queries
+    (CORRECTNESS_r01–r05.json, set union, zero overlap). Every
+    registered query, windowed or not, still runs in the local
+    exact-oracle harness (`python -m tests.oracle`) at sf0.01 and
+    sf0.1 every round."""
     q = {
         # --- round-3 driver window (positions 1-50 in round 3;
         #     all 50 driver-green in CORRECTNESS_r03.json) ---
@@ -2526,7 +2537,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_dp_noisy_counts": analytics.events_dp_noisy_counts,
         "lineitem_calibration_curve": analytics.lineitem_calibration_curve,
     }
-    head = {n: q[n] for n in _R5_DRIVER_WINDOW}
+    head = {n: q[n] for n in _R6_DRIVER_WINDOW}
     assert len(head) == 50, f"driver window must be 50, got {len(head)}"
     return head | {n: f for n, f in q.items() if n not in head}
 
@@ -3202,8 +3213,11 @@ def _harmonic_oracle_sql() -> str:
                floor(k.b2 * 1000000.0 + 0.5) / 1000000.0 AS b2,
                floor(sqrt(k.a2 * k.a2 + k.b2 * k.b2) * 1000000.0 + 0.5)
                    / 1000000.0 AS amp2,
-               floor((1.0 - (CAST(s.sseg AS DOUBLE) / 1000000.0) / k.sst)
-                     * 1000000.0 + 0.5) / 1000000.0 AS r2
+               CASE WHEN k.sst = 0.0 THEN NULL
+                    ELSE floor((1.0 - (CAST(s.sseg AS DOUBLE) / 1000000.0)
+                                / k.sst)
+                         * 1000000.0 + 0.5) / 1000000.0
+               END AS r2
         FROM coefs k, sse s
     """
 
@@ -11064,44 +11078,62 @@ def oracle_sql() -> dict[str, str]:
                n_exc AS n_exceed,
                floor(mean / 100.0 * 1000000.0 + 0.5) / 1000000.0
                    AS mean_excess,
-               floor(0.5 * (1.0 - mean * mean / var)
-                     * 1000000.0 + 0.5) / 1000000.0 AS xi_hat,
-               floor(0.5 * mean * (mean * mean / var + 1.0) / 100.0
-                     * 1000000.0 + 0.5) / 1000000.0 AS beta_hat
+               CASE WHEN var = 0.0 THEN NULL
+                    ELSE floor(0.5 * (1.0 - mean * mean / var)
+                               * 1000000.0 + 0.5) / 1000000.0
+               END AS xi_hat,
+               CASE WHEN var = 0.0 THEN NULL
+                    ELSE floor(0.5 * mean * (mean * mean / var + 1.0)
+                               / 100.0 * 1000000.0 + 0.5) / 1000000.0
+               END AS beta_hat
         FROM vals ORDER BY event_type
     """
     # two-model uplift: two suffixed IRLS beta chains over the
     # arm-filtered user-day designs (generator above)
     _o["customer_uplift_two_model"] = _uplift_oracle_sql()
     # Ljung-Box COMPOSES the acf oracle verbatim as a CTE (shared
-    # text, zero drift) and works on the det-rounded rho_k
+    # text, zero drift) and works on the det-rounded rho_k. n is the
+    # TRUE per-type day count of the same daily frame the ACF uses
+    # (not n_pairs + lag, which underestimates on gappy series —
+    # ADVICE r5), lag >= n terms are excluded, and the critical
+    # value is df-scaled to the lag count actually summed via
+    # list-literal indexing of the SAME chi-square constants the
+    # plan embeds (analytics.LJUNG_BOX_CRIT_5PCT).
+    _ljung_crits = ", ".join(
+        repr(v) for v in analytics.LJUNG_BOX_CRIT_5PCT
+    )
     _o["events_ljung_box"] = f"""
         WITH acf AS ({_o["events_acf"]}),
-        base AS (
-            SELECT event_type, lag, acf, n_pairs + lag AS nk FROM acf
-        ), nper AS (
-            SELECT event_type, MAX(nk) AS n FROM base GROUP BY 1
+        nper AS (
+            SELECT event_type,
+                   CAST(count(DISTINCT CAST(ts AS DATE)) AS BIGINT) AS n
+            FROM events WHERE value IS NOT NULL GROUP BY 1
         ), j AS (
             SELECT b.event_type, b.lag, b.acf, p.n
-            FROM base b JOIN nper p USING (event_type)
+            FROM acf b JOIN nper p USING (event_type)
+            WHERE b.lag < p.n
         ), g AS (
             SELECT event_type, MAX(n) AS n,
+                   CAST(count(*) AS BIGINT) AS n_lags,
                    CAST(SUM(CAST(floor(acf * acf
                                         / CAST(n - lag AS DOUBLE)
                                         * 1000000000000.0 + 0.5)
                                  AS BIGINT)) AS BIGINT) AS s
             FROM j GROUP BY 1
         )
-        SELECT event_type, CAST(n AS BIGINT) AS n_days,
+        SELECT event_type, CAST(n AS BIGINT) AS n_days, n_lags,
                floor(CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 2.0)
                      * (CAST(s AS DOUBLE) / 1000000000000.0)
                      * 1000000.0 + 0.5) / 1000000.0 AS q_stat,
+               CAST(list_value({_ljung_crits})[CAST(n_lags AS INT)]
+                    AS DOUBLE) AS crit_5pct,
                CAST(CASE WHEN floor(CAST(n AS DOUBLE)
                                     * (CAST(n AS DOUBLE) + 2.0)
                                     * (CAST(s AS DOUBLE)
                                        / 1000000000000.0)
                                     * 1000000.0 + 0.5) / 1000000.0
-                              > 14.06714
+                              > CAST(list_value({_ljung_crits})[
+                                     CAST(n_lags AS INT)] AS DOUBLE)
                          THEN 1 ELSE 0 END AS BIGINT) AS reject_5pct
         FROM g ORDER BY event_type
     """

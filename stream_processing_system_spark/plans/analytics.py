@@ -10897,6 +10897,19 @@ def events_harmonic_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
     def r6(x: float) -> float:
         return math.floor(x * 1e6 + 0.5) / 1e6
 
+    # degenerate input guard (ADVICE r5): a perfectly constant hourly
+    # profile has sst == 0 — R² is undefined there, so emit NULL
+    # instead of letting inf/NaN flow through det_round. sst is a
+    # driver-side scalar here, so a Python branch mirrors the
+    # oracle's CASE WHEN sst = 0.0 THEN NULL exactly.
+    r2_col = (
+        F.lit(None).cast("double")
+        if sst == 0.0
+        else det_round(
+            F.lit(1.0) - (F.col("sseg").cast("double") / F.lit(1e6)) / F.lit(sst),
+            6,
+        )
+    )
     return sse_g.select(
         F.lit(r6(mean)).alias("mean_count"),
         F.lit(r6(a1)).alias("a1"),
@@ -10905,10 +10918,7 @@ def events_harmonic_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(r6(a2)).alias("a2"),
         F.lit(r6(b2)).alias("b2"),
         F.lit(r6(amp2)).alias("amp2"),
-        det_round(
-            F.lit(1.0) - (F.col("sseg").cast("double") / F.lit(1e6)) / F.lit(sst),
-            6,
-        ).alias("r2"),
+        r2_col.alias("r2"),
     )
 
 
@@ -11003,16 +11013,20 @@ def max_drawdown_from_daily(daily: DataFrame) -> DataFrame:
 
 
 def events_dp_noisy_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ε-differentially-private daily event counts (ε=0.5, Laplace
-    mechanism, sensitivity 1 ⇒ scale b=2.0) — the privacy layer a
-    shared analytics surface puts in front of raw counts. The noise
-    is SEEDED: u = (md5-prefix(key)+0.5)/2^32 is an exact dyadic
-    uniform, the Laplace inverse-CDF sign/magnitude split is a
-    mirrored CASE, and the one libm call per row (ln) is floored
-    onto the 1e-6 grid before use — deterministic replay across
-    engines AND across runs, which is what makes a DP release
-    auditable. Outputs integer-rounded noisy counts only (the true
-    count never leaves the plan).
+    """Laplace-SHAPED deterministic pseudo-noise over daily event
+    counts — a mechanism DEMO of the DP noise pipeline (Laplace
+    scale b=2.0, i.e. what sensitivity-1 / ε=0.5 WOULD use), NOT a
+    privacy guarantee: the noise is derived from the PUBLIC key
+    md5('dp|'‖event_type‖'|'‖day) with no secret, so anyone can
+    recompute it and subtract it back out (ADVICE r5). A production
+    DP release would swap the salt for a run-time secret seed — the
+    plumbing (inverse-CDF transform, sign/magnitude split, grid
+    discipline) is exactly what that release needs, and keeping the
+    seed public is what lets the cross-engine oracle verify the
+    transform end-to-end. u = (md5-prefix(key)+0.5)/2^32 is an exact
+    dyadic uniform, the inverse-CDF split is a mirrored CASE, and
+    the one libm call per row (ln) is floored onto the 1e-6 grid
+    before use — deterministic replay across engines AND runs.
     Scale: one count aggregate, then pure per-row expressions."""
     from stream_processing_system_spark.functions.scalar import md5_prefix_long
 
@@ -11255,13 +11269,22 @@ def gpd_pot_from_values(centi: DataFrame) -> DataFrame:
     ratio = mean * mean / var
     xi = F.lit(0.5) * (F.lit(1.0) - ratio)
     beta = F.lit(0.5) * mean * (ratio + F.lit(1.0))
+    # degenerate input guard (ADVICE r5): if every exceedance is
+    # identical, var == 0 and the moment ratio is undefined — emit
+    # NULL for the fitted shape/scale instead of inf/NaN, mirrored
+    # as CASE WHEN var = 0.0 THEN NULL in the oracle.
+    null_d = F.lit(None).cast("double")
+    xi_out = F.when(var == F.lit(0.0), null_d).otherwise(det_round(xi, 6))
+    beta_out = F.when(var == F.lit(0.0), null_d).otherwise(
+        det_round(beta / F.lit(100.0), 6)
+    )
     return agg.select(
         "event_type",
         (F.col("thr").cast("double") / F.lit(100.0)).alias("threshold"),
         F.col("n_exc").cast("long").alias("n_exceed"),
         det_round(mean / F.lit(100.0), 6).alias("mean_excess"),
-        det_round(xi, 6).alias("xi_hat"),
-        det_round(beta / F.lit(100.0), 6).alias("beta_hat"),
+        xi_out.alias("xi_hat"),
+        beta_out.alias("beta_hat"),
     ).orderBy("event_type")
 
 
@@ -11360,29 +11383,53 @@ def customer_uplift_two_model(
     ).orderBy("bin")
 
 
+#: χ² 95% critical values for df 1..7 (standard-table constants,
+#: 6 dp) — indexed by the number of lags actually summed so a gappy
+#: daily series that loses lags is still compared against the right
+#: distribution. Embedded as the SAME literals in the DuckDB oracle
+#: (list_value indexing).
+LJUNG_BOX_CRIT_5PCT = (
+    3.841459,
+    5.991465,
+    7.814728,
+    9.487729,
+    11.070498,
+    12.591587,
+    14.06714,
+)
+
+
 def events_ljung_box(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ljung-Box portmanteau whiteness test per event type, COMPOSED
-    on the ACF query: Q = n(n+2)·Σ_{k=1..7} ρ_k²/(n−k) over the
-    det-rounded lag-1..7 autocorrelations `events_acf` already
-    emits, with the χ²₇ 95% critical value (14.06714, an embedded
-    literal in both engines) as a reject flag — the standard "is
+    on the ACF query: Q = n(n+2)·Σ_k ρ_k²/(n−k) over the det-rounded
+    lag-1..7 autocorrelations `events_acf` already emits, compared
+    against the χ²(n_lags) 95% critical value — the standard "is
     anything left in the residuals" gate after a seasonal fit.
+
+    n is the TRUE per-type day count joined from the same daily
+    frame the ACF is built on (`_daily_whole_units`), not recovered
+    from n_pairs — on a gappy daily series n_pairs + lag
+    underestimates n (ADVICE r5). Lags the series cannot support
+    (lag ≥ n) are excluded, and because the da/db>0 filter in
+    `events_acf` can drop lags entirely, the critical value is
+    scaled to the lag count actually summed via the
+    `LJUNG_BOX_CRIT_5PCT` df-indexed table rather than pinned at
+    χ²₇; `n_lags` and `crit_5pct` are emitted so the df is auditable.
 
     Determinism: composes on the ROUNDED ρ_k (the oracle wraps the
     acf oracle text as a CTE — shared text, zero drift); each
-    ρ²/(n−k) term is floored onto the 1e-12 grid before the 7-term
-    sum (cross-row double addition is never trusted), and n is
-    recovered as max(n_pairs + lag), mirrored. Scale: everything
-    downstream of the acf aggregate sees ≤ 7·|types| rows."""
+    ρ²/(n−k) term is floored onto the 1e-12 grid before the ≤7-term
+    sum (cross-row double addition is never trusted). Scale:
+    everything downstream of the two aggregates sees ≤ 7·|types|
+    rows."""
+    events = load_table(spark, sf_dir, "events")
     acf = events_acf(spark, sf_dir)
-    base = acf.select(
-        "event_type",
-        "lag",
-        "acf",
-        (F.col("n_pairs") + F.col("lag")).alias("nk"),
+    nper = _daily_whole_units(events).groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n")
     )
-    nper = base.groupBy("event_type").agg(F.max("nk").alias("n"))
-    j = base.join(F.broadcast(nper), "event_type")
+    j = acf.join(F.broadcast(nper), "event_type").where(
+        F.col("lag") < F.col("n")
+    )
     term = F.floor(
         F.col("acf") * F.col("acf")
         / (F.col("n") - F.col("lag")).cast("double")
@@ -11390,18 +11437,24 @@ def events_ljung_box(spark: SparkSession, sf_dir: str) -> DataFrame:
         + F.lit(0.5)
     ).cast("long")
     g = j.groupBy("event_type").agg(
-        F.max("n").alias("n"), F.sum(term).alias("s")
+        F.max("n").alias("n"),
+        F.count(F.lit(1)).alias("n_lags"),
+        F.sum(term).alias("s"),
     )
     nd = F.col("n").cast("double")
     qstat = nd * (nd + F.lit(2.0)) * (F.col("s").cast("double") / F.lit(1e12))
     q6 = det_round(qstat, 6)
+    crit = F.element_at(
+        F.array(*[F.lit(v) for v in LJUNG_BOX_CRIT_5PCT]),
+        F.col("n_lags").cast("int"),
+    )
     return g.select(
         "event_type",
         F.col("n").cast("long").alias("n_days"),
+        F.col("n_lags").cast("long").alias("n_lags"),
         q6.alias("q_stat"),
-        F.when(q6 > F.lit(14.06714), 1).otherwise(0).cast("long").alias(
-            "reject_5pct"
-        ),
+        crit.alias("crit_5pct"),
+        F.when(q6 > crit, 1).otherwise(0).cast("long").alias("reject_5pct"),
     ).orderBy("event_type")
 
 

@@ -44,23 +44,32 @@ def test_driver_window_is_fully_oracle_checked():
     assert not missing, missing
 
 
-def test_r5_rotation_invariants():
-    """Round-5 rotation bookkeeping: the first 50 registered queries
-    are exactly _R5_DRIVER_WINDOW (= _ROTATION_BACKLOG[:50], 50
-    unique never-driver-green names), the round-4 window stays intact
-    as the historical record, and backlog + driver-checked partitions
-    the registry: rounds 1-4 banked 198 distinct green rows
-    (49+49+50+50, zero overlap), so every registered query is either
-    already checked or scheduled in the backlog (no query can end
-    round 8 unchecked)."""
-    window = contract._R5_DRIVER_WINDOW
+def test_r6_rotation_invariants():
+    """Round-6 rotation bookkeeping: the first 50 registered queries
+    are exactly _R6_DRIVER_WINDOW (= _ROTATION_BACKLOG[50:100], 50
+    unique never-driver-green names), the round-4/5 windows stay
+    intact as the historical record, and backlog + driver-checked
+    partitions the registry: rounds 1-5 banked 248 distinct green
+    rows (49+49+50+50+50, zero overlap — the r5 window IS
+    backlog[:50], so 198 pre-backlog + the banked [:50] slice), so
+    every registered query is either already checked or scheduled
+    (round 7 = backlog[100:150], round 8 = backlog[150:157], 7
+    names — no query can end round 8 unchecked)."""
+    window = contract._R6_DRIVER_WINDOW
     backlog = contract._ROTATION_BACKLOG
     names = list(QUERIES)
     assert names[:50] == window
-    assert window == backlog[:50]
+    assert window == backlog[50:100]
     assert len(set(window)) == 50
-    assert len(set(backlog)) == len(backlog)
+    assert len(set(backlog)) == len(backlog) == 157
     assert set(backlog) <= set(names)
+    assert contract._R5_DRIVER_WINDOW == backlog[:50]
     assert len(set(contract._R4_DRIVER_WINDOW)) == 50
     assert not set(contract._R4_DRIVER_WINDOW) & set(backlog)
+    # rounds 1-4 banked 198 names none of which are in the backlog;
+    # round 5 banked backlog[:50]; everything else is scheduled.
     assert len(names) == len(backlog) + 198
+    # the 14 round-5 additions lead the round-6 window (newest code
+    # carries the most determinism risk) and round 8 holds exactly 7.
+    assert backlog[50:64][0] == "events_ljung_box"
+    assert len(backlog[150:]) == 7

