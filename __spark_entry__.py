@@ -2080,6 +2080,7 @@ _ROTATION_BACKLOG = [
     "session_incident_overlap",
     "embedding_hard_negatives",
     "media_ahash_neardup",
+    # --- round-7 window starts here, i.e. backlog[100:150] ---
     "purchase_next_click_asof",
     "stream_upsert_user_totals",
     "events_downsample_ltob",
@@ -2089,7 +2090,6 @@ _ROTATION_BACKLOG = [
     "event_sequence_motifs",
     "incremental_revenue_maintenance",
     "user_geo_neighbor_pairs",
-    # --- round-7 window starts here, i.e. backlog[100:150] ---
     "kmv_user_overlap",
     "events_pattern_search",
     "events_props_variant",
