@@ -1972,9 +1972,10 @@ _R4_DRIVER_WINDOW = [
 #: additions first — they carry the most determinism risk). Round 5
 #: took [:50] (= `_R5_DRIVER_WINDOW` below, all 50 green in
 #: CORRECTNESS_r05.json), round 6 takes [50:100]
-#: (= `_R6_DRIVER_WINDOW`), round 7 [100:150], round 8 the final 7
-#: ([150:157]). Any query added in a later round goes to the FRONT
-#: of its round's window (the 14 round-5 additions sit at [50:64]).
+#: (= `_R6_DRIVER_WINDOW`), round 7 [100:150], round 8 the final 10
+#: ([150:160]). Any query added in a later round goes to the FRONT
+#: of its round's window (the 14 round-5 additions sit at [50:64];
+#: the 3 round-6 additions sit at [100:103]).
 _ROTATION_BACKLOG = [
     # round-4 additions first: newest code carries the most risk
     "lineitem_shipmode_priority",
@@ -2080,7 +2081,12 @@ _ROTATION_BACKLOG = [
     "session_incident_overlap",
     "embedding_hard_negatives",
     "media_ahash_neardup",
-    # --- round-7 window starts here, i.e. backlog[100:150] ---
+    # --- round-7 window starts here, i.e. backlog[100:150]
+    #     (round-6 additions first: newest code carries the most
+    #     determinism risk) ---
+    "events_mann_kendall",
+    "events_kruskal_wallis",
+    "events_page_hinkley",
     "purchase_next_click_asof",
     "stream_upsert_user_totals",
     "events_downsample_ltob",
@@ -2536,6 +2542,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_max_drawdown": analytics.events_max_drawdown,
         "events_dp_noisy_counts": analytics.events_dp_noisy_counts,
         "lineitem_calibration_curve": analytics.lineitem_calibration_curve,
+        # --- round-6 capability wave (FRONT of the round-7 driver
+        #     window via _ROTATION_BACKLOG) ---
+        "events_mann_kendall": analytics.events_mann_kendall,
+        "events_kruskal_wallis": analytics.events_kruskal_wallis,
+        "events_page_hinkley": analytics.events_page_hinkley,
     }
     head = {n: q[n] for n in _R6_DRIVER_WINDOW}
     assert len(head) == 50, f"driver window must be 50, got {len(head)}"
@@ -11220,4 +11231,186 @@ def oracle_sql() -> dict[str, str]:
     # the REPL session ends in the q1 wordcount frame read back from
     # the versioned store - same oracle as q1/topology_submit
     _o["repl_session_wordcount"] = _o["q1_wordcount"]
+    # Mann-Kendall: exact integer S / tie sums, mirrored var + z
+    _o["events_mann_kendall"] = """
+        WITH daily AS MATERIALIZED (
+            SELECT event_type, CAST(ts AS DATE) AS day,
+                   CAST(SUM(CAST(floor(value * 100 + 0.5) AS BIGINT))
+                        AS BIGINT) // 100 AS x
+            FROM events WHERE value IS NOT NULL
+            GROUP BY 1, 2
+        ), s AS (
+            SELECT a.event_type,
+                   CAST(SUM(CAST(sign(b.x - a.x) AS BIGINT)) AS BIGINT) AS s
+            FROM daily a JOIN daily b USING (event_type)
+            WHERE a.day < b.day GROUP BY 1
+        ), nn AS (
+            SELECT event_type, CAST(count(*) AS BIGINT) AS n
+            FROM daily GROUP BY 1
+        ), tt AS (
+            SELECT event_type,
+                   CAST(SUM(t * (t - 1) * (2 * t + 5)) AS BIGINT) AS ties
+            FROM (SELECT event_type, x, CAST(count(*) AS BIGINT) AS t
+                  FROM daily GROUP BY 1, 2) GROUP BY 1
+        ), j AS (
+            SELECT nn.event_type, nn.n, COALESCE(s.s, 0) AS s, tt.ties,
+                   (CAST(nn.n AS DOUBLE) * (CAST(nn.n AS DOUBLE) - 1.0)
+                    * (2.0 * CAST(nn.n AS DOUBLE) + 5.0)
+                    - CAST(tt.ties AS DOUBLE)) / 18.0 AS var_s
+            FROM nn LEFT JOIN s ON nn.event_type = s.event_type
+                    JOIN tt ON nn.event_type = tt.event_type
+        ), z AS (
+            SELECT event_type, n, s, var_s,
+                   CASE WHEN var_s > 0.0 THEN
+                       CASE WHEN s > 0
+                            THEN (CAST(s AS DOUBLE) - 1.0) / sqrt(var_s)
+                            WHEN s < 0
+                            THEN (CAST(s AS DOUBLE) + 1.0) / sqrt(var_s)
+                            ELSE 0.0 END
+                   END AS z
+            FROM j
+        )
+        SELECT event_type, n AS n_days, s AS s_stat,
+               floor(var_s * 1000000.0 + 0.5) / 1000000.0 AS var_s,
+               floor(z * 1000000.0 + 0.5) / 1000000.0 AS z_score,
+               CASE WHEN z > 1.96 THEN 'increasing'
+                    WHEN z < -1.96 THEN 'decreasing'
+                    ELSE 'no_trend' END AS trend
+        FROM z ORDER BY event_type
+    """
+    # Kruskal-Wallis: doubled midranks (Mann-Whitney device), 1e-6
+    # grid on the cross-group sum (chi2-drift device), mirrored H
+    _o["events_kruskal_wallis"] = """
+        WITH daily AS MATERIALIZED (
+            SELECT event_type, CAST(ts AS DATE) AS day,
+                   CAST(SUM(CAST(floor(value * 100 + 0.5) AS BIGINT))
+                        AS BIGINT) // 100 AS x
+            FROM events WHERE value IS NOT NULL
+            GROUP BY 1, 2
+        ), d2 AS (
+            SELECT event_type, (day - DATE '1970-01-01') % 7 AS dow, x
+            FROM daily
+        ), cells AS (
+            SELECT event_type, x, CAST(count(*) AS BIGINT) AS t
+            FROM d2 GROUP BY 1, 2
+        ), ranked AS (
+            SELECT event_type, x, t,
+                   2 * COALESCE(SUM(t) OVER (PARTITION BY event_type
+                       ORDER BY x ROWS BETWEEN UNBOUNDED PRECEDING
+                       AND 1 PRECEDING), 0) + t + 1 AS dr
+            FROM cells
+        ), groups AS (
+            SELECT d2.event_type, d2.dow,
+                   CAST(count(*) AS HUGEINT) AS ng,
+                   SUM(CAST(r.dr AS HUGEINT)) AS s2g
+            FROM d2 JOIN ranked r
+              ON d2.event_type = r.event_type AND d2.x = r.x
+            GROUP BY 1, 2
+        ), per_type AS (
+            SELECT event_type, CAST(count(*) AS HUGEINT) AS k,
+                   SUM(ng) AS n,
+                   SUM(CAST(floor(CAST(s2g * s2g AS DOUBLE)
+                                  / (4.0 * CAST(ng AS DOUBLE))
+                                  * 1000000.0 + 0.5) AS BIGINT)) AS tsum
+            FROM groups GROUP BY 1
+        ), tiesum AS (
+            SELECT event_type,
+                   SUM(CAST(t AS HUGEINT) * t * t
+                       - CAST(t AS HUGEINT)) AS ties
+            FROM cells GROUP BY 1
+        ), h AS (
+            SELECT p.event_type,
+                   CAST(p.n AS BIGINT) AS n, CAST(p.k AS BIGINT) AS k,
+                   12.0 / (CAST(p.n AS DOUBLE)
+                           * (CAST(p.n AS DOUBLE) + 1.0))
+                   * (CAST(p.tsum AS DOUBLE) / 1000000.0)
+                   - 3.0 * (CAST(p.n AS DOUBLE) + 1.0) AS h,
+                   1.0 - CAST(t.ties AS DOUBLE)
+                         / (CAST(p.n AS DOUBLE) * CAST(p.n AS DOUBLE)
+                            * CAST(p.n AS DOUBLE)
+                            - CAST(p.n AS DOUBLE)) AS c
+            FROM per_type p JOIN tiesum t ON p.event_type = t.event_type
+        )
+        SELECT event_type, n AS n_days, k AS n_groups,
+               floor(h * 1000000.0 + 0.5) / 1000000.0 AS h_stat,
+               floor(CASE WHEN c > 0.0 THEN h / c END
+                     * 1000000.0 + 0.5) / 1000000.0 AS h_corrected,
+               floor(CASE WHEN CAST(n AS DOUBLE) > CAST(k AS DOUBLE)
+                          THEN (h - CAST(k AS DOUBLE) + 1.0)
+                               / (CAST(n AS DOUBLE) - CAST(k AS DOUBLE))
+                     END * 1000000.0 + 0.5) / 1000000.0 AS epsilon_sq
+        FROM h ORDER BY event_type
+    """
+    # Page-Hinkley: 1e-6-gridded increments so the cumulative sum,
+    # running min and PH are exact BIGINT prefix sums; 5-sigma alarm
+    _o["events_page_hinkley"] = """
+        WITH daily AS MATERIALIZED (
+            SELECT event_type, CAST(ts AS DATE) AS day,
+                   CAST(SUM(CAST(floor(value * 100 + 0.5) AS BIGINT))
+                        AS BIGINT) // 100 AS x
+            FROM events WHERE value IS NOT NULL
+            GROUP BY 1, 2
+        ), step1 AS (
+            SELECT event_type, day, x,
+                   COUNT(*) OVER w AS t, SUM(x) OVER w AS s
+            FROM daily
+            WINDOW w AS (PARTITION BY event_type ORDER BY day
+                         ROWS BETWEEN UNBOUNDED PRECEDING
+                                  AND CURRENT ROW)
+        ), step2 AS (
+            SELECT event_type, day, x,
+                   CAST(floor((CAST(x AS DOUBLE)
+                               - CAST(s AS DOUBLE) / CAST(t AS DOUBLE))
+                              * 1000000.0 + 0.5) AS BIGINT) AS inc
+            FROM step1
+        ), step3 AS (
+            SELECT event_type, day, x, SUM(inc) OVER w AS m
+            FROM step2
+            WINDOW w AS (PARTITION BY event_type ORDER BY day
+                         ROWS BETWEEN UNBOUNDED PRECEDING
+                                  AND CURRENT ROW)
+        ), step4 AS (
+            SELECT event_type, day, x, m - MIN(m) OVER w AS ph
+            FROM step3
+            WINDOW w AS (PARTITION BY event_type ORDER BY day
+                         ROWS BETWEEN UNBOUNDED PRECEDING
+                                  AND CURRENT ROW)
+        ), stats AS (
+            SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+                   SUM(CAST(x AS HUGEINT)) AS sx,
+                   SUM(CAST(x AS HUGEINT) * x) AS sxx
+            FROM daily GROUP BY 1
+        ), lamt AS (
+            SELECT event_type, n,
+                   5.0 * sqrt(GREATEST(
+                       CAST(sxx AS DOUBLE) / CAST(n AS DOUBLE)
+                       - (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))
+                         * (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)),
+                       0.0)) AS lam
+            FROM stats
+        ), agg AS (
+            SELECT s4.event_type, MAX(l.n) AS n,
+                   MAX(s4.ph) AS maxph,
+                   MAX(floor(l.lam * 1000000.0 + 0.5) / 1000000.0)
+                       AS threshold,
+                   MIN(CASE WHEN CAST(s4.ph AS DOUBLE) / 1000000.0 > l.lam
+                            THEN s4.day END) AS alarm_day
+            FROM step4 s4 JOIN lamt l ON s4.event_type = l.event_type
+            GROUP BY 1
+        ), pick AS (
+            SELECT s4.event_type,
+                   MIN(CASE WHEN s4.ph = a.maxph THEN s4.day END)
+                       AS ph_max_day
+            FROM step4 s4 JOIN agg a ON s4.event_type = a.event_type
+            GROUP BY 1
+        )
+        SELECT a.event_type, a.n AS n_days,
+               floor(CAST(a.maxph AS DOUBLE) / 1000000.0 * 1000000.0 + 0.5)
+                   / 1000000.0 AS ph_max,
+               CAST(p.ph_max_day AS VARCHAR) AS ph_max_day,
+               CAST(a.alarm_day AS VARCHAR) AS alarm_day,
+               a.threshold
+        FROM agg a JOIN pick p ON a.event_type = p.event_type
+        ORDER BY a.event_type
+    """
     return _o

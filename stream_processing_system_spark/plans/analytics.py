@@ -11524,3 +11524,287 @@ def lineitem_hotelling_t2(spark: SparkSession, sf_dir: str) -> DataFrame:
         det_round(t2, 6).alias("t2_stat"),
         det_round(fstat, 6).alias("f_stat"),
     )
+
+
+def events_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann–Kendall trend test on each event type's daily-value
+    series: S = Σ_{i<j} sign(x_j − x_i), tie-corrected variance
+    Var[S] = (n(n−1)(2n+5) − Σ t(t−1)(2t+5))/18 and the
+    continuity-corrected z — the nonparametric monotone-trend
+    complement to `revenue_theilsen_trend` (which estimates the
+    slope; this tests whether ANY monotone drift is significant).
+
+    Exactness: the series is the `_daily_whole_units` integer grid;
+    S, n and the tie sum are exact BIGINT aggregates, so Var[S] and
+    z are fixed-operand-order doubles on identical inputs.
+
+    Shape: one daily rollup, then an O(d²)-per-type self-join of the
+    DAILY frame — d is bounded by calendar days, not row count, so
+    the pair fan-out is constant-size at any data scale (90 days →
+    ~4k pairs per type)."""
+    events = load_table(spark, sf_dir, "events")
+    daily = _daily_whole_units(events).localCheckpoint(eager=True)
+    return mann_kendall_from_daily(daily)
+
+
+def mann_kendall_from_daily(daily: DataFrame) -> DataFrame:
+    """Shared Mann–Kendall tail over an (event_type, day, x) frame —
+    factored for hand-case tests."""
+    a = daily.select(
+        "event_type", F.col("day").alias("d1"), F.col("x").alias("x1")
+    )
+    b = daily.select(
+        "event_type", F.col("day").alias("d2"), F.col("x").alias("x2")
+    )
+    s_agg = (
+        a.join(b, "event_type")
+        .where(F.col("d1") < F.col("d2"))
+        .groupBy("event_type")
+        .agg(
+            F.sum(F.signum(F.col("x2") - F.col("x1")).cast("long")).alias(
+                "s"
+            )
+        )
+    )
+    nn = daily.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+    t = F.col("t")
+    ties = (
+        daily.groupBy("event_type", "x")
+        .agg(F.count(F.lit(1)).alias("t"))
+        .groupBy("event_type")
+        .agg(
+            F.sum(t * (t - F.lit(1)) * (F.lit(2) * t + F.lit(5))).alias(
+                "ties"
+            )
+        )
+    )
+    j = (
+        nn.join(s_agg, "event_type", "left")
+        .join(ties, "event_type")
+        .select(
+            "event_type",
+            "n",
+            F.coalesce(F.col("s"), F.lit(0)).alias("s"),
+            "ties",
+        )
+    )
+    nd = F.col("n").cast("double")
+    var_s = (
+        nd * (nd - F.lit(1.0)) * (F.lit(2.0) * nd + F.lit(5.0))
+        - F.col("ties").cast("double")
+    ) / F.lit(18.0)
+    sd = F.col("s").cast("double")
+    z = (
+        F.when(F.col("s") > 0, (sd - F.lit(1.0)) / F.sqrt(var_s))
+        .when(F.col("s") < 0, (sd + F.lit(1.0)) / F.sqrt(var_s))
+        .otherwise(F.lit(0.0))
+    )
+    z = F.when(var_s > F.lit(0.0), z)
+    trend = (
+        F.when(z > F.lit(1.96), F.lit("increasing"))
+        .when(z < F.lit(-1.96), F.lit("decreasing"))
+        .otherwise(F.lit("no_trend"))
+    )
+    return j.select(
+        "event_type",
+        F.col("n").cast("long").alias("n_days"),
+        F.col("s").cast("long").alias("s_stat"),
+        det_round(var_s, 6).alias("var_s"),
+        det_round(z, 6).alias("z_score"),
+        trend.alias("trend"),
+    ).orderBy("event_type")
+
+
+def events_kruskal_wallis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kruskal–Wallis rank test for a day-of-week effect on daily
+    total value per event type — the distribution-free twin of
+    `events_dow_anova` (same engine-free epoch-mod-7 groups, ranks
+    instead of means, so a single whale day can't fake an effect).
+
+    Exactness: midranks are kept DOUBLED (2·rank = 2·cum_before +
+    tiecount + 1, exact integers — the `events_mannwhitney_u`
+    device), so per-group rank sums and the tie term Σ(t³−t) are
+    exact DECIMAL(38,0)/BIGINT; the ≤7-row cross-group sum
+    Σ R_g²/n_g is quantized per group onto a 1e-6 integer grid (the
+    chi2-drift device from `events_dow_anova`); H, the tie
+    correction and ε² are fixed-order doubles after that.
+
+    Shape: one daily rollup, one tie-cell groupBy, one cumulative
+    window over the tiny (type, value) cell frame, two small aggs."""
+    events = load_table(spark, sf_dir, "events")
+    daily = _daily_whole_units(events).localCheckpoint(eager=True)
+    return kruskal_wallis_from_daily(daily)
+
+
+def kruskal_wallis_from_daily(daily: DataFrame) -> DataFrame:
+    """Shared Kruskal–Wallis tail over an (event_type, day, x) frame
+    — factored for hand-case tests."""
+    d2 = daily.select(
+        "event_type",
+        (
+            F.datediff(F.col("day"), F.lit("1970-01-01").cast("date")) % 7
+        ).alias("dow"),
+        "x",
+    )
+    cells = d2.groupBy("event_type", "x").agg(F.count(F.lit(1)).alias("t"))
+    w_before = (
+        Window.partitionBy("event_type")
+        .orderBy("x")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    ranked = cells.select(
+        "event_type",
+        "x",
+        "t",
+        F.coalesce(F.sum("t").over(w_before), F.lit(0)).alias("cb"),
+    ).select(
+        "event_type",
+        "x",
+        "t",
+        (F.lit(2) * F.col("cb") + F.col("t") + F.lit(1)).alias("dr"),
+    )
+    d38 = "decimal(38,0)"
+    groups = (
+        d2.join(ranked.select("event_type", "x", "dr"), ["event_type", "x"])
+        .groupBy("event_type", "dow")
+        .agg(
+            F.count(F.lit(1)).alias("ng"),
+            F.sum(F.col("dr").cast(d38)).alias("s2g"),
+        )
+    )
+    term = F.floor(
+        (F.col("s2g") * F.col("s2g")).cast("double")
+        / (F.lit(4.0) * F.col("ng").cast("double"))
+        * F.lit(1e6)
+        + F.lit(0.5)
+    ).cast("long")
+    per_type = groups.select(
+        "event_type", "ng", term.alias("term")
+    ).groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("k"),
+        F.sum("ng").alias("n"),
+        F.sum("term").alias("tsum"),
+    )
+    tiesum = cells.groupBy("event_type").agg(
+        F.sum(
+            F.col("t").cast(d38) * F.col("t") * F.col("t")
+            - F.col("t").cast(d38)
+        ).alias("ties")
+    )
+    j = per_type.join(tiesum, "event_type")
+    nd = F.col("n").cast("double")
+    kd = F.col("k").cast("double")
+    h = (
+        F.lit(12.0) / (nd * (nd + F.lit(1.0)))
+        * (F.col("tsum").cast("double") / F.lit(1e6))
+        - F.lit(3.0) * (nd + F.lit(1.0))
+    )
+    c = F.lit(1.0) - F.col("ties").cast("double") / (nd * nd * nd - nd)
+    h_corr = F.when(c > F.lit(0.0), h / c)
+    eps2 = F.when(
+        nd > kd, (h - kd + F.lit(1.0)) / (nd - kd)
+    )
+    return j.select(
+        "event_type",
+        F.col("n").cast("long").alias("n_days"),
+        F.col("k").cast("long").alias("n_groups"),
+        det_round(h, 6).alias("h_stat"),
+        det_round(h_corr, 6).alias("h_corrected"),
+        det_round(eps2, 6).alias("epsilon_sq"),
+    ).orderBy("event_type")
+
+
+def events_page_hinkley(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Page–Hinkley online drift detector per event type: with the
+    RUNNING mean x̄_t (not the offline global mean —
+    `events_cusum_changepoint` is the offline twin), the statistic
+    PH_t = m_t − min_{s≤t} m_s over m_t = Σ_{i≤t}(x_i − x̄_i)
+    measures how far the series has drifted upward past anything an
+    online observer had seen; the alarm fires the first day PH
+    exceeds λ = 5σ of the daily series.
+
+    Exactness: each increment x_t − S_t/t is one fixed-order double
+    expression on exact integers, floored onto a 1e-6 grid BEFORE
+    the cumulative sum — so m, the running min, and PH are exact
+    BIGINT prefix sums (float cumsum order never matters); σ comes
+    from exact Σx/Σx² and the alarm comparison runs on identical
+    doubles in both engines.
+
+    Shape: one daily rollup, two ordered windows over the ~90-row
+    daily frame per type, one aggregate. Day-grain, so constant-size
+    at any data scale."""
+    events = load_table(spark, sf_dir, "events")
+    daily = _daily_whole_units(events).localCheckpoint(eager=True)
+    return page_hinkley_from_daily(daily)
+
+
+def page_hinkley_from_daily(daily: DataFrame) -> DataFrame:
+    """Shared Page–Hinkley tail over an (event_type, day, x) frame —
+    factored for hand-case tests."""
+    w_cum = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    w_type = Window.partitionBy("event_type")
+    step1 = daily.select(
+        "event_type",
+        "day",
+        "x",
+        F.count(F.lit(1)).over(w_cum).alias("t"),
+        F.sum("x").over(w_cum).alias("s"),
+    )
+    inc_micro = F.floor(
+        (
+            F.col("x").cast("double")
+            - F.col("s").cast("double") / F.col("t").cast("double")
+        )
+        * F.lit(1e6)
+        + F.lit(0.5)
+    ).cast("long")
+    step2 = step1.select("event_type", "day", "x", inc_micro.alias("inc"))
+    step3 = step2.select(
+        "event_type", "day", "x", F.sum("inc").over(w_cum).alias("m")
+    )
+    step4 = step3.select(
+        "event_type",
+        "day",
+        "x",
+        (F.col("m") - F.min("m").over(w_cum)).alias("ph"),
+    )
+    d38 = "decimal(38,0)"
+    enriched = step4.select(
+        "event_type",
+        "day",
+        "ph",
+        F.count(F.lit(1)).over(w_type).alias("n"),
+        F.sum(F.col("x").cast(d38)).over(w_type).alias("sx"),
+        F.sum(F.col("x").cast(d38) * F.col("x")).over(w_type).alias("sxx"),
+        F.max("ph").over(w_type).alias("maxph"),
+    )
+    nd = F.col("n").cast("double")
+    mean = F.col("sx").cast("double") / nd
+    var = F.greatest(
+        F.col("sxx").cast("double") / nd - mean * mean, F.lit(0.0)
+    )
+    lam = F.lit(5.0) * F.sqrt(var)
+    phd = F.col("ph").cast("double") / F.lit(1e6)
+    agg = enriched.groupBy("event_type").agg(
+        F.max("n").alias("n"),
+        F.max("maxph").alias("maxph"),
+        F.min(
+            F.when(F.col("ph") == F.col("maxph"), F.col("day"))
+        ).alias("ph_max_day"),
+        F.min(F.when(phd > lam, F.col("day"))).alias("alarm_day"),
+        F.max(det_round(lam, 6)).alias("threshold"),
+    )
+    return agg.select(
+        "event_type",
+        F.col("n").cast("long").alias("n_days"),
+        det_round(F.col("maxph").cast("double") / F.lit(1e6), 6).alias(
+            "ph_max"
+        ),
+        F.col("ph_max_day").cast("string").alias("ph_max_day"),
+        F.col("alarm_day").cast("string").alias("alarm_day"),
+        "threshold",
+    ).orderBy("event_type")

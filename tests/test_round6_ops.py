@@ -1,0 +1,203 @@
+"""Independent-reference checks for the round-6 trend/rank/drift
+operators: each Spark plan must agree with a pure-Python replay of
+the same statistic on hand-built series (the oracle mirrors the same
+expression tree, so these catch semantic errors the differential
+harness cannot)."""
+
+from __future__ import annotations
+
+import datetime as dt
+import math
+from collections import Counter
+
+from stream_processing_system_spark.plans.analytics import (
+    kruskal_wallis_from_daily,
+    mann_kendall_from_daily,
+    page_hinkley_from_daily,
+)
+
+EPOCH = dt.date(1970, 1, 1)
+
+
+def _daily(spark, series, typ="a"):
+    rows = [
+        (typ, dt.date(2024, 1, 1) + dt.timedelta(days=i), int(v))
+        for i, v in enumerate(series)
+    ]
+    return spark.createDataFrame(rows, "event_type string, day date, x long")
+
+
+def _det_round(v):
+    return None if v is None else math.floor(v * 1e6 + 0.5) / 1e6
+
+
+def _mk_replay(series):
+    n = len(series)
+    s = 0
+    for i in range(n):
+        for j in range(i + 1, n):
+            d = series[j] - series[i]
+            s += (d > 0) - (d < 0)
+    ties = sum(t * (t - 1) * (2 * t + 5) for t in Counter(series).values())
+    var_s = (
+        float(n) * (float(n) - 1.0) * (2.0 * float(n) + 5.0) - float(ties)
+    ) / 18.0
+    if var_s > 0.0:
+        if s > 0:
+            z = (float(s) - 1.0) / math.sqrt(var_s)
+        elif s < 0:
+            z = (float(s) + 1.0) / math.sqrt(var_s)
+        else:
+            z = 0.0
+    else:
+        z = None
+    if z is not None and z > 1.96:
+        trend = "increasing"
+    elif z is not None and z < -1.96:
+        trend = "decreasing"
+    else:
+        trend = "no_trend"
+    return n, s, _det_round(var_s), _det_round(z), trend
+
+
+def test_mann_kendall_trend_with_ties(spark):
+    series = [5, 3, 3, 8, 7, 9, 9, 9, 12]
+    out = mann_kendall_from_daily(_daily(spark, series)).collect()[0]
+    n, s, var_s, z, trend = _mk_replay(series)
+    assert out["n_days"] == n
+    assert out["s_stat"] == s
+    assert out["var_s"] == var_s
+    assert out["z_score"] == z
+    assert out["trend"] == trend
+
+
+def test_mann_kendall_strict_increase(spark):
+    series = list(range(1, 11))
+    out = mann_kendall_from_daily(_daily(spark, series)).collect()[0]
+    n, s, var_s, z, trend = _mk_replay(series)
+    assert out["s_stat"] == 45  # all 45 pairs concordant
+    assert out["z_score"] == z
+    assert out["trend"] == "increasing"
+
+
+def test_mann_kendall_constant_series(spark):
+    series = [4, 4, 4, 4, 4]
+    out = mann_kendall_from_daily(_daily(spark, series)).collect()[0]
+    assert out["s_stat"] == 0
+    assert out["var_s"] == 0.0
+    assert out["z_score"] is None
+    assert out["trend"] == "no_trend"
+
+
+def _kw_replay(series):
+    days = [dt.date(2024, 1, 1) + dt.timedelta(days=i) for i in range(len(series))]
+    dows = [(d - EPOCH).days % 7 for d in days]
+    cnt = Counter(series)
+    dr = {}
+    for v in cnt:
+        cb = sum(t for u, t in cnt.items() if u < v)
+        dr[v] = 2 * cb + cnt[v] + 1
+    groups = {}
+    for dow, x in zip(dows, series):
+        ng, s2g = groups.get(dow, (0, 0))
+        groups[dow] = (ng + 1, s2g + dr[x])
+    tsum = sum(
+        math.floor(float(s2g * s2g) / (4.0 * float(ng)) * 1e6 + 0.5)
+        for ng, s2g in groups.values()
+    )
+    n, k = float(len(series)), float(len(groups))
+    ties = sum(t * t * t - t for t in cnt.values())
+    h = 12.0 / (n * (n + 1.0)) * (float(tsum) / 1e6) - 3.0 * (n + 1.0)
+    c = 1.0 - float(ties) / (n * n * n - n)
+    h_corr = h / c if c > 0.0 else None
+    eps2 = (h - k + 1.0) / (n - k) if n > k else None
+    return int(n), int(k), _det_round(h), _det_round(h_corr), _det_round(eps2)
+
+
+def test_kruskal_wallis_two_weeks(spark):
+    # 14 consecutive days -> every dow group has exactly 2 members;
+    # a strong weekend effect plus one tie pair
+    series = [10, 11, 12, 13, 90, 91, 14, 20, 21, 22, 23, 95, 96, 14]
+    out = kruskal_wallis_from_daily(_daily(spark, series)).collect()[0]
+    n, k, h, h_corr, eps2 = _kw_replay(series)
+    assert out["n_days"] == n
+    assert out["n_groups"] == 7
+    assert out["h_stat"] == h
+    assert out["h_corrected"] == h_corr
+    assert out["epsilon_sq"] == eps2
+
+
+def test_kruskal_wallis_all_tied(spark):
+    # all values identical: every rank is the midrank, H == 0 and the
+    # tie correction c == 0 -> h_corrected NULL
+    series = [7] * 14
+    out = kruskal_wallis_from_daily(_daily(spark, series)).collect()[0]
+    n, k, h, h_corr, eps2 = _kw_replay(series)
+    assert out["h_stat"] == h
+    assert out["h_corrected"] is None
+    assert out["epsilon_sq"] == eps2
+
+
+def _ph_replay(series):
+    days = [dt.date(2024, 1, 1) + dt.timedelta(days=i) for i in range(len(series))]
+    s = t = m = 0
+    mn = None
+    ph = []
+    for x in series:
+        t += 1
+        s += x
+        m += math.floor((float(x) - float(s) / float(t)) * 1e6 + 0.5)
+        mn = m if mn is None else min(mn, m)
+        ph.append(m - mn)
+    n = float(len(series))
+    sx, sxx = float(sum(series)), float(sum(x * x for x in series))
+    mean = sx / n
+    var = max(sxx / n - mean * mean, 0.0)
+    lam = 5.0 * math.sqrt(var)
+    maxph = max(ph)
+    ph_max_day = str(days[ph.index(maxph)])
+    alarm_day = None
+    for d, p in zip(days, ph):
+        if float(p) / 1e6 > lam:
+            alarm_day = str(d)
+            break
+    return (
+        len(series),
+        math.floor(float(maxph) / 1e6 * 1e6 + 0.5) / 1e6,
+        ph_max_day,
+        alarm_day,
+        _det_round(lam),
+    )
+
+
+def test_page_hinkley_level_shift(spark):
+    # flat level then an upward shift: PH must climb after the shift
+    # and the 5-sigma alarm must fire
+    series = [100, 101, 99, 100, 100, 101, 99, 100, 300, 305, 310, 300, 305, 310]
+    out = page_hinkley_from_daily(_daily(spark, series)).collect()[0]
+    n, ph_max, ph_max_day, alarm_day, threshold = _ph_replay(series)
+    assert out["n_days"] == n
+    assert out["ph_max"] == ph_max
+    assert out["ph_max_day"] == ph_max_day
+    assert out["alarm_day"] == alarm_day
+    assert alarm_day is not None  # the shift IS detected
+    assert out["threshold"] == threshold
+
+
+def test_page_hinkley_stationary_no_alarm(spark):
+    series = [50, 52, 48, 51, 49, 50, 52, 48, 51, 49]
+    out = page_hinkley_from_daily(_daily(spark, series)).collect()[0]
+    n, ph_max, ph_max_day, alarm_day, threshold = _ph_replay(series)
+    assert out["ph_max"] == ph_max
+    assert out["alarm_day"] is None
+    assert alarm_day is None
+
+
+def test_page_hinkley_constant_series(spark):
+    # constant series: every increment is 0, PH stays 0, sigma == 0,
+    # and 0 > 0 is false -> no alarm
+    series = [5, 5, 5, 5, 5]
+    out = page_hinkley_from_daily(_daily(spark, series)).collect()[0]
+    assert out["ph_max"] == 0.0
+    assert out["alarm_day"] is None
+    assert out["threshold"] == 0.0
