@@ -1972,10 +1972,10 @@ _R4_DRIVER_WINDOW = [
 #: additions first — they carry the most determinism risk). Round 5
 #: took [:50] (= `_R5_DRIVER_WINDOW` below, all 50 green in
 #: CORRECTNESS_r05.json), round 6 takes [50:100]
-#: (= `_R6_DRIVER_WINDOW`), round 7 [100:150], round 8 the final 10
-#: ([150:160]). Any query added in a later round goes to the FRONT
+#: (= `_R6_DRIVER_WINDOW`), round 7 [100:150], round 8 the final 13
+#: ([150:163]). Any query added in a later round goes to the FRONT
 #: of its round's window (the 14 round-5 additions sit at [50:64];
-#: the 3 round-6 additions sit at [100:103]).
+#: the 6 round-6 additions sit at [100:106]).
 _ROTATION_BACKLOG = [
     # round-4 additions first: newest code carries the most risk
     "lineitem_shipmode_priority",
@@ -2087,6 +2087,9 @@ _ROTATION_BACKLOG = [
     "events_mann_kendall",
     "events_kruskal_wallis",
     "events_page_hinkley",
+    "embedding_mmd_shift",
+    "lineitem_return_auc",
+    "events_ar2_yule_walker",
     "purchase_next_click_asof",
     "stream_upsert_user_totals",
     "events_downsample_ltob",
@@ -2547,6 +2550,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_mann_kendall": analytics.events_mann_kendall,
         "events_kruskal_wallis": analytics.events_kruskal_wallis,
         "events_page_hinkley": analytics.events_page_hinkley,
+        "embedding_mmd_shift": pipeline.embedding_mmd_shift,
+        "lineitem_return_auc": analytics.lineitem_return_auc,
+        "events_ar2_yule_walker": analytics.events_ar2_yule_walker,
     }
     head = {n: q[n] for n in _R6_DRIVER_WINDOW}
     assert len(head) == 50, f"driver window must be 50, got {len(head)}"
@@ -11412,5 +11418,169 @@ def oracle_sql() -> dict[str, str]:
                a.threshold
         FROM agg a JOIN pick p ON a.event_type = p.event_type
         ORDER BY a.event_type
+    """
+    # linear-kernel MMD: 1e-6 grid, division-free per-dim gap
+    # n_b*S_a - n_a*S_b, exact HUGEINT reductions over 64 dims
+    _o["embedding_mmd_shift"] = """
+        WITH flat AS (
+            SELECT label, i - 1 AS dim,
+                   CAST(floor(embedding[i]::DOUBLE * 1e6 + 0.5)
+                        AS BIGINT) AS q
+            FROM embeddings, UNNEST(range(1, 65)) AS u(i)
+        ), agg AS (
+            SELECT label, dim, CAST(count(*) AS HUGEINT) AS n,
+                   SUM(CAST(q AS HUGEINT)) AS s
+            FROM flat GROUP BY 1, 2
+        ), pairs AS (
+            SELECT a.label AS label_a, b.label AS label_b,
+                   a.n AS na, b.n AS nb,
+                   b.n * a.s - a.n * b.s AS gap,
+                   a.s AS sa, b.s AS sb
+            FROM agg a JOIN agg b
+              ON a.dim = b.dim AND a.label < b.label
+        ), pa AS (
+            SELECT label_a, label_b, MAX(na) AS na, MAX(nb) AS nb,
+                   SUM(gap * gap) AS ssq, SUM(sa * sb) AS dot,
+                   SUM(sa * sa) AS qa, SUM(sb * sb) AS qb
+            FROM pairs GROUP BY 1, 2
+        ), m AS (
+            SELECT label_a, label_b, na, nb,
+                   CAST(ssq AS DOUBLE)
+                   / (CAST(na AS DOUBLE) * CAST(na AS DOUBLE)
+                      * CAST(nb AS DOUBLE) * CAST(nb AS DOUBLE)
+                      * 1000000000000.0) AS mmd2,
+                   sqrt(CAST(qa AS DOUBLE)) * sqrt(CAST(qb AS DOUBLE))
+                       AS den,
+                   CAST(dot AS DOUBLE) AS dotd
+            FROM pa
+        )
+        SELECT label_a, label_b,
+               CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+               floor(mmd2 * 1000000.0 + 0.5) / 1000000.0 AS mmd2,
+               floor(sqrt(mmd2) * 1000000.0 + 0.5) / 1000000.0 AS mmd,
+               floor(CASE WHEN den > 0.0 THEN dotd / den END
+                     * 1000000.0 + 0.5) / 1000000.0 AS mean_cosine
+        FROM m ORDER BY label_a, label_b
+    """
+    # ROC-AUC / Gini / KS via doubled midranks: integer numerators,
+    # one double division per metric
+    _o["lineitem_return_auc"] = """
+        WITH cells AS (
+            SELECT CAST(year(l_shipdate) AS INTEGER) AS ship_year,
+                   CAST(floor(l_discount * 100 + 0.5) AS BIGINT) * 10000
+                   + CAST(floor(l_tax * 100 + 0.5) AS BIGINT) * 100
+                   + CAST(floor(l_quantity + 0.5) AS BIGINT) AS score,
+                   SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
+                       AS cp,
+                   SUM(CASE WHEN l_returnflag = 'R' THEN 0 ELSE 1 END)
+                       AS cn
+            FROM lineitem GROUP BY 1, 2
+        ), enriched AS (
+            SELECT ship_year, cp, cn,
+                   2 * COALESCE(SUM(cp + cn) OVER (
+                       PARTITION BY ship_year ORDER BY score
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND 1 PRECEDING), 0)
+                   + (cp + cn) + 1 AS dr,
+                   SUM(cp) OVER (PARTITION BY ship_year ORDER BY score
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND CURRENT ROW) AS cump,
+                   SUM(cn) OVER (PARTITION BY ship_year ORDER BY score
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND CURRENT ROW) AS cumn,
+                   SUM(cp) OVER (PARTITION BY ship_year) AS p,
+                   SUM(cn) OVER (PARTITION BY ship_year) AS nn
+            FROM cells
+        ), agg AS (
+            SELECT ship_year, MAX(p) AS p, MAX(nn) AS nn,
+                   SUM(CAST(cp AS HUGEINT) * dr) AS r2,
+                   MAX(ABS(CAST(cump AS HUGEINT) * nn
+                           - CAST(cumn AS HUGEINT) * p)) AS ksnum
+            FROM enriched GROUP BY 1
+        ), fin AS (
+            SELECT ship_year, p, nn,
+                   r2 - CAST(p AS HUGEINT) * p - CAST(p AS HUGEINT)
+                       AS aucnum,
+                   ksnum
+            FROM agg
+        )
+        SELECT ship_year, CAST(p AS BIGINT) AS n_pos,
+               CAST(nn AS BIGINT) AS n_neg,
+               floor(CAST(aucnum AS DOUBLE)
+                     / (2.0 * CAST(p AS DOUBLE) * CAST(nn AS DOUBLE))
+                     * 1000000.0 + 0.5) / 1000000.0 AS auc,
+               floor((CAST(aucnum AS DOUBLE)
+                      / (CAST(p AS DOUBLE) * CAST(nn AS DOUBLE)) - 1.0)
+                     * 1000000.0 + 0.5) / 1000000.0 AS gini,
+               floor(CAST(ksnum AS DOUBLE)
+                     / (CAST(p AS DOUBLE) * CAST(nn AS DOUBLE))
+                     * 1000000.0 + 0.5) / 1000000.0 AS ks_stat
+        FROM fin ORDER BY ship_year
+    """
+    # AR(2) Yule-Walker: division-free centering n*x - S, exact
+    # HUGEINT autocovariance sums, mirrored phi / forecast chain
+    _o["events_ar2_yule_walker"] = """
+        WITH daily AS MATERIALIZED (
+            SELECT event_type, CAST(ts AS DATE) AS day,
+                   CAST(SUM(CAST(floor(value * 100 + 0.5) AS BIGINT))
+                        AS BIGINT) // 100 AS x
+            FROM events WHERE value IS NOT NULL
+            GROUP BY 1, 2
+        ), base AS (
+            SELECT event_type, day, x,
+                   COUNT(*) OVER (PARTITION BY event_type) AS n,
+                   SUM(CAST(x AS HUGEINT))
+                       OVER (PARTITION BY event_type) AS sx
+            FROM daily
+        ), seq AS (
+            SELECT event_type, day, x, n, sx,
+                   CAST(n AS HUGEINT) * x - sx AS nx,
+                   LEAD(CAST(n AS HUGEINT) * x - sx, 1)
+                       OVER w AS nx1,
+                   LEAD(CAST(n AS HUGEINT) * x - sx, 2)
+                       OVER w AS nx2,
+                   LAG(x, 1) OVER w AS px
+            FROM base
+            WINDOW w AS (PARTITION BY event_type ORDER BY day)
+        ), agg AS (
+            SELECT event_type, MAX(n) AS n, MAX(sx) AS sx,
+                   SUM(nx * nx) AS c0,
+                   COALESCE(SUM(nx * nx1), 0) AS c1,
+                   COALESCE(SUM(nx * nx2), 0) AS c2,
+                   max_by(x, day) AS xl, max_by(px, day) AS xp
+            FROM seq GROUP BY 1
+        ), r AS (
+            SELECT event_type, n, sx, xl, xp,
+                   CASE WHEN CAST(c0 AS DOUBLE) > 0.0
+                        THEN CAST(c1 AS DOUBLE) / CAST(c0 AS DOUBLE)
+                   END AS r1,
+                   CASE WHEN CAST(c0 AS DOUBLE) > 0.0
+                        THEN CAST(c2 AS DOUBLE) / CAST(c0 AS DOUBLE)
+                   END AS r2
+            FROM agg
+        ), p AS (
+            SELECT event_type, n, sx, xl, xp, r1, r2,
+                   CASE WHEN 1.0 - r1 * r1 <> 0.0
+                        THEN r1 * (1.0 - r2) / (1.0 - r1 * r1)
+                   END AS phi1,
+                   CASE WHEN 1.0 - r1 * r1 <> 0.0
+                        THEN (r2 - r1 * r1) / (1.0 - r1 * r1)
+                   END AS phi2
+            FROM r
+        )
+        SELECT event_type, CAST(n AS BIGINT) AS n_days,
+               floor(r1 * 1000000.0 + 0.5) / 1000000.0 AS r1,
+               floor(r2 * 1000000.0 + 0.5) / 1000000.0 AS r2,
+               floor(phi1 * 1000000.0 + 0.5) / 1000000.0 AS phi1,
+               floor(phi2 * 1000000.0 + 0.5) / 1000000.0 AS phi2,
+               floor((1.0 - phi1 * r1 - phi2 * r2)
+                     * 1000000.0 + 0.5) / 1000000.0 AS innov_ratio,
+               floor((CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)
+                      + phi1 * (CAST(xl AS DOUBLE)
+                                - CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))
+                      + phi2 * (CAST(xp AS DOUBLE)
+                                - CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)))
+                     * 1000000.0 + 0.5) / 1000000.0 AS forecast_next
+        FROM p ORDER BY event_type
     """
     return _o

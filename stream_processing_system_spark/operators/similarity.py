@@ -1518,3 +1518,88 @@ def ivfpq_topk(
         .orderBy(F.col("score").desc(), F.col(id_col).asc())
         .limit(k)
     )
+
+
+def embedding_mmd_shift(
+    df: DataFrame,
+    label_col: str = "label",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Pairwise distribution-shift audit between embedding groups:
+    for every label pair (a < b) the squared linear-kernel Maximum
+    Mean Discrepancy MMD² = ‖μ_a − μ_b‖² (Gretton et al., JMLR
+    2012 — the linear kernel makes the witness function the mean
+    difference, the standard first-order domain-shift screen before
+    mixing corpora for training) plus the cosine between the two
+    mean vectors.
+
+    Float sums are partition-order-dependent, so everything exact:
+    components are quantized once onto the 1e-6 det_round grid, the
+    per-(label, dim) Σq are exact DECIMAL(38,0), the per-dim mean
+    gap is cleared of divisions as n_b·S_a − n_a·S_b (still an
+    exact integer), and the 64-dim reductions Σgap², ΣS_aS_b, ΣS²
+    are exact integer sums. Only the final normalizations
+    (÷ n_a²n_b²·1e12 and the cosine ratio) run in fixed-order
+    doubles — bit-identical across engines and partitionings.
+
+    Scale: ONE posexplode (rows × dim, all codegen) into a hash
+    aggregate keyed by (label, dim) — output |labels|·dim rows, so
+    the pair join and final reduce are constant-size no matter how
+    many vectors the corpus holds."""
+    d38 = "decimal(38,0)"
+    flat = df.select(
+        F.col(label_col).alias("label"),
+        F.posexplode(vec_col).alias("dim", "_v"),
+    ).select(
+        "label",
+        "dim",
+        F.floor(F.col("_v").cast("double") * F.lit(1e6) + F.lit(0.5))
+        .cast("long")
+        .alias("_q"),
+    )
+    agg = flat.groupBy("label", "dim").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("_q").cast(d38)).alias("s"),
+    )
+    a = agg.select(
+        F.col("label").alias("label_a"),
+        "dim",
+        F.col("n").alias("na"),
+        F.col("s").alias("sa"),
+    )
+    b = agg.select(
+        F.col("label").alias("label_b"),
+        "dim",
+        F.col("n").alias("nb"),
+        F.col("s").alias("sb"),
+    )
+    pairs = a.join(b, "dim").where(F.col("label_a") < F.col("label_b"))
+    gap = F.col("nb").cast(d38) * F.col("sa") - F.col("na").cast(
+        d38
+    ) * F.col("sb")
+    pa = pairs.groupBy("label_a", "label_b").agg(
+        F.max("na").alias("na"),
+        F.max("nb").alias("nb"),
+        F.sum(gap * gap).alias("ssq"),
+        F.sum(F.col("sa") * F.col("sb")).alias("dot"),
+        F.sum(F.col("sa") * F.col("sa")).alias("qa"),
+        F.sum(F.col("sb") * F.col("sb")).alias("qb"),
+    )
+    nad = F.col("na").cast("double")
+    nbd = F.col("nb").cast("double")
+    mmd2 = F.col("ssq").cast("double") / (
+        nad * nad * nbd * nbd * F.lit(1e12)
+    )
+    den = F.sqrt(F.col("qa").cast("double")) * F.sqrt(
+        F.col("qb").cast("double")
+    )
+    cosine = F.when(den > F.lit(0.0), F.col("dot").cast("double") / den)
+    return pa.select(
+        "label_a",
+        "label_b",
+        F.col("na").cast("long").alias("n_a"),
+        F.col("nb").cast("long").alias("n_b"),
+        det_round(mmd2, 6).alias("mmd2"),
+        det_round(F.sqrt(mmd2), 6).alias("mmd"),
+        det_round(cosine, 6).alias("mean_cosine"),
+    ).orderBy("label_a", "label_b")

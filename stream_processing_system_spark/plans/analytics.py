@@ -11808,3 +11808,190 @@ def page_hinkley_from_daily(daily: DataFrame) -> DataFrame:
         F.col("alarm_day").cast("string").alias("alarm_day"),
         "threshold",
     ).orderBy("event_type")
+
+
+def lineitem_return_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranking-quality metrics for a return-risk score per ship year:
+    ROC-AUC via the midrank formula AUC = (R⁺ − P(P+1)/2)/(P·N)
+    (the Mann–Whitney identity), the Gini coefficient 2·AUC − 1,
+    and the KS statistic max|TPR − FPR| — the standard scorecard
+    triple for any binary ranking model, here scoring
+    positives = returned lineitems with a transparent
+    discount/tax/quantity composite (model quality is not the point;
+    the exact rank-statistic evaluation machinery is).
+
+    Exactness: the score lives on an integer grid, midranks are kept
+    DOUBLED (the `events_mannwhitney_u` device) so R⁺, the AUC
+    numerator R²⁺ − P² − P, and the KS numerator
+    max|cumP·N − cumN·P| are all exact DECIMAL(38,0)/BIGINT; each
+    metric is ONE final double division.
+
+    Shape: one groupBy to the (ship_year, score) cell grain — a few
+    thousand cells regardless of row count — then cumulative windows
+    over cells and one aggregate per year."""
+    li = load_table(spark, sf_dir, "lineitem")
+    score = (
+        F.floor(F.col("l_discount") * 100 + F.lit(0.5)).cast("long")
+        * F.lit(10000)
+        + F.floor(F.col("l_tax") * 100 + F.lit(0.5)).cast("long")
+        * F.lit(100)
+        + F.floor(F.col("l_quantity") + F.lit(0.5)).cast("long")
+    )
+    pos = (F.col("l_returnflag") == "R").cast("long")
+    cells = li.select(
+        F.year("l_shipdate").alias("ship_year"),
+        score.alias("score"),
+        pos.alias("p"),
+    ).groupBy("ship_year", "score").agg(
+        F.sum("p").alias("cp"),
+        F.sum(F.lit(1) - F.col("p")).alias("cn"),
+    )
+    w_before = (
+        Window.partitionBy("ship_year")
+        .orderBy("score")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_incl = (
+        Window.partitionBy("ship_year")
+        .orderBy("score")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    w_mode = Window.partitionBy("ship_year")
+    d38 = "decimal(38,0)"
+    t = F.col("cp") + F.col("cn")
+    enriched = cells.select(
+        "ship_year",
+        "cp",
+        "cn",
+        (
+            F.lit(2) * F.coalesce(F.sum(t).over(w_before), F.lit(0))
+            + t
+            + F.lit(1)
+        ).alias("dr"),
+        F.sum("cp").over(w_incl).alias("cump"),
+        F.sum("cn").over(w_incl).alias("cumn"),
+        F.sum("cp").over(w_mode).alias("p"),
+        F.sum("cn").over(w_mode).alias("nn"),
+    )
+    agg = enriched.groupBy("ship_year").agg(
+        F.max("p").alias("p"),
+        F.max("nn").alias("nn"),
+        F.sum(F.col("cp").cast(d38) * F.col("dr")).alias("r2"),
+        F.max(
+            F.abs(
+                F.col("cump").cast(d38) * F.col("nn")
+                - F.col("cumn").cast(d38) * F.col("p")
+            )
+        ).alias("ksnum"),
+    )
+    pd_, nd_ = F.col("p").cast("double"), F.col("nn").cast("double")
+    aucnum = (
+        F.col("r2")
+        - F.col("p").cast(d38) * F.col("p")
+        - F.col("p").cast(d38)
+    )
+    auc = aucnum.cast("double") / (F.lit(2.0) * pd_ * nd_)
+    gini = aucnum.cast("double") / (pd_ * nd_) - F.lit(1.0)
+    ks = F.col("ksnum").cast("double") / (pd_ * nd_)
+    return agg.select(
+        F.col("ship_year").cast("int").alias("ship_year"),
+        F.col("p").cast("long").alias("n_pos"),
+        F.col("nn").cast("long").alias("n_neg"),
+        det_round(auc, 6).alias("auc"),
+        det_round(gini, 6).alias("gini"),
+        det_round(ks, 6).alias("ks_stat"),
+    ).orderBy("ship_year")
+
+
+def events_ar2_yule_walker(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AR(2) fit per event type by Yule–Walker: lag-1/2
+    autocorrelations of the daily-value series give
+    φ₁ = r₁(1 − r₂)/(1 − r₁²), φ₂ = (r₂ − r₁²)/(1 − r₁²), the
+    innovation-variance ratio 1 − φ₁r₁ − φ₂r₂, and the one-step
+    forecast x̂ = μ + φ₁(xₙ − μ) + φ₂(xₙ₋₁ − μ) — the closed-form
+    autoregression that turns `events_acf`'s diagnostics into an
+    actual model (and the prelude to PACF-style order selection).
+
+    Exactness: centering is cleared of divisions as ñₜ = n·xₜ − Σx
+    (exact integers on the `_daily_whole_units` grid), so the three
+    autocovariance sums Σññ are exact DECIMAL(38,0) — the common
+    1/n² factor cancels in every ratio; r, φ, and the forecast are
+    fixed-order doubles with NULL guards for constant series
+    (c₀ = 0) and a singular normal equation (r₁² = 1).
+
+    Shape: one daily rollup, lead windows over the ~90-row daily
+    frame, one aggregate per type. Day-grain → constant-size at any
+    data scale."""
+    events = load_table(spark, sf_dir, "events")
+    daily = _daily_whole_units(events).localCheckpoint(eager=True)
+    return ar2_yule_walker_from_daily(daily)
+
+
+def ar2_yule_walker_from_daily(daily: DataFrame) -> DataFrame:
+    """Shared AR(2) Yule–Walker tail over an (event_type, day, x)
+    frame — factored for hand-case tests."""
+    d38 = "decimal(38,0)"
+    w_type = Window.partitionBy("event_type")
+    w_ord = Window.partitionBy("event_type").orderBy("day")
+    base = daily.select(
+        "event_type",
+        "day",
+        "x",
+        F.count(F.lit(1)).over(w_type).alias("n"),
+        F.sum(F.col("x").cast(d38)).over(w_type).alias("sx"),
+    )
+    nx = (F.col("n").cast(d38) * F.col("x") - F.col("sx")).alias("nx")
+    seq = base.select(
+        "event_type",
+        "day",
+        "x",
+        "n",
+        "sx",
+        nx,
+    ).select(
+        "event_type",
+        "day",
+        "x",
+        "n",
+        "sx",
+        "nx",
+        F.lead("nx", 1).over(w_ord).alias("nx1"),
+        F.lead("nx", 2).over(w_ord).alias("nx2"),
+        F.lag("x", 1).over(w_ord).alias("px"),
+    )
+    agg = seq.groupBy("event_type").agg(
+        F.max("n").alias("n"),
+        F.max("sx").alias("sx"),
+        F.sum(F.col("nx") * F.col("nx")).alias("c0"),
+        F.coalesce(
+            F.sum(F.col("nx") * F.col("nx1")), F.lit(0).cast(d38)
+        ).alias("c1"),
+        F.coalesce(
+            F.sum(F.col("nx") * F.col("nx2")), F.lit(0).cast(d38)
+        ).alias("c2"),
+        F.expr("max_by(x, day)").alias("xl"),
+        F.expr("max_by(px, day)").alias("xp"),
+    )
+    c0d = F.col("c0").cast("double")
+    r1 = F.when(c0d > F.lit(0.0), F.col("c1").cast("double") / c0d)
+    r2 = F.when(c0d > F.lit(0.0), F.col("c2").cast("double") / c0d)
+    om = F.lit(1.0) - r1 * r1
+    phi1 = F.when(om != F.lit(0.0), r1 * (F.lit(1.0) - r2) / om)
+    phi2 = F.when(om != F.lit(0.0), (r2 - r1 * r1) / om)
+    mean = F.col("sx").cast("double") / F.col("n").cast("double")
+    fc = (
+        mean
+        + phi1 * (F.col("xl").cast("double") - mean)
+        + phi2 * (F.col("xp").cast("double") - mean)
+    )
+    sig = F.lit(1.0) - phi1 * r1 - phi2 * r2
+    return agg.select(
+        "event_type",
+        F.col("n").cast("long").alias("n_days"),
+        det_round(r1, 6).alias("r1"),
+        det_round(r2, 6).alias("r2"),
+        det_round(phi1, 6).alias("phi1"),
+        det_round(phi2, 6).alias("phi2"),
+        det_round(sig, 6).alias("innov_ratio"),
+        det_round(fc, 6).alias("forecast_next"),
+    ).orderBy("event_type")

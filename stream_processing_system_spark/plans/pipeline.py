@@ -1939,3 +1939,10 @@ def doc_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang", "bucket")
     )
+
+
+def embedding_mmd_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise linear-kernel MMD² + mean-vector cosine between every
+    label pair (`operators/similarity.embedding_mmd_shift`) — the
+    domain-shift screen run before mixing embedding corpora."""
+    return similarity.embedding_mmd_shift(_embs(spark, sf_dir))

@@ -201,3 +201,132 @@ def test_page_hinkley_constant_series(spark):
     assert out["ph_max"] == 0.0
     assert out["alarm_day"] is None
     assert out["threshold"] == 0.0
+
+
+def _ar2_replay(series):
+    from stream_processing_system_spark.plans.analytics import (  # noqa: F401
+        ar2_yule_walker_from_daily,
+    )
+
+    n = len(series)
+    s = sum(series)
+    nx = [n * x - s for x in series]
+    c0 = sum(v * v for v in nx)
+    c1 = sum(nx[i] * nx[i + 1] for i in range(n - 1))
+    c2 = sum(nx[i] * nx[i + 2] for i in range(n - 2))
+    if float(c0) > 0.0:
+        r1, r2 = float(c1) / float(c0), float(c2) / float(c0)
+    else:
+        r1 = r2 = None
+    phi1 = phi2 = None
+    if r1 is not None and 1.0 - r1 * r1 != 0.0:
+        phi1 = r1 * (1.0 - r2) / (1.0 - r1 * r1)
+        phi2 = (r2 - r1 * r1) / (1.0 - r1 * r1)
+    mean = float(s) / float(n)
+    fc = sig = None
+    if phi1 is not None:
+        fc = (
+            mean
+            + phi1 * (float(series[-1]) - mean)
+            + phi2 * (float(series[-2]) - mean)
+        )
+        sig = 1.0 - phi1 * r1 - phi2 * r2
+    return tuple(_det_round(v) for v in (r1, r2, phi1, phi2, sig, fc))
+
+
+def test_ar2_matches_python_reference(spark):
+    from stream_processing_system_spark.plans.analytics import (
+        ar2_yule_walker_from_daily,
+    )
+
+    series = [10, 12, 11, 13, 12, 14, 13, 15, 14, 16, 15, 17]
+    out = ar2_yule_walker_from_daily(_daily(spark, series)).collect()[0]
+    r1, r2, phi1, phi2, sig, fc = _ar2_replay(series)
+    assert out["n_days"] == len(series)
+    assert out["r1"] == r1
+    assert out["r2"] == r2
+    assert out["phi1"] == phi1
+    assert out["phi2"] == phi2
+    assert out["innov_ratio"] == sig
+    assert out["forecast_next"] == fc
+
+
+def test_ar2_constant_series_all_null(spark):
+    from stream_processing_system_spark.plans.analytics import (
+        ar2_yule_walker_from_daily,
+    )
+
+    out = ar2_yule_walker_from_daily(_daily(spark, [9] * 8)).collect()[0]
+    assert out["r1"] is None
+    assert out["phi1"] is None
+    assert out["forecast_next"] is None
+
+
+def test_return_auc_matches_pandas_rank(spark, sf_dir):
+    """Independent check of the midrank AUC against pandas' average
+    ranks (a different tie-handling implementation of the same
+    Mann-Whitney identity)."""
+    import duckdb
+
+    from stream_processing_system_spark.plans.analytics import (
+        lineitem_return_auc,
+    )
+    from stream_processing_system_spark.sources.tables import table_path
+
+    out = {
+        r["ship_year"]: r
+        for r in lineitem_return_auc(spark, sf_dir).collect()
+    }
+    df = duckdb.sql(
+        f"""
+        SELECT CAST(year(l_shipdate) AS INTEGER) AS y,
+               CAST(floor(l_discount * 100 + 0.5) AS BIGINT) * 10000
+               + CAST(floor(l_tax * 100 + 0.5) AS BIGINT) * 100
+               + CAST(floor(l_quantity + 0.5) AS BIGINT) AS score,
+               (l_returnflag = 'R') AS pos
+        FROM '{table_path(sf_dir, "lineitem")}'
+        """
+    ).df()
+    for y, g in df.groupby("y"):
+        ranks = g["score"].rank(method="average")
+        p = int(g["pos"].sum())
+        n = len(g) - p
+        auc = (float(ranks[g["pos"]].sum()) - p * (p + 1) / 2.0) / (
+            float(p) * float(n)
+        )
+        # the plan emits on the det_round 1e-6 grid
+        assert abs(out[int(y)]["auc"] - auc) < 6e-7
+        assert out[int(y)]["n_pos"] == p
+        assert out[int(y)]["n_neg"] == n
+
+
+def test_mmd_matches_numpy_reference(spark, sf_dir):
+    """Independent check of the linear-kernel MMD against a plain
+    numpy mean-difference on the same quantization grid."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from stream_processing_system_spark.plans.pipeline import (
+        embedding_mmd_shift,
+    )
+    from stream_processing_system_spark.sources.tables import table_path
+
+    t = pq.read_table(table_path(sf_dir, "embeddings")).to_pandas()
+    vecs = np.floor(
+        np.stack(t["embedding"].to_numpy()).astype(np.float64) * 1e6 + 0.5
+    )
+    labels = t["label"].to_numpy()
+    out = embedding_mmd_shift(spark, sf_dir).collect()
+    assert len(out) == len(set(labels)) * (len(set(labels)) - 1) // 2
+    for row in out[:10]:
+        a = vecs[labels == row["label_a"]]
+        b = vecs[labels == row["label_b"]]
+        gap = a.mean(axis=0) - b.mean(axis=0)
+        want = float(gap @ gap) / 1e12
+        assert abs(row["mmd2"] - want) < 1e-4
+        ca = a.sum(axis=0)
+        cb = b.sum(axis=0)
+        cos = float(ca @ cb) / (
+            float(np.sqrt(ca @ ca)) * float(np.sqrt(cb @ cb))
+        )
+        assert abs(row["mean_cosine"] - cos) < 1e-4
