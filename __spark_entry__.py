@@ -1972,10 +1972,10 @@ _R4_DRIVER_WINDOW = [
 #: additions first — they carry the most determinism risk). Round 5
 #: took [:50] (= `_R5_DRIVER_WINDOW` below, all 50 green in
 #: CORRECTNESS_r05.json), round 6 takes [50:100]
-#: (= `_R6_DRIVER_WINDOW`), round 7 [100:150], round 8 the final 13
-#: ([150:163]). Any query added in a later round goes to the FRONT
+#: (= `_R6_DRIVER_WINDOW`), round 7 [100:150], round 8 the final 16
+#: ([150:166]). Any query added in a later round goes to the FRONT
 #: of its round's window (the 14 round-5 additions sit at [50:64];
-#: the 6 round-6 additions sit at [100:106]).
+#: the 9 round-6 additions sit at [100:109]).
 _ROTATION_BACKLOG = [
     # round-4 additions first: newest code carries the most risk
     "lineitem_shipmode_priority",
@@ -2090,6 +2090,9 @@ _ROTATION_BACKLOG = [
     "embedding_mmd_shift",
     "lineitem_return_auc",
     "events_ar2_yule_walker",
+    "doc_charclass_audit",
+    "doc_vocab_coverage",
+    "doc_stylometry_burrows",
     "purchase_next_click_asof",
     "stream_upsert_user_totals",
     "events_downsample_ltob",
@@ -2553,6 +2556,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_mmd_shift": pipeline.embedding_mmd_shift,
         "lineitem_return_auc": analytics.lineitem_return_auc,
         "events_ar2_yule_walker": analytics.events_ar2_yule_walker,
+        "doc_charclass_audit": pipeline.doc_charclass_audit,
+        "doc_vocab_coverage": pipeline.doc_vocab_coverage,
+        "doc_stylometry_burrows": pipeline.doc_stylometry_burrows,
     }
     head = {n: q[n] for n in _R6_DRIVER_WINDOW}
     assert len(head) == 50, f"driver window must be 50, got {len(head)}"
@@ -11582,5 +11588,144 @@ def oracle_sql() -> dict[str, str]:
                                 - CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)))
                      * 1000000.0 + 0.5) / 1000000.0 AS forecast_next
         FROM p ORDER BY event_type
+    """
+    # charclass/mojibake audit: code-point lengths, 'g' flag on the
+    # DuckDB regexp_replace (first-match by default), exact sums
+    _o["doc_charclass_audit"] = """
+        WITH per AS (
+            SELECT lang, source,
+                   CAST(length(text) AS BIGINT) AS nc,
+                   CAST(length(text)
+                        - length(regexp_replace(text, '[A-Za-z]', '', 'g'))
+                        AS BIGINT) AS letters,
+                   CAST(length(text)
+                        - length(regexp_replace(text, '[0-9]', '', 'g'))
+                        AS BIGINT) AS digits,
+                   CAST(length(text)
+                        - length(regexp_replace(text, '[ \\t\\n\\r]', '',
+                                                'g'))
+                        AS BIGINT) AS spaces,
+                   CAST(length(text)
+                        - length(regexp_replace(text, '[^\\x00-\\x7F]', '',
+                                                'g'))
+                        AS BIGINT) AS nonascii,
+                   CASE WHEN contains(text, 'Ã') OR contains(text, 'â€')
+                             OR contains(text, '�')
+                        THEN 1 ELSE 0 END AS moji
+            FROM documents
+        ), agg AS (
+            SELECT lang, source, CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(SUM(nc) AS BIGINT) AS total_chars,
+                   CAST(SUM(letters) AS BIGINT) AS sl,
+                   CAST(SUM(digits) AS BIGINT) AS sd,
+                   CAST(SUM(spaces) AS BIGINT) AS ss,
+                   CAST(SUM(nonascii) AS BIGINT) AS sn,
+                   CAST(SUM(moji) AS BIGINT) AS mojibake_docs
+            FROM per GROUP BY 1, 2
+        )
+        SELECT lang, source, n_docs, total_chars,
+               floor(CAST(sl AS DOUBLE) / CAST(total_chars AS DOUBLE)
+                     * 1000000.0 + 0.5) / 1000000.0 AS letter_ratio,
+               floor(CAST(sd AS DOUBLE) / CAST(total_chars AS DOUBLE)
+                     * 1000000.0 + 0.5) / 1000000.0 AS digit_ratio,
+               floor(CAST(ss AS DOUBLE) / CAST(total_chars AS DOUBLE)
+                     * 1000000.0 + 0.5) / 1000000.0 AS space_ratio,
+               floor(CAST(sn AS DOUBLE) / CAST(total_chars AS DOUBLE)
+                     * 1000000.0 + 0.5) / 1000000.0 AS nonascii_ratio,
+               mojibake_docs
+        FROM agg ORDER BY lang, source
+    """
+    # OOV coverage vs corpus top-1000 vocab (count-desc, token-asc
+    # tie-break) - integer counts, one division
+    _o["doc_vocab_coverage"] = """
+        WITH toks AS (
+            SELECT source,
+                   unnest(list_filter(string_split(text, ' '),
+                                      x -> x <> '')) AS tok
+            FROM documents
+        ), vocab AS (
+            SELECT tok, 1 AS iv FROM (
+                SELECT tok, count(*) AS c FROM toks GROUP BY 1
+                ORDER BY c DESC, tok ASC LIMIT 1000)
+        ), flagged AS (
+            SELECT t.source, t.tok, v.iv
+            FROM toks t LEFT JOIN vocab v USING (tok)
+        ), agg AS (
+            SELECT source, CAST(count(*) AS BIGINT) AS n_tokens,
+                   CAST(SUM(CASE WHEN iv IS NULL THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_oov,
+                   CAST(count(DISTINCT tok) AS BIGINT) AS distinct_tokens,
+                   CAST(count(DISTINCT CASE WHEN iv IS NULL THEN tok END)
+                        AS BIGINT) AS distinct_oov
+            FROM flagged GROUP BY 1
+        )
+        SELECT source, n_tokens, n_oov,
+               floor(CAST(n_oov AS DOUBLE) / CAST(n_tokens AS DOUBLE)
+                     * 1000000.0 + 0.5) / 1000000.0 AS oov_rate,
+               distinct_tokens, distinct_oov
+        FROM agg ORDER BY source
+    """
+    # Burrows' Delta: densified (source x marker) frame, 1e-9 grid
+    # frequencies, exact moments, 1e-6-gridded |z_a - z_b| sums
+    _o["doc_stylometry_burrows"] = """
+        WITH toks AS (
+            SELECT source,
+                   unnest(list_filter(string_split(text, ' '),
+                                      x -> x <> '')) AS tok
+            FROM documents
+        ), markers AS (
+            SELECT tok FROM (
+                SELECT tok, count(*) AS c FROM toks GROUP BY 1
+                ORDER BY c DESC, tok ASC LIMIT 50)
+        ), totals AS (
+            SELECT source, CAST(count(*) AS BIGINT) AS tot
+            FROM toks GROUP BY 1
+        ), cnts AS (
+            SELECT source, tok, CAST(count(*) AS BIGINT) AS c
+            FROM toks JOIN markers USING (tok) GROUP BY 1, 2
+        ), dense AS (
+            SELECT t.source, m.tok,
+                   CAST(floor(CAST(COALESCE(c.c, 0) AS DOUBLE)
+                              / CAST(t.tot AS DOUBLE)
+                              * 1000000000.0 + 0.5) AS BIGINT) AS fq
+            FROM totals t CROSS JOIN markers m
+            LEFT JOIN cnts c ON c.source = t.source AND c.tok = m.tok
+        ), stats AS (
+            SELECT tok, CAST(count(*) AS BIGINT) AS k,
+                   SUM(CAST(fq AS HUGEINT)) AS s1,
+                   SUM(CAST(fq AS HUGEINT) * fq) AS s2
+            FROM dense GROUP BY 1
+        ), zf AS (
+            SELECT d.source, d.tok,
+                   CASE WHEN CAST(s2 AS DOUBLE) / CAST(k AS DOUBLE)
+                             - (CAST(s1 AS DOUBLE) / CAST(k AS DOUBLE))
+                               * (CAST(s1 AS DOUBLE) / CAST(k AS DOUBLE))
+                             > 0.0
+                        THEN (CAST(fq AS DOUBLE)
+                              - CAST(s1 AS DOUBLE) / CAST(k AS DOUBLE))
+                             / sqrt(CAST(s2 AS DOUBLE) / CAST(k AS DOUBLE)
+                                    - (CAST(s1 AS DOUBLE)
+                                       / CAST(k AS DOUBLE))
+                                      * (CAST(s1 AS DOUBLE)
+                                         / CAST(k AS DOUBLE)))
+                   END AS z
+            FROM dense d JOIN stats USING (tok)
+        ), pairs AS (
+            SELECT a.source AS source_a, b.source AS source_b,
+                   CASE WHEN a.z IS NOT NULL THEN 1 ELSE 0 END AS ok,
+                   CAST(floor(abs(a.z - b.z) * 1000000.0 + 0.5)
+                        AS BIGINT) AS dz
+            FROM zf a JOIN zf b
+              ON a.tok = b.tok AND a.source < b.source
+        ), agg AS (
+            SELECT source_a, source_b,
+                   CAST(SUM(ok) AS BIGINT) AS n_words,
+                   CAST(SUM(dz) AS BIGINT) AS sdz
+            FROM pairs GROUP BY 1, 2
+        )
+        SELECT source_a, source_b, n_words,
+               floor(CAST(sdz AS DOUBLE) / CAST(n_words AS DOUBLE)
+                     / 1000000.0 * 1000000.0 + 0.5) / 1000000.0 AS delta
+        FROM agg ORDER BY source_a, source_b
     """
     return _o

@@ -627,3 +627,225 @@ def token_entropy(df: DataFrame, text_col: str = "text") -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+def charclass_audit(
+    df: DataFrame,
+    lang_col: str = "lang",
+    source_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Character-class composition audit per (lang, source) cell:
+    corpus-level ratios of ASCII letters, digits, whitespace and
+    non-ASCII code points, plus a mojibake screen (documents
+    containing the classic UTF-8-as-Latin-1 artifacts 'Ã'/'â€' or a
+    replacement char U+FFFD) — the encoding-health pass any
+    web-scale ingest runs before tokenization, and the check that
+    catches a mis-decoded source before it poisons a training mix.
+
+    Per-class counts are length(x) − length(regexp_replace(x,
+    class, '')) on code-point lengths (identical in both engines;
+    the DuckDB twin needs the 'g' flag — its regexp_replace is
+    first-match by default). Ratios are exact BIGINT sums with ONE
+    double division per class.
+
+    Scale: one codegen'd map stage into a hash aggregate keyed by
+    (lang, source) — |langs|·|sources| output rows."""
+    txt = F.col(text_col)
+    n = F.length(txt)
+
+    def _cls(pattern: str):
+        return (n - F.length(F.regexp_replace(txt, pattern, ""))).cast(
+            "long"
+        )
+
+    moji = (
+        txt.contains("Ã")
+        | txt.contains("â€")
+        | txt.contains("�")
+    ).cast("long")
+    agg = (
+        df.select(
+            F.col(lang_col).alias("lang"),
+            F.col(source_col).alias("source"),
+            n.cast("long").alias("nc"),
+            _cls("[A-Za-z]").alias("letters"),
+            _cls("[0-9]").alias("digits"),
+            _cls("[ \\t\\n\\r]").alias("spaces"),
+            _cls("[^\\x00-\\x7F]").alias("nonascii"),
+            moji.alias("moji"),
+        )
+        .groupBy("lang", "source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("nc").alias("total_chars"),
+            F.sum("letters").alias("sl"),
+            F.sum("digits").alias("sd"),
+            F.sum("spaces").alias("ss"),
+            F.sum("nonascii").alias("sn"),
+            F.sum("moji").alias("mojibake_docs"),
+        )
+    )
+    tc = F.col("total_chars").cast("double")
+    return agg.select(
+        "lang",
+        "source",
+        "n_docs",
+        "total_chars",
+        det_round(F.col("sl").cast("double") / tc, 6).alias("letter_ratio"),
+        det_round(F.col("sd").cast("double") / tc, 6).alias("digit_ratio"),
+        det_round(F.col("ss").cast("double") / tc, 6).alias("space_ratio"),
+        det_round(F.col("sn").cast("double") / tc, 6).alias(
+            "nonascii_ratio"
+        ),
+        "mojibake_docs",
+    ).orderBy("lang", "source")
+
+
+def vocab_coverage(
+    df: DataFrame,
+    source_col: str = "source",
+    text_col: str = "text",
+    vocab_size: int = 1000,
+) -> DataFrame:
+    """Out-of-vocabulary audit per source against the corpus top-N
+    vocabulary (count-desc, token-asc tie-break): token and
+    type-level OOV rates — the coverage check run when fixing a
+    tokenizer vocabulary on a moving corpus mix (a source whose OOV
+    rate spikes is about to waste its token budget on fragments).
+
+    Scale: one explode into a token-count aggregate; the vocabulary
+    is a TakeOrderedAndProject top-N (never a global sort), then a
+    BROADCAST semi-flag join back onto the token stream — the only
+    data-sized shuffle is the (source, token) aggregate."""
+    toks = df.select(
+        F.col(source_col).alias("source"),
+        F.explode(_toks(F.col(text_col))).alias("tok"),
+    )
+    vocab = (
+        toks.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .orderBy(F.desc("c"), F.asc("tok"))
+        .limit(vocab_size)
+        .select("tok", F.lit(1).alias("iv"))
+    )
+    flagged = toks.join(F.broadcast(vocab), "tok", "left")
+    agg = flagged.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.sum(F.col("iv").isNull().cast("long")).alias("n_oov"),
+        F.countDistinct("tok").alias("distinct_tokens"),
+        F.countDistinct(
+            F.when(F.col("iv").isNull(), F.col("tok"))
+        ).alias("distinct_oov"),
+    )
+    return agg.select(
+        "source",
+        "n_tokens",
+        "n_oov",
+        det_round(
+            F.col("n_oov").cast("double")
+            / F.col("n_tokens").cast("double"),
+            6,
+        ).alias("oov_rate"),
+        "distinct_tokens",
+        "distinct_oov",
+    ).orderBy("source")
+
+
+def stylometry_burrows_delta(
+    df: DataFrame,
+    source_col: str = "source",
+    text_col: str = "text",
+    n_markers: int = 50,
+) -> DataFrame:
+    """Burrows' Delta between every source pair: z-score each
+    source's relative frequency of the corpus' top-N marker words
+    against the across-source mean/sd, then Delta(a,b) = mean_w
+    |z_a − z_b| (Burrows 2002 — the classic stylometric authorship
+    distance, here repurposed as a style-drift measure between
+    corpus sources).
+
+    Exactness: relative frequencies are quantized once onto a 1e-9
+    integer grid, the across-source moments are exact
+    DECIMAL(38,0) sums over the DENSIFIED (source × marker) frame
+    (a missing word counts as frequency 0 — skipping it would bias
+    μ), z is a fixed-order double, and the 50-word pair reduction
+    grids |z_a − z_b| to 1e-6 integers before summing (the
+    cross-row float-sum device). Zero-variance markers are excluded
+    from the average, with n_words reporting how many contributed.
+
+    Scale: one explode into token counts; markers via top-N
+    TakeOrdered; everything after runs on the |sources|·N dense
+    frame — constant-size regardless of corpus size."""
+    d38 = "decimal(38,0)"
+    toks = df.select(
+        F.col(source_col).alias("source"),
+        F.explode(_toks(F.col(text_col))).alias("tok"),
+    )
+    markers = (
+        toks.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .orderBy(F.desc("c"), F.asc("tok"))
+        .limit(n_markers)
+        .select("tok")
+    )
+    totals = toks.groupBy("source").agg(F.count(F.lit(1)).alias("tot"))
+    cnts = (
+        toks.join(F.broadcast(markers), "tok")
+        .groupBy("source", "tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    dense = (
+        totals.crossJoin(F.broadcast(markers))
+        .join(cnts, ["source", "tok"], "left")
+        .select(
+            "source",
+            "tok",
+            F.floor(
+                F.coalesce(F.col("c"), F.lit(0)).cast("double")
+                / F.col("tot").cast("double")
+                * F.lit(1e9)
+                + F.lit(0.5)
+            )
+            .cast("long")
+            .alias("fq"),
+        )
+    )
+    stats = dense.groupBy("tok").agg(
+        F.count(F.lit(1)).alias("k"),
+        F.sum(F.col("fq").cast(d38)).alias("s1"),
+        F.sum(F.col("fq").cast(d38) * F.col("fq")).alias("s2"),
+    )
+    kd = F.col("k").cast("double")
+    s1d = F.col("s1").cast("double")
+    var = F.col("s2").cast("double") / kd - (s1d / kd) * (s1d / kd)
+    z = F.when(
+        var > F.lit(0.0),
+        (F.col("fq").cast("double") - s1d / kd) / F.sqrt(var),
+    )
+    zf = dense.join(stats, "tok").select("source", "tok", z.alias("z"))
+    a = zf.select(
+        F.col("source").alias("source_a"), "tok", F.col("z").alias("za")
+    )
+    b = zf.select(
+        F.col("source").alias("source_b"), "tok", F.col("z").alias("zb")
+    )
+    pairs = a.join(b, "tok").where(F.col("source_a") < F.col("source_b"))
+    dz = F.floor(
+        F.abs(F.col("za") - F.col("zb")) * F.lit(1e6) + F.lit(0.5)
+    ).cast("long")
+    agg = pairs.groupBy("source_a", "source_b").agg(
+        F.sum((F.col("za").isNotNull()).cast("long")).alias("n_words"),
+        F.sum(dz).alias("sdz"),
+    )
+    delta = (
+        F.col("sdz").cast("double")
+        / F.col("n_words").cast("double")
+        / F.lit(1e6)
+    )
+    return agg.select(
+        "source_a",
+        "source_b",
+        "n_words",
+        det_round(delta, 6).alias("delta"),
+    ).orderBy("source_a", "source_b")

@@ -1946,3 +1946,21 @@ def embedding_mmd_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
     label pair (`operators/similarity.embedding_mmd_shift`) — the
     domain-shift screen run before mixing embedding corpora."""
     return similarity.embedding_mmd_shift(_embs(spark, sf_dir))
+
+
+def doc_charclass_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-class / mojibake encoding-health audit per
+    (lang, source) cell (`operators/text_analysis.charclass_audit`)."""
+    return text_analysis.charclass_audit(_docs(spark, sf_dir))
+
+
+def doc_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source OOV rates against the corpus top-1000 vocabulary
+    (`operators/text_analysis.vocab_coverage`)."""
+    return text_analysis.vocab_coverage(_docs(spark, sf_dir))
+
+
+def doc_stylometry_burrows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Burrows' Delta style distance between every source pair
+    (`operators/text_analysis.stylometry_burrows_delta`)."""
+    return text_analysis.stylometry_burrows_delta(_docs(spark, sf_dir))

@@ -330,3 +330,116 @@ def test_mmd_matches_numpy_reference(spark, sf_dir):
             float(np.sqrt(ca @ ca)) * float(np.sqrt(cb @ cb))
         )
         assert abs(row["mean_cosine"] - cos) < 1e-4
+
+
+def _docs_df(spark, rows):
+    return spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string"
+    )
+
+
+def test_charclass_audit_hand_case(spark):
+    from stream_processing_system_spark.operators.text_analysis import (
+        charclass_audit,
+    )
+
+    rows = [
+        (1, "abc 123", "en", "s1"),  # 3 letters, 3 digits, 1 space
+        (2, "¡héllo!", "en", "s1"),  # é/í are non-ascii code points
+        (3, "ok Ã broken", "en", "s2"),  # mojibake marker
+    ]
+    out = {
+        (r["lang"], r["source"]): r
+        for r in charclass_audit(_docs_df(spark, rows)).collect()
+    }
+    s1 = out[("en", "s1")]
+    # 'abc 123' = 7 chars; '¡héllo!' = 7 chars (code points)
+    assert s1["total_chars"] == 14
+    assert s1["letter_ratio"] == math.floor(7 / 14 * 1e6 + 0.5) / 1e6
+    assert s1["digit_ratio"] == math.floor(3 / 14 * 1e6 + 0.5) / 1e6
+    assert s1["space_ratio"] == math.floor(1 / 14 * 1e6 + 0.5) / 1e6
+    # non-ascii in s1: ¡, é = 2 of 14
+    assert s1["nonascii_ratio"] == math.floor(2 / 14 * 1e6 + 0.5) / 1e6
+    assert s1["mojibake_docs"] == 0
+    assert out[("en", "s2")]["mojibake_docs"] == 1
+
+
+def test_vocab_coverage_hand_case(spark):
+    from stream_processing_system_spark.operators.text_analysis import (
+        vocab_coverage,
+    )
+
+    rows = [
+        (1, "a a a b b c", "en", "s1"),  # vocab(2) = {a, b}
+        (2, "a b x y", "en", "s2"),
+    ]
+    out = {
+        r["source"]: r
+        for r in vocab_coverage(
+            _docs_df(spark, rows), vocab_size=2
+        ).collect()
+    }
+    assert out["s1"]["n_tokens"] == 6
+    assert out["s1"]["n_oov"] == 1  # just 'c'
+    assert out["s1"]["distinct_tokens"] == 3
+    assert out["s1"]["distinct_oov"] == 1
+    assert out["s2"]["n_tokens"] == 4
+    assert out["s2"]["n_oov"] == 2  # x, y
+    assert out["s2"]["oov_rate"] == 0.5
+
+
+def test_burrows_delta_hand_case(spark):
+    from stream_processing_system_spark.operators.text_analysis import (
+        stylometry_burrows_delta,
+    )
+
+    # three sources, marker vocab (top-2) = {the, of}; s3 never uses
+    # 'of' -> densified zero must pull the mean down
+    rows = [
+        (1, "the the the of cat", "en", "s1"),
+        (2, "the of of of dog", "en", "s2"),
+        (3, "the the bird bird", "en", "s3"),
+    ]
+    out = stylometry_burrows_delta(
+        _docs_df(spark, rows), n_markers=2
+    ).collect()
+    totals = {"s1": 5, "s2": 5, "s3": 4}
+    cnts = {
+        ("s1", "the"): 3, ("s1", "of"): 1,
+        ("s2", "the"): 1, ("s2", "of"): 3,
+        ("s3", "the"): 2, ("s3", "of"): 0,
+    }
+    fq = {
+        k: math.floor(float(c) / float(totals[k[0]]) * 1e9 + 0.5)
+        for k, c in cnts.items()
+    }
+    srcs = ["s1", "s2", "s3"]
+    z = {}
+    for w in ["the", "of"]:
+        vals = [fq[(s, w)] for s in srcs]
+        k = float(len(vals))
+        s1v, s2v = float(sum(vals)), float(sum(v * v for v in vals))
+        var = s2v / k - (s1v / k) * (s1v / k)
+        for s in srcs:
+            z[(s, w)] = (
+                (float(fq[(s, w)]) - s1v / k) / math.sqrt(var)
+                if var > 0.0
+                else None
+            )
+    want = {}
+    for i, a in enumerate(srcs):
+        for b in srcs[i + 1:]:
+            dzs = [
+                math.floor(abs(z[(a, w)] - z[(b, w)]) * 1e6 + 0.5)
+                for w in ["the", "of"]
+                if z[(a, w)] is not None
+            ]
+            want[(a, b)] = (
+                len(dzs),
+                _det_round(float(sum(dzs)) / float(len(dzs)) / 1e6),
+            )
+    got = {(r["source_a"], r["source_b"]): r for r in out}
+    assert set(got) == set(want)
+    for k2, (nw, delta) in want.items():
+        assert got[k2]["n_words"] == nw
+        assert got[k2]["delta"] == delta
