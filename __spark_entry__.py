@@ -1972,10 +1972,10 @@ _R4_DRIVER_WINDOW = [
 #: additions first — they carry the most determinism risk). Round 5
 #: took [:50] (= `_R5_DRIVER_WINDOW` below, all 50 green in
 #: CORRECTNESS_r05.json), round 6 takes [50:100]
-#: (= `_R6_DRIVER_WINDOW`), round 7 [100:150], round 8 the final 16
-#: ([150:166]). Any query added in a later round goes to the FRONT
+#: (= `_R6_DRIVER_WINDOW`), round 7 [100:150], round 8 the final 17
+#: ([150:167]). Any query added in a later round goes to the FRONT
 #: of its round's window (the 14 round-5 additions sit at [50:64];
-#: the 9 round-6 additions sit at [100:109]).
+#: the 10 round-6 additions sit at [100:110]).
 _ROTATION_BACKLOG = [
     # round-4 additions first: newest code carries the most risk
     "lineitem_shipmode_priority",
@@ -2093,6 +2093,7 @@ _ROTATION_BACKLOG = [
     "doc_charclass_audit",
     "doc_vocab_coverage",
     "doc_stylometry_burrows",
+    "stream_page_hinkley",
     "purchase_next_click_asof",
     "stream_upsert_user_totals",
     "events_downsample_ltob",
@@ -2559,6 +2560,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_charclass_audit": pipeline.doc_charclass_audit,
         "doc_vocab_coverage": pipeline.doc_vocab_coverage,
         "doc_stylometry_burrows": pipeline.doc_stylometry_burrows,
+        "stream_page_hinkley": streaming_parity.stream_page_hinkley,
     }
     head = {n: q[n] for n in _R6_DRIVER_WINDOW}
     assert len(head) == 50, f"driver window must be 50, got {len(head)}"
@@ -11728,4 +11730,7 @@ def oracle_sql() -> dict[str, str]:
                      / 1000000.0 * 1000000.0 + 0.5) / 1000000.0 AS delta
         FROM agg ORDER BY source_a, source_b
     """
+    # the streaming Page-Hinkley twin drains to the identical daily
+    # snapshot - same oracle text as the batch plan
+    _o["stream_page_hinkley"] = _o["events_page_hinkley"]
     return _o

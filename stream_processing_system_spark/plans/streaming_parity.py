@@ -1096,3 +1096,55 @@ def stream_spout_wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
         result = _drain_to_table(wordcount(lines), f"spoutwc_{run}", ckpt)
     _cleanup(input_dir)
     return result.select("word", "cnt")
+
+
+def stream_page_hinkley(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Page–Hinkley drift detection with the daily-totals state
+    maintained by an availableNow streaming aggregation — the
+    streaming twin of `analytics.events_page_hinkley` (same oracle).
+    The per-(type, day) centi sums are a mergeable monoid, so the
+    streaming state is exactly the `_daily_whole_units` grid; the
+    running-mean/cumsum/running-min PH tail then runs as the shared
+    batch plan over the drained state (day streams as an ISO string,
+    which sorts chronologically — the tail only orders by it)."""
+    from stream_processing_system_spark.plans.analytics import (
+        page_hinkley_from_daily,
+    )
+
+    input_dir, ckpt, run = _scratch("sph")
+    events = (
+        load_table(spark, sf_dir, "events")
+        .where(F.col("value").isNotNull())
+        .select("ts", "event_type", "value")
+    )
+    events.write.mode("overwrite").parquet(input_dir)
+    stream = spark.readStream.schema(
+        "ts timestamp, event_type string, value double"
+    ).parquet(input_dir)
+    centi = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+    state = (
+        stream.select(
+            "event_type",
+            F.col("ts").cast("date").cast("string").alias("day"),
+            centi.alias("v"),
+        )
+        .groupBy("event_type", "day")
+        .agg(F.sum("v").alias("cent"))
+    )
+    with _state_partitions(spark):
+        q = (
+            state.writeStream.outputMode("complete")
+            .format("memory")
+            .queryName(f"sph_{run}")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    _cleanup(input_dir)
+    daily = (
+        spark.table(f"sph_{run}")
+        .select("event_type", "day", F.expr("cent div 100").alias("x"))
+        .localCheckpoint(eager=True)
+    )
+    return page_hinkley_from_daily(daily)
