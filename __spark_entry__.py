@@ -1972,10 +1972,10 @@ _R4_DRIVER_WINDOW = [
 #: additions first — they carry the most determinism risk). Round 5
 #: took [:50] (= `_R5_DRIVER_WINDOW` below, all 50 green in
 #: CORRECTNESS_r05.json), round 6 takes [50:100]
-#: (= `_R6_DRIVER_WINDOW`), round 7 [100:150], round 8 the final 17
-#: ([150:167]). Any query added in a later round goes to the FRONT
+#: (= `_R6_DRIVER_WINDOW`), round 7 [100:150], round 8 the final 20
+#: ([150:170]). Any query added in a later round goes to the FRONT
 #: of its round's window (the 14 round-5 additions sit at [50:64];
-#: the 10 round-6 additions sit at [100:110]).
+#: the 13 round-6 additions sit at [100:113]).
 _ROTATION_BACKLOG = [
     # round-4 additions first: newest code carries the most risk
     "lineitem_shipmode_priority",
@@ -2094,6 +2094,9 @@ _ROTATION_BACKLOG = [
     "doc_vocab_coverage",
     "doc_stylometry_burrows",
     "stream_page_hinkley",
+    "events_dispersion_index",
+    "events_welch_ttest",
+    "customer_ipw_ate",
     "purchase_next_click_asof",
     "stream_upsert_user_totals",
     "events_downsample_ltob",
@@ -2561,6 +2564,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_vocab_coverage": pipeline.doc_vocab_coverage,
         "doc_stylometry_burrows": pipeline.doc_stylometry_burrows,
         "stream_page_hinkley": streaming_parity.stream_page_hinkley,
+        "events_dispersion_index": analytics.events_dispersion_index,
+        "events_welch_ttest": analytics.events_welch_ttest,
+        "customer_ipw_ate": analytics.customer_ipw_ate,
     }
     head = {n: q[n] for n in _R6_DRIVER_WINDOW}
     assert len(head) == 50, f"driver window must be 50, got {len(head)}"
@@ -3064,6 +3070,77 @@ _UPLIFT_USERS_CTE = """users AS MATERIALIZED (
             GROUP BY user_id, day
         )
     )"""
+
+
+_IPW_BASE_SELECT = """
+        SELECT CASE WHEN clk > 0 THEN 1 ELSE 0 END AS y,
+               vw AS x1, nev AS x2, yo
+        FROM (
+            SELECT user_id, CAST(ts AS DATE) AS day,
+                   CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+                        AS BIGINT) AS clk,
+                   CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+                        AS BIGINT) AS vw,
+                   CAST(count(*) AS BIGINT) AS nev,
+                   CAST(MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0
+                            END) AS BIGINT) AS yo
+            FROM events GROUP BY 1, 2
+        )"""
+
+
+def _ipw_oracle_sql(iters: int = 3) -> str:
+    """Hájek IPW-ATE: the propensity logit's IRLS chain is the SAME
+    `_logit_beta_parts` unroll the classifier/calibration/uplift
+    oracles share (label = clicked-that-day, features = views and
+    total activity; the outcome `yo` rides the base untouched by the
+    trainer), then clipped propensities and 1e-6-gridded weight
+    sums mirror `analytics.customer_ipw_ate` term for term."""
+    parts, e = _logit_beta_parts(iters, base_select=_IPW_BASE_SELECT)
+    return f"""
+        WITH {','.join(parts)},
+        sc AS (
+            SELECT t.y AS tr, t.yo,
+                   1.0 / (1.0 + exp(-{e})) AS mu
+            FROM base t, beta{iters} b
+        ), w AS (
+            SELECT tr, yo, mu,
+                   LEAST(GREATEST(mu, 0.05), 0.95) AS ec
+            FROM sc
+        ), g AS (
+            SELECT CAST(count(*) AS BIGINT) AS n_rows,
+                   CAST(SUM(tr) AS BIGINT) AS nt,
+                   CAST(SUM(tr * yo) AS BIGINT) AS syt,
+                   CAST(SUM((1 - tr) * yo) AS BIGINT) AS syc,
+                   SUM(CAST(floor(CAST(tr AS DOUBLE) / ec
+                                  * 1000000.0 + 0.5) AS BIGINT)) AS swt,
+                   SUM(CAST(floor(CAST(tr AS DOUBLE) / ec
+                                  * CAST(yo AS DOUBLE)
+                                  * 1000000.0 + 0.5) AS BIGINT)) AS swty,
+                   SUM(CAST(floor((1.0 - CAST(tr AS DOUBLE))
+                                  / (1.0 - ec)
+                                  * 1000000.0 + 0.5) AS BIGINT)) AS swc,
+                   SUM(CAST(floor((1.0 - CAST(tr AS DOUBLE))
+                                  / (1.0 - ec)
+                                  * CAST(yo AS DOUBLE)
+                                  * 1000000.0 + 0.5) AS BIGINT)) AS swcy,
+                   CAST(SUM(CASE WHEN mu < 0.05 OR mu > 0.95
+                            THEN 1 ELSE 0 END) AS BIGINT) AS n_clipped
+            FROM w
+        )
+        SELECT n_rows, nt AS n_treated, n_clipped,
+               floor((CAST(syt AS DOUBLE) / CAST(nt AS DOUBLE)
+                      - CAST(syc AS DOUBLE)
+                        / CAST(n_rows - nt AS DOUBLE))
+                     * 1000000.0 + 0.5) / 1000000.0 AS naive_diff,
+               floor(CAST(swty AS DOUBLE) / CAST(swt AS DOUBLE)
+                     * 1000000.0 + 0.5) / 1000000.0 AS mu_treated_ipw,
+               floor(CAST(swcy AS DOUBLE) / CAST(swc AS DOUBLE)
+                     * 1000000.0 + 0.5) / 1000000.0 AS mu_control_ipw,
+               floor((CAST(swty AS DOUBLE) / CAST(swt AS DOUBLE)
+                      - CAST(swcy AS DOUBLE) / CAST(swc AS DOUBLE))
+                     * 1000000.0 + 0.5) / 1000000.0 AS ate_ipw
+        FROM g
+    """
 
 
 def _uplift_oracle_sql(iters: int = 3) -> str:
@@ -11733,4 +11810,112 @@ def oracle_sql() -> dict[str, str]:
     # the streaming Page-Hinkley twin drains to the identical daily
     # snapshot - same oracle text as the batch plan
     _o["stream_page_hinkley"] = _o["events_page_hinkley"]
+    # index of dispersion on daily counts: exact moments, normal
+    # approximation z, mirrored verdict CASE
+    _o["events_dispersion_index"] = """
+        WITH daily AS (
+            SELECT event_type, CAST(ts AS DATE) AS day,
+                   CAST(count(*) AS BIGINT) AS c
+            FROM events GROUP BY 1, 2
+        ), agg AS (
+            SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+                   SUM(CAST(c AS HUGEINT)) AS sc,
+                   SUM(CAST(c AS HUGEINT) * c) AS scc
+            FROM daily GROUP BY 1
+        ), m AS (
+            SELECT event_type, n,
+                   CAST(sc AS DOUBLE) / CAST(n AS DOUBLE) AS mean,
+                   CASE WHEN n > 1 THEN
+                       (CAST(scc AS DOUBLE)
+                        - CAST(sc AS DOUBLE) * CAST(sc AS DOUBLE)
+                          / CAST(n AS DOUBLE))
+                       / (CAST(n AS DOUBLE) - 1.0)
+                   END AS s2
+            FROM agg
+        ), d AS (
+            SELECT event_type, n, mean, s2,
+                   CASE WHEN mean > 0.0 THEN s2 / mean END AS disp
+            FROM m
+        ), z AS (
+            SELECT event_type, n, mean, s2, disp,
+                   (disp - 1.0)
+                   * sqrt((CAST(n AS DOUBLE) - 1.0) / 2.0) AS z
+            FROM d
+        )
+        SELECT event_type, n AS n_days,
+               floor(mean * 1000000.0 + 0.5) / 1000000.0 AS mean_daily,
+               floor(s2 * 1000000.0 + 0.5) / 1000000.0 AS var_daily,
+               floor(disp * 1000000.0 + 0.5) / 1000000.0 AS dispersion,
+               floor(z * 1000000.0 + 0.5) / 1000000.0 AS z_score,
+               CASE WHEN z > 1.96 THEN 'overdispersed'
+                    WHEN z < -1.96 THEN 'underdispersed'
+                    ELSE 'poisson_consistent' END AS verdict
+        FROM z ORDER BY event_type
+    """
+    # Welch's t: epoch-mod-7 weekend split, exact HUGEINT moments,
+    # mirrored t / Welch-Satterthwaite df chain
+    _o["events_welch_ttest"] = """
+        WITH daily AS MATERIALIZED (
+            SELECT event_type, CAST(ts AS DATE) AS day,
+                   CAST(SUM(CAST(floor(value * 100 + 0.5) AS BIGINT))
+                        AS BIGINT) // 100 AS x
+            FROM events WHERE value IS NOT NULL
+            GROUP BY 1, 2
+        ), d2 AS (
+            SELECT event_type, x,
+                   CASE WHEN (day - DATE '1970-01-01') % 7 IN (2, 3)
+                        THEN 1 ELSE 0 END AS w
+            FROM daily
+        ), agg AS (
+            SELECT event_type,
+                   CAST(SUM(w) AS BIGINT) AS n1,
+                   SUM(w * CAST(x AS HUGEINT)) AS s1,
+                   SUM(w * CAST(x AS HUGEINT) * x) AS q1,
+                   CAST(SUM(1 - w) AS BIGINT) AS n2,
+                   SUM((1 - w) * CAST(x AS HUGEINT)) AS s2,
+                   SUM((1 - w) * CAST(x AS HUGEINT) * x) AS q2
+            FROM d2 GROUP BY 1
+        ), v AS (
+            SELECT event_type, n1, n2,
+                   CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE) AS m1,
+                   CAST(s2 AS DOUBLE) / CAST(n2 AS DOUBLE) AS m2,
+                   CASE WHEN n1 > 1 THEN
+                       (CAST(q1 AS DOUBLE)
+                        - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)
+                          / CAST(n1 AS DOUBLE))
+                       / (CAST(n1 AS DOUBLE) - 1.0)
+                   END AS v1,
+                   CASE WHEN n2 > 1 THEN
+                       (CAST(q2 AS DOUBLE)
+                        - CAST(s2 AS DOUBLE) * CAST(s2 AS DOUBLE)
+                          / CAST(n2 AS DOUBLE))
+                       / (CAST(n2 AS DOUBLE) - 1.0)
+                   END AS v2
+            FROM agg
+        ), se AS (
+            SELECT event_type, n1, n2, m1, m2, v1, v2,
+                   v1 / CAST(n1 AS DOUBLE)
+                   + v2 / CAST(n2 AS DOUBLE) AS se2
+            FROM v
+        )
+        SELECT event_type,
+               n1 AS n_weekend, n2 AS n_weekday,
+               floor(m1 * 1000000.0 + 0.5) / 1000000.0 AS mean_weekend,
+               floor(m2 * 1000000.0 + 0.5) / 1000000.0 AS mean_weekday,
+               floor(CASE WHEN se2 > 0.0
+                          THEN (m1 - m2) / sqrt(se2) END
+                     * 1000000.0 + 0.5) / 1000000.0 AS t_stat,
+               floor(CASE WHEN se2 > 0.0 THEN
+                         (se2 * se2)
+                         / ((v1 / CAST(n1 AS DOUBLE))
+                            * (v1 / CAST(n1 AS DOUBLE))
+                            / (CAST(n1 AS DOUBLE) - 1.0)
+                            + (v2 / CAST(n2 AS DOUBLE))
+                              * (v2 / CAST(n2 AS DOUBLE))
+                              / (CAST(n2 AS DOUBLE) - 1.0))
+                     END * 1000000.0 + 0.5) / 1000000.0 AS welch_df
+        FROM se ORDER BY event_type
+    """
+    # Hajek IPW-ATE: shared IRLS beta-chain unroll + gridded weights
+    _o["customer_ipw_ate"] = _ipw_oracle_sql()
     return _o

@@ -11995,3 +11995,235 @@ def ar2_yule_walker_from_daily(daily: DataFrame) -> DataFrame:
         det_round(sig, 6).alias("innov_ratio"),
         det_round(fc, 6).alias("forecast_next"),
     ).orderBy("event_type")
+
+
+def events_dispersion_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Index-of-dispersion (variance-to-mean ratio) test per event
+    type on the daily COUNT series: D = s²/x̄ with the normal
+    approximation z = (D − 1)·√((n−1)/2) — the classic screen for
+    whether daily arrivals are Poisson-consistent, overdispersed
+    (bursty/contagious) or underdispersed (throttled/regular); the
+    count-process complement to `events_burstiness` (inter-arrival
+    CV) and `events_poisson_glm` (rate modeling).
+
+    Exactness: n, Σc, Σc² are exact BIGINT aggregates of day-grain
+    counts; s², x̄, D and z are fixed-operand-order doubles with
+    NULL guards for n < 2 and x̄ = 0. Day-grain → constant-size at
+    any data scale."""
+    events = load_table(spark, sf_dir, "events")
+    daily = (
+        events.select("event_type", F.col("ts").cast("date").alias("day"))
+        .groupBy("event_type", "day")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    return dispersion_index_from_daily(daily)
+
+
+def dispersion_index_from_daily(daily: DataFrame) -> DataFrame:
+    """Shared dispersion-index tail over an (event_type, day, c)
+    frame — factored for hand-case tests."""
+    d38 = "decimal(38,0)"
+    agg = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("c").cast(d38)).alias("sc"),
+        F.sum(F.col("c").cast(d38) * F.col("c")).alias("scc"),
+    )
+    nd = F.col("n").cast("double")
+    scd = F.col("sc").cast("double")
+    mean = scd / nd
+    s2 = F.when(
+        F.col("n") > 1,
+        (F.col("scc").cast("double") - scd * scd / nd)
+        / (nd - F.lit(1.0)),
+    )
+    disp = F.when(mean > F.lit(0.0), s2 / mean)
+    z = (disp - F.lit(1.0)) * F.sqrt((nd - F.lit(1.0)) / F.lit(2.0))
+    verdict = (
+        F.when(z > F.lit(1.96), F.lit("overdispersed"))
+        .when(z < F.lit(-1.96), F.lit("underdispersed"))
+        .otherwise(F.lit("poisson_consistent"))
+    )
+    return agg.select(
+        "event_type",
+        F.col("n").cast("long").alias("n_days"),
+        det_round(mean, 6).alias("mean_daily"),
+        det_round(s2, 6).alias("var_daily"),
+        det_round(disp, 6).alias("dispersion"),
+        det_round(z, 6).alias("z_score"),
+        verdict.alias("verdict"),
+    ).orderBy("event_type")
+
+
+def events_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch's unequal-variance t-test for a weekend effect on daily
+    total value per event type, with the Welch–Satterthwaite df —
+    the parametric two-sample complement to `events_mannwhitney_u`
+    (rank-based) and `events_dow_anova` (equal-variance k-group):
+    weekend = epoch-day mod 7 ∈ {2, 3} (1970-01-01 is a Thursday),
+    never the engines' disagreeing dayofweek()s.
+
+    Exactness: per-group n, Σx, Σx² are exact DECIMAL(38,0) on the
+    `_daily_whole_units` grid; means, variances, t and df are one
+    fixed-operand-order double chain with NULL guards for groups
+    smaller than 2 and zero pooled standard error."""
+    events = load_table(spark, sf_dir, "events")
+    daily = _daily_whole_units(events)
+    return welch_ttest_from_daily(daily)
+
+
+def welch_ttest_from_daily(daily: DataFrame) -> DataFrame:
+    """Shared Welch-t tail over an (event_type, day, x) frame —
+    factored for hand-case tests."""
+    d38 = "decimal(38,0)"
+    wk = (
+        (
+            F.datediff(F.col("day"), F.lit("1970-01-01").cast("date")) % 7
+        ).isin(2, 3)
+    ).cast("long")
+    agg = daily.select("event_type", "x", wk.alias("w")).groupBy(
+        "event_type"
+    ).agg(
+        F.sum("w").alias("n1"),
+        F.sum(F.col("w") * F.col("x").cast(d38)).alias("s1"),
+        F.sum(F.col("w") * F.col("x").cast(d38) * F.col("x")).alias("q1"),
+        F.sum(F.lit(1) - F.col("w")).alias("n2"),
+        F.sum(
+            (F.lit(1) - F.col("w")) * F.col("x").cast(d38)
+        ).alias("s2"),
+        F.sum(
+            (F.lit(1) - F.col("w")) * F.col("x").cast(d38) * F.col("x")
+        ).alias("q2"),
+    )
+    n1d, n2d = F.col("n1").cast("double"), F.col("n2").cast("double")
+    s1d, s2d = F.col("s1").cast("double"), F.col("s2").cast("double")
+    m1, m2 = s1d / n1d, s2d / n2d
+    v1 = F.when(
+        F.col("n1") > 1,
+        (F.col("q1").cast("double") - s1d * s1d / n1d)
+        / (n1d - F.lit(1.0)),
+    )
+    v2 = F.when(
+        F.col("n2") > 1,
+        (F.col("q2").cast("double") - s2d * s2d / n2d)
+        / (n2d - F.lit(1.0)),
+    )
+    se2 = v1 / n1d + v2 / n2d
+    t = F.when(se2 > F.lit(0.0), (m1 - m2) / F.sqrt(se2))
+    df = F.when(
+        se2 > F.lit(0.0),
+        (se2 * se2)
+        / (
+            (v1 / n1d) * (v1 / n1d) / (n1d - F.lit(1.0))
+            + (v2 / n2d) * (v2 / n2d) / (n2d - F.lit(1.0))
+        ),
+    )
+    return agg.select(
+        "event_type",
+        F.col("n1").cast("long").alias("n_weekend"),
+        F.col("n2").cast("long").alias("n_weekday"),
+        det_round(m1, 6).alias("mean_weekend"),
+        det_round(m2, 6).alias("mean_weekday"),
+        det_round(t, 6).alias("t_stat"),
+        det_round(df, 6).alias("welch_df"),
+    ).orderBy("event_type")
+
+
+def customer_ipw_ate(
+    spark: SparkSession, sf_dir: str, iters: int = 3
+) -> DataFrame:
+    """Inverse-propensity-weighted average treatment effect — the
+    OBSERVATIONAL causal estimator that completes the experimentation
+    family (`customer_uplift_two_model` assumes a randomized split;
+    here treatment 'clicked that day' is self-selected): a propensity
+    logit P(T=1 | views, activity) is trained with the shared
+    `_logit_irls_betas` IRLS contract, propensities are clipped to
+    [0.05, 0.95], and the Hájek (self-normalized) estimator
+    Σ(Ty/ê)/Σ(T/ê) − Σ((1−T)y/(1−ê))/Σ((1−T)/(1−ê)) is compared
+    against the confounded naive rate difference.
+
+    Determinism: the IRLS chain is the grid contract the oracle
+    unrolls round-for-round; per-row weights and weighted outcomes
+    are floored onto the 1e-6 grid BEFORE exact BIGINT summation, so
+    the four Hájek sums are order-free; every division after is a
+    fixed-order double. Scale: one user-day aggregate, 3 single-row
+    moment aggregates (9 grid integers each), one final single-row
+    reduce — the design is never collected."""
+    events = load_table(spark, sf_dir, "events")
+    per_ud = (
+        events.select(
+            "user_id",
+            F.col("ts").cast("date").alias("day"),
+            "event_type",
+        )
+        .groupBy("user_id", "day")
+        .agg(
+            F.sum((F.col("event_type") == "click").cast("long")).alias(
+                "clk"
+            ),
+            F.sum((F.col("event_type") == "view").cast("long")).alias(
+                "vw"
+            ),
+            F.count(F.lit(1)).alias("nev"),
+            F.max(
+                (F.col("event_type") == "purchase").cast("long")
+            ).alias("yo"),
+        )
+    )
+    base = per_ud.select(
+        (F.col("clk") > 0).cast("long").alias("y"),
+        F.col("vw").alias("x1"),
+        F.col("nev").alias("x2"),
+        "yo",
+    ).localCheckpoint(eager=True)
+    b0, b1, b2, _ = _logit_irls_betas(base, iters)
+    x1d, x2d = F.col("x1").cast("double"), F.col("x2").cast("double")
+    mu = F.lit(1.0) / (
+        F.lit(1.0)
+        + F.exp(-(F.lit(b0) + F.lit(b1) * x1d + F.lit(b2) * x2d))
+    )
+    ec = F.least(F.greatest(mu, F.lit(0.05)), F.lit(0.95))
+    trd = F.col("y").cast("double")
+    yod = F.col("yo").cast("double")
+
+    def grid(col):
+        return F.floor(col * F.lit(1e6) + F.lit(0.5)).cast("long")
+
+    scored = base.select(
+        "y",
+        "yo",
+        grid(trd / ec).alias("wt"),
+        grid(trd / ec * yod).alias("wty"),
+        grid((F.lit(1.0) - trd) / (F.lit(1.0) - ec)).alias("wc"),
+        grid((F.lit(1.0) - trd) / (F.lit(1.0) - ec) * yod).alias("wcy"),
+        (
+            (mu < F.lit(0.05)) | (mu > F.lit(0.95))
+        ).cast("long").alias("clipped"),
+    )
+    g = scored.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("y").alias("nt"),
+        F.sum(F.col("y") * F.col("yo")).alias("syt"),
+        F.sum((F.lit(1) - F.col("y")) * F.col("yo")).alias("syc"),
+        F.sum("wt").alias("swt"),
+        F.sum("wty").alias("swty"),
+        F.sum("wc").alias("swc"),
+        F.sum("wcy").alias("swcy"),
+        F.sum("clipped").alias("n_clipped"),
+    )
+    ntd = F.col("nt").cast("double")
+    ncd = (F.col("n_rows") - F.col("nt")).cast("double")
+    naive = (
+        F.col("syt").cast("double") / ntd
+        - F.col("syc").cast("double") / ncd
+    )
+    mu_t = F.col("swty").cast("double") / F.col("swt").cast("double")
+    mu_c = F.col("swcy").cast("double") / F.col("swc").cast("double")
+    return g.select(
+        F.col("n_rows").cast("long").alias("n_rows"),
+        F.col("nt").cast("long").alias("n_treated"),
+        F.col("n_clipped").cast("long").alias("n_clipped"),
+        det_round(naive, 6).alias("naive_diff"),
+        det_round(mu_t, 6).alias("mu_treated_ipw"),
+        det_round(mu_c, 6).alias("mu_control_ipw"),
+        det_round(mu_t - mu_c, 6).alias("ate_ipw"),
+    )

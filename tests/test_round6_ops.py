@@ -443,3 +443,81 @@ def test_burrows_delta_hand_case(spark):
     for k2, (nw, delta) in want.items():
         assert got[k2]["n_words"] == nw
         assert got[k2]["delta"] == delta
+
+
+def test_dispersion_index_replay(spark):
+    from stream_processing_system_spark.plans.analytics import (
+        dispersion_index_from_daily,
+    )
+
+    series = [10, 50, 5, 80, 3, 90, 7, 60]  # very bursty counts
+    daily = spark.createDataFrame(
+        [
+            ("a", dt.date(2024, 1, 1) + dt.timedelta(days=i), int(v))
+            for i, v in enumerate(series)
+        ],
+        "event_type string, day date, c long",
+    )
+    out = dispersion_index_from_daily(daily).collect()[0]
+    n = float(len(series))
+    sc, scc = float(sum(series)), float(sum(v * v for v in series))
+    mean = sc / n
+    s2 = (scc - sc * sc / n) / (n - 1.0)
+    disp = s2 / mean
+    z = (disp - 1.0) * math.sqrt((n - 1.0) / 2.0)
+    assert out["mean_daily"] == _det_round(mean)
+    assert out["var_daily"] == _det_round(s2)
+    assert out["dispersion"] == _det_round(disp)
+    assert out["z_score"] == _det_round(z)
+    assert out["verdict"] == "overdispersed"
+
+
+def test_welch_ttest_replay(spark):
+    from stream_processing_system_spark.plans.analytics import (
+        welch_ttest_from_daily,
+    )
+
+    # 2024-01-01 is epoch day 19723 -> mod 7 = 4; weekend (dow 2/3)
+    # falls on indexes where (19723 + i) % 7 in (2, 3)
+    series = [100, 105, 250, 260, 95, 102, 99, 101, 98, 240, 255, 103, 97, 100]
+    daily = _daily(spark, series)
+    out = welch_ttest_from_daily(daily).collect()[0]
+    wk, wd = [], []
+    for i, v in enumerate(series):
+        (wk if (19723 + i) % 7 in (2, 3) else wd).append(v)
+    n1, n2 = float(len(wk)), float(len(wd))
+    s1, s2_ = float(sum(wk)), float(sum(wd))
+    q1, q2 = float(sum(v * v for v in wk)), float(sum(v * v for v in wd))
+    m1, m2 = s1 / n1, s2_ / n2
+    v1 = (q1 - s1 * s1 / n1) / (n1 - 1.0)
+    v2 = (q2 - s2_ * s2_ / n2) / (n2 - 1.0)
+    se2 = v1 / n1 + v2 / n2
+    t = (m1 - m2) / math.sqrt(se2)
+    df = (se2 * se2) / (
+        (v1 / n1) * (v1 / n1) / (n1 - 1.0)
+        + (v2 / n2) * (v2 / n2) / (n2 - 1.0)
+    )
+    assert out["n_weekend"] == int(n1)
+    assert out["n_weekday"] == int(n2)
+    assert out["mean_weekend"] == _det_round(m1)
+    assert out["t_stat"] == _det_round(t)
+    assert out["welch_df"] == _det_round(df)
+
+
+def test_ipw_ate_sanity(spark, sf_dir):
+    """The IPW estimator's bookkeeping must be internally consistent
+    (exactness is covered by the unrolled-IRLS oracle): weighted
+    means are probabilities, counts partition, and the clip counter
+    is bounded by the row count."""
+    from stream_processing_system_spark.plans.analytics import (
+        customer_ipw_ate,
+    )
+
+    out = customer_ipw_ate(spark, sf_dir).collect()[0]
+    assert 0 < out["n_treated"] < out["n_rows"]
+    assert 0 <= out["n_clipped"] <= out["n_rows"]
+    for c in ("mu_treated_ipw", "mu_control_ipw"):
+        assert 0.0 <= out[c] <= 1.0
+    assert abs(
+        out["ate_ipw"] - (out["mu_treated_ipw"] - out["mu_control_ipw"])
+    ) < 2e-6
