@@ -1972,10 +1972,10 @@ _R4_DRIVER_WINDOW = [
 #: additions first — they carry the most determinism risk). Round 5
 #: took [:50] (= `_R5_DRIVER_WINDOW` below, all 50 green in
 #: CORRECTNESS_r05.json), round 6 takes [50:100]
-#: (= `_R6_DRIVER_WINDOW`), round 7 [100:150], round 8 the final 20
-#: ([150:170]). Any query added in a later round goes to the FRONT
+#: (= `_R6_DRIVER_WINDOW`), round 7 [100:150], round 8 the final 23
+#: ([150:173]). Any query added in a later round goes to the FRONT
 #: of its round's window (the 14 round-5 additions sit at [50:64];
-#: the 13 round-6 additions sit at [100:113]).
+#: the 16 round-6 additions sit at [100:116]).
 _ROTATION_BACKLOG = [
     # round-4 additions first: newest code carries the most risk
     "lineitem_shipmode_priority",
@@ -2097,6 +2097,9 @@ _ROTATION_BACKLOG = [
     "events_dispersion_index",
     "events_welch_ttest",
     "customer_ipw_ate",
+    "doc_gopher_filter_report",
+    "events_kanon_ladder",
+    "stream_ar2_yule_walker",
     "purchase_next_click_asof",
     "stream_upsert_user_totals",
     "events_downsample_ltob",
@@ -2567,6 +2570,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_dispersion_index": analytics.events_dispersion_index,
         "events_welch_ttest": analytics.events_welch_ttest,
         "customer_ipw_ate": analytics.customer_ipw_ate,
+        "doc_gopher_filter_report": pipeline.doc_gopher_filter_report,
+        "events_kanon_ladder": analytics.events_kanon_ladder,
+        "stream_ar2_yule_walker": streaming_parity.stream_ar2_yule_walker,
     }
     head = {n: q[n] for n in _R6_DRIVER_WINDOW}
     assert len(head) == 50, f"driver window must be 50, got {len(head)}"
@@ -11918,4 +11924,95 @@ def oracle_sql() -> dict[str, str]:
     """
     # Hajek IPW-ATE: shared IRLS beta-chain unroll + gridded weights
     _o["customer_ipw_ate"] = _ipw_oracle_sql()
+    # Gopher rule report: every rule is a pure integer comparison
+    _o["doc_gopher_filter_report"] = """
+        WITH per AS (
+            SELECT doc_id, source,
+                   CAST(len(list_filter(string_split(text, ' '),
+                                        x -> x <> '')) AS BIGINT) AS w,
+                   CAST(length(text) AS BIGINT) AS ch,
+                   CAST(length(text)
+                        - length(regexp_replace(text, '[ \\t\\n\\r]', '',
+                                                'g')) AS BIGINT) AS sp,
+                   CAST(length(text)
+                        - length(regexp_replace(text, '[0-9]', '', 'g'))
+                        AS BIGINT) AS dg
+            FROM documents
+        ), toksc AS (
+            SELECT doc_id, tok, count(*) AS c FROM (
+                SELECT doc_id,
+                       unnest(list_filter(string_split(text, ' '),
+                                          x -> x <> '')) AS tok
+                FROM documents) GROUP BY 1, 2
+        ), topt AS (
+            SELECT doc_id, MAX(c) AS top_tok FROM toksc GROUP BY 1
+        ), flags AS (
+            SELECT p.source,
+                   CASE WHEN p.w < 5 OR p.w > 10000
+                        THEN 1 ELSE 0 END AS f1,
+                   CASE WHEN (p.ch - p.sp) < 2 * p.w
+                             OR (p.ch - p.sp) > 12 * p.w
+                        THEN 1 ELSE 0 END AS f2,
+                   CASE WHEN 20 * p.sp < p.ch THEN 1 ELSE 0 END AS f3,
+                   CASE WHEN 5 * p.dg > p.ch THEN 1 ELSE 0 END AS f4,
+                   CASE WHEN 5 * COALESCE(t.top_tok, 0) > p.w
+                        THEN 1 ELSE 0 END AS f5
+            FROM per p LEFT JOIN topt t USING (doc_id)
+        ), agg AS (
+            SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(SUM(f1) AS BIGINT) AS fail_word_count,
+                   CAST(SUM(f2) AS BIGINT) AS fail_mean_word_len,
+                   CAST(SUM(f3) AS BIGINT) AS fail_space_ratio,
+                   CAST(SUM(f4) AS BIGINT) AS fail_digit_ratio,
+                   CAST(SUM(f5) AS BIGINT) AS fail_top_token,
+                   CAST(SUM(CASE WHEN f1 + f2 + f3 + f4 + f5 = 0
+                            THEN 1 ELSE 0 END) AS BIGINT) AS n_pass
+            FROM flags GROUP BY 1
+        )
+        SELECT source, n_docs, fail_word_count, fail_mean_word_len,
+               fail_space_ratio, fail_digit_ratio, fail_top_token,
+               n_pass,
+               floor(CAST(n_pass AS DOUBLE) / CAST(n_docs AS DOUBLE)
+                     * 1000000.0 + 0.5) / 1000000.0 AS pass_rate
+        FROM agg ORDER BY source
+    """
+    # k-anonymity generalization ladder: exact integer counting at
+    # three engine-free temporal grains
+    _o["events_kanon_ladder"] = """
+        WITH hc AS (
+            SELECT event_type,
+                   CAST(CAST(ts AS DATE) AS VARCHAR) || '|'
+                   || CAST(hour(ts) AS VARCHAR) AS b,
+                   count(*) AS c
+            FROM events GROUP BY 1, 2
+        ), dc AS (
+            SELECT event_type, CAST(CAST(ts AS DATE) AS VARCHAR) AS b,
+                   count(*) AS c
+            FROM events GROUP BY 1, 2
+        ), wc AS (
+            SELECT event_type,
+                   CAST(CAST(floor(CAST((CAST(ts AS DATE)
+                                         - DATE '1970-01-01') AS DOUBLE)
+                                   / 7.0) AS BIGINT) AS VARCHAR) AS b,
+                   count(*) AS c
+            FROM events GROUP BY 1, 2
+        ), u AS (
+            SELECT '1_hour' AS level, * FROM hc
+            UNION ALL SELECT '2_day', * FROM dc
+            UNION ALL SELECT '3_week', * FROM wc
+        )
+        SELECT level, CAST(count(*) AS BIGINT) AS n_cells,
+               CAST(SUM(CASE WHEN c < 5 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS cells_below_k,
+               CAST(SUM(CASE WHEN c < 5 THEN c ELSE 0 END) AS BIGINT)
+                   AS rows_suppressed,
+               floor(CAST(SUM(CASE WHEN c < 5 THEN c ELSE 0 END)
+                          AS DOUBLE)
+                     / CAST(SUM(c) AS DOUBLE)
+                     * 1000000.0 + 0.5) / 1000000.0 AS suppression_rate
+        FROM u GROUP BY level ORDER BY level
+    """
+    # the streaming AR(2) twin drains to the identical daily
+    # snapshot - same oracle text as the batch plan
+    _o["stream_ar2_yule_walker"] = _o["events_ar2_yule_walker"]
     return _o

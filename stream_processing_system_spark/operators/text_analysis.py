@@ -849,3 +849,112 @@ def stylometry_burrows_delta(
         "n_words",
         det_round(delta, 6).alias("delta"),
     ).orderBy("source_a", "source_b")
+
+
+def gopher_filter_report(
+    df: DataFrame,
+    source_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Gopher-style quality-rule report per source (Rae et al. 2021's
+    repetition/format heuristics, the rule-set shape every web-scale
+    text pipeline runs before training): per-rule FAILURE counts and
+    the overall pass rate, so a souring source is visible rule by
+    rule rather than as one opaque score (`doc_quality` emits the
+    per-document score; this is the fleet-health rollup).
+
+    Rules (each a pure integer comparison — no floats anywhere):
+      R1 word count in [5, 10000]
+      R2 mean word length in [2, 12]  (chars·1 vs bounds·words)
+      R3 space ratio ≥ 5%             (20·spaces ≥ chars)
+      R4 digit ratio ≤ 20%            (5·digits ≤ chars)
+      R5 max single-token share ≤ 20% (5·top_tok ≤ words)
+
+    Scale: R1–R4 are one codegen'd map stage; R5 adds one
+    (doc, token) aggregate and a per-doc max — the same explode
+    grain every other doc operator pays. Output |sources| rows."""
+    txt = F.col(text_col)
+    toks = _toks(txt)
+    n_tok = F.size(toks)
+    n_chr = F.length(txt)
+    spaces = n_chr - F.length(F.regexp_replace(txt, "[ \\t\\n\\r]", ""))
+    digits = n_chr - F.length(F.regexp_replace(txt, "[0-9]", ""))
+    tok_chars = n_chr - spaces
+    # R5 needs the modal token count per doc
+    top = (
+        df.select(
+            F.col("doc_id"), F.explode(toks).alias("tok")
+        )
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id")
+        .agg(F.max("c").alias("top_tok"))
+    )
+    per = (
+        df.join(top, "doc_id", "left")
+        .select(
+            F.col(source_col).alias("source"),
+            n_tok.alias("w"),
+            n_chr.alias("ch"),
+            spaces.alias("sp"),
+            digits.alias("dg"),
+            tok_chars.alias("tc"),
+            F.coalesce(F.col("top_tok"), F.lit(0)).alias("tt"),
+        )
+        .select(
+            "source",
+            ((F.col("w") < 5) | (F.col("w") > 10000))
+            .cast("long")
+            .alias("f1"),
+            (
+                (F.col("tc") < F.lit(2) * F.col("w"))
+                | (F.col("tc") > F.lit(12) * F.col("w"))
+            )
+            .cast("long")
+            .alias("f2"),
+            (F.lit(20) * F.col("sp") < F.col("ch")).cast("long").alias(
+                "f3"
+            ),
+            (F.lit(5) * F.col("dg") > F.col("ch")).cast("long").alias(
+                "f4"
+            ),
+            (F.lit(5) * F.col("tt") > F.col("w")).cast("long").alias(
+                "f5"
+            ),
+        )
+    )
+    agg = per.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("f1").alias("fail_word_count"),
+        F.sum("f2").alias("fail_mean_word_len"),
+        F.sum("f3").alias("fail_space_ratio"),
+        F.sum("f4").alias("fail_digit_ratio"),
+        F.sum("f5").alias("fail_top_token"),
+        F.sum(
+            (
+                (
+                    F.col("f1")
+                    + F.col("f2")
+                    + F.col("f3")
+                    + F.col("f4")
+                    + F.col("f5")
+                )
+                == 0
+            ).cast("long")
+        ).alias("n_pass"),
+    )
+    return agg.select(
+        "source",
+        "n_docs",
+        "fail_word_count",
+        "fail_mean_word_len",
+        "fail_space_ratio",
+        "fail_digit_ratio",
+        "fail_top_token",
+        "n_pass",
+        det_round(
+            F.col("n_pass").cast("double")
+            / F.col("n_docs").cast("double"),
+            6,
+        ).alias("pass_rate"),
+    ).orderBy("source")

@@ -12227,3 +12227,69 @@ def customer_ipw_ate(
         det_round(mu_c, 6).alias("mu_control_ipw"),
         det_round(mu_t - mu_c, 6).alias("ate_ipw"),
     )
+
+
+def events_kanon_ladder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity generalization ladder (k = 5) over the event
+    quasi-identifiers (event_type, timestamp): at each temporal
+    generalization level — hour, day, week — count the equivalence
+    classes, the classes smaller than k, and the rows that would
+    need suppression; the release-engineering view that says HOW
+    MUCH coarsening buys compliance (`events_k_anonymity` checks one
+    level; this walks the ladder the way a data-release review
+    does).
+
+    Week = epoch-day div 7 (engine-free, like the mod-7 dow device).
+    Everything is exact integer counting; the one ratio is a single
+    double division. Scale: three cell-grain aggregates unioned —
+    each output is |types|·|buckets| rows reduced to 3."""
+    events = load_table(spark, sf_dir, "events")
+    epoch_day = F.datediff(
+        F.col("ts").cast("date"), F.lit("1970-01-01").cast("date")
+    )
+
+    def level(name: str, bucket):
+        cells = (
+            events.select(
+                "event_type", bucket.alias("b")
+            )
+            .groupBy("event_type", "b")
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        return cells.agg(
+            F.lit(name).alias("level"),
+            F.count(F.lit(1)).alias("n_cells"),
+            F.sum((F.col("c") < 5).cast("long")).alias("cells_below_k"),
+            F.sum(F.when(F.col("c") < 5, F.col("c")).otherwise(0)).alias(
+                "rows_suppressed"
+            ),
+            F.sum("c").alias("n_rows"),
+        )
+
+    hour = level(
+        "1_hour",
+        F.concat_ws(
+            "|",
+            F.col("ts").cast("date").cast("string"),
+            F.hour("ts").cast("string"),
+        ),
+    )
+    day = level("2_day", F.col("ts").cast("date").cast("string"))
+    week = level(
+        "3_week",
+        F.floor(epoch_day.cast("double") / F.lit(7.0))
+        .cast("long")
+        .cast("string"),
+    )
+    out = hour.unionByName(day).unionByName(week)
+    return out.select(
+        "level",
+        F.col("n_cells").cast("long").alias("n_cells"),
+        F.col("cells_below_k").cast("long").alias("cells_below_k"),
+        F.col("rows_suppressed").cast("long").alias("rows_suppressed"),
+        det_round(
+            F.col("rows_suppressed").cast("double")
+            / F.col("n_rows").cast("double"),
+            6,
+        ).alias("suppression_rate"),
+    ).orderBy("level")

@@ -1964,3 +1964,9 @@ def doc_stylometry_burrows(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Burrows' Delta style distance between every source pair
     (`operators/text_analysis.stylometry_burrows_delta`)."""
     return text_analysis.stylometry_burrows_delta(_docs(spark, sf_dir))
+
+
+def doc_gopher_filter_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source Gopher-rule failure counts and pass rate
+    (`operators/text_analysis.gopher_filter_report`)."""
+    return text_analysis.gopher_filter_report(_docs(spark, sf_dir))

@@ -1148,3 +1148,54 @@ def stream_page_hinkley(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint(eager=True)
     )
     return page_hinkley_from_daily(daily)
+
+
+def stream_ar2_yule_walker(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AR(2) Yule–Walker fit with the daily-totals state maintained
+    by an availableNow streaming aggregation — the streaming twin of
+    `analytics.events_ar2_yule_walker` (same oracle). Per-(type,
+    day) centi sums are a mergeable monoid; the lead-window
+    autocovariance tail runs as the shared batch plan over the
+    drained state (ISO-string days order chronologically, and
+    max_by(x, day) picks the same last observations)."""
+    from stream_processing_system_spark.plans.analytics import (
+        ar2_yule_walker_from_daily,
+    )
+
+    input_dir, ckpt, run = _scratch("sar2")
+    events = (
+        load_table(spark, sf_dir, "events")
+        .where(F.col("value").isNotNull())
+        .select("ts", "event_type", "value")
+    )
+    events.write.mode("overwrite").parquet(input_dir)
+    stream = spark.readStream.schema(
+        "ts timestamp, event_type string, value double"
+    ).parquet(input_dir)
+    centi = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+    state = (
+        stream.select(
+            "event_type",
+            F.col("ts").cast("date").cast("string").alias("day"),
+            centi.alias("v"),
+        )
+        .groupBy("event_type", "day")
+        .agg(F.sum("v").alias("cent"))
+    )
+    with _state_partitions(spark):
+        q = (
+            state.writeStream.outputMode("complete")
+            .format("memory")
+            .queryName(f"sar2_{run}")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    _cleanup(input_dir)
+    daily = (
+        spark.table(f"sar2_{run}")
+        .select("event_type", "day", F.expr("cent div 100").alias("x"))
+        .localCheckpoint(eager=True)
+    )
+    return ar2_yule_walker_from_daily(daily)

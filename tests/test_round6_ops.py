@@ -521,3 +521,52 @@ def test_ipw_ate_sanity(spark, sf_dir):
     assert abs(
         out["ate_ipw"] - (out["mu_treated_ipw"] - out["mu_control_ipw"])
     ) < 2e-6
+
+
+def test_gopher_filter_report_hand_case(spark):
+    from stream_processing_system_spark.operators.text_analysis import (
+        gopher_filter_report,
+    )
+
+    rows = [
+        # passes everything: 6 words, reasonable lengths, no digits
+        (1, "alpha beta gamma delta epsilon zeta", "en", "s1"),
+        # fails word count (<5) and top-token share (3/4 > 20%)
+        (2, "spam spam spam eggs", "en", "s1"),
+        # fails digit ratio (digits > 20% of chars)
+        (3, "a1 22 333 4444 b5 c6", "en", "s2"),
+    ]
+    out = {
+        r["source"]: r
+        for r in gopher_filter_report(_docs_df(spark, rows)).collect()
+    }
+    s1 = out["s1"]
+    assert s1["n_docs"] == 2
+    assert s1["fail_word_count"] == 1  # doc 2 has 4 words
+    assert s1["fail_top_token"] == 1  # 'spam' is 3 of 4
+    assert s1["n_pass"] == 1
+    assert s1["pass_rate"] == 0.5
+    s2 = out["s2"]
+    assert s2["fail_digit_ratio"] == 1
+    assert s2["n_pass"] == 0
+
+
+def test_kanon_ladder_monotone(spark, sf_dir):
+    """Coarsening can only merge cells: cell counts and suppression
+    must be non-increasing up the ladder."""
+    from stream_processing_system_spark.plans.analytics import (
+        events_kanon_ladder,
+    )
+
+    rows = {r["level"]: r for r in events_kanon_ladder(spark, sf_dir).collect()}
+    assert set(rows) == {"1_hour", "2_day", "3_week"}
+    assert (
+        rows["1_hour"]["n_cells"]
+        >= rows["2_day"]["n_cells"]
+        >= rows["3_week"]["n_cells"]
+    )
+    assert (
+        rows["1_hour"]["rows_suppressed"]
+        >= rows["2_day"]["rows_suppressed"]
+        >= rows["3_week"]["rows_suppressed"]
+    )
