@@ -69,6 +69,12 @@ PERTURB_QUERIES = [
     "dedup_canonical",
     "source_overlap_matrix",
     "doc_bpe_tokenize",
+    # round-6 capability wave: the document/embedding-shaped adds
+    "doc_vocab_coverage",
+    "doc_stylometry_burrows",
+    "doc_charclass_audit",
+    "doc_gopher_filter_report",
+    "embedding_mmd_shift",
 ]
 
 QUERIES = [
@@ -132,6 +138,16 @@ QUERIES = [
     "events_max_drawdown",
     "events_dp_noisy_counts",
     "lineitem_calibration_curve",
+    # round-6 capability wave
+    "events_mann_kendall",
+    "events_kruskal_wallis",
+    "events_page_hinkley",
+    "events_ar2_yule_walker",
+    "events_dispersion_index",
+    "events_welch_ttest",
+    "events_kanon_ladder",
+    "lineitem_return_auc",
+    "customer_ipw_ate",
 ]
 
 
