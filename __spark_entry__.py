@@ -3134,16 +3134,21 @@ def _ipw_oracle_sql(iters: int = 3) -> str:
             FROM w
         )
         SELECT n_rows, nt AS n_treated, n_clipped,
-               floor((CAST(syt AS DOUBLE) / CAST(nt AS DOUBLE)
-                      - CAST(syc AS DOUBLE)
-                        / CAST(n_rows - nt AS DOUBLE))
-                     * 1000000.0 + 0.5) / 1000000.0 AS naive_diff,
-               floor(CAST(swty AS DOUBLE) / CAST(swt AS DOUBLE)
-                     * 1000000.0 + 0.5) / 1000000.0 AS mu_treated_ipw,
-               floor(CAST(swcy AS DOUBLE) / CAST(swc AS DOUBLE)
-                     * 1000000.0 + 0.5) / 1000000.0 AS mu_control_ipw,
-               floor((CAST(swty AS DOUBLE) / CAST(swt AS DOUBLE)
-                      - CAST(swcy AS DOUBLE) / CAST(swc AS DOUBLE))
+               floor(CASE WHEN nt > 0 AND n_rows > nt THEN
+                         CAST(syt AS DOUBLE) / CAST(nt AS DOUBLE)
+                         - CAST(syc AS DOUBLE)
+                           / CAST(n_rows - nt AS DOUBLE)
+                     END * 1000000.0 + 0.5) / 1000000.0 AS naive_diff,
+               floor(CASE WHEN swt > 0 THEN
+                         CAST(swty AS DOUBLE) / CAST(swt AS DOUBLE)
+                     END * 1000000.0 + 0.5) / 1000000.0 AS mu_treated_ipw,
+               floor(CASE WHEN swc > 0 THEN
+                         CAST(swcy AS DOUBLE) / CAST(swc AS DOUBLE)
+                     END * 1000000.0 + 0.5) / 1000000.0 AS mu_control_ipw,
+               floor((CASE WHEN swt > 0 THEN
+                          CAST(swty AS DOUBLE) / CAST(swt AS DOUBLE) END
+                      - CASE WHEN swc > 0 THEN
+                            CAST(swcy AS DOUBLE) / CAST(swc AS DOUBLE) END)
                      * 1000000.0 + 0.5) / 1000000.0 AS ate_ipw
         FROM g
     """
@@ -11422,10 +11427,11 @@ def oracle_sql() -> dict[str, str]:
                            * (CAST(p.n AS DOUBLE) + 1.0))
                    * (CAST(p.tsum AS DOUBLE) / 1000000.0)
                    - 3.0 * (CAST(p.n AS DOUBLE) + 1.0) AS h,
-                   1.0 - CAST(t.ties AS DOUBLE)
-                         / (CAST(p.n AS DOUBLE) * CAST(p.n AS DOUBLE)
-                            * CAST(p.n AS DOUBLE)
-                            - CAST(p.n AS DOUBLE)) AS c
+                   CASE WHEN p.n > 1 THEN
+                       1.0 - CAST(t.ties AS DOUBLE)
+                             / (CAST(p.n AS DOUBLE) * CAST(p.n AS DOUBLE)
+                                * CAST(p.n AS DOUBLE)
+                                - CAST(p.n AS DOUBLE)) END AS c
             FROM per_type p JOIN tiesum t ON p.event_type = t.event_type
         )
         SELECT event_type, n AS n_days, k AS n_groups,
@@ -11597,15 +11603,18 @@ def oracle_sql() -> dict[str, str]:
         )
         SELECT ship_year, CAST(p AS BIGINT) AS n_pos,
                CAST(nn AS BIGINT) AS n_neg,
-               floor(CAST(aucnum AS DOUBLE)
-                     / (2.0 * CAST(p AS DOUBLE) * CAST(nn AS DOUBLE))
-                     * 1000000.0 + 0.5) / 1000000.0 AS auc,
-               floor((CAST(aucnum AS DOUBLE)
-                      / (CAST(p AS DOUBLE) * CAST(nn AS DOUBLE)) - 1.0)
-                     * 1000000.0 + 0.5) / 1000000.0 AS gini,
-               floor(CAST(ksnum AS DOUBLE)
-                     / (CAST(p AS DOUBLE) * CAST(nn AS DOUBLE))
-                     * 1000000.0 + 0.5) / 1000000.0 AS ks_stat
+               floor(CASE WHEN p > 0 AND nn > 0 THEN
+                         CAST(aucnum AS DOUBLE)
+                         / (2.0 * CAST(p AS DOUBLE) * CAST(nn AS DOUBLE))
+                     END * 1000000.0 + 0.5) / 1000000.0 AS auc,
+               floor(CASE WHEN p > 0 AND nn > 0 THEN
+                         CAST(aucnum AS DOUBLE)
+                         / (CAST(p AS DOUBLE) * CAST(nn AS DOUBLE)) - 1.0
+                     END * 1000000.0 + 0.5) / 1000000.0 AS gini,
+               floor(CASE WHEN p > 0 AND nn > 0 THEN
+                         CAST(ksnum AS DOUBLE)
+                         / (CAST(p AS DOUBLE) * CAST(nn AS DOUBLE))
+                     END * 1000000.0 + 0.5) / 1000000.0 AS ks_stat
         FROM fin ORDER BY ship_year
     """
     # AR(2) Yule-Walker: division-free centering n*x - S, exact
@@ -11709,13 +11718,17 @@ def oracle_sql() -> dict[str, str]:
             FROM per GROUP BY 1, 2
         )
         SELECT lang, source, n_docs, total_chars,
-               floor(CAST(sl AS DOUBLE) / CAST(total_chars AS DOUBLE)
+               floor(CASE WHEN total_chars > 0 THEN CAST(sl AS DOUBLE)
+                         / CAST(total_chars AS DOUBLE) END
                      * 1000000.0 + 0.5) / 1000000.0 AS letter_ratio,
-               floor(CAST(sd AS DOUBLE) / CAST(total_chars AS DOUBLE)
+               floor(CASE WHEN total_chars > 0 THEN CAST(sd AS DOUBLE)
+                         / CAST(total_chars AS DOUBLE) END
                      * 1000000.0 + 0.5) / 1000000.0 AS digit_ratio,
-               floor(CAST(ss AS DOUBLE) / CAST(total_chars AS DOUBLE)
+               floor(CASE WHEN total_chars > 0 THEN CAST(ss AS DOUBLE)
+                         / CAST(total_chars AS DOUBLE) END
                      * 1000000.0 + 0.5) / 1000000.0 AS space_ratio,
-               floor(CAST(sn AS DOUBLE) / CAST(total_chars AS DOUBLE)
+               floor(CASE WHEN total_chars > 0 THEN CAST(sn AS DOUBLE)
+                         / CAST(total_chars AS DOUBLE) END
                      * 1000000.0 + 0.5) / 1000000.0 AS nonascii_ratio,
                mojibake_docs
         FROM agg ORDER BY lang, source
@@ -11745,8 +11758,9 @@ def oracle_sql() -> dict[str, str]:
             FROM flagged GROUP BY 1
         )
         SELECT source, n_tokens, n_oov,
-               floor(CAST(n_oov AS DOUBLE) / CAST(n_tokens AS DOUBLE)
-                     * 1000000.0 + 0.5) / 1000000.0 AS oov_rate,
+               floor(CASE WHEN n_tokens > 0 THEN
+                         CAST(n_oov AS DOUBLE) / CAST(n_tokens AS DOUBLE)
+                     END * 1000000.0 + 0.5) / 1000000.0 AS oov_rate,
                distinct_tokens, distinct_oov
         FROM agg ORDER BY source
     """
@@ -11809,8 +11823,10 @@ def oracle_sql() -> dict[str, str]:
             FROM pairs GROUP BY 1, 2
         )
         SELECT source_a, source_b, n_words,
-               floor(CAST(sdz AS DOUBLE) / CAST(n_words AS DOUBLE)
-                     / 1000000.0 * 1000000.0 + 0.5) / 1000000.0 AS delta
+               floor(CASE WHEN n_words > 0 THEN
+                         CAST(sdz AS DOUBLE) / CAST(n_words AS DOUBLE)
+                         / 1000000.0
+                     END * 1000000.0 + 0.5) / 1000000.0 AS delta
         FROM agg ORDER BY source_a, source_b
     """
     # the streaming Page-Hinkley twin drains to the identical daily
@@ -11883,8 +11899,10 @@ def oracle_sql() -> dict[str, str]:
             FROM d2 GROUP BY 1
         ), v AS (
             SELECT event_type, n1, n2,
-                   CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE) AS m1,
-                   CAST(s2 AS DOUBLE) / CAST(n2 AS DOUBLE) AS m2,
+                   CASE WHEN n1 > 0 THEN
+                       CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE) END AS m1,
+                   CASE WHEN n2 > 0 THEN
+                       CAST(s2 AS DOUBLE) / CAST(n2 AS DOUBLE) END AS m2,
                    CASE WHEN n1 > 1 THEN
                        (CAST(q1 AS DOUBLE)
                         - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)

@@ -687,17 +687,21 @@ def charclass_audit(
         )
     )
     tc = F.col("total_chars").cast("double")
+
+    def _ratio(col):
+        return F.when(
+            F.col("total_chars") > 0, F.col(col).cast("double") / tc
+        )
+
     return agg.select(
         "lang",
         "source",
         "n_docs",
         "total_chars",
-        det_round(F.col("sl").cast("double") / tc, 6).alias("letter_ratio"),
-        det_round(F.col("sd").cast("double") / tc, 6).alias("digit_ratio"),
-        det_round(F.col("ss").cast("double") / tc, 6).alias("space_ratio"),
-        det_round(F.col("sn").cast("double") / tc, 6).alias(
-            "nonascii_ratio"
-        ),
+        det_round(_ratio("sl"), 6).alias("letter_ratio"),
+        det_round(_ratio("sd"), 6).alias("digit_ratio"),
+        det_round(_ratio("ss"), 6).alias("space_ratio"),
+        det_round(_ratio("sn"), 6).alias("nonascii_ratio"),
         "mojibake_docs",
     ).orderBy("lang", "source")
 
@@ -743,8 +747,11 @@ def vocab_coverage(
         "n_tokens",
         "n_oov",
         det_round(
-            F.col("n_oov").cast("double")
-            / F.col("n_tokens").cast("double"),
+            F.when(
+                F.col("n_tokens") > 0,
+                F.col("n_oov").cast("double")
+                / F.col("n_tokens").cast("double"),
+            ),
             6,
         ).alias("oov_rate"),
         "distinct_tokens",
@@ -838,10 +845,11 @@ def stylometry_burrows_delta(
         F.sum((F.col("za").isNotNull()).cast("long")).alias("n_words"),
         F.sum(dz).alias("sdz"),
     )
-    delta = (
+    delta = F.when(
+        F.col("n_words") > 0,
         F.col("sdz").cast("double")
         / F.col("n_words").cast("double")
-        / F.lit(1e6)
+        / F.lit(1e6),
     )
     return agg.select(
         "source_a",

@@ -11699,7 +11699,11 @@ def kruskal_wallis_from_daily(daily: DataFrame) -> DataFrame:
         * (F.col("tsum").cast("double") / F.lit(1e6))
         - F.lit(3.0) * (nd + F.lit(1.0))
     )
-    c = F.lit(1.0) - F.col("ties").cast("double") / (nd * nd * nd - nd)
+    c = F.when(
+        F.col("n") > 1,
+        F.lit(1.0)
+        - F.col("ties").cast("double") / (nd * nd * nd - nd),
+    )
     h_corr = F.when(c > F.lit(0.0), h / c)
     eps2 = F.when(
         nd > kd, (h - kd + F.lit(1.0)) / (nd - kd)
@@ -11890,9 +11894,12 @@ def lineitem_return_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
         - F.col("p").cast(d38) * F.col("p")
         - F.col("p").cast(d38)
     )
-    auc = aucnum.cast("double") / (F.lit(2.0) * pd_ * nd_)
-    gini = aucnum.cast("double") / (pd_ * nd_) - F.lit(1.0)
-    ks = F.col("ksnum").cast("double") / (pd_ * nd_)
+    both = (F.col("p") > 0) & (F.col("nn") > 0)
+    auc = F.when(both, aucnum.cast("double") / (F.lit(2.0) * pd_ * nd_))
+    gini = F.when(
+        both, aucnum.cast("double") / (pd_ * nd_) - F.lit(1.0)
+    )
+    ks = F.when(both, F.col("ksnum").cast("double") / (pd_ * nd_))
     return agg.select(
         F.col("ship_year").cast("int").alias("ship_year"),
         F.col("p").cast("long").alias("n_pos"),
@@ -12096,7 +12103,8 @@ def welch_ttest_from_daily(daily: DataFrame) -> DataFrame:
     )
     n1d, n2d = F.col("n1").cast("double"), F.col("n2").cast("double")
     s1d, s2d = F.col("s1").cast("double"), F.col("s2").cast("double")
-    m1, m2 = s1d / n1d, s2d / n2d
+    m1 = F.when(F.col("n1") > 0, s1d / n1d)
+    m2 = F.when(F.col("n2") > 0, s2d / n2d)
     v1 = F.when(
         F.col("n1") > 1,
         (F.col("q1").cast("double") - s1d * s1d / n1d)
@@ -12212,12 +12220,19 @@ def customer_ipw_ate(
     )
     ntd = F.col("nt").cast("double")
     ncd = (F.col("n_rows") - F.col("nt")).cast("double")
-    naive = (
+    naive = F.when(
+        (F.col("nt") > 0) & (F.col("n_rows") > F.col("nt")),
         F.col("syt").cast("double") / ntd
-        - F.col("syc").cast("double") / ncd
+        - F.col("syc").cast("double") / ncd,
     )
-    mu_t = F.col("swty").cast("double") / F.col("swt").cast("double")
-    mu_c = F.col("swcy").cast("double") / F.col("swc").cast("double")
+    mu_t = F.when(
+        F.col("swt") > 0,
+        F.col("swty").cast("double") / F.col("swt").cast("double"),
+    )
+    mu_c = F.when(
+        F.col("swc") > 0,
+        F.col("swcy").cast("double") / F.col("swc").cast("double"),
+    )
     return g.select(
         F.col("n_rows").cast("long").alias("n_rows"),
         F.col("nt").cast("long").alias("n_treated"),
