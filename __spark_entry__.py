@@ -1387,12 +1387,13 @@ _BFS_ORACLE_SQL = f"""
 """
 
 
-def _lpa_oracle_sql(rounds: int = 4) -> str:
+def _lpa_parts(rounds: int = 4) -> list[str]:
     """Unrolled synchronous label propagation mirroring
     `graph.label_propagation`: per round, neighbor-label counts then
     a per-node argmax with min-label tie-break. Every stage is
     MATERIALIZED — DuckDB inlines CTEs, and an inlined 4-round chain
-    re-evaluates the co-purchase self-join exponentially."""
+    re-evaluates the co-purchase self-join exponentially. Shared by
+    the communities and modularity oracles."""
     parts = ["""und AS MATERIALIZED (
         SELECT src, dst FROM e UNION ALL SELECT dst, src FROM e
     ), l0 AS MATERIALIZED (
@@ -1411,11 +1412,52 @@ def _lpa_oracle_sql(rounds: int = 4) -> str:
             FROM c{t}
         ) WHERE rn = 1
     )""")
+    return parts
+
+
+def _lpa_oracle_sql(rounds: int = 4) -> str:
     return f"""
         WITH {_COPURCHASE_EDGES_CTE},
-        {','.join(parts)}
+        {','.join(_lpa_parts(rounds))}
         SELECT node AS user_id, label AS community
         FROM l{rounds} ORDER BY user_id
+    """
+
+
+def _modularity_oracle_sql(rounds: int = 4) -> str:
+    """Newman modularity over the SAME unrolled LPA labels: per-
+    community internal-edge / degree counts on the directed edge
+    list (t = 2m, so no /2 anywhere), 1e-9-gridded terms, one
+    division — mirrors `analytics.copurchase_modularity`."""
+    return f"""
+        WITH {_COPURCHASE_EDGES_CTE},
+        {','.join(_lpa_parts(rounds))},
+        lab AS MATERIALIZED (SELECT node, label FROM l{rounds}),
+        j AS (
+            SELECT ls.label AS la, ld.label AS lb
+            FROM und u
+            JOIN lab ls ON u.src = ls.node
+            JOIN lab ld ON u.dst = ld.node
+        ), tot AS (SELECT CAST(count(*) AS BIGINT) AS t FROM j),
+        percom AS (
+            SELECT la, CAST(count(*) AS BIGINT) AS dc,
+                   CAST(SUM(CASE WHEN la = lb THEN 1 ELSE 0 END)
+                        AS BIGINT) AS ic
+            FROM j GROUP BY 1
+        ), terms AS (
+            SELECT CAST(floor((CAST(ic AS DOUBLE) / CAST(t AS DOUBLE)
+                               - (CAST(dc AS DOUBLE) / CAST(t AS DOUBLE))
+                                 * (CAST(dc AS DOUBLE)
+                                    / CAST(t AS DOUBLE)))
+                              * 1000000000.0 + 0.5) AS BIGINT) AS q
+            FROM percom, tot
+        )
+        SELECT (SELECT CAST(count(*) AS BIGINT) FROM lab) AS n_nodes,
+               CAST(count(*) AS BIGINT) AS n_communities,
+               (SELECT t // 2 FROM tot) AS n_edges,
+               floor(CAST(SUM(q) AS DOUBLE) / 1000000000.0
+                     * 1000000.0 + 0.5) / 1000000.0 AS modularity
+        FROM terms
     """
 
 
@@ -1972,10 +2014,10 @@ _R4_DRIVER_WINDOW = [
 #: additions first — they carry the most determinism risk). Round 5
 #: took [:50] (= `_R5_DRIVER_WINDOW` below, all 50 green in
 #: CORRECTNESS_r05.json), round 6 takes [50:100]
-#: (= `_R6_DRIVER_WINDOW`), round 7 [100:150], round 8 the final 23
-#: ([150:173]). Any query added in a later round goes to the FRONT
+#: (= `_R6_DRIVER_WINDOW`), round 7 [100:150], round 8 the final 26
+#: ([150:176]). Any query added in a later round goes to the FRONT
 #: of its round's window (the 14 round-5 additions sit at [50:64];
-#: the 16 round-6 additions sit at [100:116]).
+#: the 19 round-6 additions sit at [100:119]).
 _ROTATION_BACKLOG = [
     # round-4 additions first: newest code carries the most risk
     "lineitem_shipmode_priority",
@@ -2100,6 +2142,9 @@ _ROTATION_BACKLOG = [
     "doc_gopher_filter_report",
     "events_kanon_ladder",
     "stream_ar2_yule_walker",
+    "doc_lang_confusion",
+    "dedup_family_histogram",
+    "copurchase_modularity",
     "purchase_next_click_asof",
     "stream_upsert_user_totals",
     "events_downsample_ltob",
@@ -2573,6 +2618,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_gopher_filter_report": pipeline.doc_gopher_filter_report,
         "events_kanon_ladder": analytics.events_kanon_ladder,
         "stream_ar2_yule_walker": streaming_parity.stream_ar2_yule_walker,
+        "doc_lang_confusion": pipeline.doc_lang_confusion,
+        "dedup_family_histogram": pipeline.dedup_family_histogram_docs,
+        "copurchase_modularity": analytics.copurchase_modularity,
     }
     head = {n: q[n] for n in _R6_DRIVER_WINDOW}
     assert len(head) == 50, f"driver window must be 50, got {len(head)}"
@@ -12033,4 +12081,52 @@ def oracle_sql() -> dict[str, str]:
     # the streaming AR(2) twin drains to the identical daily
     # snapshot - same oracle text as the batch plan
     _o["stream_ar2_yule_walker"] = _o["events_ar2_yule_walker"]
+    # lang-ID confusion matrix COMPOSES on the registered lang-id
+    # oracle text (nested as a CTE, so the two can never drift)
+    _o["doc_lang_confusion"] = f"""
+        WITH pred AS ({_o["doc_lang_id"]}),
+        j AS (
+            SELECT d.lang, p.lang_pred
+            FROM documents d JOIN pred p USING (doc_id)
+        ), per AS (
+            SELECT lang, lang_pred, CAST(count(*) AS BIGINT) AS n_docs
+            FROM j GROUP BY 1, 2
+        )
+        SELECT lang, lang_pred, n_docs,
+               floor(CAST(n_docs AS DOUBLE)
+                     / CAST(SUM(n_docs) OVER (PARTITION BY lang)
+                            AS DOUBLE)
+                     * 1000000.0 + 0.5) / 1000000.0 AS row_share
+        FROM per ORDER BY lang, lang_pred
+    """
+    # family histogram COMPOSES on the transitive-closure oracle:
+    # identical chain through `reach`, histogram tail instead of the
+    # canonical-id pick
+    _family_tail = """
+        , comp AS (
+            SELECT node, MIN(r) AS component FROM reach GROUP BY node
+        ), fsizes AS (
+            SELECT component, CAST(count(*) AS BIGINT) AS fam_size
+            FROM comp GROUP BY 1
+        ), hist AS (
+            SELECT fam_size, CAST(count(*) AS BIGINT) AS n_families
+            FROM fsizes GROUP BY 1
+        ), tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents)
+        SELECT fam_size, n_families,
+               fam_size * n_families AS n_docs,
+               (fam_size - 1) * n_families AS n_removable,
+               floor(CAST(fam_size * n_families AS DOUBLE)
+                     / CAST(tot.n AS DOUBLE)
+                     * 1000000.0 + 0.5) / 1000000.0 AS corpus_share
+        FROM hist, tot ORDER BY fam_size
+    """
+    _old_tail = """SELECT DISTINCT MIN(r) AS doc_id
+            FROM reach GROUP BY node
+        """
+    assert _old_tail in _o["dedup_transitive"]
+    _o["dedup_family_histogram"] = _o["dedup_transitive"].replace(
+        _old_tail, _family_tail
+    )
+    # modularity over the SAME unrolled LPA labels
+    _o["copurchase_modularity"] = _modularity_oracle_sql()
     return _o

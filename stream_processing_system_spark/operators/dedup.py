@@ -1084,3 +1084,59 @@ def substring_dedup_spans(
         )
         .orderBy(id_col, "span_start")
     )
+
+
+def dedup_family_histogram(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 8,
+    bands: int = 4,
+    threshold: float = 0.7,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Duplicate-family size histogram: the same
+    signatures → candidates → verified-pairs → connected-components
+    chain as `dedup_transitive`, reduced to the distribution view a
+    corpus report needs — for each family size k: how many families,
+    how many documents they hold, how many a canonical-per-family
+    dedup would remove, and the corpus share. Singletons (k = 1) are
+    included, so the table partitions the corpus exactly.
+
+    Scale: identical to `dedup_transitive` (bucketed candidates,
+    exact verify on candidates only, HashMin components) plus two
+    constant-size aggregates on the component labels."""
+    from stream_processing_system_spark.functions.scalar import det_round
+
+    sigs = minhash_signatures(df, id_col, text_col, num_hashes=num_hashes)
+    cands = lsh_candidate_pairs(
+        sigs, id_col, num_hashes=num_hashes, bands=bands
+    )
+    verified = _verify_jaccard_pairs(
+        cands, df, id_col, text_col, threshold, shingle_n
+    )
+    comps = connected_component_labels(
+        verified, df.select(id_col), id_col
+    )
+    sizes = comps.groupBy("component").agg(
+        F.count(F.lit(1)).alias("fam_size")
+    )
+    hist = sizes.groupBy("fam_size").agg(
+        F.count(F.lit(1)).alias("n_families")
+    )
+    total = df.select(id_col).count()
+    return hist.select(
+        F.col("fam_size").cast("long").alias("fam_size"),
+        F.col("n_families").cast("long").alias("n_families"),
+        (F.col("fam_size") * F.col("n_families"))
+        .cast("long")
+        .alias("n_docs"),
+        ((F.col("fam_size") - F.lit(1)) * F.col("n_families"))
+        .cast("long")
+        .alias("n_removable"),
+        det_round(
+            (F.col("fam_size") * F.col("n_families")).cast("double")
+            / F.lit(float(total)),
+            6,
+        ).alias("corpus_share"),
+    ).orderBy("fam_size")

@@ -12308,3 +12308,73 @@ def events_kanon_ladder(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("suppression_rate"),
     ).orderBy("level")
+
+
+def copurchase_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Newman modularity Q of the LPA community partition over the
+    co-purchase graph: Q = Σ_c (m_c/m − (d_c/2m)²) — the single
+    number that says whether `copurchase_communities`' partition
+    actually captures structure (Q ≈ 0 = no better than random) —
+    computed over the SAME 4-round label propagation.
+
+    Exactness: with t = |directed edge list| = 2m, each community's
+    internal-edge and degree counts are exact BIGINTs, so
+    m_c/m = ic/t and d_c/2m = dc/t need no /2; each community term
+    is floored onto a 1e-9 grid before the cross-community sum (the
+    chi2-drift device), and Q is one final division.
+
+    Scale: two label joins on the edge list (edge-sized shuffles,
+    same bound as LPA itself), then constant-size aggregates."""
+    from stream_processing_system_spark.operators.graph import (
+        _undirect,
+        cooccurrence_edges,
+        label_propagation,
+    )
+
+    events = load_table(spark, sf_dir, "events")
+    edges = cooccurrence_edges(events).localCheckpoint(eager=True)
+    und = _undirect(edges)
+    lab = label_propagation(edges, rounds=4).localCheckpoint(eager=True)
+    j = (
+        und.join(
+            lab.select(
+                F.col("node").alias("src"), F.col("label").alias("la")
+            ),
+            "src",
+        )
+        .join(
+            lab.select(
+                F.col("node").alias("dst"), F.col("label").alias("lb")
+            ),
+            "dst",
+        )
+        .select("la", "lb")
+    )
+    tot = j.count()
+    percom = j.groupBy("la").agg(
+        F.count(F.lit(1)).alias("dc"),
+        F.sum((F.col("la") == F.col("lb")).cast("long")).alias("ic"),
+    )
+    td = F.lit(float(tot))
+    term = F.floor(
+        (
+            F.col("ic").cast("double") / td
+            - (F.col("dc").cast("double") / td)
+            * (F.col("dc").cast("double") / td)
+        )
+        * F.lit(1e9)
+        + F.lit(0.5)
+    ).cast("long")
+    n_nodes = lab.count()
+    agg = percom.select(term.alias("q")).agg(
+        F.count(F.lit(1)).alias("n_communities"),
+        F.sum("q").alias("qsum"),
+    )
+    return agg.select(
+        F.lit(n_nodes).cast("long").alias("n_nodes"),
+        F.col("n_communities").cast("long").alias("n_communities"),
+        F.lit(tot // 2).cast("long").alias("n_edges"),
+        det_round(
+            F.col("qsum").cast("double") / F.lit(1e9), 6
+        ).alias("modularity"),
+    )

@@ -1970,3 +1970,39 @@ def doc_gopher_filter_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source Gopher-rule failure counts and pass rate
     (`operators/text_analysis.gopher_filter_report`)."""
     return text_analysis.gopher_filter_report(_docs(spark, sf_dir))
+
+
+def doc_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID confusion matrix: the heuristic `lang_id`
+    prediction crossed with the labeled `lang` column, with per-true-
+    language row shares — the evaluation view that tells you WHICH
+    languages the classifier confuses before you trust its routing
+    (the eval twin of `doc_lang_id`, which only emits predictions).
+
+    Scale: one lang_id map stage, one broadcast-sized join back to
+    the labels, one |langs|² aggregate."""
+    docs = _docs(spark, sf_dir)
+    pred = text_analysis.lang_id(docs)
+    j = docs.select("doc_id", "lang").join(pred, "doc_id")
+    per = j.groupBy("lang", "lang_pred").agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+    w = Window.partitionBy("lang")
+    from stream_processing_system_spark.functions.scalar import det_round
+
+    return per.select(
+        "lang",
+        "lang_pred",
+        F.col("n_docs").cast("long").alias("n_docs"),
+        det_round(
+            F.col("n_docs").cast("double")
+            / F.sum("n_docs").over(w).cast("double"),
+            6,
+        ).alias("row_share"),
+    ).orderBy("lang", "lang_pred")
+
+
+def dedup_family_histogram_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-family size distribution over the documents corpus
+    (`operators/dedup.dedup_family_histogram`)."""
+    return dedup.dedup_family_histogram(_docs(spark, sf_dir), "doc_id", "text")

@@ -570,3 +570,74 @@ def test_kanon_ladder_monotone(spark, sf_dir):
         >= rows["2_day"]["rows_suppressed"]
         >= rows["3_week"]["rows_suppressed"]
     )
+
+
+def test_lang_confusion_hand_case(spark, sf_dir):
+    """The confusion matrix must partition the corpus and agree with
+    the standalone lang-id prediction counts."""
+    from stream_processing_system_spark.plans.pipeline import (
+        doc_lang_confusion,
+        doc_lang_id,
+    )
+    from stream_processing_system_spark.sources.tables import load_table
+
+    rows = doc_lang_confusion(spark, sf_dir).collect()
+    n_docs = load_table(spark, sf_dir, "documents").count()
+    assert sum(r["n_docs"] for r in rows) == n_docs
+    pred_counts = {}
+    for r in doc_lang_id(spark, sf_dir).collect():
+        pred_counts[r["lang_pred"]] = pred_counts.get(r["lang_pred"], 0) + 1
+    got = {}
+    for r in rows:
+        got[r["lang_pred"]] = got.get(r["lang_pred"], 0) + r["n_docs"]
+    assert got == pred_counts
+    for r in rows:
+        assert 0.0 <= r["row_share"] <= 1.0
+
+
+def test_family_histogram_partitions_corpus(spark, sf_dir):
+    from stream_processing_system_spark.plans.pipeline import (
+        dedup_family_histogram_docs,
+        dedup_transitive_docs,
+    )
+    from stream_processing_system_spark.sources.tables import load_table
+
+    rows = dedup_family_histogram_docs(spark, sf_dir).collect()
+    n_docs = load_table(spark, sf_dir, "documents").count()
+    assert sum(r["n_docs"] for r in rows) == n_docs
+    # kept canonical ids == number of families
+    n_families = sum(r["n_families"] for r in rows)
+    assert dedup_transitive_docs(spark, sf_dir).count() == n_families
+    assert sum(r["n_removable"] for r in rows) == n_docs - n_families
+
+
+def test_modularity_two_cliques(spark, tmp_path):
+    """Two disjoint purchase cliques of 3 users: LPA finds both, and
+    Q = 2 * (3/6 - (6/12)^2) = 0.5 exactly."""
+    import datetime
+    import os
+
+    from stream_processing_system_spark.plans.analytics import (
+        copurchase_modularity,
+    )
+
+    ts = datetime.datetime(2024, 5, 1, 10)
+    rows = []
+    for i, (users, key) in enumerate([((1, 2, 3), "a"), ((4, 5, 6), "b")]):
+        for u in users:
+            rows.append(
+                (len(rows), ts, u, "purchase", 1.0, '{"k": "%s"}' % key)
+            )
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+    sf = str(tmp_path / "sf")
+    os.makedirs(sf, exist_ok=True)
+    df.write.mode("overwrite").parquet(os.path.join(sf, "events.parquet"))
+    out = copurchase_modularity(spark, sf).collect()[0]
+    assert out["n_nodes"] == 6
+    assert out["n_communities"] == 2
+    assert out["n_edges"] == 6
+    assert out["modularity"] == 0.5
