@@ -2014,10 +2014,10 @@ _R4_DRIVER_WINDOW = [
 #: additions first — they carry the most determinism risk). Round 5
 #: took [:50] (= `_R5_DRIVER_WINDOW` below, all 50 green in
 #: CORRECTNESS_r05.json), round 6 takes [50:100]
-#: (= `_R6_DRIVER_WINDOW`), round 7 [100:150], round 8 the final 26
-#: ([150:176]). Any query added in a later round goes to the FRONT
+#: (= `_R6_DRIVER_WINDOW`), round 7 [100:150], round 8 the final 28
+#: ([150:178]). Any query added in a later round goes to the FRONT
 #: of its round's window (the 14 round-5 additions sit at [50:64];
-#: the 19 round-6 additions sit at [100:119]).
+#: the 21 round-6 additions sit at [100:121]).
 _ROTATION_BACKLOG = [
     # round-4 additions first: newest code carries the most risk
     "lineitem_shipmode_priority",
@@ -2145,6 +2145,8 @@ _ROTATION_BACKLOG = [
     "doc_lang_confusion",
     "dedup_family_histogram",
     "copurchase_modularity",
+    "events_watermark_lateness",
+    "events_partition_checksums",
     "purchase_next_click_asof",
     "stream_upsert_user_totals",
     "events_downsample_ltob",
@@ -2621,6 +2623,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_lang_confusion": pipeline.doc_lang_confusion,
         "dedup_family_histogram": pipeline.dedup_family_histogram_docs,
         "copurchase_modularity": analytics.copurchase_modularity,
+        "events_watermark_lateness": analytics.events_watermark_lateness,
+        "events_partition_checksums": analytics.events_partition_checksums,
     }
     head = {n: q[n] for n in _R6_DRIVER_WINDOW}
     assert len(head) == 50, f"driver window must be 50, got {len(head)}"
@@ -12129,4 +12133,59 @@ def oracle_sql() -> dict[str, str]:
     )
     # modularity over the SAME unrolled LPA labels
     _o["copurchase_modularity"] = _modularity_oracle_sql()
+    # watermark lateness: exact epoch-microsecond arithmetic, running
+    # max over the arrival (event_id) order
+    _o["events_watermark_lateness"] = """
+        WITH seq AS (
+            SELECT event_type,
+                   MAX(epoch_us(ts)) OVER (PARTITION BY event_type
+                       ORDER BY event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND CURRENT ROW)
+                   - epoch_us(ts) AS late
+            FROM events
+        ), agg AS (
+            SELECT event_type,
+                   CAST(count(*) AS BIGINT) AS n_events,
+                   CAST(SUM(CASE WHEN late > 3600000000
+                            THEN 1 ELSE 0 END) AS BIGINT) AS n_late_1h,
+                   CAST(SUM(CASE WHEN late > 21600000000
+                            THEN 1 ELSE 0 END) AS BIGINT) AS n_late_6h,
+                   CAST(SUM(CASE WHEN late > 86400000000
+                            THEN 1 ELSE 0 END) AS BIGINT) AS n_late_24h,
+                   CAST(MAX(late) AS BIGINT) AS max_late,
+                   SUM(CAST(late AS HUGEINT)) AS sum_late
+            FROM seq GROUP BY 1
+        )
+        SELECT event_type, n_events, n_late_1h, n_late_6h, n_late_24h,
+               floor(CAST(n_late_1h AS DOUBLE)
+                     / CAST(n_events AS DOUBLE)
+                     * 1000000.0 + 0.5) / 1000000.0 AS drop_share_1h,
+               max_late // 1000000 AS max_late_sec,
+               floor(CAST(sum_late AS DOUBLE) / 1000000.0
+                     / CAST(n_events AS DOUBLE)
+                     * 1000000.0 + 0.5) / 1000000.0 AS mean_late_sec
+        FROM agg ORDER BY event_type
+    """
+    # partition checksums: order-free exact sum of the shared
+    # md5-prefix device over an integer-only serialization
+    _o["events_partition_checksums"] = """
+        WITH cells AS (
+            SELECT event_type, CAST(CAST(ts AS DATE) AS VARCHAR) AS day,
+                   ('0x' || substr(md5('ck|' || CAST(event_id AS VARCHAR)
+                                    || '|' || CAST(user_id AS VARCHAR)
+                                    || '|' ||
+                                    CASE WHEN value IS NOT NULL
+                                         THEN CAST(CAST(floor(value * 100
+                                                              + 0.5)
+                                                   AS BIGINT) AS VARCHAR)
+                                         ELSE 'null' END),
+                                   1, 8))::BIGINT AS h
+            FROM events
+        )
+        SELECT event_type, day, CAST(count(*) AS BIGINT) AS n_rows,
+               CAST(SUM(CAST(h AS HUGEINT)) AS BIGINT) AS checksum
+        FROM cells GROUP BY 1, 2
+        ORDER BY event_type, day
+    """
     return _o

@@ -12378,3 +12378,125 @@ def copurchase_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("qsum").cast("double") / F.lit(1e9), 6
         ).alias("modularity"),
     )
+
+
+def events_watermark_lateness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermark-lateness audit per event type: with `event_id` as
+    the arrival order (the ingest sequence), lateness = running-max
+    event time so far − this event's time; the report says how many
+    events a Structured Streaming watermark of 1 h / 6 h / 24 h
+    would DROP — the sizing study every streaming job needs before
+    choosing `withWatermark` (the repo's stream twins use exactly
+    these bounds).
+
+    Exactness: event times are exact epoch MICROSECONDS
+    (`unix_micros` / DuckDB `epoch_us` — never seconds-granularity
+    casts that round differently on fractional timestamps); the
+    running max, lateness, threshold counts and the lateness sum are
+    all BIGINT/DECIMAL(38,0); the two ratios are single double
+    divisions.
+
+    Shape: one ordered window per type (arrival order), one
+    aggregate. The window partitions by type, so no global sort."""
+    events = load_table(spark, sf_dir, "events")
+    d38 = "decimal(38,0)"
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    us = F.unix_micros(F.col("ts"))
+    seq = events.select(
+        "event_type", F.col("event_id"), us.alias("t")
+    ).select(
+        "event_type",
+        (F.max("t").over(w) - F.col("t")).alias("late"),
+    )
+    hour_us = 3_600_000_000
+    agg = seq.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum((F.col("late") > F.lit(hour_us)).cast("long")).alias(
+            "n_late_1h"
+        ),
+        F.sum((F.col("late") > F.lit(6 * hour_us)).cast("long")).alias(
+            "n_late_6h"
+        ),
+        F.sum(
+            (F.col("late") > F.lit(24 * hour_us)).cast("long")
+        ).alias("n_late_24h"),
+        F.max("late").alias("max_late"),
+        F.sum(F.col("late").cast(d38)).alias("sum_late"),
+    )
+    nd = F.col("n_events").cast("double")
+    return agg.select(
+        "event_type",
+        F.col("n_events").cast("long").alias("n_events"),
+        F.col("n_late_1h").cast("long").alias("n_late_1h"),
+        F.col("n_late_6h").cast("long").alias("n_late_6h"),
+        F.col("n_late_24h").cast("long").alias("n_late_24h"),
+        det_round(
+            F.col("n_late_1h").cast("double") / nd, 6
+        ).alias("drop_share_1h"),
+        F.expr("max_late div 1000000").cast("long").alias(
+            "max_late_sec"
+        ),
+        det_round(
+            F.col("sum_late").cast("double") / F.lit(1e6) / nd, 6
+        ).alias("mean_late_sec"),
+    ).orderBy("event_type")
+
+
+def events_partition_checksums(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-(event_type, day) content checksums: row count plus an
+    ORDER-FREE checksum (exact sum of a 32-bit md5 prefix over a
+    canonical row serialization) — the cell-level fingerprint table
+    that lets an incremental pipeline or a CDC consumer verify a
+    re-ingested partition byte-for-byte without re-reading the
+    source (`order_snapshot_diff` diffs rows; this is the cheap
+    first-pass screen that says WHICH cells to diff).
+
+    Exactness: the serialization is integer-only
+    (event_id|user_id|centi-value, NULLs spelled 'null'), the hash
+    is the shared md5-prefix device, and the checksum is an exact
+    DECIMAL(38,0) sum — commutative, so partition order and
+    parallelism can never change it.
+
+    Shape: one codegen'd map stage into a (type, day)-keyed hash
+    aggregate — exactly the cost of a count(*) by cell."""
+    from stream_processing_system_spark.functions.scalar import (
+        md5_prefix_long,
+    )
+
+    events = load_table(spark, sf_dir, "events")
+    d38 = "decimal(38,0)"
+    centi = F.when(
+        F.col("value").isNotNull(),
+        F.floor(F.col("value") * 100 + F.lit(0.5))
+        .cast("long")
+        .cast("string"),
+    ).otherwise(F.lit("null"))
+    ser = F.concat_ws(
+        "|",
+        F.col("event_id").cast("string"),
+        F.col("user_id").cast("string"),
+        centi,
+    )
+    cells = events.select(
+        "event_type",
+        F.col("ts").cast("date").cast("string").alias("day"),
+        md5_prefix_long(ser, salt="ck|").alias("h"),
+    )
+    return (
+        cells.groupBy("event_type", "day")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.col("h").cast(d38)).alias("checksum"),
+        )
+        .select(
+            "event_type",
+            "day",
+            F.col("n_rows").cast("long").alias("n_rows"),
+            F.col("checksum").cast("long").alias("checksum"),
+        )
+        .orderBy("event_type", "day")
+    )

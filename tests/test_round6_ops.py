@@ -641,3 +641,82 @@ def test_modularity_two_cliques(spark, tmp_path):
     assert out["n_communities"] == 2
     assert out["n_edges"] == 6
     assert out["modularity"] == 0.5
+
+
+def test_watermark_lateness_hand_case(spark, tmp_path):
+    """Arrival order 10:00, 12:00, 09:00 (3h late), 12:30: exactly
+    one event exceeds a 1h watermark and none exceed 6h."""
+    import datetime
+    import os
+
+    from stream_processing_system_spark.plans.analytics import (
+        events_watermark_lateness,
+    )
+
+    base = datetime.datetime(2024, 5, 1)
+    times = [10, 12, 9, 12.5]
+    rows = [
+        (
+            i,
+            base + datetime.timedelta(hours=h),
+            1,
+            "click",
+            1.0,
+            "{}",
+        )
+        for i, h in enumerate(times)
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+    sf = str(tmp_path / "sf")
+    os.makedirs(sf, exist_ok=True)
+    df.write.mode("overwrite").parquet(os.path.join(sf, "events.parquet"))
+    out = events_watermark_lateness(spark, sf).collect()[0]
+    assert out["n_events"] == 4
+    assert out["n_late_1h"] == 1  # the 09:00 event arrived after 12:00
+    assert out["n_late_6h"] == 0
+    assert out["max_late_sec"] == 3 * 3600
+    assert out["drop_share_1h"] == 0.25
+
+
+def test_partition_checksums_detect_change(spark, tmp_path):
+    """Checksums must be order-free and must move when a value moves."""
+    import datetime
+    import os
+
+    from stream_processing_system_spark.plans.analytics import (
+        events_partition_checksums,
+    )
+
+    base = datetime.datetime(2024, 5, 1, 8)
+
+    def write(rows, name):
+        df = spark.createDataFrame(
+            rows,
+            "event_id long, ts timestamp, user_id long,"
+            " event_type string, value double, props string",
+        )
+        sf = str(tmp_path / name)
+        os.makedirs(sf, exist_ok=True)
+        df.write.mode("overwrite").parquet(
+            os.path.join(sf, "events.parquet")
+        )
+        return sf
+
+    rows = [
+        (1, base, 7, "click", 1.25, "{}"),
+        (2, base, 8, "click", None, "{}"),
+        (3, base, 9, "click", 2.5, "{}"),
+    ]
+    a = events_partition_checksums(spark, write(rows, "a")).collect()
+    b = events_partition_checksums(
+        spark, write(list(reversed(rows)), "b")
+    ).collect()
+    assert a == b  # row order never matters
+    rows2 = [r if r[0] != 3 else (3, base, 9, "click", 2.51, "{}") for r in rows]
+    c = events_partition_checksums(spark, write(rows2, "c")).collect()
+    assert a[0]["n_rows"] == c[0]["n_rows"]
+    assert a[0]["checksum"] != c[0]["checksum"]
