@@ -2014,10 +2014,10 @@ _R4_DRIVER_WINDOW = [
 #: additions first — they carry the most determinism risk). Round 5
 #: took [:50] (= `_R5_DRIVER_WINDOW` below, all 50 green in
 #: CORRECTNESS_r05.json), round 6 takes [50:100]
-#: (= `_R6_DRIVER_WINDOW`), round 7 [100:150], round 8 the final 28
-#: ([150:178]). Any query added in a later round goes to the FRONT
+#: (= `_R6_DRIVER_WINDOW`), round 7 [100:150], round 8 the final 30
+#: ([150:180]). Any query added in a later round goes to the FRONT
 #: of its round's window (the 14 round-5 additions sit at [50:64];
-#: the 21 round-6 additions sit at [100:121]).
+#: the 23 round-6 additions sit at [100:123]).
 _ROTATION_BACKLOG = [
     # round-4 additions first: newest code carries the most risk
     "lineitem_shipmode_priority",
@@ -2147,6 +2147,8 @@ _ROTATION_BACKLOG = [
     "copurchase_modularity",
     "events_watermark_lateness",
     "events_partition_checksums",
+    "embedding_knn_eval",
+    "orders_ca_trend",
     "purchase_next_click_asof",
     "stream_upsert_user_totals",
     "events_downsample_ltob",
@@ -2625,6 +2627,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "copurchase_modularity": analytics.copurchase_modularity,
         "events_watermark_lateness": analytics.events_watermark_lateness,
         "events_partition_checksums": analytics.events_partition_checksums,
+        "embedding_knn_eval": pipeline.embedding_knn_eval,
+        "orders_ca_trend": analytics.orders_ca_trend,
     }
     head = {n: q[n] for n in _R6_DRIVER_WINDOW}
     assert len(head) == 50, f"driver window must be 50, got {len(head)}"
@@ -12187,5 +12191,102 @@ def oracle_sql() -> dict[str, str]:
                CAST(SUM(CAST(h AS HUGEINT)) AS BIGINT) AS checksum
         FROM cells GROUP BY 1, 2
         ORDER BY event_type, day
+    """
+    # leave-one-out 5-NN accuracy: exact integer-grid dots rank with
+    # NO float comparisons (dot DESC, vid ASC is total on integers)
+    _o["embedding_knn_eval"] = """
+        WITH lab AS (
+            SELECT vec_id AS vid, label AS lbl FROM embeddings
+        ), flatp AS (
+            SELECT vec_id AS pid, i,
+                   CAST(floor(embedding[i]::DOUBLE * 1e6 + 0.5)
+                        AS BIGINT) AS qa
+            FROM embeddings, UNNEST(range(1, 65)) AS u(i)
+            WHERE vec_id % 10 = 0
+        ), flatb AS (
+            SELECT vec_id AS vid, i,
+                   CAST(floor(embedding[i]::DOUBLE * 1e6 + 0.5)
+                        AS BIGINT) AS qb
+            FROM embeddings, UNNEST(range(1, 65)) AS u(i)
+        ), dots AS (
+            SELECT fp.pid, fb.vid,
+                   SUM(CAST(fp.qa AS HUGEINT) * fb.qb) AS dot
+            FROM flatp fp JOIN flatb fb USING (i)
+            WHERE fp.pid <> fb.vid
+            GROUP BY 1, 2
+        ), topk AS (
+            SELECT pid, vid,
+                   row_number() OVER (PARTITION BY pid
+                       ORDER BY dot DESC, vid ASC) AS rn
+            FROM dots
+        ), votes AS (
+            SELECT t.pid, l.lbl, count(*) AS v
+            FROM topk t JOIN lab l USING (vid)
+            WHERE t.rn <= 5 GROUP BY 1, 2
+        ), pred AS (
+            SELECT pid, lbl FROM (
+                SELECT pid, lbl,
+                       row_number() OVER (PARTITION BY pid
+                           ORDER BY v DESC, lbl ASC) AS rn
+                FROM votes
+            ) WHERE rn = 1
+        ), fin AS (
+            SELECT pl.lbl AS label,
+                   CASE WHEN p.lbl = pl.lbl THEN 1 ELSE 0 END AS ok
+            FROM pred p JOIN lab pl ON pl.vid = p.pid
+        ), agg AS (
+            SELECT label, CAST(count(*) AS BIGINT) AS n_eval,
+                   CAST(SUM(ok) AS BIGINT) AS n_correct
+            FROM fin GROUP BY 1
+        )
+        SELECT label, n_eval, n_correct,
+               floor(CAST(n_correct AS DOUBLE)
+                     / CAST(n_eval AS DOUBLE)
+                     * 1000000.0 + 0.5) / 1000000.0 AS accuracy
+        FROM agg ORDER BY label
+    """
+    # Cochran-Armitage trend on the monthly urgent-order rate:
+    # five exact moments, mirrored z chain, degenerate guard
+    _o["orders_ca_trend"] = """
+        WITH cells AS (
+            SELECT (CAST(year(o_orderdate) AS BIGINT) - 1992) * 12
+                   + CAST(month(o_orderdate) AS BIGINT) - 1 AS s,
+                   CAST(count(*) AS BIGINT) AS n,
+                   CAST(SUM(CASE WHEN o_orderpriority = '1-URGENT'
+                            THEN 1 ELSE 0 END) AS BIGINT) AS r
+            FROM orders GROUP BY 1
+        ), agg AS (
+            SELECT SUM(CAST(n AS HUGEINT)) AS nn,
+                   SUM(CAST(r AS HUGEINT)) AS rr,
+                   SUM(CAST(n AS HUGEINT) * s) AS ns,
+                   SUM(CAST(n AS HUGEINT) * s * s) AS ns2,
+                   SUM(CAST(r AS HUGEINT) * s) AS rs
+            FROM cells
+        ), m AS (
+            SELECT nn, rr,
+                   CAST(rr AS DOUBLE) / CAST(nn AS DOUBLE) AS p,
+                   CAST(rs AS DOUBLE)
+                   - CAST(ns AS DOUBLE)
+                     * (CAST(rr AS DOUBLE) / CAST(nn AS DOUBLE)) AS t,
+                   CAST(ns2 AS DOUBLE)
+                   - CAST(ns AS DOUBLE) * CAST(ns AS DOUBLE)
+                     / CAST(nn AS DOUBLE) AS varx
+            FROM agg
+        ), z AS (
+            SELECT nn, rr, p, t,
+                   CASE WHEN p * (1.0 - p) * varx > 0.0
+                        THEN t / sqrt(p * (1.0 - p) * varx)
+                   END AS z
+            FROM m
+        )
+        SELECT CAST(nn AS BIGINT) AS n_orders,
+               CAST(rr AS BIGINT) AS n_urgent,
+               floor(p * 1000000.0 + 0.5) / 1000000.0 AS urgent_share,
+               floor(t * 1000000.0 + 0.5) / 1000000.0 AS t_stat,
+               floor(z * 1000000.0 + 0.5) / 1000000.0 AS z_score,
+               CASE WHEN z > 1.96 THEN 'increasing'
+                    WHEN z < -1.96 THEN 'decreasing'
+                    ELSE 'no_trend' END AS trend
+        FROM z
     """
     return _o

@@ -1603,3 +1603,91 @@ def embedding_mmd_shift(
         det_round(F.sqrt(mmd2), 6).alias("mmd"),
         det_round(cosine, 6).alias("mean_cosine"),
     ).orderBy("label_a", "label_b")
+
+
+def knn_label_eval(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    k: int = 5,
+    sample_mod: int = 10,
+) -> DataFrame:
+    """Leave-one-out k-NN classifier evaluation: for a deterministic
+    eval sample (id % sample_mod == 0) find the k nearest OTHER
+    vectors by exact integer-grid dot product, take the majority
+    label (ties → smallest label), and report per-true-label
+    accuracy — the standard "are these embeddings linearly useful"
+    probe run before committing a corpus to training.
+
+    Exactness: components are quantized once onto the 1e-6 grid, so
+    every pairwise dot is an exact DECIMAL(38,0) sum of integer
+    products — ranking needs no float comparisons at all
+    (dot DESC, neighbor id ASC is a total order on exact integers);
+    majority voting and accuracy are integer counting with one final
+    division.
+
+    Scale: the candidate side is the full corpus but the query side
+    is the 1/sample_mod eval slice, so the score join is
+    |eval|·|corpus| — the brute-force-on-a-sample baseline; the
+    LSH/IVF family provides the sublinear path when the corpus side
+    outgrows it."""
+    d38 = "decimal(38,0)"
+    base = df.select(
+        F.col(id_col).alias("vid"),
+        F.col(label_col).alias("lbl"),
+        F.transform(
+            F.col(vec_col),
+            lambda x: F.floor(x.cast("double") * F.lit(1e6) + F.lit(0.5))
+            .cast("long"),
+        ).alias("q"),
+    )
+    probes = base.where(F.col("vid") % sample_mod == 0).select(
+        F.col("vid").alias("pid"),
+        F.col("lbl").alias("true_lbl"),
+        F.col("q").alias("pq"),
+    )
+    pairs = base.join(F.broadcast(probes), F.col("pid") != F.col("vid"))
+    dot = F.aggregate(
+        F.zip_with(
+            F.col("pq"),
+            F.col("q"),
+            lambda a, b: (a * b).cast(d38),
+        ),
+        F.lit(0).cast(d38),
+        lambda acc, v: acc + v,
+    )
+    scored = pairs.select(
+        "pid", "true_lbl", "vid", "lbl", dot.alias("dot")
+    )
+    w = Window.partitionBy("pid").orderBy(
+        F.col("dot").desc(), F.col("vid").asc()
+    )
+    topk = scored.select(
+        "pid", "true_lbl", "lbl", F.row_number().over(w).alias("rn")
+    ).where(F.col("rn") <= k)
+    votes = topk.groupBy("pid", "true_lbl", "lbl").agg(
+        F.count(F.lit(1)).alias("v")
+    )
+    wv = Window.partitionBy("pid").orderBy(
+        F.col("v").desc(), F.col("lbl").asc()
+    )
+    pred = votes.select(
+        "pid", "true_lbl", "lbl", F.row_number().over(wv).alias("rn")
+    ).where(F.col("rn") == 1)
+    agg = pred.groupBy("true_lbl").agg(
+        F.count(F.lit(1)).alias("n_eval"),
+        F.sum(
+            (F.col("lbl") == F.col("true_lbl")).cast("long")
+        ).alias("n_correct"),
+    )
+    return agg.select(
+        F.col("true_lbl").alias("label"),
+        F.col("n_eval").cast("long").alias("n_eval"),
+        F.col("n_correct").cast("long").alias("n_correct"),
+        det_round(
+            F.col("n_correct").cast("double")
+            / F.col("n_eval").cast("double"),
+            6,
+        ).alias("accuracy"),
+    ).orderBy("label")

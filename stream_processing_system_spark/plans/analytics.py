@@ -12500,3 +12500,66 @@ def events_partition_checksums(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type", "day")
     )
+
+
+def orders_ca_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cochran–Armitage trend test: does the share of URGENT orders
+    drift monotonically across order months? Scores are the month
+    index (engine-free: 12·(year−1992) + month − 1), and
+    z = Σ sᵢ(rᵢ − nᵢ·p̄) / √(p̄(1−p̄)·(Σ nᵢsᵢ² − (Σ nᵢsᵢ)²/N)) —
+    the proportions counterpart of `events_mann_kendall` (which
+    trends magnitudes; this trends a RATE, the thing dashboards
+    actually alarm on).
+
+    Exactness: all five moments (N, R, Σns, Σns², Σrs) are exact
+    BIGINT/DECIMAL(38,0) sums over the month-grain cells; the z
+    chain is fixed-order doubles with NULL guards for degenerate
+    variance (all-one-month or all/none urgent).
+
+    Shape: one month-grain aggregate (≤ |months| rows), one
+    single-row reduce."""
+    orders = load_table(spark, sf_dir, "orders")
+    d38 = "decimal(38,0)"
+    s = (
+        (F.year("o_orderdate") - F.lit(1992)) * F.lit(12)
+        + F.month("o_orderdate")
+        - F.lit(1)
+    ).cast("long")
+    urgent = (F.col("o_orderpriority") == "1-URGENT").cast("long")
+    cells = orders.select(s.alias("s"), urgent.alias("u")).groupBy(
+        "s"
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("u").alias("r"),
+    )
+    agg = cells.agg(
+        F.sum(F.col("n").cast(d38)).alias("nn"),
+        F.sum(F.col("r").cast(d38)).alias("rr"),
+        F.sum(F.col("n").cast(d38) * F.col("s")).alias("ns"),
+        F.sum(F.col("n").cast(d38) * F.col("s") * F.col("s")).alias(
+            "ns2"
+        ),
+        F.sum(F.col("r").cast(d38) * F.col("s")).alias("rs"),
+    )
+    nd = F.col("nn").cast("double")
+    rd = F.col("rr").cast("double")
+    p = rd / nd
+    t = F.col("rs").cast("double") - F.col("ns").cast("double") * p
+    varx = F.col("ns2").cast("double") - (
+        F.col("ns").cast("double") * F.col("ns").cast("double") / nd
+    )
+    var = p * (F.lit(1.0) - p) * varx
+    z = F.when(var > F.lit(0.0), t / F.sqrt(var))
+    trend = (
+        F.when(z > F.lit(1.96), F.lit("increasing"))
+        .when(z < F.lit(-1.96), F.lit("decreasing"))
+        .otherwise(F.lit("no_trend"))
+    )
+    return agg.select(
+        F.col("nn").cast("long").alias("n_orders"),
+        F.col("rr").cast("long").alias("n_urgent"),
+        det_round(p, 6).alias("urgent_share"),
+        det_round(t, 6).alias("t_stat"),
+        det_round(z, 6).alias("z_score"),
+        trend.alias("trend"),
+    )

@@ -2006,3 +2006,9 @@ def dedup_family_histogram_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Duplicate-family size distribution over the documents corpus
     (`operators/dedup.dedup_family_histogram`)."""
     return dedup.dedup_family_histogram(_docs(spark, sf_dir), "doc_id", "text")
+
+
+def embedding_knn_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leave-one-out 5-NN label accuracy on a deterministic 1/10
+    sample (`operators/similarity.knn_label_eval`)."""
+    return similarity.knn_label_eval(_embs(spark, sf_dir))

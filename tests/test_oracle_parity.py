@@ -54,7 +54,7 @@ def test_r6_rotation_invariants():
     backlog[:50], so 198 pre-backlog + the banked [:50] slice), so
     every registered query is either already checked or scheduled
     (round 7 = backlog[100:150] — led by the round-6 additions —
-    round 8 = backlog[150:], 28 names — no query can end round 8
+    round 8 = backlog[150:], 30 names — no query can end round 8
     unchecked)."""
     window = contract._R6_DRIVER_WINDOW
     backlog = contract._ROTATION_BACKLOG
@@ -62,7 +62,7 @@ def test_r6_rotation_invariants():
     assert names[:50] == window
     assert window == backlog[50:100]
     assert len(set(window)) == 50
-    assert len(set(backlog)) == len(backlog) == 178
+    assert len(set(backlog)) == len(backlog) == 180
     assert set(backlog) <= set(names)
     assert contract._R5_DRIVER_WINDOW == backlog[:50]
     assert len(set(contract._R4_DRIVER_WINDOW)) == 50
@@ -70,9 +70,9 @@ def test_r6_rotation_invariants():
     # rounds 1-4 banked 198 names none of which are in the backlog;
     # round 5 banked backlog[:50]; everything else is scheduled.
     assert len(names) == len(backlog) + 198
-    # the 14 round-5 additions lead the round-6 window and the 21
+    # the 14 round-5 additions lead the round-6 window and the 23
     # round-6 additions lead the round-7 window (newest code carries
-    # the most determinism risk); round 8 holds exactly 28.
+    # the most determinism risk); round 8 holds exactly 30.
     assert backlog[50:64][0] == "events_ljung_box"
     assert backlog[100] == "events_mann_kendall"
-    assert len(backlog[150:]) == 28
+    assert len(backlog[150:]) == 30

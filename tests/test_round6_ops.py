@@ -720,3 +720,68 @@ def test_partition_checksums_detect_change(spark, tmp_path):
     c = events_partition_checksums(spark, write(rows2, "c")).collect()
     assert a[0]["n_rows"] == c[0]["n_rows"]
     assert a[0]["checksum"] != c[0]["checksum"]
+
+
+def test_knn_label_eval_hand_case(spark):
+    """Three tight clusters in 2 dims padded to 4: every sampled
+    probe's 5 nearest neighbors share its cluster label, so accuracy
+    must be 1.0 for every label."""
+    from stream_processing_system_spark.operators.similarity import (
+        knn_label_eval,
+    )
+
+    rows = []
+    centers = {0: (10.0, 0.0), 1: (0.0, 10.0), 2: (-10.0, -10.0)}
+    vid = 0
+    for lbl, (cx, cy) in centers.items():
+        for d in range(8):
+            rows.append(
+                (vid, [cx + d * 0.01, cy - d * 0.01, 0.1, 0.1], lbl)
+            )
+            vid += 1
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    out = knn_label_eval(df, sample_mod=2, k=5).collect()
+    assert len(out) == 3
+    for r in out:
+        assert r["accuracy"] == 1.0
+        assert r["n_eval"] == 4  # even ids of 8 per cluster
+
+
+def test_ca_trend_replay(spark, sf_dir):
+    """Pure-Python replay of the Cochran-Armitage moments from the
+    raw orders table."""
+    import duckdb
+
+    from stream_processing_system_spark.plans.analytics import (
+        orders_ca_trend,
+    )
+    from stream_processing_system_spark.sources.tables import table_path
+
+    out = orders_ca_trend(spark, sf_dir).collect()[0]
+    cells = duckdb.sql(
+        f"""
+        SELECT (CAST(year(o_orderdate) AS BIGINT) - 1992) * 12
+               + CAST(month(o_orderdate) AS BIGINT) - 1 AS s,
+               count(*) AS n,
+               SUM(CASE WHEN o_orderpriority = '1-URGENT'
+                   THEN 1 ELSE 0 END) AS r
+        FROM '{table_path(sf_dir, "orders")}' GROUP BY 1
+        """
+    ).fetchall()
+    nn = sum(c[1] for c in cells)
+    rr = sum(int(c[2]) for c in cells)
+    ns = sum(c[1] * c[0] for c in cells)
+    ns2 = sum(c[1] * c[0] * c[0] for c in cells)
+    rs = sum(int(c[2]) * c[0] for c in cells)
+    p = float(rr) / float(nn)
+    t = float(rs) - float(ns) * p
+    varx = float(ns2) - float(ns) * float(ns) / float(nn)
+    var = p * (1.0 - p) * varx
+    z = t / math.sqrt(var) if var > 0.0 else None
+    assert out["n_orders"] == nn
+    assert out["n_urgent"] == rr
+    assert out["urgent_share"] == _det_round(p)
+    assert out["t_stat"] == _det_round(t)
+    assert out["z_score"] == _det_round(z)
