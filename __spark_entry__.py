@@ -12197,12 +12197,15 @@ def oracle_sql() -> dict[str, str]:
     _o["embedding_knn_eval"] = """
         WITH lab AS (
             SELECT vec_id AS vid, label AS lbl FROM embeddings
+        ), probeids AS (
+            SELECT vec_id FROM embeddings WHERE vec_id % 10 = 0
+            ORDER BY vec_id LIMIT 200
         ), flatp AS (
-            SELECT vec_id AS pid, i,
-                   CAST(floor(embedding[i]::DOUBLE * 1e6 + 0.5)
+            SELECT e.vec_id AS pid, i,
+                   CAST(floor(e.embedding[i]::DOUBLE * 1e6 + 0.5)
                         AS BIGINT) AS qa
-            FROM embeddings, UNNEST(range(1, 65)) AS u(i)
-            WHERE vec_id % 10 = 0
+            FROM embeddings e JOIN probeids p ON e.vec_id = p.vec_id,
+                 UNNEST(range(1, 65)) AS u(i)
         ), flatb AS (
             SELECT vec_id AS vid, i,
                    CAST(floor(embedding[i]::DOUBLE * 1e6 + 0.5)

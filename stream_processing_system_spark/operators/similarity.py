@@ -1612,13 +1612,15 @@ def knn_label_eval(
     label_col: str = "label",
     k: int = 5,
     sample_mod: int = 10,
+    max_probes: int = 200,
 ) -> DataFrame:
     """Leave-one-out k-NN classifier evaluation: for a deterministic
-    eval sample (id % sample_mod == 0) find the k nearest OTHER
-    vectors by exact integer-grid dot product, take the majority
-    label (ties → smallest label), and report per-true-label
-    accuracy — the standard "are these embeddings linearly useful"
-    probe run before committing a corpus to training.
+    BOUNDED eval sample (id % sample_mod == 0, smallest max_probes
+    ids) find the k nearest OTHER vectors by exact integer-grid dot
+    product, take the majority label (ties → smallest label), and
+    report per-true-label accuracy — the standard "are these
+    embeddings linearly useful" probe run before committing a corpus
+    to training.
 
     Exactness: components are quantized once onto the 1e-6 grid, so
     every pairwise dot is an exact DECIMAL(38,0) sum of integer
@@ -1628,10 +1630,11 @@ def knn_label_eval(
     division.
 
     Scale: the candidate side is the full corpus but the query side
-    is the 1/sample_mod eval slice, so the score join is
-    |eval|·|corpus| — the brute-force-on-a-sample baseline; the
-    LSH/IVF family provides the sublinear path when the corpus side
-    outgrows it."""
+    is capped at max_probes rows (a TakeOrdered, never a full
+    sample), so the score join is O(max_probes·|corpus|) — LINEAR in
+    corpus size by construction (a proportional sample would make
+    the brute-force eval quadratic); the LSH/IVF family provides the
+    sublinear path when even one corpus pass is too much."""
     d38 = "decimal(38,0)"
     base = df.select(
         F.col(id_col).alias("vid"),
@@ -1642,10 +1645,15 @@ def knn_label_eval(
             .cast("long"),
         ).alias("q"),
     )
-    probes = base.where(F.col("vid") % sample_mod == 0).select(
-        F.col("vid").alias("pid"),
-        F.col("lbl").alias("true_lbl"),
-        F.col("q").alias("pq"),
+    probes = (
+        base.where(F.col("vid") % sample_mod == 0)
+        .orderBy("vid")
+        .limit(max_probes)
+        .select(
+            F.col("vid").alias("pid"),
+            F.col("lbl").alias("true_lbl"),
+            F.col("q").alias("pq"),
+        )
     )
     pairs = base.join(F.broadcast(probes), F.col("pid") != F.col("vid"))
     dot = F.aggregate(
