@@ -2014,10 +2014,12 @@ _R4_DRIVER_WINDOW = [
 #: additions first — they carry the most determinism risk). Round 5
 #: took [:50] (= `_R5_DRIVER_WINDOW` below, all 50 green in
 #: CORRECTNESS_r05.json), round 6 takes [50:100]
-#: (= `_R6_DRIVER_WINDOW`), round 7 [100:150], round 8 the final 30
-#: ([150:180]). Any query added in a later round goes to the FRONT
-#: of its round's window (the 14 round-5 additions sit at [50:64];
-#: the 23 round-6 additions sit at [100:123]).
+#: (= `_R6_DRIVER_WINDOW`), round 7 [100:150]
+#: (= `_R7_DRIVER_WINDOW`), round 8 the final 34 ([150:184]). Any
+#: query added in a later round goes to the FRONT of its round's
+#: window (the 14 round-5 additions sit at [50:64]; the 23 round-6
+#: additions sit at [100:123]; the 4 round-7 additions at
+#: [150:154]).
 _ROTATION_BACKLOG = [
     # round-4 additions first: newest code carries the most risk
     "lineitem_shipmode_priority",
@@ -2176,6 +2178,15 @@ _ROTATION_BACKLOG = [
     "doc_skipgram_negatives",
     "doc_inverted_index",
     "doc_domain_cap",
+    # --- round-8 window starts here, i.e. backlog[150:184]
+    #     (34 names: the 4 round-7 additions at the FRONT, then the
+    #     30 precleared names; the original 7-name remainder now
+    #     sits at [177:184] after the 23 round-6 insertions at
+    #     [100:123] and the 4 round-7 insertions here) ---
+    "events_cvm_drift",
+    "orders_gk_gamma",
+    "events_pinball_eval",
+    "doc_simpson_diversity",
     "brand_revenue_bloom",
     "doc_bm25_search",
     "corpus_mixture_weights",
@@ -2199,7 +2210,6 @@ _ROTATION_BACKLOG = [
     "pq_topk",
     "rp_topk",
     "late_supplier_orders",
-    # --- round-8 remainder (7 names), i.e. backlog[150:157] ---
     "large_volume_customers",
     "top_supplier",
     "customer_order_distribution",
@@ -2222,19 +2232,33 @@ _R5_DRIVER_WINDOW = _ROTATION_BACKLOG[:50]
 #: Kalman fold, IRLS uplift, GPD tail, Ljung-Box), then the
 #: orders_backlog_timeline wave of round-3 third-wave names. After
 #: this round, cumulative distinct driver-green coverage is 298 of
-#: 355; round 7 takes [100:150], round 8 the final 7.
+#: 355 (378 after the round-6 additions); round 7 takes [100:150],
+#: round 8 the rest.
 _R6_DRIVER_WINDOW = _ROTATION_BACKLOG[50:100]
+
+#: Round-7 driver window (VERDICT r6 item 1): backlog[100:150] — the
+#: 23 round-6 additions lead (newest code, highest determinism risk:
+#: Mann-Kendall, Kruskal-Wallis, MMD shift, watermark lateness …
+#: orders_ca_trend, all swept green at sf0.01 AND sf0.1 in round 6),
+#: then 27 names pre-cleared in `ORACLE_SF01_R78_PRECLEAR.txt`.
+#: After this round, cumulative distinct driver-green coverage is
+#: 348 of 382; round 8 takes the final 34 ([150:184]: the 4
+#: round-7 additions, swept at sf0.01 AND sf0.1 this round, then 30
+#: names pre-cleared in ORACLE_SF01_R78_PRECLEAR.txt).
+_R7_DRIVER_WINDOW = _ROTATION_BACKLOG[100:150]
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registration order is the driver's check order: the driver
     records exactly the first 50 registered queries each round, so
-    `_R6_DRIVER_WINDOW` (this round's 50 never-driver-green names,
-    = `_ROTATION_BACKLOG[50:100]`) is moved to the front and the rest
-    of `_ROTATION_BACKLOG` documents the planned windows for rounds
-    7-8 — by round 8 every registered query holds a driver
-    CORRECTNESS row. Rounds 1-5 hash-verified 248 distinct queries
-    (CORRECTNESS_r01–r05.json, set union, zero overlap). Every
+    `_R7_DRIVER_WINDOW` (this round's 50 never-driver-green names,
+    = `_ROTATION_BACKLOG[100:150]`) is moved to the front and the
+    tail of `_ROTATION_BACKLOG` ([150:184], 34 names: the 4
+    round-7 additions swept at both scales this round, then 30 names
+    pre-cleared at sf0.1 in `ORACLE_SF01_R78_PRECLEAR.txt`) is round
+    8's window — after which every registered query holds a driver
+    CORRECTNESS row. Rounds 1-6 hash-verified 298 distinct queries
+    (CORRECTNESS_r01–r06.json, set union, zero overlap). Every
     registered query, windowed or not, still runs in the local
     exact-oracle harness (`python -m tests.oracle`) at sf0.01 and
     sf0.1 every round."""
@@ -2629,8 +2653,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_partition_checksums": analytics.events_partition_checksums,
         "embedding_knn_eval": pipeline.embedding_knn_eval,
         "orders_ca_trend": analytics.orders_ca_trend,
+        # --- round-7 capability wave (FRONT of the round-8 driver
+        #     window via _ROTATION_BACKLOG) ---
+        "events_cvm_drift": analytics.events_cvm_drift,
+        "orders_gk_gamma": analytics.orders_gk_gamma,
+        "events_pinball_eval": analytics.events_pinball_eval,
+        "doc_simpson_diversity": pipeline.doc_simpson_diversity,
     }
-    head = {n: q[n] for n in _R6_DRIVER_WINDOW}
+    head = {n: q[n] for n in _R7_DRIVER_WINDOW}
     assert len(head) == 50, f"driver window must be 50, got {len(head)}"
     return head | {n: f for n, f in q.items() if n not in head}
 
@@ -12176,8 +12206,12 @@ def oracle_sql() -> dict[str, str]:
     _o["events_partition_checksums"] = """
         WITH cells AS (
             SELECT event_type, CAST(CAST(ts AS DATE) AS VARCHAR) AS day,
-                   ('0x' || substr(md5('ck|' || CAST(event_id AS VARCHAR)
-                                    || '|' || CAST(user_id AS VARCHAR)
+                   ('0x' || substr(md5('ck|'
+                                    || coalesce(CAST(event_id AS VARCHAR),
+                                                'null')
+                                    || '|'
+                                    || coalesce(CAST(user_id AS VARCHAR),
+                                                'null')
                                     || '|' ||
                                     CASE WHEN value IS NOT NULL
                                          THEN CAST(CAST(floor(value * 100
@@ -12291,5 +12325,156 @@ def oracle_sql() -> dict[str, str]:
                     WHEN z < -1.96 THEN 'decreasing'
                     ELSE 'no_trend' END AS trend
         FROM z
+    """
+    # round-7 additions: CvM drift (KS's integrated sibling, same
+    # common-denominator integer device), Goodman-Kruskal gamma over
+    # the tiny priority x price-band contingency table, discrete-
+    # percentile pinball backtest, and per-source Simpson diversity
+    _o["events_cvm_drift"] = """
+        WITH cells AS (
+            SELECT event_type,
+                   CAST(floor(value * 100 + 0.5) AS BIGINT) AS v,
+                   SUM(CASE WHEN ts >= TIMESTAMP '2024-01-16'
+                            THEN 0 ELSE 1 END) AS ca,
+                   SUM(CASE WHEN ts >= TIMESTAMP '2024-01-16'
+                            THEN 1 ELSE 0 END) AS cb
+            FROM events WHERE value IS NOT NULL
+            GROUP BY 1, 2
+        ), cum AS (
+            SELECT event_type, ca + cb AS t,
+                   SUM(ca) OVER (PARTITION BY event_type ORDER BY v
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS cuma,
+                   SUM(cb) OVER (PARTITION BY event_type ORDER BY v
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS cumb,
+                   SUM(ca) OVER (PARTITION BY event_type) AS na,
+                   SUM(cb) OVER (PARTITION BY event_type) AS nb
+            FROM cells
+        ), agg AS (
+            SELECT event_type, MAX(na) AS na, MAX(nb) AS nb,
+                   SUM(CAST(t AS HUGEINT)
+                       * (CAST(cuma AS HUGEINT) * nb
+                          - CAST(cumb AS HUGEINT) * na)
+                       * (CAST(cuma AS HUGEINT) * nb
+                          - CAST(cumb AS HUGEINT) * na)) AS s
+            FROM cum WHERE na > 0 AND nb > 0 GROUP BY 1
+        )
+        SELECT event_type, CAST(na AS BIGINT) AS n_first,
+               CAST(nb AS BIGINT) AS n_second,
+               floor(CAST(s AS DOUBLE)
+                     / (CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)
+                        * (CAST(na AS DOUBLE) + CAST(nb AS DOUBLE))
+                        * (CAST(na AS DOUBLE) + CAST(nb AS DOUBLE)))
+                     * 1000000.0 + 0.5) / 1000000.0 AS cvm_t
+        FROM agg ORDER BY event_type
+    """
+    _o["orders_gk_gamma"] = """
+        WITH cells AS (
+            SELECT CAST(substr(o_orderpriority, 1, 1) AS BIGINT) AS pr,
+                   least(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)
+                         // 5000000, 8) AS band,
+                   CAST(count(*) AS BIGINT) AS n
+            FROM orders GROUP BY 1, 2
+        ), pairs AS (
+            SELECT a.n AS n1, b.n AS n2, a.band AS b1, b.band AS b2
+            FROM cells a JOIN cells b ON b.pr > a.pr
+        ), agg AS (
+            SELECT COALESCE(SUM(CASE WHEN b2 > b1
+                       THEN CAST(n1 AS HUGEINT) * n2 END), 0) AS c,
+                   COALESCE(SUM(CASE WHEN b2 < b1
+                       THEN CAST(n1 AS HUGEINT) * n2 END), 0) AS d
+            FROM pairs
+        ), tot AS (
+            SELECT SUM(CAST(n AS HUGEINT)) AS nn FROM cells
+        )
+        SELECT CAST(nn AS BIGINT) AS n_orders,
+               CAST(c AS BIGINT) AS concordant,
+               CAST(d AS BIGINT) AS discordant,
+               CASE WHEN c + d > 0
+                    THEN floor((CAST(c AS DOUBLE) - CAST(d AS DOUBLE))
+                               / (CAST(c AS DOUBLE) + CAST(d AS DOUBLE))
+                               * 1000000.0 + 0.5) / 1000000.0
+               END AS gamma
+        FROM agg, tot
+    """
+    _o["events_pinball_eval"] = """
+        WITH hist AS (
+            SELECT event_type,
+                   CAST(floor(value * 100 + 0.5) AS BIGINT) AS cy,
+                   count(*) AS c
+            FROM events
+            WHERE value IS NOT NULL
+              AND NOT (ts >= TIMESTAMP '2024-01-16')
+            GROUP BY 1, 2
+        ), cum AS (
+            SELECT event_type, cy,
+                   SUM(c) OVER (PARTITION BY event_type ORDER BY cy
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS cum,
+                   SUM(c) OVER (PARTITION BY event_type) AS n
+            FROM hist
+        ), fc AS (
+            SELECT event_type, MAX(n) AS n_train,
+                   MIN(CASE WHEN cum * 100 >= n * 50 THEN cy END) AS f50,
+                   MIN(CASE WHEN cum * 100 >= n * 90 THEN cy END) AS f90
+            FROM cum GROUP BY 1
+        ), ev AS (
+            SELECT e.event_type,
+                   CAST(floor(e.value * 100 + 0.5) AS BIGINT) AS y,
+                   fc.n_train, fc.f50, fc.f90
+            FROM events e JOIN fc ON e.event_type = fc.event_type
+            WHERE e.value IS NOT NULL
+              AND e.ts >= TIMESTAMP '2024-01-16'
+        ), agg AS (
+            SELECT event_type, MAX(n_train) AS n_train,
+                   MAX(f50) AS f50, MAX(f90) AS f90,
+                   CAST(count(*) AS BIGINT) AS n_eval,
+                   SUM(CAST(abs(y - f50) AS HUGEINT)) AS l50x2,
+                   SUM(CAST(CASE WHEN y - f90 > 0 THEN 9 * (y - f90)
+                            ELSE -(y - f90) END AS HUGEINT)) AS l90x10
+            FROM ev GROUP BY 1
+        )
+        SELECT event_type, CAST(n_train AS BIGINT) AS n_train,
+               n_eval,
+               CAST(f50 AS DOUBLE) / 100.0 AS p50_forecast,
+               CAST(f90 AS DOUBLE) / 100.0 AS p90_forecast,
+               floor(CAST(l50x2 AS DOUBLE) / 2.0
+                     / CAST(n_eval AS DOUBLE) / 100.0
+                     * 1000000.0 + 0.5) / 1000000.0 AS mean_pinball_p50,
+               floor(CAST(l90x10 AS DOUBLE) / 10.0
+                     / CAST(n_eval AS DOUBLE) / 100.0
+                     * 1000000.0 + 0.5) / 1000000.0 AS mean_pinball_p90
+        FROM agg ORDER BY event_type
+    """
+    _o["doc_simpson_diversity"] = """
+        WITH tok AS (
+            SELECT source,
+                   unnest(list_filter(string_split(text, ' '),
+                                      t -> t <> '')) AS token
+            FROM documents
+        ), c AS (
+            SELECT source, token, CAST(count(*) AS BIGINT) AS c
+            FROM tok GROUP BY 1, 2
+        ), agg AS (
+            SELECT source, SUM(CAST(c AS HUGEINT)) AS n,
+                   CAST(count(*) AS BIGINT) AS vocab,
+                   SUM(CAST(c AS HUGEINT) * (c - 1)) AS ss
+            FROM c GROUP BY 1
+        )
+        SELECT source, CAST(n AS BIGINT) AS n_tokens, vocab,
+               CASE WHEN n > 1
+                    THEN floor(CAST(ss AS DOUBLE)
+                               / (CAST(n AS DOUBLE)
+                                  * (CAST(n AS DOUBLE) - 1.0))
+                               * 1000000.0 + 0.5) / 1000000.0
+               END AS simpson,
+               CASE WHEN n > 1 AND ss > 0
+                    THEN floor(1.0 / (CAST(ss AS DOUBLE)
+                               / (CAST(n AS DOUBLE)
+                                  * (CAST(n AS DOUBLE) - 1.0)))
+                               * 1000000.0 + 0.5) / 1000000.0
+               END AS inv_simpson
+        FROM agg ORDER BY source
     """
     return _o

@@ -1585,10 +1585,32 @@ def embedding_mmd_shift(
         F.sum(F.col("sa") * F.col("sa")).alias("qa"),
         F.sum(F.col("sb") * F.col("sb")).alias("qb"),
     )
+    # Overflow guard: gap² ~ (na·nb·1e6·|v|)², so decimal(38,0)
+    # holds up to na·nb ≈ 1e13 (≈3e6 rows/label at |v|≈1) — ~1e8×
+    # headroom over current scales.  Past it, non-ANSI Spark decimal
+    # arithmetic yields NULL *silently* while the DuckDB oracle's
+    # HUGEINT raises; converge the failure modes by raising loudly
+    # (beyond the bound, re-grid with a second-level chunked
+    # reduction as quality_filters does).
+    _ovf = (
+        F.col("ssq").isNull()
+        | F.col("dot").isNull()
+        | F.col("qa").isNull()
+        | F.col("qb").isNull()
+    )
+    _raise = F.raise_error(
+        F.lit(
+            "embedding_mmd_shift: decimal(38,0) overflow in a "
+            "per-pair component sum (label counts exceed the "
+            "documented na*nb~1e13 bound); re-grid via a "
+            "second-level chunked reduction"
+        )
+    ).cast("double")
     nad = F.col("na").cast("double")
     nbd = F.col("nb").cast("double")
-    mmd2 = F.col("ssq").cast("double") / (
-        nad * nad * nbd * nbd * F.lit(1e12)
+    mmd2 = F.when(_ovf, _raise).otherwise(
+        F.col("ssq").cast("double")
+        / (nad * nad * nbd * nbd * F.lit(1e12))
     )
     den = F.sqrt(F.col("qa").cast("double")) * F.sqrt(
         F.col("qb").cast("double")

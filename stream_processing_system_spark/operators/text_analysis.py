@@ -863,6 +863,7 @@ def gopher_filter_report(
     df: DataFrame,
     source_col: str = "source",
     text_col: str = "text",
+    id_col: str = "doc_id",
 ) -> DataFrame:
     """Gopher-style quality-rule report per source (Rae et al. 2021's
     repetition/format heuristics, the rule-set shape every web-scale
@@ -891,15 +892,15 @@ def gopher_filter_report(
     # R5 needs the modal token count per doc
     top = (
         df.select(
-            F.col("doc_id"), F.explode(toks).alias("tok")
+            F.col(id_col), F.explode(toks).alias("tok")
         )
-        .groupBy("doc_id", "tok")
+        .groupBy(id_col, "tok")
         .agg(F.count(F.lit(1)).alias("c"))
-        .groupBy("doc_id")
+        .groupBy(id_col)
         .agg(F.max("c").alias("top_tok"))
     )
     per = (
-        df.join(top, "doc_id", "left")
+        df.join(top, id_col, "left")
         .select(
             F.col(source_col).alias("source"),
             n_tok.alias("w"),
@@ -965,4 +966,56 @@ def gopher_filter_report(
             / F.col("n_docs").cast("double"),
             6,
         ).alias("pass_rate"),
+    ).orderBy("source")
+
+
+def simpson_diversity(
+    df: DataFrame,
+    source_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-source Simpson concentration of the token distribution:
+    λ = Σ c_t(c_t−1) / (N(N−1)) — the probability two tokens drawn
+    without replacement from the source's corpus are the same type —
+    and its inverse (the "effective vocabulary", the ecology-
+    standard diversity number). Complements `token_entropy`
+    (per-DOC, log-scale) and `ngram_diversity` (distinct RATIO):
+    Simpson is corpus-level, heavily weights the head, and needs NO
+    transcendental functions, so a boilerplate-flooded source shows
+    a collapsing effective vocabulary even when distinct-token
+    counts look healthy.
+
+    Exactness: c_t(c_t−1) and N(N−1) are exact DECIMAL(38,0)
+    integer products (Σc(c−1) ≤ N², inside decimal(38,0) to ~1e19
+    tokens per source); λ and 1/λ are single fixed-order double
+    divisions, NULL-guarded for N < 2 or λ = 0.
+
+    Shape: one explode into a (source, token) hash aggregate, then
+    a per-source reduce — partial aggregation does the heavy
+    lifting map-side, output |sources| rows."""
+    d38 = "decimal(38,0)"
+    toks = df.select(
+        F.col(source_col).alias("source"),
+        F.explode(_toks(F.col(text_col))).alias("token"),
+    )
+    counts = toks.groupBy("source", "token").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    agg = counts.groupBy("source").agg(
+        F.sum(F.col("c").cast(d38)).alias("n"),
+        F.count(F.lit(1)).alias("vocab"),
+        F.sum(F.col("c").cast(d38) * (F.col("c") - F.lit(1))).alias("ss"),
+    )
+    nd = F.col("n").cast("double")
+    lam = F.when(
+        F.col("n") > F.lit(1).cast(d38),
+        F.col("ss").cast("double") / (nd * (nd - F.lit(1.0))),
+    )
+    inv = F.when(lam > F.lit(0.0), F.lit(1.0) / lam)
+    return agg.select(
+        "source",
+        F.col("n").cast("long").alias("n_tokens"),
+        F.col("vocab").cast("long").alias("vocab"),
+        det_round(lam, 6).alias("simpson"),
+        det_round(inv, 6).alias("inv_simpson"),
     ).orderBy("source")

@@ -12396,21 +12396,52 @@ def events_watermark_lateness(spark: SparkSession, sf_dir: str) -> DataFrame:
     all BIGINT/DECIMAL(38,0); the two ratios are single double
     divisions.
 
-    Shape: one ordered window per type (arrival order), one
-    aggregate. The window partitions by type, so no global sort."""
+    Shape: the running max uses the repo's two-phase chunk device
+    (cf. `quality_filters.token_budget_shards`) so parallelism is
+    NOT capped at |event_type| (~5): (1) per-(type, event_id-chunk)
+    intra-chunk running max — data-parallel across |types|×|chunks|
+    tasks; (2) an EXCLUSIVE prefix-max over the tiny (type, chunk)
+    table (constant-size, ~|types|·N/chunk rows); (3) broadcast the
+    prefix table back and take greatest(intra-chunk max, prior-chunk
+    prefix max). Max is associative over disjoint prefixes, so this
+    is bit-identical to the single ordered window the oracle runs.
+    At 100 TB, raise `chunk` so the prefix table stays ~1e4 rows per
+    type; every stage stays data-parallel."""
     events = load_table(spark, sf_dir, "events")
     d38 = "decimal(38,0)"
-    w = (
-        Window.partitionBy("event_type")
+    chunk = 4096  # event_ids per chunk; scale knob: ~N/1e4 at 100 TB
+    us = F.unix_micros(F.col("ts"))
+    base = events.select(
+        "event_type",
+        F.col("event_id"),
+        us.alias("t"),
+        (F.col("event_id") / chunk).cast("long").alias("_chunk"),
+    )
+    w_local = (
+        Window.partitionBy("event_type", "_chunk")
         .orderBy("event_id")
         .rowsBetween(Window.unboundedPreceding, 0)
     )
-    us = F.unix_micros(F.col("ts"))
-    seq = events.select(
-        "event_type", F.col("event_id"), us.alias("t")
+    local = base.withColumn("_lmax", F.max("t").over(w_local))
+    w_prefix = (
+        Window.partitionBy("event_type")
+        .orderBy("_chunk")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    prefix = (
+        base.groupBy("event_type", "_chunk")
+        .agg(F.max("t").alias("_cmax"))
+        .select(
+            "event_type",
+            "_chunk",
+            F.max("_cmax").over(w_prefix).alias("_pmax"),
+        )
+    )
+    seq = local.join(
+        F.broadcast(prefix), ["event_type", "_chunk"]
     ).select(
         "event_type",
-        (F.max("t").over(w) - F.col("t")).alias("late"),
+        (F.greatest("_lmax", "_pmax") - F.col("t")).alias("late"),
     )
     hour_us = 3_600_000_000
     agg = seq.groupBy("event_type").agg(
@@ -12477,8 +12508,8 @@ def events_partition_checksums(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).otherwise(F.lit("null"))
     ser = F.concat_ws(
         "|",
-        F.col("event_id").cast("string"),
-        F.col("user_id").cast("string"),
+        F.coalesce(F.col("event_id").cast("string"), F.lit("null")),
+        F.coalesce(F.col("user_id").cast("string"), F.lit("null")),
         centi,
     )
     cells = events.select(
@@ -12563,3 +12594,237 @@ def orders_ca_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         det_round(z, 6).alias("z_score"),
         trend.alias("trend"),
     )
+
+
+def events_cvm_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Cramér–von Mises drift test per event type: the
+    INTEGRATED squared ECDF gap between the first- and second-half
+    value distributions (same fixed split as `events_ks_test`),
+    T = Σ_pooled (F_A − F_B)² · n_AnB/N² (Anderson 1962) — the
+    whole-distribution member of the drift family: KS sees only the
+    single most divergent point, CvM accumulates every cell's gap,
+    so a broad small shift that never produces one big ECDF gap
+    still registers.
+
+    Exactness: values land on the integer cent grid; the per-cell
+    gap is the common-denominator integer cumA·nB − cumB·nA (the KS
+    device), each cell contributes (ca+cb)·gap² to an exact
+    DECIMAL(38,0) sum, and T = S/(nA·nB·N²) is one fixed-order
+    double chain. Overflow posture (the `embedding_mmd_shift`
+    precedent): S ≤ N·(nA·nB)², so decimal(38,0) holds to ~3e7 rows
+    per type; past it non-ANSI Spark NULLs silently while DuckDB's
+    HUGEINT raises — converged by raising loudly via the same
+    isNull-guard.
+
+    Shape: one (type, cent) hash aggregate, cumulative windows over
+    the BOUNDED cent-domain frame, one per-type reduce."""
+    events = load_table(spark, sf_dir, "events").where(
+        F.col("value").isNotNull()
+    )
+    d38 = "decimal(38,0)"
+    half = (F.col("ts") >= F.lit("2024-01-16")).cast("int")
+    cells = events.groupBy(
+        "event_type",
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("v"),
+    ).agg(
+        F.sum(F.lit(1) - half).alias("ca"),
+        F.sum(half).alias("cb"),
+    )
+    w_cum = (
+        Window.partitionBy("event_type")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    w_tot = Window.partitionBy("event_type")
+    cum = cells.select(
+        "event_type",
+        (F.col("ca") + F.col("cb")).alias("t"),
+        F.sum("ca").over(w_cum).alias("cuma"),
+        F.sum("cb").over(w_cum).alias("cumb"),
+        F.sum("ca").over(w_tot).alias("na"),
+        F.sum("cb").over(w_tot).alias("nb"),
+    ).where((F.col("na") > 0) & (F.col("nb") > 0))
+    gap = F.col("cuma").cast(d38) * F.col("nb") - F.col("cumb").cast(
+        d38
+    ) * F.col("na")
+    agg = cum.groupBy("event_type").agg(
+        F.max("na").alias("na"),
+        F.max("nb").alias("nb"),
+        F.sum(F.col("t").cast(d38) * gap * gap).alias("s"),
+    )
+    _raise = F.raise_error(
+        F.lit(
+            "events_cvm_drift: decimal(38,0) overflow in the gap² "
+            "sum (per-type row count exceeds the documented ~3e7 "
+            "bound); re-grid via a second-level chunked reduction"
+        )
+    ).cast("double")
+    nad = F.col("na").cast("double")
+    nbd = F.col("nb").cast("double")
+    nd = nad + nbd
+    t_stat = F.when(F.col("s").isNull(), _raise).otherwise(
+        F.col("s").cast("double") / (nad * nbd * nd * nd)
+    )
+    return agg.select(
+        "event_type",
+        F.col("na").cast("long").alias("n_first"),
+        F.col("nb").cast("long").alias("n_second"),
+        det_round(t_stat, 6).alias("cvm_t"),
+    ).orderBy("event_type")
+
+
+def orders_gk_gamma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Goodman–Kruskal gamma between order priority (ordinal
+    1-URGENT … 5-LOW) and total-price band: do urgent orders skew
+    toward larger baskets? Gamma = (C − D)/(C + D) over concordant /
+    discordant pairs — the ordinal-vs-ordinal association member of
+    the correlation family (`orders_kendall_tau` ranks two NUMERIC
+    columns pairwise; gamma works on the categorical contingency
+    table and ignores ties, the standard choice for ordered
+    categories).
+
+    Exactness: the priority ordinal is the parsed leading digit, the
+    price band is an exact cent comparison (cents div 50000_00,
+    capped at 8 — never a float divide at a band boundary), and C/D
+    are exact products summed over the ≤45-cell contingency table.
+    One double division at the end, NULL when C + D = 0.
+
+    Shape: one (priority, band) hash aggregate (≤45 rows), then the
+    dominance pairing as a BroadcastHashJoin of the tiny cell table
+    with itself on a literal key (never a CartesianProduct), and a
+    single-row reduce — everything after the first aggregate is
+    constant-size no matter how many orders exist."""
+    orders = load_table(spark, sf_dir, "orders")
+    d38 = "decimal(38,0)"
+    pr = F.substring(F.col("o_orderpriority"), 1, 1).cast("long")
+    cents = F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")
+    band = F.least(F.expr("_cents div 5000000"), F.lit(8)).cast("long")
+    cells = (
+        orders.select(pr.alias("pr"), cents.alias("_cents"))
+        .select("pr", band.alias("band"))
+        .groupBy("pr", "band")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .withColumn("_k", F.lit(1))
+    )
+    a = cells.select(
+        "_k",
+        F.col("pr").alias("pr1"),
+        F.col("band").alias("b1"),
+        F.col("n").alias("n1"),
+    )
+    b = cells.select(
+        "_k",
+        F.col("pr").alias("pr2"),
+        F.col("band").alias("b2"),
+        F.col("n").alias("n2"),
+    )
+    pairs = a.join(F.broadcast(b), "_k").where(F.col("pr2") > F.col("pr1"))
+    prod = F.col("n1").cast(d38) * F.col("n2")
+    agg = pairs.groupBy("_k").agg(
+        F.sum(F.when(F.col("b2") > F.col("b1"), prod)).alias("_c"),
+        F.sum(F.when(F.col("b2") < F.col("b1"), prod)).alias("_d"),
+    ).select(
+        "_k",
+        F.coalesce(F.col("_c"), F.lit(0).cast(d38)).alias("c"),
+        F.coalesce(F.col("_d"), F.lit(0).cast(d38)).alias("d"),
+    )
+    tot = cells.groupBy("_k").agg(F.sum(F.col("n").cast(d38)).alias("nn"))
+    cd = F.col("c").cast("double")
+    dd = F.col("d").cast("double")
+    gamma = F.when(
+        (F.col("c") + F.col("d")) > F.lit(0).cast(d38),
+        (cd - dd) / (cd + dd),
+    )
+    return agg.join(F.broadcast(tot), "_k").select(
+        F.col("nn").cast("long").alias("n_orders"),
+        F.col("c").cast("long").alias("concordant"),
+        F.col("d").cast("long").alias("discordant"),
+        det_round(gamma, 6).alias("gamma"),
+    )
+
+
+def events_pinball_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile-forecast backtest per event type: fit the exact
+    DISCRETE p50/p90 of value on the first half (same fixed
+    2024-01-16 split as the drift family, same ⌈q·n⌉ grid-histogram
+    device as `value_percentiles_disc`), then score both constant
+    forecasts on the second half with the pinball (quantile) loss —
+    the canonical quantile-regression metric, and the backtest that
+    says whether last month's P90 latency/spend threshold still
+    holds this month.
+
+    Exactness: forecasts and outcomes are exact cent longs; the
+    q-weighted pinball terms are scaled to INTEGERS (2·L₅₀ = Σ|d|,
+    10·L₉₀ = Σ(y>ŷ ? 9(y−ŷ) : ŷ−y)) and summed in DECIMAL(38,0);
+    the per-type means divide once in doubles.
+
+    Shape: first-half histogram → cumulative window over the
+    bounded cent domain → 5-row forecast table, broadcast back onto
+    the second half → one hash aggregate. No row-grain windows."""
+    events = load_table(spark, sf_dir, "events").where(
+        F.col("value").isNotNull()
+    )
+    d38 = "decimal(38,0)"
+    centi = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+    split = F.col("ts") >= F.lit("2024-01-16")
+    hist = (
+        events.where(~split)
+        .groupBy("event_type", centi.alias("cy"))
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("cy")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wt = Window.partitionBy("event_type")
+    cum = hist.select(
+        "event_type",
+        "cy",
+        F.sum("c").over(w).alias("cum"),
+        F.sum("c").over(wt).alias("n"),
+    )
+
+    def pick(q: int, name: str):
+        return F.min(
+            F.when(F.col("cum") * 100 >= F.col("n") * q, F.col("cy"))
+        ).alias(name)
+
+    fc = cum.groupBy("event_type").agg(
+        F.max("n").alias("n_train"), pick(50, "f50"), pick(90, "f90")
+    )
+    ev = (
+        events.where(split)
+        .select("event_type", centi.alias("y"))
+        .join(F.broadcast(fc), "event_type")
+    )
+    d50 = F.col("y") - F.col("f50")
+    d90 = F.col("y") - F.col("f90")
+    agg = ev.groupBy("event_type").agg(
+        F.max("n_train").alias("n_train"),
+        F.max("f50").alias("f50"),
+        F.max("f90").alias("f90"),
+        F.count(F.lit(1)).alias("n_eval"),
+        F.sum(F.abs(d50).cast(d38)).alias("l50x2"),
+        F.sum(
+            F.when(d90 > 0, F.lit(9) * d90)
+            .otherwise(-d90)
+            .cast(d38)
+        ).alias("l90x10"),
+    )
+    ne = F.col("n_eval").cast("double")
+    return agg.select(
+        "event_type",
+        F.col("n_train").cast("long").alias("n_train"),
+        F.col("n_eval").cast("long").alias("n_eval"),
+        (F.col("f50").cast("double") / F.lit(100.0)).alias("p50_forecast"),
+        (F.col("f90").cast("double") / F.lit(100.0)).alias("p90_forecast"),
+        det_round(
+            F.col("l50x2").cast("double") / F.lit(2.0) / ne / F.lit(100.0),
+            6,
+        ).alias("mean_pinball_p50"),
+        det_round(
+            F.col("l90x10").cast("double") / F.lit(10.0) / ne / F.lit(100.0),
+            6,
+        ).alias("mean_pinball_p90"),
+    ).orderBy("event_type")

@@ -2012,3 +2012,10 @@ def embedding_knn_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Leave-one-out 5-NN label accuracy on a deterministic 1/10
     sample (`operators/similarity.knn_label_eval`)."""
     return similarity.knn_label_eval(_embs(spark, sf_dir))
+
+
+def doc_simpson_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source Simpson token concentration + effective vocabulary
+    (`operators/text_analysis.simpson_diversity` — exact integer
+    c(c−1) sums, no transcendentals)."""
+    return text_analysis.simpson_diversity(_docs(spark, sf_dir))

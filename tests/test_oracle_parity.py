@@ -44,35 +44,51 @@ def test_driver_window_is_fully_oracle_checked():
     assert not missing, missing
 
 
-def test_r6_rotation_invariants():
-    """Round-6 rotation bookkeeping: the first 50 registered queries
-    are exactly _R6_DRIVER_WINDOW (= _ROTATION_BACKLOG[50:100], 50
-    unique never-driver-green names), the round-4/5 windows stay
-    intact as the historical record, and backlog + driver-checked
-    partitions the registry: rounds 1-5 banked 248 distinct green
-    rows (49+49+50+50+50, zero overlap — the r5 window IS
-    backlog[:50], so 198 pre-backlog + the banked [:50] slice), so
-    every registered query is either already checked or scheduled
-    (round 7 = backlog[100:150] — led by the round-6 additions —
-    round 8 = backlog[150:], 30 names — no query can end round 8
-    unchecked)."""
-    window = contract._R6_DRIVER_WINDOW
+def test_r7_rotation_invariants():
+    """Round-7 rotation bookkeeping: the first 50 registered queries
+    are exactly _R7_DRIVER_WINDOW (= _ROTATION_BACKLOG[100:150], 50
+    unique never-driver-green names, led by the 23 round-6
+    additions), the round-4/5/6 windows stay intact as the
+    historical record, and backlog + driver-checked partitions the
+    registry: rounds 1-6 banked 298 distinct green rows
+    (49+49+50+50+50+50, zero overlap — the r5/r6 windows ARE
+    backlog[:50]/[50:100], so 198 pre-backlog + the banked [:100]
+    slice), so every registered query is either already checked or
+    scheduled (round 8 = backlog[150:184], 34 names: the 4 round-7
+    additions swept at both scales in round 7, then 30 names
+    pre-cleared at sf0.1 in ORACLE_SF01_R78_PRECLEAR.txt — no query
+    can end round 8 unchecked)."""
+    window = contract._R7_DRIVER_WINDOW
     backlog = contract._ROTATION_BACKLOG
     names = list(QUERIES)
     assert names[:50] == window
-    assert window == backlog[50:100]
+    assert window == backlog[100:150]
     assert len(set(window)) == 50
-    assert len(set(backlog)) == len(backlog) == 180
+    assert len(set(backlog)) == len(backlog) == 184
     assert set(backlog) <= set(names)
     assert contract._R5_DRIVER_WINDOW == backlog[:50]
+    assert contract._R6_DRIVER_WINDOW == backlog[50:100]
     assert len(set(contract._R4_DRIVER_WINDOW)) == 50
     assert not set(contract._R4_DRIVER_WINDOW) & set(backlog)
     # rounds 1-4 banked 198 names none of which are in the backlog;
-    # round 5 banked backlog[:50]; everything else is scheduled.
+    # rounds 5-6 banked backlog[:100]; everything else is scheduled.
     assert len(names) == len(backlog) + 198
     # the 14 round-5 additions lead the round-6 window and the 23
     # round-6 additions lead the round-7 window (newest code carries
     # the most determinism risk); round 8 holds exactly 30.
     assert backlog[50:64][0] == "events_ljung_box"
     assert backlog[100] == "events_mann_kendall"
-    assert len(backlog[150:]) == 30
+    # the 4 round-7 additions lead the round-8 window
+    assert backlog[150] == "events_cvm_drift"
+    assert len(backlog[150:]) == 34
+    # round 8's window is fully pre-cleared at sf0.1
+    import os
+
+    pre = os.path.join(os.path.dirname(__file__), "..",
+                       "ORACLE_SF01_R78_PRECLEAR.txt")
+    cleared = {
+        ln.split()[0]
+        for ln in open(pre)
+        if ln.strip() and not ln.startswith("#")
+    }
+    assert set(backlog[150:184]) <= cleared

@@ -64,3 +64,54 @@ def test_aqe_converts_small_join_to_broadcast(spark):
     # either AQE converted it, or the merge hint pinned it — accept
     # conversion as the expected outcome, and surface the plan if not
     assert "BroadcastHashJoin" in plan or "AQEShuffleRead" in plan, plan
+
+
+def test_row_grain_event_type_windows_documented():
+    """VERDICT r6 item 7: a single-key Window.partitionBy("event_type")
+    whose orderBy touches event_id runs a row-grain per-type sort —
+    parallelism capped at |event_type| (~5) no matter the data size.
+    Any such site must carry a documented scale posture (allowlist
+    below); new ones fail here until their docstring says how the
+    plan survives 100 TB (sample-only half, sketch cut points, or
+    the two-phase chunk device events_watermark_lateness now uses)."""
+    import os
+    import re
+
+    src_path = os.path.join(
+        os.path.dirname(__file__),
+        "..",
+        "stream_processing_system_spark",
+        "plans",
+        "analytics.py",
+    )
+    lines = open(src_path).read().split("\n")
+    funcs = []
+    for i, ln in enumerate(lines):
+        m = re.match(r"def (\w+)\(", ln)
+        if m:
+            funcs.append((i, m.group(1)))
+
+    def fn_of(idx):
+        name = None
+        for s, n in funcs:
+            if s <= idx:
+                name = n
+            else:
+                break
+        return name
+
+    # documented row-grain sites (postures in PERFORMANCE.md r7 table)
+    allow = {"events_winsorized_stats"}
+    offenders = []
+    for i, ln in enumerate(lines):
+        if 'Window.partitionBy("event_type")' not in ln:
+            continue
+        ctx = "\n".join(lines[i : i + 4])
+        ob = re.search(r"orderBy\(([^)]*)", ctx)
+        if ob and "event_id" in ob.group(1) and fn_of(i) not in allow:
+            offenders.append((i + 1, fn_of(i)))
+    assert not offenders, (
+        "undocumented row-grain per-type window(s); either use the "
+        "two-phase chunk device or add the function to the allowlist "
+        f"WITH a docstring posture + PERFORMANCE.md row: {offenders}"
+    )
