@@ -2015,11 +2015,11 @@ _R4_DRIVER_WINDOW = [
 #: took [:50] (= `_R5_DRIVER_WINDOW` below, all 50 green in
 #: CORRECTNESS_r05.json), round 6 takes [50:100]
 #: (= `_R6_DRIVER_WINDOW`), round 7 [100:150]
-#: (= `_R7_DRIVER_WINDOW`), round 8 the final 34 ([150:184]). Any
+#: (= `_R7_DRIVER_WINDOW`), round 8 the final 37 ([150:187]). Any
 #: query added in a later round goes to the FRONT of its round's
 #: window (the 14 round-5 additions sit at [50:64]; the 23 round-6
-#: additions sit at [100:123]; the 4 round-7 additions at
-#: [150:154]).
+#: additions sit at [100:123]; the 7 round-7 additions at
+#: [150:157]).
 _ROTATION_BACKLOG = [
     # round-4 additions first: newest code carries the most risk
     "lineitem_shipmode_priority",
@@ -2178,15 +2178,18 @@ _ROTATION_BACKLOG = [
     "doc_skipgram_negatives",
     "doc_inverted_index",
     "doc_domain_cap",
-    # --- round-8 window starts here, i.e. backlog[150:184]
-    #     (34 names: the 4 round-7 additions at the FRONT, then the
+    # --- round-8 window starts here, i.e. backlog[150:187]
+    #     (37 names: the 7 round-7 additions at the FRONT, then the
     #     30 precleared names; the original 7-name remainder now
-    #     sits at [177:184] after the 23 round-6 insertions at
-    #     [100:123] and the 4 round-7 insertions here) ---
+    #     sits at [180:187] after the 23 round-6 insertions at
+    #     [100:123] and the 7 round-7 insertions here) ---
     "events_cvm_drift",
     "orders_gk_gamma",
     "events_pinball_eval",
     "doc_simpson_diversity",
+    "stream_cvm_drift",
+    "supplier_revenue_theil",
+    "copurchase_neighbor_jaccard",
     "brand_revenue_bloom",
     "doc_bm25_search",
     "corpus_mixture_weights",
@@ -2242,7 +2245,7 @@ _R6_DRIVER_WINDOW = _ROTATION_BACKLOG[50:100]
 #: orders_ca_trend, all swept green at sf0.01 AND sf0.1 in round 6),
 #: then 27 names pre-cleared in `ORACLE_SF01_R78_PRECLEAR.txt`.
 #: After this round, cumulative distinct driver-green coverage is
-#: 348 of 382; round 8 takes the final 34 ([150:184]: the 4
+#: 348 of 385; round 8 takes the final 37 ([150:187]: the 7
 #: round-7 additions, swept at sf0.01 AND sf0.1 this round, then 30
 #: names pre-cleared in ORACLE_SF01_R78_PRECLEAR.txt).
 _R7_DRIVER_WINDOW = _ROTATION_BACKLOG[100:150]
@@ -2253,7 +2256,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     records exactly the first 50 registered queries each round, so
     `_R7_DRIVER_WINDOW` (this round's 50 never-driver-green names,
     = `_ROTATION_BACKLOG[100:150]`) is moved to the front and the
-    tail of `_ROTATION_BACKLOG` ([150:184], 34 names: the 4
+    tail of `_ROTATION_BACKLOG` ([150:187], 37 names: the 7
     round-7 additions swept at both scales this round, then 30 names
     pre-cleared at sf0.1 in `ORACLE_SF01_R78_PRECLEAR.txt`) is round
     8's window — after which every registered query holds a driver
@@ -2659,6 +2662,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "orders_gk_gamma": analytics.orders_gk_gamma,
         "events_pinball_eval": analytics.events_pinball_eval,
         "doc_simpson_diversity": pipeline.doc_simpson_diversity,
+        "stream_cvm_drift": streaming_parity.stream_cvm_drift,
+        "supplier_revenue_theil": analytics.supplier_revenue_theil,
+        "copurchase_neighbor_jaccard": (
+            analytics.copurchase_neighbor_jaccard
+        ),
     }
     head = {n: q[n] for n in _R7_DRIVER_WINDOW}
     assert len(head) == 50, f"driver window must be 50, got {len(head)}"
@@ -12446,6 +12454,66 @@ def oracle_sql() -> dict[str, str]:
                      / CAST(n_eval AS DOUBLE) / 100.0
                      * 1000000.0 + 0.5) / 1000000.0 AS mean_pinball_p90
         FROM agg ORDER BY event_type
+    """
+    _o["stream_cvm_drift"] = _o["events_cvm_drift"]
+    _o["supplier_revenue_theil"] = """
+        WITH per AS (
+            SELECT l_suppkey,
+                   CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                            AS DECIMAL(18,4))) * 10000 AS HUGEINT) AS r
+            FROM lineitem GROUP BY 1
+        ), tot AS (
+            SELECT SUM(r) AS rr, CAST(count(*) AS BIGINT) AS nn,
+                   MAX(r) AS rmax
+            FROM per
+        ), terms AS (
+            SELECT CAST(floor((CAST(r AS DOUBLE) / CAST(rr AS DOUBLE))
+                         * ln(CAST(nn AS DOUBLE)
+                              * (CAST(r AS DOUBLE) / CAST(rr AS DOUBLE)))
+                         * 1000000000000.0 + 0.5) AS HUGEINT) AS t
+            FROM per, tot
+        )
+        SELECT nn AS n_suppliers,
+               CAST(rr AS DOUBLE) / 10000.0 AS total_revenue,
+               floor(CAST(rmax AS DOUBLE) / CAST(rr AS DOUBLE)
+                     * 1000000.0 + 0.5) / 1000000.0 AS top_share,
+               floor(CAST((SELECT SUM(t) FROM terms) AS DOUBLE)
+                     / 1000000000000.0
+                     * 1000000.0 + 0.5) / 1000000.0 AS theil
+        FROM tot
+    """
+    _o["copurchase_neighbor_jaccard"] = f"""
+        WITH {_COPURCHASE_EDGES_CTE},
+        und AS (SELECT src, dst FROM e
+                UNION ALL SELECT dst, src FROM e),
+        deg AS (SELECT src, count(*) AS deg FROM und GROUP BY src),
+        wu AS (
+            SELECT u.src AS w, u.dst AS uu
+            FROM und u JOIN deg d ON u.src = d.src
+            WHERE d.deg >= 2 AND d.deg <= 10000
+        ), pairs AS (
+            SELECT a.uu AS u, b.uu AS v
+            FROM wu a JOIN wu b ON a.w = b.w AND a.uu < b.uu
+        ), common AS (
+            SELECT u, v, CAST(count(*) AS BIGINT) AS n_common
+            FROM pairs GROUP BY u, v
+        ), existing AS (
+            SELECT DISTINCT src AS u, dst AS v FROM und WHERE src < dst
+        ), sc AS (
+            SELECT c.u, c.v, c.n_common,
+                   du.deg AS du, dv.deg AS dv,
+                   (1000000000 * c.n_common)
+                       // (du.deg + dv.deg - c.n_common) AS s
+            FROM common c
+            JOIN deg du ON c.u = du.src
+            JOIN deg dv ON c.v = dv.src
+            WHERE NOT EXISTS (SELECT 1 FROM existing e2
+                              WHERE e2.u = c.u AND e2.v = c.v)
+        )
+        SELECT u AS user_a, v AS user_b, n_common,
+               CAST(du + dv - n_common AS BIGINT) AS n_union,
+               CAST(s AS DOUBLE) / 1000000000.0 AS jaccard
+        FROM sc ORDER BY s DESC, u, v LIMIT 50
     """
     _o["doc_simpson_diversity"] = """
         WITH tok AS (

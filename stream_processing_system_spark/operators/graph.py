@@ -423,3 +423,81 @@ def adamic_adar(
             (F.col("s").cast("double") / F.lit(1e9)).alias("aa_score"),
         )
     )
+
+
+def neighbor_jaccard(
+    edges: DataFrame, k: int = 50, max_degree: int = 10_000
+) -> DataFrame:
+    """Jaccard link prediction: for node pairs NOT currently
+    connected, score = |Γ(u) ∩ Γ(v)| / |Γ(u) ∪ Γ(v)|, returning the
+    top-k strongest predicted links — the degree-normalized
+    companion to `adamic_adar` (AA up-weights rare common
+    neighbors; Jaccard punishes high-degree nodes whose
+    neighborhoods overlap only incidentally, the standard
+    link-prediction baseline pair in Liben-Nowell & Kleinberg 2007).
+
+    Determinism: NO floats anywhere in the ranking — the score is
+    the exact integer (1e9·n_common) div (deg_u + deg_v − n_common)
+    (both engines' integer division truncates identically), ordered
+    with (u, v) tie-breaks; the display ratio divides once.
+
+    Scale: same wedge-join valve as `adamic_adar` — centers need
+    2 ≤ deg ≤ max_degree (a hub's wedge fan-out is deg², and a
+    10⁶-degree hub predicts everything and means nothing), so
+    n_common counts VALVE-ELIGIBLE common neighbors while the
+    denominator uses full degrees (documented; consistent with AA).
+    The undirected edge list is localCheckpoint'd once — it feeds
+    the degree count, both wedge sides, and the existing-edge anti
+    join."""
+    und = _undirect(edges).localCheckpoint(eager=True)
+    deg = und.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    wu = und.join(
+        deg.where(
+            (F.col("deg") >= 2) & (F.col("deg") <= max_degree)
+        ).select("src"),
+        "src",
+    ).select(F.col("src").alias("w"), F.col("dst").alias("u"))
+    pairs = (
+        wu.alias("a")
+        .join(
+            wu.alias("b"),
+            (F.col("a.w") == F.col("b.w")) & (F.col("a.u") < F.col("b.u")),
+        )
+        .select(F.col("a.u").alias("u"), F.col("b.u").alias("v"))
+    )
+    common = pairs.groupBy("u", "v").agg(
+        F.count(F.lit(1)).alias("n_common")
+    )
+    existing = (
+        und.where(F.col("src") < F.col("dst"))
+        .select(F.col("src").alias("u"), F.col("dst").alias("v"))
+        .distinct()
+    )
+    scored = (
+        common.join(existing, ["u", "v"], "left_anti")
+        .join(
+            deg.select(F.col("src").alias("u"), F.col("deg").alias("du")),
+            "u",
+        )
+        .join(
+            deg.select(F.col("src").alias("v"), F.col("deg").alias("dv")),
+            "v",
+        )
+        .withColumn(
+            "s",
+            F.expr("(1000000000 * n_common) div (du + dv - n_common)"),
+        )
+    )
+    return (
+        scored.orderBy(F.desc("s"), "u", "v")
+        .limit(k)
+        .select(
+            "u",
+            "v",
+            F.col("n_common").cast("long").alias("n_common"),
+            (F.col("du") + F.col("dv") - F.col("n_common"))
+            .cast("long")
+            .alias("n_union"),
+            (F.col("s").cast("double") / F.lit(1e9)).alias("jaccard"),
+        )
+    )

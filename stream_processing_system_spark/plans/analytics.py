@@ -12630,6 +12630,15 @@ def events_cvm_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.lit(1) - half).alias("ca"),
         F.sum(half).alias("cb"),
     )
+    return cvm_from_cells(cells)
+
+
+def cvm_from_cells(cells: DataFrame) -> DataFrame:
+    """Shared CvM tail over an (event_type, v, ca, cb) exact-centi
+    count frame — factored for the streaming twin (the cell counts
+    are a mergeable monoid, so a streaming aggregation maintains
+    exactly this frame)."""
+    d38 = "decimal(38,0)"
     w_cum = (
         Window.partitionBy("event_type")
         .orderBy("v")
@@ -12828,3 +12837,86 @@ def events_pinball_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("mean_pinball_p90"),
     ).orderBy("event_type")
+
+
+def supplier_revenue_theil(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil-T inequality index of revenue concentration across
+    suppliers: T = Σᵢ (rᵢ/R)·ln(N·rᵢ/R) — 0 when every supplier
+    earns the same, ln(N) at total concentration. The decomposable
+    inequality member of the concentration family
+    (`nation_supplier_hhi` is the sum-of-squares market-shares view;
+    `brand_revenue_pareto` is the cumulative-share view; Theil is
+    the information-theoretic one auditors decompose by region).
+
+    Exactness: per-supplier revenue is the proven money device
+    (Σ cast(extprice·(1−disc) as decimal(18,4)), exactly
+    representable) converted to exact 1e-4 integer units; each
+    supplier's float term is floored to a 1e-12 grid BIGINT before
+    the cross-supplier sum (the chi2-drift device — a data-sized
+    float sum is never trusted raw), and the final T is one double
+    division. ln parity Spark↔DuckDB is the same accepted reliance
+    as the IRLS/Adamic-Adar families.
+
+    Shape: one lineitem→supplier hash aggregate, a 1-row total
+    broadcast back on a literal key, one exact-integer reduce."""
+    li = load_table(spark, sf_dir, "lineitem")
+    d38 = "decimal(38,0)"
+    dp = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    per = (
+        li.groupBy("l_suppkey")
+        .agg(F.sum(dp.cast("decimal(18,4)")).alias("_rev4"))
+        .select(
+            "l_suppkey",
+            F.expr("cast(_rev4 * 10000 as decimal(38,0))").alias("r"),
+        )
+        .withColumn("_k", F.lit(1))
+    )
+    tot = per.groupBy("_k").agg(
+        F.sum("r").alias("rr"),
+        F.count(F.lit(1)).alias("nn"),
+        F.max("r").alias("rmax"),
+    )
+    j = per.join(F.broadcast(tot), "_k")
+    rd = F.col("r").cast("double")
+    Rd = F.col("rr").cast("double")
+    Nd = F.col("nn").cast("double")
+    p = rd / Rd
+    term = F.floor(
+        p * F.log(Nd * p) * F.lit(1e12) + F.lit(0.5)
+    ).cast("long")
+    agg = j.groupBy("_k").agg(
+        F.max("nn").alias("nn"),
+        F.max("rr").alias("rr"),
+        F.max("rmax").alias("rmax"),
+        F.sum(term.cast(d38)).alias("s"),
+    )
+    return agg.select(
+        F.col("nn").cast("long").alias("n_suppliers"),
+        (F.col("rr").cast("double") / F.lit(1e4)).alias("total_revenue"),
+        det_round(
+            F.col("rmax").cast("double") / F.col("rr").cast("double"), 6
+        ).alias("top_share"),
+        det_round(
+            F.col("s").cast("double") / F.lit(1e12), 6
+        ).alias("theil"),
+    )
+
+
+def copurchase_neighbor_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-50 predicted links in the user co-purchase graph by
+    neighborhood Jaccard (operators/graph.py:neighbor_jaccard —
+    integer-division score grid, no floats in the ranking, same
+    hub valve as Adamic-Adar)."""
+    from stream_processing_system_spark.operators.graph import (
+        cooccurrence_edges,
+        neighbor_jaccard,
+    )
+
+    events = load_table(spark, sf_dir, "events")
+    return neighbor_jaccard(cooccurrence_edges(events), k=50).select(
+        F.col("u").alias("user_a"),
+        F.col("v").alias("user_b"),
+        "n_common",
+        "n_union",
+        "jaccard",
+    )

@@ -54,7 +54,7 @@ def test_r7_rotation_invariants():
     (49+49+50+50+50+50, zero overlap — the r5/r6 windows ARE
     backlog[:50]/[50:100], so 198 pre-backlog + the banked [:100]
     slice), so every registered query is either already checked or
-    scheduled (round 8 = backlog[150:184], 34 names: the 4 round-7
+    scheduled (round 8 = backlog[150:187], 37 names: the 7 round-7
     additions swept at both scales in round 7, then 30 names
     pre-cleared at sf0.1 in ORACLE_SF01_R78_PRECLEAR.txt — no query
     can end round 8 unchecked)."""
@@ -64,7 +64,7 @@ def test_r7_rotation_invariants():
     assert names[:50] == window
     assert window == backlog[100:150]
     assert len(set(window)) == 50
-    assert len(set(backlog)) == len(backlog) == 184
+    assert len(set(backlog)) == len(backlog) == 187
     assert set(backlog) <= set(names)
     assert contract._R5_DRIVER_WINDOW == backlog[:50]
     assert contract._R6_DRIVER_WINDOW == backlog[50:100]
@@ -78,9 +78,9 @@ def test_r7_rotation_invariants():
     # the most determinism risk); round 8 holds exactly 30.
     assert backlog[50:64][0] == "events_ljung_box"
     assert backlog[100] == "events_mann_kendall"
-    # the 4 round-7 additions lead the round-8 window
+    # the 7 round-7 additions lead the round-8 window
     assert backlog[150] == "events_cvm_drift"
-    assert len(backlog[150:]) == 34
+    assert len(backlog[150:]) == 37
     # round 8's window is fully pre-cleared at sf0.1
     import os
 
@@ -91,4 +91,4 @@ def test_r7_rotation_invariants():
         for ln in open(pre)
         if ln.strip() and not ln.startswith("#")
     }
-    assert set(backlog[150:184]) <= cleared
+    assert set(backlog[150:187]) <= cleared

@@ -217,3 +217,80 @@ def test_simpson_diversity_hand_case(spark):
     assert out["s"]["simpson"] == round((2 * 1 + 2 * 1) / (4 * 3), 6)
     assert out["mono"]["simpson"] == 1.0
     assert out["mono"]["inv_simpson"] == 1.0
+
+
+def test_neighbor_jaccard_hand_case(spark):
+    """Square graph 1-2-3-4-1: predicted links are the two diagonals
+    with J = 2/(2+2-2) = 1.0; existing edges are excluded."""
+    from stream_processing_system_spark.operators.graph import (
+        neighbor_jaccard,
+    )
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (1, 4)], "src long, dst long"
+    )
+    out = neighbor_jaccard(edges).collect()
+    got = {(r["u"], r["v"]): r for r in out}
+    assert set(got) == {(1, 3), (2, 4)}
+    assert got[(1, 3)]["n_common"] == 2
+    assert got[(1, 3)]["n_union"] == 2
+    assert got[(1, 3)]["jaccard"] == 1.0
+
+
+def test_supplier_theil_uniform_is_zero(spark, tmp_path):
+    """Equal revenues => Theil exactly 0; one dominant supplier
+    pushes it toward ln(N)."""
+    import os
+
+    from stream_processing_system_spark.plans.analytics import (
+        supplier_revenue_theil,
+    )
+
+    def write(rows, name):
+        df = spark.createDataFrame(
+            rows,
+            "l_orderkey long, l_partkey long, l_suppkey long,"
+            " l_linenumber long, l_quantity double,"
+            " l_extendedprice double, l_discount double, l_tax double,"
+            " l_returnflag string, l_linestatus string,"
+            " l_shipdate date, l_commitdate date, l_receiptdate date,"
+            " l_shipinstruct string, l_shipmode string, l_comment string",
+        )
+        sf = str(tmp_path / name)
+        os.makedirs(sf, exist_ok=True)
+        df.write.mode("overwrite").parquet(
+            os.path.join(sf, "lineitem.parquet")
+        )
+        return sf
+
+    d = datetime.date(1995, 1, 1)
+
+    def li(i, supp, price):
+        return (i, 1, supp, 1, 1.0, price, 0.0, 0.0, "N", "O",
+                d, d, d, "x", "MAIL", "c")
+
+    eq = [li(i, i % 4, 100.0) for i in range(8)]
+    out = supplier_revenue_theil(spark, write(eq, "eq")).collect()[0]
+    assert out["n_suppliers"] == 4
+    assert out["theil"] == 0.0
+    skew = [li(0, 0, 9700.0)] + [li(i, i, 100.0) for i in range(1, 4)]
+    out2 = supplier_revenue_theil(spark, write(skew, "skew")).collect()[0]
+    assert out2["n_suppliers"] == 4
+    assert out2["top_share"] == 0.97
+    assert out2["theil"] > 1.2  # near ln(4) = 1.386
+
+
+def test_stream_cvm_matches_batch(spark):
+    """The streaming twin must reproduce the batch CvM exactly at
+    the smoke scale (same oracle, mergeable cell state)."""
+    from stream_processing_system_spark.plans.analytics import (
+        events_cvm_drift,
+    )
+    from stream_processing_system_spark.plans.streaming_parity import (
+        stream_cvm_drift,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    batch = [tuple(r) for r in events_cvm_drift(spark, sf).collect()]
+    stream = [tuple(r) for r in stream_cvm_drift(spark, sf).collect()]
+    assert batch == stream
