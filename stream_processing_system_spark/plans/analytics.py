@@ -12729,11 +12729,14 @@ def orders_gk_gamma(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     pairs = a.join(F.broadcast(b), "_k").where(F.col("pr2") > F.col("pr1"))
     prod = F.col("n1").cast(d38) * F.col("n2")
-    agg = pairs.groupBy("_k").agg(
+    # global agg (no groupBy) so a degenerate single-priority input
+    # still yields ONE row (empty pair table -> C = D = 0, gamma
+    # NULL), matching the oracle's ungrouped aggregate
+    agg = pairs.agg(
         F.sum(F.when(F.col("b2") > F.col("b1"), prod)).alias("_c"),
         F.sum(F.when(F.col("b2") < F.col("b1"), prod)).alias("_d"),
     ).select(
-        "_k",
+        F.lit(1).alias("_k"),
         F.coalesce(F.col("_c"), F.lit(0).cast(d38)).alias("c"),
         F.coalesce(F.col("_d"), F.lit(0).cast(d38)).alias("d"),
     )
@@ -12858,7 +12861,11 @@ def supplier_revenue_theil(spark: SparkSession, sf_dir: str) -> DataFrame:
     as the IRLS/Adamic-Adar families.
 
     Shape: one lineitem→supplier hash aggregate, a 1-row total
-    broadcast back on a literal key, one exact-integer reduce."""
+    broadcast back on a literal key, one exact-integer reduce.
+    Precondition: per-supplier revenue > 0 (TPC-H prices are
+    positive); a zero-revenue supplier makes ln(0)·0 = NaN, which
+    RAISES on the exact-cast in both ANSI Spark and DuckDB —
+    converged loud failure, never a silent skip."""
     li = load_table(spark, sf_dir, "lineitem")
     d38 = "decimal(38,0)"
     dp = F.col("l_extendedprice") * (1 - F.col("l_discount"))
