@@ -1584,6 +1584,19 @@ def embedding_mmd_shift(
         F.sum(F.col("sa") * F.col("sb")).alias("dot"),
         F.sum(F.col("sa") * F.col("sa")).alias("qa"),
         F.sum(F.col("sb") * F.col("sb")).alias("qb"),
+        # per-dim overflow detector: a decimal overflow in one dim's
+        # product NULLs just that row and SUM would skip it — count
+        # NULL terms explicitly (inputs are never NULL, so a NULL
+        # product IS an overflow)
+        F.sum(
+            F.when(
+                (gap * gap).isNull()
+                | (F.col("sa") * F.col("sb")).isNull()
+                | (F.col("sa") * F.col("sa")).isNull()
+                | (F.col("sb") * F.col("sb")).isNull(),
+                F.lit(1),
+            ).otherwise(F.lit(0))
+        ).alias("n_ovf"),
     )
     # Overflow guard: gap² ~ (na·nb·1e6·|v|)², so decimal(38,0)
     # holds up to na·nb ≈ 1e13 (≈3e6 rows/label at |v|≈1) — ~1e8×
@@ -1597,6 +1610,7 @@ def embedding_mmd_shift(
         | F.col("dot").isNull()
         | F.col("qa").isNull()
         | F.col("qb").isNull()
+        | (F.col("n_ovf") > 0)
     )
     _raise = F.raise_error(
         F.lit(

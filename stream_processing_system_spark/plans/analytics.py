@@ -12406,16 +12406,25 @@ def events_watermark_lateness(spark: SparkSession, sf_dir: str) -> DataFrame:
     prefix max). Max is associative over disjoint prefixes, so this
     is bit-identical to the single ordered window the oracle runs.
     At 100 TB, raise `chunk` so the prefix table stays ~1e4 rows per
-    type; every stage stays data-parallel."""
+    type; every stage stays data-parallel. `base` is deliberately
+    NOT checkpointed: it is the full row-grain table, so the cheaper
+    path is two column-pruned parquet scans (one per phase), not a
+    table-sized materialization."""
     events = load_table(spark, sf_dir, "events")
     d38 = "decimal(38,0)"
     chunk = 4096  # event_ids per chunk; scale knob: ~N/1e4 at 100 TB
     us = F.unix_micros(F.col("ts"))
+    # NULL-safe chunk key: the inner join back on (_type, _chunk)
+    # must never DROP a row, so a NULL event_id (out of the data
+    # contract, but a silent row-loss if it ever appears) lands in
+    # chunk -1 rather than vanishing through a NULL join key
     base = events.select(
         "event_type",
         F.col("event_id"),
         us.alias("t"),
-        (F.col("event_id") / chunk).cast("long").alias("_chunk"),
+        F.coalesce(
+            (F.col("event_id") / chunk).cast("long"), F.lit(-1)
+        ).alias("_chunk"),
     )
     w_local = (
         Window.partitionBy("event_type", "_chunk")
@@ -12656,10 +12665,19 @@ def cvm_from_cells(cells: DataFrame) -> DataFrame:
     gap = F.col("cuma").cast(d38) * F.col("nb") - F.col("cumb").cast(
         d38
     ) * F.col("na")
+    term = F.col("t").cast(d38) * gap * gap
+    # overflow guard must catch the PER-ROW mode too: a decimal
+    # overflow inside one cell's t·gap² NULLs just that row, SUM
+    # skips it, and s would come back non-NULL but silently wrong —
+    # so NULL terms are counted explicitly (inputs are never NULL,
+    # so a NULL term IS an overflow)
     agg = cum.groupBy("event_type").agg(
         F.max("na").alias("na"),
         F.max("nb").alias("nb"),
-        F.sum(F.col("t").cast(d38) * gap * gap).alias("s"),
+        F.sum(term).alias("s"),
+        F.sum(
+            F.when(term.isNull(), F.lit(1)).otherwise(F.lit(0))
+        ).alias("n_ovf"),
     )
     _raise = F.raise_error(
         F.lit(
@@ -12671,9 +12689,9 @@ def cvm_from_cells(cells: DataFrame) -> DataFrame:
     nad = F.col("na").cast("double")
     nbd = F.col("nb").cast("double")
     nd = nad + nbd
-    t_stat = F.when(F.col("s").isNull(), _raise).otherwise(
-        F.col("s").cast("double") / (nad * nbd * nd * nd)
-    )
+    t_stat = F.when(
+        F.col("s").isNull() | (F.col("n_ovf") > 0), _raise
+    ).otherwise(F.col("s").cast("double") / (nad * nbd * nd * nd))
     return agg.select(
         "event_type",
         F.col("na").cast("long").alias("n_first"),
@@ -12702,18 +12720,24 @@ def orders_gk_gamma(spark: SparkSession, sf_dir: str) -> DataFrame:
     dominance pairing as a BroadcastHashJoin of the tiny cell table
     with itself on a literal key (never a CartesianProduct), and a
     single-row reduce — everything after the first aggregate is
-    constant-size no matter how many orders exist."""
+    constant-size no matter how many orders exist. A degenerate
+    single-class input still yields one row (C=D=0, gamma NULL);
+    an entirely EMPTY orders table is out of the data contract
+    (TPC-H tables are non-empty at every SF)."""
     orders = load_table(spark, sf_dir, "orders")
     d38 = "decimal(38,0)"
     pr = F.substring(F.col("o_orderpriority"), 1, 1).cast("long")
     cents = F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")
     band = F.least(F.expr("_cents div 5000000"), F.lit(8)).cast("long")
+    # the <=45-row cell table feeds BOTH join sides and the total —
+    # localCheckpoint so the orders scan + aggregate run ONCE, not 3x
     cells = (
         orders.select(pr.alias("pr"), cents.alias("_cents"))
         .select("pr", band.alias("band"))
         .groupBy("pr", "band")
         .agg(F.count(F.lit(1)).alias("n"))
         .withColumn("_k", F.lit(1))
+        .localCheckpoint(eager=True)
     )
     a = cells.select(
         "_k",
@@ -12862,13 +12886,17 @@ def supplier_revenue_theil(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Shape: one lineitem→supplier hash aggregate, a 1-row total
     broadcast back on a literal key, one exact-integer reduce.
+    An entirely empty lineitem table is out of the data contract.
     Precondition: per-supplier revenue > 0 (TPC-H prices are
-    positive); a zero-revenue supplier makes ln(0)·0 = NaN, which
-    RAISES on the exact-cast in both ANSI Spark and DuckDB —
-    converged loud failure, never a silent skip."""
+    positive); a zero-revenue supplier hits an explicit in-plan
+    raise (Spark's ln(0) is NULL and would be silently SKIPPED by
+    the sum; DuckDB's ln(0) raises — the guard converges both to a
+    loud failure)."""
     li = load_table(spark, sf_dir, "lineitem")
     d38 = "decimal(38,0)"
     dp = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    # supplier-grain frame feeds the total AND the term map —
+    # localCheckpoint so the lineitem scan + aggregate run ONCE
     per = (
         li.groupBy("l_suppkey")
         .agg(F.sum(dp.cast("decimal(18,4)")).alias("_rev4"))
@@ -12877,6 +12905,7 @@ def supplier_revenue_theil(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("cast(_rev4 * 10000 as decimal(38,0))").alias("r"),
         )
         .withColumn("_k", F.lit(1))
+        .localCheckpoint(eager=True)
     )
     tot = per.groupBy("_k").agg(
         F.sum("r").alias("rr"),
@@ -12888,9 +12917,23 @@ def supplier_revenue_theil(spark: SparkSession, sf_dir: str) -> DataFrame:
     Rd = F.col("rr").cast("double")
     Nd = F.col("nn").cast("double")
     p = rd / Rd
-    term = F.floor(
-        p * F.log(Nd * p) * F.lit(1e12) + F.lit(0.5)
-    ).cast("long")
+    # zero-revenue guard: Spark's ln(0) is NULL (the term would be
+    # silently SKIPPED by SUM) while DuckDB's ln(0) raises — converge
+    # by raising loudly on r <= 0 (out of the data contract)
+    term = F.when(
+        F.col("r") <= F.lit(0).cast("decimal(38,0)"),
+        F.raise_error(
+            F.lit(
+                "supplier_revenue_theil: non-positive supplier "
+                "revenue breaks the ln term (DuckDB raises on "
+                "ln(0); Spark must not silently skip)"
+            )
+        ).cast("long"),
+    ).otherwise(
+        F.floor(p * F.log(Nd * p) * F.lit(1e12) + F.lit(0.5)).cast(
+            "long"
+        )
+    )
     agg = j.groupBy("_k").agg(
         F.max("nn").alias("nn"),
         F.max("rr").alias("rr"),
