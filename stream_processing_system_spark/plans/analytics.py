@@ -2038,8 +2038,13 @@ def events_drift_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
     through its nonzero cell, which is the right sensitivity for a
     monitor (an empty observed cell with positive expectation would
     add e ≤ a few counts of statistic, not change the alarm).
+    NULL ts filtered explicitly on both engines (the CvM precedent,
+    ADVICE r7): as a groupBy key, Spark's NULL half would form its
+    own cell while the oracle's CASE ELSE lands it in half 0.
     """
-    events = load_table(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    events = load_table(spark, sf_dir, "events").where(
+        F.col("value").isNotNull() & F.col("ts").isNotNull()
+    )
     half = (F.col("ts") >= F.lit("2024-01-16")).cast("int")
     cells = (
         events.groupBy(
@@ -4148,8 +4153,11 @@ def events_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     (margins via one window over the tiny band table, no second
     scan); each band's term is quantized to a 1e-9 integer grid
     before the per-type sum (the chi2-drift device), so the only
-    doubles are fixed-order per-band expressions."""
-    events = load_table(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    doubles are fixed-order per-band expressions. NULL ts filtered
+    explicitly on both engines (the CvM precedent, ADVICE r7)."""
+    events = load_table(spark, sf_dir, "events").where(
+        F.col("value").isNotNull() & F.col("ts").isNotNull()
+    )
     half = (F.col("ts") >= F.lit("2024-01-16")).cast("int")
     cells = events.groupBy(
         "event_type",
@@ -4708,8 +4716,11 @@ def events_type_jsd(spark: SparkSession, sf_dir: str) -> DataFrame:
     terms are quantized to a 1e-9 integer grid before the cross-type
     sum (the chi2/PSI device); types absent from a half contribute
     only through the present side (0·log0 = 0). One scan aggregate
-    onto the type domain."""
-    events = load_table(spark, sf_dir, "events")
+    onto the type domain. NULL ts filtered explicitly on both
+    engines (the CvM precedent, ADVICE r7)."""
+    events = load_table(spark, sf_dir, "events").where(
+        F.col("ts").isNotNull()
+    )
     half = (F.col("ts") >= F.lit("2024-01-16")).cast("int")
     cells = events.groupBy("event_type").agg(
         F.sum(F.lit(1) - half).alias("c1"),
@@ -5960,9 +5971,12 @@ def events_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     |cumA·nB − cumB·nA| (no doubles until the final division), the
     peak location ties break to the smallest value, and cumulative
     counts come from one window over the per-(type, cent) frame —
-    bounded by the value domain, not the data."""
+    bounded by the value domain, not the data. NULL ts is filtered
+    explicitly on both engines (the CvM precedent, ADVICE r7):
+    otherwise SUM's NULL-skip vs the oracle's CASE WHEN ELSE 1
+    diverge on a NULL-ts row."""
     events = load_table(spark, sf_dir, "events").where(
-        F.col("value").isNotNull()
+        F.col("value").isNotNull() & F.col("ts").isNotNull()
     )
     half = (F.col("ts") >= F.lit("2024-01-16")).cast("int")
     cells = events.groupBy(
@@ -12417,13 +12431,16 @@ def events_watermark_lateness(spark: SparkSession, sf_dir: str) -> DataFrame:
     # NULL-safe chunk key: the inner join back on (_type, _chunk)
     # must never DROP a row, so a NULL event_id (out of the data
     # contract, but a silent row-loss if it ever appears) lands in
-    # chunk -1 rather than vanishing through a NULL join key
+    # chunk -1 rather than vanishing through a NULL join key.
+    # Integral `div`, not float division: a double round-trip is
+    # exact only for power-of-two chunks under 2^53, and `chunk` is
+    # advertised as a scale knob — `div` keeps ANY chunk value exact
     base = events.select(
         "event_type",
         F.col("event_id"),
         us.alias("t"),
         F.coalesce(
-            (F.col("event_id") / chunk).cast("long"), F.lit(-1)
+            F.expr(f"event_id div {chunk}"), F.lit(-1)
         ).alias("_chunk"),
     )
     w_local = (
@@ -12626,9 +12643,15 @@ def events_cvm_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     isNull-guard.
 
     Shape: one (type, cent) hash aggregate, cumulative windows over
-    the BOUNDED cent-domain frame, one per-type reduce."""
+    the BOUNDED cent-domain frame, one per-type reduce.
+
+    NULL ts is filtered EXPLICITLY (not left to SUM's NULL-skip):
+    `F.sum(1 - half)` would skip a NULL-ts row while the oracle's
+    CASE WHEN counts it into ca — a latent parity divergence
+    (ADVICE r7) closed by the same `ts IS NOT NULL` predicate on
+    both engines."""
     events = load_table(spark, sf_dir, "events").where(
-        F.col("value").isNotNull()
+        F.col("value").isNotNull() & F.col("ts").isNotNull()
     )
     d38 = "decimal(38,0)"
     half = (F.col("ts") >= F.lit("2024-01-16")).cast("int")
@@ -12642,11 +12665,15 @@ def events_cvm_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cvm_from_cells(cells)
 
 
-def cvm_from_cells(cells: DataFrame) -> DataFrame:
+def cvm_from_cells(
+    cells: DataFrame, query: str = "events_cvm_drift"
+) -> DataFrame:
     """Shared CvM tail over an (event_type, v, ca, cb) exact-centi
     count frame — factored for the streaming twin (the cell counts
     are a mergeable monoid, so a streaming aggregation maintains
-    exactly this frame)."""
+    exactly this frame). `query` names the caller in the overflow
+    diagnostic so a raise in the streaming twin blames the right
+    query (ADVICE r7)."""
     d38 = "decimal(38,0)"
     w_cum = (
         Window.partitionBy("event_type")
@@ -12681,7 +12708,7 @@ def cvm_from_cells(cells: DataFrame) -> DataFrame:
     )
     _raise = F.raise_error(
         F.lit(
-            "events_cvm_drift: decimal(38,0) overflow in the gap² "
+            f"{query}: decimal(38,0) overflow in the gap² "
             "sum (per-type row count exceeds the documented ~3e7 "
             "bound); re-grid via a second-level chunked reduction"
         )

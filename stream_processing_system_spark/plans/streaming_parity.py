@@ -1214,9 +1214,12 @@ def stream_cvm_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     input_dir, ckpt, run = _scratch("scvm")
+    # ts IS NOT NULL mirrors the batch plan and the oracle exactly:
+    # without it, SUM's NULL-skip of the half indicator would drop
+    # NULL-ts rows the oracle's CASE WHEN counts into ca (ADVICE r7)
     events = (
         load_table(spark, sf_dir, "events")
-        .where(F.col("value").isNotNull())
+        .where(F.col("value").isNotNull() & F.col("ts").isNotNull())
         .select("ts", "event_type", "value")
     )
     events.write.mode("overwrite").parquet(input_dir)
@@ -1250,4 +1253,4 @@ def stream_cvm_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         q.awaitTermination()
     _cleanup(input_dir)
     cells = spark.table(f"scvm_{run}").localCheckpoint(eager=True)
-    return cvm_from_cells(cells)
+    return cvm_from_cells(cells, query="stream_cvm_drift")

@@ -44,38 +44,42 @@ def test_driver_window_is_fully_oracle_checked():
     assert not missing, missing
 
 
-def test_r7_rotation_invariants():
-    """Round-7 rotation bookkeeping: the first 50 registered queries
-    are exactly _R7_DRIVER_WINDOW (= _ROTATION_BACKLOG[100:150], 50
-    unique never-driver-green names, led by the 23 round-6
-    additions), the round-4/5/6 windows stay intact as the
-    historical record, and backlog + driver-checked partitions the
-    registry: rounds 1-6 banked 298 distinct green rows
-    (49+49+50+50+50+50, zero overlap — the r5/r6 windows ARE
-    backlog[:50]/[50:100], so 198 pre-backlog + the banked [:100]
-    slice), so every registered query is either already checked or
-    scheduled (round 8 = backlog[150:187], 37 names: the 7 round-7
-    additions swept at both scales in round 7, then 30 names
-    pre-cleared at sf0.1 in ORACLE_SF01_R78_PRECLEAR.txt — no query
-    can end round 8 unchecked)."""
-    window = contract._R7_DRIVER_WINDOW
+def test_r8_rotation_invariants():
+    """Round-8 rotation bookkeeping — the round the rotation CLOSES:
+    the first 37 registered queries are exactly _R8_DRIVER_WINDOW
+    (= _ROTATION_BACKLOG[150:187], the FINAL never-driver-green
+    names, the 7 round-7 additions first), positions 38-50 are the
+    13 deliberate _R8_WINDOW_FILL re-checks (already driver-green in
+    earlier rounds, chosen because this round's commits touched
+    their plans/oracles, they are the reference flagships, or they
+    sit in the 1-ulp statistics class), the round-4..7 windows stay
+    intact as the historical record, and backlog + driver-checked
+    partitions the registry: rounds 1-7 banked 348 distinct green
+    rows (198 pre-backlog + backlog[:150]), so after round 8's
+    window every registered query holds a driver CORRECTNESS row."""
+    window = contract._R8_DRIVER_WINDOW
+    fill = contract._R8_WINDOW_FILL
     backlog = contract._ROTATION_BACKLOG
     names = list(QUERIES)
-    assert names[:50] == window
-    assert window == backlog[100:150]
-    assert len(set(window)) == 50
+    assert names[:37] == window
+    assert names[37:50] == fill
+    assert window == backlog[150:187]
+    assert len(set(window)) == 37
+    assert len(set(fill)) == 13
+    # fills are RE-checks: all already banked in rounds 1-7, i.e.
+    # either pre-backlog or inside the banked backlog[:150] slice
+    assert not set(fill) & set(backlog[150:])
     assert len(set(backlog)) == len(backlog) == 187
     assert set(backlog) <= set(names)
     assert contract._R5_DRIVER_WINDOW == backlog[:50]
     assert contract._R6_DRIVER_WINDOW == backlog[50:100]
+    assert contract._R7_DRIVER_WINDOW == backlog[100:150]
     assert len(set(contract._R4_DRIVER_WINDOW)) == 50
     assert not set(contract._R4_DRIVER_WINDOW) & set(backlog)
     # rounds 1-4 banked 198 names none of which are in the backlog;
-    # rounds 5-6 banked backlog[:100]; everything else is scheduled.
+    # rounds 5-7 banked backlog[:150]; round 8 banks the rest.
     assert len(names) == len(backlog) + 198
-    # the 14 round-5 additions lead the round-6 window and the 23
-    # round-6 additions lead the round-7 window (newest code carries
-    # the most determinism risk); round 8 holds exactly 30.
+    # the newest-code-first ordering of the historical windows
     assert backlog[50:64][0] == "events_ljung_box"
     assert backlog[100] == "events_mann_kendall"
     # the 7 round-7 additions lead the round-8 window
