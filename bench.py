@@ -19,7 +19,14 @@ tail). `headline_sec` keeps the round-over-round comparable subtotal
 
 Execution is forced with a noop-format write (full pipeline runs,
 nothing materializes driver-side), after a warm-up query that absorbs
-JVM/codegen startup so numbers measure the plans, not the JIT."""
+JVM/codegen startup so numbers measure the plans, not the JIT.
+
+Noise posture (this host shows multi-minute hypervisor CPU-steal
+windows): min-of-2 per query, an ADAPTIVE third sample whenever the
+two samples disagree by >1.3x, and a recurring q1_wordcount
+calibration probe whose median/min pair is recorded in both output
+records — a run taken inside a hot window is then self-evident from
+its own calibration row instead of needing a by-hand re-measure."""
 
 from __future__ import annotations
 
@@ -287,15 +294,36 @@ def main() -> None:
     # Each query is timed twice and the MIN is reported: this host
     # shows hypervisor CPU-steal bursts (vmstat st spikes) that can
     # land a one-off 20-30 s stall on whichever query is running.
-    # min-of-2 measures the plan, not the noisy neighbor.
+    # min-of-2 measures the plan, not the noisy neighbor. When the
+    # two samples DISAGREE (>1.3x apart and the min is non-trivial),
+    # a burst likely straddled both, so a third sample adjudicates —
+    # round 7's driver record showed individual rows up to 7.9x on
+    # plan-byte-unchanged queries, which min-of-2 alone let through.
+    def sample(name: str) -> float:
+        t0 = time.perf_counter()
+        force(queries[name](spark, sf_dir))
+        return time.perf_counter() - t0
+
+    # Calibration probe: a fixed cheap query re-timed throughout the
+    # run. Its MEDIAN vs its MIN is the run's ambient-inflation
+    # factor — recorded in the detail file and summary so a hot run
+    # is self-evident (and normalizable) without re-measuring.
+    CALIBRATE_EVERY = 25
+    calibration: list[float] = []
+
     timings: dict[str, float] = {}
-    for name in names:
-        best = float("inf")
-        for _ in range(2):
-            t0 = time.perf_counter()
-            force(queries[name](spark, sf_dir))
-            best = min(best, time.perf_counter() - t0)
+    for i, name in enumerate(names):
+        if i % CALIBRATE_EVERY == 0:
+            calibration.append(round(sample("q1_wordcount"), 3))
+        a, b = sample(name), sample(name)
+        best = min(a, b)
+        if best > 0.2 and max(a, b) > 1.3 * best:
+            best = min(best, sample(name))
         timings[name] = round(best, 3)
+    calibration.append(round(sample("q1_wordcount"), 3))
+    cal_sorted = sorted(calibration)
+    cal_median = round(cal_sorted[len(cal_sorted) // 2], 3)
+    cal_min = cal_sorted[0]
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
@@ -314,6 +342,9 @@ def main() -> None:
                 "n_queries": len(timings),
                 "ivf_index_build_sec": ivf_build,
                 "pq_codebook_build_sec": pq_build,
+                "calibration_q1_samples": calibration,
+                "calibration_q1_median": cal_median,
+                "calibration_q1_min": cal_min,
                 "queries": timings,
             },
         )
@@ -332,6 +363,8 @@ def main() -> None:
                 },
                 "ivf_index_build_sec": ivf_build,
                 "pq_codebook_build_sec": pq_build,
+                "calibration_q1_median": cal_median,
+                "calibration_q1_min": cal_min,
                 "sf": sf_val,
             }
         ),
