@@ -2220,6 +2220,15 @@ _ROTATION_BACKLOG = [
     "volume_shipping",
     "bracket_revenue",
     "promo_revenue_ratio",
+    # --- round-8 capability wave: appended AFTER the closing
+    #     37-name window (VERDICT r7 item 5 — a mid-window insert
+    #     would shift the [150:187] positions); these are the
+    #     round-9 driver window front ---
+    "events_anderson_darling",
+    "events_cliffs_delta",
+    "events_variance_ratio",
+    "events_daypart_jonckheere",
+    "stream_ks_drift",
 ]
 
 #: Round-5 driver window (VERDICT r4 item 1, historical record): the
@@ -2703,6 +2712,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "copurchase_neighbor_jaccard": (
             analytics.copurchase_neighbor_jaccard
         ),
+        # --- round-8 capability wave (appended AFTER the closing
+        #     window per VERDICT r7 item 5; backlog[187:] = the
+        #     round-9 driver window front) ---
+        "events_anderson_darling": analytics.events_anderson_darling,
+        "events_cliffs_delta": analytics.events_cliffs_delta,
+        "events_variance_ratio": analytics.events_variance_ratio,
+        "events_daypart_jonckheere": (
+            analytics.events_daypart_jonckheere
+        ),
+        "stream_ks_drift": streaming_parity.stream_ks_drift,
     }
     head = {n: q[n] for n in _R8_DRIVER_WINDOW + _R8_WINDOW_FILL}
     assert len(head) == 50, f"driver window must be 50, got {len(head)}"
@@ -12584,4 +12603,187 @@ def oracle_sql() -> dict[str, str]:
                END AS inv_simpson
         FROM agg ORDER BY source
     """
+    _o["events_anderson_darling"] = """
+        WITH cells AS (
+            SELECT event_type,
+                   CAST(floor(value * 100 + 0.5) AS BIGINT) AS v,
+                   SUM(CASE WHEN ts >= TIMESTAMP '2024-01-16'
+                            THEN 0 ELSE 1 END) AS ca,
+                   SUM(CASE WHEN ts >= TIMESTAMP '2024-01-16'
+                            THEN 1 ELSE 0 END) AS cb
+            FROM events WHERE value IS NOT NULL AND ts IS NOT NULL
+            GROUP BY 1, 2
+        ), cum AS (
+            SELECT event_type, ca + cb AS t,
+                   SUM(ca) OVER (PARTITION BY event_type ORDER BY v
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS cuma,
+                   SUM(cb) OVER (PARTITION BY event_type ORDER BY v
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS cumb,
+                   SUM(ca) OVER (PARTITION BY event_type) AS na,
+                   SUM(cb) OVER (PARTITION BY event_type) AS nb
+            FROM cells
+        ), terms AS (
+            SELECT event_type, t, na, nb, cuma + cumb AS ct,
+                   CAST(CAST(cuma AS HUGEINT) * nb
+                        - CAST(cumb AS HUGEINT) * na AS DOUBLE) AS gapd
+            FROM cum WHERE na > 0 AND nb > 0
+        ), micro AS (
+            SELECT event_type, na, nb,
+                   CAST(floor(
+                       CAST(t AS DOUBLE) * gapd * gapd
+                       / (CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)
+                          * CAST(ct AS DOUBLE)
+                          * (CAST(na AS DOUBLE) + CAST(nb AS DOUBLE)
+                             - CAST(ct AS DOUBLE)))
+                       * 1000000000.0 + 0.5) AS HUGEINT) AS m
+            FROM terms WHERE ct < na + nb
+        )
+        SELECT event_type, CAST(MAX(na) AS BIGINT) AS n_first,
+               CAST(MAX(nb) AS BIGINT) AS n_second,
+               floor(CAST(SUM(m) AS DOUBLE) / 1000000000.0
+                     * 1000000.0 + 0.5) / 1000000.0 AS ad_a2
+        FROM micro GROUP BY 1 ORDER BY event_type
+    """
+    _o["events_cliffs_delta"] = """
+        WITH cells AS (
+            SELECT event_type,
+                   CAST(floor(value * 100 + 0.5) AS BIGINT) AS v,
+                   SUM(CASE WHEN ts >= TIMESTAMP '2024-01-16'
+                            THEN 0 ELSE 1 END) AS ca,
+                   SUM(CASE WHEN ts >= TIMESTAMP '2024-01-16'
+                            THEN 1 ELSE 0 END) AS cb
+            FROM events WHERE value IS NOT NULL AND ts IS NOT NULL
+            GROUP BY 1, 2
+        ), cum AS (
+            SELECT event_type, ca, cb,
+                   SUM(cb) OVER (PARTITION BY event_type ORDER BY v
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS cumb_le,
+                   SUM(ca) OVER (PARTITION BY event_type) AS na,
+                   SUM(cb) OVER (PARTITION BY event_type) AS nb
+            FROM cells
+        ), agg AS (
+            SELECT event_type, MAX(na) AS na, MAX(nb) AS nb,
+                   SUM(CAST(ca AS HUGEINT) * (cumb_le - cb)) AS n_gt,
+                   SUM(CAST(ca AS HUGEINT) * (nb - cumb_le)) AS n_lt
+            FROM cum WHERE na > 0 AND nb > 0 GROUP BY 1
+        )
+        SELECT event_type, CAST(na AS BIGINT) AS n_first,
+               CAST(nb AS BIGINT) AS n_second,
+               floor(CAST(n_gt - n_lt AS DOUBLE)
+                     / (CAST(na AS DOUBLE) * CAST(nb AS DOUBLE))
+                     * 1000000.0 + 0.5) / 1000000.0 AS cliffs_delta
+        FROM agg ORDER BY event_type
+    """
+    _o["events_variance_ratio"] = """
+        WITH daily AS (
+            SELECT event_type,
+                   epoch_us(ts) // 86400000000 AS d,
+                   CAST(count(*) AS BIGINT) AS c
+            FROM events WHERE ts IS NOT NULL GROUP BY 1, 2
+        ), seq AS (
+            SELECT event_type, d, c,
+                   SUM(c) OVER (PARTITION BY event_type ORDER BY d
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS x,
+                   COUNT(*) OVER (PARTITION BY event_type) AS t_days,
+                   SUM(c) OVER (PARTITION BY event_type) AS s
+            FROM daily
+        ), seq2 AS (
+            SELECT event_type, c, t_days, s,
+                   x - LAG(x, 5) OVER (PARTITION BY event_type
+                                       ORDER BY d) AS y
+            FROM seq
+        ), agg AS (
+            SELECT event_type, MAX(t_days) AS t_days,
+                   SUM((CAST(t_days AS HUGEINT) * c - s)
+                       * (CAST(t_days AS HUGEINT) * c - s)) AS ss1,
+                   SUM(CASE WHEN y IS NOT NULL THEN
+                       (CAST(t_days AS HUGEINT) * y - 5 * s)
+                       * (CAST(t_days AS HUGEINT) * y - 5 * s) END)
+                       AS ssk,
+                   SUM(CASE WHEN y IS NOT NULL THEN 1 END) AS m
+            FROM seq2 GROUP BY 1
+        )
+        SELECT event_type, CAST(t_days AS BIGINT) AS n_days,
+               CAST(m AS BIGINT) AS n_k_windows,
+               CASE WHEN m > 1 AND ss1 > 0 THEN
+                   floor(CAST(ssk AS DOUBLE)
+                         * (CAST(t_days AS DOUBLE) - 1.0)
+                         / (5.0 * (CAST(m AS DOUBLE) - 1.0)
+                            * CAST(ss1 AS DOUBLE))
+                         * 1000000.0 + 0.5) / 1000000.0
+               END AS vr_k5
+        FROM agg ORDER BY event_type
+    """
+    _o["events_daypart_jonckheere"] = """
+        WITH cells AS (
+            SELECT event_type,
+                   CAST(((epoch_us(ts) % 86400000000)
+                         - (epoch_us(ts) % 21600000000))
+                        / 21600000000 AS BIGINT) AS g,
+                   CAST(floor(value * 100 + 0.5) AS BIGINT) AS v,
+                   CAST(count(*) AS BIGINT) AS n
+            FROM events WHERE value IS NOT NULL AND ts IS NOT NULL
+            GROUP BY 1, 2, 3
+        ), vals AS (
+            SELECT DISTINCT event_type, v FROM cells
+        ), grid AS (
+            SELECT vals.event_type, gg.g, vals.v,
+                   COALESCE(cells.n, 0) AS n
+            FROM vals
+            CROSS JOIN (SELECT CAST(range AS BIGINT) AS g
+                        FROM range(4)) gg
+            LEFT JOIN cells ON cells.event_type = vals.event_type
+                           AND cells.g = gg.g AND cells.v = vals.v
+        ), staged1 AS (
+            SELECT event_type, g, v, n,
+                   COALESCE(SUM(n) OVER (
+                       PARTITION BY event_type, g ORDER BY v
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                       AND 1 PRECEDING), 0) AS cumlt
+            FROM grid
+        ), staged AS (
+            SELECT event_type, g, v, n,
+                   COALESCE(SUM(cumlt) OVER (
+                       PARTITION BY event_type, v ORDER BY g
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                       AND 1 PRECEDING), 0) AS below,
+                   COALESCE(SUM(n) OVER (
+                       PARTITION BY event_type, v ORDER BY g
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                       AND 1 PRECEDING), 0) AS ties
+            FROM staged1
+        ), per_type AS (
+            SELECT event_type,
+                   SUM(CAST(n AS HUGEINT) * (2 * below + ties)) AS jt2
+            FROM staged GROUP BY 1
+        ), sizes AS (
+            SELECT event_type, g, SUM(n) AS ng FROM cells GROUP BY 1, 2
+        ), moments AS (
+            SELECT event_type, SUM(ng) AS nn,
+                   SUM(CAST(ng AS HUGEINT) * ng) AS sq,
+                   SUM(CAST(ng AS HUGEINT) * ng * (2 * ng + 3)) AS cu
+            FROM sizes GROUP BY 1
+        ), joined AS (
+            SELECT p.event_type, p.jt2, 2 * p.jt2 AS jt4,
+                   CAST(m.nn AS HUGEINT) * m.nn - m.sq AS mu4,
+                   CAST(m.nn AS HUGEINT) * m.nn * (2 * m.nn + 3)
+                       - m.cu AS var72,
+                   m.nn
+            FROM per_type p JOIN moments m
+              ON p.event_type = m.event_type
+        )
+        SELECT event_type, CAST(nn AS BIGINT) AS n_events,
+               CAST(jt2 AS BIGINT) AS jt2,
+               CASE WHEN var72 > 0 THEN
+                   floor(CAST(jt4 - mu4 AS DOUBLE)
+                         / (4.0 * sqrt(CAST(var72 AS DOUBLE) / 72.0))
+                         * 1000000.0 + 0.5) / 1000000.0
+               END AS jt_z
+        FROM joined ORDER BY event_type
+    """
+    _o["stream_ks_drift"] = _o["events_ks_test"]
     return _o

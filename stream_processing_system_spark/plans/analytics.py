@@ -5975,17 +5975,34 @@ def events_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     explicitly on both engines (the CvM precedent, ADVICE r7):
     otherwise SUM's NULL-skip vs the oracle's CASE WHEN ELSE 1
     diverge on a NULL-ts row."""
+    return ks_from_cells(halfsplit_value_cells(spark, sf_dir))
+
+
+def halfsplit_value_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The shared (event_type, cent-value, first-half count,
+    second-half count) frame the two-sample drift family tests on —
+    KS / CvM / Anderson–Darling / Cliff's delta all reduce this one
+    exact-integer cell table (same fixed 2024-01-16 split, NULL ts
+    and NULL value filtered on both engines). The cell counts are a
+    mergeable monoid, which is what lets the streaming twins
+    maintain exactly this frame as aggregation state."""
     events = load_table(spark, sf_dir, "events").where(
         F.col("value").isNotNull() & F.col("ts").isNotNull()
     )
     half = (F.col("ts") >= F.lit("2024-01-16")).cast("int")
-    cells = events.groupBy(
+    return events.groupBy(
         "event_type",
         F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("v"),
     ).agg(
         F.sum(F.lit(1) - half).alias("ca"),
         F.sum(half).alias("cb"),
     )
+
+
+def ks_from_cells(cells: DataFrame) -> DataFrame:
+    """Shared KS tail over an (event_type, v, ca, cb) exact-centi
+    count frame — factored (the `cvm_from_cells` precedent) so the
+    streaming twin reduces the same drained cell state."""
     w_cum = (
         Window.partitionBy("event_type")
         .orderBy("v")
@@ -12650,19 +12667,7 @@ def events_cvm_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     CASE WHEN counts it into ca — a latent parity divergence
     (ADVICE r7) closed by the same `ts IS NOT NULL` predicate on
     both engines."""
-    events = load_table(spark, sf_dir, "events").where(
-        F.col("value").isNotNull() & F.col("ts").isNotNull()
-    )
-    d38 = "decimal(38,0)"
-    half = (F.col("ts") >= F.lit("2024-01-16")).cast("int")
-    cells = events.groupBy(
-        "event_type",
-        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("v"),
-    ).agg(
-        F.sum(F.lit(1) - half).alias("ca"),
-        F.sum(half).alias("cb"),
-    )
-    return cvm_from_cells(cells)
+    return cvm_from_cells(halfsplit_value_cells(spark, sf_dir))
 
 
 def cvm_from_cells(
@@ -12997,3 +13002,349 @@ def copurchase_neighbor_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_union",
         "jaccard",
     )
+
+
+def events_anderson_darling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Anderson–Darling drift test per event type — the
+    TAIL-WEIGHTED member of the two-sample drift family (reference
+    parity anchor: the same `events` monitoring surface as
+    `events_ks_test` / `events_cvm_drift`): KS sees the single
+    largest ECDF gap, CvM integrates every gap equally, AD divides
+    each gap² by H(1−H) so divergence in the distribution TAILS —
+    exactly where contamination and outlier drift live — counts for
+    more. A² = Σ_pooled-cells t·(F_A−F_B)²/(H(1−H)) · n_A n_B/N,
+    discretized over the exact cent-value cells (Pettitt 1976 form).
+
+    Exactness: from the shared `halfsplit_value_cells` frame, the
+    per-cell gap = cumA·nB − cumB·nA and the pooled cumulative
+    cumT are exact integers; each cell's term
+    t·gap²/(nA·nB·cumT·(N−cumT)) is ONE fixed-order double chain
+    floored onto the 1e-9 integer grid (the chi2-drift device:
+    cross-cell sums only ever add exact int64 micro-terms), and the
+    final A² is a single division by 1e9. The last pooled cell
+    (cumT = N, where H(1−H) = 0) is excluded on both engines, the
+    standard discrete-AD convention.
+
+    Shape: one (type, cent) hash aggregate, two cumulative windows
+    over the BOUNDED cent-domain frame, one per-type reduce — the
+    CvM plan's shape exactly; at 100 TB the post-aggregate frame
+    stays |types|×|cent domain| regardless of row count."""
+    cells = halfsplit_value_cells(spark, sf_dir)
+    d38 = "decimal(38,0)"
+    w_cum = (
+        Window.partitionBy("event_type")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    w_tot = Window.partitionBy("event_type")
+    cum = cells.select(
+        "event_type",
+        (F.col("ca") + F.col("cb")).alias("t"),
+        F.sum("ca").over(w_cum).alias("cuma"),
+        F.sum("cb").over(w_cum).alias("cumb"),
+        F.sum("ca").over(w_tot).alias("na"),
+        F.sum("cb").over(w_tot).alias("nb"),
+    ).where((F.col("na") > 0) & (F.col("nb") > 0))
+    nad = F.col("na").cast("double")
+    nbd = F.col("nb").cast("double")
+    nd = nad + nbd
+    ct = F.col("cuma") + F.col("cumb")
+    ctd = ct.cast("double")
+    gapd = (
+        F.col("cuma").cast(d38) * F.col("nb")
+        - F.col("cumb").cast(d38) * F.col("na")
+    ).cast("double")
+    # one fixed-order double chain per cell, then the 1e-9 grid; the
+    # oracle spells the IDENTICAL association order
+    term = (
+        F.col("t").cast("double") * gapd * gapd
+        / (nad * nbd * ctd * (nd - ctd))
+    )
+    micro = F.floor(term * F.lit(1e9) + F.lit(0.5)).cast("long")
+    agg = (
+        cum.where(ct < F.col("na") + F.col("nb"))
+        .groupBy("event_type")
+        .agg(
+            F.max("na").alias("na"),
+            F.max("nb").alias("nb"),
+            F.sum(micro.cast(d38)).alias("s"),
+        )
+    )
+    return agg.select(
+        "event_type",
+        F.col("na").cast("long").alias("n_first"),
+        F.col("nb").cast("long").alias("n_second"),
+        det_round(F.col("s").cast("double") / F.lit(1e9), 6).alias("ad_a2"),
+    ).orderBy("event_type")
+
+
+def events_cliffs_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cliff's delta per event type between the first- and
+    second-half value distributions: the ORDINAL EFFECT SIZE the
+    drift family's p-value tests (KS/CvM/AD/Mann-Whitney) do not
+    report — δ = (#(a>b) − #(a<b)) / (nA·nB) ∈ [−1, 1], i.e. how
+    often a first-half value dominates a second-half value, net of
+    the reverse. A drift monitor alarms on the AD/KS statistic and
+    reads δ for the direction and magnitude of the shift.
+
+    Exactness: from the shared `halfsplit_value_cells` frame,
+    #(a>b) = Σ_v ca(v)·cumB(<v) and #(a<b) = Σ_v ca(v)·(nB−cumB(≤v))
+    are exact DECIMAL(38,0) products of cumulative integer counts;
+    δ is ONE double division at the end.
+
+    Shape: identical to the KS plan — one bounded cell aggregate,
+    one cumulative window, one per-type reduce."""
+    cells = halfsplit_value_cells(spark, sf_dir)
+    d38 = "decimal(38,0)"
+    w_cum = (
+        Window.partitionBy("event_type")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    w_tot = Window.partitionBy("event_type")
+    # ca(v)·cumB(<v): strictly-below mass = cumb_le − cb at v
+    cum = cells.select(
+        "event_type",
+        "ca",
+        "cb",
+        F.sum("cb").over(w_cum).alias("cumb_le"),
+        F.sum("ca").over(w_tot).alias("na"),
+        F.sum("cb").over(w_tot).alias("nb"),
+    ).where((F.col("na") > 0) & (F.col("nb") > 0))
+    gt = F.col("ca").cast(d38) * (F.col("cumb_le") - F.col("cb"))
+    lt = F.col("ca").cast(d38) * (F.col("nb") - F.col("cumb_le"))
+    agg = cum.groupBy("event_type").agg(
+        F.max("na").alias("na"),
+        F.max("nb").alias("nb"),
+        F.sum(gt).alias("n_gt"),
+        F.sum(lt).alias("n_lt"),
+    )
+    return agg.select(
+        "event_type",
+        F.col("na").cast("long").alias("n_first"),
+        F.col("nb").cast("long").alias("n_second"),
+        det_round(
+            (F.col("n_gt") - F.col("n_lt")).cast("double")
+            / (F.col("na").cast("double") * F.col("nb").cast("double")),
+            6,
+        ).alias("cliffs_delta"),
+    ).orderBy("event_type")
+
+
+def events_variance_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lo–MacKinlay variance-ratio test VR(k) per event type on the
+    cumulative event-count path: is daily traffic an uncorrelated
+    sequence (VR≈1), trending/persistent (VR>1, positive
+    autocorrelation), or mean-reverting (VR<1)? The path x_t is the
+    running total of daily counts, 1-period increments are the daily
+    counts themselves, and VR(k) compares the variance of k-day
+    overlapping increments against k times the 1-day variance — the
+    classic random-walk diagnostic, complementing `events_acf`
+    (per-lag correlation) with one scale-free trend/reversion score.
+
+    Exactness (the division-free-centering device): with T observed
+    days, total S = Σc, every centered square is computed as the
+    exact integer (T·inc − j·S)² — the 1/T factors cancel in the
+    ratio — summed in DECIMAL(38,0); VR is ONE fixed-order double
+    chain over the two exact sums and integer counts. Days come from
+    the engine-free calendar (epoch-micros div 86.4e9), never
+    engine date functions.
+
+    Shape: one (type, day) count aggregate (bounded by the calendar
+    domain), a k-lag window over the per-type daily frame, one
+    per-type reduce. k = 5."""
+    events = load_table(spark, sf_dir, "events").where(
+        F.col("ts").isNotNull()
+    )
+    d38 = "decimal(38,0)"
+    k = 5
+    # exact epoch-day: mod-subtract makes the division exact, so no
+    # double-rounding surface at midnight boundaries
+    us = F.unix_micros(F.col("ts"))
+    day = (us - (us % F.lit(86_400_000_000))) / F.lit(86_400_000_000)
+    daily = events.groupBy(
+        "event_type", day.cast("long").alias("d")
+    ).agg(F.count(F.lit(1)).alias("c"))
+    w_ord = Window.partitionBy("event_type").orderBy("d")
+    w_tot = Window.partitionBy("event_type")
+    # x_t = running total; k-increment y_t = x_t − x_{t−k} over the
+    # OBSERVED day sequence (gaps close up, documented)
+    seq = daily.select(
+        "event_type",
+        "d",
+        F.col("c"),
+        F.sum("c").over(
+            w_ord.rowsBetween(Window.unboundedPreceding, 0)
+        ).alias("x"),
+        F.count(F.lit(1)).over(w_tot).alias("t_days"),
+        F.sum("c").over(w_tot).alias("s"),
+    )
+    y = F.col("x") - F.lag("x", k).over(w_ord)
+    seq2 = seq.select(
+        "event_type",
+        "c",
+        "t_days",
+        "s",
+        y.alias("y"),
+    )
+    one_dev = F.col("t_days").cast(d38) * F.col("c") - F.col("s")
+    k_dev = F.col("t_days").cast(d38) * F.col("y") - F.lit(k) * F.col("s")
+    agg = seq2.groupBy("event_type").agg(
+        F.max("t_days").alias("t_days"),
+        F.sum(one_dev * one_dev).alias("ss1"),
+        F.sum(F.when(F.col("y").isNotNull(), k_dev * k_dev)).alias("ssk"),
+        F.sum(F.when(F.col("y").isNotNull(), F.lit(1))).alias("m"),
+    )
+    td = F.col("t_days").cast("double")
+    # VR = [SSk/(k·(m−1))] / [SS1/(T−1)]; the hidden 1/T² cancels
+    vr = (
+        F.col("ssk").cast("double") * (td - F.lit(1.0))
+        / (
+            F.lit(float(k))
+            * (F.col("m").cast("double") - F.lit(1.0))
+            * F.col("ss1").cast("double")
+        )
+    )
+    return agg.select(
+        "event_type",
+        F.col("t_days").cast("long").alias("n_days"),
+        F.col("m").cast("long").alias("n_k_windows"),
+        F.when(
+            (F.col("m") > 1) & (F.col("ss1") > 0), det_round(vr, 6)
+        ).alias("vr_k5"),
+    ).orderBy("event_type")
+
+
+def events_daypart_jonckheere(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jonckheere–Terpstra ordered-alternative trend test per event
+    type: do event VALUES trend upward across the day, with the day
+    split into the four ordered dayparts night (00–05) / morning
+    (06–11) / afternoon (12–17) / evening (18–23)? JT = Σ_{g<h} U_gh
+    sums the Mann–Whitney statistic over every ORDERED pair of
+    dayparts, which is strictly more powerful than Kruskal–Wallis
+    when the alternative is monotone in the group order — the
+    ordered-dose sibling in the rank-test family (`events_
+    mannwhitney_u` 2 groups, `events_kruskal_wallis` any-difference).
+
+    Exactness: the doubled-statistic device — 2·JT = Σ_cells
+    n(h,v)·(2·below(h,v) + ties(h,v)) where below/ties are exact
+    integer prefix masses over a DENSE (daypart × observed cent
+    value) grid (4·|values| rows, built with a cross join against
+    the distinct-value table so absent cells are explicit zeros and
+    both engines walk the identical grid). Null mean and variance
+    are closed-form integers on the QUADRUPLED statistic — 4·μ =
+    N² − Σn_g² and 72·σ² = N²(2N+3) − Σn_g²(2n_g+3) — so
+    z = (4JT − 4μ)/(4σ) is one fixed-order double chain with no
+    integer halving anywhere (sqrt is IEEE correctly-rounded, the
+    repo's accepted parity class).
+
+    Shape: one (type, daypart, cent) hash aggregate, a 4× dense
+    grid over the bounded cent domain, two cumulative windows, one
+    per-type reduce — nothing data-sized after the first aggregate;
+    at 100 TB the grid stays |types|·4·|cent domain|."""
+    events = load_table(spark, sf_dir, "events").where(
+        F.col("value").isNotNull() & F.col("ts").isNotNull()
+    )
+    d38 = "decimal(38,0)"
+    # engine-free daypart: epoch micros mod 1 day, integral-div 6 h.
+    # The division is EXACT (numerator is a multiple of the divisor
+    # by construction — the mod-subtract form), so no float-rounding
+    # surface exists at daypart boundaries (the ADVICE-r7 chunk-key
+    # lesson applied from the start).
+    us = F.unix_micros(F.col("ts"))
+    part = (
+        (us % F.lit(86_400_000_000)) - (us % F.lit(21_600_000_000))
+    ) / F.lit(21_600_000_000)
+    cells = events.groupBy(
+        "event_type",
+        part.cast("long").alias("g"),
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("v"),
+    ).agg(F.count(F.lit(1)).alias("n"))
+    # dense (type, g, v) grid: distinct values × the 4 dayparts
+    vals = cells.select("event_type", "v").distinct()
+    parts_df = vals.sparkSession.range(4).select(
+        F.col("id").cast("long").alias("g")
+    )
+    grid = vals.crossJoin(F.broadcast(parts_df)).join(
+        cells, ["event_type", "g", "v"], "left"
+    ).select(
+        "event_type",
+        "g",
+        "v",
+        F.coalesce(F.col("n"), F.lit(0)).alias("n"),
+    )
+    w_v = (
+        Window.partitionBy("event_type", "g")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_g = (
+        Window.partitionBy("event_type", "v")
+        .orderBy("g")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    staged = grid.select(
+        "event_type",
+        "g",
+        "v",
+        "n",
+        F.coalesce(F.sum("n").over(w_v), F.lit(0)).alias("cumlt"),
+    ).select(
+        "event_type",
+        "g",
+        "v",
+        "n",
+        F.coalesce(F.sum("cumlt").over(w_g), F.lit(0)).alias("below"),
+        F.coalesce(F.sum("n").over(w_g), F.lit(0)).alias("ties"),
+    )
+    jt2_term = F.col("n").cast(d38) * (
+        F.lit(2) * F.col("below") + F.col("ties")
+    )
+    per_type = staged.groupBy("event_type").agg(
+        F.sum(jt2_term).alias("jt2")
+    )
+    sizes = cells.groupBy("event_type", "g").agg(
+        F.sum("n").alias("ng")
+    )
+    moments = sizes.groupBy("event_type").agg(
+        F.sum("ng").alias("nn"),
+        F.sum(F.col("ng").cast(d38) * F.col("ng")).alias("sq"),
+        F.sum(
+            F.col("ng").cast(d38)
+            * F.col("ng")
+            * (F.lit(2) * F.col("ng") + F.lit(3))
+        ).alias("cu"),
+    )
+    joined = per_type.join(moments, "event_type")
+    nnd = F.col("nn").cast(d38)
+    # quadrupled statistic keeps everything integer: jt4 = 4·JT,
+    # mu4 = 4·μ = N² − Σn_g² (no halving, no decimal division)
+    jt4 = F.lit(2) * F.col("jt2")
+    mu4 = nnd * F.col("nn") - F.col("sq")
+    var72 = nnd * F.col("nn") * (
+        F.lit(2) * F.col("nn") + F.lit(3)
+    ) - F.col("cu")
+    out = joined.select(
+        "event_type",
+        F.col("nn").cast("long").alias("n_events"),
+        F.col("jt2").cast("long").alias("jt2"),
+        jt4.alias("jt4"),
+        mu4.alias("mu4"),
+        var72.alias("var72"),
+    )
+    return out.select(
+        "event_type",
+        "n_events",
+        "jt2",
+        F.when(
+            F.col("var72") > 0,
+            det_round(
+                (F.col("jt4") - F.col("mu4")).cast("double")
+                / (
+                    F.lit(4.0)
+                    * F.sqrt(F.col("var72").cast("double") / F.lit(72.0))
+                ),
+                6,
+            ),
+        ).alias("jt_z"),
+    ).orderBy("event_type")

@@ -1254,3 +1254,58 @@ def stream_cvm_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     _cleanup(input_dir)
     cells = spark.table(f"scvm_{run}").localCheckpoint(eager=True)
     return cvm_from_cells(cells, query="stream_cvm_drift")
+
+
+def stream_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov–Smirnov drift test with the
+    (type, cent-value) half-split counts maintained by an
+    availableNow streaming aggregation — the streaming twin of
+    `analytics.events_ks_test` (same oracle), completing the
+    streaming drift pair with `stream_cvm_drift`: the per-cell
+    (ca, cb) counts are a mergeable monoid, so the streaming state
+    IS the bounded cent-domain cell frame, and the max-ECDF-gap tail
+    runs as the shared batch plan over the drained state."""
+    from stream_processing_system_spark.plans.analytics import (
+        ks_from_cells,
+    )
+
+    input_dir, ckpt, run = _scratch("sks")
+    # ts IS NOT NULL mirrors the batch plan and the oracle exactly
+    # (the ADVICE-r7 NULL-ts drift-split class)
+    events = (
+        load_table(spark, sf_dir, "events")
+        .where(F.col("value").isNotNull() & F.col("ts").isNotNull())
+        .select("ts", "event_type", "value")
+    )
+    events.write.mode("overwrite").parquet(input_dir)
+    stream = spark.readStream.schema(
+        "ts timestamp, event_type string, value double"
+    ).parquet(input_dir)
+    half = (F.col("ts") >= F.lit("2024-01-16")).cast("int")
+    state = (
+        stream.select(
+            "event_type",
+            F.floor(F.col("value") * 100 + F.lit(0.5))
+            .cast("long")
+            .alias("v"),
+            half.alias("h"),
+        )
+        .groupBy("event_type", "v")
+        .agg(
+            F.sum(F.lit(1) - F.col("h")).alias("ca"),
+            F.sum("h").alias("cb"),
+        )
+    )
+    with _state_partitions(spark):
+        q = (
+            state.writeStream.outputMode("complete")
+            .format("memory")
+            .queryName(f"sks_{run}")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    _cleanup(input_dir)
+    cells = spark.table(f"sks_{run}").localCheckpoint(eager=True)
+    return ks_from_cells(cells)

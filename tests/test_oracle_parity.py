@@ -69,7 +69,12 @@ def test_r8_rotation_invariants():
     # fills are RE-checks: all already banked in rounds 1-7, i.e.
     # either pre-backlog or inside the banked backlog[:150] slice
     assert not set(fill) & set(backlog[150:])
-    assert len(set(backlog)) == len(backlog) == 187
+    # round-8 additions append AFTER the closing window (VERDICT r7
+    # item 5) so the [150:187] positions never shift; they are the
+    # round-9 window front
+    assert len(set(backlog)) == len(backlog) == 187 + 5
+    assert backlog[187] == "events_anderson_darling"
+    assert set(backlog[187:]) & set(names[:50]) == set()
     assert set(backlog) <= set(names)
     assert contract._R5_DRIVER_WINDOW == backlog[:50]
     assert contract._R6_DRIVER_WINDOW == backlog[50:100]
@@ -77,14 +82,15 @@ def test_r8_rotation_invariants():
     assert len(set(contract._R4_DRIVER_WINDOW)) == 50
     assert not set(contract._R4_DRIVER_WINDOW) & set(backlog)
     # rounds 1-4 banked 198 names none of which are in the backlog;
-    # rounds 5-7 banked backlog[:150]; round 8 banks the rest.
+    # rounds 5-7 banked backlog[:150]; round 8 banks [150:187] and
+    # the post-rotation additions are scheduled behind them.
     assert len(names) == len(backlog) + 198
     # the newest-code-first ordering of the historical windows
     assert backlog[50:64][0] == "events_ljung_box"
     assert backlog[100] == "events_mann_kendall"
     # the 7 round-7 additions lead the round-8 window
     assert backlog[150] == "events_cvm_drift"
-    assert len(backlog[150:]) == 37
+    assert len(backlog[150:187]) == 37
     # round 8's window is fully pre-cleared at sf0.1
     import os
 

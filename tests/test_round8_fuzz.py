@@ -1,0 +1,246 @@
+"""Differential fuzz for the round-8 additions: Spark plans vs
+pure-Python replays on randomized tie-heavy inputs — a third
+implementation besides the DuckDB oracle, run BEFORE these queries
+reach a driver window. Cliff's delta and Jonckheere–Terpstra replay
+as HONEST O(n²) pairwise loops (independent of the plans' cumulative
+/ dense-grid devices); Anderson–Darling and the variance ratio
+replay the exact integer devices term-for-term (their cross-cell
+sums are integer-grid exact, so equality is bitwise)."""
+
+from __future__ import annotations
+
+import datetime as dt
+import itertools
+import math
+import os
+import shutil
+import tempfile
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+SET = settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+_FIRST = dt.datetime(2024, 1, 10, 12)
+_SECOND = dt.datetime(2024, 1, 20, 12)
+_seq = itertools.count()
+
+
+def _det_round(x, k=6):
+    return math.floor(x * 10**k + 0.5) / 10**k
+
+
+def _write_events(spark, rows):
+    """rows: (event_id, ts, value) tuples on one event_type."""
+    df = spark.createDataFrame(
+        [(i, ts, 1, "t", v, "{}") for i, ts, v in rows],
+        "event_id long, ts timestamp, user_id long,"
+        " event_type string, value double, props string",
+    )
+    sf = os.path.join(
+        tempfile.gettempdir(), f"r8fuzz_{os.getpid()}_{next(_seq)}"
+    )
+    df.write.mode("overwrite").parquet(os.path.join(sf, "events.parquet"))
+    return sf
+
+
+# --- Anderson–Darling --------------------------------------------
+
+
+def _ad_replay(cents_a, cents_b):
+    na, nb = len(cents_a), len(cents_b)
+    if na == 0 or nb == 0:
+        return None
+    grid = sorted(set(cents_a) | set(cents_b))
+    cuma = cumb = 0
+    s = 0
+    for v in grid:
+        cuma += cents_a.count(v)
+        cumb += cents_b.count(v)
+        t = cents_a.count(v) + cents_b.count(v)
+        ct = cuma + cumb
+        if ct >= na + nb:
+            continue
+        gapd = float(cuma * nb - cumb * na)
+        term = (
+            float(t) * gapd * gapd
+            / (float(na) * float(nb) * float(ct)
+               * (float(na) + float(nb) - float(ct)))
+        )
+        s += math.floor(term * 1e9 + 0.5)
+    return _det_round(float(s) / 1e9)
+
+
+cents = st.lists(st.integers(min_value=-3, max_value=5), max_size=12)
+
+
+@given(a=cents, b=cents)
+@SET
+def test_fuzz_anderson_darling(spark, a, b):
+    from stream_processing_system_spark.plans.analytics import (
+        events_anderson_darling,
+    )
+
+    rows = [
+        (i, _FIRST, c / 100.0) for i, c in enumerate(a)
+    ] + [
+        (1000 + i, _SECOND, c / 100.0) for i, c in enumerate(b)
+    ]
+    if not rows:
+        return
+    sf = _write_events(spark, rows)
+    try:
+        out = events_anderson_darling(spark, sf).collect()
+        want = _ad_replay(a, b)
+        if want is None:
+            assert out == []
+        else:
+            assert out[0]["ad_a2"] == want
+            assert (out[0]["n_first"], out[0]["n_second"]) == (
+                len(a),
+                len(b),
+            )
+    finally:
+        shutil.rmtree(sf, ignore_errors=True)
+
+
+# --- Cliff's delta (honest O(n²) pairwise) -----------------------
+
+
+@given(a=cents, b=cents)
+@SET
+def test_fuzz_cliffs_delta(spark, a, b):
+    from stream_processing_system_spark.plans.analytics import (
+        events_cliffs_delta,
+    )
+
+    rows = [
+        (i, _FIRST, c / 100.0) for i, c in enumerate(a)
+    ] + [
+        (1000 + i, _SECOND, c / 100.0) for i, c in enumerate(b)
+    ]
+    if not rows:
+        return
+    sf = _write_events(spark, rows)
+    try:
+        out = events_cliffs_delta(spark, sf).collect()
+        if not a or not b:
+            assert out == []
+            return
+        gt = sum(1 for x in a for y in b if x > y)
+        lt = sum(1 for x in a for y in b if x < y)
+        want = _det_round(
+            float(gt - lt) / (float(len(a)) * float(len(b)))
+        )
+        assert out[0]["cliffs_delta"] == want
+    finally:
+        shutil.rmtree(sf, ignore_errors=True)
+
+
+# --- Variance ratio (exact integer-device replay) ----------------
+
+
+daily_counts = st.lists(
+    st.integers(min_value=1, max_value=4), min_size=1, max_size=12
+)
+
+
+@given(counts=daily_counts)
+@SET
+def test_fuzz_variance_ratio(spark, counts):
+    from stream_processing_system_spark.plans.analytics import (
+        events_variance_ratio,
+    )
+
+    k = 5
+    rows = []
+    eid = 0
+    for d, c in enumerate(counts):
+        ts = dt.datetime(2024, 1, 2) + dt.timedelta(days=d)
+        for _ in range(c):
+            rows.append((eid, ts, 1.0))
+            eid += 1
+    sf = _write_events(spark, rows)
+    try:
+        out = events_variance_ratio(spark, sf).collect()
+        t_days = len(counts)
+        s = sum(counts)
+        x = list(itertools.accumulate(counts))
+        ss1 = sum((t_days * c - s) ** 2 for c in counts)
+        ys = [x[i] - x[i - k] for i in range(k, t_days)]
+        ssk = sum((t_days * y - k * s) ** 2 for y in ys)
+        m = len(ys)
+        assert out[0]["n_days"] == t_days
+        if m == 0:
+            assert out[0]["n_k_windows"] is None
+            assert out[0]["vr_k5"] is None
+        else:
+            assert out[0]["n_k_windows"] == m
+            if m > 1 and ss1 > 0:
+                want = _det_round(
+                    float(ssk) * (float(t_days) - 1.0)
+                    / (float(k) * (float(m) - 1.0) * float(ss1))
+                )
+                assert out[0]["vr_k5"] == want
+            else:
+                assert out[0]["vr_k5"] is None
+    finally:
+        shutil.rmtree(sf, ignore_errors=True)
+
+
+# --- Jonckheere–Terpstra (honest O(n²) pairwise) -----------------
+
+
+obs = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=3),  # daypart
+        st.integers(min_value=-2, max_value=3),  # cent value
+    ),
+    min_size=1,
+    max_size=14,
+)
+
+
+@given(data=obs)
+@SET
+def test_fuzz_jonckheere(spark, data):
+    from stream_processing_system_spark.plans.analytics import (
+        events_daypart_jonckheere,
+    )
+
+    rows = [
+        (i, dt.datetime(2024, 1, 10, g * 6, 30), v / 100.0)
+        for i, (g, v) in enumerate(data)
+    ]
+    sf = _write_events(spark, rows)
+    try:
+        out = events_daypart_jonckheere(spark, sf).collect()
+        jt2 = 0
+        for (g1, v1), (g2, v2) in itertools.permutations(data, 2):
+            if g1 < g2:
+                if v1 < v2:
+                    jt2 += 2
+                elif v1 == v2:
+                    jt2 += 1
+        n = len(data)
+        sizes = [sum(1 for g, _ in data if g == gg) for gg in range(4)]
+        mu4 = n * n - sum(ng * ng for ng in sizes)
+        var72 = n * n * (2 * n + 3) - sum(
+            ng * ng * (2 * ng + 3) for ng in sizes
+        )
+        assert out[0]["n_events"] == n
+        assert out[0]["jt2"] == jt2
+        if var72 > 0:
+            want = _det_round(
+                float(2 * jt2 - mu4)
+                / (4.0 * math.sqrt(float(var72) / 72.0))
+            )
+            assert out[0]["jt_z"] == want
+        else:
+            assert out[0]["jt_z"] is None
+    finally:
+        shutil.rmtree(sf, ignore_errors=True)

@@ -152,6 +152,13 @@ QUERIES = [
     # r7 item 6) — streaming state is bounded by |types|x|cent
     # values| so the expectation is ~flat
     "stream_cvm_drift",
+    # round-8 capability wave: all bounded-domain post-aggregate
+    # frames (cent grid / calendar days / 4 dayparts)
+    "events_anderson_darling",
+    "events_cliffs_delta",
+    "events_variance_ratio",
+    "events_daypart_jonckheere",
+    "stream_ks_drift",
 ]
 
 
