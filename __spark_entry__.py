@@ -2220,15 +2220,38 @@ _ROTATION_BACKLOG = [
     "volume_shipping",
     "bracket_revenue",
     "promo_revenue_ratio",
-    # --- round-8 capability wave: appended AFTER the closing
+    # --- round-8 capability waves: appended AFTER the closing
     #     37-name window (VERDICT r7 item 5 — a mid-window insert
     #     would shift the [150:187] positions); these are the
-    #     round-9 driver window front ---
+    #     round-9 driver window front (see _R8_ADDITIONS) ---
     "events_anderson_darling",
     "events_cliffs_delta",
     "events_variance_ratio",
     "events_daypart_jonckheere",
     "stream_ks_drift",
+    "events_brown_forsythe",
+    "events_friedman_type_ranks",
+    "orders_somers_d",
+    "copurchase_rich_club",
+    "doc_length_lognormal",
+]
+
+#: Names added AFTER the rotation closed (round 8 onward): they live
+#: at the END of the backlog, behind the [150:187] closing window,
+#: and form the round-9 driver window front. The rotation-invariants
+#: test pins backlog[187:] to exactly this list so post-rotation
+#: additions can never silently displace the banked positions.
+_R8_ADDITIONS = [
+    "events_anderson_darling",
+    "events_cliffs_delta",
+    "events_variance_ratio",
+    "events_daypart_jonckheere",
+    "stream_ks_drift",
+    "events_brown_forsythe",
+    "events_friedman_type_ranks",
+    "orders_somers_d",
+    "copurchase_rich_club",
+    "doc_length_lognormal",
 ]
 
 #: Round-5 driver window (VERDICT r4 item 1, historical record): the
@@ -2722,6 +2745,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             analytics.events_daypart_jonckheere
         ),
         "stream_ks_drift": streaming_parity.stream_ks_drift,
+        "events_brown_forsythe": analytics.events_brown_forsythe,
+        "events_friedman_type_ranks": (
+            analytics.events_friedman_type_ranks
+        ),
+        "orders_somers_d": analytics.orders_somers_d,
+        "copurchase_rich_club": analytics.copurchase_rich_club,
+        "doc_length_lognormal": pipeline.doc_length_lognormal,
     }
     head = {n: q[n] for n in _R8_DRIVER_WINDOW + _R8_WINDOW_FILL}
     assert len(head) == 50, f"driver window must be 50, got {len(head)}"
@@ -12786,4 +12816,197 @@ def oracle_sql() -> dict[str, str]:
         FROM joined ORDER BY event_type
     """
     _o["stream_ks_drift"] = _o["events_ks_test"]
+    _o["copurchase_rich_club"] = f"""
+        WITH {_COPURCHASE_EDGES_CTE},
+        und AS (SELECT src, dst FROM e
+                UNION ALL SELECT dst, src FROM e),
+        deg AS (SELECT src, count(*) AS deg FROM und GROUP BY src),
+        thr AS (SELECT CAST(k AS BIGINT) AS k
+                FROM (VALUES (1), (2), (4), (8)) t(k)),
+        nodes_k AS (
+            SELECT thr.k, CAST(count(*) AS BIGINT) AS n_nodes
+            FROM deg CROSS JOIN thr WHERE deg.deg > thr.k
+            GROUP BY thr.k
+        ), edeg AS (
+            SELECT least(d1.deg, d2.deg) AS mindeg
+            FROM e JOIN deg d1 ON e.src = d1.src
+                   JOIN deg d2 ON e.dst = d2.src
+        ), edges_k AS (
+            SELECT thr.k, CAST(count(*) AS BIGINT) AS n_edges
+            FROM edeg CROSS JOIN thr WHERE edeg.mindeg > thr.k
+            GROUP BY thr.k
+        )
+        SELECT thr.k, COALESCE(n.n_nodes, 0) AS n_nodes,
+               COALESCE(g.n_edges, 0) AS n_edges,
+               CASE WHEN COALESCE(n.n_nodes, 0) > 1 THEN
+                   2.0 * CAST(COALESCE(g.n_edges, 0) AS DOUBLE)
+                   / (CAST(n.n_nodes AS DOUBLE)
+                      * (CAST(n.n_nodes AS DOUBLE) - 1.0))
+               END AS phi
+        FROM thr LEFT JOIN nodes_k n ON thr.k = n.k
+                 LEFT JOIN edges_k g ON thr.k = g.k
+        ORDER BY thr.k
+    """
+    _o["events_brown_forsythe"] = """
+        WITH cells AS (
+            SELECT event_type,
+                   CAST(((epoch_us(ts) % 86400000000)
+                         - (epoch_us(ts) % 21600000000))
+                        / 21600000000 AS BIGINT) AS g,
+                   CAST(floor(value * 100 + 0.5) AS BIGINT) AS v,
+                   CAST(count(*) AS BIGINT) AS n
+            FROM events WHERE value IS NOT NULL AND ts IS NOT NULL
+            GROUP BY 1, 2, 3
+        ), flagged AS (
+            SELECT event_type, g, v,
+                   SUM(n) OVER (PARTITION BY event_type, g ORDER BY v
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS cum,
+                   SUM(n) OVER (PARTITION BY event_type, g) AS ng
+            FROM cells
+        ), medians AS (
+            SELECT event_type, g, MIN(v) AS med
+            FROM flagged WHERE cum * 2 >= ng GROUP BY 1, 2
+        ), devcells AS (
+            SELECT c.event_type, c.g, c.n, abs(c.v - m.med) AS dev
+            FROM cells c JOIN medians m
+              ON c.event_type = m.event_type AND c.g = m.g
+        ), grp AS (
+            SELECT event_type, g, SUM(n) AS ng,
+                   SUM(CAST(n AS HUGEINT) * dev) AS sg,
+                   SUM(CAST(n AS HUGEINT) * dev * dev) AS qg
+            FROM devcells GROUP BY 1, 2
+        ), grp2 AS (
+            SELECT event_type, ng, sg, qg,
+                   CAST(floor(CAST(sg * sg AS DOUBLE)
+                              / CAST(ng AS DOUBLE)
+                              * 1000000.0 + 0.5) AS BIGINT) AS t
+            FROM grp
+        ), per_type AS (
+            SELECT event_type, CAST(count(*) AS BIGINT) AS k,
+                   SUM(ng) AS n, SUM(sg) AS s, SUM(qg) AS q,
+                   SUM(CAST(t AS HUGEINT)) AS tsum
+            FROM grp2 GROUP BY 1
+        )
+        SELECT event_type, CAST(n AS BIGINT) AS n_events,
+               k AS n_groups,
+               floor(((CAST(tsum AS DOUBLE) / 1000000.0
+                       - CAST(s * s AS DOUBLE) / CAST(n AS DOUBLE))
+                      / (CAST(k AS DOUBLE) - 1.0))
+                     / ((CAST(q AS DOUBLE)
+                         - CAST(tsum AS DOUBLE) / 1000000.0)
+                        / (CAST(n AS DOUBLE) - CAST(k AS DOUBLE)))
+                     * 1000000.0 + 0.5) / 1000000.0 AS bf_f
+        FROM per_type
+        WHERE k > 1 AND n - k > 0
+          AND CAST(q AS DOUBLE) - CAST(tsum AS DOUBLE) / 1000000.0 > 0
+        ORDER BY event_type
+    """
+    _o["events_friedman_type_ranks"] = """
+        WITH counts AS (
+            SELECT epoch_us(ts) // 86400000000 AS d, event_type,
+                   CAST(count(*) AS BIGINT) AS c
+            FROM events WHERE ts IS NOT NULL GROUP BY 1, 2
+        ), days AS (SELECT DISTINCT d FROM counts),
+        types AS (SELECT DISTINCT event_type FROM counts),
+        grid AS (
+            SELECT days.d, types.event_type, COALESCE(counts.c, 0) AS c
+            FROM days CROSS JOIN types
+            LEFT JOIN counts ON counts.d = days.d
+                            AND counts.event_type = types.event_type
+        ), ranked AS (
+            SELECT d, event_type,
+                   2 * (RANK() OVER (PARTITION BY d ORDER BY c) - 1)
+                   + COUNT(*) OVER (PARTITION BY d, c) + 1 AS r2
+            FROM grid
+        ), per_type AS (
+            SELECT event_type, SUM(CAST(r2 AS HUGEINT)) AS r2j,
+                   CAST(count(*) AS BIGINT) AS n_days
+            FROM ranked GROUP BY 1
+        ), kn AS (
+            SELECT CAST(count(*) AS BIGINT) AS k, MAX(n_days) AS n
+            FROM per_type
+        ), a4t AS (
+            SELECT SUM(CAST(r2 AS HUGEINT) * r2) AS a4 FROM ranked
+        ), num AS (
+            SELECT kn.k, kn.n,
+                   SUM((p.r2j - CAST(kn.n AS HUGEINT) * (kn.k + 1))
+                       * (p.r2j - CAST(kn.n AS HUGEINT) * (kn.k + 1)))
+                       AS num4
+            FROM per_type p CROSS JOIN kn GROUP BY 1, 2
+        ), fin AS (
+            SELECT num.k, num.n, num.num4,
+                   a4t.a4 - CAST(num.n AS HUGEINT) * num.k
+                       * (num.k + 1) * (num.k + 1) AS den4
+            FROM num CROSS JOIN a4t
+        )
+        SELECT CAST(n AS BIGINT) AS n_days, CAST(k AS BIGINT) AS n_types,
+               CASE WHEN den4 > 0 THEN
+                   floor((CAST(k AS DOUBLE) - 1.0)
+                         * CAST(num4 AS DOUBLE) / CAST(den4 AS DOUBLE)
+                         * 1000000.0 + 0.5) / 1000000.0
+               END AS friedman_chi2
+        FROM fin
+    """
+    _o["orders_somers_d"] = """
+        WITH cells AS (
+            SELECT CAST(substr(o_orderpriority, 1, 1) AS BIGINT) AS pr,
+                   least(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)
+                         // 5000000, 8) AS band,
+                   CAST(count(*) AS BIGINT) AS n
+            FROM orders GROUP BY 1, 2
+        ), pairs AS (
+            SELECT a.n AS n1, b.n AS n2, a.band AS b1, b.band AS b2
+            FROM cells a JOIN cells b ON b.pr > a.pr
+        ), agg AS (
+            SELECT COALESCE(SUM(CASE WHEN b2 > b1
+                       THEN CAST(n1 AS HUGEINT) * n2 END), 0) AS c,
+                   COALESCE(SUM(CASE WHEN b2 < b1
+                       THEN CAST(n1 AS HUGEINT) * n2 END), 0) AS d,
+                   COALESCE(SUM(CASE WHEN b2 = b1
+                       THEN CAST(n1 AS HUGEINT) * n2 END), 0) AS ty
+            FROM pairs
+        ), tot AS (
+            SELECT SUM(CAST(n AS HUGEINT)) AS nn FROM cells
+        )
+        SELECT CAST(nn AS BIGINT) AS n_orders,
+               CAST(c AS BIGINT) AS concordant,
+               CAST(d AS BIGINT) AS discordant,
+               CAST(ty AS BIGINT) AS ties_band,
+               CASE WHEN c + d + ty > 0 THEN
+                   floor(CAST(c - d AS DOUBLE)
+                         / CAST(c + d + ty AS DOUBLE)
+                         * 1000000.0 + 0.5) / 1000000.0
+               END AS somers_d
+        FROM agg, tot
+    """
+    _o["doc_length_lognormal"] = """
+        WITH per_doc AS (
+            SELECT source,
+                   CAST(floor(ln(CAST(len(list_filter(
+                       string_split(text, ' '), t -> t <> ''))
+                       AS DOUBLE)) * 1000000000.0 + 0.5) AS BIGINT) AS l
+            FROM documents
+            WHERE len(list_filter(string_split(text, ' '),
+                                  t -> t <> '')) >= 1
+        ), agg AS (
+            SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+                   SUM(CAST(l AS HUGEINT)) AS s,
+                   SUM(CAST(l AS HUGEINT) * l) AS q
+            FROM per_doc GROUP BY 1
+        )
+        SELECT source, n_docs,
+               floor(CAST(s AS DOUBLE)
+                     / (CAST(n_docs AS DOUBLE) * 1000000000.0)
+                     * 1000000.0 + 0.5) / 1000000.0 AS mu_ln,
+               CASE WHEN n_docs > 1 THEN
+                   floor(sqrt(CAST(n_docs * q - s * s AS DOUBLE))
+                         / (CAST(n_docs AS DOUBLE) * 1000000000.0)
+                         * 1000000.0 + 0.5) / 1000000.0
+               END AS sigma_ln,
+               floor(exp(CAST(s AS DOUBLE)
+                         / (CAST(n_docs AS DOUBLE) * 1000000000.0))
+                     * 1000000.0 + 0.5) / 1000000.0 AS median_tokens_fit
+        FROM agg ORDER BY source
+    """
     return _o

@@ -1019,3 +1019,51 @@ def simpson_diversity(
         det_round(lam, 6).alias("simpson"),
         det_round(inv, 6).alias("inv_simpson"),
     ).orderBy("source")
+
+
+def length_lognormal_fit(
+    df: DataFrame,
+    source_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-source lognormal fit of the document token-length
+    distribution: μ and σ of ln(n_tokens) by method of moments, plus
+    the fitted median exp(μ) — the corpus-card "length shape" stat
+    (natural-text corpora are famously lognormal-ish in length; a
+    crawler bug or boilerplate flood shows up as σ collapsing or the
+    fitted median detaching from the empirical one).
+
+    Exactness: per-doc ln(n_tokens) is floored ONCE onto the 1e-9
+    integer grid (the pre-floored-libm device; ln parity across
+    engines is the repo's accepted class, cf. the IRLS family), so
+    Σl and Σl² are exact DECIMAL(38,0) sums; μ = S/(N·1e9) and
+    σ = sqrt(N·Q − S²)/(N·1e9) are fixed-order double chains
+    (division-free centering: N·Q − S² stays integer), and the
+    fitted median is one exp() of the already-deterministic μ.
+
+    Shape: one scan, one hash aggregate onto |sources| rows — the
+    token count comes from size(split()), no explode."""
+    d38 = "decimal(38,0)"
+    n_tok = F.size(_toks(F.col(text_col)))
+    ln_grid = F.floor(
+        F.log(n_tok.cast("double")) * F.lit(1e9) + F.lit(0.5)
+    ).cast("long")
+    per_doc = df.where(n_tok >= 1).select(
+        F.col(source_col).alias("source"), ln_grid.alias("l")
+    )
+    agg = per_doc.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.col("l").cast(d38)).alias("s"),
+        F.sum(F.col("l").cast(d38) * F.col("l")).alias("q"),
+    )
+    nd = F.col("n_docs").cast("double")
+    mu = F.col("s").cast("double") / (nd * F.lit(1e9))
+    var_num = F.col("n_docs") * F.col("q") - F.col("s") * F.col("s")
+    sigma = F.sqrt(var_num.cast("double")) / (nd * F.lit(1e9))
+    return agg.select(
+        "source",
+        F.col("n_docs").cast("long").alias("n_docs"),
+        det_round(mu, 6).alias("mu_ln"),
+        F.when(F.col("n_docs") > 1, det_round(sigma, 6)).alias("sigma_ln"),
+        det_round(F.exp(mu), 6).alias("median_tokens_fit"),
+    ).orderBy("source")

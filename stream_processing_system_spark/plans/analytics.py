@@ -13348,3 +13348,305 @@ def events_daypart_jonckheere(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         ).alias("jt_z"),
     ).orderBy("event_type")
+
+
+def copurchase_rich_club(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rich-club coefficients of the user co-purchase graph at
+    degree thresholds 2/4/8/16 (operators/graph.py:rich_club): do
+    the high-degree users wire into a dense core? One degree
+    aggregate, one edge pass with both endpoint degrees, conditional
+    aggregation over the 4 literal thresholds — exact integer counts,
+    one double division per row."""
+    from stream_processing_system_spark.operators.graph import (
+        cooccurrence_edges,
+        rich_club,
+    )
+
+    events = load_table(spark, sf_dir, "events")
+    return rich_club(cooccurrence_edges(events))
+
+
+def events_brown_forsythe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brown–Forsythe (median-centered Levene) test per event type:
+    does value VARIABILITY differ across the four dayparts? The
+    drift/ANOVA family tests location (`events_dow_anova`,
+    `events_daypart_jonckheere`); this is the scale counterpart —
+    a variance regime change (e.g. a pricing experiment widening
+    the spread) passes every mean test and trips this one. The
+    statistic is a one-way ANOVA F on the absolute deviations
+    |x − median_g| from each group's median — the median centering
+    is what makes it robust (Brown & Forsythe 1974).
+
+    Exactness: values sit on the cent grid; the group median is the
+    LOWER median (first cell where 2·cum ≥ n, the weighted-median
+    pick-first device — a deterministic convention mirrored in the
+    oracle), so every |c − med| deviation is an exact integer; group
+    sums and Σdev² are DECIMAL(38,0); the cross-GROUP Σ S_g²/n_g is
+    quantized per group onto the 1e-6 grid (the chi2/ANOVA device);
+    the F statistic is one fixed-order double chain.
+
+    Shape: one (type, daypart, cent) hash aggregate, a cumulative
+    window over the bounded cent domain for the medians, a
+    broadcast-sized median join back onto the CELL table (never the
+    rows), then ≤ |types|·4 group reductions."""
+    events = load_table(spark, sf_dir, "events").where(
+        F.col("value").isNotNull() & F.col("ts").isNotNull()
+    )
+    d38 = "decimal(38,0)"
+    us = F.unix_micros(F.col("ts"))
+    part = (
+        (us % F.lit(86_400_000_000)) - (us % F.lit(21_600_000_000))
+    ) / F.lit(21_600_000_000)
+    cells = events.groupBy(
+        "event_type",
+        part.cast("long").alias("g"),
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("v"),
+    ).agg(F.count(F.lit(1)).alias("n"))
+    w_cum = (
+        Window.partitionBy("event_type", "g")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    w_tot = Window.partitionBy("event_type", "g")
+    flagged = cells.select(
+        "event_type",
+        "g",
+        "v",
+        F.sum("n").over(w_cum).alias("cum"),
+        F.sum("n").over(w_tot).alias("ng"),
+    ).where(F.col("cum") * 2 >= F.col("ng"))
+    pick = Window.partitionBy("event_type", "g").orderBy("v")
+    medians = (
+        flagged.withColumn("_rn", F.row_number().over(pick))
+        .where(F.col("_rn") == 1)
+        .select("event_type", "g", F.col("v").alias("med"))
+    )
+    dev_cells = cells.join(medians, ["event_type", "g"]).select(
+        "event_type",
+        "g",
+        "n",
+        F.abs(F.col("v") - F.col("med")).alias("dev"),
+    )
+    groups = dev_cells.groupBy("event_type", "g").agg(
+        F.sum("n").alias("ng"),
+        F.sum(F.col("n").cast(d38) * F.col("dev")).alias("sg"),
+        F.sum(
+            F.col("n").cast(d38) * F.col("dev") * F.col("dev")
+        ).alias("qg"),
+    )
+    term = F.floor(
+        (F.col("sg") * F.col("sg")).cast("double")
+        / F.col("ng").cast("double")
+        * F.lit(1e6)
+        + F.lit(0.5)
+    ).cast("long")
+    per_type = groups.select(
+        "event_type", "ng", "sg", "qg", term.alias("t")
+    ).groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("k"),
+        F.sum("ng").alias("n"),
+        F.sum("sg").alias("s"),
+        F.sum("qg").alias("q"),
+        F.sum("t").alias("tsum"),
+    )
+    between_raw = F.col("tsum").cast("double") / F.lit(1e6)
+    ssb = between_raw - (F.col("s") * F.col("s")).cast(
+        "double"
+    ) / F.col("n").cast("double")
+    ssw = F.col("q").cast("double") - between_raw
+    kd = F.col("k").cast("double")
+    nd = F.col("n").cast("double")
+    fstat = (ssb / (kd - F.lit(1.0))) / (ssw / (nd - kd))
+    return (
+        per_type.where(
+            (F.col("k") > 1)
+            & ((F.col("n") - F.col("k")) > 0)
+            & (F.col("q").cast("double") - between_raw > 0)
+        )
+        .select(
+            "event_type",
+            F.col("n").cast("long").alias("n_events"),
+            F.col("k").cast("long").alias("n_groups"),
+            det_round(fstat, 6).alias("bf_f"),
+        )
+        .orderBy("event_type")
+    )
+
+
+def events_friedman_type_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Friedman test with days as blocks and event types as
+    treatments: is the daily RANKING of event types by count stable,
+    or does the type mix genuinely reorder day to day? The
+    repeated-measures member of the rank-test family — Kruskal–
+    Wallis pools all observations and is blind to per-day pairing;
+    Friedman ranks WITHIN each day, so a weekend flip of two types
+    registers even when their overall totals tie.
+
+    Exactness: per-day ranks use the doubled-midrank device
+    (2·rank = 2·#smaller + #tied + 1, exact integers) over a DENSE
+    (day × type) grid (absent counts are explicit zeros, so every
+    block ranks the same k types on both engines). The tie-corrected
+    statistic χ² = (k−1)·Σ_j (R_j − n(k+1)/2)² / (A − C) is computed
+    entirely on the doubled scale — numerator Σ(2R_j − n(k+1))²·¼
+    and denominator (Σ(2r)² − n·k·(k+1)²)·¼ share the ¼, so the
+    whole thing is exact DECIMAL(38,0) integers until ONE double
+    division; NULL when every block is fully tied (denominator 0).
+
+    Shape: one (day, type) count aggregate (calendar-bounded), the
+    dense grid via a distinct-days × distinct-types cross join, two
+    rank windows per block, one global reduce — output is a single
+    row."""
+    events = load_table(spark, sf_dir, "events").where(
+        F.col("ts").isNotNull()
+    )
+    d38 = "decimal(38,0)"
+    us = F.unix_micros(F.col("ts"))
+    day = (us - (us % F.lit(86_400_000_000))) / F.lit(86_400_000_000)
+    counts = events.groupBy(
+        day.cast("long").alias("d"), "event_type"
+    ).agg(F.count(F.lit(1)).alias("c"))
+    days = counts.select("d").distinct()
+    types = counts.select("event_type").distinct()
+    grid = days.crossJoin(types).join(
+        counts, ["d", "event_type"], "left"
+    ).select(
+        "d",
+        "event_type",
+        F.coalesce(F.col("c"), F.lit(0)).alias("c"),
+    )
+    w_rank = Window.partitionBy("d").orderBy("c")
+    w_tie = Window.partitionBy("d", "c")
+    ranked = grid.select(
+        "d",
+        "event_type",
+        (
+            F.lit(2) * (F.rank().over(w_rank) - F.lit(1))
+            + F.count(F.lit(1)).over(w_tie)
+            + F.lit(1)
+        ).alias("r2"),
+    )
+    per_type = ranked.groupBy("event_type").agg(
+        F.sum(F.col("r2").cast(d38)).alias("r2j"),
+        F.count(F.lit(1)).alias("n_days"),
+    )
+    sq_all = ranked.agg(
+        F.sum(F.col("r2").cast(d38) * F.col("r2")).alias("a4"),
+    )
+    k_n = per_type.agg(
+        F.count(F.lit(1)).alias("k"),
+        F.max("n_days").alias("n"),
+    )
+    # Σ_j (2R_j − n(k+1))² needs k and n, so join them back in
+    base = per_type.crossJoin(F.broadcast(k_n.select("k", "n")))
+    num4 = base.select(
+        (
+            (
+                F.col("r2j")
+                - F.col("n").cast(d38) * (F.col("k") + F.lit(1))
+            )
+            * (
+                F.col("r2j")
+                - F.col("n").cast(d38) * (F.col("k") + F.lit(1))
+            )
+        ).alias("sqterm"),
+        "k",
+        "n",
+    ).groupBy("k", "n").agg(F.sum("sqterm").alias("num4"))
+    den = num4.crossJoin(F.broadcast(sq_all)).select(
+        "k",
+        "n",
+        "num4",
+        (
+            F.col("a4")
+            - F.col("n").cast(d38)
+            * F.col("k")
+            * (F.col("k") + F.lit(1))
+            * (F.col("k") + F.lit(1))
+        ).alias("den4"),
+    )
+    chi2 = (
+        (F.col("k").cast("double") - F.lit(1.0))
+        * F.col("num4").cast("double")
+        / F.col("den4").cast("double")
+    )
+    return den.select(
+        F.col("n").cast("long").alias("n_days"),
+        F.col("k").cast("long").alias("n_types"),
+        F.when(F.col("den4") > 0, det_round(chi2, 6)).alias(
+            "friedman_chi2"
+        ),
+    )
+
+
+def orders_somers_d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Somers' D of price band on order priority — the ASYMMETRIC
+    ordinal association the credit-scoring world reads as the
+    Gini/AUC analogue (D_Y|X = (C − D)/(C + D + T_Y)): unlike
+    `orders_gk_gamma`, which drops ALL tied pairs and so overstates
+    association on coarse scales, Somers' D keeps pairs tied on the
+    DEPENDENT variable (price band) in the denominator — the right
+    penalty when the response scale is coarse.
+
+    Exactness: identical machinery to the gamma plan — the ≤45-cell
+    (priority, band) contingency table, a broadcast self-join on a
+    literal key, exact DECIMAL(38,0) pair products for C, D, and the
+    band-tie count T_Y, one double division. A single-priority input
+    still yields one row (C = D = T_Y = 0, D NULL)."""
+    orders = load_table(spark, sf_dir, "orders")
+    d38 = "decimal(38,0)"
+    pr = F.substring(F.col("o_orderpriority"), 1, 1).cast("long")
+    cents = F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")
+    band = F.least(F.expr("_cents div 5000000"), F.lit(8)).cast("long")
+    cells = (
+        orders.select(pr.alias("pr"), cents.alias("_cents"))
+        .select("pr", band.alias("band"))
+        .groupBy("pr", "band")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .withColumn("_k", F.lit(1))
+        .localCheckpoint(eager=True)
+    )
+    a = cells.select(
+        "_k",
+        F.col("pr").alias("pr1"),
+        F.col("band").alias("b1"),
+        F.col("n").alias("n1"),
+    )
+    b = cells.select(
+        "_k",
+        F.col("pr").alias("pr2"),
+        F.col("band").alias("b2"),
+        F.col("n").alias("n2"),
+    )
+    pairs = a.join(F.broadcast(b), "_k").where(F.col("pr2") > F.col("pr1"))
+    prod = F.col("n1").cast(d38) * F.col("n2")
+    agg = pairs.agg(
+        F.coalesce(
+            F.sum(F.when(F.col("b2") > F.col("b1"), prod)),
+            F.lit(0).cast(d38),
+        ).alias("_c"),
+        F.coalesce(
+            F.sum(F.when(F.col("b2") < F.col("b1"), prod)),
+            F.lit(0).cast(d38),
+        ).alias("_d"),
+        F.coalesce(
+            F.sum(F.when(F.col("b2") == F.col("b1"), prod)),
+            F.lit(0).cast(d38),
+        ).alias("_ty"),
+    )
+    tot = cells.agg(F.sum(F.col("n").cast(d38)).alias("nn"))
+    joined = agg.crossJoin(F.broadcast(tot))
+    denom = F.col("_c") + F.col("_d") + F.col("_ty")
+    return joined.select(
+        F.col("nn").cast("long").alias("n_orders"),
+        F.col("_c").cast("long").alias("concordant"),
+        F.col("_d").cast("long").alias("discordant"),
+        F.col("_ty").cast("long").alias("ties_band"),
+        F.when(
+            denom > 0,
+            det_round(
+                (F.col("_c") - F.col("_d")).cast("double")
+                / denom.cast("double"),
+                6,
+            ),
+        ).alias("somers_d"),
+    )

@@ -2019,3 +2019,10 @@ def doc_simpson_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
     (`operators/text_analysis.simpson_diversity` — exact integer
     c(c−1) sums, no transcendentals)."""
     return text_analysis.simpson_diversity(_docs(spark, sf_dir))
+
+
+def doc_length_lognormal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source lognormal fit of document token lengths
+    (`operators/text_analysis.length_lognormal_fit` — 1e-9-grid
+    ln moments, division-free centering, fitted median exp(μ))."""
+    return text_analysis.length_lognormal_fit(_docs(spark, sf_dir))

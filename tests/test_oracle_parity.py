@@ -71,10 +71,11 @@ def test_r8_rotation_invariants():
     assert not set(fill) & set(backlog[150:])
     # round-8 additions append AFTER the closing window (VERDICT r7
     # item 5) so the [150:187] positions never shift; they are the
-    # round-9 window front
-    assert len(set(backlog)) == len(backlog) == 187 + 5
-    assert backlog[187] == "events_anderson_darling"
-    assert set(backlog[187:]) & set(names[:50]) == set()
+    # round-9 window front, pinned exactly
+    adds = contract._R8_ADDITIONS
+    assert backlog[187:] == adds
+    assert len(set(backlog)) == len(backlog) == 187 + len(adds)
+    assert set(adds) & set(names[:50]) == set()
     assert set(backlog) <= set(names)
     assert contract._R5_DRIVER_WINDOW == backlog[:50]
     assert contract._R6_DRIVER_WINDOW == backlog[50:100]

@@ -244,3 +244,238 @@ def test_fuzz_jonckheere(spark, data):
             assert out[0]["jt_z"] is None
     finally:
         shutil.rmtree(sf, ignore_errors=True)
+
+
+# --- Brown–Forsythe (honest replay: sorted-list median) ----------
+
+
+bf_obs = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=3),  # daypart
+        st.integers(min_value=-2, max_value=3),  # cent value
+    ),
+    min_size=4,
+    max_size=16,
+)
+
+
+@given(data=bf_obs)
+@SET
+def test_fuzz_brown_forsythe(spark, data):
+    from stream_processing_system_spark.plans.analytics import (
+        events_brown_forsythe,
+    )
+
+    rows = [
+        (i, dt.datetime(2024, 1, 10, g * 6, 30), v / 100.0)
+        for i, (g, v) in enumerate(data)
+    ]
+    sf = _write_events(spark, rows)
+    try:
+        out = events_brown_forsythe(spark, sf).collect()
+        groups = {}
+        for g, v in data:
+            groups.setdefault(g, []).append(v)
+        # lower median: smallest v with 2*(# <= v) >= n
+        devs = {}
+        for g, vs in groups.items():
+            vs.sort()
+            med = vs[(len(vs) + 1) // 2 - 1]
+            devs[g] = [abs(v - med) for v in vs]
+        k = len(devs)
+        n = sum(len(d) for d in devs.values())
+        if k <= 1 or n - k <= 0:
+            assert out == []
+            return
+        tsum = sum(
+            math.floor(
+                float(sum(d)) ** 2 / float(len(d)) * 1e6 + 0.5
+            )
+            for d in devs.values()
+        )
+        s = sum(sum(d) for d in devs.values())
+        q = sum(x * x for d in devs.values() for x in d)
+        between_raw = float(tsum) / 1e6
+        ssb = between_raw - float(s * s) / float(n)
+        ssw = float(q) - between_raw
+        if not ssw > 0:
+            assert out == []
+            return
+        want = _det_round(
+            (ssb / (float(k) - 1.0)) / (ssw / (float(n) - float(k)))
+        )
+        assert len(out) == 1
+        assert out[0]["n_events"] == n
+        assert out[0]["n_groups"] == k
+        assert out[0]["bf_f"] == want
+    finally:
+        shutil.rmtree(sf, ignore_errors=True)
+
+
+# --- Friedman (honest replay: position-sum doubled midranks) -----
+
+
+blocks = st.lists(
+    st.lists(
+        st.integers(min_value=0, max_value=3), min_size=3, max_size=3
+    ),
+    min_size=2,
+    max_size=8,
+)
+
+
+@given(data=blocks)
+@SET
+def test_fuzz_friedman(spark, data):
+    """data: per-day counts for exactly 3 types. Replay computes
+    doubled midranks from sorted POSITIONS (first+last index + 2),
+    independent of the plan's RANK/COUNT window device."""
+    from stream_processing_system_spark.plans.analytics import (
+        events_friedman_type_ranks,
+    )
+
+    types = ["a", "b", "c"]
+    rows = []
+    eid = 0
+    for d, counts in enumerate(data):
+        ts = dt.datetime(2024, 1, 2) + dt.timedelta(days=d)
+        for t, c in zip(types, counts):
+            for _ in range(c):
+                rows.append((eid, ts, 1.0, t))
+                eid += 1
+    # at least one event per type overall so all 3 types register
+    if not all(any(cs[j] for cs in data) for j in range(3)):
+        return
+    df = spark.createDataFrame(
+        [(i, ts, 1, t, v, "{}") for i, ts, v, t in rows],
+        "event_id long, ts timestamp, user_id long,"
+        " event_type string, value double, props string",
+    )
+    sf = os.path.join(
+        tempfile.gettempdir(), f"r8fuzz_{os.getpid()}_{next(_seq)}"
+    )
+    df.write.mode("overwrite").parquet(os.path.join(sf, "events.parquet"))
+    try:
+        out = events_friedman_type_ranks(spark, sf).collect()
+        n = len(data)
+        k = 3
+        r2 = {t: 0 for t in types}
+        a4 = 0
+        for counts in data:
+            order = sorted(range(k), key=lambda j: counts[j])
+            pos = {}
+            for idx, j in enumerate(order):
+                pos.setdefault(counts[j], []).append(idx)
+            for j in range(k):
+                idxs = pos[counts[j]]
+                dbl = idxs[0] + idxs[-1] + 2
+                r2[types[j]] += dbl
+                a4 += dbl * dbl
+        num4 = sum((r2[t] - n * (k + 1)) ** 2 for t in types)
+        den4 = a4 - n * k * (k + 1) ** 2
+        assert out[0]["n_days"] == n
+        assert out[0]["n_types"] == k
+        if den4 > 0:
+            want = _det_round(
+                (float(k) - 1.0) * float(num4) / float(den4)
+            )
+            assert out[0]["friedman_chi2"] == want
+        else:
+            assert out[0]["friedman_chi2"] is None
+    finally:
+        shutil.rmtree(sf, ignore_errors=True)
+
+
+# --- Somers' D (honest O(n²) pairwise) ---------------------------
+
+
+orders_obs = st.lists(
+    st.tuples(
+        st.integers(min_value=1, max_value=5),  # priority
+        st.integers(min_value=0, max_value=3),  # price band index
+    ),
+    min_size=1,
+    max_size=16,
+)
+
+
+@given(data=orders_obs)
+@SET
+def test_fuzz_somers_d(spark, data):
+    from stream_processing_system_spark.plans.analytics import (
+        orders_somers_d,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (f"{p}-URGENT", band * 50000.0 + 10000.0)
+            for p, band in data
+        ],
+        "o_orderpriority string, o_totalprice double",
+    )
+    sf = os.path.join(
+        tempfile.gettempdir(), f"r8fuzz_{os.getpid()}_{next(_seq)}"
+    )
+    df.write.mode("overwrite").parquet(os.path.join(sf, "orders.parquet"))
+    try:
+        out = orders_somers_d(spark, sf).collect()
+        c = d = ty = 0
+        for (p1, b1), (p2, b2) in itertools.permutations(data, 2):
+            if p1 < p2:
+                if b2 > b1:
+                    c += 1
+                elif b2 < b1:
+                    d += 1
+                else:
+                    ty += 1
+        assert out[0]["n_orders"] == len(data)
+        assert (out[0]["concordant"], out[0]["discordant"]) == (c, d)
+        assert out[0]["ties_band"] == ty
+        if c + d + ty > 0:
+            want = _det_round(float(c - d) / float(c + d + ty))
+            assert out[0]["somers_d"] == want
+        else:
+            assert out[0]["somers_d"] is None
+    finally:
+        shutil.rmtree(sf, ignore_errors=True)
+
+
+# --- rich club (honest replay on a literal edge list) ------------
+
+
+edge_lists = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=7),
+        st.integers(min_value=0, max_value=7),
+    ),
+    max_size=16,
+)
+
+
+@given(raw=edge_lists)
+@SET
+def test_fuzz_rich_club(spark, raw):
+    from stream_processing_system_spark.operators.graph import rich_club
+
+    edges = sorted({(min(a, b), max(a, b)) for a, b in raw if a != b})
+    if not edges:
+        return
+    df = spark.createDataFrame(edges, "src long, dst long")
+    out = {r["k"]: r for r in rich_club(df).collect()}
+    deg = {}
+    for a, b in edges:
+        deg[a] = deg.get(a, 0) + 1
+        deg[b] = deg.get(b, 0) + 1
+    for k in (1, 2, 4, 8):
+        n_nodes = sum(1 for v in deg.values() if v > k)
+        n_edges = sum(
+            1 for a, b in edges if deg[a] > k and deg[b] > k
+        )
+        row = out[k]
+        assert (row["n_nodes"], row["n_edges"]) == (n_nodes, n_edges)
+        if n_nodes > 1:
+            assert row["phi"] == 2.0 * float(n_edges) / (
+                float(n_nodes) * (float(n_nodes) - 1.0)
+            )
+        else:
+            assert row["phi"] is None

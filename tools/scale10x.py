@@ -159,6 +159,11 @@ QUERIES = [
     "events_variance_ratio",
     "events_daypart_jonckheere",
     "stream_ks_drift",
+    "events_brown_forsythe",
+    "events_friedman_type_ranks",
+    "orders_somers_d",
+    "copurchase_rich_club",
+    "doc_length_lognormal",
 ]
 
 
