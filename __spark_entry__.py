@@ -2234,6 +2234,11 @@ _ROTATION_BACKLOG = [
     "orders_somers_d",
     "copurchase_rich_club",
     "doc_length_lognormal",
+    "doc_flesch_reading_ease",
+    "media_scene_cuts",
+    "user_gap_weibull",
+    "nation_trade_balance",
+    "stream_anderson_darling",
 ]
 
 #: Names added AFTER the rotation closed (round 8 onward): they live
@@ -2252,6 +2257,11 @@ _R8_ADDITIONS = [
     "orders_somers_d",
     "copurchase_rich_club",
     "doc_length_lognormal",
+    "doc_flesch_reading_ease",
+    "media_scene_cuts",
+    "user_gap_weibull",
+    "nation_trade_balance",
+    "stream_anderson_darling",
 ]
 
 #: Round-5 driver window (VERDICT r4 item 1, historical record): the
@@ -2752,6 +2762,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "orders_somers_d": analytics.orders_somers_d,
         "copurchase_rich_club": analytics.copurchase_rich_club,
         "doc_length_lognormal": pipeline.doc_length_lognormal,
+        "doc_flesch_reading_ease": pipeline.doc_flesch_reading_ease,
+        "media_scene_cuts": pipeline.media_scene_cuts,
+        "user_gap_weibull": analytics.user_gap_weibull,
+        "nation_trade_balance": analytics.nation_trade_balance,
+        "stream_anderson_darling": (
+            streaming_parity.stream_anderson_darling
+        ),
     }
     head = {n: q[n] for n in _R8_DRIVER_WINDOW + _R8_WINDOW_FILL}
     assert len(head) == 50, f"driver window must be 50, got {len(head)}"
@@ -13008,5 +13025,185 @@ def oracle_sql() -> dict[str, str]:
                          / (CAST(n_docs AS DOUBLE) * 1000000000.0))
                      * 1000000.0 + 0.5) / 1000000.0 AS median_tokens_fit
         FROM agg ORDER BY source
+    """
+    _o["stream_anderson_darling"] = _o["events_anderson_darling"]
+    _o["doc_flesch_reading_ease"] = """
+        WITH per_doc AS (
+            SELECT source,
+                   len(list_filter(string_split(text, ' '),
+                                   t -> t <> '')) AS w,
+                   greatest(1, len(regexp_extract_all(text, '[.!?]+')))
+                       AS snt,
+                   list_sum(list_transform(
+                       list_filter(string_split(text, ' '),
+                                   t -> t <> ''),
+                       t -> greatest(1, len(regexp_extract_all(
+                                lower(t), '[aeiouy]+')))
+                   )) AS syl
+            FROM documents
+        ), micro AS (
+            SELECT source,
+                   CAST(floor((206.835
+                        - 1.015 * (CAST(w AS DOUBLE)
+                                   / CAST(snt AS DOUBLE))
+                        - 84.6 * (CAST(syl AS DOUBLE)
+                                  / CAST(w AS DOUBLE)))
+                       * 1000000.0 + 0.5) AS BIGINT) AS m
+            FROM per_doc WHERE w >= 1
+        ), agg AS (
+            SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+                   SUM(CAST(m AS HUGEINT)) AS s,
+                   SUM(CASE WHEN m >= 60000000 THEN 1 ELSE 0 END)
+                       AS n_plain
+            FROM micro GROUP BY 1
+        )
+        SELECT source, n_docs,
+               floor(CAST(s AS DOUBLE)
+                     / (CAST(n_docs AS DOUBLE) * 1000000.0)
+                     * 1000000.0 + 0.5) / 1000000.0 AS avg_flesch,
+               floor(CAST(n_plain AS DOUBLE) / CAST(n_docs AS DOUBLE)
+                     * 1000000.0 + 0.5) / 1000000.0
+                   AS plain_english_share
+        FROM agg ORDER BY source
+    """
+    _o["media_scene_cuts"] = """
+        -- mirrors the stub decode byte-for-byte (the
+        -- media_video_neardup CTE chain), then a per-video lag
+        -- compare over the sampled-frame fingerprints
+        WITH vids AS (
+            SELECT doc_id, text,
+                   ('0x' || substr(md5(text), 1, 8))::BIGINT AS h,
+                   length(text) AS ln
+            FROM documents WHERE doc_id % 3 = 2
+        ), nf AS (
+            SELECT doc_id, text, ln,
+                   least((1000 + h % 7200000) // 1000, 16) AS n
+            FROM vids
+        ), chars AS (
+            SELECT doc_id, n, ln, i,
+                   unicode(substr(text, CAST(i + 1 AS INT), 1)) AS b
+            FROM nf, UNNEST(range(ln)) AS u(i)
+            WHERE n > 0 AND ln > 0
+        ), perframe AS (
+            SELECT doc_id, (i * n) // ln AS frame_idx,
+                   (SUM(b) * 31 + COUNT(*)) % 1000003 AS fp
+            FROM chars GROUP BY doc_id, n, ln, (i * n) // ln
+        ), lagd AS (
+            SELECT doc_id AS media_id, frame_idx, fp,
+                   LAG(fp) OVER (PARTITION BY doc_id
+                                 ORDER BY frame_idx) AS pfp
+            FROM perframe
+        ), agg AS (
+            SELECT media_id, CAST(count(*) AS BIGINT) AS n_frames,
+                   CAST(SUM(CASE WHEN pfp IS NOT NULL AND fp <> pfp
+                                 THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_cuts
+            FROM lagd GROUP BY 1
+        )
+        SELECT media_id, n_frames, n_cuts,
+               CASE WHEN n_frames > 1 THEN
+                   CAST(n_cuts AS DOUBLE)
+                   / (CAST(n_frames AS DOUBLE) - 1.0)
+               END AS cut_rate
+        FROM agg ORDER BY media_id
+    """
+    _o["user_gap_weibull"] = """
+        WITH ev0 AS (
+            SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS s,
+                   event_id
+            FROM events
+        ), ev AS (
+            SELECT s, lead(s) OVER (
+                PARTITION BY user_id ORDER BY s, event_id
+            ) AS nxt
+            FROM ev0
+        ), cells AS (
+            SELECT (nxt - s) // 60 AS t, CAST(count(*) AS BIGINT) AS c
+            FROM ev
+            WHERE nxt IS NOT NULL AND (nxt - s) // 60 >= 1
+            GROUP BY 1
+        ), staged AS (
+            SELECT t, c,
+                   COALESCE(SUM(c) OVER (ORDER BY t
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                       AND 1 PRECEDING), 0) AS cumb,
+                   SUM(c) OVER () AS n
+            FROM cells
+        ), pts AS (
+            SELECT c,
+                   CAST(floor(ln(CAST(t AS DOUBLE))
+                              * 1000000000.0 + 0.5) AS BIGINT) AS x,
+                   CAST(floor(ln(-ln(1.0 -
+                       ((CAST(2 * cumb + c + 1 AS DOUBLE) / 2.0 - 0.3)
+                        / (CAST(n AS DOUBLE) + 0.4))))
+                       * 1000000000.0 + 0.5) AS BIGINT) AS y
+            FROM staged
+        ), agg AS (
+            SELECT SUM(c) AS w, CAST(count(*) AS BIGINT) AS cells,
+                   SUM(CAST(c AS HUGEINT) * x) AS sx,
+                   SUM(CAST(c AS HUGEINT) * y) AS sy,
+                   SUM(CAST(c AS HUGEINT) * x * x) AS sxx,
+                   SUM(CAST(c AS HUGEINT) * x * y) AS sxy
+            FROM pts
+        )
+        SELECT CAST(w AS BIGINT) AS n_gaps,
+               CASE WHEN cells > 1
+                     AND CAST(CAST(w AS HUGEINT) * sxx - sx * sx
+                              AS DOUBLE) > 0 THEN
+                   floor(CAST(CAST(w AS HUGEINT) * sxy - sx * sy
+                              AS DOUBLE)
+                         / CAST(CAST(w AS HUGEINT) * sxx - sx * sx
+                                AS DOUBLE)
+                         * 1000000.0 + 0.5) / 1000000.0
+               END AS shape,
+               CASE WHEN cells > 1
+                     AND CAST(CAST(w AS HUGEINT) * sxx - sx * sx
+                              AS DOUBLE) > 0 THEN
+                   floor(exp(-((CAST(sy AS DOUBLE)
+                         - (CAST(CAST(w AS HUGEINT) * sxy - sx * sy
+                                 AS DOUBLE)
+                            / CAST(CAST(w AS HUGEINT) * sxx - sx * sx
+                                   AS DOUBLE))
+                           * CAST(sx AS DOUBLE))
+                        / (CAST(w AS DOUBLE) * 1000000000.0))
+                      / (CAST(CAST(w AS HUGEINT) * sxy - sx * sy
+                              AS DOUBLE)
+                         / CAST(CAST(w AS HUGEINT) * sxx - sx * sx
+                                AS DOUBLE)))
+                         * 1000000.0 + 0.5) / 1000000.0
+               END AS scale_minutes
+        FROM agg
+    """
+    _o["nation_trade_balance"] = """
+        WITH flows AS (
+            SELECT cn.n_name AS cust_nation, sn.n_name AS supp_nation,
+                   CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                            AS DECIMAL(18,4))) * 10000 AS HUGEINT) AS r
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN nation cn ON c_nationkey = cn.n_nationkey
+            JOIN nation sn ON s_nationkey = sn.n_nationkey
+            WHERE cn.n_name <> sn.n_name
+            GROUP BY 1, 2
+        ), inflow AS (
+            SELECT supp_nation AS nation, SUM(r) AS rin
+            FROM flows GROUP BY 1
+        ), outflow AS (
+            SELECT cust_nation AS nation, SUM(r) AS rout
+            FROM flows GROUP BY 1
+        ), j AS (
+            SELECT COALESCE(i.nation, o.nation) AS nation,
+                   COALESCE(i.rin, 0) AS rin,
+                   COALESCE(o.rout, 0) AS rout
+            FROM inflow i FULL OUTER JOIN outflow o
+              ON i.nation = o.nation
+        )
+        SELECT nation,
+               CAST(rin AS DOUBLE) / 10000.0 AS export_revenue,
+               CAST(rout AS DOUBLE) / 10000.0 AS import_revenue,
+               CAST(rin - rout AS DOUBLE) / 10000.0 AS net_balance
+        FROM j ORDER BY nation
     """
     return _o

@@ -1067,3 +1067,79 @@ def length_lognormal_fit(
         F.when(F.col("n_docs") > 1, det_round(sigma, 6)).alias("sigma_ln"),
         det_round(F.exp(mu), 6).alias("median_tokens_fit"),
     ).orderBy("source")
+
+
+def flesch_reading_ease(
+    df: DataFrame,
+    source_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-source Flesch reading-ease profile: the classic
+    readability score 206.835 − 1.015·(words/sentences) −
+    84.6·(syllables/word), computed per document from deterministic
+    integer counts and averaged per source — the quality-filter
+    complement to `quality_score` (shape heuristics) and the Gopher
+    rules (thresholds): readability targets the SENTENCE-level
+    structure a web-scrape quality classifier keys on.
+
+    Counting conventions (documented, mirrored in the oracle):
+    words = whitespace tokens; sentences = max(1, number of [.!?]+
+    runs); syllables per word = max(1, number of [aeiouy]+ runs in
+    the lowercased word) — the standard cheap approximation.
+
+    Exactness: all three counts are exact integers per document
+    (regexp_extract_all run counting); the per-doc score is ONE
+    fixed-order double chain floored onto the 1e-6 grid BEFORE the
+    per-source sum (the chi2 device — summing raw doubles would be
+    partition-order-dependent), so the source mean is one division
+    over exact integers.
+
+    Shape: one scan, per-doc JVM lambda aggregation over the token
+    array (no explode), one |sources|-row hash aggregate."""
+    d38 = "decimal(38,0)"
+    toks = _toks(F.col(text_col))
+    n_words = F.size(toks)
+    n_sent = F.greatest(
+        F.lit(1),
+        F.size(F.regexp_extract_all(F.col(text_col), F.lit(r"[.!?]+"), 0)),
+    )
+    syl = F.aggregate(
+        toks,
+        F.lit(0).cast("long"),
+        lambda acc, t: acc
+        + F.greatest(
+            F.lit(1),
+            F.size(
+                F.regexp_extract_all(F.lower(t), F.lit("[aeiouy]+"), 0)
+            ),
+        ).cast("long"),
+    )
+    wd = n_words.cast("double")
+    score = (
+        F.lit(206.835)
+        - F.lit(1.015) * (wd / n_sent.cast("double"))
+        - F.lit(84.6) * (syl.cast("double") / wd)
+    )
+    micro = F.floor(score * F.lit(1e6) + F.lit(0.5)).cast("long")
+    per_doc = df.where(n_words >= 1).select(
+        F.col(source_col).alias("source"),
+        micro.alias("m"),
+    )
+    agg = per_doc.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.col("m").cast(d38)).alias("s"),
+        F.sum(
+            F.when(F.col("m") >= 60_000_000, F.lit(1)).otherwise(F.lit(0))
+        ).alias("n_plain"),
+    )
+    nd = F.col("n_docs").cast("double")
+    return agg.select(
+        "source",
+        F.col("n_docs").cast("long").alias("n_docs"),
+        det_round(
+            F.col("s").cast("double") / (nd * F.lit(1e6)), 6
+        ).alias("avg_flesch"),
+        det_round(
+            F.col("n_plain").cast("double") / nd, 6
+        ).alias("plain_english_share"),
+    ).orderBy("source")

@@ -13029,7 +13029,14 @@ def events_anderson_darling(spark: SparkSession, sf_dir: str) -> DataFrame:
     over the BOUNDED cent-domain frame, one per-type reduce — the
     CvM plan's shape exactly; at 100 TB the post-aggregate frame
     stays |types|×|cent domain| regardless of row count."""
-    cells = halfsplit_value_cells(spark, sf_dir)
+    return ad_from_cells(halfsplit_value_cells(spark, sf_dir))
+
+
+def ad_from_cells(cells: DataFrame) -> DataFrame:
+    """Shared Anderson–Darling tail over an (event_type, v, ca, cb)
+    exact-centi count frame — factored (the `cvm_from_cells` /
+    `ks_from_cells` precedent) so the streaming twin reduces the
+    same drained cell-monoid state."""
     d38 = "decimal(38,0)"
     w_cum = (
         Window.partitionBy("event_type")
@@ -13650,3 +13657,190 @@ def orders_somers_d(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         ).alias("somers_d"),
     )
+
+
+def user_gap_weibull(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weibull fit of user inter-event gaps by median-rank
+    regression — the PARAMETRIC companion to `user_gap_survival`'s
+    nonparametric Kaplan–Meier: shape k < 1 means bursty
+    come-back-soon behavior (decreasing hazard), k ≈ 1 memoryless,
+    k > 1 habituation (the longer away, the likelier to return) —
+    one pair of numbers a retention model consumes directly where
+    the KM curve is a whole table.
+
+    Method: observed gaps in whole minutes (the `user_gap_survival`
+    gap device, censored-open gaps EXCLUDED — median-rank regression
+    is the standard uncensored-fit shortcut and is documented as
+    such), Bernard's approximation F_i = (i − 0.3)/(n + 0.4) at each
+    gap's midrank, then OLS of y = ln(−ln(1−F)) on x = ln(t):
+    slope = shape, scale = exp(x̄ − ȳ/k̂)… i.e. intercept b = ȳ − k̂x̄
+    and scale λ = exp(−b/k̂).
+
+    Exactness: gaps and midranks are exact integers over the
+    BOUNDED per-minute cell frame (doubled midrank = 2·cum_before +
+    count + 1); per-cell x and y are floored ONCE onto the 1e-9
+    grid, so every weighted OLS moment is an exact DECIMAL(38,0)
+    sum; slope/intercept/scale are fixed-order double chains. The
+    cumulative window runs on the tiny per-minute frame (the KM
+    precedent), never the rows."""
+    events = load_table(spark, sf_dir, "events")
+    d38 = "decimal(38,0)"
+    by_user = Window.partitionBy("user_id").orderBy("s", "event_id")
+    ev = events.select(
+        "user_id",
+        F.col("ts").cast("long").alias("s"),
+        "event_id",
+    ).select("s", F.lead("s").over(by_user).alias("nxt"))
+    cells = (
+        ev.where(F.col("nxt").isNotNull())
+        .select(F.expr("(nxt - s) div 60").alias("t"))
+        .where(F.col("t") >= 1)
+        .groupBy("t")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    w_cum = Window.orderBy("t").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    w_tot = Window.partitionBy()
+    staged = cells.select(
+        "t",
+        "c",
+        F.coalesce(F.sum("c").over(w_cum), F.lit(0)).alias("cumb"),
+        F.sum("c").over(w_tot).alias("n"),
+    )
+    md2 = F.lit(2) * F.col("cumb") + F.col("c") + F.lit(1)
+    fr = (md2.cast("double") / F.lit(2.0) - F.lit(0.3)) / (
+        F.col("n").cast("double") + F.lit(0.4)
+    )
+    x = F.floor(
+        F.log(F.col("t").cast("double")) * F.lit(1e9) + F.lit(0.5)
+    ).cast("long")
+    y = F.floor(
+        F.log(-F.log(F.lit(1.0) - fr)) * F.lit(1e9) + F.lit(0.5)
+    ).cast("long")
+    pts = staged.select(
+        "c", x.alias("x"), y.alias("y"), F.lit(1).alias("_k")
+    )
+    agg = pts.groupBy("_k").agg(
+        F.sum("c").alias("w"),
+        F.count(F.lit(1)).alias("cells"),
+        F.sum(F.col("c").cast(d38) * F.col("x")).alias("sx"),
+        F.sum(F.col("c").cast(d38) * F.col("y")).alias("sy"),
+        F.sum(
+            F.col("c").cast(d38) * F.col("x") * F.col("x")
+        ).alias("sxx"),
+        F.sum(
+            F.col("c").cast(d38) * F.col("x") * F.col("y")
+        ).alias("sxy"),
+    )
+    wd = F.col("w").cast(d38)
+    num = (wd * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    den = (wd * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    k_hat = num / den
+    b_hat = (
+        F.col("sy").cast("double") - k_hat * F.col("sx").cast("double")
+    ) / (F.col("w").cast("double") * F.lit(1e9))
+    scale = F.exp(-b_hat / k_hat)
+    ok = (F.col("cells") > 1) & (den > 0)
+    return agg.select(
+        F.col("w").cast("long").alias("n_gaps"),
+        F.when(ok, det_round(k_hat, 6)).alias("shape"),
+        F.when(ok, det_round(scale, 6)).alias("scale_minutes"),
+    )
+
+
+def nation_trade_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-nation trade balance over cross-nation purchases: for
+    every nation, revenue flowing IN (its suppliers selling to
+    foreign customers), revenue flowing OUT (its customers buying
+    from foreign suppliers), and the net — the whole-matrix rollup
+    of TPC-H Q7's two-nation volume_shipping: one report that says
+    who the exporter and importer economies are.
+
+    Exactness: the proven money device (Σ cast(extprice·(1−disc) as
+    decimal(18,4)), scaled to exact BIGINT ten-thousandths before
+    any reshaping); the two flows are symmetric aggregates of ONE
+    (cust_nation, supp_nation) matrix, built with a single join
+    chain and reshaped by two groupBys + one full outer join on the
+    tiny nation list.
+
+    Shape: lineitem⋈orders (orderkey) ⋈customer (custkey) with
+    nation dims BROADCAST onto both sides; the cross-nation filter
+    prunes the diagonal before aggregation; everything after the
+    (25×25-bounded) matrix aggregate is constant-size."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey"
+    )
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey"
+    )
+    supp = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_nationkey"
+    )
+    nation = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name"
+    )
+    dp = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    # supplier/customer are SF-scaled: their join strategy belongs
+    # to AQE (repo convention — only the constant nation dim gets a
+    # forced broadcast)
+    flows = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .join(supp, li.l_suppkey == supp.s_suppkey)
+        .join(
+            F.broadcast(
+                nation.select(
+                    F.col("n_nationkey").alias("_ck"),
+                    F.col("n_name").alias("cust_nation"),
+                )
+            ),
+            F.col("c_nationkey") == F.col("_ck"),
+        )
+        .join(
+            F.broadcast(
+                nation.select(
+                    F.col("n_nationkey").alias("_sk"),
+                    F.col("n_name").alias("supp_nation"),
+                )
+            ),
+            F.col("s_nationkey") == F.col("_sk"),
+        )
+        .where(F.col("cust_nation") != F.col("supp_nation"))
+        .groupBy("cust_nation", "supp_nation")
+        .agg(F.sum(dp.cast("decimal(18,4)")).alias("_rev4"))
+        .select(
+            "cust_nation",
+            "supp_nation",
+            F.expr("cast(_rev4 * 10000 as decimal(38,0))").alias("r"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    inflow = flows.groupBy(
+        F.col("supp_nation").alias("nation")
+    ).agg(F.sum("r").alias("rin"))
+    outflow = flows.groupBy(
+        F.col("cust_nation").alias("nation")
+    ).agg(F.sum("r").alias("rout"))
+    joined = inflow.join(outflow, "nation", "full_outer").select(
+        "nation",
+        F.coalesce(F.col("rin"), F.lit(0).cast("decimal(38,0)")).alias(
+            "rin"
+        ),
+        F.coalesce(F.col("rout"), F.lit(0).cast("decimal(38,0)")).alias(
+            "rout"
+        ),
+    )
+    return joined.select(
+        "nation",
+        (F.col("rin").cast("double") / F.lit(1e4)).alias("export_revenue"),
+        (F.col("rout").cast("double") / F.lit(1e4)).alias(
+            "import_revenue"
+        ),
+        (
+            (F.col("rin") - F.col("rout")).cast("double") / F.lit(1e4)
+        ).alias("net_balance"),
+    ).orderBy("nation")

@@ -2026,3 +2026,56 @@ def doc_length_lognormal(spark: SparkSession, sf_dir: str) -> DataFrame:
     (`operators/text_analysis.length_lognormal_fit` — 1e-9-grid
     ln moments, division-free centering, fitted median exp(μ))."""
     return text_analysis.length_lognormal_fit(_docs(spark, sf_dir))
+
+
+def media_scene_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-video scene-cut profile from sampled frame fingerprints:
+    a cut is a CHANGE between consecutive sampled frames' content
+    fingerprints (`operators/multimodal.frame_fingerprints` — the
+    documented deterministic stub decode; a real pipeline swaps in
+    luma-histogram distances, the Spark shape is identical). The
+    standard pre-feature for video curation: cut density separates
+    static slideware from edited footage, and the sampler keys
+    frame-extraction budgets off it.
+
+    Exactness: fingerprints and frame indices are exact integers;
+    the cut flag is an integer lag-compare; cut_rate is one double
+    division. Shape: the Arrow-batched fingerprint stage, then a
+    per-video lag window over ≤16 sampled frames (bounded frames
+    per video by construction, so the window partition is tiny at
+    any scale) and a per-video aggregate."""
+    media = multimodal.fake_media_from_documents(spark, _docs(spark, sf_dir))
+    sigs = multimodal.frame_fingerprints(media, every_ms=1000)
+    w = Window.partitionBy("media_id").orderBy("frame_idx")
+    flagged = sigs.select(
+        "media_id",
+        F.when(
+            F.lag("fp").over(w).isNotNull()
+            & (F.col("fp") != F.lag("fp").over(w)),
+            F.lit(1),
+        )
+        .otherwise(F.lit(0))
+        .alias("cut"),
+    )
+    agg = flagged.groupBy("media_id").agg(
+        F.count(F.lit(1)).alias("n_frames"),
+        F.sum("cut").alias("n_cuts"),
+    )
+    return agg.select(
+        "media_id",
+        F.col("n_frames").cast("long").alias("n_frames"),
+        F.col("n_cuts").cast("long").alias("n_cuts"),
+        F.when(
+            F.col("n_frames") > 1,
+            F.col("n_cuts").cast("double")
+            / (F.col("n_frames").cast("double") - F.lit(1.0)),
+        ).alias("cut_rate"),
+    ).orderBy("media_id")
+
+
+def doc_flesch_reading_ease(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source Flesch reading-ease profile
+    (`operators/text_analysis.flesch_reading_ease` — integer
+    word/sentence/syllable-run counts, per-doc score floored onto
+    the 1e-6 grid before the source mean)."""
+    return text_analysis.flesch_reading_ease(_docs(spark, sf_dir))

@@ -1309,3 +1309,57 @@ def stream_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     _cleanup(input_dir)
     cells = spark.table(f"sks_{run}").localCheckpoint(eager=True)
     return ks_from_cells(cells)
+
+
+def stream_anderson_darling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tail-weighted two-sample drift with the (type, cent-value)
+    half-split counts maintained by an availableNow streaming
+    aggregation — the streaming twin of
+    `analytics.events_anderson_darling` (same oracle). With this the
+    ENTIRE two-sample drift family (KS / CvM / AD) runs in both
+    runtimes over one shared mergeable cell-monoid state: the
+    streaming aggregation IS the bounded cent-domain cell frame, the
+    statistic tails are the shared batch plans over the drained
+    state."""
+    from stream_processing_system_spark.plans.analytics import (
+        ad_from_cells,
+    )
+
+    input_dir, ckpt, run = _scratch("sad")
+    events = (
+        load_table(spark, sf_dir, "events")
+        .where(F.col("value").isNotNull() & F.col("ts").isNotNull())
+        .select("ts", "event_type", "value")
+    )
+    events.write.mode("overwrite").parquet(input_dir)
+    stream = spark.readStream.schema(
+        "ts timestamp, event_type string, value double"
+    ).parquet(input_dir)
+    half = (F.col("ts") >= F.lit("2024-01-16")).cast("int")
+    state = (
+        stream.select(
+            "event_type",
+            F.floor(F.col("value") * 100 + F.lit(0.5))
+            .cast("long")
+            .alias("v"),
+            half.alias("h"),
+        )
+        .groupBy("event_type", "v")
+        .agg(
+            F.sum(F.lit(1) - F.col("h")).alias("ca"),
+            F.sum("h").alias("cb"),
+        )
+    )
+    with _state_partitions(spark):
+        q = (
+            state.writeStream.outputMode("complete")
+            .format("memory")
+            .queryName(f"sad_{run}")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    _cleanup(input_dir)
+    cells = spark.table(f"sad_{run}").localCheckpoint(eager=True)
+    return ad_from_cells(cells)

@@ -479,3 +479,140 @@ def test_fuzz_rich_club(spark, raw):
             )
         else:
             assert row["phi"] is None
+
+
+# --- Flesch reading ease (honest re-count with Python re) --------
+
+
+texts = st.lists(
+    st.text(
+        alphabet="ab e.!? xyzoui",
+        min_size=1,
+        max_size=60,
+    ),
+    min_size=1,
+    max_size=6,
+)
+
+
+@given(docs=texts)
+@SET
+def test_fuzz_flesch(spark, docs):
+    import re
+
+    from stream_processing_system_spark.operators.text_analysis import (
+        flesch_reading_ease,
+    )
+
+    df = spark.createDataFrame(
+        [("s", t) for t in docs], "source string, text string"
+    )
+    out = flesch_reading_ease(df).collect()
+    micros = []
+    for t in docs:
+        words = [w for w in t.split(" ") if w != ""]
+        if not words:
+            continue
+        snt = max(1, len(re.findall(r"[.!?]+", t)))
+        syl = sum(
+            max(1, len(re.findall("[aeiouy]+", w.lower())))
+            for w in words
+        )
+        score = (
+            206.835
+            - 1.015 * (float(len(words)) / float(snt))
+            - 84.6 * (float(syl) / float(len(words)))
+        )
+        micros.append(math.floor(score * 1e6 + 0.5))
+    if not micros:
+        assert out == []
+        return
+    n = len(micros)
+    assert out[0]["n_docs"] == n
+    assert out[0]["avg_flesch"] == _det_round(
+        float(sum(micros)) / (float(n) * 1e6)
+    )
+    assert out[0]["plain_english_share"] == _det_round(
+        float(sum(1 for m in micros if m >= 60_000_000)) / float(n)
+    )
+
+
+# --- Weibull gap fit (device replay on constructed gaps) ---------
+
+
+gap_lists = st.lists(
+    st.integers(min_value=1, max_value=20), min_size=2, max_size=14
+)
+
+
+@given(gaps=gap_lists)
+@SET
+def test_fuzz_gap_weibull(spark, gaps):
+    """One user, events spaced exactly `gaps` minutes apart; replay
+    mirrors the midrank/Bernard/OLS device."""
+    from stream_processing_system_spark.plans.analytics import (
+        user_gap_weibull,
+    )
+
+    rows = []
+    t = dt.datetime(2024, 1, 2)
+    rows.append((0, t, 1.0))
+    for i, g in enumerate(gaps):
+        t = t + dt.timedelta(minutes=g)
+        rows.append((i + 1, t, 1.0))
+    sf = _write_events(spark, rows)
+    try:
+        out = user_gap_weibull(spark, sf).collect()
+        from collections import Counter
+
+        cnt = Counter(gaps)
+        n = len(gaps)
+        pts = []
+        cumb = 0
+        for tv in sorted(cnt):
+            c = cnt[tv]
+            md2 = 2 * cumb + c + 1
+            fr = (float(md2) / 2.0 - 0.3) / (float(n) + 0.4)
+            x = math.floor(math.log(float(tv)) * 1e9 + 0.5)
+            y = math.floor(
+                math.log(-math.log(1.0 - fr)) * 1e9 + 0.5
+            )
+            pts.append((c, x, y))
+            cumb += c
+        w = sum(c for c, _, _ in pts)
+        sx = sum(c * x for c, x, _ in pts)
+        sy = sum(c * y for c, _, y in pts)
+        sxx = sum(c * x * x for c, x, _ in pts)
+        sxy = sum(c * x * y for c, x, y in pts)
+        den = float(w * sxx - sx * sx)
+        assert out[0]["n_gaps"] == n
+        if len(pts) > 1 and den > 0:
+            k_hat = float(w * sxy - sx * sy) / den
+            b_hat = (float(sy) - k_hat * float(sx)) / (
+                float(w) * 1e9
+            )
+            assert out[0]["shape"] == _det_round(k_hat)
+            assert out[0]["scale_minutes"] == _det_round(
+                math.exp(-b_hat / k_hat)
+            )
+        else:
+            assert out[0]["shape"] is None
+            assert out[0]["scale_minutes"] is None
+    finally:
+        shutil.rmtree(sf, ignore_errors=True)
+
+
+def test_trade_balance_conserves(spark, sf_dir):
+    """Cross-nation trade is zero-sum: every flow is one nation's
+    export and another's import, so Σ net_balance must be exactly 0
+    on the ten-thousandths integer grid."""
+    from stream_processing_system_spark.plans.analytics import (
+        nation_trade_balance,
+    )
+
+    rows = nation_trade_balance(spark, sf_dir).collect()
+    assert rows, "non-empty at every SF"
+    assert (
+        math.fsum(r["net_balance"] for r in rows) == 0.0
+        or abs(sum(r["net_balance"] for r in rows)) < 1e-6
+    )

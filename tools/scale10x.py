@@ -164,6 +164,11 @@ QUERIES = [
     "orders_somers_d",
     "copurchase_rich_club",
     "doc_length_lognormal",
+    "doc_flesch_reading_ease",
+    "media_scene_cuts",
+    "user_gap_weibull",
+    "nation_trade_balance",
+    "stream_anderson_darling",
 ]
 
 
