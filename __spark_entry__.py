@@ -2239,6 +2239,8 @@ _ROTATION_BACKLOG = [
     "user_gap_weibull",
     "nation_trade_balance",
     "stream_anderson_darling",
+    "orders_fulfillment_gamma",
+    "copurchase_degree_powerlaw",
 ]
 
 #: Names added AFTER the rotation closed (round 8 onward): they live
@@ -2262,6 +2264,8 @@ _R8_ADDITIONS = [
     "user_gap_weibull",
     "nation_trade_balance",
     "stream_anderson_darling",
+    "orders_fulfillment_gamma",
+    "copurchase_degree_powerlaw",
 ]
 
 #: Round-5 driver window (VERDICT r4 item 1, historical record): the
@@ -2768,6 +2772,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "nation_trade_balance": analytics.nation_trade_balance,
         "stream_anderson_darling": (
             streaming_parity.stream_anderson_darling
+        ),
+        "orders_fulfillment_gamma": (
+            analytics.orders_fulfillment_gamma
+        ),
+        "copurchase_degree_powerlaw": (
+            analytics.copurchase_degree_powerlaw
         ),
     }
     head = {n: q[n] for n in _R8_DRIVER_WINDOW + _R8_WINDOW_FILL}
@@ -13205,5 +13215,64 @@ def oracle_sql() -> dict[str, str]:
                CAST(rout AS DOUBLE) / 10000.0 AS import_revenue,
                CAST(rin - rout AS DOUBLE) / 10000.0 AS net_balance
         FROM j ORDER BY nation
+    """
+    _o["orders_fulfillment_gamma"] = """
+        WITH agg AS (
+            SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n,
+                   SUM(CAST(datediff('day', o_orderdate, l_shipdate)
+                            AS HUGEINT)) AS s,
+                   SUM(CAST(datediff('day', o_orderdate, l_shipdate)
+                            AS HUGEINT)
+                       * datediff('day', o_orderdate, l_shipdate))
+                       AS q
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            GROUP BY 1
+        )
+        SELECT o_orderpriority, n AS n_items,
+               floor(CAST(s AS DOUBLE) / CAST(n AS DOUBLE)
+                     * 1000000.0 + 0.5) / 1000000.0 AS mean_days,
+               CASE WHEN n > 1 AND n * q - s * s > 0 THEN
+                   floor((CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+                         * (CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+                         / (CAST(n * q - s * s AS DOUBLE)
+                            / (CAST(n AS DOUBLE)
+                               * (CAST(n AS DOUBLE) - 1.0)))
+                         * 1000000.0 + 0.5) / 1000000.0
+               END AS shape,
+               CASE WHEN n > 1 AND n * q - s * s > 0 THEN
+                   floor((CAST(n * q - s * s AS DOUBLE)
+                          / (CAST(n AS DOUBLE)
+                             * (CAST(n AS DOUBLE) - 1.0)))
+                         / (CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+                         * 1000000.0 + 0.5) / 1000000.0
+               END AS scale_days
+        FROM agg ORDER BY o_orderpriority
+    """
+    _o["copurchase_degree_powerlaw"] = f"""
+        WITH {_COPURCHASE_EDGES_CTE},
+        und AS (SELECT src, dst FROM e
+                UNION ALL SELECT dst, src FROM e),
+        deg AS (SELECT src, count(*) AS deg FROM und GROUP BY src),
+        dcells AS (
+            SELECT deg, CAST(count(*) AS BIGINT) AS c
+            FROM deg WHERE deg >= 2 GROUP BY 1
+        ), pts AS (
+            SELECT c,
+                   CAST(floor(ln(CAST(deg AS DOUBLE) / 2.0)
+                              * 1000000000.0 + 0.5) AS BIGINT) AS l
+            FROM dcells
+        ), agg AS (
+            SELECT SUM(c) AS n_tail,
+                   SUM(CAST(c AS HUGEINT) * l) AS sl
+            FROM pts
+        )
+        SELECT CAST(COALESCE(n_tail, 0) AS BIGINT) AS n_tail,
+               CAST(2 AS BIGINT) AS d_min,
+               CASE WHEN sl > 0 THEN
+                   floor((1.0 + CAST(n_tail AS DOUBLE)
+                          / (CAST(sl AS DOUBLE) / 1000000000.0))
+                         * 1000000.0 + 0.5) / 1000000.0
+               END AS alpha
+        FROM agg
     """
     return _o

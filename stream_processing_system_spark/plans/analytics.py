@@ -13844,3 +13844,106 @@ def nation_trade_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("rin") - F.col("rout")).cast("double") / F.lit(1e4)
         ).alias("net_balance"),
     ).orderBy("nation")
+
+
+def orders_fulfillment_gamma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gamma fit (method of moments) of order-to-ship fulfillment
+    latency per order priority: latency = l_shipdate − o_orderdate
+    in whole days (the `fulfillment_latency_monthly` convention),
+    shape = mean²/var and scale = var/mean — the third member of the
+    parametric-fit family (lognormal for lengths, Weibull for gaps,
+    gamma for durations): an SLA model consumes (shape, scale)
+    directly, and a priority class whose shape drifts toward 1
+    (exponential) is losing predictability.
+
+    Exactness: latencies are exact integer date differences;
+    S = Σd and Q = Σd² are DECIMAL(38,0); the sample variance uses
+    division-free centering (n·Q − S² stays integer) and the
+    mean/shape/scale are fixed-order double chains, NULL-guarded
+    for n < 2 or zero variance.
+
+    Shape: one lineitem⋈orders equi-join (both SF-scaled — strategy
+    belongs to AQE), then a |priorities|-row hash aggregate with
+    map-side partials."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_shipdate"
+    )
+    d38 = "decimal(38,0)"
+    days = F.datediff(F.col("l_shipdate"), F.col("o_orderdate"))
+    agg = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .select("o_orderpriority", days.cast("long").alias("d"))
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("d").cast(d38)).alias("s"),
+            F.sum(F.col("d").cast(d38) * F.col("d")).alias("q"),
+        )
+    )
+    nd = F.col("n").cast("double")
+    mean = F.col("s").cast("double") / nd
+    var_num = F.col("n") * F.col("q") - F.col("s") * F.col("s")
+    var = var_num.cast("double") / (nd * (nd - F.lit(1.0)))
+    ok = (F.col("n") > 1) & (var_num > 0)
+    return agg.select(
+        "o_orderpriority",
+        F.col("n").cast("long").alias("n_items"),
+        det_round(mean, 6).alias("mean_days"),
+        F.when(ok, det_round(mean * mean / var, 6)).alias("shape"),
+        F.when(ok, det_round(var / mean, 6)).alias("scale_days"),
+    ).orderBy("o_orderpriority")
+
+
+def copurchase_degree_powerlaw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Power-law fit of the co-purchase degree distribution:
+    the Clauset–Shalizi–Newman continuous-MLE exponent
+    α̂ = 1 + n / Σ ln(d/d_min) over the tail d ≥ d_min = 2 — the
+    scale-free-ness check that tells you whether hub valves
+    (`max_degree` in Adamic-Adar / neighbor-Jaccard) are load-
+    bearing: a heavy tail (small α) means the wedge counts are
+    hub-dominated and the valves bite.
+
+    Exactness: per-DISTINCT-degree ln(d/2) is floored once onto the
+    1e-9 grid and multiplied by the exact tail count (the bounded
+    degree domain keeps this frame tiny); α is one fixed-order
+    double chain. NULL when the tail has no degree > d_min (Σ = 0).
+
+    Shape: one degree aggregate over the undirected edge list, one
+    |distinct degrees|-row reduce."""
+    from stream_processing_system_spark.operators.graph import (
+        _undirect,
+        cooccurrence_edges,
+    )
+
+    d38 = "decimal(38,0)"
+    dmin = 2
+    events = load_table(spark, sf_dir, "events")
+    und = _undirect(cooccurrence_edges(events))
+    deg = und.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    cells = (
+        deg.where(F.col("deg") >= dmin)
+        .groupBy("deg")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    lng = F.floor(
+        F.log(F.col("deg").cast("double") / F.lit(float(dmin)))
+        * F.lit(1e9)
+        + F.lit(0.5)
+    ).cast("long")
+    agg = cells.select("c", lng.alias("l")).agg(
+        F.sum("c").alias("n_tail"),
+        F.sum(F.col("c").cast(d38) * F.col("l")).alias("sl"),
+    )
+    alpha = F.lit(1.0) + F.col("n_tail").cast("double") / (
+        F.col("sl").cast("double") / F.lit(1e9)
+    )
+    return agg.select(
+        F.coalesce(F.col("n_tail"), F.lit(0)).cast("long").alias(
+            "n_tail"
+        ),
+        F.lit(dmin).cast("long").alias("d_min"),
+        F.when(F.col("sl") > 0, det_round(alpha, 6)).alias("alpha"),
+    )

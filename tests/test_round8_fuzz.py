@@ -616,3 +616,106 @@ def test_trade_balance_conserves(spark, sf_dir):
         math.fsum(r["net_balance"] for r in rows) == 0.0
         or abs(sum(r["net_balance"] for r in rows)) < 1e-6
     )
+
+
+# --- Gamma MoM fit (honest replay) -------------------------------
+
+
+lat_lists = st.lists(
+    st.integers(min_value=0, max_value=30), min_size=1, max_size=14
+)
+
+
+@given(lats=lat_lists)
+@SET
+def test_fuzz_fulfillment_gamma(spark, lats):
+    """One priority class; orders 1:1 with lineitems at the given
+    order-to-ship day latencies."""
+    import datetime
+
+    from stream_processing_system_spark.plans.analytics import (
+        orders_fulfillment_gamma,
+    )
+
+    base = datetime.date(2024, 1, 2)
+    odf = spark.createDataFrame(
+        [(i, base, "3-MEDIUM") for i in range(len(lats))],
+        "o_orderkey long, o_orderdate date, o_orderpriority string",
+    )
+    ldf = spark.createDataFrame(
+        [
+            (i, base + datetime.timedelta(days=d))
+            for i, d in enumerate(lats)
+        ],
+        "l_orderkey long, l_shipdate date",
+    )
+    sf = os.path.join(
+        tempfile.gettempdir(), f"r8fuzz_{os.getpid()}_{next(_seq)}"
+    )
+    odf.write.mode("overwrite").parquet(os.path.join(sf, "orders.parquet"))
+    ldf.write.mode("overwrite").parquet(
+        os.path.join(sf, "lineitem.parquet")
+    )
+    try:
+        out = orders_fulfillment_gamma(spark, sf).collect()
+        n = len(lats)
+        s = sum(lats)
+        q = sum(d * d for d in lats)
+        var_num = n * q - s * s
+        assert out[0]["n_items"] == n
+        assert out[0]["mean_days"] == _det_round(float(s) / float(n))
+        if n > 1 and var_num > 0:
+            mean = float(s) / float(n)
+            var = float(var_num) / (float(n) * (float(n) - 1.0))
+            assert out[0]["shape"] == _det_round(mean * mean / var)
+            assert out[0]["scale_days"] == _det_round(var / mean)
+        else:
+            assert out[0]["shape"] is None
+            assert out[0]["scale_days"] is None
+    finally:
+        shutil.rmtree(sf, ignore_errors=True)
+
+
+# --- Degree power-law alpha (honest replay) ----------------------
+
+
+@given(raw=edge_lists)
+@SET
+def test_fuzz_degree_powerlaw_device(spark, raw):
+    """The MLE device over a literal degree table: replay on the
+    raw degree multiset."""
+    from collections import Counter
+
+    from pyspark.sql import functions as F
+
+    from stream_processing_system_spark.plans.analytics import det_round  # noqa: F401
+
+    edges = sorted({(min(a, b), max(a, b)) for a, b in raw if a != b})
+    if not edges:
+        return
+    deg = Counter()
+    for a, b in edges:
+        deg[a] += 1
+        deg[b] += 1
+    tail = [d for d in deg.values() if d >= 2]
+    # replay the plan's tail expression directly on a degree frame
+    d38 = "decimal(38,0)"
+    cells_df = spark.createDataFrame(
+        list(Counter(tail).items()) or [(0, 0)], "deg long, c long"
+    ).where(F.col("deg") >= 2)
+    lng = F.floor(
+        F.log(F.col("deg").cast("double") / F.lit(2.0)) * F.lit(1e9)
+        + F.lit(0.5)
+    ).cast("long")
+    agg = cells_df.select("c", lng.alias("l")).agg(
+        F.sum("c").alias("n_tail"),
+        F.sum(F.col("c").cast(d38) * F.col("l")).alias("sl"),
+    )
+    row = agg.collect()[0]
+    n_tail = row["n_tail"] or 0
+    assert n_tail == len(tail)
+    sl = sum(
+        math.floor(math.log(d / 2.0) * 1e9 + 0.5) for d in tail
+    )
+    if n_tail:
+        assert int(row["sl"]) == sl

@@ -169,6 +169,8 @@ QUERIES = [
     "user_gap_weibull",
     "nation_trade_balance",
     "stream_anderson_darling",
+    "orders_fulfillment_gamma",
+    "copurchase_degree_powerlaw",
 ]
 
 
