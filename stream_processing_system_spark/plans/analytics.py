@@ -13262,11 +13262,20 @@ def events_daypart_jonckheere(spark: SparkSession, sf_dir: str) -> DataFrame:
     part = (
         (us % F.lit(86_400_000_000)) - (us % F.lit(21_600_000_000))
     ) / F.lit(21_600_000_000)
-    cells = events.groupBy(
-        "event_type",
-        part.cast("long").alias("g"),
-        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("v"),
-    ).agg(F.count(F.lit(1)).alias("n"))
+    # the tiny cell table feeds THREE branches (distinct values, the
+    # dense-grid join, per-daypart sizes) — localCheckpoint so the
+    # row-grain events scan + aggregate run ONCE (Theil precedent)
+    cells = (
+        events.groupBy(
+            "event_type",
+            part.cast("long").alias("g"),
+            F.floor(F.col("value") * 100 + F.lit(0.5))
+            .cast("long")
+            .alias("v"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .localCheckpoint(eager=True)
+    )
     # dense (type, g, v) grid: distinct values × the 4 dayparts
     vals = cells.select("event_type", "v").distinct()
     parts_df = vals.sparkSession.range(4).select(
@@ -13404,11 +13413,19 @@ def events_brown_forsythe(spark: SparkSession, sf_dir: str) -> DataFrame:
     part = (
         (us % F.lit(86_400_000_000)) - (us % F.lit(21_600_000_000))
     ) / F.lit(21_600_000_000)
-    cells = events.groupBy(
-        "event_type",
-        part.cast("long").alias("g"),
-        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("v"),
-    ).agg(F.count(F.lit(1)).alias("n"))
+    # the cell table feeds the median lookup AND the deviation join —
+    # localCheckpoint so the events scan + aggregate run ONCE
+    cells = (
+        events.groupBy(
+            "event_type",
+            part.cast("long").alias("g"),
+            F.floor(F.col("value") * 100 + F.lit(0.5))
+            .cast("long")
+            .alias("v"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .localCheckpoint(eager=True)
+    )
     w_cum = (
         Window.partitionBy("event_type", "g")
         .orderBy("v")
