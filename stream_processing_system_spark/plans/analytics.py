@@ -13068,6 +13068,11 @@ def ad_from_cells(cells: DataFrame) -> DataFrame:
         / (nad * nbd * ctd * (nd - ctd))
     )
     micro = F.floor(term * F.lit(1e9) + F.lit(0.5)).cast("long")
+    # per-row overflow guard (the CvM/MMD lesson): term is never
+    # NULL by construction (denominators filtered positive), so a
+    # NULL micro IS a long overflow of the 1e-9 grid — non-ANSI
+    # Spark would silently skip it in SUM while DuckDB's BIGINT
+    # cast raises; converge by raising loudly
     agg = (
         cum.where(ct < F.col("na") + F.col("nb"))
         .groupBy("event_type")
@@ -13075,13 +13080,26 @@ def ad_from_cells(cells: DataFrame) -> DataFrame:
             F.max("na").alias("na"),
             F.max("nb").alias("nb"),
             F.sum(micro.cast(d38)).alias("s"),
+            F.sum(
+                F.when(micro.isNull(), F.lit(1)).otherwise(F.lit(0))
+            ).alias("n_ovf"),
         )
+    )
+    _raise = F.raise_error(
+        F.lit(
+            "ad_from_cells: 1e-9-grid term overflowed BIGINT (per-"
+            "type counts beyond the documented double-chain range); "
+            "re-grid via a coarser per-cell quantum"
+        )
+    ).cast("double")
+    a2 = F.when(F.col("n_ovf") > 0, _raise).otherwise(
+        F.col("s").cast("double") / F.lit(1e9)
     )
     return agg.select(
         "event_type",
         F.col("na").cast("long").alias("n_first"),
         F.col("nb").cast("long").alias("n_second"),
-        det_round(F.col("s").cast("double") / F.lit(1e9), 6).alias("ad_a2"),
+        det_round(a2, 6).alias("ad_a2"),
     ).orderBy("event_type")
 
 
