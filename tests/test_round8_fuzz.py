@@ -334,6 +334,12 @@ def test_fuzz_friedman(spark, data):
         events_friedman_type_ranks,
     )
 
+    # a day with zero events for EVERY type does not exist in the
+    # events table at all — the plan (and oracle) see only observed
+    # days, so drop such rows from the replay's block list too
+    data = [cs for cs in data if any(cs)]
+    if len(data) < 2:
+        return
     types = ["a", "b", "c"]
     rows = []
     eid = 0
