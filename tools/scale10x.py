@@ -9,6 +9,7 @@ registered plans scale ~linearly — the blown-up copy lives in /tmp and
 is perf-only (correctness stays pinned to the driver's parquet).
 
 Run: python tools/scale10x.py  → one JSON line {query: [sec_sf01, sec_10x]}.
+Set SPARK_GRAFT_COPIES=100 for the 100x (~sf10) variant.
 Pass --perturb to make each replica's documents textually UNIQUE
 (a replica-tag token appended to every text): without it, every doc
 gains COPIES-1 exact clones and LSH candidate pairs grow quadratically
@@ -35,10 +36,14 @@ from stream_processing_system_spark.sources.tables import TABLES, load_table
 
 SRC = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 PERTURB = "--perturb" in sys.argv
+#: replica count — 10 by default; SPARK_GRAFT_COPIES=100 materializes
+#: an ~sf10-equivalent set for the round-8 100x experiment (the same
+#: FK-consistent key-shift construction, two orders of magnitude)
+COPIES = int(os.environ.get("SPARK_GRAFT_COPIES", "10"))
 DST = os.path.join(
-    tempfile.gettempdir(), "spark_graft_10x" + ("p" if PERTURB else "")
+    tempfile.gettempdir(),
+    f"spark_graft_{COPIES}x" + ("p" if PERTURB else ""),
 )
-COPIES = 10
 
 #: id columns shifted per replica so keys stay unique and FK pairs stay
 #: consistent (orderkey shifts in BOTH orders and lineitem).
