@@ -2241,6 +2241,9 @@ _ROTATION_BACKLOG = [
     "stream_anderson_darling",
     "orders_fulfillment_gamma",
     "copurchase_degree_powerlaw",
+    "embedding_intrinsic_dim",
+    "media_frame_entropy",
+    "dedup_source_shift",
 ]
 
 #: Names added AFTER the rotation closed (round 8 onward): they live
@@ -2266,6 +2269,9 @@ _R8_ADDITIONS = [
     "stream_anderson_darling",
     "orders_fulfillment_gamma",
     "copurchase_degree_powerlaw",
+    "embedding_intrinsic_dim",
+    "media_frame_entropy",
+    "dedup_source_shift",
 ]
 
 #: Round-5 driver window (VERDICT r4 item 1, historical record): the
@@ -2779,6 +2785,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "copurchase_degree_powerlaw": (
             analytics.copurchase_degree_powerlaw
         ),
+        "embedding_intrinsic_dim": pipeline.embedding_intrinsic_dim,
+        "media_frame_entropy": pipeline.media_frame_entropy,
+        "dedup_source_shift": pipeline.dedup_source_shift,
     }
     head = {n: q[n] for n in _R8_DRIVER_WINDOW + _R8_WINDOW_FILL}
     assert len(head) == 50, f"driver window must be 50, got {len(head)}"
@@ -13274,5 +13283,130 @@ def oracle_sql() -> dict[str, str]:
                          * 1000000.0 + 0.5) / 1000000.0
                END AS alpha
         FROM agg
+    """
+    _o["embedding_intrinsic_dim"] = """
+        WITH probeids AS (
+            SELECT vec_id FROM embeddings WHERE vec_id % 10 = 0
+            ORDER BY vec_id LIMIT 100
+        ), flatp AS (
+            SELECT e.vec_id AS pid, i,
+                   CAST(floor(e.embedding[i]::DOUBLE * 1e6 + 0.5)
+                        AS BIGINT) AS qa
+            FROM embeddings e JOIN probeids p ON e.vec_id = p.vec_id,
+                 UNNEST(range(1, 65)) AS u(i)
+        ), flatb AS (
+            SELECT vec_id AS vid, i,
+                   CAST(floor(embedding[i]::DOUBLE * 1e6 + 0.5)
+                        AS BIGINT) AS qb
+            FROM embeddings, UNNEST(range(1, 65)) AS u(i)
+        ), dists AS (
+            SELECT fp.pid, fb.vid,
+                   SUM(CAST(fp.qa - fb.qb AS HUGEINT)
+                       * (fp.qa - fb.qb)) AS d2
+            FROM flatp fp JOIN flatb fb USING (i)
+            WHERE fp.pid <> fb.vid
+            GROUP BY 1, 2
+        ), top2 AS (
+            SELECT pid, d2,
+                   row_number() OVER (PARTITION BY pid
+                       ORDER BY d2 ASC, vid ASC) AS rn
+            FROM dists WHERE d2 > 0
+        ), per_probe AS (
+            SELECT pid,
+                   MIN(CASE WHEN rn = 1 THEN d2 END) AS d1,
+                   MIN(CASE WHEN rn = 2 THEN d2 END) AS dd2,
+                   count(*) AS nn
+            FROM top2 WHERE rn <= 2 GROUP BY 1
+        ), pts AS (
+            SELECT CAST(floor(ln(CAST(dd2 AS DOUBLE)
+                                 / CAST(d1 AS DOUBLE))
+                              * 1000000000.0 + 0.5) AS BIGINT) AS lr
+            FROM per_probe WHERE nn = 2
+        ), agg AS (
+            SELECT CAST(count(*) AS BIGINT) AS n_probes,
+                   SUM(CAST(lr AS HUGEINT)) AS sl
+            FROM pts
+        )
+        SELECT n_probes,
+               CASE WHEN sl > 0 THEN
+                   floor(2.0 * CAST(n_probes AS DOUBLE)
+                         / (CAST(sl AS DOUBLE) / 1000000000.0)
+                         * 1000000.0 + 0.5) / 1000000.0
+               END AS intrinsic_dim
+        FROM agg
+    """
+    _o["media_frame_entropy"] = """
+        WITH vids AS (
+            SELECT doc_id, text,
+                   ('0x' || substr(md5(text), 1, 8))::BIGINT AS h,
+                   length(text) AS ln
+            FROM documents WHERE doc_id % 3 = 2
+        ), nf AS (
+            SELECT doc_id, text, ln,
+                   least((1000 + h % 7200000) // 1000, 16) AS n
+            FROM vids
+        ), chars AS (
+            SELECT doc_id, n, ln, i,
+                   unicode(substr(text, CAST(i + 1 AS INT), 1)) AS b
+            FROM nf, UNNEST(range(ln)) AS u(i)
+            WHERE n > 0 AND ln > 0
+        ), perframe AS (
+            SELECT doc_id, (i * n) // ln AS frame_idx,
+                   (SUM(b) * 31 + COUNT(*)) % 1000003 AS fp
+            FROM chars GROUP BY doc_id, n, ln, (i * n) // ln
+        ), fcells AS (
+            SELECT doc_id AS media_id, fp,
+                   CAST(count(*) AS BIGINT) AS c
+            FROM perframe GROUP BY 1, 2
+        ), staged AS (
+            SELECT media_id, c,
+                   SUM(c) OVER (PARTITION BY media_id) AS n
+            FROM fcells
+        ), micro AS (
+            SELECT media_id, n,
+                   CAST(floor(-((CAST(c AS DOUBLE) / CAST(n AS DOUBLE))
+                                * ln(CAST(c AS DOUBLE)
+                                     / CAST(n AS DOUBLE)))
+                              * 1000000000.0 + 0.5) AS BIGINT) AS m
+            FROM staged
+        )
+        SELECT media_id, CAST(MAX(n) AS BIGINT) AS n_frames,
+               CAST(count(*) AS BIGINT) AS n_distinct,
+               floor(CAST(SUM(CAST(m AS HUGEINT)) AS DOUBLE)
+                     / 1000000000.0
+                     * 1000000.0 + 0.5) / 1000000.0
+                   AS frame_entropy_nats
+        FROM micro GROUP BY 1 ORDER BY media_id
+    """
+    _o["dedup_source_shift"] = """
+        WITH digests AS (
+            SELECT doc_id, source, md5(lower(trim(text))) AS dg
+            FROM documents
+        ), keepers AS (
+            SELECT dg, min(doc_id) AS doc_id FROM digests GROUP BY 1
+        ), before AS (
+            SELECT source, CAST(count(*) AS BIGINT) AS n_docs
+            FROM digests GROUP BY 1
+        ), after AS (
+            SELECT d.source, CAST(count(*) AS BIGINT) AS n_keepers
+            FROM digests d JOIN keepers k
+              ON d.dg = k.dg AND d.doc_id = k.doc_id
+            GROUP BY 1
+        ), j AS (
+            SELECT b.source, b.n_docs,
+                   COALESCE(a.n_keepers, 0) AS n_keepers
+            FROM before b LEFT JOIN after a ON b.source = a.source
+        ), tot AS (
+            SELECT SUM(n_docs) AS tb, SUM(n_keepers) AS ta FROM j
+        )
+        SELECT source, n_docs, n_keepers,
+               floor(CAST(n_docs AS DOUBLE) / CAST(tb AS DOUBLE)
+                     * 1000000.0 + 0.5) / 1000000.0 AS share_before,
+               floor(CAST(n_keepers AS DOUBLE) / CAST(ta AS DOUBLE)
+                     * 1000000.0 + 0.5) / 1000000.0 AS share_after,
+               floor((CAST(n_keepers AS DOUBLE) / CAST(ta AS DOUBLE)
+                      - CAST(n_docs AS DOUBLE) / CAST(tb AS DOUBLE))
+                     * 1000000.0 + 0.5) / 1000000.0 AS share_drift
+        FROM j, tot ORDER BY source
     """
     return _o

@@ -1735,3 +1735,95 @@ def knn_label_eval(
             6,
         ).alias("accuracy"),
     ).orderBy("label")
+
+
+def twonn_intrinsic_dim(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    sample_mod: int = 10,
+    max_probes: int = 200,
+) -> DataFrame:
+    """TwoNN intrinsic-dimension estimate (Facco et al. 2017) of the
+    embedding manifold: for each probe, the ratio μ = r₂/r₁ of its
+    two nearest-neighbor distances follows a Pareto with exponent =
+    the intrinsic dimension, so d̂ = n / Σ ln μ = 2n / Σ ln(d₂/d₁)
+    on squared distances — the "how curled is this embedding space"
+    number that predicts whether ANN recall will hold at scale (IVF
+    and LSH degrade with intrinsic, not ambient, dimension).
+
+    Exactness: components quantized once onto the 1e-6 grid, so
+    every pairwise SQUARED distance is an exact DECIMAL(38,0) sum of
+    integer squares (ranking is a total order on exact integers,
+    ties → smallest neighbor id); per-probe ln(d₂/d₁) is floored
+    once onto the 1e-9 grid; one double chain at the end. Probes
+    whose nearest neighbor is an exact duplicate (d₁ = 0) are
+    discarded — the standard TwoNN convention, mirrored in the
+    oracle.
+
+    Scale: the `knn_label_eval` posture — probe side capped at
+    `max_probes` (a TakeOrdered, never a sample), so the distance
+    join is O(max_probes·|corpus|), LINEAR in corpus size."""
+    d38 = "decimal(38,0)"
+    base = df.select(
+        F.col(id_col).alias("vid"),
+        F.transform(
+            F.col(vec_col),
+            lambda x: F.floor(x.cast("double") * F.lit(1e6) + F.lit(0.5))
+            .cast("long"),
+        ).alias("q"),
+    )
+    probes = (
+        base.where(F.col("vid") % sample_mod == 0)
+        .orderBy("vid")
+        .limit(max_probes)
+        .select(F.col("vid").alias("pid"), F.col("q").alias("pq"))
+    )
+    pairs = base.join(F.broadcast(probes), F.col("pid") != F.col("vid"))
+    dist2 = F.aggregate(
+        F.zip_with(
+            F.col("pq"),
+            F.col("q"),
+            lambda a, b: ((a - b) * (a - b)).cast(d38),
+        ),
+        F.lit(0).cast(d38),
+        lambda acc, v: acc + v,
+    )
+    scored = pairs.select("pid", "vid", dist2.alias("d2")).where(
+        F.col("d2") > 0
+    )
+    w = Window.partitionBy("pid").orderBy(
+        F.col("d2").asc(), F.col("vid").asc()
+    )
+    top2 = scored.select(
+        "pid", "d2", F.row_number().over(w).alias("rn")
+    ).where(F.col("rn") <= 2)
+    per_probe = top2.groupBy("pid").agg(
+        F.min(F.when(F.col("rn") == 1, F.col("d2"))).alias("d1"),
+        F.min(F.when(F.col("rn") == 2, F.col("d2"))).alias("dd2"),
+        F.count(F.lit(1)).alias("nn"),
+    ).where(F.col("nn") == 2)
+    lr = F.floor(
+        F.log(
+            F.col("dd2").cast("double") / F.col("d1").cast("double")
+        )
+        * F.lit(1e9)
+        + F.lit(0.5)
+    ).cast("long")
+    agg = per_probe.select(lr.alias("lr")).agg(
+        F.count(F.lit(1)).alias("n_probes"),
+        F.sum(F.col("lr").cast(d38)).alias("sl"),
+    )
+    dim = (
+        F.lit(2.0)
+        * F.col("n_probes").cast("double")
+        / (F.col("sl").cast("double") / F.lit(1e9))
+    )
+    return agg.select(
+        F.coalesce(F.col("n_probes"), F.lit(0))
+        .cast("long")
+        .alias("n_probes"),
+        F.when(F.col("sl") > 0, det_round(dim, 6)).alias(
+            "intrinsic_dim"
+        ),
+    )

@@ -2079,3 +2079,121 @@ def doc_flesch_reading_ease(spark: SparkSession, sf_dir: str) -> DataFrame:
     word/sentence/syllable-run counts, per-doc score floored onto
     the 1e-6 grid before the source mean)."""
     return text_analysis.flesch_reading_ease(_docs(spark, sf_dir))
+
+
+def embedding_intrinsic_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TwoNN intrinsic-dimension estimate of the embedding corpus
+    (`operators/similarity.twonn_intrinsic_dim` — probe-capped exact
+    integer-grid squared distances, 1e-9-grid ln(d2/d1)). 100 probes
+    keep the O(probes·N) brute pass at half the kNN-eval budget —
+    the TwoNN estimator's spread at 100 probes is already well under
+    the ±1 dimension a consumer of this number cares about."""
+    return similarity.twonn_intrinsic_dim(
+        _embs(spark, sf_dir), max_probes=100
+    )
+
+
+def media_frame_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-video entropy of the sampled-frame fingerprint
+    distribution: 0 nats = a static slideshow (every sampled frame
+    identical), ln(n_frames) = maximally diverse footage — the
+    companion number to `media_scene_cuts` (cut density says how
+    OFTEN content changes; entropy says how many distinct looks the
+    video has). Same documented stub decode; a real pipeline swaps
+    luma-histogram signatures into the identical Spark shape.
+
+    Exactness: per-(video, fingerprint) counts are exact integers
+    over ≤16 frames; each fingerprint's −p·ln p term is floored
+    once onto the 1e-9 grid before the per-video sum (the chi2
+    device); entropy is one final division."""
+    from stream_processing_system_spark.functions.scalar import det_round
+
+    media = multimodal.fake_media_from_documents(spark, _docs(spark, sf_dir))
+    sigs = multimodal.frame_fingerprints(media, every_ms=1000)
+    d38 = "decimal(38,0)"
+    cells = sigs.groupBy("media_id", "fp").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    w = Window.partitionBy("media_id")
+    staged = cells.select(
+        "media_id",
+        "c",
+        F.sum("c").over(w).alias("n"),
+    )
+    cd = F.col("c").cast("double")
+    nd = F.col("n").cast("double")
+    micro = F.floor(
+        -((cd / nd) * F.log(cd / nd)) * F.lit(1e9) + F.lit(0.5)
+    ).cast("long")
+    agg = staged.select("media_id", "n", micro.alias("m")).groupBy(
+        "media_id"
+    ).agg(
+        F.max("n").alias("n_frames"),
+        F.count(F.lit(1)).alias("n_distinct"),
+        F.sum(F.col("m").cast(d38)).alias("s"),
+    )
+    return agg.select(
+        "media_id",
+        F.col("n_frames").cast("long").alias("n_frames"),
+        F.col("n_distinct").cast("long").alias("n_distinct"),
+        det_round(F.col("s").cast("double") / F.lit(1e9), 6).alias(
+            "frame_entropy_nats"
+        ),
+    ).orderBy("media_id")
+
+
+def dedup_source_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup impact report per source: how exact dedup (the
+    `dedup_exact` md5 keeper rule — min doc_id per normalized-text
+    digest) SHIFTS the source mixture. A curation pipeline watches
+    exactly this table: a source whose share drops after dedup was
+    padding the corpus with copies, and mixture weights tuned
+    BEFORE dedup are silently wrong AFTER it.
+
+    Exactness: keeper selection is the proven md5 min-id rule; all
+    counts are exact integers; the three shares are single double
+    divisions against broadcast 1-row totals."""
+    from stream_processing_system_spark.functions.scalar import det_round
+    from stream_processing_system_spark.operators.dedup import (
+        normalized_text,
+    )
+
+    docs = _docs(spark, sf_dir).select("doc_id", "source", "text")
+    digests = docs.select(
+        "doc_id",
+        "source",
+        F.md5(normalized_text(F.col("text"))).alias("_digest"),
+    ).localCheckpoint(eager=True)
+    keepers = digests.groupBy("_digest").agg(
+        F.min("doc_id").alias("doc_id")
+    )
+    before = digests.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+    after = (
+        digests.join(keepers, ["_digest", "doc_id"])
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_keepers"))
+    )
+    joined = before.join(after, "source", "left").select(
+        "source",
+        "n_docs",
+        F.coalesce(F.col("n_keepers"), F.lit(0)).alias("n_keepers"),
+    )
+    tot = joined.agg(
+        F.sum("n_docs").alias("tb"),
+        F.sum("n_keepers").alias("ta"),
+    )
+    j = joined.crossJoin(F.broadcast(tot))
+    share_b = F.col("n_docs").cast("double") / F.col("tb").cast("double")
+    share_a = F.col("n_keepers").cast("double") / F.col("ta").cast(
+        "double"
+    )
+    return j.select(
+        "source",
+        F.col("n_docs").cast("long").alias("n_docs"),
+        F.col("n_keepers").cast("long").alias("n_keepers"),
+        det_round(share_b, 6).alias("share_before"),
+        det_round(share_a, 6).alias("share_after"),
+        det_round(share_a - share_b, 6).alias("share_drift"),
+    ).orderBy("source")

@@ -725,3 +725,93 @@ def test_fuzz_degree_powerlaw_device(spark, raw):
     )
     if n_tail:
         assert int(row["sl"]) == sl
+
+
+# --- TwoNN intrinsic dimension (honest replay on literal vectors) -
+
+
+vec_sets = st.lists(
+    st.lists(
+        st.integers(min_value=-3, max_value=3), min_size=3, max_size=3
+    ),
+    min_size=3,
+    max_size=10,
+)
+
+
+@given(vecs=vec_sets)
+@SET
+def test_fuzz_intrinsic_dim(spark, vecs):
+    from stream_processing_system_spark.operators.similarity import (
+        twonn_intrinsic_dim,
+    )
+
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<double>",
+    )
+    out = twonn_intrinsic_dim(df, sample_mod=1, max_probes=200).collect()
+    # honest replay: exact integer grid (x*1e6 is exact for small
+    # ints), brute-force two smallest positive squared distances
+    pts = []
+    for i, v in enumerate(vecs):
+        q = [int(round(x * 1e6)) for x in v]
+        pts.append((i, q))
+    lrs = []
+    for pid, pq in pts:
+        d2s = sorted(
+            (
+                sum((a - b) ** 2 for a, b in zip(pq, q)),
+                vid,
+            )
+            for vid, q in pts
+            if vid != pid
+        )
+        d2s = [(d, v) for d, v in d2s if d > 0]
+        if len(d2s) < 2:
+            continue
+        d1, dd2 = d2s[0][0], d2s[1][0]
+        lrs.append(
+            math.floor(math.log(float(dd2) / float(d1)) * 1e9 + 0.5)
+        )
+    assert out[0]["n_probes"] == len(lrs)
+    sl = sum(lrs)
+    if sl > 0:
+        want = _det_round(2.0 * float(len(lrs)) / (float(sl) / 1e9))
+        assert out[0]["intrinsic_dim"] == want
+    else:
+        assert out[0]["intrinsic_dim"] is None
+
+
+def test_dedup_source_shift_invariants(spark, sf_dir):
+    """Structural invariants: keepers ≤ docs per source, shares each
+    sum to 1, and drift sums to ~0."""
+    from stream_processing_system_spark.plans.pipeline import (
+        dedup_source_shift,
+    )
+
+    rows = dedup_source_shift(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r["n_keepers"] <= r["n_docs"]
+    assert abs(sum(r["share_before"] for r in rows) - 1.0) < 1e-4
+    assert abs(sum(r["share_after"] for r in rows) - 1.0) < 1e-4
+    assert abs(sum(r["share_drift"] for r in rows)) < 1e-4
+
+
+def test_frame_entropy_bounds(spark, sf_dir):
+    """0 ≤ H ≤ ln(n_frames), with equality diagnostics: H = 0 iff
+    one distinct fingerprint; H = ln(n) iff all frames distinct."""
+    from stream_processing_system_spark.plans.pipeline import (
+        media_frame_entropy,
+    )
+
+    rows = media_frame_entropy(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        h = r["frame_entropy_nats"]
+        assert -1e-9 <= h <= math.log(r["n_frames"]) + 1e-6
+        if r["n_distinct"] == 1:
+            assert h == 0.0
+        if r["n_distinct"] == r["n_frames"]:
+            assert abs(h - _det_round(math.log(r["n_frames"]))) < 2e-6

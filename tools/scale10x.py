@@ -176,6 +176,9 @@ QUERIES = [
     "stream_anderson_darling",
     "orders_fulfillment_gamma",
     "copurchase_degree_powerlaw",
+    "embedding_intrinsic_dim",
+    "media_frame_entropy",
+    "dedup_source_shift",
 ]
 
 
