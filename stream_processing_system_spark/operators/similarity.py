@@ -1756,9 +1756,11 @@ def twonn_intrinsic_dim(
     every pairwise SQUARED distance is an exact DECIMAL(38,0) sum of
     integer squares (ranking is a total order on exact integers,
     ties → smallest neighbor id); per-probe ln(d₂/d₁) is floored
-    once onto the 1e-9 grid; one double chain at the end. Probes
-    whose nearest neighbor is an exact duplicate (d₁ = 0) are
-    discarded — the standard TwoNN convention, mirrored in the
+    once onto the 1e-9 grid; one double chain at the end.
+    Zero-distance PAIRS are dropped (the `d2 > 0` filter), so a
+    probe whose nearest neighbor is an exact duplicate still ranks
+    its nearest NON-duplicate neighbors — a deliberate convention
+    (not the textbook probe-discard) mirrored exactly in the
     oracle.
 
     Scale: the `knn_label_eval` posture — probe side capped at

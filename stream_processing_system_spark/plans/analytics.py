@@ -13067,12 +13067,15 @@ def ad_from_cells(cells: DataFrame) -> DataFrame:
         F.col("t").cast("double") * gapd * gapd
         / (nad * nbd * ctd * (nd - ctd))
     )
-    micro = F.floor(term * F.lit(1e9) + F.lit(0.5)).cast("long")
-    # per-row overflow guard (the CvM/MMD lesson): term is never
-    # NULL by construction (denominators filtered positive), so a
-    # NULL micro IS a long overflow of the 1e-9 grid — non-ANSI
-    # Spark would silently skip it in SUM while DuckDB's BIGINT
-    # cast raises; converge by raising loudly
+    scaled = term * F.lit(1e9)
+    micro = F.floor(scaled + F.lit(0.5)).cast("long")
+    # per-row overflow guard (the CvM/MMD lesson, corrected per the
+    # round-8 review): `F.floor` on a double yields a LONG that
+    # SATURATES at Long.MaxValue in non-ANSI Spark — it never NULLs
+    # — so the detectable signal is the PRE-floor double crossing
+    # the BIGINT range. term ≥ 0 by construction (denominators
+    # filtered positive), so flag scaled > 9.2e18, where DuckDB's
+    # BIGINT cast would raise; converge by raising loudly.
     agg = (
         cum.where(ct < F.col("na") + F.col("nb"))
         .groupBy("event_type")
@@ -13081,7 +13084,9 @@ def ad_from_cells(cells: DataFrame) -> DataFrame:
             F.max("nb").alias("nb"),
             F.sum(micro.cast(d38)).alias("s"),
             F.sum(
-                F.when(micro.isNull(), F.lit(1)).otherwise(F.lit(0))
+                F.when(scaled > F.lit(9.2e18), F.lit(1)).otherwise(
+                    F.lit(0)
+                )
             ).alias("n_ovf"),
         )
     )
@@ -13386,7 +13391,8 @@ def events_daypart_jonckheere(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def copurchase_rich_club(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rich-club coefficients of the user co-purchase graph at
-    degree thresholds 2/4/8/16 (operators/graph.py:rich_club): do
+    degree thresholds 1/2/4/8 (operators/graph.py:rich_club's
+    default `ks`, pinned by the oracle's VALUES list): do
     the high-degree users wire into a dense core? One degree
     aggregate, one edge pass with both endpoint degrees, conditional
     aggregation over the 4 literal thresholds — exact integer counts,
@@ -13476,22 +13482,44 @@ def events_brown_forsythe(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n").cast(d38) * F.col("dev") * F.col("dev")
         ).alias("qg"),
     )
-    term = F.floor(
+    term_raw = (
         (F.col("sg") * F.col("sg")).cast("double")
         / F.col("ng").cast("double")
         * F.lit(1e6)
-        + F.lit(0.5)
-    ).cast("long")
+    )
+    term = F.floor(term_raw + F.lit(0.5)).cast("long")
+    # per-group overflow guard (the ad_from_cells device): F.floor's
+    # LONG saturates silently in non-ANSI Spark while DuckDB's
+    # CAST(... AS BIGINT) raises, so flag the PRE-floor double
+    # crossing the BIGINT range (term_raw ≥ 0) and raise loudly —
+    # reachable only at per-group counts far past any tested scale.
     per_type = groups.select(
-        "event_type", "ng", "sg", "qg", term.alias("t")
+        "event_type",
+        "ng",
+        "sg",
+        "qg",
+        term.alias("t"),
+        F.when(term_raw > F.lit(9.2e18), F.lit(1))
+        .otherwise(F.lit(0))
+        .alias("ovf"),
     ).groupBy("event_type").agg(
         F.count(F.lit(1)).alias("k"),
         F.sum("ng").alias("n"),
         F.sum("sg").alias("s"),
         F.sum("qg").alias("q"),
         F.sum("t").alias("tsum"),
+        F.sum("ovf").alias("n_ovf"),
     )
-    between_raw = F.col("tsum").cast("double") / F.lit(1e6)
+    _bf_raise = F.raise_error(
+        F.lit(
+            "events_brown_forsythe: 1e-6-grid group term overflowed "
+            "BIGINT (per-group deviation sums beyond the double-"
+            "chain range); re-grid via a coarser quantum"
+        )
+    ).cast("double")
+    between_raw = F.when(F.col("n_ovf") > 0, _bf_raise).otherwise(
+        F.col("tsum").cast("double") / F.lit(1e6)
+    )
     ssb = between_raw - (F.col("s") * F.col("s")).cast(
         "double"
     ) / F.col("n").cast("double")

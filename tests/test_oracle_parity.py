@@ -44,62 +44,70 @@ def test_driver_window_is_fully_oracle_checked():
     assert not missing, missing
 
 
-def test_r8_rotation_invariants():
-    """Round-8 rotation bookkeeping — the round the rotation CLOSES:
-    the first 37 registered queries are exactly _R8_DRIVER_WINDOW
-    (= _ROTATION_BACKLOG[150:187], the FINAL never-driver-green
-    names, the 7 round-7 additions first), positions 38-50 are the
-    13 deliberate _R8_WINDOW_FILL re-checks (already driver-green in
-    earlier rounds, chosen because this round's commits touched
-    their plans/oracles, they are the reference flagships, or they
-    sit in the 1-ulp statistics class), the round-4..7 windows stay
-    intact as the historical record, and backlog + driver-checked
-    partitions the registry: rounds 1-7 banked 348 distinct green
-    rows (198 pre-backlog + backlog[:150]), so after round 8's
-    window every registered query holds a driver CORRECTNESS row."""
-    window = contract._R8_DRIVER_WINDOW
-    fill = contract._R8_WINDOW_FILL
+def test_r9_rotation_invariants():
+    """Round-9 rotation bookkeeping — the round the LAST unbanked
+    names reach the driver: the first 20 registered queries are
+    exactly _R9_DRIVER_WINDOW (= _ROTATION_BACKLOG[187:207]
+    = _R8_ADDITIONS, the 20 round-8 capability additions — the only
+    names without a driver CORRECTNESS row), positions 21-50 are
+    the 30 deliberate _R9_WINDOW_FILL re-checks (already
+    driver-green in earlier rounds: the four round-8 ambient bench
+    movers the driver should re-time, the reference flagships, the
+    drift/rank 1-ulp statistics class, this round's
+    overflow-guard-touched CvM pair, two streaming twins, and the
+    probe-capped kNN evaluator). The round-4..8 windows stay intact
+    as the historical record, and backlog + driver-checked
+    partitions the registry: rounds 1-8 banked 385 distinct green
+    rows (198 pre-backlog + backlog[:187]), so after round 9's
+    window every registered query holds a driver CORRECTNESS row —
+    405/405. Queries added in round 9 or later APPEND to the END of
+    the backlog (and register behind the 50-name head) and must
+    extend the arithmetic below in the same commit."""
+    window = contract._R9_DRIVER_WINDOW
+    fill = contract._R9_WINDOW_FILL
     backlog = contract._ROTATION_BACKLOG
     names = list(QUERIES)
-    assert names[:37] == window
-    assert names[37:50] == fill
-    assert window == backlog[150:187]
-    assert len(set(window)) == 37
-    assert len(set(fill)) == 13
-    # fills are RE-checks: all already banked in rounds 1-7, i.e.
-    # either pre-backlog or inside the banked backlog[:150] slice
-    assert not set(fill) & set(backlog[150:])
-    # round-8 additions append AFTER the closing window (VERDICT r7
-    # item 5) so the [150:187] positions never shift; they are the
-    # round-9 window front, pinned exactly
-    adds = contract._R8_ADDITIONS
-    assert backlog[187:] == adds
-    assert len(set(backlog)) == len(backlog) == 187 + len(adds)
-    assert set(adds) & set(names[:50]) == set()
+    assert names[:20] == window
+    assert names[20:50] == fill
+    assert window == backlog[187:207] == contract._R8_ADDITIONS
+    assert len(set(window)) == 20
+    assert len(set(fill)) == 30
+    # fills are RE-checks: all already banked in rounds 1-8, i.e.
+    # either pre-backlog or inside the banked backlog[:187] slice
+    assert not set(fill) & set(backlog[187:])
+    # names added from round 9 on append strictly AFTER the round-8
+    # additions so the [187:207] window positions never shift; they
+    # form the round-10 window front
+    adds_r9 = backlog[207:]
+    assert len(set(backlog)) == len(backlog) == 207 + len(adds_r9)
+    assert set(adds_r9) & set(names[:50]) == set()
     assert set(backlog) <= set(names)
+    # historical windows stay intact
     assert contract._R5_DRIVER_WINDOW == backlog[:50]
     assert contract._R6_DRIVER_WINDOW == backlog[50:100]
     assert contract._R7_DRIVER_WINDOW == backlog[100:150]
+    assert contract._R8_DRIVER_WINDOW == backlog[150:187]
     assert len(set(contract._R4_DRIVER_WINDOW)) == 50
     assert not set(contract._R4_DRIVER_WINDOW) & set(backlog)
     # rounds 1-4 banked 198 names none of which are in the backlog;
-    # rounds 5-7 banked backlog[:150]; round 8 banks [150:187] and
-    # the post-rotation additions are scheduled behind them.
+    # rounds 5-8 banked backlog[:187]; round 9 banks [187:207] and
+    # any later additions are scheduled behind them.
     assert len(names) == len(backlog) + 198
     # the newest-code-first ordering of the historical windows
     assert backlog[50:64][0] == "events_ljung_box"
     assert backlog[100] == "events_mann_kendall"
-    # the 7 round-7 additions lead the round-8 window
     assert backlog[150] == "events_cvm_drift"
-    assert len(backlog[150:187]) == 37
-    # round 8's window is fully pre-cleared at sf0.1
+    assert backlog[187] == "events_anderson_darling"
+    assert backlog[206] == "dedup_source_shift"
+    # round 9's window is fully pre-cleared at sf0.1 (round 8's
+    # committed closing sweep covered the whole 405-name surface)
     import os
 
     pre = os.path.join(os.path.dirname(__file__), "..",
-                       "ORACLE_SF01_R78_PRECLEAR.txt")
+                       "ORACLE_SF01_r08.txt")
     cleared = {
         ln.split()[0]
         for ln in open(pre)
         if ln.strip() and not ln.startswith("#")
     }
-    assert set(backlog[150:187]) <= cleared
+    assert set(window) <= cleared
