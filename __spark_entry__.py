@@ -2244,6 +2244,15 @@ _ROTATION_BACKLOG = [
     "embedding_intrinsic_dim",
     "media_frame_entropy",
     "dedup_source_shift",
+    # --- round-9 additions: appended AFTER the round-9 window
+    #     ([187:207]) so the banked positions never shift; these are
+    #     the round-10 driver window front (see _R9_ADDITIONS) ---
+    "events_mood_median",
+    "stream_cliffs_delta",
+    "events_page_trend",
+    "events_theil_u",
+    "doc_vocab_richness",
+    "doc_source_kl",
 ]
 
 #: Names added AFTER the rotation closed (round 8 onward): they live
@@ -2272,6 +2281,19 @@ _R8_ADDITIONS = [
     "embedding_intrinsic_dim",
     "media_frame_entropy",
     "dedup_source_shift",
+]
+
+#: Round-9 additions (pinned like _R8_ADDITIONS): appended at the
+#: END of the backlog behind the round-9 window, registered behind
+#: the 50-name head, pre-cleared at sf0.001/0.01/0.1 in this round's
+#: committed sweeps — the round-10 driver window front.
+_R9_ADDITIONS = [
+    "events_mood_median",
+    "stream_cliffs_delta",
+    "events_page_trend",
+    "events_theil_u",
+    "doc_vocab_richness",
+    "doc_source_kl",
 ]
 
 #: Round-5 driver window (VERDICT r4 item 1, historical record): the
@@ -2848,6 +2870,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_intrinsic_dim": pipeline.embedding_intrinsic_dim,
         "media_frame_entropy": pipeline.media_frame_entropy,
         "dedup_source_shift": pipeline.dedup_source_shift,
+        # --- round-9 capability wave: appended BEHIND the 50-name
+        #     head (VERDICT r8 item 4 — never a mid-window insert);
+        #     these names are also appended at the END of
+        #     _ROTATION_BACKLOG (= _R9_ADDITIONS) and form the
+        #     round-10 driver window front ---
+        "events_mood_median": analytics.events_mood_median,
+        "stream_cliffs_delta": streaming_parity.stream_cliffs_delta,
+        "events_page_trend": analytics.events_page_trend,
+        "events_theil_u": analytics.events_theil_u,
+        "doc_vocab_richness": pipeline.doc_vocab_richness,
+        "doc_source_kl": pipeline.doc_source_kl,
     }
     head = {n: q[n] for n in _R9_DRIVER_WINDOW + _R9_WINDOW_FILL}
     assert len(head) == 50, f"driver window must be 50, got {len(head)}"
@@ -8724,9 +8757,14 @@ def oracle_sql() -> dict[str, str]:
                 SELECT event_type,
                        CAST(count(*) AS HUGEINT) AS k,
                        SUM(ng) AS n, SUM(sg) AS s,
-                       SUM(CAST(floor(CAST(sg * sg AS DOUBLE)
-                                      / CAST(ng AS DOUBLE)
-                                      * 1000000.0 + 0.5) AS BIGINT)) AS tsum
+                       SUM(ng
+                           * CAST(floor(CAST(sg AS DOUBLE)
+                                        / CAST(ng AS DOUBLE)
+                                        * 1000000.0 + 0.5) AS BIGINT)
+                           * CAST(floor(CAST(sg AS DOUBLE)
+                                        / CAST(ng AS DOUBLE)
+                                        * 1000000.0 + 0.5) AS BIGINT))
+                           AS tsum
                 FROM groups GROUP BY 1
             ), q AS (
                 SELECT event_type, SUM(CAST(x AS HUGEINT) * x) AS q
@@ -8735,23 +8773,24 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_type,
                    CAST(n AS BIGINT) AS n_days,
                    CAST(k AS BIGINT) AS n_groups,
-                   floor(((CAST(tsum AS DOUBLE) / 1000000.0
+                   floor(((CAST(tsum AS DOUBLE) / 1000000000000.0
                            - CAST(s * s AS DOUBLE) / CAST(n AS DOUBLE))
                           / (CAST(k AS DOUBLE) - 1.0))
                          / ((CAST(q.q AS DOUBLE)
-                             - CAST(tsum AS DOUBLE) / 1000000.0)
+                             - CAST(tsum AS DOUBLE) / 1000000000000.0)
                             / (CAST(n AS DOUBLE) - CAST(k AS DOUBLE)))
                          * 1000000.0 + 0.5) / 1000000.0 AS f_stat,
-                   floor((CAST(tsum AS DOUBLE) / 1000000.0
+                   floor((CAST(tsum AS DOUBLE) / 1000000000000.0
                           - CAST(s * s AS DOUBLE) / CAST(n AS DOUBLE))
-                         / ((CAST(tsum AS DOUBLE) / 1000000.0
+                         / ((CAST(tsum AS DOUBLE) / 1000000000000.0
                              - CAST(s * s AS DOUBLE) / CAST(n AS DOUBLE))
                             + (CAST(q.q AS DOUBLE)
-                               - CAST(tsum AS DOUBLE) / 1000000.0))
+                               - CAST(tsum AS DOUBLE) / 1000000000000.0))
                          * 1000000.0 + 0.5) / 1000000.0 AS eta_sq
             FROM per_type JOIN q USING (event_type)
             WHERE k > 1 AND CAST(n AS DOUBLE) - CAST(k AS DOUBLE) > 0
-              AND CAST(q.q AS DOUBLE) - CAST(tsum AS DOUBLE) / 1000000.0 > 0
+              AND CAST(q.q AS DOUBLE)
+                  - CAST(tsum AS DOUBLE) / 1000000000000.0 > 0
             ORDER BY event_type
         """,
         "part_hierarchy_rollup": """
@@ -12974,28 +13013,33 @@ def oracle_sql() -> dict[str, str]:
             FROM devcells GROUP BY 1, 2
         ), grp2 AS (
             SELECT event_type, ng, sg, qg,
-                   CAST(floor(CAST(sg * sg AS DOUBLE)
-                              / CAST(ng AS DOUBLE)
-                              * 1000000.0 + 0.5) AS BIGINT) AS t
+                   CAST(ng AS HUGEINT)
+                   * CAST(floor(CAST(sg AS DOUBLE)
+                                / CAST(ng AS DOUBLE)
+                                * 1000000.0 + 0.5) AS BIGINT)
+                   * CAST(floor(CAST(sg AS DOUBLE)
+                                / CAST(ng AS DOUBLE)
+                                * 1000000.0 + 0.5) AS BIGINT) AS t
             FROM grp
         ), per_type AS (
             SELECT event_type, CAST(count(*) AS BIGINT) AS k,
                    SUM(ng) AS n, SUM(sg) AS s, SUM(qg) AS q,
-                   SUM(CAST(t AS HUGEINT)) AS tsum
+                   SUM(t) AS tsum
             FROM grp2 GROUP BY 1
         )
         SELECT event_type, CAST(n AS BIGINT) AS n_events,
                k AS n_groups,
-               floor(((CAST(tsum AS DOUBLE) / 1000000.0
+               floor(((CAST(tsum AS DOUBLE) / 1000000000000.0
                        - CAST(s * s AS DOUBLE) / CAST(n AS DOUBLE))
                       / (CAST(k AS DOUBLE) - 1.0))
                      / ((CAST(q AS DOUBLE)
-                         - CAST(tsum AS DOUBLE) / 1000000.0)
+                         - CAST(tsum AS DOUBLE) / 1000000000000.0)
                         / (CAST(n AS DOUBLE) - CAST(k AS DOUBLE)))
                      * 1000000.0 + 0.5) / 1000000.0 AS bf_f
         FROM per_type
         WHERE k > 1 AND n - k > 0
-          AND CAST(q AS DOUBLE) - CAST(tsum AS DOUBLE) / 1000000.0 > 0
+          AND CAST(q AS DOUBLE)
+              - CAST(tsum AS DOUBLE) / 1000000000000.0 > 0
         ORDER BY event_type
     """
     _o["events_friedman_type_ranks"] = """
@@ -13468,5 +13512,213 @@ def oracle_sql() -> dict[str, str]:
                       - CAST(n_docs AS DOUBLE) / CAST(tb AS DOUBLE))
                      * 1000000.0 + 0.5) / 1000000.0 AS share_drift
         FROM j, tot ORDER BY source
+    """
+    # --- round-9 capability wave -----------------------------------
+    _o["events_mood_median"] = """
+        WITH cells AS (
+            SELECT event_type,
+                   CAST(floor(value * 100 + 0.5) AS BIGINT) AS v,
+                   SUM(CASE WHEN ts >= TIMESTAMP '2024-01-16'
+                            THEN 0 ELSE 1 END) AS ca,
+                   SUM(CASE WHEN ts >= TIMESTAMP '2024-01-16'
+                            THEN 1 ELSE 0 END) AS cb
+            FROM events WHERE value IS NOT NULL AND ts IS NOT NULL
+            GROUP BY 1, 2
+        ), cum AS (
+            SELECT event_type, v,
+                   SUM(ca + cb) OVER (PARTITION BY event_type ORDER BY v
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS cum,
+                   SUM(ca + cb) OVER (PARTITION BY event_type) AS n
+            FROM cells
+        ), med AS (
+            SELECT event_type, MIN(v) AS med
+            FROM cum WHERE cum * 2 >= n GROUP BY 1
+        ), agg AS (
+            SELECT c.event_type,
+                   SUM(ca) AS na, SUM(cb) AS nb,
+                   SUM(CASE WHEN c.v > m.med THEN ca ELSE 0 END) AS a,
+                   SUM(CASE WHEN c.v > m.med THEN cb ELSE 0 END) AS b,
+                   MAX(m.med) AS med
+            FROM cells c JOIN med m ON c.event_type = m.event_type
+            GROUP BY 1
+        ), agg2 AS (
+            SELECT event_type, na, nb, med, a, b,
+                   CAST(a AS HUGEINT) * (nb - b)
+                   - CAST(b AS HUGEINT) * (na - a) AS diff
+            FROM agg
+        )
+        SELECT event_type,
+               CAST(na AS BIGINT) AS n_first,
+               CAST(nb AS BIGINT) AS n_second,
+               CAST(med AS BIGINT) AS median_cents,
+               CAST(a + b AS BIGINT) AS n_above,
+               floor(CAST(CAST(na + nb AS HUGEINT) * diff * diff
+                          AS DOUBLE)
+                     / CAST(CAST(na AS HUGEINT) * nb * (a + b)
+                            * ((na - a) + (nb - b)) AS DOUBLE)
+                     * 1000000.0 + 0.5) / 1000000.0 AS mood_chi2
+        FROM agg2
+        WHERE na > 0 AND nb > 0 AND a + b > 0
+          AND (na - a) + (nb - b) > 0
+        ORDER BY event_type
+    """
+    _o["stream_cliffs_delta"] = _o["events_cliffs_delta"]
+    _o["events_page_trend"] = """
+        WITH counts AS (
+            SELECT event_type,
+                   epoch_us(ts) // 86400000000 AS d,
+                   CAST(((epoch_us(ts) % 86400000000)
+                         - (epoch_us(ts) % 21600000000))
+                        / 21600000000 AS BIGINT) AS g,
+                   CAST(count(*) AS BIGINT) AS c
+            FROM events WHERE ts IS NOT NULL GROUP BY 1, 2, 3
+        ), blocks AS (
+            SELECT DISTINCT event_type, d FROM counts
+        ), parts AS (
+            SELECT * FROM (VALUES (0), (1), (2), (3)) AS t(g)
+        ), grid AS (
+            SELECT b.event_type, b.d, p.g, COALESCE(c.c, 0) AS c
+            FROM blocks b CROSS JOIN parts p
+            LEFT JOIN counts c ON c.event_type = b.event_type
+                              AND c.d = b.d AND c.g = p.g
+        ), ranked AS (
+            SELECT event_type, d, g,
+                   2 * (RANK() OVER (PARTITION BY event_type, d
+                                     ORDER BY c) - 1)
+                   + COUNT(*) OVER (PARTITION BY event_type, d, c)
+                   + 1 AS r2
+            FROM grid
+        ), agg AS (
+            SELECT event_type,
+                   CAST(count(*) // 4 AS BIGINT) AS n_days,
+                   SUM(CAST(g + 1 AS HUGEINT) * r2) AS l2
+            FROM ranked GROUP BY 1
+        )
+        SELECT event_type, n_days,
+               CAST(l2 AS DOUBLE) / 2.0 AS page_l,
+               floor((CAST(l2 AS DOUBLE) / 2.0
+                      - 25.0 * CAST(n_days AS DOUBLE))
+                     / sqrt(25.0 * CAST(n_days AS DOUBLE) / 3.0)
+                     * 1000000.0 + 0.5) / 1000000.0 AS page_z
+        FROM agg WHERE n_days > 0 ORDER BY event_type
+    """
+    _o["events_theil_u"] = """
+        WITH cells AS (
+            SELECT event_type,
+                   CAST(((epoch_us(ts) % 86400000000)
+                         - (epoch_us(ts) % 21600000000))
+                        / 21600000000 AS BIGINT) AS g,
+                   CAST(count(*) AS BIGINT) AS c
+            FROM events WHERE ts IS NOT NULL GROUP BY 1, 2
+        ), rows_m AS (
+            SELECT event_type, SUM(c) AS ct FROM cells GROUP BY 1
+        ), cols_m AS (
+            SELECT g, SUM(c) AS cg FROM cells GROUP BY 1
+        ), tot AS (SELECT SUM(c) AS n FROM cells),
+        mi AS (
+            SELECT MAX(n) AS n,
+                   SUM(CAST(floor(CAST(c AS DOUBLE)
+                       * (ln(CAST(c AS DOUBLE))
+                          + ln(CAST(n AS DOUBLE))
+                          - ln(CAST(ct AS DOUBLE))
+                          - ln(CAST(cg AS DOUBLE)))
+                       * 1000000000.0 + 0.5) AS BIGINT))
+                       AS si
+            FROM cells
+            JOIN rows_m USING (event_type) JOIN cols_m USING (g),
+            tot
+        ), hr AS (
+            SELECT SUM(CAST(floor(CAST(ct AS DOUBLE)
+                       * (ln(CAST(n AS DOUBLE))
+                          - ln(CAST(ct AS DOUBLE)))
+                       * 1000000000.0 + 0.5) AS BIGINT))
+                       AS sh_ct
+            FROM rows_m, tot
+        ), hc AS (
+            SELECT SUM(CAST(floor(CAST(cg AS DOUBLE)
+                       * (ln(CAST(n AS DOUBLE))
+                          - ln(CAST(cg AS DOUBLE)))
+                       * 1000000000.0 + 0.5) AS BIGINT))
+                       AS sh_cg
+            FROM cols_m, tot
+        )
+        SELECT CAST(n AS BIGINT) AS n_events,
+               floor(CAST(si AS DOUBLE) / 1000000000.0
+                     / CAST(n AS DOUBLE)
+                     * 1000000.0 + 0.5) / 1000000.0 AS mi_nats,
+               CASE WHEN sh_ct > 0 THEN
+                   floor(CAST(si AS DOUBLE) / CAST(sh_ct AS DOUBLE)
+                         * 1000000.0 + 0.5) / 1000000.0
+               END AS u_type_given_daypart,
+               CASE WHEN sh_cg > 0 THEN
+                   floor(CAST(si AS DOUBLE) / CAST(sh_cg AS DOUBLE)
+                         * 1000000.0 + 0.5) / 1000000.0
+               END AS u_daypart_given_type
+        FROM mi, hr, hc
+    """
+    _o["doc_vocab_richness"] = """
+        WITH tok AS (
+            SELECT source,
+                   unnest(list_filter(string_split(text, ' '),
+                                      t -> t <> '')) AS token
+            FROM documents
+        ), c AS (
+            SELECT source, token, CAST(count(*) AS BIGINT) AS c
+            FROM tok GROUP BY 1, 2
+        ), agg AS (
+            SELECT source, SUM(c) AS n,
+                   CAST(count(*) AS BIGINT) AS vocab,
+                   SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS f1,
+                   SUM(CASE WHEN c = 2 THEN 1 ELSE 0 END) AS f2
+            FROM c GROUP BY 1
+        )
+        SELECT source,
+               CAST(n AS BIGINT) AS n_tokens,
+               CAST(vocab AS BIGINT) AS vocab,
+               CAST(f1 AS BIGINT) AS f1_hapax,
+               CAST(f2 AS BIGINT) AS f2_doubletons,
+               floor((CAST(vocab AS DOUBLE)
+                      + CAST(f1 AS DOUBLE)
+                        * (CAST(f1 AS DOUBLE) - 1.0)
+                        / (2.0 * (CAST(f2 AS DOUBLE) + 1.0)))
+                     * 1000000.0 + 0.5) / 1000000.0 AS chao1_vocab,
+               floor(CAST(f1 AS DOUBLE) / CAST(n AS DOUBLE)
+                     * 1000000.0 + 0.5) / 1000000.0 AS gt_unseen_mass
+        FROM agg ORDER BY source
+    """
+    _o["doc_source_kl"] = """
+        WITH tok AS (
+            SELECT source,
+                   unnest(list_filter(string_split(text, ' '),
+                                      t -> t <> '')) AS token
+            FROM documents
+        ), c AS (
+            SELECT source, token, CAST(count(*) AS BIGINT) AS c
+            FROM tok GROUP BY 1, 2
+        ), src_tot AS (
+            SELECT source, SUM(c) AS ns FROM c GROUP BY 1
+        ), tok_tot AS (
+            SELECT token, SUM(c) AS ct FROM c GROUP BY 1
+        ), tot AS (SELECT SUM(c) AS n FROM c),
+        agg AS (
+            SELECT source, MAX(ns) AS ns,
+                   SUM(CAST(floor(CAST(c AS DOUBLE)
+                       * (ln(CAST(c AS DOUBLE))
+                          + ln(CAST(n AS DOUBLE))
+                          - ln(CAST(ns AS DOUBLE))
+                          - ln(CAST(ct AS DOUBLE)))
+                       * 1000000000.0 + 0.5) AS BIGINT))
+                       AS s
+            FROM c JOIN tok_tot USING (token)
+            JOIN src_tot USING (source), tot
+            GROUP BY source
+        )
+        SELECT source,
+               CAST(ns AS BIGINT) AS n_tokens,
+               floor(CAST(s AS DOUBLE) / 1000000000.0
+                     / CAST(ns AS DOUBLE)
+                     * 1000000.0 + 0.5) / 1000000.0 AS kl_vs_corpus
+        FROM agg ORDER BY source
     """
     return _o

@@ -1143,3 +1143,147 @@ def flesch_reading_ease(
             F.col("n_plain").cast("double") / nd, 6
         ).alias("plain_english_share"),
     ).orderBy("source")
+
+
+def vocab_richness(
+    df: DataFrame,
+    source_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-source vocabulary-richness estimators from the token
+    frequency-of-frequencies: Chao1 (how many token types the
+    source REALLY has, including the unseen ones) and the
+    Good–Turing unseen-probability mass (how much of the next
+    document will be new vocabulary). The capture-recapture pair a
+    curation pipeline reads before deciding whether a source is
+    mined out — observed vocab (`simpson_diversity` reports it)
+    always grows with N, but a Chao1 close to the observed count
+    says the source has been exhausted while a large gap says keep
+    crawling; the Good–Turing mass P0 = f1/N is the standard
+    smoothing reserve an n-gram LM would assign unseen types.
+
+    Chao1 uses the bias-corrected form
+    D + f1·(f1−1)/(2·(f2+1)) (Chao 1984), defined even when no
+    doubletons exist — f1/f2 are the hapax/doubleton TYPE counts.
+
+    Exactness: f1, f2, D, N are exact integers off one token
+    aggregate; each estimator is ONE fixed-order double chain.
+
+    Shape: explode → (source, token) hash aggregate (partial
+    map-side) → per-source conditional-count reduce; |sources|
+    output rows."""
+    toks = df.select(
+        F.col(source_col).alias("source"),
+        F.explode(_toks(F.col(text_col))).alias("token"),
+    )
+    counts = toks.groupBy("source", "token").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    agg = counts.groupBy("source").agg(
+        F.sum("c").alias("n"),
+        F.count(F.lit(1)).alias("vocab"),
+        F.sum(F.when(F.col("c") == 1, F.lit(1)).otherwise(F.lit(0))).alias(
+            "f1"
+        ),
+        F.sum(F.when(F.col("c") == 2, F.lit(1)).otherwise(F.lit(0))).alias(
+            "f2"
+        ),
+    )
+    f1d = F.col("f1").cast("double")
+    chao1 = F.col("vocab").cast("double") + f1d * (
+        f1d - F.lit(1.0)
+    ) / (F.lit(2.0) * (F.col("f2").cast("double") + F.lit(1.0)))
+    gt = f1d / F.col("n").cast("double")
+    return agg.select(
+        "source",
+        F.col("n").cast("long").alias("n_tokens"),
+        F.col("vocab").cast("long").alias("vocab"),
+        F.col("f1").cast("long").alias("f1_hapax"),
+        F.col("f2").cast("long").alias("f2_doubletons"),
+        det_round(chao1, 6).alias("chao1_vocab"),
+        det_round(gt, 6).alias("gt_unseen_mass"),
+    ).orderBy("source")
+
+
+def source_unigram_kl(
+    df: DataFrame,
+    source_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-source unigram KL divergence against the corpus-wide
+    token distribution: KL(p_source ‖ p_corpus) in nats — the
+    mixture-weighting diagnostic. `dedup_source_shift` reports how
+    dedup MOVES the source mixture; this reports how far each
+    source's LANGUAGE sits from the corpus average, which is what a
+    DSIR-style importance sampler or a mixture re-weighter actually
+    consumes (a source with tiny KL adds volume, not diversity;
+    a huge-KL source shifts the trained distribution hardest per
+    token). p_source has full support within its own tokens so no
+    smoothing is needed: every token of the source also occurs in
+    the corpus.
+
+    Exactness: KL = (1/N_s)·Σ_t c_st·(ln c_st + ln N − ln N_s −
+    ln C_t): each per-token term is ONE fixed-order double chain
+    over ln of exact integer counts (the proven ln-parity class:
+    `doc_token_entropy`, `supplier_revenue_theil`), floored onto
+    the 1e-9 grid BEFORE the data-sized sum (the chi2-drift
+    device), summed exactly in DECIMAL(38,0); the final KL is one
+    double division. Per-term overflow guarded against the BIGINT
+    range on both engines (the `ad_from_cells` device).
+
+    Shape: explode → (source, token) hash aggregate; token-keyed
+    shuffle join onto the per-token corpus totals (both sides
+    reduced BEFORE the join — the join is on distinct tokens, not
+    token instances); broadcast joins for the |sources|-row and
+    1-row totals; one per-source reduce."""
+    d38 = "decimal(38,0)"
+    toks = df.select(
+        F.col(source_col).alias("source"),
+        F.explode(_toks(F.col(text_col))).alias("token"),
+    )
+    counts = toks.groupBy("source", "token").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    src_tot = counts.groupBy("source").agg(F.sum("c").alias("ns"))
+    tok_tot = counts.groupBy("token").agg(F.sum("c").alias("ct"))
+    tot = counts.agg(F.sum("c").alias("n"))
+    joined = (
+        counts.join(tok_tot, "token")
+        .join(F.broadcast(src_tot), "source")
+        .crossJoin(F.broadcast(tot))
+    )
+    cd = F.col("c").cast("double")
+    term = cd * (
+        F.log(cd)
+        + F.log(F.col("n").cast("double"))
+        - F.log(F.col("ns").cast("double"))
+        - F.log(F.col("ct").cast("double"))
+    )
+    scaled = term * F.lit(1e9)
+    grid = F.floor(scaled + F.lit(0.5)).cast("long")
+    agg = joined.groupBy("source").agg(
+        F.max("ns").alias("ns"),
+        F.sum(grid.cast(d38)).alias("s"),
+        F.sum(
+            F.when(F.abs(scaled) > F.lit(9.2e18), F.lit(1)).otherwise(
+                F.lit(0)
+            )
+        ).alias("n_ovf"),
+    )
+    _raise = F.raise_error(
+        F.lit(
+            "source_unigram_kl: 1e-9-grid term overflowed BIGINT "
+            "(per-token counts beyond the double-chain range); "
+            "re-grid via a coarser quantum"
+        )
+    ).cast("double")
+    kl = F.when(F.col("n_ovf") > 0, _raise).otherwise(
+        F.col("s").cast("double")
+        / F.lit(1e9)
+        / F.col("ns").cast("double")
+    )
+    return agg.select(
+        "source",
+        F.col("ns").cast("long").alias("n_tokens"),
+        det_round(kl, 6).alias("kl_vs_corpus"),
+    ).orderBy("source")

@@ -4534,9 +4534,12 @@ def events_dow_anova(spark: SparkSession, sf_dir: str) -> DataFrame:
     Engine-free day-of-week: (days-since-epoch) mod 7 — never the
     engines' dayofweek()s, which disagree on week start. Exactness:
     group sums/counts and ΣX² are exact integers (DECIMAL/HUGEINT);
-    the cross-GROUP sum Σ S_g²/n_g is quantized per group to a 1e-6
-    integer grid before the ≤7-row sum (the chi2-drift device);
-    everything after is fixed-order doubles."""
+    the cross-GROUP sum Σ S_g²/n_g uses the mean-grid device — the
+    group mean S_g/n_g is floored onto the 1e-6 grid and
+    t_g = n_g·m6² is an exact DECIMAL(38,0) product (the round-9
+    100× lesson: a per-group sum-of-squares grid overflows BIGINT
+    once daily totals reach ~1e9 units); everything after is
+    fixed-order doubles."""
     events = load_table(spark, sf_dir, "events")
     daily = _daily_whole_units(events).select(
         "event_type",
@@ -4550,24 +4553,54 @@ def events_dow_anova(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("ng"),
         F.sum(F.col("x").cast(d38)).alias("sg"),
     )
-    term = F.floor(
-        (F.col("sg") * F.col("sg")).cast("double") / F.col("ng").cast("double")
+    # mean-grid device (the round-9 100× lesson, shared with
+    # events_brown_forsythe): quantize the group MEAN S_g/n_g — n_g
+    # is dow-bounded, so the mean grows like the daily total, NOT
+    # like S_g² — onto the 1e-6 grid; t_g = n_g·m6² is an exact
+    # DECIMAL(38,0) product, overflow-safe to ~1e13-unit daily means
+    # where the old sum-of-squares grid overflowed BIGINT at ~100×
+    # the bench scale. NULL t (decimal overflow, non-ANSI) and a
+    # grid mean past BIGINT raise loudly on both engines.
+    mean_raw = (
+        F.col("sg").cast("double") / F.col("ng").cast("double")
         * F.lit(1e6)
-        + F.lit(0.5)
-    ).cast("long")
-    per_type = groups.select("event_type", "ng", "sg", term.alias("t")).groupBy(
+    )
+    m6 = F.floor(mean_raw + F.lit(0.5)).cast("long")
+    term = F.col("ng").cast(d38) * m6 * m6
+    per_type = groups.select(
+        "event_type",
+        "ng",
+        "sg",
+        term.alias("t"),
+        F.when(
+            (F.abs(mean_raw) > F.lit(9.2e18)) | F.col("t").isNull(),
+            F.lit(1),
+        )
+        .otherwise(F.lit(0))
+        .alias("ovf"),
+    ).groupBy(
         "event_type"
     ).agg(
         F.count(F.lit(1)).alias("k"),
         F.sum("ng").alias("n"),
         F.sum("sg").alias("s"),
         F.sum("t").alias("tsum"),
+        F.sum("ovf").alias("n_ovf"),
     )
     q = daily.groupBy("event_type").agg(
         F.sum(F.col("x").cast(d38) * F.col("x")).alias("q")
     )
     j = per_type.join(q, "event_type")
-    between_raw = F.col("tsum").cast("double") / F.lit(1e6)
+    _anova_raise = F.raise_error(
+        F.lit(
+            "events_dow_anova: mean-grid group term overflowed "
+            "(per-dow mean daily value beyond the documented "
+            "domain); re-grid via a coarser quantum"
+        )
+    ).cast("double")
+    between_raw = F.when(F.col("n_ovf") > 0, _anova_raise).otherwise(
+        F.col("tsum").cast("double") / F.lit(1e12)
+    )
     ssb = between_raw - (F.col("s") * F.col("s")).cast("double") / F.col(
         "n"
     ).cast("double")
@@ -13124,7 +13157,14 @@ def events_cliffs_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Shape: identical to the KS plan — one bounded cell aggregate,
     one cumulative window, one per-type reduce."""
-    cells = halfsplit_value_cells(spark, sf_dir)
+    return cliffs_from_cells(halfsplit_value_cells(spark, sf_dir))
+
+
+def cliffs_from_cells(cells: DataFrame) -> DataFrame:
+    """Shared Cliff's-delta tail over an (event_type, v, ca, cb)
+    exact-centi count frame — factored (the `cvm_from_cells` /
+    `ks_from_cells` / `ad_from_cells` precedent) so the streaming
+    twin reduces the same drained cell-monoid state."""
     d38 = "decimal(38,0)"
     w_cum = (
         Window.partitionBy("event_type")
@@ -13421,8 +13461,12 @@ def events_brown_forsythe(spark: SparkSession, sf_dir: str) -> DataFrame:
     LOWER median (first cell where 2·cum ≥ n, the weighted-median
     pick-first device — a deterministic convention mirrored in the
     oracle), so every |c − med| deviation is an exact integer; group
-    sums and Σdev² are DECIMAL(38,0); the cross-GROUP Σ S_g²/n_g is
-    quantized per group onto the 1e-6 grid (the chi2/ANOVA device);
+    sums and Σdev² are DECIMAL(38,0); the cross-GROUP Σ S_g²/n_g
+    uses the MEAN-grid device — the group mean deviation S_g/n_g
+    (bounded by the cent domain at any scale) is floored onto the
+    1e-6 grid and t_g = n_g·m6² is an exact DECIMAL(38,0) product,
+    so the between term never outgrows the integer range the way a
+    per-group sum-of-squares grid would (the round-9 100× lesson);
     the F statistic is one fixed-order double chain.
 
     Shape: one (type, daypart, cent) hash aggregate, a cumulative
@@ -13482,24 +13526,34 @@ def events_brown_forsythe(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n").cast(d38) * F.col("dev") * F.col("dev")
         ).alias("qg"),
     )
-    term_raw = (
-        (F.col("sg") * F.col("sg")).cast("double")
+    # The between-group term Σ_g S_g²/n_g on the mean-grid device:
+    # quantize the group MEAN deviation m_g = S_g/n_g (BOUNDED by
+    # the cent domain at ANY row count, unlike S_g² which overflowed
+    # BIGINT at the 100× scale experiment) onto the 1e-6 grid, then
+    # t_g = n_g·m6² is an exact DECIMAL(38,0) product — inside the
+    # decimal range to ~1e12 rows/group at cent-scale deviations.
+    # Overflow posture: the pre-floor double guard raises loudly if
+    # the grid mean ever crossed BIGINT (unreachable below ~9e12-
+    # cent mean deviations), and a NULL t (decimal overflow in
+    # non-ANSI mode; ANSI raises on its own) is counted per-row and
+    # raised — converging with DuckDB's HUGEINT raise.
+    mean_raw = (
+        F.col("sg").cast("double")
         / F.col("ng").cast("double")
         * F.lit(1e6)
     )
-    term = F.floor(term_raw + F.lit(0.5)).cast("long")
-    # per-group overflow guard (the ad_from_cells device): F.floor's
-    # LONG saturates silently in non-ANSI Spark while DuckDB's
-    # CAST(... AS BIGINT) raises, so flag the PRE-floor double
-    # crossing the BIGINT range (term_raw ≥ 0) and raise loudly —
-    # reachable only at per-group counts far past any tested scale.
+    m6 = F.floor(mean_raw + F.lit(0.5)).cast("long")
+    term = F.col("ng").cast(d38) * m6 * m6
     per_type = groups.select(
         "event_type",
         "ng",
         "sg",
         "qg",
         term.alias("t"),
-        F.when(term_raw > F.lit(9.2e18), F.lit(1))
+        F.when(
+            (mean_raw > F.lit(9.2e18)) | F.col("t").isNull(),
+            F.lit(1),
+        )
         .otherwise(F.lit(0))
         .alias("ovf"),
     ).groupBy("event_type").agg(
@@ -13512,13 +13566,14 @@ def events_brown_forsythe(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     _bf_raise = F.raise_error(
         F.lit(
-            "events_brown_forsythe: 1e-6-grid group term overflowed "
-            "BIGINT (per-group deviation sums beyond the double-"
-            "chain range); re-grid via a coarser quantum"
+            "events_brown_forsythe: mean-grid group term overflowed "
+            "(per-group mean deviation beyond the documented "
+            "domain); re-grid via a coarser quantum"
         )
     ).cast("double")
+    # t_g = n_g·m6² carries a 1e12 scale (two 1e6 grid factors)
     between_raw = F.when(F.col("n_ovf") > 0, _bf_raise).otherwise(
-        F.col("tsum").cast("double") / F.lit(1e6)
+        F.col("tsum").cast("double") / F.lit(1e12)
     )
     ssb = between_raw - (F.col("s") * F.col("s")).cast(
         "double"
@@ -14009,4 +14064,312 @@ def copurchase_degree_powerlaw(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.lit(dmin).cast("long").alias("d_min"),
         F.when(F.col("sl") > 0, det_round(alpha, 6)).alias("alpha"),
+    )
+
+
+def events_mood_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mood's median test per event type between the first- and
+    second-half value distributions: the 2×2-table member of the
+    two-sample drift family — split every value at the POOLED
+    median and ask whether the above-median share differs between
+    halves. Far blunter than KS/CvM/AD (it reads ONE quantile), and
+    exactly because of that it is the robust sanity check a drift
+    monitor runs when the fancier statistics disagree: a level shift
+    moves it, a pure tail/scale change does not (contrast
+    `events_brown_forsythe`).
+
+    Exactness: values sit on the cent grid (the shared
+    `halfsplit_value_cells` frame); the pooled median is the LOWER
+    median (first cell where 2·cum ≥ n — the weighted-median
+    pick-first device, mirrored in the oracle); the 2×2 cells A/B
+    (above, per half) and their complements are exact integers;
+    χ² = N·(A·D − B·C)² / (na·nb·(A+B)·(C+D)) is exact
+    DECIMAL(38,0) products until ONE double division. Types where
+    any margin is zero (all mass on one side of the median) are
+    excluded on both engines — χ² is undefined there.
+
+    Shape: the KS plan's — one bounded cell aggregate, one
+    cumulative window for the median pick, a broadcast-sized median
+    join back onto the CELL frame (never the rows), one per-type
+    reduce."""
+    cells = halfsplit_value_cells(spark, sf_dir)
+    d38 = "decimal(38,0)"
+    w_cum = (
+        Window.partitionBy("event_type")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    w_tot = Window.partitionBy("event_type")
+    cum = cells.select(
+        "event_type",
+        "v",
+        (
+            F.sum(F.col("ca") + F.col("cb")).over(w_cum)
+        ).alias("cum"),
+        (
+            F.sum(F.col("ca") + F.col("cb")).over(w_tot)
+        ).alias("n"),
+    )
+    pick = Window.partitionBy("event_type").orderBy("v")
+    medians = (
+        cum.where(F.col("cum") * 2 >= F.col("n"))
+        .withColumn("_rn", F.row_number().over(pick))
+        .where(F.col("_rn") == 1)
+        .select("event_type", F.col("v").alias("med"))
+    )
+    agg = (
+        cells.join(F.broadcast(medians), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.sum("ca").alias("na"),
+            F.sum("cb").alias("nb"),
+            F.sum(
+                F.when(F.col("v") > F.col("med"), F.col("ca")).otherwise(
+                    F.lit(0)
+                )
+            ).alias("a"),
+            F.sum(
+                F.when(F.col("v") > F.col("med"), F.col("cb")).otherwise(
+                    F.lit(0)
+                )
+            ).alias("b"),
+            F.max("med").alias("med"),
+        )
+    )
+    c_ = F.col("na") - F.col("a")
+    d_ = F.col("nb") - F.col("b")
+    diff = (
+        F.col("a").cast(d38) * d_ - F.col("b").cast(d38) * c_
+    )
+    num = (F.col("na") + F.col("nb")).cast(d38) * diff * diff
+    den = (
+        F.col("na").cast(d38)
+        * F.col("nb")
+        * (F.col("a") + F.col("b"))
+        * (c_ + d_)
+    )
+    return (
+        agg.where(
+            (F.col("na") > 0)
+            & (F.col("nb") > 0)
+            & (F.col("a") + F.col("b") > 0)
+            & (c_ + d_ > 0)
+        )
+        .select(
+            "event_type",
+            F.col("na").cast("long").alias("n_first"),
+            F.col("nb").cast("long").alias("n_second"),
+            F.col("med").cast("long").alias("median_cents"),
+            (F.col("a") + F.col("b")).cast("long").alias("n_above"),
+            det_round(
+                num.cast("double") / den.cast("double"), 6
+            ).alias("mood_chi2"),
+        )
+        .orderBy("event_type")
+    )
+
+
+def events_page_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Page's L trend test per event type: does within-day activity
+    RISE monotonically across the four dayparts (night → morning →
+    afternoon → evening), judged day by day? The ordered-alternative
+    companion to `events_friedman_type_ranks` (which detects ANY
+    reordering) and the blocked counterpart of
+    `events_daypart_jonckheere` (which pools all observations and
+    ignores the day pairing): Page's L ranks the 4 daypart counts
+    WITHIN each day and weights the rank sums by the hypothesized
+    order, so a consistent small daily ramp registers even when
+    between-day volume swamps the pooled test.
+
+    Exactness: per-day ranks over the DENSE (day × 4 dayparts) grid
+    (absent counts are explicit zeros) use the doubled-midrank
+    device — 2·rank = 2·#smaller + #tied + 1, exact integers — so
+    2L = Σ_j w_j·R2_j is an exact DECIMAL(38,0) integer and
+    L = (2L)/2 is an exactly-representable double (x.0 or x.5).
+    The z-score uses the classical no-tie null moments
+    μ = n·k(k+1)²/4, σ² = n·(k³−k)²/(144(k−1)) — with midrank ties
+    this is OUR pinned convention, mirrored textually in the oracle
+    (sqrt is IEEE-correctly-rounded on both engines). Days from the
+    engine-free calendar, dayparts from the epoch-micros device.
+
+    Shape: one (type, day, daypart) count aggregate
+    (calendar-bounded), the dense grid via distinct (type, day) ×
+    4 literal dayparts, two rank windows per ≤4-row block, one
+    per-type reduce — |types| output rows."""
+    events = load_table(spark, sf_dir, "events").where(
+        F.col("ts").isNotNull()
+    )
+    d38 = "decimal(38,0)"
+    us = F.unix_micros(F.col("ts"))
+    day = (us - (us % F.lit(86_400_000_000))) / F.lit(86_400_000_000)
+    part = (
+        (us % F.lit(86_400_000_000)) - (us % F.lit(21_600_000_000))
+    ) / F.lit(21_600_000_000)
+    counts = events.groupBy(
+        "event_type",
+        day.cast("long").alias("d"),
+        part.cast("long").alias("g"),
+    ).agg(F.count(F.lit(1)).alias("c"))
+    blocks = counts.select("event_type", "d").distinct()
+    parts = spark.range(4).select(F.col("id").alias("g"))
+    grid = (
+        blocks.crossJoin(F.broadcast(parts))
+        .join(counts, ["event_type", "d", "g"], "left")
+        .select(
+            "event_type",
+            "d",
+            "g",
+            F.coalesce(F.col("c"), F.lit(0)).alias("c"),
+        )
+    )
+    w_rank = Window.partitionBy("event_type", "d").orderBy("c")
+    w_tie = Window.partitionBy("event_type", "d", "c")
+    ranked = grid.select(
+        "event_type",
+        "d",
+        "g",
+        (
+            F.lit(2) * (F.rank().over(w_rank) - F.lit(1))
+            + F.count(F.lit(1)).over(w_tie)
+            + F.lit(1)
+        ).alias("r2"),
+    )
+    agg = ranked.groupBy("event_type").agg(
+        (F.count(F.lit(1)) / F.lit(4)).cast("long").alias("n_days"),
+        F.sum(
+            (F.col("g") + F.lit(1)).cast(d38) * F.col("r2")
+        ).alias("l2"),
+    )
+    nd = F.col("n_days").cast("double")
+    page_l = F.col("l2").cast("double") / F.lit(2.0)
+    # k = 4: μ = 25n, σ² = n·60²/(144·3) = 25n/3
+    page_z = (page_l - F.lit(25.0) * nd) / F.sqrt(
+        F.lit(25.0) * nd / F.lit(3.0)
+    )
+    return (
+        agg.where(F.col("n_days") > 0)
+        .select(
+            "event_type",
+            "n_days",
+            page_l.alias("page_l"),
+            det_round(page_z, 6).alias("page_z"),
+        )
+        .orderBy("event_type")
+    )
+
+
+def events_theil_u(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil's uncertainty coefficient between event type and
+    daypart: the ASYMMETRIC, information-theoretic association the
+    χ²-family report cannot give — U(type|daypart) = I(type;
+    daypart)/H(type) is the fraction of type-uncertainty removed by
+    knowing the daypart, and U(daypart|type) the reverse. Cramér's V
+    (`doc_lang_source_cramers_v`) answers "are they associated";
+    Theil's U answers "which way does the information flow" — the
+    pair a feature-selection pass actually ranks on.
+
+    Exactness: the (type, daypart) contingency table is a BOUNDED
+    exact-integer frame; every transcendental term is a per-cell
+    fixed-order double chain c·(ln c + ln N − ln c_row − ln c_col)
+    floored onto the 1e-9 grid BEFORE any cross-cell sum (the
+    chi2-drift device — ln on integer counts is the proven parity
+    class), so N·I and N·H(type) and N·H(daypart) are exact int64
+    grid sums sharing the same 1/(1e9·N) factor — each U is a ratio
+    of two grid integers, ONE double division; the mutual
+    information in nats is one more. Per-term overflow guarded
+    against the BIGINT range on both engines (the `ad_from_cells`
+    device). Dayparts from the epoch-micros device.
+
+    Shape: one (type, daypart) hash aggregate, broadcast margin
+    joins on the bounded frame, one global reduce — a single output
+    row."""
+    events = load_table(spark, sf_dir, "events").where(
+        F.col("ts").isNotNull()
+    )
+    d38 = "decimal(38,0)"
+    us = F.unix_micros(F.col("ts"))
+    part = (
+        (us % F.lit(86_400_000_000)) - (us % F.lit(21_600_000_000))
+    ) / F.lit(21_600_000_000)
+    cells = events.groupBy(
+        "event_type", part.cast("long").alias("g")
+    ).agg(F.count(F.lit(1)).alias("c"))
+    rows_m = cells.groupBy("event_type").agg(
+        F.sum("c").alias("ct")
+    )
+    cols_m = cells.groupBy("g").agg(F.sum("c").alias("cg"))
+    tot = cells.agg(F.sum("c").alias("n"))
+    joined = (
+        cells.join(F.broadcast(rows_m), "event_type")
+        .join(F.broadcast(cols_m), "g")
+        .crossJoin(F.broadcast(tot))
+    )
+    cd = F.col("c").cast("double")
+    iterm = cd * (
+        F.log(cd)
+        + F.log(F.col("n").cast("double"))
+        - F.log(F.col("ct").cast("double"))
+        - F.log(F.col("cg").cast("double"))
+    )
+    i_scaled = iterm * F.lit(1e9)
+    i_grid = F.floor(i_scaled + F.lit(0.5)).cast("long")
+    mi_agg = joined.agg(
+        F.max("n").alias("n"),
+        F.sum(i_grid.cast(d38)).alias("si"),
+        F.sum(
+            F.when(
+                F.abs(i_scaled) > F.lit(9.2e18), F.lit(1)
+            ).otherwise(F.lit(0))
+        ).alias("n_ovf"),
+    )
+    # N·H(row) and N·H(col) on the same grid: Σ m·(ln N − ln m)
+    def _h(margin: DataFrame, col: str, n_rows: DataFrame):
+        m = margin.crossJoin(F.broadcast(n_rows))
+        md = F.col(col).cast("double")
+        hterm = md * (F.log(F.col("n").cast("double")) - F.log(md))
+        h_scaled = hterm * F.lit(1e9)
+        return m.agg(
+            F.sum(
+                F.floor(h_scaled + F.lit(0.5)).cast("long").cast(d38)
+            ).alias(f"sh_{col}"),
+            F.sum(
+                F.when(
+                    F.abs(h_scaled) > F.lit(9.2e18), F.lit(1)
+                ).otherwise(F.lit(0))
+            ).alias(f"ovf_{col}"),
+        )
+
+    h_rows = _h(rows_m, "ct", tot)
+    h_cols = _h(cols_m, "cg", tot)
+    out = mi_agg.crossJoin(F.broadcast(h_rows)).crossJoin(
+        F.broadcast(h_cols)
+    )
+    _raise = F.raise_error(
+        F.lit(
+            "events_theil_u: 1e-9-grid entropy term overflowed "
+            "BIGINT (counts beyond the double-chain range); re-grid "
+            "via a coarser quantum"
+        )
+    ).cast("double")
+    ovf = (
+        F.col("n_ovf") + F.col("ovf_ct") + F.col("ovf_cg") > 0
+    )
+    mi = F.when(ovf, _raise).otherwise(
+        F.col("si").cast("double")
+        / F.lit(1e9)
+        / F.col("n").cast("double")
+    )
+    u_rows = F.when(
+        F.col("sh_ct") > 0,
+        F.col("si").cast("double") / F.col("sh_ct").cast("double"),
+    )
+    u_cols = F.when(
+        F.col("sh_cg") > 0,
+        F.col("si").cast("double") / F.col("sh_cg").cast("double"),
+    )
+    return out.select(
+        F.col("n").cast("long").alias("n_events"),
+        det_round(mi, 6).alias("mi_nats"),
+        det_round(u_rows, 6).alias("u_type_given_daypart"),
+        det_round(u_cols, 6).alias("u_daypart_given_type"),
     )

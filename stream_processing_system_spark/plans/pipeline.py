@@ -2197,3 +2197,17 @@ def dedup_source_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
         det_round(share_a, 6).alias("share_after"),
         det_round(share_a - share_b, 6).alias("share_drift"),
     ).orderBy("source")
+
+
+def doc_vocab_richness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source Chao1 vocabulary estimate + Good-Turing unseen
+    mass (`operators/text_analysis.vocab_richness` — exact
+    frequency-of-frequencies off one token aggregate)."""
+    return text_analysis.vocab_richness(_docs(spark, sf_dir))
+
+
+def doc_source_kl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source unigram KL divergence vs the corpus distribution
+    (`operators/text_analysis.source_unigram_kl` — 1e-9-grid ln
+    terms, exact DECIMAL sums, one division per source)."""
+    return text_analysis.source_unigram_kl(_docs(spark, sf_dir))

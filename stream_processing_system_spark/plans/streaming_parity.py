@@ -1363,3 +1363,58 @@ def stream_anderson_darling(spark: SparkSession, sf_dir: str) -> DataFrame:
     _cleanup(input_dir)
     cells = spark.table(f"sad_{run}").localCheckpoint(eager=True)
     return ad_from_cells(cells)
+
+
+def stream_cliffs_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cliff's-delta effect size with the (type, cent-value)
+    half-split counts maintained by an availableNow streaming
+    aggregation — the streaming twin of
+    `analytics.events_cliffs_delta` (same oracle). Completes the
+    drift family's streaming story: the THREE alarm statistics
+    (KS / CvM / AD) and now the EFFECT SIZE a monitor reads after
+    the alarm all run in both runtimes over the SAME mergeable
+    cell-monoid state — one streaming aggregation feeds four
+    statistic tails, which is exactly how a production monitor
+    would deploy them (one state store, many readouts)."""
+    from stream_processing_system_spark.plans.analytics import (
+        cliffs_from_cells,
+    )
+
+    input_dir, ckpt, run = _scratch("scd2")
+    events = (
+        load_table(spark, sf_dir, "events")
+        .where(F.col("value").isNotNull() & F.col("ts").isNotNull())
+        .select("ts", "event_type", "value")
+    )
+    events.write.mode("overwrite").parquet(input_dir)
+    stream = spark.readStream.schema(
+        "ts timestamp, event_type string, value double"
+    ).parquet(input_dir)
+    half = (F.col("ts") >= F.lit("2024-01-16")).cast("int")
+    state = (
+        stream.select(
+            "event_type",
+            F.floor(F.col("value") * 100 + F.lit(0.5))
+            .cast("long")
+            .alias("v"),
+            half.alias("h"),
+        )
+        .groupBy("event_type", "v")
+        .agg(
+            F.sum(F.lit(1) - F.col("h")).alias("ca"),
+            F.sum("h").alias("cb"),
+        )
+    )
+    with _state_partitions(spark):
+        q = (
+            state.writeStream.outputMode("complete")
+            .format("memory")
+            .queryName(f"scd2_{run}")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    _cleanup(input_dir)
+    cells = spark.table(f"scd2_{run}").localCheckpoint(eager=True)
+    return cliffs_from_cells(cells)

@@ -79,6 +79,7 @@ def test_r9_rotation_invariants():
     # additions so the [187:207] window positions never shift; they
     # form the round-10 window front
     adds_r9 = backlog[207:]
+    assert adds_r9 == contract._R9_ADDITIONS
     assert len(set(backlog)) == len(backlog) == 207 + len(adds_r9)
     assert set(adds_r9) & set(names[:50]) == set()
     assert set(backlog) <= set(names)
