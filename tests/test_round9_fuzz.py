@@ -1,0 +1,354 @@
+"""Differential fuzz for the round-9 additions: Spark plans vs
+pure-Python replays on randomized tie-heavy inputs — a third
+implementation besides the DuckDB oracle, run BEFORE these queries
+reach a driver window (the round-8 precedent). Mood's median and
+Page's L replay as honest loops over raw observations (independent
+of the plans' cumulative-window / dense-grid devices); Theil's U,
+Chao1/Good–Turing, and the source-KL replay the integer-grid
+devices term-for-term, so equality is bitwise."""
+
+from __future__ import annotations
+
+import datetime as dt
+import itertools
+import math
+import os
+import tempfile
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+SET = settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+_FIRST = dt.datetime(2024, 1, 10, 12)
+_SECOND = dt.datetime(2024, 1, 20, 12)
+_seq = itertools.count()
+
+
+def _det_round(x, k=6):
+    return math.floor(x * 10**k + 0.5) / 10**k
+
+
+def _write_events(spark, rows):
+    """rows: (event_id, ts, event_type, value) tuples."""
+    df = spark.createDataFrame(
+        [(i, ts, 1, t, v, "{}") for i, ts, t, v in rows],
+        "event_id long, ts timestamp, user_id long,"
+        " event_type string, value double, props string",
+    )
+    sf = os.path.join(
+        tempfile.gettempdir(), f"r9fuzz_{os.getpid()}_{next(_seq)}"
+    )
+    df.write.mode("overwrite").parquet(os.path.join(sf, "events.parquet"))
+    return sf
+
+
+# --- Mood's median test (honest replay over raw observations) ----
+
+
+def _mood_replay(a, b):
+    na, nb = len(a), len(b)
+    if na == 0 or nb == 0:
+        return None
+    pooled = sorted(a + b)
+    n = na + nb
+    cum = 0
+    med = None
+    for v in sorted(set(pooled)):
+        cum += pooled.count(v)
+        if 2 * cum >= n:
+            med = v
+            break
+    above_a = sum(1 for x in a if x > med)
+    above_b = sum(1 for x in b if x > med)
+    c_, d_ = na - above_a, nb - above_b
+    if above_a + above_b == 0 or c_ + d_ == 0:
+        return None
+    diff = above_a * d_ - above_b * c_
+    chi2 = float(n * diff * diff) / float(
+        na * nb * (above_a + above_b) * (c_ + d_)
+    )
+    return med, above_a + above_b, _det_round(chi2)
+
+
+cents = st.lists(st.integers(min_value=-3, max_value=5), max_size=12)
+
+
+@given(a=cents, b=cents)
+@SET
+def test_fuzz_mood_median(spark, a, b):
+    from stream_processing_system_spark.plans.analytics import (
+        events_mood_median,
+    )
+
+    rows = [
+        (i, _FIRST, "t", c / 100.0) for i, c in enumerate(a)
+    ] + [
+        (1000 + i, _SECOND, "t", c / 100.0) for i, c in enumerate(b)
+    ]
+    if not rows:
+        return
+    sf = _write_events(spark, rows)
+    out = events_mood_median(spark, sf).collect()
+    want = _mood_replay(a, b)
+    if want is None:
+        assert out == []
+    else:
+        med, n_above, chi2 = want
+        assert out[0]["median_cents"] == med
+        assert out[0]["n_above"] == n_above
+        assert out[0]["mood_chi2"] == chi2
+        assert (out[0]["n_first"], out[0]["n_second"]) == (
+            len(a),
+            len(b),
+        )
+
+
+# --- Page's L trend test (honest rank replay per day block) ------
+
+
+def _page_replay(obs):
+    """obs: list of (day 0-3, part 0-3). Returns (n_days, L, z)."""
+    days = sorted({d for d, _ in obs})
+    if not days:
+        return None
+    l2 = 0
+    for d in days:
+        cells = [
+            sum(1 for dd, g in obs if dd == d and g == j)
+            for j in range(4)
+        ]
+        for j, c in enumerate(cells):
+            smaller = sum(1 for c2 in cells if c2 < c)
+            tied = sum(1 for c2 in cells if c2 == c)
+            r2 = 2 * smaller + tied + 1
+            l2 += (j + 1) * r2
+    n = len(days)
+    page_l = float(l2) / 2.0
+    z = (page_l - 25.0 * float(n)) / math.sqrt(25.0 * float(n) / 3.0)
+    return n, page_l, _det_round(z)
+
+
+daypart_obs = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=3),
+        st.integers(min_value=0, max_value=3),
+    ),
+    min_size=1,
+    max_size=30,
+)
+
+
+@given(obs=daypart_obs)
+@SET
+def test_fuzz_page_trend(spark, obs):
+    from stream_processing_system_spark.plans.analytics import (
+        events_page_trend,
+    )
+
+    rows = [
+        (i, dt.datetime(2024, 1, 10 + d, 6 * g, 30), "t", 1.0)
+        for i, (d, g) in enumerate(obs)
+    ]
+    sf = _write_events(spark, rows)
+    out = events_page_trend(spark, sf).collect()
+    n, page_l, z = _page_replay(obs)
+    assert out[0]["n_days"] == n
+    assert out[0]["page_l"] == page_l
+    assert out[0]["page_z"] == z
+
+
+# --- Theil's U (grid replay term-for-term) -----------------------
+
+
+def _theil_replay(obs):
+    """obs: list of (type, part). Returns (n, mi, u_rows, u_cols)."""
+    if not obs:
+        return None
+    cells = {}
+    for t, g in obs:
+        cells[(t, g)] = cells.get((t, g), 0) + 1
+    ct = {}
+    cg = {}
+    for (t, g), c in cells.items():
+        ct[t] = ct.get(t, 0) + c
+        cg[g] = cg.get(g, 0) + c
+    n = len(obs)
+    si = sum(
+        math.floor(
+            float(c)
+            * (
+                math.log(float(c))
+                + math.log(float(n))
+                - math.log(float(ct[t]))
+                - math.log(float(cg[g]))
+            )
+            * 1e9
+            + 0.5
+        )
+        for (t, g), c in cells.items()
+    )
+    sh_ct = sum(
+        math.floor(
+            float(m) * (math.log(float(n)) - math.log(float(m))) * 1e9
+            + 0.5
+        )
+        for m in ct.values()
+    )
+    sh_cg = sum(
+        math.floor(
+            float(m) * (math.log(float(n)) - math.log(float(m))) * 1e9
+            + 0.5
+        )
+        for m in cg.values()
+    )
+    mi = _det_round(float(si) / 1e9 / float(n))
+    u_rows = (
+        _det_round(float(si) / float(sh_ct)) if sh_ct > 0 else None
+    )
+    u_cols = (
+        _det_round(float(si) / float(sh_cg)) if sh_cg > 0 else None
+    )
+    return n, mi, u_rows, u_cols
+
+
+type_part_obs = st.lists(
+    st.tuples(
+        st.sampled_from(["x", "y", "z"]),
+        st.integers(min_value=0, max_value=3),
+    ),
+    min_size=1,
+    max_size=30,
+)
+
+
+@given(obs=type_part_obs)
+@SET
+def test_fuzz_theil_u(spark, obs):
+    from stream_processing_system_spark.plans.analytics import (
+        events_theil_u,
+    )
+
+    rows = [
+        (i, dt.datetime(2024, 1, 10, 6 * g, 15), t, 1.0)
+        for i, (t, g) in enumerate(obs)
+    ]
+    sf = _write_events(spark, rows)
+    out = events_theil_u(spark, sf).collect()
+    n, mi, u_rows, u_cols = _theil_replay(obs)
+    assert out[0]["n_events"] == n
+    assert out[0]["mi_nats"] == mi
+    assert out[0]["u_type_given_daypart"] == u_rows
+    assert out[0]["u_daypart_given_type"] == u_cols
+
+
+# --- Chao1 / Good-Turing (exact frequency-of-frequencies) --------
+
+
+texts = st.lists(
+    st.text(alphabet="ab c", min_size=0, max_size=30),
+    min_size=1,
+    max_size=6,
+)
+
+
+@given(docs=texts)
+@SET
+def test_fuzz_vocab_richness(spark, docs):
+    from stream_processing_system_spark.operators.text_analysis import (
+        vocab_richness,
+    )
+
+    df = spark.createDataFrame(
+        [("s", t) for t in docs], "source string, text string"
+    )
+    out = vocab_richness(df).collect()
+    counts = {}
+    for t in docs:
+        for w in t.split(" "):
+            if w:
+                counts[w] = counts.get(w, 0) + 1
+    if not counts:
+        assert out == []
+        return
+    n = sum(counts.values())
+    vocab = len(counts)
+    f1 = sum(1 for c in counts.values() if c == 1)
+    f2 = sum(1 for c in counts.values() if c == 2)
+    row = out[0]
+    assert (
+        row["n_tokens"],
+        row["vocab"],
+        row["f1_hapax"],
+        row["f2_doubletons"],
+    ) == (n, vocab, f1, f2)
+    assert row["chao1_vocab"] == _det_round(
+        float(vocab)
+        + float(f1) * (float(f1) - 1.0) / (2.0 * (float(f2) + 1.0))
+    )
+    assert row["gt_unseen_mass"] == _det_round(float(f1) / float(n))
+
+
+# --- Per-source unigram KL (grid replay term-for-term) -----------
+
+
+src_docs = st.lists(
+    st.tuples(
+        st.sampled_from(["s1", "s2"]),
+        st.text(alphabet="ab c", min_size=0, max_size=30),
+    ),
+    min_size=1,
+    max_size=8,
+)
+
+
+@given(docs=src_docs)
+@SET
+def test_fuzz_source_kl(spark, docs):
+    from stream_processing_system_spark.operators.text_analysis import (
+        source_unigram_kl,
+    )
+
+    df = spark.createDataFrame(
+        list(docs), "source string, text string"
+    )
+    out = {r["source"]: r for r in source_unigram_kl(df).collect()}
+    counts = {}
+    for s, t in docs:
+        for w in t.split(" "):
+            if w:
+                counts[(s, w)] = counts.get((s, w), 0) + 1
+    if not counts:
+        assert out == {}
+        return
+    ns = {}
+    ctok = {}
+    for (s, w), c in counts.items():
+        ns[s] = ns.get(s, 0) + c
+        ctok[w] = ctok.get(w, 0) + c
+    n = sum(ns.values())
+    for s in ns:
+        grid = sum(
+            math.floor(
+                float(c)
+                * (
+                    math.log(float(c))
+                    + math.log(float(n))
+                    - math.log(float(ns[s]))
+                    - math.log(float(ctok[w]))
+                )
+                * 1e9
+                + 0.5
+            )
+            for (ss, w), c in counts.items()
+            if ss == s
+        )
+        assert out[s]["n_tokens"] == ns[s]
+        assert out[s]["kl_vs_corpus"] == _det_round(
+            float(grid) / 1e9 / float(ns[s])
+        )
+    assert set(out) == set(ns)
