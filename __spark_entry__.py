@@ -2253,6 +2253,7 @@ _ROTATION_BACKLOG = [
     "events_theil_u",
     "doc_vocab_richness",
     "doc_source_kl",
+    "stream_mood_median",
 ]
 
 #: Names added AFTER the rotation closed (round 8 onward): they live
@@ -2294,6 +2295,7 @@ _R9_ADDITIONS = [
     "events_theil_u",
     "doc_vocab_richness",
     "doc_source_kl",
+    "stream_mood_median",
 ]
 
 #: Round-5 driver window (VERDICT r4 item 1, historical record): the
@@ -2881,6 +2883,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_theil_u": analytics.events_theil_u,
         "doc_vocab_richness": pipeline.doc_vocab_richness,
         "doc_source_kl": pipeline.doc_source_kl,
+        "stream_mood_median": streaming_parity.stream_mood_median,
     }
     head = {n: q[n] for n in _R9_DRIVER_WINDOW + _R9_WINDOW_FILL}
     assert len(head) == 50, f"driver window must be 50, got {len(head)}"
@@ -13564,6 +13567,7 @@ def oracle_sql() -> dict[str, str]:
         ORDER BY event_type
     """
     _o["stream_cliffs_delta"] = _o["events_cliffs_delta"]
+    _o["stream_mood_median"] = _o["events_mood_median"]
     _o["events_page_trend"] = """
         WITH counts AS (
             SELECT event_type,

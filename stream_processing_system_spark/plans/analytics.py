@@ -14092,7 +14092,15 @@ def events_mood_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     cumulative window for the median pick, a broadcast-sized median
     join back onto the CELL frame (never the rows), one per-type
     reduce."""
-    cells = halfsplit_value_cells(spark, sf_dir)
+    return mood_from_cells(halfsplit_value_cells(spark, sf_dir))
+
+
+def mood_from_cells(cells: DataFrame) -> DataFrame:
+    """Shared Mood's-median tail over an (event_type, v, ca, cb)
+    exact-centi count frame — factored (the `cvm_from_cells` /
+    `ks_from_cells` / `ad_from_cells` / `cliffs_from_cells`
+    precedent) so the streaming twin reduces the same drained
+    cell-monoid state."""
     d38 = "decimal(38,0)"
     w_cum = (
         Window.partitionBy("event_type")

@@ -1418,3 +1418,56 @@ def stream_cliffs_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     _cleanup(input_dir)
     cells = spark.table(f"scd2_{run}").localCheckpoint(eager=True)
     return cliffs_from_cells(cells)
+
+
+def stream_mood_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mood's median test with the (type, cent-value) half-split
+    counts maintained by an availableNow streaming aggregation —
+    the streaming twin of `analytics.events_mood_median` (same
+    oracle). FIVE statistic tails (KS / CvM / AD / Cliff's δ /
+    Mood's median χ²) now read the SAME mergeable cell-monoid
+    state: one streaming aggregation, five readouts — the
+    production-monitor deployment shape, and the reason the family
+    factored its tails out of the batch plans."""
+    from stream_processing_system_spark.plans.analytics import (
+        mood_from_cells,
+    )
+
+    input_dir, ckpt, run = _scratch("smm")
+    events = (
+        load_table(spark, sf_dir, "events")
+        .where(F.col("value").isNotNull() & F.col("ts").isNotNull())
+        .select("ts", "event_type", "value")
+    )
+    events.write.mode("overwrite").parquet(input_dir)
+    stream = spark.readStream.schema(
+        "ts timestamp, event_type string, value double"
+    ).parquet(input_dir)
+    half = (F.col("ts") >= F.lit("2024-01-16")).cast("int")
+    state = (
+        stream.select(
+            "event_type",
+            F.floor(F.col("value") * 100 + F.lit(0.5))
+            .cast("long")
+            .alias("v"),
+            half.alias("h"),
+        )
+        .groupBy("event_type", "v")
+        .agg(
+            F.sum(F.lit(1) - F.col("h")).alias("ca"),
+            F.sum("h").alias("cb"),
+        )
+    )
+    with _state_partitions(spark):
+        q = (
+            state.writeStream.outputMode("complete")
+            .format("memory")
+            .queryName(f"smm_{run}")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    _cleanup(input_dir)
+    cells = spark.table(f"smm_{run}").localCheckpoint(eager=True)
+    return mood_from_cells(cells)

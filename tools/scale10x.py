@@ -80,6 +80,11 @@ PERTURB_QUERIES = [
     "doc_charclass_audit",
     "doc_gopher_filter_report",
     "embedding_mmd_shift",
+    # round-9: token-shaped additions (clone tokens would just scale
+    # every count uniformly — perturbed replicas keep the
+    # frequency-of-frequencies honest)
+    "doc_vocab_richness",
+    "doc_source_kl",
 ]
 
 QUERIES = [
@@ -179,6 +184,13 @@ QUERIES = [
     "embedding_intrinsic_dim",
     "media_frame_entropy",
     "dedup_source_shift",
+    # round-9 capability wave (doc-shaped members run in perturbed
+    # mode — see PERTURB_QUERIES)
+    "events_mood_median",
+    "stream_cliffs_delta",
+    "stream_mood_median",
+    "events_page_trend",
+    "events_theil_u",
 ]
 
 
