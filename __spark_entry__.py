@@ -465,6 +465,68 @@ def _ivf_topk_oracle_sql(n_centroids: int = 16, n_probe: int = 4, k: int = 10) -
     """
 
 
+def _ivf_nprobe_sweep_oracle_sql(k: int = 10, probes=(1, 2, 4, 8)) -> str:
+    """IVF recall-vs-nprobe sweep in SQL: the SAME trained codebook
+    and assignment as `_ivf_topk_oracle_sql`, one candidate top-k
+    per probe budget, intersected with the brute-force cosine
+    top-k (6dp-rounded sims, id tie-breaks on both engines)."""
+    cte, final = _ivf_trained_cte()
+    per_probe = []
+    rows = []
+    for p in probes:
+        per_probe.append(f"""probe{p} AS (
+            SELECT c.cid AS centroid
+            FROM c, q
+            ORDER BY list_cosine_similarity(q.qvec::DOUBLE[],
+                                            c.cvec::DOUBLE[]) DESC,
+                     c.cid ASC
+            LIMIT {p}
+        ), cand{p} AS (
+            SELECT a.vec_id
+            FROM assigned a JOIN probe{p} pr
+              ON a.centroid = pr.centroid, q
+            ORDER BY ROUND(list_cosine_similarity(
+                         a.embedding::DOUBLE[], q.qvec::DOUBLE[]),
+                         6) DESC,
+                     a.vec_id ASC
+            LIMIT {k}
+        ), h{p} AS (
+            SELECT count(*) AS n FROM brute b
+            JOIN cand{p} USING (vec_id)
+        )""")
+        rows.append(
+            f"SELECT {p} AS n_probe, CAST(n AS BIGINT) AS n_hits,"
+            f" CAST(n AS DOUBLE) / {float(k)} AS recall FROM h{p}"
+        )
+    return f"""
+        WITH {cte},
+        c AS (SELECT cid, cvec FROM {final}),
+        assigned AS (
+            SELECT vec_id, embedding, cid AS centroid FROM (
+                SELECT e.vec_id, e.embedding, c.cid,
+                       row_number() OVER (
+                           PARTITION BY e.vec_id
+                           ORDER BY list_cosine_similarity(
+                               e.embedding::DOUBLE[], c.cvec::DOUBLE[]) DESC,
+                           c.cid ASC) AS rn
+                FROM embeddings e CROSS JOIN c
+            ) WHERE rn = 1
+        ), q AS (
+            SELECT embedding AS qvec FROM embeddings WHERE vec_id = 0
+        ), brute AS (
+            SELECT e.vec_id
+            FROM embeddings e, q
+            ORDER BY ROUND(list_cosine_similarity(
+                         e.embedding::DOUBLE[], q.qvec::DOUBLE[]),
+                         6) DESC,
+                     e.vec_id ASC
+            LIMIT {k}
+        ), {', '.join(per_probe)}
+        SELECT * FROM ({' UNION ALL '.join(rows)})
+        ORDER BY n_probe
+    """
+
+
 def _pq_topk_oracle_sql(
     n_sub: int = 8,
     n_codes: int = 16,
@@ -2254,6 +2316,7 @@ _ROTATION_BACKLOG = [
     "doc_vocab_richness",
     "doc_source_kl",
     "stream_mood_median",
+    "ivf_nprobe_sweep",
 ]
 
 #: Names added AFTER the rotation closed (round 8 onward): they live
@@ -2296,6 +2359,7 @@ _R9_ADDITIONS = [
     "doc_vocab_richness",
     "doc_source_kl",
     "stream_mood_median",
+    "ivf_nprobe_sweep",
 ]
 
 #: Round-5 driver window (VERDICT r4 item 1, historical record): the
@@ -2884,6 +2948,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_vocab_richness": pipeline.doc_vocab_richness,
         "doc_source_kl": pipeline.doc_source_kl,
         "stream_mood_median": streaming_parity.stream_mood_median,
+        "ivf_nprobe_sweep": pipeline.ivf_nprobe_sweep,
     }
     head = {n: q[n] for n in _R9_DRIVER_WINDOW + _R9_WINDOW_FILL}
     assert len(head) == 50, f"driver window must be 50, got {len(head)}"
@@ -13568,6 +13633,7 @@ def oracle_sql() -> dict[str, str]:
     """
     _o["stream_cliffs_delta"] = _o["events_cliffs_delta"]
     _o["stream_mood_median"] = _o["events_mood_median"]
+    _o["ivf_nprobe_sweep"] = _ivf_nprobe_sweep_oracle_sql()
     _o["events_page_trend"] = """
         WITH counts AS (
             SELECT event_type,

@@ -2211,3 +2211,49 @@ def doc_source_kl(spark: SparkSession, sf_dir: str) -> DataFrame:
     (`operators/text_analysis.source_unigram_kl` — 1e-9-grid ln
     terms, exact DECIMAL sums, one division per source)."""
     return text_analysis.source_unigram_kl(_docs(spark, sf_dir))
+
+
+def ivf_nprobe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@10 of the trained-IVF retrieval as a function of
+    `n_probe` ∈ {1, 2, 4, 8} against the brute-force cosine truth —
+    the tuning curve an ANN deployment actually reads (FAISS's
+    nprobe knob): it prices the recall/scan-fraction trade before
+    committing a partition layout. Completes the retrieval-quality
+    report family (`ann_recall_curve` sweeps k for the LSH path;
+    `dedup_banding_recall` does the analogue for MinHash banding;
+    this sweeps the probe budget for the IVF path).
+
+    Determinism: the same trained codebook as `ivf_topk` (Lloyd's
+    with det-rounded centroids, cross-engine reproducible), argmax
+    assignment and probe pick with (sim, −cid) tie-breaks, both
+    retrieval lists 6dp-rounded with id tie-breaks — the recall is
+    arithmetic on two deterministic ≤10-id sets, one double
+    division per row.
+
+    Shape: ONE centroid train + assignment scan shared by all four
+    probe budgets (the probe filter is a broadcast semi-join on the
+    centroid id, so Catalyst reuses the assigned frame), plus a
+    brute top-10 scan; output is 4 rows."""
+    embs = _embs(spark, sf_dir)
+    q = _query_vec(spark, sf_dir)
+    brute = similarity.cosine_topk(embs, q, k=10).select("vec_id")
+    parts = []
+    for p in (1, 2, 4, 8):
+        ids = similarity.ivf_topk(embs, q, k=10, n_probe=p).select(
+            "vec_id"
+        )
+        parts.append(
+            brute.join(ids, "vec_id")
+            .agg(F.count(F.lit(1)).alias("n_hits"))
+            .select(
+                F.lit(p).cast("long").alias("n_probe"),
+                F.col("n_hits").cast("long").alias("n_hits"),
+                (
+                    F.col("n_hits").cast("double") / F.lit(10.0)
+                ).alias("recall"),
+            )
+        )
+    out = parts[0]
+    for frame in parts[1:]:
+        out = out.unionByName(frame)
+    return out.orderBy("n_probe")

@@ -85,6 +85,8 @@ PERTURB_QUERIES = [
     # frequency-of-frequencies honest)
     "doc_vocab_richness",
     "doc_source_kl",
+    # embedding-shaped: rotated replicas, no exact clones
+    "ivf_nprobe_sweep",
 ]
 
 QUERIES = [
