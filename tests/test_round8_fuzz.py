@@ -287,15 +287,17 @@ def test_fuzz_brown_forsythe(spark, data):
         if k <= 1 or n - k <= 0:
             assert out == []
             return
+        # mean-grid device (round-9 fix): quantize the group MEAN
+        # deviation onto the 1e-6 grid, then t = ng * m6^2 exactly
         tsum = sum(
-            math.floor(
-                float(sum(d)) ** 2 / float(len(d)) * 1e6 + 0.5
-            )
+            len(d)
+            * math.floor(float(sum(d)) / float(len(d)) * 1e6 + 0.5)
+            ** 2
             for d in devs.values()
         )
         s = sum(sum(d) for d in devs.values())
         q = sum(x * x for d in devs.values() for x in d)
-        between_raw = float(tsum) / 1e6
+        between_raw = float(tsum) / 1e12
         ssb = between_raw - float(s * s) / float(n)
         ssw = float(q) - between_raw
         if not ssw > 0:
