@@ -2317,6 +2317,7 @@ _ROTATION_BACKLOG = [
     "doc_source_kl",
     "stream_mood_median",
     "ivf_nprobe_sweep",
+    "events_ansari_bradley",
 ]
 
 #: Names added AFTER the rotation closed (round 8 onward): they live
@@ -2360,6 +2361,7 @@ _R9_ADDITIONS = [
     "doc_source_kl",
     "stream_mood_median",
     "ivf_nprobe_sweep",
+    "events_ansari_bradley",
 ]
 
 #: Round-5 driver window (VERDICT r4 item 1, historical record): the
@@ -2949,6 +2951,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_source_kl": pipeline.doc_source_kl,
         "stream_mood_median": streaming_parity.stream_mood_median,
         "ivf_nprobe_sweep": pipeline.ivf_nprobe_sweep,
+        "events_ansari_bradley": analytics.events_ansari_bradley,
     }
     head = {n: q[n] for n in _R9_DRIVER_WINDOW + _R9_WINDOW_FILL}
     assert len(head) == 50, f"driver window must be 50, got {len(head)}"
@@ -13634,6 +13637,84 @@ def oracle_sql() -> dict[str, str]:
     _o["stream_cliffs_delta"] = _o["events_cliffs_delta"]
     _o["stream_mood_median"] = _o["events_mood_median"]
     _o["ivf_nprobe_sweep"] = _ivf_nprobe_sweep_oracle_sql()
+    _o["events_ansari_bradley"] = """
+        WITH cells AS (
+            SELECT event_type,
+                   CAST(floor(value * 100 + 0.5) AS BIGINT) AS v,
+                   SUM(CASE WHEN ts >= TIMESTAMP '2024-01-16'
+                            THEN 0 ELSE 1 END) AS ca,
+                   SUM(CASE WHEN ts >= TIMESTAMP '2024-01-16'
+                            THEN 1 ELSE 0 END) AS cb
+            FROM events WHERE value IS NOT NULL AND ts IS NOT NULL
+            GROUP BY 1, 2
+        ), cum AS (
+            SELECT event_type, ca, cb, ca + cb AS t,
+                   SUM(ca + cb) OVER (PARTITION BY event_type ORDER BY v
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS j,
+                   SUM(ca) OVER (PARTITION BY event_type) AS na,
+                   SUM(cb) OVER (PARTITION BY event_type) AS nb
+            FROM cells
+        ), pos AS (
+            SELECT event_type, ca, cb, t, j, j - t + 1 AS i,
+                   na, nb, na + nb AS n,
+                   (na + nb + 1) // 2 AS m
+            FROM cum
+        ), scored AS (
+            SELECT event_type, na, nb, n,
+                   CASE WHEN least(j, m) >= i
+                        THEN (i + least(j, m))
+                             * (least(j, m) - i + 1) // 2
+                        ELSE 0 END
+                   + CASE WHEN j >= greatest(i, m + 1)
+                        THEN ((n + 1 - greatest(i, m + 1))
+                              + (n + 1 - j))
+                             * (j - greatest(i, m + 1) + 1) // 2
+                        ELSE 0 END AS s,
+                   ca, t
+            FROM pos
+        ), agg AS (
+            SELECT event_type, MAX(na) AS na, MAX(nb) AS nb,
+                   MAX(n) AS n,
+                   SUM(CAST(floor(CAST(ca AS DOUBLE)
+                                  * CAST(s AS DOUBLE)
+                                  / CAST(t AS DOUBLE)
+                                  * 1000000.0 + 0.5) AS BIGINT))
+                       AS sab
+            FROM scored GROUP BY 1
+        ), stat AS (
+            SELECT event_type, na, nb, n,
+                   CAST(sab AS DOUBLE) / 1000000.0 AS ab,
+                   CASE WHEN n % 2 = 0
+                        THEN CAST(na AS DOUBLE)
+                             * (CAST(n AS DOUBLE) + 2.0) / 4.0
+                        ELSE CAST(na AS DOUBLE)
+                             * (CAST(n AS DOUBLE) + 1.0)
+                             * (CAST(n AS DOUBLE) + 1.0)
+                             / (4.0 * CAST(n AS DOUBLE)) END AS mu,
+                   CASE WHEN n % 2 = 0
+                        THEN CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)
+                             * (CAST(n AS DOUBLE) + 2.0)
+                             * (CAST(n AS DOUBLE) - 2.0)
+                             / (48.0 * (CAST(n AS DOUBLE) - 1.0))
+                        ELSE CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)
+                             * (CAST(n AS DOUBLE) + 1.0)
+                             * (3.0 + CAST(n AS DOUBLE)
+                                      * CAST(n AS DOUBLE))
+                             / (48.0 * CAST(n AS DOUBLE)
+                                     * CAST(n AS DOUBLE)) END AS var
+            FROM agg
+        )
+        SELECT event_type,
+               CAST(na AS BIGINT) AS n_first,
+               CAST(nb AS BIGINT) AS n_second,
+               floor(ab * 1000000.0 + 0.5) / 1000000.0 AS ab_stat,
+               floor((ab - mu) / sqrt(var)
+                     * 1000000.0 + 0.5) / 1000000.0 AS ab_z
+        FROM stat
+        WHERE na > 0 AND nb > 0 AND n > 2
+        ORDER BY event_type
+    """
     _o["events_page_trend"] = """
         WITH counts AS (
             SELECT event_type,

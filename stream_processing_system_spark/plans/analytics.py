@@ -14381,3 +14381,155 @@ def events_theil_u(spark: SparkSession, sf_dir: str) -> DataFrame:
         det_round(u_rows, 6).alias("u_type_given_daypart"),
         det_round(u_cols, 6).alias("u_daypart_given_type"),
     )
+
+
+def events_ansari_bradley(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ansari–Bradley two-sample SCALE test per event type between
+    the first- and second-half value distributions — the rank-based
+    member the drift family still lacked: Mann–Whitney/Mood read
+    LOCATION, KS/CvM/AD read the whole shape, Cliff's δ reads the
+    effect size, Brown–Forsythe reads scale but leans on means;
+    Ansari–Bradley scores each pooled observation by its distance
+    from the OUTSIDE in (score = min(rank, n+1−rank), small at the
+    extremes, large in the middle), so a variance widening drags the
+    first-half score sum down even when every location statistic is
+    silent.
+
+    Exactness: pooled midrank tie groups come from the shared
+    `halfsplit_value_cells` frame — a tie group occupies positions
+    [i, j] (exact cumulative integers), and Σ_{k=i..j} min(k, n+1−k)
+    has a closed form of two arithmetic series split at
+    m = (n+1) div 2, kept in exact LONG arithmetic (loud raise past
+    n ≈ 3e9 per type, where the series products would cross BIGINT
+    on both engines); the per-cell A-mass ca·S/t is ONE fixed-order
+    double chain floored onto the 1e-6 grid before the cross-cell
+    sum (the chi2-drift device — S/t is genuinely rational with
+    denominator t, e.g. thirds, so the grid is the cross-engine
+    device, a pinned convention like the Page ties). The z-score
+    uses the classical no-tie null moments (n even: μ = na(n+2)/4,
+    σ² = na·nb·(n+2)(n−2)/(48(n−1)); n odd: μ = na(n+1)²/(4n),
+    σ² = na·nb·(n+1)(3+n²)/(48n²)) — with midrank ties this is OUR
+    pinned convention, mirrored textually.
+
+    Shape: the KS plan's — one bounded cell aggregate, cumulative
+    windows over the cent domain, one per-type reduce."""
+    cells = halfsplit_value_cells(spark, sf_dir)
+    d38 = "decimal(38,0)"
+    w_cum = (
+        Window.partitionBy("event_type")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    w_tot = Window.partitionBy("event_type")
+    t = F.col("ca") + F.col("cb")
+    cum = cells.select(
+        "event_type",
+        "ca",
+        "cb",
+        t.alias("t"),
+        F.sum(t).over(w_cum).alias("j"),
+        F.sum("ca").over(w_tot).alias("na"),
+        F.sum("cb").over(w_tot).alias("nb"),
+    ).select(
+        "event_type",
+        "ca",
+        "cb",
+        "t",
+        "j",
+        (F.col("j") - F.col("t") + F.lit(1)).alias("i"),
+        "na",
+        "nb",
+        (F.col("na") + F.col("nb")).alias("n"),
+    )
+    _ab_raise = F.raise_error(
+        F.lit(
+            "events_ansari_bradley: pooled n beyond the exact LONG "
+            "series range (~3e9 per type); re-derive the series in "
+            "DECIMAL"
+        )
+    ).cast("long")
+    n_ok = F.when(F.col("n") > F.lit(3_000_000_000), _ab_raise).otherwise(
+        F.col("n")
+    )
+    # all series arithmetic stays in LONGs: shiftright-by-1 halves
+    # the (always even) products exactly — `/` on longs is DOUBLE
+    # division in Spark and would silently lose exactness past 2^53
+    m = F.shiftright(n_ok + F.lit(1), 1)
+    lo_hi = F.least(F.col("j"), m)
+    hi_lo = F.greatest(F.col("i"), m + F.lit(1))
+    sum_low = F.when(
+        lo_hi >= F.col("i"),
+        F.shiftright(
+            (F.col("i") + lo_hi) * (lo_hi - F.col("i") + F.lit(1)), 1
+        ),
+    ).otherwise(F.lit(0))
+    sum_high = F.when(
+        F.col("j") >= hi_lo,
+        F.shiftright(
+            (
+                (F.col("n") + F.lit(1) - hi_lo)
+                + (F.col("n") + F.lit(1) - F.col("j"))
+            )
+            * (F.col("j") - hi_lo + F.lit(1)),
+            1,
+        ),
+    ).otherwise(F.lit(0))
+    s = sum_low + sum_high
+    term = (
+        F.col("ca").cast("double")
+        * s.cast("double")
+        / F.col("t").cast("double")
+    )
+    scaled = term * F.lit(1e6)
+    grid = F.floor(scaled + F.lit(0.5)).cast("long")
+    agg = cum.groupBy("event_type").agg(
+        F.max("na").alias("na"),
+        F.max("nb").alias("nb"),
+        F.max("n").alias("n"),
+        F.sum(grid.cast(d38)).alias("sab"),
+        F.sum(
+            F.when(scaled > F.lit(9.2e18), F.lit(1)).otherwise(F.lit(0))
+        ).alias("n_ovf"),
+    )
+    _g_raise = F.raise_error(
+        F.lit(
+            "events_ansari_bradley: 1e-6-grid cell term overflowed "
+            "BIGINT; re-grid via a coarser quantum"
+        )
+    ).cast("double")
+    ab = F.when(F.col("n_ovf") > 0, _g_raise).otherwise(
+        F.col("sab").cast("double") / F.lit(1e6)
+    )
+    nad = F.col("na").cast("double")
+    nbd = F.col("nb").cast("double")
+    nd = F.col("n").cast("double")
+    mu = F.when(
+        F.col("n") % 2 == 0, nad * (nd + F.lit(2.0)) / F.lit(4.0)
+    ).otherwise(
+        nad * (nd + F.lit(1.0)) * (nd + F.lit(1.0)) / (F.lit(4.0) * nd)
+    )
+    var = F.when(
+        F.col("n") % 2 == 0,
+        nad
+        * nbd
+        * (nd + F.lit(2.0))
+        * (nd - F.lit(2.0))
+        / (F.lit(48.0) * (nd - F.lit(1.0))),
+    ).otherwise(
+        nad
+        * nbd
+        * (nd + F.lit(1.0))
+        * (F.lit(3.0) + nd * nd)
+        / (F.lit(48.0) * nd * nd)
+    )
+    return (
+        agg.where((F.col("na") > 0) & (F.col("nb") > 0) & (F.col("n") > 2))
+        .select(
+            "event_type",
+            F.col("na").cast("long").alias("n_first"),
+            F.col("nb").cast("long").alias("n_second"),
+            det_round(ab, 6).alias("ab_stat"),
+            det_round((ab - mu) / F.sqrt(var), 6).alias("ab_z"),
+        )
+        .orderBy("event_type")
+    )

@@ -352,3 +352,79 @@ def test_fuzz_source_kl(spark, docs):
             float(grid) / 1e9 / float(ns[s])
         )
     assert set(out) == set(ns)
+
+
+# --- Ansari-Bradley (honest positional replay, no closed forms) --
+
+
+def _ab_replay(a, b):
+    na, nb = len(a), len(b)
+    n = na + nb
+    if na == 0 or nb == 0 or n <= 2:
+        return None
+    pooled = sorted(a + b)
+    sab = 0
+    k = 1
+    for v in sorted(set(pooled)):
+        t = pooled.count(v)
+        ss = sum(min(kk, n + 1 - kk) for kk in range(k, k + t))
+        ca = a.count(v)
+        if ca:
+            sab += math.floor(
+                float(ca) * float(ss) / float(t) * 1e6 + 0.5
+            )
+        k += t
+    ab = float(sab) / 1e6
+    if n % 2 == 0:
+        mu = float(na) * (float(n) + 2.0) / 4.0
+        var = (
+            float(na)
+            * float(nb)
+            * (float(n) + 2.0)
+            * (float(n) - 2.0)
+            / (48.0 * (float(n) - 1.0))
+        )
+    else:
+        mu = (
+            float(na)
+            * (float(n) + 1.0)
+            * (float(n) + 1.0)
+            / (4.0 * float(n))
+        )
+        var = (
+            float(na)
+            * float(nb)
+            * (float(n) + 1.0)
+            * (3.0 + float(n) * float(n))
+            / (48.0 * float(n) * float(n))
+        )
+    return _det_round(ab), _det_round((ab - mu) / math.sqrt(var))
+
+
+@given(a=cents, b=cents)
+@SET
+def test_fuzz_ansari_bradley(spark, a, b):
+    from stream_processing_system_spark.plans.analytics import (
+        events_ansari_bradley,
+    )
+
+    rows = [
+        (i, _FIRST, "t", c / 100.0) for i, c in enumerate(a)
+    ] + [
+        (1000 + i, _SECOND, "t", c / 100.0) for i, c in enumerate(b)
+    ]
+    if not rows:
+        return
+    sf = _write_events(spark, rows)
+    out = events_ansari_bradley(spark, sf).collect()
+    want = _ab_replay(a, b)
+    if want is None:
+        assert out == []
+    else:
+        ab, z = want
+        assert out[0]["ab_stat"] == ab
+        assert out[0]["ab_z"] == z
+        assert (out[0]["n_first"], out[0]["n_second"]) == (
+            len(a),
+            len(b),
+        )
