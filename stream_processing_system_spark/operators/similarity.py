@@ -1659,11 +1659,15 @@ def knn_label_eval(
     to training.
 
     Exactness: components are quantized once onto the 1e-6 grid, so
-    every pairwise dot is an exact DECIMAL(38,0) sum of integer
-    products — ranking needs no float comparisons at all
-    (dot DESC, neighbor id ASC is a total order on exact integers);
-    majority voting and accuracy are integer counting with one final
-    division.
+    every pairwise dot is an exact INT64 sum of integer products —
+    ranking needs no float comparisons at all (dot DESC, neighbor id
+    ASC is a total order on exact integers); majority voting and
+    accuracy are integer counting with one final division. Int64 is
+    the exact lane here for the same reason as embedding_dim_stats:
+    |dot| ≤ dim·(|x|·1e6+0.5)² ≤ dim·1.1e12 at unit scale (test
+    corpus |x| < 0.6), in-range to dim ~10⁶; the decimal(38,0) lane
+    this replaced cost ~3× the scan in BigDecimal allocations for
+    headroom no embedding table needs.
 
     Scale: the candidate side is the full corpus but the query side
     is capped at max_probes rows (a TakeOrdered, never a full
@@ -1671,7 +1675,6 @@ def knn_label_eval(
     corpus size by construction (a proportional sample would make
     the brute-force eval quadratic); the LSH/IVF family provides the
     sublinear path when even one corpus pass is too much."""
-    d38 = "decimal(38,0)"
     base = df.select(
         F.col(id_col).alias("vid"),
         F.col(label_col).alias("lbl"),
@@ -1696,9 +1699,9 @@ def knn_label_eval(
         F.zip_with(
             F.col("pq"),
             F.col("q"),
-            lambda a, b: (a * b).cast(d38),
+            lambda a, b: a * b,
         ),
-        F.lit(0).cast(d38),
+        F.lit(0).cast("long"),
         lambda acc, v: acc + v,
     )
     scored = pairs.select(
@@ -1753,10 +1756,15 @@ def twonn_intrinsic_dim(
     and LSH degrade with intrinsic, not ambient, dimension).
 
     Exactness: components quantized once onto the 1e-6 grid, so
-    every pairwise SQUARED distance is an exact DECIMAL(38,0) sum of
-    integer squares (ranking is a total order on exact integers,
-    ties → smallest neighbor id); per-probe ln(d₂/d₁) is floored
-    once onto the 1e-9 grid; one double chain at the end.
+    every pairwise SQUARED distance is an exact INT64 sum of integer
+    squares (ranking is a total order on exact integers, ties →
+    smallest neighbor id); per-probe ln(d₂/d₁) is floored once onto
+    the 1e-9 grid; one double chain at the end. Int64 is exact here
+    (the embedding_dim_stats convention): d² ≤ dim·4·(|x|·1e6+0.5)²
+    ≤ dim·4.4e12 at unit scale — in-range to dim ~10⁶, and < 2⁵³ to
+    dim ~2·10³ so the double casts below are exact too; the
+    decimal(38,0) lane this replaced spent ~3× the scan in
+    BigDecimal allocations (5.9 s → see OPTIMIZATION_r09.md).
     Zero-distance PAIRS are dropped (the `d2 > 0` filter), so a
     probe whose nearest neighbor is an exact duplicate still ranks
     its nearest NON-duplicate neighbors — a deliberate convention
@@ -1766,7 +1774,6 @@ def twonn_intrinsic_dim(
     Scale: the `knn_label_eval` posture — probe side capped at
     `max_probes` (a TakeOrdered, never a sample), so the distance
     join is O(max_probes·|corpus|), LINEAR in corpus size."""
-    d38 = "decimal(38,0)"
     base = df.select(
         F.col(id_col).alias("vid"),
         F.transform(
@@ -1786,9 +1793,9 @@ def twonn_intrinsic_dim(
         F.zip_with(
             F.col("pq"),
             F.col("q"),
-            lambda a, b: ((a - b) * (a - b)).cast(d38),
+            lambda a, b: (a - b) * (a - b),
         ),
-        F.lit(0).cast(d38),
+        F.lit(0).cast("long"),
         lambda acc, v: acc + v,
     )
     scored = pairs.select("pid", "vid", dist2.alias("d2")).where(
@@ -1814,7 +1821,7 @@ def twonn_intrinsic_dim(
     ).cast("long")
     agg = per_probe.select(lr.alias("lr")).agg(
         F.count(F.lit(1)).alias("n_probes"),
-        F.sum(F.col("lr").cast(d38)).alias("sl"),
+        F.sum(F.col("lr").cast("decimal(38,0)")).alias("sl"),
     )
     dim = (
         F.lit(2.0)
