@@ -10482,27 +10482,71 @@ def als_ranking_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     u, v = als_factorize(train, "cust", "part", "r", rounds=2, reg=0.1)
     ut = u.join(test.select("cust", F.col("part").alias("_heldout")), "cust")
+    # The held-out item's own score needs NO fan-out: it is an
+    # equi-join of the test users against the item factors on the
+    # held-out part id (same u·v doubles the fan-out would produce;
+    # (cust, _heldout) is never in train by construction, so the
+    # anti-join the fan-out path applied is vacuous here). Formerly
+    # this was `cand.where(part == _heldout)`, which re-ran the
+    # |test|×|items| BroadcastNestedLoopJoin a second time — the
+    # single most expensive subtree in the query (guide §1.2: don't
+    # compute things you throw away).
+    tgt = ut.join(
+        F.broadcast(v), ut["_heldout"] == v["part"]
+    ).select(
+        "cust",
+        (F.col("u1") * F.col("v1") + F.col("u2") * F.col("v2")).alias("_st"),
+        F.col("_heldout").alias("_pt"),
+    )
     # item factors are K items x 3 columns — broadcast them so the
     # candidate scoring is a BroadcastNestedLoopJoin fanning out on
-    # the (sampled) test-user side, never a CartesianProduct shuffle
+    # the (sampled) test-user side, never a CartesianProduct shuffle.
+    # With tgt computed above, this fan-out is evaluated exactly once.
     scored = ut.crossJoin(F.broadcast(v)).select(
         "cust",
         "part",
-        "_heldout",
         (F.col("u1") * F.col("v1") + F.col("u2") * F.col("v2")).alias("s"),
     )
-    cand = scored.join(train.select("cust", "part"), ["cust", "part"], "left_anti")
-    tgt = cand.where(F.col("part") == F.col("_heldout")).select(
-        "cust", F.col("s").alias("_st"), F.col("_heldout").alias("_pt")
+    # Count-of-better over the candidate set (scored minus train
+    # pairs) WITHOUT ever shuffling the |test|×|items| fan-out:
+    # count(cand ∧ better) = count(scored ∧ better) −
+    # count(scored∩train ∧ better). The first term joins the fan-out
+    # against the ≤|test|-row tgt by BROADCAST (map-side filter +
+    # partial aggregate — the only exchange carries ≤|test| count
+    # rows); the second term re-derives the train pairs' scores from
+    # `train` itself via equi-joins (|train| rows, no fan-out), so
+    # the former SortMergeJoin LeftAnti that shuffled the whole
+    # fan-out by (cust, part) is gone at every scale (guide §2.3/§2.4).
+    better_cond = (F.col("s") > F.col("_st")) | (
+        (F.col("s") == F.col("_st")) & (F.col("part") < F.col("_pt"))
     )
-    better = (
-        cand.join(tgt, "cust")
-        .where(
-            (F.col("s") > F.col("_st"))
-            | ((F.col("s") == F.col("_st")) & (F.col("part") < F.col("_pt")))
-        )
+    nb_all = (
+        scored.join(F.broadcast(tgt), "cust")
+        .where(better_cond)
         .groupBy("cust")
-        .agg(F.count(F.lit(1)).alias("_nb"))
+        .agg(F.count(F.lit(1)).alias("_na"))
+    )
+    train_scored = (
+        train.select("cust", "part")
+        .join(F.broadcast(tgt), "cust")
+        .join(u, "cust")
+        .join(v, "part")
+        .select(
+            "cust",
+            "part",
+            (F.col("u1") * F.col("v1") + F.col("u2") * F.col("v2")).alias("s"),
+            "_st",
+            "_pt",
+        )
+    )
+    nb_train = (
+        train_scored.where(better_cond)
+        .groupBy("cust")
+        .agg(F.count(F.lit(1)).alias("_nt"))
+    )
+    better = nb_all.join(F.broadcast(nb_train), "cust", "left").select(
+        "cust",
+        (F.col("_na") - F.coalesce(F.col("_nt"), F.lit(0))).alias("_nb"),
     )
     rk = tgt.join(better, "cust", "left").select(
         "cust", (F.lit(1) + F.coalesce(F.col("_nb"), F.lit(0))).alias("rank")
