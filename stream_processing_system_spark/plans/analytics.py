@@ -10231,26 +10231,31 @@ def _chain_start_values(transp: DataFrame, variants) -> tuple[DataFrame, dict]:
     column holding its START value on the 1e9 grid}.
 
     The chain is CONSTANT-size (|channels|+1 srcs x |channels|+2
-    dsts), so the value iteration runs as UNROLLED column
-    expressions over ONE pivoted probability row — zero per-round
-    Spark jobs. (A first, loop-based implementation spent ~2 s per
-    round on tiny-frame shuffle + checkpoint overhead — 20.3 s at
-    sf0.1; this form computes the IDENTICAL grid integers: a
-    missing transition pivots to p = 0.0, whose gridded term
-    floor(0.5) = 0 contributes exactly what an absent join row
-    did, so the unrolled-CTE oracles are unchanged.) Rounds are
-    built as selectExpr STRINGS, one py4j call per round: the same
-    expressions assembled as Column objects cost ~7,500 py4j
-    round-trips per round (~2.2 s each, measured — the dominant
-    cost, not Spark execution). localCheckpoint cuts lineage per
-    round: without it Catalyst collapses the projections into one
-    expression tree growing ~6x per round (36 s of analysis + a
-    codegen overflow, measured). Each checkpoint is a single-row
-    job (~0.2 s)."""
+    dsts = 30 cells regardless of data size), so the ONLY Spark work
+    is the pivot aggregate that produces those 30 probabilities; the
+    value iteration itself runs on the DRIVER over that single
+    collected row — the same constant-size-collect contract as the
+    k-means/PQ trainers (K×dim rounded floats, never data). Earlier
+    forms ran the rounds as unrolled selectExpr strings over a 1-row
+    frame with a localCheckpoint per round to stop Catalyst
+    collapsing the projections into a ~6x/round expression tree
+    (36 s of analysis + a codegen overflow, measured) — that paid
+    MARKOV_ROUNDS single-row checkpoint jobs (~0.2 s each) plus the
+    py4j/plan overhead per round; this form pays one 1-row collect
+    and zero per-round jobs.
+
+    Bit-exactness: each Python term
+    `floor(p * (q / 1e9) * 1e9 + 0.5)` evaluates the SAME IEEE-754
+    double product chain, in the same left-assoc order, as the SQL
+    `floor(_p_i_j * (CAST(q AS BIGINT->DOUBLE) / 1e9) * 1e9 + 0.5)`
+    both Spark and the unrolled-CTE oracle executed (CPython floats
+    ARE IEEE doubles; int sums are exact), so the returned grid
+    integers are identical to the frame-based iteration's."""
+    import math
+
     srcs = ["START", *MARKOV_CHANNELS]
     dsts = [*MARKOV_CHANNELS, "CONV", "DROP"]
     names = [name for name, _ in variants]
-    p_cols = [f"_p_{i}_{j}" for i in range(len(srcs)) for j in range(len(dsts))]
     prow = transp.groupBy().agg(
         *[
             F.coalesce(
@@ -10269,32 +10274,32 @@ def _chain_start_values(transp: DataFrame, variants) -> tuple[DataFrame, dict]:
     def qn(vi: int, s: str) -> str:
         return f"_q_{vi}_{srcs.index(s)}"
 
-    cur = prow.selectExpr(
-        "*",
-        *[
-            f"CAST(0 AS BIGINT) AS {qn(vi, s)}"
-            for vi in range(len(names))
-            for s in srcs
-        ],
-    ).localCheckpoint()
+    row = prow.collect()[0]
+    p = [
+        [float(row[f"_p_{i}_{j}"]) for j in range(len(dsts))]
+        for i in range(len(srcs))
+    ]
+    q = [[0] * len(srcs) for _ in names]
     for _ in range(MARKOV_ROUNDS):
-        new_q = []
+        nq = [[0] * len(srcs) for _ in names]
         for vi, (_name, allowed) in enumerate(variants):
-            for i, s in enumerate(srcs):
-                terms = []
+            for i in range(len(srcs)):
+                tot = 0
                 for j, t in enumerate(dsts):
                     if t == "CONV":
-                        uq = "1000000000"
+                        u = 1.0
                     elif t == "DROP" or t not in allowed:
-                        uq = "0"
+                        u = 0.0
                     else:
-                        uq = qn(vi, t)
-                    terms.append(
-                        f"floor(_p_{i}_{j} * (CAST({uq} AS DOUBLE) / 1e9)"
-                        " * 1e9 + 0.5)"
-                    )
-                new_q.append(" + ".join(terms) + f" AS {qn(vi, s)}")
-        cur = cur.selectExpr(*p_cols, *new_q).localCheckpoint()
+                        u = q[vi][srcs.index(t)] / 1e9
+                    tot += int(math.floor(p[i][j] * u * 1e9 + 0.5))
+                nq[vi][i] = tot
+        q = nq
+    cols = [qn(vi, s) for vi in range(len(names)) for s in srcs]
+    vals = tuple(q[vi][i] for vi in range(len(names)) for i in range(len(srcs)))
+    cur = transp.sparkSession.createDataFrame(
+        [vals], ", ".join(f"{c} bigint" for c in cols)
+    )
     return cur, {name: qn(vi, "START") for vi, name in enumerate(names)}
 
 
