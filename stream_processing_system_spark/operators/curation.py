@@ -202,8 +202,15 @@ def bm25_search(
     stats = base.agg(
         F.count("*").alias("_n"), F.avg("_dl").alias("_avgdl")
     )
+    # explode_OUTER: inner explode lets InferFiltersFromGenerate push
+    # a size(_hits) > 0 predicate into the scan, re-running the full
+    # tokenize+filter chain once more per row; outer adds one
+    # null-_t row per term-free doc instead, and those rows die at
+    # the inner equi-join on _t below (null never matches; the null
+    # group dfreq gains is dropped the same way) — result-identical,
+    # one tokenize pass per scan.
     tf = (
-        base.select(id_col, "_dl", F.explode("_hits").alias("_t"))
+        base.select(id_col, "_dl", F.explode_outer("_hits").alias("_t"))
         .groupBy(id_col, "_dl", "_t")
         .agg(F.count("*").alias("_tf"))
     )

@@ -64,8 +64,17 @@ def repetition_stats(
         .where(F.size("_l") >= 2)
         .select(F.col(id_col), n_adj.cast("long").alias("_adj"), grams.alias("_g"))
     )
+    # explode_OUTER, not explode: identical here (the size >= 2
+    # filter above guarantees every _g has >= 1 non-null element), but
+    # inner explode lets InferFiltersFromGenerate push a size(_g) > 0
+    # predicate below the projection, inlining the whole
+    # filter(split(text)) chain inside the gram lambda — an O(tokens²)
+    # re-tokenization per row at the scan (measured 5.4 s -> 0.6 s at
+    # sf0.1 for this stage alone; guide §7.2 "duplicated subtrees").
     tf = (
-        base.select(F.col(id_col), F.col("_adj"), F.explode("_g").alias("gram"))
+        base.select(
+            F.col(id_col), F.col("_adj"), F.explode_outer("_g").alias("gram")
+        )
         .groupBy(id_col, "gram")
         .agg(F.count(F.lit(1)).alias("c"), F.first("_adj").alias("_adj"))
     )
