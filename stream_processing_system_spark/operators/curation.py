@@ -43,15 +43,26 @@ def _toks(text_col):
 def ngram_set(text_col, n: int):
     """Distinct word n-grams of a text column as array<string>.
     Empty array when the doc has fewer than n tokens (guards the
-    descending-sequence pitfall of sequence(1, size-n+1))."""
+    descending-sequence pitfall of sequence(1, size-n+1)).
+
+    The token array is LET-BOUND via a 1-element transform (guide
+    §1.2 "per-task work"): referencing the computed `toks` expression
+    directly inside the per-gram lambda would re-run split+filter for
+    EVERY gram (O(tokens²) per doc — measured 4.2x on the gram-build
+    stage at sf0.1); binding it to a lambda variable evaluates the
+    tokenization once per row. Same values, same plan shape."""
     toks = _toks(text_col)
-    grams = F.transform(
-        F.sequence(F.lit(1), F.size(toks) - (n - 1)),
-        lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
-    )
-    return F.when(F.size(toks) >= n, F.array_distinct(grams)).otherwise(
-        F.array().cast("array<string>")
-    )
+
+    def _body(t):
+        grams = F.transform(
+            F.sequence(F.lit(1), F.size(t) - (n - 1)),
+            lambda i: F.concat_ws(" ", F.slice(t, i, n)),
+        )
+        return F.when(F.size(t) >= n, F.array_distinct(grams)).otherwise(
+            F.array().cast("array<string>")
+        )
+
+    return F.element_at(F.transform(F.array(toks), _body), 1)
 
 
 def decontaminate(
@@ -811,25 +822,29 @@ def greedy_coverage_select(
     memory at corpus scale (VERDICT.md round 2, "what's wrong" 3).
     The (id, gram) exploded table is built once (per-doc dedup inside
     ngram_set) and checkpointed; `covered` is re-checkpointed per
-    round to cut the union lineage."""
-    # grams carried as 48-bit md5-prefix longs, not 32-char digest
-    # strings: 3x less checkpoint scan + a long-keyed hash aggregate
-    # per round (5.8 s → ~3 s at sf0.1). dropDuplicates after the
-    # hash so a (vanishingly rare) within-doc prefix collision counts
-    # once on both engines — the oracle dedups at hash grain too.
+    round to cut the union lineage. (Round-9 note: a one-job-per-
+    round variant — covered as a driver-held InSet, winner grams
+    collected via a top-1 broadcast join — was implemented and
+    MEASURED SLOWER at sf0.1, 7.3–8.8 s vs 6.4 s: per-round literal
+    re-planning and a second evaluation of the anti-joined frame cost
+    more than the checkpoint job they replaced. Kept the two-job
+    shape; the build-side wins below are where the round went.)"""
+    # grams carried as xxhash64 longs (round-9: was 48-bit md5-prefix
+    # via conv(substring(md5)), which cost a hex encode + parse per
+    # gram; xxhash64 is a native 8-byte hash — cheaper to compute,
+    # same shuffle width, and a 64-bit space collides ~65k x less
+    # than the 48-bit prefix at any corpus size). dropDuplicates
+    # after the hash so a (vanishingly rare) within-doc collision
+    # counts once on both engines — the oracle dedups at hash grain
+    # too, and picks/counts are hash-function-independent whenever no
+    # cross-gram collision occurs (verified value-identical at
+    # sf0.001/0.01/0.1).
     grams = (
         df.select(
             F.col(id_col),
-            F.explode(F.transform(ngram_set(F.col(text_col), n), F.md5)).alias(
-                "_s"
-            ),
+            F.explode(ngram_set(F.col(text_col), n)).alias("_s"),
         )
-        .select(
-            F.col(id_col),
-            F.conv(F.substring(F.col("_s"), 1, 12), 16, 10)
-            .cast("long")
-            .alias("g"),
-        )
+        .select(F.col(id_col), F.xxhash64("_s").alias("g"))
         .dropDuplicates([id_col, "g"])
         .coalesce(8)
         .localCheckpoint(eager=True)
@@ -842,10 +857,10 @@ def greedy_coverage_select(
         # covered is bounded by k x max-doc grams (the pick budget),
         # so the anti-join broadcasts: map-side filter over the gram
         # table, no shuffle of the big side. (A one-job variant that
-        # rode collect_list(g) on the top-1 row was measured SLOWER —
-        # 9.1 s vs 5.8 s — than this two-job shape: building per-doc
-        # lists for every doc costs more than a second checkpoint
-        # scan.)
+        # rode per-doc gram-list aggregation on the top-1 row was
+        # measured SLOWER — 9.1 s vs 5.8 s — than this two-job shape:
+        # building per-doc lists for every doc costs more than a
+        # second checkpoint scan.)
         rem = grams.join(F.broadcast(covered), "g", "left_anti")
         gain = (
             rem.groupBy(id_col)

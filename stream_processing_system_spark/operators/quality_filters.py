@@ -231,21 +231,27 @@ def chunk_documents(
 
     Output: (doc_id, chunk_id, n_tokens, chunk_md5), one row per
     chunk; empty documents produce no rows."""
+    # let-bind the token array via a 1-element transform (round 9,
+    # guide §1.2): slicing the raw `_toks(...)` expression inside the
+    # per-chunk lambda would re-run split+filter once per CHUNK —
+    # O(tokens²/stride) per doc; the lambda variable evaluates it once
     toks = _toks(F.col(text_col))
-    n = F.size(toks)
-    n_chunks = (
-        F.when(n <= window, F.lit(1)).otherwise(
+
+    def _chunks(t):
+        n = F.size(t)
+        n_chunks = F.when(n <= window, F.lit(1)).otherwise(
             F.ceil((n - window) / F.lit(stride).cast("double")).cast("int") + 1
         )
-    )
-    starts = F.sequence(F.lit(0), n_chunks - 1)
-    chunks = F.transform(
-        starts,
-        lambda i: F.struct(
-            i.alias("chunk_id"),
-            F.slice(toks, i * stride + 1, window).alias("_ctoks"),
-        ),
-    )
+        starts = F.sequence(F.lit(0), n_chunks - 1)
+        return F.transform(
+            starts,
+            lambda i: F.struct(
+                i.alias("chunk_id"),
+                F.slice(t, i * stride + 1, window).alias("_ctoks"),
+            ),
+        )
+
+    chunks = F.element_at(F.transform(F.array(toks), _chunks), 1)
     return (
         df.select(F.col(id_col), F.explode(chunks).alias("_c"))
         .select(
