@@ -417,7 +417,14 @@ def connected_component_labels(
     returned by the same action that materializes the round's lazy
     checkpoint — no separate emptiness probe job); no per-row
     collection; lineage is cut with localCheckpoint so
-    the plan doesn't grow across iterations. Only nodes that appear
+    the plan doesn't grow across iterations. Round-9: the mapping and
+    label checkpoints inside the loop are lazy too, so ONE action per
+    round (the edge count) materializes all three frames as a side
+    effect — the eager per-frame variant paid 3 driver-visible jobs a
+    round for the same work (measured: the fixpoint dominates
+    user_geo_dbscan's 91 build jobs; values are unchanged because
+    every checkpointed frame is deterministic — min/dedup aggregates
+    over checkpointed inputs). Only nodes that appear
     in an edge are iterated: an isolated node (no near-dup pair —
     the overwhelming majority of a deduped corpus) is its own
     component by definition and is unioned back in at the end. The
@@ -469,7 +476,7 @@ def connected_component_labels(
             .select(
                 "old", F.coalesce(F.col("_new2"), F.col("new")).alias("new")
             )
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
         # (2) compose node labels through the mapping, then compress
         # paths: component <- component's component
@@ -492,7 +499,7 @@ def connected_component_labels(
                 "node",
                 F.coalesce(F.col("_pc"), F.col("component")).alias("component"),
             )
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
         # (3) contract the edge set through the compressed labels
         edges = (
@@ -535,7 +542,7 @@ def connected_component_labels(
                 (F.coalesce(F.col("_pc"), F.col("component"))
                  < F.col("component")).cast("int").alias("_chg"),
             )
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
         changed = nxt.agg(F.sum("_chg")).collect()[0][0] or 0
         labels = nxt.drop("_chg")
