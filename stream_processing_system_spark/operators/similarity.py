@@ -370,7 +370,25 @@ def semantic_dedup(
 
     Output: kept rows (id, centroid), ordered by id — the centroid
     column means an oracle hash-match verifies the whole clustering,
-    not just the surviving ids."""
+    not just the surviving ids.
+
+    Round-10 (guide §4.2, §2.4): the within-cluster prune runs as a
+    per-cluster gram matrix inside applyInPandas (the
+    `knn_join_lsh_gemm` lane) instead of the O(Σ|cell|²)-row
+    self-join + rounded-HOF-cosine + dropDuplicates + left_anti
+    chain: each cell's vectors cross the Arrow boundary ONCE, BLAS
+    computes the cell² similarity block (column-chunked so peak task
+    memory is ~|cell|·chunk doubles, never |cell|²), and the keep
+    mask ("drop j iff some i<j has round(sim,6) ≥ threshold" — the
+    same keep-first rule) is a vectorized any() over the strict
+    upper triangle. The assignment subtree is referenced once, so
+    the two extra exchanges (pair dedup + left_anti) disappear;
+    rounding emulates Spark/DuckDB ROUND half-away-from-zero exactly
+    as in `knn_join_lsh_gemm`, so the oracle hash-match is
+    unchanged."""
+    import numpy as np
+    import pandas as pd
+
     cents = train_ivf_centroids(df, id_col, vec_col, n_centroids, iters=iters)
     centroids = _centroid_frame(df.sparkSession, cents)
     sims = df.crossJoin(F.broadcast(centroids)).select(
@@ -385,25 +403,37 @@ def semantic_dedup(
             "_centroid"
         ),
     )
-    a = assigned.select(
-        F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va"), "_centroid"
-    )
-    b = assigned.select(
-        F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb"), "_centroid"
-    )
-    dupes = (
-        a.join(b, "_centroid")
-        .where(F.col("id_a") < F.col("id_b"))
-        .where(
-            F.round(cosine_similarity(F.col("_va"), F.col("_vb")), 6)
-            >= F.lit(threshold)
+
+    def prune_cell(pdf: pd.DataFrame) -> pd.DataFrame:
+        ids = pdf[id_col].to_numpy()
+        order = np.argsort(ids)
+        ids = ids[order]
+        vecs = np.asarray(pdf[vec_col].tolist(), dtype=np.float64)[order]
+        norms = np.linalg.norm(vecs, axis=1)
+        n = len(ids)
+        drop = np.zeros(n, dtype=bool)
+        # column-chunked upper-triangle scan: peak memory n·chunk
+        chunk = max(256, (1 << 22) // max(n, 1))
+        for j0 in range(1, n, chunk):
+            j1 = min(j0 + chunk, n)
+            block = (vecs[:j1] @ vecs[j0:j1].T) / np.outer(
+                norms[:j1], norms[j0:j1]
+            )
+            # ROUND half away from zero, matching Spark/DuckDB ROUND(x, 6)
+            block = np.sign(block) * np.floor(np.abs(block) * 1e6 + 0.5) / 1e6
+            hit = block >= threshold
+            # only strictly-lower-id rows count: i < j
+            rows = np.arange(j1)[:, None]
+            cols = np.arange(j0, j1)[None, :]
+            drop[j0:j1] |= (hit & (rows < cols)).any(axis=0)
+        keep = ~drop
+        return pd.DataFrame(
+            {id_col: ids[keep], "centroid": pdf["_centroid"].iloc[0]}
         )
-        .select(F.col("id_b").alias(id_col))
-        .dropDuplicates()
-    )
+
     return (
-        assigned.join(dupes, id_col, "left_anti")
-        .select(F.col(id_col), F.col("_centroid").alias("centroid"))
+        assigned.groupBy("_centroid")
+        .applyInPandas(prune_cell, schema=f"{id_col} long, centroid int")
         .orderBy(id_col)
     )
 
@@ -1674,7 +1704,24 @@ def knn_label_eval(
     sample), so the score join is O(max_probes·|corpus|) — LINEAR in
     corpus size by construction (a proportional sample would make
     the brute-force eval quadratic); the LSH/IVF family provides the
-    sublinear path when even one corpus pass is too much."""
+    sublinear path when even one corpus pass is too much.
+
+    Round-10 (guide §4.2): the probe×corpus dot products run as one
+    float64 GEMM per Arrow batch instead of an interpreted
+    zip_with/aggregate per PAIR. The probe matrix is a constant-size
+    collect (max_probes × dim longs — the trainers' bounded-collect
+    contract) shipped in the task closure; each batch emits only its
+    LOCAL top-k per probe (top-k of a union is the top-k of
+    per-partition top-ks) and the global window merges
+    O(max_probes · k · n_batches) candidate rows, so the fan-out
+    never materializes as rows. Bit-exact: components sit on the 1e6
+    integer grid, so every product (≤ dim·1.1e12) and partial sum
+    stays an integer < 2⁵³ — float64 GEMM is EXACT arithmetic here,
+    and ranking stays a total order on exact integers (dot desc,
+    vid asc), the same order the oracle ranks by."""
+    import numpy as np
+    import pandas as pd
+
     base = df.select(
         F.col(id_col).alias("vid"),
         F.col(label_col).alias("lbl"),
@@ -1684,28 +1731,44 @@ def knn_label_eval(
             .cast("long"),
         ).alias("q"),
     )
-    probes = (
+    probe_rows = (
         base.where(F.col("vid") % sample_mod == 0)
         .orderBy("vid")
         .limit(max_probes)
-        .select(
-            F.col("vid").alias("pid"),
-            F.col("lbl").alias("true_lbl"),
-            F.col("q").alias("pq"),
-        )
+        .collect()
     )
-    pairs = base.join(F.broadcast(probes), F.col("pid") != F.col("vid"))
-    dot = F.aggregate(
-        F.zip_with(
-            F.col("pq"),
-            F.col("q"),
-            lambda a, b: a * b,
-        ),
-        F.lit(0).cast("long"),
-        lambda acc, v: acc + v,
-    )
-    scored = pairs.select(
-        "pid", "true_lbl", "vid", "lbl", dot.alias("dot")
+    pids = np.array([r["vid"] for r in probe_rows], dtype=np.int64)
+    true_lbls = np.array([r["lbl"] for r in probe_rows], dtype=np.int32)
+    pmat = np.array([r["q"] for r in probe_rows], dtype=np.float64)
+
+    def local_topk(it):
+        for pdf in it:
+            if len(pdf) == 0:
+                continue
+            vids = pdf["vid"].to_numpy(dtype=np.int64)
+            lbls = pdf["lbl"].to_numpy(dtype=np.int64)
+            x = np.asarray(pdf["q"].tolist(), dtype=np.float64)
+            dots = pmat @ x.T  # exact: integer-valued, < 2^53
+            o_p, o_t, o_v, o_l, o_d = [], [], [], [], []
+            for i in range(len(pids)):
+                row = dots[i]
+                valid = vids != pids[i]
+                cv, cl, cd = vids[valid], lbls[valid], row[valid]
+                top = np.lexsort((cv, -cd))[: min(k, len(cd))]
+                o_p.extend([pids[i]] * len(top))
+                o_t.extend([true_lbls[i]] * len(top))
+                o_v.extend(cv[top])
+                o_l.extend(cl[top])
+                o_d.extend(cd[top].astype(np.int64))
+            if o_p:
+                yield pd.DataFrame(
+                    {"pid": o_p, "true_lbl": o_t, "vid": o_v,
+                     "lbl": o_l, "dot": o_d}
+                )
+
+    scored = base.mapInPandas(
+        local_topk,
+        schema="pid long, true_lbl int, vid long, lbl int, dot long",
     )
     w = Window.partitionBy("pid").orderBy(
         F.col("dot").desc(), F.col("vid").asc()
@@ -1773,7 +1836,21 @@ def twonn_intrinsic_dim(
 
     Scale: the `knn_label_eval` posture — probe side capped at
     `max_probes` (a TakeOrdered, never a sample), so the distance
-    join is O(max_probes·|corpus|), LINEAR in corpus size."""
+    join is O(max_probes·|corpus|), LINEAR in corpus size.
+
+    Round-10 (guide §4.2): same GEMM lane as `knn_label_eval` — the
+    probe×corpus squared distances run as |p|² + |x|² − 2·(P·Xᵀ) in
+    one float64 GEMM per Arrow batch instead of an interpreted
+    zip_with/aggregate per PAIR; each batch emits only its LOCAL
+    top-2 per probe and the global window merges the
+    O(max_probes · 2 · n_batches) candidates. Bit-exact: every term
+    is an integer < 2⁵³ on the 1e6 grid (d² ≤ dim·4.4e12, the sum of
+    three such terms < 3.7e14), so the GEMM arithmetic is exact and
+    ranking stays a total order on exact integers (d² asc, vid
+    asc) — identical to the pair-expression lane it replaces."""
+    import numpy as np
+    import pandas as pd
+
     base = df.select(
         F.col(id_col).alias("vid"),
         F.transform(
@@ -1782,24 +1859,39 @@ def twonn_intrinsic_dim(
             .cast("long"),
         ).alias("q"),
     )
-    probes = (
+    probe_rows = (
         base.where(F.col("vid") % sample_mod == 0)
         .orderBy("vid")
         .limit(max_probes)
-        .select(F.col("vid").alias("pid"), F.col("q").alias("pq"))
+        .collect()
     )
-    pairs = base.join(F.broadcast(probes), F.col("pid") != F.col("vid"))
-    dist2 = F.aggregate(
-        F.zip_with(
-            F.col("pq"),
-            F.col("q"),
-            lambda a, b: (a - b) * (a - b),
-        ),
-        F.lit(0).cast("long"),
-        lambda acc, v: acc + v,
-    )
-    scored = pairs.select("pid", "vid", dist2.alias("d2")).where(
-        F.col("d2") > 0
+    pids = np.array([r["vid"] for r in probe_rows], dtype=np.int64)
+    pmat = np.array([r["q"] for r in probe_rows], dtype=np.float64)
+    pnorm2 = (pmat * pmat).sum(axis=1)
+
+    def local_top2(it):
+        for pdf in it:
+            if len(pdf) == 0:
+                continue
+            vids = pdf["vid"].to_numpy(dtype=np.int64)
+            x = np.asarray(pdf["q"].tolist(), dtype=np.float64)
+            xnorm2 = (x * x).sum(axis=1)
+            # exact: every term integer-valued < 2^53
+            d2 = pnorm2[:, None] + xnorm2[None, :] - 2.0 * (pmat @ x.T)
+            o_p, o_v, o_d = [], [], []
+            for i in range(len(pids)):
+                row = d2[i]
+                valid = (vids != pids[i]) & (row > 0)
+                cv, cd = vids[valid], row[valid]
+                top = np.lexsort((cv, cd))[: min(2, len(cd))]
+                o_p.extend([pids[i]] * len(top))
+                o_v.extend(cv[top])
+                o_d.extend(cd[top].astype(np.int64))
+            if o_p:
+                yield pd.DataFrame({"pid": o_p, "vid": o_v, "d2": o_d})
+
+    scored = base.mapInPandas(
+        local_top2, schema="pid long, vid long, d2 long"
     )
     w = Window.partitionBy("pid").orderBy(
         F.col("d2").asc(), F.col("vid").asc()

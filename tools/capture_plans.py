@@ -1,8 +1,9 @@
 """Capture `.explain("formatted")` for the named queries into
-plans/r09/<query>_<tag>.txt — the before/after plan evidence the
-optimization rounds commit (the judge checks plan claims against these
-files). Streaming twins execute at build time and have no single batch
-plan; they are skipped with a marker file.
+plans/$SPARK_GRAFT_PLANS_DIR (default r10)/<query>_<tag>.txt — the
+before/after plan evidence the optimization rounds commit (the judge
+checks plan claims against these files). Streaming twins execute at
+build time and have no single batch plan; they are skipped with a
+marker file.
 
 Run: python tools/capture_plans.py <tag> <query> [<query> ...]
 """
@@ -21,7 +22,7 @@ SF = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 OUT = os.path.join(
     os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
     "plans",
-    "r09",
+    os.environ.get("SPARK_GRAFT_PLANS_DIR", "r10"),
 )
 
 
