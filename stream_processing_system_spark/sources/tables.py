@@ -38,6 +38,16 @@ def table_path(sf_dir: str, name: str) -> str:
     return os.path.join(sf_dir, f"{name}.parquet")
 
 
+#: Inferred schema per parquet path: without it EVERY
+#: `spark.read.parquet` call pays a footer-inference Spark job, i.e.
+#: one driver round trip per table per DataFrame BUILD (guide §1.2 —
+#: the bench rebuilds each query's frame for every timed sample).
+#: The catalog paths are immutable within a process (the driver
+#: regenerates testdata only between rounds), so the schema is
+#: metadata, cached once per path. Results are never cached.
+_SCHEMA_CACHE: dict[str, object] = {}
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one catalog table. Columnar parquet scan; Catalyst prunes
     columns and pushes filters into the scan automatically."""
@@ -49,6 +59,16 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # cast, and DuckDB's epoch() oracle reads the same stored micros.
     # With session tz UTC the stored value IS the epoch either way.
     spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+    path = table_path(sf_dir, name)
+
+    def _read(p: str) -> DataFrame:
+        cached = _SCHEMA_CACHE.get(p)
+        if cached is not None:
+            return spark.read.schema(cached).parquet(p)
+        df = spark.read.parquet(p)
+        _SCHEMA_CACHE[p] = df.schema
+        return df
+
     if name == "events":
         # events.parquet has stored TIMESTAMP(NANOS) in some driver
         # generations, which vanilla Spark rejects
@@ -57,11 +77,11 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # division (a double division would lose precision at ~1.7e18
         # nanos).
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        df = spark.read.parquet(table_path(sf_dir, name))
+        df = _read(path)
         if dict(df.dtypes).get("ts") == "bigint":
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
         return df
-    return spark.read.parquet(table_path(sf_dir, name))
+    return _read(path)
 
 
 def register_views(spark: SparkSession, sf_dir: str) -> None:
