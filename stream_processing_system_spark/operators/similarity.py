@@ -244,24 +244,12 @@ def train_ivf_centroids(
     cents = [[float(x) for x in r[0]] for r in rows]
     dim = len(cents[0])
     for _ in range(iters):
-        cent_df = spark.createDataFrame(
-            list(enumerate(cents)), "cid int, cvec array<double>"
-        )
-        assigned = (
-            train.crossJoin(F.broadcast(cent_df))
-            .select(
-                F.col(id_col),
-                F.col(vec_col),
-                F.col("cid"),
-                cosine_similarity(F.col(vec_col), F.col("cvec")).alias("_csim"),
-            )
-            .groupBy(id_col)
-            .agg(
-                F.first(vec_col).alias(vec_col),
-                F.max_by(
-                    "cid", F.struct(F.col("_csim"), (-F.col("cid")).alias("_nc"))
-                ).alias("_c"),
-            )
+        # round-10: the per-round argmax assignment runs as the
+        # bit-exact Arrow fold (`assign_centroids`) — the K× crossJoin
+        # fan-out + max_by exchange per round are gone; the mean
+        # aggregate below is UNCHANGED (same posexplode + avg plan)
+        assigned = assign_centroids(train, cents, id_col, vec_col).select(
+            F.col(vec_col), F.col("_centroid").alias("_c")
         )
         means = (
             assigned.select("_c", F.posexplode(F.col(vec_col)).alias("pos", "v"))
@@ -289,6 +277,89 @@ def _centroid_frame(spark, cents: list[list[float]]) -> DataFrame:
     )
 
 
+def _fold_cosine_sims(x, cents: list[list[float]]):
+    """Row-vectorized replica of `cosine_similarity`'s EXACT IEEE
+    arithmetic: the fold runs sequentially over dimensions (one
+    multiply, one add per step — precisely the JVM `aggregate` order,
+    no FMA, no pairwise regrouping) and is vectorized over rows, so
+    every produced double is bit-identical to the expression lane it
+    replaces. Returns an (n_rows, K) sims matrix. Zero-norm rows are
+    out of contract (the expression lane degenerates there too)."""
+    import math
+
+    import numpy as np
+
+    n, d = x.shape
+    na = np.zeros(n)
+    for j in range(d):
+        na = na + x[:, j] * x[:, j]
+    na = np.sqrt(na)
+    sims = np.empty((n, len(cents)))
+    for ci, c in enumerate(cents):
+        nc = 0.0
+        for v in c:
+            nc = nc + v * v
+        nc = math.sqrt(nc)
+        acc = np.zeros(n)
+        for j in range(d):
+            acc = acc + x[:, j] * c[j]
+        sims[:, ci] = acc / (na * nc)
+    return sims
+
+
+def assign_centroids(
+    df: DataFrame,
+    cents: list[list[float]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    with_sim: bool = False,
+) -> DataFrame:
+    """Argmax-cosine centroid assignment as ONE Arrow pass:
+    (id, vec, _centroid[, _csim]) against the K×dim codebook shipped
+    in the task closure — replaces the
+    `crossJoin(broadcast(K-centroid frame))` K× row fan-out + max_by
+    hash aggregate, removing the assignment exchange outright (guide
+    §2.4) and the K·dim interpreted higher-order cosine per row
+    (guide §4.2). The round-9 map-side rewrites were rejected because
+    Catalyst literal trees blow up analysis/codegen and broadcast
+    HOF columns stay interpreted; this lane has neither cost — the
+    codebook is plain numpy data and the kernel is BLAS-shaped.
+
+    Bit-exact: cosines come from `_fold_cosine_sims` (the IEEE fold
+    replica), the argmax ties break to the LOWER cid (np.argmax picks
+    the first maximum — exactly max_by on (sim, −cid)), and any
+    emitted `_csim` is the identical double."""
+    import numpy as np
+    import pandas as pd
+
+    carr = [[float(v) for v in c] for c in cents]
+    schema_fields = dict(df.dtypes)
+    schema = (
+        f"{id_col} {schema_fields[id_col]}, "
+        f"{vec_col} {schema_fields[vec_col]}, _centroid int"
+    )
+    if with_sim:
+        schema += ", _csim double"
+
+    def assign(it):
+        for pdf in it:
+            if len(pdf) == 0:
+                continue
+            x = np.asarray(pdf[vec_col].tolist(), dtype=np.float64)
+            sims = _fold_cosine_sims(x, carr)
+            cid = sims.argmax(axis=1)
+            cols = {
+                id_col: pdf[id_col],
+                vec_col: pdf[vec_col],
+                "_centroid": cid.astype(np.int32),
+            }
+            if with_sim:
+                cols["_csim"] = sims[np.arange(len(cid)), cid]
+            yield pd.DataFrame(cols)
+
+    return df.select(id_col, vec_col).mapInPandas(assign, schema=schema)
+
+
 def ivf_topk(
     df: DataFrame,
     query_df: DataFrame,
@@ -311,20 +382,9 @@ def ivf_topk(
         df, id_col, vec_col, n_centroids, iters=iters, sample_mod=sample_mod
     )
     centroids = _centroid_frame(df.sparkSession, cents)
-    sims = df.crossJoin(F.broadcast(centroids)).select(
-        F.col(id_col),
-        F.col(vec_col),
-        F.col("_cid"),
-        cosine_similarity(F.col(vec_col), F.col("_cvec")).alias("_csim"),
-    )
-    # argmax via max_by on a (sim, -cid) struct: one hash aggregate,
-    # no per-vector sort — cheaper than a window at corpus scale.
-    assigned = sims.groupBy(id_col).agg(
-        F.first(vec_col).alias(vec_col),
-        F.max_by("_cid", F.struct(F.col("_csim"), (-F.col("_cid")).alias("_nc"))).alias(
-            "_centroid"
-        ),
-    )
+    # round-10: argmax assignment as the bit-exact Arrow fold — no
+    # K× fan-out, no assignment exchange (guide §2.4/§4.2)
+    assigned = assign_centroids(df, cents, id_col, vec_col)
 
     qsims = query_df.crossJoin(F.broadcast(centroids)).select(
         F.col("_cid"),
@@ -390,19 +450,9 @@ def semantic_dedup(
     import pandas as pd
 
     cents = train_ivf_centroids(df, id_col, vec_col, n_centroids, iters=iters)
-    centroids = _centroid_frame(df.sparkSession, cents)
-    sims = df.crossJoin(F.broadcast(centroids)).select(
-        F.col(id_col),
-        F.col(vec_col),
-        F.col("_cid"),
-        cosine_similarity(F.col(vec_col), F.col("_cvec")).alias("_csim"),
-    )
-    assigned = sims.groupBy(id_col).agg(
-        F.first(vec_col).alias(vec_col),
-        F.max_by("_cid", F.struct(F.col("_csim"), (-F.col("_cid")).alias("_nc"))).alias(
-            "_centroid"
-        ),
-    )
+    # round-10: argmax assignment as the bit-exact Arrow fold — no
+    # K× fan-out, no assignment exchange (guide §2.4/§4.2)
+    assigned = assign_centroids(df, cents, id_col, vec_col)
 
     def prune_cell(pdf: pd.DataFrame) -> pd.DataFrame:
         ids = pdf[id_col].to_numpy()
@@ -460,18 +510,9 @@ def build_ivf_index(
         df, id_col, vec_col, n_centroids, iters=iters, sample_mod=sample_mod
     )
     centroids = _centroid_frame(df.sparkSession, cents)
-    sims = df.crossJoin(F.broadcast(centroids)).select(
-        F.col(id_col),
-        F.col(vec_col),
-        F.col("_cid"),
-        cosine_similarity(F.col(vec_col), F.col("_cvec")).alias("_csim"),
-    )
-    assigned = sims.groupBy(id_col).agg(
-        F.first(vec_col).alias(vec_col),
-        F.max_by("_cid", F.struct(F.col("_csim"), (-F.col("_cid")).alias("_nc"))).alias(
-            "_centroid"
-        ),
-    )
+    # round-10: argmax assignment as the bit-exact Arrow fold — no
+    # K× fan-out, no assignment exchange (guide §2.4/§4.2)
+    assigned = assign_centroids(df, cents, id_col, vec_col)
     assigned.write.mode("overwrite").partitionBy("_centroid").parquet(
         f"{path}/vectors"
     )
@@ -1249,21 +1290,12 @@ def kmeans_cluster_stats(
     the training adds `iters` assign+mean rounds (two data passes
     each)."""
     cents = train_ivf_centroids(df, id_col, vec_col, n_centroids, iters=iters)
-    centroids = _centroid_frame(df.sparkSession, cents)
-    sims = df.crossJoin(F.broadcast(centroids)).select(
-        F.col(id_col),
-        F.col("_cid"),
-        cosine_similarity(F.col(vec_col), F.col("_cvec")).alias("_csim"),
-    )
-    assigned = sims.groupBy(id_col).agg(
-        F.max_by(
-            F.struct(F.col("_cid"), F.col("_csim")),
-            F.struct(F.col("_csim"), (-F.col("_cid")).alias("_nc")),
-        ).alias("_best")
-    )
-    member = assigned.select(
-        F.col("_best._cid").alias("cluster"),
-        F.floor(F.col("_best._csim") * 1_000_000.0 + F.lit(0.5))
+    # round-10: argmax assignment as the bit-exact Arrow fold — the
+    # emitted _csim is the identical double, so the micro-floor and
+    # the int64 cohesion sum are unchanged (guide §2.4/§4.2)
+    member = assign_centroids(df, cents, id_col, vec_col, with_sim=True).select(
+        F.col("_centroid").alias("cluster"),
+        F.floor(F.col("_csim") * 1_000_000.0 + F.lit(0.5))
         .cast("long")
         .alias("_cu"),
     )
@@ -1417,18 +1449,9 @@ def ivfpq_topk(
             df, id_col, vec_col, n_centroids, iters=ivf_iters
         )
     centroids = _centroid_frame(spark, cents)
-    sims = df.crossJoin(F.broadcast(centroids)).select(
-        F.col(id_col),
-        F.col(vec_col),
-        F.col("_cid"),
-        cosine_similarity(F.col(vec_col), F.col("_cvec")).alias("_csim"),
-    )
-    assigned = sims.groupBy(id_col).agg(
-        F.first(vec_col).alias(vec_col),
-        F.max_by(
-            "_cid", F.struct(F.col("_csim"), (-F.col("_cid")).alias("_nc"))
-        ).alias("_centroid"),
-    )
+    # round-10: argmax assignment as the bit-exact Arrow fold — no
+    # K× fan-out, no assignment exchange (guide §2.4/§4.2)
+    assigned = assign_centroids(df, cents, id_col, vec_col)
     resid = (
         assigned.join(
             F.broadcast(

@@ -1460,20 +1460,9 @@ def ivfpq_topk_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
         embs = _embs(spark, sf_dir)
         cents = similarity.train_ivf_centroids(embs, n_centroids=16, iters=2)
         centroids = similarity._centroid_frame(spark, cents)
-        sims = embs.crossJoin(F.broadcast(centroids)).select(
-            "vec_id",
-            "embedding",
-            "_cid",
-            similarity.cosine_similarity(
-                F.col("embedding"), F.col("_cvec")
-            ).alias("_csim"),
-        )
-        assigned = sims.groupBy("vec_id").agg(
-            F.first("embedding").alias("embedding"),
-            F.max_by(
-                "_cid", F.struct(F.col("_csim"), (-F.col("_cid")).alias("_nc"))
-            ).alias("_centroid"),
-        )
+        # round-10: argmax assignment as the bit-exact Arrow fold
+        # (similarity.assign_centroids) — no K× fan-out, no exchange
+        assigned = similarity.assign_centroids(embs, cents)
         resid = assigned.join(
             F.broadcast(
                 centroids.select(F.col("_cid").alias("_centroid"), "_cvec")
@@ -2242,24 +2231,10 @@ def ivf_nprobe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = _query_vec(spark, sf_dir)
     cents = similarity.train_ivf_centroids(embs)
     centroids = similarity._centroid_frame(spark, cents)
-    sims = embs.crossJoin(F.broadcast(centroids)).select(
-        "vec_id",
-        "embedding",
-        F.col("_cid"),
-        similarity.cosine_similarity(
-            F.col("embedding"), F.col("_cvec")
-        ).alias("_csim"),
-    )
-    assigned = (
-        sims.groupBy("vec_id")
-        .agg(
-            F.first("embedding").alias("embedding"),
-            F.max_by(
-                "_cid",
-                F.struct(F.col("_csim"), (-F.col("_cid")).alias("_nc")),
-            ).alias("_centroid"),
-        )
-        .localCheckpoint(eager=True)
+    # round-10: argmax assignment as the bit-exact Arrow fold
+    # (similarity.assign_centroids) — no K× fan-out, no exchange
+    assigned = similarity.assign_centroids(embs, cents).localCheckpoint(
+        eager=True
     )
     qv = q.select(F.col("embedding").alias("_qvec"))
     probe_order = (
