@@ -866,6 +866,74 @@ def _l2_sq(a, b):
     )
 
 
+def pq_encode(
+    df: DataFrame,
+    books: list[list[list[float]]],
+    id_col: str,
+    vec_col: str,
+    extra_cols: tuple[str, ...] = (),
+    emit_svec: bool = False,
+    code_col: str = "code",
+) -> DataFrame:
+    """Argmin-L2 PQ sub-codes as ONE Arrow pass: (id[, extras], sub,
+    [svec,] code) against the n_sub×n_codes codebook shipped in the
+    task closure — replaces the posexplode ×n_sub + broadcast-join
+    ×n_codes fan-out + interpreted `_l2_sq` fold + min_by exchange
+    (guide §2.4/§4.2, the `assign_centroids` lane for the PQ family).
+
+    Bit-exact: each distance replicates `_l2_sq`'s sequential
+    left-fold IEEE order (d=(x−y); acc+=d·d per dimension, vectorized
+    over rows only), and np.argmin picks the FIRST minimum — exactly
+    min_by on (_d, cid). Subvector slices cast float→double, which is
+    exact."""
+    import numpy as np
+    import pandas as pd
+
+    n_sub = len(books)
+    width = len(books[0][0])
+    carr = [
+        [[float(v) for v in c] for c in books[s]] for s in range(n_sub)
+    ]
+    dtypes = dict(df.dtypes)
+    fields = [f"{id_col} {dtypes[id_col]}"]
+    fields += [f"{c} {dtypes[c]}" for c in extra_cols]
+    fields.append("sub int")
+    if emit_svec:
+        fields.append("svec array<double>")
+    fields.append(f"{code_col} int")
+    schema = ", ".join(fields)
+    cols_in = [id_col, *extra_cols, vec_col]
+
+    def encode(it):
+        for pdf in it:
+            if len(pdf) == 0:
+                continue
+            x = np.asarray(pdf[vec_col].tolist(), dtype=np.float64)
+            n = len(pdf)
+            blocks = []
+            for s in range(n_sub):
+                off = s * width
+                dists = np.empty((n, len(carr[s])))
+                for ci, c in enumerate(carr[s]):
+                    acc = np.zeros(n)
+                    for j in range(width):
+                        d = x[:, off + j] - c[j]
+                        acc = acc + d * d
+                    dists[:, ci] = acc
+                codes = dists.argmin(axis=1).astype(np.int32)
+                cols = {id_col: pdf[id_col]}
+                for e in extra_cols:
+                    cols[e] = pdf[e]
+                cols["sub"] = np.full(n, s, dtype=np.int32)
+                if emit_svec:
+                    cols["svec"] = list(x[:, off : off + width])
+                cols[code_col] = codes
+                blocks.append(pd.DataFrame(cols))
+            yield pd.concat(blocks, ignore_index=True)
+
+    return df.select(*cols_in).mapInPandas(encode, schema=schema)
+
+
 def train_pq_codebooks(
     df: DataFrame,
     id_col: str = "vec_id",
@@ -911,41 +979,13 @@ def train_pq_codebooks(
         for s in range(n_sub)
     ]
     for _ in range(iters):
-        book_df = spark.createDataFrame(
-            [
-                (s, c, books[s][c])
-                for s in range(n_sub)
-                for c in range(n_codes)
-            ],
-            "sub int, cid int, cvec array<double>",
-        )
-        subs = train.select(
-            F.col(id_col),
-            F.posexplode(
-                F.array(
-                    *[
-                        F.slice(F.col(vec_col), s * width + 1, width).cast(
-                            "array<double>"
-                        )
-                        for s in range(n_sub)
-                    ]
-                )
-            ).alias("sub", "svec"),
-        )
-        assigned = (
-            subs.join(F.broadcast(book_df), "sub")
-            .select(
-                id_col,
-                "sub",
-                "svec",
-                "cid",
-                _l2_sq(F.col("svec"), F.col("cvec")).alias("_d"),
-            )
-            .groupBy(id_col, "sub")
-            .agg(
-                F.first("svec").alias("svec"),
-                F.min_by("cid", F.struct("_d", "cid")).alias("_c"),
-            )
+        # round-10: the per-round argmin-L2 sub-assignment runs as
+        # the bit-exact Arrow fold (`pq_encode`) — the ×n_sub
+        # posexplode + ×n_codes broadcast-join fan-out and the
+        # (id,sub) argmin exchange are gone; the mean aggregate below
+        # is UNCHANGED (same posexplode + avg plan)
+        assigned = pq_encode(
+            train, books, id_col, vec_col, emit_svec=True, code_col="_c"
         )
         means = (
             assigned.select("sub", "_c", F.posexplode("svec").alias("pos", "v"))
@@ -1026,26 +1066,9 @@ def pq_topk(
         "sub int, cid int, cvec array<double>",
     )
 
-    # Encode: one pass, (id, sub) -> code.
-    subs = df.select(
-        F.col(id_col),
-        F.posexplode(
-            F.array(
-                *[
-                    F.slice(F.col(vec_col), s * width + 1, width).cast("array<double>")
-                    for s in range(n_sub)
-                ]
-            )
-        ).alias("sub", "svec"),
-    )
-    encoded = (
-        subs.join(F.broadcast(book_df), "sub")
-        .select(
-            id_col, "sub", "cid", _l2_sq(F.col("svec"), F.col("cvec")).alias("_d")
-        )
-        .groupBy(id_col, "sub")
-        .agg(F.min_by("cid", F.struct("_d", "cid")).alias("code"))
-    )
+    # Encode: one Arrow pass, (id, sub) -> code (round-10: the
+    # bit-exact `pq_encode` fold — no fan-out, no argmin exchange).
+    encoded = pq_encode(df, books, id_col, vec_col)
 
     # ADC lookup table: query dot each codebook entry, on the 1e-6
     # integer grid. n_sub×n_codes rows — broadcast.
@@ -1479,32 +1502,10 @@ def ivfpq_topk(
         [(s, c, books[s][c]) for s in range(n_sub) for c in range(n_codes)],
         "sub int, cid int, cvec array<double>",
     )
-    subs = resid.select(
-        F.col(id_col),
-        "_centroid",
-        F.posexplode(
-            F.array(
-                *[
-                    F.slice(F.col("_rvec"), s * width + 1, width)
-                    for s in range(n_sub)
-                ]
-            )
-        ).alias("sub", "svec"),
-    )
-    encoded = (
-        subs.join(F.broadcast(book_df), "sub")
-        .select(
-            id_col,
-            "_centroid",
-            "sub",
-            "cid",
-            _l2_sq(F.col("svec"), F.col("cvec")).alias("_d"),
-        )
-        .groupBy(id_col, "sub")
-        .agg(
-            F.first("_centroid").alias("_centroid"),
-            F.min_by("cid", F.struct("_d", "cid")).alias("code"),
-        )
+    # round-10: residual sub-codes via the bit-exact Arrow fold
+    # (`pq_encode`) — no ×n_sub/×n_codes fan-out, no argmin exchange
+    encoded = pq_encode(
+        resid, books, id_col, "_rvec", extra_cols=("_centroid",)
     )
 
     qsims = query_df.crossJoin(F.broadcast(centroids)).select(
