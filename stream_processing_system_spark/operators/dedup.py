@@ -417,14 +417,17 @@ def connected_component_labels(
     returned by the same action that materializes the round's lazy
     checkpoint — no separate emptiness probe job); no per-row
     collection; lineage is cut with localCheckpoint so
-    the plan doesn't grow across iterations. Round-9: the mapping and
-    label checkpoints inside the loop are lazy too, so ONE action per
-    round (the edge count) materializes all three frames as a side
-    effect — the eager per-frame variant paid 3 driver-visible jobs a
-    round for the same work (measured: the fixpoint dominates
-    user_geo_dbscan's 91 build jobs; values are unchanged because
-    every checkpointed frame is deterministic — min/dedup aggregates
-    over checkpointed inputs). Only nodes that appear
+    the plan doesn't grow across iterations. The EDGE frames are lazy
+    (the round's count() is their materializing action — one job, no
+    separate emptiness probe); the mapping/label checkpoints stay
+    EAGER: round 9 tried making them lazy too, but under Spark's
+    default checkpointAllMarkedAncestors=false a lazy checkpoint only
+    materializes when ITS RDD is a job target — as mere ancestors of
+    the edge count they were cached but their lineage was never
+    truncated, so the per-round DAG grew and the fixpoint got SLOWER
+    (round-10 quiet paired min-of-3 at sf0.1: user_geo_dbscan 7.69 s
+    lazy vs 5.95 s eager, dedup_family_histogram 3.99 vs 3.40 —
+    reverted, VERDICT r9 item 2). Only nodes that appear
     in an edge are iterated: an isolated node (no near-dup pair —
     the overwhelming majority of a deduped corpus) is its own
     component by definition and is unioned back in at the end. The
@@ -476,7 +479,7 @@ def connected_component_labels(
             .select(
                 "old", F.coalesce(F.col("_new2"), F.col("new")).alias("new")
             )
-            .localCheckpoint(eager=False)
+            .localCheckpoint()
         )
         # (2) compose node labels through the mapping, then compress
         # paths: component <- component's component
@@ -499,7 +502,7 @@ def connected_component_labels(
                 "node",
                 F.coalesce(F.col("_pc"), F.col("component")).alias("component"),
             )
-            .localCheckpoint(eager=False)
+            .localCheckpoint()
         )
         # (3) contract the edge set through the compressed labels
         edges = (
@@ -542,7 +545,7 @@ def connected_component_labels(
                 (F.coalesce(F.col("_pc"), F.col("component"))
                  < F.col("component")).cast("int").alias("_chg"),
             )
-            .localCheckpoint(eager=False)
+            .localCheckpoint()
         )
         changed = nxt.agg(F.sum("_chg")).collect()[0][0] or 0
         labels = nxt.drop("_chg")
