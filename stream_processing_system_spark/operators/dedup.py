@@ -1050,6 +1050,10 @@ def substring_dedup_spans(
             F.col(id_col),
             # long on purpose: the SQL oracle's range() yields BIGINT
             F.col("pos").cast("long").alias("pos"),
+            # hex md5 on purpose: a round-10 unhex variant (16-byte
+            # binary key, half the shuffle/sort bytes) measured
+            # FLAT-to-slower on a paired quiet window (3.90 vs
+            # 3.72 s) — the unhex eval outweighs the narrower key
             F.md5(F.expr(f"substring({text_col}, pos, {width})")).alias("_h"),
         )
     )
@@ -1057,7 +1061,11 @@ def substring_dedup_spans(
     # partition (min id != max id ⟺ ≥2 distinct docs): the 10M-row
     # window frame shuffles once and the md5s are computed once —
     # the groupBy-then-self-join formulation re-ran the whole
-    # scan+md5 stage on both sides (2x cost, measured at sf0.1)
+    # scan+md5 stage on both sides (2x cost, measured at sf0.1 in
+    # round 4 AND re-measured in round 10: the hash-aggregate +
+    # shuffled-hash-join variant cannot reuse the exchange because
+    # the two consumers project different columns, so it re-scanned
+    # too — 5.85 s vs 3.9 s, rejected).
     w_hash = Window.partitionBy("_h")
     dup_wins = (
         wins.withColumn("_mn", F.min(id_col).over(w_hash))

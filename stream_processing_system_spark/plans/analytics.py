@@ -1346,10 +1346,36 @@ def orders_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     numeric = ["o_orderkey", "o_custkey", "o_totalprice"]
     strings = ["o_orderstatus", "o_orderpriority"]
     stamps = ["o_orderdate"]
+    # Round-10 (guide §7.2): six countDistinct in one .agg() planned
+    # as Expand ×7 + SortAggregate (min/max(string) forbids the hash
+    # lane, and the distinct rewrite sorts the expanded frame twice —
+    # 4.3 s at sf0.1). Exact NDV now runs as explode + two
+    # combine-enabled HashAggregates over injective string casts
+    # (long/decimal/timestamp → canonical string, so the distinct
+    # count is unchanged); the min/max/null pass below stays a single
+    # grouping-free aggregate (no sort without grouping keys).
+    nd_pairs = orders.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("_c"),
+                        F.col(c).cast("string").alias("_v"),
+                    )
+                    for c in numeric + strings + stamps
+                ]
+            )
+        ).alias("s")
+    ).select("s._c", "s._v").where(F.col("_v").isNotNull())
+    nd = (
+        nd_pairs.groupBy("_c", "_v")
+        .agg(F.count(F.lit(1)).alias("_dummy"))
+        .groupBy("_c")
+        .agg(F.count(F.lit(1)).cast("long").alias("_nd"))
+    )
     aggs = []
     for c in numeric + strings + stamps:
         aggs.append((F.count(F.lit(1)) - F.count(c)).cast("long").alias(f"{c}__nulls"))
-        aggs.append(F.countDistinct(c).cast("long").alias(f"{c}__nd"))
     for c in numeric:
         aggs.append(F.min(c).cast("double").alias(f"{c}__min"))
         aggs.append(F.max(c).cast("double").alias(f"{c}__max"))
@@ -1372,16 +1398,24 @@ def orders_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.struct(
                 F.lit(c).alias("col_name"),
                 F.col(f"{c}__nulls").alias("n_nulls"),
-                F.col(f"{c}__nd").alias("n_distinct"),
                 (F.col(f"{c}__min") if has_num else null_d).alias("min_num"),
                 (F.col(f"{c}__max") if has_num else null_d).alias("max_num"),
                 (F.col(f"{c}__smin") if c in strings else null_s).alias("min_str"),
                 (F.col(f"{c}__smax") if c in strings else null_s).alias("max_str"),
             )
         )
+    stats = row.select(F.explode(F.array(*entries)).alias("s")).select("s.*")
     return (
-        row.select(F.explode(F.array(*entries)).alias("s"))
-        .select("s.*")
+        stats.join(F.broadcast(nd), stats.col_name == nd._c)
+        .select(
+            "col_name",
+            "n_nulls",
+            F.col("_nd").alias("n_distinct"),
+            "min_num",
+            "max_num",
+            "min_str",
+            "max_str",
+        )
         .orderBy("col_name")
     )
 
