@@ -1657,14 +1657,24 @@ def _greedy_coverage_oracle_sql(k: int = 10) -> str:
     """Unrolled greedy max-coverage mirroring
     `curation.greedy_coverage_select`: per round, the top-1 doc by
     uncovered-5-gram count (ties to min doc_id), covered set grown by
-    the pick's grams. Every stage MATERIALIZED."""
+    the pick's grams. Every stage MATERIALIZED.
+
+    Gram grain (round-10, ADVICE r9): the oracle dedups/counts at RAW
+    gram-string grain — the true distinct-gram semantics both engines
+    approximate. The Spark side keys grams on xxhash64 (curation.py
+    `greedy_coverage_select`), so the two sides agree whenever the
+    Spark hash is collision-free on each doc's gram set (~2^-64 per
+    pair); the previous 48-bit md5-prefix oracle could itself collide
+    (~2^-48 birthday at large corpora) and no longer shared a hash
+    function with the implementation, so a collision on EITHER side
+    would have surfaced as a spurious mismatch."""
     parts = ["""toks AS (
         SELECT doc_id,
                list_filter(string_split(text, ' '), t -> t <> '') AS ts
         FROM documents
     ), g AS MATERIALIZED (
         SELECT DISTINCT doc_id,
-               ('0x' || substr(md5(array_to_string(ts[i:i+4], ' ')), 1, 12))::BIGINT AS gh
+               array_to_string(ts[i:i+4], ' ') AS gh
         FROM toks, UNNEST(range(1, len(ts) - 3)) AS u(i)
         WHERE len(ts) >= 5
     ), r1 AS MATERIALIZED (
