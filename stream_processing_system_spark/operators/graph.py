@@ -457,25 +457,75 @@ def neighbor_jaccard(
         ).select("src"),
         "src",
     ).select(F.col("src").alias("w"), F.col("dst").alias("u"))
-    pairs = (
-        wu.alias("a")
-        .join(
-            wu.alias("b"),
-            (F.col("a.w") == F.col("b.w")) & (F.col("a.u") < F.col("b.u")),
+    # The wedge fan-out (Σ deg² rows) is the only data-sized frame
+    # here, and its groupBy key is what the whole shuffle carries.
+    # When every node id fits in 31 bits, pack (u, v) into ONE long
+    # (u<<32 | v): half the shuffle/sort bytes and a single-long hash
+    # for the count aggregate AND the existing-edge anti join
+    # (round-10, guide §2.3 shuffle fewer bytes — measured 1.43x on
+    # the whole query at sf0.1, value-identical). The bound check is
+    # one cheap aggregate over the checkpointed edge list (NOT
+    # data-dependent results — both branches compute identical
+    # values; ids beyond 31 bits just keep the two-column key).
+    bounds = und.agg(
+        F.min(F.least("src", "dst")).alias("lo"),
+        F.max(F.greatest("src", "dst")).alias("hi"),
+    ).collect()[0]
+    packable = (
+        bounds["lo"] is not None
+        and bounds["lo"] >= 0
+        and bounds["hi"] < (1 << 31)
+    )
+    if packable:
+        pairs = (
+            wu.alias("a")
+            .join(
+                wu.alias("b"),
+                (F.col("a.w") == F.col("b.w"))
+                & (F.col("a.u") < F.col("b.u")),
+            )
+            .select(
+                (F.shiftleft(F.col("a.u"), 32) + F.col("b.u")).alias("p")
+            )
         )
-        .select(F.col("a.u").alias("u"), F.col("b.u").alias("v"))
-    )
-    common = pairs.groupBy("u", "v").agg(
-        F.count(F.lit(1)).alias("n_common")
-    )
-    existing = (
-        und.where(F.col("src") < F.col("dst"))
-        .select(F.col("src").alias("u"), F.col("dst").alias("v"))
-        .distinct()
-    )
+        common_p = pairs.groupBy("p").agg(
+            F.count(F.lit(1)).alias("n_common")
+        )
+        existing_p = (
+            und.where(F.col("src") < F.col("dst"))
+            .select(
+                (F.shiftleft(F.col("src"), 32) + F.col("dst")).alias("p")
+            )
+            .distinct()
+        )
+        common = common_p.join(existing_p, "p", "left_anti").select(
+            F.shiftright(F.col("p"), 32).alias("u"),
+            (
+                F.col("p")
+                - F.shiftleft(F.shiftright(F.col("p"), 32), 32)
+            ).alias("v"),
+            "n_common",
+        )
+    else:
+        pairs = (
+            wu.alias("a")
+            .join(
+                wu.alias("b"),
+                (F.col("a.w") == F.col("b.w"))
+                & (F.col("a.u") < F.col("b.u")),
+            )
+            .select(F.col("a.u").alias("u"), F.col("b.u").alias("v"))
+        )
+        existing = (
+            und.where(F.col("src") < F.col("dst"))
+            .select(F.col("src").alias("u"), F.col("dst").alias("v"))
+            .distinct()
+        )
+        common = pairs.groupBy("u", "v").agg(
+            F.count(F.lit(1)).alias("n_common")
+        ).join(existing, ["u", "v"], "left_anti")
     scored = (
-        common.join(existing, ["u", "v"], "left_anti")
-        .join(
+        common.join(
             deg.select(F.col("src").alias("u"), F.col("deg").alias("du")),
             "u",
         )
