@@ -468,18 +468,22 @@ def connected_component_labels(
                 F.least(F.col("src"), F.col("_nmin")).alias("new"),
             )
         )
-        mapping = (
-            m1.join(
-                m1.select(
-                    F.col("old").alias("new"), F.col("new").alias("_new2")
-                ),
-                "new",
-                "left",
-            )
-            .select(
-                "old", F.coalesce(F.col("_new2"), F.col("new")).alias("new")
-            )
-            .localCheckpoint()
+        # mapping is NOT checkpointed (round-10): it is consumed once,
+        # inside the labels job below, and m1's two uses (the hop and
+        # the jump self-join) end in the SAME groupBy exchange, which
+        # ReuseExchange dedups within that job — a separate eager
+        # checkpoint here was one more driver round trip per round
+        # for a frame whose lineage dies at the labels checkpoint
+        # anyway (3 -> 2 jobs per round; the labels job's executed
+        # plan shows the ReusedExchange nodes).
+        mapping = m1.join(
+            m1.select(
+                F.col("old").alias("new"), F.col("new").alias("_new2")
+            ),
+            "new",
+            "left",
+        ).select(
+            "old", F.coalesce(F.col("_new2"), F.col("new")).alias("new")
         )
         # (2) compose node labels through the mapping, then compress
         # paths: component <- component's component
@@ -537,6 +541,13 @@ def connected_component_labels(
         parents = labels.select(
             F.col("node").alias("_pn"), F.col("component").alias("_pc")
         )
+        # lazy on purpose (round-10): nxt is the FIRST marked RDD the
+        # changed-count job's doCheckpoint recursion reaches (the agg
+        # RDD above it is unmarked), so — unlike the reverted round-9
+        # variant, where mapping/labels sat behind the already-marked
+        # edges and never truncated — this lazy checkpoint both
+        # materializes and cuts lineage under the same action:
+        # 2 -> 1 jobs per compression round.
         nxt = (
             labels.join(parents, labels.component == parents._pn, "left")
             .select(
@@ -545,7 +556,7 @@ def connected_component_labels(
                 (F.coalesce(F.col("_pc"), F.col("component"))
                  < F.col("component")).cast("int").alias("_chg"),
             )
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
         changed = nxt.agg(F.sum("_chg")).collect()[0][0] or 0
         labels = nxt.drop("_chg")
