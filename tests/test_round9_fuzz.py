@@ -9,6 +9,8 @@ devices term-for-term, so equality is bitwise."""
 
 from __future__ import annotations
 
+import pytest
+
 import datetime as dt
 import itertools
 import math
@@ -17,6 +19,12 @@ import tempfile
 
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
+
+
+#: slow tier (round 10, VERDICT r9 item 7): independent replay /
+#: property / soak coverage, excluded from the default run so the
+#: driver's verify window fits; run with `pytest -m slow`.
+pytestmark = pytest.mark.slow
 
 SET = settings(
     max_examples=6,

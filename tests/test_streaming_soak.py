@@ -10,10 +10,18 @@ cannot produce."""
 
 from __future__ import annotations
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from stream_processing_system_spark.plans import streaming_parity
 from stream_processing_system_spark.sources.tables import load_table
+
+
+#: slow tier (round 10, VERDICT r9 item 7): independent replay /
+#: property / soak coverage, excluded from the default run so the
+#: driver's verify window fits; run with `pytest -m slow`.
+pytestmark = pytest.mark.slow
 
 SF_SOAK = "/root/testdata/sf0.1"
 

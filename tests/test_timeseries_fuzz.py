@@ -5,12 +5,20 @@ shared misreadings of the spec)."""
 
 from __future__ import annotations
 
+import pytest
+
 import datetime
 import math
 
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 from pyspark.sql import functions as F  # noqa: F401
+
+
+#: slow tier (round 10, VERDICT r9 item 7): independent replay /
+#: property / soak coverage, excluded from the default run so the
+#: driver's verify window fits; run with `pytest -m slow`.
+pytestmark = pytest.mark.slow
 
 SET = settings(
     max_examples=6,

@@ -61,6 +61,7 @@ def test_dedup_transitive_collapses_chain(spark):
     }
     assert kept == {1, 50}
 
+@pytest.mark.slow  # ~42 s: 600-node path fixpoint — slow tier (r10)
 def test_cc_long_path_converges(spark):
     """Regression for the O(diameter) propagation pathology: a
     600-node PATH (worst-case diameter) must fully converge to a
